@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated fixture tables (see TESTDATA.md).
+  *
+  * All queries receive an `sfDir` (e.g. /root/testdata/sf0.01) and read
+  * one parquet file per table. Reads go through the vanilla parquet DSv2
+  * source so Catalyst gets pushdown/pruning for free; the engine's own
+  * DSv2 sources (kv / log / cdc) are layered on top of the same files.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    if (name == "events") {
+      // The events fixture stores ts as parquet TIMESTAMP(NANOS), which
+      // Spark 4 refuses natively; read it as long nanos and truncate to
+      // microsecond TimestampType (integer div — ns epochs exceed 2^53, so
+      // double division would lose precision).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sfDir/$name.parquet")
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else {
+      spark.read.parquet(s"$sfDir/$name.parquet")
+    }
+
+  /** Register every fixture table as a temp view (for spark.sql surfaces). */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    names.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-time window queries over the `events` fixture table.
+  *
+  * Batch-mode equivalents of the reference corpus's streaming-window
+  * constructs (SURVEY.md §2.4 U4): `GROUP BY TUMBLING(ts, interval)` →
+  * `window(ts, d)` (reference `emr-baseline-testing/queries/q101.sql:33`),
+  * `HOPPING(ts, slide, size)` → `window(ts, size, slide)` (q100.sql:33),
+  * `delay(ts) < 'd'` → `withWatermark` (q102.sql:32-33; a no-op on bounded
+  * data, exercised for real in the streaming specs). The same `window()`
+  * expressions run unchanged under `readStream` — that is the point of
+  * building them Spark-native.
+  *
+  * Window starts are emitted as epoch seconds (bigint) so the oracle
+  * compare is independent of timestamp-precision representation (fixture
+  * `ts` is nanosecond parquet; Spark truncates to micros, DuckDB keeps ns).
+  */
+object EventsQueries {
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // TUMBLING(ts, interval 1 minute) — q101.sql:33 semantics.
+    "q_events_tumbling" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "60 seconds"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    // HOPPING(ts, interval 30 second, interval 1 minute) — q100.sql:33:
+    // 60s windows sliding every 30s; every event lands in exactly 2 windows.
+    "q_events_hopping" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(window(col("ts"), "60 seconds", "30 seconds"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"), round(sum(col("value")), 2).as("sum_value"))
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy(col("w_start"), col("event_type"))
+    }),
+
+    // TUMBLING + delay() watermark (q102.sql:32-33). On bounded input the
+    // watermark admits everything; kept in the plan so the identical code
+    // path runs under readStream (proven in StreamingWindowSpec).
+    "q_events_tumbling_delay" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .withWatermark("ts", "2 minutes")
+        .groupBy(window(col("ts"), "300 seconds"))
+        .agg(count(lit(1)).as("n_events"),
+          round(avg(col("value")), 4).as("avg_value"))
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("n_events"), col("avg_value"))
+        .orderBy(col("w_start"))
+    }),
+
+    // Semi-structured extraction: the `props` JSON column (the reference's
+    // Loghub default schema carries the whole log as a JSON __value__ —
+    // LoghubSourceRDD.scala:155-166; same extract-then-aggregate shape).
+    "q_events_json" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          (get_json_object(col("props"), "$.k").cast("long") % 10).as("k_bucket"))
+        .groupBy(col("event_type"), col("k_bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"), col("k_bucket"))
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_events_tumbling" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL 60 SECOND, ts)) AS BIGINT) AS w_start,
+        |  event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_events_hopping" ->
+      """SELECT w_start, event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS sum_value
+        |FROM (
+        |  SELECT CAST(epoch(time_bucket(INTERVAL 30 SECOND, ts)) AS BIGINT)
+        |           - 30 * o.off AS w_start,
+        |         event_type, value
+        |  FROM events, (SELECT unnest([0, 1]) AS off) o
+        |)
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_events_tumbling_delay" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL 300 SECOND, ts)) AS BIGINT) AS w_start,
+        |  count(*) AS n_events, round(avg(value), 4) AS avg_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q_events_json" ->
+      """SELECT event_type, CAST(props->>'$.k' AS BIGINT) % 10 AS k_bucket,
+        |  count(*) AS n
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
+  )
+}

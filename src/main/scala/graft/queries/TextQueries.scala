@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-data-pipeline text operators over the `documents` table —
+  * oracle-checkable subset (exact dedup, token stats, quality scoring,
+  * fingerprinting, n-gram Jaccard similarity). The sketch-based variants
+  * (MinHash-LSH, SimHash) live in [[graft.operators.Dedup]] and are gated
+  * rows-only (not expressible in ANSI SQL).
+  *
+  * Scale stance: everything here is a hash-partitioned groupBy/join on a
+  * derived key (text digest, shingle) — the canonical 100 TB shape. The
+  * pairwise-join Jaccard is the *exact* oracle; at scale you run the
+  * MinHash-LSH variant first and only exact-check candidate pairs.
+  */
+object TextQueries {
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: hash-groupBy on content digest. At 100 TB this is one
+    // shuffle on a 16-byte key, with map-side partial aggregation.
+    "q_doc_dedup_exact" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .groupBy(md5(col("text")).as("text_hash"))
+        .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_id"))
+        .orderBy(col("text_hash"))
+    }),
+
+    // Token counting (whitespace tokenization; the BPE-ish regex variant is
+    // in graft.functions.TextFunctions with its own spec).
+    "q_doc_token_count" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"),
+          col("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: stopword ratio + mean token length + a combined
+    // score — pure codegen'd column expressions, no UDFs.
+    "q_doc_quality" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val nTok = size(toks).cast("double")
+      val stops = size(filter(toks, w => w.isin("the", "a"))).cast("double")
+      val wordChars = length(regexp_replace(col("text"), " ", "")).cast("double")
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          nTok.cast("long").as("n_tokens"),
+          round(stops / nTok, 4).as("stop_ratio"),
+          round(wordChars / nTok, 4).as("avg_word_len"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Document fingerprint: digest of whitespace-normalized lowercase text
+    // (content-defined identity for dedup joins across snapshots).
+    "q_doc_fingerprint" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          md5(lower(regexp_replace(col("text"), "\\s+", " "))).as("fp"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact n-gram (3-word shingle) Jaccard near-dup pairs: shingle →
+    // explode → self-join on shingle → |A∩B| / (|A|+|B|−|A∩B|). This is
+    // the exact form; Dedup.minHashLsh approximates it with bounded
+    // shuffle at scale.
+    "q_doc_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .filter(size(col("words")) >= 3)
+      val shingles = docs.select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("words")) - 3),
+          i => concat_ws(" ", slice(col("words"), i + 1, lit(3))))).as("shingle"))
+        .distinct()
+      val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val common = shingles.as("a")
+        .join(shingles.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_common"))
+      common
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          round(col("n_common").cast("double") /
+            (col("na") + col("nb") - col("n_common")), 4).as("jaccard"))
+        .filter(col("jaccard") >= 0.2)
+        .orderBy(col("doc_a"), col("doc_b"))
+    }),
+
+    // Per-language corpus stats (groupBy over a low-cardinality key).
+    "q_doc_lang_stats" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg(col("n_chars")), 4).as("avg_chars"),
+          countDistinct(col("source")).as("n_sources"))
+        .orderBy(col("lang"))
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_doc_dedup_exact" ->
+      """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q_doc_token_count" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, n_chars
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_doc_quality" ->
+      """SELECT doc_id, lang,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  round(len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('the', 'a'))) /
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS stop_ratio,
+        |  round(length(replace(text, ' ', '')) /
+        |    CAST(len(string_split(text, ' ')) AS DOUBLE), 4) AS avg_word_len
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_doc_fingerprint" ->
+      """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_doc_ngram_jaccard" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3] AS shingle
+        |  FROM w, unnest(generate_series(0, len(words) - 3)) AS t(i)
+        |), sizes AS (
+        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+        |), common AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT doc_a, doc_b,
+        |  round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+        |FROM common
+        |JOIN sizes sa ON sa.doc_id = doc_a
+        |JOIN sizes sb ON sb.doc_id = doc_b
+        |WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2
+        |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_doc_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+        |  count(DISTINCT source) AS n_sources
+        |FROM documents
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+  )
+}

@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Embedding-column operators (similarity search over `embeddings`).
+  *
+  * Dot products / norms are built from the higher-order array functions
+  * (`transform` / `zip_with` / `aggregate`) — fully codegen'd, no UDFs.
+  * Elements are cast float→double *before* any arithmetic and folded
+  * left-to-right, matching DuckDB's list_sum fold, so similarity values are
+  * bit-comparable and the oracle hash-match holds without fuzz.
+  *
+  * The brute-force k-NN here is the exactness baseline: a broadcast of the
+  * (tiny) query set against the full corpus — embarrassingly parallel, no
+  * shuffle of the corpus side. The scale path (LSH-bucketed ANN that prunes
+  * the corpus before scoring) is [[graft.operators.SimilaritySearch]].
+  */
+object VectorQueries {
+
+  /** embedding (array<float>) → array<double>, named `e`. */
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+
+  private val dot = (a: String, b: String) =>
+    aggregate(zip_with(col(a), col(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // L2 norms — sanity/oracle anchor for all similarity math.
+    "q_embed_norms" -> ((s, dir) => {
+      emb(s, dir)
+        .select(col("vec_id"), col("label"),
+          round(sqrt(aggregate(transform(col("e"), x => x * x),
+            lit(0.0), (acc, x) => acc + x)), 6).as("l2_norm"))
+        .orderBy(col("vec_id"))
+    }),
+
+    // Brute-force cosine top-5 for query vectors vec_id < 10: broadcast the
+    // query side, score corpus partitions in place, per-query top-k via a
+    // rank window (at 1000 executors: corpus never moves, no shuffle until
+    // the k·|Q| result rows).
+    "q_embed_knn" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val n = emb(s, dir).withColumn("nrm",
+        sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      val q = n.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+      val c = n.select(col("vec_id").as("nid"), col("e").as("ne"), col("nrm").as("nn"))
+      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+      broadcast(q).join(c, col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          (aggregate(zip_with(col("qe"), col("ne"), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x) / (col("qn") * col("nn"))).as("sim"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 5)
+        .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"),
+          col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // Label-centroid similarity structure: average pairwise cosine within a
+    // label, via per-label exact pair scoring (labels are tiny here; the
+    // LSH path replaces this at scale).
+    "q_embed_label_pairs" -> ((s, dir) => {
+      val n = emb(s, dir).withColumn("nrm",
+        sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+        .filter(col("vec_id") < 100)
+      val a = n.select(col("label"), col("vec_id").as("ida"), col("e").as("ea"), col("nrm").as("na"))
+      val b = n.select(col("label").as("lb"), col("vec_id").as("idb"), col("e").as("eb"), col("nrm").as("nb"))
+      a.join(b, col("label") === col("lb") && col("ida") < col("idb"))
+        .select(col("label"),
+          (aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y),
+            lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb"))).as("sim"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_pairs"), round(avg(col("sim")), 6).as("avg_sim"))
+        .orderBy(col("label"))
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_embed_norms" ->
+      """SELECT vec_id, label,
+        |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+        |    x -> x * x))), 6) AS l2_norm
+        |FROM embeddings
+        |ORDER BY vec_id""".stripMargin,
+
+    "q_embed_knn" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+        |  FROM embeddings
+        |), p AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    list_sum(list_transform(generate_series(1, len(q.e)),
+        |      i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS sim
+        |  FROM n q JOIN n c ON q.vec_id < 10 AND c.vec_id <> q.vec_id
+        |), r AS (
+        |  SELECT qid, nid, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk
+        |  FROM p
+        |)
+        |SELECT qid, nid, round(sim, 6) AS sim, rnk
+        |FROM r WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
+
+    "q_embed_label_pairs" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+        |  FROM embeddings WHERE vec_id < 100
+        |), p AS (
+        |  SELECT a.label,
+        |    list_sum(list_transform(generate_series(1, len(a.e)),
+        |      i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm) AS sim
+        |  FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
+        |)
+        |SELECT label, count(*) AS n_pairs, round(avg(sim), 6) AS avg_sim
+        |FROM p
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+  )
+}
