@@ -1,0 +1,250 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.sql.functions.{col => _, _}
+
+/** Sketch expressions for near-duplicate detection at scale: MinHash
+  * signatures (word-shingle Jaccard estimation), SimHash (cosine-ish bit
+  * sketch), random-hyperplane LSH for embeddings, and winnowing
+  * fingerprints. Each is a native Catalyst `Expression` (imperative inner
+  * loop, CodegenFallback) — no Scala-UDF serialization, null-safe, usable
+  * from both the Column API and SQL.
+  *
+  * All hashing is seeded splitmix64 (public construction, Steele et al.,
+  * "Fast Splittable Pseudorandom Number Generators", OOPSLA'14) so
+  * signatures are deterministic across runs/partitions — a hard
+  * requirement for dedup joins over 100 TB (re-computed signatures must
+  * be bit-identical on retry).
+  */
+object Sketches {
+
+  @inline private[graft] def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  /** 64-bit hash of a byte range via splitmix-chained avalanche. */
+  private[graft] def hashBytes(bytes: Array[Byte], seed: Long): Long = {
+    var h = splitmix64(seed ^ bytes.length.toLong)
+    var i = 0
+    while (i + 8 <= bytes.length) {
+      var block = 0L
+      var j = 0
+      while (j < 8) { block = (block << 8) | (bytes(i + j) & 0xffL); j += 1 }
+      h = splitmix64(h ^ block)
+      i += 8
+    }
+    var tail = 0L
+    while (i < bytes.length) { tail = (tail << 8) | (bytes(i) & 0xffL); i += 1 }
+    splitmix64(h ^ tail)
+  }
+
+  private[graft] def hashString(s: String, seed: Long): Long =
+    hashBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), seed)
+
+  private[graft] def wordShingles(text: String, n: Int): Array[String] = {
+    val words = text.trim.split("\\s+").filter(_.nonEmpty)
+    if (words.length == 0) Array.empty
+    else if (words.length <= n) Array(words.mkString(" "))
+    else Array.tabulate(words.length - n + 1)(i => words.slice(i, i + n).mkString(" "))
+  }
+
+  // ---------------------------------------------------------------------
+  // MinHash
+  // ---------------------------------------------------------------------
+
+  /** MinHash signature over word `shingleSize`-shingles: element i is
+    * min over shingles of splitmix64(shingleHash ^ seed_i). Estimates
+    * Jaccard similarity: P[sig_a(i) == sig_b(i)] = J(A, B).
+    */
+  case class MinHashSignature(child: Expression, numHashes: Int, shingleSize: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+      val shingles = wordShingles(text, shingleSize)
+      val sig = Array.fill(numHashes)(Long.MaxValue)
+      var s = 0
+      while (s < shingles.length) {
+        val base = hashString(shingles(s), 0L)
+        var i = 0
+        while (i < numHashes) {
+          val h = splitmix64(base ^ (i.toLong * 0xc2b2ae3d27d4eb4fL))
+          if (h < sig(i)) sig(i) = h
+          i += 1
+        }
+        s += 1
+      }
+      new GenericArrayData(sig)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "minhash_signature"
+  }
+
+  def minhashSignature(c: Column, numHashes: Int = 128, shingleSize: Int = 3): Column =
+    toColumn(MinHashSignature(exprOf(c), numHashes, shingleSize))
+
+  /** Estimated Jaccard from two signatures (fraction of agreeing slots) —
+    * composed from codegen'd built-ins.
+    */
+  def minhashJaccard(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x === y).cast("double")),
+      lit(0.0), (acc, x) => acc + x) / size(a).cast("double")
+
+  /** LSH band keys for a signature: `bands` hashes, each over a contiguous
+    * rows-per-band slice. Two docs sharing any band key are candidates.
+    */
+  def minhashBands(sig: Column, bands: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(b, slice(sig, b * (size(sig) / bands) + 1, size(sig) / bands)))
+
+  // ---------------------------------------------------------------------
+  // SimHash
+  // ---------------------------------------------------------------------
+
+  /** 64-bit SimHash over whitespace tokens (Charikar, STOC'02): bit b of
+    * the result is the sign of sum over tokens of ±1 on that bit of the
+    * token hash.
+    */
+  case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+      val counts = new Array[Int](64)
+      val toks = text.trim.split("\\s+")
+      var t = 0
+      while (t < toks.length) {
+        if (toks(t).nonEmpty) {
+          val h = hashString(toks(t), 0x5bd1e995L)
+          var b = 0
+          while (b < 64) {
+            if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+            b += 1
+          }
+        }
+        t += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+      java.lang.Long.valueOf(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "simhash64"
+  }
+
+  def simhash64(c: Column): Column = toColumn(SimHash64(exprOf(c)))
+
+  /** Hamming distance between two 64-bit sketches — pure built-ins
+    * (stays in whole-stage codegen).
+    */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** 16-bit chunk keys of a SimHash — two docs within Hamming distance 3
+    * of each other share at least one of the 4 chunks (pigeonhole).
+    */
+  def simhashChunks(sim: Column): Column =
+    array((0 until 4).map(i =>
+      shiftrightunsigned(sim, i * 16).bitwiseAND(lit(0xffffL))): _*)
+
+  // ---------------------------------------------------------------------
+  // Random-hyperplane LSH (embeddings)
+  // ---------------------------------------------------------------------
+
+  /** Sign-random-projection sketch (Charikar, STOC'02): bit i = sign of
+    * <v, r_i> where r_i is a deterministic pseudo-random ±1 plane derived
+    * from (seed, i, dim). Hamming distance between sketches estimates
+    * angular distance: P[bit differs] = theta / pi.
+    */
+  case class HyperplaneSketch(child: Expression, numPlanes: Int, seed: Long)
+      extends UnaryExpression with CodegenFallback {
+    require(numPlanes >= 1 && numPlanes <= 64, "numPlanes must be in [1,64]")
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val dim = arr.numElements()
+      val elemType = child.dataType.asInstanceOf[ArrayType].elementType
+      var out = 0L
+      var p = 0
+      while (p < numPlanes) {
+        var dotProd = 0.0
+        var i = 0
+        while (i < dim) {
+          val v = elemType match {
+            case FloatType => arr.getFloat(i).toDouble
+            case DoubleType => arr.getDouble(i)
+            case _ => throw new IllegalArgumentException(s"unsupported element type $elemType")
+          }
+          // ±1 component from the hash of (seed, plane, dim index)
+          val sign = if ((splitmix64(seed ^ (p.toLong << 32) ^ i.toLong) & 1L) == 1L) 1.0 else -1.0
+          dotProd += v * sign
+          i += 1
+        }
+        if (dotProd > 0) out |= (1L << p)
+        p += 1
+      }
+      java.lang.Long.valueOf(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "hyperplane_sketch"
+  }
+
+  def hyperplaneSketch(vec: Column, numPlanes: Int = 64, seed: Long = 42L): Column =
+    toColumn(HyperplaneSketch(exprOf(vec), numPlanes, seed))
+
+  /** Byte-granularity band keys of a hyperplane sketch (8 bands of 8 bits
+    * for a 64-plane sketch).
+    */
+  def sketchBands(sketch: Column, bands: Int = 8): Column =
+    array((0 until bands).map(i =>
+      shiftrightunsigned(sketch, i * (64 / bands))
+        .bitwiseAND(lit((1L << (64 / bands)) - 1))): _*)
+
+  // ---------------------------------------------------------------------
+  // Winnowing fingerprints
+  // ---------------------------------------------------------------------
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03): rolling hash over character k-grams, keep the min hash of
+    * each sliding window of `window` k-grams; distinct selected hashes,
+    * sorted. Shared fingerprints ⇒ shared substrings of length ≥ k.
+    */
+  case class WinnowingFingerprints(child: Expression, k: Int, window: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val text = input.asInstanceOf[UTF8String].toString
+        .toLowerCase.replaceAll("\\s+", " ")
+      if (text.length < k) return new GenericArrayData(Array.empty[Long])
+      val n = text.length - k + 1
+      val grams = new Array[Long](n)
+      var i = 0
+      while (i < n) { grams(i) = hashString(text.substring(i, i + k), 0x27d4eb2fL); i += 1 }
+      val selected = scala.collection.mutable.SortedSet.empty[Long]
+      var w = 0
+      val lastW = math.max(n - window, 0)
+      while (w <= lastW) {
+        var minH = Long.MaxValue
+        var j = w
+        val end = math.min(w + window, n)
+        while (j < end) { if (grams(j) < minH) minH = grams(j); j += 1 }
+        selected += minH
+        w += 1
+      }
+      new GenericArrayData(selected.toArray)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "winnowing_fingerprints"
+  }
+
+  def winnowingFingerprints(c: Column, k: Int = 8, window: Int = 4): Column =
+    toColumn(WinnowingFingerprints(exprOf(c), k, window))
+}

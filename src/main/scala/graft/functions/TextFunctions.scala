@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column functions for training-data pipelines.
+  *
+  * Everything here is composed from Spark's codegen'd built-ins (no UDFs,
+  * no CodegenFallback) so the expressions stay inside whole-stage codegen
+  * — the 100 TB hot path. The sketch functions (MinHash / SimHash) and the
+  * language-ID heuristic need imperative loops and live in
+  * [[Sketches]] / [[LangId]] as native expressions.
+  */
+object TextFunctions {
+
+  /** Whitespace token count. */
+  def tokenCount(c: Column): Column =
+    size(split(trim(c), "\\s+")).cast("long")
+
+  /** BPE-ish token count: words, digit runs and individual punctuation
+    * count separately (a cheap proxy for subword tokenizers; mirrors the
+    * common `\w+|[^\w\s]` pre-tokenizer split).
+    */
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(c, lit("[\\p{L}]+|[0-9]+|[^\\p{L}0-9\\s]")).cast("long")
+
+  /** Ratio of stopword tokens (case-insensitive, small multilingual list). */
+  val defaultStopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "and", "in", "to", "is",
+    "le", "la", "de", "et", "der", "die", "das", "und",
+    "el", "los", "y", "que")
+
+  def stopwordRatio(c: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val toks = split(trim(lower(c)), "\\s+")
+    size(filter(toks, w => w.isin(stopwords: _*))).cast("double") /
+      greatest(size(toks).cast("double"), lit(1.0))
+  }
+
+  /** Mean token length in characters. */
+  def avgWordLen(c: Column): Column = {
+    val toks = split(trim(c), "\\s+")
+    length(regexp_replace(c, "\\s+", "")).cast("double") /
+      greatest(size(toks).cast("double"), lit(1.0))
+  }
+
+  /** Punctuation character ratio. */
+  def punctRatio(c: Column): Column =
+    regexp_count(c, lit("[^\\p{L}0-9\\s]")).cast("double") /
+      greatest(length(c).cast("double"), lit(1.0))
+
+  /** Composite quality score in [0,1] — the length/punct/stopword heuristic
+    * family (higher = more natural-language-like). Weights are fixed so the
+    * score is deterministic and comparable across runs.
+    */
+  def qualityScore(c: Column): Column = {
+    val nTok = tokenCount(c).cast("double")
+    val lenScore = least(nTok / lit(64.0), lit(1.0))
+    val stopScore = least(stopwordRatio(c) * lit(4.0), lit(1.0))
+    val wordLenOk = (avgWordLen(c) >= 2.0 && avgWordLen(c) <= 12.0).cast("double")
+    val punctOk = (punctRatio(c) <= 0.2).cast("double")
+    val score = lenScore * 0.3 + stopScore * 0.3 + wordLenOk * 0.2 + punctOk * 0.2
+    // floor-truncate instead of round: round() half-way handling differs
+    // between engines (BigDecimal HALF_UP vs raw-double), floor is exact
+    // whenever the computed doubles are bit-identical.
+    floor(score * 10000.0) / 10000.0
+  }
+
+  /** Whitespace-normalized lowercase form (canonical content identity). */
+  def normalized(c: Column): Column =
+    lower(regexp_replace(trim(c), "\\s+", " "))
+
+  /** 64-bit content fingerprint of the normalized text (xxhash64 — stable
+    * across Spark versions, cheap, codegen'd). For the rolling-hash n-gram
+    * fingerprint (winnowing) see [[Sketches.fingerprintNgrams]].
+    */
+  def fingerprint64(c: Column): Column = xxhash64(normalized(c))
+
+  /** Word n-gram shingles as an array column (distinct). */
+  def shingles(c: Column, n: Int): Column = {
+    val words = split(trim(c), "\\s+")
+    array_distinct(
+      transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => concat_ws(" ", slice(words, i + 1, lit(n)))))
+  }
+}

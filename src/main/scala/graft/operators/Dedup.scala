@@ -1,0 +1,177 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{Sketches, TextFunctions}
+
+/** Corpus deduplication operators for training-data pipelines.
+  *
+  * Five strategies, all shaped for 100 TB:
+  *  - exact:        one shuffle on a 64-bit content digest
+  *  - minHashLsh:   shingle → signature (narrow) → explode bands →
+  *                  shuffle on band key → per-bucket pairs → verify
+  *  - simHash:      narrow sketch → shuffle on 16-bit chunk keys →
+  *                  Hamming verify (pigeonhole guarantees recall ≤3 bits)
+  *  - ngramJaccard: exact shingle self-join (the oracle / small-N path)
+  *  - embeddingCosine: hyperplane sketch → band join → exact cosine verify
+  *
+  * Every sketch is deterministic (seeded), so retried tasks regenerate
+  * identical keys — a correctness requirement for shuffle-heavy dedup.
+  * Candidate generation never materializes O(N²): pairs only form inside
+  * a bucket, and `maxBucket` caps pathological buckets (boilerplate spam)
+  * the way production dedup pipelines do.
+  */
+object Dedup {
+
+  /** Exact duplicates by normalized content fingerprint. Returns
+    * (fingerprint, n_copies, keep_id, dup_ids) — one row per duplicate
+    * group with the canonical keeper (min id).
+    */
+  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(TextFunctions.fingerprint64(col(textCol)).as("fp"), col(idCol))
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"),
+        sort_array(collect_list(col(idCol))).as("ids"))
+      .where(col("n_copies") > 1)
+
+  /** Remove exact duplicates, keeping the min-id row per content group.
+    * Window-free formulation: a semi-join against the keeper set (cheaper
+    * than a row_number window over the full corpus at scale).
+    */
+  def dropExactDuplicates(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val withFp = df.withColumn("__fp", TextFunctions.fingerprint64(col(textCol)))
+    val keepers = withFp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+    withFp.join(keepers, Seq("__fp", idCol), "left_semi").drop("__fp")
+  }
+
+  /** MinHash + LSH banding near-dup candidate pairs with verified
+    * signature-estimated Jaccard.
+    *
+    * numHashes = bands * rowsPerBand; the (bands, rows) choice sets the
+    * S-curve threshold ≈ (1/bands)^(1/rows). Defaults (16 bands × 8 rows)
+    * put the knee near J ≈ 0.7.
+    */
+  def minHashLsh(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      numHashes: Int = 128,
+      bands: Int = 16,
+      shingleSize: Int = 3,
+      minJaccard: Double = 0.5,
+      maxBucket: Int = 10000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val sigs = df.select(col(idCol).as("id"),
+      Sketches.minhashSignature(col(textCol), numHashes, shingleSize).as("sig"))
+    val banded = sigs.select(col("id"), col("sig"),
+      posexplode(Sketches.minhashBands(col("sig"), bands)).as(Seq("band", "key")))
+    // Cap pathological buckets (all-identical boilerplate) before pairing.
+    val bucketed = banded.withColumn("bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("key"))))
+      .where(col("bucket_n") <= maxBucket)
+    val pairs = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .withColumn("est_jaccard",
+        round(Sketches.minhashJaccard(col("sig_a"), col("sig_b")), 4))
+      .where(col("est_jaccard") >= minJaccard)
+      .select(col("id_a"), col("id_b"), col("est_jaccard"))
+  }
+
+  /** SimHash near-dup pairs: 64-bit sketch, candidates share one of four
+    * 16-bit chunks (pigeonhole ⇒ full recall for Hamming distance ≤ 3),
+    * then exact Hamming verify.
+    */
+  def simHash(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
+    val sigs = df.select(col(idCol).as("id"),
+      Sketches.simhash64(col(textCol)).as("sim"))
+    val chunked = sigs.select(col("id"), col("sim"),
+      posexplode(Sketches.simhashChunks(col("sim"))).as(Seq("chunk", "key")))
+    val bucketed = chunked.withColumn("bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("chunk"), col("key"))))
+      .where(col("bucket_n") <= maxBucket)
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.sim").as("sim_a"), col("b.sim").as("sim_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", Sketches.hammingDistance(col("sim_a"), col("sim_b")))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
+  }
+
+  /** Exact word-n-gram Jaccard pairs (the small-N / verification path;
+    * same algebra as the q_doc_ngram_jaccard oracle query).
+    */
+  def ngramJaccard(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      minJaccard: Double = 0.2): DataFrame = {
+    val sh = df.select(col(idCol).as("id"),
+      explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
+    sh.as("a").join(sh.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(sizes.select(col("id").as("id_a"), col("n_sh").as("na")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_sh").as("nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")), 4).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
+  /** Embedding near-duplicate pairs: hyperplane-sketch band join for
+    * candidates, exact double-precision cosine for the verdict.
+    */
+  def embeddingCosine(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      minCosine: Double = 0.95,
+      numPlanes: Int = 64,
+      bands: Int = 8,
+      maxBucket: Int = 10000): DataFrame = {
+    val dot: (Column, Column) => Column = (a, b) =>
+      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val sk = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("e"))
+      .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x),
+        lit(0.0), (acc, x) => acc + x)))
+      .withColumn("sk", Sketches.hyperplaneSketch(col("e"), numPlanes))
+    val banded = sk.select(col("id"), col("e"), col("nrm"),
+      posexplode(Sketches.sketchBands(col("sk"), bands)).as(Seq("band", "key")))
+    val bucketed = banded.withColumn("bucket_n",
+      count(lit(1)).over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("band"), col("key"))))
+      .where(col("bucket_n") <= maxBucket)
+    bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.e").as("ea"), col("b.e").as("eb"),
+        col("a.nrm").as("na"), col("b.nrm").as("nb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", round(dot(col("ea"), col("eb")) / (col("na") * col("nb")), 6))
+      .where(col("cosine") >= minCosine)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}

@@ -1,0 +1,149 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Sketches
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Three tiers:
+  *  - bruteForceKnn — exact cosine top-k; query set broadcast, corpus
+  *    never shuffled until the k·|Q| result rows. The recall baseline.
+  *  - lshKnn — hyperplane-sketch band join prunes the corpus per query
+  *    before exact scoring; recall tunable via bands/planes.
+  *  - ivfKnn — inverted-file index: k-means-style centroids (computed
+  *    distributed, deterministic seed), corpus assigned to cells once
+  *    (can be persisted/bucketed), queries probe the nProbe nearest
+  *    cells only — the classic 100 TB ANN layout (IVF-Flat, as in
+  *    Johnson et al., "Billion-scale similarity search with GPUs", 2017).
+  */
+object SimilaritySearch {
+
+  private val dot: (Column, Column) => Column = (a, b) =>
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(c: Column): Column =
+    sqrt(aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x))
+
+  /** Normalize input: (id, e double[], nrm). */
+  private def prep(df: DataFrame, vecCol: String, idCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("e"))
+      .withColumn("nrm", norm(col("e")))
+
+  /** Exact cosine top-k of `queries` against `corpus`. */
+  def bruteForceKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val c = prep(corpus, vecCol, idCol)
+      .select(col("id").as("nid"), col("e").as("ne"), col("nrm").as("nn"))
+    val q = prep(queries, vecCol, idCol)
+      .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    broadcast(q).join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rnk"))
+  }
+
+  /** LSH-pruned top-k: candidates = corpus vectors sharing ≥1 sketch band
+    * with the query; exact cosine re-scoring on candidates only.
+    */
+  def lshKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      numPlanes: Int = 64, bands: Int = 8): DataFrame = {
+    def banded(df: DataFrame, prefix: String): DataFrame =
+      prep(df, vecCol, idCol)
+        .withColumn("sk", Sketches.hyperplaneSketch(col("e"), numPlanes))
+        .select(col("id").as(s"${prefix}id"), col("e").as(s"${prefix}e"),
+          col("nrm").as(s"${prefix}n"),
+          explode(Sketches.sketchBands(col("sk"), bands)).as("band_key"))
+    val q = banded(queries, "q")
+    val c = banded(corpus, "c")
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    broadcast(q).join(c, Seq("band_key"))
+      .where(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid").as("nid"), col("qe"), col("ce"), col("qn"), col("cn"))
+      .dropDuplicates("qid", "nid")
+      .select(col("qid"), col("nid"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rnk"))
+  }
+
+  /** Train IVF centroids with Lloyd iterations expressed as DataFrame
+    * aggregations (map-side partial means; one shuffle of `nCells` rows
+    * per iteration — never the corpus). Initial centroids are a
+    * deterministic hash-sample of the corpus.
+    */
+  def trainCentroids(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      nCells: Int, iterations: Int = 2): DataFrame = {
+    val c = prep(corpus, vecCol, idCol)
+    // Deterministic init: the nCells rows with smallest xxhash64(id).
+    var centroids = c.withColumn("hk", xxhash64(col("id")))
+      .orderBy(col("hk")).limit(nCells)
+      .select(monotonically_increasing_id().as("cell"), col("e").as("ce"))
+    var iter = 0
+    while (iter < iterations) {
+      val assigned = assignCells(c, centroids)
+      centroids = assigned
+        .select(col("cell"), col("e"))
+        .groupBy(col("cell"))
+        // element-wise mean via posexplode + re-collect keeps state per
+        // (cell, dim) bounded — no giant array buffers in the agg
+        .agg(collect_list(col("e")).as("vs"))
+        .select(col("cell"),
+          expr("transform(sequence(0, size(vs[0])-1), " +
+            "i -> aggregate(vs, 0d, (acc, v) -> acc + v[i]) / size(vs))").as("ce"))
+      iter += 1
+    }
+    centroids
+  }
+
+  /** Assign each corpus vector to its nearest centroid (broadcast
+    * centroids; corpus stays in place).
+    */
+  def assignCells(prepped: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("id")).orderBy(col("d2").asc, col("cell"))
+    prepped.crossJoin(broadcast(centroids))
+      .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn", "d2", "ce")
+  }
+
+  /** IVF-Flat search: probe the `nProbe` nearest cells per query, exact
+    * cosine inside probed cells only.
+    */
+  def ivfKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, iterations: Int = 2): DataFrame = {
+    val cents = trainCentroids(corpus, vecCol, idCol, nCells, iterations)
+    val assigned = assignCells(prep(corpus, vecCol, idCol), cents)
+      .select(col("cell"), col("id").as("nid"), col("e").as("ne"), col("nrm").as("nn"))
+    val qPrepped = prep(queries, vecCol, idCol)
+    val wProbe = Window.partitionBy(col("id")).orderBy(col("d2").asc, col("cell"))
+    val probes = qPrepped.crossJoin(broadcast(cents))
+      .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+      .withColumn("rn", row_number().over(wProbe))
+      .where(col("rn") <= nProbe)
+      .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"), col("cell"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    broadcast(probes).join(assigned, Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= k)
+      .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rnk"))
+  }
+}

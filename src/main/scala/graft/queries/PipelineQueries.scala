@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.{LangId, Sketches, TextFunctions}
+import graft.operators.{Dedup, Multimodal, SimilaritySearch}
+
+/** Gate entries for the training-data-pipeline operators (dedup,
+  * similarity search, multimodal, text analysis). Entries whose math is
+  * ANSI-expressible carry a DuckDB oracle; the sketch-based ones (MinHash
+  * LSH, SimHash, hyperplane ANN, winnowing, language-ID) are deterministic
+  * but not SQL-expressible → rows-only gate + dedicated ScalaTest specs.
+  */
+object PipelineQueries {
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- dedup (operator-backed) ---
+    "q_dedup_drop_exact" -> ((s, dir) => {
+      Dedup.dropExactDuplicates(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+    "q_dedup_minhash_lsh" -> ((s, dir) => {
+      Dedup.minHashLsh(Tables.load(s, dir, "documents"), "text", "doc_id",
+        numHashes = 64, bands = 16, minJaccard = 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_dedup_simhash" -> ((s, dir) => {
+      Dedup.simHash(Tables.load(s, dir, "documents"), "text", "doc_id",
+        maxHamming = 16)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+    "q_dedup_embedding" -> ((s, dir) => {
+      Dedup.embeddingCosine(Tables.load(s, dir, "embeddings"), "embedding",
+        "vec_id", minCosine = 0.25)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // --- similarity search (operator-backed; brute-force is the oracle
+    // anchor via q_embed_knn; LSH/IVF are the scale paths) ---
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.lshKnn(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, bands = 16)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.ivfKnn(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, nCells = 8, nProbe = 3)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // --- multimodal plumbing (deterministic fake codec ⇒ oracle-able) ---
+    "q_multimodal_meta" -> ((s, dir) => {
+      val docs = Multimodal.withBinaryPayload(
+        Tables.load(s, dir, "documents"), "text")
+      Multimodal.decodeMeta(docs, "payload")
+        .select(col("doc_id"), col("media.format").as("format"),
+          col("media.width").as("width"), col("media.height").as("height"),
+          col("media.n_bytes").as("n_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_multimodal_frames" -> ((s, dir) => {
+      val docs = Multimodal.withBinaryPayload(
+        Tables.load(s, dir, "documents"), "text")
+      Multimodal.sampleFrames(docs, "payload", framesPerDoc = 4)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_frames"),
+          sum(length(col("frame"))).as("frame_bytes"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // --- text analysis (function-backed) ---
+    "q_doc_bpe_tokens" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.bpeTokenCount(col("text")).as("n_bpe"),
+          TextFunctions.tokenCount(col("text")).as("n_ws"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_doc_quality_score" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+    "q_doc_langid" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .groupBy(LangId.langId(col("text")).as("detected_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy(col("detected_lang"))
+    }),
+    "q_doc_winnow" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(col("doc_id"),
+          size(Sketches.winnowingFingerprints(col("text"))).as("n_fingerprints"),
+          Sketches.simhash64(col("text")).as("simhash"))
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_drop_exact" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id,
+        |    row_number() OVER (PARTITION BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png'
+        |       WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
+        |  CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
+        |  CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """SELECT doc_id, 4 AS n_frames,
+        |  CAST(4 * (octet_length(encode(text)) // 4) AS BIGINT) AS frame_bytes
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_doc_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[\p{L}]+|[0-9]+|[^\p{L}0-9\s]')) AS BIGINT) AS n_bpe,
+        |  CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_ws
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_doc_quality_score" ->
+      """SELECT doc_id, floor((
+        |  least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 64.0, 1.0) * 0.3 +
+        |  least((CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |      w -> w IN ('the','a','an','of','and','in','to','is','le','la','de','et',
+        |                 'der','die','das','und','el','los','y','que'))) AS DOUBLE) /
+        |    greatest(CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE), 1.0)) * 4.0, 1.0) * 0.3 +
+        |  CAST((length(regexp_replace(text, '\s+', '', 'g')) /
+        |      greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0))
+        |    BETWEEN 2.0 AND 12.0 AS DOUBLE) * 0.2 +
+        |  CAST((CAST(len(regexp_extract_all(text, '[^\p{L}0-9\s]')) AS DOUBLE) /
+        |    greatest(CAST(length(text) AS DOUBLE), 1.0)) <= 0.2 AS DOUBLE) * 0.2
+        |  ) * 10000.0) / 10000.0 AS quality
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+  )
+}

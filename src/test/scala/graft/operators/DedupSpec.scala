@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"), // exact dup of 1
+    (3L, "alpha  beta gamma delta epsilon zeta eta theta iota KAPPA"), // normalized dup of 1
+    (4L, "alpha beta gamma delta epsilon zeta eta theta iota lambda"), // near dup of 1
+    (5L, "one two three four five six seven eight nine ten"),
+    (6L, "totally different words describing some other subject entirely now"))
+    .toDF("doc_id", "text")
+
+  test("exact dedup groups normalized duplicates under min id") {
+    val groups = Dedup.exact(docs, "text", "doc_id").collect()
+    assert(groups.length == 1)
+    assert(groups(0).getAs[Long]("keep_id") == 1L)
+    assert(groups(0).getAs[Long]("n_copies") == 3L)
+    assert(groups(0).getSeq[Long](groups(0).fieldIndex("ids")) == Seq(1L, 2L, 3L))
+  }
+
+  test("dropExactDuplicates keeps one row per content group") {
+    val kept = Dedup.dropExactDuplicates(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 4L, 5L, 6L))
+  }
+
+  test("minhash LSH finds the near-dup pair and not unrelated pairs") {
+    val pairs = Dedup.minHashLsh(docs, "text", "doc_id",
+      numHashes = 64, bands = 16, minJaccard = 0.3).collect()
+    val pairSet = pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairSet.contains((1L, 2L)), s"exact dup pair missing from $pairSet")
+    assert(pairSet.contains((1L, 4L)) || pairSet.contains((2L, 4L)),
+      s"near dup pair missing from $pairSet")
+    assert(!pairSet.exists { case (a, b) => b == 5L || b == 6L || a == 5L || a == 6L },
+      s"unrelated docs must not pair: $pairSet")
+  }
+
+  test("simhash pairs near-dups within hamming budget") {
+    val pairs = Dedup.simHash(docs, "text", "doc_id", maxHamming = 8).collect()
+    val pairSet = pairs.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairSet.contains((1L, 2L)))
+    assert(!pairSet.exists { case (a, b) => a == 6L || b == 6L })
+  }
+
+  test("ngram jaccard exact pairs match hand-computed values") {
+    val pairs = Dedup.ngramJaccard(docs, "text", "doc_id", n = 3, minJaccard = 0.2)
+      .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
+        r.getAs[Double]("jaccard"))).toMap
+    assert(pairs(((1L, 2L))) == 1.0)
+    // docs 1 vs 4: 8 shingles each, 7 shared → 7/9
+    assert(math.abs(pairs(((1L, 4L))) - 7.0 / 9.0) < 1e-3)
+  }
+
+  test("embedding cosine dedup finds planted near-identical vectors") {
+    val v = Array.tabulate(16)(i => math.cos(i + 1).toFloat)
+    val near = v.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.001f else x }
+    val orth = Array.tabulate(16)(i => (if (i % 2 == 0) 1f else -1f) * math.cos(i).toFloat)
+    val df = Seq((10L, v.toSeq), (11L, near.toSeq), (12L, orth.toSeq))
+      .toDF("vec_id", "embedding")
+    val pairs = Dedup.embeddingCosine(df, "embedding", "vec_id", minCosine = 0.99)
+      .collect()
+    assert(pairs.length == 1)
+    assert((pairs(0).getAs[Long]("id_a"), pairs(0).getAs[Long]("id_b")) == (10L, 11L))
+    assert(pairs(0).getAs[Double]("cosine") > 0.999)
+  }
+}
