@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.cdc.Cdc
+import graft.sources.ParquetIO
+
+/** Gate entries that read through the engine's own DSv2 sources (kv /
+  * log / cdc) instead of the vanilla parquet reader — proving the scan,
+  * pushdown, offset-range, raw-JSON and CDC-apply surfaces against the
+  * DuckDB oracle on the same files.
+  */
+object SourceQueries {
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // S1–S3: kv scan with filter pushdown + column pruning + agg.
+    "q_kv_scan" -> ((s, dir) => {
+      s.read.format("kv").option("path", s"$dir/lineitem.parquet").load()
+        .filter(col("l_shipdate") >= lit("1998-01-01").cast("timestamp_ntz") &&
+          col("l_returnflag") === "R")
+        .groupBy(col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_extendedprice")), 2).as("total"))
+        .orderBy(col("l_linestatus"))
+    }),
+
+    // S4: log batch scan (typed mode) over the events shard — note the
+    // nanosecond-timestamp shard is readable natively by our source.
+    "q_log_scan" -> ((s, dir) => {
+      s.read.format("log").option("path", s"$dir/events.parquet").load()
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy(col("event_type"))
+    }),
+
+    // T3-raw: log scan in raw JSON mode, fields re-extracted (the
+    // reference's default-schema __value__ discipline).
+    "q_log_raw_json" -> ((s, dir) => {
+      s.read.format("log").option("path", s"$dir/events.parquet")
+        .option("schema.mode", "raw").load()
+        .select(get_json_object(col("__value__"), "$.event_type").as("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // T1/T2 + U1: deterministic changelog derived from orders → cdc batch
+    // read → applyChanges (PUT/UPDATE upsert, column-op resolution, DELETE
+    // retirement). The oracle reproduces the change algebra in SQL.
+    "q_cdc_apply" -> ((s, dir) => {
+      val logDir = cdcLogDir(s, dir)
+      val changes = s.read.format("cdc").option("path", logDir).load()
+      Cdc.applyChanges(changes, Seq("pk"))
+        .orderBy(col("pk"))
+    }),
+  )
+
+  /** Build (once per sfDir) a 3-batch changelog from orders:
+    * batch 1: PUT of every order; batch 2: UPDATE for pk%7==0 (totalprice
+    * += 100, priority column-deleted); batch 3: DELETE for pk%13==0.
+    */
+  private def cdcLogDir(s: SparkSession, dir: String): String = {
+    val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val logDir = s"/tmp/graft_cdc$safe"
+    if (ParquetIO.listFiles(logDir).length != 3) {
+      ParquetIO.deletePath(logDir)
+      val orders = graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey").as("pk"), col("o_custkey").as("custkey"),
+          col("o_orderstatus").as("status"), col("o_totalprice").as("totalprice"),
+          col("o_orderpriority").as("priority"))
+      val puts = orders.select(
+        lit("PUT").as("__record_type__"), lit(1L).as("__record_timestamp__"),
+        col("pk"), col("custkey"), col("status"), col("totalprice"), col("priority"),
+        lit("PUT").as("__column_type_custkey"), lit("PUT").as("__column_type_status"),
+        lit("PUT").as("__column_type_totalprice"), lit("PUT").as("__column_type_priority"))
+      val updates = orders.filter(col("pk") % 7 === 0).select(
+        lit("UPDATE").as("__record_type__"), lit(2L).as("__record_timestamp__"),
+        col("pk"), col("custkey"), col("status"),
+        (col("totalprice") + 100).as("totalprice"), col("priority"),
+        lit("PUT").as("__column_type_custkey"), lit("PUT").as("__column_type_status"),
+        lit("PUT").as("__column_type_totalprice"),
+        lit("DELETE_ONE_VERSION").as("__column_type_priority"))
+      val deletes = orders.filter(col("pk") % 13 === 0).select(
+        lit("DELETE").as("__record_type__"), lit(3L).as("__record_timestamp__"),
+        col("pk"), lit(null).cast("long").as("custkey"),
+        lit(null).cast("string").as("status"),
+        lit(null).cast("double").as("totalprice"), lit(null).cast("string").as("priority"),
+        lit(null).cast("string").as("__column_type_custkey"),
+        lit(null).cast("string").as("__column_type_status"),
+        lit(null).cast("string").as("__column_type_totalprice"),
+        lit(null).cast("string").as("__column_type_priority"))
+      Cdc.appendBatch(puts, logDir)
+      Cdc.appendBatch(updates, logDir)
+      Cdc.appendBatch(deletes, logDir)
+    }
+    logDir
+  }
+
+  def oracles: Map[String, String] = Map(
+    "q_kv_scan" ->
+      """SELECT l_linestatus, count(*) AS n, round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1998-01-01 00:00:00' AND l_returnflag = 'R'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_log_scan" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_log_raw_json" ->
+      """SELECT event_type, count(*) AS n
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_cdc_apply" ->
+      """SELECT o_orderkey AS pk, o_custkey AS custkey, o_orderstatus AS status,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100
+        |       ELSE o_totalprice END AS totalprice,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |       ELSE o_orderpriority END AS priority
+        |FROM orders
+        |WHERE o_orderkey % 13 <> 0
+        |ORDER BY pk""".stripMargin,
+  )
+}

@@ -1,0 +1,166 @@
+package graft.sources
+
+import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate, Operators}
+import org.apache.parquet.io.api.Binary
+import org.apache.parquet.schema.LogicalTypeAnnotation
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+import org.apache.parquet.schema.MessageType
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.sources._
+
+/** Spark `Filter` algebra → parquet `FilterPredicate` compiler.
+  *
+  * Same contract as the reference's Tablestore filter compiler
+  * (`emr-tablestore/.../TableStoreFilter.scala:33-147`): supports
+  * And/Or/Not/EqualTo/GT/GE/LT/LE/In/IsNull/IsNotNull/StartsWith, with the
+  * reference's De-Morgan rewrite of `Not(And/Or)` into negation-normal
+  * form (`TableStoreFilter.scala:46-87`) so `Not` only ever wraps leaves.
+  * Filters that don't compile (unknown column, unsupported op, value type
+  * mismatch) are reported as residuals for Spark to re-apply — the
+  * `unhandledFilters` contract of `TableStoreRelation.scala:364-405`.
+  */
+object KvFilters {
+
+  /** Negation-normal form: push Not through And/Or (De Morgan) and drop
+    * double negation.
+    */
+  def toNNF(f: Filter): Filter = f match {
+    case Not(And(l, r)) => Or(toNNF(Not(l)), toNNF(Not(r)))
+    case Not(Or(l, r)) => And(toNNF(Not(l)), toNNF(Not(r)))
+    case Not(Not(inner)) => toNNF(inner)
+    case And(l, r) => And(toNNF(l), toNNF(r))
+    case Or(l, r) => Or(toNNF(l), toNNF(r))
+    case other => other
+  }
+
+  /** Compile one Spark filter. None ⇒ not expressible against this schema
+    * (becomes a residual).
+    */
+  def compile(filter: Filter, schema: MessageType): Option[FilterPredicate] = {
+    def prim(col: String) =
+      if (schema.containsField(col) &&
+          schema.getType(schema.getFieldIndex(col)).isPrimitive)
+        Some(schema.getType(schema.getFieldIndex(col)).asPrimitiveType) else None
+
+    /** Convert a Spark-side literal to the column's storage representation. */
+    def storageValue(col: String, v: Any): Option[(PrimitiveTypeName, Any)] = prim(col).flatMap { pt =>
+      val name = pt.getPrimitiveTypeName
+      (name, v) match {
+        case (PrimitiveTypeName.INT64, x: Long) => Some(name -> x)
+        case (PrimitiveTypeName.INT64, x: Int) => Some(name -> x.toLong)
+        case (PrimitiveTypeName.INT64, x: java.sql.Timestamp) =>
+          val micros = x.getTime * 1000L + (x.getNanos / 1000L) % 1000L
+          pt.getLogicalTypeAnnotation match {
+            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => ts.getUnit match {
+              case TimeUnit.MILLIS => Some(name -> micros / 1000L)
+              case TimeUnit.MICROS => Some(name -> micros)
+              case TimeUnit.NANOS => Some(name -> micros * 1000L)
+            }
+            case _ => None
+          }
+        case (PrimitiveTypeName.INT64, x: java.time.Instant) =>
+          storageValue(col, java.sql.Timestamp.from(x))
+        case (PrimitiveTypeName.INT64, x: java.time.LocalDateTime) =>
+          // TIMESTAMP_NTZ literal: interpret in UTC (storage is wall-clock)
+          val micros = x.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + x.getNano / 1000L
+          pt.getLogicalTypeAnnotation match {
+            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => ts.getUnit match {
+              case TimeUnit.MILLIS => Some(name -> micros / 1000L)
+              case TimeUnit.MICROS => Some(name -> micros)
+              case TimeUnit.NANOS => Some(name -> micros * 1000L)
+            }
+            case _ => None
+          }
+        case (PrimitiveTypeName.INT32, x: Int) => Some(name -> x)
+        case (PrimitiveTypeName.INT32, x: java.sql.Date) =>
+          Some(name -> x.toLocalDate.toEpochDay.toInt)
+        case (PrimitiveTypeName.DOUBLE, x: Double) => Some(name -> x)
+        case (PrimitiveTypeName.FLOAT, x: Float) => Some(name -> x)
+        case (PrimitiveTypeName.BOOLEAN, x: Boolean) => Some(name -> x)
+        case (PrimitiveTypeName.BINARY, x: String) => Some(name -> Binary.fromString(x))
+        case _ => None
+      }
+    }
+
+    def cmp(col: String, v: Any,
+        mk: (PrimitiveTypeName, String, Any) => FilterPredicate): Option[FilterPredicate] =
+      storageValue(col, v).map { case (t, sv) => mk(t, col, sv) }
+
+    def eq(t: PrimitiveTypeName, c: String, v: Any): FilterPredicate = t match {
+      case PrimitiveTypeName.INT64 => FilterApi.eq(FilterApi.longColumn(c), v.asInstanceOf[Long]: java.lang.Long)
+      case PrimitiveTypeName.INT32 => FilterApi.eq(FilterApi.intColumn(c), v.asInstanceOf[Int]: java.lang.Integer)
+      case PrimitiveTypeName.DOUBLE => FilterApi.eq(FilterApi.doubleColumn(c), v.asInstanceOf[Double]: java.lang.Double)
+      case PrimitiveTypeName.FLOAT => FilterApi.eq(FilterApi.floatColumn(c), v.asInstanceOf[Float]: java.lang.Float)
+      case PrimitiveTypeName.BOOLEAN => FilterApi.eq(FilterApi.booleanColumn(c), v.asInstanceOf[Boolean]: java.lang.Boolean)
+      case PrimitiveTypeName.BINARY => FilterApi.eq(FilterApi.binaryColumn(c), v.asInstanceOf[Binary])
+      case other => throw new IllegalStateException(other.toString)
+    }
+    def notEq(t: PrimitiveTypeName, c: String, v: Any): FilterPredicate = t match {
+      case PrimitiveTypeName.INT64 => FilterApi.notEq(FilterApi.longColumn(c), v.asInstanceOf[Long]: java.lang.Long)
+      case PrimitiveTypeName.INT32 => FilterApi.notEq(FilterApi.intColumn(c), v.asInstanceOf[Int]: java.lang.Integer)
+      case PrimitiveTypeName.DOUBLE => FilterApi.notEq(FilterApi.doubleColumn(c), v.asInstanceOf[Double]: java.lang.Double)
+      case PrimitiveTypeName.FLOAT => FilterApi.notEq(FilterApi.floatColumn(c), v.asInstanceOf[Float]: java.lang.Float)
+      case PrimitiveTypeName.BOOLEAN => FilterApi.notEq(FilterApi.booleanColumn(c), v.asInstanceOf[Boolean]: java.lang.Boolean)
+      case PrimitiveTypeName.BINARY => FilterApi.notEq(FilterApi.binaryColumn(c), v.asInstanceOf[Binary])
+      case other => throw new IllegalStateException(other.toString)
+    }
+    def gt(t: PrimitiveTypeName, c: String, v: Any): FilterPredicate = t match {
+      case PrimitiveTypeName.INT64 => FilterApi.gt(FilterApi.longColumn(c), v.asInstanceOf[Long]: java.lang.Long)
+      case PrimitiveTypeName.INT32 => FilterApi.gt(FilterApi.intColumn(c), v.asInstanceOf[Int]: java.lang.Integer)
+      case PrimitiveTypeName.DOUBLE => FilterApi.gt(FilterApi.doubleColumn(c), v.asInstanceOf[Double]: java.lang.Double)
+      case PrimitiveTypeName.FLOAT => FilterApi.gt(FilterApi.floatColumn(c), v.asInstanceOf[Float]: java.lang.Float)
+      case PrimitiveTypeName.BINARY => FilterApi.gt(FilterApi.binaryColumn(c), v.asInstanceOf[Binary])
+      case other => throw new IllegalStateException(other.toString)
+    }
+    def gtEq(t: PrimitiveTypeName, c: String, v: Any): FilterPredicate = t match {
+      case PrimitiveTypeName.INT64 => FilterApi.gtEq(FilterApi.longColumn(c), v.asInstanceOf[Long]: java.lang.Long)
+      case PrimitiveTypeName.INT32 => FilterApi.gtEq(FilterApi.intColumn(c), v.asInstanceOf[Int]: java.lang.Integer)
+      case PrimitiveTypeName.DOUBLE => FilterApi.gtEq(FilterApi.doubleColumn(c), v.asInstanceOf[Double]: java.lang.Double)
+      case PrimitiveTypeName.FLOAT => FilterApi.gtEq(FilterApi.floatColumn(c), v.asInstanceOf[Float]: java.lang.Float)
+      case PrimitiveTypeName.BINARY => FilterApi.gtEq(FilterApi.binaryColumn(c), v.asInstanceOf[Binary])
+      case other => throw new IllegalStateException(other.toString)
+    }
+    def lt(t: PrimitiveTypeName, c: String, v: Any): FilterPredicate = t match {
+      case PrimitiveTypeName.INT64 => FilterApi.lt(FilterApi.longColumn(c), v.asInstanceOf[Long]: java.lang.Long)
+      case PrimitiveTypeName.INT32 => FilterApi.lt(FilterApi.intColumn(c), v.asInstanceOf[Int]: java.lang.Integer)
+      case PrimitiveTypeName.DOUBLE => FilterApi.lt(FilterApi.doubleColumn(c), v.asInstanceOf[Double]: java.lang.Double)
+      case PrimitiveTypeName.FLOAT => FilterApi.lt(FilterApi.floatColumn(c), v.asInstanceOf[Float]: java.lang.Float)
+      case PrimitiveTypeName.BINARY => FilterApi.lt(FilterApi.binaryColumn(c), v.asInstanceOf[Binary])
+      case other => throw new IllegalStateException(other.toString)
+    }
+    def ltEq(t: PrimitiveTypeName, c: String, v: Any): FilterPredicate = t match {
+      case PrimitiveTypeName.INT64 => FilterApi.ltEq(FilterApi.longColumn(c), v.asInstanceOf[Long]: java.lang.Long)
+      case PrimitiveTypeName.INT32 => FilterApi.ltEq(FilterApi.intColumn(c), v.asInstanceOf[Int]: java.lang.Integer)
+      case PrimitiveTypeName.DOUBLE => FilterApi.ltEq(FilterApi.doubleColumn(c), v.asInstanceOf[Double]: java.lang.Double)
+      case PrimitiveTypeName.FLOAT => FilterApi.ltEq(FilterApi.floatColumn(c), v.asInstanceOf[Float]: java.lang.Float)
+      case PrimitiveTypeName.BINARY => FilterApi.ltEq(FilterApi.binaryColumn(c), v.asInstanceOf[Binary])
+      case other => throw new IllegalStateException(other.toString)
+    }
+
+    toNNF(filter) match {
+      case And(l, r) =>
+        for (cl <- compile(l, schema); cr <- compile(r, schema)) yield FilterApi.and(cl, cr)
+      case Or(l, r) =>
+        for (cl <- compile(l, schema); cr <- compile(r, schema)) yield FilterApi.or(cl, cr)
+      case EqualTo(c, v) => cmp(c, v, eq)
+      case Not(EqualTo(c, v)) => cmp(c, v, notEq)
+      case GreaterThan(c, v) => cmp(c, v, gt)
+      case GreaterThanOrEqual(c, v) => cmp(c, v, gtEq)
+      case LessThan(c, v) => cmp(c, v, lt)
+      case LessThanOrEqual(c, v) => cmp(c, v, ltEq)
+      case In(c, vs) if vs.nonEmpty && vs.length <= 32 =>
+        val compiled = vs.toSeq.map(v => cmp(c, v, eq))
+        if (compiled.forall(_.isDefined)) Some(compiled.flatten.reduce(FilterApi.or))
+        else None
+      case _ => None // IsNull/IsNotNull/StartsWith/etc → residual
+    }
+  }
+
+  /** Compile a conjunction of pushed filters; (predicate, accepted). */
+  def compileAll(filters: Seq[Filter], schema: MessageType): (Option[FilterPredicate], Seq[Filter]) = {
+    val compiled = filters.map(f => f -> compile(f, schema)).collect {
+      case (f, Some(p)) => f -> p
+    }
+    (compiled.map(_._2).reduceOption(FilterApi.and), compiled.map(_._1))
+  }
+}

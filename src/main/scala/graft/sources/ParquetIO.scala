@@ -1,0 +1,252 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.parquet.ParquetReadOptions
+import org.apache.parquet.example.data.Group
+import org.apache.parquet.example.data.simple.SimpleGroup
+import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+import org.apache.parquet.filter2.compat.FilterCompat
+import org.apache.parquet.hadoop.{ParquetFileReader, ParquetWriter}
+import org.apache.parquet.hadoop.example.ExampleParquetWriter
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.io.ColumnIOFactory
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType, PrimitiveType, Type, Types}
+import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Low-level parquet plumbing shared by the kv / log / cdc sources:
+  * file listing, footer metadata, Group↔InternalRow conversion, and a
+  * projected + filtered record iterator.
+  *
+  * Scope mirrors the reference's wide-column data model (primitives,
+  * string/binary, timestamp/date — `TableStoreFilter.scala:123-146`):
+  * no nested types. Uses only public parquet-hadoop APIs.
+  */
+object ParquetIO {
+
+  def hadoopConf: Configuration = new Configuration(false)
+
+  /** List data files under path (a single parquet file or a directory). */
+  def listFiles(path: String): Seq[Path] = {
+    val conf = hadoopConf
+    val p = new Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) return Seq.empty
+    if (fs.getFileStatus(p).isFile) Seq(p)
+    else fs.listStatus(p).filter(_.isFile)
+      .map(_.getPath)
+      .filter(n => n.getName.endsWith(".parquet") && !n.getName.startsWith("_") &&
+        !n.getName.startsWith("."))
+      .sortBy(_.toString)
+      .toSeq
+  }
+
+  /** (rowCount, byte ranges of row groups) from the footer — used for
+    * split planning and exact streaming-offset accounting without reading
+    * data pages.
+    */
+  case class RowGroupInfo(startByte: Long, totalByteSize: Long, rowCount: Long)
+
+  def footerInfo(file: Path): Seq[RowGroupInfo] = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, hadoopConf))
+    try {
+      import scala.jdk.CollectionConverters._
+      reader.getFooter.getBlocks.asScala.toSeq.map(b =>
+        RowGroupInfo(b.getStartingPos, b.getTotalByteSize, b.getRowCount))
+    } finally reader.close()
+  }
+
+  def rowCount(file: Path): Long = footerInfo(file).map(_.rowCount).sum
+
+  def fileSchema(file: Path): MessageType = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, hadoopConf))
+    try reader.getFooter.getFileMetaData.getSchema finally reader.close()
+  }
+
+  /** Spark StructType → parquet MessageType (primitives only). */
+  def toParquetSchema(schema: StructType, name: String = "graft_schema"): MessageType = {
+    val builder = Types.buildMessage()
+    schema.fields.foreach { f =>
+      val t: Type = f.dataType match {
+        case LongType => Types.optional(PrimitiveTypeName.INT64).named(f.name)
+        case IntegerType => Types.optional(PrimitiveTypeName.INT32).named(f.name)
+        case DoubleType => Types.optional(PrimitiveTypeName.DOUBLE).named(f.name)
+        case FloatType => Types.optional(PrimitiveTypeName.FLOAT).named(f.name)
+        case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN).named(f.name)
+        case StringType => Types.optional(PrimitiveTypeName.BINARY)
+          .as(LogicalTypeAnnotation.stringType()).named(f.name)
+        case BinaryType => Types.optional(PrimitiveTypeName.BINARY).named(f.name)
+        case TimestampType => Types.optional(PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS)).named(f.name)
+        case TimestampNTZType => Types.optional(PrimitiveTypeName.INT64)
+          .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.MICROS)).named(f.name)
+        case DateType => Types.optional(PrimitiveTypeName.INT32)
+          .as(LogicalTypeAnnotation.dateType()).named(f.name)
+        case other => throw new IllegalArgumentException(
+          s"kv/log sources support primitive columns only, got $other for ${f.name}")
+      }
+      builder.addField(t)
+    }
+    builder.named(name)
+  }
+
+  /** Projection of the file schema to `columns` (file field types win,
+    * so storage units for timestamps are preserved).
+    */
+  def projectSchema(file: MessageType, columns: Seq[String]): MessageType = {
+    val fields = columns.map { c =>
+      if (!file.containsField(c))
+        throw new IllegalArgumentException(s"column $c not in parquet schema $file")
+      file.getType(file.getFieldIndex(c))
+    }
+    new MessageType(file.getName, fields: _*)
+  }
+
+  /** Timestamp storage unit multiplier → micros. */
+  private def timestampToMicros(value: Long, unit: TimeUnit): Long = unit match {
+    case TimeUnit.MILLIS => value * 1000L
+    case TimeUnit.MICROS => value
+    case TimeUnit.NANOS => value / 1000L
+  }
+
+  /** Convert one parquet Group to an InternalRow laid out as `schema`
+    * (names matched positionally against the projection).
+    */
+  def groupToRow(g: Group, projection: MessageType, schema: StructType): InternalRow = {
+    val row = new GenericInternalRow(schema.length)
+    var i = 0
+    while (i < schema.length) {
+      val field = schema(i)
+      val pqIdx = projection.getFieldIndex(field.name)
+      if (g.getFieldRepetitionCount(pqIdx) == 0) {
+        row.setNullAt(i)
+      } else {
+        val pqType = projection.getType(pqIdx).asPrimitiveType()
+        field.dataType match {
+          case LongType => row.setLong(i, g.getLong(pqIdx, 0))
+          case IntegerType => row.setInt(i, g.getInteger(pqIdx, 0))
+          case DoubleType => row.setDouble(i, g.getDouble(pqIdx, 0))
+          case FloatType => row.setFloat(i, g.getFloat(pqIdx, 0))
+          case BooleanType => row.setBoolean(i, g.getBoolean(pqIdx, 0))
+          case StringType =>
+            row.update(i, UTF8String.fromBytes(g.getBinary(pqIdx, 0).getBytes))
+          case BinaryType => row.update(i, g.getBinary(pqIdx, 0).getBytes)
+          case TimestampType | TimestampNTZType =>
+            val unit = pqType.getLogicalTypeAnnotation match {
+              case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => ts.getUnit
+              case _ => TimeUnit.MICROS
+            }
+            row.setLong(i, timestampToMicros(g.getLong(pqIdx, 0), unit))
+          case DateType => row.setInt(i, g.getInteger(pqIdx, 0))
+          case other => throw new IllegalArgumentException(s"unsupported type $other")
+        }
+      }
+      i += 1
+    }
+    row
+  }
+
+  /** Iterate records of one file: column-pruned to `schema`'s names,
+    * optionally restricted to a byte range of row groups (split), with an
+    * optional parquet filter applied at row-group (stats), page, and
+    * record level.
+    */
+  def readFile(
+      file: Path,
+      schema: StructType,
+      range: Option[(Long, Long)] = None,
+      filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
+      : Iterator[InternalRow] with AutoCloseable = {
+    val optsB = ParquetReadOptions.builder()
+    range.foreach { case (s, e) => optsB.withRange(s, e) }
+    filter.foreach(f => optsB.withRecordFilter(FilterCompat.get(f)))
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, hadoopConf), optsB.build())
+    val fileType = reader.getFooter.getFileMetaData.getSchema
+    val projection = projectSchema(fileType, schema.fieldNames.toSeq)
+    reader.setRequestedSchema(projection)
+    val compatFilter = filter.map(FilterCompat.get).getOrElse(FilterCompat.NOOP)
+
+    new Iterator[InternalRow] with AutoCloseable {
+      private var pages = reader.readNextFilteredRowGroup()
+      private var recordReader: org.apache.parquet.io.RecordReader[Group] = _
+      private var remaining = 0L
+      private var nextRow: InternalRow = _
+      private def advanceRowGroup(): Unit = {
+        if (pages != null) {
+          val colIO = new ColumnIOFactory().getColumnIO(projection)
+          recordReader = colIO.getRecordReader(pages, new GroupRecordConverter(projection), compatFilter)
+          remaining = pages.getRowCount
+        }
+      }
+      advanceRowGroup()
+      private def fetch(): Unit = {
+        nextRow = null
+        while (nextRow == null && pages != null) {
+          if (remaining == 0) {
+            pages = reader.readNextFilteredRowGroup()
+            advanceRowGroup()
+          } else {
+            val g = recordReader.read()
+            remaining -= 1
+            // filtered-out records materialize as null
+            if (g != null && !recordReader.shouldSkipCurrentRecord)
+              nextRow = groupToRow(g, projection, schema)
+          }
+        }
+      }
+      fetch()
+      override def hasNext: Boolean = nextRow != null
+      override def next(): InternalRow = {
+        val r = nextRow; fetch(); r
+      }
+      override def close(): Unit = reader.close()
+    }
+  }
+
+  /** Writer for one part file. */
+  def openWriter(file: Path, schema: StructType): ParquetWriter[Group] =
+    ExampleParquetWriter.builder(file)
+      .withConf(hadoopConf)
+      .withType(toParquetSchema(schema))
+      .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
+      .build()
+
+  /** InternalRow (laid out as schema) → Group for writing. */
+  def rowToGroup(row: InternalRow, schema: StructType, messageType: MessageType): Group = {
+    val g = new SimpleGroup(messageType)
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) {
+        val name = schema(i).name
+        schema(i).dataType match {
+          case LongType => g.add(name, row.getLong(i))
+          case IntegerType => g.add(name, row.getInt(i))
+          case DoubleType => g.add(name, row.getDouble(i))
+          case FloatType => g.add(name, row.getFloat(i))
+          case BooleanType => g.add(name, row.getBoolean(i))
+          case StringType => g.add(name, row.getUTF8String(i).toString)
+          case BinaryType => g.add(name,
+            org.apache.parquet.io.api.Binary.fromConstantByteArray(row.getBinary(i)))
+          case TimestampType | TimestampNTZType => g.add(name, row.getLong(i)) // micros
+          case DateType => g.add(name, row.getInt(i))
+          case other => throw new IllegalArgumentException(s"unsupported type $other")
+        }
+      }
+      i += 1
+    }
+    g
+  }
+
+  def deletePath(path: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(hadoopConf)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+}

@@ -1,0 +1,192 @@
+package graft.sources.cdc
+
+import java.util
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsAdmissionControl}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.functions.CdcFunctions
+import graft.sources.{ParquetIO, SchemaCatalog}
+import graft.sources.kv.KvSource
+
+/** `cdc` DataSource V2 — change-data-capture stream over a local
+  * changelog directory (SURVEY.md §2 T1/T2).
+  *
+  * The reference's Tablestore tunnel source emits user columns plus meta
+  * columns `__ots_record_type__`, `__ots_record_timestamp__` and
+  * `__ots_column_type_<col>` (`TableStoreSource.scala:214-229`,
+  * `TableStoreSourceRDD.scala:81-228`); its offsets are service-side
+  * UUIDs resolved through a meta-checkpoint table. Here the changelog is
+  * a directory of sequentially-numbered parquet files (one per committed
+  * change batch); the stream offset is simply the count of files
+  * consumed — Spark's own offset log is the source of truth, which
+  * reproduces the *semantics* (resumable, idempotent commit, retired
+  * channels) without the UUID indirection (SURVEY.md §7 watch-list).
+  *
+  * `maxFilesPerTrigger` bounds each micro-batch (admission control).
+  */
+class CdcSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "cdc"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    Option(options.get("catalog")).map(SchemaCatalog.parse).getOrElse {
+      val files = ParquetIO.listFiles(options.get("path"))
+      require(files.nonEmpty, s"no changelog files under ${options.get("path")}")
+      KvSource.toStructType(ParquetIO.fileSchema(files.head))
+    }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new CdcTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+case class CdcOffsetV(filesConsumed: Long) extends Offset {
+  override def json(): String = filesConsumed.toString
+}
+
+class CdcTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val path = options.get("path")
+
+  override def name(): String = s"cdc:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new CdcScan(path, tableSchema, options)
+    }
+}
+
+case class CdcInputPartition(file: String) extends InputPartition
+
+class CdcScan(path: String, schema: StructType, options: CaseInsensitiveStringMap)
+    extends Scan {
+  override def readSchema(): StructType = schema
+  override def description(): String = s"cdc path=$path"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      ParquetIO.listFiles(path).map(f => CdcInputPartition(f.toString)).toArray
+    override def createReaderFactory(): PartitionReaderFactory =
+      new CdcReaderFactory(schema)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new CdcMicroBatchStream(path, schema, options)
+}
+
+class CdcMicroBatchStream(path: String, schema: StructType,
+    options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private def files: Seq[Path] = ParquetIO.listFiles(path)
+
+  override def getDefaultReadLimit: ReadLimit =
+    Option(options.get("maxFilesPerTrigger"))
+      .map(n => ReadLimit.maxFiles(n.toInt)).getOrElse(ReadLimit.allAvailable())
+
+  override def initialOffset(): Offset = CdcOffsetV(0L)
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(start, limit)")
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val consumed = start.asInstanceOf[CdcOffsetV].filesConsumed
+    val total = files.length.toLong
+    val budget = limit match {
+      case mf: org.apache.spark.sql.connector.read.streaming.ReadMaxFiles =>
+        mf.maxFiles().toLong
+      case _ => Long.MaxValue
+    }
+    CdcOffsetV(math.min(total, consumed + budget))
+  }
+
+  override def deserializeOffset(json: String): Offset = CdcOffsetV(json.trim.toLong)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[CdcOffsetV].filesConsumed.toInt
+    val e = end.asInstanceOf[CdcOffsetV].filesConsumed.toInt
+    files.slice(s, e).map(f => CdcInputPartition(f.toString)).toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = new CdcReaderFactory(schema)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+class CdcReaderFactory(schema: StructType) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[CdcInputPartition]
+    val it = ParquetIO.readFile(new Path(p.file), schema)
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean =
+        if (it.hasNext) { current = it.next(); true } else false
+      override def get(): InternalRow = current
+      override def close(): Unit = it.close()
+    }
+  }
+}
+
+/** Schema augmentation + changelog authoring + apply — the UDF/MERGE side
+  * of the CDC story (reference U1 `ResolveTableStoreBinlogUDF.scala` and
+  * the Delta MERGE example `DeltaTableStoreCDC.scala:108-165`).
+  */
+object Cdc {
+  import CdcFunctions._
+
+  /** User schema + meta columns, mirroring `TableStoreSource.scala:215-228`. */
+  def augmentSchema(user: StructType, pks: Seq[String]): StructType = {
+    val attrs = user.fields.filterNot(f => pks.contains(f.name))
+    StructType(
+      Seq(StructField(RecordTypeCol, StringType, nullable = false),
+        StructField(RecordTimestampCol, LongType, nullable = false)) ++
+        user.fields ++
+        attrs.map(a => StructField(columnTypeCol(a.name), StringType, nullable = true)))
+  }
+
+  /** Append one change batch to the changelog as the next numbered file.
+    * Single-writer discipline (the reference's tunnel commit is also a
+    * single logical committer per channel).
+    */
+  def appendBatch(changes: DataFrame, dir: String): Unit = {
+    val fs = new Path(dir).getFileSystem(ParquetIO.hadoopConf)
+    fs.mkdirs(new Path(dir))
+    val n = ParquetIO.listFiles(dir).length
+    val tmp = new Path(dir, s".tmp-${java.util.UUID.randomUUID()}")
+    changes.coalesce(1).write.format("kv").option("path", tmp.toString)
+      .mode("append").save()
+    val part = ParquetIO.listFiles(tmp.toString).head
+    fs.rename(part, new Path(dir, f"chg-$n%06d.parquet"))
+    fs.delete(tmp, true)
+  }
+
+  /** Materialize the final table state from a changelog frame: latest
+    * record per primary key wins (ordered by record timestamp, then a
+    * total-order tiebreak), DELETE retires the row, column-level op types
+    * resolve via `cdc_col_parser` (PUT → value, DELETE_* → NULL).
+    */
+  def applyChanges(changes: DataFrame, pks: Seq[String]): DataFrame = {
+    val metaPrefix = "__"
+    val attrs = changes.schema.fieldNames
+      .filterNot(n => n.startsWith(metaPrefix) || pks.contains(n))
+    val w = Window.partitionBy(pks.map(col): _*)
+      .orderBy(col(RecordTimestampCol).desc)
+    changes
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1 && col(RecordTypeCol) =!= "DELETE")
+      .select(pks.map(col) ++ attrs.map(a =>
+        cdcColParser(col(a), col(columnTypeCol(a))).as(a)): _*)
+  }
+}

@@ -1,0 +1,297 @@
+package graft.sources.kv
+
+import java.util
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.filter2.predicate.FilterPredicate
+import org.apache.parquet.schema.{LogicalTypeAnnotation, MessageType}
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.sources.{DataSourceRegister, Filter}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import graft.sources.{KvFilters, ParquetIO, SchemaCatalog}
+
+/** `kv` DataSource V2 — the engine's wide-column KV table.
+  *
+  * Local-storage re-expression of the reference's Tablestore connector
+  * scan/write surface (SURVEY.md §2 S1–S3, W1–W2):
+  *  - schema from a JSON `catalog` option (`TableStoreCatalog.scala:34-48`)
+  *    or inferred from footers (`supportsExternalMetadata`),
+  *  - column pruning via `SupportsPushDownRequiredColumns`
+  *    (`TableStoreRelation.scala:121-123`),
+  *  - filter pushdown with the De-Morgan-normalized compiler and residual
+  *    reporting (`TableStoreFilter.scala:33-147`,
+  *    `TableStoreRelation.scala:364-405`) — pushed predicates skip row
+  *    groups by stats AND filter records, but every filter is also
+  *    returned as residual so Spark re-applies (the reference's
+  *    `unhandledFilters` safety contract),
+  *  - splits sized by `split.size.mb` / capped by `max.split.count`
+  *    (`TableStoreRelation.scala:59-61`, `TableStoreInputFormat.java:155-220`),
+  *  - batch append/overwrite writes (`TableStoreRelation.scala:146-179`),
+  *  - streaming write with epoch-deterministic file names + commit markers
+  *    — re-delivered micro-batches overwrite themselves, the reference's
+  *    batchId-skip idempotence (`TableStoreSink.scala:30-42`).
+  *
+  * Options: `path` (file or directory), `catalog` (JSON), `primary.keys`
+  * (comma list, validated on write), `split.size.mb` (default 128),
+  * `max.split.count` (default 1000).
+  */
+class KvSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "kv"
+  override def supportsExternalMetadata(): Boolean = true
+
+  private def path(options: CaseInsensitiveStringMap): String = {
+    val p = options.get("path")
+    require(p != null, "kv source requires a 'path' option")
+    p
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    Option(options.get("catalog")).map(SchemaCatalog.parse).getOrElse {
+      val files = ParquetIO.listFiles(path(options))
+      require(files.nonEmpty, s"no parquet files under ${path(options)} and no catalog option")
+      KvSource.toStructType(ParquetIO.fileSchema(files.head))
+    }
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new KvTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+object KvSource {
+  /** parquet MessageType → StructType (primitive subset). */
+  def toStructType(mt: MessageType): StructType = {
+    import scala.jdk.CollectionConverters._
+    StructType(mt.getFields.asScala.map { f =>
+      val pt = f.asPrimitiveType()
+      val dt = pt.getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT64 =>
+          pt.getLogicalTypeAnnotation match {
+            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              if (ts.isAdjustedToUTC) TimestampType else TimestampNTZType
+            case _ => LongType
+          }
+        case PrimitiveTypeName.INT32 =>
+          pt.getLogicalTypeAnnotation match {
+            case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => DateType
+            case _ => IntegerType
+          }
+        case PrimitiveTypeName.DOUBLE => DoubleType
+        case PrimitiveTypeName.FLOAT => FloatType
+        case PrimitiveTypeName.BOOLEAN => BooleanType
+        case PrimitiveTypeName.BINARY =>
+          pt.getLogicalTypeAnnotation match {
+            case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => StringType
+            case _ => BinaryType
+          }
+        case other => throw new IllegalArgumentException(s"unsupported parquet type $other")
+      }
+      StructField(f.getName, dt, nullable = true)
+    }.toSeq)
+  }
+}
+
+class KvTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead with SupportsWrite {
+  private val tablePath = options.get("path")
+
+  override def name(): String = s"kv:$tablePath"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] = {
+    import TableCapability._
+    util.EnumSet.of(BATCH_READ, BATCH_WRITE, TRUNCATE, STREAMING_WRITE)
+  }
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new KvScanBuilder(tablePath, tableSchema,
+      options.getInt("max.split.count", 1000),
+      options.getLong("split.size.mb", 128L))
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new KvWriteBuilder(tablePath, info.schema(),
+      Option(options.get("primary.keys"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
+}
+
+class KvScanBuilder(path: String, schema: StructType, maxSplitCount: Int, splitSizeMb: Long)
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var required: StructType = schema
+  private var accepted: Array[Filter] = Array.empty
+  private var predicate: Option[FilterPredicate] = None
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val files = ParquetIO.listFiles(path)
+    if (files.nonEmpty) {
+      val fileSchema = ParquetIO.fileSchema(files.head)
+      val (pred, acc) = KvFilters.compileAll(filters.toSeq, fileSchema)
+      predicate = pred
+      accepted = acc.toArray
+    }
+    // Residual contract: report everything back for Spark to re-apply
+    // (matches the reference's unhandledFilters safety net — the pushed
+    // predicate is an IO optimization, not the correctness boundary).
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // keep table column order for the requested subset
+    val names = requiredSchema.fieldNames.toSet
+    required = StructType(schema.fields.filter(f => names.contains(f.name)))
+  }
+
+  override def build(): Scan =
+    new KvScan(path, required, predicate, accepted, maxSplitCount, splitSizeMb)
+}
+
+case class KvInputPartition(file: String, startByte: Long, endByte: Long, rows: Long)
+    extends InputPartition
+
+class KvScan(path: String, readSchema: StructType, predicate: Option[FilterPredicate],
+    accepted: Array[Filter], maxSplitCount: Int, splitSizeMb: Long)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = readSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"kv path=$path, PushedFilters: [${accepted.mkString(", ")}], " +
+      s"ReadSchema: ${readSchema.simpleString}"
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val targetBytes = splitSizeMb * 1024L * 1024L
+    val all = ParquetIO.listFiles(path).flatMap { f =>
+      val groups = ParquetIO.footerInfo(f)
+      if (groups.isEmpty) Nil
+      else {
+        // pack contiguous row groups into ~targetBytes splits
+        val splits = scala.collection.mutable.ArrayBuffer.empty[KvInputPartition]
+        var start = groups.head.startByte
+        var bytes = 0L
+        var rows = 0L
+        var lastEnd = start
+        groups.foreach { g =>
+          if (bytes > 0 && bytes + g.totalByteSize > targetBytes) {
+            splits += KvInputPartition(f.toString, start, lastEnd, rows)
+            start = g.startByte; bytes = 0L; rows = 0L
+          }
+          bytes += g.totalByteSize; rows += g.rowCount
+          lastEnd = g.startByte + g.totalByteSize
+        }
+        splits += KvInputPartition(f.toString, start, lastEnd, rows)
+        splits.toSeq
+      }
+    }
+    // cap split count by merging per-file neighbors (coarse but bounded)
+    val capped = if (all.length <= maxSplitCount) all else {
+      all.grouped(math.ceil(all.length.toDouble / maxSplitCount).toInt).map { g =>
+        require(g.map(_.file).distinct.length == 1 || g.length == 1,
+          "split merge across files not supported; raise split.size.mb")
+        KvInputPartition(g.head.file, g.head.startByte, g.last.endByte, g.map(_.rows).sum)
+      }.toSeq
+    }
+    capped.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KvReaderFactory(readSchema, predicate)
+}
+
+class KvReaderFactory(schema: StructType, predicate: Option[FilterPredicate])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[KvInputPartition]
+    val it = ParquetIO.readFile(new Path(p.file), schema,
+      range = Some((p.startByte, p.endByte)), filter = predicate)
+    new PartitionReader[InternalRow] {
+      private var current: InternalRow = _
+      override def next(): Boolean = {
+        if (it.hasNext) { current = it.next(); true } else false
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = it.close()
+    }
+  }
+}
+
+// ---------------------------------------------------------------------
+// Write path
+// ---------------------------------------------------------------------
+
+class KvWriteBuilder(path: String, schema: StructType, primaryKeys: Seq[String])
+    extends WriteBuilder with SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate(): WriteBuilder = { truncateFirst = true; this }
+
+  override def build(): Write = new Write {
+    // W1 discipline: primary-key columns must be present in the written schema.
+    primaryKeys.foreach { pk =>
+      require(schema.fieldNames.contains(pk),
+        s"primary key column $pk missing from write schema ${schema.simpleString}")
+    }
+    override def toBatch: BatchWrite = new KvBatchWrite(path, schema, truncateFirst)
+    override def toStreaming: StreamingWrite = new KvStreamingWrite(path, schema)
+  }
+}
+
+case class KvCommitMessage(files: Seq[String]) extends WriterCommitMessage
+
+class KvBatchWrite(path: String, schema: StructType, truncateFirst: Boolean)
+    extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    if (truncateFirst) ParquetIO.deletePath(path)
+    new org.apache.hadoop.fs.Path(path).getFileSystem(ParquetIO.hadoopConf).mkdirs(new Path(path))
+    new KvWriterFactory(path, schema)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case KvCommitMessage(files) => files.foreach(ParquetIO.deletePath) }
+}
+
+class KvWriterFactory(path: String, schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new KvDataWriter(s"$path/part-%05d-%d.parquet".format(partitionId, taskId), schema)
+}
+
+class KvDataWriter(file: String, schema: StructType) extends DataWriter[InternalRow] {
+  private val messageType = ParquetIO.toParquetSchema(schema)
+  private val writer = ParquetIO.openWriter(new Path(file), schema)
+  override def write(record: InternalRow): Unit =
+    writer.write(ParquetIO.rowToGroup(record, schema, messageType))
+  override def commit(): WriterCommitMessage = { writer.close(); KvCommitMessage(Seq(file)) }
+  override def abort(): Unit = { writer.close(); ParquetIO.deletePath(file) }
+  override def close(): Unit = ()
+}
+
+/** Streaming write with the reference's batchId-skip idempotence
+  * (`TableStoreSink.scala:30-42`): part files are named by (epoch,
+  * partition) and written in OVERWRITE mode, so a replayed micro-batch
+  * rewrites identical files instead of duplicating; the commit marker
+  * makes replays observable.
+  */
+class KvStreamingWrite(path: String, schema: StructType) extends StreamingWrite {
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    KvStreamingWriterFactory(path, schema)
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val markers = new Path(path, "_commits")
+    val fs = markers.getFileSystem(ParquetIO.hadoopConf)
+    fs.mkdirs(markers)
+    val marker = new Path(markers, epochId.toString)
+    if (!fs.exists(marker)) fs.create(marker).close() // replay ⇒ marker exists ⇒ skip
+  }
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    messages.collect { case KvCommitMessage(files) => files.foreach(ParquetIO.deletePath) }
+}
+
+case class KvStreamingWriterFactory(path: String, schema: StructType)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
+    new Path(path).getFileSystem(ParquetIO.hadoopConf).mkdirs(new Path(path))
+    new KvDataWriter(s"$path/epoch-%d-part-%05d.parquet".format(epochId, partitionId), schema)
+  }
+}

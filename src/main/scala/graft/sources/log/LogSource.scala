@@ -1,0 +1,300 @@
+package graft.sources.log
+
+import java.util
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxRows, SupportsAdmissionControl}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import graft.sources.{ParquetIO, SchemaCatalog}
+import graft.sources.kv.KvSource
+
+/** `log` DataSource V2 — sharded append-only log store.
+  *
+  * Local re-expression of the reference's Loghub connector (SURVEY.md §2
+  * S4 batch scan, T3 micro-batch source): each parquet file under `path`
+  * is one shard; the offset of a shard is the number of rows consumed.
+  *
+  * Batch: `starting.offsets` / `ending.offsets` = earliest | latest |
+  * {"shard": n, ...} JSON — the offset-resolution rules of
+  * `LoghubRelation.scala:65-92` / validation of
+  * `LoghubSourceProvider.scala:210-242`.
+  *
+  * Streaming: `MicroBatchStream` + `SupportsAdmissionControl`:
+  *  - `maxOffsetsPerTrigger` rate limit, prorated across shards by
+  *    available rows — exact, from footer row counts (the reference
+  *    approximates with server histograms, `LoghubOffsetReader.scala:209-252`;
+  *    per-shard proration as in `DatahubMicroBatchReader.scala:112-149`),
+  *  - new shards discovered mid-stream start at offset 0
+  *    (`LoghubSource.scala:130-161`),
+  *  - offsets serialize as JSON shard→row maps
+  *    (`LoghubSourceOffset.scala:30-143`).
+  *
+  * Schema modes (`LoghubSourceProvider.scala:258-274`): typed (parquet
+  * schema or `catalog` option) or `schema.mode=raw` → `__shard__,
+  * __offset__, __value__` with the record JSON-encoded in `__value__`
+  * (`LoghubSourceRDD.scala:140-249`).
+  */
+class LogSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "log"
+  override def supportsExternalMetadata(): Boolean = true
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    if (LogSource.isRaw(options)) LogSource.rawSchema
+    else Option(options.get("catalog")).map(SchemaCatalog.parse).getOrElse {
+      val files = ParquetIO.listFiles(options.get("path"))
+      require(files.nonEmpty, s"no shards under ${options.get("path")} and no catalog option")
+      KvSource.toStructType(ParquetIO.fileSchema(files.head))
+    }
+  }
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new LogTable(schema, new CaseInsensitiveStringMap(properties))
+}
+
+object LogSource {
+  val rawSchema: StructType = StructType(Seq(
+    StructField("__shard__", StringType, nullable = false),
+    StructField("__offset__", LongType, nullable = false),
+    StructField("__value__", StringType, nullable = false)))
+
+  def isRaw(options: CaseInsensitiveStringMap): Boolean =
+    "raw".equalsIgnoreCase(options.getOrDefault("schema.mode", "typed"))
+
+  /** shard name → rows available, from footers (exact, no data IO). */
+  def shardCounts(path: String): Map[String, Long] =
+    ParquetIO.listFiles(path).map(f => f.getName -> ParquetIO.rowCount(f)).toMap
+
+  /** shard name → full file path. */
+  def shardFiles(path: String): Map[String, String] =
+    ParquetIO.listFiles(path).map(f => f.getName -> f.toString).toMap
+
+  def parseOffsetJson(s: String): Map[String, Long] = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.parse(s) match {
+      case JObject(fields) => fields.map {
+        case (k, JInt(v)) => k -> v.toLong
+        case (k, JLong(v)) => k -> v
+        case (k, other) => throw new IllegalArgumentException(s"bad offset for $k: $other")
+      }.toMap
+      case other => throw new IllegalArgumentException(s"offsets must be a JSON object: $other")
+    }
+  }
+
+  def offsetJson(m: Map[String, Long]): String =
+    m.toSeq.sortBy(_._1).map { case (k, v) => s""""$k": $v""" }.mkString("{", ", ", "}")
+
+  /** Resolve an offsets option against the current shard set —
+    * `LoghubRelation.scala:65-92` semantics.
+    */
+  def resolveOffsets(spec: String, counts: Map[String, Long]): Map[String, Long] =
+    spec.trim.toLowerCase match {
+      case "earliest" => counts.map { case (s, _) => s -> 0L }
+      case "latest" => counts
+      case _ =>
+        val m = parseOffsetJson(spec)
+        m.keys.foreach(k => require(counts.contains(k), s"unknown shard $k in offsets"))
+        counts.map { case (s, n) => s -> math.min(m.getOrElse(s, 0L), n) }
+    }
+}
+
+case class LogOffsetV(shards: Map[String, Long]) extends Offset {
+  override def json(): String = LogSource.offsetJson(shards)
+}
+
+class LogTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  private val path = options.get("path")
+
+  override def name(): String = s"log:$path"
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new LogScan(path, tableSchema, options)
+    }
+}
+
+class LogScan(path: String, schema: StructType, options: CaseInsensitiveStringMap)
+    extends Scan {
+  private val raw = LogSource.isRaw(options)
+
+  override def readSchema(): StructType = schema
+  override def description(): String = s"log path=$path raw=$raw"
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] = {
+      val counts = LogSource.shardCounts(path)
+      val start = LogSource.resolveOffsets(
+        options.getOrDefault("starting.offsets", "earliest"), counts)
+      val end = LogSource.resolveOffsets(
+        options.getOrDefault("ending.offsets", "latest"), counts)
+      val files = LogSource.shardFiles(path)
+      counts.keys.toSeq.sorted.flatMap { shard =>
+        val (s, e) = (start(shard), end(shard))
+        require(s <= e, s"starting offset $s > ending offset $e for shard $shard")
+        if (s < e) Some(LogInputPartition(files(shard), shard, s, e)) else None
+      }.toArray
+    }
+    override def createReaderFactory(): PartitionReaderFactory =
+      new LogReaderFactory(schema, raw)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new LogMicroBatchStream(path, schema, raw, options)
+}
+
+case class LogInputPartition(file: String, shard: String, startRow: Long, endRow: Long)
+    extends InputPartition
+
+class LogMicroBatchStream(path: String, schema: StructType, raw: Boolean,
+    options: CaseInsensitiveStringMap)
+    extends MicroBatchStream with SupportsAdmissionControl {
+
+  private def counts: Map[String, Long] = LogSource.shardCounts(path)
+
+  override def getDefaultReadLimit: ReadLimit =
+    Option(options.get("maxOffsetsPerTrigger"))
+      .map(n => ReadLimit.maxRows(n.toLong))
+      .getOrElse(ReadLimit.allAvailable())
+
+  override def initialOffset(): Offset =
+    LogOffsetV(LogSource.resolveOffsets(
+      options.getOrDefault("starting.offsets", "earliest"), counts))
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException("use latestOffset(start, limit)")
+
+  /** Admission control: clamp newly admitted rows to the limit, prorated
+    * per shard by availability; exact row accounting from footers.
+    */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val cur = counts
+    val startMap = start.asInstanceOf[LogOffsetV].shards
+    val avail = cur.map { case (s, n) => s -> math.max(n - startMap.getOrElse(s, 0L), 0L) }
+    val totalAvail = avail.values.sum
+    val budget = limit match {
+      case mr: ReadMaxRows => mr.maxRows()
+      case _ => Long.MaxValue
+    }
+    if (totalAvail <= budget) LogOffsetV(cur)
+    else {
+      // prorate; hand out remainder deterministically by shard name
+      var remaining = budget
+      val sorted = avail.toSeq.sortBy(_._1)
+      val granted = sorted.map { case (s, a) =>
+        val share = math.min(a, math.max(budget * a / math.max(totalAvail, 1L), 0L))
+        s -> share
+      }.toMap
+      var leftover = budget - granted.values.sum
+      val adjusted = sorted.map { case (s, a) =>
+        val extra = if (leftover > 0 && granted(s) < a) {
+          val add = math.min(a - granted(s), leftover); leftover -= add; add
+        } else 0L
+        s -> (startMap.getOrElse(s, 0L) + granted(s) + extra)
+      }.toMap
+      remaining = 0L
+      LogOffsetV(adjusted)
+    }
+  }
+
+  override def deserializeOffset(json: String): Offset =
+    LogOffsetV(LogSource.parseOffsetJson(json))
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[LogOffsetV].shards
+    val e = end.asInstanceOf[LogOffsetV].shards
+    // new shards discovered mid-stream (present in end, absent in start)
+    // begin at offset 0 — LoghubSource.scala:130-161 semantics.
+    val files = LogSource.shardFiles(path)
+    e.keys.toSeq.sorted.flatMap { shard =>
+      val from = s.getOrElse(shard, 0L)
+      val to = e(shard)
+      if (from < to && files.contains(shard))
+        Some(LogInputPartition(files(shard), shard, from, to))
+      else None
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new LogReaderFactory(schema, raw)
+
+  override def commit(end: Offset): Unit = () // Spark's offset log is the source of truth
+  override def stop(): Unit = ()
+}
+
+class LogReaderFactory(schema: StructType, raw: Boolean) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[LogInputPartition]
+    val resolved = new Path(p.file)
+    val dataSchema =
+      if (raw) KvSource.toStructType(ParquetIO.fileSchema(resolved)) else schema
+    val it = ParquetIO.readFile(resolved, dataSchema)
+    new PartitionReader[InternalRow] {
+      private var pos = 0L
+      private var current: InternalRow = _
+      // skip to startRow (sequential; shard files are the unit of
+      // parallelism, offsets within a shard are a tail cursor)
+      while (pos < p.startRow && it.hasNext) { it.next(); pos += 1 }
+      override def next(): Boolean = {
+        if (pos >= p.endRow || !it.hasNext) false
+        else {
+          val r = it.next()
+          current = if (raw) LogReaderFactory.toRawRow(r, dataSchema, p.shard, pos) else r
+          pos += 1
+          true
+        }
+      }
+      override def get(): InternalRow = current
+      override def close(): Unit = it.close()
+    }
+  }
+}
+
+object LogReaderFactory {
+  /** Encode a typed row as the raw-mode `__value__` JSON (reference
+    * default-schema behavior, `LoghubSourceRDD.scala:155-166`).
+    */
+  def toRawRow(row: InternalRow, schema: StructType, shard: String, offset: Long): InternalRow = {
+    val sb = new StringBuilder("{")
+    var first = true
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (!row.isNullAt(i)) {
+        if (!first) sb.append(",")
+        first = false
+        sb.append('"').append(f.name).append("\":")
+        f.dataType match {
+          case StringType =>
+            val s = row.getUTF8String(i).toString
+              .replace("\\", "\\\\").replace("\"", "\\\"")
+              .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+            sb.append('"').append(s).append('"')
+          case LongType => sb.append(row.getLong(i))
+          case IntegerType => sb.append(row.getInt(i))
+          case DoubleType => sb.append(row.getDouble(i))
+          case FloatType => sb.append(row.getFloat(i))
+          case BooleanType => sb.append(row.getBoolean(i))
+          case TimestampType | TimestampNTZType => sb.append(row.getLong(i))
+          case DateType => sb.append(row.getInt(i))
+          case _ => sb.append("null")
+        }
+      }
+    }
+    sb.append("}")
+    val out = new GenericInternalRow(3)
+    out.update(0, UTF8String.fromString(shard))
+    out.setLong(1, offset)
+    out.update(2, UTF8String.fromString(sb.toString))
+    out
+  }
+}

@@ -1,0 +1,98 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.sources._
+
+class KvSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val liPath = "/root/testdata/sf0.001/lineitem.parquet"
+
+  test("kv scan matches vanilla parquet scan") {
+    val kv = spark.read.format("kv").option("path", liPath).load()
+    val pq = spark.read.parquet(liPath)
+    assert(kv.schema.map(f => (f.name, f.dataType)) == pq.schema.map(f => (f.name, f.dataType)))
+    assert(kv.count() == pq.count())
+    val a = kv.agg(sum("l_quantity")).as[Double].head()
+    val b = pq.agg(sum("l_quantity")).as[Double].head()
+    assert(a == b)
+  }
+
+  test("filter + projection pushdown produce correct results") {
+    val kv = spark.read.format("kv").option("path", liPath).load()
+      .filter($"l_shipdate" >= "1997-01-01" && $"l_quantity" < 10 &&
+        $"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_quantity")
+    val pq = spark.read.parquet(liPath)
+      .filter($"l_shipdate" >= "1997-01-01" && $"l_quantity" < 10 &&
+        $"l_returnflag" === "R")
+      .select($"l_orderkey", $"l_quantity")
+    assert(kv.collect().map(_.toSeq).sortBy(_.toString).toSeq ==
+      pq.collect().map(_.toSeq).sortBy(_.toString).toSeq)
+    val plan = kv.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: ["), s"plan must show pushed filters:\n$plan")
+    assert(!plan.contains("PushedFilters: []"), s"filters must actually push:\n$plan")
+  }
+
+  test("catalog option declares the schema (user-schema mode)") {
+    val catalog =
+      """{"columns": {"l_orderkey": {"type": "long"},
+        | "l_quantity": {"type": "double"},
+        | "l_returnflag": {"type": "string"}}}""".stripMargin
+    val kv = spark.read.format("kv")
+      .option("path", liPath).option("catalog", catalog).load()
+    assert(kv.columns.toSeq == Seq("l_orderkey", "l_quantity", "l_returnflag"))
+    assert(kv.count() == spark.read.parquet(liPath).count())
+  }
+
+  test("filter compiler NNF + residual semantics") {
+    val schema = ParquetIO.fileSchema(ParquetIO.listFiles(liPath).head)
+    // Not(And(a,b)) → Or(Not a, Not b): compilable (both sides eq → notEq)
+    val nnf = KvFilters.toNNF(Not(And(EqualTo("l_returnflag", "R"), EqualTo("l_linestatus", "F"))))
+    assert(nnf == Or(Not(EqualTo("l_returnflag", "R")), Not(EqualTo("l_linestatus", "F"))))
+    assert(KvFilters.compile(nnf, schema).isDefined)
+    // unsupported leaf (StartsWith) → None → residual
+    assert(KvFilters.compile(StringStartsWith("l_returnflag", "R"), schema).isEmpty)
+    // unknown column → None
+    assert(KvFilters.compile(EqualTo("nope", 1L), schema).isEmpty)
+    // In-list compiles to OR chain
+    assert(KvFilters.compile(In("l_returnflag", Array("R", "A")), schema).isDefined)
+  }
+
+  test("write round-trip with append and overwrite") {
+    val dir = java.nio.file.Files.createTempDirectory("kvwrite").toString
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("k", "name", "v")
+    df.write.format("kv").option("path", dir).option("primary.keys", "k")
+      .mode("append").save()
+    val read1 = spark.read.format("kv").option("path", dir).load()
+    assert(read1.count() == 2)
+    df.write.format("kv").option("path", dir).mode("append").save()
+    assert(spark.read.format("kv").option("path", dir).load().count() == 4)
+    df.write.format("kv").option("path", dir).mode("overwrite").save()
+    val after = spark.read.format("kv").option("path", dir).load()
+    assert(after.count() == 2)
+    assert(after.orderBy("k").as[(Long, String, Double)].collect().toSeq ==
+      Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+  }
+
+  test("write validates primary key presence") {
+    val dir = java.nio.file.Files.createTempDirectory("kvpk").toString
+    val err = intercept[Exception] {
+      Seq((1L, "a")).toDF("k", "name").write.format("kv")
+        .option("path", dir).option("primary.keys", "missing_pk")
+        .mode("append").save()
+    }
+    assert(err.getMessage.contains("missing_pk"))
+  }
+
+  test("timestamp round-trip through kv write/read") {
+    val dir = java.nio.file.Files.createTempDirectory("kvts").toString
+    val df = Seq((1L, java.sql.Timestamp.valueOf("2024-03-01 12:34:56.789")))
+      .toDF("k", "ts")
+    df.write.format("kv").option("path", dir).mode("append").save()
+    val got = spark.read.format("kv").option("path", dir).load()
+      .as[(Long, java.sql.Timestamp)].head()
+    assert(got._2 == java.sql.Timestamp.valueOf("2024-03-01 12:34:56.789"))
+  }
+}
