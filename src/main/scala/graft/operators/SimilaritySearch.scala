@@ -92,15 +92,16 @@ object SimilaritySearch {
     var iter = 0
     while (iter < iterations) {
       val assigned = assignCells(c, centroids)
+      // element-wise mean via posexplode → (cell, dim) partial avgs →
+      // re-assemble: agg state stays bounded per (cell, dim), no whole
+      // vectors buffered (the collect_list holds n_dims scalars per cell)
       centroids = assigned
-        .select(col("cell"), col("e"))
+        .select(col("cell"), posexplode(col("e")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(avg(col("v")).as("m"))
         .groupBy(col("cell"))
-        // element-wise mean via posexplode + re-collect keeps state per
-        // (cell, dim) bounded — no giant array buffers in the agg
-        .agg(collect_list(col("e")).as("vs"))
-        .select(col("cell"),
-          expr("transform(sequence(0, size(vs[0])-1), " +
-            "i -> aggregate(vs, 0d, (acc, v) -> acc + v[i]) / size(vs))").as("ce"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
+        .select(col("cell"), transform(col("dm"), x => x.getField("m")).as("ce"))
       iter += 1
     }
     centroids
