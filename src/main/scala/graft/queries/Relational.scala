@@ -216,6 +216,22 @@ object Relational {
         .limit(100)
     }),
 
+    // LEFT OUTER join + agg — the reference corpus's q40 construct in
+    // batch form (streaming form with dual watermarks is proven in
+    // GraftSqlExtensionsSpec).
+    "q_left_outer_join" -> ((s, dir) => {
+      val ord = t(s, dir, "orders").filter(col("o_orderstatus") === "P")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("2001-06-01").cast("timestamp"))
+        .select(col("l_orderkey"), col("l_quantity"))
+      ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_outer")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("l_orderkey")).as("n_matched"),
+          round(sum(coalesce(col("l_quantity"), lit(0.0))), 2).as("qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Ranking window function (beyond the reference corpus; free from
     // Spark — SURVEY.md §2.5 "absent" note).
     "q_window_rank" -> ((s, dir) => {
@@ -366,6 +382,18 @@ object Relational {
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 100""".stripMargin,
+
+    "q_left_outer_join" ->
+      """SELECT o_orderpriority, count(*) AS n_rows,
+        |  count(l_orderkey) AS n_matched,
+        |  round(sum(coalesce(l_quantity, 0)), 2) AS qty
+        |FROM orders
+        |LEFT OUTER JOIN (
+        |  SELECT l_orderkey, l_quantity FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '2001-06-01 00:00:00'
+        |) li ON o_orderkey = l_orderkey
+        |WHERE o_orderstatus = 'P'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_window_rank" ->
       """SELECT c_mktsegment, c_custkey, c_acctbal, rnk FROM (

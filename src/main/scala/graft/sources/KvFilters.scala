@@ -148,6 +148,12 @@ object KvFilters {
       case GreaterThanOrEqual(c, v) => cmp(c, v, gtEq)
       case LessThan(c, v) => cmp(c, v, lt)
       case LessThanOrEqual(c, v) => cmp(c, v, ltEq)
+      // negated comparisons surface as NNF leaves; the complement is
+      // null-equivalent (both sides reject nulls)
+      case Not(GreaterThan(c, v)) => cmp(c, v, ltEq)
+      case Not(GreaterThanOrEqual(c, v)) => cmp(c, v, lt)
+      case Not(LessThan(c, v)) => cmp(c, v, gtEq)
+      case Not(LessThanOrEqual(c, v)) => cmp(c, v, gt)
       case In(c, vs) if vs.nonEmpty && vs.length <= 32 =>
         val compiled = vs.toSeq.map(v => cmp(c, v, eq))
         if (compiled.forall(_.isDefined)) Some(compiled.flatten.reduce(FilterApi.or))
