@@ -183,10 +183,27 @@ class LogMicroBatchStream(path: String, schema: StructType, raw: Boolean,
     val startMap = start.asInstanceOf[LogOffsetV].shards
     val avail = cur.map { case (s, n) => s -> math.max(n - startMap.getOrElse(s, 0L), 0L) }
     val totalAvail = avail.values.sum
-    val budget = limit match {
+    // Hot-reloadable rate limit (the reference's ZK-watched
+    // maxOffsetsPerTrigger, LoghubSource.scala:170-248 /
+    // DynamicConfigManager.scala:30-100): an optional side file is
+    // re-read at every trigger and overrides the static option.
+    val dynamicLimit = Option(options.get("rate.limit.file")).flatMap { f =>
+      val p = new Path(f)
+      val fs = p.getFileSystem(ParquetIO.hadoopConf)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try {
+          val content = new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          content.toLongOption
+        } finally in.close()
+      }
+    }
+    val budget = dynamicLimit.getOrElse(limit match {
       case mr: ReadMaxRows => mr.maxRows()
       case _ => Long.MaxValue
-    }
+    })
     if (totalAvail <= budget) LogOffsetV(cur)
     else {
       // prorate; hand out remainder deterministically by shard name

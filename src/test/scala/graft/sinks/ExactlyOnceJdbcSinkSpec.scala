@@ -70,6 +70,16 @@ class ExactlyOnceJdbcSinkSpec extends SparkSpec {
     assert(ids == Seq(1L, 2L, 3L), s"partial rows must be deleted on recovery: $ids")
   }
 
+  test("written table reads back through the built-in jdbc source (S7)") {
+    val url = newDb()
+    assert(ExactlyOnceJdbcSink.addBatch(url, "T5", 0L,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "name")))
+    val back = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", "T5").load()
+    assert(back.orderBy("ID").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+  }
+
   test("streaming foreachBatch integration") {
     val url = newDb()
     val dir = Files.createTempDirectory("sinksrc").toString
