@@ -117,7 +117,8 @@ class LogTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
   override def name(): String = s"log:$path"
   override def schema(): StructType = tableSchema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.CONTINUOUS_READ)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
@@ -152,6 +153,10 @@ class LogScan(path: String, schema: StructType, options: CaseInsensitiveStringMa
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new LogMicroBatchStream(path, schema, raw, options)
+
+  override def toContinuousStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.ContinuousStream =
+    new LogContinuousStream(path, schema, raw, options)
 }
 
 case class LogInputPartition(file: String, shard: String, startRow: Long, endRow: Long)
