@@ -44,6 +44,20 @@ object SourceQueries {
         .orderBy(col("event_type"))
     }),
 
+    // U4 SQL surface: the reference corpus's TUMBLING spelling running as
+    // actual SQL text (q101.sql:33 shape) against the events table.
+    "q_sql_tumbling" -> ((s, dir) => {
+      graft.streaming.GraftSqlExtensions.registerFunctions(s)
+      graft.Tables.load(s, dir, "events").createOrReplaceTempView("events_v")
+      s.sql(
+        """SELECT unix_timestamp(w.start) AS w_start, event_type,
+          |  count(*) AS n, round(sum(value), 2) AS sum_value
+          |FROM (SELECT tumbling(ts, interval 2 minutes) AS w, event_type, value
+          |      FROM events_v)
+          |GROUP BY w.start, event_type
+          |ORDER BY w_start, event_type""".stripMargin)
+    }),
+
     // T1/T2 + U1: deterministic changelog derived from orders → cdc batch
     // read → applyChanges (PUT/UPDATE upsert, column-op resolution, DELETE
     // retirement). The oracle reproduces the change algebra in SQL.
@@ -112,6 +126,13 @@ object SourceQueries {
       """SELECT event_type, count(*) AS n
         |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_sql_tumbling" ->
+      """SELECT CAST(epoch(time_bucket(INTERVAL 2 MINUTE, ts)) AS BIGINT) AS w_start,
+        |  event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_cdc_apply" ->
       """SELECT o_orderkey AS pk, o_custkey AS custkey, o_orderstatus AS status,

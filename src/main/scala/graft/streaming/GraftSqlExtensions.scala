@@ -58,6 +58,23 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftSqlExtensions {
 
+  /** Register the tumbling/hopping SQL functions into an existing session
+    * (for sessions not built with `withExtensions`; the `delay()` rewrite
+    * needs the builder-time analyzer rule and is not available this way).
+    */
+  def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("tumbling", exprs => {
+      require(exprs.length == 2, "tumbling(timeColumn, size)")
+      val size = intervalMicros(exprs(1))
+      TimeWindow(exprs.head, size, size, 0L)
+    }, "scala_udf")
+    reg.createOrReplaceTempFunction("hopping", exprs => {
+      require(exprs.length == 3, "hopping(timeColumn, slide, size)")
+      TimeWindow(exprs.head, intervalMicros(exprs(2)), intervalMicros(exprs(1)), 0L)
+    }, "scala_udf")
+  }
+
   private[streaming] def intervalMicros(e: Expression): Long = e match {
     case Literal(ci: CalendarInterval, CalendarIntervalType) =>
       require(ci.months == 0, "window intervals must not contain months")

@@ -1,0 +1,61 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.KmvDistinct.kmvDistinct
+import org.apache.spark.sql.functions._
+
+class ScaleCraftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted join returns exactly the plain join result under heavy skew") {
+    // 10k rows of one hot key + a tail
+    val big = ((0 until 10000).map(i => (1L, i.toLong)) ++
+      (0 until 100).map(i => (i.toLong + 2, i.toLong)))
+      .toDF("k", "payload")
+    val small = (1L to 50L).map(k => (k, s"dim-$k")).toDF("k", "name")
+    val plain = big.join(small, Seq("k"))
+    val salted = SkewJoin.saltedInnerJoin(big, small, Seq("k"), saltFactor = 8)
+    assert(salted.count() == plain.count())
+    val a = salted.groupBy("k").count().orderBy("k").as[(Long, Long)].collect().toSeq
+    val b = plain.groupBy("k").count().orderBy("k").as[(Long, Long)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    val n = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+      (0 until 1000).map(i => (i.toLong, i * 2.0)).toDF("k", "va")
+        .write.bucketBy(8, "k").sortBy("k").saveAsTable("bkt_a")
+      (0 until 1000).map(i => (i.toLong, s"s$i")).toDF("k", "vb")
+        .write.bucketBy(8, "k").sortBy("k").saveAsTable("bkt_b")
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), Seq("k"))
+      assert(joined.count() == 1000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must be shuffle-free:\n${plan.take(1200)}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", n)
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
+  test("kmv_distinct estimates distinct counts within a few percent") {
+    val df = (0 until 50000).map(i => (i % 7, s"user-${i % 9173}"))
+      .toDF("grp", "u").repartition(8) // force partial-agg merges
+    val got = df.groupBy("grp").agg(kmvDistinct(col("u"), 1024).as("est"))
+      .orderBy("grp").as[(Int, Long)].collect()
+    val exact = df.groupBy("grp").agg(countDistinct(col("u")).as("d"))
+      .orderBy("grp").as[(Int, Long)].collect().toMap
+    got.foreach { case (g, est) =>
+      val ex = exact(g).toDouble
+      assert(math.abs(est - ex) / ex < 0.1, s"grp $g: est $est vs exact $ex")
+    }
+    // below k the sketch is exact
+    val small = (0 until 500).map(i => s"v$i").toDF("u")
+    assert(small.agg(kmvDistinct(col("u"), 1024)).as[Long].head() == 500L)
+  }
+}
