@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.{Sketches, TextFunctions}
+import graft.functions.VectorExpressions.{arrayDot, l2Norm}
 
 /** Corpus deduplication operators for training-data pipelines.
   *
@@ -149,12 +150,10 @@ object Dedup {
       numPlanes: Int = 64,
       bands: Int = 8,
       maxBucket: Int = 10000): DataFrame = {
-    val dot: (Column, Column) => Column = (a, b) =>
-      aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    val dot: (Column, Column) => Column = (a, b) => arrayDot(a, b)
     val sk = df.select(col(idCol).as("id"),
       transform(col(vecCol), x => x.cast("double")).as("e"))
-      .withColumn("nrm", sqrt(aggregate(transform(col("e"), x => x * x),
-        lit(0.0), (acc, x) => acc + x)))
+      .withColumn("nrm", l2Norm(col("e")))
       .withColumn("sk", Sketches.hyperplaneSketch(col("e"), numPlanes))
     val banded = sk.select(col("id"), col("e"), col("nrm"),
       posexplode(Sketches.sketchBands(col("sk"), bands)).as(Seq("band", "key")))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Sketches
+import graft.functions.VectorExpressions.{arrayDot, l2Norm}
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
@@ -20,11 +21,9 @@ import graft.functions.Sketches
   */
 object SimilaritySearch {
 
-  private val dot: (Column, Column) => Column = (a, b) =>
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+  private val dot: (Column, Column) => Column = (a, b) => arrayDot(a, b)
 
-  private def norm(c: Column): Column =
-    sqrt(aggregate(transform(c, x => x * x), lit(0.0), (acc, x) => acc + x))
+  private def norm(c: Column): Column = l2Norm(c)
 
   /** Normalize input: (id, e double[], nrm). */
   private def prep(df: DataFrame, vecCol: String, idCol: String): DataFrame =

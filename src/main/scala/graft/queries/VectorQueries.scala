@@ -3,14 +3,16 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.VectorExpressions.{arrayDot, l2Norm}
 
 /** Embedding-column operators (similarity search over `embeddings`).
   *
-  * Dot products / norms are built from the higher-order array functions
-  * (`transform` / `zip_with` / `aggregate`) — fully codegen'd, no UDFs.
-  * Elements are cast float→double *before* any arithmetic and folded
-  * left-to-right, matching DuckDB's list_sum fold, so similarity values are
-  * bit-comparable and the oracle hash-match holds without fuzz.
+  * Dot products / norms use the native codegen'd `array_dot` expression
+  * ([[graft.functions.VectorExpressions]]) — a primitive loop inside
+  * whole-stage codegen. Elements are cast float→double before any
+  * arithmetic and folded left-to-right, matching DuckDB's list_sum fold,
+  * so similarity values are bit-comparable and the oracle hash-match
+  * holds without fuzz.
   *
   * The brute-force k-NN here is the exactness baseline: a broadcast of the
   * (tiny) query set against the full corpus — embarrassingly parallel, no
@@ -25,16 +27,13 @@ object VectorQueries {
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => x.cast("double")).as("e"))
 
-  private val dot = (a: String, b: String) =>
-    aggregate(zip_with(col(a), col(b), (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // L2 norms — sanity/oracle anchor for all similarity math.
     "q_embed_norms" -> ((s, dir) => {
       emb(s, dir)
         .select(col("vec_id"), col("label"),
-          round(sqrt(aggregate(transform(col("e"), x => x * x),
-            lit(0.0), (acc, x) => acc + x)), 6).as("l2_norm"))
+          round(l2Norm(col("e")), 6).as("l2_norm"))
         .orderBy(col("vec_id"))
     }),
 
@@ -44,16 +43,14 @@ object VectorQueries {
     // the k·|Q| result rows).
     "q_embed_knn" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val n = emb(s, dir).withColumn("nrm",
-        sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      val n = emb(s, dir).withColumn("nrm", l2Norm(col("e")))
       val q = n.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
       val c = n.select(col("vec_id").as("nid"), col("e").as("ne"), col("nrm").as("nn"))
       val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
       broadcast(q).join(c, col("qid") =!= col("nid"))
         .select(col("qid"), col("nid"),
-          (aggregate(zip_with(col("qe"), col("ne"), (x, y) => x * y),
-            lit(0.0), (acc, x) => acc + x) / (col("qn") * col("nn"))).as("sim"))
+          (arrayDot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 5)
         .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"),
@@ -65,15 +62,13 @@ object VectorQueries {
     // label, via per-label exact pair scoring (labels are tiny here; the
     // LSH path replaces this at scale).
     "q_embed_label_pairs" -> ((s, dir) => {
-      val n = emb(s, dir).withColumn("nrm",
-        sqrt(aggregate(transform(col("e"), x => x * x), lit(0.0), (acc, x) => acc + x)))
+      val n = emb(s, dir).withColumn("nrm", l2Norm(col("e")))
         .filter(col("vec_id") < 100)
       val a = n.select(col("label"), col("vec_id").as("ida"), col("e").as("ea"), col("nrm").as("na"))
       val b = n.select(col("label").as("lb"), col("vec_id").as("idb"), col("e").as("eb"), col("nrm").as("nb"))
       a.join(b, col("label") === col("lb") && col("ida") < col("idb"))
         .select(col("label"),
-          (aggregate(zip_with(col("ea"), col("eb"), (x, y) => x * y),
-            lit(0.0), (acc, x) => acc + x) / (col("na") * col("nb"))).as("sim"))
+          (arrayDot(col("ea"), col("eb")) / (col("na") * col("nb"))).as("sim"))
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_pairs"), round(avg(col("sim")), 6).as("avg_sim"))
         .orderBy(col("label"))
