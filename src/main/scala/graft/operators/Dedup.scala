@@ -17,7 +17,11 @@ import graft.functions.VectorExpressions.{arrayDot, l2Norm}
   *  - embeddingCosine: hyperplane sketch → band join → exact cosine verify
   *
   * Every sketch is deterministic (seeded), so retried tasks regenerate
-  * identical keys — a correctness requirement for shuffle-heavy dedup.
+  * identical keys — a correctness requirement for shuffle-heavy dedup;
+  * it also means the banded intermediates are safe to recompute instead
+  * of caching (measured faster here: a persist() barrier costs more than
+  * recompute and blocks AQE; at corpus scale checkpoint the banded set
+  * instead).
   * Candidate generation never materializes O(N²): pairs only form inside
   * a bucket, and `maxBucket` caps pathological buckets (boilerplate spam)
   * the way production dedup pipelines do.
