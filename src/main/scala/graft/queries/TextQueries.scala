@@ -89,6 +89,28 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // TF-IDF: classic sparse text-feature pipeline — explode tokens,
+    // tf per (doc, term), df per term over the corpus, smoothed idf,
+    // top-scoring term per doc. Two shuffles (term, doc) regardless of
+    // corpus size; df table is broadcast-sized for any real vocabulary.
+    "q_doc_tfidf_top" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(s, dir, "documents")
+      val nDocs = docs.count()
+      val tokens = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      val tf = tokens.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("score").desc, col("term"))
+      tf.join(broadcast(dfreq), "term")
+        .withColumn("score", round(col("tf") *
+          (log((lit(nDocs) + 1.0) / (col("df") + 1.0)) + 1.0), 4))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), col("term").as("top_term"), col("score"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Per-language corpus stats (groupBy over a low-cardinality key).
     "q_doc_lang_stats" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
@@ -150,6 +172,26 @@ object TextQueries {
         |JOIN sizes sb ON sb.doc_id = doc_b
         |WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2
         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    "q_doc_tfidf_top" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tokens GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0), 4) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |)
+        |SELECT doc_id, term AS top_term, score FROM (
+        |  SELECT doc_id, term, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        |  FROM scored)
+        |WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "q_doc_lang_stats" ->
       """SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
