@@ -97,14 +97,14 @@ object ParquetIO {
   }
 
   /** Projection of the file schema to `columns` (file field types win,
-    * so storage units for timestamps are preserved).
+    * so storage units for timestamps are preserved). Columns absent from
+    * the file are skipped — the wide-column sparse-attribute model: a row
+    * without the attribute reads as NULL (reference Tablestore rows carry
+    * only the columns they have, `TableStoreRelation.scala:290-361`).
     */
   def projectSchema(file: MessageType, columns: Seq[String]): MessageType = {
-    val fields = columns.map { c =>
-      if (!file.containsField(c))
-        throw new IllegalArgumentException(s"column $c not in parquet schema $file")
-      file.getType(file.getFieldIndex(c))
-    }
+    val fields = columns.filter(file.containsField)
+      .map(c => file.getType(file.getFieldIndex(c)))
     new MessageType(file.getName, fields: _*)
   }
 
@@ -123,6 +123,10 @@ object ParquetIO {
     var i = 0
     while (i < schema.length) {
       val field = schema(i)
+      if (!projection.containsField(field.name)) {
+        row.setNullAt(i) // sparse attribute: column absent from this file
+        i += 1
+      } else {
       val pqIdx = projection.getFieldIndex(field.name)
       if (g.getFieldRepetitionCount(pqIdx) == 0) {
         row.setNullAt(i)
@@ -148,6 +152,7 @@ object ParquetIO {
         }
       }
       i += 1
+      }
     }
     row
   }

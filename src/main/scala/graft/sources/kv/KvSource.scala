@@ -128,8 +128,20 @@ class KvScanBuilder(path: String, schema: StructType, maxSplitCount: Int, splitS
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val files = ParquetIO.listFiles(path)
     if (files.nonEmpty) {
-      val fileSchema = ParquetIO.fileSchema(files.head)
-      val (pred, acc) = KvFilters.compileAll(filters.toSeq, fileSchema)
+      // compile only against columns present (with identical types) in
+      // EVERY file — sparse attribute columns (absent in some files) must
+      // not be pushed, or the parquet-side filter would misjudge rows
+      // whose file lacks the column; those filters stay residual.
+      val schemas = files.map(ParquetIO.fileSchema)
+      val common = schemas.tail.foldLeft(schemas.head) { (acc, s) =>
+        import scala.jdk.CollectionConverters._
+        val fields = acc.getFields.asScala.filter { f =>
+          s.containsField(f.getName) &&
+            s.getType(s.getFieldIndex(f.getName)) == f
+        }
+        new org.apache.parquet.schema.MessageType(acc.getName, fields.toSeq: _*)
+      }
+      val (pred, acc) = KvFilters.compileAll(filters.toSeq, common)
       predicate = pred
       accepted = acc.toArray
     }

@@ -76,6 +76,28 @@ class KvSourceSpec extends SparkSpec {
       Seq((1L, "a", 1.5), (2L, "b", 2.5)))
   }
 
+  test("sparse attribute columns: files missing a declared column read as NULL") {
+    val dir = java.nio.file.Files.createTempDirectory("kvsparse").toString
+    Seq((1L, "a1")).toDF("k", "attr_a")
+      .write.format("kv").option("path", dir).mode("append").save()
+    Seq((2L, 9.5)).toDF("k", "attr_b")
+      .write.format("kv").option("path", dir).mode("append").save()
+    val catalog =
+      """{"columns": {"k": {"type": "long"}, "attr_a": {"type": "string"},
+        | "attr_b": {"type": "double"}}}""".stripMargin
+    val got = spark.read.format("kv")
+      .option("path", dir).option("catalog", catalog).load()
+      .orderBy("k").collect()
+    assert(got.length == 2)
+    assert(got(0).getLong(0) == 1L && got(0).getString(1) == "a1" && got(0).isNullAt(2))
+    assert(got(1).getLong(0) == 2L && got(1).isNullAt(1) && got(1).getDouble(2) == 9.5)
+    // filters on a column absent from one file stay correct (residual path)
+    val filtered = spark.read.format("kv")
+      .option("path", dir).option("catalog", catalog).load()
+      .filter($"attr_b" > 1.0)
+    assert(filtered.count() == 1)
+  }
+
   test("write validates primary key presence") {
     val dir = java.nio.file.Files.createTempDirectory("kvpk").toString
     val err = intercept[Exception] {
