@@ -43,6 +43,20 @@ class ScaleCraftSpec extends SparkSpec {
     }
   }
 
+  test("corpus stats: one-pass nulls/minmax/ndv per column") {
+    val df = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
+    val stats = CorpusStats.collect(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val n = df.count()
+    assert(stats.values.forall(_.getLong(1) == n))
+    val keyStats = stats("o_orderkey")
+    assert(keyStats.getLong(2) == 0L) // no nulls
+    assert(math.abs(keyStats.getLong(3) - n).toDouble / n < 0.1, keyStats.toString)
+    assert(stats("o_orderstatus").getLong(3) == 3L) // exact below k
+    assert(stats("o_orderstatus").getString(4) == "F")
+    assert(stats("o_orderstatus").getString(5) == "P")
+  }
+
   test("kmv_distinct estimates distinct counts within a few percent") {
     val df = (0 until 50000).map(i => (i % 7, s"user-${i % 9173}"))
       .toDF("grp", "u").repartition(8) // force partial-agg merges
