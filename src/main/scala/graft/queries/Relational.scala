@@ -216,6 +216,51 @@ object Relational {
         .limit(100)
     }),
 
+    // q18/q22-style composite: join + ROLLUP over two dims + HAVING-style
+    // post-aggregation filter + grouping() disambiguation.
+    "q_rollup_having" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val ord = t(s, dir, "orders")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .rollup(col("o_orderstatus"), col("l_returnflag"))
+        .agg(round(avg(col("l_quantity")), 4).as("avg_qty"),
+          count(lit(1)).as("n"),
+          grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("l_returnflag")).cast("int").as("g_flag"))
+        .where(col("n") > 100)
+        .orderBy(asc_nulls_first("o_orderstatus"), asc_nulls_first("l_returnflag"))
+    }),
+
+    // q76-style: three-branch UNION ALL with branch tags, re-aggregated.
+    "q_union_three_way" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      def branch(tag: String, cond: org.apache.spark.sql.Column) =
+        li.filter(cond).select(lit(tag).as("channel"),
+          col("l_extendedprice").as("price"))
+      branch("returned", col("l_returnflag") === "R")
+        .union(branch("accepted", col("l_returnflag") === "A"))
+        .union(branch("none", col("l_returnflag") === "N"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n"), round(sum(col("price")), 2).as("total"))
+        .orderBy(col("channel"))
+    }),
+
+    // q8/q46-style composite: IN-subquery + countDistinct + HAVING.
+    "q_composite_subquery_agg" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val bigSpenders = ord.groupBy(col("o_custkey"))
+        .agg(round(sum(col("o_totalprice")), 2).as("spend"))
+        .where(col("spend") > 300000)
+        .select(col("o_custkey"))
+      cust.join(bigSpenders, col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(countDistinct(col("c_nationkey")).as("n_nations"),
+          count(lit(1)).as("n_custs"))
+        .where(col("n_custs") > 5)
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // LEFT OUTER join + agg — the reference corpus's q40 construct in
     // batch form (streaming form with dual watermarks is proven in
     // GraftSqlExtensionsSpec).
@@ -382,6 +427,41 @@ object Relational {
         |FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
         |LIMIT 100""".stripMargin,
+
+    "q_rollup_having" ->
+      """SELECT o_orderstatus, l_returnflag,
+        |  round(avg(l_quantity), 4) AS avg_qty, count(*) AS n,
+        |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+        |  CAST(grouping(l_returnflag) AS INT) AS g_flag
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY ROLLUP(o_orderstatus, l_returnflag)
+        |HAVING count(*) > 100
+        |ORDER BY o_orderstatus ASC NULLS FIRST, l_returnflag ASC NULLS FIRST""".stripMargin,
+
+    "q_union_three_way" ->
+      """SELECT channel, count(*) AS n, round(sum(price), 2) AS total FROM (
+        |  SELECT 'returned' AS channel, l_extendedprice AS price
+        |  FROM lineitem WHERE l_returnflag = 'R'
+        |  UNION ALL
+        |  SELECT 'accepted' AS channel, l_extendedprice AS price
+        |  FROM lineitem WHERE l_returnflag = 'A'
+        |  UNION ALL
+        |  SELECT 'none' AS channel, l_extendedprice AS price
+        |  FROM lineitem WHERE l_returnflag = 'N'
+        |)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_composite_subquery_agg" ->
+      """SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+        |  count(*) AS n_custs
+        |FROM customer
+        |WHERE c_custkey IN (
+        |  SELECT o_custkey FROM orders
+        |  GROUP BY o_custkey
+        |  HAVING round(sum(o_totalprice), 2) > 300000)
+        |GROUP BY 1
+        |HAVING count(*) > 5
+        |ORDER BY 1""".stripMargin,
 
     "q_left_outer_join" ->
       """SELECT o_orderpriority, count(*) AS n_rows,
