@@ -57,6 +57,19 @@ object EventsQueries {
         .orderBy(col("w_start"))
     }),
 
+    // Sessionization via session_window (beyond the reference corpus —
+    // SURVEY.md §2.5 notes session windows absent there; a training-data
+    // pipeline needs them for behavioral segmentation). A new session
+    // starts when the gap since the previous event is >= 5 minutes.
+    "q_events_sessionize" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n")).as("n_events"))
+        .orderBy(col("user_id"))
+    }),
+
     // Semi-structured extraction: the `props` JSON column (the reference's
     // Loghub default schema carries the whole log as a JSON __value__ —
     // LoghubSourceRDD.scala:155-166; same extract-then-aggregate shape).
@@ -94,6 +107,21 @@ object EventsQueries {
       """SELECT CAST(epoch(time_bucket(INTERVAL 300 SECOND, ts)) AS BIGINT) AS w_start,
         |  count(*) AS n_events, round(avg(value), 4) AS avg_value
         |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    "q_events_sessionize" ->
+      """WITH o AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |)
+        |SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM o
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
 

@@ -43,6 +43,22 @@ class ScaleCraftSpec extends SparkSpec {
     }
   }
 
+  test("frequent_items finds heavy hitters across partition merges") {
+    import graft.functions.FrequentItems.frequentItems
+    // 30% "spam", 20% "boiler", rest spread over 5000 rare tokens
+    val rows = (0 until 50000).map { i =>
+      if (i % 10 < 3) "spam" else if (i % 10 < 5) "boiler" else s"rare-${i % 5000}"
+    }
+    val df = rows.toDF("term").repartition(8)
+    val got = df.agg(frequentItems(col("term"), 32).as("hh"))
+      .head().getAs[Map[String, Long]](0)
+    assert(got.contains("spam") && got.contains("boiler"),
+      s"heavy hitters missing: ${got.keys.take(10)}")
+    // guaranteed-presence bound: estimates undercount by at most N/k
+    assert(got("spam") > 15000 - 50000 / 32)
+    assert(got("spam") > got.getOrElse("boiler", 0L))
+  }
+
   test("corpus stats: one-pass nulls/minmax/ndv per column") {
     val df = graft.Tables.load(spark, "/root/testdata/sf0.001", "orders")
     val stats = CorpusStats.collect(df).collect()
