@@ -71,6 +71,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ANALYZE-style one-pass statistics (rows-only: approx_ndv is a KMV
+    // estimate — order-invariant and deterministic, but not ANSI-SQL
+    // expressible).
+    "q_corpus_stats" -> ((s, dir) => {
+      graft.operators.CorpusStats.collect(Tables.load(s, dir, "orders"))
+        .orderBy(col("column"))
+    }),
+
     // --- text analysis (function-backed) ---
     "q_doc_bpe_tokens" -> ((s, dir) => {
       Tables.load(s, dir, "documents")

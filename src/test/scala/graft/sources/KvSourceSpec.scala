@@ -108,6 +108,17 @@ class KvSourceSpec extends SparkSpec {
     assert(err.getMessage.contains("missing_pk"))
   }
 
+  test("empty DataFrame write/read round-trip") {
+    val dir = java.nio.file.Files.createTempDirectory("kvempty").toString
+    Seq((1L, "a")).toDF("k", "name").limit(0)
+      .write.format("kv").option("path", dir).mode("append").save()
+    val got = spark.read.format("kv").option("path", dir)
+      .option("catalog", """{"columns": {"k": {"type": "long"}, "name": {"type": "string"}}}""")
+      .load()
+    assert(got.count() == 0)
+    assert(got.columns.toSeq == Seq("k", "name"))
+  }
+
   test("timestamp round-trip through kv write/read") {
     val dir = java.nio.file.Files.createTempDirectory("kvts").toString
     val df = Seq((1L, java.sql.Timestamp.valueOf("2024-03-01 12:34:56.789")))
