@@ -172,6 +172,44 @@ object Cdc {
     fs.delete(tmp, true)
   }
 
+  /** Continuously apply a CDC changelog stream onto a kv table — the
+    * reference's flagship Delta-MERGE example as a streaming pipeline
+    * (`examples/.../DeltaTableStoreCDC.scala:108-165`): each micro-batch
+    * is folded to its latest-per-key image (column ops resolved), turned
+    * into per-row merge operations (DELETE → DELETE, else UPSERT), and
+    * merged atomically into the target. Caller starts/stops the returned
+    * query.
+    */
+  def applyStream(spark: SparkSession, changelogDir: String, targetDir: String,
+      pks: Seq[String], checkpointDir: String,
+      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.streaming.StreamingQuery = {
+    spark.readStream.format("cdc")
+      .option("path", changelogDir)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger.toString)
+      .load()
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) {
+          val attrs = batch.schema.fieldNames
+            .filterNot(n => n.startsWith("__") || pks.contains(n))
+          val w = Window.partitionBy(pks.map(col): _*)
+            .orderBy(col(RecordTimestampCol).desc)
+          val latest = batch
+            .withColumn("__rn", row_number().over(w))
+            .where(col("__rn") === 1)
+          val ops = latest.select(
+            (pks.map(col) :+
+              when(col(RecordTypeCol) === "DELETE", "DELETE")
+                .otherwise("UPSERT").as("__op")) ++
+              attrs.map(a => cdcColParser(col(a), col(columnTypeCol(a))).as(a)): _*)
+          graft.operators.KvMerge.merge(batch.sparkSession, targetDir, ops, "__op", pks)
+        }
+        ()
+      }
+      .start()
+  }
+
   /** Materialize the final table state from a changelog frame: latest
     * record per primary key wins (ordered by record timestamp, then a
     * total-order tiebreak), DELETE retires the row, column-level op types

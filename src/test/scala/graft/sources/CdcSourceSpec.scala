@@ -72,6 +72,40 @@ class CdcSourceSpec extends SparkSpec {
       state(1).getDouble(2) == 2.0)
   }
 
+  test("streaming CDC apply: changelog stream merges into a kv table (Delta-MERGE example shape)") {
+    val logDir = Files.createTempDirectory("cdcapply").toString
+    val target = Files.createTempDirectory("cdctarget").toString + "/t"
+    val ckpt = Files.createTempDirectory("cdcapplyckpt").toString
+    Cdc.appendBatch(changesDf(Seq(
+      changeRow("PUT", 1L, 1L, "alice", 1.0, "PUT", "PUT"),
+      changeRow("PUT", 1L, 2L, "bob", 2.0, "PUT", "PUT"),
+      changeRow("PUT", 1L, 3L, "carol", 3.0, "PUT", "PUT"))), logDir)
+    Cdc.appendBatch(changesDf(Seq(
+      changeRow("UPDATE", 2L, 1L, "alice2", null, "PUT", "DELETE_ONE_VERSION"),
+      changeRow("DELETE", 2L, 3L, null, null, null, null))), logDir)
+
+    val q = Cdc.applyStream(spark, logDir, target, Seq("pk"), ckpt)
+    try {
+      q.processAllAvailable()
+      val got = spark.read.format("kv").option("path", target).load()
+        .orderBy("pk").collect()
+      assert(got.length == 2)
+      assert(got(0).getLong(0) == 1L && got(0).getString(1) == "alice2" && got(0).isNullAt(2))
+      assert(got(1).getLong(0) == 2L && got(1).getString(1) == "bob")
+      // late change batch applies incrementally onto the same table
+      Cdc.appendBatch(changesDf(Seq(
+        changeRow("PUT", 3L, 4L, "dave", 4.0, "PUT", "PUT"))), logDir)
+      q.processAllAvailable()
+      val after = spark.read.format("kv").option("path", target).load()
+      assert(after.count() == 3)
+      // streaming result equals the batch applyChanges oracle
+      val batchState = Cdc.applyChanges(
+        spark.read.format("cdc").option("path", logDir).load(), Seq("pk"))
+      assert(after.orderBy("pk").collect().map(_.toSeq).toSeq ==
+        batchState.orderBy("pk").collect().map(_.toSeq).toSeq)
+    } finally q.stop()
+  }
+
   test("cdc_col_parser resolves PUT vs DELETE ops (U1 semantics)") {
     val df = Seq(("v", "PUT"), ("v", "DELETE_ONE_VERSION"), ("v", "DELETE_ALL_VERSION"))
       .toDF("value", "op")
