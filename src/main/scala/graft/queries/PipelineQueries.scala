@@ -71,6 +71,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Capstone: a composed training-data pipeline — quality gate →
+    // exact dedup → per-language token accounting — each stage an
+    // operator from this library, the whole chain one Catalyst plan
+    // (filters/pruning push through all stages).
+    "q_pipeline_curation" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val qualityGated = docs.where(TextFunctions.qualityScore(col("text")) >= 0.5)
+      val deduped = Dedup.dropExactDuplicates(qualityGated, "text", "doc_id")
+      deduped
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(TextFunctions.tokenCount(col("text"))).as("total_tokens"))
+        .orderBy(col("lang"))
+    }),
+
     // ANALYZE-style one-pass statistics (rows-only: approx_ndv is a KMV
     // estimate — order-invariant and deterministic, but not ANSI-SQL
     // expressible).
@@ -116,6 +131,34 @@ object PipelineQueries {
         |  FROM documents)
         |WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_curation" ->
+      """WITH quality AS (
+        |  SELECT *, floor((
+        |    least(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) / 64.0, 1.0) * 0.3 +
+        |    least((CAST(len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |        w -> w IN ('the','a','an','of','and','in','to','is','le','la','de','et',
+        |                   'der','die','das','und','el','los','y','que'))) AS DOUBLE) /
+        |      greatest(CAST(len(string_split_regex(trim(lower(text)), '\s+')) AS DOUBLE), 1.0)) * 4.0, 1.0) * 0.3 +
+        |    CAST((length(regexp_replace(text, '\s+', '', 'g')) /
+        |        greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0))
+        |      BETWEEN 2.0 AND 12.0 AS DOUBLE) * 0.2 +
+        |    CAST((CAST(len(regexp_extract_all(text, '[^\p{L}0-9\s]')) AS DOUBLE) /
+        |      greatest(CAST(length(text) AS DOUBLE), 1.0)) <= 0.2 AS DOUBLE) * 0.2
+        |    ) * 10000.0) / 10000.0 AS q FROM documents
+        |), gated AS (
+        |  SELECT * FROM quality WHERE q >= 0.5
+        |), deduped AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY lower(regexp_replace(trim(text), '\s+', ' ', 'g'))
+        |      ORDER BY doc_id) AS rn
+        |    FROM gated) WHERE rn = 1
+        |)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens
+        |FROM deduped
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id,
