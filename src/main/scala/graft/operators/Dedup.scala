@@ -143,6 +143,52 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Connected components over near-duplicate pairs: turns pairwise
+    * matches (from minHashLsh / simHash / embeddingCosine) into dedup
+    * groups via iterative min-label propagation (the large-star/small-star
+    * family — Kiveris et al., "Connected components in MapReduce and
+    * beyond", SoCC'14). Converges in O(log diameter) rounds; each round is
+    * one join + one aggregation, state = one (id, label) pair per vertex.
+    *
+    * Returns (id, component) with component = min id of the group.
+    */
+  def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      // each vertex takes the min of its own and its neighbors' labels
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("n_comp"))
+      val next = labels.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"),
+          least(col("component"), coalesce(col("n_comp"), col("component")))
+            .as("component"))
+      changed = next.join(labels.withColumnRenamed("component", "old"), "id")
+        .where(col("component") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+  }
+
+  /** Drop near-duplicates: keep the min-id representative of each
+    * connected component of `pairs`; rows not in any pair pass through.
+    */
+  def dropNearDuplicates(df: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val losers = comps.where(col("id") =!= col("component"))
+      .select(col("id").as(idCol))
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs: hyperplane-sketch band join for
     * candidates, exact double-precision cosine for the verdict.
     */

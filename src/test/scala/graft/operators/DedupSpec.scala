@@ -56,6 +56,32 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs(((1L, 4L))) - 7.0 / 9.0) < 1e-3)
   }
 
+  test("connected components group transitive near-dup pairs") {
+    // chain 1-2-3, pair 10-11, isolated edge 20-21; 5 is untouched
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
+      .toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(comps(1L) == 1L && comps(2L) == 1L && comps(3L) == 1L)
+    assert(comps(10L) == 10L && comps(11L) == 10L)
+    assert(comps(20L) == 20L && comps(21L) == 20L)
+
+    val corpus = Seq(1L, 2L, 3L, 5L, 10L, 11L, 20L, 21L).toDF("doc_id")
+    val kept = Dedup.dropNearDuplicates(corpus, pairs, "doc_id")
+      .as[Long].collect().sorted.toSeq
+    assert(kept == Seq(1L, 5L, 10L, 20L))
+  }
+
+  test("minhash pairs → components → dedup end-to-end") {
+    val pairs = Dedup.minHashLsh(docs, "text", "doc_id",
+      numHashes = 64, bands = 16, minJaccard = 0.3)
+    val kept = Dedup.dropNearDuplicates(docs, pairs, "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // 1,2,3 are exact/near dups of each other; 4 is a near dup of 1 → one
+    // representative (1) survives from {1,2,3,4}; 5 and 6 pass through
+    assert(kept == Seq(1L, 5L, 6L), kept.toString)
+  }
+
   test("embedding cosine dedup finds planted near-identical vectors") {
     val v = Array.tabulate(16)(i => math.cos(i + 1).toFloat)
     val near = v.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.001f else x }
