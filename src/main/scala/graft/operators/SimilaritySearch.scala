@@ -107,17 +107,18 @@ object SimilaritySearch {
   }
 
   /** Assign each corpus vector to its nearest centroid (broadcast
-    * centroids; corpus stays in place).
+    * centroids; corpus stays in place). Nearest-cell selection is a hash
+    * aggregation over min(struct(d2, cell)) — no window sort; ties break
+    * deterministically on cell id via struct ordering.
     */
-  def assignCells(prepped: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("id")).orderBy(col("d2").asc, col("cell"))
+  def assignCells(prepped: DataFrame, centroids: DataFrame): DataFrame =
     prepped.crossJoin(broadcast(centroids))
       .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
         (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .drop("rn", "d2", "ce")
-  }
+      .groupBy(col("id"))
+      .agg(min(struct(col("d2"), col("cell"))).as("m"),
+        first(col("e")).as("e"), first(col("nrm")).as("nrm"))
+      .select(col("id"), col("m.cell").as("cell"), col("e"), col("nrm"))
 
   /** IVF-Flat search: probe the `nProbe` nearest cells per query, exact
     * cosine inside probed cells only.
@@ -130,13 +131,16 @@ object SimilaritySearch {
     val assigned = assignCells(prep(corpus, vecCol, idCol), cents)
       .select(col("cell"), col("id").as("nid"), col("e").as("ne"), col("nrm").as("nn"))
     val qPrepped = prep(queries, vecCol, idCol)
-    val wProbe = Window.partitionBy(col("id")).orderBy(col("d2").asc, col("cell"))
+    // nProbe nearest cells per query: slice of the sorted (d2, cell)
+    // struct list — queries are few, the sort is per-row local
     val probes = qPrepped.crossJoin(broadcast(cents))
       .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
         (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
-      .withColumn("rn", row_number().over(wProbe))
-      .where(col("rn") <= nProbe)
-      .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"), col("cell"))
+      .groupBy(col("id"))
+      .agg(slice(sort_array(collect_list(struct(col("d2"), col("cell")))), 1, nProbe).as("cells"),
+        first(col("e")).as("e"), first(col("nrm")).as("nrm"))
+      .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+        explode(col("cells.cell")).as("cell"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     broadcast(probes).join(assigned, Seq("cell"))
       .where(col("qid") =!= col("nid"))
