@@ -108,6 +108,15 @@ class KvSourceSpec extends SparkSpec {
     assert(err.getMessage.contains("missing_pk"))
   }
 
+  test("non-primitive columns are rejected at write (W3 converter discipline)") {
+    val dir = java.nio.file.Files.createTempDirectory("kvreject").toString
+    val err = intercept[Exception] {
+      Seq((1L, Seq(1, 2, 3))).toDF("k", "arr")
+        .write.format("kv").option("path", dir).mode("append").save()
+    }
+    assert(err.getMessage.contains("primitive"), err.getMessage)
+  }
+
   test("empty DataFrame write/read round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("kvempty").toString
     Seq((1L, "a")).toDF("k", "name").limit(0)
