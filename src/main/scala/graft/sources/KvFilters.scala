@@ -72,6 +72,10 @@ object KvFilters {
             case _ => None
           }
         case (PrimitiveTypeName.INT32, x: Int) => Some(name -> x)
+        case (PrimitiveTypeName.INT32, x: Long)
+          if x >= Int.MinValue && x <= Int.MaxValue => Some(name -> x.toInt)
+        case (PrimitiveTypeName.DOUBLE, x: Int) => Some(name -> x.toDouble)
+        case (PrimitiveTypeName.DOUBLE, x: Long) => Some(name -> x.toDouble)
         case (PrimitiveTypeName.INT32, x: java.sql.Date) =>
           Some(name -> x.toLocalDate.toEpochDay.toInt)
         case (PrimitiveTypeName.DOUBLE, x: Double) => Some(name -> x)

@@ -132,9 +132,21 @@ object ParquetIO {
         row.setNullAt(i)
       } else {
         val pqType = projection.getType(pqIdx).asPrimitiveType()
+        val pqName = pqType.getPrimitiveTypeName
         field.dataType match {
+          // widening coercions (declared type wider than storage) mirror
+          // the reference's row-conversion long/int/float handling
+          // (TableStoreRelation.scala:181-258)
+          case LongType if pqName == PrimitiveTypeName.INT32 =>
+            row.setLong(i, g.getInteger(pqIdx, 0).toLong)
           case LongType => row.setLong(i, g.getLong(pqIdx, 0))
           case IntegerType => row.setInt(i, g.getInteger(pqIdx, 0))
+          case DoubleType if pqName == PrimitiveTypeName.FLOAT =>
+            row.setDouble(i, g.getFloat(pqIdx, 0).toDouble)
+          case DoubleType if pqName == PrimitiveTypeName.INT32 =>
+            row.setDouble(i, g.getInteger(pqIdx, 0).toDouble)
+          case DoubleType if pqName == PrimitiveTypeName.INT64 =>
+            row.setDouble(i, g.getLong(pqIdx, 0).toDouble)
           case DoubleType => row.setDouble(i, g.getDouble(pqIdx, 0))
           case FloatType => row.setFloat(i, g.getFloat(pqIdx, 0))
           case BooleanType => row.setBoolean(i, g.getBoolean(pqIdx, 0))

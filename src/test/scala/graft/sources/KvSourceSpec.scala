@@ -108,6 +108,22 @@ class KvSourceSpec extends SparkSpec {
     assert(err.getMessage.contains("missing_pk"))
   }
 
+  test("catalog type widening: long/double declared over int/float storage (W1 coercions)") {
+    val dir = java.nio.file.Files.createTempDirectory("kvwiden").toString
+    Seq((7, 1.5f)).toDF("k", "v") // stored as INT32 / FLOAT
+      .write.format("kv").option("path", dir).mode("append").save()
+    val catalog = """{"columns": {"k": {"type": "long"}, "v": {"type": "double"}}}"""
+    val got = spark.read.format("kv")
+      .option("path", dir).option("catalog", catalog).load()
+      .as[(Long, Double)].head()
+    assert(got == ((7L, 1.5)))
+    // pushed filters convert to the STORAGE type (int32 eq), staying correct
+    val filtered = spark.read.format("kv")
+      .option("path", dir).option("catalog", catalog).load()
+      .filter($"k" === 7L)
+    assert(filtered.count() == 1)
+  }
+
   test("non-primitive columns are rejected at write (W3 converter discipline)") {
     val dir = java.nio.file.Files.createTempDirectory("kvreject").toString
     val err = intercept[Exception] {
