@@ -88,6 +88,12 @@ object ParquetIO {
           .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.MICROS)).named(f.name)
         case DateType => Types.optional(PrimitiveTypeName.INT32)
           .as(LogicalTypeAnnotation.dateType()).named(f.name)
+        case d: DecimalType if d.precision <= 18 =>
+          // INT64-backed decimal (unscaled long) — the reference's decimal
+          // discipline requires explicit precision/scale (DatahubData
+          // .scala:97-100); precision >18 would need FIXED_LEN_BYTE_ARRAY
+          Types.optional(PrimitiveTypeName.INT64)
+            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision)).named(f.name)
         case other => throw new IllegalArgumentException(
           s"kv/log sources support primitive columns only, got $other for ${f.name}")
       }
@@ -137,6 +143,14 @@ object ParquetIO {
           // widening coercions (declared type wider than storage) mirror
           // the reference's row-conversion long/int/float handling
           // (TableStoreRelation.scala:181-258)
+          case d: DecimalType if pqName == PrimitiveTypeName.INT32 =>
+            row.update(i, org.apache.spark.sql.types.Decimal
+              .createUnsafe(g.getInteger(pqIdx, 0).toLong, d.precision, d.scale))
+          case d: DecimalType if pqName == PrimitiveTypeName.INT64 =>
+            row.update(i, org.apache.spark.sql.types.Decimal
+              .createUnsafe(g.getLong(pqIdx, 0), d.precision, d.scale))
+          case d: DecimalType => throw new IllegalArgumentException(
+            s"decimal storage $pqName unsupported (precision ${d.precision}; use <= 18)")
           case LongType if pqName == PrimitiveTypeName.INT32 =>
             row.setLong(i, g.getInteger(pqIdx, 0).toLong)
           case LongType => row.setLong(i, g.getLong(pqIdx, 0))
@@ -252,6 +266,8 @@ object ParquetIO {
           case BinaryType => g.add(name,
             org.apache.parquet.io.api.Binary.fromConstantByteArray(row.getBinary(i)))
           case TimestampType | TimestampNTZType => g.add(name, row.getLong(i)) // micros
+          case d: DecimalType =>
+            g.add(name, row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
           case DateType => g.add(name, row.getInt(i))
           case other => throw new IllegalArgumentException(s"unsupported type $other")
         }

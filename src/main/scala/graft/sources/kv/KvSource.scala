@@ -75,6 +75,8 @@ object KvSource {
           pt.getLogicalTypeAnnotation match {
             case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
               if (ts.isAdjustedToUTC) TimestampType else TimestampNTZType
+            case dec: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+              DecimalType(dec.getPrecision, dec.getScale)
             case _ => LongType
           }
         case PrimitiveTypeName.INT32 =>

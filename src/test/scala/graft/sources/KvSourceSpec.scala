@@ -108,6 +108,25 @@ class KvSourceSpec extends SparkSpec {
     assert(err.getMessage.contains("missing_pk"))
   }
 
+  test("decimal(p<=18,s) round-trips through kv write/read with catalog") {
+    val dir = java.nio.file.Files.createTempDirectory("kvdec").toString
+    val df = Seq((1L, BigDecimal("12345.67")), (2L, BigDecimal("-0.01")))
+      .toDF("k", "amount")
+      .select($"k", $"amount".cast("decimal(12,2)").as("amount"))
+    df.write.format("kv").option("path", dir).mode("append").save()
+    // inferred schema keeps the decimal type
+    val inferred = spark.read.format("kv").option("path", dir).load()
+    assert(inferred.schema("amount").dataType.simpleString == "decimal(12,2)")
+    val got = inferred.orderBy("k").as[(Long, BigDecimal)].collect().toSeq
+    assert(got.map(_._2) == Seq(BigDecimal("12345.67"), BigDecimal("-0.01")))
+    // catalog-declared decimal works too
+    val viaCatalog = spark.read.format("kv").option("path", dir)
+      .option("catalog", """{"columns": {"k": {"type": "long"}, "amount": {"type": "decimal(12,2)"}}}""")
+      .load()
+    assert(viaCatalog.agg(sum($"amount")).head().getDecimal(0)
+      .compareTo(new java.math.BigDecimal("12345.66")) == 0)
+  }
+
   test("catalog type widening: long/double declared over int/float storage (W1 coercions)") {
     val dir = java.nio.file.Files.createTempDirectory("kvwiden").toString
     Seq((7, 1.5f)).toDF("k", "v") // stored as INT32 / FLOAT
