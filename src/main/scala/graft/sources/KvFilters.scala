@@ -48,29 +48,10 @@ object KvFilters {
       (name, v) match {
         case (PrimitiveTypeName.INT64, x: Long) => Some(name -> x)
         case (PrimitiveTypeName.INT64, x: Int) => Some(name -> x.toLong)
-        case (PrimitiveTypeName.INT64, x: java.sql.Timestamp) =>
-          val micros = x.getTime * 1000L + (x.getNanos / 1000L) % 1000L
-          pt.getLogicalTypeAnnotation match {
-            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => ts.getUnit match {
-              case TimeUnit.MILLIS => Some(name -> micros / 1000L)
-              case TimeUnit.MICROS => Some(name -> micros)
-              case TimeUnit.NANOS => Some(name -> micros * 1000L)
-            }
-            case _ => None
-          }
-        case (PrimitiveTypeName.INT64, x: java.time.Instant) =>
-          storageValue(col, java.sql.Timestamp.from(x))
-        case (PrimitiveTypeName.INT64, x: java.time.LocalDateTime) =>
-          // TIMESTAMP_NTZ literal: interpret in UTC (storage is wall-clock)
-          val micros = x.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + x.getNano / 1000L
-          pt.getLogicalTypeAnnotation match {
-            case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => ts.getUnit match {
-              case TimeUnit.MILLIS => Some(name -> micros / 1000L)
-              case TimeUnit.MICROS => Some(name -> micros)
-              case TimeUnit.NANOS => Some(name -> micros * 1000L)
-            }
-            case _ => None
-          }
+        // timestamp literals are handled by the exact per-operator bound
+        // path (pushTs) — never through direct unit conversion, which
+        // truncates on MILLIS/NANOS storage and would drop rows the
+        // residual re-apply cannot resurrect
         case (PrimitiveTypeName.INT32, x: Int) => Some(name -> x)
         case (PrimitiveTypeName.INT32, x: Long)
           if x >= Int.MinValue && x <= Int.MaxValue => Some(name -> x.toInt)
@@ -89,6 +70,83 @@ object KvFilters {
     def cmp(col: String, v: Any,
         mk: (PrimitiveTypeName, String, Any) => FilterPredicate): Option[FilterPredicate] =
       storageValue(col, v).map { case (t, sv) => mk(t, col, sv) }
+
+    // ---- timestamp predicates: exact per-operator bound conversion ----
+    //
+    // Read side (ParquetIO.timestampToMicros): MILLIS → stored*1000 (exact
+    // widening), MICROS → identity, NANOS → stored/1000 (truncation toward
+    // zero). Spark evaluates the user predicate against that micros value,
+    // so a pushed record-level predicate must accept EXACTLY the storage
+    // values whose read image satisfies the predicate. We derive, per
+    // literal t (micros):
+    //   maxLe(t) = largest storage value s with read(s) <= t
+    //   minGe(t) = smallest storage value s with read(s) >= t
+    // and express each comparison through those bounds. Overflow (NANOS
+    // beyond ±~year 2262) ⇒ None ⇒ the filter stays residual-only.
+
+    def tsUnit(col: String): Option[TimeUnit] = prim(col).flatMap { pt =>
+      if (pt.getPrimitiveTypeName != PrimitiveTypeName.INT64) None
+      else pt.getLogicalTypeAnnotation match {
+        case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => Some(ts.getUnit)
+        case _ => None
+      }
+    }
+
+    def literalMicros(v: Any): Option[Long] = v match {
+      case x: java.sql.Timestamp =>
+        Some(x.getTime * 1000L + (x.getNanos / 1000L) % 1000L)
+      case x: java.time.Instant =>
+        Some(Math.addExact(Math.multiplyExact(x.getEpochSecond, 1000000L), x.getNano / 1000L))
+      case x: java.time.LocalDateTime =>
+        // TIMESTAMP_NTZ literal: interpret in UTC (storage is wall-clock)
+        Some(x.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + x.getNano / 1000L)
+      case _ => None
+    }
+
+    def maxLe(unit: TimeUnit, t: Long): Long = unit match {
+      case TimeUnit.MICROS => t
+      case TimeUnit.MILLIS => Math.floorDiv(t, 1000L)
+      case TimeUnit.NANOS =>
+        // read(n) = n/1000 truncated toward zero
+        if (t >= 0L) Math.addExact(Math.multiplyExact(t, 1000L), 999L)
+        else Math.multiplyExact(t, 1000L)
+    }
+
+    def minGe(unit: TimeUnit, t: Long): Long = unit match {
+      case TimeUnit.MICROS => t
+      case TimeUnit.MILLIS => Math.negateExact(Math.floorDiv(Math.negateExact(t), 1000L)) // ceilDiv
+      case TimeUnit.NANOS =>
+        if (t > 0L) Math.multiplyExact(t, 1000L)
+        else Math.subtractExact(Math.multiplyExact(t, 1000L), 999L)
+    }
+
+    def pushTs(op: String, c: String, v: Any): Option[FilterPredicate] =
+      try {
+        for {
+          unit <- tsUnit(c)
+          t <- literalMicros(v)
+          lc = FilterApi.longColumn(c)
+          pred <- op match {
+            case "gt" => Some(FilterApi.gt(lc, maxLe(unit, t): java.lang.Long))
+            case "gtEq" => Some(FilterApi.gtEq(lc, minGe(unit, t): java.lang.Long))
+            case "lt" => Some(FilterApi.lt(lc, minGe(unit, t): java.lang.Long))
+            case "ltEq" => Some(FilterApi.ltEq(lc, maxLe(unit, t): java.lang.Long))
+            case "eq" =>
+              val lo = minGe(unit, t); val hi = maxLe(unit, t)
+              if (lo > hi) None // no storage value reads equal to t
+              else if (lo == hi) Some(FilterApi.eq(lc, lo: java.lang.Long))
+              else Some(FilterApi.and(
+                FilterApi.gtEq(lc, lo: java.lang.Long), FilterApi.ltEq(lc, hi: java.lang.Long)))
+            case "notEq" =>
+              val lo = minGe(unit, t); val hi = maxLe(unit, t)
+              if (lo > hi) None // predicate ≡ IsNotNull; leave residual
+              else if (lo == hi) Some(FilterApi.notEq(lc, lo: java.lang.Long))
+              else Some(FilterApi.or(
+                FilterApi.lt(lc, lo: java.lang.Long), FilterApi.gt(lc, hi: java.lang.Long)))
+            case _ => None
+          }
+        } yield pred
+      } catch { case _: ArithmeticException => None }
 
     def eq(t: PrimitiveTypeName, c: String, v: Any): FilterPredicate = t match {
       case PrimitiveTypeName.INT64 => FilterApi.eq(FilterApi.longColumn(c), v.asInstanceOf[Long]: java.lang.Long)
@@ -146,20 +204,20 @@ object KvFilters {
         for (cl <- compile(l, schema); cr <- compile(r, schema)) yield FilterApi.and(cl, cr)
       case Or(l, r) =>
         for (cl <- compile(l, schema); cr <- compile(r, schema)) yield FilterApi.or(cl, cr)
-      case EqualTo(c, v) => cmp(c, v, eq)
-      case Not(EqualTo(c, v)) => cmp(c, v, notEq)
-      case GreaterThan(c, v) => cmp(c, v, gt)
-      case GreaterThanOrEqual(c, v) => cmp(c, v, gtEq)
-      case LessThan(c, v) => cmp(c, v, lt)
-      case LessThanOrEqual(c, v) => cmp(c, v, ltEq)
+      case EqualTo(c, v) => pushTs("eq", c, v).orElse(cmp(c, v, eq))
+      case Not(EqualTo(c, v)) => pushTs("notEq", c, v).orElse(cmp(c, v, notEq))
+      case GreaterThan(c, v) => pushTs("gt", c, v).orElse(cmp(c, v, gt))
+      case GreaterThanOrEqual(c, v) => pushTs("gtEq", c, v).orElse(cmp(c, v, gtEq))
+      case LessThan(c, v) => pushTs("lt", c, v).orElse(cmp(c, v, lt))
+      case LessThanOrEqual(c, v) => pushTs("ltEq", c, v).orElse(cmp(c, v, ltEq))
       // negated comparisons surface as NNF leaves; the complement is
       // null-equivalent (both sides reject nulls)
-      case Not(GreaterThan(c, v)) => cmp(c, v, ltEq)
-      case Not(GreaterThanOrEqual(c, v)) => cmp(c, v, lt)
-      case Not(LessThan(c, v)) => cmp(c, v, gtEq)
-      case Not(LessThanOrEqual(c, v)) => cmp(c, v, gt)
+      case Not(GreaterThan(c, v)) => pushTs("ltEq", c, v).orElse(cmp(c, v, ltEq))
+      case Not(GreaterThanOrEqual(c, v)) => pushTs("lt", c, v).orElse(cmp(c, v, lt))
+      case Not(LessThan(c, v)) => pushTs("gtEq", c, v).orElse(cmp(c, v, gtEq))
+      case Not(LessThanOrEqual(c, v)) => pushTs("gt", c, v).orElse(cmp(c, v, gt))
       case In(c, vs) if vs.nonEmpty && vs.length <= 32 =>
-        val compiled = vs.toSeq.map(v => cmp(c, v, eq))
+        val compiled = vs.toSeq.map(v => pushTs("eq", c, v).orElse(cmp(c, v, eq)))
         if (compiled.forall(_.isDefined)) Some(compiled.flatten.reduce(FilterApi.or))
         else None
       case _ => None // IsNull/IsNotNull/StartsWith/etc → residual
