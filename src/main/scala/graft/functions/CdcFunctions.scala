@@ -27,6 +27,13 @@ object CdcFunctions {
   val RecordTimestampCol = "__record_timestamp__"
   def columnTypeCol(col: String): String = s"__column_type_$col"
 
+  /** Change sequence synthesized by the cdc source: (changelog file
+    * sequence << 32) | row position in file. A total order over the
+    * changelog, used as the tiebreak when two changes to one key share a
+    * record timestamp (e.g. PUT then DELETE committed in one batch).
+    */
+  val RecordSeqCol = "__cdc_seq__"
+
   /** `cdc_col_parser(value, opType)` — value if opType = PUT else NULL. */
   def cdcColParser(value: Column, opType: Column): Column =
     when(opType === OpPut, value).otherwise(lit(null))

@@ -18,11 +18,19 @@ import graft.sources.ParquetIO
   * | DELETE  | remove the row for the key                            |
   *
   * Implementation is a shuffle-on-key anti/semi-join rewrite (no
-  * driver-side loop); the result atomically replaces the table via
-  * write-to-temp + rename — the batch analogue of a storage-engine merge.
+  * driver-side loop); the result replaces the table via write-to-temp,
+  * backup-aside, rename — the batch analogue of a storage-engine merge.
   * On a real cluster this is the copy-on-write table pattern; a
   * merge-on-read variant would keep the delta as a changelog and fold at
   * scan time (see graft.sources.cdc.Cdc.applyChanges).
+  *
+  * Batch discipline: each of INSERT/UPSERT/UPDATE is deduplicated to one
+  * row per primary key (deterministic min over the non-key columns)
+  * before applying — two INSERTs of the same new key in one batch must
+  * not both survive, and duplicate UPSERT/UPDATE rows would break the
+  * table's key uniqueness. Cross-op conflicts in one batch resolve with
+  * UPSERT/UPDATE winning over DELETE (the batch is a set of operations,
+  * not an ordered log — an ordered changelog goes through Cdc.applyStream).
   */
 object KvMerge {
 
@@ -33,29 +41,51 @@ object KvMerge {
     require(data.columns.contains(opCol), s"missing op column $opCol")
     pks.foreach(pk => require(data.columns.contains(pk), s"missing pk column $pk"))
 
+    val fs = new Path(path).getFileSystem(ParquetIO.hadoopConf)
+    val livePath = new Path(path)
+    val backup = new Path(s"$path.merge-old")
+    // Recover from a crash between backup-aside and rename-into-place:
+    // the backup is the last committed table state.
+    if (!fs.exists(livePath) && fs.exists(backup)) fs.rename(backup, livePath)
+
     val hasTable = ParquetIO.listFiles(path).nonEmpty
     val target =
       if (hasTable) spark.read.format("kv").option("path", path).load()
       else data.drop(opCol).limit(0)
 
     val ops = upper(col(opCol))
+    // One row per key per op kind, chosen deterministically: min of the
+    // non-key column tuple (partial-aggregable — no window, safe on a
+    // hot-key batch).
+    def dedupPerKey(df: DataFrame): DataFrame = {
+      val others = df.columns.filterNot(pks.contains).toSeq
+      if (others.isEmpty) df.distinct()
+      else df.groupBy(pks.map(col): _*)
+        .agg(min(struct(others.map(col): _*)).as("__row"))
+        .select(pks.map(col) ++ others.map(o => col(s"__row.$o").as(o)): _*)
+    }
     val touchedKeys = data.filter(ops.isin("UPSERT", "UPDATE", "DELETE"))
       .select(pks.map(col): _*).distinct()
     val kept = target.join(touchedKeys, pks, "left_anti")
-    val upserts = data.filter(ops === "UPSERT").drop(opCol)
-    val updates = data.filter(ops === "UPDATE").drop(opCol)
+    val upserts = dedupPerKey(data.filter(ops === "UPSERT").drop(opCol))
+    val updates = dedupPerKey(data.filter(ops === "UPDATE").drop(opCol))
       .join(target.select(pks.map(col): _*), pks, "left_semi")
-    val inserts = data.filter(ops === "INSERT").drop(opCol)
+    val inserts = dedupPerKey(data.filter(ops === "INSERT").drop(opCol))
       .join(target.select(pks.map(col): _*), pks, "left_anti")
     val result = kept.unionByName(upserts).unionByName(updates).unionByName(inserts)
 
     // materialize to temp, then swap — the read side is lazy, so writing
     // in place would consume our own output
-    val tmp = s"$path.merge-tmp"
-    ParquetIO.deletePath(tmp)
-    result.write.format("kv").option("path", tmp).mode("append").save()
-    val fs = new Path(path).getFileSystem(ParquetIO.hadoopConf)
-    ParquetIO.deletePath(path)
-    fs.rename(new Path(tmp), new Path(path))
+    val tmp = new Path(s"$path.merge-tmp")
+    ParquetIO.deletePath(tmp.toString)
+    result.write.format("kv").option("path", tmp.toString).mode("append").save()
+    // Swap keeps a committed state on disk at every instant: live → backup,
+    // tmp → live, drop backup. A crash mid-swap is healed by the recovery
+    // rename above on the next merge (or by any reader preferring backup
+    // when live is missing).
+    ParquetIO.deletePath(backup.toString) // stale backup from a completed swap
+    if (fs.exists(livePath)) fs.rename(livePath, backup)
+    fs.rename(tmp, livePath)
+    fs.delete(backup, true)
   }
 }

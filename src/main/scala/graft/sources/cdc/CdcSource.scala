@@ -37,12 +37,17 @@ class CdcSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "cdc"
   override def supportsExternalMetadata(): Boolean = true
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    Option(options.get("catalog")).map(SchemaCatalog.parse).getOrElse {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val base = Option(options.get("catalog")).map(SchemaCatalog.parse).getOrElse {
       val files = ParquetIO.listFiles(options.get("path"))
       require(files.nonEmpty, s"no changelog files under ${options.get("path")}")
       KvSource.toStructType(ParquetIO.fileSchema(files.head))
     }
+    // total-order change sequence, synthesized by the reader when the
+    // changelog file doesn't carry it
+    if (base.fieldNames.contains(CdcFunctions.RecordSeqCol)) base
+    else base.add(StructField(CdcFunctions.RecordSeqCol, LongType, nullable = true))
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
@@ -68,7 +73,46 @@ class CdcTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
     }
 }
 
-case class CdcInputPartition(file: String) extends InputPartition
+/** One row-group range of one changelog file. `startRow` is the row
+  * offset of the range within the file, so the synthesized change
+  * sequence is split-invariant: (fileSeq << 32) | (startRow + i).
+  */
+case class CdcInputPartition(file: String, fileSeq: Long,
+    startByte: Long, endByte: Long, startRow: Long) extends InputPartition
+
+object CdcInputPartition {
+  /** Split one changelog file into ~targetBytes row-group ranges — the
+    * same packing as KvScan.planInputPartitions, so apply parallelism is
+    * not capped at changelog file count (large backfill batches split).
+    */
+  def planFile(file: Path, fileSeq: Long, targetBytes: Long): Seq[CdcInputPartition] = {
+    val groups = ParquetIO.footerInfo(file)
+    if (groups.isEmpty) Nil
+    else {
+      val splits = scala.collection.mutable.ArrayBuffer.empty[CdcInputPartition]
+      var start = groups.head.startByte
+      var bytes = 0L
+      var startRow = 0L
+      var rows = 0L
+      var lastEnd = start
+      groups.foreach { g =>
+        if (bytes > 0 && bytes + g.totalByteSize > targetBytes) {
+          splits += CdcInputPartition(file.toString, fileSeq, start, lastEnd, startRow)
+          start = g.startByte; bytes = 0L; startRow += rows; rows = 0L
+        }
+        bytes += g.totalByteSize; rows += g.rowCount
+        lastEnd = g.startByte + g.totalByteSize
+      }
+      splits += CdcInputPartition(file.toString, fileSeq, start, lastEnd, startRow)
+      splits.toSeq
+    }
+  }
+}
+
+object CdcScan {
+  def targetBytes(options: CaseInsensitiveStringMap): Long =
+    options.getLong("split.size.mb", 128L) * 1024L * 1024L
+}
 
 class CdcScan(path: String, schema: StructType, options: CaseInsensitiveStringMap)
     extends Scan {
@@ -77,7 +121,9 @@ class CdcScan(path: String, schema: StructType, options: CaseInsensitiveStringMa
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] =
-      ParquetIO.listFiles(path).map(f => CdcInputPartition(f.toString)).toArray
+      ParquetIO.listFiles(path).zipWithIndex.flatMap { case (f, i) =>
+        CdcInputPartition.planFile(f, i.toLong, CdcScan.targetBytes(options))
+      }.toArray
     override def createReaderFactory(): PartitionReaderFactory =
       new CdcReaderFactory(schema)
   }
@@ -117,7 +163,12 @@ class CdcMicroBatchStream(path: String, schema: StructType,
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[CdcOffsetV].filesConsumed.toInt
     val e = end.asInstanceOf[CdcOffsetV].filesConsumed.toInt
-    files.slice(s, e).map(f => CdcInputPartition(f.toString)).toArray
+    // fileSeq is the position in the full sorted listing — stable across
+    // micro-batches because the changelog is append-only with
+    // monotonically numbered names (Cdc.appendBatch)
+    files.zipWithIndex.slice(s, e).flatMap { case (f, i) =>
+      CdcInputPartition.planFile(f, i.toLong, CdcScan.targetBytes(options))
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new CdcReaderFactory(schema)
@@ -128,11 +179,23 @@ class CdcMicroBatchStream(path: String, schema: StructType,
 class CdcReaderFactory(schema: StructType) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[CdcInputPartition]
-    val it = ParquetIO.readFile(new Path(p.file), schema)
+    val it = ParquetIO.readFile(new Path(p.file), schema,
+      range = Some((p.startByte, p.endByte)))
+    val seqIdx = schema.fieldNames.indexOf(CdcFunctions.RecordSeqCol)
     new PartitionReader[InternalRow] {
       private var current: InternalRow = _
+      private var rowInFile = p.startRow
       override def next(): Boolean =
-        if (it.hasNext) { current = it.next(); true } else false
+        if (it.hasNext) {
+          current = it.next()
+          // synthesize the change sequence unless the file carries one
+          if (seqIdx >= 0 && current.isNullAt(seqIdx)) {
+            current.asInstanceOf[org.apache.spark.sql.catalyst.expressions.GenericInternalRow]
+              .setLong(seqIdx, (p.fileSeq << 32) | rowInFile)
+          }
+          rowInFile += 1
+          true
+        } else false
       override def get(): InternalRow = current
       override def close(): Unit = it.close()
     }
@@ -145,6 +208,15 @@ class CdcReaderFactory(schema: StructType) extends PartitionReaderFactory {
   */
 object Cdc {
   import CdcFunctions._
+
+  /** Total-order tiebreak for equal-timestamp changes to one key: the
+    * source-synthesized change sequence when present (frames read through
+    * the cdc source always have it), else a deterministic content hash —
+    * arbitrary but stable across runs and retries.
+    */
+  private[cdc] def changeOrderTiebreak(changes: DataFrame): org.apache.spark.sql.Column =
+    if (changes.columns.contains(RecordSeqCol)) col(RecordSeqCol)
+    else xxhash64(changes.columns.map(col): _*)
 
   /** User schema + meta columns, mirroring `TableStoreSource.scala:215-228`. */
   def augmentSchema(user: StructType, pks: Seq[String]): StructType = {
@@ -194,7 +266,7 @@ object Cdc {
           val attrs = batch.schema.fieldNames
             .filterNot(n => n.startsWith("__") || pks.contains(n))
           val w = Window.partitionBy(pks.map(col): _*)
-            .orderBy(col(RecordTimestampCol).desc)
+            .orderBy(col(RecordTimestampCol).desc, Cdc.changeOrderTiebreak(batch).desc)
           val latest = batch
             .withColumn("__rn", row_number().over(w))
             .where(col("__rn") === 1)
@@ -220,7 +292,7 @@ object Cdc {
     val attrs = changes.schema.fieldNames
       .filterNot(n => n.startsWith(metaPrefix) || pks.contains(n))
     val w = Window.partitionBy(pks.map(col): _*)
-      .orderBy(col(RecordTimestampCol).desc)
+      .orderBy(col(RecordTimestampCol).desc, changeOrderTiebreak(changes).desc)
     changes
       .withColumn("__rn", row_number().over(w))
       .where(col("__rn") === 1 && col(RecordTypeCol) =!= "DELETE")

@@ -28,6 +28,45 @@ class KvMergeSpec extends SparkSpec {
     assert(got == Seq((2L, "b2", 22.0), (3L, "c2", 33.0), (4L, "d", 4.0), (5L, "e", 5.0)))
   }
 
+  test("duplicate same-key ops within one batch collapse to one row") {
+    val dir = Files.createTempDirectory("kvmerge3").toString + "/t"
+    Seq((1L, "a", 1.0)).toDF("k", "name", "v")
+      .write.format("kv").option("path", dir).mode("append").save()
+    val batch = Seq(
+      ("INSERT", 7L, "x1", 1.0), // same new key twice: exactly one survives
+      ("INSERT", 7L, "x2", 2.0),
+      ("UPSERT", 1L, "u1", 10.0), // same existing key twice: one row, no pk dup
+      ("UPSERT", 1L, "u2", 20.0))
+      .toDF("op", "k", "name", "v")
+    KvMerge.merge(spark, dir, batch, "op", Seq("k"))
+    val got = spark.read.format("kv").option("path", dir).load()
+      .orderBy("k").as[(Long, String, Double)].collect().toSeq
+    // deterministic winner: min over the non-key column tuple
+    assert(got == Seq((1L, "u1", 10.0), (7L, "x1", 1.0)))
+    // re-running the same batch is a no-op on row count (idempotent set semantics)
+    KvMerge.merge(spark, dir, batch, "op", Seq("k"))
+    assert(spark.read.format("kv").option("path", dir).load().count() == 2)
+  }
+
+  test("merge recovers the table from a backup left by a crashed swap") {
+    val base = Files.createTempDirectory("kvmerge4").toString
+    val dir = base + "/t"
+    Seq((1L, "a"), (2L, "b")).toDF("k", "name")
+      .write.format("kv").option("path", dir).mode("append").save()
+    // simulate a crash between (live → backup) and (tmp → live)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(graft.sources.ParquetIO.hadoopConf)
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".merge-old"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+    val batch = Seq(("UPSERT", 3L, "c")).toDF("op", "k", "name")
+    KvMerge.merge(spark, dir, batch, "op", Seq("k"))
+    val got = spark.read.format("kv").option("path", dir).load()
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".merge-old")))
+  }
+
   test("merge into a non-existent table creates it from inserts/upserts") {
     val dir = Files.createTempDirectory("kvmerge2").toString + "/t"
     val batch = Seq(("INSERT", 1L, "a"), ("UPSERT", 2L, "b"), ("DELETE", 3L, "x"))

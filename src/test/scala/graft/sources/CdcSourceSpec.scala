@@ -106,6 +106,67 @@ class CdcSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("equal-timestamp changes resolve by changelog position (deterministic tiebreak)") {
+    // PUT then DELETE for one key, same record timestamp, committed in one
+    // batch: the later changelog row (higher __cdc_seq__) must win.
+    val dir1 = Files.createTempDirectory("cdctie1").toString
+    Cdc.appendBatch(changesDf(Seq(
+      changeRow("PUT", 5L, 1L, "alice", 1.0, "PUT", "PUT"),
+      changeRow("DELETE", 5L, 1L, null, null, null, null))), dir1)
+    val s1 = Cdc.applyChanges(
+      spark.read.format("cdc").option("path", dir1).load(), Seq("pk"))
+    assert(s1.count() == 0, "DELETE written after PUT at the same ts must retire the row")
+
+    val dir2 = Files.createTempDirectory("cdctie2").toString
+    Cdc.appendBatch(changesDf(Seq(
+      changeRow("DELETE", 5L, 1L, null, null, null, null),
+      changeRow("PUT", 5L, 1L, "alice", 1.0, "PUT", "PUT"))), dir2)
+    val s2 = Cdc.applyChanges(
+      spark.read.format("cdc").option("path", dir2).load(), Seq("pk"))
+    assert(s2.count() == 1, "PUT written after DELETE at the same ts must keep the row")
+
+    // a later file beats an earlier file at the same timestamp
+    Cdc.appendBatch(changesDf(Seq(
+      changeRow("DELETE", 5L, 1L, null, null, null, null))), dir2)
+    val s3 = Cdc.applyChanges(
+      spark.read.format("cdc").option("path", dir2).load(), Seq("pk"))
+    assert(s3.count() == 0)
+  }
+
+  test("large changelog files split by row group; change sequence is split-invariant") {
+    val dir = Files.createTempDirectory("cdcsplit").toString
+    // author one changelog file with many small row groups
+    val mt = ParquetIO.toParquetSchema(StructType(Seq(
+      StructField("__record_type__", StringType),
+      StructField("__record_timestamp__", LongType),
+      StructField("pk", LongType), StructField("v", DoubleType),
+      StructField("__column_type_v", StringType))))
+    val f = new org.apache.hadoop.fs.Path(dir, "chg-000000.parquet")
+    val w = org.apache.parquet.hadoop.example.ExampleParquetWriter.builder(f)
+      .withConf(ParquetIO.hadoopConf).withType(mt)
+      .withRowGroupSize(16 * 1024L).withPageSize(4 * 1024)
+      .withMinRowCountForPageSizeCheck(10).withMaxRowCountForPageSizeCheck(50)
+      .build()
+    (0 until 20000).foreach { i =>
+      val g = new org.apache.parquet.example.data.simple.SimpleGroup(mt)
+      g.add("__record_type__", "PUT"); g.add("__record_timestamp__", i.toLong)
+      g.add("pk", (i % 500).toLong); g.add("v", i.toDouble); g.add("__column_type_v", "PUT")
+      w.write(g)
+    }
+    w.close()
+    assert(ParquetIO.footerInfo(f).length > 1, "fixture must span several row groups")
+
+    // split.size.mb=0 ⇒ one partition per row group
+    val split = spark.read.format("cdc").option("path", dir)
+      .option("split.size.mb", "0").load()
+    assert(split.rdd.getNumPartitions > 1,
+      s"apply parallelism must not be capped at file count (got ${split.rdd.getNumPartitions})")
+    val whole = spark.read.format("cdc").option("path", dir).load()
+    val seqsSplit = split.select("pk", "__cdc_seq__").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val seqsWhole = whole.select("pk", "__cdc_seq__").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(seqsSplit == seqsWhole, "synthesized sequence must not depend on split boundaries")
+  }
+
   test("cdc_col_parser resolves PUT vs DELETE ops (U1 semantics)") {
     val df = Seq(("v", "PUT"), ("v", "DELETE_ONE_VERSION"), ("v", "DELETE_ALL_VERSION"))
       .toDF("value", "op")
