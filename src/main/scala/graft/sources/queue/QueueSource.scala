@@ -19,11 +19,17 @@ import graft.sources.ParquetIO
   * `OnsUtils.scala:71-287`).
   *
   * The reference delivers each queue message exactly once per consumer
-  * as a raw `Array[Byte]` payload. Here the queue is a directory; every
-  * file is one message (any bytes, not parquet); messages are consumed
-  * in arrival (name) order; the stream offset is the count of consumed
-  * messages, tracked in Spark's offset log (replacing the service-side
-  * dequeue acknowledgment). Schema: `id string, payload binary`.
+  * as a raw `Array[Byte]` payload, acknowledging (deleting) it after the
+  * batch is durable. Here the queue is a directory; every file is one
+  * message (any bytes, not parquet). Each micro-batch takes the
+  * name-sorted head of the *pending* listing, the offset records the
+  * batch's explicit file-name list (so replay after restart re-reads
+  * exactly the same messages, whatever arrived since), and `commit`
+  * acknowledges by moving consumed files to `.consumed/` (or deleting
+  * them with `consumed.action=delete`) — the MNS dequeue-ack, not a
+  * positional cursor. Message names that sort before already-consumed
+  * names therefore neither shift delivery nor get skipped.
+  * Schema: `id string, payload binary`.
   */
 class QueueSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "queue"
@@ -52,8 +58,26 @@ object QueueSource {
   }
 }
 
-case class QueueOffsetV(consumed: Long) extends Offset {
-  override def json(): String = consumed.toString
+/** `acked` counts messages acknowledged before this batch (monotonic, so
+  * consecutive empty batches compare equal and non-empty ones don't);
+  * `batch` is the explicit name list of this batch's messages.
+  */
+case class QueueOffsetV(acked: Long, batch: Seq[String]) extends Offset {
+  override def json(): String = {
+    implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+    org.json4s.jackson.Serialization.write(Map("acked" -> acked, "batch" -> batch))
+  }
+}
+
+object QueueOffsetV {
+  def parse(json: String): QueueOffsetV = {
+    val t = json.trim
+    if (t.startsWith("{")) {
+      val v = org.json4s.jackson.JsonMethods.parse(t)
+      implicit val fmts: org.json4s.Formats = org.json4s.DefaultFormats
+      QueueOffsetV((v \ "acked").extract[Long], (v \ "batch").extract[Seq[String]])
+    } else QueueOffsetV(t.toLong, Nil) // legacy positional offset: best effort
+  }
 }
 
 case class QueueInputPartition(file: String) extends InputPartition
@@ -83,35 +107,61 @@ class QueueTable(options: CaseInsensitiveStringMap) extends Table with SupportsR
 class QueueMicroBatchStream(path: String, options: CaseInsensitiveStringMap)
     extends MicroBatchStream with SupportsAdmissionControl {
 
+  private val deleteOnAck =
+    "delete".equalsIgnoreCase(options.getOrDefault("consumed.action", "archive"))
+
   override def getDefaultReadLimit: ReadLimit =
     Option(options.get("maxMessagesPerTrigger"))
       .map(n => ReadLimit.maxFiles(n.toInt)).getOrElse(ReadLimit.allAvailable())
 
-  override def initialOffset(): Offset = QueueOffsetV(0L)
+  override def initialOffset(): Offset = QueueOffsetV(0L, Nil)
   override def latestOffset(): Offset =
     throw new UnsupportedOperationException("use latestOffset(start, limit)")
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val consumed = start.asInstanceOf[QueueOffsetV].consumed
-    val total = QueueSource.listMessages(path).length.toLong
+    val s = start.asInstanceOf[QueueOffsetV]
     val budget = limit match {
-      case mf: ReadMaxFiles => mf.maxFiles().toLong
-      case _ => Long.MaxValue
+      case mf: ReadMaxFiles => mf.maxFiles()
+      case _ => Int.MaxValue
     }
-    QueueOffsetV(math.min(total, consumed + budget))
+    // pending = present minus the in-flight batch (normally already acked
+    // away by commit; the exclusion covers a failed/skipped ack)
+    val inFlight = s.batch.toSet
+    val next = QueueSource.listMessages(path).map(_.getName)
+      .filterNot(inFlight).take(budget)
+    QueueOffsetV(s.acked + s.batch.length, next)
   }
 
-  override def deserializeOffset(json: String): Offset = QueueOffsetV(json.trim.toLong)
+  override def deserializeOffset(json: String): Offset = QueueOffsetV.parse(json)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[QueueOffsetV].consumed.toInt
-    val e = end.asInstanceOf[QueueOffsetV].consumed.toInt
-    QueueSource.listMessages(path).slice(s, e)
-      .map(f => QueueInputPartition(f.toString)).toArray
+    val dir = new Path(path)
+    end.asInstanceOf[QueueOffsetV].batch
+      .map(n => QueueInputPartition(new Path(dir, n).toString)).toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = new QueueReaderFactory
-  override def commit(end: Offset): Unit = ()
+
+  /** Acknowledge: the batch is durable in the sink — retire its messages
+    * from the queue (the MNS delete-after-receipt).
+    */
+  override def commit(end: Offset): Unit = {
+    val batch = end.asInstanceOf[QueueOffsetV].batch
+    if (batch.nonEmpty) {
+      val dir = new Path(path)
+      val fs = dir.getFileSystem(ParquetIO.hadoopConf)
+      val archive = new Path(dir, ".consumed")
+      if (!deleteOnAck) fs.mkdirs(archive)
+      batch.foreach { n =>
+        val f = new Path(dir, n)
+        if (fs.exists(f)) {
+          if (deleteOnAck) fs.delete(f, false)
+          else fs.rename(f, new Path(archive, n))
+        }
+      }
+    }
+  }
+
   override def stop(): Unit = ()
 }
 

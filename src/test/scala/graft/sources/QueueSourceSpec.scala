@@ -33,6 +33,32 @@ class QueueSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("late message sorting before consumed names is delivered exactly once") {
+    val dir = Files.createTempDirectory("queue2").toString
+    val ckpt = Files.createTempDirectory("queue2ckpt").toString
+    writeMessage(dir, "mmm-1", "m1")
+    writeMessage(dir, "zzz-1", "z1")
+    val q = spark.readStream.format("queue").option("path", dir)
+      .option("maxMessagesPerTrigger", "1").load()
+      .select(col("id"), col("payload").cast("string").as("body"))
+      .writeStream.format("memory").queryName("queue2_out")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("queue2_out").count() == 2)
+      // producer-chosen name that sorts BEFORE everything consumed so far:
+      // a positional cursor would re-deliver old messages and skip this one
+      writeMessage(dir, "aaa-0", "a0")
+      q.processAllAvailable()
+      val rows = spark.table("queue2_out").orderBy("id")
+        .as[(String, String)].collect().toSeq
+      assert(rows == Seq(("aaa-0", "a0"), ("mmm-1", "m1"), ("zzz-1", "z1")),
+        s"each message exactly once, no skips: $rows")
+      // acknowledged messages are archived out of the pending listing
+      assert(graft.sources.queue.QueueSource.listMessages(dir).isEmpty)
+    } finally q.stop()
+  }
+
   test("queue batch read sees all pending messages") {
     val dir = Files.createTempDirectory("queueb").toString
     writeMessage(dir, "a", "x")
