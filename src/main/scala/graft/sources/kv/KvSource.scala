@@ -164,8 +164,13 @@ class KvScanBuilder(path: String, schema: StructType, maxSplitCount: Int, splitS
     new KvScan(path, required, predicate, accepted, maxSplitCount, splitSizeMb)
 }
 
-case class KvInputPartition(file: String, startByte: Long, endByte: Long, rows: Long)
-    extends InputPartition
+case class KvChunk(file: String, startByte: Long, endByte: Long, rows: Long)
+
+/** One task's work: a list of row-group ranges, possibly spanning files —
+  * so capping split count can merge neighbors across file boundaries
+  * (a many-small-files table must stay readable under any cap).
+  */
+case class KvInputPartition(chunks: Seq[KvChunk]) extends InputPartition
 
 class KvScan(path: String, readSchema: StructType, predicate: Option[FilterPredicate],
     accepted: Array[Filter], maxSplitCount: Int, splitSizeMb: Long)
@@ -183,32 +188,31 @@ class KvScan(path: String, readSchema: StructType, predicate: Option[FilterPredi
       val groups = ParquetIO.footerInfo(f)
       if (groups.isEmpty) Nil
       else {
-        // pack contiguous row groups into ~targetBytes splits
-        val splits = scala.collection.mutable.ArrayBuffer.empty[KvInputPartition]
+        // pack contiguous row groups into ~targetBytes chunks
+        val splits = scala.collection.mutable.ArrayBuffer.empty[KvChunk]
         var start = groups.head.startByte
         var bytes = 0L
         var rows = 0L
         var lastEnd = start
         groups.foreach { g =>
           if (bytes > 0 && bytes + g.totalByteSize > targetBytes) {
-            splits += KvInputPartition(f.toString, start, lastEnd, rows)
+            splits += KvChunk(f.toString, start, lastEnd, rows)
             start = g.startByte; bytes = 0L; rows = 0L
           }
           bytes += g.totalByteSize; rows += g.rowCount
           lastEnd = g.startByte + g.totalByteSize
         }
-        splits += KvInputPartition(f.toString, start, lastEnd, rows)
+        splits += KvChunk(f.toString, start, lastEnd, rows)
         splits.toSeq
       }
     }
-    // cap split count by merging per-file neighbors (coarse but bounded)
-    val capped = if (all.length <= maxSplitCount) all else {
-      all.grouped(math.ceil(all.length.toDouble / maxSplitCount).toInt).map { g =>
-        require(g.map(_.file).distinct.length == 1 || g.length == 1,
-          "split merge across files not supported; raise split.size.mb")
-        KvInputPartition(g.head.file, g.head.startByte, g.last.endByte, g.map(_.rows).sum)
-      }.toSeq
-    }
+    // cap split count by packing neighbor chunks into one partition —
+    // legal across file boundaries because a partition carries a chunk
+    // list; a 10⁶-file table still plans under any cap
+    val capped =
+      if (all.length <= maxSplitCount) all.map(c => KvInputPartition(Seq(c)))
+      else all.grouped(math.ceil(all.length.toDouble / maxSplitCount).toInt)
+        .map(g => KvInputPartition(g)).toSeq
     capped.toArray
   }
 
@@ -219,16 +223,26 @@ class KvScan(path: String, readSchema: StructType, predicate: Option[FilterPredi
 class KvReaderFactory(schema: StructType, predicate: Option[FilterPredicate])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[KvInputPartition]
-    val it = ParquetIO.readFile(new Path(p.file), schema,
-      range = Some((p.startByte, p.endByte)), filter = predicate)
+    val chunks = partition.asInstanceOf[KvInputPartition].chunks.iterator
     new PartitionReader[InternalRow] {
+      // one chunk open at a time — constant memory regardless of how many
+      // chunks the cap packed into this partition
+      private var it: Iterator[InternalRow] with AutoCloseable = _
       private var current: InternalRow = _
+      private def advance(): Boolean = {
+        while ((it == null || !it.hasNext) && chunks.hasNext) {
+          if (it != null) it.close()
+          val c = chunks.next()
+          it = ParquetIO.readFile(new Path(c.file), schema,
+            range = Some((c.startByte, c.endByte)), filter = predicate)
+        }
+        it != null && it.hasNext
+      }
       override def next(): Boolean = {
-        if (it.hasNext) { current = it.next(); true } else false
+        if (advance()) { current = it.next(); true } else false
       }
       override def get(): InternalRow = current
-      override def close(): Unit = it.close()
+      override def close(): Unit = if (it != null) it.close()
     }
   }
 }

@@ -35,6 +35,20 @@ class KvSourceSpec extends SparkSpec {
     assert(!plan.contains("PushedFilters: []"), s"filters must actually push:\n$plan")
   }
 
+  test("split cap packs chunks across files: more files than max.split.count still reads") {
+    val dir = java.nio.file.Files.createTempDirectory("kvcap").toString + "/t"
+    // 12 part files (one per row via repartition on a unique key)
+    (0 until 12).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .repartition(12, col("k"))
+      .write.format("kv").option("path", dir).mode("append").save()
+    assert(ParquetIO.listFiles(dir).length >= 4)
+    val df = spark.read.format("kv").option("path", dir)
+      .option("max.split.count", "3").load()
+    assert(df.rdd.getNumPartitions <= 3, s"cap must bound partitions: ${df.rdd.getNumPartitions}")
+    assert(df.as[(Long, String)].collect().toSet ==
+      (0 until 12).map(i => (i.toLong, s"v$i")).toSet)
+  }
+
   test("catalog option declares the schema (user-schema mode)") {
     val catalog =
       """{"columns": {"l_orderkey": {"type": "long"},
