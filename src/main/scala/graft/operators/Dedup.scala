@@ -28,6 +28,21 @@ import graft.functions.VectorExpressions.{arrayDot, l2Norm}
   */
 object Dedup {
 
+  /** Drop rows of pathological buckets (> maxBucket members) before
+    * pairing. Partial-aggregable groupBy + semi-join: the hot bucket's
+    * count folds map-side and the bucket never materializes inside one
+    * task — unlike a `count().over(Window)` which buffers the entire
+    * bucket in the window operator, precisely the skew it exists to drop.
+    * The semi-join shuffles on the same keys as the subsequent pair join,
+    * so the partitioning is reused.
+    */
+  private def capBuckets(df: DataFrame, keys: Seq[String], maxBucket: Int): DataFrame = {
+    val small = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .where(col("__n") <= maxBucket)
+      .select(keys.map(col): _*)
+    df.join(small, keys, "left_semi")
+  }
+
   /** Exact duplicates by normalized content fingerprint. Returns
     * (fingerprint, n_copies, keep_id, dup_ids) — one row per duplicate
     * group with the canonical keeper (min id).
@@ -71,10 +86,7 @@ object Dedup {
     val banded = sigs.select(col("id"), col("sig"),
       posexplode(Sketches.minhashBands(col("sig"), bands)).as(Seq("band", "key")))
     // Cap pathological buckets (all-identical boilerplate) before pairing.
-    val bucketed = banded.withColumn("bucket_n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("key"))))
-      .where(col("bucket_n") <= maxBucket)
+    val bucketed = capBuckets(banded, Seq("band", "key"), maxBucket)
     val pairs = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
@@ -103,10 +115,7 @@ object Dedup {
       Sketches.simhash64(col(textCol)).as("sim"))
     val chunked = sigs.select(col("id"), col("sim"),
       posexplode(Sketches.simhashChunks(col("sim"))).as(Seq("chunk", "key")))
-    val bucketed = chunked.withColumn("bucket_n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("chunk"), col("key"))))
-      .where(col("bucket_n") <= maxBucket)
+    val bucketed = capBuckets(chunked, Seq("chunk", "key"), maxBucket)
     bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.key") === col("b.key") &&
@@ -154,11 +163,16 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    // Materialize the edge set once: every round joins against it, and
+    // localCheckpoint truncates its lineage back to the pair-generation
+    // plan (which may itself be a multi-stage LSH pipeline).
     val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
       .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
       .distinct()
+      .localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
+      .localCheckpoint()
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -167,13 +181,34 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("n_comp"))
-      val next = labels.join(neighborMin, Seq("id"), "left_outer")
-        .select(col("id"),
+      // localCheckpoint per round: the eager job materializes the result
+      // and truncates lineage to the checkpointed blocks, so round k
+      // costs its own joins — not a re-execution of rounds 1..k-1 — and
+      // plan depth stays constant across rounds.
+      val stepped = labels.join(neighborMin, Seq("id"), "left_outer")
+        .select(col("id"), col("component").as("__old"),
           least(col("component"), coalesce(col("n_comp"), col("component")))
             .as("component"))
-      changed = next.join(labels.withColumnRenamed("component", "old"), "id")
-        .where(col("component") =!= col("old")).count()
-      labels = next
+        .localCheckpoint()
+      // pointer jump (path halving): follow component → that vertex's
+      // component. Neighbor-min alone moves a label one hop per round
+      // (O(diameter) rounds — a 10⁶-long chain would need 10⁶ rounds);
+      // with the jump labels shortcut through already-relabeled vertices
+      // and convergence is O(log diameter). Label values are always
+      // vertex ids (mins over id sets), so the jump join is total.
+      val next = stepped.as("x")
+        .join(stepped.select(col("id").as("__cid"), col("component").as("__cc")),
+          col("x.component") === col("__cid"), "left_outer")
+        .select(col("x.id").as("id"),
+          least(col("x.component"), coalesce(col("__cc"), col("x.component")))
+            .as("component"),
+          (least(col("x.component"), coalesce(col("__cc"), col("x.component")))
+            < col("x.__old")).cast("long").as("__chg"))
+        .localCheckpoint()
+      // the convergence test reads the just-materialized blocks — no
+      // second pass over the iteration's plan
+      changed = next.agg(coalesce(sum(col("__chg")), lit(0L))).head().getLong(0)
+      labels = next.drop("__chg")
       iter += 1
     }
     labels
@@ -207,10 +242,7 @@ object Dedup {
       .withColumn("sk", Sketches.hyperplaneSketch(col("e"), numPlanes))
     val banded = sk.select(col("id"), col("e"), col("nrm"),
       posexplode(Sketches.sketchBands(col("sk"), bands)).as(Seq("band", "key")))
-    val bucketed = banded.withColumn("bucket_n",
-      count(lit(1)).over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("band"), col("key"))))
-      .where(col("bucket_n") <= maxBucket)
+    val bucketed = capBuckets(banded, Seq("band", "key"), maxBucket)
     bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

@@ -1,9 +1,8 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import graft.functions.Sketches
+import graft.functions.{BoundedTopK, Sketches}
 import graft.functions.VectorExpressions.{arrayDot, l2Norm}
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -31,6 +30,19 @@ object SimilaritySearch {
       transform(col(vecCol), x => x.cast("double")).as("e"))
       .withColumn("nrm", norm(col("e")))
 
+  /** (qid, nid, sim) candidates → (qid, nid, sim, rnk) top-k per query,
+    * via the bounded-heap aggregate: map-side partials keep k rows per
+    * query per partition and only those shuffle — never a window over
+    * corpus-sized candidate sets (the single-reducer-per-query ceiling).
+    * Ranking order matches the former window: sim desc, nid asc.
+    */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("qid"))
+      .agg(BoundedTopK.topK(struct(col("sim"), col("nid")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("qid"), col("s.nid").as("nid"),
+        round(col("s.sim"), 6).as("sim"), (col("pos") + 1).cast("int").as("rnk"))
+
   /** Exact cosine top-k of `queries` against `corpus`. */
   def bruteForceKnn(
       corpus: DataFrame, queries: DataFrame,
@@ -39,13 +51,11 @@ object SimilaritySearch {
       .select(col("id").as("nid"), col("e").as("ne"), col("nrm").as("nn"))
     val q = prep(queries, vecCol, idCol)
       .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    broadcast(q).join(c, col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"),
-        (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim"))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rnk"))
+    topKPerQuery(
+      broadcast(q).join(c, col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim")),
+      k)
   }
 
   /** LSH-pruned top-k: candidates = corpus vectors sharing ≥1 sketch band
@@ -63,16 +73,14 @@ object SimilaritySearch {
           explode(Sketches.sketchBands(col("sk"), bands)).as("band_key"))
     val q = banded(queries, "q")
     val c = banded(corpus, "c")
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    broadcast(q).join(c, Seq("band_key"))
-      .where(col("qid") =!= col("cid"))
-      .select(col("qid"), col("cid").as("nid"), col("qe"), col("ce"), col("qn"), col("cn"))
-      .dropDuplicates("qid", "nid")
-      .select(col("qid"), col("nid"),
-        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rnk"))
+    topKPerQuery(
+      broadcast(q).join(c, Seq("band_key"))
+        .where(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid").as("nid"), col("qe"), col("ce"), col("qn"), col("cn"))
+        .dropDuplicates("qid", "nid")
+        .select(col("qid"), col("nid"),
+          (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim")),
+      k)
   }
 
   /** Train IVF centroids with Lloyd iterations expressed as DataFrame
@@ -141,13 +149,11 @@ object SimilaritySearch {
         first(col("e")).as("e"), first(col("nrm")).as("nrm"))
       .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
         explode(col("cells.cell")).as("cell"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    broadcast(probes).join(assigned, Seq("cell"))
-      .where(col("qid") =!= col("nid"))
-      .select(col("qid"), col("nid"),
-        (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim"))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= k)
-      .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"), col("rnk"))
+    topKPerQuery(
+      broadcast(probes).join(assigned, Seq("cell"))
+        .where(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim")),
+      k)
   }
 }

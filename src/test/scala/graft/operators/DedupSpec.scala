@@ -72,6 +72,32 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 5L, 10L, 20L))
   }
 
+  test("connected components: constant plan depth across rounds (lineage checkpointed)") {
+    // a long chain is the worst case for plain propagation (O(diameter));
+    // pointer jumping must collapse it in O(log diameter) rounds
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val comps = Dedup.connectedComponents(chain, maxIter = 12)
+    // every vertex collapses to component 0
+    assert(comps.agg(max(col("component"))).head().getLong(0) == 0L)
+    // the returned plan must hang off checkpointed blocks, not 30 rounds
+    // of joins: a handful of nodes, not hundreds
+    val planSize = comps.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(planSize < 10, s"plan depth must not grow with iterations (got $planSize nodes)")
+  }
+
+  test("dedup candidate plans contain no Window operator (bucket cap is groupBy+join)") {
+    val lshPlan = Dedup.minHashLsh(docs, "text", "doc_id", numHashes = 32, bands = 8)
+      .queryExecution.optimizedPlan
+    val simPlan = Dedup.simHash(docs, "text", "doc_id")
+      .queryExecution.optimizedPlan
+    Seq("minHashLsh" -> lshPlan, "simHash" -> simPlan).foreach { case (name, plan) =>
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.isEmpty, s"$name must not buffer buckets in a Window: $plan")
+    }
+  }
+
   test("minhash pairs → components → dedup end-to-end") {
     val pairs = Dedup.minHashLsh(docs, "text", "doc_id",
       numHashes = 64, bands = 16, minJaccard = 0.3)

@@ -38,6 +38,43 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(got(0).getAs[Long]("nid") == 99L, s"got ${got.mkString(",")}")
   }
 
+  test("knn plans contain no Window over candidates (bounded-heap top-k)") {
+    val q = corpus.limit(2)
+    Seq(
+      "brute" -> SimilaritySearch.bruteForceKnn(corpus, q, "embedding", "vec_id", k = 3),
+      "lsh" -> SimilaritySearch.lshKnn(corpus, q, "embedding", "vec_id", k = 3),
+      "ivf" -> SimilaritySearch.ivfKnn(corpus, q, "embedding", "vec_id", k = 3, nCells = 4)
+    ).foreach { case (name, df) =>
+      val windows = df.queryExecution.optimizedPlan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      assert(windows.isEmpty,
+        s"$name kNN must assemble top-k via the bounded-heap aggregate, not a window")
+    }
+  }
+
+  test("top-k aggregate matches a window row_number under skewed partitioning") {
+    // many partitions with uneven candidate counts → exercises partial
+    // aggregation + merge of k-sized states
+    val cands = (0 until 7).flatMap { q =>
+      (0 until (q + 1) * 40).map { i =>
+        (q.toLong, (1000 + i).toLong, math.sin(q * 997 + i * 13).abs)
+      }
+    }.toDF("qid", "nid", "sim").repartition(13)
+    val viaAgg = cands.groupBy(col("qid"))
+      .agg(graft.functions.BoundedTopK.topK(struct(col("sim"), col("nid")), 5).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("qid"), col("s.nid").as("nid"), col("s.sim").as("sim"),
+        (col("pos") + 1).as("rnk"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    val viaWindow = cands.withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= 5).select(col("qid"), col("nid"), col("sim"), col("rnk"))
+    val a = viaAgg.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    val b = viaWindow.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(a == b)
+  }
+
   test("brute force and lsh agree on the top hit") {
     val q = corpus.filter(col("vec_id") < 3L)
     val bf = SimilaritySearch.bruteForceKnn(corpus, q, "embedding", "vec_id", 1)
