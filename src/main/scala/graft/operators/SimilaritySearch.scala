@@ -70,11 +70,11 @@ object SimilaritySearch {
         .withColumn("sk", Sketches.hyperplaneSketch(col("e"), numPlanes))
         .select(col("id").as(s"${prefix}id"), col("e").as(s"${prefix}e"),
           col("nrm").as(s"${prefix}n"),
-          explode(Sketches.sketchBands(col("sk"), bands)).as("band_key"))
+          posexplode(Sketches.sketchBands(col("sk"), bands)).as(Seq("band", "band_key")))
     val q = banded(queries, "q")
     val c = banded(corpus, "c")
     topKPerQuery(
-      broadcast(q).join(c, Seq("band_key"))
+      broadcast(q).join(c, Seq("band", "band_key"))
         .where(col("qid") =!= col("cid"))
         .select(col("qid"), col("cid").as("nid"), col("qe"), col("ce"), col("qn"), col("cn"))
         .dropDuplicates("qid", "nid")

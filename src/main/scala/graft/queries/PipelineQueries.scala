@@ -122,7 +122,7 @@ object PipelineQueries {
     }),
   )
 
-  def oracles: Map[String, String] = Map(
+  def oracles: Map[String, String] = SketchOracleSql.oracles ++ Map(
     "q_dedup_drop_exact" ->
       """SELECT doc_id FROM (
         |  SELECT doc_id,

@@ -1,0 +1,414 @@
+package graft.queries
+
+/** DuckDB re-implementations of the engine's sketch math, as generated
+  * single-statement SQL — exact oracles for the gate queries whose output
+  * depends on splitmix64-seeded sketches (MinHash LSH, SimHash,
+  * hyperplane LSH, winnowing, language-ID, KMV).
+  *
+  * Mechanics: all 64-bit hash state is carried as HUGEINT in [0, 2^64)
+  * (DuckDB BIGINT overflow is strict, but uint64×uint64 decomposes into
+  * 32-bit halves inside HUGEINT). XOR routes through the signed BIGINT
+  * bit pattern. Multi-step scrambles (splitmix64's three rounds) are
+  * expressed as a `list_transform` pipeline over a single-element list so
+  * each intermediate is named once — the generated SQL stays linear in
+  * the number of rounds instead of exponential.
+  *
+  * Everything here mirrors `graft.functions.Sketches` / `LangId` /
+  * `KmvDistinct` bit for bit; specs + the driver gate enforce the match.
+  */
+object SketchOracleSql {
+
+  // ---- u64 arithmetic on HUGEINT in [0, 2^64) ----
+  private val M = "18446744073709551616::HUGEINT" // 2^64
+  private val H = "9223372036854775808::HUGEINT" // 2^63
+
+  private def u(l: Long): String = java.lang.Long.toUnsignedString(l) + "::HUGEINT"
+
+  /** u64 → the signed 64-bit value with the same bits. */
+  private def sx(e: String) = s"(CASE WHEN ($e) >= $H THEN (($e) - $M)::BIGINT ELSE ($e)::BIGINT END)"
+
+  /** signed BIGINT → u64 with the same bits. */
+  private def ux(e: String) = s"(CASE WHEN ($e) < 0 THEN ($e)::HUGEINT + $M ELSE ($e)::HUGEINT END)"
+
+  private def xor64(a: String, b: String) = ux(s"xor(${sx(a)}, ${sx(b)})")
+
+  /** logical right shift on the unsigned representation. */
+  private def shr(e: String, n: Int) = s"(($e) // ${(BigInt(1) << n).toString}::HUGEINT)"
+
+  /** (a * b) mod 2^64 via 32-bit halves (stays inside HUGEINT range). */
+  private def mulu(a: String, b: String): String = {
+    val T = "4294967296::HUGEINT"
+    s"(((((($a) // $T) * (($b) % $T) + (($a) % $T) * (($b) // $T)) % $T) * $T" +
+      s" + (($a) % $T) * (($b) % $T)) % $M)"
+  }
+
+  /** single-element-list pipeline: each stage sees the prior value as `v`. */
+  private def pipe(x: String, v: String, stages: String*): String =
+    stages.foldLeft(s"[($x)]") { (acc, s) => s"list_transform($acc, $v -> ($s))" } + "[1]"
+
+  /** splitmix64 of a u64 expression (Sketches.splitmix64). */
+  private def splitmix(x: String): String = pipe(x, "sv",
+    s"((sv + ${u(0x9e3779b97f4a7c15L)}) % $M)",
+    mulu(xor64("sv", shr("sv", 30)), u(0xbf58476d1ce4e5b9L)),
+    mulu(xor64("sv", shr("sv", 27)), u(0x94d049bb133111ebL)),
+    xor64("sv", shr("sv", 31)))
+
+  /** UTF-8 bytes of a string expression, as an INT list (via hex). */
+  private def bytesOf(s: String): String = pipe(s"lower(hex(encode($s)))", "hx",
+    "list_transform(range(length(hx) // 2), bi -> " +
+      "(strpos('0123456789abcdef', substr(hx, (2*bi + 1)::INT, 1)) - 1) * 16" +
+      " + (strpos('0123456789abcdef', substr(hx, (2*bi + 2)::INT, 1)) - 1))")
+
+  /** Sketches.hashBytes over a byte-list expression; returns u64. */
+  private def hashBytesU(bytesExpr: String, seed: Long): String = {
+    val h0 = splitmix(xor64(u(seed), "len(bl)::HUGEINT"))
+    val blocks = "list_transform(range(len(bl) // 8), bj -> " +
+      "list_reduce(list_transform(range(8), bq -> bl[(8*bj + bq + 1)::INT]::HUGEINT), " +
+      "(ba, bb) -> ba * 256::HUGEINT + bb))"
+    val tail = "(CASE WHEN len(bl) % 8 = 0 THEN 0::HUGEINT ELSE " +
+      "list_reduce(list_transform(range(len(bl) % 8), bq -> " +
+      "bl[((len(bl) // 8) * 8 + bq + 1)::INT]::HUGEINT), (ba, bb) -> ba * 256::HUGEINT + bb) END)"
+    pipe(bytesExpr, "bl",
+      s"{'h': list_reduce(list_concat([$h0], $blocks), (ra, rb) -> ${splitmix(xor64("ra", "rb"))}), 't': $tail}",
+      splitmix(xor64("bl.h", "bl.t")))
+  }
+
+  /** Sketches.hashString (u64). */
+  private def hashStrU(sExpr: String, seed: Long): String = hashBytesU(bytesOf(sExpr), seed)
+
+  /** [2^0 .. 2^63] literal (HUGEINT). */
+  private val pows: String =
+    "[" + (0 until 64).map(i => (BigInt(1) << i).toString + "::HUGEINT").mkString(",") + "]"
+
+  /** Vectorized splitmix64 of column expression `x` over the rows of
+    * `inner` (a SELECT): four chained subqueries each adding one scramble
+    * round as a plain column — no lambdas in the hot path, so DuckDB
+    * executes it vectorized. The result column is named `out`; `pfx`
+    * de-collides intermediates when chained more than once.
+    */
+  private def smCols(inner: String, x: String, out: String, pfx: String): String = {
+    // every composite lands in its own column: a column reference is a
+    // vector reference, so nothing in the scramble is evaluated twice
+    // (naive nesting re-evaluates the xor tree inside each of mulu's six
+    // operand occurrences — measured 20× slower)
+    def w(acc: String, col: String, expr: String) = s"SELECT *, $expr AS $col FROM ($acc)"
+    def round(acc: String, in: String, k: Int, n: Int, konst: Long): String = {
+      val a = w(acc, s"${pfx}x$k", s"xor(${sx(in)}, ${sx(shr(in, n))})")
+      val b = w(a, s"${pfx}u$k", ux(s"${pfx}x$k"))
+      w(b, s"${pfx}c$k", mulu(s"${pfx}u$k", u(konst)))
+    }
+    var acc = w(inner, s"${pfx}c0", s"(($x) + ${u(0x9e3779b97f4a7c15L)}) % $M")
+    acc = round(acc, s"${pfx}c0", 1, 30, 0xbf58476d1ce4e5b9L)
+    acc = round(acc, s"${pfx}c1", 2, 27, 0x94d049bb133111ebL)
+    val f = w(acc, s"${pfx}x3", s"xor(${sx(s"${pfx}c2")}, ${sx(shr(s"${pfx}c2", 31))})")
+    w(f, out, ux(s"${pfx}x3"))
+  }
+
+  /** whitespace tokens of trim(e), empties dropped (Sketches tokenization). */
+  private def toks(e: String): String =
+    s"list_filter(string_split_regex(trim($e), '\\s+'), tw -> tw <> '')"
+
+  /** Vectorized Sketches.hashString over the rows of `inner`: the
+    * variable-length block fold is unrolled to `maxB` 8-byte levels (a
+    * level beyond the string's block count passes the state through), so
+    * the whole hash is plain columns — no per-row lambda interpretation.
+    * Emits NULL (fail-loud in the gate compare) if a string exceeds
+    * maxB*8 bytes. Result column `out` (u64); `keep` columns are
+    * projected alongside it.
+    */
+  private def hashStrCols(inner: String, strExpr: String, seed: Long, maxB: Int,
+      out: String, pfx: String, keep: Seq[String]): String = {
+    val hexd = "'0123456789abcdef'"
+    def byteAt(j: String) =
+      s"(greatest(strpos($hexd, substr(${pfx}hx, (2*($j) + 1)::INT, 1)) - 1, 0)::HUGEINT * 16" +
+        s" + greatest(strpos($hexd, substr(${pfx}hx, (2*($j) + 2)::INT, 1)) - 1, 0)::HUGEINT)"
+    val base =
+      s"SELECT *, lower(hex(encode($strExpr))) AS ${pfx}hx, " +
+        s"octet_length(encode($strExpr))::HUGEINT AS ${pfx}n FROM ($inner)"
+    val init = smCols(base, xor64(u(seed), s"${pfx}n"), s"${pfx}h0", s"${pfx}i")
+    val afterBlocks = (0 until maxB).foldLeft(init) { (acc, k) =>
+      val block = (0 until 8).map { q =>
+        s"${byteAt((8 * k + q).toString)} * ${(BigInt(256).pow(7 - q)).toString}::HUGEINT"
+      }.mkString("(", " + ", ")")
+      val withBlock = s"SELECT *, $block AS ${pfx}b$k FROM ($acc)"
+      val scrambled = smCols(withBlock, xor64(s"${pfx}h$k", s"${pfx}b$k"), s"${pfx}t$k", s"${pfx}s$k")
+      s"SELECT *, CASE WHEN $k < ${pfx}n // 8 THEN ${pfx}t$k ELSE ${pfx}h$k END AS ${pfx}h${k + 1} FROM ($scrambled)"
+    }
+    val tailTerms = (0 until 7).map { q =>
+      s"(CASE WHEN $q < ${pfx}n % 8 THEN ${byteAt(s"(${pfx}n // 8) * 8 + $q")}" +
+        s" * power(256.0, (${pfx}n % 8 - 1 - $q)::INT)::HUGEINT ELSE 0::HUGEINT END)"
+    }.mkString("(", " + ", ")")
+    val withTail = s"SELECT *, $tailTerms AS ${pfx}tl FROM ($afterBlocks)"
+    val fin = smCols(withTail, xor64(s"${pfx}h$maxB", s"${pfx}tl"), s"${pfx}f", s"${pfx}z")
+    s"SELECT ${keep.mkString(", ")}, CASE WHEN ${pfx}n > ${maxB * 8} THEN NULL ELSE ${pfx}f END AS $out FROM ($fin)"
+  }
+
+  /** DuckDB 1.x parallelizes by source morsels, so a pipeline rooted at a
+    * 500-row scan runs single-threaded no matter how wide the unnest
+    * blows it up (MATERIALIZED CTE hints don't re-chunk either — measured
+    * 13×). Sharding the per-row chain into a UNION ALL over `n` disjoint
+    * id slices lets the union children execute in parallel — same rows,
+    * one statement.
+    */
+  private def shardUnion(n: Int, branch: String => String): String =
+    (0 until n).map(k => branch(s"% $n = $k")).mkString("(", " UNION ALL ", ")")
+
+  private val Shards = 8
+
+  /** Nested (CTE-free) pipeline: simhash per doc for one shard of
+    * documents → (doc_id, sim u64). Docs with no tokens are absent.
+    */
+  private def simhashShard(pred: String): String = {
+    val tokRows = s"SELECT doc_id, unnest(${toks("text")}) AS tok FROM documents WHERE doc_id $pred"
+    val hashed = hashStrCols(tokRows, "tok", 0x5bd1e995L, 4, "h", "sth", Seq("doc_id"))
+    s"""SELECT doc_id, sum(CASE WHEN c > 0 THEN power(2.0, b)::HUGEINT ELSE 0::HUGEINT END) AS sim
+       |FROM (
+       |  SELECT doc_id, b,
+       |    sum(CASE WHEN (h // power(2.0, b)::HUGEINT) % 2 = 1 THEN 1 ELSE -1 END) AS c
+       |  FROM (SELECT doc_id, h, unnest(range(64)) AS b FROM ($hashed))
+       |  GROUP BY doc_id, b
+       |) GROUP BY doc_id""".stripMargin
+  }
+
+  /** CTE ending in `simhash_res(doc_id, sim)` — SimHash64 of every row. */
+  private def simhashCtes: String =
+    s"""simhash_res AS MATERIALIZED (
+       |  SELECT d.doc_id, coalesce(s.sim, 0::HUGEINT) AS sim
+       |  FROM documents d LEFT JOIN ${shardUnion(Shards, simhashShard)} s
+       |    ON d.doc_id = s.doc_id
+       |)""".stripMargin
+
+  /** Nested pipeline: MinHash signature (64 lanes, 3-word shingles) for
+    * one shard → (id, sig BIGINT[64]). Docs with no shingles absent.
+    */
+  private def minhashShard(pred: String): String = {
+    val shingles = pipe(toks("text"), "ws",
+      "CASE WHEN len(ws) = 0 THEN []::VARCHAR[] " +
+        "WHEN len(ws) <= 3 THEN [array_to_string(ws, ' ')] " +
+        "ELSE list_transform(range(len(ws) - 2), si -> " +
+        "concat_ws(' ', ws[(si+1)::INT], ws[(si+2)::INT], ws[(si+3)::INT])) END")
+    // lane constants i * 0xc2b2ae3d27d4eb4f mod 2^64, precomputed here —
+    // no per-row 64-bit multiply in the (shingle × lane) hot loop
+    val laneConsts = (0 until 64)
+      .map(i => java.lang.Long.toUnsignedString(i * 0xc2b2ae3d27d4eb4fL) + "::HUGEINT")
+      .mkString("[", ",", "]")
+    val shingleRows = s"SELECT doc_id AS id, unnest($shingles) AS s FROM documents WHERE doc_id $pred"
+    val based = hashStrCols(shingleRows, "s", 0L, 6, "base", "mhb", Seq("id"))
+    val laneRows = s"SELECT id, li, ${ux(s"xor(${sx("base")}, ${sx("lc")})")} AS lx " +
+      s"FROM (SELECT id, base, unnest(range(64)) AS li, unnest($laneConsts) AS lc FROM ($based))"
+    val lanes = smCols(laneRows, "lx", "lh", "mhs")
+    s"""SELECT id, list(m ORDER BY li) AS sig FROM (
+       |  SELECT id, li, min(${sx("lh")}) AS m FROM ($lanes) GROUP BY id, li
+       |) GROUP BY id""".stripMargin
+  }
+
+  /** CTE ending in `mh_sigs(id, sig)` for every documents row. */
+  private def minhashCtes: String = {
+    val maxSig = "[" + Seq.fill(64)("9223372036854775807").mkString(",") + "]"
+    s"""mh_sigs AS MATERIALIZED (
+       |  SELECT d.doc_id AS id, coalesce(s.sig, $maxSig) AS sig
+       |  FROM documents d LEFT JOIN ${shardUnion(Shards, minhashShard)} s
+       |    ON d.doc_id = s.id
+       |)""".stripMargin
+  }
+
+  /** Nested pipeline: hyperplane sketch (64 planes, seed 42) + norm for
+    * one shard of embeddings → (id, e, nrm, sku). The per-plane dot is an
+    * ordered left fold (bit-equal with the Scala ascending-dim loop).
+    */
+  private def hyperplaneShard(pred: String): String = {
+    // plane-seed constants 42 ^ (p << 32), precomputed per plane
+    val planeConsts = (0 until 64)
+      .map(p => (42L ^ (p.toLong << 32)).toString + "::BIGINT")
+      .mkString("[", ",", "]")
+    val prep = s"SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings WHERE vec_id $pred"
+    val pdi = s"SELECT id, p, pk, unnest(range(len(e))) AS i, unnest(e) AS ev " +
+      s"FROM (SELECT id, e, unnest(range(64)) AS p, unnest($planeConsts) AS pk FROM ($prep))"
+    // i < 2^31 so the signed image of i::HUGEINT is i itself: the sign key
+    // (42 ^ (p<<32) ^ i) is one native BIGINT xor per row
+    val sgn = smCols(s"SELECT id, p, i, ev, ${ux("xor(pk, i)")} AS kx FROM ($pdi)", "kx", "sh", "hps")
+    s"""SELECT p2.id, p2.e, sqrt(list_sum(list_transform(p2.e, x -> x * x))) AS nrm, s.sku
+       |FROM ($prep) p2 JOIN (
+       |  SELECT id, sum(CASE WHEN dot > 0 THEN power(2.0, p)::HUGEINT ELSE 0::HUGEINT END) AS sku
+       |  FROM (
+       |    SELECT id, p, list_sum(list(term ORDER BY i)) AS dot FROM (
+       |      SELECT id, p, i, ev * (CASE WHEN sh % 2 = 1 THEN 1.0 ELSE -1.0 END) AS term
+       |      FROM ($sgn)
+       |    ) GROUP BY id, p
+       |  ) GROUP BY id
+       |) s ON p2.id = s.id""".stripMargin
+  }
+
+  /** CTE ending in `hp_sk(id, e, nrm, sku)` for every embeddings row. */
+  private def hyperplaneCtes: String =
+    s"""hp_sk AS MATERIALIZED (
+       |  SELECT id, e, nrm, sku FROM ${shardUnion(Shards, hyperplaneShard)}
+       |)""".stripMargin
+
+  // -------------------------------------------------------------------
+  // Oracles
+  // -------------------------------------------------------------------
+
+  /** q_doc_winnow: (doc_id, n_fingerprints, simhash). */
+  def winnowOracle: String = {
+    def gramShard(pred: String): String = {
+      val gramRows =
+        "SELECT doc_id, gi, substr(nt, (gi + 1)::INT, 8) AS gram FROM (" +
+          "SELECT doc_id, nt, unnest(range(greatest(length(nt) - 7, 0))) AS gi FROM (" +
+          s"SELECT doc_id, lower(regexp_replace(text, '\\s+', ' ', 'g')) AS nt " +
+          s"FROM documents WHERE doc_id $pred))"
+      val hashed = hashStrCols(gramRows, "gram", 0x27d4eb2fL, 4, "hu", "wng", Seq("doc_id", "gi"))
+      s"SELECT doc_id, list(${sx("hu")} ORDER BY gi) AS grams FROM ($hashed) GROUP BY doc_id"
+    }
+    s"""WITH wn_ga AS MATERIALIZED (
+       |  SELECT doc_id, grams FROM ${shardUnion(Shards, gramShard)}
+       |), $simhashCtes
+       |SELECT d.doc_id,
+       |  CAST(CASE WHEN g.grams IS NULL THEN 0 ELSE
+       |    len(list_distinct(list_transform(range(greatest(len(g.grams) - 4, 0) + 1), w ->
+       |      list_min(g.grams[(w + 1)::INT : (least(w + 4, len(g.grams)))::INT])))) END AS INT)
+       |    AS n_fingerprints,
+       |  ${sx("s.sim")} AS simhash
+       |FROM documents d
+       |LEFT JOIN wn_ga g ON d.doc_id = g.doc_id
+       |JOIN simhash_res s ON d.doc_id = s.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
+  /** q_doc_langid: (detected_lang, n_docs) — LangId.detect in SQL. */
+  def langidOracle: String = {
+    val profiles = Seq(
+      "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as", "his", "on", "be"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "den", "von", "sich", "auf", "für"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "pas", "une", "un", "des", "du", "que", "qui", "dans", "pour", "avec"),
+      "es" -> Seq("el", "la", "los", "las", "es", "y", "no", "una", "del", "que", "por", "con", "para", "su", "como"),
+      "it" -> Seq("il", "la", "che", "di", "e", "un", "una", "per", "non", "sono", "con", "del", "della", "questo"),
+      "pt" -> Seq("o", "a", "os", "as", "que", "não", "um", "uma", "do", "da", "em", "para", "com", "por", "mais"),
+      "nl" -> Seq("de", "het", "een", "van", "en", "is", "dat", "niet", "op", "te", "zijn", "met", "voor", "aan"))
+    val scoreStructs = profiles.map { case (lang, words) =>
+      val set = words.map(w => s"'$w'").mkString(", ")
+      s"{'h': len(list_filter(words, pw -> pw IN ($set))), 'l': '$lang'}"
+    }.mkString(", ")
+    val wordScore = pipe(s"list_sort([$scoreStructs], 'DESC')", "sl",
+      "CASE WHEN sl[1].h = 0 THEN 'und' ELSE sl[1].l END")
+    s"""WITH det AS (
+       |  SELECT CASE
+       |      WHEN t = '' THEN 'und'
+       |      WHEN bsc > 0 AND 2 * bsc >= lat THEN bs
+       |      WHEN cjk > 0 AND 2 * cjk >= lat THEN 'zh'
+       |      WHEN lat = 0 THEN 'und'
+       |      WHEN len(words) = 0 THEN 'und'
+       |      ELSE $wordScore
+       |    END AS detected_lang
+       |  FROM (
+       |    SELECT t, cjk, lat,
+       |      greatest(hkat, hang, cyr, arb, dev) AS bsc,
+       |      CASE WHEN hkat = greatest(hkat, hang, cyr, arb, dev) THEN 'ja'
+       |           WHEN hang = greatest(hkat, hang, cyr, arb, dev) THEN 'ko'
+       |           WHEN cyr = greatest(hkat, hang, cyr, arb, dev) THEN 'ru'
+       |           WHEN arb = greatest(hkat, hang, cyr, arb, dev) THEN 'ar'
+       |           ELSE 'hi' END AS bs,
+       |      list_filter(string_split_regex(lower(t), '[^\\p{L}]+'), fw -> fw <> '') AS words
+       |    FROM (
+       |      SELECT t,
+       |        len(regexp_extract_all(t, '\\p{Han}')) AS cjk,
+       |        len(regexp_extract_all(t, '[\\p{Hiragana}\\p{Katakana}]')) AS hkat,
+       |        len(regexp_extract_all(t, '\\p{Hangul}')) AS hang,
+       |        len(regexp_extract_all(t, '\\p{Cyrillic}')) AS cyr,
+       |        len(regexp_extract_all(t, '\\p{Arabic}')) AS arb,
+       |        len(regexp_extract_all(t, '\\p{Devanagari}')) AS dev,
+       |        len(regexp_extract_all(t, '\\p{Latin}')) AS lat
+       |      FROM (SELECT coalesce(trim(text), '') AS t FROM documents)
+       |    )
+       |  )
+       |)
+       |SELECT detected_lang, count(*) AS n_docs
+       |FROM det GROUP BY detected_lang ORDER BY detected_lang""".stripMargin
+  }
+
+  /** q_dedup_simhash: (id_a, id_b, hamming ≤ 16), 16-bit chunk buckets. */
+  def simhashDedupOracle: String =
+    s"""WITH $simhashCtes, sims AS (
+       |  SELECT doc_id AS id, sim FROM simhash_res
+       |), chunked AS (
+       |  SELECT id, sim, ci, (sim // power(2.0, 16 * ci)::HUGEINT) % 65536::HUGEINT AS key
+       |  FROM sims CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS ci) u
+       |), pairs AS (
+       |  SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
+       |    CAST(bit_count(xor(${sx("a.sim")}, ${sx("b2.sim")})) AS INT) AS hamming
+       |  FROM chunked a JOIN chunked b2
+       |    ON a.ci = b2.ci AND a.key = b2.key AND a.id < b2.id
+       |)
+       |SELECT id_a, id_b, hamming FROM pairs
+       |WHERE hamming <= 16 ORDER BY id_a, id_b""".stripMargin
+
+  /** q_dedup_minhash_lsh: (id_a, id_b, est_jaccard ≥ 0.2); 16 bands × 4 rows. */
+  def minhashLshOracle: String =
+    s"""WITH $minhashCtes, sigs AS (
+       |  SELECT id, sig FROM mh_sigs
+       |), banded AS (
+       |  SELECT id, sig, b, sig[(4 * b + 1)::INT : (4 * b + 4)::INT] AS key
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(16)) AS b) u
+       |), pairs AS (
+       |  SELECT DISTINCT a.id AS id_a, b2.id AS id_b, a.sig AS sa, b2.sig AS sb
+       |  FROM banded a JOIN banded b2
+       |    ON a.b = b2.b AND a.key = b2.key AND a.id < b2.id
+       |), est AS (
+       |  SELECT id_a, id_b,
+       |    floor((len(list_filter(range(64), i -> sa[(i + 1)::INT] = sb[(i + 1)::INT]))::DOUBLE
+       |      / 64.0) * 10000 + 0.5) / 10000 AS est_jaccard
+       |  FROM pairs
+       |)
+       |SELECT id_a, id_b, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin
+
+  /** q_dedup_embedding: (id_a, id_b, cosine ≥ 0.25); 8 bands × 8 bits. */
+  def embeddingDedupOracle: String =
+    s"""WITH $hyperplaneCtes, banded AS (
+       |  SELECT id, e, nrm, bi, (sku // power(2.0, 8 * bi)::HUGEINT) % 256::HUGEINT AS key
+       |  FROM hp_sk CROSS JOIN (SELECT unnest(range(8)) AS bi) u
+       |), pairs AS (
+       |  SELECT DISTINCT a.id AS id_a, b2.id AS id_b, a.e AS ea, b2.e AS eb,
+       |    a.nrm AS na, b2.nrm AS nb
+       |  FROM banded a JOIN banded b2
+       |    ON a.bi = b2.bi AND a.key = b2.key AND a.id < b2.id
+       |), scored AS (
+       |  SELECT id_a, id_b,
+       |    round(list_sum(list_transform(generate_series(1, len(ea)), i -> ea[i] * eb[i]))
+       |      / (na * nb), 6) AS cosine
+       |  FROM pairs
+       |)
+       |SELECT id_a, id_b, cosine FROM scored
+       |WHERE cosine >= 0.25 ORDER BY id_a, id_b""".stripMargin
+
+  /** q_ann_lsh: (qid, nid, sim, rnk) — 16 bands × 4 bits, exact rescore, top-3. */
+  def annLshOracle: String =
+    s"""WITH $hyperplaneCtes, banded AS (
+       |  SELECT id, e, nrm, bi, (sku // power(2.0, 4 * bi)::HUGEINT) % 16::HUGEINT AS key
+       |  FROM hp_sk CROSS JOIN (SELECT unnest(range(16)) AS bi) u
+       |), cands AS (
+       |  SELECT DISTINCT q.id AS qid, c.id AS nid, q.e AS qe, c.e AS ce,
+       |    q.nrm AS qn, c.nrm AS cn
+       |  FROM banded q JOIN banded c
+       |    ON q.bi = c.bi AND q.key = c.key AND q.id < 5 AND q.id <> c.id
+       |), scored AS (
+       |  SELECT qid, nid,
+       |    list_sum(list_transform(generate_series(1, len(qe)), i -> qe[i] * ce[i]))
+       |      / (qn * cn) AS sim
+       |  FROM cands
+       |), ranked AS (
+       |  SELECT qid, nid, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk
+       |  FROM scored
+       |)
+       |SELECT qid, nid, round(sim, 6) AS sim, rnk
+       |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q_doc_winnow" -> winnowOracle,
+    "q_doc_langid" -> langidOracle,
+    "q_dedup_simhash" -> simhashDedupOracle,
+    "q_dedup_minhash_lsh" -> minhashLshOracle,
+    "q_dedup_embedding" -> embeddingDedupOracle,
+    "q_ann_lsh" -> annLshOracle)
+}
