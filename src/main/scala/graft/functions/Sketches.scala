@@ -50,6 +50,20 @@ object Sketches {
   private[graft] def hashString(s: String, seed: Long): Long =
     hashBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), seed)
 
+  /** splitmix64 of a long column — the engine's canonical deterministic
+    * hash for sampling/partitioning decisions that must be reproducible
+    * across engines (unlike xxhash64, whose exact constants are Spark's).
+    */
+  case class SplitMix64Expr(child: Expression) extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(splitmix64(input.asInstanceOf[Long]))
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "splitmix64"
+  }
+
+  def splitmixLong(c: Column): Column = toColumn(SplitMix64Expr(exprOf(c)))
+
   private[graft] def wordShingles(text: String, n: Int): Array[String] = {
     val words = text.trim.split("\\s+").filter(_.nonEmpty)
     if (words.length == 0) Array.empty

@@ -84,28 +84,39 @@ object SimilaritySearch {
   }
 
   /** Train IVF centroids with Lloyd iterations expressed as DataFrame
-    * aggregations (map-side partial means; one shuffle of `nCells` rows
-    * per iteration — never the corpus). Initial centroids are a
-    * deterministic hash-sample of the corpus.
+    * aggregations (one shuffle of `nCells`·dim rows per iteration — never
+    * the corpus). Initial centroids are a deterministic hash-sample of
+    * the corpus (splitmix64 of the id); per-dimension means fold member
+    * values in id order, so the trained centroids are BIT-DETERMINISTIC —
+    * retries, re-runs, and independent engines (the DuckDB gate oracle)
+    * produce identical doubles, which a parallel `avg` (merge-order-
+    * dependent float addition) cannot guarantee. Centroid training at
+    * corpus scale runs on a sample anyway; determinism is worth the
+    * per-cell value list.
     */
   def trainCentroids(
       corpus: DataFrame, vecCol: String, idCol: String,
       nCells: Int, iterations: Int = 2): DataFrame = {
     val c = prep(corpus, vecCol, idCol)
-    // Deterministic init: the nCells rows with smallest xxhash64(id).
-    var centroids = c.withColumn("hk", xxhash64(col("id")))
+    // Deterministic init: the nCells rows with smallest splitmix64(id),
+    // cell ids assigned in hash order (the frame is nCells rows — the
+    // single-partition window is driver-sized, not corpus-sized).
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("hk"))
+    var centroids = c.withColumn("hk", Sketches.splitmixLong(col("id")))
       .orderBy(col("hk")).limit(nCells)
-      .select(monotonically_increasing_id().as("cell"), col("e").as("ce"))
+      .withColumn("cell", row_number().over(w).cast("long") - 1L)
+      .select(col("cell"), col("e").as("ce"))
     var iter = 0
     while (iter < iterations) {
       val assigned = assignCells(c, centroids)
-      // element-wise mean via posexplode → (cell, dim) partial avgs →
-      // re-assemble: agg state stays bounded per (cell, dim), no whole
-      // vectors buffered (the collect_list holds n_dims scalars per cell)
       centroids = assigned
-        .select(col("cell"), posexplode(col("e")).as(Seq("dim", "v")))
+        .select(col("cell"), col("id"), posexplode(col("e")).as(Seq("dim", "v")))
         .groupBy(col("cell"), col("dim"))
-        .agg(avg(col("v")).as("m"))
+        .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("vs"),
+          count(lit(1)).as("n"))
+        .select(col("cell"), col("dim"),
+          (aggregate(col("vs"), lit(0.0), (acc, x) => acc + x.getField("v")) / col("n"))
+            .as("m"))
         .groupBy(col("cell"))
         .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
         .select(col("cell"), transform(col("dm"), x => x.getField("m")).as("ce"))

@@ -86,11 +86,15 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
-    // ANALYZE-style one-pass statistics (rows-only: approx_ndv is a KMV
-    // estimate — order-invariant and deterministic, but not ANSI-SQL
-    // expressible).
+    // ANALYZE-style one-pass statistics. The money column is projected to
+    // its natural DECIMAL(18,2) type (the reference's explicit
+    // precision/scale discipline) — which also makes the KMV hash input
+    // (the plain decimal string) engine-independent, so the DuckDB oracle
+    // reproduces approx_ndv exactly.
     "q_corpus_stats" -> ((s, dir) => {
-      graft.operators.CorpusStats.collect(Tables.load(s, dir, "orders"))
+      graft.operators.CorpusStats.collect(
+        Tables.load(s, dir, "orders").withColumn("o_totalprice",
+          col("o_totalprice").cast(org.apache.spark.sql.types.DecimalType(18, 2))))
         .orderBy(col("column"))
     }),
 

@@ -140,7 +140,9 @@ object SketchOracleSql {
     }.mkString("(", " + ", ")")
     val withTail = s"SELECT *, $tailTerms AS ${pfx}tl FROM ($afterBlocks)"
     val fin = smCols(withTail, xor64(s"${pfx}h$maxB", s"${pfx}tl"), s"${pfx}f", s"${pfx}z")
-    s"SELECT ${keep.mkString(", ")}, CASE WHEN ${pfx}n > ${maxB * 8} THEN NULL ELSE ${pfx}f END AS $out FROM ($fin)"
+    val keepCols = if (keep.isEmpty) "" else keep.mkString(", ") + ", "
+    s"SELECT $keepCols" +
+      s"CASE WHEN ${pfx}n > ${maxB * 8} THEN NULL ELSE ${pfx}f END AS $out FROM ($fin)"
   }
 
   /** DuckDB 1.x parallelizes by source morsels, so a pipeline rooted at a
@@ -404,7 +406,112 @@ object SketchOracleSql {
        |SELECT qid, nid, round(sim, 6) AS sim, rnk
        |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
 
+  /** q_ann_ivf: (qid, nid, sim, rnk) — full IVF-Flat replication: init
+    * centroids = 8 smallest splitmix64(id), two Lloyd iterations with
+    * id-ordered mean folds, nearest-cell assignment by (d2, cell), 3
+    * probed cells per query (vec_id < 5), exact cosine top-3. Every
+    * double on both sides is an identically-ordered fold, so the whole
+    * training loop is bit-reproducible across engines.
+    */
+  def annIvfOracle: String = {
+    def d2(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, len($a)), di -> (($a)[di] - ($b)[di]) * (($a)[di] - ($b)[di])))"
+    def assign(src: String, cent: String) =
+      s"""SELECT id, e, cell FROM (
+         |  SELECT p.id, p.e, c.cell,
+         |    row_number() OVER (PARTITION BY p.id ORDER BY ${d2("p.e", "c.ce")}, c.cell) AS rn
+         |  FROM $src p CROSS JOIN $cent c
+         |) WHERE rn = 1""".stripMargin
+    def means(a: String) =
+      s"""SELECT cell, list(m ORDER BY dim) AS ce FROM (
+         |  SELECT cell, dim, list_sum(list(v ORDER BY id)) / count(*) AS m FROM (
+         |    SELECT cell, id, unnest(range(1, len(e) + 1)) AS dim, unnest(e) AS v FROM $a
+         |  ) GROUP BY cell, dim
+         |) GROUP BY cell""".stripMargin
+    s"""WITH iv_prep AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e,
+       |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+       |  FROM embeddings
+       |), iv_cent0 AS (
+       |  SELECT row_number() OVER (ORDER BY hk) - 1 AS cell, e AS ce FROM (
+       |    SELECT ${sx(splitmix(ux("id")))} AS hk, e FROM iv_prep ORDER BY hk LIMIT 8)
+       |), iv_a1 AS (${assign("iv_prep", "iv_cent0")}
+       |), iv_cent1 AS (${means("iv_a1")}
+       |), iv_a2 AS (${assign("iv_prep", "iv_cent1")}
+       |), iv_cent2 AS MATERIALIZED (${means("iv_a2")}
+       |), iv_af AS (${assign("iv_prep", "iv_cent2")}
+       |), iv_probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.id AS qid, c.cell,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY ${d2("q.e", "c.ce")}, c.cell) AS rn
+       |    FROM (SELECT id, e FROM iv_prep WHERE id < 5) q CROSS JOIN iv_cent2 c
+       |  ) WHERE rn <= 3
+       |), iv_scored AS (
+       |  SELECT p.qid, a.id AS nid,
+       |    list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * a.e[i]))
+       |      / (q.nrm * a.nrm) AS sim
+       |  FROM iv_probes p
+       |  JOIN (SELECT af.id, af.e, af.cell, pr.nrm FROM iv_af af JOIN iv_prep pr ON af.id = pr.id) a
+       |    ON p.cell = a.cell
+       |  JOIN iv_prep q ON p.qid = q.id
+       |  WHERE p.qid <> a.id
+       |), iv_ranked AS (
+       |  SELECT qid, nid, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk
+       |  FROM iv_scored
+       |)
+       |SELECT qid, nid, round(sim, 6) AS sim, rnk
+       |FROM iv_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+  }
+
+  /** q_corpus_stats: per-column (column, n_rows, n_nulls, approx_ndv,
+    * min_str, max_str) over orders (o_totalprice projected to
+    * DECIMAL(18,2) by the gate query). approx_ndv mirrors KmvDistinct:
+    * k=1024 smallest distinct hashes in UNSIGNED order, exact below k,
+    * else round(1023 / u(kth)).
+    */
+  def corpusStatsOracle: String = {
+    val kmvSeed = 0x9747b28cL
+    // per column: a relation of DISTINCT hashes (u64) of non-null values
+    def dhLong(c: String, v: String) =
+      s"SELECT DISTINCT ${splitmix(ux(v))} AS h FROM orders WHERE $c IS NOT NULL"
+    def dhStr(c: String, v: String, pfx: String) =
+      s"SELECT DISTINCT h FROM (${hashStrCols(
+        s"SELECT $v AS sval FROM orders WHERE $c IS NOT NULL", "sval", kmvSeed, 4, "h", pfx, Seq())})"
+    val cols: Seq[(String, String)] = Seq(
+      "o_orderkey" -> dhLong("o_orderkey", "o_orderkey"),
+      "o_custkey" -> dhLong("o_custkey", "o_custkey"),
+      "o_orderstatus" -> dhStr("o_orderstatus", "o_orderstatus", "kst"),
+      "o_totalprice" -> dhStr("o_totalprice", "(o_totalprice::DECIMAL(18,2))::VARCHAR", "ktp"),
+      "o_orderdate" -> dhLong("o_orderdate", "epoch_us(o_orderdate)"),
+      "o_orderpriority" -> dhStr("o_orderpriority", "o_orderpriority", "kpr"))
+    val ctes = cols.map { case (c, dh) => s"dh_$c AS ($dh)" }.mkString(", ")
+    // math.round((k-1)/max(u, MinPositiveValue)) with u = (kth >>> 11)/2^53
+    def ndv(c: String) =
+      s"""(SELECT CASE WHEN (SELECT count(*) FROM dh_$c) < 1024
+         |  THEN (SELECT count(*) FROM dh_$c)
+         |  ELSE (SELECT CAST(floor(1023.0 / greatest((h // 2048::HUGEINT)::DOUBLE / 9007199254740992.0, 4.9e-324) + 0.5) AS BIGINT)
+         |        FROM dh_$c ORDER BY h LIMIT 1 OFFSET 1023)
+         |  END)""".stripMargin
+    def minmax(c: String) = c match {
+      case "o_totalprice" =>
+        (s"(SELECT min(o_totalprice::DECIMAL(18,2))::VARCHAR FROM orders)",
+          s"(SELECT max(o_totalprice::DECIMAL(18,2))::VARCHAR FROM orders)")
+      case _ => (s"(SELECT min($c)::VARCHAR FROM orders)", s"(SELECT max($c)::VARCHAR FROM orders)")
+    }
+    val rows = cols.map { case (c, _) =>
+      val (mn, mx) = minmax(c)
+      s"""SELECT '$c' AS "column", (SELECT count(*) FROM orders) AS n_rows,
+         |  (SELECT count(*) FROM orders WHERE $c IS NULL) AS n_nulls,
+         |  ${ndv(c)} AS approx_ndv, $mn AS min_str, $mx AS max_str""".stripMargin
+    }.mkString("\n(", ")\nUNION ALL\n(", ")")
+    s"""WITH $ctes
+       |SELECT * FROM ($rows) ORDER BY "column"""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_corpus_stats" -> corpusStatsOracle,
+    "q_ann_ivf" -> annIvfOracle,
     "q_doc_winnow" -> winnowOracle,
     "q_doc_langid" -> langidOracle,
     "q_dedup_simhash" -> simhashDedupOracle,

