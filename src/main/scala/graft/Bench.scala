@@ -35,11 +35,23 @@ object Bench {
     }
 
     run("q1_pricing_summary") // warmup (unmeasured)
-    val results = SparkEntry.queries.keys.toSeq.sorted.map(n => n -> run(n))
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // per-query median of `runs` runs (BASELINE.md protocol): robust to a
+    // stray GC/compilation pause landing in one measurement
+    val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
+      val times = (0 until runs).map(_ => run(n)).sorted
+      n -> times(times.length / 2)
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout can be interleaved with sbt/Spark noise — always also write
+    // the line to a file the driver can read verbatim
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    println(line)
+    System.err.println(s"[bench] json written to $outFile")
     spark.stop()
   }
 }

@@ -61,14 +61,20 @@ object VectorExpressions {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val aGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
       val bGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+      // fresh names: two array_dot calls in one codegen function (e.g.
+      // l2Norm(a) alongside arrayDot(a, b)) must not redeclare locals —
+      // a collision aborts whole-stage codegen for the entire plan
+      val n = ctx.freshName("adN")
+      val s = ctx.freshName("adS")
+      val i = ctx.freshName("adI")
       nullSafeCodeGen(ctx, ev, (a, b) => {
         s"""
-           |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-           |double s = 0.0;
-           |for (int i = 0; i < n; i++) {
-           |  s += (double) $a.$aGet(i) * (double) $b.$bGet(i);
+           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |double $s = 0.0;
+           |for (int $i = 0; $i < $n; $i++) {
+           |  $s += (double) $a.$aGet($i) * (double) $b.$bGet($i);
            |}
-           |${ev.value} = s;
+           |${ev.value} = $s;
          """.stripMargin
       })
     }
