@@ -51,14 +51,16 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
-    // --- multimodal plumbing (deterministic fake codec ⇒ oracle-able) ---
+    // --- multimodal: REAL javax.imageio decode of generated PNGs; the
+    // oracle predicts metadata from the generation parameters (n_bytes is
+    // the PNG encoder's output size — proven in MultimodalSpec, not
+    // SQL-predictable) ---
     "q_multimodal_meta" -> ((s, dir) => {
-      val docs = Multimodal.withBinaryPayload(
-        Tables.load(s, dir, "documents"), "text")
+      val docs = Multimodal.withPngPayload(
+        Tables.load(s, dir, "documents"), "doc_id")
       Multimodal.decodeMeta(docs, "payload")
         .select(col("doc_id"), col("media.format").as("format"),
-          col("media.width").as("width"), col("media.height").as("height"),
-          col("media.n_bytes").as("n_bytes"))
+          col("media.width").as("width"), col("media.height").as("height"))
         .orderBy(col("doc_id"))
     }),
     "q_multimodal_frames" -> ((s, dir) => {
@@ -165,12 +167,9 @@ object PipelineQueries {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_multimodal_meta" ->
-      """SELECT doc_id,
-        |  CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'png'
-        |       WHEN 1 THEN 'jpeg' ELSE 'webp' END AS format,
-        |  CAST(octet_length(encode(text)) % 640 + 1 AS INT) AS width,
-        |  CAST(octet_length(encode(text)) % 480 + 1 AS INT) AS height,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      """SELECT doc_id, 'png' AS format,
+        |  CAST(doc_id % 64 + 1 AS INT) AS width,
+        |  CAST(doc_id % 48 + 1 AS INT) AS height
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
 

@@ -29,6 +29,32 @@ class MultimodalSpec extends SparkSpec {
     assert(got.forall(_ == 64 * 32 / 64))
   }
 
+  test("real PNG payloads decode through javax.imageio with true properties") {
+    val png = Multimodal.withPngPayload(docs.select("doc_id"), "doc_id")
+    val got = Multimodal.decodeMeta(png, "payload")
+      .select(col("doc_id"), col("media.format"), col("media.width"),
+        col("media.height"), col("media.n_bytes"), length(col("payload")))
+      .orderBy("doc_id").collect()
+    got.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getString(1) == "png")
+      assert(r.getInt(2) == (id % 64).toInt + 1, s"width for id=$id")
+      assert(r.getInt(3) == (id % 48).toInt + 1, s"height for id=$id")
+      assert(r.getLong(4) == r.getInt(5).toLong, "n_bytes is the true payload size")
+      // true PNG: magic bytes present
+    }
+    val bytes = png.select(col("payload")).limit(1).collect()(0).getAs[Array[Byte]](0)
+    assert(bytes.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte))
+  }
+
+  test("resize of a real image is a real scaled image (decodes to the target size)") {
+    val png = Multimodal.withPngPayload(docs.select("doc_id"), "doc_id")
+    val resized = Multimodal.resize(png, "payload", 16, 12)
+    val metas = Multimodal.decodeMeta(resized, "payload")
+      .select(col("media.format"), col("media.width"), col("media.height")).collect()
+    assert(metas.forall(r => r.getString(0) == "png" && r.getInt(1) == 16 && r.getInt(2) == 12))
+  }
+
   test("sampleFrames explodes n frames per document") {
     val got = Multimodal.sampleFrames(withPayload, "payload", framesPerDoc = 4)
       .groupBy("doc_id").count().orderBy("doc_id").collect()
