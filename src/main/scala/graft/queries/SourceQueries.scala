@@ -58,6 +58,33 @@ object SourceQueries {
           |ORDER BY w_start, event_type""".stripMargin)
     }),
 
+    // The reference's pure-SQL streaming-table surface
+    // (emr-baseline-testing/queries/q3.sql:12-21 shape): CREATE TABLE ...
+    // USING <source> OPTIONS(..., output.mode), SET query name +
+    // checkpoint, INSERT INTO driving a Structured Streaming query — the
+    // whole job is SQL text. The sink is then read back for the oracle.
+    "q_sql_stream_insert" -> ((s, dir) => {
+      val uid = java.util.UUID.randomUUID().toString.replace("-", "")
+      val sink = s"/tmp/graft_sqlsink_$uid/t"
+      val ckpt = s"/tmp/graft_sqlck_$uid"
+      graft.streaming.GraftSql.runScript(s,
+        s"""DROP TABLE IF EXISTS g_stream_events;
+           |CREATE TABLE g_stream_events
+           |USING log OPTIONS (path '$dir/events.parquet');
+           |DROP TABLE IF EXISTS g_stream_sink;
+           |CREATE TABLE g_stream_sink
+           |USING kv OPTIONS (
+           |  path '$sink',
+           |  output.mode 'complete',
+           |  catalog '{"columns": {"event_type": {"type": "string"}, "n": {"type": "long"}, "sum_value": {"type": "double"}}}');
+           |SET streaming.query.name=g_sql_job;
+           |SET spark.sql.streaming.checkpointLocation.g_sql_job=$ckpt;
+           |INSERT INTO g_stream_sink
+           |SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+           |FROM g_stream_events GROUP BY event_type""".stripMargin)
+      s.read.format("kv").option("path", sink).load().orderBy(col("event_type"))
+    }),
+
     // T1/T2 + U1: deterministic changelog derived from orders → cdc batch
     // read → applyChanges (PUT/UPDATE upsert, column-op resolution, DELETE
     // retirement). The oracle reproduces the change algebra in SQL.
@@ -133,6 +160,11 @@ object SourceQueries {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_sql_stream_insert" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM events
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_cdc_apply" ->
       """SELECT o_orderkey AS pk, o_custkey AS custkey, o_orderstatus AS status,

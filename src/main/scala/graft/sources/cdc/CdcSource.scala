@@ -64,6 +64,7 @@ class CdcTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
 
   override def name(): String = s"cdc:$path"
   override def schema(): StructType = tableSchema
+  override def properties(): util.Map[String, String] = options.asCaseSensitiveMap()
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
 
@@ -134,9 +135,17 @@ class CdcScan(path: String, schema: StructType, options: CaseInsensitiveStringMa
 
 class CdcMicroBatchStream(path: String, schema: StructType,
     options: CaseInsensitiveStringMap)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  private def files: Seq[Path] = ParquetIO.listFiles(path)
+  // Trigger.AvailableNow boundary: changelog files present at query start
+  private var fixedFiles: Option[Seq[Path]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    fixedFiles = Some(ParquetIO.listFiles(path))
+
+  private def files: Seq[Path] = fixedFiles.getOrElse(ParquetIO.listFiles(path))
+
+  override def reportLatestOffset(): Offset = CdcOffsetV(files.length.toLong)
 
   override def getDefaultReadLimit: ReadLimit =
     Option(options.get("maxFilesPerTrigger"))

@@ -105,6 +105,7 @@ class KvTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
 
   override def name(): String = s"kv:$tablePath"
   override def schema(): StructType = tableSchema
+  override def properties(): util.Map[String, String] = options.asCaseSensitiveMap()
   override def capabilities(): util.Set[TableCapability] = {
     import TableCapability._
     util.EnumSet.of(BATCH_READ, BATCH_WRITE, TRUNCATE, STREAMING_WRITE)
@@ -263,7 +264,8 @@ class KvWriteBuilder(path: String, schema: StructType, primaryKeys: Seq[String])
         s"primary key column $pk missing from write schema ${schema.simpleString}")
     }
     override def toBatch: BatchWrite = new KvBatchWrite(path, schema, truncateFirst)
-    override def toStreaming: StreamingWrite = new KvStreamingWrite(path, schema)
+    override def toStreaming: StreamingWrite =
+      new KvStreamingWrite(path, schema, truncatePerEpoch = truncateFirst)
   }
 }
 
@@ -302,7 +304,8 @@ class KvDataWriter(file: String, schema: StructType) extends DataWriter[Internal
   * rewrites identical files instead of duplicating; the commit marker
   * makes replays observable.
   */
-class KvStreamingWrite(path: String, schema: StructType) extends StreamingWrite {
+class KvStreamingWrite(path: String, schema: StructType,
+    truncatePerEpoch: Boolean = false) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     KvStreamingWriterFactory(path, schema)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
@@ -311,6 +314,16 @@ class KvStreamingWrite(path: String, schema: StructType) extends StreamingWrite 
     fs.mkdirs(markers)
     val marker = new Path(markers, epochId.toString)
     if (!fs.exists(marker)) fs.create(marker).close() // replay ⇒ marker exists ⇒ skip
+    // Complete output mode: each epoch carries the full result — retire
+    // every other epoch's files so the table reads as the latest image
+    // (idempotent across replays: re-truncating is a no-op).
+    if (truncatePerEpoch) {
+      ParquetIO.listFiles(path)
+        .filter { f =>
+          f.getName.startsWith("epoch-") && !f.getName.startsWith(s"epoch-$epochId-")
+        }
+        .foreach(f => fs.delete(f, false))
+    }
   }
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case KvCommitMessage(files) => files.foreach(ParquetIO.deletePath) }

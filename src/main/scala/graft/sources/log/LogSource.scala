@@ -116,6 +116,7 @@ class LogTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
 
   override def name(): String = s"log:$path"
   override def schema(): StructType = tableSchema
+  override def properties(): util.Map[String, String] = options.asCaseSensitiveMap()
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
       TableCapability.CONTINUOUS_READ)
@@ -164,9 +165,21 @@ case class LogInputPartition(file: String, shard: String, startRow: Long, endRow
 
 class LogMicroBatchStream(path: String, schema: StructType, raw: Boolean,
     options: CaseInsensitiveStringMap)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
-  private def counts: Map[String, Long] = LogSource.shardCounts(path)
+  // Trigger.AvailableNow: fix the end boundary at query start so the
+  // drain terminates even while producers keep appending — AND the
+  // per-trigger rate limit keeps batching the drain (without this, Spark
+  // falls back to one unbounded batch and ignores admission control).
+  private var fixedBoundary: Option[Map[String, Long]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    fixedBoundary = Some(LogSource.shardCounts(path))
+
+  private def counts: Map[String, Long] =
+    fixedBoundary.getOrElse(LogSource.shardCounts(path))
+
+  override def reportLatestOffset(): Offset = LogOffsetV(counts)
 
   override def getDefaultReadLimit: ReadLimit =
     Option(options.get("maxOffsetsPerTrigger"))

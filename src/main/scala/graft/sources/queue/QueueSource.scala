@@ -86,6 +86,7 @@ class QueueTable(options: CaseInsensitiveStringMap) extends Table with SupportsR
   private val path = options.get("path")
   override def name(): String = s"queue:$path"
   override def schema(): StructType = QueueSource.schema
+  override def properties(): java.util.Map[String, String] = options.asCaseSensitiveMap()
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ, TableCapability.BATCH_READ)
 
@@ -105,7 +106,26 @@ class QueueTable(options: CaseInsensitiveStringMap) extends Table with SupportsR
 }
 
 class QueueMicroBatchStream(path: String, options: CaseInsensitiveStringMap)
-    extends MicroBatchStream with SupportsAdmissionControl {
+    extends MicroBatchStream with SupportsAdmissionControl
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  // Trigger.AvailableNow boundary: messages present at query start
+  private var fixedNames: Option[Seq[String]] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    fixedNames = Some(QueueSource.listMessages(path).map(_.getName))
+
+  // live listing, optionally bounded by the AvailableNow start snapshot:
+  // acked (moved) messages drop out of the listing, late arrivals are
+  // excluded by the snapshot — the drain terminates at the boundary
+  private def pendingNames: Seq[String] = {
+    val live = QueueSource.listMessages(path).map(_.getName)
+    fixedNames match {
+      case Some(fixed) =>
+        val f = fixed.toSet
+        live.filter(f)
+      case None => live
+    }
+  }
 
   private val deleteOnAck =
     "delete".equalsIgnoreCase(options.getOrDefault("consumed.action", "archive"))
@@ -127,10 +147,11 @@ class QueueMicroBatchStream(path: String, options: CaseInsensitiveStringMap)
     // pending = present minus the in-flight batch (normally already acked
     // away by commit; the exclusion covers a failed/skipped ack)
     val inFlight = s.batch.toSet
-    val next = QueueSource.listMessages(path).map(_.getName)
-      .filterNot(inFlight).take(budget)
+    val next = pendingNames.filterNot(inFlight).take(budget)
     QueueOffsetV(s.acked + s.batch.length, next)
   }
+
+  override def reportLatestOffset(): Offset = QueueOffsetV(0L, pendingNames)
 
   override def deserializeOffset(json: String): Offset = QueueOffsetV.parse(json)
 

@@ -53,6 +53,12 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
         DelayMarker(exprs.head)
       }))
     ext.injectResolutionRule(_ => RewriteDelayPredicate)
+    // INSERT INTO <table with output.mode> SELECT ... FROM <stream table>
+    // → streaming query (the reference's pure-SQL streaming-table DDL)
+    ext.injectPostHocResolutionRule(session => new Rule[LogicalPlan] {
+      override def apply(plan: LogicalPlan): LogicalPlan =
+        org.apache.spark.sql.graftshim.StreamingInsert.rewrite(session, plan).getOrElse(plan)
+    })
   }
 }
 
