@@ -199,6 +199,32 @@ object KvFilters {
       case other => throw new IllegalStateException(other.toString)
     }
 
+    // IS [NOT] NULL: parquet eq/notEq with a null literal have exactly
+    // these semantics at record level
+    def nullCmp(c: String, wantNull: Boolean): Option[FilterPredicate] = prim(c).map { pt =>
+      pt.getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT64 =>
+          if (wantNull) FilterApi.eq(FilterApi.longColumn(c), null.asInstanceOf[java.lang.Long])
+          else FilterApi.notEq(FilterApi.longColumn(c), null.asInstanceOf[java.lang.Long])
+        case PrimitiveTypeName.INT32 =>
+          if (wantNull) FilterApi.eq(FilterApi.intColumn(c), null.asInstanceOf[java.lang.Integer])
+          else FilterApi.notEq(FilterApi.intColumn(c), null.asInstanceOf[java.lang.Integer])
+        case PrimitiveTypeName.DOUBLE =>
+          if (wantNull) FilterApi.eq(FilterApi.doubleColumn(c), null.asInstanceOf[java.lang.Double])
+          else FilterApi.notEq(FilterApi.doubleColumn(c), null.asInstanceOf[java.lang.Double])
+        case PrimitiveTypeName.FLOAT =>
+          if (wantNull) FilterApi.eq(FilterApi.floatColumn(c), null.asInstanceOf[java.lang.Float])
+          else FilterApi.notEq(FilterApi.floatColumn(c), null.asInstanceOf[java.lang.Float])
+        case PrimitiveTypeName.BOOLEAN =>
+          if (wantNull) FilterApi.eq(FilterApi.booleanColumn(c), null.asInstanceOf[java.lang.Boolean])
+          else FilterApi.notEq(FilterApi.booleanColumn(c), null.asInstanceOf[java.lang.Boolean])
+        case PrimitiveTypeName.BINARY =>
+          if (wantNull) FilterApi.eq(FilterApi.binaryColumn(c), null.asInstanceOf[Binary])
+          else FilterApi.notEq(FilterApi.binaryColumn(c), null.asInstanceOf[Binary])
+        case other => throw new IllegalStateException(other.toString)
+      }
+    }
+
     toNNF(filter) match {
       case And(l, r) =>
         for (cl <- compile(l, schema); cr <- compile(r, schema)) yield FilterApi.and(cl, cr)
@@ -220,7 +246,11 @@ object KvFilters {
         val compiled = vs.toSeq.map(v => pushTs("eq", c, v).orElse(cmp(c, v, eq)))
         if (compiled.forall(_.isDefined)) Some(compiled.flatten.reduce(FilterApi.or))
         else None
-      case _ => None // IsNull/IsNotNull/StartsWith/etc → residual
+      case IsNull(c) => nullCmp(c, wantNull = true)
+      case IsNotNull(c) => nullCmp(c, wantNull = false)
+      case Not(IsNull(c)) => nullCmp(c, wantNull = false)
+      case Not(IsNotNull(c)) => nullCmp(c, wantNull = true)
+      case _ => None // StartsWith/etc → residual
     }
   }
 

@@ -1,0 +1,225 @@
+package graft.sources.kv
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+import org.apache.spark.sql.sources._
+import graft.sources.ParquetIO
+
+/** Secondary "search index" for kv tables — the reference's search-index
+  * compute mode re-expressed storage-side (`TableStoreRelation.scala:
+  * 364-438`, `SearchIndexSuite.scala:69-108`): with an index present the
+  * source *satisfies* eligible pushed filters (they are not reported as
+  * residuals, so Spark plans no re-filter) and negotiates only the true
+  * leftovers back.
+  *
+  * The index is a per-column zone map persisted beside the table
+  * (`_index/zonemap.json`): per (file, row group) the column chunk's
+  * min/max/null-count lifted from parquet footers — built without reading
+  * data pages, O(row groups) small, and used at PLANNING time to drop row
+  * groups before tasks are scheduled (parquet's own stats skipping only
+  * helps after a task has started). Satisfaction is legitimate because
+  * every compiled predicate is exact (KvFilters converts literals
+  * per-operator, including lossy timestamp units) and applied at record
+  * level in the scan.
+  *
+  * Index staleness is safe by construction: files not covered by the map
+  * are never pruned, and filter satisfaction rests on the record-level
+  * predicate, not the map.
+  */
+object KvIndex {
+
+  case class Zone(min: Option[Any], max: Option[Any], nullsOnly: Boolean)
+
+  /** file → per-row-group (startByte → column → zone). */
+  type ZoneMap = Map[String, Map[Long, Map[String, Zone]]]
+
+  private def indexFile(tablePath: String) = new Path(tablePath, "_index/zonemap.json")
+
+  /** Build (or rebuild) the zone-map index for `cols` from parquet
+    * footers only.
+    */
+  def build(tablePath: String, cols: Seq[String]): Unit = {
+    val files = ParquetIO.listFiles(tablePath)
+    val entries = files.map { f =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, ParquetIO.hadoopConf))
+      try {
+        import scala.jdk.CollectionConverters._
+        val groups = reader.getFooter.getBlocks.asScala.map { b =>
+          val byCol = b.getColumns.asScala.flatMap { cc =>
+            val name = cc.getPath.toDotString
+            if (!cols.contains(name)) None
+            else {
+              val st = cc.getStatistics
+              if (st == null || !st.hasNonNullValue) {
+                Some(name -> Zone(None, None, nullsOnly = st != null && st.getNumNulls == b.getRowCount))
+              } else {
+                def widen(v: Any): Option[Any] = v match {
+                  case i: java.lang.Integer => Some(i.longValue())
+                  case l: java.lang.Long => Some(l.longValue())
+                  case fl: java.lang.Float => Some(fl.doubleValue())
+                  case d: java.lang.Double => Some(d.doubleValue())
+                  case _ => None
+                }
+                val (mn, mx) = cc.getPrimitiveType.getPrimitiveTypeName match {
+                  case PrimitiveTypeName.INT64 | PrimitiveTypeName.INT32 |
+                       PrimitiveTypeName.DOUBLE | PrimitiveTypeName.FLOAT =>
+                    (widen(st.genericGetMin), widen(st.genericGetMax))
+                  case PrimitiveTypeName.BINARY =>
+                    (Option[Any](st.minAsString()), Option[Any](st.maxAsString()))
+                  case _ => (None, None)
+                }
+                Some(name -> Zone(mn, mx, nullsOnly = false))
+              }
+            }
+          }.toMap
+          b.getStartingPos -> byCol
+        }.toMap
+        f.toString -> groups
+      } finally reader.close()
+    }.toMap
+    writeJson(tablePath, cols, entries)
+  }
+
+  /** Indexed column names, or empty if no index exists. */
+  def indexedColumns(tablePath: String): Set[String] = readJson(tablePath).map(_._1).getOrElse(Set.empty)
+
+  def zoneMap(tablePath: String): ZoneMap = readJson(tablePath).map(_._2).getOrElse(Map.empty)
+
+  // ---- filter satisfaction ----
+
+  /** Columns a filter references. */
+  def referencedColumns(f: Filter): Set[String] = f.references.toSet
+
+  /** True if the index satisfies `f`: every referenced column is indexed
+    * and the filter compiles to an exact record-level parquet predicate
+    * (checked by the caller via KvFilters). Mirrors the reference's
+    * eligible-operator set (eq/neq/range/in on indexed columns).
+    */
+  def satisfies(f: Filter, indexed: Set[String]): Boolean =
+    indexed.nonEmpty && referencedColumns(f).nonEmpty && referencedColumns(f).subsetOf(indexed)
+
+  // ---- planning-time row-group pruning ----
+
+  /** Can a row group possibly contain a matching record? Conservative
+    * three-valued evaluation against the zone (unknown ⇒ keep).
+    * Timestamp/date columns are left to the record-level filter (their
+    * literals need unit conversion) — zones carry long/double/string.
+    */
+  def mayMatch(f: Filter, zones: Map[String, Zone]): Boolean = {
+    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+      case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
+      case (x: Long, y: Int) => Some(java.lang.Long.compare(x, y.toLong))
+      case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
+      case (x: Double, y: Int) => Some(java.lang.Double.compare(x, y.toDouble))
+      case (x: Double, y: Long) => Some(java.lang.Double.compare(x, y.toDouble))
+      // parquet string stats are unsigned-byte-lexicographic; that equals
+      // String.compareTo only within ASCII — keep (don't prune) otherwise
+      case (x: String, y: String) if x.forall(_ < 128) && y.forall(_ < 128) =>
+        Some(x.compareTo(y))
+      case _ => None
+    }
+    def zone(col: String): Option[Zone] = zones.get(col)
+    def evalLeaf(col: String, v: Any, lo: Boolean, hi: Boolean, eq: Boolean): Boolean =
+      zone(col) match {
+        case Some(Zone(Some(mn), Some(mx), _)) =>
+          (cmp(v, mn), cmp(v, mx)) match {
+            case (Some(cl), Some(ch)) =>
+              // value relative to [mn, mx]: keep if requested region overlaps
+              val canEq = cl >= 0 && ch <= 0
+              val canLt = cl > 0 // some value < v exists (mn < v)
+              val canGt = ch < 0 // some value > v exists (mx > v)
+              (eq && canEq) || (lo && canLt) || (hi && canGt)
+            case _ => true
+          }
+        case Some(Zone(_, _, nullsOnly)) if nullsOnly => false // comparisons never match nulls
+        case _ => true
+      }
+    f match {
+      case And(l, r) => mayMatch(l, zones) && mayMatch(r, zones)
+      case Or(l, r) => mayMatch(l, zones) || mayMatch(r, zones)
+      case EqualTo(c, v) => evalLeaf(c, v, lo = false, hi = false, eq = true)
+      case GreaterThan(c, v) => evalLeaf(c, v, lo = false, hi = true, eq = false)
+      case GreaterThanOrEqual(c, v) => evalLeaf(c, v, lo = false, hi = true, eq = true)
+      case LessThan(c, v) => evalLeaf(c, v, lo = true, hi = false, eq = false)
+      case LessThanOrEqual(c, v) => evalLeaf(c, v, lo = true, hi = false, eq = true)
+      case In(c, vs) => vs.exists(v => evalLeaf(c, v, lo = false, hi = false, eq = true))
+      case _ => true // Not/IsNull/StartsWith/unknown: keep
+    }
+  }
+
+  // ---- persistence (json4s, Spark's bundled JSON) ----
+
+  private def writeJson(tablePath: String, cols: Seq[String], zm: ZoneMap): Unit = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    def zoneJson(z: Zone): org.json4s.JValue =
+      ("min" -> lit(z.min)) ~ ("max" -> lit(z.max)) ~ ("nullsOnly" -> z.nullsOnly)
+    val files: org.json4s.JValue = zm.map { case (f, groups) =>
+      f -> groups.map { case (pos, byCol) =>
+        pos.toString -> byCol.map { case (c, z) => c -> zoneJson(z) }
+      }
+    }
+    val root = ("columns" -> cols) ~ ("files" -> files)
+    val p = indexFile(tablePath)
+    val fs = p.getFileSystem(ParquetIO.hadoopConf)
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(JsonMethods.compact(JsonMethods.render(root))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def lit(v: Option[Any]): org.json4s.JValue = {
+    import org.json4s.JsonDSL._
+    v match {
+      case Some(l: Long) => ("t" -> "l") ~ ("v" -> l)
+      case Some(d: Double) => ("t" -> "d") ~ ("v" -> d)
+      case Some(s: String) => ("t" -> "s") ~ ("v" -> s)
+      case _ => org.json4s.JNull
+    }
+  }
+
+  private def readJson(tablePath: String): Option[(Set[String], ZoneMap)] = {
+    val p = indexFile(tablePath)
+    val fs = p.getFileSystem(ParquetIO.hadoopConf)
+    if (!fs.exists(p)) return None
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val in = fs.open(p)
+    val root = try JsonMethods.parse(new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8)) finally in.close()
+    implicit val fmts: Formats = DefaultFormats
+    def unlit(j: JValue): Option[Any] = j match {
+      case JObject(fields) =>
+        val m = fields.toMap
+        (m.get("t"), m.get("v")) match {
+          case (Some(JString("l")), Some(v)) => Some(v.extract[Long])
+          case (Some(JString("d")), Some(v)) => Some(v.extract[Double])
+          case (Some(JString("s")), Some(JString(s))) => Some(s)
+          case _ => None
+        }
+      case _ => None
+    }
+    val cols = (root \ "columns").extract[Seq[String]].toSet
+    val files = (root \ "files") match {
+      case JObject(fs0) => fs0.map { case (file, groups) =>
+        file -> (groups match {
+          case JObject(gs) => gs.map { case (pos, byCol) =>
+            pos.toLong -> (byCol match {
+              case JObject(cs) => cs.map { case (c, z) =>
+                c -> Zone(unlit(z \ "min"), unlit(z \ "max"),
+                  (z \ "nullsOnly").extractOrElse[Boolean](false))
+              }.toMap
+              case _ => Map.empty[String, Zone]
+            })
+          }.toMap
+          case _ => Map.empty[Long, Map[String, Zone]]
+        })
+      }.toMap
+      case _ => Map.empty[String, Map[Long, Map[String, Zone]]]
+    }
+    Some((cols, files))
+  }
+}

@@ -127,6 +127,7 @@ class KvScanBuilder(path: String, schema: StructType, maxSplitCount: Int, splitS
   private var required: StructType = schema
   private var accepted: Array[Filter] = Array.empty
   private var predicate: Option[FilterPredicate] = None
+  private var satisfied: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val files = ParquetIO.listFiles(path)
@@ -147,11 +148,21 @@ class KvScanBuilder(path: String, schema: StructType, maxSplitCount: Int, splitS
       val (pred, acc) = KvFilters.compileAll(filters.toSeq, common)
       predicate = pred
       accepted = acc.toArray
+      // Search-index mode (reference TableStoreRelation.scala:364-438):
+      // with an index, eligible filters are SATISFIED by the source (the
+      // compiled record-level predicate is exact) and only the true
+      // residuals are negotiated back — Spark plans no re-filter for the
+      // satisfied set.
+      val indexed = KvIndex.indexedColumns(path)
+      if (indexed.nonEmpty) {
+        satisfied = filters.filter { f =>
+          KvIndex.satisfies(f, indexed) && KvFilters.compile(f, common).isDefined
+        }
+      }
     }
-    // Residual contract: report everything back for Spark to re-apply
-    // (matches the reference's unhandledFilters safety net — the pushed
-    // predicate is an IO optimization, not the correctness boundary).
-    filters
+    // everything the index does not satisfy stays residual (the
+    // reference's unhandledFilters safety net)
+    filters.filterNot(satisfied.contains)
   }
   override def pushedFilters(): Array[Filter] = accepted
 
@@ -162,7 +173,7 @@ class KvScanBuilder(path: String, schema: StructType, maxSplitCount: Int, splitS
   }
 
   override def build(): Scan =
-    new KvScan(path, required, predicate, accepted, maxSplitCount, splitSizeMb)
+    new KvScan(path, required, schema, predicate, accepted, maxSplitCount, splitSizeMb)
 }
 
 case class KvChunk(file: String, startByte: Long, endByte: Long, rows: Long)
@@ -173,7 +184,8 @@ case class KvChunk(file: String, startByte: Long, endByte: Long, rows: Long)
   */
 case class KvInputPartition(chunks: Seq[KvChunk]) extends InputPartition
 
-class KvScan(path: String, readSchema: StructType, predicate: Option[FilterPredicate],
+class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
+    predicate: Option[FilterPredicate],
     accepted: Array[Filter], maxSplitCount: Int, splitSizeMb: Long)
     extends Scan with Batch {
 
@@ -185,8 +197,19 @@ class KvScan(path: String, readSchema: StructType, predicate: Option[FilterPredi
 
   override def planInputPartitions(): Array[InputPartition] = {
     val targetBytes = splitSizeMb * 1024L * 1024L
+    // Planning-time zone-map pruning (search-index mode): drop row groups
+    // that cannot match the pushed conjunction BEFORE tasks are scheduled
+    // — parquet's own stats skipping only saves work after a task starts.
+    // Files/groups the index doesn't cover are never pruned.
+    val zoneMap = if (accepted.isEmpty) Map.empty[String, Map[Long, Map[String, KvIndex.Zone]]]
+      else KvIndex.zoneMap(path)
+    def groupMayMatch(file: String, g: ParquetIO.RowGroupInfo): Boolean =
+      zoneMap.get(file).flatMap(_.get(g.startByte)) match {
+        case Some(zones) => accepted.forall(f => KvIndex.mayMatch(f, zones))
+        case None => true
+      }
     val all = ParquetIO.listFiles(path).flatMap { f =>
-      val groups = ParquetIO.footerInfo(f)
+      val groups = ParquetIO.footerInfo(f).filter(g => groupMayMatch(f.toString, g))
       if (groups.isEmpty) Nil
       else {
         // pack contiguous row groups into ~targetBytes chunks
@@ -196,7 +219,9 @@ class KvScan(path: String, readSchema: StructType, predicate: Option[FilterPredi
         var rows = 0L
         var lastEnd = start
         groups.foreach { g =>
-          if (bytes > 0 && bytes + g.totalByteSize > targetBytes) {
+          // break on size AND on discontinuity — a byte range bridging a
+          // zone-pruned group would read it back in
+          if (bytes > 0 && (bytes + g.totalByteSize > targetBytes || g.startByte != lastEnd)) {
             splits += KvChunk(f.toString, start, lastEnd, rows)
             start = g.startByte; bytes = 0L; rows = 0L
           }
@@ -217,11 +242,23 @@ class KvScan(path: String, readSchema: StructType, predicate: Option[FilterPredi
     capped.toArray
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new KvReaderFactory(readSchema, predicate)
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // A pushed record filter evaluates against the PROJECTED record: a
+    // filter column pruned from the projection would read as null and
+    // silently drop every row. Read the union of required + filter
+    // columns, emit only the required ones.
+    val filterCols = accepted.flatMap(_.references).toSet
+    val missing = tableSchema.fields
+      .filter(f => filterCols.contains(f.name) && !readSchema.fieldNames.contains(f.name))
+    val wide = StructType(readSchema.fields ++ missing)
+    val keep = if (missing.isEmpty) None
+      else Some(readSchema.fieldNames.map(wide.fieldNames.indexOf(_)))
+    new KvReaderFactory(wide, keep, predicate)
+  }
 }
 
-class KvReaderFactory(schema: StructType, predicate: Option[FilterPredicate])
+class KvReaderFactory(schema: StructType, keepIdx: Option[Array[Int]],
+    predicate: Option[FilterPredicate])
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val chunks = partition.asInstanceOf[KvInputPartition].chunks.iterator
@@ -240,7 +277,21 @@ class KvReaderFactory(schema: StructType, predicate: Option[FilterPredicate])
         it != null && it.hasNext
       }
       override def next(): Boolean = {
-        if (advance()) { current = it.next(); true } else false
+        if (advance()) {
+          val row = it.next()
+          current = keepIdx match {
+            case None => row
+            case Some(idx) => // project filter-only columns back out
+              val out = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(idx.length)
+              var i = 0
+              while (i < idx.length) {
+                out.update(i, row.get(idx(i), schema(idx(i)).dataType))
+                i += 1
+              }
+              out
+          }
+          true
+        } else false
       }
       override def get(): InternalRow = current
       override def close(): Unit = if (it != null) it.close()
