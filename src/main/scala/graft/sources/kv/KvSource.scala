@@ -119,7 +119,59 @@ class KvTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new KvWriteBuilder(tablePath, info.schema(),
       Option(options.get("primary.keys"))
-        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
+      options.getBoolean("convert.types", false))
+}
+
+/** Opt-in sink type conversion (`convert.types=true`) — the reference's
+  * Loghub producer discipline (`emr-logservice/.../Utils.scala:53-99`):
+  * decimal → double, timestamp/date → epoch milliseconds, primitives
+  * unchanged. Without the option, non-natively-writable types are
+  * rejected (the stricter default).
+  */
+object KvSinkConverter {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  def convertSchema(s: StructType): StructType = StructType(s.map { f =>
+    f.dataType match {
+      case _: DecimalType => f.copy(dataType = DoubleType)
+      case TimestampType | TimestampNTZType => f.copy(dataType = LongType)
+      case DateType => f.copy(dataType = LongType)
+      case _ => f
+    }
+  })
+
+  /** Row converter original-schema → converted-schema, or None if the
+    * schema needs no conversion.
+    */
+  def rowConverter(s: StructType): Option[InternalRow => InternalRow] = {
+    if (s == convertSchema(s)) None
+    else Some { row =>
+      val out = new GenericInternalRow(s.length)
+      var i = 0
+      while (i < s.length) {
+        if (row.isNullAt(i)) out.setNullAt(i)
+        else s(i).dataType match {
+          case d: DecimalType =>
+            out.setDouble(i, row.getDecimal(i, d.precision, d.scale).toDouble)
+          case TimestampType | TimestampNTZType =>
+            out.setLong(i, Math.floorDiv(row.getLong(i), 1000L)) // micros → epoch ms
+          case DateType =>
+            out.setLong(i, row.getInt(i).toLong * 86400000L) // days → UTC midnight ms
+          case LongType => out.setLong(i, row.getLong(i))
+          case IntegerType => out.setInt(i, row.getInt(i))
+          case DoubleType => out.setDouble(i, row.getDouble(i))
+          case FloatType => out.setFloat(i, row.getFloat(i))
+          case BooleanType => out.setBoolean(i, row.getBoolean(i))
+          case StringType => out.update(i, row.getUTF8String(i))
+          case BinaryType => out.update(i, row.getBinary(i))
+          case other => throw new IllegalArgumentException(s"unsupported sink type $other")
+        }
+        i += 1
+      }
+      out
+    }
+  }
 }
 
 class KvScanBuilder(path: String, schema: StructType, maxSplitCount: Int, splitSizeMb: Long)
@@ -303,7 +355,8 @@ class KvReaderFactory(schema: StructType, keepIdx: Option[Array[Int]],
 // Write path
 // ---------------------------------------------------------------------
 
-class KvWriteBuilder(path: String, schema: StructType, primaryKeys: Seq[String])
+class KvWriteBuilder(path: String, inputSchema: StructType, primaryKeys: Seq[String],
+    convertTypes: Boolean = false)
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
@@ -311,39 +364,46 @@ class KvWriteBuilder(path: String, schema: StructType, primaryKeys: Seq[String])
   override def build(): Write = new Write {
     // W1 discipline: primary-key columns must be present in the written schema.
     primaryKeys.foreach { pk =>
-      require(schema.fieldNames.contains(pk),
-        s"primary key column $pk missing from write schema ${schema.simpleString}")
+      require(inputSchema.fieldNames.contains(pk),
+        s"primary key column $pk missing from write schema ${inputSchema.simpleString}")
     }
-    override def toBatch: BatchWrite = new KvBatchWrite(path, schema, truncateFirst)
+    private val conv = if (convertTypes) KvSinkConverter.rowConverter(inputSchema) else None
+    private val schema = if (convertTypes) KvSinkConverter.convertSchema(inputSchema) else inputSchema
+    override def toBatch: BatchWrite = new KvBatchWrite(path, schema, truncateFirst, conv)
     override def toStreaming: StreamingWrite =
-      new KvStreamingWrite(path, schema, truncatePerEpoch = truncateFirst)
+      new KvStreamingWrite(path, schema, truncatePerEpoch = truncateFirst, conv)
   }
 }
 
 case class KvCommitMessage(files: Seq[String]) extends WriterCommitMessage
 
-class KvBatchWrite(path: String, schema: StructType, truncateFirst: Boolean)
+class KvBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
+    conv: Option[InternalRow => InternalRow] = None)
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     if (truncateFirst) ParquetIO.deletePath(path)
     new org.apache.hadoop.fs.Path(path).getFileSystem(ParquetIO.hadoopConf).mkdirs(new Path(path))
-    new KvWriterFactory(path, schema)
+    new KvWriterFactory(path, schema, conv)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case KvCommitMessage(files) => files.foreach(ParquetIO.deletePath) }
 }
 
-class KvWriterFactory(path: String, schema: StructType) extends DataWriterFactory {
+class KvWriterFactory(path: String, schema: StructType,
+    conv: Option[InternalRow => InternalRow] = None) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KvDataWriter(s"$path/part-%05d-%d.parquet".format(partitionId, taskId), schema)
+    new KvDataWriter(s"$path/part-%05d-%d.parquet".format(partitionId, taskId), schema, conv)
 }
 
-class KvDataWriter(file: String, schema: StructType) extends DataWriter[InternalRow] {
+class KvDataWriter(file: String, schema: StructType,
+    conv: Option[InternalRow => InternalRow] = None) extends DataWriter[InternalRow] {
   private val messageType = ParquetIO.toParquetSchema(schema)
   private val writer = ParquetIO.openWriter(new Path(file), schema)
-  override def write(record: InternalRow): Unit =
-    writer.write(ParquetIO.rowToGroup(record, schema, messageType))
+  override def write(record: InternalRow): Unit = {
+    val row = conv.map(_(record)).getOrElse(record)
+    writer.write(ParquetIO.rowToGroup(row, schema, messageType))
+  }
   override def commit(): WriterCommitMessage = { writer.close(); KvCommitMessage(Seq(file)) }
   override def abort(): Unit = { writer.close(); ParquetIO.deletePath(file) }
   override def close(): Unit = ()
@@ -356,9 +416,10 @@ class KvDataWriter(file: String, schema: StructType) extends DataWriter[Internal
   * makes replays observable.
   */
 class KvStreamingWrite(path: String, schema: StructType,
-    truncatePerEpoch: Boolean = false) extends StreamingWrite {
+    truncatePerEpoch: Boolean = false,
+    conv: Option[InternalRow => InternalRow] = None) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    KvStreamingWriterFactory(path, schema)
+    KvStreamingWriterFactory(path, schema, conv)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val markers = new Path(path, "_commits")
     val fs = markers.getFileSystem(ParquetIO.hadoopConf)
@@ -380,10 +441,11 @@ class KvStreamingWrite(path: String, schema: StructType,
     messages.collect { case KvCommitMessage(files) => files.foreach(ParquetIO.deletePath) }
 }
 
-case class KvStreamingWriterFactory(path: String, schema: StructType)
+case class KvStreamingWriterFactory(path: String, schema: StructType,
+    conv: Option[InternalRow => InternalRow] = None)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
     new Path(path).getFileSystem(ParquetIO.hadoopConf).mkdirs(new Path(path))
-    new KvDataWriter(s"$path/epoch-%d-part-%05d.parquet".format(epochId, partitionId), schema)
+    new KvDataWriter(s"$path/epoch-%d-part-%05d.parquet".format(epochId, partitionId), schema, conv)
   }
 }

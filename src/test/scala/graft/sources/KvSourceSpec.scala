@@ -166,6 +166,31 @@ class KvSourceSpec extends SparkSpec {
     assert(err.getMessage.contains("primitive"), err.getMessage)
   }
 
+  test("convert.types sink option: decimal → double, timestamp/date → epoch ms (W3 parity)") {
+    val dir = java.nio.file.Files.createTempDirectory("kvconv").toString + "/t"
+    val df = spark.sql(
+      """SELECT 1L AS k, CAST(12.34 AS DECIMAL(10,2)) AS price,
+        |  TIMESTAMP '2024-03-01 12:00:00.5' AS ts, DATE '2024-03-01' AS d""".stripMargin)
+    df.write.format("kv").option("path", dir).option("convert.types", "true")
+      .mode("append").save()
+    val got = spark.read.format("kv").option("path", dir).load()
+    assert(got.schema("price").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(got.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+    assert(got.schema("d").dataType == org.apache.spark.sql.types.LongType)
+    val r = got.head()
+    assert(r.getAs[Double]("price") == 12.34)
+    // reference semantics: epoch milliseconds (Utils.scala:68-71)
+    assert(r.getAs[Long]("ts") ==
+      java.time.Instant.parse("2024-03-01T12:00:00.500Z").toEpochMilli)
+    assert(r.getAs[Long]("d") ==
+      java.time.LocalDate.parse("2024-03-01").toEpochDay * 86400000L)
+    // without the option the stricter default still writes native types
+    val dir2 = java.nio.file.Files.createTempDirectory("kvconv2").toString + "/t"
+    df.write.format("kv").option("path", dir2).mode("append").save()
+    assert(spark.read.format("kv").option("path", dir2).load()
+      .schema("ts").dataType == org.apache.spark.sql.types.TimestampType)
+  }
+
   test("empty DataFrame write/read round-trip") {
     val dir = java.nio.file.Files.createTempDirectory("kvempty").toString
     Seq((1L, "a")).toDF("k", "name").limit(0)
