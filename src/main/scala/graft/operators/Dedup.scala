@@ -128,17 +128,27 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming").cast("int").as("hamming"))
   }
 
-  /** Exact word-n-gram Jaccard pairs (the small-N / verification path;
-    * same algebra as the q_doc_ngram_jaccard oracle query).
+  /** Exact word-n-gram Jaccard pairs over non-boilerplate shingles.
+    *
+    * A raw shingle self-join emits a row per shared shingle per pair —
+    * quadratic in hot-shingle document frequency, the classic
+    * boilerplate blowup. Shingles with document frequency above
+    * `maxShingleDf` are treated as stopwords (excluded from both the
+    * intersection and the per-doc sizes — well-defined "stopword
+    * shingle" semantics, mirrored exactly by the gate oracle), which
+    * bounds per-shingle join fan-out at maxShingleDf² — the same
+    * discipline as `maxBucket` in the LSH paths.
     */
   def ngramJaccard(
       df: DataFrame,
       textCol: String,
       idCol: String,
       n: Int = 3,
-      minJaccard: Double = 0.2): DataFrame = {
-    val sh = df.select(col(idCol).as("id"),
+      minJaccard: Double = 0.2,
+      maxShingleDf: Int = 10000): DataFrame = {
+    val shRaw = df.select(col(idCol).as("id"),
       explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
+    val sh = capBuckets(shRaw, Seq("shingle"), maxShingleDf)
     val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n_sh"))
     sh.as("a").join(sh.as("b"),
         col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))

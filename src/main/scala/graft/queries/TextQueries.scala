@@ -62,17 +62,24 @@ object TextQueries {
     }),
 
     // Exact n-gram (3-word shingle) Jaccard near-dup pairs: shingle →
-    // explode → self-join on shingle → |A∩B| / (|A|+|B|−|A∩B|). This is
-    // the exact form; Dedup.minHashLsh approximates it with bounded
-    // shuffle at scale.
+    // explode → self-join on shingle → |A∩B| / (|A|+|B|−|A∩B|). Shingles
+    // with document frequency > 100 are dropped as boilerplate stopwords
+    // BEFORE the self-join (bounds per-shingle fan-out at df² — the raw
+    // all-pairs-per-shingle join is quadratic in hot-shingle frequency
+    // and dies on a boilerplate-heavy corpus); the oracle mirrors the cap
+    // exactly. Dedup.minHashLsh approximates the same measure with
+    // bounded shuffle when even df-capped exactness is too much.
     "q_doc_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("words"))
         .filter(size(col("words")) >= 3)
-      val shingles = docs.select(col("doc_id"), explode(
+      val shinglesRaw = docs.select(col("doc_id"), explode(
         transform(sequence(lit(0), size(col("words")) - 3),
           i => concat_ws(" ", slice(col("words"), i + 1, lit(3))))).as("shingle"))
         .distinct()
+      val rare = shinglesRaw.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df")).filter(col("df") <= 100).select("shingle")
+      val shingles = shinglesRaw.join(rare, Seq("shingle"), "left_semi")
       val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
       val common = shingles.as("a")
         .join(shingles.as("b"),
@@ -154,10 +161,14 @@ object TextQueries {
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
         |  WHERE len(string_split(text, ' ')) >= 3
-        |), sh AS (
+        |), sh0 AS (
         |  SELECT DISTINCT doc_id,
         |    words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3] AS shingle
         |  FROM w, unnest(generate_series(0, len(words) - 3)) AS t(i)
+        |), rare AS (
+        |  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 100
+        |), sh AS (
+        |  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)
         |), sizes AS (
         |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
         |), common AS (
