@@ -162,6 +162,37 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** The scale form of exact n-gram Jaccard: MinHash-LSH banding proposes
+    * candidate pairs (bounded shuffle, `maxBucket`-capped — never the
+    * all-pairs-per-shingle join), exact shingle-SET Jaccard verifies each
+    * candidate. Same decision function as [[ngramJaccard]] restricted to
+    * the LSH candidate set; recall is the banding S-curve
+    * ((1/bands)^(1/rows) knee).
+    */
+  def ngramJaccardViaLsh(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      n: Int = 3,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      minJaccard: Double = 0.2,
+      maxBucket: Int = 10000): DataFrame = {
+    val cands = minHashLsh(df, textCol, idCol, numHashes, bands, n,
+      minJaccard = 0.0, maxBucket = maxBucket)
+      .select(col("id_a"), col("id_b"))
+    val sets = df.select(col(idCol).as("id"),
+      TextFunctions.shingles(col(textCol), n).as("ss"))
+    val inter = size(array_intersect(col("sa"), col("sb")))
+    cands
+      .join(sets.select(col("id").as("id_a"), col("ss").as("sa")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("ss").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(inter.cast("double") /
+          (size(col("sa")) + size(col("sb")) - inter), 4).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+  }
+
   /** Connected components over near-duplicate pairs: turns pairwise
     * matches (from minHashLsh / simHash / embeddingCosine) into dedup
     * groups via iterative min-label propagation (the large-star/small-star

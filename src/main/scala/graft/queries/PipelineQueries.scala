@@ -30,6 +30,13 @@ object PipelineQueries {
         maxHamming = 16)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // The composed scale path: LSH candidates, exact shingle-set verify —
+    // what replaces the all-pairs-per-shingle join on a real corpus.
+    "q_dedup_ngram_lsh" -> ((s, dir) => {
+      Dedup.ngramJaccardViaLsh(Tables.load(s, dir, "documents"), "text", "doc_id",
+        numHashes = 64, bands = 16, minJaccard = 0.2)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
     "q_dedup_embedding" -> ((s, dir) => {
       Dedup.embeddingCosine(Tables.load(s, dir, "embeddings"), "embedding",
         "vec_id", minCosine = 0.25)

@@ -406,6 +406,38 @@ object SketchOracleSql {
        |SELECT qid, nid, round(sim, 6) AS sim, rnk
        |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
 
+  /** q_dedup_ngram_lsh: LSH candidates verified by exact shingle-set
+    * Jaccard — candidate pairs from the MinHash bands, exact measure from
+    * TextFunctions.shingles sets (trim-split windows incl. short tails,
+    * distinct).
+    */
+  def ngramViaLshOracle: String = {
+    // TextFunctions.shingles: windows i in 0..max(len-3, 0), each up to 3
+    // words joined by ' ', clipped at the end; distinct
+    val ss = "list_distinct(list_transform(range(greatest(len(words) - 3, 0) + 1), si -> " +
+      "array_to_string(words[(si + 1)::INT : (least(si + 3, len(words)))::INT], ' ')))"
+    s"""WITH $minhashCtes, banded AS (
+       |  SELECT id, b, sig[(4 * b + 1)::INT : (4 * b + 4)::INT] AS key
+       |  FROM mh_sigs CROSS JOIN (SELECT unnest(range(16)) AS b) u
+       |), cpairs AS (
+       |  SELECT DISTINCT a.id AS id_a, b2.id AS id_b
+       |  FROM banded a JOIN banded b2
+       |    ON a.b = b2.b AND a.key = b2.key AND a.id < b2.id
+       |), sets AS MATERIALIZED (
+       |  SELECT doc_id, $ss AS ss
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS words FROM documents)
+       |), scored AS (
+       |  SELECT id_a, id_b,
+       |    round(len(list_intersect(sa.ss, sb.ss))::DOUBLE /
+       |      (len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss))), 4) AS jaccard
+       |  FROM cpairs
+       |  JOIN sets sa ON id_a = sa.doc_id
+       |  JOIN sets sb ON id_b = sb.doc_id
+       |)
+       |SELECT id_a, id_b, jaccard FROM scored
+       |WHERE jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** q_ann_ivf: (qid, nid, sim, rnk) — full IVF-Flat replication: init
     * centroids = 8 smallest splitmix64(id), two Lloyd iterations with
     * id-ordered mean folds, nearest-cell assignment by (d2, cell), 3
@@ -512,6 +544,7 @@ object SketchOracleSql {
   def oracles: Map[String, String] = Map(
     "q_corpus_stats" -> corpusStatsOracle,
     "q_ann_ivf" -> annIvfOracle,
+    "q_dedup_ngram_lsh" -> ngramViaLshOracle,
     "q_doc_winnow" -> winnowOracle,
     "q_doc_langid" -> langidOracle,
     "q_dedup_simhash" -> simhashDedupOracle,

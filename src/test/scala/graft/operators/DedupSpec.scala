@@ -56,6 +56,18 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs(((1L, 4L))) - 7.0 / 9.0) < 1e-3)
   }
 
+  test("ngramJaccardViaLsh: LSH candidates + exact verify agree with the exact path") {
+    // with 16 bands × 4 rows the S-curve knee sits far below J=0.3 —
+    // recall on this fixture is total, so the composed path must equal
+    // the exact all-pairs computation
+    val exact = Dedup.ngramJaccard(docs, "text", "doc_id", minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaLsh = Dedup.ngramJaccardViaLsh(docs, "text", "doc_id",
+      numHashes = 64, bands = 16, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(viaLsh == exact, s"composed path must reproduce exact pairs: $viaLsh vs $exact")
+  }
+
   test("connected components group transitive near-dup pairs") {
     // chain 1-2-3, pair 10-11, isolated edge 20-21; 5 is untouched
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L))
