@@ -85,3 +85,74 @@ object CdcMergeExample {
     spark.stop()
   }
 }
+
+/** A reference-shaped streaming job as pure SQL text — the
+  * `emr-baseline-testing/queries/q3.sql:12-21` contract: CREATE TABLE ...
+  * USING <source> OPTIONS(..., output.mode), SET query name + checkpoint,
+  * INSERT INTO starts the stream.
+  */
+object SqlStreamingJobExample {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .appName("graft-sql-streaming-example")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val src = Files.createTempDirectory("example-sql-src").toString
+    val sink = Files.createTempDirectory("example-sql-sink").toString + "/t"
+    val ckpt = Files.createTempDirectory("example-sql-ck").toString
+    val tmp = Files.createTempDirectory("t").toString
+    (0 until 50).map(i => (i.toLong, s"cat${i % 3}", i * 1.0)).toDF("id", "cat", "v")
+      .coalesce(1).write.format("kv").option("path", tmp).mode("overwrite").save()
+    val p = graft.sources.ParquetIO.listFiles(tmp).head
+    p.getFileSystem(graft.sources.ParquetIO.hadoopConf)
+      .rename(p, new org.apache.hadoop.fs.Path(src, "shard-0.parquet"))
+
+    graft.streaming.GraftSql.runScript(spark,
+      s"""CREATE TABLE example_events USING log OPTIONS (path '$src');
+         |CREATE TABLE example_sink USING kv OPTIONS (path '$sink', output.mode 'complete',
+         |  catalog '{"columns": {"cat": {"type": "string"}, "n": {"type": "long"}, "total": {"type": "double"}}}');
+         |SET streaming.query.name=example_job;
+         |SET spark.sql.streaming.checkpointLocation.example_job=$ckpt;
+         |INSERT INTO example_sink
+         |SELECT cat, count(*) AS n, sum(v) AS total FROM example_events GROUP BY cat""".stripMargin)
+
+    println("=== sink table (complete mode, latest image) ===")
+    spark.read.format("kv").option("path", sink).load().orderBy("cat").show()
+    spark.stop()
+  }
+}
+
+/** Search-index scan mode: build a zone-map index, watch filters become
+  * source-satisfied (no post-scan Filter) and row groups prune at
+  * planning time.
+  */
+object SearchIndexExample {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .appName("graft-search-index-example")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val dir = Files.createTempDirectory("example-idx").toString + "/t"
+    (0 until 4).foreach { part =>
+      (part * 1000 until (part + 1) * 1000).map(i => (i.toLong, s"cat${i % 5}", i * 1.5))
+        .toDF("k", "cat", "v").coalesce(1)
+        .write.format("kv").option("path", dir).mode("append").save()
+    }
+
+    def q = spark.read.format("kv").option("path", dir).load()
+      .filter($"k" >= 1200L && $"k" < 1300L)
+    println("=== plan WITHOUT index (filters residual, re-applied) ===")
+    q.explain()
+    graft.sources.kv.KvIndex.build(dir, Seq("k", "cat"))
+    println("=== plan WITH index (filters satisfied, groups pruned) ===")
+    q.explain()
+    println(s"rows: ${q.count()}")
+    spark.stop()
+  }
+}
