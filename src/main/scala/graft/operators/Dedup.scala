@@ -162,6 +162,45 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Line-level (CCNet-style) dedup: drop every line whose normalized
+    * form (lower + trim) occurs in more than `maxDocFreq` distinct
+    * documents — boilerplate headers/footers/navigation — and rebuild
+    * each document from its surviving lines in order. Blank lines are
+    * structure, not content, and always survive.
+    *
+    * Shape at scale: explode to (doc, line) rows, one partial-aggregable
+    * groupBy on the normalized line for document frequency, one
+    * anti-join, one groupBy(doc) rebuild — no windows, no self-joins.
+    * Grouping keys are the normalized line strings (exact; swap in
+    * `TextFunctions.fingerprint64` keys when line text is too wide to
+    * shuffle at corpus scale).
+    */
+  def dedupLines(
+      df: DataFrame,
+      textCol: String,
+      idCol: String,
+      maxDocFreq: Int = 1,
+      delimiter: String = "\n"): DataFrame = {
+    val lines = df.select(col(idCol).as("__id"),
+      posexplode(split(col(textCol), java.util.regex.Pattern.quote(delimiter)))
+        .as(Seq("__ln", "__line")))
+      .withColumn("__norm", lower(trim(col("__line"))))
+    val hot = lines.where(col("__norm") =!= "")
+      .groupBy(col("__norm"))
+      .agg(countDistinct(col("__id")).as("__df"))
+      .where(col("__df") > maxDocFreq)
+      .select(col("__norm"))
+    val rebuilt = lines.join(hot, Seq("__norm"), "left_anti")
+      .groupBy(col("__id"))
+      .agg(concat_ws(delimiter,
+        transform(sort_array(collect_list(struct(col("__ln"), col("__line")))),
+          x => x.getField("__line"))).as("__text"))
+    df.join(rebuilt, df(idCol) === rebuilt("__id"), "left_outer")
+      .select(df.columns.map { c =>
+        if (c == textCol) coalesce(col("__text"), lit("")).as(textCol) else df(c)
+      }: _*)
+  }
+
   /** The scale form of exact n-gram Jaccard: MinHash-LSH banding proposes
     * candidate pairs (bounded shuffle, `maxBucket`-capped — never the
     * all-pairs-per-shingle join), exact shingle-SET Jaccard verifies each

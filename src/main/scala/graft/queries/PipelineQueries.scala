@@ -30,6 +30,20 @@ object PipelineQueries {
         maxHamming = 16)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // CCNet-style line-level dedup over a deterministically line-ified
+    // corpus (8-word chunks as lines — the fixture text is single-line):
+    // lines shared across >1 document are dropped as boilerplate, docs
+    // rebuilt from the survivors in order.
+    "q_doc_dedup_lines" -> ((s, dir) => {
+      val words = split(trim(col("text")), "\\s+")
+      val lineified = Tables.load(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", transform(
+          sequence(lit(0), ((size(words) - 1) / lit(8)).cast("int")),
+          ci => concat_ws(" ", slice(words, ci * 8 + 1, lit(8))))).as("text"))
+      Dedup.dedupLines(lineified, "text", "doc_id", maxDocFreq = 1)
+        .orderBy(col("doc_id"))
+    }),
+
     // The composed scale path: LSH candidates, exact shingle-set verify —
     // what replaces the all-pairs-per-shingle join on a real corpus.
     "q_dedup_ngram_lsh" -> ((s, dir) => {
@@ -180,6 +194,27 @@ object PipelineQueries {
         |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens
         |FROM deduped
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_doc_dedup_lines" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS words FROM documents
+        |), lines AS (
+        |  SELECT doc_id, ln,
+        |    array_to_string(words[(8*ln + 1)::INT : (least(8*ln + 8, len(words)))::INT], ' ') AS line
+        |  FROM (SELECT doc_id, words, unnest(range((len(words) - 1) // 8 + 1)) AS ln FROM w)
+        |), hot AS (
+        |  SELECT lower(trim(line)) AS n FROM lines
+        |  WHERE lower(trim(line)) <> ''
+        |  GROUP BY 1 HAVING count(DISTINCT doc_id) > 1
+        |), kept AS (
+        |  SELECT doc_id, ln, line FROM lines
+        |  WHERE lower(trim(line)) = '' OR lower(trim(line)) NOT IN (SELECT n FROM hot)
+        |)
+        |SELECT d.doc_id, coalesce(r.text, '') AS text
+        |FROM documents d LEFT JOIN (
+        |  SELECT doc_id, array_to_string(list(line ORDER BY ln), chr(10)) AS text
+        |  FROM kept GROUP BY doc_id) r USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id, 'png' AS format,

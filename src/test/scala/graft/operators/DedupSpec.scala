@@ -56,6 +56,24 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(pairs(((1L, 4L))) - 7.0 / 9.0) < 1e-3)
   }
 
+  test("dedupLines drops boilerplate lines by document frequency, keeps order and blanks") {
+    val docs2 = Seq(
+      (1L, "COMMON HEADER\nunique alpha\n\nshared tail"),
+      (2L, "common header\nunique beta\nshared tail"),
+      (3L, "Common Header\nunique gamma\nshared tail"),
+      (4L, "totally unique document"))
+      .toDF("doc_id", "text")
+    // header appears in 3 docs (normalized), tail in 3 → both dropped at
+    // maxDocFreq=2; unique lines and the blank line survive in order
+    val got = Dedup.dedupLines(docs2, "text", "doc_id", maxDocFreq = 2)
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(got == Seq("unique alpha\n", "unique beta", "unique gamma", "totally unique document"))
+    // at maxDocFreq=3 nothing is hot → texts unchanged (roundtrip fidelity)
+    val same = Dedup.dedupLines(docs2, "text", "doc_id", maxDocFreq = 3)
+      .orderBy("doc_id").collect().map(_.getString(1)).toSeq
+    assert(same == docs2.orderBy("doc_id").collect().map(_.getString(1)).toSeq)
+  }
+
   test("ngramJaccardViaLsh: LSH candidates + exact verify agree with the exact path") {
     // with 16 bands × 4 rows the S-curve knee sits far below J=0.3 —
     // recall on this fixture is total, so the composed path must equal
