@@ -16,6 +16,29 @@ object ExplainCheck {
       println("  sortmerge joins: " + plan.linesIterator.count(_.contains("SortMergeJoin")))
       println("  wholestage spans: " + plan.linesIterator.count(_.contains("WholeStageCodegen")))
     }
+    // round-2 plan invariants: no Window over corpus-sized inputs in the
+    // dedup/ANN paths (bounded-heap top-k, groupBy+join bucket caps)
+    for (q <- Seq("q_embed_knn", "q_ann_lsh", "q_dedup_minhash_lsh", "q_dedup_embedding")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if !w.child.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.GlobalLimit]) => w
+      }
+      println(s"=== $q === unbounded windows: ${windows.length} (want 0)")
+    }
+    // search-index mode: satisfied filters leave no post-scan Filter
+    val idxDir = java.nio.file.Files.createTempDirectory("explainidx").toString + "/t"
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    (0 until 2000).map(i => (i.toLong, i * 1.5)).toDF("k", "v")
+      .write.format("kv").option("path", idxDir).mode("append").save()
+    graft.sources.kv.KvIndex.build(idxDir, Seq("k"))
+    val idxPlan = spark.read.format("kv").option("path", idxDir).load()
+      .filter(col("k") === 42L).queryExecution.executedPlan
+    val residualFilters = idxPlan.collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    println(s"=== search-index === post-scan filters: ${residualFilters.length} (want 0, index satisfies)")
     spark.stop()
   }
 }

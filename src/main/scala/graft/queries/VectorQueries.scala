@@ -38,23 +38,23 @@ object VectorQueries {
     }),
 
     // Brute-force cosine top-5 for query vectors vec_id < 10: broadcast the
-    // query side, score corpus partitions in place, per-query top-k via a
-    // rank window (at 1000 executors: corpus never moves, no shuffle until
-    // the k·|Q| result rows).
+    // query side, score corpus partitions in place, per-query top-k via
+    // the bounded-heap aggregate (at 1000 executors: corpus never moves,
+    // map-side partials keep 5 rows per query per partition — no window
+    // funneling every candidate through one reducer).
     "q_embed_knn" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val n = emb(s, dir).withColumn("nrm", l2Norm(col("e")))
       val q = n.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
       val c = n.select(col("vec_id").as("nid"), col("e").as("ne"), col("nrm").as("nn"))
-      val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
       broadcast(q).join(c, col("qid") =!= col("nid"))
         .select(col("qid"), col("nid"),
           (arrayDot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim"))
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= 5)
-        .select(col("qid"), col("nid"), round(col("sim"), 6).as("sim"),
-          col("rnk"))
+        .groupBy(col("qid"))
+        .agg(graft.functions.BoundedTopK.topK(struct(col("sim"), col("nid")), 5).as("top"))
+        .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
+        .select(col("qid"), col("s.nid").as("nid"),
+          round(col("s.sim"), 6).as("sim"), (col("pos") + 1).cast("int").as("rnk"))
         .orderBy(col("qid"), col("rnk"))
     }),
 
