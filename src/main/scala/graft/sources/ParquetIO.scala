@@ -33,18 +33,49 @@ object ParquetIO {
   def hadoopConf: Configuration = new Configuration(false)
 
   /** List data files under path (a single parquet file or a directory). */
-  def listFiles(path: String): Seq[Path] = {
+  def listFiles(path: String): Seq[Path] = listFilesStatus(path).map(_._1)
+
+  /** Listing with (path, length, modification time) from ONE namenode
+    * call — the triple is the cache signature for planning metadata (part
+    * files are never modified in place; a rewrite changes len/mtime).
+    */
+  def listFilesStatus(path: String): Seq[(Path, Long, Long)] = {
     val conf = hadoopConf
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) return Seq.empty
-    if (fs.getFileStatus(p).isFile) Seq(p)
+    val st = fs.getFileStatus(p)
+    if (st.isFile) Seq((p, st.getLen, st.getModificationTime))
     else fs.listStatus(p).filter(_.isFile)
-      .map(_.getPath)
-      .filter(n => n.getName.endsWith(".parquet") && !n.getName.startsWith("_") &&
-        !n.getName.startsWith("."))
-      .sortBy(_.toString)
+      .filter { s =>
+        val n = s.getPath.getName
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+      }
+      .map(s => (s.getPath, s.getLen, s.getModificationTime))
+      .sortBy(_._1.toString)
       .toSeq
+  }
+
+  // ---- driver-side planning caches -------------------------------------
+  // A kv/log/cdc query plans by reading per-file footers (row groups,
+  // schemas). Re-reading every footer at every query is O(files) driver
+  // IO — untenable on a many-file table. Footers are immutable for a
+  // given (path, len, mtime), so cache on that signature; bounded by
+  // wholesale clearing (planning metadata is cheap to rebuild).
+  private val footerCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Seq[RowGroupInfo]]()
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), MessageType]()
+  private val MaxCacheEntries = 262144
+
+  def footerInfoCached(file: Path, len: Long, mtime: Long): Seq[RowGroupInfo] = {
+    if (footerCache.size > MaxCacheEntries) footerCache.clear()
+    footerCache.computeIfAbsent((file.toString, len, mtime), _ => footerInfo(file))
+  }
+
+  def fileSchemaCached(file: Path, len: Long, mtime: Long): MessageType = {
+    if (schemaCache.size > MaxCacheEntries) schemaCache.clear()
+    schemaCache.computeIfAbsent((file.toString, len, mtime), _ => fileSchema(file))
   }
 
   /** (rowCount, byte ranges of row groups) from the footer — used for

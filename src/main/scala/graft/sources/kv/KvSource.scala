@@ -182,13 +182,15 @@ class KvScanBuilder(path: String, schema: StructType, maxSplitCount: Int, splitS
   private var satisfied: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val files = ParquetIO.listFiles(path)
+    val files = ParquetIO.listFilesStatus(path)
     if (files.nonEmpty) {
       // compile only against columns present (with identical types) in
       // EVERY file — sparse attribute columns (absent in some files) must
       // not be pushed, or the parquet-side filter would misjudge rows
       // whose file lacks the column; those filters stay residual.
-      val schemas = files.map(ParquetIO.fileSchema)
+      // (footer schemas are signature-cached: one footer read per file
+      // EVER, not per query — the many-file planning cost is the listing)
+      val schemas = files.map { case (f, len, mt) => ParquetIO.fileSchemaCached(f, len, mt) }
       val common = schemas.tail.foldLeft(schemas.head) { (acc, s) =>
         import scala.jdk.CollectionConverters._
         val fields = acc.getFields.asScala.filter { f =>
@@ -260,8 +262,9 @@ class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
         case Some(zones) => accepted.forall(f => KvIndex.mayMatch(f, zones))
         case None => true
       }
-    val all = ParquetIO.listFiles(path).flatMap { f =>
-      val groups = ParquetIO.footerInfo(f).filter(g => groupMayMatch(f.toString, g))
+    val all = ParquetIO.listFilesStatus(path).flatMap { case (f, len, mtime) =>
+      val groups = ParquetIO.footerInfoCached(f, len, mtime)
+        .filter(g => groupMayMatch(f.toString, g))
       if (groups.isEmpty) Nil
       else {
         // pack contiguous row groups into ~targetBytes chunks

@@ -70,7 +70,12 @@ object LogSource {
 
   /** shard name → rows available, from footers (exact, no data IO). */
   def shardCounts(path: String): Map[String, Long] =
-    ParquetIO.listFiles(path).map(f => f.getName -> ParquetIO.rowCount(f)).toMap
+    // signature-cached: a shard's row count is re-read only when the file
+    // grows/changes — per-trigger offset resolution costs one listing,
+    // not O(shards) footer reads
+    ParquetIO.listFilesStatus(path).map { case (f, len, mt) =>
+      f.getName -> ParquetIO.footerInfoCached(f, len, mt).map(_.rowCount).sum
+    }.toMap
 
   /** shard name → full file path. */
   def shardFiles(path: String): Map[String, String] =
