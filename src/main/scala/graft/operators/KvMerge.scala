@@ -28,9 +28,12 @@ import graft.sources.ParquetIO
   * row per primary key (deterministic min over the non-key columns)
   * before applying — two INSERTs of the same new key in one batch must
   * not both survive, and duplicate UPSERT/UPDATE rows would break the
-  * table's key uniqueness. Cross-op conflicts in one batch resolve with
-  * UPSERT/UPDATE winning over DELETE (the batch is a set of operations,
-  * not an ordered log — an ordered changelog goes through Cdc.applyStream).
+  * table's key uniqueness. Cross-op conflicts on one key in one batch
+  * resolve by precedence UPSERT > UPDATE > INSERT > DELETE (the batch is
+  * a set of operations, not an ordered log — an ordered changelog goes
+  * through Cdc.applyStream): a key with both an UPSERT and an UPDATE gets
+  * the UPSERT image only; an INSERT loses to either. Exactly one row per
+  * pk survives, always.
   */
 object KvMerge {
 
@@ -67,11 +70,20 @@ object KvMerge {
     val touchedKeys = data.filter(ops.isin("UPSERT", "UPDATE", "DELETE"))
       .select(pks.map(col): _*).distinct()
     val kept = target.join(touchedKeys, pks, "left_anti")
+    val targetKeys = target.select(pks.map(col): _*)
+    // Cross-op precedence per pk: UPSERT > UPDATE > INSERT. Each lower
+    // tier anti-joins the keys of the tiers above it, so a key claimed by
+    // two op kinds in one batch yields exactly one output row.
     val upserts = dedupPerKey(data.filter(ops === "UPSERT").drop(opCol))
+    val upsertKeys = upserts.select(pks.map(col): _*)
     val updates = dedupPerKey(data.filter(ops === "UPDATE").drop(opCol))
-      .join(target.select(pks.map(col): _*), pks, "left_semi")
+      .join(targetKeys, pks, "left_semi")
+      .join(upsertKeys, pks, "left_anti")
+    // (no INSERT-vs-UPDATE anti-join needed: surviving updates are keys
+    // that exist in the target, and inserts already anti-join the target)
     val inserts = dedupPerKey(data.filter(ops === "INSERT").drop(opCol))
-      .join(target.select(pks.map(col): _*), pks, "left_anti")
+      .join(targetKeys, pks, "left_anti")
+      .join(upsertKeys, pks, "left_anti")
     val result = kept.unionByName(upserts).unionByName(updates).unionByName(inserts)
 
     // materialize to temp, then swap — the read side is lazy, so writing

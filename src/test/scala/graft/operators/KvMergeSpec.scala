@@ -48,6 +48,29 @@ class KvMergeSpec extends SparkSpec {
     assert(spark.read.format("kv").option("path", dir).load().count() == 2)
   }
 
+  test("cross-op same-key conflicts resolve by precedence, one row per pk") {
+    val dir = Files.createTempDirectory("kvmerge5").toString + "/t"
+    Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("k", "name", "v")
+      .write.format("kv").option("path", dir).mode("append").save()
+    val batch = Seq(
+      ("UPSERT", 1L, "up", 10.0),  // existing key: UPSERT beats UPDATE
+      ("UPDATE", 1L, "ud", 11.0),
+      ("INSERT", 5L, "in", 50.0),  // new key: UPSERT beats INSERT
+      ("UPSERT", 5L, "up", 55.0),
+      ("UPDATE", 2L, "ud", 22.0),  // existing key: UPDATE beats INSERT
+      ("INSERT", 2L, "in", 20.0),
+      ("INSERT", 6L, "in", 60.0),  // new key: UPDATE is a no-op, INSERT lands
+      ("UPDATE", 6L, "ud", 66.0))
+      .toDF("op", "k", "name", "v")
+    KvMerge.merge(spark, dir, batch, "op", Seq("k"))
+    val table = spark.read.format("kv").option("path", dir).load()
+    // pk uniqueness: no key appears twice
+    assert(table.groupBy("k").count().filter(col("count") > 1).count() == 0)
+    val got = table.orderBy("k").as[(Long, String, Double)].collect().toSeq
+    assert(got == Seq((1L, "up", 10.0), (2L, "ud", 22.0),
+      (5L, "up", 55.0), (6L, "in", 60.0)))
+  }
+
   test("merge recovers the table from a backup left by a crashed swap") {
     val base = Files.createTempDirectory("kvmerge4").toString
     val dir = base + "/t"
