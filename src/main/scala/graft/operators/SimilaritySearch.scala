@@ -90,13 +90,21 @@ object SimilaritySearch {
     * values in id order, so the trained centroids are BIT-DETERMINISTIC —
     * retries, re-runs, and independent engines (the DuckDB gate oracle)
     * produce identical doubles, which a parallel `avg` (merge-order-
-    * dependent float addition) cannot guarantee. Centroid training at
-    * corpus scale runs on a sample anyway; determinism is worth the
-    * per-cell value list.
+    * dependent float addition) cannot guarantee.
+    *
+    * Training state is BOUNDED: each iteration folds at most
+    * `maxTrainPerCell` members per cell, selected deterministically as
+    * the members with the largest splitmix64(id) (a uniform hash-sample;
+    * ties on the double-rounded hash break on id asc). The selection is
+    * a `BoundedTopK` aggregate — heap of `maxTrainPerCell` rows per cell
+    * per partition, map-side partials — so a skewed corpus with one hot
+    * cell never materializes the cell's membership in any buffer. The
+    * per-(cell,dim) id-ordered fold then sees ≤ maxTrainPerCell values.
     */
   def trainCentroids(
       corpus: DataFrame, vecCol: String, idCol: String,
-      nCells: Int, iterations: Int = 2): DataFrame = {
+      nCells: Int, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384): DataFrame = {
     val c = prep(corpus, vecCol, idCol)
     // Deterministic init: the nCells rows with smallest splitmix64(id),
     // cell ids assigned in hash order (the frame is nCells rows — the
@@ -109,7 +117,16 @@ object SimilaritySearch {
     var iter = 0
     while (iter < iterations) {
       val assigned = assignCells(c, centroids)
-      centroids = assigned
+      // Deterministic per-cell training sample: keep the maxTrainPerCell
+      // members with the largest hash, via the bounded heap (score =
+      // hash as double desc, id asc tiebreak — replayable in the oracle).
+      val picked = assigned
+        .withColumn("hk", Sketches.splitmixLong(col("id")).cast("double"))
+        .groupBy(col("cell"))
+        .agg(BoundedTopK.topK(struct(col("hk"), col("id")), maxTrainPerCell).as("top"))
+        .select(col("cell"), explode(col("top.id")).as("id"))
+      val sampled = assigned.join(picked, Seq("cell", "id"), "left_semi")
+      centroids = sampled
         .select(col("cell"), col("id"), posexplode(col("e")).as(Seq("dim", "v")))
         .groupBy(col("cell"), col("dim"))
         .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("vs"),
@@ -145,8 +162,9 @@ object SimilaritySearch {
   def ivfKnn(
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int,
-      nCells: Int = 16, nProbe: Int = 4, iterations: Int = 2): DataFrame = {
-    val cents = trainCentroids(corpus, vecCol, idCol, nCells, iterations)
+      nCells: Int = 16, nProbe: Int = 4, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384): DataFrame = {
+    val cents = trainCentroids(corpus, vecCol, idCol, nCells, iterations, maxTrainPerCell)
     val assigned = assignCells(prep(corpus, vecCol, idCol), cents)
       .select(col("cell"), col("id").as("nid"), col("e").as("ne"), col("nrm").as("nn"))
     val qPrepped = prep(queries, vecCol, idCol)

@@ -67,8 +67,11 @@ object PipelineQueries {
     }),
     "q_ann_ivf" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
+      // maxTrainPerCell=32 < members-per-cell at sf0.01 — the gate
+      // exercises the bounded hash-sampled training path, not just the
+      // full-membership degenerate case
       SimilaritySearch.ivfKnn(emb, emb.filter(col("vec_id") < 5),
-        "embedding", "vec_id", k = 3, nCells = 8, nProbe = 3)
+        "embedding", "vec_id", k = 3, nCells = 8, nProbe = 3, maxTrainPerCell = 32)
         .orderBy(col("qid"), col("rnk"))
     }),
 

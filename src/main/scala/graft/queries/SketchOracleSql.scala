@@ -440,10 +440,13 @@ object SketchOracleSql {
 
   /** q_ann_ivf: (qid, nid, sim, rnk) — full IVF-Flat replication: init
     * centroids = 8 smallest splitmix64(id), two Lloyd iterations with
-    * id-ordered mean folds, nearest-cell assignment by (d2, cell), 3
-    * probed cells per query (vec_id < 5), exact cosine top-3. Every
-    * double on both sides is an identically-ordered fold, so the whole
-    * training loop is bit-reproducible across engines.
+    * id-ordered mean folds over a deterministic per-cell training sample
+    * (the 32 members with the largest splitmix64(id) cast to double, ties
+    * on id asc — replaying SimilaritySearch.trainCentroids'
+    * maxTrainPerCell BoundedTopK selection), nearest-cell assignment by
+    * (d2, cell), 3 probed cells per query (vec_id < 5), exact cosine
+    * top-3. Every double on both sides is an identically-ordered fold, so
+    * the whole training loop is bit-reproducible across engines.
     */
   def annIvfOracle: String = {
     def d2(a: String, b: String) =
@@ -454,6 +457,15 @@ object SketchOracleSql {
          |    row_number() OVER (PARTITION BY p.id ORDER BY ${d2("p.e", "c.ce")}, c.cell) AS rn
          |  FROM $src p CROSS JOIN $cent c
          |) WHERE rn = 1""".stripMargin
+    // trainCentroids' per-cell sample: top maxTrainPerCell by
+    // CAST(splitmix64(id) AS DOUBLE) desc, id asc (the BoundedTopK order)
+    def sample(a: String, cap: Int) =
+      s"""SELECT id, e, cell FROM (
+         |  SELECT id, e, cell,
+         |    row_number() OVER (PARTITION BY cell
+         |      ORDER BY CAST(${sx(splitmix(ux("id")))} AS DOUBLE) DESC, id) AS srn
+         |  FROM $a
+         |) WHERE srn <= $cap""".stripMargin
     def means(a: String) =
       s"""SELECT cell, list(m ORDER BY dim) AS ce FROM (
          |  SELECT cell, dim, list_sum(list(v ORDER BY id)) / count(*) AS m FROM (
@@ -468,9 +480,11 @@ object SketchOracleSql {
        |  SELECT row_number() OVER (ORDER BY hk) - 1 AS cell, e AS ce FROM (
        |    SELECT ${sx(splitmix(ux("id")))} AS hk, e FROM iv_prep ORDER BY hk LIMIT 8)
        |), iv_a1 AS (${assign("iv_prep", "iv_cent0")}
-       |), iv_cent1 AS (${means("iv_a1")}
+       |), iv_s1 AS (${sample("iv_a1", 32)}
+       |), iv_cent1 AS (${means("iv_s1")}
        |), iv_a2 AS (${assign("iv_prep", "iv_cent1")}
-       |), iv_cent2 AS MATERIALIZED (${means("iv_a2")}
+       |), iv_s2 AS (${sample("iv_a2", 32)}
+       |), iv_cent2 AS MATERIALIZED (${means("iv_s2")}
        |), iv_af AS (${assign("iv_prep", "iv_cent2")}
        |), iv_probes AS (
        |  SELECT qid, cell FROM (

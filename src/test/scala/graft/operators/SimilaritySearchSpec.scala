@@ -56,6 +56,26 @@ class SimilaritySearchSpec extends SparkSpec {
     }
   }
 
+  test("centroid training folds a bounded deterministic sample per cell") {
+    // one hot cell: nCells = 1 puts all 100 members in cell 0; with
+    // maxTrainPerCell = 8 the trained centroid must be the per-dim mean
+    // of exactly the 8 members with the largest splitmix64(id)-as-double
+    // (id asc tiebreak) — never the full membership.
+    val hot = (0 until 100).map(s => (s.toLong, vec(s))).toDF("vec_id", "embedding")
+    val got = SimilaritySearch.trainCentroids(hot, "embedding", "vec_id",
+      nCells = 1, iterations = 1, maxTrainPerCell = 8)
+      .select("ce").as[Seq[Double]].collect()
+    assert(got.length == 1)
+    val sampleIds = (0 until 100)
+      .sortBy(id => (-graft.functions.Sketches.splitmix64(id.toLong).toDouble, id))
+      .take(8)
+    val expected = Seq.tabulate(24) { d =>
+      sampleIds.sorted.map(id => vec(id)(d).toDouble).sum / 8.0
+    }
+    assert(got.head == expected,
+      s"expected mean over hash-sample $sampleIds")
+  }
+
   test("top-k aggregate matches a window row_number under skewed partitioning") {
     // many partitions with uneven candidate counts → exercises partial
     // aggregation + merge of k-sized states
