@@ -14,10 +14,10 @@ import org.apache.spark.sql.types._
   * Image decode/resize is REAL — [[ImageCodec]] uses the JDK's
   * `javax.imageio` (no external dependency): metadata comes from a
   * header-only probe (no pixel decode on the metadata path), resize
-  * re-encodes through `BufferedImage`. [[FakeCodec]] remains only as the
-  * deterministic stand-in for payloads no installed reader recognizes
-  * and for video frame sampling (the JDK ships no video codec) — that is
-  * the remaining stub boundary.
+  * re-encodes through `BufferedImage`. Payloads no installed reader
+  * recognizes yield NULL metadata / null resize output — undecodable
+  * input surfaces as undecodable. [[FakeCodec]] remains only for video
+  * frame sampling (the JDK ships no video codec) — the one stub boundary.
   */
 object Multimodal {
 
@@ -119,23 +119,13 @@ object Multimodal {
   }
 
   /** ======= STUB BOUNDARY =======
-    * Deterministic fake codec for payloads that are NOT readable images
-    * (and for video frame sampling, which the JDK cannot do). Properties
-    * are pure functions of the payload so tests and oracles reproduce.
+    * Deterministic fake frame sampler for video payloads (the JDK ships
+    * no video codec). This is the ONLY fake left: unreadable payloads on
+    * the metadata/resize paths yield null, never invented properties — a
+    * corrupt JPEG in a real pipeline must surface as undecodable, not as
+    * plausible-looking metadata.
     */
   object FakeCodec {
-    def decode(payload: Array[Byte]): (String, Int, Int) = {
-      val n = payload.length
-      val fmt = if (n % 3 == 0) "png" else if (n % 3 == 1) "jpeg" else "webp"
-      val width = (n % 640) + 1
-      val height = (n % 480) + 1
-      (fmt, width, height)
-    }
-    /** "Resize": deterministic resample of the byte stream to w*h/64 bytes. */
-    def resize(payload: Array[Byte], w: Int, h: Int): Array[Byte] = {
-      val outLen = math.max(w * h / 64, 1)
-      Array.tabulate(outLen)(i => payload(i % math.max(payload.length, 1)))
-    }
     /** "Frame sample": split payload into `n` pseudo-frames. */
     def frames(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
       val size = math.max(payload.length / math.max(n, 1), 1)
@@ -180,19 +170,20 @@ object Multimodal {
       // per-partition codec init would go here (expensive for real codecs)
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        val media = if (payload == null) null else {
-          // real header probe first; deterministic fake only for payloads
-          // no reader recognizes (the documented stub boundary)
-          val (fmt, w, h) = ImageCodec.probe(payload).getOrElse(FakeCodec.decode(payload))
-          Row(fmt, w, h, payload.length.toLong)
-        }
+        // unrecognized payload ⇒ null media — never fabricated properties
+        val media = if (payload == null) null
+          else ImageCodec.probe(payload) match {
+            case Some((fmt, w, h)) => Row(fmt, w, h, payload.length.toLong)
+            case None => null
+          }
         Row.fromSeq(r.toSeq :+ media)
       }
     }(enc)
   }
 
   /** Batched resize: constant-size output payloads (e.g. thumbnailing a
-    * 100 TB image corpus). Output column replaces the payload.
+    * 100 TB image corpus). Output column replaces the payload; payloads
+    * that aren't readable images become null (not invented bytes).
     */
   def resize(df: DataFrame, payloadCol: String, w: Int, h: Int): DataFrame = {
     val schema = df.schema
@@ -202,7 +193,7 @@ object Multimodal {
       rows.map { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
         val out = if (payload == null) null
-          else ImageCodec.resize(payload, w, h).getOrElse(FakeCodec.resize(payload, w, h))
+          else ImageCodec.resize(payload, w, h).orNull
         Row.fromSeq(r.toSeq.updated(payloadIdx, out))
       }
     }(enc)

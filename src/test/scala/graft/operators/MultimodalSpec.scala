@@ -14,19 +14,23 @@ class MultimodalSpec extends SparkSpec {
 
   private val withPayload = Multimodal.withBinaryPayload(docs, "text")
 
-  test("decodeMeta emits typed metadata struct and respects nulls") {
-    val got = Multimodal.decodeMeta(withPayload, "payload")
-      .select(col("doc_id"), col("media.format"), col("media.n_bytes"))
-      .orderBy("doc_id").collect()
-    assert(got(0).getString(1) == "png") // 24 bytes % 3 == 0
-    assert(got(0).getLong(2) == 24L)
-    assert(got(2).isNullAt(1) && got(2).isNullAt(2), "null payload → null media")
+  test("decodeMeta yields NULL media for unrecognized payloads — never fabricated properties") {
+    // text bytes and outright garbage are not readable images: metadata
+    // must be null, not invented (a corrupt JPEG in a real pipeline must
+    // surface as undecodable)
+    val garbage = Seq((4L, Array.fill[Byte](64)(0x7f))).toDF("doc_id", "payload")
+    val got = Multimodal.decodeMeta(
+        withPayload.select("doc_id", "payload").unionByName(garbage), "payload")
+      .select(col("doc_id"), col("media")).orderBy("doc_id").collect()
+    assert(got.length == 4)
+    assert(got.forall(_.isNullAt(1)),
+      "unrecognized or null payloads must carry null media")
   }
 
-  test("resize produces width*height/64 byte payloads") {
+  test("resize of an unreadable payload is null, not invented bytes") {
     val got = Multimodal.resize(withPayload.filter(col("doc_id") < 3), "payload", 64, 32)
-      .select(length(col("payload"))).as[Int].collect()
-    assert(got.forall(_ == 64 * 32 / 64))
+      .select(col("payload")).collect()
+    assert(got.forall(_.isNullAt(0)))
   }
 
   test("real PNG payloads decode through javax.imageio with true properties") {
