@@ -162,12 +162,24 @@ object Sketches {
     */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
-  /** 16-bit chunk keys of a SimHash — two docs within Hamming distance 3
-    * of each other share at least one of the 4 chunks (pigeonhole).
+  /** Chunk keys of a 64-bit SimHash: the sketch split into `nChunks`
+    * nearly-equal contiguous bit ranges (the first 64 % nChunks chunks
+    * get the extra bit). Pigeonhole: two sketches within Hamming distance
+    * nChunks - 1 of each other agree on at least one chunk — so banding
+    * with nChunks = maxHamming + 1 gives FULL recall at that radius.
+    * Default 4 × 16-bit chunks (radius 3, Manku et al., WWW'07 layout).
     */
-  def simhashChunks(sim: Column): Column =
-    array((0 until 4).map(i =>
-      shiftrightunsigned(sim, i * 16).bitwiseAND(lit(0xffffL))): _*)
+  def simhashChunks(sim: Column, nChunks: Int = 4): Column = {
+    require(nChunks >= 1 && nChunks <= 64, "nChunks must be in [1,64]")
+    val base = 64 / nChunks
+    val extra = 64 % nChunks
+    val widths = Seq.tabulate(nChunks)(i => if (i < extra) base + 1 else base)
+    val offsets = widths.scanLeft(0)(_ + _)
+    array(Seq.tabulate(nChunks) { i =>
+      val mask = if (widths(i) == 64) -1L else (1L << widths(i)) - 1L
+      shiftrightunsigned(sim, offsets(i)).bitwiseAND(lit(mask))
+    }: _*)
+  }
 
   // ---------------------------------------------------------------------
   // Random-hyperplane LSH (embeddings)

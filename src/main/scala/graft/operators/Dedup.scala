@@ -101,20 +101,37 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
-  /** SimHash near-dup pairs: 64-bit sketch, candidates share one of four
-    * 16-bit chunks (pigeonhole ⇒ full recall for Hamming distance ≤ 3),
-    * then exact Hamming verify.
+  /** SimHash near-dup pairs: 64-bit sketch, candidates banded into
+    * maxHamming + 1 chunks — the pigeonhole guarantees FULL recall at the
+    * requested radius (two sketches within Hamming distance maxHamming
+    * agree on at least one chunk) — then exact Hamming verify. The chunk
+    * count adapts to the radius, so the recall contract holds for any
+    * maxHamming in [0, 63]; more chunks mean shorter keys and more
+    * candidates, bounded per bucket by `maxBucket`.
     */
   def simHash(
       df: DataFrame,
       textCol: String,
       idCol: String,
       maxHamming: Int = 3,
+      maxBucket: Int = 10000): DataFrame =
+    simHashFromSigs(
+      df.select(col(idCol).as("id"), Sketches.simhash64(col(textCol)).as("sim")),
+      maxHamming, maxBucket)
+
+  /** Candidate generation + exact verify from precomputed sketches
+    * (`id`, `sim` 64-bit). Split out so recall can be proven on crafted
+    * sketches with known Hamming distances.
+    */
+  def simHashFromSigs(
+      sigs: DataFrame,
+      maxHamming: Int,
       maxBucket: Int = 10000): DataFrame = {
-    val sigs = df.select(col(idCol).as("id"),
-      Sketches.simhash64(col(textCol)).as("sim"))
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming must be in [0, 63], got $maxHamming")
+    val nChunks = maxHamming + 1
     val chunked = sigs.select(col("id"), col("sim"),
-      posexplode(Sketches.simhashChunks(col("sim"))).as(Seq("chunk", "key")))
+      posexplode(Sketches.simhashChunks(col("sim"), nChunks)).as(Seq("chunk", "key")))
     val bucketed = capBuckets(chunked, Seq("chunk", "key"), maxBucket)
     bucketed.as("a")
       .join(bucketed.as("b"),

@@ -25,9 +25,12 @@ object PipelineQueries {
         numHashes = 64, bands = 16, minJaccard = 0.2)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // maxHamming = 7 bands the sketch into 8 × 8-bit chunks — the
+    // pigeonhole guarantee covers the full requested radius (the gate
+    // exercises the adaptive chunking, not the 4-chunk default)
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simHash(Tables.load(s, dir, "documents"), "text", "doc_id",
-        maxHamming = 16)
+        maxHamming = 7)
         .orderBy(col("id_a"), col("id_b"))
     }),
     // CCNet-style line-level dedup over a deterministically line-ified

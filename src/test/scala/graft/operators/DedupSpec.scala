@@ -47,6 +47,28 @@ class DedupSpec extends SparkSpec {
     assert(!pairSet.exists { case (a, b) => a == 6L || b == 6L })
   }
 
+  test("adaptive banding keeps full recall at the requested hamming radius") {
+    // Hamming-10 pair with the 10 differing bits spread across ALL four
+    // 16-bit quadrants — the fixed 4 × 16-bit banding shares no chunk and
+    // silently misses it (the round-2 recall gap); banding at
+    // maxHamming + 1 = 11 chunks must find it (pigeonhole: 10 diffs
+    // cannot dirty 11 chunks).
+    val a = 0L
+    val b = Seq(0, 1, 2, 16, 17, 18, 32, 33, 34, 48).map(1L << _).reduce(_ | _)
+    assert(java.lang.Long.bitCount(a ^ b) == 10)
+    val sigs = Seq((1L, a), (2L, b)).toDF("id", "sim")
+    // fixed 4-chunk keys: all four differ → no candidate, the pair is lost
+    val keys = sigs.select(graft.functions.Sketches.simhashChunks(col("sim"), 4).as("ks"))
+      .as[Seq[Long]].collect()
+    assert(keys(0).zip(keys(1)).forall { case (x, y) => x != y },
+      "crafted pair must defeat the 4-chunk banding for this test to bite")
+    val got = Dedup.simHashFromSigs(sigs, maxHamming = 10).collect()
+    assert(got.length == 1 && got.head.getAs[Int]("hamming") == 10,
+      s"adaptive banding must recover the hamming-10 pair, got ${got.toSeq}")
+    // and the radius is honored: the same pair is out of budget at 9
+    assert(Dedup.simHashFromSigs(sigs, maxHamming = 9).isEmpty)
+  }
+
   test("ngram jaccard exact pairs match hand-computed values") {
     val pairs = Dedup.ngramJaccard(docs, "text", "doc_id", n = 3, minJaccard = 0.2)
       .collect().map(r => ((r.getAs[Long]("id_a"), r.getAs[Long]("id_b")),
