@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run inherits sbt's own stdout/stderr: program stdout (the
+// Bench/Verify JSON contract lines) reaches the caller bare — no
+// "[info] " logger prefix — and Spark's stderr noise stays on stderr.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// No trailing "[success] Total time ..." after the run: the last stdout
+// line of `sbt "runMain graft.Bench"` is the bare JSON object.
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -45,13 +45,24 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n":$runs,"queries":$qs,"sf":"$sfDir"}"""
     // stdout can be interleaved with sbt/Spark noise — always also write
     // the line to a file the driver can read verbatim
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     println(line)
     System.err.println(s"[bench] json written to $outFile")
+    // Under a non-forked `sbt runMain`, println above goes through sbt's
+    // logger (an "[info] " prefix) and sbt prints "[success] ..." after
+    // the task returns — so the bare JSON object would never be the last
+    // stdout line, and the driver's parser skips it. At JVM exit, write
+    // the bare line straight to file descriptor 1: no logger, no prefix,
+    // after sbt's final output — the last line on stdout is pure JSON.
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      val fd1 = new java.io.FileOutputStream(java.io.FileDescriptor.out)
+      fd1.write((line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      fd1.flush()
+    }))
     spark.stop()
   }
 }
