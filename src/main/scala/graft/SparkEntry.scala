@@ -21,9 +21,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ EventsQueries.defs ++ TextQueries.defs ++
-      VectorQueries.defs ++ PipelineQueries.defs ++ SourceQueries.defs
+      VectorQueries.defs ++ PipelineQueries.defs ++ SourceQueries.defs ++
+      SqlCorpus.defs
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EventsQueries.oracles ++ TextQueries.oracles ++
-      VectorQueries.oracles ++ PipelineQueries.oracles ++ SourceQueries.oracles
+      VectorQueries.oracles ++ PipelineQueries.oracles ++ SourceQueries.oracles ++
+      SqlCorpus.oracles
 }

@@ -85,6 +85,100 @@ object SourceQueries {
       s.read.format("kv").option("path", sink).load().orderBy(col("event_type"))
     }),
 
+    // S1 type fidelity: wide decimal (p>18, FIXED_LEN_BYTE_ARRAY) and
+    // ArrayType columns round-tripped through the kv source — the
+    // reference's richest ODPS type mapping (OdpsUtils.scala:398-457).
+    "q_kv_wide_types" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val staged = s"/tmp/graft_widetypes$safe"
+      if (ParquetIO.listFiles(staged).isEmpty) {
+        graft.Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"), col("l_returnflag"),
+            col("l_extendedprice").cast("decimal(28,4)").as("price_wide"),
+            array(col("l_quantity"), col("l_discount")).as("qd"))
+          .write.format("kv").option("path", staged).mode("overwrite").save()
+      }
+      s.read.format("kv").option("path", staged).load()
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("price_wide")).cast("double").as("sum_price"),
+          round(sum(element_at(col("qd"), 1) * (lit(1) - element_at(col("qd"), 2))), 2)
+            .as("disc_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // T12/T13: queue source end-to-end — one message file per nation row
+    // (producer-chosen names, arbitrary bytes), drained as a streaming
+    // query with Trigger.AvailableNow, acknowledged on commit. The sink
+    // is read back and the payloads parsed for the oracle compare.
+    "q_queue_drain" -> ((s, dir) => {
+      val u = java.util.UUID.randomUUID().toString.replace("-", "")
+      val qdir = s"/tmp/graft_queue_$u"
+      val sink = s"/tmp/graft_queuesink_$u/t"
+      val ckpt = s"/tmp/graft_queueck_$u"
+      val fs = new org.apache.hadoop.fs.Path(qdir).getFileSystem(ParquetIO.hadoopConf)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(qdir))
+      graft.Tables.load(s, dir, "nation")
+        .select(col("n_nationkey"), col("n_name")).collect().foreach { r =>
+          val out = fs.create(new org.apache.hadoop.fs.Path(qdir, s"msg-${r.get(0)}"))
+          out.write(s"${r.get(0)},${r.getString(1)}".getBytes("UTF-8"))
+          out.close()
+        }
+      val q = s.readStream.format("queue").option("path", qdir).load()
+        .select(
+          split(col("payload").cast("string"), ",").getItem(0).cast("long").as("n_nationkey"),
+          split(col("payload").cast("string"), ",").getItem(1).as("n_name"))
+        .writeStream.format("kv").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.format("kv").option("path", sink).load().orderBy(col("n_nationkey"))
+    }),
+
+    // T4/T6: continuous reader end-to-end — long-running per-shard readers
+    // under Trigger.Continuous, stopped once the (bounded) shard set is
+    // fully delivered; the expected row count comes from a batch read of
+    // the same files, so the gate is deterministic.
+    "q_log_continuous" -> ((s, dir) => {
+      val u = java.util.UUID.randomUUID().toString.replace("-", "")
+      val sink = s"/tmp/graft_contsink_$u/t"
+      val ckpt = s"/tmp/graft_contck_$u"
+      val src = s.read.format("log").option("path", s"$dir/events.parquet").load()
+        .filter(col("event_type") === "error")
+      val expected = src.count()
+      val q = s.readStream.format("log").option("path", s"$dir/events.parquet").load()
+        .filter(col("event_type") === "error") // continuous: map-like ops only
+        .select(col("event_id"), col("user_id"), col("value"))
+        .writeStream.format("kv").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.Continuous("200 milliseconds"))
+        .start()
+      // the sink starts empty → give the reads an explicit catalog
+      val cat = """{"columns": {"event_id": {"type": "long"}, "user_id": {"type": "long"}, "value": {"type": "double"}}}"""
+      try {
+        val deadline = System.currentTimeMillis() + 120000
+        while (s.read.format("kv").option("path", sink).option("catalog", cat)
+            .load().count() < expected &&
+          System.currentTimeMillis() < deadline) Thread.sleep(250)
+      } finally q.stop()
+      s.read.format("kv").option("path", sink).option("catalog", cat).load()
+        .orderBy(col("event_id"))
+    }),
+
+    // Merge-on-read CDC: the first two changelog files are compacted into
+    // an immutable base, the third (DELETE batch) stays pending and is
+    // folded at SCAN time — base anti-join touched keys ∪ latest images.
+    // Same oracle algebra as q_cdc_apply, different physical layout: no
+    // per-batch base rewrite (the 100 TB apply path).
+    "q_cdc_merge_read" -> ((s, dir) => {
+      val logDir = cdcLogDir(s, dir)
+      val u = java.util.UUID.randomUUID().toString.replace("-", "")
+      val base = s"/tmp/graft_morbase_$u"
+      Cdc.compact(s, base, logDir, Seq("pk"), uptoFiles = Some(2L))
+      Cdc.mergeOnReadView(s, base, logDir, Seq("pk")).orderBy(col("pk"))
+    }),
+
     // T1/T2 + U1: deterministic changelog derived from orders → cdc batch
     // read → applyChanges (PUT/UPDATE upsert, column-op resolution, DELETE
     // retirement). The oracle reproduces the change algebra in SQL.
@@ -165,6 +259,35 @@ object SourceQueries {
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value
         |FROM events
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // sum(DECIMAL(28,4)) is exact on both engines; its double image is
+    // exact too (unscaled < 2^53), so no rounding is needed on sum_price.
+    "q_kv_wide_types" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28, 4))) AS DOUBLE) AS sum_price,
+        |  round(sum(l_quantity * (1 - l_discount)), 2) AS disc_qty
+        |FROM lineitem
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_queue_drain" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+        |FROM nation ORDER BY 1""".stripMargin,
+
+    "q_log_continuous" ->
+      """SELECT event_id, user_id, value
+        |FROM events
+        |WHERE event_type = 'error'
+        |ORDER BY event_id""".stripMargin,
+
+    "q_cdc_merge_read" ->
+      """SELECT o_orderkey AS pk, o_custkey AS custkey, o_orderstatus AS status,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100
+        |       ELSE o_totalprice END AS totalprice,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |       ELSE o_orderpriority END AS priority
+        |FROM orders
+        |WHERE o_orderkey % 13 <> 0
+        |ORDER BY pk""".stripMargin,
 
     "q_cdc_apply" ->
       """SELECT o_orderkey AS pk, o_custkey AS custkey, o_orderstatus AS status,

@@ -46,14 +46,28 @@ object ParquetIO {
     if (!fs.exists(p)) return Seq.empty
     val st = fs.getFileStatus(p)
     if (st.isFile) Seq((p, st.getLen, st.getModificationTime))
-    else fs.listStatus(p).filter(_.isFile)
-      .filter { s =>
+    else {
+      val entries = fs.listStatus(p).filter(_.isFile)
+      // Streaming-sink epoch files are readable only once their epoch's
+      // commit marker exists — a concurrent reader must not see a file a
+      // continuous/micro-batch writer still has open (zero-length or
+      // footerless). Non-epoch files are always visible.
+      lazy val committedEpochs: Set[String] = {
+        val commits = new Path(p, "_commits")
+        if (fs.exists(commits)) fs.listStatus(commits).map(_.getPath.getName).toSet
+        else Set.empty
+      }
+      entries.filter { s =>
         val n = s.getPath.getName
-        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".")
+        n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
+          s.getLen > 0 &&
+          (!n.startsWith("epoch-") ||
+            committedEpochs.contains(n.stripPrefix("epoch-").takeWhile(_ != '-')))
       }
       .map(s => (s.getPath, s.getLen, s.getModificationTime))
       .sortBy(_._1.toString)
       .toSeq
+    }
   }
 
   // ---- driver-side planning caches -------------------------------------
@@ -122,15 +136,47 @@ object ParquetIO {
         case d: DecimalType if d.precision <= 18 =>
           // INT64-backed decimal (unscaled long) — the reference's decimal
           // discipline requires explicit precision/scale (DatahubData
-          // .scala:97-100); precision >18 would need FIXED_LEN_BYTE_ARRAY
+          // .scala:97-100)
           Types.optional(PrimitiveTypeName.INT64)
             .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision)).named(f.name)
+        case d: DecimalType =>
+          // wide decimal (p > 18): FIXED_LEN_BYTE_ARRAY big-endian
+          // two's-complement unscaled value — parquet's standard encoding,
+          // the reference's full-precision ODPS decimal fidelity
+          // (OdpsUtils.sparkData2OdpsData:398-457)
+          Types.optional(PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY)
+            .length(minBytesForPrecision(d.precision))
+            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision)).named(f.name)
+        case ArrayType(et, _) =>
+          // standard parquet 3-level LIST of a primitive element type
+          val el = et match {
+            case LongType => Types.optionalList().optionalElement(PrimitiveTypeName.INT64)
+            case IntegerType => Types.optionalList().optionalElement(PrimitiveTypeName.INT32)
+            case DoubleType => Types.optionalList().optionalElement(PrimitiveTypeName.DOUBLE)
+            case FloatType => Types.optionalList().optionalElement(PrimitiveTypeName.FLOAT)
+            case BooleanType => Types.optionalList().optionalElement(PrimitiveTypeName.BOOLEAN)
+            case StringType => Types.optionalList().optionalElement(PrimitiveTypeName.BINARY)
+              .as(LogicalTypeAnnotation.stringType())
+            case BinaryType => Types.optionalList().optionalElement(PrimitiveTypeName.BINARY)
+            case other => throw new IllegalArgumentException(
+              s"array element type $other unsupported for ${f.name}")
+          }
+          el.named(f.name)
         case other => throw new IllegalArgumentException(
-          s"kv/log sources support primitive columns only, got $other for ${f.name}")
+          s"unsupported kv/log column type $other for ${f.name}")
       }
       builder.addField(t)
     }
     builder.named(name)
+  }
+
+  /** Smallest byte length whose signed two's-complement range covers
+    * 10^precision - 1 (parquet's FIXED_LEN_BYTE_ARRAY decimal sizing).
+    */
+  def minBytesForPrecision(precision: Int): Int = {
+    var n = 1
+    while (math.pow(2.0, 8 * n - 1) < math.pow(10.0, precision)) n += 1
+    n
   }
 
   /** Projection of the file schema to `columns` (file field types win,
@@ -168,8 +214,10 @@ object ParquetIO {
       if (g.getFieldRepetitionCount(pqIdx) == 0) {
         row.setNullAt(i)
       } else {
-        val pqType = projection.getType(pqIdx).asPrimitiveType()
-        val pqName = pqType.getPrimitiveTypeName
+        val rawType = projection.getType(pqIdx)
+        // LIST columns are group-typed; everything else is primitive
+        val pqName =
+          if (rawType.isPrimitive) rawType.asPrimitiveType().getPrimitiveTypeName else null
         field.dataType match {
           // widening coercions (declared type wider than storage) mirror
           // the reference's row-conversion long/int/float handling
@@ -180,8 +228,15 @@ object ParquetIO {
           case d: DecimalType if pqName == PrimitiveTypeName.INT64 =>
             row.update(i, org.apache.spark.sql.types.Decimal
               .createUnsafe(g.getLong(pqIdx, 0), d.precision, d.scale))
+          case d: DecimalType if pqName == PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY ||
+              pqName == PrimitiveTypeName.BINARY =>
+            // big-endian two's-complement unscaled value (wide decimal)
+            val unscaled = new java.math.BigInteger(g.getBinary(pqIdx, 0).getBytes)
+            row.update(i, org.apache.spark.sql.types.Decimal(
+              scala.math.BigDecimal(scala.math.BigInt(unscaled), d.scale),
+              d.precision, d.scale))
           case d: DecimalType => throw new IllegalArgumentException(
-            s"decimal storage $pqName unsupported (precision ${d.precision}; use <= 18)")
+            s"decimal storage $pqName unsupported for precision ${d.precision}")
           case LongType if pqName == PrimitiveTypeName.INT32 =>
             row.setLong(i, g.getInteger(pqIdx, 0).toLong)
           case LongType => row.setLong(i, g.getLong(pqIdx, 0))
@@ -199,12 +254,37 @@ object ParquetIO {
             row.update(i, UTF8String.fromBytes(g.getBinary(pqIdx, 0).getBytes))
           case BinaryType => row.update(i, g.getBinary(pqIdx, 0).getBytes)
           case TimestampType | TimestampNTZType =>
-            val unit = pqType.getLogicalTypeAnnotation match {
+            val unit = rawType.asPrimitiveType().getLogicalTypeAnnotation match {
               case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => ts.getUnit
               case _ => TimeUnit.MICROS
             }
             row.setLong(i, timestampToMicros(g.getLong(pqIdx, 0), unit))
           case DateType => row.setInt(i, g.getInteger(pqIdx, 0))
+          case ArrayType(et, _) =>
+            // 3-level LIST: outer group → repeated "list" group → element
+            val outer = g.getGroup(pqIdx, 0)
+            val n = outer.getFieldRepetitionCount(0)
+            val values = new Array[Any](n)
+            var j = 0
+            while (j < n) {
+              val el = outer.getGroup(0, j)
+              values(j) =
+                if (el.getFieldRepetitionCount(0) == 0) null
+                else et match {
+                  case LongType => el.getLong(0, 0)
+                  case IntegerType => el.getInteger(0, 0)
+                  case DoubleType => el.getDouble(0, 0)
+                  case FloatType => el.getFloat(0, 0)
+                  case BooleanType => el.getBoolean(0, 0)
+                  case StringType => UTF8String.fromBytes(el.getBinary(0, 0).getBytes)
+                  case BinaryType => el.getBinary(0, 0).getBytes
+                  case other => throw new IllegalArgumentException(
+                    s"array element type $other unsupported")
+                }
+              j += 1
+            }
+            row.update(i,
+              new org.apache.spark.sql.catalyst.util.GenericArrayData(values))
           case other => throw new IllegalArgumentException(s"unsupported type $other")
         }
       }
@@ -297,9 +377,39 @@ object ParquetIO {
           case BinaryType => g.add(name,
             org.apache.parquet.io.api.Binary.fromConstantByteArray(row.getBinary(i)))
           case TimestampType | TimestampNTZType => g.add(name, row.getLong(i)) // micros
-          case d: DecimalType =>
+          case d: DecimalType if d.precision <= 18 =>
             g.add(name, row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
+          case d: DecimalType =>
+            // sign-extended big-endian two's complement at the fixed length
+            val unscaled = row.getDecimal(i, d.precision, d.scale)
+              .toJavaBigDecimal.unscaledValue()
+            val raw = unscaled.toByteArray
+            val n = minBytesForPrecision(d.precision)
+            val out = new Array[Byte](n)
+            if (unscaled.signum() < 0) java.util.Arrays.fill(out, 0, n - raw.length, -1: Byte)
+            System.arraycopy(raw, 0, out, n - raw.length, raw.length)
+            g.add(name, org.apache.parquet.io.api.Binary.fromConstantByteArray(out))
           case DateType => g.add(name, row.getInt(i))
+          case ArrayType(et, _) =>
+            val arr = row.getArray(i)
+            val outer = g.addGroup(name)
+            var j = 0
+            while (j < arr.numElements()) {
+              val el = outer.addGroup(0)
+              if (!arr.isNullAt(j)) et match {
+                case LongType => el.add(0, arr.getLong(j))
+                case IntegerType => el.add(0, arr.getInt(j))
+                case DoubleType => el.add(0, arr.getDouble(j))
+                case FloatType => el.add(0, arr.getFloat(j))
+                case BooleanType => el.add(0, arr.getBoolean(j))
+                case StringType => el.add(0, arr.getUTF8String(j).toString)
+                case BinaryType => el.add(0,
+                  org.apache.parquet.io.api.Binary.fromConstantByteArray(arr.getBinary(j)))
+                case other => throw new IllegalArgumentException(
+                  s"array element type $other unsupported")
+              }
+              j += 1
+            }
           case other => throw new IllegalArgumentException(s"unsupported type $other")
         }
       }

@@ -291,6 +291,97 @@ object Cdc {
       .start()
   }
 
+  // ---- merge-on-read ----------------------------------------------------
+  //
+  // `applyStream`/`KvMerge` are copy-on-write: every micro-batch rewrites
+  // the full target table — correct and crash-safe, but a 100 TB target
+  // cannot absorb a rewrite per batch. The merge-on-read variant keeps the
+  // base table immutable and folds the changelog tail at SCAN time:
+  //
+  //   view = base ⟕anti⟖ keys-touched-since-compaction
+  //          ∪ latest non-DELETE images of those keys
+  //
+  // Reads stay distributed (one anti-join against a batch-sized key set —
+  // broadcastable under AQE), and writes are append-only. `compact` folds
+  // the consumed changelog prefix into a new base (atomic backup-aside
+  // swap, same crash protocol as KvMerge) and records the consumed file
+  // count as a watermark; the view then folds only the files after it.
+  // The changelog's total-order change sequence ((fileSeq << 32) | row,
+  // `__cdc_seq__`) makes the watermark a pure column predicate — no
+  // source-side file surgery.
+
+  private def watermarkPath(baseDir: String) = new Path(baseDir, "_compact_watermark")
+
+  /** Changelog files already folded into the base (0 = none). */
+  def compactedFiles(baseDir: String): Long = {
+    val p = watermarkPath(baseDir)
+    val fs = p.getFileSystem(ParquetIO.hadoopConf)
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(), "UTF-8").trim.toLong finally in.close()
+    }
+  }
+
+  private def writeWatermark(baseDir: String, files: Long): Unit = {
+    val p = watermarkPath(baseDir)
+    val fs = p.getFileSystem(ParquetIO.hadoopConf)
+    val out = fs.create(p, true)
+    try out.write(files.toString.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The merged table image WITHOUT rewriting the base: base rows whose
+    * keys are untouched since the last compaction, plus the latest
+    * resolved images of touched keys. `maxFileSeq`, when set, bounds the
+    * fold to changelog files < maxFileSeq (compaction uses it to pin the
+    * prefix it consumes against concurrent appends).
+    */
+  def mergeOnReadView(spark: SparkSession, baseDir: String, changelogDir: String,
+      pks: Seq[String], maxFileSeq: Option[Long] = None): DataFrame = {
+    val from = compactedFiles(baseDir)
+    var changes = spark.read.format("cdc").option("path", changelogDir).load()
+      .filter(col(RecordSeqCol) >= lit(from << 32))
+    maxFileSeq.foreach(hi => changes = changes.filter(col(RecordSeqCol) < lit(hi << 32)))
+    val attrs = changes.schema.fieldNames
+      .filterNot(n => n.startsWith("__") || pks.contains(n))
+    val w = Window.partitionBy(pks.map(col): _*)
+      .orderBy(col(RecordTimestampCol).desc, changeOrderTiebreak(changes).desc)
+    val latest = changes
+      .withColumn("__rn", row_number().over(w))
+      .where(col("__rn") === 1)
+    val images = latest.where(col(RecordTypeCol) =!= "DELETE")
+      .select(pks.map(col) ++ attrs.map(a =>
+        cdcColParser(col(a), col(columnTypeCol(a))).as(a)): _*)
+    if (ParquetIO.listFiles(baseDir).isEmpty) images
+    else {
+      val base = spark.read.format("kv").option("path", baseDir).load()
+      val touched = latest.select(pks.map(col): _*)
+      base.join(touched, pks, "left_anti").unionByName(images)
+    }
+  }
+
+  /** Fold the current changelog prefix into the base table and advance the
+    * compaction watermark. Crash-safe via the KvMerge backup-aside swap
+    * protocol; concurrent appends after the pinned prefix stay pending.
+    */
+  def compact(spark: SparkSession, baseDir: String, changelogDir: String,
+      pks: Seq[String], uptoFiles: Option[Long] = None): Unit = {
+    val nFiles = uptoFiles.getOrElse(ParquetIO.listFiles(changelogDir).length.toLong)
+    val folded = mergeOnReadView(spark, baseDir, changelogDir, pks, Some(nFiles))
+    val fs = new Path(baseDir).getFileSystem(ParquetIO.hadoopConf)
+    val live = new Path(baseDir)
+    val backup = new Path(s"$baseDir.compact-old")
+    if (!fs.exists(live) && fs.exists(backup)) fs.rename(backup, live)
+    val tmp = new Path(s"$baseDir.compact-tmp")
+    ParquetIO.deletePath(tmp.toString)
+    folded.write.format("kv").option("path", tmp.toString).mode("append").save()
+    ParquetIO.deletePath(backup.toString)
+    if (fs.exists(live)) fs.rename(live, backup)
+    fs.rename(tmp, live)
+    fs.delete(backup, true)
+    writeWatermark(baseDir, nFiles)
+  }
+
   /** Materialize the final table state from a changelog frame: latest
     * record per primary key wins (ordered by record timestamp, then a
     * total-order tiebreak), DELETE retires the row, column-level op types

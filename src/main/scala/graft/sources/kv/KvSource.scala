@@ -65,12 +65,11 @@ class KvSource extends TableProvider with DataSourceRegister {
 }
 
 object KvSource {
-  /** parquet MessageType → StructType (primitive subset). */
+  /** parquet MessageType → StructType (primitives, wide decimals, LISTs). */
   def toStructType(mt: MessageType): StructType = {
     import scala.jdk.CollectionConverters._
-    StructType(mt.getFields.asScala.map { f =>
-      val pt = f.asPrimitiveType()
-      val dt = pt.getPrimitiveTypeName match {
+    def primitive(pt: org.apache.parquet.schema.PrimitiveType): org.apache.spark.sql.types.DataType =
+      pt.getPrimitiveTypeName match {
         case PrimitiveTypeName.INT64 =>
           pt.getLogicalTypeAnnotation match {
             case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
@@ -87,13 +86,32 @@ object KvSource {
         case PrimitiveTypeName.DOUBLE => DoubleType
         case PrimitiveTypeName.FLOAT => FloatType
         case PrimitiveTypeName.BOOLEAN => BooleanType
+        case PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY =>
+          pt.getLogicalTypeAnnotation match {
+            case dec: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+              DecimalType(dec.getPrecision, dec.getScale)
+            case _ => BinaryType
+          }
         case PrimitiveTypeName.BINARY =>
           pt.getLogicalTypeAnnotation match {
             case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation => StringType
+            case dec: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation =>
+              DecimalType(dec.getPrecision, dec.getScale)
             case _ => BinaryType
           }
         case other => throw new IllegalArgumentException(s"unsupported parquet type $other")
       }
+    StructType(mt.getFields.asScala.map { f =>
+      val dt =
+        if (f.isPrimitive) primitive(f.asPrimitiveType())
+        else f.getLogicalTypeAnnotation match {
+          case _: LogicalTypeAnnotation.ListLogicalTypeAnnotation =>
+            // 3-level LIST: group (LIST) { repeated group list { element } }
+            val el = f.asGroupType().getType(0).asGroupType().getType(0)
+            ArrayType(primitive(el.asPrimitiveType()), containsNull = true)
+          case other => throw new IllegalArgumentException(
+            s"unsupported nested parquet type $other for ${f.getName}")
+        }
       StructField(f.getName, dt, nullable = true)
     }.toSeq)
   }

@@ -64,9 +64,11 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftSqlExtensions {
 
-  /** Register the tumbling/hopping SQL functions into an existing session
-    * (for sessions not built with `withExtensions`; the `delay()` rewrite
-    * needs the builder-time analyzer rule and is not available this way).
+  /** Register the tumbling/hopping/delay SQL functions into an existing
+    * session (for sessions not built with `withExtensions`). The `delay()`
+    * predicate-to-watermark rewrite runs during analysis only with the
+    * builder-time rule; `GraftSql.runScript` applies it explicitly, so
+    * scripts work on plain sessions either way.
     */
   def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -78,6 +80,13 @@ object GraftSqlExtensions {
     reg.createOrReplaceTempFunction("hopping", exprs => {
       require(exprs.length == 3, "hopping(timeColumn, slide, size)")
       TimeWindow(exprs.head, intervalMicros(exprs(2)), intervalMicros(exprs(1)), 0L)
+    }, "scala_udf")
+    // delay() analyzes to a marker; GraftSql.runScript applies
+    // RewriteDelayPredicate on the analyzed INSERT plan, so the full
+    // delay surface works without builder-time extensions too.
+    reg.createOrReplaceTempFunction("delay", exprs => {
+      require(exprs.length == 1, "delay(timeColumn)")
+      DelayMarker(exprs.head)
     }, "scala_udf")
   }
 
@@ -147,17 +156,46 @@ object GraftSqlExtensions {
       case other => EventTimeWatermark(UUID.randomUUID(), attr, delay, other)
     }
 
-    override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
-      case f @ Filter(condition, child) if f.resolved =>
-        val conjuncts = splitConjuncts(condition)
-        val (delays, keep) = conjuncts.partition(c => delayOf(c).isDefined)
-        if (delays.isEmpty) f
-        else {
-          val watermarked = delays.flatMap(delayOf).foldLeft(child) {
-            case (p, (attr, d)) => insertWatermark(p, attr, d)
+    override def apply(plan: LogicalPlan): LogicalPlan = {
+      val rewritten = plan.transformUp {
+        case f @ Filter(condition, child) if f.resolved =>
+          val conjuncts = splitConjuncts(condition)
+          val (delays, keep) = conjuncts.partition(c => delayOf(c).isDefined)
+          if (delays.isEmpty) f
+          else {
+            val watermarked = delays.flatMap(delayOf).foldLeft(child) {
+              case (p, (attr, d)) => insertWatermark(p, attr, d)
+            }
+            keep.reduceOption(And.apply).map(Filter(_, watermarked)).getOrElse(watermarked)
           }
-          keep.reduceOption(And.apply).map(Filter(_, watermarked)).getOrElse(watermarked)
-        }
+      }
+      propagateWatermarkMetadata(rewritten)
+    }
+
+    /** A watermark inserted AFTER an expression was resolved leaves the
+      * already-captured attribute references without the event-time
+      * metadata `EventTimeWatermark.output` advertises — and both the
+      * streaming-aggregation checker and `StreamingJoinHelper` (stream-
+      * stream join state watermarks) identify event-time columns by that
+      * metadata, not by plan position. Re-stamp every reference of a
+      * watermarked attribute across the plan (the DataFrame API gets this
+      * for free because `withWatermark` runs before operators capture the
+      * column).
+      */
+    private def propagateWatermarkMetadata(plan: LogicalPlan): LogicalPlan = {
+      val delays = plan.collect {
+        case e: EventTimeWatermark =>
+          e.eventTime.exprId -> EventTimeWatermark.getDelayMs(e.delay)
+      }.toMap
+      if (delays.isEmpty) plan
+      else plan.transformAllExpressions {
+        case a: AttributeReference if delays.contains(a.exprId) &&
+            !a.metadata.contains(EventTimeWatermark.delayKey) =>
+          a.withMetadata(new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(a.metadata)
+            .putLong(EventTimeWatermark.delayKey, delays(a.exprId))
+            .build())
+      }
     }
 
     private def splitConjuncts(e: Expression): Seq[Expression] = e match {

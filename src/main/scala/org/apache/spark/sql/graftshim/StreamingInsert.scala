@@ -55,22 +55,63 @@ object StreamingInsert {
     * `spark.sql("INSERT INTO ...")` takes the same rewrite path without
     * this runner.
     */
-  def runScript(spark: SparkSession, script: String): Unit = {
-    val cs = spark.asInstanceOf[ClassicSparkSession]
-    script.split(";").map(_.trim).filter(_.nonEmpty).foreach { stmt =>
-      val streaming =
-        try {
-          val parsed = cs.sessionState.sqlParser.parsePlan(stmt)
-          parsed match {
-            case _: org.apache.spark.sql.catalyst.plans.logical.InsertIntoStatement =>
-              rewrite(spark, cs.sessionState.executePlan(parsed).analyzed)
-            case _ => None
-          }
-        } catch { case _: Exception => None }
-      streaming match {
-        case Some(cmd) => cmd.run(spark)
-        case None => spark.sql(stmt).collect()
+  // One extensions-enabled twin per source session (see runScript).
+  private val twins =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, SparkSession]()
+
+  /** An extensions-enabled twin of the given session, on the same
+    * SparkContext, with the same runtime conf. The delay()→watermark
+    * rewrite MUST run inside the analyzer fixed point — post-analysis
+    * insertion of `EventTimeWatermark` is too late for the event-time
+    * metadata to propagate into already-resolved windows/joins — and
+    * analyzer rules are builder-time, so a plain session gets a twin via
+    * `Builder.create()` (which, unlike getOrCreate, always constructs and
+    * honors withExtensions). The twin has its own catalog: scripts are
+    * self-contained (they CREATE every table they use) and sinks are read
+    * back by path, so isolation is a feature, not a loss.
+    */
+  private def withGraftExtensions(spark: SparkSession): SparkSession =
+    twins.computeIfAbsent(spark, { s =>
+      val cs = s.asInstanceOf[ClassicSparkSession]
+      val prevDefault = SparkSession.getDefaultSession
+      val prevActive = SparkSession.getActiveSession
+      try {
+        val twin = org.apache.spark.sql.classic.SparkSession.builder()
+          .withExtensions(new graft.streaming.GraftSqlExtensions)
+          .create()
+        cs.conf.getAll.foreach { case (k, v) =>
+          try twin.conf.set(k, v) catch { case _: Exception => () } // static confs
+        }
+        twin
+      } finally {
+        prevDefault match {
+          case Some(d) => SparkSession.setDefaultSession(d)
+          case None => SparkSession.clearDefaultSession()
+        }
+        prevActive match {
+          case Some(a) => SparkSession.setActiveSession(a)
+          case None => SparkSession.clearActiveSession()
+        }
       }
+    })
+
+  def runScript(spark: SparkSession, script: String): Unit = {
+    // All statements run on the twin: the resolution rule turns delay()
+    // predicates into watermarks during analysis, and the post-hoc rule
+    // turns INSERT INTO <output.mode sink> FROM <stream> into a streaming
+    // query command, which spark.sql executes eagerly. SETs apply to the
+    // twin's conf, which is also where the INSERTs run. Errors propagate —
+    // nothing is swallowed into a silent batch fallback.
+    val s = withGraftExtensions(spark)
+    graft.streaming.GraftSqlExtensions.registerFunctions(s)
+    script.split(";").map(_.trim).filter(_.nonEmpty).foreach { stmt =>
+      val df = s.sql(stmt)
+      // commands execute eagerly inside spark.sql; force genuine queries
+      // through the cluster without materializing rows on the driver (a
+      // script-terminal SELECT can be arbitrarily big)
+      if (!df.queryExecution.analyzed.isInstanceOf[
+          org.apache.spark.sql.catalyst.plans.logical.Command])
+        df.write.format("noop").mode("overwrite").save()
     }
   }
 
@@ -83,11 +124,23 @@ object StreamingInsert {
           mode <- props.get("output.mode")
           if a.query.collect { case p if isStreamSource(p) => p }.nonEmpty
         } yield {
+          // SQL-authored `ts + INTERVAL` arrives wrapped in an identity
+          // Cast (timestamp → timestamp), which StreamingJoinHelper cannot
+          // see through when deriving stream-stream join state watermarks
+          // — it aborts with an internal error. Strip no-op casts from
+          // join conditions; they are semantically void.
+          val decast = a.query.transformUp {
+            case j: org.apache.spark.sql.catalyst.plans.logical.Join =>
+              j.copy(condition = j.condition.map(_.transform {
+                case c: org.apache.spark.sql.catalyst.expressions.Cast
+                  if c.child.dataType == c.dataType => c.child
+              }))
+          }
           // replace each stream-source relation with its streaming
           // resolution (readStream.table of the same files via the same
           // provider), aliasing the new attributes back to the original
           // expression ids so the rest of the query is untouched
-          val streamed = a.query.transformUp {
+          val streamed = decast.transformUp {
             case r: DataSourceV2Relation if isStreamSource(r) =>
               val (srcProvider, srcProps) = graftProps(r).get
               val reader = spark.readStream.format(srcProvider)

@@ -1,0 +1,78 @@
+package graft.sources
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Wide decimals (p > 18 → FIXED_LEN_BYTE_ARRAY) and ArrayType columns in
+  * the kv source — the reference's full ODPS type fidelity
+  * (`emr-maxcompute/.../OdpsUtils.scala:398-457`: DECIMAL round-trip and
+  * nested ARRAY conversion).
+  */
+class KvWideTypesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wide decimal (28,6) round-trips exactly, including negatives and nulls") {
+    val dir = Files.createTempDirectory("kvwide").toString
+    val rows = Seq(
+      (1L, "123456789012345678901.123456"),
+      (2L, "-98765432109876543210.654321"),
+      (3L, "0.000001"),
+      (4L, null))
+    val df = rows.toDF("id", "d_str")
+      .select(col("id"), col("d_str").cast(DecimalType(28, 6)).as("d"))
+    df.write.format("kv").option("path", dir).mode("overwrite").save()
+
+    val back = spark.read.format("kv").option("path", dir).load()
+    assert(back.schema("d").dataType == DecimalType(28, 6), back.schema.treeString)
+    val got = back.orderBy("id").select("d").collect()
+      .map(r => Option(r.getDecimal(0)).map(_.toPlainString))
+    assert(got.toSeq == Seq(
+      Some("123456789012345678901.123456"),
+      Some("-98765432109876543210.654321"),
+      Some("0.000001"),
+      None))
+  }
+
+  test("array columns round-trip, including null elements and empty arrays") {
+    val dir = Files.createTempDirectory("kvarr").toString
+    val df = Seq(
+      (1L, Seq[java.lang.Double](1.5, 2.5), Seq("a", "b")),
+      (2L, Seq[java.lang.Double](3.0, null), Seq.empty[String]),
+      (3L, Seq.empty[java.lang.Double], Seq("z")))
+      .toDF("id", "xs", "tags")
+    df.write.format("kv").option("path", dir).mode("overwrite").save()
+
+    val back = spark.read.format("kv").option("path", dir).load()
+    assert(back.schema("xs").dataType == ArrayType(DoubleType, containsNull = true))
+    assert(back.schema("tags").dataType == ArrayType(StringType, containsNull = true))
+    val got = back.orderBy("id")
+      .select(col("id"), col("xs"), col("tags")).collect()
+      .map(r => (r.getLong(0), r.getSeq[Any](1), r.getSeq[String](2)))
+    assert(got(0) == ((1L, Seq(1.5, 2.5), Seq("a", "b"))))
+    assert(got(1)._2 == Seq(3.0, null) && got(1)._3 == Seq.empty)
+    assert(got(2)._2 == Seq.empty && got(2)._3 == Seq("z"))
+  }
+
+  test("filters on array columns stay residual; scalar pushdown still works beside them") {
+    val dir = Files.createTempDirectory("kvarrf").toString
+    Seq((1L, Seq(1.0)), (2L, Seq(2.0)), (3L, Seq(3.0))).toDF("id", "xs")
+      .write.format("kv").option("path", dir).mode("overwrite").save()
+    val got = spark.read.format("kv").option("path", dir).load()
+      .filter(col("id") >= 2L && element_at(col("xs"), 1) < 3.0)
+      .select("id").as[Long].collect().toSeq
+    assert(got == Seq(2L))
+  }
+
+  test("vector math composes with kv-stored embeddings (array<double> aggregate)") {
+    val dir = Files.createTempDirectory("kvvec").toString
+    Seq((1L, Seq(1.0, 2.0, 3.0)), (2L, Seq(4.0, 5.0, 6.0))).toDF("id", "v")
+      .write.format("kv").option("path", dir).mode("overwrite").save()
+    val got = spark.read.format("kv").option("path", dir).load()
+      .select(aggregate(zip_with(col("v"), col("v"), (a, b) => a * b),
+        lit(0.0), (acc, x) => acc + x).as("norm2"))
+      .orderBy("norm2").as[Double].collect().toSeq
+    assert(got == Seq(14.0, 77.0))
+  }
+}
