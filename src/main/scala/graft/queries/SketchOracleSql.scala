@@ -328,16 +328,16 @@ object SketchOracleSql {
        |FROM det GROUP BY detected_lang ORDER BY detected_lang""".stripMargin
   }
 
-  /** q_dedup_simhash: (id_a, id_b, hamming ≤ 7) — replays the adaptive
-    * banding at maxHamming = 7: 8 chunks × 8 bits (simhashChunks with
-    * nChunks = 8; 64 divides evenly so all widths are 8).
+  /** q_dedup_simhash: (id_a, id_b, hamming ≤ 3) — replays the adaptive
+    * banding at maxHamming = 3: 4 chunks × 16 bits (simhashChunks with
+    * nChunks = 4; 64 divides evenly so all widths are 16).
     */
   def simhashDedupOracle: String =
     s"""WITH $simhashCtes, sims AS (
        |  SELECT doc_id AS id, sim FROM simhash_res
        |), chunked AS (
-       |  SELECT id, sim, ci, (sim // power(2.0, 8 * ci)::HUGEINT) % 256::HUGEINT AS key
-       |  FROM sims CROSS JOIN (SELECT unnest(range(8)) AS ci) u
+       |  SELECT id, sim, ci, (sim // power(2.0, 16 * ci)::HUGEINT) % 65536::HUGEINT AS key
+       |  FROM sims CROSS JOIN (SELECT unnest(range(4)) AS ci) u
        |), pairs AS (
        |  SELECT DISTINCT a.id AS id_a, b2.id AS id_b,
        |    CAST(bit_count(xor(${sx("a.sim")}, ${sx("b2.sim")})) AS INT) AS hamming
@@ -345,7 +345,7 @@ object SketchOracleSql {
        |    ON a.ci = b2.ci AND a.key = b2.key AND a.id < b2.id
        |)
        |SELECT id_a, id_b, hamming FROM pairs
-       |WHERE hamming <= 7 ORDER BY id_a, id_b""".stripMargin
+       |WHERE hamming <= 3 ORDER BY id_a, id_b""".stripMargin
 
   /** q_dedup_minhash_lsh: (id_a, id_b, est_jaccard ≥ 0.2); 16 bands × 4 rows. */
   def minhashLshOracle: String =

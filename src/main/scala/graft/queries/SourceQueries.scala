@@ -90,21 +90,25 @@ object SourceQueries {
     // reference's richest ODPS type mapping (OdpsUtils.scala:398-457).
     "q_kv_wide_types" -> ((s, dir) => {
       val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
-      val staged = s"/tmp/graft_widetypes$safe"
+      val staged = s"/tmp/graft_widetypes2$safe"
       if (ParquetIO.listFiles(staged).isEmpty) {
         graft.Tables.load(s, dir, "lineitem")
-          .select(col("l_orderkey"), col("l_returnflag"),
+          .select(col("l_orderkey"),
             col("l_extendedprice").cast("decimal(28,4)").as("price_wide"),
-            array(col("l_quantity"), col("l_discount")).as("qd"))
+            array(col("l_quantity"), col("l_discount")).as("qd"),
+            map(lit("q"), col("l_quantity"), lit("d"), col("l_discount")).as("qd_map"),
+            struct(col("l_returnflag").as("rf"), col("l_linestatus").as("ls")).as("meta"))
           .write.format("kv").option("path", staged).mode("overwrite").save()
       }
+      // group by a struct field, multiply an array element by a map value:
+      // every nested shape is exercised after the round-trip
       s.read.format("kv").option("path", staged).load()
-        .groupBy(col("l_returnflag"))
+        .groupBy(col("meta.rf").as("rf"))
         .agg(count(lit(1)).as("n"),
           sum(col("price_wide")).cast("double").as("sum_price"),
-          round(sum(element_at(col("qd"), 1) * (lit(1) - element_at(col("qd"), 2))), 2)
+          round(sum(element_at(col("qd"), 1) * (lit(1) - col("qd_map").getItem("d"))), 2)
             .as("disc_qty"))
-        .orderBy(col("l_returnflag"))
+        .orderBy(col("rf"))
     }),
 
     // T12/T13: queue source end-to-end — one message file per nation row
@@ -263,7 +267,7 @@ object SourceQueries {
     // sum(DECIMAL(28,4)) is exact on both engines; its double image is
     // exact too (unscaled < 2^53), so no rounding is needed on sum_price.
     "q_kv_wide_types" ->
-      """SELECT l_returnflag, count(*) AS n,
+      """SELECT l_returnflag AS rf, count(*) AS n,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28, 4))) AS DOUBLE) AS sum_price,
         |  round(sum(l_quantity * (1 - l_discount)), 2) AS disc_qty
         |FROM lineitem

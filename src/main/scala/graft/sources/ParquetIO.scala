@@ -24,9 +24,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * file listing, footer metadata, Group↔InternalRow conversion, and a
   * projected + filtered record iterator.
   *
-  * Scope mirrors the reference's wide-column data model (primitives,
-  * string/binary, timestamp/date — `TableStoreFilter.scala:123-146`):
-  * no nested types. Uses only public parquet-hadoop APIs.
+  * Scope covers the reference's wide-column data model (primitives,
+  * string/binary, timestamp/date — `TableStoreFilter.scala:123-146`)
+  * plus its ODPS nested-type fidelity (`OdpsUtils.scala:398-457`): wide
+  * decimals, ARRAY/MAP of primitives, one struct level. Uses only public
+  * parquet-hadoop APIs.
   */
 object ParquetIO {
 
@@ -149,25 +151,52 @@ object ParquetIO {
             .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision)).named(f.name)
         case ArrayType(et, _) =>
           // standard parquet 3-level LIST of a primitive element type
-          val el = et match {
-            case LongType => Types.optionalList().optionalElement(PrimitiveTypeName.INT64)
-            case IntegerType => Types.optionalList().optionalElement(PrimitiveTypeName.INT32)
-            case DoubleType => Types.optionalList().optionalElement(PrimitiveTypeName.DOUBLE)
-            case FloatType => Types.optionalList().optionalElement(PrimitiveTypeName.FLOAT)
-            case BooleanType => Types.optionalList().optionalElement(PrimitiveTypeName.BOOLEAN)
-            case StringType => Types.optionalList().optionalElement(PrimitiveTypeName.BINARY)
-              .as(LogicalTypeAnnotation.stringType())
-            case BinaryType => Types.optionalList().optionalElement(PrimitiveTypeName.BINARY)
-            case other => throw new IllegalArgumentException(
-              s"array element type $other unsupported for ${f.name}")
-          }
-          el.named(f.name)
+          Types.buildGroup(Type.Repetition.OPTIONAL)
+            .as(LogicalTypeAnnotation.listType())
+            .addField(Types.repeatedGroup()
+              .addField(leafType(et, "element", Type.Repetition.OPTIONAL, f.name))
+              .named("list"))
+            .named(f.name)
+        case MapType(kt, vt, _) =>
+          // standard parquet MAP: repeated key_value(required key, optional value)
+          Types.buildGroup(Type.Repetition.OPTIONAL)
+            .as(LogicalTypeAnnotation.mapType())
+            .addField(Types.repeatedGroup()
+              .addField(leafType(kt, "key", Type.Repetition.REQUIRED, f.name))
+              .addField(leafType(vt, "value", Type.Repetition.OPTIONAL, f.name))
+              .named("key_value"))
+            .named(f.name)
+        case st: StructType =>
+          // one level of primitive-field nesting (the reference's ODPS
+          // struct fidelity; deeper nesting rejected by leafType)
+          val b = Types.buildGroup(Type.Repetition.OPTIONAL)
+          st.fields.foreach(sf =>
+            b.addField(leafType(sf.dataType, sf.name, Type.Repetition.OPTIONAL, f.name)))
+          b.named(f.name)
         case other => throw new IllegalArgumentException(
           s"unsupported kv/log column type $other for ${f.name}")
       }
       builder.addField(t)
     }
     builder.named(name)
+  }
+
+  /** Primitive leaf for a nested container (list element, map key/value,
+    * struct field). Deeper nesting is rejected here with the owning
+    * column's name in the message.
+    */
+  private def leafType(dt: DataType, name: String, rep: Type.Repetition,
+      owner: String): Type = dt match {
+    case LongType => Types.primitive(PrimitiveTypeName.INT64, rep).named(name)
+    case IntegerType => Types.primitive(PrimitiveTypeName.INT32, rep).named(name)
+    case DoubleType => Types.primitive(PrimitiveTypeName.DOUBLE, rep).named(name)
+    case FloatType => Types.primitive(PrimitiveTypeName.FLOAT, rep).named(name)
+    case BooleanType => Types.primitive(PrimitiveTypeName.BOOLEAN, rep).named(name)
+    case StringType => Types.primitive(PrimitiveTypeName.BINARY, rep)
+      .as(LogicalTypeAnnotation.stringType()).named(name)
+    case BinaryType => Types.primitive(PrimitiveTypeName.BINARY, rep).named(name)
+    case other => throw new IllegalArgumentException(
+      s"unsupported element/field type $other in column $owner")
   }
 
   /** Smallest byte length whose signed two's-complement range covers
@@ -189,6 +218,21 @@ object ParquetIO {
     val fields = columns.filter(file.containsField)
       .map(c => file.getType(file.getFieldIndex(c)))
     new MessageType(file.getName, fields: _*)
+  }
+
+  /** Read one primitive leaf value (Catalyst representation) from a
+    * container group — list elements, map keys/values, struct fields.
+    */
+  private def readLeaf(g: Group, idx: Int, dt: DataType): Any = dt match {
+    case LongType => g.getLong(idx, 0)
+    case IntegerType => g.getInteger(idx, 0)
+    case DoubleType => g.getDouble(idx, 0)
+    case FloatType => g.getFloat(idx, 0)
+    case BooleanType => g.getBoolean(idx, 0)
+    case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
+    case BinaryType => g.getBinary(idx, 0).getBytes
+    case other => throw new IllegalArgumentException(
+      s"unsupported element/field type $other")
   }
 
   /** Timestamp storage unit multiplier → micros. */
@@ -270,21 +314,36 @@ object ParquetIO {
               val el = outer.getGroup(0, j)
               values(j) =
                 if (el.getFieldRepetitionCount(0) == 0) null
-                else et match {
-                  case LongType => el.getLong(0, 0)
-                  case IntegerType => el.getInteger(0, 0)
-                  case DoubleType => el.getDouble(0, 0)
-                  case FloatType => el.getFloat(0, 0)
-                  case BooleanType => el.getBoolean(0, 0)
-                  case StringType => UTF8String.fromBytes(el.getBinary(0, 0).getBytes)
-                  case BinaryType => el.getBinary(0, 0).getBytes
-                  case other => throw new IllegalArgumentException(
-                    s"array element type $other unsupported")
-                }
+                else readLeaf(el, 0, et)
               j += 1
             }
             row.update(i,
               new org.apache.spark.sql.catalyst.util.GenericArrayData(values))
+          case MapType(kt, vt, _) =>
+            // MAP: outer group → repeated "key_value" → (key, value)
+            val outer = g.getGroup(pqIdx, 0)
+            val n = outer.getFieldRepetitionCount(0)
+            val keys = new Array[Any](n)
+            val vals = new Array[Any](n)
+            var j = 0
+            while (j < n) {
+              val kv = outer.getGroup(0, j)
+              keys(j) = readLeaf(kv, 0, kt)
+              vals(j) = if (kv.getFieldRepetitionCount(1) == 0) null else readLeaf(kv, 1, vt)
+              j += 1
+            }
+            row.update(i, org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
+              keys, vals))
+          case st: StructType =>
+            val sg = g.getGroup(pqIdx, 0)
+            val nested = new GenericInternalRow(st.length)
+            var j = 0
+            while (j < st.length) {
+              if (sg.getFieldRepetitionCount(j) == 0) nested.setNullAt(j)
+              else nested.update(j, readLeaf(sg, j, st(j).dataType))
+              j += 1
+            }
+            row.update(i, nested)
           case other => throw new IllegalArgumentException(s"unsupported type $other")
         }
       }
@@ -396,18 +455,27 @@ object ParquetIO {
             var j = 0
             while (j < arr.numElements()) {
               val el = outer.addGroup(0)
-              if (!arr.isNullAt(j)) et match {
-                case LongType => el.add(0, arr.getLong(j))
-                case IntegerType => el.add(0, arr.getInt(j))
-                case DoubleType => el.add(0, arr.getDouble(j))
-                case FloatType => el.add(0, arr.getFloat(j))
-                case BooleanType => el.add(0, arr.getBoolean(j))
-                case StringType => el.add(0, arr.getUTF8String(j).toString)
-                case BinaryType => el.add(0,
-                  org.apache.parquet.io.api.Binary.fromConstantByteArray(arr.getBinary(j)))
-                case other => throw new IllegalArgumentException(
-                  s"array element type $other unsupported")
-              }
+              if (!arr.isNullAt(j)) writeLeaf(el, 0, et, arr.get(j, et))
+              j += 1
+            }
+          case MapType(kt, vt, _) =>
+            val m = row.getMap(i)
+            val outer = g.addGroup(name)
+            var j = 0
+            while (j < m.numElements()) {
+              val kv = outer.addGroup(0)
+              writeLeaf(kv, 0, kt, m.keyArray().get(j, kt))
+              if (!m.valueArray().isNullAt(j))
+                writeLeaf(kv, 1, vt, m.valueArray().get(j, vt))
+              j += 1
+            }
+          case st: StructType =>
+            val nested = row.getStruct(i, st.length)
+            val sg = g.addGroup(name)
+            var j = 0
+            while (j < st.length) {
+              if (!nested.isNullAt(j))
+                writeLeaf(sg, j, st(j).dataType, nested.get(j, st(j).dataType))
               j += 1
             }
           case other => throw new IllegalArgumentException(s"unsupported type $other")
@@ -416,6 +484,22 @@ object ParquetIO {
       i += 1
     }
     g
+  }
+
+  /** Write one primitive leaf (Catalyst representation) into a container
+    * group at field `idx` — list elements, map keys/values, struct fields.
+    */
+  private def writeLeaf(g: Group, idx: Int, dt: DataType, v: Any): Unit = dt match {
+    case LongType => g.add(idx, v.asInstanceOf[Long])
+    case IntegerType => g.add(idx, v.asInstanceOf[Int])
+    case DoubleType => g.add(idx, v.asInstanceOf[Double])
+    case FloatType => g.add(idx, v.asInstanceOf[Float])
+    case BooleanType => g.add(idx, v.asInstanceOf[Boolean])
+    case StringType => g.add(idx, v.toString) // UTF8String
+    case BinaryType => g.add(idx,
+      org.apache.parquet.io.api.Binary.fromConstantByteArray(v.asInstanceOf[Array[Byte]]))
+    case other => throw new IllegalArgumentException(
+      s"unsupported element/field type $other")
   }
 
   def deletePath(path: String): Unit = {

@@ -109,6 +109,16 @@ object KvSource {
             // 3-level LIST: group (LIST) { repeated group list { element } }
             val el = f.asGroupType().getType(0).asGroupType().getType(0)
             ArrayType(primitive(el.asPrimitiveType()), containsNull = true)
+          case _: LogicalTypeAnnotation.MapLogicalTypeAnnotation =>
+            // MAP: group (MAP) { repeated group key_value { key; value } }
+            val kv = f.asGroupType().getType(0).asGroupType()
+            MapType(primitive(kv.getType(0).asPrimitiveType()),
+              primitive(kv.getType(1).asPrimitiveType()), valueContainsNull = true)
+          case null =>
+            // unannotated group: one struct level of primitive fields
+            import scala.jdk.CollectionConverters._
+            StructType(f.asGroupType().getFields.asScala.map(sf =>
+              StructField(sf.getName, primitive(sf.asPrimitiveType()), nullable = true)).toSeq)
           case other => throw new IllegalArgumentException(
             s"unsupported nested parquet type $other for ${f.getName}")
         }

@@ -65,6 +65,40 @@ class KvWideTypesSpec extends SparkSpec {
     assert(got == Seq(2L))
   }
 
+  test("map columns round-trip, including null values and empty maps") {
+    val dir = Files.createTempDirectory("kvmap").toString
+    val df = Seq(
+      (1L, Map("a" -> java.lang.Double.valueOf(1.5), "b" -> java.lang.Double.valueOf(2.5))),
+      (2L, Map("c" -> null.asInstanceOf[java.lang.Double])),
+      (3L, Map.empty[String, java.lang.Double]))
+      .toDF("id", "m")
+    df.write.format("kv").option("path", dir).mode("overwrite").save()
+    val back = spark.read.format("kv").option("path", dir).load()
+    assert(back.schema("m").dataType ==
+      MapType(StringType, DoubleType, valueContainsNull = true))
+    val got = back.orderBy("id").select("m").collect()
+      .map(_.getMap[String, Any](0).toMap)
+    assert(got(0) == Map("a" -> 1.5, "b" -> 2.5))
+    assert(got(1) == Map("c" -> null))
+    assert(got(2) == Map.empty)
+  }
+
+  test("struct columns round-trip, including null fields, and field access works") {
+    val dir = Files.createTempDirectory("kvstruct").toString
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L, named_struct('rf', 'A', 'qty', 10L)),
+        |  (2L, named_struct('rf', CAST(NULL AS STRING), 'qty', 20L))
+        |AS t(id, meta)""".stripMargin)
+    df.write.format("kv").option("path", dir).mode("overwrite").save()
+    val back = spark.read.format("kv").option("path", dir).load()
+    assert(back.schema("meta").dataType.isInstanceOf[StructType])
+    val got = back.orderBy("id")
+      .select(col("meta.rf"), col("meta.qty")).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1))).toSeq
+    assert(got == Seq((Some("A"), 10L), (None, 20L)))
+  }
+
   test("vector math composes with kv-stored embeddings (array<double> aggregate)") {
     val dir = Files.createTempDirectory("kvvec").toString
     Seq((1L, Seq(1.0, 2.0, 3.0)), (2L, Seq(4.0, 5.0, 6.0))).toDF("id", "v")
