@@ -179,6 +179,52 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Word-level containment dedup: pairs (id_inner, id_outer) where the
+    * inner document's normalized word sequence appears verbatim
+    * (contiguous, word-aligned) inside the outer document — the "quoted
+    * inclusion" pass of a training-data pipeline: a fully-contained
+    * document adds no content the outer one lacks.
+    *
+    * Exact without O(N²): if inner ⊆ outer then EVERY word-k-gram of the
+    * inner doc is one of the outer doc's k-grams, so joining on the inner
+    * doc's single RAREST shingle (min (document frequency, shingle) —
+    * deterministic) cannot miss a true pair, and the fan-out per inner
+    * doc is that shingle's document frequency — the smallest bound any
+    * of its shingles offers. No df cap is needed for correctness; the
+    * rarest-shingle choice IS the skew defense (a doc made entirely of
+    * boilerplate shingles is the only bad case, and its fan-out is the
+    * df of its least-common boilerplate). Documents shorter than k words
+    * are out of contract (no k-gram to anchor on).
+    */
+  def containment(df: DataFrame, textCol: String, idCol: String, k: Int = 4): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val norm = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
+    val docs = df.select(col(idCol).as("id"), norm.as("t"))
+      .withColumn("w", split(col("t"), " "))
+      .where(size(col("w")) >= k)
+    val sh = docs.select(col("id"),
+        explode(transform(sequence(lit(0), size(col("w")) - k),
+          i => array_join(slice(col("w"), i + 1, lit(k)), " "))).as("shingle"))
+      .distinct()
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    val rarest = sh.join(dfreq, "shingle")
+      .groupBy(col("id"))
+      .agg(min(struct(col("df"), col("shingle"))).as("m"))
+      .select(col("id").as("id_inner"), col("m.shingle").as("shingle"))
+    val candidates = rarest
+      .join(sh.select(col("id").as("id_outer"), col("shingle")), "shingle")
+      .where(col("id_inner") =!= col("id_outer"))
+      .select(col("id_inner"), col("id_outer"))
+    // word-aligned verify: with single-space normalization, word-sequence
+    // containment is exactly space-padded string containment
+    candidates
+      .join(docs.select(col("id").as("id_inner"), col("t").as("t_in")), Seq("id_inner"))
+      .join(docs.select(col("id").as("id_outer"), col("t").as("t_out")), Seq("id_outer"))
+      .where(contains(concat(lit(" "), col("t_out"), lit(" ")),
+        concat(lit(" "), col("t_in"), lit(" "))))
+      .select(col("id_inner"), col("id_outer"))
+  }
+
   /** Line-level (CCNet-style) dedup: drop every line whose normalized
     * form (lower + trim) occurs in more than `maxDocFreq` distinct
     * documents — boilerplate headers/footers/navigation — and rebuild

@@ -36,6 +36,20 @@ object PipelineQueries {
         maxHamming = 3)
         .orderBy(col("id_a"), col("id_b"))
     }),
+    // Containment dedup over a corpus augmented with deterministic
+    // half-length prefix copies (every 10th doc), so true containments
+    // exist: each prefix copy must pair with its source (and any other
+    // doc that happens to contain it). Exact rarest-shingle candidates.
+    "q_dedup_containment" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val words = split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")
+      val prefixes = base
+        .where(col("doc_id") % 10 === 0 && size(words) >= 8)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          array_join(slice(words, lit(1), (size(words) / lit(2)).cast("int")), " ").as("text"))
+      Dedup.containment(base.unionByName(prefixes), "text", "doc_id", k = 4)
+        .orderBy(col("id_inner"), col("id_outer"))
+    }),
     // CCNet-style line-level dedup over a deterministically line-ified
     // corpus (8-word chunks as lines — the fixture text is single-line):
     // lines shared across >1 document are dropped as boilerplate, docs
@@ -167,6 +181,30 @@ object PipelineQueries {
   )
 
   def oracles: Map[String, String] = SketchOracleSql.oracles ++ Map(
+    // Containment is plain string algebra in DuckDB: space-padded
+    // substring test over the same normalized + prefix-augmented corpus
+    // (brute-force N² pairs — exact, oracle-sized only).
+    "q_dedup_containment" ->
+      """WITH base AS (
+        |  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), aug AS (
+        |  SELECT doc_id, t FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    array_to_string(list_slice(string_split(t, ' '), 1,
+        |      len(string_split(t, ' ')) // 2), ' ')
+        |  FROM base
+        |  WHERE doc_id % 10 = 0 AND len(string_split(t, ' ')) >= 8
+        |), docs AS (
+        |  SELECT doc_id, t FROM aug WHERE len(string_split(t, ' ')) >= 4
+        |)
+        |SELECT a.doc_id AS id_inner, b.doc_id AS id_outer
+        |FROM docs a JOIN docs b
+        |  ON a.doc_id <> b.doc_id
+        |  AND instr(' ' || b.t || ' ', ' ' || a.t || ' ') > 0
+        |ORDER BY 1, 2""".stripMargin,
+
     "q_dedup_drop_exact" ->
       """SELECT doc_id FROM (
         |  SELECT doc_id,

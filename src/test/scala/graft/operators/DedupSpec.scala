@@ -160,6 +160,21 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(1L, 5L, 6L), kept.toString)
   }
 
+  test("containment dedup: word-aligned verbatim inclusion, nothing else") {
+    val docs = Seq(
+      (1L, "The quick   brown fox jumps"),      // contained in 2
+      (2L, "x the Quick brown fox jumps y"),
+      (3L, "completely unrelated words here now"),
+      (4L, "quick brown fox jumps"),            // contained in 1 and 2
+      (5L, "a b c d"),
+      (6L, "xa b c de"))                        // chars match, words don't
+      .toDF("doc_id", "text")
+    val got = Dedup.containment(docs, "text", "doc_id", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (4L, 1L), (4L, 2L)),
+      s"expected word-aligned containments only (5 in 6 is a char-level trap): $got")
+  }
+
   test("embedding cosine dedup finds planted near-identical vectors") {
     val v = Array.tabulate(16)(i => math.cos(i + 1).toFloat)
     val near = v.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.001f else x }
