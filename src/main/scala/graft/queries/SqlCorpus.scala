@@ -235,6 +235,83 @@ object SqlCorpus {
         .orderBy(col("brand"), col("rflag"))
     }),
 
+    // q48.sql:23-88 — scalar SUM under two OR-of-AND blocks that mix the
+    // join equalities with per-branch range predicates: the optimizer
+    // must distribute the join conditions out of the disjunction; the
+    // residual range tree exercises the NNF/pushdown machinery through
+    // SQL text. (Integer-valued quantities make the global double sum
+    // exact on both engines.)
+    "q_sql_q48" -> ((s, dir) => {
+      val u = uid()
+      val sink = s"/tmp/graft_sqlq48_$u/t"
+      runPorted(s,
+        s"""${header("g_q48_job", s"/tmp/graft_sqlq48ck_$u")}
+           |DROP TABLE IF EXISTS g_q48_lineitem;
+           |CREATE TABLE g_q48_lineitem USING log OPTIONS (path '$dir/lineitem.parquet');
+           |DROP TABLE IF EXISTS g_q48_orders;
+           |CREATE TABLE g_q48_orders USING kv OPTIONS (path '$dir/orders.parquet');
+           |DROP TABLE IF EXISTS g_q48_customer;
+           |CREATE TABLE g_q48_customer USING kv OPTIONS (path '$dir/customer.parquet');
+           |DROP TABLE IF EXISTS g_q48_nation;
+           |CREATE TABLE g_q48_nation USING kv OPTIONS (path '$dir/nation.parquet');
+           |DROP TABLE IF EXISTS g_q48_sink;
+           |CREATE TABLE g_q48_sink USING kv OPTIONS (path '$sink', output.mode 'complete',
+           |  catalog '{"columns": {"sum_qty": {"type": "double"}}}');
+           |INSERT INTO g_q48_sink
+           |SELECT round(sum(l_quantity), 2) AS sum_qty
+           |FROM g_q48_lineitem, g_q48_customer, g_q48_orders, g_q48_nation
+           |WHERE o_orderkey = l_orderkey
+           |  AND year(o_orderdate) = 1997
+           |  AND
+           |  (
+           |    (
+           |      o_custkey = c_custkey
+           |        AND
+           |        c_mktsegment = 'BUILDING'
+           |        AND
+           |        l_extendedprice BETWEEN 1000.00 AND 15000.00
+           |    )
+           |      OR
+           |      (
+           |        o_custkey = c_custkey
+           |          AND
+           |          c_mktsegment = 'AUTOMOBILE'
+           |          AND
+           |          l_extendedprice BETWEEN 5000.00 AND 20000.00
+           |      )
+           |      OR
+           |      (
+           |        o_custkey = c_custkey
+           |          AND
+           |          c_mktsegment = 'MACHINERY'
+           |          AND
+           |          l_extendedprice BETWEEN 15000.00 AND 40000.00
+           |      )
+           |  )
+           |  AND
+           |  (
+           |    (
+           |      c_nationkey = n_nationkey
+           |        AND
+           |        n_name IN ('NATION_1', 'NATION_3', 'NATION_5')
+           |        AND l_discount BETWEEN 0.00 AND 0.05
+           |    )
+           |      OR
+           |      (c_nationkey = n_nationkey
+           |        AND
+           |        n_name IN ('NATION_7', 'NATION_9', 'NATION_11')
+           |        AND l_discount BETWEEN 0.03 AND 0.08
+           |      )
+           |      OR
+           |      (c_nationkey = n_nationkey
+           |        AND
+           |        n_name IN ('NATION_13', 'NATION_15', 'NATION_17')
+           |        AND l_discount BETWEEN 0.05 AND 0.10
+           |      )
+           |  )""".stripMargin, sink)
+        .orderBy(col("sum_qty"))
+    }),
+
     // q100.sql:24-36 — GROUP BY HOPPING(ts, slide 30s, size 1m) over the
     // stream ⋈ dim join, complete mode.
     "q_sql_q100" -> ((s, dir) => {
@@ -444,6 +521,28 @@ object SqlCorpus {
         |WHERE sold_item_sk = p_partkey AND p_size < 15
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+
+    "q_sql_q48" ->
+      """SELECT round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem, customer, orders, nation
+        |WHERE o_orderkey = l_orderkey
+        |  AND year(o_orderdate) = 1997
+        |  AND (
+        |    (o_custkey = c_custkey AND c_mktsegment = 'BUILDING'
+        |      AND l_extendedprice BETWEEN 1000.00 AND 15000.00)
+        |    OR (o_custkey = c_custkey AND c_mktsegment = 'AUTOMOBILE'
+        |      AND l_extendedprice BETWEEN 5000.00 AND 20000.00)
+        |    OR (o_custkey = c_custkey AND c_mktsegment = 'MACHINERY'
+        |      AND l_extendedprice BETWEEN 15000.00 AND 40000.00)
+        |  )
+        |  AND (
+        |    (c_nationkey = n_nationkey AND n_name IN ('NATION_1', 'NATION_3', 'NATION_5')
+        |      AND l_discount BETWEEN 0.00 AND 0.05)
+        |    OR (c_nationkey = n_nationkey AND n_name IN ('NATION_7', 'NATION_9', 'NATION_11')
+        |      AND l_discount BETWEEN 0.03 AND 0.08)
+        |    OR (c_nationkey = n_nationkey AND n_name IN ('NATION_13', 'NATION_15', 'NATION_17')
+        |      AND l_discount BETWEEN 0.05 AND 0.10)
+        |  )""".stripMargin,
 
     "q_sql_q100" ->
       """SELECT w_start, event_type, round(sum(value), 2) AS ext_price
