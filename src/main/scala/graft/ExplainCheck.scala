@@ -27,6 +27,18 @@ object ExplainCheck {
       println(s"=== $q === unbounded windows: ${windows.length} (want 0)")
     }
     // search-index mode: satisfied filters leave no post-scan Filter
+    // containment dedup: candidate generation must be an equi-join on the
+    // rarest shingle — no cartesian product, no window over the corpus
+    val cPlan = SparkEntry.queries("q_dedup_containment")(spark, dir)
+      .queryExecution.optimizedPlan
+    val cart = cPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join if j.condition.isEmpty => j
+    }
+    val cWin = cPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    println(s"=== q_dedup_containment === cartesian joins: ${cart.length} (want 0), windows: ${cWin.length} (want 0)")
+
     val idxDir = java.nio.file.Files.createTempDirectory("explainidx").toString + "/t"
     import org.apache.spark.sql.functions._
     import spark.implicits._
