@@ -3,11 +3,14 @@ import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
 /** Verify, restricted to a name-prefix subset — fast local iteration on a
-  * group of gates (`runMain graft.VerifySubset <sfDir> <outDir> <prefix>`).
+  * group of gates (`runMain graft.VerifySubset <sfDir> <outDir> <prefixes>`,
+  * comma-separated).
   */
 object VerifySubset {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir, prefix) = args
+    val Array(sfDir, outDir, prefixArg) = args
+    val prefixes = prefixArg.split(",").map(_.trim).filter(_.nonEmpty)
+    def matches(name: String): Boolean = prefixes.exists(name.startsWith)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,7 +21,7 @@ object VerifySubset {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    val subset = SparkEntry.queries.filter(_._1.startsWith(prefix))
+    val subset = SparkEntry.queries.filter(p => matches(p._1))
     subset.foreach { case (name, fn) =>
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
@@ -36,7 +39,7 @@ object VerifySubset {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(_._1.startsWith(prefix))
+    val json = SparkEntry.oracleSql.filter(p => matches(p._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
