@@ -305,6 +305,39 @@ object SqlCorpusD {
         .orderBy(col("cnt"))
     }),
 
+    // q103.sql:12-33 — streaming CTAS: CREATE TABLE ... USING <sink>
+    // OPTIONS (output.mode 'append') AS SELECT, with TUMBLING + delay()
+    // directly in the GROUP BY (window not projected). The CTAS executes
+    // as catalog createTable + an AppendData the post-hoc rule rewrites
+    // into the same streaming insert as the INSERT INTO form.
+    "q_sql_q103" -> ((s, dir) => {
+      val u = uid()
+      val sink = s"/tmp/graft_sqlq103_$u/t"
+      runPorted(s,
+        s"""${header("g_q103_job", s"/tmp/graft_sqlq103ck_$u")}
+           |DROP TABLE IF EXISTS g_q103_events;
+           |CREATE TABLE g_q103_events USING log OPTIONS (path '$dir/events.parquet');
+           |DROP TABLE IF EXISTS g_q103_customer;
+           |CREATE TABLE g_q103_customer USING kv OPTIONS (path '$dir/customer.parquet');
+           |DROP TABLE IF EXISTS g_q103_sink;
+           |CREATE TABLE g_q103_sink
+           |USING kv
+           |OPTIONS (
+           |path '$sink',
+           |output.mode 'append') AS
+           |SELECT
+           |  CAST(c_nationkey AS BIGINT) brand_id,
+           |  c_mktsegment brand,
+           |  round(sum(value), 2) ext_price
+           |FROM (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, value
+           |      FROM g_q103_events), g_q103_customer
+           |WHERE user_id = c_custkey
+           |  AND c_acctbal > 0
+           |  AND delay(ts) < '2 minutes'
+           |GROUP BY TUMBLING(ts, interval 1 minute), c_mktsegment, c_nationkey""".stripMargin, sink)
+        .orderBy(col("brand_id"), col("brand"), col("ext_price"))
+    }),
+
     // q99.sql:23-55 — day-difference bucket pivot over the customer dim
     // chain (whole-name substr group key).
     "q_sql_q99" -> ((s, dir) => {
@@ -456,6 +489,20 @@ object SqlCorpusD {
         |  AND hour(ts) = 20
         |  AND minute(ts) >= 30
         |  AND c_mktsegment = 'BUILDING'""".stripMargin,
+
+    // Same emission rule as q_sql_q102: a window's rows are in the sink
+    // iff window_end <= floor_ms(max event time over ALL events) - 2 min
+    // (the watermark sits on the events leg, below the dim join).
+    "q_sql_q103" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS brand_id, c_mktsegment AS brand,
+        |  round(sum(value), 2) AS ext_price
+        |FROM events e, customer
+        |WHERE user_id = c_custkey
+        |  AND c_acctbal > 0
+        |  AND (CAST(epoch(time_bucket(INTERVAL 60 SECOND, e.ts)) AS BIGINT) + 60) * 1000
+        |      <= (SELECT epoch_ms(max(ts)) - 120000 FROM events)
+        |GROUP BY time_bucket(INTERVAL 60 SECOND, e.ts), c_nationkey, c_mktsegment
+        |ORDER BY brand_id, brand, ext_price""".stripMargin,
 
     "q_sql_q99" ->
       """SELECT substr(c_name, 1, 20) AS wh, o_orderstatus AS sm_type, c_mktsegment AS cc_name,
