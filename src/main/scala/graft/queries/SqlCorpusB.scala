@@ -26,7 +26,31 @@ import org.apache.spark.sql.functions._
   *  - q34.sql  → derived-table streaming agg joined to a dim AFTER
   *               aggregation, HAVING-like cnt BETWEEN, CASE-ratio
   */
+/** DuckDB replay of Spark's `round(CAST(avg(cast(c AS DECIMAL(12,2))) AS
+  * DOUBLE), 4)`: Spark's decimal avg is the exact sum/count HALF_UP'd at
+  * 6dp (DECIMAL(16,6)), then round(double, 4) HALF_UPs the shortest
+  * decimal representation — both replayed in HUGEINT integer math on the
+  * exact cents sum, making the gate independent of float summation order
+  * (a plain double avg can land on either side of a .00005 boundary
+  * depending on shuffle merge order). Same scheme as the q18 oracle.
+  */
+private[queries] object DecAvg {
+  def halfUp(num: String, den: String): String =
+    s"(CASE WHEN $num >= 0 THEN (2 * ($num) + $den) // (2 * ($den)) " +
+      s"ELSE -((2 * (-($num)) + $den) // (2 * ($den))) END)"
+  /** s = HUGEINT cents-sum expression, n = count expression → double. */
+  def sparkAvg(s: String, n: String): String = {
+    val v6 = halfUp(s"$s * 10000", n)
+    val v4 = halfUp(v6, "100")
+    s"CAST($v4 AS DOUBLE) / 10000.0"
+  }
+  /** The cents-sum aggregate for column c. */
+  def centsSum(c: String): String =
+    s"CAST(sum(CAST($c AS DECIMAL(12, 2))) * 100 AS HUGEINT)"
+}
+
 object SqlCorpusB {
+  import DecAvg.{centsSum, sparkAvg}
 
   private def uid(): String = java.util.UUID.randomUUID().toString.replace("-", "")
 
@@ -109,10 +133,10 @@ object SqlCorpusB {
            |INSERT INTO g_q7_sink
            |SELECT
            |  p_brand item_id,
-           |  round(avg(l_quantity), 4) agg1,
-           |  round(avg(l_extendedprice), 4) agg2,
-           |  round(avg(l_discount), 4) agg3,
-           |  round(avg(l_tax), 4) agg4
+           |  round(CAST(avg(cast(l_quantity AS DECIMAL(12, 2))) AS DOUBLE), 4) agg1,
+           |  round(CAST(avg(cast(l_extendedprice AS DECIMAL(12, 2))) AS DOUBLE), 4) agg2,
+           |  round(CAST(avg(cast(l_discount AS DECIMAL(12, 2))) AS DOUBLE), 4) agg3,
+           |  round(CAST(avg(cast(l_tax AS DECIMAL(12, 2))) AS DOUBLE), 4) agg4
            |FROM g_q7_lineitem, g_q7_customer, g_q7_orders, g_q7_part, g_q7_supplier
            |WHERE l_orderkey = o_orderkey AND
            |  o_custkey = c_custkey AND
@@ -148,9 +172,9 @@ object SqlCorpusB {
            |  catalog '{"columns": {"agg1": {"type": "double"}, "agg2": {"type": "double"}, "agg3": {"type": "double"}, "agg4": {"type": "double"}}}');
            |INSERT INTO g_q13_sink
            |SELECT
-           |  round(avg(l_quantity), 4) agg1,
-           |  round(avg(l_extendedprice), 4) agg2,
-           |  round(avg(l_tax), 4) agg3,
+           |  round(CAST(avg(cast(l_quantity AS DECIMAL(12, 2))) AS DOUBLE), 4) agg1,
+           |  round(CAST(avg(cast(l_extendedprice AS DECIMAL(12, 2))) AS DOUBLE), 4) agg2,
+           |  round(CAST(avg(cast(l_tax AS DECIMAL(12, 2))) AS DOUBLE), 4) agg3,
            |  round(sum(l_tax), 2) agg4
            |FROM g_q13_lineitem
            |  , g_q13_supplier
@@ -324,7 +348,7 @@ object SqlCorpusB {
            |  p_type,
            |  l_returnflag,
            |  l_linestatus,
-           |  round(avg(l_quantity), 4) qoh
+           |  round(CAST(avg(cast(l_quantity AS DECIMAL(12, 2))) AS DOUBLE), 4) qoh
            |FROM g_q22_lineitem, g_q22_orders, g_q22_part
            |WHERE l_orderkey = o_orderkey
            |  AND l_partkey = p_partkey
@@ -358,10 +382,10 @@ object SqlCorpusB {
            |INSERT INTO g_q26_sink
            |SELECT
            |  o_orderpriority item_id,
-           |  round(avg(l_quantity), 4) agg1,
-           |  round(avg(l_extendedprice), 4) agg2,
-           |  round(avg(l_discount), 4) agg3,
-           |  round(avg(l_tax), 4) agg4
+           |  round(CAST(avg(cast(l_quantity AS DECIMAL(12, 2))) AS DOUBLE), 4) agg1,
+           |  round(CAST(avg(cast(l_extendedprice AS DECIMAL(12, 2))) AS DOUBLE), 4) agg2,
+           |  round(CAST(avg(cast(l_discount AS DECIMAL(12, 2))) AS DOUBLE), 4) agg3,
+           |  round(CAST(avg(cast(l_tax AS DECIMAL(12, 2))) AS DOUBLE), 4) agg4
            |FROM g_q26_lineitem, g_q26_customer, g_q26_orders, g_q26_nation, g_q26_region
            |WHERE l_orderkey = o_orderkey AND
            |  o_custkey = c_custkey AND
@@ -444,26 +468,36 @@ object SqlCorpusB {
         |ORDER BY state""".stripMargin,
 
     "q_sql_q7" ->
-      """SELECT p_brand AS item_id,
-        |  round(avg(l_quantity), 4) AS agg1,
-        |  round(avg(l_extendedprice), 4) AS agg2,
-        |  round(avg(l_discount), 4) AS agg3,
-        |  round(avg(l_tax), 4) AS agg4
-        |FROM lineitem, customer, orders, part, supplier
-        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
-        |  AND l_partkey = p_partkey AND l_suppkey = s_suppkey
-        |  AND c_mktsegment = 'BUILDING'
-        |  AND (o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH')
-        |  AND year(o_orderdate) = 1996
-        |GROUP BY p_brand
-        |ORDER BY item_id""".stripMargin,
+      s"""WITH g AS (
+         |  SELECT p_brand AS item_id,
+         |    ${centsSum("l_quantity")} AS s1,
+         |    ${centsSum("l_extendedprice")} AS s2,
+         |    ${centsSum("l_discount")} AS s3,
+         |    ${centsSum("l_tax")} AS s4,
+         |    count(*) AS n
+         |  FROM lineitem, customer, orders, part, supplier
+         |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |    AND l_partkey = p_partkey AND l_suppkey = s_suppkey
+         |    AND c_mktsegment = 'BUILDING'
+         |    AND (o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH')
+         |    AND year(o_orderdate) = 1996
+         |  GROUP BY p_brand)
+         |SELECT item_id,
+         |  ${sparkAvg("s1", "n")} AS agg1,
+         |  ${sparkAvg("s2", "n")} AS agg2,
+         |  ${sparkAvg("s3", "n")} AS agg3,
+         |  ${sparkAvg("s4", "n")} AS agg4
+         |FROM g
+         |ORDER BY item_id""".stripMargin,
 
     "q_sql_q13" ->
-      """SELECT
-        |  round(avg(l_quantity), 4) AS agg1,
-        |  round(avg(l_extendedprice), 4) AS agg2,
-        |  round(avg(l_tax), 4) AS agg3,
-        |  round(sum(l_tax), 2) AS agg4
+      s"""WITH g AS (
+        |  SELECT
+        |  ${centsSum("l_quantity")} AS s1,
+        |  ${centsSum("l_extendedprice")} AS s2,
+        |  ${centsSum("l_tax")} AS s3,
+        |  round(sum(l_tax), 2) AS agg4,
+        |  count(*) AS n
         |FROM lineitem, supplier, customer, nation, orders
         |WHERE s_suppkey = l_suppkey
         |  AND l_orderkey = o_orderkey AND year(o_orderdate) = 1996
@@ -478,7 +512,13 @@ object SqlCorpusB {
         |   OR (c_nationkey = n_nationkey AND n_name IN ('NATION_5', 'NATION_7', 'NATION_9')
         |    AND l_discount BETWEEN 0.02 AND 0.03)
         |   OR (c_nationkey = n_nationkey AND n_name IN ('NATION_11', 'NATION_13', 'NATION_15')
-        |    AND l_discount BETWEEN 0.01 AND 0.05))""".stripMargin,
+        |    AND l_discount BETWEEN 0.01 AND 0.05)))
+        |SELECT
+        |  ${sparkAvg("s1", "n")} AS agg1,
+        |  ${sparkAvg("s2", "n")} AS agg2,
+        |  ${sparkAvg("s3", "n")} AS agg3,
+        |  agg4
+        |FROM g""".stripMargin,
 
     "q_sql_q15" ->
       """SELECT substr(c_name, 15, 3) AS zip, round(sum(l_extendedprice), 2) AS net
@@ -520,29 +560,41 @@ object SqlCorpusB {
         |ORDER BY wh_name, item_id""".stripMargin,
 
     "q_sql_q22" ->
-      """SELECT p_brand, p_type, l_returnflag, l_linestatus,
-        |  round(avg(l_quantity), 4) AS qoh
-        |FROM lineitem, orders, part
-        |WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
-        |  AND o_orderdate BETWEEN CAST('1996-07-01' AS DATE) AND CAST('1997-06-30' AS DATE)
-        |GROUP BY ROLLUP (p_brand, p_type, l_returnflag, l_linestatus)
-        |ORDER BY qoh, p_brand NULLS FIRST, p_type NULLS FIRST,
-        |  l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
+      s"""WITH g AS (
+         |  SELECT p_brand, p_type, l_returnflag, l_linestatus,
+         |    ${centsSum("l_quantity")} AS s1, count(*) AS n
+         |  FROM lineitem, orders, part
+         |  WHERE l_orderkey = o_orderkey AND l_partkey = p_partkey
+         |    AND o_orderdate BETWEEN CAST('1996-07-01' AS DATE) AND CAST('1997-06-30' AS DATE)
+         |  GROUP BY ROLLUP (p_brand, p_type, l_returnflag, l_linestatus))
+         |SELECT p_brand, p_type, l_returnflag, l_linestatus,
+         |  ${sparkAvg("s1", "n")} AS qoh
+         |FROM g
+         |ORDER BY qoh, p_brand NULLS FIRST, p_type NULLS FIRST,
+         |  l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin,
 
     "q_sql_q26" ->
-      """SELECT o_orderpriority AS item_id,
-        |  round(avg(l_quantity), 4) AS agg1,
-        |  round(avg(l_extendedprice), 4) AS agg2,
-        |  round(avg(l_discount), 4) AS agg3,
-        |  round(avg(l_tax), 4) AS agg4
-        |FROM lineitem, customer, orders, nation, region
-        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
-        |  AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
-        |  AND c_mktsegment = 'AUTOMOBILE'
-        |  AND (r_name = 'ASIA' OR r_name = 'EUROPE')
-        |  AND year(o_orderdate) = 1997
-        |GROUP BY o_orderpriority
-        |ORDER BY item_id""".stripMargin,
+      s"""WITH g AS (
+         |  SELECT o_orderpriority AS item_id,
+         |    ${centsSum("l_quantity")} AS s1,
+         |    ${centsSum("l_extendedprice")} AS s2,
+         |    ${centsSum("l_discount")} AS s3,
+         |    ${centsSum("l_tax")} AS s4,
+         |    count(*) AS n
+         |  FROM lineitem, customer, orders, nation, region
+         |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |    AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |    AND c_mktsegment = 'AUTOMOBILE'
+         |    AND (r_name = 'ASIA' OR r_name = 'EUROPE')
+         |    AND year(o_orderdate) = 1997
+         |  GROUP BY o_orderpriority)
+         |SELECT item_id,
+         |  ${sparkAvg("s1", "n")} AS agg1,
+         |  ${sparkAvg("s2", "n")} AS agg2,
+         |  ${sparkAvg("s3", "n")} AS agg3,
+         |  ${sparkAvg("s4", "n")} AS agg4
+         |FROM g
+         |ORDER BY item_id""".stripMargin,
 
     "q_sql_q34" ->
       """SELECT c_name, c_mktsegment, c_acctbal, ticket, cnt

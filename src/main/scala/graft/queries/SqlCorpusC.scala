@@ -59,10 +59,10 @@ object SqlCorpusC {
            |  p_brand item_id,
            |  n_name state,
            |  CAST(grouping(n_name) AS BIGINT) g_state,
-           |  round(avg(l_quantity), 4) agg1,
-           |  round(avg(l_extendedprice), 4) agg2,
-           |  round(avg(l_discount), 4) agg3,
-           |  round(avg(l_tax), 4) agg4
+           |  round(CAST(avg(cast(l_quantity AS DECIMAL(12, 2))) AS DOUBLE), 4) agg1,
+           |  round(CAST(avg(cast(l_extendedprice AS DECIMAL(12, 2))) AS DOUBLE), 4) agg2,
+           |  round(CAST(avg(cast(l_discount AS DECIMAL(12, 2))) AS DOUBLE), 4) agg3,
+           |  round(CAST(avg(cast(l_tax AS DECIMAL(12, 2))) AS DOUBLE), 4) agg4
            |FROM g_q27_lineitem, g_q27_customer, g_q27_orders, g_q27_nation, g_q27_part
            |WHERE l_orderkey = o_orderkey AND
            |  o_custkey = c_custkey AND
@@ -389,20 +389,29 @@ object SqlCorpusC {
   )
 
   def oracles: Map[String, String] = Map(
+    // Decimal-avg replay (see [[DecAvg]]) — float-order-independent.
     "q_sql_q27" ->
-      """SELECT p_brand AS item_id, n_name AS state,
-        |  CAST(grouping(n_name) AS BIGINT) AS g_state,
-        |  round(avg(l_quantity), 4) AS agg1,
-        |  round(avg(l_extendedprice), 4) AS agg2,
-        |  round(avg(l_discount), 4) AS agg3,
-        |  round(avg(l_tax), 4) AS agg4
-        |FROM lineitem, customer, orders, nation, part
-        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
-        |  AND c_nationkey = n_nationkey AND l_partkey = p_partkey
-        |  AND c_mktsegment = 'MACHINERY' AND year(o_orderdate) = 1997
-        |  AND n_name IN ('NATION_2', 'NATION_2', 'NATION_4', 'NATION_6', 'NATION_8', 'NATION_2')
-        |GROUP BY ROLLUP (p_brand, n_name)
-        |ORDER BY item_id NULLS FIRST, state NULLS FIRST""".stripMargin,
+      s"""WITH g AS (
+         |  SELECT p_brand AS item_id, n_name AS state,
+         |    CAST(grouping(n_name) AS BIGINT) AS g_state,
+         |    ${DecAvg.centsSum("l_quantity")} AS s1,
+         |    ${DecAvg.centsSum("l_extendedprice")} AS s2,
+         |    ${DecAvg.centsSum("l_discount")} AS s3,
+         |    ${DecAvg.centsSum("l_tax")} AS s4,
+         |    count(*) AS n
+         |  FROM lineitem, customer, orders, nation, part
+         |  WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |    AND c_nationkey = n_nationkey AND l_partkey = p_partkey
+         |    AND c_mktsegment = 'MACHINERY' AND year(o_orderdate) = 1997
+         |    AND n_name IN ('NATION_2', 'NATION_2', 'NATION_4', 'NATION_6', 'NATION_8', 'NATION_2')
+         |  GROUP BY ROLLUP (p_brand, n_name))
+         |SELECT item_id, state, g_state,
+         |  ${DecAvg.sparkAvg("s1", "n")} AS agg1,
+         |  ${DecAvg.sparkAvg("s2", "n")} AS agg2,
+         |  ${DecAvg.sparkAvg("s3", "n")} AS agg3,
+         |  ${DecAvg.sparkAvg("s4", "n")} AS agg4
+         |FROM g
+         |ORDER BY item_id NULLS FIRST, state NULLS FIRST""".stripMargin,
 
     "q_sql_q42" ->
       """SELECT CAST(year(o_orderdate) AS BIGINT) AS d_year, p_type AS category,

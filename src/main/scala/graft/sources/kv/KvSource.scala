@@ -269,7 +269,7 @@ case class KvInputPartition(chunks: Seq[KvChunk]) extends InputPartition
 class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
     predicate: Option[FilterPredicate],
     accepted: Array[Filter], maxSplitCount: Int, splitSizeMb: Long)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = readSchema
   override def toBatch: Batch = this
@@ -277,8 +277,32 @@ class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
     s"kv path=$path, PushedFilters: [${accepted.mkString(", ")}], " +
       s"ReadSchema: ${readSchema.simpleString}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val targetBytes = splitSizeMb * 1024L * 1024L
+  /** Post-pruning size/row estimate from the cached footers. Without it a
+    * DSv2 relation defaults to `defaultSizeInBytes` (effectively ∞), so a
+    * 25-row dimension table never auto-broadcasts and every star join
+    * becomes a shuffle — the single worst plan defect at cluster scale.
+    * Bytes are parquet's uncompressed column sizes over the row groups
+    * that survive zone-map pruning, scaled by the projected-column
+    * fraction so column pruning shrinks the estimate too.
+    */
+  override def estimateStatistics(): Statistics = {
+    var bytes = 0L
+    var rows = 0L
+    prunedGroups().foreach { case (_, g) => bytes += g.totalByteSize; rows += g.rowCount }
+    val frac =
+      if (tableSchema.isEmpty) 1.0
+      else math.max(readSchema.size, 1).toDouble / tableSchema.size
+    val estBytes = math.max((bytes * frac).toLong, 1L)
+    new Statistics {
+      override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(estBytes)
+      override def numRows(): util.OptionalLong = util.OptionalLong.of(rows)
+    }
+  }
+
+  /** Row groups that survive zone-map pruning, per file (cached footers —
+    * shared by planning and statistics).
+    */
+  private def prunedGroups(): Seq[(Path, ParquetIO.RowGroupInfo)] = {
     // Planning-time zone-map pruning (search-index mode): drop row groups
     // that cannot match the pushed conjunction BEFORE tasks are scheduled
     // — parquet's own stats skipping only saves work after a task starts.
@@ -290,9 +314,18 @@ class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
         case Some(zones) => accepted.forall(f => KvIndex.mayMatch(f, zones))
         case None => true
       }
-    val all = ParquetIO.listFilesStatus(path).flatMap { case (f, len, mtime) =>
-      val groups = ParquetIO.footerInfoCached(f, len, mtime)
+    ParquetIO.listFilesStatus(path).flatMap { case (f, len, mtime) =>
+      ParquetIO.footerInfoCached(f, len, mtime)
         .filter(g => groupMayMatch(f.toString, g))
+        .map(g => (f, g))
+    }
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val targetBytes = splitSizeMb * 1024L * 1024L
+    val byFile = prunedGroups().groupBy(_._1).view.mapValues(_.map(_._2))
+    val all = ParquetIO.listFilesStatus(path).flatMap { case (f, _, _) =>
+      val groups = byFile.getOrElse(f, Seq.empty)
       if (groups.isEmpty) Nil
       else {
         // pack contiguous row groups into ~targetBytes chunks

@@ -133,11 +133,40 @@ class LogTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
 }
 
 class LogScan(path: String, schema: StructType, options: CaseInsensitiveStringMap)
-    extends Scan {
+    extends Scan with SupportsReportStatistics {
   private val raw = LogSource.isRaw(options)
 
   override def readSchema(): StructType = schema
   override def description(): String = s"log path=$path raw=$raw"
+
+  /** Batch-read size estimate from the cached footers, prorated by the
+    * selected offset range — without it the DSv2 relation reports
+    * `defaultSizeInBytes` and can never sit on the broadcast side of a
+    * join (nor let AQE pick a cheap plan for a small offset slice).
+    */
+  override def estimateStatistics(): org.apache.spark.sql.connector.read.Statistics = {
+    val perShard = ParquetIO.listFilesStatus(path).map { case (f, len, mt) =>
+      val groups = ParquetIO.footerInfoCached(f, len, mt)
+      f.getName -> ((groups.map(_.totalByteSize).sum, groups.map(_.rowCount).sum))
+    }.toMap
+    val counts = perShard.view.mapValues(_._2).toMap
+    val start = LogSource.resolveOffsets(
+      options.getOrDefault("starting.offsets", "earliest"), counts)
+    val end = LogSource.resolveOffsets(
+      options.getOrDefault("ending.offsets", "latest"), counts)
+    var bytes = 0L
+    var rows = 0L
+    perShard.foreach { case (shard, (b, n)) =>
+      val sel = math.max(end.getOrElse(shard, n) - start.getOrElse(shard, 0L), 0L)
+      rows += sel
+      if (n > 0) bytes += (b * (sel.toDouble / n)).toLong
+    }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(bytes, 1L))
+      override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
