@@ -233,7 +233,7 @@ object SqlCorpusB {
            |SELECT
            |  substr(c_name, 15, 3) zip,
            |  round(sum(l_extendedprice), 2) net
-           |FROM g_q15_lineitem, g_q15_customer, g_q15_orders
+           |FROM g_q15_lineitem, g_q15_orders, g_q15_customer
            |WHERE l_orderkey = o_orderkey
            |  AND o_custkey = c_custkey
            |  AND (substr(c_name, 15, 3) IN ('000', '001', '012', '123', '055',
@@ -522,7 +522,7 @@ object SqlCorpusB {
 
     "q_sql_q15" ->
       """SELECT substr(c_name, 15, 3) AS zip, round(sum(l_extendedprice), 2) AS net
-        |FROM lineitem, customer, orders
+        |FROM lineitem, orders, customer
         |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
         |  AND (substr(c_name, 15, 3) IN ('000', '001', '012', '123', '055',
         |                                 '101', '144', '077', '033')
