@@ -22,10 +22,12 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.defs ++ EventsQueries.defs ++ TextQueries.defs ++
       VectorQueries.defs ++ PipelineQueries.defs ++ SourceQueries.defs ++
+      CurationQueries.defs ++
       SqlCorpus.defs ++ SqlCorpusB.defs ++ SqlCorpusC.defs ++ SqlCorpusD.defs
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EventsQueries.oracles ++ TextQueries.oracles ++
       VectorQueries.oracles ++ PipelineQueries.oracles ++ SourceQueries.oracles ++
+      CurationQueries.oracles ++
       SqlCorpus.oracles ++ SqlCorpusB.oracles ++ SqlCorpusC.oracles ++ SqlCorpusD.oracles
 }

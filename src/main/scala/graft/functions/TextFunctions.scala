@@ -75,6 +75,40 @@ object TextFunctions {
     */
   def fingerprint64(c: Column): Column = xxhash64(normalized(c))
 
+  // --- PII detection / redaction -----------------------------------------
+  //
+  // The regexes stay inside the RE2 ∩ java.util.regex common subset
+  // (character classes, bounded repetition, \b word boundaries — no
+  // lookaround, no backrefs) so any engine replays them identically; the
+  // DuckDB oracle runs the same patterns through RE2.
+
+  /** Email addresses (practical form, not full RFC 5322). */
+  val piiEmailRegex = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Dotted-quad IPv4 (syntactic — no octet range check, by design: a
+    * scrubber should over- rather than under-redact).
+    */
+  val piiIpRegex = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** NANP-style phone numbers NNN-NNN-NNNN. */
+  val piiPhoneRegex = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+  def piiEmailCount(c: Column): Column = regexp_count(c, lit(piiEmailRegex)).cast("long")
+  def piiIpCount(c: Column): Column = regexp_count(c, lit(piiIpRegex)).cast("long")
+  def piiPhoneCount(c: Column): Column = regexp_count(c, lit(piiPhoneRegex)).cast("long")
+
+  /** Replace each PII class with a typed placeholder. Emails are redacted
+    * first so an address's host part can never be half-matched as an IP
+    * afterwards; phones run last (their digits can't occur inside the
+    * other two patterns' matches once those are tags).
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, piiEmailRegex, "<EMAIL>"),
+        piiIpRegex, "<IP>"),
+      piiPhoneRegex, "<PHONE>")
+
   /** Word n-gram shingles as an array column (distinct). */
   def shingles(c: Column, n: Int): Column = {
     val words = split(trim(c), "\\s+")

@@ -1,0 +1,164 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.{BoundedTopK, Sketches, TextFunctions}
+
+/** Corpus-curation operators for large-scale training-data pipelines:
+  * repetition quality signals (Gopher-style), deterministic sequence
+  * packing ("concat and chunk"), and deterministic stratified sampling.
+  *
+  * These extend the reference's query surface the way a 100 TB
+  * pretraining pipeline needs (see Rae et al., "Scaling Language Models:
+  * Methods, Analysis & Insights from Training Gopher", §A1.1 for the
+  * repetition filters; the packing layout is the standard concat-and-chunk
+  * used by GPT-style dataloaders). Everything here is deterministic and
+  * replayable in ANSI SQL, so every operator carries an exact DuckDB
+  * oracle in [[graft.queries.CurationQueries]].
+  *
+  * Scale stance:
+  *  - repetition signals are two hash-partitioned aggregations keyed by
+  *    (doc, gram) then doc — the canonical shape; nothing is per-corpus.
+  *  - packing windows are partitioned by shard: each shard is an
+  *    independent total order, so parallelism = shard count (pick shards
+  *    ≈ cluster cores at 100 TB; the layout is reproducible for any
+  *    fixed shard count).
+  *  - sampling state is a bounded heap per group ([[BoundedTopK]]), never
+  *    a per-group window over all members.
+  */
+object Curation {
+
+  private def words(c: Column): Column = split(trim(c), "\\s+")
+
+  /** Word n-grams of `textCol` as an array column; empty when the doc has
+    * fewer than `n` words (never a partial gram).
+    */
+  private def grams(wordsCol: Column, n: Int): Column =
+    when(size(wordsCol) >= n,
+      transform(sequence(lit(0), size(wordsCol) - n),
+        i => concat_ws(" ", slice(wordsCol, i + 1, lit(n)))))
+      .otherwise(array())
+
+  /** Gopher-style per-document repetition signals:
+    *
+    *  - `word_rep`: 1 − distinct_words / total_words — bulk word reuse.
+    *  - `top2_frac` / `top3_frac`: characters covered by the most frequent
+    *    word {2,3}-gram (count × gram length / doc chars) — detects a
+    *    single repeated phrase dominating the doc.
+    *  - `dup5_frac`: characters covered by all 5-grams occurring ≥ 2
+    *    times — detects diffuse boilerplate (can exceed 1 on heavily
+    *    overlapping repeats; it is a signal, not a proportion).
+    *
+    * All ratios round to 4 decimals. Docs shorter than the gram size get
+    * 0.0. Two shuffles total — (doc, n, gram) counts, then a per-doc
+    * rollup — with map-side partial aggregation on both; per-doc word
+    * stats are computed row-local with array functions (no shuffle).
+    */
+  def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val id = col(idCol)
+    val ws = words(col(textCol))
+    val perRow = df.select(id,
+      length(col(textCol)).cast("double").as("n_chars"),
+      size(ws).cast("long").as("n_words"),
+      size(array_distinct(ws)).cast("long").as("n_distinct"),
+      ws.as("ws"))
+
+    // one explode for all gram sizes, tagged by n
+    val tagged = perRow.select(id, col("n_chars"),
+      explode(concat(
+        transform(grams(col("ws"), 2), g => struct(lit(2).as("n"), g.as("gram"))),
+        transform(grams(col("ws"), 3), g => struct(lit(3).as("n"), g.as("gram"))),
+        transform(grams(col("ws"), 5), g => struct(lit(5).as("n"), g.as("gram")))
+      )).as("t"))
+      .select(id, col("n_chars"), col("t.n").as("n"), col("t.gram").as("gram"))
+
+    val counted = tagged
+      .groupBy(id, col("n"), col("gram"))
+      .agg(count(lit(1)).as("cnt"), first(col("n_chars")).as("n_chars"))
+    val covered = counted
+      .groupBy(id, col("n"))
+      .agg(
+        max(col("cnt") * length(col("gram")).cast("double") / col("n_chars")).as("top_frac"),
+        sum(when(col("cnt") >= 2,
+          col("cnt") * length(col("gram")).cast("double") / col("n_chars"))
+          .otherwise(lit(0.0))).as("dup_frac"))
+    val pivoted = covered.groupBy(id).agg(
+      max(when(col("n") === 2, col("top_frac"))).as("top2"),
+      max(when(col("n") === 3, col("top_frac"))).as("top3"),
+      max(when(col("n") === 5, col("dup_frac"))).as("dup5"))
+
+    perRow.select(id, col("n_words"),
+        round(lit(1.0) - col("n_distinct").cast("double") /
+          greatest(col("n_words").cast("double"), lit(1.0)), 4).as("word_rep"))
+      .join(pivoted, Seq(idCol), "left")
+      .select(id, col("n_words"), col("word_rep"),
+        round(coalesce(col("top2"), lit(0.0)), 4).as("top2_frac"),
+        round(coalesce(col("top3"), lit(0.0)), 4).as("top3_frac"),
+        round(coalesce(col("dup5"), lit(0.0)), 4).as("dup5_frac"))
+  }
+
+  /** Deterministic "concat and chunk" sequence packing: lay out documents
+    * token-contiguously in (shard, id) order and cut the token stream of
+    * each shard into fixed-`capacity` training sequences. Returns one row
+    * per document: its shard, its token offset within the shard stream,
+    * and the first/last sequence index it lands in (a document spans
+    * `end_seq - begin_seq + 1` sequences; the dataloader re-reads it for
+    * each).
+    *
+    * `shard = id % shards` keeps the layout reproducible under any
+    * engine; the per-shard running offset is a window sum ordered by id —
+    * each shard is an independent sorted partition, so shard count IS the
+    * parallelism (use thousands of shards at 100 TB; sequence indices are
+    * per-shard, exactly like per-worker dataloader files).
+    */
+  def packSequences(
+      df: DataFrame, idCol: String, tokensCol: Column,
+      capacity: Long, shards: Int): DataFrame = {
+    require(capacity >= 1 && shards >= 1, "capacity and shards must be >= 1")
+    val id = col(idCol)
+    val w = Window.partitionBy(col("shard")).orderBy(id)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    df.select(id, pmod(id, lit(shards.toLong)).as("shard"), tokensCol.as("n_tok"))
+      .withColumn("tok_offset", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .select(id, col("shard"), col("n_tok"), col("tok_offset"),
+        (col("tok_offset") / capacity).cast("long").as("begin_seq"),
+        ((col("tok_offset") + greatest(col("n_tok"), lit(1L)) - 1L) / capacity)
+          .cast("long").as("end_seq"))
+  }
+
+  /** Deterministic uniform sample of `k` rows per group: keep the k
+    * members with the largest `splitmix64(id)` (as double, id-asc
+    * tiebreak — the same replayable order [[SimilaritySearch]] uses for
+    * centroid training samples). Hash order is uniform in expectation, so
+    * this is a without-replacement uniform sample that any engine can
+    * reproduce — unlike `TABLESAMPLE`, which is partition-layout
+    * dependent.
+    *
+    * Aggregation state is a k-row bounded heap per group with map-side
+    * partials ([[BoundedTopK]]) — a group's full membership is never
+    * buffered, so a 10-billion-row source with one hot group still
+    * shuffles only k rows per (partition, group).
+    */
+  def sampleByGroup(
+      df: DataFrame, groupCol: String, idCol: String, k: Int): DataFrame = {
+    val picked = df
+      .select(col(groupCol), col(idCol))
+      .withColumn("hk", Sketches.splitmixLong(col(idCol)).cast("double"))
+      .groupBy(col(groupCol))
+      .agg(BoundedTopK.topK(struct(col("hk"), col(idCol)), k).as("top"))
+      .select(col(groupCol), explode(col(s"top.$idCol")).as(idCol))
+    df.join(picked, Seq(groupCol, idCol), "left_semi")
+  }
+
+  /** PII scrub: replace emails, dotted-quad IPs and NNN-NNN-NNNN phone
+    * numbers with typed placeholder tags, and count each. The regexes are
+    * deliberately in the common RE2/Java subset so results replay
+    * identically in any engine (see [[TextFunctions.redactPii]]).
+    */
+  def scrubPii(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_emails", TextFunctions.piiEmailCount(col(textCol)))
+      .withColumn("n_ips", TextFunctions.piiIpCount(col(textCol)))
+      .withColumn("n_phones", TextFunctions.piiPhoneCount(col(textCol)))
+      .withColumn(textCol, TextFunctions.redactPii(col(textCol)))
+}

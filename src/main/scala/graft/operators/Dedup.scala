@@ -398,4 +398,43 @@ object Dedup {
       .where(col("cosine") >= minCosine)
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
+
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023): k-means-cluster
+    * the embedding space, then compare pairs ONLY within a cluster —
+    * cosine above `minCosine` marks the higher id a semantic duplicate of
+    * the lower. Returns (id_a, id_b, cell, cosine) pairs, id_a < id_b.
+    *
+    * Clustering reuses [[SimilaritySearch.trainCentroids]] (deterministic
+    * init + bounded per-cell training sample, bit-replayable in the
+    * oracle); assignment broadcasts the centroids so the corpus never
+    * shuffles for it. The pairwise stage shuffles once on `cell` —
+    * candidate count is Σ |cell|² instead of N², which is the entire
+    * point of SemDeDup at 100 TB: nCells grows with the corpus so cells
+    * stay bounded (pathological mega-cells are additionally capped by
+    * `maxBucket`, same safety net as every banded join here).
+    */
+  def semantic(
+      df: DataFrame,
+      vecCol: String,
+      idCol: String,
+      minCosine: Double = 0.95,
+      nCells: Int = 64,
+      iterations: Int = 2,
+      maxTrainPerCell: Int = 16384,
+      maxBucket: Int = 100000): DataFrame = {
+    val cents = SimilaritySearch.trainCentroids(
+      df, vecCol, idCol, nCells, iterations, maxTrainPerCell)
+    val prepped = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("e"))
+      .withColumn("nrm", l2Norm(col("e")))
+    val assigned = capBuckets(
+      SimilaritySearch.assignCells(prepped, cents), Seq("cell"), maxBucket)
+    assigned.as("a")
+      .join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("a.cell").as("cell"),
+        round(arrayDot(col("a.e"), col("b.e")) / (col("a.nrm") * col("b.nrm")), 6)
+          .as("cosine"))
+      .where(col("cosine") >= minCosine)
+  }
 }

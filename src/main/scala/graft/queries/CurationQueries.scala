@@ -1,0 +1,157 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.operators.{Curation, Dedup}
+import graft.functions.TextFunctions
+
+/** Gate entries for the corpus-curation operators ([[Curation]] +
+  * [[Dedup.semantic]]): repetition quality signals, PII scrubbing,
+  * deterministic sequence packing, stratified sampling, and SemDeDup.
+  * Every entry has an exact DuckDB oracle — the hash-ordered sample
+  * replays splitmix64 via [[SketchOracleSql.splitmixBigintSql]], SemDeDup
+  * replays the full deterministic k-means chain.
+  */
+object CurationQueries {
+
+  def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Gopher-style repetition signals over the documents corpus.
+    "q_doc_repetition" -> ((s, dir) => {
+      Curation.repetitionSignals(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII scrub over a deterministically PII-augmented text column (the
+    // fixture corpus is synthetic word soup with no PII — the augmentation
+    // is part of the query, computed identically by the oracle, so the
+    // detector/redactor runs against real positives).
+    "q_doc_pii_scrub" -> ((s, dir) => {
+      val aug = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), concat(col("text"),
+          lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com from 10."), (col("doc_id") % 200).cast("string"),
+          lit(".0.1 or call 555-123-"),
+          lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      Curation.scrubPii(aug, "text")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"), col("n_phones"),
+          md5(col("text")).as("redacted_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Concat-and-chunk packing of the corpus into 2048-token training
+    // sequences across 8 shards.
+    "q_pack_sequences" -> ((s, dir) => {
+      Curation.packSequences(Tables.load(s, dir, "documents"), "doc_id",
+        TextFunctions.tokenCount(col("text")), capacity = 2048, shards = 8)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Deterministic 10-per-source uniform sample (largest splitmix64(id)
+    // per group, bounded-heap state).
+    "q_sample_stratified" -> ((s, dir) => {
+      Curation.sampleByGroup(
+        Tables.load(s, dir, "documents").select(col("source"), col("doc_id")),
+        "source", "doc_id", k = 10)
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
+    // SemDeDup over the embeddings corpus: same cell geometry as the IVF
+    // gate (8 cells, cap-32 training), pairs at cosine >= 0.25.
+    "q_dedup_semantic" -> ((s, dir) => {
+      Dedup.semantic(Tables.load(s, dir, "embeddings"), "embedding", "vec_id",
+        minCosine = 0.25, nCells = 8, maxTrainPerCell = 32)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_doc_repetition" ->
+      """WITH perrow AS (
+        |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars,
+        |    string_split_regex(trim(text), '\s+') AS ws
+        |  FROM documents
+        |), stats AS (
+        |  SELECT doc_id, len(ws) AS n_words,
+        |    round(1.0 - len(list_distinct(ws)) /
+        |      greatest(CAST(len(ws) AS DOUBLE), 1.0), 4) AS word_rep
+        |  FROM perrow
+        |), tagged AS (
+        |  SELECT doc_id, n_chars, n,
+        |    array_to_string(ws[i + 1 : i + n], ' ') AS gram
+        |  FROM perrow, unnest([2, 3, 5]) AS tn(n),
+        |    unnest(generate_series(0, len(ws) - n)) AS ti(i)
+        |  WHERE len(ws) >= n
+        |), counted AS (
+        |  SELECT doc_id, n, gram, count(*) AS cnt, any_value(n_chars) AS n_chars
+        |  FROM tagged GROUP BY 1, 2, 3
+        |), covered AS (
+        |  SELECT doc_id, n,
+        |    max(cnt * CAST(length(gram) AS DOUBLE) / n_chars) AS top_frac,
+        |    sum(CASE WHEN cnt >= 2
+        |        THEN cnt * CAST(length(gram) AS DOUBLE) / n_chars ELSE 0.0 END) AS dup_frac
+        |  FROM counted GROUP BY 1, 2
+        |), pivoted AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN n = 2 THEN top_frac END) AS top2,
+        |    max(CASE WHEN n = 3 THEN top_frac END) AS top3,
+        |    max(CASE WHEN n = 5 THEN dup_frac END) AS dup5
+        |  FROM covered GROUP BY 1
+        |)
+        |SELECT s.doc_id, s.n_words, s.word_rep,
+        |  round(coalesce(p.top2, 0.0), 4) AS top2_frac,
+        |  round(coalesce(p.top3, 0.0), 4) AS top3_frac,
+        |  round(coalesce(p.dup5, 0.0), 4) AS dup5_frac
+        |FROM stats s LEFT JOIN pivoted p USING (doc_id)
+        |ORDER BY s.doc_id""".stripMargin,
+
+    "q_doc_pii_scrub" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |    || '@mail.example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)
+        |    || '.0.1 or call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |    AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b')) AS BIGINT) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g'),
+        |    '\b[0-9]{3}-[0-9]{3}-[0-9]{4}\b', '<PHONE>', 'g')) AS redacted_md5
+        |FROM aug
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH toks AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), packed AS (
+        |  SELECT doc_id, shard, n_tok,
+        |    coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        |  FROM toks
+        |)
+        |SELECT doc_id, shard, n_tok, tok_offset,
+        |  tok_offset // 2048 AS begin_seq,
+        |  (tok_offset + greatest(n_tok, 1) - 1) // 2048 AS end_seq
+        |FROM packed
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratified" -> {
+      val hk = SketchOracleSql.splitmixBigintSql("doc_id")
+      s"""SELECT source, doc_id FROM (
+         |  SELECT source, doc_id,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY CAST($hk AS DOUBLE) DESC, doc_id) AS rn
+         |  FROM documents
+         |) WHERE rn <= 10
+         |ORDER BY source, doc_id""".stripMargin
+    },
+
+    "q_dedup_semantic" -> SketchOracleSql.semanticDedupOracle,
+  )
+}

@@ -451,45 +451,57 @@ object SketchOracleSql {
     * top-3. Every double on both sides is an identically-ordered fold, so
     * the whole training loop is bit-reproducible across engines.
     */
+  /** Squared L2 distance between two DOUBLE[] exprs (index-ordered fold). */
+  private def kmD2(a: String, b: String) =
+    s"list_sum(list_transform(generate_series(1, len($a)), di -> (($a)[di] - ($b)[di]) * (($a)[di] - ($b)[di])))"
+  /** Nearest-cell assignment replay (ties on cell asc, like min(struct)). */
+  private def kmAssign(src: String, cent: String) =
+    s"""SELECT id, e, cell FROM (
+       |  SELECT p.id, p.e, c.cell,
+       |    row_number() OVER (PARTITION BY p.id ORDER BY ${kmD2("p.e", "c.ce")}, c.cell) AS rn
+       |  FROM $src p CROSS JOIN $cent c
+       |) WHERE rn = 1""".stripMargin
+  // trainCentroids' per-cell sample: top maxTrainPerCell by
+  // CAST(splitmix64(id) AS DOUBLE) desc, id asc (the BoundedTopK order)
+  private def kmSample(a: String, cap: Int) =
+    s"""SELECT id, e, cell FROM (
+       |  SELECT id, e, cell,
+       |    row_number() OVER (PARTITION BY cell
+       |      ORDER BY CAST(${sx(splitmix(ux("id")))} AS DOUBLE) DESC, id) AS srn
+       |  FROM $a
+       |) WHERE srn <= $cap""".stripMargin
+  private def kmMeans(a: String) =
+    s"""SELECT cell, list(m ORDER BY dim) AS ce FROM (
+       |  SELECT cell, dim, list_sum(list(v ORDER BY id)) / count(*) AS m FROM (
+       |    SELECT cell, id, unnest(range(1, len(e) + 1)) AS dim, unnest(e) AS v FROM $a
+       |  ) GROUP BY cell, dim
+       |) GROUP BY cell""".stripMargin
+
+  /** The full SimilaritySearch.trainCentroids replay as a WITH-clause
+    * fragment: `<p>prep` must already exist (id, e DOUBLE[]); defines
+    * `<p>cent2` (final centroids) and `<p>af` (final assignment). Two
+    * Lloyd iterations, `cap`-bounded deterministic per-cell samples.
+    */
+  private def kmChain(p: String, nCells: Int, cap: Int): String =
+    s"""${p}cent0 AS (
+       |  SELECT row_number() OVER (ORDER BY hk) - 1 AS cell, e AS ce FROM (
+       |    SELECT ${sx(splitmix(ux("id")))} AS hk, e FROM ${p}prep ORDER BY hk LIMIT $nCells)
+       |), ${p}a1 AS (${kmAssign(s"${p}prep", s"${p}cent0")}
+       |), ${p}s1 AS (${kmSample(s"${p}a1", cap)}
+       |), ${p}cent1 AS (${kmMeans(s"${p}s1")}
+       |), ${p}a2 AS (${kmAssign(s"${p}prep", s"${p}cent1")}
+       |), ${p}s2 AS (${kmSample(s"${p}a2", cap)}
+       |), ${p}cent2 AS MATERIALIZED (${kmMeans(s"${p}s2")}
+       |), ${p}af AS (${kmAssign(s"${p}prep", s"${p}cent2")}
+       |)""".stripMargin
+
   def annIvfOracle: String = {
-    def d2(a: String, b: String) =
-      s"list_sum(list_transform(generate_series(1, len($a)), di -> (($a)[di] - ($b)[di]) * (($a)[di] - ($b)[di])))"
-    def assign(src: String, cent: String) =
-      s"""SELECT id, e, cell FROM (
-         |  SELECT p.id, p.e, c.cell,
-         |    row_number() OVER (PARTITION BY p.id ORDER BY ${d2("p.e", "c.ce")}, c.cell) AS rn
-         |  FROM $src p CROSS JOIN $cent c
-         |) WHERE rn = 1""".stripMargin
-    // trainCentroids' per-cell sample: top maxTrainPerCell by
-    // CAST(splitmix64(id) AS DOUBLE) desc, id asc (the BoundedTopK order)
-    def sample(a: String, cap: Int) =
-      s"""SELECT id, e, cell FROM (
-         |  SELECT id, e, cell,
-         |    row_number() OVER (PARTITION BY cell
-         |      ORDER BY CAST(${sx(splitmix(ux("id")))} AS DOUBLE) DESC, id) AS srn
-         |  FROM $a
-         |) WHERE srn <= $cap""".stripMargin
-    def means(a: String) =
-      s"""SELECT cell, list(m ORDER BY dim) AS ce FROM (
-         |  SELECT cell, dim, list_sum(list(v ORDER BY id)) / count(*) AS m FROM (
-         |    SELECT cell, id, unnest(range(1, len(e) + 1)) AS dim, unnest(e) AS v FROM $a
-         |  ) GROUP BY cell, dim
-         |) GROUP BY cell""".stripMargin
+    def d2(a: String, b: String) = kmD2(a, b)
     s"""WITH iv_prep AS MATERIALIZED (
        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e,
        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
        |  FROM embeddings
-       |), iv_cent0 AS (
-       |  SELECT row_number() OVER (ORDER BY hk) - 1 AS cell, e AS ce FROM (
-       |    SELECT ${sx(splitmix(ux("id")))} AS hk, e FROM iv_prep ORDER BY hk LIMIT 8)
-       |), iv_a1 AS (${assign("iv_prep", "iv_cent0")}
-       |), iv_s1 AS (${sample("iv_a1", 32)}
-       |), iv_cent1 AS (${means("iv_s1")}
-       |), iv_a2 AS (${assign("iv_prep", "iv_cent1")}
-       |), iv_s2 AS (${sample("iv_a2", 32)}
-       |), iv_cent2 AS MATERIALIZED (${means("iv_s2")}
-       |), iv_af AS (${assign("iv_prep", "iv_cent2")}
-       |), iv_probes AS (
+       |), ${kmChain("iv_", 8, 32)}, iv_probes AS (
        |  SELECT qid, cell FROM (
        |    SELECT q.id AS qid, c.cell,
        |      row_number() OVER (PARTITION BY q.id ORDER BY ${d2("q.e", "c.ce")}, c.cell) AS rn
@@ -557,6 +569,33 @@ object SketchOracleSql {
     s"""WITH $ctes
        |SELECT * FROM ($rows) ORDER BY "column"""".stripMargin
   }
+
+  /** q_dedup_semantic: SemDeDup replay — the same deterministic k-means
+    * chain as the IVF oracle (8 cells, cap-32 training samples), then
+    * all within-cell pairs with round(cosine, 6) >= 0.25, id_a < id_b.
+    */
+  def semanticDedupOracle: String = {
+    val cos =
+      """round(list_sum(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i]))
+        |    / (pa.nrm * pb.nrm), 6)""".stripMargin
+    s"""WITH sd_prep AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e,
+       |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+       |  FROM embeddings
+       |), ${kmChain("sd_", 8, 32)}
+       |SELECT id_a, id_b, cell, cosine FROM (
+       |  SELECT a.id AS id_a, b.id AS id_b, a.cell AS cell, $cos AS cosine
+       |  FROM sd_af a JOIN sd_af b ON a.cell = b.cell AND a.id < b.id
+       |  JOIN sd_prep pa ON pa.id = a.id
+       |  JOIN sd_prep pb ON pb.id = b.id
+       |) WHERE cosine >= 0.25
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** Signed-BIGINT DuckDB replay of `Sketches.splitmixLong` over a BIGINT
+    * expression — for gates that sample by hash order outside this file.
+    */
+  def splitmixBigintSql(expr: String): String = sx(splitmix(ux(expr)))
 
   def oracles: Map[String, String] = Map(
     "q_corpus_stats" -> corpusStatsOracle,

@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- repetition signals --------------------------------------------------
+
+  test("repetitionSignals computes word repetition and gram coverage") {
+    val docs = Seq(
+      (1L, "a a a a"),                                    // pure repetition
+      (2L, "one two three four five six"),                // no repetition
+      (3L, "x"),                                          // shorter than any gram
+      (4L, "go go go go go go")                           // 5-gram duplication
+    ).toDF("doc_id", "text")
+    val out = Curation.repetitionSignals(docs, "text", "doc_id")
+      .orderBy("doc_id").collect()
+
+    val d1 = out(0)
+    assert(d1.getAs[Long]("n_words") == 4)
+    assert(d1.getAs[Double]("word_rep") == 0.75) // 1 distinct of 4
+    // "a a" occurs 3 times, len 3, doc chars 7 → 9/7
+    assert(math.abs(d1.getAs[Double]("top2_frac") - 9.0 / 7) < 1e-3)
+
+    val d2 = out(1)
+    assert(d2.getAs[Double]("word_rep") == 0.0)
+    assert(d2.getAs[Double]("dup5_frac") == 0.0) // both 5-grams unique
+
+    val d3 = out(2)
+    assert(d3.getAs[Long]("n_words") == 1)
+    assert(d3.getAs[Double]("top2_frac") == 0.0) // no grams at all
+    assert(d3.getAs[Double]("dup5_frac") == 0.0)
+
+    // "go go go go go" (len 14) occurs twice among the two 5-grams of doc 4
+    val d4 = out(3)
+    assert(d4.getAs[Double]("dup5_frac") == math.rint(2 * 14.0 / 17 * 1e4) / 1e4)
+  }
+
+  // --- PII scrubbing -------------------------------------------------------
+
+  test("scrubPii redacts and counts emails, IPs and phone numbers") {
+    val df = Seq(
+      (1L, "mail john.doe+x@ex-a.co or admin@example.org, host 192.168.0.1, call 555-123-4567"),
+      (2L, "no pii here at all"),
+      (3L, "v1.2.3.4 is a version (no boundary), 1.2.3.4 an ip, 12-34-5678 not a phone")
+    ).toDF("id", "text")
+    val out = Curation.scrubPii(df, "text").orderBy("id").collect()
+
+    assert(out(0).getAs[Long]("n_emails") == 2)
+    assert(out(0).getAs[Long]("n_ips") == 1)
+    assert(out(0).getAs[Long]("n_phones") == 1)
+    assert(out(0).getAs[String]("text") ==
+      "mail <EMAIL> or <EMAIL>, host <IP>, call <PHONE>")
+
+    assert(out(1).getAs[Long]("n_emails") + out(1).getAs[Long]("n_ips") +
+      out(1).getAs[Long]("n_phones") == 0)
+    assert(out(1).getAs[String]("text") == "no pii here at all")
+
+    // the version-like "v1.2.3.4" has no word boundary before its first
+    // octet, so only the bare dotted quad matches; malformed phone doesn't
+    assert(out(2).getAs[Long]("n_ips") == 1)
+    assert(out(2).getAs[Long]("n_phones") == 0)
+    assert(out(2).getAs[String]("text") ==
+      "v1.2.3.4 is a version (no boundary), <IP> an ip, 12-34-5678 not a phone")
+  }
+
+  test("redaction order prevents email hosts leaking as IPs") {
+    val df = Seq((1L, "u@1.2.3.4x.com then 5.6.7.8")).toDF("id", "text")
+    val out = Curation.scrubPii(df, "text").collect()(0)
+    assert(out.getAs[String]("text") == "u@1.2.3.4x.com then <IP>" ||
+      out.getAs[String]("text") == "<EMAIL> then <IP>")
+    assert(out.getAs[Long]("n_ips") == 1) // never the email's host digits
+  }
+
+  // --- sequence packing ----------------------------------------------------
+
+  test("packSequences lays out a contiguous token stream per shard") {
+    val docs = (0L until 40L).map(i => (i, ("w " * ((i % 7).toInt + 1)).trim)).toDF("doc_id", "text")
+    val out = Curation.packSequences(docs, "doc_id",
+      TextFunctions.tokenCount(col("text")), capacity = 10, shards = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard"),
+        r.getAs[Long]("n_tok"), r.getAs[Long]("tok_offset"),
+        r.getAs[Long]("begin_seq"), r.getAs[Long]("end_seq")))
+
+    assert(out.length == 40)
+    out.groupBy(_._2).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._1)
+      // offsets are the exact running sum in id order — no gaps, no overlap
+      var expect = 0L
+      sorted.foreach { case (_, _, n, off, b, e) =>
+        assert(off == expect)
+        expect += n
+        assert(b == off / 10)
+        assert(e == (off + n - 1) / 10)
+        assert(e >= b)
+      }
+    }
+    // a doc longer than the capacity spans multiple sequences
+    val long = Seq((0L, ("t " * 25).trim)).toDF("doc_id", "text")
+    val row = Curation.packSequences(long, "doc_id",
+      TextFunctions.tokenCount(col("text")), capacity = 10, shards = 1).collect()(0)
+    assert(row.getAs[Long]("begin_seq") == 0 && row.getAs[Long]("end_seq") == 2)
+  }
+
+  // --- stratified sampling -------------------------------------------------
+
+  test("sampleByGroup keeps exactly k per group, deterministically") {
+    val rows = (0L until 300L).map(i => (s"g${i % 3}", i)).toDF("grp", "id")
+    val s1 = Curation.sampleByGroup(rows, "grp", "id", 7)
+      .as[(String, Long)].collect().sorted.toSeq
+    val s2 = Curation.sampleByGroup(rows, "grp", "id", 7)
+      .as[(String, Long)].collect().sorted.toSeq
+    assert(s1 == s2)                                   // deterministic
+    assert(s1.groupBy(_._1).forall(_._2.size == 7))    // exactly k per group
+    assert(s1.forall { case (g, i) => s"g${i % 3}" == g }) // members stay in-group
+
+    // groups smaller than k are kept whole
+    val tiny = Seq(("a", 1L), ("a", 2L), ("b", 3L)).toDF("grp", "id")
+    assert(Curation.sampleByGroup(tiny, "grp", "id", 10).count() == 3)
+  }
+
+  // --- SemDeDup ------------------------------------------------------------
+
+  test("semantic dedup pairs only within a cluster, above the threshold") {
+    // two well-separated clusters in 2-D, plus one outlier
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.99f, 0.01f)), (3L, Array(0.98f, -0.01f)),
+      (4L, Array(0.0f, 1.0f)), (5L, Array(0.01f, 0.99f)),
+      (6L, Array(-1.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.semantic(vecs, "embedding", "vec_id",
+      minCosine = 0.95, nCells = 2, maxTrainPerCell = 16)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"), r.getAs[Double]("cosine")))
+
+    // every reported pair is genuinely above threshold and ordered
+    pairs.foreach { case (a, b, c) => assert(a < b && c >= 0.95) }
+    // the tight x-cluster pairs are found
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(found.contains((1L, 2L)) && found.contains((1L, 3L)) && found.contains((2L, 3L)))
+    // nothing pairs across the two orthogonal clusters
+    assert(!found.exists { case (a, b) => a <= 3 && b >= 4 && b <= 5 })
+  }
+
+  test("semantic dedup + dropNearDuplicates keeps cluster representatives") {
+    val vecs = Seq(
+      (10L, Array(1.0f, 0.0f)), (11L, Array(0.999f, 0.001f)),
+      (20L, Array(0.0f, 1.0f)), (21L, Array(0.001f, 0.999f))
+    ).toDF("vec_id", "embedding")
+    val pairs = Dedup.semantic(vecs, "embedding", "vec_id",
+      minCosine = 0.99, nCells = 2, maxTrainPerCell = 16)
+    val kept = Dedup.dropNearDuplicates(vecs, pairs, "vec_id")
+      .select("vec_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(10L, 20L))
+  }
+}
