@@ -62,6 +62,7 @@ object SqlCorpusB {
   private def header(job: String, ckpt: String): String =
     s"""CREATE DATABASE IF NOT EXISTS graft_corpus;
        |USE graft_corpus;
+       |SET spark.sql.shuffle.partitions=4;
        |SET streaming.query.name=$job;
        |SET spark.sql.streaming.checkpointLocation.$job=$ckpt;""".stripMargin
 
