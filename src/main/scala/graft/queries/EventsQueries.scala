@@ -70,6 +70,25 @@ object EventsQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Point-in-time (as-of) join: attach to each view the user's most
+    // recent purchase at or before it — the time-series lookup Spark has
+    // no native operator for ([[graft.operators.AsOfJoin]]: tagged union
+    // + one per-key window pass, single shuffle). Times compare as
+    // integer epoch micros — the common precision of Spark's truncated
+    // micros and the fixture's nanosecond storage — so both engines rank
+    // identically.
+    "q_events_asof" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("t_us", unix_micros(col("ts")))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("t_us"), col("value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("t_us"), col("value").as("ref_value"))
+      graft.operators.AsOfJoin.asofBackward(
+        views, purchases, "user_id", "t_us", Seq("ref_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Semi-structured extraction: the `props` JSON column (the reference's
     // Loghub default schema carries the whole log as a JSON __value__ —
     // LoghubSourceRDD.scala:155-166; same extract-then-aggregate shape).
@@ -124,6 +143,23 @@ object EventsQueries {
         |FROM o
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is the oracle for the hand-built
+    // union+window implementation — two independent formulations of the
+    // same point-in-time semantics.
+    "q_events_asof" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS t_us, value, event_type
+        |  FROM events
+        |), l AS (
+        |  SELECT event_id, user_id, t_us, value FROM ev WHERE event_type = 'view'
+        |), r AS (
+        |  SELECT user_id, t_us, max(value) AS ref_value FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2
+        |)
+        |SELECT l.event_id, l.user_id, l.t_us, l.value, r.ref_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t_us >= r.t_us
+        |ORDER BY l.event_id""".stripMargin,
 
     "q_events_json" ->
       """SELECT event_type, CAST(props->>'$.k' AS BIGINT) % 10 AS k_bucket,
