@@ -70,6 +70,17 @@ object EventsQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Exact per-group quantiles over the binned value histogram
+    // ([[graft.operators.CorpusStats.binnedQuantiles]]): window state is
+    // bounded by the bin count, never the corpus; interpolation
+    // arithmetic is replayed verbatim by the oracle.
+    "q_events_quantiles" -> ((s, dir) => {
+      graft.operators.CorpusStats.binnedQuantiles(
+        Tables.load(s, dir, "events"), "event_type", "value",
+        Seq(0.25, 0.5, 0.9, 0.99))
+        .orderBy(col("event_type"))
+    }),
+
     // Point-in-time (as-of) join: attach to each view the user's most
     // recent purchase at or before it — the time-series lookup Spark has
     // no native operator for ([[graft.operators.AsOfJoin]]: tagged union
@@ -143,6 +154,39 @@ object EventsQueries {
         |FROM o
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    "q_events_quantiles" ->
+      """WITH cnts AS (
+        |  SELECT event_type AS g, round(value, 2) AS b, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT g, b, cnt,
+        |    sum(cnt) OVER (PARTITION BY g ORDER BY b) AS cum,
+        |    sum(cnt) OVER (PARTITION BY g ORDER BY b) - cnt + 1 AS first_rank
+        |  FROM cnts
+        |), totals AS (
+        |  SELECT g, sum(cnt) AS n FROM cnts GROUP BY 1
+        |), targets AS (
+        |  SELECT g, n, p, CAST(floor(p * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 AS rlo,
+        |    CAST(ceil(p * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 AS rhi,
+        |    p * CAST(n - 1 AS DOUBLE) - floor(p * CAST(n - 1 AS DOUBLE)) AS frac
+        |  FROM totals, unnest(CAST([0.25, 0.5, 0.9, 0.99] AS DOUBLE[])) AS tp(p)
+        |), lo AS (
+        |  SELECT t.g, t.p, t.n, t.frac, r.b AS vlo
+        |  FROM targets t JOIN ranked r ON t.g = r.g AND t.rlo BETWEEN r.first_rank AND r.cum
+        |), hi AS (
+        |  SELECT t.g, t.p, t.n, t.frac, r.b AS vhi
+        |  FROM targets t JOIN ranked r ON t.g = r.g AND t.rhi BETWEEN r.first_rank AND r.cum
+        |), q AS (
+        |  SELECT lo.g, lo.p, lo.n, vlo + (vhi - vlo) * lo.frac AS q
+        |  FROM lo JOIN hi ON lo.g = hi.g AND lo.p = hi.p
+        |)
+        |SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+        |  max(CASE WHEN p = 0.25 THEN q END) AS q_25,
+        |  max(CASE WHEN p = 0.5 THEN q END) AS q_5,
+        |  max(CASE WHEN p = 0.9 THEN q END) AS q_9,
+        |  max(CASE WHEN p = 0.99 THEN q END) AS q_99
+        |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // DuckDB's native ASOF JOIN is the oracle for the hand-built
     // union+window implementation — two independent formulations of the
