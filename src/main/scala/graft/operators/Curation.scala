@@ -51,51 +51,52 @@ object Curation {
     *    overlapping repeats; it is a signal, not a proportion).
     *
     * All ratios round to 4 decimals. Docs shorter than the gram size get
-    * 0.0. Two shuffles total — (doc, n, gram) counts, then a per-doc
-    * rollup — with map-side partial aggregation on both; per-doc word
+    * 0.0. Two shuffles total — (doc, n, gram) counts, then one per-doc
+    * conditional rollup — both map-side combinable, and the shuffled rows
+    * carry only (id, n, gram): coverage stays in exact integer char units
+    * (cnt × gram length) until a single final division per doc, which is
+    * also what makes the oracle replay trivially bit-exact. Per-doc word
     * stats are computed row-local with array functions (no shuffle).
     */
   def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val id = col(idCol)
     val ws = words(col(textCol))
-    val perRow = df.select(id,
-      length(col(textCol)).cast("double").as("n_chars"),
-      size(ws).cast("long").as("n_words"),
-      size(array_distinct(ws)).cast("long").as("n_distinct"),
-      ws.as("ws"))
 
     // one explode for all gram sizes, tagged by n
-    val tagged = perRow.select(id, col("n_chars"),
-      explode(concat(
+    val tagged = df.select(id, ws.as("ws"))
+      .select(id, explode(concat(
         transform(grams(col("ws"), 2), g => struct(lit(2).as("n"), g.as("gram"))),
         transform(grams(col("ws"), 3), g => struct(lit(3).as("n"), g.as("gram"))),
         transform(grams(col("ws"), 5), g => struct(lit(5).as("n"), g.as("gram")))
       )).as("t"))
-      .select(id, col("n_chars"), col("t.n").as("n"), col("t.gram").as("gram"))
+      .select(id, col("t.n").as("n"), col("t.gram").as("gram"))
 
-    val counted = tagged
+    // covered chars per gram (exact integer units), rolled up per doc in
+    // one conditional aggregation
+    val covered = tagged
       .groupBy(id, col("n"), col("gram"))
-      .agg(count(lit(1)).as("cnt"), first(col("n_chars")).as("n_chars"))
-    val covered = counted
-      .groupBy(id, col("n"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("cl", col("cnt") * length(col("gram")).cast("long"))
+      .groupBy(id)
       .agg(
-        max(col("cnt") * length(col("gram")).cast("double") / col("n_chars")).as("top_frac"),
-        sum(when(col("cnt") >= 2,
-          col("cnt") * length(col("gram")).cast("double") / col("n_chars"))
-          .otherwise(lit(0.0))).as("dup_frac"))
-    val pivoted = covered.groupBy(id).agg(
-      max(when(col("n") === 2, col("top_frac"))).as("top2"),
-      max(when(col("n") === 3, col("top_frac"))).as("top3"),
-      max(when(col("n") === 5, col("dup_frac"))).as("dup5"))
+        max(when(col("n") === 2, col("cl"))).as("top2_cl"),
+        max(when(col("n") === 3, col("cl"))).as("top3_cl"),
+        sum(when(col("n") === 5 && col("cnt") >= 2, col("cl"))
+          .otherwise(lit(0L))).as("dup5_cl"))
 
-    perRow.select(id, col("n_words"),
-        round(lit(1.0) - col("n_distinct").cast("double") /
-          greatest(col("n_words").cast("double"), lit(1.0)), 4).as("word_rep"))
-      .join(pivoted, Seq(idCol), "left")
+    df.select(id,
+        length(col(textCol)).cast("double").as("n_chars"),
+        size(ws).cast("long").as("n_words"),
+        round(lit(1.0) - size(array_distinct(ws)).cast("double") /
+          greatest(size(ws).cast("double"), lit(1.0)), 4).as("word_rep"))
+      .join(covered, Seq(idCol), "left")
       .select(id, col("n_words"), col("word_rep"),
-        round(coalesce(col("top2"), lit(0.0)), 4).as("top2_frac"),
-        round(coalesce(col("top3"), lit(0.0)), 4).as("top3_frac"),
-        round(coalesce(col("dup5"), lit(0.0)), 4).as("dup5_frac"))
+        round(coalesce(col("top2_cl").cast("double") / col("n_chars"), lit(0.0)), 4)
+          .as("top2_frac"),
+        round(coalesce(col("top3_cl").cast("double") / col("n_chars"), lit(0.0)), 4)
+          .as("top3_frac"),
+        round(coalesce(col("dup5_cl").cast("double") / col("n_chars"), lit(0.0)), 4)
+          .as("dup5_frac"))
   }
 
   /** Deterministic "concat and chunk" sequence packing: lay out documents

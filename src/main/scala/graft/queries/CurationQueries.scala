@@ -71,39 +71,31 @@ object CurationQueries {
         |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars,
         |    string_split_regex(trim(text), '\s+') AS ws
         |  FROM documents
-        |), stats AS (
-        |  SELECT doc_id, len(ws) AS n_words,
-        |    round(1.0 - len(list_distinct(ws)) /
-        |      greatest(CAST(len(ws) AS DOUBLE), 1.0), 4) AS word_rep
-        |  FROM perrow
         |), tagged AS (
-        |  SELECT doc_id, n_chars, n,
+        |  SELECT doc_id, n,
         |    array_to_string(ws[i + 1 : i + n], ' ') AS gram
         |  FROM perrow, unnest([2, 3, 5]) AS tn(n),
         |    unnest(generate_series(0, len(ws) - n)) AS ti(i)
         |  WHERE len(ws) >= n
         |), counted AS (
-        |  SELECT doc_id, n, gram, count(*) AS cnt, any_value(n_chars) AS n_chars
+        |  SELECT doc_id, n, gram, count(*) AS cnt,
+        |    count(*) * length(gram) AS cl
         |  FROM tagged GROUP BY 1, 2, 3
         |), covered AS (
-        |  SELECT doc_id, n,
-        |    max(cnt * CAST(length(gram) AS DOUBLE) / n_chars) AS top_frac,
-        |    sum(CASE WHEN cnt >= 2
-        |        THEN cnt * CAST(length(gram) AS DOUBLE) / n_chars ELSE 0.0 END) AS dup_frac
-        |  FROM counted GROUP BY 1, 2
-        |), pivoted AS (
         |  SELECT doc_id,
-        |    max(CASE WHEN n = 2 THEN top_frac END) AS top2,
-        |    max(CASE WHEN n = 3 THEN top_frac END) AS top3,
-        |    max(CASE WHEN n = 5 THEN dup_frac END) AS dup5
-        |  FROM covered GROUP BY 1
+        |    max(CASE WHEN n = 2 THEN cl END) AS top2_cl,
+        |    max(CASE WHEN n = 3 THEN cl END) AS top3_cl,
+        |    sum(CASE WHEN n = 5 AND cnt >= 2 THEN cl ELSE 0 END) AS dup5_cl
+        |  FROM counted GROUP BY 1
         |)
-        |SELECT s.doc_id, s.n_words, s.word_rep,
-        |  round(coalesce(p.top2, 0.0), 4) AS top2_frac,
-        |  round(coalesce(p.top3, 0.0), 4) AS top3_frac,
-        |  round(coalesce(p.dup5, 0.0), 4) AS dup5_frac
-        |FROM stats s LEFT JOIN pivoted p USING (doc_id)
-        |ORDER BY s.doc_id""".stripMargin,
+        |SELECT p.doc_id, len(p.ws) AS n_words,
+        |  round(1.0 - len(list_distinct(p.ws)) /
+        |    greatest(CAST(len(p.ws) AS DOUBLE), 1.0), 4) AS word_rep,
+        |  round(coalesce(c.top2_cl / p.n_chars, 0.0), 4) AS top2_frac,
+        |  round(coalesce(c.top3_cl / p.n_chars, 0.0), 4) AS top3_frac,
+        |  round(coalesce(c.dup5_cl / p.n_chars, 0.0), 4) AS dup5_frac
+        |FROM perrow p LEFT JOIN covered c USING (doc_id)
+        |ORDER BY p.doc_id""".stripMargin,
 
     "q_doc_pii_scrub" ->
       """WITH aug AS (
