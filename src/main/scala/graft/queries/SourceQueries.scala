@@ -140,6 +140,30 @@ object SourceQueries {
       s.read.format("kv").option("path", sink).load().orderBy(col("n_nationkey"))
     }),
 
+    // Stateful streaming dedup end-to-end: two streams over the SAME log
+    // files union'd (every event arrives twice), dropDuplicates over the
+    // full row keeps exactly one copy — the exactly-once-per-record
+    // pattern a pipeline uses in front of an at-least-once transport. The
+    // dedup state key here is the whole row; on an unbounded stream you
+    // bound state with dropDuplicatesWithinWatermark instead (same
+    // operator, TTL'd state).
+    "q_stream_dedup" -> ((s, dir) => {
+      val u = java.util.UUID.randomUUID().toString.replace("-", "")
+      val sink = s"/tmp/graft_dedupsink_$u/t"
+      val ckpt = s"/tmp/graft_dedupck_$u"
+      def leg() = s.readStream.format("log")
+        .option("path", s"$dir/events.parquet").load()
+        .select(col("event_id"), col("event_type"), col("value"))
+      val q = leg().unionByName(leg())
+        .dropDuplicates()
+        .writeStream.format("kv").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.format("kv").option("path", sink).load().orderBy(col("event_id"))
+    }),
+
     // T4/T6: continuous reader end-to-end — long-running per-shard readers
     // under Trigger.Continuous, stopped once the (bounded) shard set is
     // fully delivered; the expected row count comes from a batch read of
@@ -276,6 +300,13 @@ object SourceQueries {
     "q_queue_drain" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
         |FROM nation ORDER BY 1""".stripMargin,
+
+    // every event arrives twice (two identical stream legs); the
+    // stateful dedup reduces the union back to the distinct rows
+    "q_stream_dedup" ->
+      """SELECT DISTINCT event_id, event_type, value
+        |FROM events
+        |ORDER BY event_id""".stripMargin,
 
     "q_log_continuous" ->
       """SELECT event_id, user_id, value
