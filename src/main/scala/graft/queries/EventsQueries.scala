@@ -70,6 +70,27 @@ object EventsQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Bucketized interval join ([[graft.operators.IntervalJoin]]): each
+    // signup opens a 10-minute attribution window; find every view of
+    // the same user inside it. Spark would run the raw BETWEEN predicate
+    // as a nested-loop join — the operator makes it an equi-join on
+    // (user, time bucket) with interval explode bounded at 2 copies.
+    "q_events_interval_join" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("t_us", unix_micros(col("ts")))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("t_us"))
+      val windows = ev.where(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"),
+          col("t_us").as("w_lo"), (col("t_us") + 600000000L).as("w_hi"))
+      graft.operators.IntervalJoin.pointInInterval(
+        views, windows, "t_us", "w_lo", "w_hi",
+        bucketWidth = 600000000L, keyCols = Seq("user_id"))
+        .select(col("signup_id"), col("view_id"), col("user_id"),
+          (col("t_us") - col("w_lo")).as("lag_us"))
+        .orderBy(col("signup_id"), col("view_id"))
+    }),
+
     // Exact per-group quantiles over the binned value histogram
     // ([[graft.operators.CorpusStats.binnedQuantiles]]): window state is
     // bounded by the bin count, never the corpus; interpolation
@@ -154,6 +175,21 @@ object EventsQueries {
         |FROM o
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // the oracle runs the raw point-in-interval predicate — the
+    // bucketized equi-join must reproduce it exactly
+    "q_events_interval_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS t_us, event_type
+        |  FROM events
+        |)
+        |SELECT s.event_id AS signup_id, v.event_id AS view_id, v.user_id,
+        |  v.t_us - s.t_us AS lag_us
+        |FROM (SELECT * FROM ev WHERE event_type = 'signup') s
+        |JOIN (SELECT * FROM ev WHERE event_type = 'view') v
+        |  ON s.user_id = v.user_id
+        |  AND v.t_us BETWEEN s.t_us AND s.t_us + 600000000
+        |ORDER BY signup_id, view_id""".stripMargin,
 
     "q_events_quantiles" ->
       """WITH cnts AS (
