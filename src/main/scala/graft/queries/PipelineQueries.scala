@@ -64,6 +64,17 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Dedup grouping: connected components over the MinHash-LSH pair
+    // graph (same parameters as q_dedup_minhash_lsh). The operator's
+    // checkpointed pointer-jumping rounds are checked against a recursive
+    // transitive closure in the oracle — two different algorithms, one
+    // fixpoint.
+    "q_dedup_groups" -> ((s, dir) => {
+      val pairs = Dedup.minHashLsh(Tables.load(s, dir, "documents"),
+        "text", "doc_id", numHashes = 64, bands = 16, minJaccard = 0.2)
+      Dedup.connectedComponents(pairs).orderBy(col("id"))
+    }),
+
     // The composed scale path: LSH candidates, exact shingle-set verify —
     // what replaces the all-pairs-per-shingle join on a real corpus.
     "q_dedup_ngram_lsh" -> ((s, dir) => {

@@ -367,6 +367,37 @@ object SketchOracleSql {
        |SELECT id_a, id_b, est_jaccard FROM est
        |WHERE est_jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin
 
+  /** q_dedup_groups: (id, component) — connected components of the
+    * MinHash-LSH pair graph (same parameters as q_dedup_minhash_lsh).
+    * The operator's iterative min-label propagation is replayed as a
+    * recursive transitive closure: component = min reachable id. Two
+    * entirely different algorithms (pointer-jumping rounds vs recursive
+    * closure) must land on the identical fixpoint.
+    */
+  def componentsOracle: String =
+    s"""WITH RECURSIVE $minhashCtes, sigs AS (
+       |  SELECT id, sig FROM mh_sigs
+       |), banded AS (
+       |  SELECT id, sig, b, sig[(4 * b + 1)::INT : (4 * b + 4)::INT] AS key
+       |  FROM sigs CROSS JOIN (SELECT unnest(range(16)) AS b) u
+       |), cpairs AS (
+       |  SELECT DISTINCT a.id AS id_a, b2.id AS id_b, a.sig AS sa, b2.sig AS sb
+       |  FROM banded a JOIN banded b2
+       |    ON a.b = b2.b AND a.key = b2.key AND a.id < b2.id
+       |), lsh AS (
+       |  SELECT id_a, id_b FROM cpairs
+       |  WHERE floor((len(list_filter(range(64), i -> sa[(i + 1)::INT] = sb[(i + 1)::INT]))::DOUBLE
+       |    / 64.0) * 10000 + 0.5) / 10000 >= 0.2
+       |), edges AS (
+       |  SELECT id_a AS src, id_b AS dst FROM lsh
+       |  UNION SELECT id_b, id_a FROM lsh
+       |), reach(id, r) AS (
+       |  SELECT src, src FROM edges
+       |  UNION
+       |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+       |)
+       |SELECT id, min(r) AS component FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q_dedup_embedding: (id_a, id_b, cosine ≥ 0.25); 8 bands × 8 bits. */
   def embeddingDedupOracle: String =
     s"""WITH $hyperplaneCtes, banded AS (
@@ -598,6 +629,7 @@ object SketchOracleSql {
   def splitmixBigintSql(expr: String): String = sx(splitmix(ux(expr)))
 
   def oracles: Map[String, String] = Map(
+    "q_dedup_groups" -> componentsOracle,
     "q_corpus_stats" -> corpusStatsOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_dedup_ngram_lsh" -> ngramViaLshOracle,
