@@ -181,6 +181,63 @@ object Multimodal {
     }(enc)
   }
 
+  /** Pixel-level luminance statistics from the REAL decoded image:
+    * integer Rec.601 luma per pixel ((r·299 + g·587 + b·114) / 1000,
+    * truncating), total pixel count, luma sum, and the count of pixels
+    * strictly brighter than the image mean (luma·n > Σluma — exact
+    * integer comparison, no float mean). Unreadable payloads yield nulls.
+    *
+    * All-integer math end to end, so an oracle that knows the pixel
+    * generator can predict the decoded values bit-exactly — the
+    * strongest possible proof that the decode path reproduces the
+    * encoded image, not just its header. Iterator-to-iterator
+    * `mapPartitions`; per-image state is one int array.
+    */
+  def lumaStats(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("n_pixels", LongType), StructField("sum_luma", LongType),
+      StructField("n_bright", LongType)))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val img =
+          if (payload == null) null
+          else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          catch { case _: Exception => null }
+        val stats: Seq[Any] = if (img == null) Seq(null, null, null)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val lumas = new Array[Long](w * h)
+          var sum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              lumas(y * w + x) = luma
+              sum += luma
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w * h).toLong
+          var bright = 0L
+          var i = 0
+          while (i < lumas.length) {
+            if (lumas(i) * n > sum) bright += 1
+            i += 1
+          }
+          Seq(n, sum, bright)
+        }
+        Row.fromSeq(r.toSeq ++ stats)
+      }
+    }(enc)
+  }
+
   /** Batched resize: constant-size output payloads (e.g. thumbnailing a
     * 100 TB image corpus). Output column replaces the payload; payloads
     * that aren't readable images become null (not invented bytes).

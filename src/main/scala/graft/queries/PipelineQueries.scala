@@ -14,6 +14,21 @@ import graft.operators.{Dedup, Multimodal, SimilaritySearch}
   */
 object PipelineQueries {
 
+  /** PNG payloads staged once per sfDir (fixture authoring isn't the
+    * operator under test); the multimodal gates measure the real decode
+    * path over these.
+    */
+  private def stagedPngDocs(s: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val pngDir = s"/tmp/graft_png$safe"
+    if (graft.sources.ParquetIO.listFiles(pngDir).isEmpty) {
+      Multimodal.withPngPayload(
+        Tables.load(s, dir, "documents").select(col("doc_id")), "doc_id")
+        .write.format("kv").option("path", pngDir).mode("overwrite").save()
+    }
+    s.read.format("kv").option("path", pngDir).load()
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- dedup (operator-backed) ---
     "q_dedup_drop_exact" -> ((s, dir) => {
@@ -111,21 +126,22 @@ object PipelineQueries {
     // the PNG encoder's output size — proven in MultimodalSpec, not
     // SQL-predictable) ---
     "q_multimodal_meta" -> ((s, dir) => {
-      // PNG payloads staged once per sfDir (fixture authoring isn't the
-      // operator under test); the query measures the real decode path.
-      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
-      val pngDir = s"/tmp/graft_png$safe"
-      if (graft.sources.ParquetIO.listFiles(pngDir).isEmpty) {
-        Multimodal.withPngPayload(
-          Tables.load(s, dir, "documents").select(col("doc_id")), "doc_id")
-          .write.format("kv").option("path", pngDir).mode("overwrite").save()
-      }
-      val docs = s.read.format("kv").option("path", pngDir).load()
+      val docs = stagedPngDocs(s, dir)
       Multimodal.decodeMeta(docs, "payload")
         .select(col("doc_id"), col("media.format").as("format"),
           col("media.width").as("width"), col("media.height").as("height"))
         .orderBy(col("doc_id"))
     }),
+    // Pixel-exact decode proof: luminance statistics computed from the
+    // REAL ImageIO-decoded pixels must equal the oracle's pure-SQL replay
+    // of the generator formula (rgb = ((id·31 + y)·31 + x) mod 2^24) —
+    // the decode path reproduces the image content, not just its header.
+    "q_multimodal_pixels" -> ((s, dir) => {
+      Multimodal.lumaStats(stagedPngDocs(s, dir), "payload")
+        .select(col("doc_id"), col("n_pixels"), col("sum_luma"), col("n_bright"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_multimodal_frames" -> ((s, dir) => {
       val docs = Multimodal.withBinaryPayload(
         Tables.load(s, dir, "documents"), "text")
@@ -280,6 +296,31 @@ object PipelineQueries {
         |  CAST(doc_id % 48 + 1 AS INT) AS height
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // replays the PNG generator formula in pure SQL: the decoded pixels
+    // must reproduce it bit-exactly through encode → ImageIO decode
+    "q_multimodal_pixels" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(doc_id % 64 + 1 AS BIGINT) AS w,
+        |    CAST(doc_id % 48 + 1 AS BIGINT) AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id, w, h, ((doc_id * 31 + y) * 31 + x) % 16777216 AS v
+        |  FROM dims, unnest(generate_series(0, h - 1)) AS ty(y),
+        |    unnest(generate_series(0, w - 1)) AS tx(x)
+        |), lum AS (
+        |  SELECT doc_id, w * h AS n,
+        |    ((v // 65536) * 299 + ((v // 256) % 256) * 587 + (v % 256) * 114) // 1000 AS luma
+        |  FROM px
+        |), agg AS (
+        |  SELECT doc_id, max(n) AS n_pixels, sum(luma) AS sum_luma FROM lum GROUP BY 1
+        |)
+        |SELECT a.doc_id, a.n_pixels, CAST(a.sum_luma AS BIGINT) AS sum_luma,
+        |  CAST(sum(CASE WHEN l.luma * a.n_pixels > a.sum_luma THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_bright
+        |FROM agg a JOIN lum l USING (doc_id)
+        |GROUP BY 1, 2, 3
+        |ORDER BY a.doc_id""".stripMargin,
 
     "q_multimodal_frames" ->
       """SELECT doc_id, 4 AS n_frames,

@@ -65,4 +65,26 @@ class MultimodalSpec extends SparkSpec {
     assert(got.length == 2, "null payload row contributes no frames")
     assert(got.forall(_.getLong(1) == 4L))
   }
+
+  test("lumaStats reproduces the generator pixels through a real decode") {
+    import spark.implicits._
+    val df = Multimodal.withPngPayload(Seq(5L).toDF("doc_id"), "doc_id")
+    val r = Multimodal.lumaStats(df, "payload").collect()(0)
+    // id=5 → 6×6 image; replay the generator + Rec.601 integer luma
+    val (w, h) = (6, 6)
+    var sum = 0L
+    val lumas = for (y <- 0 until h; x <- 0 until w) yield {
+      val v = ((5L * 31 + y) * 31 + x) & 0xffffff
+      val l = (((v >> 16) & 0xff) * 299 + ((v >> 8) & 0xff) * 587 + (v & 0xff) * 114) / 1000
+      sum += l; l
+    }
+    assert(r.getAs[Long]("n_pixels") == 36L)
+    assert(r.getAs[Long]("sum_luma") == sum)
+    assert(r.getAs[Long]("n_bright") == lumas.count(_ * 36 > sum))
+
+    // unreadable payload → null stats, never invented ones
+    val bad = Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload")
+    val rb = Multimodal.lumaStats(bad, "payload").collect()(0)
+    assert(rb.isNullAt(rb.fieldIndex("n_pixels")) && rb.isNullAt(rb.fieldIndex("sum_luma")))
+  }
 }
