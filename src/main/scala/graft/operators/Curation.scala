@@ -152,6 +152,20 @@ object Curation {
     df.join(picked, Seq(groupCol, idCol), "left_semi")
   }
 
+  /** Deterministic Bernoulli thinning at a per-row rate (dataset mixture
+    * weighting: keep source s at rate w_s). A row survives iff the top 53
+    * bits of `splitmix64(id)` fall below `rate · 2^53` — the comparison
+    * is a single long compare against an IEEE-exact threshold (2^53 fits
+    * the double mantissa), so any engine replays the exact keep set:
+    * no RNG state, no partition-layout dependence, stable across reruns
+    * and engines. Expected survival = rate; selection is per-id
+    * independent (hash uniformity).
+    */
+  def sampleMixture(df: DataFrame, idCol: String, rate: Column): DataFrame =
+    df.where(
+      shiftrightunsigned(Sketches.splitmixLong(col(idCol)), 11) <
+        (rate * lit(9007199254740992.0 /* 2^53 */)).cast("long"))
+
   /** PII scrub: replace emails, dotted-quad IPs and NNN-NNN-NNNN phone
     * numbers with typed placeholder tags, and count each. The regexes are
     * deliberately in the common RE2/Java subset so results replay

@@ -156,6 +156,35 @@ object SimilaritySearch {
         first(col("e")).as("e"), first(col("nrm")).as("nrm"))
       .select(col("id"), col("m.cell").as("cell"), col("e"), col("nrm"))
 
+  /** Contrastive hard-negative mining: for each query vector, the k most
+    * similar corpus vectors with a DIFFERENT label — the negatives that
+    * sit closest to the decision boundary, which is what contrastive /
+    * metric-learning training wants mined from the corpus.
+    *
+    * Same 100 TB shape as [[bruteForceKnn]]: broadcast the (small) query
+    * side, score corpus partitions in place, assemble per-query results
+    * with the bounded-heap aggregate — corpus never shuffles, map-side
+    * partials keep k rows per query per partition. For corpus-scale query
+    * sets, run the LSH/IVF pruning first and this as the rescore.
+    */
+  def hardNegatives(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, labelCol: String, k: Int): DataFrame = {
+    val c = prep(corpus, vecCol, idCol)
+      .join(corpus.select(col(idCol).as("id"), col(labelCol).as("lbl")), "id")
+    val q = prep(queries, vecCol, idCol)
+      .join(queries.select(col(idCol).as("id"), col(labelCol).as("lbl")), "id")
+    topKPerQuery(
+      broadcast(q.select(col("id").as("qid"), col("e").as("qe"),
+          col("nrm").as("qn"), col("lbl").as("qlbl")))
+        .join(c.select(col("id").as("nid"), col("e").as("ne"),
+          col("nrm").as("nn"), col("lbl").as("nlbl")),
+          col("qid") =!= col("nid") && col("qlbl") =!= col("nlbl"))
+        .select(col("qid"), col("nid"),
+          (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim")),
+      k)
+  }
+
   /** IVF-Flat search: probe the `nProbe` nearest cells per query, exact
     * cosine inside probed cells only.
     */

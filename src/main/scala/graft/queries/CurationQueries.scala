@@ -56,6 +56,28 @@ object CurationQueries {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // Mixture-weighted Bernoulli thinning: each source keeps a
+    // deterministic hash-selected fraction (rate cycles 0.25/0.5/0.75/1.0
+    // by source number) — the dataset-mixing primitive, replayed exactly
+    // by the oracle via the same integer threshold compare.
+    "q_sample_mixture" -> ((s, dir) => {
+      val rate = ((substring(col("source"), 4, 10).cast("int") % 4) + 1)
+        .cast("double") / 4.0
+      Curation.sampleMixture(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", rate)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Contrastive hard-negative mining: for each query embedding, the 5
+    // most similar corpus vectors with a DIFFERENT label.
+    "q_embed_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.operators.SimilaritySearch.hardNegatives(
+        emb, emb.filter(col("vec_id") < 10), "embedding", "vec_id", "label", k = 5)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // SemDeDup over the embeddings corpus: same cell geometry as the IVF
     // gate (8 cells, cap-32 training), pairs at cosine >= 0.25.
     "q_dedup_semantic" -> ((s, dir) => {
@@ -145,5 +167,38 @@ object CurationQueries {
     },
 
     "q_dedup_semantic" -> SketchOracleSql.semanticDedupOracle,
+
+    "q_sample_mixture" -> {
+      val hk = SketchOracleSql.splitmixBigintSql("doc_id")
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source,
+         |    (CASE WHEN ($hk) < 0 THEN ($hk)::HUGEINT + 18446744073709551616::HUGEINT
+         |          ELSE ($hk)::HUGEINT END) // 2048 AS u53,
+         |    CAST(CAST((CAST(substr(source, 4) AS INT) % 4) + 1 AS DOUBLE) / 4.0
+         |      * 9007199254740992.0 AS BIGINT) AS thr
+         |  FROM documents
+         |) WHERE u53 < thr::HUGEINT
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_embed_hard_negatives" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+        |  FROM embeddings
+        |), p AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+        |    list_sum(list_transform(generate_series(1, len(q.e)),
+        |      i -> q.e[i] * c.e[i])) / (q.nrm * c.nrm) AS sim
+        |  FROM n q JOIN n c
+        |    ON q.vec_id < 10 AND c.vec_id <> q.vec_id AND c.label <> q.label
+        |), r AS (
+        |  SELECT qid, nid, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk
+        |  FROM p
+        |)
+        |SELECT qid, nid, round(sim, 6) AS sim, rnk
+        |FROM r WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
   )
 }

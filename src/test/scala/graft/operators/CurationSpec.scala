@@ -122,6 +122,41 @@ class CurationSpec extends SparkSpec {
     assert(Curation.sampleByGroup(tiny, "grp", "id", 10).count() == 3)
   }
 
+  // --- mixture sampling ----------------------------------------------------
+
+  test("sampleMixture thins deterministically at the requested rate") {
+    val rows = (0L until 4000L).map(i => (i, s"s${i % 2}")).toDF("id", "src")
+    val all = Curation.sampleMixture(rows, "id", lit(1.0))
+    assert(all.count() == 4000) // rate 1 keeps everything
+    assert(Curation.sampleMixture(rows, "id", lit(0.0)).count() == 0)
+
+    val half = Curation.sampleMixture(rows, "id", lit(0.5))
+    val n = half.count()
+    assert(n > 1800 && n < 2200, s"rate 0.5 kept $n of 4000")
+    // deterministic: same keep set on re-run
+    assert(half.select("id").as[Long].collect().sorted.toSeq ==
+      Curation.sampleMixture(rows, "id", lit(0.5)).select("id").as[Long].collect().sorted.toSeq)
+    // monotone: a kept id at rate r stays kept at any higher rate
+    val kept25 = Curation.sampleMixture(rows, "id", lit(0.25))
+      .select("id").as[Long].collect().toSet
+    val kept50 = half.select("id").as[Long].collect().toSet
+    assert(kept25.subsetOf(kept50))
+  }
+
+  test("hard negatives carry only cross-label neighbors, ranked by similarity") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.99f, 0.14f), 0),
+      (3L, Array(0.98f, 0.2f), 1), (4L, Array(0.0f, 1.0f), 1),
+      (5L, Array(0.7f, 0.7f), 2)
+    ).toDF("vec_id", "embedding", "label")
+    val out = SimilaritySearch.hardNegatives(
+      vecs, vecs.filter(col("vec_id") === 1), "embedding", "vec_id", "label", k = 2)
+      .orderBy("rnk").collect()
+    // query 1 (label 0): nearest cross-label are 3 (label 1) then 5 (label 2);
+    // 2 shares the label and must NOT appear
+    assert(out.map(_.getAs[Long]("nid")).toSeq == Seq(3L, 5L))
+  }
+
   // --- SemDeDup ------------------------------------------------------------
 
   test("semantic dedup pairs only within a cluster, above the threshold") {
