@@ -120,23 +120,27 @@ object SimilaritySearch {
       // Deterministic per-cell training sample: keep the maxTrainPerCell
       // members with the largest hash, via the bounded heap (score =
       // hash as double desc, id asc tiebreak — replayable in the oracle).
+      // The member vector rides in the heap struct (id is unique, so the
+      // tiebreak order is unchanged) — no join back, no explode: the
+      // whole Lloyd step is ONE aggregation whose state is ≤
+      // maxTrainPerCell rows per cell per partition.
       val picked = assigned
         .withColumn("hk", Sketches.splitmixLong(col("id")).cast("double"))
         .groupBy(col("cell"))
-        .agg(BoundedTopK.topK(struct(col("hk"), col("id")), maxTrainPerCell).as("top"))
-        .select(col("cell"), explode(col("top.id")).as("id"))
-      val sampled = assigned.join(picked, Seq("cell", "id"), "left_semi")
-      centroids = sampled
-        .select(col("cell"), col("id"), posexplode(col("e")).as(Seq("dim", "v")))
-        .groupBy(col("cell"), col("dim"))
-        .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("vs"),
-          count(lit(1)).as("n"))
-        .select(col("cell"), col("dim"),
-          (aggregate(col("vs"), lit(0.0), (acc, x) => acc + x.getField("v")) / col("n"))
-            .as("m"))
-        .groupBy(col("cell"))
-        .agg(sort_array(collect_list(struct(col("dim"), col("m")))).as("dm"))
-        .select(col("cell"), transform(col("dm"), x => x.getField("m")).as("ce"))
+        .agg(BoundedTopK.topK(
+          struct(col("hk"), col("id"), col("e")), maxTrainPerCell).as("top"))
+      // id-ascending member order (the oracle's `ORDER BY id` fold), then
+      // a per-dim left-to-right sum — bit-identical to the previous
+      // explode/groupBy formulation, computed row-locally per cell.
+      centroids = picked
+        .select(col("cell"),
+          sort_array(transform(col("top"), m =>
+            struct(m.getField("id").as("id"), m.getField("e").as("e")))).as("mem"))
+        .select(col("cell"),
+          transform(sequence(lit(1), size(element_at(col("mem"), 1).getField("e"))),
+            d => aggregate(col("mem"), lit(0.0),
+              (acc, m) => acc + element_at(m.getField("e"), d)) /
+              size(col("mem")).cast("double")).as("ce"))
       iter += 1
     }
     centroids
