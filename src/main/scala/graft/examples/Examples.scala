@@ -156,3 +156,52 @@ object SearchIndexExample {
     spark.stop()
   }
 }
+
+/** End-to-end training-data curation over the fixture corpus: quality
+  * gate → PII scrub → repetition filter → MinHash near-dedup →
+  * mixture-weighted thinning → token accounting → sequence packing.
+  * Every stage is an operator from this library; the chain stays one
+  * lazily-composed set of Catalyst plans until the final actions.
+  */
+object CurationPipelineExample {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .appName("graft-curation-example")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+
+    import graft.functions.TextFunctions
+    import graft.operators.{Curation, Dedup}
+
+    val docs = graft.Tables.load(spark, sfDir, "documents")
+
+    // 1. quality gate + PII scrub
+    val gated = Curation.scrubPii(
+      docs.where(TextFunctions.qualityScore(col("text")) >= 0.4), "text")
+
+    // 2. drop high-repetition docs (Gopher-style thresholds)
+    val rep = Curation.repetitionSignals(gated, "text", "doc_id")
+      .where(col("word_rep") <= 0.9 && col("dup5_frac") <= 1.0)
+      .select("doc_id")
+    val clean = gated.join(rep, Seq("doc_id"), "left_semi")
+
+    // 3. near-dedup: MinHash-LSH pairs → connected components → keep reps
+    val pairs = Dedup.minHashLsh(clean, "text", "doc_id",
+      numHashes = 64, bands = 16, minJaccard = 0.5)
+    val deduped = Dedup.dropNearDuplicates(clean, pairs, "doc_id")
+
+    // 4. mixture weighting: downsample each source at a per-source rate
+    val mixed = Curation.sampleMixture(deduped, "doc_id",
+      ((substring(col("source"), 4, 10).cast("int") % 4) + 1).cast("double") / 4.0)
+
+    // 5. pack into 2048-token training sequences across 8 shards
+    val packed = Curation.packSequences(mixed, "doc_id",
+      TextFunctions.tokenCount(col("text")), capacity = 2048, shards = 8)
+
+    println(s"docs in: ${docs.count()}, after curation: ${mixed.count()}")
+    packed.orderBy(col("shard"), col("tok_offset")).show(10, truncate = false)
+    spark.stop()
+  }
+}

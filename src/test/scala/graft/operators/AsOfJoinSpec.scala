@@ -46,6 +46,30 @@ class AsOfJoinSpec extends SparkSpec {
       s"expected a single key-partitioned Exchange, got:\n$plan")
   }
 
+  test("agrees with the naive max_by formulation on randomized data") {
+    val rnd = new scala.util.Random(20260812L)
+    val l = Seq.tabulate(400)(i =>
+      (s"k${rnd.nextInt(8)}", rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "t", "pid")
+    val r = Seq.tabulate(300)(i =>
+      (s"k${rnd.nextInt(10)}", rnd.nextInt(1000).toLong, i.toDouble))
+      .toDF("k", "t", "px")
+    val got = AsOfJoin.asofBackward(l, r, "k", "t", Seq("px"))
+      .select("pid", "px").as[(Long, Option[Double])].collect().sortBy(_._1).toSeq
+    // naive: join all earlier-or-equal quotes, take max (time, px) struct —
+    // the same latest-time / max-tuple-on-tie rule
+    val naive = l.join(
+        r.select(col("k"), col("t").as("rt"), col("px")),
+        Seq("k"), "left")
+      .where(col("rt").isNull || col("rt") <= col("t"))
+      .groupBy(col("pid"))
+      .agg(max(struct(col("rt"), col("px"))).as("m"))
+    val want = l.select("pid").join(naive, Seq("pid"), "left")
+      .select(col("pid"), col("m.px").as("px"))
+      .as[(Long, Option[Double])].collect().sortBy(_._1).toSeq
+    assert(got == want)
+  }
+
   test("multiple right value columns travel together") {
     val q2 = quotes.withColumn("src", concat(col("k"), lit("-"), col("t")))
     val out = AsOfJoin.asofBackward(trades, q2, "k", "t", Seq("px", "src"))
