@@ -88,4 +88,40 @@ class StreamingCorpusSpec extends SparkSpec {
         Seq((3L, 10.0), (1L, 7.0)))
     } finally q.stop()
   }
+
+  test("TTL dedup: dropDuplicatesWithinWatermark bounds state and re-admits after expiry") {
+    val dir = Files.createTempDirectory("ttldedup").toString
+    val ckpt = Files.createTempDirectory("ttldedupck").toString
+    writeShard(dir, "a.parquet", Seq(
+      ("2024-01-01 00:00:05", 1L, 1.0), ("2024-01-01 00:00:06", 1L, 2.0)))
+    val q = spark.readStream.format("log").option("path", dir).load()
+      .withWatermark("ts", "30 seconds")
+      .dropDuplicatesWithinWatermark("k")
+      .writeStream.outputMode(OutputMode.Append)
+      .format("memory").queryName("ttl_out")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      def countFor(k: Long): Long =
+        spark.table("ttl_out").where(col("k") === k).count()
+      assert(countFor(1L) == 1, "in-batch duplicate collapses to one row")
+
+      // within the watermark window → suppressed; a fresh key passes
+      writeShard(dir, "b.parquet", Seq(
+        ("2024-01-01 00:00:20", 1L, 3.0), ("2024-01-01 00:00:21", 2L, 4.0)))
+      q.processAllAvailable()
+      assert(countFor(1L) == 1, "duplicate within the watermark is dropped")
+      assert(countFor(2L) == 1)
+
+      // advance the watermark far past the key's expiry → state evicted
+      writeShard(dir, "c.parquet", Seq(("2024-01-01 00:20:00", 99L, 0.0)))
+      q.processAllAvailable()
+      // the SAME key arriving after eviction is re-admitted: the state is
+      // genuinely TTL-bounded, not a grow-forever set (the 100 TB
+      // difference vs plain dropDuplicates)
+      writeShard(dir, "d.parquet", Seq(("2024-01-01 00:30:00", 1L, 9.0)))
+      q.processAllAvailable()
+      assert(countFor(1L) == 2, "key re-admitted after its state expired")
+    } finally q.stop()
+  }
 }
