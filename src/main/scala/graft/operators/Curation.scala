@@ -152,6 +152,26 @@ object Curation {
     df.join(picked, Seq(groupCol, idCol), "left_semi")
   }
 
+  /** Unigram-surprisal quality score: average −ln p(word) per document
+    * under the corpus's own unigram distribution — the cheap end of the
+    * perplexity-filtering family (docs full of corpus-typical words score
+    * low; gibberish and off-distribution docs score high and get cut).
+    *
+    * Two aggregations (term counts, per-doc mean) plus a broadcast join
+    * of the vocabulary — the vocabulary is broadcast-sized for any real
+    * corpus, and the token stream itself never shuffles twice.
+    */
+  def unigramSurprisal(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val id = col(idCol)
+    val tokens = df.select(id, explode(words(col(textCol))).as("term"))
+    val freq = tokens.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt"))).head().getLong(0)
+    tokens.join(broadcast(freq), "term")
+      .groupBy(id)
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        round(avg(-log(col("cnt").cast("double") / total.toDouble)), 4).as("surprisal"))
+  }
+
   /** Deterministic Bernoulli thinning at a per-row rate (dataset mixture
     * weighting: keep source s at rate w_s). A row survives iff the top 53
     * bits of `splitmix64(id)` fall below `rate · 2^53` — the comparison

@@ -56,6 +56,13 @@ object CurationQueries {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // Perplexity-family quality scoring: per-doc mean unigram surprisal
+    // under the corpus's own word distribution.
+    "q_doc_surprisal" -> ((s, dir) => {
+      Curation.unigramSurprisal(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Mixture-weighted Bernoulli thinning: each source keeps a
     // deterministic hash-selected fraction (rate cycles 0.25/0.5/0.75/1.0
     // by source number) — the dataset-mixing primitive, replayed exactly
@@ -167,6 +174,19 @@ object CurationQueries {
     },
 
     "q_dedup_semantic" -> SketchOracleSql.semanticDedupOracle,
+
+    "q_doc_surprisal" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), freq AS (
+        |  SELECT term, count(*) AS cnt FROM tokens GROUP BY 1
+        |), tot AS (SELECT sum(cnt) AS total FROM freq)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))), 4) AS surprisal
+        |FROM tokens JOIN freq USING (term) CROSS JOIN tot
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     "q_sample_mixture" -> {
       val hk = SketchOracleSql.splitmixBigintSql("doc_id")
