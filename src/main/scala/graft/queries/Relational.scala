@@ -28,10 +28,29 @@ import graft.Tables
   */
 object Relational {
 
+  /** Salted-join gate (value proof that the skew path is a plain inner
+    * join): lineitem ⋈ orders on orderkey with a 8-way salt, rolled up
+    * per order priority. The oracle is the unsalted join — identical
+    * results required.
+    */
+  private def skewJoinDef(s: SparkSession, dir: String): DataFrame = {
+    val li = graft.Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val ord = graft.Tables.load(s, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.operators.SkewJoin.saltedInnerJoin(li, ord, Seq("l_orderkey"), saltFactor = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.load(s, dir, n)
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_salted_join" -> skewJoinDef _,
+
     // TPC-H Q1 style pricing summary: full-scan agg with partial (map-side)
     // aggregation; 4-6 output groups.
     "q1_pricing_summary" -> ((s, dir) => {
@@ -292,6 +311,15 @@ object Relational {
   )
 
   def oracles: Map[String, String] = Map(
+    // the oracle is the UNSALTED join — the skew path must be invisible
+    // in the result (l_quantity is integer-valued, so the sum is exact
+    // under any addition order)
+    "q_skew_salted_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(l_quantity) AS BIGINT) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
