@@ -160,6 +160,52 @@ object SimilaritySearch {
         first(col("e")).as("e"), first(col("nrm")).as("nrm"))
       .select(col("id"), col("m.cell").as("cell"), col("e"), col("nrm"))
 
+  /** Persist an IVF index: centroids and cell assignments land as two kv
+    * tables under `path` (arrays ride the kv source's LIST columns). At
+    * 100 TB you train once and amortize it over every search — the ANN
+    * analog of the kv source's persisted search-index mode.
+    */
+  def buildIvfIndex(
+      corpus: DataFrame, vecCol: String, idCol: String, path: String,
+      nCells: Int = 16, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384): Unit = {
+    val cents = trainCentroids(corpus, vecCol, idCol, nCells, iterations, maxTrainPerCell)
+    cents.write.format("kv").option("path", s"$path/centroids")
+      .mode("overwrite").save()
+    assignCells(prep(corpus, vecCol, idCol), cents)
+      .select(col("cell"), col("id").as("nid"), col("e").as("ne"), col("nrm").as("nn"))
+      .write.format("kv").option("path", s"$path/cells")
+      .mode("overwrite").save()
+  }
+
+  /** IVF search against a persisted index — no retraining, no corpus
+    * re-assignment: probes read only the centroid table (broadcast-sized)
+    * and the probed cells' rows.
+    */
+  def ivfKnnIndexed(
+      queries: DataFrame, vecCol: String, idCol: String, path: String,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = spark.read.format("kv").option("path", s"$path/centroids").load()
+    val assigned = spark.read.format("kv").option("path", s"$path/cells").load()
+      .select(col("cell"), col("nid"), col("ne"), col("nn"))
+    val qPrepped = prep(queries, vecCol, idCol)
+    val probes = qPrepped.crossJoin(broadcast(cents))
+      .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("id"))
+      .agg(slice(sort_array(collect_list(struct(col("d2"), col("cell")))), 1, nProbe).as("cells"),
+        first(col("e")).as("e"), first(col("nrm")).as("nrm"))
+      .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+        explode(col("cells.cell")).as("cell"))
+    topKPerQuery(
+      broadcast(probes).join(assigned, Seq("cell"))
+        .where(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim")),
+      k)
+  }
+
   /** Contrastive hard-negative mining: for each query vector, the k most
     * similar corpus vectors with a DIFFERENT label — the negatives that
     * sit closest to the decision boundary, which is what contrastive /

@@ -121,6 +121,21 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // The persisted-index path: build the IVF index once (kv tables for
+    // centroids + cell assignments), search against it — must answer
+    // IDENTICALLY to the in-memory q_ann_ivf, so it shares that gate's
+    // full k-means-replay oracle.
+    "q_ann_ivf_indexed" -> ((s, dir) => {
+      val u = java.util.UUID.randomUUID().toString.replace("-", "")
+      val idx = s"/tmp/graft_ivfidx_$u"
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.buildIvfIndex(emb, "embedding", "vec_id", idx,
+        nCells = 8, maxTrainPerCell = 32)
+      SimilaritySearch.ivfKnnIndexed(emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", idx, k = 3, nProbe = 3)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // --- multimodal: REAL javax.imageio decode of generated PNGs; the
     // oracle predicts metadata from the generation parameters (n_bytes is
     // the PNG encoder's output size — proven in MultimodalSpec, not

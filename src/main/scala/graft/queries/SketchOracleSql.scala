@@ -629,6 +629,9 @@ object SketchOracleSql {
   def splitmixBigintSql(expr: String): String = sx(splitmix(ux(expr)))
 
   def oracles: Map[String, String] = Map(
+    // the persisted-index search must answer identically to the
+    // in-memory IVF path — same replayed-k-means oracle
+    "q_ann_ivf_indexed" -> annIvfOracle,
     "q_dedup_groups" -> componentsOracle,
     "q_corpus_stats" -> corpusStatsOracle,
     "q_ann_ivf" -> annIvfOracle,

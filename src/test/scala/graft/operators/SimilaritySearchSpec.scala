@@ -107,4 +107,23 @@ class SimilaritySearchSpec extends SparkSpec {
     // LSH top hit, when present, is a true strong neighbor; query 0's is exact.
     assert(lsh.get(0L).contains(bf(0L)))
   }
+
+  test("persisted IVF index answers identically to the in-memory path") {
+    val idx = java.nio.file.Files.createTempDirectory("ivfidx").toString
+    val q = corpus.filter(col("vec_id") < 3L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "sim", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    val direct = rows(SimilaritySearch.ivfKnn(corpus, q, "embedding", "vec_id",
+      k = 2, nCells = 4, nProbe = 2))
+    SimilaritySearch.buildIvfIndex(corpus, "embedding", "vec_id", idx, nCells = 4)
+    val indexed = rows(SimilaritySearch.ivfKnnIndexed(q, "embedding", "vec_id", idx,
+      k = 2, nProbe = 2))
+    assert(indexed == direct) // bit-equal, including sims
+    // the index is reusable without retraining
+    val again = rows(SimilaritySearch.ivfKnnIndexed(q, "embedding", "vec_id", idx,
+      k = 2, nProbe = 2))
+    assert(again == direct)
+  }
 }
