@@ -140,6 +140,18 @@ object SourceQueries {
       s.read.format("kv").option("path", sink).load().orderBy(col("n_nationkey"))
     }),
 
+    // Footer-only aggregate pushdown: ungrouped COUNT/MIN/MAX answered
+    // from cached parquet footers through the kv DSv2 scan — zero data
+    // pages read (KvAggPushdownSpec asserts the plan; this gate checks
+    // the values against a real scan in DuckDB).
+    "q_kv_agg_pushdown" -> ((s, dir) => {
+      s.read.format("kv").option("path", s"$dir/orders.parquet").load()
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("o_orderkey")).as("min_key"), max(col("o_orderkey")).as("max_key"),
+          min(col("o_totalprice")).as("min_price"), max(col("o_totalprice")).as("max_price"),
+          min(col("o_orderpriority")).as("min_prio"), max(col("o_orderpriority")).as("max_prio"))
+    }),
+
     // Stateful streaming dedup end-to-end: two streams over the SAME log
     // files union'd (every event arrives twice), dropDuplicates over the
     // full row keeps exactly one copy — the exactly-once-per-record
@@ -300,6 +312,15 @@ object SourceQueries {
     "q_queue_drain" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
         |FROM nation ORDER BY 1""".stripMargin,
+
+    // the oracle scans the data for real — the footer-only answer must
+    // agree exactly
+    "q_kv_agg_pushdown" ->
+      """SELECT count(*) AS n_rows,
+        |  min(o_orderkey) AS min_key, max(o_orderkey) AS max_key,
+        |  min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |  min(o_orderpriority) AS min_prio, max(o_orderpriority) AS max_prio
+        |FROM orders""".stripMargin,
 
     // every event arrives twice (two identical stream legs); the
     // stateful dedup reduces the union back to the distinct rows

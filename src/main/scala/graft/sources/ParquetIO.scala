@@ -111,6 +111,61 @@ object ParquetIO {
 
   def rowCount(file: Path): Long = footerInfo(file).map(_.rowCount).sum
 
+  /** Per-file column statistics folded across row groups, from the footer
+    * only. `None` fields mean "not trustworthy" (a row group without
+    * stats, unknown null counts) — callers must refuse pushdown then.
+    * Values are raw parquet-typed (java.lang.Long / java.lang.Double /
+    * parquet Binary); min/max are None for all-null columns.
+    */
+  case class ColStats(nullCount: Option[Long], min: Option[Any], max: Option[Any])
+
+  private val statsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Map[String, ColStats]]()
+
+  def columnStatsCached(file: Path, len: Long, mtime: Long): Map[String, ColStats] = {
+    if (statsCache.size > MaxCacheEntries) statsCache.clear()
+    statsCache.computeIfAbsent((file.toString, len, mtime), _ => columnStats(file))
+  }
+
+  def columnStats(file: Path): Map[String, ColStats] = {
+    val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, hadoopConf))
+    try {
+      import scala.jdk.CollectionConverters._
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      val names = blocks.headOption.map(_.getColumns.asScala.map(_.getPath.toDotString).toSeq)
+        .getOrElse(Seq.empty)
+      names.map { name =>
+        val chunks = blocks.map(_.getColumns.asScala.find(_.getPath.toDotString == name))
+        val folded =
+          if (chunks.exists(_.isEmpty)) ColStats(None, None, None)
+          else {
+            val stats = chunks.map(_.get.getStatistics)
+            if (stats.exists(s => s == null || s.isEmpty || s.getNumNulls < 0))
+              ColStats(None, None, None)
+            else {
+              val nulls = stats.map(_.getNumNulls).sum
+              val withVals = stats.filter(_.hasNonNullValue)
+              // fold min/max with the column's own comparator (parquet
+              // orders BINARY stats unsigned-lexicographically, matching
+              // UTF8String ordering for valid UTF-8)
+              val minV = withVals.map(_.genericGetMin).reduceOption { (a, b) =>
+                val c = withVals.head.comparator
+                  .asInstanceOf[java.util.Comparator[Any]].compare(a, b)
+                if (c <= 0) a else b
+              }
+              val maxV = withVals.map(_.genericGetMax).reduceOption { (a, b) =>
+                val c = withVals.head.comparator
+                  .asInstanceOf[java.util.Comparator[Any]].compare(a, b)
+                if (c >= 0) a else b
+              }
+              ColStats(Some(nulls), minV, maxV)
+            }
+          }
+        name -> folded
+      }.toMap
+    } finally reader.close()
+  }
+
   def fileSchema(file: Path): MessageType = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, hadoopConf))
     try reader.getFooter.getFileMetaData.getSchema finally reader.close()

@@ -203,13 +203,32 @@ object KvSinkConverter {
 }
 
 class KvScanBuilder(path: String, schema: StructType, maxSplitCount: Int, splitSizeMb: Long)
-    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = schema
   private var accepted: Array[Filter] = Array.empty
   private var predicate: Option[FilterPredicate] = None
   private var satisfied: Array[Filter] = Array.empty
+  private var sawFilters = false
+  private var aggCompiled: Option[KvAggregates.Compiled] = None
+
+  // Complete-only aggregate pushdown from cached footers (KvAggregates):
+  // refused under ANY filter or grouping — correctness over coverage.
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    !sawFilters && KvAggregates.compile(path, schema, agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (sawFilters) return false
+    KvAggregates.compile(path, schema, agg) match {
+      case some @ Some(_) => aggCompiled = some; true
+      case None => false // no partial pushdown: footer stats are all-or-nothing
+    }
+  }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (filters.nonEmpty) sawFilters = true
     val files = ParquetIO.listFilesStatus(path)
     if (files.nonEmpty) {
       // compile only against columns present (with identical types) in
@@ -254,8 +273,11 @@ class KvScanBuilder(path: String, schema: StructType, maxSplitCount: Int, splitS
     required = StructType(schema.fields.filter(f => names.contains(f.name)))
   }
 
-  override def build(): Scan =
-    new KvScan(path, required, schema, predicate, accepted, maxSplitCount, splitSizeMb)
+  override def build(): Scan = aggCompiled match {
+    case Some(c) => new KvAggScan(path, c)
+    case None =>
+      new KvScan(path, required, schema, predicate, accepted, maxSplitCount, splitSizeMb)
+  }
 }
 
 case class KvChunk(file: String, startByte: Long, endByte: Long, rows: Long)
