@@ -100,4 +100,40 @@ object KvMerge {
     fs.rename(tmp, livePath)
     fs.delete(backup, true)
   }
+
+  /** Table maintenance: rewrite a kv table as `numFiles` files, optionally
+    * range-clustered on `clusterBy` — compaction for the many-small-files
+    * table, clustering for zone-map/row-group pruning locality (sorted
+    * layout → tight per-row-group min/max → the search-index mode and
+    * parquet stats skipping prune aggressively). Same crash-safe
+    * backup-aside swap as [[merge]]: a committed state exists on disk at
+    * every instant, and a crash mid-swap heals on the next maintenance or
+    * merge run.
+    *
+    * At 100 TB this runs table-partition-by-partition; `repartitionByRange`
+    * samples the sort key for balanced output files (Spark's range
+    * partitioner), so no single reducer owns the table.
+    */
+  def rewrite(spark: SparkSession, path: String, numFiles: Int,
+      clusterBy: Seq[String] = Nil): Unit = {
+    require(numFiles >= 1, "numFiles must be >= 1")
+    val fs = new Path(path).getFileSystem(ParquetIO.hadoopConf)
+    val livePath = new Path(path)
+    val backup = new Path(s"$path.merge-old")
+    if (!fs.exists(livePath) && fs.exists(backup)) fs.rename(backup, livePath)
+
+    val table = spark.read.format("kv").option("path", path).load()
+    val shaped =
+      if (clusterBy.isEmpty) table.repartition(numFiles)
+      else table
+        .repartitionByRange(numFiles, clusterBy.map(col): _*)
+        .sortWithinPartitions(clusterBy.map(col): _*)
+    val tmp = new Path(s"$path.merge-tmp")
+    ParquetIO.deletePath(tmp.toString)
+    shaped.write.format("kv").option("path", tmp.toString).mode("append").save()
+    ParquetIO.deletePath(backup.toString)
+    if (fs.exists(livePath)) fs.rename(livePath, backup)
+    fs.rename(tmp, livePath)
+    fs.delete(backup, true)
+  }
 }

@@ -140,6 +140,27 @@ object SourceQueries {
       s.read.format("kv").option("path", sink).load().orderBy(col("n_nationkey"))
     }),
 
+    // Table maintenance end-to-end: a 8-file kv table is compacted to 2
+    // range-clustered files (crash-safe swap), then queried — contents
+    // must be untouched by the rewrite.
+    "q_kv_compact" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val staged = s"/tmp/graft_compact$safe"
+      if (ParquetIO.listFiles(staged).isEmpty) {
+        graft.Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+          .repartition(8)
+          .write.format("kv").option("path", staged).mode("overwrite").save()
+      }
+      graft.operators.KvMerge.rewrite(s, staged, numFiles = 2,
+        clusterBy = Seq("o_orderkey"))
+      s.read.format("kv").option("path", staged).load()
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Footer-only aggregate pushdown: ungrouped COUNT/MIN/MAX answered
     // from cached parquet footers through the kv DSv2 scan — zero data
     // pages read (KvAggPushdownSpec asserts the plan; this gate checks
@@ -312,6 +333,12 @@ object SourceQueries {
     "q_queue_drain" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
         |FROM nation ORDER BY 1""".stripMargin,
+
+    "q_kv_compact" ->
+      """SELECT o_orderpriority, count(*) AS n, min(o_orderkey) AS min_key,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the oracle scans the data for real — the footer-only answer must
     // agree exactly

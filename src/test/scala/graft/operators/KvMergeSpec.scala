@@ -99,4 +99,42 @@ class KvMergeSpec extends SparkSpec {
       .orderBy("k").as[(Long, String)].collect().toSeq
     assert(got == Seq((1L, "a"), (2L, "b")))
   }
+
+  test("rewrite compacts a many-file table without changing its contents") {
+    val dir = Files.createTempDirectory("kvcompact").toString
+    (0L until 200L).map(i => (i, s"v$i")).toDF("k", "v")
+      .repartition(16)
+      .write.format("kv").option("path", dir).mode("overwrite").save()
+    assert(graft.sources.ParquetIO.listFiles(dir).length == 16)
+
+    KvMerge.rewrite(spark, dir, numFiles = 2)
+    assert(graft.sources.ParquetIO.listFiles(dir).length == 2)
+    val got = spark.read.format("kv").option("path", dir).load()
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == (0L until 200L).map(i => (i, s"v$i")))
+  }
+
+  test("clustered rewrite produces range-disjoint files (zone-map locality)") {
+    val dir = Files.createTempDirectory("kvcluster").toString
+    val rnd = new scala.util.Random(7)
+    rnd.shuffle((0L until 400L).toList).map(i => (i, i * 2.0)).toDF("k", "x")
+      .repartition(8) // keys scattered across every file
+      .write.format("kv").option("path", dir).mode("overwrite").save()
+
+    KvMerge.rewrite(spark, dir, numFiles = 4, clusterBy = Seq("k"))
+    val files = graft.sources.ParquetIO.listFiles(dir)
+    assert(files.length == 4)
+    // per-file key ranges must not overlap after range clustering
+    val ranges = files.map { f =>
+      val d = spark.read.format("kv").option("path", f.toString).load()
+        .agg(min(col("k")), max(col("k"))).collect()(0)
+      (d.getLong(0), d.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo2, _)) => assert(hi < lo2, s"overlapping ranges: $ranges")
+      case _ =>
+    }
+    // and the table is intact
+    assert(spark.read.format("kv").option("path", dir).load().count() == 400)
+  }
 }
