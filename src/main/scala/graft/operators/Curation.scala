@@ -152,6 +152,43 @@ object Curation {
     df.join(picked, Seq(groupCol, idCol), "left_semi")
   }
 
+  /** Gopher-style composite document filter (Rae et al. §A1.1 shape):
+    * every rule is a row-local codegen'd expression — no shuffle, no UDF
+    * — and each document gets a `passed` flag plus a comma-joined
+    * `reasons` string naming every failed rule (an auditable filter: at
+    * 100 TB you keep the reasons column and aggregate WHY the corpus
+    * shrank, instead of diffing opaque before/after counts).
+    */
+  def gopherFilter(
+      df: DataFrame, textCol: String, idCol: String,
+      minWords: Int = 50, maxWords: Int = 100000,
+      minAvgWordLen: Double = 3.0, maxAvgWordLen: Double = 10.0,
+      maxWordRep: Double = 0.6, maxPunctRatio: Double = 0.3): DataFrame = {
+    val t = col(textCol)
+    val ws = words(t)
+    val nWords = size(ws).cast("double")
+    val avgLen = length(regexp_replace(t, "\\s+", "")).cast("double") /
+      greatest(nWords, lit(1.0))
+    val wordRep = lit(1.0) - size(array_distinct(ws)).cast("double") /
+      greatest(nWords, lit(1.0))
+    val punct = regexp_count(t, lit("[^\\p{L}0-9\\s]")).cast("double") /
+      greatest(length(t).cast("double"), lit(1.0))
+    val rules = Seq(
+      (nWords < minWords, "too_short"),
+      (nWords > maxWords, "too_long"),
+      (avgLen < minAvgWordLen, "words_too_short"),
+      (avgLen > maxAvgWordLen, "words_too_long"),
+      (wordRep > maxWordRep, "too_repetitive"),
+      (punct > maxPunctRatio, "too_much_punct"))
+    val reasons = filter(
+      array(rules.map { case (cond, name) =>
+        when(cond, lit(name)).otherwise(lit(null).cast("string"))
+      }: _*),
+      x => x.isNotNull)
+    df.withColumn("reasons", array_join(reasons, ","))
+      .withColumn("passed", col("reasons") === "")
+  }
+
   /** Unigram-surprisal quality score: average −ln p(word) per document
     * under the corpus's own unigram distribution — the cheap end of the
     * perplexity-filtering family (docs full of corpus-typical words score

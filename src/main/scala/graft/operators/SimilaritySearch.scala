@@ -178,6 +178,22 @@ object SimilaritySearch {
       .mode("overwrite").save()
   }
 
+  /** Incremental index maintenance: assign NEW vectors against the
+    * persisted centroids (no retraining — centroids stay stable, which
+    * is what makes incremental ANN indexing cheap) and append them to
+    * the cells table. Periodic re-clustering is [[buildIvfIndex]] again;
+    * between rebuilds the index absorbs appends at the cost of one
+    * broadcast assignment per batch.
+    */
+  def ivfIndexAppend(
+      newVecs: DataFrame, vecCol: String, idCol: String, path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val cents = spark.read.format("kv").option("path", s"$path/centroids").load()
+    assignCells(prep(newVecs, vecCol, idCol), cents)
+      .select(col("cell"), col("id").as("nid"), col("e").as("ne"), col("nrm").as("nn"))
+      .write.format("kv").option("path", s"$path/cells").mode("append").save()
+  }
+
   /** IVF search against a persisted index — no retraining, no corpus
     * re-assignment: probes read only the centroid table (broadcast-sized)
     * and the probed cells' rows.

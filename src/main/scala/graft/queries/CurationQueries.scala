@@ -56,6 +56,15 @@ object CurationQueries {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // Auditable composite filter: per-doc pass flag + the names of every
+    // failed rule (why the corpus shrank, not just how much).
+    "q_doc_gopher" -> ((s, dir) => {
+      Curation.gopherFilter(Tables.load(s, dir, "documents"), "text", "doc_id",
+        minWords = 40)
+        .select(col("doc_id"), col("passed"), col("reasons"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Perplexity-family quality scoring: per-doc mean unigram surprisal
     // under the corpus's own word distribution.
     "q_doc_surprisal" -> ((s, dir) => {
@@ -174,6 +183,33 @@ object CurationQueries {
     },
 
     "q_dedup_semantic" -> SketchOracleSql.semanticDedupOracle,
+
+    "q_doc_gopher" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE) AS nw,
+        |    length(regexp_replace(text, '\s+', '', 'g')) /
+        |      greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0) AS al,
+        |    1.0 - len(list_distinct(string_split_regex(trim(text), '\s+'))) /
+        |      greatest(CAST(len(string_split_regex(trim(text), '\s+')) AS DOUBLE), 1.0) AS wr,
+        |    CAST(len(regexp_extract_all(text, '[^\p{L}0-9\s]')) AS DOUBLE) /
+        |      greatest(CAST(length(text) AS DOUBLE), 1.0) AS pr
+        |  FROM documents
+        |), r AS (
+        |  SELECT doc_id,
+        |    coalesce(array_to_string(list_filter([
+        |      CASE WHEN nw < 40 THEN 'too_short' END,
+        |      CASE WHEN nw > 100000 THEN 'too_long' END,
+        |      CASE WHEN al < 3.0 THEN 'words_too_short' END,
+        |      CASE WHEN al > 10.0 THEN 'words_too_long' END,
+        |      CASE WHEN wr > 0.6 THEN 'too_repetitive' END,
+        |      CASE WHEN pr > 0.3 THEN 'too_much_punct' END
+        |    ], x -> x IS NOT NULL), ','), '') AS reasons
+        |  FROM m
+        |)
+        |SELECT doc_id, reasons = '' AS passed, reasons
+        |FROM r
+        |ORDER BY doc_id""".stripMargin,
 
     "q_doc_surprisal" ->
       """WITH tokens AS (

@@ -122,6 +122,26 @@ class CurationSpec extends SparkSpec {
     assert(Curation.sampleByGroup(tiny, "grp", "id", 10).count() == 3)
   }
 
+  // --- composite filter ----------------------------------------------------
+
+  test("gopherFilter names every failed rule") {
+    val docs = Seq(
+      (1L, Seq.fill(60)("word").zipWithIndex.map { case (w, i) => s"$w$i" }.mkString(" ")),
+      (2L, "tiny doc"),                              // too_short
+      (3L, ("go " * 60).trim),                       // too_repetitive (and short words)
+      (4L, Seq.fill(60)("!!!###!!!").mkString(" "))  // too_much_punct
+    ).toDF("doc_id", "text")
+    val out = Curation.gopherFilter(docs, "text", "doc_id", minWords = 50)
+      .select("doc_id", "passed", "reasons").orderBy("doc_id").collect()
+
+    assert(out(0).getAs[Boolean]("passed") && out(0).getAs[String]("reasons") == "")
+    assert(!out(1).getAs[Boolean]("passed"))
+    assert(out(1).getAs[String]("reasons").contains("too_short"))
+    val r3 = out(2).getAs[String]("reasons")
+    assert(r3.contains("too_repetitive") && r3.contains("words_too_short"))
+    assert(out(3).getAs[String]("reasons").contains("too_much_punct"))
+  }
+
   // --- mixture sampling ----------------------------------------------------
 
   test("sampleMixture thins deterministically at the requested rate") {

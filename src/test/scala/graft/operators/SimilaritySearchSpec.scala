@@ -126,4 +126,30 @@ class SimilaritySearchSpec extends SparkSpec {
       k = 2, nProbe = 2))
     assert(again == direct)
   }
+
+  test("ivfIndexAppend absorbs new vectors without retraining") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("ivfappend").toString
+    val base = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.98f, 0.05f)),
+      (10L, Array(0.0f, 1.0f)), (11L, Array(0.05f, 0.98f))
+    ).toDF("vec_id", "embedding")
+    SimilaritySearch.buildIvfIndex(base, "embedding", "vec_id", idx, nCells = 2)
+    val centsBefore = spark.read.format("kv").option("path", s"$idx/centroids")
+      .load().collect().map(_.toString).sorted.toSeq
+
+    // a near-duplicate of vector 1 arrives later
+    val fresh = Seq((3L, Array(0.999f, 0.01f))).toDF("vec_id", "embedding")
+    SimilaritySearch.ivfIndexAppend(fresh, "embedding", "vec_id", idx)
+
+    // centroids untouched; the search sees the appended vector as the
+    // top neighbor of 1
+    val centsAfter = spark.read.format("kv").option("path", s"$idx/centroids")
+      .load().collect().map(_.toString).sorted.toSeq
+    assert(centsAfter == centsBefore)
+    val top = SimilaritySearch.ivfKnnIndexed(
+      base.filter(col("vec_id") === 1L), "embedding", "vec_id", idx, k = 1, nProbe = 1)
+      .collect()(0)
+    assert(top.getAs[Long]("nid") == 3L)
+  }
 }
