@@ -51,52 +51,55 @@ object Curation {
     *    overlapping repeats; it is a signal, not a proportion).
     *
     * All ratios round to 4 decimals. Docs shorter than the gram size get
-    * 0.0. Two shuffles total — (doc, n, gram) counts, then one per-doc
-    * conditional rollup — both map-side combinable, and the shuffled rows
-    * carry only (id, n, gram): coverage stays in exact integer char units
+    * 0.0. ZERO shuffles: gram occurrence counts come from a sorted-run
+    * fold over the per-row gram array (sort, then one linear `aggregate`
+    * pass closing a run whenever the gram changes) — per-document work is
+    * independent of corpus size, so the operator is a pure map over any
+    * number of executors. Coverage stays in exact integer char units
     * (cnt × gram length) until a single final division per doc, which is
-    * also what makes the oracle replay trivially bit-exact. Per-doc word
-    * stats are computed row-local with array functions (no shuffle).
+    * what makes the oracle replay (an unnest+GROUP BY formulation of the
+    * same counts) exactly equal.
     */
   def repetitionSignals(df: DataFrame, textCol: String, idCol: String): DataFrame = {
     val id = col(idCol)
     val ws = words(col(textCol))
 
-    // one explode for all gram sizes, tagged by n
-    val tagged = df.select(id, ws.as("ws"))
-      .select(id, explode(concat(
-        transform(grams(col("ws"), 2), g => struct(lit(2).as("n"), g.as("gram"))),
-        transform(grams(col("ws"), 3), g => struct(lit(3).as("n"), g.as("gram"))),
-        transform(grams(col("ws"), 5), g => struct(lit(5).as("n"), g.as("gram")))
-      )).as("t"))
-      .select(id, col("t.n").as("n"), col("t.gram").as("gram"))
-
-    // covered chars per gram (exact integer units), rolled up per doc in
-    // one conditional aggregation
-    val covered = tagged
-      .groupBy(id, col("n"), col("gram"))
-      .agg(count(lit(1)).as("cnt"))
-      .withColumn("cl", col("cnt") * length(col("gram")).cast("long"))
-      .groupBy(id)
-      .agg(
-        max(when(col("n") === 2, col("cl"))).as("top2_cl"),
-        max(when(col("n") === 3, col("cl"))).as("top3_cl"),
-        sum(when(col("n") === 5 && col("cnt") >= 2, col("cl"))
-          .otherwise(lit(0L))).as("dup5_cl"))
+    // (top covered-chars of any single gram, total covered chars of grams
+    // occurring >= 2 times) — linear fold over the sorted gram array;
+    // runCl/dupCl close out the run accumulated in the fold state
+    def coverage(n: Int): Column = {
+      val sorted = sort_array(grams(col("ws"), n))
+      def runCl(acc: Column): Column =
+        when(acc.getField("prev").isNull, lit(0L))
+          .otherwise(acc.getField("run") * length(acc.getField("prev")).cast("long"))
+      def dupCl(acc: Column): Column =
+        when(acc.getField("prev").isNull || acc.getField("run") < 2, lit(0L))
+          .otherwise(acc.getField("run") * length(acc.getField("prev")).cast("long"))
+      aggregate(sorted,
+        struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+          lit(0L).as("top"), lit(0L).as("dup")),
+        (acc, g) => when(acc.getField("prev") <=> g,
+          struct(g.as("prev"), (acc.getField("run") + 1L).as("run"),
+            acc.getField("top").as("top"), acc.getField("dup").as("dup")))
+          .otherwise(struct(g.as("prev"), lit(1L).as("run"),
+            greatest(acc.getField("top"), runCl(acc)).as("top"),
+            (acc.getField("dup") + dupCl(acc)).as("dup"))),
+        acc => struct(greatest(acc.getField("top"), runCl(acc)).as("top"),
+          (acc.getField("dup") + dupCl(acc)).as("dup")))
+    }
 
     df.select(id,
         length(col(textCol)).cast("double").as("n_chars"),
-        size(ws).cast("long").as("n_words"),
-        round(lit(1.0) - size(array_distinct(ws)).cast("double") /
-          greatest(size(ws).cast("double"), lit(1.0)), 4).as("word_rep"))
-      .join(covered, Seq(idCol), "left")
+        ws.as("ws"))
+      .select(id, col("n_chars"),
+        size(col("ws")).cast("long").as("n_words"),
+        round(lit(1.0) - size(array_distinct(col("ws"))).cast("double") /
+          greatest(size(col("ws")).cast("double"), lit(1.0)), 4).as("word_rep"),
+        coverage(2).as("c2"), coverage(3).as("c3"), coverage(5).as("c5"))
       .select(id, col("n_words"), col("word_rep"),
-        round(coalesce(col("top2_cl").cast("double") / col("n_chars"), lit(0.0)), 4)
-          .as("top2_frac"),
-        round(coalesce(col("top3_cl").cast("double") / col("n_chars"), lit(0.0)), 4)
-          .as("top3_frac"),
-        round(coalesce(col("dup5_cl").cast("double") / col("n_chars"), lit(0.0)), 4)
-          .as("dup5_frac"))
+        round(col("c2.top").cast("double") / col("n_chars"), 4).as("top2_frac"),
+        round(col("c3.top").cast("double") / col("n_chars"), 4).as("top3_frac"),
+        round(col("c5.dup").cast("double") / col("n_chars"), 4).as("dup5_frac"))
   }
 
   /** Deterministic "concat and chunk" sequence packing: lay out documents
