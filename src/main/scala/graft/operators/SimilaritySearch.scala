@@ -222,6 +222,73 @@ object SimilaritySearch {
       k)
   }
 
+  /** Product-quantization k-NN (Jégou et al., "Product quantization for
+    * nearest neighbor search", TPAMI 2011): split each vector into `m`
+    * contiguous subspaces, k-means each subspace with the SAME
+    * deterministic chain as IVF ([[trainCentroids]]), encode every
+    * corpus vector as `m` small codes, and search by asymmetric distance
+    * (ADC): per query, an m × nCells table of exact query-to-centroid
+    * squared distances is broadcast, and each corpus vector's
+    * approximate distance is the m-term sum of table lookups on its
+    * codes.
+    *
+    * The 100 TB point is MEMORY: a 64-dim float vector (256 B) becomes m
+    * codes (m bytes at nCells ≤ 256) — 100× compression — and the scan
+    * side touches only codes. Scale shape matches [[bruteForceKnn]]:
+    * query tables broadcast, corpus codes never shuffle, per-query
+    * results assembled by the bounded heap. Deterministic end to end
+    * (id-ordered folds, fixed lookup-sum order), so the DuckDB oracle
+    * replays the entire train/encode/search pipeline.
+    */
+  def pqKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      m: Int = 2, nCells: Int = 16, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+
+    def sub(df: DataFrame, s: Int): DataFrame =
+      df.select(col(idCol), slice(col(vecCol), s * subDim + 1, subDim).as("subv"))
+
+    val perSub = (0 until m).map { s =>
+      val cents = trainCentroids(sub(corpus, s), "subv", idCol,
+        nCells, iterations, maxTrainPerCell)
+      val codes = assignCells(prep(sub(corpus, s), "subv", idCol), cents)
+        .select(col("id"), col("cell").as(s"code$s"))
+      // exact query→centroid squared distances, as a cell-ordered array
+      val dt = prep(sub(queries, s), "subv", idCol)
+        .crossJoin(broadcast(cents))
+        .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+        .groupBy(col("id"))
+        .agg(transform(sort_array(collect_list(struct(col("cell"), col("d2")))),
+          x => x.getField("d2")).as(s"dt$s"))
+      (codes, dt)
+    }
+
+    val codes = perSub.map(_._1).reduce(_.join(_, "id"))
+      .select(col("id").as("nid"),
+        array((0 until m).map(s => col(s"code$s")): _*).as("codes"))
+    val dtabs = perSub.map(_._2).reduce(_.join(_, "id"))
+      .select(col("id").as("qid"),
+        array((0 until m).map(s => col(s"dt$s")): _*).as("dtabs"))
+
+    // ADC: m-term lookup sum, folded in subspace order
+    val scored = broadcast(dtabs).join(codes, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, s) => acc + element_at(element_at(col("dtabs"), s + 1),
+            (element_at(col("codes"), s + 1) + 1).cast("int"))).as("adist"))
+    scored.groupBy(col("qid"))
+      .agg(BoundedTopK.topK(
+        struct((-col("adist")).as("negd"), col("nid").as("nid")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("qid"), col("s.nid").as("nid"),
+        round(-col("s.negd"), 6).as("adist"), (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** Contrastive hard-negative mining: for each query vector, the k most
     * similar corpus vectors with a DIFFERENT label — the negatives that
     * sit closest to the decision boundary, which is what contrastive /

@@ -121,6 +121,16 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // Product quantization: per-subspace deterministic k-means, corpus as
+    // m×code bytes, ADC lookup-sum search — the memory-compressed ANN
+    // tier (oracle replays train/encode/search end to end).
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.pqKnn(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, m = 2, nCells = 4, maxTrainPerCell = 32)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // The persisted-index path: build the IVF index once (kv tables for
     // centroids + cell assignments), search against it — must answer
     // IDENTICALLY to the in-memory q_ann_ivf, so it shares that gate's

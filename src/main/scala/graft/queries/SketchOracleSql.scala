@@ -601,6 +601,42 @@ object SketchOracleSql {
        |SELECT * FROM ($rows) ORDER BY "column"""".stripMargin
   }
 
+  /** q_ann_pq: full product-quantization replay — per-subspace k-means
+    * chains (same deterministic machinery as IVF) over the two 32-dim
+    * halves, corpus codes from the final assignments, and ADC scoring:
+    * adist = Σ_sub d²(query_sub, centroid[code_sub]), ranked asc.
+    */
+  def annPqOracle: String = {
+    def prepSub(p: String, lo: Int, hi: Int) =
+      s"""${p}prep AS MATERIALIZED (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[])[$lo:$hi] AS e FROM embeddings
+         |)""".stripMargin
+    s"""WITH ${prepSub("pq0_", 1, 32)}, ${kmChain("pq0_", 4, 32)},
+       |${prepSub("pq1_", 33, 64)}, ${kmChain("pq1_", 4, 32)},
+       |pq_codes AS (
+       |  SELECT a0.id, a0.cell AS c0, a1.cell AS c1
+       |  FROM pq0_af a0 JOIN pq1_af a1 USING (id)
+       |), pq_qd0 AS (
+       |  SELECT q.id AS qid, c.cell, ${kmD2("q.e", "c.ce")} AS d
+       |  FROM pq0_prep q CROSS JOIN pq0_cent2 c WHERE q.id < 5
+       |), pq_qd1 AS (
+       |  SELECT q.id AS qid, c.cell, ${kmD2("q.e", "c.ce")} AS d
+       |  FROM pq1_prep q CROSS JOIN pq1_cent2 c WHERE q.id < 5
+       |), pq_scored AS (
+       |  SELECT q0.qid, k.id AS nid, q0.d + q1.d AS adist
+       |  FROM pq_codes k
+       |  JOIN pq_qd0 q0 ON q0.cell = k.c0
+       |  JOIN pq_qd1 q1 ON q1.cell = k.c1 AND q1.qid = q0.qid
+       |  WHERE q0.qid <> k.id
+       |), pq_ranked AS (
+       |  SELECT qid, nid, adist,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS INT) AS rnk
+       |  FROM pq_scored
+       |)
+       |SELECT qid, nid, round(adist, 6) AS adist, rnk
+       |FROM pq_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+  }
+
   /** q_dedup_semantic: SemDeDup replay — the same deterministic k-means
     * chain as the IVF oracle (8 cells, cap-32 training samples), then
     * all within-cell pairs with round(cosine, 6) >= 0.25, id_a < id_b.
@@ -632,6 +668,7 @@ object SketchOracleSql {
     // the persisted-index search must answer identically to the
     // in-memory IVF path — same replayed-k-means oracle
     "q_ann_ivf_indexed" -> annIvfOracle,
+    "q_ann_pq" -> annPqOracle,
     "q_dedup_groups" -> componentsOracle,
     "q_corpus_stats" -> corpusStatsOracle,
     "q_ann_ivf" -> annIvfOracle,

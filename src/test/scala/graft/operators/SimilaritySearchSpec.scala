@@ -127,6 +127,31 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(again == direct)
   }
 
+  test("pqKnn ranks an exact duplicate first (codes coincide, min ADC)") {
+    import spark.implicits._
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+      (7L, Array(1.0f, 0.0f, 0.0f, 0.0f)), // exact duplicate of 1
+      (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+      (3L, Array(0.0f, 0.0f, 1.0f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = SimilaritySearch.pqKnn(vecs, vecs.filter(col("vec_id") === 1L),
+      "embedding", "vec_id", k = 4, m = 2, nCells = 2, maxTrainPerCell = 16)
+      .orderBy("rnk").collect()
+    // ADC(q, x) >= ADC(q, dup) always: q's own codes minimize every
+    // per-subspace lookup, and the duplicate carries exactly q's codes —
+    // so the duplicate ties the global minimum (others may tie too)
+    val dup = out.find(_.getAs[Long]("nid") == 7L)
+    assert(dup.isDefined, s"duplicate missing from top-k: ${out.mkString(",")}")
+    assert(dup.get.getAs[Double]("adist") == out(0).getAs[Double]("adist"))
+    // deterministic across runs
+    val again = SimilaritySearch.pqKnn(vecs, vecs.filter(col("vec_id") === 1L),
+      "embedding", "vec_id", k = 4, m = 2, nCells = 2, maxTrainPerCell = 16)
+      .orderBy("rnk").collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("ivfIndexAppend absorbs new vectors without retraining") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("ivfappend").toString
