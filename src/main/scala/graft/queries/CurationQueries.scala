@@ -7,11 +7,13 @@ import graft.operators.{Curation, Dedup}
 import graft.functions.TextFunctions
 
 /** Gate entries for the corpus-curation operators ([[Curation]] +
-  * [[Dedup.semantic]]): repetition quality signals, PII scrubbing,
-  * deterministic sequence packing, stratified sampling, and SemDeDup.
-  * Every entry has an exact DuckDB oracle — the hash-ordered sample
-  * replays splitmix64 via [[SketchOracleSql.splitmixBigintSql]], SemDeDup
-  * replays the full deterministic k-means chain.
+  * [[Dedup.semantic]] + the sampling/mining extensions): repetition
+  * quality signals, PII scrubbing, sequence packing, the auditable
+  * Gopher filter, unigram surprisal, stratified + mixture sampling,
+  * SemDeDup, and contrastive hard-negative mining. Every entry has an
+  * exact DuckDB oracle — the hash-ordered samples replay splitmix64 via
+  * [[SketchOracleSql.splitmixBigintSql]] / IEEE-exact integer
+  * thresholds, SemDeDup replays the full deterministic k-means chain.
   */
 object CurationQueries {
 
