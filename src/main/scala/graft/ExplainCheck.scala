@@ -18,7 +18,9 @@ object ExplainCheck {
     }
     // round-2 plan invariants: no Window over corpus-sized inputs in the
     // dedup/ANN paths (bounded-heap top-k, groupBy+join bucket caps)
-    for (q <- Seq("q_embed_knn", "q_ann_lsh", "q_dedup_minhash_lsh", "q_dedup_embedding")) {
+    for (q <- Seq("q_embed_knn", "q_ann_lsh", "q_dedup_minhash_lsh", "q_dedup_embedding",
+        "q_ann_pq", "q_dedup_semantic", "q_embed_hard_negatives",
+        "q_sample_stratified")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
       val windows = plan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
