@@ -160,6 +160,83 @@ object SimilaritySearch {
         first(col("e")).as("e"), first(col("nrm")).as("nrm"))
       .select(col("id"), col("m.cell").as("cell"), col("e"), col("nrm"))
 
+  /** IVF-PQ: the production ANN layout (coarse inverted lists + compact
+    * codes, FAISS's IVFPQ shape). The coarse quantizer assigns every
+    * vector to one of `nCells` inverted lists; a product quantizer
+    * compresses each vector to `m` codes. A query probes its `nProbe`
+    * nearest coarse cells and ADC-scores ONLY the codes in those lists —
+    * candidate count divides by nCells/nProbe AND each candidate costs m
+    * lookups instead of a d-dim dot product.
+    *
+    * Codes quantize the raw vectors (not coarse residuals — the residual
+    * refinement trades determinism for recall; this variant keeps every
+    * stage bit-replayable by the oracle, and the recall knobs are
+    * nProbe/pqCells).
+    */
+  def ivfPqKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384): DataFrame = {
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    require(dim % m == 0, s"vector dim $dim must divide into $m subspaces")
+    val subDim = dim / m
+    def sub(df: DataFrame, s: Int): DataFrame =
+      df.select(col(idCol), slice(col(vecCol), s * subDim + 1, subDim).as("subv"))
+
+    // coarse inverted lists over the full vectors
+    val coarse = trainCentroids(corpus, vecCol, idCol, nCells, iterations, maxTrainPerCell)
+    val lists = assignCells(prep(corpus, vecCol, idCol), coarse)
+      .select(col("id"), col("cell").as("ivf_cell"))
+
+    // PQ codes + per-query distance tables (same machinery as pqKnn)
+    val perSub = (0 until m).map { s =>
+      val cents = trainCentroids(sub(corpus, s), "subv", idCol,
+        pqCells, iterations, maxTrainPerCell)
+      val codes = assignCells(prep(sub(corpus, s), "subv", idCol), cents)
+        .select(col("id"), col("cell").as(s"code$s"))
+      val dt = prep(sub(queries, s), "subv", idCol)
+        .crossJoin(broadcast(cents))
+        .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+        .groupBy(col("id"))
+        .agg(transform(sort_array(collect_list(struct(col("cell"), col("d2")))),
+          x => x.getField("d2")).as(s"dt$s"))
+      (codes, dt)
+    }
+    val codes = perSub.map(_._1).reduce(_.join(_, "id"))
+      .join(lists, "id")
+      .select(col("id").as("nid"), col("ivf_cell"),
+        array((0 until m).map(s => col(s"code$s")): _*).as("codes"))
+
+    // nProbe nearest coarse cells per query (broadcast-sized sort)
+    val probes = prep(queries, vecCol, idCol).crossJoin(broadcast(coarse))
+      .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("id"))
+      .agg(slice(sort_array(collect_list(struct(col("d2"), col("cell")))), 1, nProbe)
+        .as("cells"))
+      .select(col("id").as("qid"), explode(col("cells.cell")).as("ivf_cell"))
+    val dtabs = perSub.map(_._2).reduce(_.join(_, "id"))
+      .select(col("id").as("qid"),
+        array((0 until m).map(s => col(s"dt$s")): _*).as("dtabs"))
+
+    val scored = broadcast(probes.join(dtabs, "qid"))
+      .join(codes, Seq("ivf_cell"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, s) => acc + element_at(element_at(col("dtabs"), s + 1),
+            (element_at(col("codes"), s + 1) + 1).cast("int"))).as("adist"))
+    scored.groupBy(col("qid"))
+      .agg(BoundedTopK.topK(
+        struct((-col("adist")).as("negd"), col("nid").as("nid")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("qid"), col("s.nid").as("nid"),
+        round(-col("s.negd"), 6).as("adist"), (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** Persist an IVF index: centroids and cell assignments land as two kv
     * tables under `path` (arrays ride the kv source's LIST columns). At
     * 100 TB you train once and amortize it over every search — the ANN

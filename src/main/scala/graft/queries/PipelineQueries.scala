@@ -131,6 +131,17 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // IVF-PQ: coarse inverted lists + compact codes, probes scan only
+    // their lists' codes — the production ANN layout, every stage
+    // replayed by the oracle.
+    "q_ann_ivfpq" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.ivfPqKnn(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, nCells = 4, nProbe = 2,
+        m = 2, pqCells = 4, maxTrainPerCell = 32)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // The persisted-index path: build the IVF index once (kv tables for
     // centroids + cell assignments), search against it — must answer
     // IDENTICALLY to the in-memory q_ann_ivf, so it shares that gate's

@@ -637,6 +637,52 @@ object SketchOracleSql {
        |FROM pq_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
   }
 
+  /** q_ann_ivfpq: the composed IVF-PQ replay — one coarse k-means chain
+    * over the full vectors (inverted lists + 2-probe selection) and two
+    * per-subspace PQ chains (codes + ADC), all on the shared
+    * deterministic machinery.
+    */
+  def annIvfPqOracle: String = {
+    def prepSub(p: String, lo: Int, hi: Int) =
+      s"""${p}prep AS MATERIALIZED (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[])[$lo:$hi] AS e FROM embeddings
+         |)""".stripMargin
+    def qd(p: String, out: String) =
+      s"""$out AS (
+         |  SELECT q.id AS qid, c.cell, ${kmD2("q.e", "c.ce")} AS d
+         |  FROM ${p}prep q CROSS JOIN ${p}cent2 c WHERE q.id < 5
+         |)""".stripMargin
+    s"""WITH ip_prep AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), ${kmChain("ip_", 4, 32)},
+       |${prepSub("ipq0_", 1, 32)}, ${kmChain("ipq0_", 4, 32)},
+       |${prepSub("ipq1_", 33, 64)}, ${kmChain("ipq1_", 4, 32)},
+       |ip_codes AS (
+       |  SELECT a0.id, l.cell AS ivf_cell, a0.cell AS c0, a1.cell AS c1
+       |  FROM ipq0_af a0 JOIN ipq1_af a1 USING (id) JOIN ip_af l USING (id)
+       |), ip_probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.id AS qid, c.cell,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY ${kmD2("q.e", "c.ce")}, c.cell) AS rn
+       |    FROM (SELECT id, e FROM ip_prep WHERE id < 5) q CROSS JOIN ip_cent2 c
+       |  ) WHERE rn <= 2
+       |), ${qd("ipq0_", "ip_qd0")}, ${qd("ipq1_", "ip_qd1")},
+       |ip_scored AS (
+       |  SELECT p.qid, k.id AS nid, q0.d + q1.d AS adist
+       |  FROM ip_probes p
+       |  JOIN ip_codes k ON k.ivf_cell = p.cell
+       |  JOIN ip_qd0 q0 ON q0.qid = p.qid AND q0.cell = k.c0
+       |  JOIN ip_qd1 q1 ON q1.qid = p.qid AND q1.cell = k.c1
+       |  WHERE p.qid <> k.id
+       |), ip_ranked AS (
+       |  SELECT qid, nid, adist,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS INT) AS rnk
+       |  FROM ip_scored
+       |)
+       |SELECT qid, nid, round(adist, 6) AS adist, rnk
+       |FROM ip_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+  }
+
   /** q_dedup_semantic: SemDeDup replay — the same deterministic k-means
     * chain as the IVF oracle (8 cells, cap-32 training samples), then
     * all within-cell pairs with round(cosine, 6) >= 0.25, id_a < id_b.
@@ -669,6 +715,7 @@ object SketchOracleSql {
     // in-memory IVF path — same replayed-k-means oracle
     "q_ann_ivf_indexed" -> annIvfOracle,
     "q_ann_pq" -> annPqOracle,
+    "q_ann_ivfpq" -> annIvfPqOracle,
     "q_dedup_groups" -> componentsOracle,
     "q_corpus_stats" -> corpusStatsOracle,
     "q_ann_ivf" -> annIvfOracle,

@@ -30,7 +30,7 @@ object KvAggregates {
   case class Compiled(schema: StructType, row: InternalRow)
 
   def compile(path: String, tableSchema: StructType, agg: Aggregation): Option[Compiled] = {
-    if (agg.groupByExpressions.nonEmpty) return None
+    if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty) return None
     val files = ParquetIO.listFilesStatus(path)
     val perFile = files.map { case (f, len, mt) =>
       val rows = ParquetIO.footerInfoCached(f, len, mt).map(_.rowCount).sum
