@@ -43,6 +43,25 @@ class IntervalJoinSpec extends SparkSpec {
     assert(got == Seq((1L, 100L), (2L, 200L)))
   }
 
+  test("agrees with the raw predicate on randomized data, any bucket width") {
+    val rnd = new scala.util.Random(20260813L)
+    val pts = Seq.tabulate(500)(i =>
+      (s"k${rnd.nextInt(6)}", rnd.nextInt(10000).toLong, i.toLong)).toDF("k", "p", "pid")
+    val ivs = Seq.tabulate(200) { i =>
+      val lo = rnd.nextInt(10000).toLong
+      (s"k${rnd.nextInt(8)}", lo, lo + rnd.nextInt(500), i.toLong)
+    }.toDF("k", "lo", "hi", "iid")
+    val want = pts.as("a").join(ivs.as("b"),
+      col("a.k") === col("b.k") && col("a.p").between(col("lo"), col("hi")))
+      .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+    for (width <- Seq(1L, 37L, 500L, 100000L)) {
+      val got = IntervalJoin.pointInInterval(pts, ivs, "p", "lo", "hi",
+        bucketWidth = width, keyCols = Seq("k"))
+        .select("pid", "iid").as[(Long, Long)].collect().sorted.toSeq
+      assert(got == want, s"bucketWidth=$width")
+    }
+  }
+
   test("plan is an equi-join, not a nested loop") {
     val plan = IntervalJoin.pointInInterval(points, intervals, "p", "lo", "hi",
       bucketWidth = 50, keyCols = Seq("k"))

@@ -100,6 +100,24 @@ class KvMergeSpec extends SparkSpec {
     assert(got == Seq((1L, "a"), (2L, "b")))
   }
 
+  test("rewrite recovers from a crash between backup-aside and rename") {
+    val dir = Files.createTempDirectory("kvrewritecrash").toString
+    (0L until 50L).map(i => (i, s"v$i")).toDF("k", "v")
+      .write.format("kv").option("path", dir).mode("overwrite").save()
+    // simulate the crash window: live was renamed aside, tmp never landed
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(graft.sources.ParquetIO.hadoopConf)
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".merge-old"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir)))
+
+    KvMerge.rewrite(spark, dir, numFiles = 1)
+    val got = spark.read.format("kv").option("path", dir).load()
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == (0L until 50L).map(i => (i, s"v$i")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".merge-old")))
+  }
+
   test("rewrite compacts a many-file table without changing its contents") {
     val dir = Files.createTempDirectory("kvcompact").toString
     (0L until 200L).map(i => (i, s"v$i")).toDF("k", "v")

@@ -89,6 +89,37 @@ class StreamingCorpusSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("session windows aggregate across micro-batches (stateful gap sessions)") {
+    val dir = Files.createTempDirectory("sesswin").toString
+    val ckpt = Files.createTempDirectory("sesswinck").toString
+    // batch 1: two events 10s apart (same session at a 2-minute gap)
+    writeShard(dir, "a.parquet", Seq(
+      ("2024-01-01 00:00:00", 1L, 1.0), ("2024-01-01 00:00:10", 1L, 2.0)))
+    val q = spark.readStream.format("log").option("path", dir).load()
+      .groupBy(col("k"),
+        session_window(col("ts"), "2 minutes"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("total"))
+      .select(col("k"), col("n"), col("total"))
+      .writeStream.outputMode(OutputMode.Complete)
+      .format("memory").queryName("sess_out")
+      .option("checkpointLocation", ckpt).start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("sess_out").as[(Long, Long, Double)].collect().toSeq ==
+        Seq((1L, 2L, 3.0)), "one merged session")
+
+      // batch 2: an event INSIDE the gap extends the same session; one far
+      // beyond it opens a second session
+      writeShard(dir, "b.parquet", Seq(
+        ("2024-01-01 00:01:00", 1L, 4.0), ("2024-01-01 01:00:00", 1L, 8.0)))
+      q.processAllAvailable()
+      val rows = spark.table("sess_out").as[(Long, Long, Double)]
+        .collect().sortBy(_._3).toSeq
+      assert(rows == Seq((1L, 3L, 7.0), (1L, 1L, 8.0)),
+        s"session state must merge across batches: $rows")
+    } finally q.stop()
+  }
+
   test("TTL dedup: dropDuplicatesWithinWatermark bounds state and re-admits after expiry") {
     val dir = Files.createTempDirectory("ttldedup").toString
     val ckpt = Files.createTempDirectory("ttldedupck").toString
