@@ -131,6 +131,27 @@ object Curation {
           .cast("long").as("end_seq"))
   }
 
+  /** The dataloader-facing view of [[packSequences]]: one row per
+    * (shard, sequence) with the number of contributing documents and the
+    * token fill. Every sequence except each shard's tail is exactly
+    * `capacity` tokens — the invariant a training job relies on. Derived
+    * by exploding each document's sequence span and summing interval
+    * overlaps; one shuffle on (shard, seq).
+    */
+  def packManifest(
+      df: DataFrame, idCol: String, tokensCol: Column,
+      capacity: Long, shards: Int): DataFrame = {
+    val packed = packSequences(df, idCol, tokensCol, capacity, shards)
+    packed
+      .select(col("shard"), col("tok_offset"), col("n_tok"),
+        explode(sequence(col("begin_seq"), col("end_seq"))).as("seq"))
+      .withColumn("fill",
+        least(col("tok_offset") + col("n_tok"), (col("seq") + 1) * capacity) -
+          greatest(col("tok_offset"), col("seq") * capacity))
+      .groupBy(col("shard"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("fill")).as("fill_tokens"))
+  }
+
   /** Deterministic uniform sample of `k` rows per group: keep the k
     * members with the largest `splitmix64(id)` (as double, id-asc
     * tiebreak — the same replayable order [[SimilaritySearch]] uses for

@@ -49,6 +49,14 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The dataloader view of the packing: per (shard, sequence) doc count
+    // and token fill — every non-tail sequence is exactly full.
+    "q_pack_manifest" -> ((s, dir) => {
+      Curation.packManifest(Tables.load(s, dir, "documents"), "doc_id",
+        TextFunctions.tokenCount(col("text")), capacity = 2048, shards = 8)
+        .orderBy(col("shard"), col("seq"))
+    }),
+
     // Deterministic 10-per-source uniform sample (largest splitmix64(id)
     // per group, bounded-heap state).
     "q_sample_stratified" -> ((s, dir) => {
@@ -172,6 +180,29 @@ object CurationQueries {
         |  (tok_offset + greatest(n_tok, 1) - 1) // 2048 AS end_seq
         |FROM packed
         |ORDER BY doc_id""".stripMargin,
+
+    "q_pack_manifest" ->
+      """WITH toks AS (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tok
+        |  FROM documents
+        |), packed AS (
+        |  SELECT doc_id, shard, n_tok,
+        |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
+        |  FROM toks
+        |), spans AS (
+        |  SELECT shard, tok_offset, n_tok, seq,
+        |    least(tok_offset + n_tok, (seq + 1) * 2048) -
+        |      greatest(tok_offset, seq * 2048) AS fill
+        |  FROM packed, unnest(generate_series(tok_offset // 2048,
+        |    (tok_offset + greatest(n_tok, 1) - 1) // 2048)) AS ts(seq)
+        |)
+        |SELECT shard, seq, count(*) AS n_docs,
+        |  CAST(sum(fill) AS BIGINT) AS fill_tokens
+        |FROM spans
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin,
 
     "q_sample_stratified" -> {
       val hk = SketchOracleSql.splitmixBigintSql("doc_id")
