@@ -171,13 +171,13 @@ object CurationQueries {
         |  FROM documents
         |), packed AS (
         |  SELECT doc_id, shard, n_tok,
-        |    coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS tok_offset
+        |    CAST(coalesce(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_offset
         |  FROM toks
         |)
         |SELECT doc_id, shard, n_tok, tok_offset,
-        |  tok_offset // 2048 AS begin_seq,
-        |  (tok_offset + greatest(n_tok, 1) - 1) // 2048 AS end_seq
+        |  CAST(tok_offset // 2048 AS BIGINT) AS begin_seq,
+        |  CAST((tok_offset + greatest(n_tok, 1) - 1) // 2048 AS BIGINT) AS end_seq
         |FROM packed
         |ORDER BY doc_id""".stripMargin,
 
