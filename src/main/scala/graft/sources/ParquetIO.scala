@@ -412,12 +412,18 @@ object ParquetIO {
     * optionally restricted to a byte range of row groups (split), with an
     * optional parquet filter applied at row-group (stats), page, and
     * record level.
+    *
+    * `skipRowGroups` seeks past the first N row groups without reading a
+    * data page (`ParquetFileReader.skipNextRowGroup` only advances the
+    * block cursor) — exact group-level seek for offset-addressed readers,
+    * with none of the byte-range midpoint ambiguity of `withRange`.
     */
   def readFile(
       file: Path,
       schema: StructType,
       range: Option[(Long, Long)] = None,
-      filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
+      filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None,
+      skipRowGroups: Int = 0)
       : Iterator[InternalRow] with AutoCloseable = {
     val optsB = ParquetReadOptions.builder()
     range.foreach { case (s, e) => optsB.withRange(s, e) }
@@ -426,6 +432,8 @@ object ParquetIO {
     val fileType = reader.getFooter.getFileMetaData.getSchema
     val projection = projectSchema(fileType, schema.fieldNames.toSeq)
     reader.setRequestedSchema(projection)
+    var toSkip = skipRowGroups
+    while (toSkip > 0) { reader.skipNextRowGroup(); toSkip -= 1 }
     val compatFilter = filter.map(FilterCompat.get).getOrElse(FilterCompat.NOOP)
 
     new Iterator[InternalRow] with AutoCloseable {
@@ -465,12 +473,17 @@ object ParquetIO {
     }
   }
 
-  /** Writer for one part file. */
-  def openWriter(file: Path, schema: StructType): ParquetWriter[Group] =
+  /** Writer for one part file. `rowGroupBytes` bounds row-group size
+    * (default parquet block size; specs shrink it to force multi-group
+    * files for seek/split coverage).
+    */
+  def openWriter(file: Path, schema: StructType,
+      rowGroupBytes: Long = ParquetWriter.DEFAULT_BLOCK_SIZE.toLong): ParquetWriter[Group] =
     ExampleParquetWriter.builder(file)
       .withConf(hadoopConf)
       .withType(toParquetSchema(schema))
       .withCompressionCodec(CompressionCodecName.SNAPPY)
+      .withRowGroupSize(rowGroupBytes)
       .withWriteMode(org.apache.parquet.hadoop.ParquetFileWriter.Mode.OVERWRITE)
       .build()
 

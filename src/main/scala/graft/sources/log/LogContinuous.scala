@@ -63,8 +63,16 @@ class LogContinuousReaderFactory(schema: StructType, raw: Boolean, pollMs: Long)
         val resolved = new Path(p.file)
         val dataSchema =
           if (raw) KvSource.toStructType(ParquetIO.fileSchema(resolved)) else schema
-        it = ParquetIO.readFile(resolved, dataSchema)
-        var skip = 0L
+        // seek on every (re)open: skip whole row groups below `pos` from
+        // the footer, step the remainder within one group — the EOF-poll
+        // loop must not re-scan the consumed prefix each wakeup
+        val groups = ParquetIO.footerInfo(resolved)
+        val cum = groups.scanLeft(0L)(_ + _.rowCount)
+        val skipGroups =
+          if (pos >= cum.last) groups.length
+          else math.max(cum.lastIndexWhere(_ <= pos), 0)
+        it = ParquetIO.readFile(resolved, dataSchema, skipRowGroups = skipGroups)
+        var skip = if (skipGroups >= groups.length) cum.last else cum(skipGroups)
         while (skip < pos && it.hasNext) { it.next(); skip += 1 }
       }
 

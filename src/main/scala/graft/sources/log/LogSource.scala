@@ -81,6 +81,51 @@ object LogSource {
   def shardFiles(path: String): Map[String, String] =
     ParquetIO.listFiles(path).map(f => f.getName -> f.toString).toMap
 
+  /** shard name → (path, len, mtime) — the cache signature triple for
+    * footer access, from one listing call.
+    */
+  def shardFileStatus(path: String): Map[String, (Path, Long, Long)] =
+    ParquetIO.listFilesStatus(path).map { case (f, len, mt) =>
+      f.getName -> ((f, len, mt))
+    }.toMap
+
+  /** Split one shard's [from, to) row range into row-group-aligned
+    * partitions of ~`targetBytes`, each carrying the index and base row
+    * offset of its first row group so the reader SEEKS (skip whole
+    * groups, then step within one group) instead of re-scanning the file
+    * from row 0. Without this a rate-limited stream re-reads a long
+    * shard's prefix at every trigger — O(offset) per batch, quadratic
+    * over a drain (reference prorates offsets the same way but seeks
+    * server-side, `LoghubSourceRDD.scala:140-249`; `KvScan` does the
+    * equivalent byte-split for batch, `KvSource.scala:346-381`).
+    */
+  def planShardPartitions(file: Path, len: Long, mtime: Long, shard: String,
+      from: Long, to: Long, targetBytes: Long): Seq[LogInputPartition] = {
+    if (from >= to) return Nil
+    val groups = ParquetIO.footerInfoCached(file, len, mtime)
+    if (groups.isEmpty) return Seq(LogInputPartition(file.toString, shard, from, to))
+    val cum = groups.scanLeft(0L)(_ + _.rowCount) // cum(i) = rows before group i
+    val idx = groups.indices.filter(i => cum(i + 1) > from && cum(i) < to)
+    if (idx.isEmpty) return Nil
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    var first = idx.head
+    var bytes = 0L
+    idx.foreach { i =>
+      if (bytes > 0 && bytes + groups(i).totalByteSize > targetBytes) {
+        spans += ((first, i - 1)); first = i; bytes = 0L
+      }
+      bytes += groups(i).totalByteSize
+    }
+    spans += ((first, idx.last))
+    spans.toSeq.map { case (a, b) =>
+      LogInputPartition(file.toString, shard,
+        math.max(from, cum(a)), math.min(to, cum(b + 1)), a, cum(a))
+    }
+  }
+
+  def targetSplitBytes(options: CaseInsensitiveStringMap): Long =
+    options.getLong("split.size.mb", 128L) * 1024L * 1024L
+
   def parseOffsetJson(s: String): Map[String, Long] = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
@@ -170,16 +215,20 @@ class LogScan(path: String, schema: StructType, options: CaseInsensitiveStringMa
 
   override def toBatch: Batch = new Batch {
     override def planInputPartitions(): Array[InputPartition] = {
-      val counts = LogSource.shardCounts(path)
+      val status = LogSource.shardFileStatus(path)
+      val counts = status.map { case (n, (f, len, mt)) =>
+        n -> ParquetIO.footerInfoCached(f, len, mt).map(_.rowCount).sum
+      }
       val start = LogSource.resolveOffsets(
         options.getOrDefault("starting.offsets", "earliest"), counts)
       val end = LogSource.resolveOffsets(
         options.getOrDefault("ending.offsets", "latest"), counts)
-      val files = LogSource.shardFiles(path)
+      val targetBytes = LogSource.targetSplitBytes(options)
       counts.keys.toSeq.sorted.flatMap { shard =>
         val (s, e) = (start(shard), end(shard))
         require(s <= e, s"starting offset $s > ending offset $e for shard $shard")
-        if (s < e) Some(LogInputPartition(files(shard), shard, s, e)) else None
+        val (f, len, mt) = status(shard)
+        LogSource.planShardPartitions(f, len, mt, shard, s, e, targetBytes)
       }.toArray
     }
     override def createReaderFactory(): PartitionReaderFactory =
@@ -194,7 +243,13 @@ class LogScan(path: String, schema: StructType, options: CaseInsensitiveStringMa
     new LogContinuousStream(path, schema, raw, options)
 }
 
-case class LogInputPartition(file: String, shard: String, startRow: Long, endRow: Long)
+/** `skipGroups`/`groupBaseRow`: index and starting row offset of the
+  * first row group this partition reads — the reader skips whole groups
+  * to there (no data IO), then steps at most one group's rows to
+  * `startRow`.
+  */
+case class LogInputPartition(file: String, shard: String, startRow: Long, endRow: Long,
+    skipGroups: Int = 0, groupBaseRow: Long = 0L)
     extends InputPartition
 
 class LogMicroBatchStream(path: String, schema: StructType, raw: Boolean,
@@ -285,13 +340,16 @@ class LogMicroBatchStream(path: String, schema: StructType, raw: Boolean,
     val e = end.asInstanceOf[LogOffsetV].shards
     // new shards discovered mid-stream (present in end, absent in start)
     // begin at offset 0 — LoghubSource.scala:130-161 semantics.
-    val files = LogSource.shardFiles(path)
+    val status = LogSource.shardFileStatus(path)
+    val targetBytes = LogSource.targetSplitBytes(options)
     e.keys.toSeq.sorted.flatMap { shard =>
       val from = s.getOrElse(shard, 0L)
       val to = e(shard)
-      if (from < to && files.contains(shard))
-        Some(LogInputPartition(files(shard), shard, from, to))
-      else None
+      status.get(shard) match {
+        case Some((f, len, mt)) if from < to =>
+          LogSource.planShardPartitions(f, len, mt, shard, from, to, targetBytes)
+        case _ => Nil
+      }
     }.toArray
   }
 
@@ -308,12 +366,12 @@ class LogReaderFactory(schema: StructType, raw: Boolean) extends PartitionReader
     val resolved = new Path(p.file)
     val dataSchema =
       if (raw) KvSource.toStructType(ParquetIO.fileSchema(resolved)) else schema
-    val it = ParquetIO.readFile(resolved, dataSchema)
+    val it = ParquetIO.readFile(resolved, dataSchema, skipRowGroups = p.skipGroups)
     new PartitionReader[InternalRow] {
-      private var pos = 0L
+      private var pos = p.groupBaseRow
       private var current: InternalRow = _
-      // skip to startRow (sequential; shard files are the unit of
-      // parallelism, offsets within a shard are a tail cursor)
+      // seek: whole row groups below groupBaseRow were skipped footer-side;
+      // step the remainder within the first group (bounded by one group)
       while (pos < p.startRow && it.hasNext) { it.next(); pos += 1 }
       override def next(): Boolean = {
         if (pos >= p.endRow || !it.hasNext) false
