@@ -249,6 +249,90 @@ object SourceQueries {
       Cdc.applyChanges(changes, Seq("pk"))
         .orderBy(col("pk"))
     }),
+
+    // W4: exactly-once JDBC sink end-to-end — a rate-limited log stream
+    // drained through the two-phase sink-log protocol into Derby
+    // (reference `JdbcSink.scala:176-276` / `JDBCSinkLog.scala:46-133`),
+    // with an injected crash (PENDING log row + stale staged temp table)
+    // recovered by batch 0 and a post-commit replay skipped. The target
+    // table is read back through the built-in jdbc source (S7).
+    "q_jdbc_sink" -> ((s, dir) => {
+      val u = java.util.UUID.randomUUID().toString.replace("-", "")
+      val url = s"jdbc:derby:memory:graftsink$u;create=true"
+      val table = "SINK_ORDERS"
+      val src = s"/tmp/graft_jdbcsrc_$u"
+      val ckpt = s"/tmp/graft_jdbcck_$u"
+      val slice = graft.Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") % 20 === 0)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      slice.coalesce(1).write.format("kv").option("path", src).mode("overwrite").save()
+      val total = slice.count()
+      // injected crash: batch 0 was mid-flight — PENDING in the sink log
+      // with a stale staged temp table the recovery must drop
+      val c = java.sql.DriverManager.getConnection(url)
+      try {
+        c.createStatement().executeUpdate(
+          "CREATE TABLE GRAFT_SINK_LOG (sink_table VARCHAR(128) NOT NULL, " +
+            "batch_id BIGINT NOT NULL, status VARCHAR(16) NOT NULL, " +
+            "PRIMARY KEY (sink_table, batch_id))")
+        c.createStatement().executeUpdate(
+          s"INSERT INTO GRAFT_SINK_LOG VALUES ('$table', 0, 'PENDING')")
+        c.createStatement().executeUpdate(
+          s"CREATE TABLE TMP_${table}_0_999 " +
+            "(o_orderkey BIGINT, o_custkey BIGINT, o_totalprice DOUBLE)")
+        c.createStatement().executeUpdate(
+          s"INSERT INTO TMP_${table}_0_999 VALUES (-1, -1, 0.0)")
+      } finally c.close()
+      val q = s.readStream.format("log").option("path", src)
+        .option("maxOffsetsPerTrigger", math.max(total / 3L, 1L).toString).load()
+        .writeStream
+        .foreachBatch(graft.sinks.ExactlyOnceJdbcSink.writer(url, table))
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // replay of a committed batch must be skipped outright
+      require(!graft.sinks.ExactlyOnceJdbcSink.addBatch(url, table, 0L, slice),
+        "replayed batch 0 was not skipped")
+      s.read.format("jdbc").option("url", url).option("dbtable", table).load()
+        .select(col("O_ORDERKEY").as("o_orderkey"), col("O_CUSTKEY").as("o_custkey"),
+          col("O_TOTALPRICE").as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // U2: dts_binlog_parser Avro UDTF — a deterministic changelog encoded
+    // from nation via the fixture encoder, decoded by the Catalyst
+    // Generator into the reference's 9-column layout
+    // (FromDTSAvroUDF.scala:78-97); map/array columns projected to
+    // scalars for the oracle compare.
+    "q_binlog_parse" -> ((s, dir) => {
+      import s.implicits._
+      val rows = graft.Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+      val payloads = rows.toSeq.map { r =>
+        val k = r.getLong(0)
+        val name = r.getString(1)
+        graft.functions.BinlogAvro.encode(
+          recordID = k, source = "mysql-bin.000001", dbTable = "tpch.nation",
+          recordType = (k % 3) match {
+            case 0 => "INSERT"; case 1 => "UPDATE"; case _ => "DELETE" },
+          recordTimestampMs = 1500000000000L + k * 1000L,
+          extraTags = Map("shard" -> (k % 4).toString),
+          fields = Seq("n_name", "n_comment"),
+          before = Map("n_name" -> s"old-$name"),
+          after = Map("n_name" -> name))
+      }
+      payloads.toDF("value")
+        .select(graft.functions.BinlogAvro.binlogParser(col("value")))
+        .select(col("recordID").as("record_id"), col("source").as("src"),
+          col("dbTable").as("db_table"), col("recordType").as("record_type"),
+          unix_millis(col("recordTimestamp")).as("ts_ms"),
+          element_at(col("extraTags"), "shard").as("tag_shard"),
+          array_join(col("fields"), ",").as("fields_s"),
+          element_at(col("beforeImages"), "n_name").as("before_name"),
+          element_at(col("afterImages"), "n_name").as("after_name"))
+        .orderBy(col("record_id"))
+    }),
   )
 
   /** Build (once per sfDir) a 3-batch changelog from orders:
@@ -381,5 +465,23 @@ object SourceQueries {
         |FROM orders
         |WHERE o_orderkey % 13 <> 0
         |ORDER BY pk""".stripMargin,
+
+    "q_jdbc_sink" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+        |FROM orders
+        |WHERE o_orderkey % 20 = 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_binlog_parse" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS record_id,
+        |  'mysql-bin.000001' AS src, 'tpch.nation' AS db_table,
+        |  CASE CAST(n_nationkey AS BIGINT) % 3
+        |    WHEN 0 THEN 'INSERT' WHEN 1 THEN 'UPDATE' ELSE 'DELETE'
+        |  END AS record_type,
+        |  1500000000000 + CAST(n_nationkey AS BIGINT) * 1000 AS ts_ms,
+        |  CAST(CAST(n_nationkey AS BIGINT) % 4 AS VARCHAR) AS tag_shard,
+        |  'n_name,n_comment' AS fields_s,
+        |  'old-' || n_name AS before_name, n_name AS after_name
+        |FROM nation ORDER BY record_id""".stripMargin,
   )
 }
