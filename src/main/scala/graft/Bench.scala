@@ -38,13 +38,24 @@ object Bench {
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // per-query median of `runs` runs (BASELINE.md protocol): robust to a
     // stray GC/compilation pause landing in one measurement
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { n =>
+    val spreads = SparkEntry.queries.keys.toSeq.sorted.map { n =>
       val times = (0 until runs).map(_ => run(n)).sorted
-      n -> times(times.length / 2)
+      n -> times
     }
+    val results = spreads.map { case (n, times) => n -> times(times.length / 2) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Spread artifact (BASELINE.md "measurement variance" protocol):
+    // min/med/max per query, committed to the repo each round so
+    // round-over-round comparisons stop depending on single samples.
+    val spreadJson = spreads.map { case (n, t) =>
+      "\"" + n + "\":{\"min\":" + t.head + ",\"med\":" + t(t.length / 2) +
+        ",\"max\":" + t.last + "}"
+    }.mkString("{", ",", "}")
+    val spreadFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD_OUT", "BENCH_SPREAD.json")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(spreadFile),
+      s"""{"runs":$runs,"sf":"$sfDir","total_med":$total,"queries":$spreadJson}""" + "\n")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","n":$runs,"queries":$qs,"sf":"$sfDir"}"""
     // stdout can be interleaved with sbt/Spark noise — always also write
     // the line to a file the driver can read verbatim

@@ -226,11 +226,14 @@ object Curation {
     val id = col(idCol)
     val tokens = df.select(id, explode(words(col(textCol))).as("term"))
     val freq = tokens.groupBy(col("term")).agg(count(lit(1)).as("cnt"))
-    val total = freq.agg(sum(col("cnt"))).head().getLong(0)
+    // vocabulary total as a broadcast scalar (one row) — one lazy plan,
+    // no job during construction (the q_scalar_subquery pattern)
+    val total = freq.agg(sum(col("cnt")).cast("double").as("__vocab_total"))
     tokens.join(broadcast(freq), "term")
+      .crossJoin(broadcast(total))
       .groupBy(id)
       .agg(count(lit(1)).cast("long").as("n_tokens"),
-        round(avg(-log(col("cnt").cast("double") / total.toDouble)), 4).as("surprisal"))
+        round(avg(-log(col("cnt").cast("double") / col("__vocab_total"))), 4).as("surprisal"))
   }
 
   /** Deterministic Bernoulli thinning at a per-row rate (dataset mixture

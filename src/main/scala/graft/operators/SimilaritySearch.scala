@@ -179,11 +179,14 @@ object SimilaritySearch {
       nCells: Int = 16, nProbe: Int = 4,
       m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
       maxTrainPerCell: Int = 16384): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-    require(dim % m == 0, s"vector dim $dim must divide into $m subspaces")
-    val subDim = dim / m
-    def sub(df: DataFrame, s: Int): DataFrame =
-      df.select(col(idCol), slice(col(vecCol), s * subDim + 1, subDim).as("subv"))
+    // Subspace split without probing the data for the dimension: slice
+    // bounds come per-row from size(vec)/m, so plan construction runs no
+    // Spark job. Contract (unchanged): size(vec) must divide by m.
+    def sub(df: DataFrame, s: Int): DataFrame = {
+      val subDim = (size(col(vecCol)) / lit(m)).cast("int")
+      df.select(col(idCol),
+        slice(col(vecCol), lit(s) * subDim + lit(1), subDim).as("subv"))
+    }
 
     // coarse inverted lists over the full vectors
     val coarse = trainCentroids(corpus, vecCol, idCol, nCells, iterations, maxTrainPerCell)

@@ -39,7 +39,9 @@ import graft.sources.{KvFilters, ParquetIO, SchemaCatalog}
   *
   * Options: `path` (file or directory), `catalog` (JSON), `primary.keys`
   * (comma list, validated on write), `split.size.mb` (default 128),
-  * `max.split.count` (default 1000).
+  * `max.split.count` (default 1000), `writer.mode` (bulk|batch),
+  * `writer.batch.size` (rows per file-append flush),
+  * `writer.row.change.type` (put; see [[KvWriterOptions]]).
   */
 class KvSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "kv"
@@ -148,7 +150,40 @@ class KvTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
     new KvWriteBuilder(tablePath, info.schema(),
       Option(options.get("primary.keys"))
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil),
-      options.getBoolean("convert.types", false))
+      options.getBoolean("convert.types", false),
+      KvWriterOptions(options))
+}
+
+/** Writer batching/ordering knobs — the local re-expression of the
+  * reference's sink tuning surface (`TableStoreRelation.scala:67-105`):
+  *  - `writer.mode`: `bulk` (default — the bulk-import path, one part
+  *    file per task, unbounded buffering) or `batch` (the batch-write
+  *    path: bounded buffering, a file-append flush every
+  *    `writer.batch.size` rows, reference `writer.buffer.size` default
+  *    1024). Both modes produce identical table contents — kv scans
+  *    never promise row order, matching the reference's unordered
+  *    bulk-import default (`writer.batch.order.guaranteed=false`).
+  *  - `writer.batch.size`: rows per flush, overrides the mode default;
+  *    bounds task memory regardless of partition size.
+  *  - `writer.row.change.type`: only `put` is meaningful against an
+  *    append-only file table; update/delete row ops are the merge
+  *    surface (`graft.operators.KvMerge`, W7) and are rejected here.
+  */
+case class KvWriterOptions(mode: String, batchSize: Long)
+
+object KvWriterOptions {
+  def apply(options: CaseInsensitiveStringMap): KvWriterOptions = {
+    val mode = options.getOrDefault("writer.mode", "bulk").toLowerCase
+    require(mode == "bulk" || mode == "batch",
+      s"writer.mode must be 'bulk' or 'batch', got '$mode'")
+    val changeType = options.getOrDefault("writer.row.change.type", "put").toLowerCase
+    require(changeType == "put",
+      s"writer.row.change.type '$changeType' unsupported: the kv sink appends " +
+        "PUT rows; use graft.operators.KvMerge for update/delete row-op merges")
+    val explicit = Option(options.get("writer.batch.size")).map(_.toLong)
+    explicit.foreach(n => require(n > 0, s"writer.batch.size must be positive, got $n"))
+    KvWriterOptions(mode, explicit.getOrElse(if (mode == "batch") 1024L else 0L))
+  }
 }
 
 /** Opt-in sink type conversion (`convert.types=true`) — the reference's
@@ -442,7 +477,8 @@ class KvReaderFactory(schema: StructType, keepIdx: Option[Array[Int]],
 // ---------------------------------------------------------------------
 
 class KvWriteBuilder(path: String, inputSchema: StructType, primaryKeys: Seq[String],
-    convertTypes: Boolean = false)
+    convertTypes: Boolean = false,
+    wopts: KvWriterOptions = KvWriterOptions("bulk", 0L))
     extends WriteBuilder with SupportsTruncate {
   private var truncateFirst = false
   override def truncate(): WriteBuilder = { truncateFirst = true; this }
@@ -455,21 +491,22 @@ class KvWriteBuilder(path: String, inputSchema: StructType, primaryKeys: Seq[Str
     }
     private val conv = if (convertTypes) KvSinkConverter.rowConverter(inputSchema) else None
     private val schema = if (convertTypes) KvSinkConverter.convertSchema(inputSchema) else inputSchema
-    override def toBatch: BatchWrite = new KvBatchWrite(path, schema, truncateFirst, conv)
+    override def toBatch: BatchWrite = new KvBatchWrite(path, schema, truncateFirst, conv, wopts)
     override def toStreaming: StreamingWrite =
-      new KvStreamingWrite(path, schema, truncatePerEpoch = truncateFirst, conv)
+      new KvStreamingWrite(path, schema, truncatePerEpoch = truncateFirst, conv, wopts)
   }
 }
 
 case class KvCommitMessage(files: Seq[String]) extends WriterCommitMessage
 
 class KvBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
-    conv: Option[InternalRow => InternalRow] = None)
+    conv: Option[InternalRow => InternalRow] = None,
+    wopts: KvWriterOptions = KvWriterOptions("bulk", 0L))
     extends BatchWrite {
   override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
     if (truncateFirst) ParquetIO.deletePath(path)
     new org.apache.hadoop.fs.Path(path).getFileSystem(ParquetIO.hadoopConf).mkdirs(new Path(path))
-    new KvWriterFactory(path, schema, conv)
+    new KvWriterFactory(path, schema, conv, wopts.batchSize)
   }
   override def commit(messages: Array[WriterCommitMessage]): Unit = ()
   override def abort(messages: Array[WriterCommitMessage]): Unit =
@@ -477,21 +514,42 @@ class KvBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
 }
 
 class KvWriterFactory(path: String, schema: StructType,
-    conv: Option[InternalRow => InternalRow] = None) extends DataWriterFactory {
+    conv: Option[InternalRow => InternalRow] = None,
+    batchSize: Long = 0L) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
-    new KvDataWriter(s"$path/part-%05d-%d.parquet".format(partitionId, taskId), schema, conv)
+    new KvDataWriter(
+      seq => s"$path/part-%05d-%d%s.parquet".format(partitionId, taskId,
+        if (seq == 0) "" else s"-s$seq"),
+      schema, conv, batchSize)
 }
 
-class KvDataWriter(file: String, schema: StructType,
-    conv: Option[InternalRow => InternalRow] = None) extends DataWriter[InternalRow] {
+/** Writes one task's rows. `batchSize` > 0 bounds buffering: every
+  * `batchSize` rows the current part file is closed (a file-append
+  * flush) and a `-sN`-suffixed successor opened — task memory stays
+  * bounded however large the partition. 0 = unbounded (bulk-import
+  * path, one file per task).
+  */
+class KvDataWriter(fileForSeq: Int => String, schema: StructType,
+    conv: Option[InternalRow => InternalRow] = None,
+    batchSize: Long = 0L) extends DataWriter[InternalRow] {
   private val messageType = ParquetIO.toParquetSchema(schema)
-  private val writer = ParquetIO.openWriter(new Path(file), schema)
+  private val files = scala.collection.mutable.ArrayBuffer(fileForSeq(0))
+  private var writer = ParquetIO.openWriter(new Path(files.head), schema)
+  private var rowsInFile = 0L
   override def write(record: InternalRow): Unit = {
+    if (batchSize > 0 && rowsInFile >= batchSize) {
+      writer.close()
+      val next = fileForSeq(files.length)
+      files += next
+      writer = ParquetIO.openWriter(new Path(next), schema)
+      rowsInFile = 0L
+    }
     val row = conv.map(_(record)).getOrElse(record)
     writer.write(ParquetIO.rowToGroup(row, schema, messageType))
+    rowsInFile += 1L
   }
-  override def commit(): WriterCommitMessage = { writer.close(); KvCommitMessage(Seq(file)) }
-  override def abort(): Unit = { writer.close(); ParquetIO.deletePath(file) }
+  override def commit(): WriterCommitMessage = { writer.close(); KvCommitMessage(files.toSeq) }
+  override def abort(): Unit = { writer.close(); files.foreach(ParquetIO.deletePath) }
   override def close(): Unit = ()
 }
 
@@ -503,9 +561,10 @@ class KvDataWriter(file: String, schema: StructType,
   */
 class KvStreamingWrite(path: String, schema: StructType,
     truncatePerEpoch: Boolean = false,
-    conv: Option[InternalRow => InternalRow] = None) extends StreamingWrite {
+    conv: Option[InternalRow => InternalRow] = None,
+    wopts: KvWriterOptions = KvWriterOptions("bulk", 0L)) extends StreamingWrite {
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
-    KvStreamingWriterFactory(path, schema, conv)
+    KvStreamingWriterFactory(path, schema, conv, wopts.batchSize)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
     val markers = new Path(path, "_commits")
     val fs = markers.getFileSystem(ParquetIO.hadoopConf)
@@ -528,10 +587,16 @@ class KvStreamingWrite(path: String, schema: StructType,
 }
 
 case class KvStreamingWriterFactory(path: String, schema: StructType,
-    conv: Option[InternalRow => InternalRow] = None)
+    conv: Option[InternalRow => InternalRow] = None,
+    batchSize: Long = 0L)
     extends StreamingDataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long, epochId: Long): DataWriter[InternalRow] = {
     new Path(path).getFileSystem(ParquetIO.hadoopConf).mkdirs(new Path(path))
-    new KvDataWriter(s"$path/epoch-%d-part-%05d.parquet".format(epochId, partitionId), schema, conv)
+    // (epoch, partition, seq)-deterministic names keep the batchId-skip
+    // replay idempotent: a replayed epoch rewrites the same file set
+    new KvDataWriter(
+      seq => s"$path/epoch-%d-part-%05d%s.parquet".format(epochId, partitionId,
+        if (seq == 0) "" else s"-s$seq"),
+      schema, conv, batchSize)
   }
 }

@@ -214,4 +214,49 @@ class KvSourceSpec extends SparkSpec {
       .as[(Long, java.sql.Timestamp)].head()
     assert(got._2 == java.sql.Timestamp.valueOf("2024-03-01 12:34:56.789"))
   }
+
+  test("writer.batch.size bounds buffering: file-append flush every N rows, contents unchanged") {
+    val dir = java.nio.file.Files.createTempDirectory("kvbatch").toString
+    val df = (0 until 100).map(i => (i.toLong, s"v$i")).toDF("k", "name")
+    df.coalesce(1).write.format("kv").option("path", dir)
+      .option("writer.batch.size", "30").mode("overwrite").save()
+    // 100 rows / 30-row flushes from one task → 4 part files
+    val files = ParquetIO.listFiles(dir)
+    assert(files.length == 4, s"expected 4 rolled files, got ${files.map(_.getName)}")
+    assert(files.forall(f => ParquetIO.rowCount(f) <= 30))
+    val got = spark.read.format("kv").option("path", dir).load()
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(got == (0 until 100).map(i => (i.toLong, s"v$i")))
+  }
+
+  test("writer.mode batch defaults to bounded flushes; bulk stays one file per task") {
+    val dir1 = java.nio.file.Files.createTempDirectory("kvmode1").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("kvmode2").toString
+    val df = (0 until 2500).map(i => (i.toLong, s"v$i")).toDF("k", "name").coalesce(1)
+    df.write.format("kv").option("path", dir1)
+      .option("writer.mode", "batch").mode("overwrite").save()
+    assert(ParquetIO.listFiles(dir1).length == 3) // 2500 rows / 1024 default
+    df.write.format("kv").option("path", dir2)
+      .option("writer.mode", "bulk").mode("overwrite").save()
+    assert(ParquetIO.listFiles(dir2).length == 1)
+    // identical contents either way
+    val a = spark.read.format("kv").option("path", dir1).load()
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    val b = spark.read.format("kv").option("path", dir2).load()
+      .orderBy("k").as[(Long, String)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("writer option validation: bad mode / row change type / batch size rejected") {
+    val dir = java.nio.file.Files.createTempDirectory("kvbadopts").toString
+    val df = Seq((1L, "a")).toDF("k", "name")
+    def messageOf(opts: (String, String)*): String =
+      intercept[Exception] {
+        opts.foldLeft(df.write.format("kv").option("path", dir))(
+          (w, o) => w.option(o._1, o._2)).mode("append").save()
+      }.getMessage
+    assert(messageOf("writer.mode" -> "turbo").contains("writer.mode"))
+    assert(messageOf("writer.batch.size" -> "0").contains("writer.batch.size"))
+    assert(messageOf("writer.row.change.type" -> "delete").contains("KvMerge"))
+  }
 }
