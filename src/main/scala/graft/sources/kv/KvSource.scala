@@ -144,7 +144,8 @@ class KvTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new KvScanBuilder(tablePath, tableSchema,
       options.getInt("max.split.count", 1000),
-      options.getLong("split.size.mb", 128L))
+      options.getLong("split.size.mb", 128L),
+      options.getBoolean("vectorized.read", true))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new KvWriteBuilder(tablePath, info.schema(),
@@ -237,7 +238,8 @@ object KvSinkConverter {
   }
 }
 
-class KvScanBuilder(path: String, schema: StructType, maxSplitCount: Int, splitSizeMb: Long)
+class KvScanBuilder(path: String, schema: StructType, maxSplitCount: Int, splitSizeMb: Long,
+    vectorized: Boolean = true)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = schema
@@ -311,7 +313,11 @@ class KvScanBuilder(path: String, schema: StructType, maxSplitCount: Int, splitS
   override def build(): Scan = aggCompiled match {
     case Some(c) => new KvAggScan(path, c)
     case None =>
-      new KvScan(path, required, schema, predicate, accepted, maxSplitCount, splitSizeMb)
+      // Index-satisfied filters are exact in-reader semantics (Spark
+      // plans no re-filter) — only the row path record-filters, so the
+      // columnar plane is off whenever any filter was satisfied.
+      new KvScan(path, required, schema, predicate, accepted, maxSplitCount, splitSizeMb,
+        vectorized && satisfied.isEmpty)
   }
 }
 
@@ -325,7 +331,8 @@ case class KvInputPartition(chunks: Seq[KvChunk]) extends InputPartition
 
 class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
     predicate: Option[FilterPredicate],
-    accepted: Array[Filter], maxSplitCount: Int, splitSizeMb: Long)
+    accepted: Array[Filter], maxSplitCount: Int, splitSizeMb: Long,
+    vectorized: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics {
 
   override def readSchema(): StructType = readSchema
@@ -426,13 +433,25 @@ class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
     val wide = StructType(readSchema.fields ++ missing)
     val keep = if (missing.isEmpty) None
       else Some(readSchema.fieldNames.map(wide.fieldNames.indexOf(_)))
-    new KvReaderFactory(wide, keep, predicate)
+    // Columnar data plane when every requested column is stored natively
+    // (KvVectorized Scaladoc); the widening/nanos coercion cases and
+    // filter-column widening stay on the row reader.
+    val columnar = vectorized && missing.isEmpty &&
+      KvVectorized.scanEligible(path, readSchema)
+    new KvReaderFactory(wide, keep, predicate, columnar)
   }
 }
 
 class KvReaderFactory(schema: StructType, keepIdx: Option[Array[Int]],
-    predicate: Option[FilterPredicate])
+    predicate: Option[FilterPredicate],
+    columnar: Boolean = false)
     extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] =
+    // columnar only when keepIdx is None, so `schema` IS the read schema
+    KvVectorized.reader(partition.asInstanceOf[KvInputPartition].chunks, schema, predicate)
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val chunks = partition.asInstanceOf[KvInputPartition].chunks.iterator
     new PartitionReader[InternalRow] {
