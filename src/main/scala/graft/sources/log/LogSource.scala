@@ -118,8 +118,12 @@ object LogSource {
     }
     spans += ((first, idx.last))
     spans.toSeq.map { case (a, b) =>
-      LogInputPartition(file.toString, shard,
-        math.max(from, cum(a)), math.min(to, cum(b + 1)), a, cum(a))
+      val sRow = math.max(from, cum(a))
+      val eRow = math.min(to, cum(b + 1))
+      val aligned = sRow == cum(a) && eRow == cum(b + 1)
+      LogInputPartition(file.toString, shard, sRow, eRow, a, cum(a),
+        if (aligned) groups(a).startByte else -1L,
+        if (aligned) groups(b).startByte + groups(b).totalByteSize else -1L)
     }
   }
 
@@ -172,17 +176,36 @@ class LogTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
       TableCapability.CONTINUOUS_READ)
 
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder {
-      override def build(): Scan = new LogScan(path, tableSchema, options)
-    }
+    new LogScanBuilder(path, tableSchema, options)
 }
 
-class LogScan(path: String, schema: StructType, options: CaseInsensitiveStringMap)
+/** Column pruning for the log scan (typed mode): the projected subset
+  * reaches the parquet reader, so a 2-column aggregate over a wide log
+  * table decodes 2 columns — and the pruned schema is what qualifies
+  * the scan for the columnar data plane. Raw mode's fixed 3-column
+  * layout is never pruned.
+  */
+class LogScanBuilder(path: String, tableSchema: StructType,
+    options: CaseInsensitiveStringMap)
+    extends ScanBuilder
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+  private var required = tableSchema
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    if (!LogSource.isRaw(options)) {
+      val names = requiredSchema.fieldNames.toSet
+      required = StructType(tableSchema.fields.filter(f => names.contains(f.name)))
+    }
+  override def build(): Scan = new LogScan(path, required, tableSchema, options)
+}
+
+class LogScan(path: String, schema: StructType, tableSchema: StructType,
+    options: CaseInsensitiveStringMap)
     extends Scan with SupportsReportStatistics {
   private val raw = LogSource.isRaw(options)
 
   override def readSchema(): StructType = schema
-  override def description(): String = s"log path=$path raw=$raw"
+  override def description(): String =
+    s"log path=$path raw=$raw ReadSchema: ${schema.simpleString}"
 
   /** Batch-read size estimate from the cached footers, prorated by the
     * selected offset range — without it the DSv2 relation reports
@@ -206,6 +229,9 @@ class LogScan(path: String, schema: StructType, options: CaseInsensitiveStringMa
       rows += sel
       if (n > 0) bytes += (b * (sel.toDouble / n)).toLong
     }
+    // column pruning shrinks the estimate like the scan it describes
+    if (!raw && tableSchema.nonEmpty)
+      bytes = (bytes * (math.max(schema.size, 1).toDouble / tableSchema.size)).toLong
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(math.max(bytes, 1L))
@@ -214,7 +240,7 @@ class LogScan(path: String, schema: StructType, options: CaseInsensitiveStringMa
   }
 
   override def toBatch: Batch = new Batch {
-    override def planInputPartitions(): Array[InputPartition] = {
+    private lazy val planned: Array[InputPartition] = {
       val status = LogSource.shardFileStatus(path)
       val counts = status.map { case (n, (f, len, mt)) =>
         n -> ParquetIO.footerInfoCached(f, len, mt).map(_.rowCount).sum
@@ -231,8 +257,18 @@ class LogScan(path: String, schema: StructType, options: CaseInsensitiveStringMa
         LogSource.planShardPartitions(f, len, mt, shard, s, e, targetBytes)
       }.toArray
     }
+    // Columnar data plane (KvVectorized) when typed, every partition is
+    // row-group-aligned (full-range scans always are; an offset slice
+    // cutting inside a group stays on the row reader) and every
+    // requested column is stored natively.
+    private lazy val columnar =
+      !raw && options.getBoolean("vectorized.read", true) &&
+        planned.nonEmpty &&
+        planned.forall(_.asInstanceOf[LogInputPartition].startByte >= 0) &&
+        graft.sources.kv.KvVectorized.scanEligible(path, schema)
+    override def planInputPartitions(): Array[InputPartition] = planned
     override def createReaderFactory(): PartitionReaderFactory =
-      new LogReaderFactory(schema, raw)
+      new LogReaderFactory(schema, raw, columnar)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -246,10 +282,13 @@ class LogScan(path: String, schema: StructType, options: CaseInsensitiveStringMa
 /** `skipGroups`/`groupBaseRow`: index and starting row offset of the
   * first row group this partition reads — the reader skips whole groups
   * to there (no data IO), then steps at most one group's rows to
-  * `startRow`.
+  * `startRow`. `startByte`/`endByte` are set (≥0) only when [startRow,
+  * endRow) covers whole row groups — the byte range the columnar reader
+  * can take verbatim; -1 marks a mid-group slice (row reader only).
   */
 case class LogInputPartition(file: String, shard: String, startRow: Long, endRow: Long,
-    skipGroups: Int = 0, groupBaseRow: Long = 0L)
+    skipGroups: Int = 0, groupBaseRow: Long = 0L,
+    startByte: Long = -1L, endByte: Long = -1L)
     extends InputPartition
 
 class LogMicroBatchStream(path: String, schema: StructType, raw: Boolean,
@@ -360,7 +399,19 @@ class LogMicroBatchStream(path: String, schema: StructType, raw: Boolean,
   override def stop(): Unit = ()
 }
 
-class LogReaderFactory(schema: StructType, raw: Boolean) extends PartitionReaderFactory {
+class LogReaderFactory(schema: StructType, raw: Boolean,
+    columnar: Boolean = false) extends PartitionReaderFactory {
+  override def supportColumnarReads(partition: InputPartition): Boolean = columnar
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[LogInputPartition]
+    // columnar only when the partition is group-aligned (bytes set)
+    graft.sources.kv.KvVectorized.reader(
+      Seq(graft.sources.kv.KvChunk(p.file, p.startByte, p.endByte,
+        p.endRow - p.startRow)),
+      schema, None)
+  }
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LogInputPartition]
     val resolved = new Path(p.file)

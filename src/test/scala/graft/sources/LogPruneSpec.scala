@@ -1,0 +1,87 @@
+package graft.sources
+
+import java.nio.file.Files
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column pruning + columnar data plane on the log batch scan: the
+  * projected subset must reach the parquet reader (ReadSchema in the
+  * scan description), full-range typed scans of natively-stored columns
+  * go columnar, and offset slices that cut inside a row group stay on
+  * the row reader with identical results.
+  */
+class LogPruneSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def writeShard(dir: String, name: String, n: Int): Unit = {
+    val tmp = Files.createTempDirectory("lpshard").toString
+    (0 until n).map(i => (i.toLong, s"msg-$i", i * 1.5)).toDF("id", "body", "score")
+      .coalesce(1).write.format("kv").option("path", tmp).mode("overwrite").save()
+    val part = ParquetIO.listFiles(tmp).head
+    val fs = part.getFileSystem(ParquetIO.hadoopConf)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir))
+    fs.rename(part, new org.apache.hadoop.fs.Path(dir, name))
+  }
+
+  private def planOf(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("projection is pruned into the log scan") {
+    val dir = Files.createTempDirectory("logprune").toString
+    writeShard(dir, "shard-a.parquet", 100)
+    val df = spark.read.format("log").option("path", dir).load()
+      .select(col("id"), col("score"))
+    val plan = planOf(df)
+    assert(plan.contains("ReadSchema: struct<id:bigint,score:double>"),
+      s"scan must read only the projected columns:\n$plan")
+    assert(df.orderBy("id").as[(Long, Double)].collect().toSeq ==
+      (0 until 100).map(i => (i.toLong, i * 1.5)))
+  }
+
+  test("full-range typed scan goes columnar; values equal the row path") {
+    val dir = Files.createTempDirectory("logvec").toString
+    writeShard(dir, "shard-a.parquet", 500)
+    writeShard(dir, "shard-b.parquet", 300)
+    val vec = spark.read.format("log").option("path", dir).load()
+    assert(planOf(vec).contains("ColumnarToRow"),
+      s"full-range native-typed log scan must be columnar:\n${planOf(vec)}")
+    val row = spark.read.format("log").option("path", dir)
+      .option("vectorized.read", "false").load()
+    assert(!planOf(row).contains("ColumnarToRow"))
+    assert(vec.orderBy("id", "body").collect().toSeq ==
+      row.orderBy("id", "body").collect().toSeq)
+    assert(vec.count() == 800)
+  }
+
+  test("mid-group offset slice stays on the row reader, same results") {
+    val dir = Files.createTempDirectory("logslice").toString
+    writeShard(dir, "shard-a.parquet", 200)
+    // a 200-row kv part file is one row group → offset 7 cuts inside it
+    val sliced = spark.read.format("log").option("path", dir)
+      .option("starting.offsets", """{"shard-a.parquet": 7}""").load()
+    assert(!planOf(sliced).contains("ColumnarToRow"))
+    assert(sliced.select("id").as[Long].collect().sorted.toSeq ==
+      (7L until 200L))
+  }
+
+  test("raw mode is never pruned and keeps its 3-column layout") {
+    val dir = Files.createTempDirectory("lograwp").toString
+    writeShard(dir, "shard-a.parquet", 10)
+    val raw = spark.read.format("log").option("path", dir)
+      .option("schema.mode", "raw").load().select("__value__")
+    assert(raw.count() == 10)
+    assert(raw.head().getString(0).startsWith("{"))
+  }
+
+  test("nanos-timestamp shard: pruning the ts column re-enables columnar") {
+    val events = s"${sf("events")}/events.parquet"
+    val all = spark.read.format("log").option("path", events).load()
+    // ts requested → ineligible (nanos storage) → row path
+    assert(!planOf(all).contains("ColumnarToRow"))
+    val pruned = all.select("event_type", "value")
+    assert(planOf(pruned).contains("ColumnarToRow"),
+      s"pruned scan without the nanos column must be columnar:\n${planOf(pruned)}")
+    assert(pruned.count() == all.count())
+  }
+}
