@@ -171,6 +171,25 @@ object ParquetIO {
     try reader.getFooter.getFileMetaData.getSchema finally reader.close()
   }
 
+  /** Intersection schema: columns present with IDENTICAL types in every
+    * file of the listing. Filters may only be compiled against this —
+    * a sparse attribute column (absent in some files) pushed into the
+    * parquet reader would misjudge rows whose file lacks the column.
+    * Footer schemas are signature-cached: one footer read per file EVER.
+    */
+  def commonSchema(files: Seq[(Path, Long, Long)]): Option[MessageType] = {
+    if (files.isEmpty) return None
+    val schemas = files.map { case (f, len, mt) => fileSchemaCached(f, len, mt) }
+    Some(schemas.tail.foldLeft(schemas.head) { (acc, s) =>
+      import scala.jdk.CollectionConverters._
+      val fields = acc.getFields.asScala.filter { f =>
+        s.containsField(f.getName) &&
+          s.getType(s.getFieldIndex(f.getName)) == f
+      }
+      new MessageType(acc.getName, fields.toSeq: _*)
+    })
+  }
+
   /** Spark StructType → parquet MessageType (primitives only). */
   def toParquetSchema(schema: StructType, name: String = "graft_schema"): MessageType = {
     val builder = Types.buildMessage()

@@ -266,23 +266,7 @@ class KvScanBuilder(path: String, schema: StructType, maxSplitCount: Int, splitS
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     if (filters.nonEmpty) sawFilters = true
-    val files = ParquetIO.listFilesStatus(path)
-    if (files.nonEmpty) {
-      // compile only against columns present (with identical types) in
-      // EVERY file — sparse attribute columns (absent in some files) must
-      // not be pushed, or the parquet-side filter would misjudge rows
-      // whose file lacks the column; those filters stay residual.
-      // (footer schemas are signature-cached: one footer read per file
-      // EVER, not per query — the many-file planning cost is the listing)
-      val schemas = files.map { case (f, len, mt) => ParquetIO.fileSchemaCached(f, len, mt) }
-      val common = schemas.tail.foldLeft(schemas.head) { (acc, s) =>
-        import scala.jdk.CollectionConverters._
-        val fields = acc.getFields.asScala.filter { f =>
-          s.containsField(f.getName) &&
-            s.getType(s.getFieldIndex(f.getName)) == f
-        }
-        new org.apache.parquet.schema.MessageType(acc.getName, fields.toSeq: _*)
-      }
+    ParquetIO.commonSchema(ParquetIO.listFilesStatus(path)).foreach { common =>
       val (pred, acc) = KvFilters.compileAll(filters.toSeq, common)
       predicate = pred
       accepted = acc.toArray

@@ -179,33 +179,59 @@ class LogTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
     new LogScanBuilder(path, tableSchema, options)
 }
 
-/** Column pruning for the log scan (typed mode): the projected subset
-  * reaches the parquet reader, so a 2-column aggregate over a wide log
-  * table decodes 2 columns — and the pruned schema is what qualifies
-  * the scan for the columnar data plane. Raw mode's fixed 3-column
-  * layout is never pruned.
+/** Column pruning + filter compilation for the log scan (typed mode):
+  * the projected subset reaches the parquet reader, so a 2-column
+  * aggregate over a wide log table decodes 2 columns — and the pruned
+  * schema is what qualifies the scan for the columnar data plane.
+  * Filters compile through the same NNF compiler as the kv scan but are
+  * ALL returned as residual and applied only as row-group STATS skip on
+  * the columnar path: the row readers' offset accounting is positional
+  * (every row of the range must materialize), so they never filter
+  * in-reader. Raw mode's fixed 3-column layout is never pruned.
   */
 class LogScanBuilder(path: String, tableSchema: StructType,
     options: CaseInsensitiveStringMap)
     extends ScanBuilder
-    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns {
+    with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources.Filter
   private var required = tableSchema
+  private var predicate: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None
+  private var accepted: Array[Filter] = Array.empty
+
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (!LogSource.isRaw(options)) {
       val names = requiredSchema.fieldNames.toSet
       required = StructType(tableSchema.fields.filter(f => names.contains(f.name)))
     }
-  override def build(): Scan = new LogScan(path, required, tableSchema, options)
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (!LogSource.isRaw(options)) {
+      ParquetIO.commonSchema(ParquetIO.listFilesStatus(path)).foreach { common =>
+        val (pred, acc) = graft.sources.KvFilters.compileAll(filters.toSeq, common)
+        predicate = pred
+        accepted = acc.toArray
+      }
+    }
+    filters // all residual — Spark re-applies every filter
+  }
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan =
+    new LogScan(path, required, tableSchema, options, predicate, accepted)
 }
 
 class LogScan(path: String, schema: StructType, tableSchema: StructType,
-    options: CaseInsensitiveStringMap)
+    options: CaseInsensitiveStringMap,
+    predicate: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None,
+    accepted: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with SupportsReportStatistics {
   private val raw = LogSource.isRaw(options)
 
   override def readSchema(): StructType = schema
   override def description(): String =
-    s"log path=$path raw=$raw ReadSchema: ${schema.simpleString}"
+    s"log path=$path raw=$raw, PushedFilters: [${accepted.mkString(", ")}], " +
+      s"ReadSchema: ${schema.simpleString}"
 
   /** Batch-read size estimate from the cached footers, prorated by the
     * selected offset range — without it the DSv2 relation reports
@@ -268,7 +294,10 @@ class LogScan(path: String, schema: StructType, tableSchema: StructType,
         graft.sources.kv.KvVectorized.scanEligible(path, schema)
     override def planInputPartitions(): Array[InputPartition] = planned
     override def createReaderFactory(): PartitionReaderFactory =
-      new LogReaderFactory(schema, raw, columnar)
+      // the pushed predicate rides only the columnar (group-aligned)
+      // plane as a stats-level skip; the positional row reader gets none
+      new LogReaderFactory(schema, raw, columnar,
+        if (columnar) predicate else None)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
@@ -400,7 +429,9 @@ class LogMicroBatchStream(path: String, schema: StructType, raw: Boolean,
 }
 
 class LogReaderFactory(schema: StructType, raw: Boolean,
-    columnar: Boolean = false) extends PartitionReaderFactory {
+    columnar: Boolean = false,
+    predicate: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
+    extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
@@ -409,7 +440,7 @@ class LogReaderFactory(schema: StructType, raw: Boolean,
     graft.sources.kv.KvVectorized.reader(
       Seq(graft.sources.kv.KvChunk(p.file, p.startByte, p.endByte,
         p.endRow - p.startRow)),
-      schema, None)
+      schema, predicate)
   }
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {

@@ -74,6 +74,34 @@ class LogPruneSpec extends SparkSpec {
     assert(raw.head().getString(0).startsWith("{"))
   }
 
+  test("filters compile into the scan and stats-skip row groups on the columnar path") {
+    val dir = Files.createTempDirectory("logfilter").toString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("body", org.apache.spark.sql.types.StringType)))
+    val mt = ParquetIO.toParquetSchema(schema)
+    val file = new org.apache.hadoop.fs.Path(dir, "shard-a.parquet")
+    val w = ParquetIO.openWriter(file, schema, rowGroupBytes = 4096L)
+    (0 until 1000).foreach { i =>
+      val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(2)
+      row.setLong(0, i.toLong)
+      row.update(1, org.apache.spark.unsafe.types.UTF8String.fromString(s"b-$i-" + ("x" * 64)))
+      w.write(ParquetIO.rowToGroup(row, schema, mt))
+    }
+    w.close()
+    assert(ParquetIO.footerInfo(file).length >= 4) // sorted ids → tight group stats
+    val vec = spark.read.format("log").option("path", dir).load()
+      .filter(col("id") >= 900L)
+    val plan = planOf(vec)
+    assert(plan.contains("PushedFilters: [") &&
+      plan.contains("GreaterThanOrEqual(id,900)"), plan)
+    assert(plan.contains("ColumnarToRow"), plan)
+    val row = spark.read.format("log").option("path", dir)
+      .option("vectorized.read", "false").load().filter(col("id") >= 900L)
+    assert(vec.select("id").as[Long].collect().sorted.toSeq == (900L until 1000L))
+    assert(vec.orderBy("id").collect().toSeq == row.orderBy("id").collect().toSeq)
+  }
+
   test("nanos-timestamp shard: pruning the ts column re-enables columnar") {
     val events = s"${sf("events")}/events.parquet"
     val all = spark.read.format("log").option("path", events).load()
