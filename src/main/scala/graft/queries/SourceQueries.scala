@@ -300,6 +300,90 @@ object SourceQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // S5 + W10: warehouse partitioned write, dynamic single-partition
+    // overwrite, partition-pruned read-back — the ODPS create/overwrite-
+    // partition semantics (ODPSWriter.scala:57-167) on hive-layout
+    // parquet; the '1-URGENT' partition is rewritten with doubled prices
+    // and the filter prunes to two partition directories.
+    "q_warehouse_rw" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val staged = s"/tmp/graft_wh$safe"
+      if (!new java.io.File(staged).exists()) {
+        val orders = graft.Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderpriority"))
+        graft.sources.Warehouse.saveTable(orders, staged,
+          Seq("o_orderpriority"), overwritePartitions = false)
+        graft.sources.Warehouse.saveTable(
+          orders.filter(col("o_orderpriority") === "1-URGENT")
+            .withColumn("o_totalprice", col("o_totalprice") * 2),
+          staged, Seq("o_orderpriority"), overwritePartitions = true)
+      }
+      graft.sources.Warehouse.readTable(s, staged)
+        .filter(col("o_orderpriority").isin("1-URGENT", "2-HIGH"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Schema-registry-style Avro table (kafka_store_sales.sql:6-13
+    // surface): a log table whose shard payloads are binary-encoded Avro
+    // records, value schema resolved registry-style from a schema dir by
+    // record name/namespace, decoded by the generic AvroFunctions path.
+    "q_avro_table" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val tableDir = s"/tmp/graft_avrotab$safe"
+      val registry = s"/tmp/graft_avroreg$safe"
+      val schemaJson =
+        """{"type":"record","name":"OrderEvent","namespace":"graft.sales","fields":[
+          | {"name":"o_orderkey","type":"long"},
+          | {"name":"o_orderstatus","type":["null","string"],"default":null},
+          | {"name":"o_totalprice","type":"double"}]}""".stripMargin
+      if (ParquetIO.listFiles(tableDir).isEmpty) {
+        val fs = new org.apache.hadoop.fs.Path(registry)
+          .getFileSystem(ParquetIO.hadoopConf)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(registry))
+        val regFile = fs.create(
+          new org.apache.hadoop.fs.Path(registry, "graft.sales.OrderEvent.avsc"), true)
+        regFile.write(schemaJson.getBytes("UTF-8"))
+        regFile.close()
+        val avroSchema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+        val writer = new org.apache.avro.generic.GenericDatumWriter[
+          org.apache.avro.generic.GenericRecord](avroSchema)
+        val binSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("value",
+            org.apache.spark.sql.types.BinaryType)))
+        val mt = ParquetIO.toParquetSchema(binSchema)
+        fs.mkdirs(new org.apache.hadoop.fs.Path(tableDir))
+        val w = ParquetIO.openWriter(
+          new org.apache.hadoop.fs.Path(tableDir, "shard-0.parquet"), binSchema)
+        graft.Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") % 50 === 0)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .orderBy(col("o_orderkey")).collect().foreach { r =>
+            val rec = new org.apache.avro.generic.GenericData.Record(avroSchema)
+            rec.put("o_orderkey", r.getLong(0))
+            rec.put("o_orderstatus", if (r.isNullAt(1)) null else r.getString(1))
+            rec.put("o_totalprice", r.getDouble(2))
+            val out = new java.io.ByteArrayOutputStream()
+            val enc = org.apache.avro.io.EncoderFactory.get().binaryEncoder(out, null)
+            writer.write(rec, enc)
+            enc.flush()
+            val row = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+            row.update(0, out.toByteArray)
+            w.write(ParquetIO.rowToGroup(row, binSchema, mt))
+          }
+        w.close()
+      }
+      s.read.format("log").option("path", tableDir)
+        .option("value.format", "avro")
+        .option("avro.schema.dir", registry)
+        .option("avro.record.name", "OrderEvent")
+        .option("avro.record.namespace", "graft.sales").load()
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // U2: dts_binlog_parser Avro UDTF — a deterministic changelog encoded
     // from nation via the fixture encoder, decoded by the Catalyst
     // Generator into the reference's 9-column layout
@@ -471,6 +555,20 @@ object SourceQueries {
         |FROM orders
         |WHERE o_orderkey % 20 = 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_warehouse_rw" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+        |    THEN o_totalprice * 2 ELSE o_totalprice END), 2) AS total
+        |FROM orders
+        |WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_avro_table" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderkey % 50 = 0
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_binlog_parse" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS record_id,

@@ -46,11 +46,18 @@ class LogSource extends TableProvider with DataSourceRegister {
   override def supportsExternalMetadata(): Boolean = true
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    if (LogSource.isRaw(options)) LogSource.rawSchema
-    else Option(options.get("catalog")).map(SchemaCatalog.parse).getOrElse {
-      val files = ParquetIO.listFiles(options.get("path"))
-      require(files.nonEmpty, s"no shards under ${options.get("path")} and no catalog option")
-      KvSource.toStructType(ParquetIO.fileSchema(files.head))
+    LogSource.avroSchemaJson(options) match {
+      case Some(json) =>
+        require(!LogSource.isRaw(options), "schema.mode=raw and value.format=avro conflict")
+        graft.functions.AvroFunctions.structTypeOf(
+          new org.apache.avro.Schema.Parser().parse(json))
+      case None =>
+        if (LogSource.isRaw(options)) LogSource.rawSchema
+        else Option(options.get("catalog")).map(SchemaCatalog.parse).getOrElse {
+          val files = ParquetIO.listFiles(options.get("path"))
+          require(files.nonEmpty, s"no shards under ${options.get("path")} and no catalog option")
+          KvSource.toStructType(ParquetIO.fileSchema(files.head))
+        }
     }
   }
 
@@ -67,6 +74,36 @@ object LogSource {
 
   def isRaw(options: CaseInsensitiveStringMap): Boolean =
     "raw".equalsIgnoreCase(options.getOrDefault("schema.mode", "typed"))
+
+  /** Registry-style Avro value schema (`value.format=avro`) — the local
+    * re-expression of the reference's schema-registry Kafka tables
+    * (`kafka_store_sales.sql:6-13`: registry URL + record name/namespace
+    * declare the value schema). Inline `avro.schema` JSON, or resolved
+    * from the file registry `avro.schema.dir` by `avro.record.name` +
+    * optional `avro.record.namespace` → `<dir>/[ns.]<name>.avsc`.
+    */
+  def avroSchemaJson(options: CaseInsensitiveStringMap): Option[String] = {
+    if (!"avro".equalsIgnoreCase(options.getOrDefault("value.format", ""))) return None
+    Option(options.get("avro.schema")).orElse {
+      val dir = options.get("avro.schema.dir")
+      require(dir != null,
+        "value.format=avro needs avro.schema (inline JSON) or avro.schema.dir + avro.record.name")
+      val name = options.get("avro.record.name")
+      require(name != null, "avro.record.name is required with avro.schema.dir")
+      val fname = Option(options.get("avro.record.namespace"))
+        .map(ns => s"$ns.$name.avsc").getOrElse(s"$name.avsc")
+      val p = new Path(dir, fname)
+      val fs = p.getFileSystem(ParquetIO.hadoopConf)
+      require(fs.exists(p), s"avro schema $fname not found in registry dir $dir")
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  /** Shard column carrying the Avro payload bytes. */
+  def avroValueColumn(options: CaseInsensitiveStringMap): String =
+    options.getOrDefault("avro.value.column", "value")
 
   /** shard name → rows available, from footers (exact, no data IO). */
   def shardCounts(path: String): Map[String, Long] =
@@ -199,14 +236,16 @@ class LogScanBuilder(path: String, tableSchema: StructType,
   private var predicate: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None
   private var accepted: Array[Filter] = Array.empty
 
+  private val avro = LogSource.avroSchemaJson(options).isDefined
+
   override def pruneColumns(requiredSchema: StructType): Unit =
-    if (!LogSource.isRaw(options)) {
+    if (!LogSource.isRaw(options) && !avro) {
       val names = requiredSchema.fieldNames.toSet
       required = StructType(tableSchema.fields.filter(f => names.contains(f.name)))
     }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    if (!LogSource.isRaw(options)) {
+    if (!LogSource.isRaw(options) && !avro) {
       ParquetIO.commonSchema(ParquetIO.listFilesStatus(path)).foreach { common =>
         val (pred, acc) = graft.sources.KvFilters.compileAll(filters.toSeq, common)
         predicate = pred
@@ -227,10 +266,13 @@ class LogScan(path: String, schema: StructType, tableSchema: StructType,
     accepted: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends Scan with SupportsReportStatistics {
   private val raw = LogSource.isRaw(options)
+  private val avroJson = LogSource.avroSchemaJson(options)
+  private def avroCol = LogSource.avroValueColumn(options)
 
   override def readSchema(): StructType = schema
   override def description(): String =
-    s"log path=$path raw=$raw, PushedFilters: [${accepted.mkString(", ")}], " +
+    s"log path=$path raw=$raw avro=${avroJson.isDefined}, " +
+      s"PushedFilters: [${accepted.mkString(", ")}], " +
       s"ReadSchema: ${schema.simpleString}"
 
   /** Batch-read size estimate from the cached footers, prorated by the
@@ -288,7 +330,7 @@ class LogScan(path: String, schema: StructType, tableSchema: StructType,
     // cutting inside a group stays on the row reader) and every
     // requested column is stored natively.
     private lazy val columnar =
-      !raw && options.getBoolean("vectorized.read", true) &&
+      !raw && avroJson.isEmpty && options.getBoolean("vectorized.read", true) &&
         planned.nonEmpty &&
         planned.forall(_.asInstanceOf[LogInputPartition].startByte >= 0) &&
         graft.sources.kv.KvVectorized.scanEligible(path, schema)
@@ -297,15 +339,17 @@ class LogScan(path: String, schema: StructType, tableSchema: StructType,
       // the pushed predicate rides only the columnar (group-aligned)
       // plane as a stats-level skip; the positional row reader gets none
       new LogReaderFactory(schema, raw, columnar,
-        if (columnar) predicate else None)
+        if (columnar) predicate else None, avroJson, avroCol)
   }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new LogMicroBatchStream(path, schema, raw, options)
 
   override def toContinuousStream(checkpointLocation: String)
-      : org.apache.spark.sql.connector.read.streaming.ContinuousStream =
+      : org.apache.spark.sql.connector.read.streaming.ContinuousStream = {
+    require(avroJson.isEmpty, "continuous mode does not support value.format=avro")
     new LogContinuousStream(path, schema, raw, options)
+  }
 }
 
 /** `skipGroups`/`groupBaseRow`: index and starting row offset of the
@@ -422,7 +466,9 @@ class LogMicroBatchStream(path: String, schema: StructType, raw: Boolean,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LogReaderFactory(schema, raw)
+    new LogReaderFactory(schema, raw,
+      avroJson = LogSource.avroSchemaJson(options),
+      avroCol = LogSource.avroValueColumn(options))
 
   override def commit(end: Offset): Unit = () // Spark's offset log is the source of truth
   override def stop(): Unit = ()
@@ -430,7 +476,9 @@ class LogMicroBatchStream(path: String, schema: StructType, raw: Boolean,
 
 class LogReaderFactory(schema: StructType, raw: Boolean,
     columnar: Boolean = false,
-    predicate: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
+    predicate: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None,
+    avroJson: Option[String] = None,
+    avroCol: String = "value")
     extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
   override def createColumnarReader(partition: InputPartition)
@@ -447,7 +495,24 @@ class LogReaderFactory(schema: StructType, raw: Boolean,
     val p = partition.asInstanceOf[LogInputPartition]
     val resolved = new Path(p.file)
     val dataSchema =
-      if (raw) KvSource.toStructType(ParquetIO.fileSchema(resolved)) else schema
+      if (raw) KvSource.toStructType(ParquetIO.fileSchema(resolved))
+      else if (avroJson.isDefined)
+        StructType(Seq(StructField(avroCol, org.apache.spark.sql.types.BinaryType)))
+      else schema
+    // avro mode: shards carry payload bytes; decode per record with a
+    // per-task reused datum reader (the registry-table value schema)
+    val avroDecode: Option[Array[Byte] => InternalRow] = avroJson.map { json =>
+      val avroSchema = new org.apache.avro.Schema.Parser().parse(json)
+      val reader = new org.apache.avro.generic.GenericDatumReader[
+        org.apache.avro.generic.GenericRecord](avroSchema)
+      val n = schema.length
+      (bytes: Array[Byte]) =>
+        if (bytes == null) new GenericInternalRow(n)
+        else {
+          val dec = org.apache.avro.io.DecoderFactory.get().binaryDecoder(bytes, null)
+          graft.functions.AvroFunctions.decodeRecord(reader.read(null, dec), avroSchema)
+        }
+    }
     val it = ParquetIO.readFile(resolved, dataSchema, skipRowGroups = p.skipGroups)
     new PartitionReader[InternalRow] {
       private var pos = p.groupBaseRow
@@ -459,7 +524,12 @@ class LogReaderFactory(schema: StructType, raw: Boolean,
         if (pos >= p.endRow || !it.hasNext) false
         else {
           val r = it.next()
-          current = if (raw) LogReaderFactory.toRawRow(r, dataSchema, p.shard, pos) else r
+          current =
+            if (raw) LogReaderFactory.toRawRow(r, dataSchema, p.shard, pos)
+            else avroDecode match {
+              case Some(decode) => decode(if (r.isNullAt(0)) null else r.getBinary(0))
+              case None => r
+            }
           pos += 1
           true
         }
