@@ -300,6 +300,45 @@ object SourceQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // W3: sink type converters (convert.types=true) — the Loghub
+    // producer discipline (Utils.scala:53-99): timestamps → epoch ms,
+    // decimals → double, written through the kv sink and read back in
+    // converted form; the oracle reproduces the conversions in SQL.
+    "q_kv_convert_types" -> ((s, dir) => {
+      val u = java.util.UUID.randomUUID().toString.replace("-", "")
+      val out = s"/tmp/graft_conv_$u"
+      graft.Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_shipdate"),
+          col("l_extendedprice").cast("decimal(12,2)").as("price_dec"))
+        .write.format("kv").option("path", out)
+        .option("convert.types", "true").mode("overwrite").save()
+      s.read.format("kv").option("path", out).load()
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_shipdate").as("ship_ms"), col("price_dec").as("price"))
+        .orderBy(col("l_orderkey"), col("l_linenumber"))
+    }),
+
+    // T1/T2 streaming surface: the cdc changelog drained as a micro-batch
+    // stream (one file per trigger), landed in a kv sink, and the change
+    // algebra applied on the read-back — same oracle as the batch apply.
+    "q_cdc_stream_drain" -> ((s, dir) => {
+      val logDir = cdcLogDir(s, dir)
+      val u = java.util.UUID.randomUUID().toString.replace("-", "")
+      val sink = s"/tmp/graft_cdcdrain_$u/t"
+      val ckpt = s"/tmp/graft_cdcdrainck_$u"
+      val q = s.readStream.format("cdc").option("path", logDir)
+        .option("maxFilesPerTrigger", "1").load()
+        .writeStream.format("kv").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      Cdc.applyChanges(
+        s.read.format("kv").option("path", sink).load(), Seq("pk"))
+        .orderBy(col("pk"))
+    }),
+
     // S5 + W10: warehouse partitioned write, dynamic single-partition
     // overwrite, partition-pruned read-back — the ODPS create/overwrite-
     // partition semantics (ODPSWriter.scala:57-167) on hive-layout
@@ -555,6 +594,24 @@ object SourceQueries {
         |FROM orders
         |WHERE o_orderkey % 20 = 0
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_kv_convert_types" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(epoch_ms(l_shipdate) AS BIGINT) AS ship_ms,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS DOUBLE) AS price
+        |FROM lineitem
+        |WHERE l_orderkey % 100 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_cdc_stream_drain" ->
+      """SELECT o_orderkey AS pk, o_custkey AS custkey, o_orderstatus AS status,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100
+        |       ELSE o_totalprice END AS totalprice,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |       ELSE o_orderpriority END AS priority
+        |FROM orders
+        |WHERE o_orderkey % 13 <> 0
+        |ORDER BY pk""".stripMargin,
 
     "q_warehouse_rw" ->
       """SELECT o_orderpriority, count(*) AS n,
