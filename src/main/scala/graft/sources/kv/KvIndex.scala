@@ -32,6 +32,26 @@ object KvIndex {
 
   case class Zone(min: Option[Any], max: Option[Any], nullsOnly: Boolean)
 
+  /** Per-file zones straight from footer column statistics (the cached
+    * `ParquetIO.columnStatsCached` values) — lets `mayMatch` prune whole
+    * FILES against runtime (DPP-style) join-key filters without an index
+    * sidecar. Raw parquet stat types normalize to the comparator domain
+    * `cmp` understands; anything else yields an unbounded zone (kept).
+    */
+  def zonesFromStats(stats: Map[String, ParquetIO.ColStats]): Map[String, Zone] = {
+    def conv(v: Any): Option[Any] = v match {
+      case l: java.lang.Long => Some(l.longValue)
+      case i: java.lang.Integer => Some(i.longValue)
+      case d: java.lang.Double => Some(d.doubleValue)
+      case f: java.lang.Float => Some(f.doubleValue)
+      case b: org.apache.parquet.io.api.Binary => Some(b.toStringUsingUTF8)
+      case _ => None
+    }
+    stats.map { case (col, s) =>
+      col -> Zone(s.min.flatMap(conv), s.max.flatMap(conv), nullsOnly = false)
+    }
+  }
+
   /** file → per-row-group (startByte → column → zone). */
   type ZoneMap = Map[String, Map[Long, Map[String, Zone]]]
 

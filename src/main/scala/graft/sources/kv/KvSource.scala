@@ -317,7 +317,8 @@ class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
     predicate: Option[FilterPredicate],
     accepted: Array[Filter], maxSplitCount: Int, splitSizeMb: Long,
     vectorized: Boolean = true)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
 
   override def readSchema(): StructType = readSchema
   override def toBatch: Batch = this
@@ -347,26 +348,53 @@ class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
     }
   }
 
-  /** Row groups that survive zone-map pruning, per file (cached footers —
-    * shared by planning and statistics).
+  // ---- runtime (DPP-style) filtering -------------------------------
+  // Spark pushes the build side's join keys into the scan at execution
+  // time (`SupportsRuntimeFiltering`); whole FILES are pruned by footer
+  // min/max before any task is scheduled, row groups by the zone map,
+  // and the compiled predicate joins the parquet-level skip. Purely an
+  // optimization — the join itself still filters — so stats-only
+  // evaluation is always safe.
+  @volatile private var runtimeFilters: Array[Filter] = Array.empty
+  @volatile private var runtimePredicate: Option[FilterPredicate] = None
+
+  override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    readSchema.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeFilters = filters
+    runtimePredicate = ParquetIO.commonSchema(ParquetIO.listFilesStatus(path))
+      .flatMap(c => graft.sources.KvFilters.compileAll(filters.toSeq, c)._1)
+  }
+
+  /** Row groups that survive zone-map + runtime-filter pruning, per file
+    * (cached footers — shared by planning and statistics).
     */
   private def prunedGroups(): Seq[(Path, ParquetIO.RowGroupInfo)] = {
     // Planning-time zone-map pruning (search-index mode): drop row groups
     // that cannot match the pushed conjunction BEFORE tasks are scheduled
     // — parquet's own stats skipping only saves work after a task starts.
     // Files/groups the index doesn't cover are never pruned.
-    val zoneMap = if (accepted.isEmpty) Map.empty[String, Map[Long, Map[String, KvIndex.Zone]]]
+    val allFilters = accepted ++ runtimeFilters
+    val zoneMap = if (allFilters.isEmpty) Map.empty[String, Map[Long, Map[String, KvIndex.Zone]]]
       else KvIndex.zoneMap(path)
     def groupMayMatch(file: String, g: ParquetIO.RowGroupInfo): Boolean =
       zoneMap.get(file).flatMap(_.get(g.startByte)) match {
-        case Some(zones) => accepted.forall(f => KvIndex.mayMatch(f, zones))
+        case Some(zones) => allFilters.forall(f => KvIndex.mayMatch(f, zones))
         case None => true
       }
-    ParquetIO.listFilesStatus(path).flatMap { case (f, len, mtime) =>
-      ParquetIO.footerInfoCached(f, len, mtime)
-        .filter(g => groupMayMatch(f.toString, g))
-        .map(g => (f, g))
-    }
+    def fileMayMatch(f: Path, len: Long, mtime: Long): Boolean =
+      runtimeFilters.isEmpty || {
+        val zones = KvIndex.zonesFromStats(ParquetIO.columnStatsCached(f, len, mtime))
+        runtimeFilters.forall(rf => KvIndex.mayMatch(rf, zones))
+      }
+    ParquetIO.listFilesStatus(path)
+      .filter { case (f, len, mtime) => fileMayMatch(f, len, mtime) }
+      .flatMap { case (f, len, mtime) =>
+        ParquetIO.footerInfoCached(f, len, mtime)
+          .filter(g => groupMayMatch(f.toString, g))
+          .map(g => (f, g))
+      }
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
@@ -417,12 +445,20 @@ class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
     val wide = StructType(readSchema.fields ++ missing)
     val keep = if (missing.isEmpty) None
       else Some(readSchema.fieldNames.map(wide.fieldNames.indexOf(_)))
+    // runtime filters join the parquet-level skip (group stats on both
+    // paths, record level on the row path — they are advisory, so the
+    // columnar plane's stats-only application is safe)
+    val fullPredicate = (predicate, runtimePredicate) match {
+      case (Some(a), Some(b)) =>
+        Some(org.apache.parquet.filter2.predicate.FilterApi.and(a, b))
+      case (a, b) => a.orElse(b)
+    }
     // Columnar data plane when every requested column is stored natively
     // (KvVectorized Scaladoc); the widening/nanos coercion cases and
     // filter-column widening stay on the row reader.
     val columnar = vectorized && missing.isEmpty &&
       KvVectorized.scanEligible(path, readSchema)
-    new KvReaderFactory(wide, keep, predicate, columnar)
+    new KvReaderFactory(wide, keep, fullPredicate, columnar)
   }
 }
 
