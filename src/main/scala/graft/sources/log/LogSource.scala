@@ -230,13 +230,38 @@ class LogScanBuilder(path: String, tableSchema: StructType,
     options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with org.apache.spark.sql.connector.read.SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   import org.apache.spark.sql.sources.Filter
   private var required = tableSchema
   private var predicate: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None
   private var accepted: Array[Filter] = Array.empty
+  private var sawFilters = false
+  private var aggCompiled: Option[graft.sources.kv.KvAggregates.Compiled] = None
 
   private val avro = LogSource.avroSchemaJson(options).isDefined
+
+  // Footer-only aggregates (S1c semantics on the log surface): ungrouped
+  // unfiltered COUNT/MIN/MAX answered from cached footers — only for a
+  // typed FULL-RANGE scan (offset slices would change the answer; the
+  // default earliest→latest read is exactly the full files).
+  private def fullRange: Boolean =
+    "earliest".equalsIgnoreCase(options.getOrDefault("starting.offsets", "earliest")) &&
+      "latest".equalsIgnoreCase(options.getOrDefault("ending.offsets", "latest"))
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    !sawFilters && !LogSource.isRaw(options) && !avro && fullRange &&
+      graft.sources.kv.KvAggregates.compile(path, tableSchema, agg).isDefined
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (sawFilters || LogSource.isRaw(options) || avro || !fullRange) return false
+    graft.sources.kv.KvAggregates.compile(path, tableSchema, agg) match {
+      case some @ Some(_) => aggCompiled = some; true
+      case None => false // no partial pushdown: footer stats are all-or-nothing
+    }
+  }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     if (!LogSource.isRaw(options) && !avro) {
@@ -245,6 +270,7 @@ class LogScanBuilder(path: String, tableSchema: StructType,
     }
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    if (filters.nonEmpty) sawFilters = true
     if (!LogSource.isRaw(options) && !avro) {
       ParquetIO.commonSchema(ParquetIO.listFilesStatus(path)).foreach { common =>
         val (pred, acc) = graft.sources.KvFilters.compileAll(filters.toSeq, common)
@@ -256,8 +282,10 @@ class LogScanBuilder(path: String, tableSchema: StructType,
   }
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan =
-    new LogScan(path, required, tableSchema, options, predicate, accepted)
+  override def build(): Scan = aggCompiled match {
+    case Some(c) => new graft.sources.kv.KvAggScan(path, c)
+    case None => new LogScan(path, required, tableSchema, options, predicate, accepted)
+  }
 }
 
 class LogScan(path: String, schema: StructType, tableSchema: StructType,

@@ -102,6 +102,29 @@ class LogPruneSpec extends SparkSpec {
     assert(vec.orderBy("id").collect().toSeq == row.orderBy("id").collect().toSeq)
   }
 
+  test("footer-only aggregate pushdown on full-range typed log scans") {
+    val dir = Files.createTempDirectory("logagg").toString
+    writeShard(dir, "shard-a.parquet", 400)
+    writeShard(dir, "shard-b.parquet", 200)
+    val df = spark.read.format("log").option("path", dir).load()
+      .agg(count(lit(1)).as("n"), min(col("id")).as("mn"), max(col("id")).as("mx"))
+    assert(planOf(df).contains("PushedAggregation"),
+      s"full-range count/min/max must be footer-only:\n${planOf(df)}")
+    assert(df.as[(Long, Long, Long)].head() == ((600L, 0L, 399L)))
+    // an offset slice changes the answer → must NOT push, and must agree
+    // with a real scan
+    val sliced = spark.read.format("log").option("path", dir)
+      .option("starting.offsets", """{"shard-a.parquet": 10}""").load()
+      .agg(count(lit(1)).as("n"))
+    assert(!planOf(sliced).contains("PushedAggregation"))
+    assert(sliced.as[Long].head() == 590L)
+    // a filter refuses pushdown too
+    val filtered = spark.read.format("log").option("path", dir).load()
+      .filter(col("id") >= 100L).agg(count(lit(1)))
+    assert(!planOf(filtered).contains("PushedAggregation"))
+    assert(filtered.as[Long].head() == 400L) // 300 from a + 100 from b
+  }
+
   test("nanos-timestamp shard: pruning the ts column re-enables columnar") {
     val events = s"${sf("events")}/events.parquet"
     val all = spark.read.format("log").option("path", events).load()
