@@ -179,6 +179,34 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
   }
 
+  /** Benchmark decontamination: corpus documents sharing at least
+    * `minOverlap` distinct word-n-gram shingles with the benchmark set —
+    * the eval-set leakage filter of a training pipeline (n-gram
+    * collision flagging). The benchmark side is eval-set sized, so its
+    * distinct shingles ride a broadcast join: the corpus never shuffles
+    * for candidate generation, and the corpus-side df cap bounds
+    * boilerplate fan-out exactly like the other candidate generators.
+    *
+    * Returns one row per contaminated corpus doc: (id, n_bad = distinct
+    * shingles shared with the benchmark union, n_bench = distinct
+    * benchmark docs sharing at least one shingle).
+    */
+  def decontaminate(
+      corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String,
+      n: Int = 3, minOverlap: Int = 1,
+      maxShingleDf: Int = 10000): DataFrame = {
+    def sh(df: DataFrame) = df.select(col(idCol).as("id"),
+      explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
+    val corpusSh = capBuckets(sh(corpus), Seq("shingle"), maxShingleDf)
+    val benchSh = sh(benchmark).select(col("id").as("bid"), col("shingle")).distinct()
+    corpusSh.join(broadcast(benchSh), "shingle")
+      .groupBy(col("id"))
+      .agg(countDistinct(col("shingle")).as("n_bad"),
+        countDistinct(col("bid")).as("n_bench"))
+      .where(col("n_bad") >= minOverlap)
+  }
+
   /** Word-level containment dedup: pairs (id_inner, id_outer) where the
     * inner document's normalized word sequence appears verbatim
     * (contiguous, word-aligned) inside the outer document — the "quoted

@@ -69,6 +69,19 @@ object TextQueries {
     // and dies on a boilerplate-heavy corpus); the oracle mirrors the cap
     // exactly. Dedup.minHashLsh approximates the same measure with
     // bounded shuffle when even df-capped exactness is too much.
+    // Eval-set decontamination (the GPT-3-style n-gram collision filter
+    // as a first-class operator): corpus docs sharing any word-3-gram
+    // with the benchmark subset (doc_id % 37 == 0) are flagged with
+    // overlap counts — benchmark shingles broadcast, corpus df-capped.
+    "q_doc_decontaminate" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.Dedup.decontaminate(
+        docs.filter(col("doc_id") % 37 =!= 0),
+        docs.filter(col("doc_id") % 37 === 0),
+        "text", "doc_id", n = 3, minOverlap = 1, maxShingleDf = 100)
+        .orderBy(col("id"))
+    }),
+
     "q_doc_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("words"))
@@ -156,6 +169,30 @@ object TextQueries {
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // shingle construction mirrors TextFunctions.shingles exactly
+    // (trim + \s+ split, end-clipped windows, per-doc distinct) — the
+    // same replica the q_dedup_ngram_lsh oracle uses
+    "q_doc_decontaminate" ->
+      """WITH sets AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(greatest(len(words) - 3, 0) + 1), si ->
+        |      array_to_string(words[(si + 1)::INT : (least(si + 3, len(words)))::INT], ' '))) AS ss
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |        FROM documents)
+        |), sh AS (
+        |  SELECT doc_id, unnest(ss) AS shingle FROM sets
+        |), corpus AS (SELECT * FROM sh WHERE doc_id % 37 <> 0),
+        |bench AS (SELECT doc_id AS bid, shingle FROM sh WHERE doc_id % 37 = 0),
+        |rare AS (SELECT shingle FROM corpus GROUP BY shingle HAVING count(*) <= 100),
+        |c AS (SELECT corpus.doc_id, corpus.shingle
+        |      FROM corpus JOIN rare USING (shingle))
+        |SELECT c.doc_id AS id, count(DISTINCT c.shingle) AS n_bad,
+        |  count(DISTINCT bench.bid) AS n_bench
+        |FROM c JOIN bench USING (shingle)
+        |GROUP BY 1
+        |HAVING count(DISTINCT c.shingle) >= 1
+        |ORDER BY id""".stripMargin,
 
     "q_doc_ngram_jaccard" ->
       """WITH w AS (

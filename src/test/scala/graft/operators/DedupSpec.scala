@@ -175,6 +175,20 @@ class DedupSpec extends SparkSpec {
       s"expected word-aligned containments only (5 in 6 is a char-level trap): $got")
   }
 
+  test("decontaminate flags corpus docs overlapping the benchmark set") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over lazy dogs"),
+      (2L, "completely unrelated text about spark engines"),
+      (3L, "quick brown fox appears here too today")).toDF("doc_id", "text")
+    val bench = Seq(
+      (100L, "watch the quick brown fox benchmark item")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, bench, "text", "doc_id", n = 3)
+      .orderBy("id").collect()
+    // docs 1 and 3 share the shingle "quick brown fox" with the benchmark
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+    assert(out.forall(r => r.getLong(1) >= 1 && r.getLong(2) == 1L))
+  }
+
   test("embedding cosine dedup finds planted near-identical vectors") {
     val v = Array.tabulate(16)(i => math.cos(i + 1).toFloat)
     val near = v.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.001f else x }
