@@ -135,5 +135,7 @@ object KvMerge {
     if (fs.exists(livePath)) fs.rename(livePath, backup)
     fs.rename(tmp, livePath)
     fs.delete(backup, true)
+    // record (or clear) the clustered ordering so the scan can report it
+    graft.sources.kv.KvClustering.record(path, clusterBy)
   }
 }

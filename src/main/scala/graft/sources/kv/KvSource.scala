@@ -318,7 +318,32 @@ class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
     accepted: Array[Filter], maxSplitCount: Int, splitSizeMb: Long,
     vectorized: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics
-    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+
+  /** Per-partition sort order of a clustered table (KvClustering meta,
+    * valid only while the live file set matches the clustered rewrite).
+    * Claimed only when every planned partition reads ONE file's
+    * contiguous row groups in byte order — exactly the shape
+    * `KvMerge.rewrite(clusterBy)` produced, where each file is sorted.
+    */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
+    val cols = KvClustering.orderingFor(path)
+    if (cols.isEmpty || !cols.forall(readSchema.fieldNames.contains)) return Array.empty
+    val singleFileOrdered = planInputPartitions().forall { p =>
+      val chunks = p.asInstanceOf[KvInputPartition].chunks
+      chunks.map(_.file).distinct.length == 1 &&
+        chunks.sliding(2).forall {
+          case Seq(a, b) => a.endByte <= b.startByte
+          case _ => true
+        }
+    }
+    if (!singleFileOrdered) Array.empty
+    else cols.map(c => org.apache.spark.sql.connector.expressions.Expressions.sort(
+      org.apache.spark.sql.connector.expressions.Expressions.column(c),
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
+  }
 
   override def readSchema(): StructType = readSchema
   override def toBatch: Batch = this
