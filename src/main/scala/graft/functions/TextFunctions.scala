@@ -15,7 +15,7 @@ object TextFunctions {
 
   /** Whitespace token count. */
   def tokenCount(c: Column): Column =
-    size(split(trim(c), "\\s+")).cast("long")
+    size(WhitespaceTokens.wsTokens(c)).cast("long")
 
   /** BPE-ish token count: words, digit runs and individual punctuation
     * count separately (a cheap proxy for subword tokenizers; mirrors the
@@ -31,15 +31,16 @@ object TextFunctions {
     "el", "los", "y", "que")
 
   def stopwordRatio(c: Column, stopwords: Seq[String] = defaultStopwords): Column = {
-    val toks = split(trim(lower(c)), "\\s+")
+    val toks = WhitespaceTokens.wsTokens(lower(c))
     size(filter(toks, w => w.isin(stopwords: _*))).cast("double") /
       greatest(size(toks).cast("double"), lit(1.0))
   }
 
   /** Mean token length in characters. */
   def avgWordLen(c: Column): Column = {
-    val toks = split(trim(c), "\\s+")
-    length(regexp_replace(c, "\\s+", "")).cast("double") /
+    val toks = WhitespaceTokens.wsTokens(c)
+    aggregate(transform(toks, w => length(w)), lit(0), (a, x) => a + x)
+      .cast("double") /
       greatest(size(toks).cast("double"), lit(1.0))
   }
 
@@ -111,7 +112,7 @@ object TextFunctions {
 
   /** Word n-gram shingles as an array column (distinct). */
   def shingles(c: Column, n: Int): Column = {
-    val words = split(trim(c), "\\s+")
+    val words = WhitespaceTokens.wsTokens(c)
     array_distinct(
       transform(sequence(lit(0), greatest(size(words) - n, lit(0))),
         i => concat_ws(" ", slice(words, i + 1, lit(n)))))

@@ -29,7 +29,7 @@ import graft.functions.{BoundedTopK, Sketches, TextFunctions}
   */
 object Curation {
 
-  private def words(c: Column): Column = split(trim(c), "\\s+")
+  private def words(c: Column): Column = graft.functions.WhitespaceTokens.wsTokens(c)
 
   /** Word n-grams of `textCol` as an array column; empty when the doc has
     * fewer than `n` words (never a partial gram).
