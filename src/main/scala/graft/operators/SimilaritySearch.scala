@@ -22,6 +22,22 @@ object SimilaritySearch {
 
   private val dot: (Column, Column) => Column = (a, b) => arrayDot(a, b)
 
+  /** Subspace `s` of each vector for PQ, sliced per-row from
+    * size(vec)/m — no driver-side dimension probe, so plan construction
+    * runs zero Spark jobs. Fail-fast contract: a vector whose dimension
+    * does not divide by `m` raises at execution instead of silently
+    * dropping its trailing dims from every subspace.
+    */
+  private def pqSubspace(df: DataFrame, vecCol: String, idCol: String,
+      s: Int, m: Int): DataFrame = {
+    val sz = size(col(vecCol))
+    val subDim = when(sz % lit(m) === 0, (sz / lit(m)).cast("int"))
+      .otherwise(raise_error(concat(
+        lit("vector dim "), sz.cast("string"), lit(s" must divide into $m subspaces"))))
+    df.select(col(idCol),
+      slice(col(vecCol), lit(s) * subDim + lit(1), subDim).as("subv"))
+  }
+
   private def norm(c: Column): Column = l2Norm(c)
 
   /** Normalize input: (id, e double[], nrm). */
@@ -179,14 +195,7 @@ object SimilaritySearch {
       nCells: Int = 16, nProbe: Int = 4,
       m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
       maxTrainPerCell: Int = 16384): DataFrame = {
-    // Subspace split without probing the data for the dimension: slice
-    // bounds come per-row from size(vec)/m, so plan construction runs no
-    // Spark job. Contract (unchanged): size(vec) must divide by m.
-    def sub(df: DataFrame, s: Int): DataFrame = {
-      val subDim = (size(col(vecCol)) / lit(m)).cast("int")
-      df.select(col(idCol),
-        slice(col(vecCol), lit(s) * subDim + lit(1), subDim).as("subv"))
-    }
+    def sub(df: DataFrame, s: Int): DataFrame = pqSubspace(df, vecCol, idCol, s, m)
 
     // coarse inverted lists over the full vectors
     val coarse = trainCentroids(corpus, vecCol, idCol, nCells, iterations, maxTrainPerCell)
@@ -325,12 +334,7 @@ object SimilaritySearch {
       vecCol: String, idCol: String, k: Int,
       m: Int = 2, nCells: Int = 16, iterations: Int = 2,
       maxTrainPerCell: Int = 16384): DataFrame = {
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-    require(dim % m == 0, s"vector dim $dim must divide into $m subspaces")
-    val subDim = dim / m
-
-    def sub(df: DataFrame, s: Int): DataFrame =
-      df.select(col(idCol), slice(col(vecCol), s * subDim + 1, subDim).as("subv"))
+    def sub(df: DataFrame, s: Int): DataFrame = pqSubspace(df, vecCol, idCol, s, m)
 
     val perSub = (0 until m).map { s =>
       val cents = trainCentroids(sub(corpus, s), "subv", idCol,

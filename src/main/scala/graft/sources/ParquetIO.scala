@@ -97,15 +97,31 @@ object ParquetIO {
   /** (rowCount, byte ranges of row groups) from the footer — used for
     * split planning and exact streaming-offset accounting without reading
     * data pages.
+    *
+    * `endByte` is the exact on-disk end of the group: the NEXT group's
+    * starting position (groups are laid out back-to-back), or
+    * startingPos + compressedSize for the last. It is NOT
+    * startByte + totalByteSize — totalByteSize is the UNCOMPRESSED size,
+    * and the readers (`withRange`, the vectorized reader) select groups
+    * by compressed-size midpoints, so an uncompressed-size range on a
+    * snappy file overshoots into the next partition's first group and
+    * decodes it twice. `totalByteSize` is kept for size *estimates*
+    * (split packing targets, statistics), never for range boundaries.
     */
-  case class RowGroupInfo(startByte: Long, totalByteSize: Long, rowCount: Long)
+  case class RowGroupInfo(startByte: Long, totalByteSize: Long, rowCount: Long,
+      endByte: Long)
 
   def footerInfo(file: Path): Seq[RowGroupInfo] = {
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, hadoopConf))
     try {
       import scala.jdk.CollectionConverters._
-      reader.getFooter.getBlocks.asScala.toSeq.map(b =>
-        RowGroupInfo(b.getStartingPos, b.getTotalByteSize, b.getRowCount))
+      val blocks = reader.getFooter.getBlocks.asScala.toSeq
+      blocks.zipWithIndex.map { case (b, i) =>
+        val end =
+          if (i + 1 < blocks.length) blocks(i + 1).getStartingPos
+          else b.getStartingPos + b.getCompressedSize
+        RowGroupInfo(b.getStartingPos, b.getTotalByteSize, b.getRowCount, end)
+      }
     } finally reader.close()
   }
 

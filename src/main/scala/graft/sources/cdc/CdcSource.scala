@@ -102,7 +102,7 @@ object CdcInputPartition {
           start = g.startByte; bytes = 0L; startRow += rows; rows = 0L
         }
         bytes += g.totalByteSize; rows += g.rowCount
-        lastEnd = g.startByte + g.totalByteSize
+        lastEnd = g.endByte
       }
       splits += CdcInputPartition(file.toString, fileSeq, start, lastEnd, startRow)
       splits.toSeq

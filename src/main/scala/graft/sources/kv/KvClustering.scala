@@ -29,18 +29,34 @@ object KvClustering {
     val p = metaFile(tablePath)
     val fs = p.getFileSystem(ParquetIO.hadoopConf)
     if (clusterBy.isEmpty) { if (fs.exists(p)) fs.delete(p, false); return }
-    val files = signature(tablePath).map { case (n, len, mt) =>
-      s"""{"name": "$n", "len": $len, "mtime": $mt}"""
-    }.mkString("[", ", ", "]")
-    val cols = clusterBy.map(c => s""""$c"""").mkString("[", ", ", "]")
-    val out = fs.create(p, true)
-    try out.write(s"""{"clusterBy": $cols, "files": $files}"""
+    // json4s-serialized (names escaped) and written temp+rename: a crash
+    // mid-write or a concurrent reader must never observe a torn file —
+    // the contract is that stale/bad meta only loses the elision
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    val doc =
+      ("clusterBy" -> clusterBy) ~
+      ("files" -> signature(tablePath).map { case (n, len, mt) =>
+        ("name" -> n) ~ ("len" -> len) ~ ("mtime" -> mt)
+      })
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(JsonMethods.compact(JsonMethods.render(doc))
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) { fs.delete(tmp, false); throw new java.io.IOException(
+      s"rename $tmp -> $p failed recording clustering meta") }
   }
 
-  /** Cluster columns iff the recorded file set matches the live listing. */
-  def orderingFor(tablePath: String): Seq[String] = {
+  /** Cluster columns iff the recorded file set matches the live listing.
+    * Any read/parse failure (torn file, malformed JSON, concurrent
+    * rewrite) degrades to Nil — the elision is lost, never correctness.
+    */
+  def orderingFor(tablePath: String): Seq[String] =
+    scala.util.Try(orderingForUnsafe(tablePath)).getOrElse(Nil)
+
+  private def orderingForUnsafe(tablePath: String): Seq[String] = {
     val p = metaFile(tablePath)
     val fs = p.getFileSystem(ParquetIO.hadoopConf)
     if (!fs.exists(p)) return Nil

@@ -128,12 +128,22 @@ object KvIndex {
     * literals need unit conversion) — zones carry long/double/string.
     */
   def mayMatch(f: Filter, zones: Map[String, Zone]): Boolean = {
-    def cmp(a: Any, b: Any): Option[Int] = (a, b) match {
+    // Filter values arrive in the column's Catalyst type (Int/Short/Byte
+    // for narrow int columns, Float); zones normalize stats to Long /
+    // Double / String. Widen the filter side the same way or every
+    // comparison on an int-keyed column is None and pruning no-ops.
+    def norm(v: Any): Any = v match {
+      case i: Int => i.toLong
+      case s: Short => s.toLong
+      case b: Byte => b.toLong
+      case f: Float => f.toDouble
+      case other => other
+    }
+    def cmp(a0: Any, b0: Any): Option[Int] = (norm(a0), norm(b0)) match {
       case (x: Long, y: Long) => Some(java.lang.Long.compare(x, y))
-      case (x: Long, y: Int) => Some(java.lang.Long.compare(x, y.toLong))
       case (x: Double, y: Double) => Some(java.lang.Double.compare(x, y))
-      case (x: Double, y: Int) => Some(java.lang.Double.compare(x, y.toDouble))
       case (x: Double, y: Long) => Some(java.lang.Double.compare(x, y.toDouble))
+      case (x: Long, y: Double) => Some(java.lang.Double.compare(x.toDouble, y))
       // parquet string stats are unsigned-byte-lexicographic; that equals
       // String.compareTo only within ASCII — keep (don't prune) otherwise
       case (x: String, y: String) if x.forall(_ < 128) && y.forall(_ < 128) =>

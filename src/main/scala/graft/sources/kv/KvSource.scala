@@ -443,7 +443,7 @@ class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
             start = g.startByte; bytes = 0L; rows = 0L
           }
           bytes += g.totalByteSize; rows += g.rowCount
-          lastEnd = g.startByte + g.totalByteSize
+          lastEnd = g.endByte
         }
         splits += KvChunk(f.toString, start, lastEnd, rows)
         splits.toSeq

@@ -160,7 +160,7 @@ object LogSource {
       val aligned = sRow == cum(a) && eRow == cum(b + 1)
       LogInputPartition(file.toString, shard, sRow, eRow, a, cum(a),
         if (aligned) groups(a).startByte else -1L,
-        if (aligned) groups(b).startByte + groups(b).totalByteSize else -1L)
+        if (aligned) groups(b).endByte else -1L)
     }
   }
 

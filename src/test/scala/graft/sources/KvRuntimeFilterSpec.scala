@@ -52,6 +52,26 @@ class KvRuntimeFilterSpec extends SparkSpec {
     assert(rowsOf(scan) > 0 && rowsOf(scan) < 400)
   }
 
+  test("int-typed join keys prune too (filter values widen like stats)") {
+    // INT32 storage: stats normalize to Long, runtime filter values
+    // arrive as Int — without widening the comparison is undecidable and
+    // pruning silently no-ops for every int-keyed join
+    val dir = Files.createTempDirectory("kvrti").toString
+    (0 until 4).foreach { part =>
+      (part * 100 until (part + 1) * 100)
+        .map(i => (i, s"name-$i")).toDF("ik", "name")
+        .coalesce(1).write.format("kv").option("path", dir).mode("append").save()
+    }
+    val schema = StructType(Seq(StructField("ik", IntegerType),
+      StructField("name", StringType)))
+    val scan = new KvScanBuilder(dir, schema, 1000, 128L).build().asInstanceOf[KvScan]
+    assert(rowsOf(scan) == 400)
+    scan.filter(Array[Filter](In("ik", Array(105, 150))))
+    assert(rowsOf(scan) == 100, "int-keyed runtime filter must prune files")
+    scan.filter(Array[Filter](EqualTo("ik", 5000)))
+    assert(rowsOf(scan) == 0)
+  }
+
   test("filterAttributes exposes the read columns") {
     val dir = writeRangedTable()
     assert(scanOf(dir).filterAttributes().map(_.describe()).toSet ==
