@@ -44,15 +44,26 @@ object Dedup {
   }
 
   /** Exact duplicates by normalized content fingerprint. Returns
-    * (fingerprint, n_copies, keep_id, dup_ids) — one row per duplicate
-    * group with the canonical keeper (min id).
+    * (fingerprint, n_copies, keep_id, ids) — one row per duplicate group
+    * with the canonical keeper (min id) and the group's first `maxIds`
+    * ids ascending. `n_copies` is always exact; the id list is BOUNDED:
+    * a pathological fingerprint (an empty/boilerplate doc with 10⁸
+    * copies at corpus scale) must not put the whole group's ids into one
+    * aggregation buffer, so the list rides the bounded heap (constant
+    * score, id-ascending tiebreak ⇒ exactly the min-`maxIds` ids) — k
+    * rows of state per group per partition, map-side partials, never a
+    * `collect_list` of the group.
     */
-  def exact(df: DataFrame, textCol: String, idCol: String): DataFrame =
+  def exact(df: DataFrame, textCol: String, idCol: String,
+      maxIds: Int = 1000): DataFrame =
     df.select(TextFunctions.fingerprint64(col(textCol)).as("fp"), col(idCol))
       .groupBy(col("fp"))
       .agg(count(lit(1)).as("n_copies"), min(col(idCol)).as("keep_id"),
-        sort_array(collect_list(col(idCol))).as("ids"))
+        graft.functions.BoundedTopK.topK(
+          struct(lit(0.0).as("s"), col(idCol).as("id")), maxIds).as("__top"))
       .where(col("n_copies") > 1)
+      .select(col("fp"), col("n_copies"), col("keep_id"),
+        transform(col("__top"), x => x.getField("id")).as("ids"))
 
   /** Remove exact duplicates, keeping the min-id row per content group.
     * Window-free formulation: a semi-join against the keeper set (cheaper
@@ -226,9 +237,14 @@ object Dedup {
     */
   def containment(df: DataFrame, textCol: String, idCol: String, k: Int = 4): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val norm = lower(regexp_replace(trim(col(textCol)), "\\s+", " "))
-    val docs = df.select(col(idCol).as("id"), norm.as("t"))
-      .withColumn("w", split(col("t"), " "))
+    // Byte-scanning tokenizer, not regexp_replace+split: wsTokens
+    // replicates split(trim(c), "\s+") bit-for-bit (incl. the edge empty
+    // tokens), and rejoining with single spaces reproduces the old
+    // normalized string exactly — same semantics, no regex in the hot
+    // path (the same halving the tokenizer bought the shingle family).
+    val docs = df.select(col(idCol).as("id"),
+        graft.functions.WhitespaceTokens.wsTokens(lower(col(textCol))).as("w"))
+      .withColumn("t", array_join(col("w"), " "))
       .where(size(col("w")) >= k)
     val sh = docs.select(col("id"),
         explode(transform(sequence(lit(0), size(col("w")) - k),
@@ -331,19 +347,32 @@ object Dedup {
     * one join + one aggregation, state = one (id, label) pair per vertex.
     *
     * Returns (id, component) with component = min id of the group.
+    *
+    * Durability: each round's materialization uses RELIABLE
+    * checkpointing (files under `sparkContext.setCheckpointDir`)
+    * whenever a checkpoint dir is configured — on a real cluster,
+    * `localCheckpoint` stores blocks on executors with truncated
+    * lineage, so ONE lost executor kills the whole job mid-iteration
+    * (Spark cannot recompute past the truncation). Set a checkpoint dir
+    * in production; without one (local mode, specs) the rounds fall
+    * back to `localCheckpoint`, which is faster and lossless in a
+    * single JVM.
     */
   def connectedComponents(pairs: DataFrame, aCol: String = "id_a",
       bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    val reliable = pairs.sparkSession.sparkContext.getCheckpointDir.isDefined
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
     // Materialize the edge set once: every round joins against it, and
-    // localCheckpoint truncates its lineage back to the pair-generation
+    // the checkpoint truncates its lineage back to the pair-generation
     // plan (which may itself be a multi-stage LSH pipeline).
-    val edges = pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
-      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .withColumn("component", col("id"))
-      .localCheckpoint()
+    val edges = materialize(
+      pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+        .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+        .distinct())
+    var labels = materialize(
+      edges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id")))
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -352,30 +381,29 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min(col("component")).as("n_comp"))
-      // localCheckpoint per round: the eager job materializes the result
-      // and truncates lineage to the checkpointed blocks, so round k
-      // costs its own joins — not a re-execution of rounds 1..k-1 — and
-      // plan depth stays constant across rounds.
-      val stepped = labels.join(neighborMin, Seq("id"), "left_outer")
-        .select(col("id"), col("component").as("__old"),
-          least(col("component"), coalesce(col("n_comp"), col("component")))
-            .as("component"))
-        .localCheckpoint()
+      // checkpoint per round: the eager job materializes the result and
+      // truncates lineage to the checkpoint, so round k costs its own
+      // joins — not a re-execution of rounds 1..k-1 — and plan depth
+      // stays constant across rounds.
+      val stepped = materialize(
+        labels.join(neighborMin, Seq("id"), "left_outer")
+          .select(col("id"), col("component").as("__old"),
+            least(col("component"), coalesce(col("n_comp"), col("component")))
+              .as("component")))
       // pointer jump (path halving): follow component → that vertex's
       // component. Neighbor-min alone moves a label one hop per round
       // (O(diameter) rounds — a 10⁶-long chain would need 10⁶ rounds);
       // with the jump labels shortcut through already-relabeled vertices
       // and convergence is O(log diameter). Label values are always
       // vertex ids (mins over id sets), so the jump join is total.
-      val next = stepped.as("x")
+      val next = materialize(stepped.as("x")
         .join(stepped.select(col("id").as("__cid"), col("component").as("__cc")),
           col("x.component") === col("__cid"), "left_outer")
         .select(col("x.id").as("id"),
           least(col("x.component"), coalesce(col("__cc"), col("x.component")))
             .as("component"),
           (least(col("x.component"), coalesce(col("__cc"), col("x.component")))
-            < col("x.__old")).cast("long").as("__chg"))
-        .localCheckpoint()
+            < col("x.__old")).cast("long").as("__chg")))
       // the convergence test reads the just-materialized blocks — no
       // second pass over the iteration's plan
       changed = next.agg(coalesce(sum(col("__chg")), lit(0L))).head().getLong(0)

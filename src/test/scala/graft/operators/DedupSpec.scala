@@ -23,6 +23,19 @@ class DedupSpec extends SparkSpec {
     assert(groups(0).getSeq[Long](groups(0).fieldIndex("ids")) == Seq(1L, 2L, 3L))
   }
 
+  test("exact dedup bounds the id list: huge duplicate group, exact count, capped ids") {
+    // a 100k-copy fingerprint must not buffer the whole group's ids —
+    // the list is the min-`maxIds` ids via the bounded heap, the count
+    // stays exact
+    val many = spark.range(0, 100000).toDF("doc_id")
+      .withColumn("text", lit("the same boilerplate document"))
+    val g = Dedup.exact(many, "text", "doc_id", maxIds = 10).collect()
+    assert(g.length == 1)
+    assert(g(0).getAs[Long]("n_copies") == 100000L)
+    assert(g(0).getAs[Long]("keep_id") == 0L)
+    assert(g(0).getSeq[Long](g(0).fieldIndex("ids")) == (0L until 10L))
+  }
+
   test("dropExactDuplicates keeps one row per content group") {
     val kept = Dedup.dropExactDuplicates(docs, "text", "doc_id")
       .select("doc_id").as[Long].collect().sorted
