@@ -456,6 +456,67 @@ object SourceQueries {
           element_at(col("afterImages"), "n_name").as("after_name"))
         .orderBy(col("record_id"))
     }),
+
+    // Typed mysql field conversion over the binlog images
+    // (MysqlFieldConverter.java:1-396 semantics): a changelog whose after
+    // image carries every mysql type family textually — signed/unsigned
+    // ints, decimal, float/double, date/datetime incl. the zero-date,
+    // bit, year, time, varchar with a non-latin1 charset (mojibake
+    // repair), hex binary — decoded to typed columns by
+    // MysqlTypes.typedImage and oracle-replayed in DuckDB.
+    "q_binlog_typed" -> ((s, dir) => {
+      import s.implicits._
+      val rows = graft.Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+      val payloads = rows.toSeq.map { r =>
+        val k = r.getLong(0)
+        val name = r.getString(1)
+        graft.functions.BinlogAvro.encode(
+          recordID = k, source = "mysql-bin.000002", dbTable = "tpch.nation",
+          recordType = "UPDATE",
+          recordTimestampMs = 1500000000000L + k * 1000L,
+          extraTags = Map.empty, fields = Seq.empty, before = Map.empty,
+          after = Map(
+            "small" -> (k - 12).toString,
+            "ucnt" -> (BigInt("18446744073709551615") - k).toString,
+            "price" -> s"$k.25",
+            "odate" -> (if (k == 0) "0000-00-00"
+              else java.time.LocalDate.of(2020, 1, 1).plusDays(k).toString),
+            "created" -> f"2021-03-04 05:06:${7 + k}%02d.250000",
+            "flag" -> (k % 2).toString,
+            "ratio" -> (k * 0.5).toString,
+            "fval" -> (k * 0.25f).toString,
+            "name" -> name,
+            "fixed" -> new String(s"naïve-$name".getBytes(
+              java.nio.charset.StandardCharsets.UTF_8),
+              java.nio.charset.StandardCharsets.ISO_8859_1),
+            "tm" -> f"$k%02d:30:45",
+            "yr" -> (1990 + k).toString,
+            "payload" -> name.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+              .map("%02X".format(_)).mkString))
+      }
+      val typed = graft.functions.MysqlTypes.typedImage(col("afterImages"), Seq(
+        "small" -> "smallint", "ucnt" -> "bigint unsigned",
+        "price" -> "decimal(12,2)", "odate" -> "date",
+        "created" -> "datetime(6)", "flag" -> "bit(1)", "ratio" -> "double",
+        "fval" -> "float", "name" -> "varchar(25)",
+        "fixed" -> "varchar(64) charset utf8mb4", "tm" -> "time",
+        "yr" -> "year", "payload" -> "varbinary(64)"))
+      payloads.toDF("value")
+        .select(graft.functions.BinlogAvro.binlogParser(col("value")))
+        .select(col("recordID").as("record_id"), typed.as("t"))
+        // ucnt compares as its digit string: 2^64-1 exceeds float64, and
+        // the oracle harness fetches DuckDB decimals through float64
+        .select(col("record_id"), col("t.small").as("small"),
+          col("t.ucnt").cast("string").as("ucnt"), col("t.price").as("price"),
+          col("t.odate").as("odate"),
+          unix_millis(col("t.created")).as("created_ms"),
+          col("t.flag").as("flag"), col("t.ratio").as("ratio"),
+          col("t.fval").as("fval"), col("t.name").as("name_s"),
+          col("t.fixed").as("fixed_s"), col("t.tm").as("tm"),
+          col("t.yr").as("yr"), hex(col("t.payload")).as("payload_hex"))
+        .orderBy(col("record_id"))
+    }),
   )
 
   /** Build (once per sfDir) a 3-batch changelog from orders:
@@ -637,6 +698,26 @@ object SourceQueries {
         |  CAST(CAST(n_nationkey AS BIGINT) % 4 AS VARCHAR) AS tag_shard,
         |  'n_name,n_comment' AS fields_s,
         |  'old-' || n_name AS before_name, n_name AS after_name
+        |FROM nation ORDER BY record_id""".stripMargin,
+
+    "q_binlog_typed" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS record_id,
+        |  CAST(n_nationkey - 12 AS INTEGER) AS small,
+        |  CAST(CAST('18446744073709551615' AS HUGEINT) - n_nationkey
+        |    AS VARCHAR) AS ucnt,
+        |  CAST(n_nationkey + 0.25 AS DECIMAL(12,2)) AS price,
+        |  CASE WHEN n_nationkey = 0 THEN NULL
+        |    ELSE DATE '2020-01-01' + CAST(n_nationkey AS INTEGER) END AS odate,
+        |  CAST(epoch_ms(TIMESTAMP '2021-03-04 05:06:07.250'
+        |    + to_seconds(CAST(n_nationkey AS BIGINT))) AS BIGINT) AS created_ms,
+        |  CAST(n_nationkey % 2 AS BIGINT) AS flag,
+        |  CAST(n_nationkey AS DOUBLE) * 0.5 AS ratio,
+        |  CAST(n_nationkey * 0.25 AS FLOAT) AS fval,
+        |  n_name AS name_s,
+        |  'naïve-' || n_name AS fixed_s,
+        |  lpad(CAST(n_nationkey AS VARCHAR), 2, '0') || ':30:45' AS tm,
+        |  CAST(1990 + n_nationkey AS INTEGER) AS yr,
+        |  hex(n_name) AS payload_hex
         |FROM nation ORDER BY record_id""".stripMargin,
   )
 }
