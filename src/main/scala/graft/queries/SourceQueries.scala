@@ -137,7 +137,64 @@ object SourceQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // W2/W5 sink-replay, in-gate: re-deliver the last committed epoch
+      // through the streaming writer machinery. (epoch, partition)-
+      // deterministic file names in overwrite mode + the commit marker
+      // make the replay a no-op; any duplication fails the nation oracle
+      // on the read-back below.
+      locally {
+        import org.apache.spark.sql.types._
+        val sinkSchema = StructType(Seq(
+          StructField("n_nationkey", LongType), StructField("n_name", StringType)))
+        val epochRe = "epoch-(\\d+)-part-(\\d+).*".r
+        val efiles = ParquetIO.listFiles(sink).flatMap { f =>
+          f.getName match {
+            case epochRe(e, p) => Some((f, e.toLong, p.toInt))
+            case _ => None
+          }
+        }
+        val maxE = efiles.map(_._2).max
+        val factory = graft.sources.kv.KvStreamingWriterFactory(sink, sinkSchema)
+        val msgs = efiles.filter(_._2 == maxE).map { case (f, e, p) =>
+          val rows = {
+            val it = ParquetIO.readFile(f, sinkSchema)
+            try it.map(_.copy()).toVector finally it.close()
+          }
+          val w = factory.createWriter(p, 0L, e)
+          rows.foreach(w.write)
+          w.commit()
+        }
+        new graft.sources.kv.KvStreamingWrite(sink, sinkSchema)
+          .commit(maxE, msgs.toArray)
+      }
       s.read.format("kv").option("path", sink).load().orderBy(col("n_nationkey"))
+    }),
+
+    // S6: schema-less kv read — no catalog option; the schema comes from
+    // the persisted `_meta/schema.json` sidecar (recorded on every
+    // committed write) or the union of all file footers. The second
+    // append carries an attribute (o_custkey) the first file set lacks:
+    // first-file inference would lose it; here it must be visible and
+    // read as NULL on first-append rows.
+    "q_kv_infer" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val staged = s"/tmp/graft_infer$safe"
+      if (ParquetIO.listFiles(staged).isEmpty) {
+        val o = graft.Tables.load(s, dir, "orders")
+        o.where(col("o_orderkey") % 3 === 0)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+          .write.format("kv").option("path", staged).mode("overwrite").save()
+        o.where(col("o_orderkey") % 3 === 1)
+          .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"),
+            col("o_custkey"))
+          .write.format("kv").option("path", staged).mode("append").save()
+      }
+      s.read.format("kv").option("path", staged).load()
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          count(col("o_custkey")).as("n_cust"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderpriority"))
     }),
 
     // Table maintenance end-to-end: a 8-file kv table is compacted to 2
@@ -601,6 +658,14 @@ object SourceQueries {
     "q_queue_drain" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
         |FROM nation ORDER BY 1""".stripMargin,
+
+    "q_kv_infer" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  count(CASE WHEN o_orderkey % 3 = 1 THEN o_custkey END) AS n_cust,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderkey % 3 IN (0, 1)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_kv_compact" ->
       """SELECT o_orderpriority, count(*) AS n, min(o_orderkey) AS min_key,

@@ -53,12 +53,23 @@ class KvSource extends TableProvider with DataSourceRegister {
     p
   }
 
+  /** Schema resolution: explicit `catalog` option > persisted
+    * `_meta/schema.json` sidecar (recorded by every committed write) >
+    * UNION of all file footers. The union matters for the wide-column
+    * sparse-attribute model: a column present only in later part files
+    * would be invisible to first-file inference; under the union it
+    * reads as NULL where absent (the supported sparse read path).
+    */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
-    Option(options.get("catalog")).map(SchemaCatalog.parse).getOrElse {
-      val files = ParquetIO.listFiles(path(options))
-      require(files.nonEmpty, s"no parquet files under ${path(options)} and no catalog option")
-      KvSource.toStructType(ParquetIO.fileSchema(files.head))
-    }
+    Option(options.get("catalog")).map(SchemaCatalog.parse)
+      .orElse(KvSchemaMeta.read(path(options)))
+      .getOrElse {
+        val files = ParquetIO.listFilesStatus(path(options))
+        require(files.nonEmpty, s"no parquet files under ${path(options)} and no catalog option")
+        files.map { case (f, len, mt) =>
+          KvSource.toStructType(ParquetIO.fileSchemaCached(f, len, mt))
+        }.reduce(KvSchemaMeta.union)
+      }
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -572,7 +583,10 @@ class KvBatchWrite(path: String, schema: StructType, truncateFirst: Boolean,
     new org.apache.hadoop.fs.Path(path).getFileSystem(ParquetIO.hadoopConf).mkdirs(new Path(path))
     new KvWriterFactory(path, schema, conv, wopts.batchSize)
   }
-  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  // record the persisted-schema sidecar (union with prior writes) so
+  // catalog-less readers see every attribute ever written
+  override def commit(messages: Array[WriterCommitMessage]): Unit =
+    KvSchemaMeta.record(path, schema)
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     messages.collect { case KvCommitMessage(files) => files.foreach(ParquetIO.deletePath) }
 }
@@ -630,6 +644,7 @@ class KvStreamingWrite(path: String, schema: StructType,
   override def createStreamingWriterFactory(info: PhysicalWriteInfo): StreamingDataWriterFactory =
     KvStreamingWriterFactory(path, schema, conv, wopts.batchSize)
   override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    KvSchemaMeta.record(path, schema)
     val markers = new Path(path, "_commits")
     val fs = markers.getFileSystem(ParquetIO.hadoopConf)
     fs.mkdirs(markers)
