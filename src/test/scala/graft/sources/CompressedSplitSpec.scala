@@ -82,6 +82,33 @@ class CompressedSplitSpec extends SparkSpec {
     }
   }
 
+  test("log shard planner: aligned byte ranges tile the data region exactly") {
+    // the columnar log plane consumes these ranges verbatim; ADVICE
+    // round-5 flagged that multi-partition columnar coverage was missing
+    val (len, mtime) = {
+      val st = file.getFileSystem(ParquetIO.hadoopConf).getFileStatus(file)
+      (st.getLen, st.getModificationTime)
+    }
+    val total = groups.map(_.rowCount).sum
+    val parts = graft.sources.log.LogSource.planShardPartitions(
+      file, len, mtime, file.getName, 0L, total, 1L)
+    assert(parts.length == groups.length)
+    assert(parts.forall(p => p.startByte >= 0 && p.endByte > p.startByte),
+      "full-shard group-aligned partitions must carry byte ranges")
+    parts.sliding(2).foreach {
+      case Seq(a, b) => assert(a.endByte == b.startByte)
+      case _ =>
+    }
+    assert(parts.head.startByte == groups.head.startByte)
+    assert(parts.last.endByte == groups.last.endByte)
+    // reading each partition's byte range decodes its rows exactly once
+    val n = parts.map { p =>
+      val it = ParquetIO.readFile(file, schema, range = Some((p.startByte, p.endByte)))
+      try it.length.toLong finally it.close()
+    }.sum
+    assert(n == total)
+  }
+
   test("cdc planFile partitions are disjoint and cover every row once") {
     // targetBytes below one group's uncompressed size → one partition per group
     val parts = CdcInputPartition.planFile(file, 0L, 1L)
