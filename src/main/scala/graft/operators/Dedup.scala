@@ -209,8 +209,18 @@ object Dedup {
       maxShingleDf: Int = 10000): DataFrame = {
     def sh(df: DataFrame) = df.select(col(idCol).as("id"),
       explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
-    val corpusSh = capBuckets(sh(corpus), Seq("shingle"), maxShingleDf)
     val benchSh = sh(benchmark).select(col("id").as("bid"), col("shingle")).distinct()
+    // Restrict to benchmark-colliding shingles BEFORE the df cap: a
+    // shingle's corpus document frequency is invariant under filtering
+    // by shingle membership (only other shingles' rows are removed), so
+    // the stopword-cap semantics are EXACTLY unchanged — but the
+    // groupBy-count shuffle now carries only matched shingles instead
+    // of the whole corpus shingle stream (at 100 TB the corpus never
+    // shuffles for decontamination at all: broadcast filter + bounded
+    // cap + broadcast join).
+    val matched = sh(corpus)
+      .join(broadcast(benchSh.select(col("shingle")).distinct()), Seq("shingle"), "left_semi")
+    val corpusSh = capBuckets(matched, Seq("shingle"), maxShingleDf)
     corpusSh.join(broadcast(benchSh), "shingle")
       .groupBy(col("id"))
       .agg(countDistinct(col("shingle")).as("n_bad"),
