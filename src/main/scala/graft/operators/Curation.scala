@@ -65,28 +65,11 @@ object Curation {
     val ws = words(col(textCol))
 
     // (top covered-chars of any single gram, total covered chars of grams
-    // occurring >= 2 times) — linear fold over the sorted gram array;
-    // runCl/dupCl close out the run accumulated in the fold state
-    def coverage(n: Int): Column = {
-      val sorted = sort_array(grams(col("ws"), n))
-      def runCl(acc: Column): Column =
-        when(acc.getField("prev").isNull, lit(0L))
-          .otherwise(acc.getField("run") * length(acc.getField("prev")).cast("long"))
-      def dupCl(acc: Column): Column =
-        when(acc.getField("prev").isNull || acc.getField("run") < 2, lit(0L))
-          .otherwise(acc.getField("run") * length(acc.getField("prev")).cast("long"))
-      aggregate(sorted,
-        struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
-          lit(0L).as("top"), lit(0L).as("dup")),
-        (acc, g) => when(acc.getField("prev") <=> g,
-          struct(g.as("prev"), (acc.getField("run") + 1L).as("run"),
-            acc.getField("top").as("top"), acc.getField("dup").as("dup")))
-          .otherwise(struct(g.as("prev"), lit(1L).as("run"),
-            greatest(acc.getField("top"), runCl(acc)).as("top"),
-            (acc.getField("dup") + dupCl(acc)).as("dup"))),
-        acc => struct(greatest(acc.getField("top"), runCl(acc)).as("top"),
-          (acc.getField("dup") + dupCl(acc)).as("dup")))
-    }
+    // occurring >= 2 times) — one codegen'd hash pass per row
+    // (GramCoverage); integer char units, order-independent, so the
+    // value is bit-identical to the former sorted-run fold and the
+    // oracle's unnest+GROUP BY replay
+    def coverage(n: Int): Column = graft.functions.GramCoverage.gramCoverage(col("ws"), n)
 
     df.select(id,
         length(col(textCol)).cast("double").as("n_chars"),
