@@ -85,6 +85,48 @@ object Curation {
         round(col("c5.dup").cast("double") / col("n_chars"), 4).as("dup5_frac"))
   }
 
+  /** Deterministic token-budget subsample — "take N tokens from the
+    * corpus": keep documents in splitmix64(id) hash order (a uniform
+    * deterministic shuffle; id-asc tiebreak) until the running token
+    * total passes `budget` (a document is kept iff its INCLUSIVE
+    * running total ≤ budget). The standard pretraining-mixture primitive
+    * ("sample 50B tokens of web text"), engine-replayable: the oracle
+    * reproduces the hash order and the integer running sum exactly.
+    *
+    * Scale shape: a single global running sum would be one sorted
+    * partition. Instead hk-range buckets (monotone in the hash order)
+    * give a two-pass layout: per-bucket token totals (≤ `buckets` rows —
+    * a driver-sized frame, same stance as the IVF init window) yield
+    * each bucket's starting offset; the within-bucket running sum is a
+    * window over independent bucket partitions, so parallelism = bucket
+    * count. Nothing corpus-sized ever sits in one task.
+    */
+  def tokenBudget(
+      df: DataFrame, idCol: String, tokensCol: Column, budget: Long,
+      buckets: Int = 4096): DataFrame = {
+    require(budget >= 0, s"budget must be >= 0, got $budget")
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two >= 2, got $buckets")
+    val shift = 64 - Integer.numberOfTrailingZeros(buckets)
+    val id = col(idCol)
+    val withTok = df.select(id, tokensCol.cast("long").as("n_tok"),
+        Sketches.splitmixLong(id).as("__hk"))
+      // arithmetic >> keeps signed order, so bucket id is monotone in hk
+      .withColumn("__bucket", shiftright(col("__hk"), shift) + lit(buckets / 2))
+    val wB = Window.orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withTok.groupBy(col("__bucket"))
+      .agg(sum(col("n_tok")).as("__btok"))
+      .withColumn("__offset", coalesce(sum(col("__btok")).over(wB), lit(0L)))
+      .select(col("__bucket"), col("__offset"))
+    val wIn = Window.partitionBy(col("__bucket")).orderBy(col("__hk"), id)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    withTok.join(broadcast(offsets), "__bucket")
+      .withColumn("cum_tokens", col("__offset") + sum(col("n_tok")).over(wIn))
+      .where(col("cum_tokens") <= budget)
+      .select(id, col("n_tok"), col("cum_tokens"))
+  }
+
   /** Deterministic "concat and chunk" sequence packing: lay out documents
     * token-contiguously in (shard, id) order and cut the token stream of
     * each shard into fixed-`capacity` training sequences. Returns one row

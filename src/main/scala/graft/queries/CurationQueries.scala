@@ -95,6 +95,17 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Token-budget subsample: documents in splitmix64 hash order until
+    // the running token total passes the budget — "take N tokens from
+    // the corpus", the pretraining-mixture primitive. Oracle replays
+    // the hash order and the integer running sum verbatim.
+    "q_sample_token_budget" -> ((s, dir) => {
+      Curation.tokenBudget(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", size(split(col("text"), " ")), budget = 20000L)
+        .orderBy(col("doc_id"))
+    }),
+
     // Contrastive hard-negative mining: for each query embedding, the 5
     // most similar corpus vectors with a DIFFERENT label.
     "q_embed_hard_negatives" -> ((s, dir) => {
@@ -256,6 +267,21 @@ object CurationQueries {
         |FROM tokens JOIN freq USING (term) CROSS JOIN tot
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    "q_sample_token_budget" -> {
+      val hk = SketchOracleSql.splitmixBigintSql("doc_id")
+      s"""SELECT doc_id, n_tok, cum_tokens FROM (
+         |  SELECT doc_id, n_tok,
+         |    sum(n_tok) OVER (ORDER BY hk, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  FROM (
+         |    SELECT doc_id,
+         |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |      ($hk) AS hk
+         |    FROM documents)
+         |) WHERE cum_tokens <= 20000
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_sample_mixture" -> {
       val hk = SketchOracleSql.splitmixBigintSql("doc_id")

@@ -144,6 +144,30 @@ class CurationSpec extends SparkSpec {
 
   // --- mixture sampling ----------------------------------------------------
 
+  test("tokenBudget keeps a deterministic hash-order prefix within the budget") {
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 200L).map(i => (i, "w " * ((i % 10).toInt + 1))).toDF("doc_id", "text")
+    val tok = size(split(col("text"), " "))
+    val got = Curation.tokenBudget(docs, "doc_id", tok, budget = 300L, buckets = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.map(_._2).sum <= 300L)
+    // replay: hash order + inclusive running sum, independent formulation
+    val hk = docs.select(col("doc_id"), tok.cast("long").as("t"),
+      graft.functions.Sketches.splitmixLong(col("doc_id")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._1))
+    var cum = 0L
+    val expected = hk.flatMap { case (id, t, _) =>
+      cum += t; if (cum <= 300L) Some((id, t, cum)) else None
+    }
+    assert(got.sortBy(_._3).toSeq == expected.toSeq)
+    // budget covering everything keeps everything; zero keeps nothing
+    assert(Curation.tokenBudget(docs, "doc_id", tok, budget = 10000000L,
+      buckets = 16).count() == 200L)
+    assert(Curation.tokenBudget(docs, "doc_id", tok, budget = 0L,
+      buckets = 16).count() == 0L)
+  }
+
   test("sampleMixture thins deterministically at the requested rate") {
     val rows = (0L until 4000L).map(i => (i, s"s${i % 2}")).toDF("id", "src")
     val all = Curation.sampleMixture(rows, "id", lit(1.0))
