@@ -433,6 +433,29 @@ object Dedup {
     df.join(losers, Seq(idCol), "left_anti")
   }
 
+  /** Drop near-duplicates keeping the BEST-scoring member of each
+    * connected component (ties → smallest id); rows not in any pair
+    * pass through. The production variant of [[dropNearDuplicates]]: a
+    * real pipeline keeps the highest-quality copy of a duplicate
+    * cluster (longest, best quality score), not an arbitrary one.
+    * Shape: the component labels (bounded iterative state) plus two
+    * partial-aggregable groupBys on `component` — no windows.
+    */
+  def dropNearDuplicatesBest(df: DataFrame, pairs: DataFrame, idCol: String,
+      scoreCol: String): DataFrame = {
+    val comps = connectedComponents(pairs)
+    val scored = comps.join(
+      df.select(col(idCol).as("id"), col(scoreCol).as("__s")), "id")
+    val best = scored.groupBy(col("component")).agg(max(col("__s")).as("__best"))
+    val keepers = scored.join(best, "component")
+      .where(col("__s") === col("__best"))
+      .groupBy(col("component")).agg(min(col("id")).as("id"))
+      .select(col("id").as(idCol))
+    val losers = comps.select(col("id").as(idCol))
+      .join(keepers, Seq(idCol), "left_anti")
+    df.join(losers, Seq(idCol), "left_anti")
+  }
+
   /** Embedding near-duplicate pairs: hyperplane-sketch band join for
     * candidates, exact double-precision cosine for the verdict.
     */

@@ -90,6 +90,18 @@ object PipelineQueries {
       Dedup.connectedComponents(pairs).orderBy(col("id"))
     }),
 
+    // Best-keeper near-dup drop: per duplicate cluster keep the longest
+    // member (ties → min id) — what a production pipeline does, vs the
+    // arbitrary min-id keeper. Same pair graph as q_dedup_groups; the
+    // oracle replays closure + argmax independently.
+    "q_dedup_drop_best" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val pairs = Dedup.minHashLsh(docs, "text", "doc_id",
+        numHashes = 64, bands = 16, minJaccard = 0.2)
+      Dedup.dropNearDuplicatesBest(docs, pairs, "doc_id", "n_chars")
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // The composed scale path: LSH candidates, exact shingle-set verify —
     // what replaces the all-pairs-per-shingle join on a real corpus.
     "q_dedup_ngram_lsh" -> ((s, dir) => {

@@ -374,8 +374,8 @@ object SketchOracleSql {
     * entirely different algorithms (pointer-jumping rounds vs recursive
     * closure) must land on the identical fixpoint.
     */
-  def componentsOracle: String =
-    s"""WITH RECURSIVE $minhashCtes, sigs AS (
+  private def componentsCtes: String =
+    s"""$minhashCtes, sigs AS (
        |  SELECT id, sig FROM mh_sigs
        |), banded AS (
        |  SELECT id, sig, b, sig[(4 * b + 1)::INT : (4 * b + 4)::INT] AS key
@@ -395,8 +395,35 @@ object SketchOracleSql {
        |  SELECT src, src FROM edges
        |  UNION
        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
-       |)
+       |)""".stripMargin
+
+  def componentsOracle: String =
+    s"""WITH RECURSIVE $componentsCtes
        |SELECT id, min(r) AS component FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** q_dedup_drop_best: doc_ids surviving best-keeper near-dup drop —
+    * per component keep the max-n_chars member (ties → min id); docs in
+    * no pair pass through. Same pair graph as q_dedup_groups.
+    */
+  def dropBestOracle: String =
+    s"""WITH RECURSIVE $componentsCtes, comps AS (
+       |  SELECT id, min(r) AS component FROM reach GROUP BY 1
+       |), scored AS (
+       |  SELECT c.id, c.component, d.n_chars
+       |  FROM comps c JOIN documents d ON d.doc_id = c.id
+       |), best AS (
+       |  SELECT component, max(n_chars) AS b FROM scored GROUP BY 1
+       |), keepers AS (
+       |  SELECT s.component, min(s.id) AS kid
+       |  FROM scored s JOIN best ON s.component = best.component
+       |  WHERE s.n_chars = best.b GROUP BY 1
+       |), losers AS (
+       |  SELECT id FROM scored
+       |  WHERE id NOT IN (SELECT kid FROM keepers)
+       |)
+       |SELECT doc_id FROM documents
+       |WHERE doc_id NOT IN (SELECT id FROM losers)
+       |ORDER BY doc_id""".stripMargin
 
   /** q_dedup_embedding: (id_a, id_b, cosine ≥ 0.25); 8 bands × 8 bits. */
   def embeddingDedupOracle: String =
@@ -717,6 +744,7 @@ object SketchOracleSql {
     "q_ann_pq" -> annPqOracle,
     "q_ann_ivfpq" -> annIvfPqOracle,
     "q_dedup_groups" -> componentsOracle,
+    "q_dedup_drop_best" -> dropBestOracle,
     "q_corpus_stats" -> corpusStatsOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_dedup_ngram_lsh" -> ngramViaLshOracle,

@@ -42,6 +42,19 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 4L, 5L, 6L))
   }
 
+  test("dropNearDuplicatesBest keeps the top-scoring member per component") {
+    val scored = Seq(
+      (1L, "a", 10.0), (2L, "b", 30.0), (3L, "c", 30.0), // component {1,2,3}
+      (10L, "d", 5.0), (11L, "e", 4.0),                  // component {10,11}
+      (99L, "f", 1.0))                                   // unpaired
+      .toDF("doc_id", "text", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val kept = Dedup.dropNearDuplicatesBest(scored, pairs, "doc_id", "score")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    // {1,2,3}: max score 30 shared by 2 and 3 → min id 2; {10,11}: 10
+    assert(kept == Seq(2L, 10L, 99L))
+  }
+
   test("minhash LSH finds the near-dup pair and not unrelated pairs") {
     val pairs = Dedup.minHashLsh(docs, "text", "doc_id",
       numHashes = 64, bands = 16, minJaccard = 0.3).collect()
