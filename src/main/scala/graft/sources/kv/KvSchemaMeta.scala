@@ -27,8 +27,16 @@ object KvSchemaMeta {
     * tuple-derived write schema) would both constant-fold `IS NULL`
     * predicates to false and make the vectorized reader reject files
     * lacking the column.
+    *
+    * BEST-EFFORT: the sidecar is an inference convenience, never
+    * correctness — a concurrent-writer rename race or a filesystem
+    * hiccup must not fail the surrounding write commit; a lost update
+    * only degrades catalog-less reads to the footer union.
     */
-  def record(tablePath: String, schema: StructType): Unit = {
+  def record(tablePath: String, schema: StructType): Unit =
+    scala.util.Try(recordUnsafe(tablePath, schema)).getOrElse(())
+
+  private def recordUnsafe(tablePath: String, schema: StructType): Unit = {
     val nullable = allNullable(schema)
     val merged = read(tablePath).map(union(_, nullable)).getOrElse(nullable)
     val p = metaFile(tablePath)
@@ -39,8 +47,7 @@ object KvSchemaMeta {
     try out.write(merged.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p)) { fs.delete(tmp, false); throw new java.io.IOException(
-      s"rename $tmp -> $p failed recording schema meta") }
+    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
   }
 
   /** The persisted schema, or None when absent/unreadable. */
