@@ -25,7 +25,14 @@ object KvClustering {
     ParquetIO.listFilesStatus(tablePath)
       .map { case (f, len, mt) => (f.getName, len, mt) }.sortBy(_._1)
 
-  def record(tablePath: String, clusterBy: Seq[String]): Unit = {
+  /** BEST-EFFORT like the schema sidecar: a rename race or fs hiccup
+    * must not fail the rewrite that records the clustering — a lost
+    * update only loses the sort elision.
+    */
+  def record(tablePath: String, clusterBy: Seq[String]): Unit =
+    scala.util.Try(recordUnsafe(tablePath, clusterBy)).getOrElse(())
+
+  private def recordUnsafe(tablePath: String, clusterBy: Seq[String]): Unit = {
     val p = metaFile(tablePath)
     val fs = p.getFileSystem(ParquetIO.hadoopConf)
     if (clusterBy.isEmpty) { if (fs.exists(p)) fs.delete(p, false); return }
