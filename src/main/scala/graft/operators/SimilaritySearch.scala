@@ -159,7 +159,14 @@ object SimilaritySearch {
               size(col("mem")).cast("double")).as("ce"))
       iter += 1
     }
-    centroids
+    // LAZY persist (no job at plan construction): the trained frame is
+    // nCells rows but every consumer pair (assign + distance tables,
+    // assign + probes) would otherwise re-execute the whole Lloyd chain
+    // — per-consumer projections differ, so exchange reuse never fires
+    // (probe-verified: 24 corpus scans, 0 ReusedExchange in ivfPqKnn
+    // before this). First evaluation populates the cache; reruns read
+    // nCells rows instead of rescanning the corpus per iteration.
+    centroids.persist()
   }
 
   /** Assign each corpus vector to its nearest centroid (broadcast
