@@ -64,6 +64,24 @@ object Sketches {
 
   def splitmixLong(c: Column): Column = toColumn(SplitMix64Expr(exprOf(c)))
 
+  /** Seeded [[hashString]] of a string column — the engine's canonical
+    * replayable hash for feature bucketing (hashed n-gram features, DSIR
+    * importance weights). DuckDB replays it bit-for-bit via
+    * `SketchOracleSql.hashStrCols`.
+    */
+  case class StringHash64Expr(child: Expression, seed: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(
+        hashBytes(input.asInstanceOf[UTF8String].getBytes, seed))
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "string_hash64"
+  }
+
+  def stringHash64(c: Column, seed: Long): Column =
+    toColumn(StringHash64Expr(exprOf(c), seed))
+
   private[graft] def wordShingles(text: String, n: Int): Array[String] = {
     val words = text.trim.split("\\s+").filter(_.nonEmpty)
     if (words.length == 0) Array.empty

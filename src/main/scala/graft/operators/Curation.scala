@@ -285,4 +285,100 @@ object Curation {
       .withColumn("n_ips", TextFunctions.piiIpCount(col(textCol)))
       .withColumn("n_phones", TextFunctions.piiPhoneCount(col(textCol)))
       .withColumn(textCol, TextFunctions.redactPii(col(textCol)))
+
+  /** DSIR-style importance resampling: select `k` documents from `raw`
+    * with probability ∝ exp(importance weight), where the weight is the
+    * hashed-bigram log-likelihood ratio between a (small) `target`
+    * domain corpus and the raw corpus (Xie et al., NeurIPS 2023 — the
+    * standard "make 100 TB of crawl look like the target domain"
+    * pretraining selection step).
+    *
+    * Determinism contract (exact cross-engine replay, no RNG state):
+    *  - per-bucket weights are INTEGER-quantized,
+    *    `floor(1e6·(ln p̂_target(b) − ln p̂_raw(b)) + 0.5)` with
+    *    Laplace-smoothed bucket probabilities `(c_b+1)/(T+B)` — per-doc
+    *    scores are exact integer sums, immune to float fold order;
+    *  - sampling-without-replacement is Gumbel top-k: the per-doc key is
+    *    `score + floor(1e6·gumbel + 0.5)` with the Gumbel noise
+    *    `−ln(−ln u)` derived from `splitmix64(id ⊕ seed)` mapped to an
+    *    exact-dyadic u ∈ (0,1) — the engine-replayable analogue of
+    *    categorical sampling ∝ exp(score).
+    *
+    * Scale shape: two passes over `raw` (bucket histogram, then scoring)
+    * — the DSIR minimum. The histogram aggregations partial-combine
+    * map-side into ≤`buckets` rows each; the weight table is one
+    * broadcast row (a dense `buckets`-long array, ~8·B bytes); scoring
+    * is row-local against that broadcast (zero shuffle); selection is a
+    * [[BoundedTopK]] global aggregate (k-row map-side partials), not a
+    * sort. Nothing anywhere holds more than `max(buckets, k)` rows of
+    * state.
+    */
+  def importanceResample(
+      raw: DataFrame, target: DataFrame, textCol: String, idCol: String,
+      k: Int, buckets: Int = 1024, seed: Long = 0x7a5a0d51e5a3b1c9L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val id = col(idCol)
+
+    // unigrams ++ adjacent bigrams of the whitespace tokens (row-local);
+    // edge empty tokens dropped so empty/odd-whitespace docs featurize
+    // identically in any engine (ws-split empties are a Java quirk)
+    def feats(text: Column): Column = {
+      val w = filter(words(lower(text)), t => t =!= lit(""))
+      val bi = when(size(w) >= 2,
+        transform(sequence(lit(0), size(w) - 2),
+          i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
+        .otherwise(array().cast("array<string>"))
+      concat(w, bi)
+    }
+    def bucketOf(f: Column): Column =
+      pmod(Sketches.stringHash64(f, seed), lit(buckets.toLong)).cast("int")
+
+    def bucketCounts(df: DataFrame, name: String): DataFrame =
+      df.select(explode(feats(col(textCol))).as("f"))
+        .select(bucketOf(col("f")).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as(name))
+
+    val per = bucketCounts(target, "ct")
+      .join(bucketCounts(raw, "cr"), Seq("b"), "full_outer")
+      .select(col("b"),
+        coalesce(col("ct"), lit(0L)).as("ct"),
+        coalesce(col("cr"), lit(0L)).as("cr"))
+    // corpus feature totals as a broadcast scalar (every feature lands in
+    // exactly one bucket, so the bucket sums ARE the totals) — one lazy
+    // plan, no job during construction
+    val tot = per.agg(sum(col("ct")).cast("double").as("tt"),
+      sum(col("cr")).cast("double").as("tr"))
+    def lamOf(ct: Column, cr: Column): Column =
+      floor(lit(1e6) *
+        (log((ct.cast("double") + 1.0) / (col("tt") + buckets)) -
+         log((cr.cast("double") + 1.0) / (col("tr") + buckets))) + 0.5).cast("long")
+    // dense per-bucket weight array as ONE broadcast row; collect_list is
+    // bounded by construction (≤ `buckets` rows reach it)
+    val lamArr = per.crossJoin(broadcast(tot))
+      .select(col("b"), lamOf(col("ct"), col("cr")).as("lam"))
+      .agg(map_from_entries(collect_list(struct(col("b"), col("lam")))).as("m"))
+      .crossJoin(broadcast(tot))
+      .select(transform(sequence(lit(0), lit(buckets - 1)),
+        b => coalesce(try_element_at(col("m"), b), lamOf(lit(0L), lit(0L))))
+        .as("lam_arr"))
+
+    // row-local scoring against the broadcast weight array, then the
+    // Gumbel key; u = ((h >>> 11) + 0.5)·2⁻⁵³ is an exact dyadic in (0,1)
+    val u = (shiftrightunsigned(
+        Sketches.splitmixLong(id.cast("long").bitwiseXOR(lit(seed))), 11)
+      .cast("double") + 0.5) * lit(math.pow(2.0, -53))
+    raw.select(id, feats(col(textCol)).as("fs"))
+      .crossJoin(broadcast(lamArr))
+      .select(id,
+        aggregate(transform(col("fs"), f => bucketOf(f)), lit(0L),
+          (acc, b) => acc + element_at(col("lam_arr"), b + 1)).as("score"))
+      .withColumn("samp_key",
+        col("score") + floor(lit(1e6) * -log(-log(u)) + 0.5).cast("long"))
+      .agg(BoundedTopK.topK(
+        struct(col("samp_key").cast("double").as("key"), id, col("score")), k).as("top"))
+      .select(explode(col("top")).as("r"))
+      .select(col(s"r.$idCol"), col("r.score"),
+        col("r.key").cast("long").as("samp_key"))
+  }
 }

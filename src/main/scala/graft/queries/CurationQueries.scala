@@ -106,6 +106,20 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // DSIR importance resampling: 50 documents drawn ∝ exp(hashed-bigram
+    // log-likelihood ratio toward the src1–src3 "target domain") via
+    // deterministic Gumbel top-k — the domain-targeted data-selection
+    // step of a pretraining pipeline, replayed exactly by the oracle
+    // (integer-quantized weights, splitmix-derived noise).
+    "q_dsir_resample" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      Curation.importanceResample(
+        docs.select(col("doc_id"), col("text")),
+        docs.filter(col("source").isin("src1", "src2", "src3")).select(col("text")),
+        "text", "doc_id", k = 50)
+        .orderBy(col("doc_id"))
+    }),
+
     // Contrastive hard-negative mining: for each query embedding, the 5
     // most similar corpus vectors with a DIFFERENT label.
     "q_embed_hard_negatives" -> ((s, dir) => {
@@ -125,6 +139,10 @@ object CurationQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_dsir_resample" -> SketchOracleSql.dsirResampleOracle(
+      k = 50, buckets = 1024, seed = 0x7a5a0d51e5a3b1c9L,
+      targetPred = "source IN ('src1', 'src2', 'src3')"),
+
     "q_doc_repetition" ->
       """WITH perrow AS (
         |  SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars,

@@ -737,6 +737,62 @@ object SketchOracleSql {
     */
   def splitmixBigintSql(expr: String): String = sx(splitmix(ux(expr)))
 
+  /** DuckDB replay of `Curation.importanceResample` over the documents
+    * table (DSIR: hashed unigram+bigram buckets, integer-quantized
+    * Laplace-smoothed log-likelihood-ratio weights, splitmix-Gumbel
+    * top-k). `targetPred` selects the target-domain rows (a predicate
+    * over the documents columns). Every float step mirrors the Spark
+    * side's op order exactly; the only floats are the two `ln` calls per
+    * BUCKET (not per row) and the per-doc Gumbel, all quantized to
+    * integers with the same `floor(x·1e6 + 0.5)` before any comparison.
+    */
+  def dsirResampleOracle(k: Int, buckets: Int, seed: Long, targetPred: String): String = {
+    val B = buckets
+    def featShard(pred: String): String = {
+      val bigrams = "CASE WHEN len(w) >= 2 THEN list_transform(range(len(w) - 1), " +
+        "fb -> w[(fb+1)::INT] || ' ' || w[(fb+2)::INT]) ELSE []::VARCHAR[] END"
+      val featRows =
+        s"SELECT doc_id, source, unnest(list_concat(w, $bigrams)) AS f " +
+          s"FROM (SELECT doc_id, source, ${toks("lower(text)")} AS w " +
+          s"FROM documents WHERE doc_id $pred)"
+      s"SELECT doc_id, source, ${sx("hu")} AS h " +
+        s"FROM (${hashStrCols(featRows, "f", seed, 4, "hu", "dsf", Seq("doc_id", "source"))})"
+    }
+    val gumbel = smCols(
+      "SELECT d.doc_id, coalesce(s.score, 0::BIGINT) AS score " +
+        "FROM documents d LEFT JOIN dscore s ON d.doc_id = s.doc_id",
+      ux(s"xor(doc_id, ${seed}::BIGINT)"), "gh", "dsg")
+    s"""WITH bucketed AS MATERIALIZED (
+       |  SELECT doc_id, source, CAST(((h % $B) + $B) % $B AS BIGINT) AS b
+       |  FROM ${shardUnion(Shards, featShard)}
+       |), per AS (
+       |  SELECT coalesce(t.b, r.b) AS b, coalesce(t.ct, 0) AS ct, coalesce(r.cr, 0) AS cr
+       |  FROM (SELECT b, count(*)::BIGINT AS ct FROM bucketed WHERE $targetPred GROUP BY b) t
+       |  FULL OUTER JOIN (SELECT b, count(*)::BIGINT AS cr FROM bucketed GROUP BY b) r
+       |    ON t.b = r.b
+       |), tot AS (
+       |  SELECT CAST(sum(ct) AS DOUBLE) AS tt, CAST(sum(cr) AS DOUBLE) AS tr FROM per
+       |), lam AS (
+       |  SELECT ab.b, CAST(floor(1000000.0 *
+       |      (ln((coalesce(p.ct, 0) + 1.0) / (tot.tt + $B)) -
+       |       ln((coalesce(p.cr, 0) + 1.0) / (tot.tr + $B))) + 0.5) AS BIGINT) AS lam
+       |  FROM (SELECT unnest(range($B)) AS b) ab
+       |  LEFT JOIN per p ON ab.b = p.b, tot
+       |), dscore AS (
+       |  SELECT doc_id, CAST(sum(l.lam) AS BIGINT) AS score
+       |  FROM bucketed bk JOIN lam l ON bk.b = l.b GROUP BY doc_id
+       |), keyed AS (
+       |  SELECT doc_id, score,
+       |    score + CAST(floor(1000000.0 * (-ln(-ln(
+       |      ((gh // 2048::HUGEINT)::DOUBLE + 0.5) / 9007199254740992.0))) + 0.5) AS BIGINT)
+       |      AS samp_key
+       |  FROM ($gumbel)
+       |)
+       |SELECT doc_id, score, samp_key FROM (
+       |  SELECT * FROM keyed ORDER BY samp_key DESC, doc_id LIMIT $k
+       |) ORDER BY doc_id""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
     // the persisted-index search must answer identically to the
     // in-memory IVF path — same replayed-k-means oracle

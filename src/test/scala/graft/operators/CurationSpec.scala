@@ -234,4 +234,77 @@ class CurationSpec extends SparkSpec {
       .select("vec_id").as[Long].collect().sorted.toSeq
     assert(kept == Seq(10L, 20L))
   }
+
+  // --- DSIR importance resampling ------------------------------------------
+
+  /** Independent reference: same math, plain Scala collections. */
+  private def dsirReference(
+      raw: Seq[(Long, String)], target: Seq[String],
+      k: Int, buckets: Int, seed: Long): Seq[(Long, Long, Long)] = {
+    import graft.functions.Sketches
+    def feats(t: String): Seq[String] = {
+      val w = t.toLowerCase.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      w ++ w.iterator.sliding(2).withPartial(false).map(_.mkString(" "))
+    }
+    def bucketOf(f: String): Int =
+      java.lang.Math.floorMod(Sketches.hashString(f, seed), buckets.toLong).toInt
+    val tCnt = target.flatMap(feats).groupBy(bucketOf).view.mapValues(_.size.toLong).toMap
+    val rCnt = raw.flatMap(d => feats(d._2)).groupBy(bucketOf).view.mapValues(_.size.toLong).toMap
+    val tt = tCnt.values.sum.toDouble
+    val tr = rCnt.values.sum.toDouble
+    def lam(b: Int): Long =
+      math.floor(1e6 * (math.log((tCnt.getOrElse(b, 0L) + 1.0) / (tt + buckets)) -
+        math.log((rCnt.getOrElse(b, 0L) + 1.0) / (tr + buckets))) + 0.5).toLong
+    val keyed = raw.map { case (id, text) =>
+      val score = feats(text).map(f => lam(bucketOf(f))).sum
+      val u = ((Sketches.splitmix64(id ^ seed) >>> 11).toDouble + 0.5) * math.pow(2.0, -53)
+      (id, score, score + math.floor(1e6 * -math.log(-math.log(u)) + 0.5).toLong)
+    }
+    keyed.sortBy { case (id, _, key) => (-key, id) }.take(k).sortBy(_._1)
+  }
+
+  test("importanceResample matches an independent reference exactly") {
+    val raw = (0L until 60L).map { i =>
+      val dom = if (i % 3 == 0) "alpha beta gamma delta" else "red green blue cyan"
+      (i, s"$dom doc$i word${i % 7} word${i % 11} tail")
+    }
+    val target = Seq(
+      "alpha beta gamma targets", "beta gamma delta alpha", "gamma alpha beta")
+    val out = Curation.importanceResample(
+        raw.toDF("doc_id", "text"),
+        target.map(Tuple1(_)).toDF("text"),
+        "text", "doc_id", k = 12, buckets = 256, seed = 0x7a5a0d51e5a3b1c9L)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val ref = dsirReference(raw, target, k = 12, buckets = 256, seed = 0x7a5a0d51e5a3b1c9L)
+    assert(out == ref)
+    // the selection must lean toward the alpha/beta/gamma target domain
+    val targetShare = out.count(_._1 % 3 == 0).toDouble / out.size
+    assert(targetShare >= 0.75, s"expected target-domain docs to dominate, got $targetShare")
+  }
+
+  test("importanceResample handles empty docs and k > corpus") {
+    val raw = Seq((1L, "alpha beta"), (2L, ""), (3L, "   "), (4L, "solo")).toDF("doc_id", "text")
+    val target = Seq(Tuple1("alpha beta alpha")).toDF("text")
+    val out = Curation.importanceResample(raw, target, "text", "doc_id", k = 10,
+      buckets = 64)
+    assert(out.count() == 4) // k > corpus → everything selected
+    // empty/whitespace docs featurize to nothing → integer score 0
+    val scores = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(scores(2L) == 0L && scores(3L) == 0L)
+  }
+
+  test("importanceResample scores against a broadcast, with no windows") {
+    val raw = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
+    val target = Seq(Tuple1("a b")).toDF("text")
+    val plan = Curation.importanceResample(raw, target, "text", "doc_id", k = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "scoring must not use windows")
+    // the corpus is scored row-locally against the one-row broadcast
+    // weight array (the only joins touching the corpus are broadcasts;
+    // the bucket-histogram full-outer join is ≤`buckets` rows and may
+    // sort-merge — that's bounded state, not a scale concern)
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      "weight array must reach the corpus as a broadcast")
+  }
 }
