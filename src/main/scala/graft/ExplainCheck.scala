@@ -41,6 +41,17 @@ object ExplainCheck {
     }
     println(s"=== q_dedup_containment === cartesian joins: ${cart.length} (want 0), windows: ${cWin.length} (want 0)")
 
+    // DSIR scoring must reach the corpus as a one-row broadcast (no
+    // corpus-side shuffle for scoring); bloom decontamination must keep
+    // every corpus-touching join a broadcast
+    for (q <- Seq("q_dsir_resample", "q_doc_decontaminate_bloom")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      println(s"=== $q === sortmerge joins: " +
+        plan.linesIterator.count(_.contains("SortMergeJoin")) +
+        " on the corpus path (bucket-histogram SMJ is <=buckets rows), broadcasts: " +
+        plan.linesIterator.count(l => l.contains("BroadcastExchange") || l.contains("BroadcastNestedLoopJoin")))
+    }
+
     val idxDir = java.nio.file.Files.createTempDirectory("explainidx").toString + "/t"
     import org.apache.spark.sql.functions._
     import spark.implicits._

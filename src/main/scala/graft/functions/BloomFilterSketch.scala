@@ -1,0 +1,129 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
+
+/** Bloom filter over 64-bit hashes, as a `TypedImperativeAggregate` +
+  * membership expression — the compact-broadcast set for "is this
+  * shingle possibly in the benchmark?" style prefilters.
+  *
+  * Probe positions use Kirsch–Mitzenmacher double hashing (public
+  * construction, "Less Hashing, Same Performance", ESA'06): `g_j(x) =
+  * h1(x) + j·h2(x) mod m` with both base hashes derived from the input
+  * via splitmix64 — membership is a pure function of the hash value, so
+  * the filter built by any partitioning/merge order is bit-identical
+  * (merges are bitset ORs, which commute).
+  *
+  * Scale stance: at 100 TB the exact distinct-shingle set of even an
+  * eval benchmark is a multi-GB broadcast (8 B per shingle hash plus
+  * join-map overhead); at ~10 bits/element a Bloom filter carries the
+  * same no-false-negative prefilter in ~1/8th the bytes, and the
+  * false-positive survivors die in the exact (and now much smaller)
+  * verify join that follows. The aggregation buffer is `m/8` bytes per
+  * partition regardless of input size.
+  */
+object BloomFilterSketch {
+
+  private[graft] def probeBits(hash: Long, numBits: Int, numHashes: Int): Array[Int] = {
+    val h1 = Sketches.splitmix64(hash)
+    val h2 = Sketches.splitmix64(hash ^ 0x9e3779b97f4a7c15L) | 1L
+    Array.tabulate(numHashes) { j =>
+      java.lang.Long.remainderUnsigned(h1 + j.toLong * h2, numBits.toLong).toInt
+    }
+  }
+
+  /** Builds the `numBits`-wide filter over a LongType hash column;
+    * evaluates to the packed bitset as BinaryType (`numBits/8` bytes).
+    */
+  case class BloomAgg(
+      child: Expression,
+      numBits: Int,
+      numHashes: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[Long]] {
+
+    require(numBits >= 64 && numBits % 64 == 0,
+      s"numBits must be a positive multiple of 64, got $numBits")
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](numBits / 64)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        probeBits(v.asInstanceOf[Long], numBits, numHashes).foreach { bit =>
+          buf(bit >>> 6) |= 1L << (bit & 63)
+        }
+      }
+      buf
+    }
+
+    override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < buf.length) { buf(i) |= other(i); i += 1 }
+      buf
+    }
+
+    override def eval(buf: Array[Long]): Any = {
+      val bb = ByteBuffer.allocate(buf.length * 8)
+      buf.foreach(bb.putLong)
+      bb.array()
+    }
+
+    override def serialize(buf: Array[Long]): Array[Byte] = eval(buf).asInstanceOf[Array[Byte]]
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = ByteBuffer.wrap(bytes)
+      Array.fill(bytes.length / 8)(bb.getLong)
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): BloomAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): BloomAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+      copy(child = newChildren.head)
+    override def prettyName: String = "bloom_agg"
+  }
+
+  /** Membership probe: bits BinaryType (from [[BloomAgg]]), hash
+    * LongType. True ⇒ possibly present; false ⇒ DEFINITELY absent.
+    */
+  case class BloomMightContain(left: Expression, right: Expression,
+      numBits: Int, numHashes: Int)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = BooleanType
+    override def nullSafeEval(bits: Any, hash: Any): Any = {
+      val bytes = bits.asInstanceOf[Array[Byte]]
+      val probes = probeBits(hash.asInstanceOf[Long], numBits, numHashes)
+      var j = 0
+      while (j < probes.length) {
+        val bit = probes(j)
+        // BloomAgg packs word i at bytes [8i, 8i+8) big-endian
+        val b = bytes((bit >>> 6) * 8 + 7 - ((bit & 63) >>> 3))
+        if (((b >> (bit & 7)) & 1) == 0) return java.lang.Boolean.FALSE
+        j += 1
+      }
+      java.lang.Boolean.TRUE
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "bloom_might_contain"
+  }
+
+  def bloomAgg(hash: Column, numBits: Int, numHashes: Int): Column =
+    toColumn(BloomAgg(exprOf(hash), numBits, numHashes).toAggregateExpression())
+
+  def mightContain(bits: Column, hash: Column, numBits: Int, numHashes: Int): Column =
+    toColumn(BloomMightContain(exprOf(bits), exprOf(hash), numBits, numHashes))
+}

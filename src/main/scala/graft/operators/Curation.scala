@@ -344,6 +344,13 @@ object Curation {
       .select(col("b"),
         coalesce(col("ct"), lit(0L)).as("ct"),
         coalesce(col("cr"), lit(0L)).as("cr"))
+    // LAZY persist (no job at plan construction): the histogram frame is
+    // ≤`buckets` rows but costs a full corpus pass, and it feeds THREE
+    // consumers (the totals row twice, the per-bucket weight rows) —
+    // without the cache Spark re-executes the corpus histogram per
+    // consumer (shared subplans are not reused unless canonically-equal
+    // Exchanges align; confirmed on the ANN family)
+    per.persist()
     // corpus feature totals as a broadcast scalar (every feature lands in
     // exactly one bucket, so the bucket sums ARE the totals) — one lazy
     // plan, no job during construction

@@ -228,6 +228,47 @@ object Dedup {
       .where(col("n_bad") >= minOverlap)
   }
 
+  /** [[decontaminate]] with a Bloom-filter prefilter in place of the
+    * exact-set broadcast semi-join — the 100 TB shape: the benchmark's
+    * distinct shingles collapse into a `numBits`-bit filter (ONE binary
+    * row, ~numBits/8 bytes — ~8× smaller than the exact hash-set
+    * broadcast at 10 bits/element), the corpus shingle stream is
+    * prefiltered row-locally against that broadcast, and only the tiny
+    * surviving stream reaches the exact benchmark join, where Bloom
+    * false positives die (no false negatives ⇒ a Bloom miss is a true
+    * miss). The df cap is per-shingle and every row of a surviving
+    * shingle survives the prefilter, so cap semantics are EXACTLY those
+    * of [[decontaminate]] — the result is bit-identical for any
+    * `numBits`/`numHashes`, only the broadcast size and the exact-join
+    * input volume change.
+    */
+  def decontaminateBloom(
+      corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String,
+      n: Int = 3, minOverlap: Int = 1,
+      maxShingleDf: Int = 10000,
+      numBits: Int = 1 << 22, numHashes: Int = 5,
+      seed: Long = 0x61b0f11e5eedL): DataFrame = {
+    import graft.functions.{BloomFilterSketch, Sketches}
+    def sh(df: DataFrame) = df.select(col(idCol).as("id"),
+      explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
+    val benchSh = sh(benchmark).select(col("id").as("bid"), col("shingle")).distinct()
+    val bloomRow = benchSh
+      .select(BloomFilterSketch.bloomAgg(
+        Sketches.stringHash64(col("shingle"), seed), numBits, numHashes).as("bloom"))
+    val matched = sh(corpus)
+      .crossJoin(broadcast(bloomRow))
+      .where(BloomFilterSketch.mightContain(col("bloom"),
+        Sketches.stringHash64(col("shingle"), seed), numBits, numHashes))
+      .drop("bloom")
+    val corpusSh = capBuckets(matched, Seq("shingle"), maxShingleDf)
+    corpusSh.join(broadcast(benchSh), "shingle")
+      .groupBy(col("id"))
+      .agg(countDistinct(col("shingle")).as("n_bad"),
+        countDistinct(col("bid")).as("n_bench"))
+      .where(col("n_bad") >= minOverlap)
+  }
+
   /** Word-level containment dedup: pairs (id_inner, id_outer) where the
     * inner document's normalized word sequence appears verbatim
     * (contiguous, word-aligned) inside the outer document — the "quoted

@@ -82,6 +82,21 @@ object TextQueries {
         .orderBy(col("id"))
     }),
 
+    // The same decontamination through the Bloom-prefilter path (compact
+    // broadcast + exact verify join): numBits is deliberately small here
+    // (4096 bits for ~700 benchmark shingles ⇒ a few % false positives)
+    // so the gate PROVES fp survivors die in the exact join — the result
+    // must be bit-identical to q_doc_decontaminate's oracle.
+    "q_doc_decontaminate_bloom" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.Dedup.decontaminateBloom(
+        docs.filter(col("doc_id") % 37 =!= 0),
+        docs.filter(col("doc_id") % 37 === 0),
+        "text", "doc_id", n = 3, minOverlap = 1, maxShingleDf = 100,
+        numBits = 4096, numHashes = 5)
+        .orderBy(col("id"))
+    }),
+
     "q_doc_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
         .select(col("doc_id"), split(col("text"), " ").as("words"))
@@ -142,7 +157,36 @@ object TextQueries {
     }),
   )
 
+  // shingle construction mirrors TextFunctions.shingles exactly
+  // (trim + \s+ split, end-clipped windows, per-doc distinct) — the
+  // same replica the q_dedup_ngram_lsh oracle uses. Shared by the exact
+  // and Bloom-prefilter decontamination gates: the Bloom path is
+  // bit-identical by construction (no false negatives; fp survivors die
+  // in the exact verify join).
+  private val decontaminateOracle: String =
+    """WITH sets AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(greatest(len(words) - 3, 0) + 1), si ->
+      |      array_to_string(words[(si + 1)::INT : (least(si + 3, len(words)))::INT], ' '))) AS ss
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+      |        FROM documents)
+      |), sh AS (
+      |  SELECT doc_id, unnest(ss) AS shingle FROM sets
+      |), corpus AS (SELECT * FROM sh WHERE doc_id % 37 <> 0),
+      |bench AS (SELECT doc_id AS bid, shingle FROM sh WHERE doc_id % 37 = 0),
+      |rare AS (SELECT shingle FROM corpus GROUP BY shingle HAVING count(*) <= 100),
+      |c AS (SELECT corpus.doc_id, corpus.shingle
+      |      FROM corpus JOIN rare USING (shingle))
+      |SELECT c.doc_id AS id, count(DISTINCT c.shingle) AS n_bad,
+      |  count(DISTINCT bench.bid) AS n_bench
+      |FROM c JOIN bench USING (shingle)
+      |GROUP BY 1
+      |HAVING count(DISTINCT c.shingle) >= 1
+      |ORDER BY id""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q_doc_decontaminate_bloom" -> decontaminateOracle,
+    "q_doc_decontaminate" -> decontaminateOracle,
     "q_doc_dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM documents
@@ -169,30 +213,6 @@ object TextQueries {
       """SELECT doc_id, md5(lower(regexp_replace(text, '\s+', ' ', 'g'))) AS fp
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
-
-    // shingle construction mirrors TextFunctions.shingles exactly
-    // (trim + \s+ split, end-clipped windows, per-doc distinct) — the
-    // same replica the q_dedup_ngram_lsh oracle uses
-    "q_doc_decontaminate" ->
-      """WITH sets AS (
-        |  SELECT doc_id,
-        |    list_distinct(list_transform(range(greatest(len(words) - 3, 0) + 1), si ->
-        |      array_to_string(words[(si + 1)::INT : (least(si + 3, len(words)))::INT], ' '))) AS ss
-        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
-        |        FROM documents)
-        |), sh AS (
-        |  SELECT doc_id, unnest(ss) AS shingle FROM sets
-        |), corpus AS (SELECT * FROM sh WHERE doc_id % 37 <> 0),
-        |bench AS (SELECT doc_id AS bid, shingle FROM sh WHERE doc_id % 37 = 0),
-        |rare AS (SELECT shingle FROM corpus GROUP BY shingle HAVING count(*) <= 100),
-        |c AS (SELECT corpus.doc_id, corpus.shingle
-        |      FROM corpus JOIN rare USING (shingle))
-        |SELECT c.doc_id AS id, count(DISTINCT c.shingle) AS n_bad,
-        |  count(DISTINCT bench.bid) AS n_bench
-        |FROM c JOIN bench USING (shingle)
-        |GROUP BY 1
-        |HAVING count(DISTINCT c.shingle) >= 1
-        |ORDER BY id""".stripMargin,
 
     "q_doc_ngram_jaccard" ->
       """WITH w AS (

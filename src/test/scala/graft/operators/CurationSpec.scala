@@ -306,5 +306,9 @@ class CurationSpec extends SparkSpec {
     // sort-merge — that's bounded state, not a scale concern)
     assert(plan.contains("BroadcastNestedLoopJoin"),
       "weight array must reach the corpus as a broadcast")
+    // the histogram frame is persisted: its corpus pass runs ONCE, not
+    // once per consumer (totals ×2 + weight rows)
+    assert(plan.contains("InMemoryTableScan"),
+      "bucket histogram must be cached across its three consumers")
   }
 }

@@ -46,6 +46,10 @@ class LazyPlanSpec extends SparkSpec {
         "embedding", "vec_id", k = 2, nCells = 2, nProbe = 1, m = 2,
         pqCells = 2, maxTrainPerCell = 8)
       Curation.unigramSurprisal(docs, "text", "doc_id")
+      // lazy histogram persist: construction must not materialize it
+      Curation.importanceResample(docs, docs.select(col("text")),
+        "text", "doc_id", k = 1, buckets = 64)
+      Dedup.decontaminateBloom(docs, docs, "text", "doc_id")
     }
     assert(n == 0, s"plan construction ran $n Spark jobs")
   }
