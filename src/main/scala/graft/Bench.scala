@@ -36,9 +36,14 @@ object Bench {
 
     run("q1_pricing_summary") // warmup (unmeasured)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    // optional comma-separated name-prefix filter (local iteration only —
+    // the driver invokes with no args and gets the full set)
+    val only = args.headOption.map(_.split(",").toSeq)
+    val names = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.exists(n.startsWith)))
     // per-query median of `runs` runs (BASELINE.md protocol): robust to a
     // stray GC/compilation pause landing in one measurement
-    val spreads = SparkEntry.queries.keys.toSeq.sorted.map { n =>
+    val spreads = names.map { n =>
       val times = (0 until runs).map(_ => run(n)).sorted
       n -> times
     }

@@ -126,4 +126,46 @@ object BloomFilterSketch {
 
   def mightContain(bits: Column, hash: Column, numBits: Int, numHashes: Int): Column =
     toColumn(BloomMightContain(exprOf(bits), exprOf(hash), numBits, numHashes))
+
+  /** Array-level probe: keep the string elements whose seeded hash might
+    * be in the filter — ONE imperative eval per document instead of a
+    * hash + probe expression pair per exploded shingle (the same
+    * per-element-dispatch trade `FeatureBucketsExpr` makes).
+    */
+  case class BloomKeepStrings(left: Expression, right: Expression,
+      numBits: Int, numHashes: Int, seed: Long)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType =
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false)
+    override def nullSafeEval(bits: Any, arr: Any): Any = {
+      val bytes = bits.asInstanceOf[Array[Byte]]
+      val a = arr.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = a.numElements()
+      val out = new scala.collection.mutable.ArrayBuffer[Any](n)
+      var i = 0
+      while (i < n) {
+        val s = a.getUTF8String(i)
+        val probes = probeBits(Sketches.hashBytes(s.getBytes, seed), numBits, numHashes)
+        var hit = true
+        var j = 0
+        while (hit && j < probes.length) {
+          val bit = probes(j)
+          val b = bytes((bit >>> 6) * 8 + 7 - ((bit & 63) >>> 3))
+          if (((b >> (bit & 7)) & 1) == 0) hit = false
+          j += 1
+        }
+        if (hit) out += s.clone() // detach from the (possibly reused) buffer
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+    }
+    override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+      copy(left = l, right = r)
+    override def prettyName: String = "bloom_keep_strings"
+  }
+
+  def keepStrings(bits: Column, arr: Column, numBits: Int, numHashes: Int,
+      seed: Long): Column =
+    toColumn(BloomKeepStrings(exprOf(bits), exprOf(arr), numBits, numHashes, seed))
 }

@@ -82,6 +82,47 @@ object Sketches {
   def stringHash64(c: Column, seed: Long): Column =
     toColumn(StringHash64Expr(exprOf(c), seed))
 
+  /** Hashed unigram+bigram feature buckets of a token array — the DSIR
+    * featurization as ONE imperative eval per document (the per-feature
+    * `transform(…, stringHash64)` HOF pays expression-tree dispatch per
+    * feature; this loop hashes a 200-feature doc in one call, the same
+    * trade [[MinHashSignature]] makes). Layout: unigram buckets in token
+    * order, then adjacent-bigram buckets; bigram bytes are the exact
+    * UTF-8 of `a + " " + b`, so the DuckDB replay hashes the same bytes.
+    */
+  case class FeatureBucketsExpr(child: Expression, buckets: Int, seed: Long)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val n = arr.numElements()
+      val out = new Array[Int](if (n >= 2) 2 * n - 1 else n)
+      var i = 0
+      while (i < n) {
+        out(i) = java.lang.Math.floorMod(
+          hashBytes(arr.getUTF8String(i).getBytes, seed), buckets.toLong).toInt
+        i += 1
+      }
+      i = 0
+      while (i < n - 1) {
+        val a = arr.getUTF8String(i).getBytes
+        val b = arr.getUTF8String(i + 1).getBytes
+        val bi = new Array[Byte](a.length + 1 + b.length)
+        System.arraycopy(a, 0, bi, 0, a.length)
+        bi(a.length) = ' '
+        System.arraycopy(b, 0, bi, a.length + 1, b.length)
+        out(n + i) = java.lang.Math.floorMod(hashBytes(bi, seed), buckets.toLong).toInt
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "feature_buckets"
+  }
+
+  def featureBuckets(tokens: Column, buckets: Int, seed: Long): Column =
+    toColumn(FeatureBucketsExpr(exprOf(tokens), buckets, seed))
+
   private[graft] def wordShingles(text: String, n: Int): Array[String] = {
     val words = text.trim.split("\\s+").filter(_.nonEmpty)
     if (words.length == 0) Array.empty

@@ -320,23 +320,16 @@ object Curation {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val id = col(idCol)
 
-    // unigrams ++ adjacent bigrams of the whitespace tokens (row-local);
-    // edge empty tokens dropped so empty/odd-whitespace docs featurize
-    // identically in any engine (ws-split empties are a Java quirk)
-    def feats(text: Column): Column = {
-      val w = filter(words(lower(text)), t => t =!= lit(""))
-      val bi = when(size(w) >= 2,
-        transform(sequence(lit(0), size(w) - 2),
-          i => concat_ws(" ", element_at(w, i + 1), element_at(w, i + 2))))
-        .otherwise(array().cast("array<string>"))
-      concat(w, bi)
-    }
-    def bucketOf(f: Column): Column =
-      pmod(Sketches.stringHash64(f, seed), lit(buckets.toLong)).cast("int")
+    // hashed unigram+bigram buckets, one imperative eval per doc
+    // ([[Sketches.FeatureBucketsExpr]]); edge empty tokens dropped so
+    // empty/odd-whitespace docs featurize identically in any engine
+    // (ws-split empties are a Java quirk)
+    def featBuckets(text: Column): Column =
+      Sketches.featureBuckets(
+        filter(words(lower(text)), t => t =!= lit("")), buckets, seed)
 
     def bucketCounts(df: DataFrame, name: String): DataFrame =
-      df.select(explode(feats(col(textCol))).as("f"))
-        .select(bucketOf(col("f")).as("b"))
+      df.select(explode(featBuckets(col(textCol))).as("b"))
         .groupBy(col("b")).agg(count(lit(1)).as(name))
 
     val per = bucketCounts(target, "ct")
@@ -375,10 +368,10 @@ object Curation {
     val u = (shiftrightunsigned(
         Sketches.splitmixLong(id.cast("long").bitwiseXOR(lit(seed))), 11)
       .cast("double") + 0.5) * lit(math.pow(2.0, -53))
-    raw.select(id, feats(col(textCol)).as("fs"))
+    raw.select(id, featBuckets(col(textCol)).as("fb"))
       .crossJoin(broadcast(lamArr))
       .select(id,
-        aggregate(transform(col("fs"), f => bucketOf(f)), lit(0L),
+        aggregate(col("fb"), lit(0L),
           (acc, b) => acc + element_at(col("lam_arr"), b + 1)).as("score"))
       .withColumn("samp_key",
         col("score") + floor(lit(1e6) * -log(-log(u)) + 0.5).cast("long"))

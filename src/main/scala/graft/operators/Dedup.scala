@@ -256,11 +256,13 @@ object Dedup {
     val bloomRow = benchSh
       .select(BloomFilterSketch.bloomAgg(
         Sketches.stringHash64(col("shingle"), seed), numBits, numHashes).as("bloom"))
-    val matched = sh(corpus)
+    // array-level probe BEFORE the explode: one imperative eval per doc
+    // filters its whole shingle array against the broadcast bitset
+    val matched = corpus
+      .select(col(idCol).as("id"), TextFunctions.shingles(col(textCol), n).as("ss"))
       .crossJoin(broadcast(bloomRow))
-      .where(BloomFilterSketch.mightContain(col("bloom"),
-        Sketches.stringHash64(col("shingle"), seed), numBits, numHashes))
-      .drop("bloom")
+      .select(col("id"), explode(BloomFilterSketch.keepStrings(
+        col("bloom"), col("ss"), numBits, numHashes, seed)).as("shingle"))
     val corpusSh = capBuckets(matched, Seq("shingle"), maxShingleDf)
     corpusSh.join(broadcast(benchSh), "shingle")
       .groupBy(col("id"))
