@@ -127,6 +127,45 @@ object Curation {
       .select(id, col("n_tok"), col("cum_tokens"))
   }
 
+  /** Per-group [[tokenBudget]] — the dataset-mixture builder: each group
+    * (domain, source, language) keeps its documents in splitmix64 hash
+    * order until the group's own running token total passes the group's
+    * own budget ("2B tokens of web, 500M of code, …"). `budget` is a
+    * per-row Column evaluated on the group's rows (same contract as
+    * [[sampleMixture]]'s rate), so budgets can be data-derived.
+    *
+    * Same two-pass bounded-state shape as [[tokenBudget]], with the
+    * group prepended to every key: bucket offsets aggregate to
+    * (groups × buckets) rows (broadcast), and the in-bucket window is
+    * PARTITIONED BY (group, bucket) — parallelism is groups × buckets
+    * and no task ever holds more than one bucket of one group. The kept
+    * set is exactly the per-group hash-order prefix, engine-replayable.
+    */
+  def tokenBudgetByGroup(
+      df: DataFrame, groupCol: String, idCol: String, tokensCol: Column,
+      budget: Column, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2 && (buckets & (buckets - 1)) == 0,
+      s"buckets must be a power of two >= 2, got $buckets")
+    val shift = 64 - Integer.numberOfTrailingZeros(buckets)
+    val grp = col(groupCol)
+    val id = col(idCol)
+    val withTok = df.select(grp, id, tokensCol.cast("long").as("n_tok"),
+        budget.cast("long").as("__budget"), Sketches.splitmixLong(id).as("__hk"))
+      .withColumn("__bucket", shiftright(col("__hk"), shift) + lit(buckets / 2))
+    val wB = Window.partitionBy(grp).orderBy(col("__bucket"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withTok.groupBy(grp, col("__bucket"))
+      .agg(sum(col("n_tok")).as("__btok"))
+      .withColumn("__offset", coalesce(sum(col("__btok")).over(wB), lit(0L)))
+      .select(grp, col("__bucket"), col("__offset"))
+    val wIn = Window.partitionBy(grp, col("__bucket")).orderBy(col("__hk"), id)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    withTok.join(broadcast(offsets), Seq(groupCol, "__bucket"))
+      .withColumn("cum_tokens", col("__offset") + sum(col("n_tok")).over(wIn))
+      .where(col("cum_tokens") <= col("__budget"))
+      .select(grp, id, col("n_tok"), col("cum_tokens"))
+  }
+
   /** Deterministic "concat and chunk" sequence packing: lay out documents
     * token-contiguously in (shard, id) order and cut the token stream of
     * each shard into fixed-`capacity` training sequences. Returns one row

@@ -75,6 +75,27 @@ object Dedup {
     withFp.join(keepers, Seq("__fp", idCol), "left_semi").drop("__fp")
   }
 
+  /** Incremental ingest dedup — the steady-state shape of a continuously
+    * ingesting pipeline: drop batch rows whose normalized content
+    * fingerprint already exists in the `seen` store (the fingerprints of
+    * everything ingested so far), then drop exact duplicates WITHIN the
+    * batch (min-`idCol` keeper). Returns the surviving rows with their
+    * `fp` so the caller appends exactly those fingerprints back to the
+    * store — typically a kv table clustered by `fp`
+    * ([[graft.operators.KvMerge.rewrite]]), so at 100 TB the
+    * batch-vs-store anti-join co-partitions on the store's layout
+    * instead of reshuffling the store per batch. Both joins key on the
+    * 64-bit fingerprint: the batch shuffles once, the store never
+    * rewrites.
+    */
+  def dropSeenDuplicates(
+      batch: DataFrame, seenFps: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val withFp = batch.withColumn("fp", TextFunctions.fingerprint64(col(textCol)))
+    val unseen = withFp.join(seenFps.select(col("fp")), Seq("fp"), "left_anti")
+    val keepers = unseen.groupBy(col("fp")).agg(min(col(idCol)).as(idCol))
+    unseen.join(keepers, Seq("fp", idCol), "left_semi")
+  }
+
   /** MinHash + LSH banding near-dup candidate pairs with verified
     * signature-estimated Jaccard.
     *

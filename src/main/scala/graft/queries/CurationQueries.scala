@@ -106,6 +106,19 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-domain token budgets (the mixture builder): each source keeps
+    // its hash-order document prefix until ITS budget (400/800/1200
+    // tokens, cycling by source number) — oracle replays the per-group
+    // window sum verbatim.
+    "q_sample_domain_budget" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val budget = (((substring(col("source"), 4, 10).cast("int") % 3) + 1) * 400).cast("long")
+      Curation.tokenBudgetByGroup(
+        docs.select(col("source"), col("doc_id"), col("text")),
+        "source", "doc_id", size(split(col("text"), " ")), budget)
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance resampling: 50 documents drawn ∝ exp(hashed-bigram
     // log-likelihood ratio toward the src1–src3 "target domain") via
     // deterministic Gumbel top-k — the domain-targeted data-selection
@@ -298,6 +311,22 @@ object CurationQueries {
          |      ($hk) AS hk
          |    FROM documents)
          |) WHERE cum_tokens <= 20000
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_sample_domain_budget" -> {
+      val hk = SketchOracleSql.splitmixBigintSql("doc_id")
+      s"""SELECT source, doc_id, n_tok, cum_tokens FROM (
+         |  SELECT source, doc_id, n_tok, bud,
+         |    sum(n_tok) OVER (PARTITION BY source ORDER BY hk, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |  FROM (
+         |    SELECT source, doc_id,
+         |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |      CAST(((CAST(substr(source, 4) AS INT) % 3) + 1) * 400 AS BIGINT) AS bud,
+         |      ($hk) AS hk
+         |    FROM documents)
+         |) WHERE cum_tokens <= bud
          |ORDER BY doc_id""".stripMargin
     },
 

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.functions.TextFunctions
 
 /** Training-data-pipeline text operators over the `documents` table —
   * oracle-checkable subset (exact dedup, token stats, quality scoring,
@@ -80,6 +81,24 @@ object TextQueries {
         docs.filter(col("doc_id") % 37 === 0),
         "text", "doc_id", n = 3, minOverlap = 1, maxShingleDf = 100)
         .orderBy(col("id"))
+    }),
+
+    // Incremental ingest dedup: batch 1 (even doc ids) is "already
+    // ingested" — its fingerprints are written to a real kv store table
+    // in-gate; batch 2 re-delivers the whole corpus and must keep only
+    // never-seen content, deduped within the batch (min-id keeper).
+    "q_dedup_incremental" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val store = s"/tmp/graft_fpstore$safe"
+      val docs = Tables.load(s, dir, "documents")
+      docs.filter(col("doc_id") % 2 === 0)
+        .select(TextFunctions.fingerprint64(col("text")).as("fp"))
+        .distinct()
+        .write.format("kv").option("path", store).mode("overwrite").save()
+      graft.operators.Dedup.dropSeenDuplicates(
+          docs, s.read.format("kv").option("path", store).load(), "text", "doc_id")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
     }),
 
     // The same decontamination through the Bloom-prefilter path (compact
@@ -187,6 +206,23 @@ object TextQueries {
   def oracles: Map[String, String] = Map(
     "q_doc_decontaminate_bloom" -> decontaminateOracle,
     "q_doc_decontaminate" -> decontaminateOracle,
+
+    // content identity = the normalized text itself (the fingerprint is
+    // an engine detail; equality of fingerprints == equality of
+    // normalized strings, collisions aside)
+    "q_dedup_incremental" ->
+      """WITH norm AS (
+        |  SELECT doc_id, source,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), b1 AS (SELECT DISTINCT t FROM norm WHERE doc_id % 2 = 0),
+        |cand AS (
+        |  SELECT doc_id, source, t FROM norm
+        |  WHERE t NOT IN (SELECT t FROM b1)
+        |), keep AS (SELECT t, min(doc_id) AS doc_id FROM cand GROUP BY t)
+        |SELECT c.doc_id, c.source FROM cand c
+        |JOIN keep k ON c.t = k.t AND c.doc_id = k.doc_id
+        |ORDER BY c.doc_id""".stripMargin,
     "q_doc_dedup_exact" ->
       """SELECT md5(text) AS text_hash, count(*) AS n_copies, min(doc_id) AS keep_id
         |FROM documents

@@ -235,6 +235,32 @@ class CurationSpec extends SparkSpec {
     assert(kept == Seq(10L, 20L))
   }
 
+  test("tokenBudgetByGroup keeps an independent hash-order prefix per group") {
+    import org.apache.spark.sql.functions._
+    val docs = (1L to 120L).map(i => (s"g${i % 3}", i, "w " * ((i % 10).toInt + 1)))
+      .toDF("grp", "doc_id", "text")
+    val tok = size(split(col("text"), " "))
+    val budget = when(col("grp") === "g0", 0L)
+      .when(col("grp") === "g1", 60L).otherwise(100000L)
+    val got = Curation.tokenBudgetByGroup(docs, "grp", "doc_id", tok, budget, buckets = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // zero-budget group drops everything; unbounded group keeps everything
+    assert(!got.exists(_._1 == "g0"))
+    assert(got.count(_._1 == "g2") == 40)
+    // bounded group: exact per-group hash-order prefix, independently replayed
+    val g1 = docs.filter(col("grp") === "g1")
+      .select(col("doc_id"), tok.cast("long").as("t"),
+        graft.functions.Sketches.splitmixLong(col("doc_id")).as("h"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(t => (t._3, t._1))
+    var cum = 0L
+    val expect = g1.flatMap { case (id, t, _) =>
+      cum += t; if (cum <= 60L) Some((id, t, cum)) else None
+    }.toSeq
+    assert(got.filter(_._1 == "g1").sortBy(_._4).map(t => (t._2, t._3, t._4)).toSeq == expect)
+  }
+
   // --- DSIR importance resampling ------------------------------------------
 
   /** Independent reference: same math, plain Scala collections. */

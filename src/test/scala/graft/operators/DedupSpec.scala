@@ -227,4 +227,20 @@ class DedupSpec extends SparkSpec {
     assert((pairs(0).getAs[Long]("id_a"), pairs(0).getAs[Long]("id_b")) == (10L, 11L))
     assert(pairs(0).getAs[Double]("cosine") > 0.999)
   }
+
+  test("dropSeenDuplicates: seen content dropped, batch deduped, unseen kept") {
+    import graft.functions.TextFunctions
+    val seen = Seq("already ingested doc", "another   OLD one")
+      .toDF("text").select(TextFunctions.fingerprint64(col("text")).as("fp"))
+    val batch = Seq(
+      (10L, "already ingested doc"),     // seen → dropped
+      (11L, "Another old ONE"),          // seen modulo normalization → dropped
+      (12L, "brand new content"),        // unseen → kept
+      (13L, "brand  NEW content"),       // in-batch dup of 12 → dropped
+      (14L, "also fresh")                // unseen singleton → kept
+    ).toDF("doc_id", "text")
+    val out = Dedup.dropSeenDuplicates(batch, seen, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(out == Seq(12L, 14L))
+  }
 }
