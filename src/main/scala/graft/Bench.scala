@@ -109,14 +109,18 @@ object Bench {
       "\"" + n + "\":{\"min\":" + t.head + ",\"med\":" + t(t.length / 2) +
         ",\"max\":" + t.last + rr + "}"
     }.mkString("{", ",", "}")
-    val spreadFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD_OUT", "BENCH_SPREAD.json")
+    // a filtered run must never clobber the committed full-set spread
+    // (or the driver-read bench line) with a partial subset
+    val spreadFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_SPREAD_OUT",
+      if (only.isDefined) "/tmp/graft_bench_subset_spread.json" else "BENCH_SPREAD.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(spreadFile),
       s"""{"runs":$runs,"sf":"$sfDir","total_med":$total,"queries":$spreadJson}""" + "\n")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","n":$runs,"queries":$qs,""" +
       s""""outliers":$outlierJson,"sf":"$sfDir"}"""
     // stdout can be interleaved with sbt/Spark noise — always also write
     // the line to a file the driver can read verbatim
-    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (only.isDefined) "/tmp/graft_bench_subset.json" else "/tmp/graft_bench.json")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     println(line)
     System.err.println(s"[bench] json written to $outFile")

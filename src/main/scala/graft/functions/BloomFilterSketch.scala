@@ -29,12 +29,41 @@ import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
   */
 object BloomFilterSketch {
 
-  private[graft] def probeBits(hash: Long, numBits: Int, numHashes: Int): Array[Int] = {
-    val h1 = Sketches.splitmix64(hash)
-    val h2 = Sketches.splitmix64(hash ^ 0x9e3779b97f4a7c15L) | 1L
-    Array.tabulate(numHashes) { j =>
-      java.lang.Long.remainderUnsigned(h1 + j.toLong * h2, numBits.toLong).toInt
+  // The packing layout lives in exactly these three helpers: probe
+  // position j = h1 + j·h2 mod m (double hashing), word i serialized
+  // big-endian at bytes [8i, 8i+8). No per-element allocation — these
+  // run once per corpus shingle on the prefilter hot path.
+
+  @inline private def probe(h1: Long, h2: Long, j: Int, numBits: Int): Int =
+    java.lang.Long.remainderUnsigned(h1 + j.toLong * h2, numBits.toLong).toInt
+
+  @inline private def baseHashes(hash: Long): (Long, Long) =
+    (Sketches.splitmix64(hash), Sketches.splitmix64(hash ^ 0x9e3779b97f4a7c15L) | 1L)
+
+  private[graft] def setBits(buf: Array[Long], hash: Long,
+      numBits: Int, numHashes: Int): Unit = {
+    val (h1, h2) = baseHashes(hash)
+    var j = 0
+    while (j < numHashes) {
+      val bit = probe(h1, h2, j, numBits)
+      buf(bit >>> 6) |= 1L << (bit & 63)
+      j += 1
     }
+  }
+
+  private[graft] def probeHit(bytes: Array[Byte], hash: Long,
+      numBits: Int, numHashes: Int): Boolean = {
+    val (h1, h2) = baseHashes(hash)
+    var j = 0
+    while (j < numHashes) {
+      val bit = probe(h1, h2, j, numBits)
+      // word i at bytes [8i, 8i+8) big-endian; bit k of the word is bit
+      // (k & 7) of byte 7 - (k >>> 3) within it
+      val b = bytes((bit >>> 6) * 8 + 7 - ((bit & 63) >>> 3))
+      if (((b >> (bit & 7)) & 1) == 0) return false
+      j += 1
+    }
+    true
   }
 
   /** Builds the `numBits`-wide filter over a LongType hash column;
@@ -60,11 +89,7 @@ object BloomFilterSketch {
 
     override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
       val v = child.eval(input)
-      if (v != null) {
-        probeBits(v.asInstanceOf[Long], numBits, numHashes).foreach { bit =>
-          buf(bit >>> 6) |= 1L << (bit & 63)
-        }
-      }
+      if (v != null) setBits(buf, v.asInstanceOf[Long], numBits, numHashes)
       buf
     }
 
@@ -103,19 +128,9 @@ object BloomFilterSketch {
       numBits: Int, numHashes: Int)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = BooleanType
-    override def nullSafeEval(bits: Any, hash: Any): Any = {
-      val bytes = bits.asInstanceOf[Array[Byte]]
-      val probes = probeBits(hash.asInstanceOf[Long], numBits, numHashes)
-      var j = 0
-      while (j < probes.length) {
-        val bit = probes(j)
-        // BloomAgg packs word i at bytes [8i, 8i+8) big-endian
-        val b = bytes((bit >>> 6) * 8 + 7 - ((bit & 63) >>> 3))
-        if (((b >> (bit & 7)) & 1) == 0) return java.lang.Boolean.FALSE
-        j += 1
-      }
-      java.lang.Boolean.TRUE
-    }
+    override def nullSafeEval(bits: Any, hash: Any): Any =
+      java.lang.Boolean.valueOf(probeHit(bits.asInstanceOf[Array[Byte]],
+        hash.asInstanceOf[Long], numBits, numHashes))
     override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
       copy(left = l, right = r)
     override def prettyName: String = "bloom_might_contain"
@@ -146,16 +161,8 @@ object BloomFilterSketch {
       var i = 0
       while (i < n) {
         val s = a.getUTF8String(i)
-        val probes = probeBits(Sketches.hashBytes(s.getBytes, seed), numBits, numHashes)
-        var hit = true
-        var j = 0
-        while (hit && j < probes.length) {
-          val bit = probes(j)
-          val b = bytes((bit >>> 6) * 8 + 7 - ((bit & 63) >>> 3))
-          if (((b >> (bit & 7)) & 1) == 0) hit = false
-          j += 1
-        }
-        if (hit) out += s.clone() // detach from the (possibly reused) buffer
+        if (probeHit(bytes, Sketches.hashBytes(s.getBytes, seed), numBits, numHashes))
+          out += s.clone() // detach from the (possibly reused) buffer
         i += 1
       }
       new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)

@@ -140,6 +140,9 @@ object Curation {
     * PARTITIONED BY (group, bucket) — parallelism is groups × buckets
     * and no task ever holds more than one bucket of one group. The kept
     * set is exactly the per-group hash-order prefix, engine-replayable.
+    *
+    * Contract: the group column must be non-null (a null group would be
+    * dropped by the offset key join, not budgeted).
     */
   def tokenBudgetByGroup(
       df: DataFrame, groupCol: String, idCol: String, tokensCol: Column,
@@ -149,8 +152,18 @@ object Curation {
     val shift = 64 - Integer.numberOfTrailingZeros(buckets)
     val grp = col(groupCol)
     val id = col(idCol)
+    // fail-loud budget validation (the per-row analogue of tokenBudget's
+    // require): a NULL or negative budget would otherwise silently drop
+    // the whole group through the `cum <= budget` filter
+    val budgetChecked = {
+      val b = budget.cast("long")
+      when(b.isNull || b < 0, raise_error(concat(
+        lit("tokenBudgetByGroup: null/negative budget for group "),
+        grp.cast("string"))).cast("long"))
+        .otherwise(b)
+    }
     val withTok = df.select(grp, id, tokensCol.cast("long").as("n_tok"),
-        budget.cast("long").as("__budget"), Sketches.splitmixLong(id).as("__hk"))
+        budgetChecked.as("__budget"), Sketches.splitmixLong(id).as("__hk"))
       .withColumn("__bucket", shiftright(col("__hk"), shift) + lit(buckets / 2))
     val wB = Window.partitionBy(grp).orderBy(col("__bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -414,10 +427,16 @@ object Curation {
           (acc, b) => acc + element_at(col("lam_arr"), b + 1)).as("score"))
       .withColumn("samp_key",
         col("score") + floor(lit(1e6) * -log(-log(u)) + 0.5).cast("long"))
+      // BoundedTopK needs a leading double, but a long→double key alone
+      // would collapse distinct keys above 2^53; long→double rounding is
+      // MONOTONE, so (double desc, -key asc, id asc) == the exact
+      // (key desc, id asc) order, and the emitted samp_key never
+      // round-trips through the double
       .agg(BoundedTopK.topK(
-        struct(col("samp_key").cast("double").as("key"), id, col("score")), k).as("top"))
+        struct(col("samp_key").cast("double").as("key"),
+          (-col("samp_key")).as("neg_key"), id, col("score")), k).as("top"))
       .select(explode(col("top")).as("r"))
       .select(col(s"r.$idCol"), col("r.score"),
-        col("r.key").cast("long").as("samp_key"))
+        (-col("r.neg_key")).as("samp_key"))
   }
 }

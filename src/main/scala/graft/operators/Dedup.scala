@@ -274,7 +274,9 @@ object Dedup {
     def sh(df: DataFrame) = df.select(col(idCol).as("id"),
       explode(TextFunctions.shingles(col(textCol), n)).as("shingle"))
     val benchSh = sh(benchmark).select(col("id").as("bid"), col("shingle")).distinct()
-    val bloomRow = benchSh
+    // build from the shingle-distinct set: re-inserting a shared shingle
+    // once per benchmark doc is idempotent (OR) but wasted hashing
+    val bloomRow = benchSh.select(col("shingle")).distinct()
       .select(BloomFilterSketch.bloomAgg(
         Sketches.stringHash64(col("shingle"), seed), numBits, numHashes).as("bloom"))
     // array-level probe BEFORE the explode: one imperative eval per doc
