@@ -253,6 +253,107 @@ object Curation {
     df.join(picked, Seq(groupCol, idCol), "left_semi")
   }
 
+  /** Deterministic global shuffle + reshard — the "epoch shuffle" a
+    * training dataloader needs: a reproducible uniform permutation of the
+    * corpus, materialized as (shard, position-in-shard, global position).
+    * Concatenating shards in shard order reads the corpus in exactly the
+    * permutation `splitmix64(id ⊕ seed)` ascending (id-asc tiebreak) —
+    * change `seed` per epoch for a fresh permutation, and any engine (or
+    * a later re-run) reproduces the same order bit for bit. Unlike
+    * `ORDER BY rand()` there is no RNG state and no partition-layout
+    * dependence.
+    *
+    * Scale shape (same two-pass layout as [[tokenBudget]]): shard = the
+    * top hash bits (monotone in the hash order), so the within-shard
+    * `row_number` window partitions by shard — parallelism = shard count,
+    * and no task holds more than one shard. Global positions come from a
+    * ≤`shards`-row offset frame (per-shard counts, broadcast back); the
+    * corpus itself shuffles once, on the shard key.
+    */
+  def shuffleShards(
+      df: DataFrame, idCol: String, shards: Int, seed: Long = 0L): DataFrame = {
+    require(shards >= 2 && (shards & (shards - 1)) == 0,
+      s"shards must be a power of two >= 2, got $shards")
+    val shift = 64 - Integer.numberOfTrailingZeros(shards)
+    val id = col(idCol)
+    val withHk = df.select(id,
+        Sketches.splitmixLong(id.cast("long").bitwiseXOR(lit(seed))).as("__hk"))
+      // arithmetic >> keeps signed order, so shard id is monotone in hk
+      .withColumn("shard", (shiftright(col("__hk"), shift) + lit(shards / 2)).cast("int"))
+    val wS = Window.orderBy(col("shard")).rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = withHk.groupBy(col("shard"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__offset", coalesce(sum(col("__cnt")).over(wS), lit(0L)))
+      .select(col("shard"), col("__offset"))
+    val wIn = Window.partitionBy(col("shard")).orderBy(col("__hk"), id)
+    withHk.join(broadcast(offsets), "shard")
+      .withColumn("pos", row_number().over(wIn).cast("long") - 1L)
+      .select(id, col("shard"), col("pos"), (col("__offset") + col("pos")).as("global_pos"))
+  }
+
+  /** Bigram-interpolated surprisal — the context-sensitive upgrade of
+    * [[unigramSurprisal]] (the cheap end of CCNet-style LM-perplexity
+    * filtering): per document, the mean over token positions i ≥ 2 of
+    * −ln( λ·p̂(wᵢ|wᵢ₋₁) + (1−λ)·p̂(wᵢ) ) under the corpus's own counts.
+    * Fluent, corpus-typical text scores low; shuffled or off-distribution
+    * word soup scores high even when its individual words are common —
+    * which is exactly what the unigram score cannot see.
+    *
+    * Determinism contract: each bigram TYPE's surprisal is quantized to
+    * integer micro-nats once (`floor(1e6·x + 0.5)`, the [[importanceResample]]
+    * discipline), so per-doc totals are exact integer sums immune to float
+    * fold order; the emitted mean is the integer division `sum div n`.
+    * Docs with fewer than two words have no bigram and are absent.
+    *
+    * Scale shape: counts and the per-type weight table are vocabulary- /
+    * bigram-vocabulary-sized (shuffled on their term keys — the canonical
+    * word-count layout; AQE broadcasts them when small, and nothing here
+    * requires a broadcast). The token stream itself shuffles twice: once
+    * into per-(doc, bigram-type) counts, once joining those to the weight
+    * table — never into a per-doc window.
+    */
+  def bigramSurprisal(
+      df: DataFrame, textCol: String, idCol: String,
+      lambda: Double = 0.7): DataFrame = {
+    require(lambda > 0.0 && lambda <= 1.0, s"lambda must be in (0, 1], got $lambda")
+    val id = col(idCol)
+    val ws = words(col(textCol))
+
+    val tokens = df.select(id, explode(ws).as("term"))
+    val uni = tokens.groupBy(col("term")).agg(count(lit(1)).as("uc"))
+    // corpus token total as a broadcast scalar (one row, lazy plan)
+    val total = uni.agg(sum(col("uc")).cast("double").as("__tot"))
+
+    // per-(doc, bigram-type) occurrence counts: positions 2..n as
+    // (prev, cur) pairs via a row-local transform, then one aggregation
+    val docPairs = df.select(id, ws.as("w"))
+      .where(size(col("w")) >= 2)
+      .select(id, explode(transform(sequence(lit(2), size(col("w"))),
+        i => struct(element_at(col("w"), i - 1).as("prev"),
+          element_at(col("w"), i).as("cur")))).as("p"))
+      .select(id, col("p.prev").as("prev"), col("p.cur").as("cur"))
+      .groupBy(id, col("prev"), col("cur")).agg(count(lit(1)).as("m"))
+
+    val bc = docPairs.groupBy(col("prev"), col("cur")).agg(sum(col("m")).as("bc"))
+    // one integer weight per bigram TYPE (bigram-vocab-sized, computed once)
+    val typeScore = bc
+      .join(uni.select(col("term").as("prev"), col("uc").as("pc")), "prev")
+      .join(uni.select(col("term").as("cur"), col("uc").as("cc")), "cur")
+      .crossJoin(broadcast(total))
+      .select(col("prev"), col("cur"),
+        floor(lit(1e6) * -log(
+          lit(lambda) * (col("bc").cast("double") / col("pc").cast("double")) +
+            lit(1.0 - lambda) * (col("cc").cast("double") / col("__tot"))) + 0.5)
+          .cast("long").as("micro"))
+
+    docPairs.join(typeScore, Seq("prev", "cur"))
+      .groupBy(id)
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m") * col("micro")).as("__sum_micro"))
+      .select(id, col("n_bigrams"),
+        expr("__sum_micro div n_bigrams").as("surprisal_micro"))
+  }
+
   /** Gopher-style composite document filter (Rae et al. §A1.1 shape):
     * every rule is a row-local codegen'd expression — no shuffle, no UDF
     * — and each document gets a `passed` flag plus a comma-joined

@@ -133,6 +133,26 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic epoch shuffle: the corpus as a reproducible uniform
+    // permutation (8 shards, per-epoch seed), materialized as
+    // (shard, pos, global_pos) — oracle replays the seeded splitmix
+    // order and both row_number layers verbatim.
+    "q_doc_shuffle_shards" -> ((s, dir) => {
+      Curation.shuffleShards(
+        Tables.load(s, dir, "documents").select(col("doc_id")),
+        "doc_id", shards = 8, seed = 17L)
+        .orderBy(col("doc_id"))
+    }),
+
+    // Bigram-interpolated surprisal (CCNet-perplexity family): per-doc
+    // mean of −ln(0.7·p(w|prev) + 0.3·p(w)) in integer micro-nats —
+    // context-sensitive quality scoring the unigram gate cannot see.
+    "q_doc_bigram_surprisal" -> ((s, dir) => {
+      Curation.bigramSurprisal(Tables.load(s, dir, "documents"), "text", "doc_id",
+        lambda = 0.7)
+        .orderBy(col("doc_id"))
+    }),
+
     // Contrastive hard-negative mining: for each query embedding, the 5
     // most similar corpus vectors with a DIFFERENT label.
     "q_embed_hard_negatives" -> ((s, dir) => {
@@ -341,6 +361,64 @@ object CurationQueries {
          |  FROM documents
          |) WHERE u53 < thr::HUGEINT
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_doc_shuffle_shards" -> {
+      // shards = 8 → shift = 61; arithmetic >> replayed as floor division
+      // (DuckDB // truncates toward zero, so the negative branch shifts
+      // the numerator down by D-1 first)
+      val hk = SketchOracleSql.splitmixBigintSql("xor(doc_id, 17::BIGINT)")
+      val d = 1L << 61
+      s"""WITH h AS (
+         |  SELECT doc_id, ($hk) AS hk FROM documents
+         |), s AS (
+         |  SELECT doc_id, hk,
+         |    CAST((CASE WHEN hk >= 0 THEN hk // ${d}
+         |      ELSE ((hk::HUGEINT - ${d - 1}::HUGEINT) // ${d}::HUGEINT)::BIGINT END)
+         |      + 4 AS INT) AS shard
+         |  FROM h
+         |)
+         |SELECT doc_id, shard,
+         |  CAST(row_number() OVER (PARTITION BY shard ORDER BY hk, doc_id) - 1
+         |    AS BIGINT) AS pos,
+         |  CAST(row_number() OVER (ORDER BY shard, hk, doc_id) - 1
+         |    AS BIGINT) AS global_pos
+         |FROM s
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_doc_bigram_surprisal" -> {
+      val lam = 0.7
+      val om = 1.0 - lam // printed via Scala Double.toString == Spark's lit value
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents
+         |), tokens AS (
+         |  SELECT doc_id, unnest(ws) AS term FROM w
+         |), uni AS (
+         |  SELECT term, count(*)::BIGINT AS uc FROM tokens GROUP BY 1
+         |), tot AS (SELECT CAST(sum(uc) AS DOUBLE) AS total FROM uni),
+         |dp AS (
+         |  SELECT doc_id, prev, cur, count(*)::BIGINT AS m FROM (
+         |    SELECT doc_id, ws[i] AS prev, ws[i + 1] AS cur
+         |    FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+         |    WHERE len(ws) >= 2
+         |  ) GROUP BY 1, 2, 3
+         |), bc AS (
+         |  SELECT prev, cur, CAST(sum(m) AS BIGINT) AS bc FROM dp GROUP BY 1, 2
+         |), ts AS (
+         |  SELECT b.prev, b.cur,
+         |    CAST(floor(1000000.0 * -ln(
+         |      CAST($lam AS DOUBLE) * (CAST(b.bc AS DOUBLE) / CAST(up.uc AS DOUBLE)) +
+         |      CAST($om AS DOUBLE) * (CAST(uc2.uc AS DOUBLE) / tot.total)) + 0.5)
+         |      AS BIGINT) AS micro
+         |  FROM bc b JOIN uni up ON b.prev = up.term
+         |    JOIN uni uc2 ON b.cur = uc2.term CROSS JOIN tot
+         |)
+         |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(m * micro) // sum(m) AS BIGINT) AS surprisal_micro
+         |FROM dp JOIN ts USING (prev, cur)
+         |GROUP BY 1
+         |ORDER BY 1""".stripMargin
     },
 
     "q_embed_hard_negatives" ->

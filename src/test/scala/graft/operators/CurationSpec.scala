@@ -261,6 +261,59 @@ class CurationSpec extends SparkSpec {
     assert(got.filter(_._1 == "g1").sortBy(_._4).map(t => (t._2, t._3, t._4)).toSeq == expect)
   }
 
+  test("shuffleShards emits a reproducible seeded permutation") {
+    import org.apache.spark.sql.functions._
+    val ids = (1L to 500L).toSeq
+    val docs = ids.map(Tuple1(_)).toDF("doc_id")
+    val got = Curation.shuffleShards(docs, "doc_id", shards = 8, seed = 17L)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+
+    // a permutation: every id exactly once, global positions dense 0..N-1,
+    // per-shard positions dense from 0
+    assert(got.map(_._1).sorted.toSeq == ids)
+    assert(got.map(_._4).sorted.toSeq == (0L until 500L).toSeq)
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == (0L until rows.length).toSeq)
+    }
+    // independent replay: shard = top hash bits keeps shard-major order
+    // equal to plain splitmix64(id ^ seed) ascending (id-asc tiebreak)
+    val expect = ids.map(i => (i, graft.functions.Sketches.splitmix64(i ^ 17L)))
+      .sortBy { case (id, h) => (h, id) }.map(_._1)
+    assert(got.sortBy(_._4).map(_._1).toSeq == expect)
+    // a different seed is a different permutation
+    val got0 = Curation.shuffleShards(docs, "doc_id", shards = 8, seed = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(3)))
+    assert(got0.sortBy(_._2).map(_._1).toSeq != expect)
+  }
+
+  test("bigramSurprisal matches a plain-Scala reference in micro-nats") {
+    val texts = Map(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat sat",
+      3L -> "mat the",
+      4L -> "solo",                  // < 2 words → absent from the output
+      5L -> "zz qq zz qq zz")
+    val docs = texts.toSeq.map { case (id, t) => (id, t) }.toDF("doc_id", "text")
+    val got = Curation.bigramSurprisal(docs, "text", "doc_id", lambda = 0.7)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+
+    val toks = texts.view.mapValues(_.trim.split("\\s+").toSeq).toMap
+    val uni = toks.values.flatten.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tot = uni.values.sum.toDouble
+    val pairs = toks.view.mapValues(w => w.zip(w.drop(1))).toMap
+    val bc = pairs.values.flatten.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def micro(p: (String, String)): Long =
+      math.floor(1e6 * -math.log(
+        0.7 * (bc(p).toDouble / uni(p._1).toDouble) +
+          (1.0 - 0.7) * (uni(p._2).toDouble / tot)) + 0.5).toLong
+    val expect = pairs.toSeq.filter(_._2.nonEmpty).map { case (id, ps) =>
+      val s = ps.map(micro).sum
+      (id, ps.size.toLong, s / ps.size)
+    }.sortBy(_._1)
+    assert(got.toSeq == expect)
+    assert(!got.exists(_._1 == 4L))
+  }
+
   // --- DSIR importance resampling ------------------------------------------
 
   /** Independent reference: same math, plain Scala collections. */
