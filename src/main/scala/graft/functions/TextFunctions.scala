@@ -110,6 +110,37 @@ object TextFunctions {
         piiIpRegex, "<IP>"),
       piiPhoneRegex, "<PHONE>")
 
+  /** Canonicalize a URL for crawl dedup — the standard web-pipeline key:
+    * lowercase scheme and host, strip a leading `www.`, drop the default
+    * port (`:80` for http, `:443` for https), strip the fragment and any
+    * trailing slashes on the path, remove tracking parameters
+    * (`utm_*`, `fbclid`, `gclid`) and sort the survivors byte-wise.
+    * `http://www.A.com:80/x/?b=2&utm_source=f&a=1#top` and
+    * `HTTP://a.com/x?a=1&b=2` collapse to the same key.
+    *
+    * Built entirely from codegen'd built-ins (regexes in the RE2∩Java
+    * subset, like [[redactPii]]) — row-local, no UDF, and replayable
+    * verbatim in any engine, which is what makes the dedup-by-URL gate
+    * oracle-exact.
+    */
+  def canonicalUrl(u: Column): Column = {
+    val noFrag = regexp_replace(u, "#.*$", "")
+    val scheme = lower(regexp_extract(noFrag, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostPort = lower(regexp_extract(noFrag, "^[^:/?#]+://([^/?#]*)", 1))
+    val noWww = regexp_replace(hostPort, "^www\\.", "")
+    val host = when(scheme === "http", regexp_replace(noWww, ":80$", ""))
+      .when(scheme === "https", regexp_replace(noWww, ":443$", ""))
+      .otherwise(noWww)
+    val path = regexp_replace(
+      regexp_extract(noFrag, "^[^:/?#]+://[^/?#]*(/[^?#]*)?", 1), "/+$", "")
+    val query = regexp_extract(noFrag, "\\?([^#]*)", 1)
+    val params = filter(split(query, "&"),
+      p => p =!= lit("") && !p.rlike("^(utm_[^=]*|fbclid|gclid)(=|$)"))
+    val canonQ = array_join(array_sort(params), "&")
+    concat(scheme, lit("://"), host, path,
+      when(canonQ === "", lit("")).otherwise(concat(lit("?"), canonQ)))
+  }
+
   /** Word n-gram shingles as an array column (distinct). */
   def shingles(c: Column, n: Int): Column = {
     val words = WhitespaceTokens.wsTokens(c)

@@ -229,6 +229,56 @@ object Curation {
       .agg(count(lit(1)).as("n_docs"), sum(col("fill")).as("fill_tokens"))
   }
 
+  /** Overlapping token-window chunking — the retrieval/RAG and
+    * long-context prep step: cut each document's word stream into windows
+    * of `chunk` tokens starting every `stride` tokens (overlap =
+    * `chunk − stride`). Emits one row per (doc, window) with the window
+    * index, token offset, token count and the chunk text. A window
+    * starts at every multiple of `stride` below the doc length, so tail
+    * windows may be short but every token is covered; empty docs emit
+    * nothing.
+    *
+    * Scale shape: a pure row-local transform (sequence + explode over
+    * each row's own word array) — zero shuffles, embarrassingly parallel,
+    * and fully inside whole-stage codegen.
+    */
+  def chunkDocuments(
+      df: DataFrame, textCol: String, idCol: String,
+      chunk: Int, stride: Int): DataFrame = {
+    require(chunk >= 1 && stride >= 1 && stride <= chunk,
+      s"need 1 <= stride <= chunk, got chunk=$chunk stride=$stride")
+    val id = col(idCol)
+    df.select(id, words(col(textCol)).as("w"))
+      // the tokenizer maps the empty/all-space doc to [""] (split
+      // parity) — such docs have no chunkable content and emit nothing
+      .where(size(col("w")) > 1 || element_at(col("w"), 1) =!= "")
+      .select(id, col("w"),
+        explode(sequence(lit(0),
+          floor((size(col("w")) - 1) / lit(stride)).cast("int"))).as("chunk_idx"))
+      .select(id, col("chunk_idx"),
+        (col("chunk_idx") * stride).cast("long").as("start_tok"),
+        least(lit(chunk), size(col("w")) - col("chunk_idx") * stride)
+          .cast("long").as("n_tok"),
+        array_join(slice(col("w"), col("chunk_idx") * stride + 1,
+          least(lit(chunk), size(col("w")) - col("chunk_idx") * stride)), " ")
+          .as("chunk_text"))
+  }
+
+  /** Top-`k` corpus vocabulary by term frequency (count desc, term asc) —
+    * the tokenizer-training / vocab-pruning primitive. The global top-k
+    * rides [[BoundedTopK]] (k-row map-side partials, count-as-double is
+    * exact below 2⁵³), never a full sort of the term table.
+    */
+  def topVocabulary(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    df.select(explode(words(col(textCol))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("cnt"))
+      .agg(BoundedTopK.topK(
+        struct(col("cnt").cast("double").as("key"), col("term"), col("cnt")), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("i", "r")))
+      .select((col("i") + 1).as("rnk"), col("r.term").as("term"), col("r.cnt").as("cnt"))
+  }
+
   /** Deterministic uniform sample of `k` rows per group: keep the k
     * members with the largest `splitmix64(id)` (as double, id-asc
     * tiebreak — the same replayable order [[SimilaritySearch]] uses for

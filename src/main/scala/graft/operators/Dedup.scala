@@ -65,6 +65,21 @@ object Dedup {
       .select(col("fp"), col("n_copies"), col("keep_id"),
         transform(col("__top"), x => x.getField("id")).as("ids"))
 
+  /** URL-keyed crawl dedup: group documents by their canonical URL
+    * ([[TextFunctions.canonicalUrl]] — case/port/tracking-param/fragment
+    * variants collapse) and return one row per canonical key with the
+    * min-id keeper and the variant count. The cheapest first pass of a
+    * web-crawl pipeline (URL identity before any content hashing).
+    *
+    * Scale shape: canonicalization is row-local codegen'd built-ins; the
+    * only shuffle is the groupBy on the canonical key with
+    * partial-aggregable min/count — nothing buffers a group.
+    */
+  def byUrl(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    df.select(TextFunctions.canonicalUrl(col(urlCol)).as("url_canon"), col(idCol))
+      .groupBy(col("url_canon"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_docs"))
+
   /** Remove exact duplicates, keeping the min-id row per content group.
     * Window-free formulation: a semi-join against the keeper set (cheaper
     * than a row_number window over the full corpus at scale).

@@ -153,6 +153,21 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Overlapping token-window chunking (RAG prep): 64-token windows
+    // every 48 tokens — row-local sequence+explode, zero shuffles.
+    "q_doc_chunks" -> ((s, dir) => {
+      Curation.chunkDocuments(Tables.load(s, dir, "documents"), "text", "doc_id",
+        chunk = 64, stride = 48)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Top-100 corpus vocabulary by frequency (count desc, term asc) via
+    // the bounded heap — tokenizer-training support.
+    "q_doc_vocab_topk" -> ((s, dir) => {
+      Curation.topVocabulary(Tables.load(s, dir, "documents"), "text", k = 100)
+        .orderBy(col("rnk"))
+    }),
+
     // Contrastive hard-negative mining: for each query embedding, the 5
     // most similar corpus vectors with a DIFFERENT label.
     "q_embed_hard_negatives" -> ((s, dir) => {
@@ -362,6 +377,31 @@ object CurationQueries {
          |) WHERE u53 < thr::HUGEINT
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q_doc_chunks" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+        |)
+        |SELECT doc_id, CAST(k AS INT) AS chunk_idx,
+        |  CAST(k * 48 AS BIGINT) AS start_tok,
+        |  CAST(least(64, len(ws) - k * 48) AS BIGINT) AS n_tok,
+        |  array_to_string(ws[k * 48 + 1 : k * 48 + least(64, len(ws) - k * 48)],
+        |    ' ') AS chunk_text
+        |FROM w, unnest(generate_series(0, (len(ws) - 1) // 48)) AS t(k)
+        |WHERE len(ws) > 1 OR ws[1] <> ''
+        |ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_doc_vocab_topk" ->
+      """WITH tokens AS (
+        |  SELECT unnest(string_split_regex(trim(text), '\s+')) AS term FROM documents
+        |), f AS (
+        |  SELECT term, count(*)::BIGINT AS cnt FROM tokens GROUP BY 1
+        |), r AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY cnt DESC, term) AS INT) AS rnk,
+        |    term, cnt
+        |  FROM f
+        |)
+        |SELECT rnk, term, cnt FROM r WHERE rnk <= 100 ORDER BY rnk""".stripMargin,
 
     "q_doc_shuffle_shards" -> {
       // shards = 8 → shift = 61; arithmetic >> replayed as floor division

@@ -28,6 +28,28 @@ object TextQueries {
         .orderBy(col("text_hash"))
     }),
 
+    // URL-keyed crawl dedup over deterministically synthesized messy URLs
+    // (the fixture corpus has no url column — the augmentation is part of
+    // the query, replayed identically by the oracle): four raw variants
+    // per target (case, default port, www, trailing slash, tracking
+    // params, fragment) collapse onto per-scheme canonical keys.
+    "q_doc_url_dedup" -> ((s, dir) => {
+      val n = (col("doc_id") % 25).cast("string")
+      val v = col("doc_id") % 4
+      val url = when(v === 0, concat(lit("http://www.site"), n,
+          lit(".example.com/articles/"), n, lit("?b=2&a=1")))
+        .when(v === 1, concat(lit("HTTP://Site"), n,
+          lit(".EXAMPLE.com:80/articles/"), n, lit("/?a=1&utm_source=feed&b=2")))
+        .when(v === 2, concat(lit("http://site"), n,
+          lit(".example.com/articles/"), n, lit("?utm_campaign=x&a=1&b=2#frag")))
+        .otherwise(concat(lit("https://site"), n,
+          lit(".example.com:443/articles/"), n))
+      graft.operators.Dedup.byUrl(
+        Tables.load(s, dir, "documents").select(col("doc_id"), url.as("url")),
+        "url", "doc_id")
+        .orderBy(col("url_canon"))
+    }),
+
     // Token counting (whitespace tokenization; the BPE-ish regex variant is
     // in graft.functions.TextFunctions with its own spec).
     "q_doc_token_count" -> ((s, dir) => {
@@ -228,6 +250,51 @@ object TextQueries {
         |FROM documents
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    "q_doc_url_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN 'http://www.site' || (doc_id % 25)::VARCHAR ||
+        |        '.example.com/articles/' || (doc_id % 25)::VARCHAR || '?b=2&a=1'
+        |      WHEN 1 THEN 'HTTP://Site' || (doc_id % 25)::VARCHAR ||
+        |        '.EXAMPLE.com:80/articles/' || (doc_id % 25)::VARCHAR ||
+        |        '/?a=1&utm_source=feed&b=2'
+        |      WHEN 2 THEN 'http://site' || (doc_id % 25)::VARCHAR ||
+        |        '.example.com/articles/' || (doc_id % 25)::VARCHAR ||
+        |        '?utm_campaign=x&a=1&b=2#frag'
+        |      ELSE 'https://site' || (doc_id % 25)::VARCHAR ||
+        |        '.example.com:443/articles/' || (doc_id % 25)::VARCHAR
+        |    END AS url
+        |  FROM documents
+        |), p1 AS (
+        |  SELECT doc_id, regexp_replace(url, '#.*$', '') AS nf FROM u
+        |), p2 AS (
+        |  SELECT doc_id, nf,
+        |    lower(regexp_extract(nf, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    regexp_replace(lower(regexp_extract(nf, '^[^:/?#]+://([^/?#]*)', 1)),
+        |      '^www\.', '') AS nw,
+        |    regexp_replace(regexp_extract(nf, '^[^:/?#]+://[^/?#]*(/[^?#]*)?', 1),
+        |      '/+$', '') AS path,
+        |    regexp_extract(nf, '\?([^#]*)', 1) AS query
+        |  FROM p1
+        |), p3 AS (
+        |  SELECT doc_id, scheme,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(nw, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(nw, ':443$', '')
+        |         ELSE nw END AS host,
+        |    path,
+        |    coalesce(array_to_string(list_sort(list_filter(string_split(query, '&'),
+        |      p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid|gclid)(=|$)'))),
+        |      '&'), '') AS canonq
+        |  FROM p2
+        |), c AS (
+        |  SELECT doc_id, scheme || '://' || host || path ||
+        |    CASE WHEN canonq = '' THEN '' ELSE '?' || canonq END AS url_canon
+        |  FROM p3
+        |)
+        |SELECT url_canon, min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_doc_token_count" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens, n_chars

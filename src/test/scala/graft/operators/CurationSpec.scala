@@ -314,6 +314,58 @@ class CurationSpec extends SparkSpec {
     assert(!got.exists(_._1 == 4L))
   }
 
+  test("chunkDocuments covers every token with overlapping windows") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"w$i").mkString(" ")), // 10 words
+      (2L, "a b c"),                                  // shorter than one chunk
+      (3L, "")                                        // empty → absent
+    ).toDF("doc_id", "text")
+    val got = Curation.chunkDocuments(docs, "text", "doc_id", chunk = 4, stride = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getString(4))).sortBy(t => (t._1, t._2))
+
+    // doc 1: starts 0,3,6,9 → windows of 4,4,4,1 tokens
+    val d1 = got.filter(_._1 == 1L)
+    assert(d1.map(c => (c._2, c._3, c._4)).toSeq ==
+      Seq((0, 0L, 4L), (1, 3L, 4L), (2, 6L, 4L), (3, 9L, 1L)))
+    assert(d1.head._5 == "w1 w2 w3 w4" && d1.last._5 == "w10")
+    // every token position is covered by at least one window
+    val covered = d1.flatMap(c => c._3 until (c._3 + c._4)).toSet
+    assert(covered == (0L until 10L).toSet)
+    // doc 2: one short window; doc 3 absent
+    assert(got.filter(_._1 == 2L).map(c => (c._2, c._3, c._4, c._5)).toSeq ==
+      Seq((0, 0L, 3L, "a b c")))
+    assert(!got.exists(_._1 == 3L))
+  }
+
+  test("topVocabulary ranks by count desc with term-asc ties") {
+    val docs = Seq((1L, "b b b a a c"), (2L, "a c d")).toDF("doc_id", "text")
+    val got = Curation.topVocabulary(docs, "text", k = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    // counts: a=3, b=3, c=2, d=1 → tie a/b broken term-asc
+    assert(got == Seq((1, "a", 3L), (2, "b", 3L), (3, "c", 2L)))
+  }
+
+  test("canonicalUrl collapses case, ports, tracking params and fragments") {
+    import graft.functions.TextFunctions.canonicalUrl
+    val urls = Seq(
+      "HTTP://WWW.Ex.COM:80/a/b/?b=2&utm_source=f&a=1#frag",
+      "http://ex.com/a/b?a=1&b=2",
+      "https://ex.com:443/a",
+      "https://ex.com:8443/a",          // non-default port survives
+      "http://ex.com",                  // no path, no query
+      "http://ex.com/?fbclid=XYZ&gclid=1&z=9")
+      .zipWithIndex.map { case (u, i) => (i.toLong, u) }.toDF("id", "url")
+    val got = urls.select(col("id"), canonicalUrl(col("url")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    assert(got(0L) == "http://ex.com/a/b?a=1&b=2")
+    assert(got(1L) == got(0L))          // messy and clean collapse
+    assert(got(2L) == "https://ex.com/a")
+    assert(got(3L) == "https://ex.com:8443/a")
+    assert(got(4L) == "http://ex.com")
+    assert(got(5L) == "http://ex.com?z=9")
+  }
+
   // --- DSIR importance resampling ------------------------------------------
 
   /** Independent reference: same math, plain Scala collections. */
