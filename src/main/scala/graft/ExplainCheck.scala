@@ -52,6 +52,21 @@ object ExplainCheck {
         plan.linesIterator.count(l => l.contains("BroadcastExchange") || l.contains("BroadcastNestedLoopJoin")))
     }
 
+    // round-6 additions: chunking must be shuffle-free (row-local
+    // sequence+explode); vocab/bigram scoring must never window
+    val chunkPlan = graft.operators.Curation.chunkDocuments(
+      Tables.load(spark, dir, "documents"), "text", "doc_id", 64, 48)
+      .queryExecution.executedPlan.toString
+    println("=== chunkDocuments === exchanges: " +
+      chunkPlan.linesIterator.count(_.contains("Exchange")) + " (want 0)")
+    for (q <- Seq("q_doc_vocab_topk", "q_doc_bigram_surprisal")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
+      val wins = plan.collect {
+        case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+      }
+      println(s"=== $q === windows: ${wins.length} (want 0)")
+    }
+
     val idxDir = java.nio.file.Files.createTempDirectory("explainidx").toString + "/t"
     import org.apache.spark.sql.functions._
     import spark.implicits._

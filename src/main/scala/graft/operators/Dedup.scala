@@ -399,6 +399,35 @@ object Dedup {
       }: _*)
   }
 
+  /** Intra-document repeated-line removal — the row-local complement of
+    * [[dedupLines]] (which drops lines repeated ACROSS documents): within
+    * each document keep only the FIRST occurrence of every normalized
+    * (lowercased, trimmed) line, preserving order and all empty/blank
+    * lines (formatting). Kills per-document boilerplate — repeated nav
+    * bars, cookie banners, signature blocks — before any cross-document
+    * pass.
+    *
+    * Scale shape: a pure row-local array transform (no explode, no
+    * shuffle, no window — the document never leaves its row). First-
+    * occurrence lookup is `array_position` per line, O(lines²) per doc
+    * worst case but constant memory and fully parallel; documents with
+    * millions of lines should be split upstream anyway.
+    */
+  def dedupLinesInDoc(
+      df: DataFrame, textCol: String, idCol: String,
+      delimiter: String = "\n"): DataFrame = {
+    val lines = split(col(textCol), java.util.regex.Pattern.quote(delimiter))
+    df.withColumn("__lines", lines)
+      .withColumn("__norms", transform(col("__lines"), l => lower(trim(l))))
+      .withColumn("__kept", filter(col("__lines"), (_, i) =>
+        element_at(col("__norms"), i + 1) === "" ||
+          array_position(col("__norms"), element_at(col("__norms"), i + 1)) === (i + 1).cast("long")))
+      .withColumn("n_lines_dropped",
+        (size(col("__lines")) - size(col("__kept"))).cast("long"))
+      .withColumn(textCol, array_join(col("__kept"), delimiter))
+      .drop("__lines", "__norms", "__kept")
+  }
+
   /** The scale form of exact n-gram Jaccard: MinHash-LSH banding proposes
     * candidate pairs (bounded shuffle, `maxBucket`-capped — never the
     * all-pairs-per-shingle join), exact shingle-SET Jaccard verifies each

@@ -50,6 +50,19 @@ object TextQueries {
         .orderBy(col("url_canon"))
     }),
 
+    // Intra-document repeated-line removal over boilerplate-augmented
+    // docs (nav/footer lines injected twice, case-varied): first
+    // occurrence survives, blank lines survive, repeats drop — all
+    // row-local, replayed by the oracle with the same index-lambda.
+    "q_doc_dedup_lines_indoc" -> ((s, dir) => {
+      val aug = Tables.load(s, dir, "documents").select(col("doc_id"),
+        concat(lit("Nav Menu\n"), col("text"),
+          lit("\nnav menu\n\nFooter Text\nfooter text\n\nFooter Text")).as("text"))
+      graft.operators.Dedup.dedupLinesInDoc(aug, "text", "doc_id")
+        .select(col("doc_id"), col("n_lines_dropped"), md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token counting (whitespace tokenization; the BPE-ish regex variant is
     // in graft.functions.TextFunctions with its own spec).
     "q_doc_token_count" -> ((s, dir) => {
@@ -250,6 +263,25 @@ object TextQueries {
         |FROM documents
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    "q_doc_dedup_lines_indoc" ->
+      """WITH aug AS (
+        |  SELECT doc_id, 'Nav Menu' || chr(10) || text || chr(10) || 'nav menu' ||
+        |    chr(10) || chr(10) || 'Footer Text' || chr(10) || 'footer text' ||
+        |    chr(10) || chr(10) || 'Footer Text' AS text
+        |  FROM documents
+        |), d AS (
+        |  SELECT doc_id, string_split(text, chr(10)) AS ls,
+        |    list_transform(string_split(text, chr(10)), x -> lower(trim(x))) AS ns
+        |  FROM aug
+        |), k AS (
+        |  SELECT doc_id, ls,
+        |    list_filter(ls, (x, i) -> ns[i] = '' OR list_position(ns, ns[i]) = i) AS kept
+        |  FROM d
+        |)
+        |SELECT doc_id, CAST(len(ls) - len(kept) AS BIGINT) AS n_lines_dropped,
+        |  md5(coalesce(array_to_string(kept, chr(10)), '')) AS text_md5
+        |FROM k ORDER BY doc_id""".stripMargin,
 
     "q_doc_url_dedup" ->
       """WITH u AS (

@@ -122,6 +122,47 @@ class DedupSpec extends SparkSpec {
     assert(same == docs2.orderBy("doc_id").collect().map(_.getString(1)).toSeq)
   }
 
+  test("dedupLinesInDoc keeps first occurrences and blanks, row-locally") {
+    val docs2 = Seq(
+      (1L, "Nav Bar\nbody text\nnav bar\n\n\nFooter\nfooter\nFooter"),
+      (2L, "only one line"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupLinesInDoc(docs2, "text", "doc_id")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[String]("text"), r.getAs[Long]("n_lines_dropped"))).toSeq
+    // case-insensitive repeats drop, both blank lines survive, order kept
+    assert(got(0) == (("Nav Bar\nbody text\n\n\nFooter", 3L)))
+    assert(got(1) == (("only one line", 0L)))
+    assert(got(2) == (("", 0L)))
+    // idempotent: a clean doc round-trips
+    val again = Dedup.dedupLinesInDoc(
+      Seq((1L, got(0)._1)).toDF("doc_id", "text"), "text", "doc_id")
+      .collect().head
+    assert(again.getAs[String]("text") == got(0)._1 &&
+      again.getAs[Long]("n_lines_dropped") == 0L)
+  }
+
+  test("canonicalUrl is idempotent over randomized messy URLs") {
+    import graft.functions.TextFunctions.canonicalUrl
+    val rnd = new scala.util.Random(42)
+    val schemes = Seq("http", "HTTP", "https", "HTTPS", "ftp")
+    val hosts = Seq("www.Ex.COM", "ex.com", "A.b.C.org:80", "x.io:443", "y.z:8080")
+    val paths = Seq("", "/", "/a", "/a/b/", "/a//", "/a.b")
+    val queries = Seq("", "?a=1", "?b=2&a=1", "?utm_source=f&a=1", "?fbclid=Z", "?z&a=1")
+    val frags = Seq("", "#x", "#a/b?c=1")
+    val urls = (0 until 300).map { i =>
+      (i.toLong, schemes(rnd.nextInt(schemes.size)) + "://" +
+        hosts(rnd.nextInt(hosts.size)) + paths(rnd.nextInt(paths.size)) +
+        queries(rnd.nextInt(queries.size)) + frags(rnd.nextInt(frags.size)))
+    }.toDF("id", "url")
+    val once = urls.select(col("id"), canonicalUrl(col("url")).as("url"))
+    val twice = once.select(col("id"), canonicalUrl(col("url")).as("url"))
+    val a = once.orderBy("id").collect().map(_.getString(1)).toSeq
+    val b = twice.orderBy("id").collect().map(_.getString(1)).toSeq
+    assert(a == b)
+  }
+
   test("ngramJaccardViaLsh: LSH candidates + exact verify agree with the exact path") {
     // with 16 bands × 4 rows the S-curve knee sits far below J=0.3 —
     // recall on this fixture is total, so the composed path must equal
