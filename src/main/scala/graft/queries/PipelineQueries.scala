@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.{LangId, Sketches, TextFunctions}
-import graft.operators.{Dedup, Multimodal, SimilaritySearch}
+import graft.operators.{Curation, Dedup, Multimodal, SimilaritySearch}
 
 /** Gate entries for the training-data-pipeline operators (dedup,
   * similarity search, multimodal, text analysis). Entries whose math is
@@ -215,6 +215,28 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    // The dataloader-facing end-to-end composition: auditable Gopher
+    // filter → exact dedup → token budget → deterministic epoch shuffle,
+    // all one Catalyst plan. The output IS a training manifest: which
+    // docs survive, their token accounting, and their reproducible
+    // (shard, pos, global_pos) read order. The oracle replays every
+    // stage — rules, keeper choice, hash-order running sum, seeded
+    // permutation — end to end.
+    "q_pipeline_pretrain" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val filtered = Curation.gopherFilter(docs, "text", "doc_id", minWords = 40)
+        .where(col("passed")).select(col("doc_id"), col("text"))
+      val deduped = Dedup.dropExactDuplicates(filtered, "text", "doc_id")
+      val budgeted = Curation.tokenBudget(deduped, "doc_id",
+        size(split(col("text"), " ")), budget = 15000L)
+      val shuffled = Curation.shuffleShards(budgeted.select(col("doc_id")),
+        "doc_id", shards = 8, seed = 17L)
+      budgeted.join(shuffled, "doc_id")
+        .select(col("doc_id"), col("n_tok"), col("cum_tokens"), col("shard"),
+          col("pos"), col("global_pos"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ANALYZE-style one-pass statistics. The money column is projected to
     // its natural DECIMAL(18,2) type (the reference's explicit
     // precision/scale discipline) — which also makes the KMV hash input
@@ -288,6 +310,58 @@ object PipelineQueries {
         |  FROM documents)
         |WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_pretrain" -> {
+      val hk0 = SketchOracleSql.splitmixBigintSql("doc_id")
+      val hk17 = SketchOracleSql.splitmixBigintSql("xor(doc_id, 17::BIGINT)")
+      val d = 1L << 61
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS nw,
+         |    length(regexp_replace(text, '\\s+', '', 'g')) /
+         |      greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 1.0) AS al,
+         |    1.0 - len(list_distinct(string_split_regex(trim(text), '\\s+'))) /
+         |      greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 1.0) AS wr,
+         |    CAST(len(regexp_extract_all(text, '[^\\p{L}0-9\\s]')) AS DOUBLE) /
+         |      greatest(CAST(length(text) AS DOUBLE), 1.0) AS pr
+         |  FROM documents
+         |), f AS (
+         |  SELECT d.doc_id, d.text FROM documents d JOIN m USING (doc_id)
+         |  WHERE NOT (m.nw < 40 OR m.nw > 100000 OR m.al < 3.0 OR m.al > 10.0
+         |    OR m.wr > 0.6 OR m.pr > 0.3)
+         |), ded AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, row_number() OVER (
+         |      PARTITION BY lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+         |      ORDER BY doc_id) AS rn
+         |    FROM f) WHERE rn = 1
+         |), tb AS (
+         |  SELECT doc_id, n_tok, cum_tokens FROM (
+         |    SELECT doc_id, n_tok,
+         |      sum(n_tok) OVER (ORDER BY hk, doc_id ROWS UNBOUNDED PRECEDING)
+         |        AS cum_tokens
+         |    FROM (SELECT doc_id,
+         |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |      ($hk0) AS hk FROM ded))
+         |  WHERE cum_tokens <= 15000
+         |), sh AS (
+         |  SELECT doc_id, hk17,
+         |    CAST((CASE WHEN hk17 >= 0 THEN hk17 // ${d}
+         |      ELSE ((hk17::HUGEINT - ${d - 1}::HUGEINT) // ${d}::HUGEINT)::BIGINT END)
+         |      + 4 AS INT) AS shard
+         |  FROM (SELECT doc_id, ($hk17) AS hk17 FROM tb)
+         |), p AS (
+         |  SELECT doc_id, shard,
+         |    CAST(row_number() OVER (PARTITION BY shard ORDER BY hk17, doc_id) - 1
+         |      AS BIGINT) AS pos,
+         |    CAST(row_number() OVER (ORDER BY shard, hk17, doc_id) - 1
+         |      AS BIGINT) AS global_pos
+         |  FROM sh
+         |)
+         |SELECT t.doc_id, t.n_tok, t.cum_tokens, p.shard, p.pos, p.global_pos
+         |FROM tb t JOIN p USING (doc_id)
+         |ORDER BY t.doc_id""".stripMargin
+    },
 
     "q_pipeline_curation" ->
       """WITH quality AS (
