@@ -286,6 +286,26 @@ class CurationSpec extends SparkSpec {
     assert(got0.sortBy(_._2).map(_._1).toSeq != expect)
   }
 
+  /** Independent bigram-surprisal reference: plain Scala collections,
+    * same float op order and quantization as the operator.
+    */
+  private def bigramReference(
+      texts: Map[Long, String], lambda: Double): Seq[(Long, Long, Long)] = {
+    val toks = texts.view.mapValues(_.trim.split("\\s+").toSeq).toMap
+    val uni = toks.values.flatten.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val tot = uni.values.sum.toDouble
+    val pairs = toks.view.mapValues(w => w.zip(w.drop(1))).toMap
+    val bc = pairs.values.flatten.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    def micro(p: (String, String)): Long =
+      math.floor(1e6 * -math.log(
+        lambda * (bc(p).toDouble / uni(p._1).toDouble) +
+          (1.0 - lambda) * (uni(p._2).toDouble / tot)) + 0.5).toLong
+    pairs.toSeq.filter(_._2.nonEmpty).map { case (id, ps) =>
+      val s = ps.map(micro).sum
+      (id, ps.size.toLong, s / ps.size)
+    }.sortBy(_._1)
+  }
+
   test("bigramSurprisal matches a plain-Scala reference in micro-nats") {
     val texts = Map(
       1L -> "the cat sat on the mat",
@@ -296,22 +316,23 @@ class CurationSpec extends SparkSpec {
     val docs = texts.toSeq.map { case (id, t) => (id, t) }.toDF("doc_id", "text")
     val got = Curation.bigramSurprisal(docs, "text", "doc_id", lambda = 0.7)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
-
-    val toks = texts.view.mapValues(_.trim.split("\\s+").toSeq).toMap
-    val uni = toks.values.flatten.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
-    val tot = uni.values.sum.toDouble
-    val pairs = toks.view.mapValues(w => w.zip(w.drop(1))).toMap
-    val bc = pairs.values.flatten.toSeq.groupBy(identity).view.mapValues(_.size.toLong).toMap
-    def micro(p: (String, String)): Long =
-      math.floor(1e6 * -math.log(
-        0.7 * (bc(p).toDouble / uni(p._1).toDouble) +
-          (1.0 - 0.7) * (uni(p._2).toDouble / tot)) + 0.5).toLong
-    val expect = pairs.toSeq.filter(_._2.nonEmpty).map { case (id, ps) =>
-      val s = ps.map(micro).sum
-      (id, ps.size.toLong, s / ps.size)
-    }.sortBy(_._1)
-    assert(got.toSeq == expect)
+    assert(got.toSeq == bigramReference(texts, 0.7))
     assert(!got.exists(_._1 == 4L))
+  }
+
+  test("bigramSurprisal matches the reference on randomized corpora") {
+    val rnd = new scala.util.Random(7)
+    val vocab = (0 until 30).map(i => s"w$i")
+    val texts = (1L to 60L).map { id =>
+      val n = rnd.nextInt(12) // includes 0- and 1-word docs
+      id -> Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }.toMap
+    val docs = texts.toSeq.map { case (id, t) => (id, t) }.toDF("doc_id", "text")
+    val got = Curation.bigramSurprisal(docs, "text", "doc_id", lambda = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    // the reference counts unigrams over ALL docs (like the operator) and
+    // naturally drops pair-less docs from the output
+    assert(got.toSeq == bigramReference(texts, 0.5))
   }
 
   test("chunkDocuments covers every token with overlapping windows") {
