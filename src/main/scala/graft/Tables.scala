@@ -17,13 +17,21 @@ object Tables {
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      // The events fixture stores ts as parquet TIMESTAMP(NANOS), which
-      // Spark 4 refuses natively; read it as long nanos and truncate to
-      // microsecond TimestampType (integer div — ns epochs exceed 2^53, so
-      // double division would lose precision).
+      // The events fixture has stored ts as parquet TIMESTAMP(NANOS) in
+      // some generations (Spark 4 refuses it natively) and as MICROS in
+      // others. Read with nanosAsLong on: a NANOS column arrives as long
+      // nanos → truncate to microsecond TimestampType (integer div — ns
+      // epochs exceed 2^53, so double division would lose precision); a
+      // MICROS column arrives as TimestampType already → pass through.
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // Normalize to TimestampType (LTZ) either way — sessions run UTC, so
+      // an NTZ→LTZ cast is value-identical and downstream unix_micros /
+      // window functions see the type every generation produced before.
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      if (df.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df.withColumn("ts",
+        col("ts").cast(org.apache.spark.sql.types.TimestampType))
     } else {
       spark.read.parquet(s"$sfDir/$name.parquet")
     }

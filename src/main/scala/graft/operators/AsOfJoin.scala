@@ -29,6 +29,74 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
+  /** Tagged union of both sides: left rows carry a null `__rstruct`,
+    * right rows carry `struct(timeCol, rightVals*)` (the time rides along
+    * so [[asofNearest]] can compare distances; equal-time ties still
+    * resolve by the value fields, since the time field is equal inside a
+    * tie). Returns (union, leftCols).
+    */
+  private def taggedUnion(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, timeCol: String,
+      rightVals: Seq[String]): (DataFrame, Seq[String]) = {
+    val leftCols = left.columns.toSeq
+    require(!leftCols.exists(c => rightVals.contains(c)),
+      s"right value columns ${rightVals.mkString(",")} must not collide with left columns")
+
+    val r = right.select((Seq(keyCol, timeCol) ++ rightVals).map(col): _*)
+    val payload = timeCol +: rightVals
+
+    // side 0 = right, 1 = left: right rows at time t sort before left rows
+    // at t, so an equal-time right row IS visible to the left row.
+    val taggedLeft = left
+      .withColumn("__side", lit(1))
+      .withColumn("__rstruct", lit(null).cast(
+        r.select(struct(payload.map(col): _*)).schema.fields.head.dataType))
+    val taggedRight = r
+      .select(Seq(col(keyCol), col(timeCol)) :+ lit(0).as("__side") :+
+        struct(payload.map(col): _*).as("__rstruct"): _*)
+      .withColumns(leftCols.filterNot(Seq(keyCol, timeCol).contains)
+        .map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
+
+    (taggedLeft.select(
+      (leftCols.map(col) :+ col("__side") :+ col("__rstruct")): _*)
+      .unionByName(taggedRight.select(
+        (leftCols.map(col) :+ col("__side") :+ col("__rstruct")): _*)),
+      leftCols)
+  }
+
+  /** Backward window: running "last right row at-or-before me".
+    * `__rstruct` last in the sort: equal-time right rows rank ascending
+    * by value struct, so `last` resolves ties to the max tuple.
+    */
+  private def backwardMatch(keyCol: String, timeCol: String): Column = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col("__side"), col("__rstruct"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last(col("__rstruct"), ignoreNulls = true).over(w)
+  }
+
+  /** Forward window: time DESCENDS, so the running `last` at a left row
+    * is the right row with the SMALLEST time at-or-after it. `__side`
+    * still ascends (right before left) so an equal-time right row is
+    * visible; equal-time right ties resolve to the max tuple exactly as
+    * in the backward pass.
+    */
+  private def forwardMatch(keyCol: String, timeCol: String): Column = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol).desc, col("__side"), col("__rstruct"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    last(col("__rstruct"), ignoreNulls = true).over(w)
+  }
+
+  private def emit(unioned: DataFrame, leftCols: Seq[String],
+      rightVals: Seq[String], matchCol: Column): DataFrame =
+    unioned
+      .withColumn("__match", matchCol)
+      .where(col("__side") === 1)
+      .select(leftCols.map(col) ++
+        rightVals.map(v => col(s"__match.$v").as(v)): _*)
+
   /** @param left      left (probe) side
     * @param right     right (reference) side
     * @param keyCol    equi-key column name present in both inputs
@@ -40,36 +108,48 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame,
       keyCol: String, timeCol: String,
       rightVals: Seq[String]): DataFrame = {
-    val leftCols = left.columns.toSeq
-    require(!leftCols.exists(c => rightVals.contains(c)),
-      s"right value columns ${rightVals.mkString(",")} must not collide with left columns")
+    val (unioned, leftCols) = taggedUnion(left, right, keyCol, timeCol, rightVals)
+    emit(unioned, leftCols, rightVals, backwardMatch(keyCol, timeCol))
+  }
 
-    val r = right.select((Seq(keyCol, timeCol) ++ rightVals).map(col): _*)
+  /** Forward as-of: attach the EARLIEST right row with
+    * `right.time >= left.time` (inclusive) — the "next quote/fill after
+    * the order" lookup. Same single-Exchange shape as [[asofBackward]],
+    * with the window sorted time-descending.
+    */
+  def asofForward(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, timeCol: String,
+      rightVals: Seq[String]): DataFrame = {
+    val (unioned, leftCols) = taggedUnion(left, right, keyCol, timeCol, rightVals)
+    emit(unioned, leftCols, rightVals, forwardMatch(keyCol, timeCol))
+  }
 
-    // side 0 = right, 1 = left: right rows at time t sort before left rows
-    // at t, so an equal-time right row IS visible to the left row.
-    val taggedLeft = left
-      .withColumn("__side", lit(1))
-      .withColumn("__rstruct", lit(null).cast(
-        r.select(struct(rightVals.map(col): _*)).schema.fields.head.dataType))
-    val taggedRight = r
-      .select(Seq(col(keyCol), col(timeCol)) :+ lit(0).as("__side") :+
-        struct(rightVals.map(col): _*).as("__rstruct"): _*)
-      .withColumns(leftCols.filterNot(Seq(keyCol, timeCol).contains)
-        .map(c => c -> lit(null).cast(left.schema(c).dataType)).toMap)
-
-    val unioned = taggedLeft.select(
-      (leftCols.map(col) :+ col("__side") :+ col("__rstruct")): _*)
-      .unionByName(taggedRight.select(
-        (leftCols.map(col) :+ col("__side") :+ col("__rstruct")): _*))
-
-    // __rstruct last in the sort: equal-time right rows rank ascending by
-    // value struct, so `last` resolves ties to the max tuple.
-    val w = Window.partitionBy(col(keyCol))
-      .orderBy(col(timeCol), col("__side"), col("__rstruct"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    unioned
-      .withColumn("__match", last(col("__rstruct"), ignoreNulls = true).over(w))
+  /** Nearest as-of: the closer of the backward and forward matches, ties
+    * (equidistant) to the backward one — pandas `merge_asof
+    * direction='nearest'` semantics, inclusive on both sides. Both window
+    * passes share one hash partitioning (one Exchange, two in-partition
+    * sorts); distance compares `left.time − b.time` against
+    * `f.time − left.time` in the column's native arithmetic (longs
+    * subtract to longs, timestamps to intervals — no double rounding).
+    */
+  def asofNearest(
+      left: DataFrame, right: DataFrame,
+      keyCol: String, timeCol: String,
+      rightVals: Seq[String]): DataFrame = {
+    val (unioned, leftCols) = taggedUnion(left, right, keyCol, timeCol, rightVals)
+    val withBoth = unioned
+      .withColumn("__mb", backwardMatch(keyCol, timeCol))
+      .withColumn("__mf", forwardMatch(keyCol, timeCol))
+    val lt = col(timeCol)
+    val bt = col(s"__mb.$timeCol")
+    val ft = col(s"__mf.$timeCol")
+    val chosen = when(col("__mb").isNull, col("__mf"))
+      .when(col("__mf").isNull, col("__mb"))
+      .when(lt - bt <= ft - lt, col("__mb"))
+      .otherwise(col("__mf"))
+    withBoth
+      .withColumn("__match", chosen)
       .where(col("__side") === 1)
       .select(leftCols.map(col) ++
         rightVals.map(v => col(s"__match.$v").as(v)): _*)

@@ -428,6 +428,61 @@ object Dedup {
       .drop("__lines", "__norms", "__kept")
   }
 
+  /** Cross-document repeated-SPAN removal — the sub-document complement
+    * of [[exact]] (whole docs) and [[dedupLines]] (whole lines): every
+    * word-aligned `n`-token window whose lowercased form appears in more
+    * than `maxDocFreq` distinct documents is treated as duplicated
+    * boilerplate, and all token positions it covers are removed from
+    * every document EXCEPT the window's keeper (the minimum id among the
+    * documents containing it) — the "deduplicating training data"
+    * pass that drops repeated licenses, navigation chrome, and quoted
+    * chunks while keeping exactly one copy in the corpus. Overlapping
+    * flagged windows union their coverage; repeats WITHIN a single
+    * document are not flagged (that is [[dedupLinesInDoc]] /
+    * repetition-signal territory). Output text is the space-join of the
+    * surviving original-case tokens (whitespace-normalized), plus an
+    * exact `n_tokens_dropped` count.
+    *
+    * Scale shape: the window stream is one row per token position (the
+    * canonical shingle pipeline shape); duplicated-window detection is a
+    * partial-aggregable groupBy on the window key (countDistinct +
+    * min — no window functions); flagging is a join against the
+    * one-row-per-key hot set (no fan-out); coverage is per-document
+    * bounded state (≤ doc length, the same bound as the text itself).
+    * Nothing is all-pairs and nothing buffers more than one document.
+    */
+  def dedupSpans(
+      df: DataFrame, textCol: String, idCol: String,
+      n: Int = 8, maxDocFreq: Int = 1): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val toks = df.select(col(idCol).as("__id"),
+      graft.functions.WhitespaceTokens.wsTokens(col(textCol)).as("__toks"))
+    val wins = toks.where(size(col("__toks")) >= n)
+      .select(col("__id"), posexplode(transform(
+        sequence(lit(0), size(col("__toks")) - n),
+        i => lower(concat_ws(" ", slice(col("__toks"), i + 1, lit(n)))))
+      ).as(Seq("__pos", "__key")))
+    val hot = wins.groupBy(col("__key"))
+      .agg(countDistinct(col("__id")).as("__df"), min(col("__id")).as("__keeper"))
+      .where(col("__df") > maxDocFreq)
+      .select(col("__key"), col("__keeper"))
+    val covered = wins.join(hot, "__key")
+      .where(col("__id") =!= col("__keeper"))
+      .select(col("__id"),
+        explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__cp"))
+      .groupBy(col("__id")).agg(collect_set(col("__cp")).as("__cov"))
+    val rebuilt = toks.join(covered, Seq("__id"), "left_outer")
+      .withColumn("__cov", coalesce(col("__cov"), array().cast("array<int>")))
+      .select(col("__id"),
+        array_join(filter(col("__toks"), (_, i) =>
+          !array_contains(col("__cov"), i)), " ").as("__text"),
+        size(col("__cov")).cast("long").as("n_tokens_dropped"))
+    df.join(rebuilt, df(idCol) === rebuilt("__id"), "inner")
+      .select(df.columns.map { c =>
+        if (c == textCol) col("__text").as(textCol) else df(c)
+      } :+ col("n_tokens_dropped"): _*)
+  }
+
   /** The scale form of exact n-gram Jaccard: MinHash-LSH banding proposes
     * candidate pairs (bounded shuffle, `maxBucket`-capped — never the
     * all-pairs-per-shingle join), exact shingle-SET Jaccard verifies each

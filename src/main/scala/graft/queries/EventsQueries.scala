@@ -121,6 +121,36 @@ object EventsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Forward as-of: each view picks up the EARLIEST purchase at or after
+    // it — oracle is DuckDB's native ASOF with the inequality flipped
+    // (two independent engines, same inclusive-forward semantics).
+    "q_events_asof_fwd" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("t_us", unix_micros(col("ts")))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("t_us"), col("value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("t_us"), col("value").as("ref_value"))
+      graft.operators.AsOfJoin.asofForward(
+        views, purchases, "user_id", "t_us", Seq("ref_value"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Nearest as-of (pandas direction='nearest', ties backward): oracle
+    // replays the rule with correlated min/max subqueries — no ASOF
+    // operator involved, a third independent formulation.
+    "q_events_asof_near" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("t_us", unix_micros(col("ts")))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("t_us"), col("value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("t_us"), col("value").as("ref_value"))
+      graft.operators.AsOfJoin.asofNearest(
+        views, purchases, "user_id", "t_us", Seq("ref_value"))
+        .orderBy(col("event_id"))
+    }),
+
     // Semi-structured extraction: the `props` JSON column (the reference's
     // Loghub default schema carries the whole log as a JSON __value__ —
     // LoghubSourceRDD.scala:155-166; same extract-then-aggregate shape).
@@ -240,6 +270,47 @@ object EventsQueries {
         |SELECT l.event_id, l.user_id, l.t_us, l.value, r.ref_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t_us >= r.t_us
         |ORDER BY l.event_id""".stripMargin,
+
+    "q_events_asof_fwd" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS t_us, value, event_type
+        |  FROM events
+        |), l AS (
+        |  SELECT event_id, user_id, t_us, value FROM ev WHERE event_type = 'view'
+        |), r AS (
+        |  SELECT user_id, t_us, max(value) AS ref_value FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2
+        |)
+        |SELECT l.event_id, l.user_id, l.t_us, l.value, r.ref_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t_us <= r.t_us
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q_events_asof_near" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS t_us, value, event_type
+        |  FROM events
+        |), l AS (
+        |  SELECT event_id, user_id, t_us, value FROM ev WHERE event_type = 'view'
+        |), r AS (
+        |  SELECT user_id, t_us, max(value) AS ref_value FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2
+        |), m AS (
+        |  SELECT l.*,
+        |    (SELECT max(r2.t_us) FROM r r2
+        |     WHERE r2.user_id = l.user_id AND r2.t_us <= l.t_us) AS bt,
+        |    (SELECT min(r3.t_us) FROM r r3
+        |     WHERE r3.user_id = l.user_id AND r3.t_us >= l.t_us) AS ft
+        |  FROM l
+        |), c AS (
+        |  SELECT *, CASE
+        |    WHEN bt IS NULL THEN ft
+        |    WHEN ft IS NULL THEN bt
+        |    WHEN (t_us - bt) <= (ft - t_us) THEN bt ELSE ft END AS mt
+        |  FROM m
+        |)
+        |SELECT c.event_id, c.user_id, c.t_us, c.value, r.ref_value
+        |FROM c LEFT JOIN r ON r.user_id = c.user_id AND r.t_us = c.mt
+        |ORDER BY c.event_id""".stripMargin,
 
     "q_events_json" ->
       """SELECT event_type, CAST(props->>'$.k' AS BIGINT) % 10 AS k_bucket,

@@ -79,6 +79,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Cross-document repeated-span removal (sub-document dedup): a fixed
+    // boilerplate sentence is appended to every 7th doc — its 8-token
+    // windows become corpus-duplicated, the min-id doc keeps them, every
+    // other injected doc loses exactly the injected tokens (straddling
+    // windows mix in doc-unique tokens, so they stay), plus whatever
+    // spans the corpus's natural near-duplicates share.
+    "q_doc_dedup_spans" -> ((s, dir) => {
+      val boiler = " subscribe to our newsletter today full terms of service apply"
+      val aug = Tables.load(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(boiler)))
+          .otherwise(col("text")).as("text"))
+      Dedup.dedupSpans(aug, "text", "doc_id", n = 8)
+        .select(col("doc_id"), col("n_tokens_dropped"), md5(col("text")).as("text_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Dedup grouping: connected components over the MinHash-LSH pair
     // graph (same parameters as q_dedup_minhash_lsh). The operator's
     // checkpointed pointer-jumping rounds are checked against a recursive
@@ -390,6 +406,41 @@ object PipelineQueries {
         |  CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_tokens
         |FROM deduped
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_doc_dedup_spans" ->
+      """WITH aug AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |    THEN text || ' subscribe to our newsletter today full terms of service apply'
+        |    ELSE text END AS text
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM aug
+        |), wins AS (
+        |  SELECT doc_id, i AS pos,
+        |    lower(array_to_string(w[(i + 1)::INT : (i + 8)::INT], ' ')) AS key
+        |  FROM (SELECT doc_id, w, unnest(range(len(w) - 7)) AS i FROM t WHERE len(w) >= 8)
+        |), hot AS (
+        |  SELECT key, min(doc_id) AS keeper FROM wins
+        |  GROUP BY key HAVING count(DISTINCT doc_id) > 1
+        |), cov AS (
+        |  SELECT DISTINCT wi.doc_id, wi.pos + o.o AS cp
+        |  FROM wins wi JOIN hot h USING (key)
+        |  CROSS JOIN (SELECT unnest(range(8)) AS o) o
+        |  WHERE wi.doc_id <> h.keeper
+        |), toks AS (
+        |  SELECT doc_id, unnest(w) AS tok, unnest(range(len(w))) AS p FROM t
+        |), rebuilt AS (
+        |  SELECT tk.doc_id, array_to_string(list(tk.tok ORDER BY tk.p), ' ') AS text
+        |  FROM toks tk LEFT JOIN cov c ON tk.doc_id = c.doc_id AND tk.p = c.cp
+        |  WHERE c.cp IS NULL GROUP BY tk.doc_id
+        |)
+        |SELECT t.doc_id,
+        |  CAST(coalesce(dr.n, 0) AS BIGINT) AS n_tokens_dropped,
+        |  md5(coalesce(r.text, '')) AS text_md5
+        |FROM t
+        |LEFT JOIN rebuilt r USING (doc_id)
+        |LEFT JOIN (SELECT doc_id, count(*) AS n FROM cov GROUP BY doc_id) dr USING (doc_id)
+        |ORDER BY t.doc_id""".stripMargin,
 
     "q_doc_dedup_lines" ->
       """WITH w AS (

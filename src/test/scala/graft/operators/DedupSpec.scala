@@ -143,6 +143,46 @@ class DedupSpec extends SparkSpec {
       again.getAs[Long]("n_lines_dropped") == 0L)
   }
 
+  test("dedupSpans removes cross-document repeated windows except in the keeper") {
+    val boiler = "all rights reserved no part may be reproduced without permission"
+    val docs2 = Seq(
+      (1L, s"intro words for doc one $boiler ending one"),
+      (2L, s"different opening here for two $boiler closing two"),
+      (3L, s"third unrelated document body text $boiler"),
+      (4L, "completely original content with no shared spans at all here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupSpans(docs2, "text", "doc_id", n = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[String]("text"), r.getAs[Long]("n_tokens_dropped"))).toSeq
+    // doc 1 is the min-id keeper for every boiler window → untouched
+    assert(got(0) == ((s"intro words for doc one $boiler ending one", 0L)))
+    // docs 2/3: the 10 boiler tokens are covered by the union of the
+    // three fully-inside windows; straddling windows are doc-unique
+    assert(got(1) == (("different opening here for two closing two", 10L)))
+    assert(got(2) == (("third unrelated document body text", 10L)))
+    assert(got(3) == (("completely original content with no shared spans at all here", 0L)))
+  }
+
+  test("dedupSpans: no false sharing, case-insensitive match, short docs pass through") {
+    val docs2 = Seq(
+      (1L, "One Two Three Four Five Six Seven Eight tail-a"),
+      (2L, "one two three four five six seven eight tail-b"), // same 8-window, lowered
+      (3L, "short doc"),
+      (4L, ""))
+      .toDF("doc_id", "text")
+    val got = Dedup.dedupSpans(docs2, "text", "doc_id", n = 8)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[String]("text"), r.getAs[Long]("n_tokens_dropped"))).toSeq
+    assert(got(0) == (("One Two Three Four Five Six Seven Eight tail-a", 0L)))
+    assert(got(1) == (("tail-b", 8L)))
+    assert(got(2) == (("short doc", 0L)))
+    assert(got(3) == (("", 0L)))
+    // raising maxDocFreq above the sharing degree leaves everything intact
+    val lax = Dedup.dedupSpans(docs2, "text", "doc_id", n = 8, maxDocFreq = 2)
+      .orderBy("doc_id").collect().map(_.getAs[Long]("n_tokens_dropped")).toSeq
+    assert(lax == Seq(0L, 0L, 0L, 0L))
+  }
+
   test("canonicalUrl is idempotent over randomized messy URLs") {
     import graft.functions.TextFunctions.canonicalUrl
     val rnd = new scala.util.Random(42)

@@ -126,11 +126,33 @@ class LogPruneSpec extends SparkSpec {
   }
 
   test("nanos-timestamp shard: pruning the ts column re-enables columnar") {
-    val events = s"${sf("events")}/events.parquet"
-    val all = spark.read.format("log").option("path", events).load()
+    // Own NANOS-storage fixture (the driver's shared tables store micros,
+    // which IS columnar-eligible — the fallback only triggers on storage
+    // units the vectorized reader can't serve without coercion).
+    import org.apache.parquet.example.data.simple.SimpleGroup
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.{LogicalTypeAnnotation, Types}
+    import org.apache.parquet.schema.LogicalTypeAnnotation.TimeUnit
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+    val dir = Files.createTempDirectory("lognanos").toString
+    val mt = Types.buildMessage()
+      .addField(Types.optional(PrimitiveTypeName.INT64)
+        .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.NANOS)).named("ts"))
+      .addField(Types.optional(PrimitiveTypeName.INT64).named("id"))
+      .named("t")
+    val w = ExampleParquetWriter.builder(
+        new org.apache.hadoop.fs.Path(dir, "shard-a.parquet"))
+      .withConf(ParquetIO.hadoopConf).withType(mt).build()
+    (0 until 100).foreach { i =>
+      val g = new SimpleGroup(mt)
+      g.add("ts", i * 1000000000L); g.add("id", i.toLong)
+      w.write(g)
+    }
+    w.close()
+    val all = spark.read.format("log").option("path", dir).load()
     // ts requested → ineligible (nanos storage) → row path
-    assert(!planOf(all).contains("ColumnarToRow"))
-    val pruned = all.select("event_type", "value")
+    assert(!planOf(all).contains("ColumnarToRow"), planOf(all))
+    val pruned = all.select("id")
     assert(planOf(pruned).contains("ColumnarToRow"),
       s"pruned scan without the nanos column must be columnar:\n${planOf(pruned)}")
     assert(pruned.count() == all.count())
