@@ -341,6 +341,115 @@ object Curation {
       .select(id, col("shard"), col("pos"), (col("__offset") + col("pos")).as("global_pos"))
   }
 
+  /** Deterministic mixture interleave — stride scheduling of several
+    * corpora into ONE training order: source `s` with integer weight
+    * `w_s` occupies a `w_s`-proportional share of every prefix of the
+    * output (the "data mixing" step between per-domain selection and the
+    * epoch shuffle). Each source's rows are taken in their seeded
+    * splitmix hash order (index j), assigned the rational stride key
+    * `(j + ½) / w_s`, and the global order is that key ascending with
+    * exact cross-multiplied integer comparisons — key ties (inevitable
+    * for equal weights) break by the position of the source in `weights`,
+    * then within a source keys are distinct. Rows whose source is not
+    * listed in `weights` are excluded.
+    *
+    * Scale shape: one shuffle total (the per-source hash-order indexing,
+    * bucketed two-pass exactly like [[tokenBudget]]: parallelism =
+    * sources × `indexBuckets`, offset frame broadcast). The interleaved
+    * GLOBAL position is then computed analytically per row — for each
+    * other source, the number of its keys strictly below ours is a
+    * closed-form integer division, and the per-source row counts ride in
+    * as one broadcast map — so the merge itself costs zero shuffles and
+    * zero sorts, and any engine replays it bit for bit (the oracle
+    * instead sorts by the cross-multiplied integer key — two independent
+    * formulations, one order). Shards are contiguous `global_pos` ranges
+    * (`floor(g·shards/N)`), so concatenating shards in order replays the
+    * schedule.
+    *
+    * Integer-overflow headroom: the formulas multiply a row's odd key
+    * `2j+1` by another source's weight — fine for corpora to ~10¹⁴ rows
+    * with weights to ~10³ (< 2⁶³).
+    */
+  def interleaveMixture(
+      df: DataFrame, sourceCol: String, idCol: String,
+      weights: Seq[(String, Long)], shards: Int,
+      seed: Long = 0L, indexBuckets: Int = 64): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      s"weights must be non-empty positive integers, got $weights")
+    require(weights.map(_._1).distinct.size == weights.size,
+      s"duplicate source in weights: $weights")
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    require(indexBuckets >= 2 && (indexBuckets & (indexBuckets - 1)) == 0,
+      s"indexBuckets must be a power of two >= 2, got $indexBuckets")
+    val shift = 64 - Integer.numberOfTrailingZeros(indexBuckets)
+    val id = col(idCol)
+    def esc(s: String) = s.replace("'", "''")
+
+    val base = df
+      .where(col(sourceCol).isin(weights.map(_._1): _*))
+      .select(col(sourceCol).as("__src"), id,
+        Sketches.splitmixLong(id.cast("long").bitwiseXOR(lit(seed))).as("__hk"))
+      .withColumn("__bkt",
+        (shiftright(col("__hk"), shift) + lit(indexBuckets / 2)).cast("int"))
+    // per-(source, bucket) start offsets; the frame is sources×buckets
+    // rows — driver-small, broadcast back
+    val wB = Window.partitionBy(col("__src")).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("__src"), col("__bkt"))
+      .agg(count(lit(1)).as("__cnt"))
+      .withColumn("__off", coalesce(sum(col("__cnt")).over(wB), lit(0L)))
+      .select(col("__src"), col("__bkt"), col("__off"))
+    val wIn = Window.partitionBy(col("__src"), col("__bkt"))
+      .orderBy(col("__hk"), id)
+    // per-source totals as ONE broadcast map row (no driver action)
+    val countsRow = base.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
+      .agg(map_from_entries(collect_list(struct(col("__src"), col("__n"))))
+        .as("__nmap"))
+
+    val ownW = weights.foldLeft(lit(null).cast("long")) {
+      case (acc, (s, w)) => when(col("__src") === s, lit(w)).otherwise(acc)
+    }
+    val ownIdx = weights.zipWithIndex.foldLeft(lit(null).cast("int")) {
+      case (acc, ((s, _), i)) => when(col("__src") === s, lit(i)).otherwise(acc)
+    }
+    val indexed = base
+      .join(broadcast(offsets), Seq("__src", "__bkt"))
+      .withColumn("source_pos",
+        col("__off") + row_number().over(wIn).cast("long") - 1L)
+      .withColumn("__k", col("source_pos") * 2L + 1L)
+      .withColumn("__w", ownW)
+      .withColumn("__oidx", ownIdx)
+      .crossJoin(broadcast(countsRow))
+
+    // analytic rank: for each source s' (static list), how many of its
+    // keys (2j'+1)/(2w') sort strictly below ours — plus the exact-tie
+    // row when it exists and s' precedes ours in the weights order
+    val withNs = weights.zipWithIndex.foldLeft(indexed) {
+      case (acc, ((s, _), i)) => acc.withColumn(s"__n_$i",
+        coalesce(element_at(col("__nmap"), lit(s)), lit(0L)))
+    }
+    val contribs = weights.zipWithIndex.map { case ((s, w), i) =>
+      expr(
+        s"""CASE WHEN __src = '${esc(s)}' THEN source_pos ELSE
+           |  least(__n_$i, (__k * ${w}L + __w - 1) div (__w * 2)) +
+           |  (CASE WHEN ((__k * ${w}L) % (__w * 2)) = __w
+           |     AND $i < __oidx
+           |     AND ((__k * ${w}L - __w) div (__w * 2)) < __n_$i
+           |   THEN 1 ELSE 0 END)
+           |END""".stripMargin)
+    }
+    val nTotal = weights.indices.map(i => col(s"__n_$i")).reduce(_ + _)
+    withNs
+      .withColumn("global_pos", contribs.reduce(_ + _).cast("long"))
+      .withColumn("__ntot", nTotal)
+      .withColumn("shard",
+        expr(s"(global_pos * ${shards}L) div __ntot").cast("int"))
+      .withColumn("pos",
+        col("global_pos") - expr(s"(shard * __ntot + ${shards}L - 1) div ${shards}L"))
+      .select(id, col("__src").as(sourceCol), col("source_pos"),
+        col("global_pos"), col("shard"), col("pos"))
+  }
+
   /** Bigram-interpolated surprisal — the context-sensitive upgrade of
     * [[unigramSurprisal]] (the cheap end of CCNet-style LM-perplexity
     * filtering): per document, the mean over token positions i ≥ 2 of

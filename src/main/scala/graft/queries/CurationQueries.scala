@@ -144,6 +144,21 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Deterministic mixture interleave (stride scheduling): the five
+    // language sub-corpora merged into one weighted training order —
+    // engine computes every global position analytically (closed-form
+    // integer rank, zero merge shuffles); the oracle SORTS by the
+    // cross-multiplied integer stride key instead. Two formulations,
+    // one schedule.
+    "q_doc_interleave" -> ((s, dir) => {
+      Curation.interleaveMixture(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id",
+        Seq(("en", 5L), ("zh", 3L), ("de", 2L), ("es", 2L), ("fr", 1L)),
+        shards = 8, seed = 11L)
+        .orderBy(col("doc_id"))
+    }),
+
     // Bigram-interpolated surprisal (CCNet-perplexity family): per-doc
     // mean of −ln(0.7·p(w|prev) + 0.3·p(w)) in integer micro-nats —
     // context-sensitive quality scoring the unigram gate cannot see.
@@ -425,6 +440,37 @@ object CurationQueries {
          |    AS BIGINT) AS global_pos
          |FROM s
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_doc_interleave" -> {
+      // LCM(5,3,2,2,1) = 30 → integer stride keys (2j+1)·(30/w); ties by
+      // the weights-order source index — the sort-based twin of the
+      // engine's analytic rank
+      val hk = SketchOracleSql.splitmixBigintSql("xor(doc_id, 11::BIGINT)")
+      s"""WITH h AS (
+         |  SELECT doc_id, lang, ($hk) AS hk,
+         |    CASE lang WHEN 'en' THEN 0 WHEN 'zh' THEN 1 WHEN 'de' THEN 2
+         |              WHEN 'es' THEN 3 WHEN 'fr' THEN 4 END AS sidx,
+         |    CASE lang WHEN 'en' THEN 5 WHEN 'zh' THEN 3 WHEN 'de' THEN 2
+         |              WHEN 'es' THEN 2 WHEN 'fr' THEN 1 END AS w
+         |  FROM documents
+         |), j AS (
+         |  SELECT doc_id, lang, sidx, w,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) - 1
+         |      AS BIGINT) AS source_pos
+         |  FROM h
+         |), g AS (
+         |  SELECT doc_id, lang, source_pos,
+         |    CAST(row_number() OVER (
+         |      ORDER BY (2 * source_pos + 1) * (30 // w), sidx) - 1
+         |      AS BIGINT) AS global_pos,
+         |    count(*) OVER () AS n
+         |  FROM j
+         |)
+         |SELECT doc_id, lang, source_pos, global_pos,
+         |  CAST((global_pos * 8) // n AS INT) AS shard,
+         |  CAST(global_pos - (((global_pos * 8) // n) * n + 7) // 8 AS BIGINT) AS pos
+         |FROM g ORDER BY doc_id""".stripMargin
     },
 
     "q_doc_bigram_surprisal" -> {

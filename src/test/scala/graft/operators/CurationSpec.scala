@@ -446,6 +446,84 @@ class CurationSpec extends SparkSpec {
     assert(scores(2L) == 0L && scores(3L) == 0L)
   }
 
+  test("interleaveMixture: analytic positions equal an independent rational sort") {
+    val rnd = new scala.util.Random(7L)
+    val rows = (0 until 60).map(i => (i.toLong, s"src${rnd.nextInt(3)}")) ++
+      Seq((1000L, "ghost")) // unlisted source → excluded
+    val df = rows.toDF("id", "source")
+    val weights = Seq(("src0", 3L), ("src1", 2L), ("src2", 1L))
+    val out = Curation.interleaveMixture(df, "source", "id", weights,
+      shards = 4, seed = 5L).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("id"),
+        r.getAs[Long]("source_pos"), r.getAs[Long]("global_pos"),
+        r.getAs[Int]("shard"), r.getAs[Long]("pos")))
+    val n = rows.count(_._2 != "ghost")
+    assert(out.length == n && !out.exists(_._1 == "ghost"))
+    // global_pos is a permutation
+    assert(out.map(_._4).sorted.toSeq == (0L until n.toLong))
+    // source_pos follows the seeded splitmix hash order within each source
+    out.groupBy(_._1).foreach { case (_, g) =>
+      val byPos = g.sortBy(_._3)
+      assert(byPos.map(_._3).toSeq == (0L until g.length.toLong))
+      val hashOrdered = g.sortBy(t =>
+        (graft.functions.Sketches.splitmix64(t._2 ^ 5L), t._2))
+      assert(byPos.map(_._2).toSeq == hashOrdered.map(_._2).toSeq)
+    }
+    // independent formulation: sort by the rational stride key with exact
+    // cross-multiplied comparisons, ties by weights position
+    val wIdx = weights.map(_._1).zipWithIndex.toMap
+    val wOf = weights.toMap
+    val sorted = out.sortWith { case ((s1, _, j1, _, _, _), (s2, _, j2, _, _, _)) =>
+      val l = (2 * j1 + 1) * wOf(s2); val r = (2 * j2 + 1) * wOf(s1)
+      if (l != r) l < r else wIdx(s1) < wIdx(s2)
+    }
+    assert(sorted.map(_._4).toSeq == (0L until n.toLong),
+      "analytic global_pos must equal the sort-based rank")
+    // shards are contiguous global ranges with within-shard positions
+    out.foreach { case (_, _, _, g, s, p) =>
+      assert(s == (g * 4 / n).toInt)
+      assert(p == g - (s.toLong * n + 3) / 4)
+    }
+  }
+
+  test("interleaveMixture merges without a global sort or corpus join") {
+    val df = (0 until 100).map(i => (i.toLong, s"s${i % 2}")).toDF("id", "source")
+    val plan = Curation.interleaveMixture(df, "source", "id",
+      Seq(("s0", 2L), ("s1", 1L)), shards = 4)
+      .queryExecution.executedPlan.toString
+    // the global order is computed analytically: no range exchange (a
+    // global sort would need one) and no corpus-vs-corpus join (counts
+    // arrive as one broadcast map row)
+    assert(!plan.contains("Exchange rangepartitioning"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+
+  test("interleaveMixture: equal weights alternate in source order") {
+    val df = ((0 until 4).map(i => (i.toLong, "a")) ++
+      (10 until 14).map(i => (i.toLong, "b"))).toDF("id", "source")
+    val out = Curation.interleaveMixture(df, "source", "id",
+      Seq(("a", 1L), ("b", 1L)), shards = 1)
+      .orderBy("global_pos").collect().map(_.getAs[String]("source")).toSeq
+    assert(out == Seq("a", "b", "a", "b", "a", "b", "a", "b"))
+  }
+
+  test("interleaveMixture: prefix proportions track the weights") {
+    val df = (0 until 300).map(i =>
+      (i.toLong, if (i % 3 == 0) "heavy" else "light")).toDF("id", "source")
+    // heavy has 100 rows at weight 4, light 200 rows at weight 1: until
+    // heavy exhausts, every aligned window of 5 holds 4 heavy + 1 light
+    val out = Curation.interleaveMixture(df, "source", "id",
+      Seq(("heavy", 4L), ("light", 1L)), shards = 2)
+      .orderBy("global_pos").collect().map(_.getAs[String]("source"))
+    val prefix = out.take(100)
+    val heavyIn = prefix.count(_ == "heavy")
+    assert(heavyIn >= 75 && heavyIn <= 85,
+      s"first 100 slots should carry ~80 heavy rows, got $heavyIn")
+    // stride guarantee, not just ratio: heavy never starves for > 2 slots
+    val gaps = out.zipWithIndex.filter(_._1 == "heavy").map(_._2)
+    assert(gaps.sliding(2).forall { case Array(x, y) => y - x <= 2; case _ => true })
+  }
+
   test("importanceResample scores against a broadcast, with no windows") {
     val raw = Seq((1L, "a b"), (2L, "b c")).toDF("doc_id", "text")
     val target = Seq(Tuple1("a b")).toDF("text")
