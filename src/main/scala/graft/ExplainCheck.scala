@@ -67,6 +67,41 @@ object ExplainCheck {
       println(s"=== $q === windows: ${wins.length} (want 0)")
     }
 
+    // span dedup: duplicated-window detection is groupBy + hot-set join —
+    // no window functions anywhere, no cartesian joins
+    val sPlan = SparkEntry.queries("q_doc_dedup_spans")(spark, dir)
+      .queryExecution.optimizedPlan
+    val sWin = sPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    val sCart = sPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join if j.condition.isEmpty => j
+    }
+    println(s"=== q_doc_dedup_spans === windows: ${sWin.length} (want 0), cartesian joins: ${sCart.length} (want 0)")
+
+    // mixture interleave: analytic merge — no range exchange (that would
+    // be a global sort), no corpus-vs-corpus sort-merge join. Probe the
+    // raw operator: the gate's trailing orderBy (oracle output ordering)
+    // would add a rangepartitioning of its own.
+    val iPlan = graft.operators.Curation.interleaveMixture(
+      Tables.load(spark, dir, "documents").selectExpr("doc_id", "lang"),
+      "lang", "doc_id",
+      Seq(("en", 5L), ("zh", 3L), ("de", 2L), ("es", 2L), ("fr", 1L)),
+      shards = 8, seed = 11L)
+      .queryExecution.executedPlan.toString
+    println("=== q_doc_interleave === range exchanges: " +
+      iPlan.linesIterator.count(_.contains("Exchange rangepartitioning")) +
+      " (want 0), sortmerge joins: " +
+      iPlan.linesIterator.count(_.contains("SortMergeJoin")) + " (want 0)")
+
+    // as-of family: every direction exactly one hash Exchange
+    for ((nm, q) <- Seq(("asof_backward", "q_events_asof"),
+        ("asof_forward", "q_events_asof_fwd"), ("asof_nearest", "q_events_asof_near"))) {
+      val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      println(s"=== $nm === hash exchanges: " +
+        (p.split("Exchange hashpartitioning").length - 1) + " (want 1)")
+    }
+
     val idxDir = java.nio.file.Files.createTempDirectory("explainidx").toString + "/t"
     import org.apache.spark.sql.functions._
     import spark.implicits._
