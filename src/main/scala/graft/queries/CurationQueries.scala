@@ -119,6 +119,25 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The mixture-building pipeline END TO END in one Catalyst plan:
+    // per-language token budgets (hash-order prefixes) feed the stride
+    // interleave — domain capping then weighted scheduling, the two
+    // stages a real pretraining mix runs back to back. Oracle chains
+    // both replays (window-sum budget → integer stride sort).
+    "q_pipeline_mixture" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val budget = when(col("lang") === "en", 12000L).otherwise(4000L)
+      val kept = Curation.tokenBudgetByGroup(
+        docs.select(col("lang"), col("doc_id"), col("text")),
+        "lang", "doc_id", size(split(col("text"), " ")), budget)
+      Curation.interleaveMixture(
+        kept.select(col("doc_id"), col("lang")),
+        "lang", "doc_id",
+        Seq(("en", 5L), ("zh", 3L), ("de", 2L), ("es", 2L), ("fr", 1L)),
+        shards = 4, seed = 23L)
+        .orderBy(col("doc_id"))
+    }),
+
     // DSIR importance resampling: 50 documents drawn ∝ exp(hashed-bigram
     // log-likelihood ratio toward the src1–src3 "target domain") via
     // deterministic Gumbel top-k — the domain-targeted data-selection
@@ -378,6 +397,47 @@ object CurationQueries {
          |    FROM documents)
          |) WHERE cum_tokens <= bud
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_pipeline_mixture" -> {
+      val hk0 = SketchOracleSql.splitmixBigintSql("doc_id")
+      val hk = SketchOracleSql.splitmixBigintSql("xor(doc_id, 23::BIGINT)")
+      s"""WITH tb AS (
+         |  SELECT lang, doc_id, bud,
+         |    sum(n_tok) OVER (PARTITION BY lang ORDER BY hk0, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS cum
+         |  FROM (
+         |    SELECT lang, doc_id,
+         |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |      CASE WHEN lang = 'en' THEN 12000 ELSE 4000 END AS bud,
+         |      ($hk0) AS hk0
+         |    FROM documents)
+         |), kept AS (
+         |  SELECT lang, doc_id FROM tb WHERE cum <= bud
+         |), h AS (
+         |  SELECT doc_id, lang, ($hk) AS hk,
+         |    CASE lang WHEN 'en' THEN 0 WHEN 'zh' THEN 1 WHEN 'de' THEN 2
+         |              WHEN 'es' THEN 3 WHEN 'fr' THEN 4 END AS sidx,
+         |    CASE lang WHEN 'en' THEN 5 WHEN 'zh' THEN 3 WHEN 'de' THEN 2
+         |              WHEN 'es' THEN 2 WHEN 'fr' THEN 1 END AS w
+         |  FROM kept
+         |), j AS (
+         |  SELECT doc_id, lang, sidx, w,
+         |    CAST(row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id) - 1
+         |      AS BIGINT) AS source_pos
+         |  FROM h
+         |), g AS (
+         |  SELECT doc_id, lang, source_pos,
+         |    CAST(row_number() OVER (
+         |      ORDER BY (2 * source_pos + 1) * (30 // w), sidx) - 1
+         |      AS BIGINT) AS global_pos,
+         |    count(*) OVER () AS n
+         |  FROM j
+         |)
+         |SELECT doc_id, lang, source_pos, global_pos,
+         |  CAST((global_pos * 4) // n AS INT) AS shard,
+         |  CAST(global_pos - (((global_pos * 4) // n) * n + 3) // 4 AS BIGINT) AS pos
+         |FROM g ORDER BY doc_id""".stripMargin
     },
 
     "q_sample_mixture" -> {
