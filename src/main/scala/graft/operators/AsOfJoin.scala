@@ -89,10 +89,27 @@ object AsOfJoin {
     last(col("__rstruct"), ignoreNulls = true).over(w)
   }
 
+  /** Null out a match farther than `tolerance` from the left row's time
+    * (inclusive bound — pandas `merge_asof` tolerance semantics). The
+    * distance is computed in the time column's native arithmetic, so
+    * `tolerance` must be comparable to its differences: a long for
+    * numeric time columns, an interval (`expr("INTERVAL '1' HOUR")`)
+    * for timestamps. `when` without `otherwise` yields the null struct.
+    */
+  private def tolerated(matchCol: Column, dist: Column => Column,
+      timeCol: String, tolerance: Option[Column]): Column =
+    tolerance match {
+      case None => matchCol
+      case Some(t) => when(dist(col(s"__match.$timeCol")) <= t, col("__match"))
+    }
+
   private def emit(unioned: DataFrame, leftCols: Seq[String],
-      rightVals: Seq[String], matchCol: Column): DataFrame =
+      rightVals: Seq[String], matchCol: Column,
+      dist: Column => Column, timeCol: String,
+      tolerance: Option[Column]): DataFrame =
     unioned
       .withColumn("__match", matchCol)
+      .withColumn("__match", tolerated(col("__match"), dist, timeCol, tolerance))
       .where(col("__side") === 1)
       .select(leftCols.map(col) ++
         rightVals.map(v => col(s"__match.$v").as(v)): _*)
@@ -107,9 +124,11 @@ object AsOfJoin {
   def asofBackward(
       left: DataFrame, right: DataFrame,
       keyCol: String, timeCol: String,
-      rightVals: Seq[String]): DataFrame = {
+      rightVals: Seq[String],
+      tolerance: Option[Column] = None): DataFrame = {
     val (unioned, leftCols) = taggedUnion(left, right, keyCol, timeCol, rightVals)
-    emit(unioned, leftCols, rightVals, backwardMatch(keyCol, timeCol))
+    emit(unioned, leftCols, rightVals, backwardMatch(keyCol, timeCol),
+      mt => col(timeCol) - mt, timeCol, tolerance)
   }
 
   /** Forward as-of: attach the EARLIEST right row with
@@ -120,9 +139,11 @@ object AsOfJoin {
   def asofForward(
       left: DataFrame, right: DataFrame,
       keyCol: String, timeCol: String,
-      rightVals: Seq[String]): DataFrame = {
+      rightVals: Seq[String],
+      tolerance: Option[Column] = None): DataFrame = {
     val (unioned, leftCols) = taggedUnion(left, right, keyCol, timeCol, rightVals)
-    emit(unioned, leftCols, rightVals, forwardMatch(keyCol, timeCol))
+    emit(unioned, leftCols, rightVals, forwardMatch(keyCol, timeCol),
+      mt => mt - col(timeCol), timeCol, tolerance)
   }
 
   /** Nearest as-of: the closer of the backward and forward matches, ties
@@ -136,7 +157,8 @@ object AsOfJoin {
   def asofNearest(
       left: DataFrame, right: DataFrame,
       keyCol: String, timeCol: String,
-      rightVals: Seq[String]): DataFrame = {
+      rightVals: Seq[String],
+      tolerance: Option[Column] = None): DataFrame = {
     val (unioned, leftCols) = taggedUnion(left, right, keyCol, timeCol, rightVals)
     val withBoth = unioned
       .withColumn("__mb", backwardMatch(keyCol, timeCol))
@@ -150,6 +172,8 @@ object AsOfJoin {
       .otherwise(col("__mf"))
     withBoth
       .withColumn("__match", chosen)
+      .withColumn("__match", tolerated(col("__match"),
+        mt => greatest(lt - mt, mt - lt), timeCol, tolerance))
       .where(col("__side") === 1)
       .select(leftCols.map(col) ++
         rightVals.map(v => col(s"__match.$v").as(v)): _*)

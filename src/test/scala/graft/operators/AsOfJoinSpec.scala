@@ -129,6 +129,25 @@ class AsOfJoinSpec extends SparkSpec {
     assert(gotN == wantN)
   }
 
+  test("tolerance nulls out matches farther than the bound, inclusively") {
+    import org.apache.spark.sql.functions.lit
+    def pxs(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k", "t").collect()
+        .map(r => Option(r.getAs[java.lang.Double]("px")).map(_.doubleValue)).toSeq
+    // trades: A@5 (next quote 10, dist 5), A@25 (prev 20 d5 / next 30 d5),
+    // A@99 (prev 30, dist 69)
+    val b = AsOfJoin.asofBackward(trades, quotes, "k", "t", Seq("px"),
+      tolerance = Some(lit(5L)))
+    assert(pxs(b) == Seq(None, Some(2.0), Some(2.0), None, Some(10.0), None))
+    val f = AsOfJoin.asofForward(trades, quotes, "k", "t", Seq("px"),
+      tolerance = Some(lit(5L)))
+    assert(pxs(f) == Seq(Some(1.0), Some(2.0), Some(3.0), None, Some(10.0), None))
+    val nr = AsOfJoin.asofNearest(trades, quotes, "k", "t", Seq("px"),
+      tolerance = Some(lit(4L)))
+    // A@25 nearest is 20 at distance 5 > 4 → null; exact matches survive
+    assert(pxs(nr) == Seq(None, Some(2.0), None, None, Some(10.0), None))
+  }
+
   test("nearest shuffles exactly once (two sorts share one Exchange)") {
     val joined = AsOfJoin.asofNearest(trades, quotes, "k", "t", Seq("px"))
     assert(joined.columns.toSeq == Seq("k", "t", "qty", "px"))
