@@ -450,17 +450,29 @@ object Dedup {
     * one-row-per-key hot set (no fan-out); coverage is per-document
     * bounded state (≤ doc length, the same bound as the text itself).
     * Nothing is all-pairs and nothing buffers more than one document.
+    *
+    * `hashKeys = true` is the 100 TB knob: window keys shuffle as 64-bit
+    * `stringHash64` digests (8 bytes) instead of the literal `n`-token
+    * strings (~6·n bytes) — same plan shape, ~6× less key volume through
+    * both shuffles. A digest collision would merge two unrelated windows
+    * (one extra span wrongly removed) — the standard fingerprint-dedup
+    * trade, identical to [[exact]]'s 64-bit content digest; the
+    * string-key default is the exact/oracle path and the spec pins the
+    * two paths equal on collision-free corpora.
     */
   def dedupSpans(
       df: DataFrame, textCol: String, idCol: String,
-      n: Int = 8, maxDocFreq: Int = 1): DataFrame = {
+      n: Int = 8, maxDocFreq: Int = 1,
+      hashKeys: Boolean = false): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val toks = df.select(col(idCol).as("__id"),
       graft.functions.WhitespaceTokens.wsTokens(col(textCol)).as("__toks"))
+    val keyOf = (c: Column) =>
+      if (hashKeys) Sketches.stringHash64(c, 0x5fa75L) else c
     val wins = toks.where(size(col("__toks")) >= n)
       .select(col("__id"), posexplode(transform(
         sequence(lit(0), size(col("__toks")) - n),
-        i => lower(concat_ws(" ", slice(col("__toks"), i + 1, lit(n)))))
+        i => keyOf(lower(concat_ws(" ", slice(col("__toks"), i + 1, lit(n))))))
       ).as(Seq("__pos", "__key")))
     val hot = wins.groupBy(col("__key"))
       .agg(countDistinct(col("__id")).as("__df"), min(col("__id")).as("__keeper"))

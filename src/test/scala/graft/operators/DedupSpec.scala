@@ -183,6 +183,24 @@ class DedupSpec extends SparkSpec {
     assert(lax == Seq(0L, 0L, 0L, 0L))
   }
 
+  test("dedupSpans: hashed keys (the scale knob) equal the string-key path") {
+    val rnd = new scala.util.Random(99L)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+      "eta", "theta", "iota", "kappa", "lambda", "mu")
+    val boiler = "shared footer sentence repeated across many documents verbatim here"
+    val docs2 = (0 until 40).map { i =>
+      val body = Seq.fill(12 + rnd.nextInt(10))(vocab(rnd.nextInt(vocab.size)))
+        .mkString(" ")
+      (i.toLong, if (i % 3 == 0) s"$body $boiler" else body)
+    }.toDF("doc_id", "text")
+    def run(h: Boolean) = Dedup.dedupSpans(docs2, "text", "doc_id",
+      n = 8, hashKeys = h).orderBy("doc_id").collect()
+      .map(r => (r.getAs[String]("text"), r.getAs[Long]("n_tokens_dropped"))).toSeq
+    assert(run(true) == run(false))
+    // sanity: the injected boilerplate really was deduplicated
+    assert(run(false).count(_._2 > 0) >= 12)
+  }
+
   test("canonicalUrl is idempotent over randomized messy URLs") {
     import graft.functions.TextFunctions.canonicalUrl
     val rnd = new scala.util.Random(42)
