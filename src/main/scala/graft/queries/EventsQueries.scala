@@ -136,6 +136,24 @@ object EventsQueries {
         .orderBy(col("event_id"))
     }),
 
+    // Backward as-of with a tolerance bound (pandas merge_asof
+    // tolerance): matches farther than ~28 hours are nulled — the bound
+    // sits near the median view→purchase gap, so roughly half the
+    // matches survive and half null (both branches exercised). Oracle
+    // applies the same inclusive CASE over DuckDB's native ASOF.
+    "q_events_asof_tol" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("t_us", unix_micros(col("ts")))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("t_us"), col("value"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("t_us"), col("value").as("ref_value"))
+      graft.operators.AsOfJoin.asofBackward(
+        views, purchases, "user_id", "t_us", Seq("ref_value"),
+        tolerance = Some(lit(100000000000L)))
+        .orderBy(col("event_id"))
+    }),
+
     // Nearest as-of (pandas direction='nearest', ties backward): oracle
     // replays the rule with correlated min/max subqueries — no ASOF
     // operator involved, a third independent formulation.
@@ -283,6 +301,21 @@ object EventsQueries {
         |)
         |SELECT l.event_id, l.user_id, l.t_us, l.value, r.ref_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t_us <= r.t_us
+        |ORDER BY l.event_id""".stripMargin,
+
+    "q_events_asof_tol" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) // 1000 AS t_us, value, event_type
+        |  FROM events
+        |), l AS (
+        |  SELECT event_id, user_id, t_us, value FROM ev WHERE event_type = 'view'
+        |), r AS (
+        |  SELECT user_id, t_us, max(value) AS ref_value FROM ev
+        |  WHERE event_type = 'purchase' GROUP BY 1, 2
+        |)
+        |SELECT l.event_id, l.user_id, l.t_us, l.value,
+        |  CASE WHEN l.t_us - r.t_us <= 100000000000 THEN r.ref_value END AS ref_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.t_us >= r.t_us
         |ORDER BY l.event_id""".stripMargin,
 
     "q_events_asof_near" ->
