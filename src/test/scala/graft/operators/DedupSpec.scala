@@ -183,6 +183,42 @@ class DedupSpec extends SparkSpec {
     assert(lax == Seq(0L, 0L, 0L, 0L))
   }
 
+  test("dedupSpans matches a brute-force reference on randomized corpora") {
+    val rnd = new scala.util.Random(20260813L)
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val n = 3
+    // tiny vocab + short docs → heavy genuine window sharing, plus the
+    // degenerate shapes: empty docs, docs shorter than n, exact length n
+    val docs2 = (0 until 50).map { i =>
+      val len = rnd.nextInt(10) // 0..9 tokens
+      (i.toLong, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = Dedup.dedupSpans(docs2.toDF("doc_id", "text"), "text", "doc_id", n = n)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[String]("text"), r.getAs[Long]("n_tokens_dropped"))).toSeq
+    // brute force: windows per doc, dup keys by distinct-doc count, min-id
+    // keeper, coverage union, rebuild
+    val toks = docs2.map { case (id, t) =>
+      id -> (if (t.trim.isEmpty) Array("") else t.trim.split("\\s+"))
+    }.toMap
+    val wins = docs2.flatMap { case (id, _) =>
+      val w = toks(id)
+      if (w.length < n) Seq.empty
+      else (0 to w.length - n).map(p => (id, p, w.slice(p, p + n).mkString(" ").toLowerCase))
+    }
+    val keeper = wins.groupBy(_._3).collect {
+      case (k, occ) if occ.map(_._1).distinct.size > 1 => k -> occ.map(_._1).min
+    }
+    val want = docs2.map { case (id, _) =>
+      val w = toks(id)
+      val cov = wins.filter(x => x._1 == id && keeper.get(x._3).exists(_ != id))
+        .flatMap(x => x._2 until x._2 + n).toSet
+      val kept = w.zipWithIndex.collect { case (t, i) if !cov.contains(i) => t }
+      (kept.mkString(" "), cov.size.toLong)
+    }
+    assert(got == want)
+  }
+
   test("dedupSpans: hashed keys (the scale knob) equal the string-key path") {
     val rnd = new scala.util.Random(99L)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
