@@ -219,6 +219,23 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("dedupSpans survives a pathological corpus-wide duplicate") {
+    // 20k copies of one 20-token document: every window is hot in every
+    // copy — the worst skew case. Detection is a partial-aggregable
+    // groupBy and coverage stays per-doc, so this must just work: keeper
+    // (id 0) intact, every other copy fully stripped.
+    val text = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val many = spark.range(0, 20000).toDF("doc_id")
+      .withColumn("text", lit(text))
+    val out = Dedup.dedupSpans(many, "text", "doc_id", n = 8)
+    val agg = out.groupBy(col("n_tokens_dropped")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(agg == Map(0L -> 1L, 20L -> 19999L))
+    val keeper = out.where(col("n_tokens_dropped") === 0L).collect()
+    assert(keeper.length == 1 && keeper(0).getAs[Long]("doc_id") == 0L &&
+      keeper(0).getAs[String]("text") == text)
+  }
+
   test("dedupSpans: hashed keys (the scale knob) equal the string-key path") {
     val rnd = new scala.util.Random(99L)
     val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
