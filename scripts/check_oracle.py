@@ -15,6 +15,24 @@ for p in glob.glob(f"{sf_dir}/*.parquet"):
     name = os.path.basename(p)[:-len(".parquet")]
     con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
+def _canon(series):
+    """Canonical per-cell string, dtype-sensitive the way a serialized hash
+    is: ints render without a decimal point, floats with one, so an
+    int64/float64 representation split on equal values is caught."""
+    out = []
+    for v in series.tolist():
+        if v is None or (isinstance(v, float) and v != v) or v is pd.NaT:
+            out.append("NULL")
+        elif isinstance(v, (bytes, bytearray)):
+            out.append("0x" + bytes(v).hex())
+        elif isinstance(v, bool):
+            out.append("true" if v else "false")
+        elif isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+            out.append("[" + ",".join(str(x) for x in v) + "]")
+        else:
+            out.append(str(v))
+    return out
+
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
 fails = 0
 for name, sql in sorted(oracle.items()):
@@ -44,6 +62,16 @@ for name, sql in sorted(oracle.items()):
             if not eq.all():
                 i = int((~eq).argmax())
                 mism.append(f"col {c} row {i}: {g.iloc[i]!r} vs {w.iloc[i]!r} ({(~eq).sum()} diffs)")
+                continue
+            # representation-strict pass (mirrors the driver's value hash):
+            # equal values with different canonical forms — e.g. DuckDB
+            # HUGEINT→float64 "3.0" vs Spark BIGINT "3" — must fail here too.
+            gc_, wc_ = _canon(g), _canon(w)
+            if gc_ != wc_:
+                i = next(j for j in range(len(gc_)) if gc_[j] != wc_[j])
+                mism.append(
+                    f"col {c} row {i}: repr {gc_[i]!r} vs {wc_[i]!r}"
+                    f" (dtypes {g.dtype} vs {w.dtype})")
         except Exception as e:
             mism.append(f"col {c}: compare error {e}")
     if mism:

@@ -372,8 +372,8 @@ object CurationQueries {
       val hk = SketchOracleSql.splitmixBigintSql("doc_id")
       s"""SELECT doc_id, n_tok, cum_tokens FROM (
          |  SELECT doc_id, n_tok,
-         |    sum(n_tok) OVER (ORDER BY hk, doc_id
-         |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |    CAST(sum(n_tok) OVER (ORDER BY hk, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
          |  FROM (
          |    SELECT doc_id,
          |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
@@ -387,8 +387,8 @@ object CurationQueries {
       val hk = SketchOracleSql.splitmixBigintSql("doc_id")
       s"""SELECT source, doc_id, n_tok, cum_tokens FROM (
          |  SELECT source, doc_id, n_tok, bud,
-         |    sum(n_tok) OVER (PARTITION BY source ORDER BY hk, doc_id
-         |      ROWS UNBOUNDED PRECEDING) AS cum_tokens
+         |    CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY hk, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
          |  FROM (
          |    SELECT source, doc_id,
          |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,

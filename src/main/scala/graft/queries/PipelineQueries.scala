@@ -354,8 +354,8 @@ object PipelineQueries {
          |), tb AS (
          |  SELECT doc_id, n_tok, cum_tokens FROM (
          |    SELECT doc_id, n_tok,
-         |      sum(n_tok) OVER (ORDER BY hk, doc_id ROWS UNBOUNDED PRECEDING)
-         |        AS cum_tokens
+         |      CAST(sum(n_tok) OVER (ORDER BY hk, doc_id ROWS UNBOUNDED PRECEDING)
+         |        AS BIGINT) AS cum_tokens
          |    FROM (SELECT doc_id,
          |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
          |      ($hk0) AS hk FROM ded))
