@@ -99,7 +99,7 @@ object ExplainCheck {
         ("asof_forward", "q_events_asof_fwd"), ("asof_nearest", "q_events_asof_near"))) {
       val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
       println(s"=== $nm === hash exchanges: " +
-        (p.split("Exchange hashpartitioning").length - 1) + " (want 1)")
+        p.linesIterator.count(_.contains("Exchange hashpartitioning")) + " (want 1)")
     }
 
     val idxDir = java.nio.file.Files.createTempDirectory("explainidx").toString + "/t"

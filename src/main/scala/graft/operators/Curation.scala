@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
 import graft.functions.{BoundedTopK, Sketches, TextFunctions}
 
 /** Corpus-curation operators for large-scale training-data pipelines:
@@ -385,10 +386,24 @@ object Curation {
     val id = col(idCol)
     def esc(s: String) = s.replace("'", "''")
 
+    // Seeded hash key: integral ids go through splitmix directly (the
+    // oracle-replayed formulation); string ids hash via stringHash64
+    // first. Anything else fails fast — a silent cast("long") would
+    // yield null for every row and collapse the seeded order into plain
+    // id order inside one null bucket.
+    val idType = df.schema(idCol).dataType
+    val hk = idType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Sketches.splitmixLong(id.cast("long").bitwiseXOR(lit(seed)))
+      case StringType =>
+        Sketches.splitmixLong(
+          Sketches.stringHash64(id, 0x1337L).bitwiseXOR(lit(seed)))
+      case t => throw new IllegalArgumentException(
+        s"interleaveMixture id column '$idCol' must be integral or string, got $t")
+    }
     val base = df
       .where(col(sourceCol).isin(weights.map(_._1): _*))
-      .select(col(sourceCol).as("__src"), id,
-        Sketches.splitmixLong(id.cast("long").bitwiseXOR(lit(seed))).as("__hk"))
+      .select(col(sourceCol).as("__src"), id, hk.as("__hk"))
       .withColumn("__bkt",
         (shiftright(col("__hk"), shift) + lit(indexBuckets / 2)).cast("int"))
     // per-(source, bucket) start offsets; the frame is sources×buckets

@@ -447,9 +447,13 @@ object Dedup {
     * canonical shingle pipeline shape); duplicated-window detection is a
     * partial-aggregable groupBy on the window key (countDistinct +
     * min — no window functions); flagging is a join against the
-    * one-row-per-key hot set (no fan-out); coverage is per-document
-    * bounded state (≤ doc length, the same bound as the text itself).
-    * Nothing is all-pairs and nothing buffers more than one document.
+    * one-row-per-key hot set (no fan-out); coverage shuffles ONE
+    * interval row per flagged window (fixed length n, so just the begin
+    * position — n× less volume than a per-position explode), and the
+    * overlap union resolves row-locally at rebuild (token i covered iff
+    * a flagged window begins in (i-n, i]). Per-document state stays
+    * ≤ doc length. Nothing is all-pairs and nothing buffers more than
+    * one document.
     *
     * `hashKeys = true` is the 100 TB knob: window keys shuffle as 64-bit
     * `stringHash64` digests (8 bytes) instead of the literal `n`-token
@@ -478,21 +482,31 @@ object Dedup {
       .agg(countDistinct(col("__id")).as("__df"), min(col("__id")).as("__keeper"))
       .where(col("__df") > maxDocFreq)
       .select(col("__key"), col("__keeper"))
+    // One interval row per flagged window (its begin position; every
+    // interval has fixed length n) — NOT one row per covered position.
+    // The per-position explode shuffled n× this volume; the union of
+    // overlapping windows is instead resolved at rebuild time: token i
+    // is covered iff some flagged window begins in (i-n, i].
     val covered = wins.join(hot, "__key")
       .where(col("__id") =!= col("__keeper"))
-      .select(col("__id"),
-        explode(sequence(col("__pos"), col("__pos") + (n - 1))).as("__cp"))
-      .groupBy(col("__id")).agg(collect_set(col("__cp")).as("__cov"))
+      .groupBy(col("__id")).agg(collect_set(col("__pos")).as("__begins"))
     val rebuilt = toks.join(covered, Seq("__id"), "left_outer")
-      .withColumn("__cov", coalesce(col("__cov"), array().cast("array<int>")))
+      .withColumn("__begins",
+        coalesce(col("__begins"), array().cast("array<int>")))
+      .withColumn("__keep", filter(col("__toks"), (_, i) =>
+        !exists(col("__begins"), b => b <= i && i < b + n)))
       .select(col("__id"),
-        array_join(filter(col("__toks"), (_, i) =>
-          !array_contains(col("__cov"), i)), " ").as("__text"),
-        size(col("__cov")).cast("long").as("n_tokens_dropped"))
-    df.join(rebuilt, df(idCol) === rebuilt("__id"), "inner")
+        array_join(col("__keep"), " ").as("__text"),
+        (size(col("__toks")) - size(col("__keep"))).cast("long")
+          .as("n_tokens_dropped"))
+    // left_outer (matching dedupLines): a null-id row can never win a
+    // keeper election or match the rebuild key, so it passes through
+    // with its original text instead of being silently dropped.
+    df.join(rebuilt, df(idCol) === rebuilt("__id"), "left_outer")
       .select(df.columns.map { c =>
-        if (c == textCol) col("__text").as(textCol) else df(c)
-      } :+ col("n_tokens_dropped"): _*)
+        if (c == textCol) coalesce(col("__text"), df(textCol)).as(textCol)
+        else df(c)
+      } :+ coalesce(col("n_tokens_dropped"), lit(0L)).as("n_tokens_dropped"): _*)
   }
 
   /** The scale form of exact n-gram Jaccard: MinHash-LSH banding proposes

@@ -42,7 +42,7 @@ class AsOfJoinSpec extends SparkSpec {
     val joined = AsOfJoin.asofBackward(trades, quotes, "k", "t", Seq("px"))
     assert(joined.columns.toSeq == Seq("k", "t", "qty", "px"))
     val plan = joined.queryExecution.executedPlan.toString
-    assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
       s"expected a single key-partitioned Exchange, got:\n$plan")
   }
 
@@ -152,7 +152,7 @@ class AsOfJoinSpec extends SparkSpec {
     val joined = AsOfJoin.asofNearest(trades, quotes, "k", "t", Seq("px"))
     assert(joined.columns.toSeq == Seq("k", "t", "qty", "px"))
     val plan = joined.queryExecution.executedPlan.toString
-    assert(plan.split("Exchange hashpartitioning").length - 1 == 1,
+    assert(plan.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1,
       s"expected a single key-partitioned Exchange, got:\n$plan")
   }
 
