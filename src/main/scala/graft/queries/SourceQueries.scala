@@ -85,29 +85,40 @@ object SourceQueries {
       s.read.format("kv").option("path", sink).load().orderBy(col("event_type"))
     }),
 
-    // S1 type fidelity: wide decimal (p>18, FIXED_LEN_BYTE_ARRAY) and
-    // ArrayType columns round-tripped through the kv source — the
-    // reference's richest ODPS type mapping (OdpsUtils.scala:398-457).
+    // S1 type fidelity: wide decimal (p>18, FIXED_LEN_BYTE_ARRAY),
+    // ArrayType/MapType/struct columns AND recursive nesting
+    // (array-of-struct, struct-of-struct, map-of-struct) round-tripped
+    // through the kv source — the reference's richest ODPS type mapping
+    // (OdpsUtils.scala:398-457,517-554 recurses arbitrarily).
     "q_kv_wide_types" -> ((s, dir) => {
       val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
-      val staged = s"/tmp/graft_widetypes2$safe"
+      val staged = s"/tmp/graft_widetypes3$safe"
       if (ParquetIO.listFiles(staged).isEmpty) {
         graft.Tables.load(s, dir, "lineitem")
           .select(col("l_orderkey"),
             col("l_extendedprice").cast("decimal(28,4)").as("price_wide"),
             array(col("l_quantity"), col("l_discount")).as("qd"),
             map(lit("q"), col("l_quantity"), lit("d"), col("l_discount")).as("qd_map"),
-            struct(col("l_returnflag").as("rf"), col("l_linestatus").as("ls")).as("meta"))
+            struct(col("l_returnflag").as("rf"), col("l_linestatus").as("ls")).as("meta"),
+            array(struct(col("l_quantity").as("q"), col("l_discount").as("d"))).as("items"),
+            struct(struct(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+              .as("inner"), col("l_linestatus").as("mode")).as("meta2"),
+            map(lit("m"), struct(col("l_quantity").as("q"), col("l_discount").as("d")))
+              .as("props"))
           .write.format("kv").option("path", staged).mode("overwrite").save()
       }
-      // group by a struct field, multiply an array element by a map value:
-      // every nested shape is exercised after the round-trip
+      // group by a struct-of-struct field, multiply array/map elements and
+      // array-of-struct / map-of-struct fields: every nested shape is
+      // exercised after the round-trip
       s.read.format("kv").option("path", staged).load()
-        .groupBy(col("meta.rf").as("rf"))
+        .groupBy(col("meta2.inner.rf").as("rf"))
         .agg(count(lit(1)).as("n"),
           sum(col("price_wide")).cast("double").as("sum_price"),
           round(sum(element_at(col("qd"), 1) * (lit(1) - col("qd_map").getItem("d"))), 2)
-            .as("disc_qty"))
+            .as("disc_qty"),
+          round(sum(element_at(col("items"), 1).getField("q") *
+            (lit(1) - col("props").getItem("m").getField("d"))), 2)
+            .as("disc_qty_deep"))
         .orderBy(col("rf"))
     }),
 
@@ -651,7 +662,8 @@ object SourceQueries {
     "q_kv_wide_types" ->
       """SELECT l_returnflag AS rf, count(*) AS n,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(28, 4))) AS DOUBLE) AS sum_price,
-        |  round(sum(l_quantity * (1 - l_discount)), 2) AS disc_qty
+        |  round(sum(l_quantity * (1 - l_discount)), 2) AS disc_qty,
+        |  round(sum(l_quantity * (1 - l_discount)), 2) AS disc_qty_deep
         |FROM lineitem
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 

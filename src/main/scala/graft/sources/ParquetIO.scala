@@ -206,76 +206,22 @@ object ParquetIO {
     })
   }
 
-  /** Spark StructType → parquet MessageType (primitives only). */
+  /** Spark StructType → parquet MessageType. Nested types recurse
+    * arbitrarily (array-of-struct, struct-of-struct, map-of-struct …) —
+    * the reference's ODPS converter fidelity
+    * (OdpsUtils.sparkData2OdpsData:398-457).
+    */
   def toParquetSchema(schema: StructType, name: String = "graft_schema"): MessageType = {
     val builder = Types.buildMessage()
-    schema.fields.foreach { f =>
-      val t: Type = f.dataType match {
-        case LongType => Types.optional(PrimitiveTypeName.INT64).named(f.name)
-        case IntegerType => Types.optional(PrimitiveTypeName.INT32).named(f.name)
-        case DoubleType => Types.optional(PrimitiveTypeName.DOUBLE).named(f.name)
-        case FloatType => Types.optional(PrimitiveTypeName.FLOAT).named(f.name)
-        case BooleanType => Types.optional(PrimitiveTypeName.BOOLEAN).named(f.name)
-        case StringType => Types.optional(PrimitiveTypeName.BINARY)
-          .as(LogicalTypeAnnotation.stringType()).named(f.name)
-        case BinaryType => Types.optional(PrimitiveTypeName.BINARY).named(f.name)
-        case TimestampType => Types.optional(PrimitiveTypeName.INT64)
-          .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS)).named(f.name)
-        case TimestampNTZType => Types.optional(PrimitiveTypeName.INT64)
-          .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.MICROS)).named(f.name)
-        case DateType => Types.optional(PrimitiveTypeName.INT32)
-          .as(LogicalTypeAnnotation.dateType()).named(f.name)
-        case d: DecimalType if d.precision <= 18 =>
-          // INT64-backed decimal (unscaled long) — the reference's decimal
-          // discipline requires explicit precision/scale (DatahubData
-          // .scala:97-100)
-          Types.optional(PrimitiveTypeName.INT64)
-            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision)).named(f.name)
-        case d: DecimalType =>
-          // wide decimal (p > 18): FIXED_LEN_BYTE_ARRAY big-endian
-          // two's-complement unscaled value — parquet's standard encoding,
-          // the reference's full-precision ODPS decimal fidelity
-          // (OdpsUtils.sparkData2OdpsData:398-457)
-          Types.optional(PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY)
-            .length(minBytesForPrecision(d.precision))
-            .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision)).named(f.name)
-        case ArrayType(et, _) =>
-          // standard parquet 3-level LIST of a primitive element type
-          Types.buildGroup(Type.Repetition.OPTIONAL)
-            .as(LogicalTypeAnnotation.listType())
-            .addField(Types.repeatedGroup()
-              .addField(leafType(et, "element", Type.Repetition.OPTIONAL, f.name))
-              .named("list"))
-            .named(f.name)
-        case MapType(kt, vt, _) =>
-          // standard parquet MAP: repeated key_value(required key, optional value)
-          Types.buildGroup(Type.Repetition.OPTIONAL)
-            .as(LogicalTypeAnnotation.mapType())
-            .addField(Types.repeatedGroup()
-              .addField(leafType(kt, "key", Type.Repetition.REQUIRED, f.name))
-              .addField(leafType(vt, "value", Type.Repetition.OPTIONAL, f.name))
-              .named("key_value"))
-            .named(f.name)
-        case st: StructType =>
-          // one level of primitive-field nesting (the reference's ODPS
-          // struct fidelity; deeper nesting rejected by leafType)
-          val b = Types.buildGroup(Type.Repetition.OPTIONAL)
-          st.fields.foreach(sf =>
-            b.addField(leafType(sf.dataType, sf.name, Type.Repetition.OPTIONAL, f.name)))
-          b.named(f.name)
-        case other => throw new IllegalArgumentException(
-          s"unsupported kv/log column type $other for ${f.name}")
-      }
-      builder.addField(t)
-    }
+    schema.fields.foreach(f =>
+      builder.addField(fieldType(f.dataType, f.name, Type.Repetition.OPTIONAL, f.name)))
     builder.named(name)
   }
 
-  /** Primitive leaf for a nested container (list element, map key/value,
-    * struct field). Deeper nesting is rejected here with the owning
-    * column's name in the message.
+  /** Parquet type for one field at any nesting depth — primitives,
+    * timestamps/dates/decimals, and recursive LIST/MAP/struct groups.
     */
-  private def leafType(dt: DataType, name: String, rep: Type.Repetition,
+  private def fieldType(dt: DataType, name: String, rep: Type.Repetition,
       owner: String): Type = dt match {
     case LongType => Types.primitive(PrimitiveTypeName.INT64, rep).named(name)
     case IntegerType => Types.primitive(PrimitiveTypeName.INT32, rep).named(name)
@@ -285,8 +231,50 @@ object ParquetIO {
     case StringType => Types.primitive(PrimitiveTypeName.BINARY, rep)
       .as(LogicalTypeAnnotation.stringType()).named(name)
     case BinaryType => Types.primitive(PrimitiveTypeName.BINARY, rep).named(name)
+    case TimestampType => Types.primitive(PrimitiveTypeName.INT64, rep)
+      .as(LogicalTypeAnnotation.timestampType(true, TimeUnit.MICROS)).named(name)
+    case TimestampNTZType => Types.primitive(PrimitiveTypeName.INT64, rep)
+      .as(LogicalTypeAnnotation.timestampType(false, TimeUnit.MICROS)).named(name)
+    case DateType => Types.primitive(PrimitiveTypeName.INT32, rep)
+      .as(LogicalTypeAnnotation.dateType()).named(name)
+    case d: DecimalType if d.precision <= 18 =>
+      // INT64-backed decimal (unscaled long) — the reference's decimal
+      // discipline requires explicit precision/scale (DatahubData
+      // .scala:97-100)
+      Types.primitive(PrimitiveTypeName.INT64, rep)
+        .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision)).named(name)
+    case d: DecimalType =>
+      // wide decimal (p > 18): FIXED_LEN_BYTE_ARRAY big-endian
+      // two's-complement unscaled value — parquet's standard encoding,
+      // the reference's full-precision ODPS decimal fidelity
+      Types.primitive(PrimitiveTypeName.FIXED_LEN_BYTE_ARRAY, rep)
+        .length(minBytesForPrecision(d.precision))
+        .as(LogicalTypeAnnotation.decimalType(d.scale, d.precision)).named(name)
+    case ArrayType(et, _) =>
+      // standard parquet 3-level LIST; element type recurses
+      Types.buildGroup(rep)
+        .as(LogicalTypeAnnotation.listType())
+        .addField(Types.repeatedGroup()
+          .addField(fieldType(et, "element", Type.Repetition.OPTIONAL, owner))
+          .named("list"))
+        .named(name)
+    case MapType(kt, vt, _) =>
+      // standard parquet MAP: repeated key_value(required key, optional
+      // value); both sides recurse
+      Types.buildGroup(rep)
+        .as(LogicalTypeAnnotation.mapType())
+        .addField(Types.repeatedGroup()
+          .addField(fieldType(kt, "key", Type.Repetition.REQUIRED, owner))
+          .addField(fieldType(vt, "value", Type.Repetition.OPTIONAL, owner))
+          .named("key_value"))
+        .named(name)
+    case st: StructType =>
+      val b = Types.buildGroup(rep)
+      st.fields.foreach(sf =>
+        b.addField(fieldType(sf.dataType, sf.name, Type.Repetition.OPTIONAL, owner)))
+      b.named(name)
     case other => throw new IllegalArgumentException(
-      s"unsupported element/field type $other in column $owner")
+      s"unsupported kv/log type $other in column $owner")
   }
 
   /** Smallest byte length whose signed two's-complement range covers
@@ -310,19 +298,94 @@ object ParquetIO {
     new MessageType(file.getName, fields: _*)
   }
 
-  /** Read one primitive leaf value (Catalyst representation) from a
-    * container group — list elements, map keys/values, struct fields.
+  /** Read field `idx` of `g` (first repetition) as a Catalyst value of
+    * `dt` — recursive over LIST/MAP/struct, with the same storage-type
+    * widening and timestamp-unit handling as the top level (the group
+    * carries its own parquet type, so nested metadata is available).
     */
-  private def readLeaf(g: Group, idx: Int, dt: DataType): Any = dt match {
-    case LongType => g.getLong(idx, 0)
+  private def readValue(g: Group, idx: Int, dt: DataType): Any = dt match {
+    case LongType =>
+      g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT32 => g.getInteger(idx, 0).toLong
+        case _ => g.getLong(idx, 0)
+      }
     case IntegerType => g.getInteger(idx, 0)
-    case DoubleType => g.getDouble(idx, 0)
+    case DoubleType =>
+      g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+        case PrimitiveTypeName.FLOAT => g.getFloat(idx, 0).toDouble
+        case PrimitiveTypeName.INT32 => g.getInteger(idx, 0).toDouble
+        case PrimitiveTypeName.INT64 => g.getLong(idx, 0).toDouble
+        case _ => g.getDouble(idx, 0)
+      }
     case FloatType => g.getFloat(idx, 0)
     case BooleanType => g.getBoolean(idx, 0)
     case StringType => UTF8String.fromBytes(g.getBinary(idx, 0).getBytes)
     case BinaryType => g.getBinary(idx, 0).getBytes
+    case TimestampType | TimestampNTZType =>
+      val unit = g.getType.getType(idx).asPrimitiveType().getLogicalTypeAnnotation match {
+        case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation => ts.getUnit
+        case _ => TimeUnit.MICROS
+      }
+      timestampToMicros(g.getLong(idx, 0), unit)
+    case DateType => g.getInteger(idx, 0)
+    case d: DecimalType =>
+      g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT32 => org.apache.spark.sql.types.Decimal
+          .createUnsafe(g.getInteger(idx, 0).toLong, d.precision, d.scale)
+        case PrimitiveTypeName.INT64 => org.apache.spark.sql.types.Decimal
+          .createUnsafe(g.getLong(idx, 0), d.precision, d.scale)
+        case _ =>
+          val unscaled = new java.math.BigInteger(g.getBinary(idx, 0).getBytes)
+          org.apache.spark.sql.types.Decimal(
+            scala.math.BigDecimal(scala.math.BigInt(unscaled), d.scale),
+            d.precision, d.scale)
+      }
+    case ArrayType(et, _) => readList(g.getGroup(idx, 0), et)
+    case MapType(kt, vt, _) => readMap(g.getGroup(idx, 0), kt, vt)
+    case st: StructType => readStruct(g.getGroup(idx, 0), st)
     case other => throw new IllegalArgumentException(
       s"unsupported element/field type $other")
+  }
+
+  /** 3-level LIST group → GenericArrayData (elements recurse). */
+  private def readList(outer: Group, et: DataType): Any = {
+    val n = outer.getFieldRepetitionCount(0)
+    val values = new Array[Any](n)
+    var j = 0
+    while (j < n) {
+      val el = outer.getGroup(0, j)
+      values(j) =
+        if (el.getFieldRepetitionCount(0) == 0) null else readValue(el, 0, et)
+      j += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(values)
+  }
+
+  /** MAP group → ArrayBasedMapData (keys/values recurse). */
+  private def readMap(outer: Group, kt: DataType, vt: DataType): Any = {
+    val n = outer.getFieldRepetitionCount(0)
+    val keys = new Array[Any](n)
+    val vals = new Array[Any](n)
+    var j = 0
+    while (j < n) {
+      val kv = outer.getGroup(0, j)
+      keys(j) = readValue(kv, 0, kt)
+      vals(j) = if (kv.getFieldRepetitionCount(1) == 0) null else readValue(kv, 1, vt)
+      j += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(keys, vals)
+  }
+
+  /** struct group → InternalRow (fields recurse). */
+  private def readStruct(sg: Group, st: StructType): InternalRow = {
+    val nested = new GenericInternalRow(st.length)
+    var j = 0
+    while (j < st.length) {
+      if (sg.getFieldRepetitionCount(j) == 0) nested.setNullAt(j)
+      else nested.update(j, readValue(sg, j, st(j).dataType))
+      j += 1
+    }
+    nested
   }
 
   /** Timestamp storage unit multiplier → micros. */
@@ -396,44 +459,12 @@ object ParquetIO {
           case DateType => row.setInt(i, g.getInteger(pqIdx, 0))
           case ArrayType(et, _) =>
             // 3-level LIST: outer group → repeated "list" group → element
-            val outer = g.getGroup(pqIdx, 0)
-            val n = outer.getFieldRepetitionCount(0)
-            val values = new Array[Any](n)
-            var j = 0
-            while (j < n) {
-              val el = outer.getGroup(0, j)
-              values(j) =
-                if (el.getFieldRepetitionCount(0) == 0) null
-                else readLeaf(el, 0, et)
-              j += 1
-            }
-            row.update(i,
-              new org.apache.spark.sql.catalyst.util.GenericArrayData(values))
+            row.update(i, readList(g.getGroup(pqIdx, 0), et))
           case MapType(kt, vt, _) =>
             // MAP: outer group → repeated "key_value" → (key, value)
-            val outer = g.getGroup(pqIdx, 0)
-            val n = outer.getFieldRepetitionCount(0)
-            val keys = new Array[Any](n)
-            val vals = new Array[Any](n)
-            var j = 0
-            while (j < n) {
-              val kv = outer.getGroup(0, j)
-              keys(j) = readLeaf(kv, 0, kt)
-              vals(j) = if (kv.getFieldRepetitionCount(1) == 0) null else readLeaf(kv, 1, vt)
-              j += 1
-            }
-            row.update(i, org.apache.spark.sql.catalyst.util.ArrayBasedMapData(
-              keys, vals))
+            row.update(i, readMap(g.getGroup(pqIdx, 0), kt, vt))
           case st: StructType =>
-            val sg = g.getGroup(pqIdx, 0)
-            val nested = new GenericInternalRow(st.length)
-            var j = 0
-            while (j < st.length) {
-              if (sg.getFieldRepetitionCount(j) == 0) nested.setNullAt(j)
-              else nested.update(j, readLeaf(sg, j, st(j).dataType))
-              j += 1
-            }
-            row.update(i, nested)
+            row.update(i, readStruct(g.getGroup(pqIdx, 0), st))
           case other => throw new IllegalArgumentException(s"unsupported type $other")
         }
       }
@@ -542,45 +573,12 @@ object ParquetIO {
           case d: DecimalType if d.precision <= 18 =>
             g.add(name, row.getDecimal(i, d.precision, d.scale).toUnscaledLong)
           case d: DecimalType =>
-            // sign-extended big-endian two's complement at the fixed length
-            val unscaled = row.getDecimal(i, d.precision, d.scale)
-              .toJavaBigDecimal.unscaledValue()
-            val raw = unscaled.toByteArray
-            val n = minBytesForPrecision(d.precision)
-            val out = new Array[Byte](n)
-            if (unscaled.signum() < 0) java.util.Arrays.fill(out, 0, n - raw.length, -1: Byte)
-            System.arraycopy(raw, 0, out, n - raw.length, raw.length)
-            g.add(name, org.apache.parquet.io.api.Binary.fromConstantByteArray(out))
+            g.add(name, org.apache.parquet.io.api.Binary.fromConstantByteArray(
+              fixedDecimalBytes(row.getDecimal(i, d.precision, d.scale), d)))
           case DateType => g.add(name, row.getInt(i))
-          case ArrayType(et, _) =>
-            val arr = row.getArray(i)
-            val outer = g.addGroup(name)
-            var j = 0
-            while (j < arr.numElements()) {
-              val el = outer.addGroup(0)
-              if (!arr.isNullAt(j)) writeLeaf(el, 0, et, arr.get(j, et))
-              j += 1
-            }
-          case MapType(kt, vt, _) =>
-            val m = row.getMap(i)
-            val outer = g.addGroup(name)
-            var j = 0
-            while (j < m.numElements()) {
-              val kv = outer.addGroup(0)
-              writeLeaf(kv, 0, kt, m.keyArray().get(j, kt))
-              if (!m.valueArray().isNullAt(j))
-                writeLeaf(kv, 1, vt, m.valueArray().get(j, vt))
-              j += 1
-            }
-          case st: StructType =>
-            val nested = row.getStruct(i, st.length)
-            val sg = g.addGroup(name)
-            var j = 0
-            while (j < st.length) {
-              if (!nested.isNullAt(j))
-                writeLeaf(sg, j, st(j).dataType, nested.get(j, st(j).dataType))
-              j += 1
-            }
+          case at: ArrayType => writeList(g.addGroup(name), at.elementType, row.getArray(i))
+          case mt: MapType => writeMap(g.addGroup(name), mt.keyType, mt.valueType, row.getMap(i))
+          case st: StructType => writeStruct(g.addGroup(name), st, row.getStruct(i, st.length))
           case other => throw new IllegalArgumentException(s"unsupported type $other")
         }
       }
@@ -589,10 +587,10 @@ object ParquetIO {
     g
   }
 
-  /** Write one primitive leaf (Catalyst representation) into a container
-    * group at field `idx` — list elements, map keys/values, struct fields.
+  /** Write one Catalyst value into a container group at field `idx` —
+    * recursive over LIST/MAP/struct, same encodings as the top level.
     */
-  private def writeLeaf(g: Group, idx: Int, dt: DataType, v: Any): Unit = dt match {
+  private def writeValue(g: Group, idx: Int, dt: DataType, v: Any): Unit = dt match {
     case LongType => g.add(idx, v.asInstanceOf[Long])
     case IntegerType => g.add(idx, v.asInstanceOf[Int])
     case DoubleType => g.add(idx, v.asInstanceOf[Double])
@@ -601,8 +599,68 @@ object ParquetIO {
     case StringType => g.add(idx, v.toString) // UTF8String
     case BinaryType => g.add(idx,
       org.apache.parquet.io.api.Binary.fromConstantByteArray(v.asInstanceOf[Array[Byte]]))
+    case TimestampType | TimestampNTZType => g.add(idx, v.asInstanceOf[Long]) // micros
+    case DateType => g.add(idx, v.asInstanceOf[Int])
+    case d: DecimalType if d.precision <= 18 =>
+      g.add(idx, v.asInstanceOf[org.apache.spark.sql.types.Decimal].toUnscaledLong)
+    case d: DecimalType =>
+      g.add(idx, org.apache.parquet.io.api.Binary.fromConstantByteArray(
+        fixedDecimalBytes(v.asInstanceOf[org.apache.spark.sql.types.Decimal], d)))
+    case ArrayType(et, _) =>
+      writeList(g.addGroup(idx), et,
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    case MapType(kt, vt, _) =>
+      writeMap(g.addGroup(idx), kt, vt,
+        v.asInstanceOf[org.apache.spark.sql.catalyst.util.MapData])
+    case st: StructType =>
+      writeStruct(g.addGroup(idx), st, v.asInstanceOf[InternalRow])
     case other => throw new IllegalArgumentException(
       s"unsupported element/field type $other")
+  }
+
+  private def writeList(outer: Group, et: DataType,
+      arr: org.apache.spark.sql.catalyst.util.ArrayData): Unit = {
+    var j = 0
+    while (j < arr.numElements()) {
+      val el = outer.addGroup(0)
+      if (!arr.isNullAt(j)) writeValue(el, 0, et, arr.get(j, et))
+      j += 1
+    }
+  }
+
+  private def writeMap(outer: Group, kt: DataType, vt: DataType,
+      m: org.apache.spark.sql.catalyst.util.MapData): Unit = {
+    var j = 0
+    while (j < m.numElements()) {
+      val kv = outer.addGroup(0)
+      writeValue(kv, 0, kt, m.keyArray().get(j, kt))
+      if (!m.valueArray().isNullAt(j))
+        writeValue(kv, 1, vt, m.valueArray().get(j, vt))
+      j += 1
+    }
+  }
+
+  private def writeStruct(sg: Group, st: StructType, nested: InternalRow): Unit = {
+    var j = 0
+    while (j < st.length) {
+      if (!nested.isNullAt(j))
+        writeValue(sg, j, st(j).dataType, nested.get(j, st(j).dataType))
+      j += 1
+    }
+  }
+
+  /** Sign-extended big-endian two's complement at the fixed length for a
+    * wide (p > 18) decimal.
+    */
+  private def fixedDecimalBytes(dec: org.apache.spark.sql.types.Decimal,
+      d: DecimalType): Array[Byte] = {
+    val unscaled = dec.toJavaBigDecimal.unscaledValue()
+    val raw = unscaled.toByteArray
+    val n = minBytesForPrecision(d.precision)
+    val out = new Array[Byte](n)
+    if (unscaled.signum() < 0) java.util.Arrays.fill(out, 0, n - raw.length, -1: Byte)
+    System.arraycopy(raw, 0, out, n - raw.length, raw.length)
+    out
   }
 
   def deletePath(path: String): Unit = {

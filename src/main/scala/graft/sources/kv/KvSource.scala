@@ -114,29 +114,28 @@ object KvSource {
           }
         case other => throw new IllegalArgumentException(s"unsupported parquet type $other")
       }
-    StructType(mt.getFields.asScala.map { f =>
-      val dt =
-        if (f.isPrimitive) primitive(f.asPrimitiveType())
-        else f.getLogicalTypeAnnotation match {
-          case _: LogicalTypeAnnotation.ListLogicalTypeAnnotation =>
-            // 3-level LIST: group (LIST) { repeated group list { element } }
-            val el = f.asGroupType().getType(0).asGroupType().getType(0)
-            ArrayType(primitive(el.asPrimitiveType()), containsNull = true)
-          case _: LogicalTypeAnnotation.MapLogicalTypeAnnotation =>
-            // MAP: group (MAP) { repeated group key_value { key; value } }
-            val kv = f.asGroupType().getType(0).asGroupType()
-            MapType(primitive(kv.getType(0).asPrimitiveType()),
-              primitive(kv.getType(1).asPrimitiveType()), valueContainsNull = true)
-          case null =>
-            // unannotated group: one struct level of primitive fields
-            import scala.jdk.CollectionConverters._
-            StructType(f.asGroupType().getFields.asScala.map(sf =>
-              StructField(sf.getName, primitive(sf.asPrimitiveType()), nullable = true)).toSeq)
-          case other => throw new IllegalArgumentException(
-            s"unsupported nested parquet type $other for ${f.getName}")
-        }
-      StructField(f.getName, dt, nullable = true)
-    }.toSeq)
+    // recursive: array-of-struct, struct-of-struct, map-of-struct … all
+    // mirror ParquetIO.fieldType's writer-side recursion
+    def dataType(f: org.apache.parquet.schema.Type): org.apache.spark.sql.types.DataType =
+      if (f.isPrimitive) primitive(f.asPrimitiveType())
+      else f.getLogicalTypeAnnotation match {
+        case _: LogicalTypeAnnotation.ListLogicalTypeAnnotation =>
+          // 3-level LIST: group (LIST) { repeated group list { element } }
+          val el = f.asGroupType().getType(0).asGroupType().getType(0)
+          ArrayType(dataType(el), containsNull = true)
+        case _: LogicalTypeAnnotation.MapLogicalTypeAnnotation =>
+          // MAP: group (MAP) { repeated group key_value { key; value } }
+          val kv = f.asGroupType().getType(0).asGroupType()
+          MapType(dataType(kv.getType(0)), dataType(kv.getType(1)),
+            valueContainsNull = true)
+        case null =>
+          StructType(f.asGroupType().getFields.asScala.map(sf =>
+            StructField(sf.getName, dataType(sf), nullable = true)).toSeq)
+        case other => throw new IllegalArgumentException(
+          s"unsupported nested parquet type $other for ${f.getName}")
+      }
+    StructType(mt.getFields.asScala.map(f =>
+      StructField(f.getName, dataType(f), nullable = true)).toSeq)
   }
 }
 

@@ -157,16 +157,16 @@ class KvSourceSpec extends SparkSpec {
     assert(filtered.count() == 1)
   }
 
-  test("unsupported column types are rejected at write (W3 converter discipline)") {
+  test("nested container types round-trip at write (recursive ODPS fidelity)") {
     // arrays of primitives round-trip (KvWideTypesSpec); deeper nesting
-    // (array of array) is still rejected with a clear message
-    val dir = java.nio.file.Files.createTempDirectory("kvreject").toString
-    val err = intercept[Exception] {
-      Seq((1L, Seq(Seq(1, 2), Seq(3)))).toDF("k", "arr")
-        .write.format("kv").option("path", dir).mode("append").save()
-    }
-    assert(err.getMessage.contains("unsupported") || err.getMessage.contains("element"),
-      err.getMessage)
+    // (array of array) recurses too — OdpsUtils.sparkData2OdpsData's
+    // arbitrary-depth conversion
+    val dir = java.nio.file.Files.createTempDirectory("kvnest").toString
+    Seq((1L, Seq(Seq(1, 2), Seq(3)))).toDF("k", "arr")
+      .write.format("kv").option("path", dir).mode("append").save()
+    val got = spark.read.format("kv").option("path", dir).load()
+      .as[(Long, Seq[Seq[Int]])].head()
+    assert(got == ((1L, Seq(Seq(1, 2), Seq(3)))))
   }
 
   test("convert.types sink option: decimal → double, timestamp/date → epoch ms (W3 parity)") {

@@ -99,6 +99,68 @@ class KvWideTypesSpec extends SparkSpec {
     assert(got == Seq((Some("A"), 10L), (None, 20L)))
   }
 
+  test("recursive nesting round-trips: array-of-struct, struct-of-struct, map-of-struct") {
+    val dir = Files.createTempDirectory("kvdeep").toString
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L,
+        |   array(named_struct('q', 10L, 'tag', 'x'), named_struct('q', 20L, 'tag', 'y')),
+        |   named_struct('inner', named_struct('rf', 'A', 'n', 1L), 'mode', 'AIR'),
+        |   map('m', named_struct('d', 0.25, 'ok', true))),
+        |  (2L,
+        |   array(named_struct('q', CAST(NULL AS BIGINT), 'tag', 'z')),
+        |   named_struct('inner', CAST(NULL AS STRUCT<rf: STRING, n: BIGINT>), 'mode', 'RAIL'),
+        |   map('m', CAST(NULL AS STRUCT<d: DOUBLE, ok: BOOLEAN>))),
+        |  (3L,
+        |   array(CAST(NULL AS STRUCT<q: BIGINT, tag: STRING>)),
+        |   named_struct('inner', named_struct('rf', 'B', 'n', 3L), 'mode', CAST(NULL AS STRING)),
+        |   map())
+        |AS t(id, items, meta2, props)""".stripMargin)
+    df.write.format("kv").option("path", dir).mode("overwrite").save()
+    val back = spark.read.format("kv").option("path", dir).load()
+    assert(back.schema("items").dataType ==
+      ArrayType(StructType(Seq(StructField("q", LongType), StructField("tag", StringType))),
+        containsNull = true), back.schema.treeString)
+    val got = back.orderBy("id").select(
+      element_at(col("items"), 1).getField("q").as("q1"),
+      col("meta2.inner.rf").as("rf"),
+      col("meta2.mode").as("mode"),
+      col("props").getItem("m").getField("d").as("d")).collect()
+      .map(r => (Option(r.get(0)), Option(r.get(1)), Option(r.get(2)), Option(r.get(3)))).toSeq
+    assert(got == Seq(
+      (Some(10L), Some("A"), Some("AIR"), Some(0.25)),
+      (None, None, Some("RAIL"), None),
+      (None, Some("B"), None, None)))
+  }
+
+  test("timestamps, dates, and decimals round-trip inside containers") {
+    val dir = Files.createTempDirectory("kvdeepts").toString
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  (1L,
+        |   array(TIMESTAMP '2024-03-01 10:30:00', CAST(NULL AS TIMESTAMP)),
+        |   named_struct('when', DATE '2024-03-01',
+        |                'amt', CAST('123456789012345678901.1234' AS DECIMAL(28, 4))),
+        |   map('k', CAST('42.5' AS DECIMAL(10, 2))))
+        |AS t(id, ts_arr, rec, dm)""".stripMargin)
+    df.write.format("kv").option("path", dir).mode("overwrite").save()
+    val back = spark.read.format("kv").option("path", dir).load()
+    assert(back.schema("rec").dataType ==
+      StructType(Seq(StructField("when", DateType), StructField("amt", DecimalType(28, 4)))),
+      back.schema.treeString)
+    val r = back.select(
+      element_at(col("ts_arr"), 1).cast("string"),
+      element_at(col("ts_arr"), 2),
+      col("rec.when").cast("string"),
+      col("rec.amt").cast("string"),
+      col("dm").getItem("k").cast("string")).collect().head
+    assert(r.getString(0) == "2024-03-01 10:30:00")
+    assert(r.isNullAt(1))
+    assert(r.getString(2) == "2024-03-01")
+    assert(r.getString(3) == "123456789012345678901.1234")
+    assert(r.getString(4) == "42.50")
+  }
+
   test("vector math composes with kv-stored embeddings (array<double> aggregate)") {
     val dir = Files.createTempDirectory("kvvec").toString
     Seq((1L, Seq(1.0, 2.0, 3.0)), (2L, Seq(4.0, 5.0, 6.0))).toDF("id", "v")
