@@ -137,5 +137,62 @@ object KvMerge {
     fs.delete(backup, true)
     // record (or clear) the clustered ordering so the scan can report it
     graft.sources.kv.KvClustering.record(path, clusterBy)
+    // any prior bucket layout is gone after a range rewrite
+    graft.sources.kv.KvBuckets.record(path, Nil, 0, Map.empty)
+  }
+
+  /** Bucketized rewrite — the storage-partitioned-join layout
+    * ([[graft.sources.kv.KvBuckets]]): hash-bucket the table into
+    * `numBuckets` files on `bucketBy` using Spark's OWN
+    * `HashPartitioning` assignment (a plain `repartition(n, cols)` —
+    * partition p receives exactly the rows whose
+    * `pmod(murmur3(cols, 42), n)` is p, so no custom partitioner and no
+    * RDD drop-down), sorted within each bucket, with the file→bucket map
+    * recorded so the scan reports `KeyGroupedPartitioning(bucket(n,
+    * cols))`. Joins keyed on `bucketBy` then plan WITHOUT shuffling this
+    * table: zero exchanges against a co-bucketized twin, one
+    * other-side-only exchange against anything else
+    * (`spark.sql.sources.v2.bucketing.*`). Same crash-safe swap as
+    * [[rewrite]].
+    *
+    * At 100 TB this is the fingerprint-store shape for incremental
+    * ingest dedup ([[Dedup.dropSeenDuplicates]]): the store is written
+    * once per maintenance cycle, and every batch's anti-join
+    * co-partitions on the store's layout instead of reshuffling the
+    * store per batch.
+    */
+  def bucketize(spark: SparkSession, path: String, numBuckets: Int,
+      bucketBy: Seq[String]): Unit = {
+    require(numBuckets >= 1, "numBuckets must be >= 1")
+    require(bucketBy.nonEmpty, "bucketBy must name at least one column")
+    val fs = new Path(path).getFileSystem(ParquetIO.hadoopConf)
+    val livePath = new Path(path)
+    val backup = new Path(s"$path.merge-old")
+    if (!fs.exists(livePath) && fs.exists(backup)) fs.rename(backup, livePath)
+
+    val table = spark.read.format("kv").option("path", path).load()
+    val shaped = table
+      .repartition(numBuckets, bucketBy.map(col): _*)
+      .sortWithinPartitions(bucketBy.map(col): _*)
+    val tmp = new Path(s"$path.merge-tmp")
+    ParquetIO.deletePath(tmp.toString)
+    shaped.write.format("kv").option("path", tmp.toString).mode("append").save()
+    ParquetIO.deletePath(backup.toString)
+    if (fs.exists(livePath)) fs.rename(livePath, backup)
+    fs.rename(tmp, livePath)
+    fs.delete(backup, true)
+    // file → bucket from the writer's part-<partitionId>- names: the
+    // repartition above IS the bucket assignment, partition index = bucket
+    val partRe = "part-(\\d+)-.*".r
+    val fileBuckets = ParquetIO.listFiles(path).flatMap { f =>
+      f.getName match {
+        case partRe(p) => Some(f.getName -> p.toInt)
+        case _ => None
+      }
+    }.toMap
+    graft.sources.kv.KvBuckets.record(path, bucketBy, numBuckets, fileBuckets)
+    // each bucket file is sorted by the bucket columns — the per-partition
+    // ordering claim holds too
+    graft.sources.kv.KvClustering.record(path, bucketBy)
   }
 }

@@ -1,0 +1,72 @@
+package graft.sources.kv
+
+import java.util
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.catalog.functions.UnboundFunction
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Path-addressed catalog for kv tables — the piece that unlocks
+  * storage-partitioned joins: Catalyst only resolves a scan's reported
+  * `KeyGroupedPartitioning(bucket(...))` through the RELATION'S function
+  * catalog (`V2ScanPartitioningAndOrdering` →
+  * `V2ExpressionUtils.toCatalystTransformOpt`), and a path-based
+  * `spark.read.format("kv")` relation has none. Register
+  * `spark.sql.catalog.<name> = graft.sources.kv.KvCatalog` and read a
+  * bucketized table as ``spark.read.table("<name>.`/path/to/table`")`` —
+  * same files, same scan, plus the bucket claim.
+  *
+  * The identifier IS the path (one backquoted part); no metastore, no
+  * state — `loadTable` infers the schema from the sidecar/footers
+  * exactly like the path-based read. Writes go through the same
+  * [[KvTable]] so `saveAsTable`-style flows are possible, but the
+  * supported surface is load + function resolution; DDL is rejected.
+  */
+class KvCatalog extends TableCatalog with FunctionCatalog {
+  private var catalogName: String = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit =
+    catalogName = name
+  override def name(): String = catalogName
+
+  private def pathOf(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString("/")
+
+  override def loadTable(ident: Identifier): Table = {
+    val path = pathOf(ident)
+    val provider = new KvSource()
+    val opts = new CaseInsensitiveStringMap(
+      java.util.Collections.singletonMap("path", path))
+    val schema =
+      try provider.inferSchema(opts)
+      catch { case _: Exception =>
+        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident) }
+    provider.getTable(schema, Array.empty, opts.asCaseSensitiveMap())
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    graft.sources.ParquetIO.listFilesStatus(pathOf(ident)).nonEmpty ||
+      KvSchemaMeta.read(pathOf(ident)).isDefined
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = Array.empty
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      "kv catalog is path-addressed: write with df.write.format(\"kv\").option(\"path\", ...)")
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException("kv catalog does not support ALTER TABLE")
+  override def dropTable(ident: Identifier): Boolean =
+    throw new UnsupportedOperationException("kv catalog does not support DROP TABLE")
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException("kv catalog does not support RENAME TABLE")
+
+  // ---- FunctionCatalog: the bucket transform ---------------------------
+  override def listFunctions(namespace: Array[String]): Array[Identifier] =
+    Array(Identifier.of(Array.empty, "bucket"))
+
+  override def loadFunction(ident: Identifier): UnboundFunction =
+    if (ident.name().equalsIgnoreCase("bucket")) KvBucketUnbound
+    else throw new org.apache.spark.sql.catalyst.analysis.NoSuchFunctionException(ident)
+}

@@ -321,7 +321,24 @@ case class KvChunk(file: String, startByte: Long, endByte: Long, rows: Long)
   * so capping split count can merge neighbors across file boundaries
   * (a many-small-files table must stay readable under any cap).
   */
-case class KvInputPartition(chunks: Seq[KvChunk]) extends InputPartition
+class KvInputPartition(val chunks: Seq[KvChunk]) extends InputPartition
+
+object KvInputPartition {
+  def apply(chunks: Seq[KvChunk]): KvInputPartition = new KvInputPartition(chunks)
+}
+
+/** A bucketized table's partition: all chunks of ONE bucket, keyed for
+  * Spark's storage-partitioned join ([[KvBuckets]]). Emitted for every
+  * bucket 0..n-1 — possibly with zero chunks after pruning — so the
+  * reported `KeyGroupedPartitioning` is stable under runtime filters.
+  */
+class KvBucketedInputPartition(chunks: Seq[KvChunk], val bucket: Int)
+    extends KvInputPartition(chunks)
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](bucket))
+}
 
 class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
     predicate: Option[FilterPredicate],
@@ -329,7 +346,35 @@ class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
     vectorized: Boolean = true)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
-    with org.apache.spark.sql.connector.read.SupportsReportOrdering {
+    with org.apache.spark.sql.connector.read.SupportsReportOrdering
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** Bucket layout claim ([[KvBuckets]]): valid meta AND every bucket
+    * column still in the projected schema (Catalyst resolves the
+    * reported transform's refs against the relation output — a pruned
+    * bucket column would fail resolution).
+    */
+  private lazy val bucketMeta: Option[KvBuckets.BucketMeta] =
+    KvBuckets.bucketsFor(path)
+      .filter(_.cols.forall(readSchema.fieldNames.contains))
+
+  /** `KeyGroupedPartitioning(bucket(n, cols), n)` for a bucketized table
+    * — Spark's storage-partitioned join plans the table WITHOUT an
+    * Exchange (co-bucketed side) or shuffles only the other side to this
+    * layout (`v2.bucketing.shuffle.enabled` + [[KvBucketFunction]]).
+    * Unbucketed tables report the trivial unknown partitioning.
+    */
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    bucketMeta match {
+      case Some(m) =>
+        new org.apache.spark.sql.connector.read.partitioning.KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions.bucket(
+            m.numBuckets, m.cols: _*)),
+          m.numBuckets)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning.UnknownPartitioning(0)
+    }
 
   /** Per-partition sort order of a clustered table (KvClustering meta,
     * valid only while the live file set matches the clustered rewrite).
@@ -433,6 +478,35 @@ class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
+    // Bucketized layout: ONE keyed partition per bucket (all of the
+    // bucket's chunks — possibly none after pruning — so the reported
+    // KeyGroupedPartitioning stays stable under runtime filters).
+    bucketMeta.foreach { m =>
+      val byFile = prunedGroups().groupBy(_._1).view.mapValues(_.map(_._2))
+      val chunksByBucket = ParquetIO.listFilesStatus(path).flatMap { case (f, _, _) =>
+        val groups = byFile.getOrElse(f, Seq.empty)
+        m.fileBuckets.get(f.getName).filter(_ => groups.nonEmpty).map { b =>
+          // contiguity break on pruned gaps, as in the unbucketed path
+          val splits = scala.collection.mutable.ArrayBuffer.empty[KvChunk]
+          var start = groups.head.startByte
+          var rows = 0L
+          var lastEnd = start
+          groups.foreach { g =>
+            if (rows > 0 && g.startByte != lastEnd) {
+              splits += KvChunk(f.toString, start, lastEnd, rows)
+              start = g.startByte; rows = 0L
+            }
+            rows += g.rowCount
+            lastEnd = g.endByte
+          }
+          splits += KvChunk(f.toString, start, lastEnd, rows)
+          b -> splits.toSeq
+        }
+      }.groupBy(_._1).view.mapValues(_.flatMap(_._2).toSeq).toMap
+      return (0 until m.numBuckets).map(b =>
+        new KvBucketedInputPartition(chunksByBucket.getOrElse(b, Nil), b)
+          : InputPartition).toArray
+    }
     val targetBytes = splitSizeMb * 1024L * 1024L
     val byFile = prunedGroups().groupBy(_._1).view.mapValues(_.map(_._2))
     val all = ParquetIO.listFilesStatus(path).flatMap { case (f, _, _) =>

@@ -1,0 +1,123 @@
+package graft.sources
+
+import java.nio.file.Files
+import graft.SparkSpec
+import graft.operators.KvMerge
+import graft.sources.kv.{KvBuckets, KvCatalog}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Storage-partitioned joins over bucketized kv tables (KvBuckets /
+  * KvCatalog): the bucket function must replicate Spark's own
+  * HashPartitioning assignment exactly, a co-bucketized join must plan
+  * with ZERO exchanges, and a bucketized-store-vs-plain-batch join must
+  * shuffle ONLY the batch side — the incremental-ingest-dedup shape
+  * where the fingerprint store never reshuffles per batch.
+  */
+class KvBucketedJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def withSpj[T](f: => T): T = {
+    spark.conf.set("spark.sql.catalog.kvcat", classOf[KvCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
+  private def exchanges(df: DataFrame): Int =
+    df.queryExecution.executedPlan.toString
+      .linesIterator.count(_.contains("Exchange"))
+
+  test("bucketOf replicates Spark's HashPartitioning assignment (randomized)") {
+    val n = 7
+    val rnd = new scala.util.Random(20260814L)
+    val rows = Seq.tabulate(500)(i =>
+      (rnd.nextLong(), rnd.nextInt(), s"k${rnd.nextInt(10000)}"))
+    val df = rows.toDF("l", "i", "s")
+    for (cols <- Seq(Seq("l"), Seq("s"), Seq("l", "i", "s"))) {
+      val assigned = df.repartition(n, cols.map(col): _*)
+        .select(struct(cols.map(col): _*), spark_partition_id())
+        .collect()
+      assigned.foreach { r =>
+        val key = r.getStruct(0)
+        val types = cols.map(c => df.schema(c).dataType)
+        val values = types.indices.map { i =>
+          types(i) match {
+            case StringType =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(key.getString(i))
+            case _ => key.get(i)
+          }
+        }
+        assert(KvBuckets.bucketOf(values, types, n) == r.getInt(1),
+          s"bucketOf mismatch for $key")
+      }
+    }
+  }
+
+  test("co-bucketized tables join with zero exchanges; results match the plain join") {
+    val dirA = Files.createTempDirectory("kvspja").toString
+    val dirB = Files.createTempDirectory("kvspjb").toString
+    val a = Seq.tabulate(300)(i => (i.toLong * 31 % 271, s"a$i")).toDF("k", "va")
+    val b = Seq.tabulate(200)(i => (i.toLong * 17 % 271, s"b$i")).toDF("k", "vb")
+    a.write.format("kv").option("path", dirA).mode("overwrite").save()
+    b.write.format("kv").option("path", dirB).mode("overwrite").save()
+    KvMerge.bucketize(spark, dirA, 8, Seq("k"))
+    KvMerge.bucketize(spark, dirB, 8, Seq("k"))
+    assert(KvBuckets.bucketsFor(dirA).exists(_.numBuckets == 8))
+
+    withSpj {
+      val ta = spark.read.table(s"kvcat.`$dirA`")
+      val tb = spark.read.table(s"kvcat.`$dirB`")
+      val joined = ta.join(tb, "k")
+      assert(exchanges(joined) == 0,
+        s"expected zero exchanges, got:\n${joined.queryExecution.executedPlan}")
+      val got = joined.select("k", "va", "vb").as[(Long, String, String)]
+        .collect().toSet
+      val want = a.join(b, "k").select("k", "va", "vb")
+        .as[(Long, String, String)].collect().toSet
+      assert(got == want && got.nonEmpty)
+    }
+  }
+
+  test("bucketized store vs plain batch: only the batch side shuffles (anti-join keeps the store in place)") {
+    val store = Files.createTempDirectory("kvspjstore").toString
+    val storeDf = Seq.tabulate(400)(i => (i.toLong * 13 % 997, i.toLong)).toDF("fp", "meta")
+    storeDf.write.format("kv").option("path", store).mode("overwrite").save()
+    KvMerge.bucketize(spark, store, 8, Seq("fp"))
+
+    withSpj {
+      val t = spark.read.table(s"kvcat.`$store`")
+      val batch = Seq.tabulate(600)(i => (i.toLong % 1300, s"doc$i")).toDF("fp", "text")
+      val unseen = batch.join(t.select("fp"), Seq("fp"), "left_anti")
+      val plan = unseen.queryExecution.executedPlan.toString
+      // exactly one exchange (the batch side); the store scan feeds the
+      // join directly
+      assert(exchanges(unseen) == 1, s"expected 1 exchange (batch side only), got:\n$plan")
+      val got = unseen.select("fp", "text").as[(Long, String)].collect().toSet
+      val want = batch.join(storeDf.select("fp"), Seq("fp"), "left_anti")
+        .select("fp", "text").as[(Long, String)].collect().toSet
+      assert(got == want && got.nonEmpty)
+    }
+  }
+
+  test("bucket claim disappears after an append; plans and results stay correct") {
+    val dir = Files.createTempDirectory("kvspjstale").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+      .write.format("kv").option("path", dir).mode("overwrite").save()
+    KvMerge.bucketize(spark, dir, 4, Seq("k"))
+    assert(KvBuckets.bucketsFor(dir).isDefined)
+    Seq((3L, "c")).toDF("k", "v")
+      .write.format("kv").option("path", dir).mode("append").save()
+    assert(KvBuckets.bucketsFor(dir).isEmpty)
+    withSpj {
+      val t = spark.read.table(s"kvcat.`$dir`")
+      assert(t.orderBy("k").as[(Long, String)].collect().toSeq ==
+        Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    }
+  }
+}
