@@ -96,12 +96,15 @@ object Dedup {
     * everything ingested so far), then drop exact duplicates WITHIN the
     * batch (min-`idCol` keeper). Returns the surviving rows with their
     * `fp` so the caller appends exactly those fingerprints back to the
-    * store — typically a kv table clustered by `fp`
-    * ([[graft.operators.KvMerge.rewrite]]), so at 100 TB the
-    * batch-vs-store anti-join co-partitions on the store's layout
-    * instead of reshuffling the store per batch. Both joins key on the
-    * 64-bit fingerprint: the batch shuffles once, the store never
-    * rewrites.
+    * store — a kv table hash-bucketized on `fp`
+    * ([[graft.operators.KvMerge.bucketize]]) and read through
+    * [[graft.sources.kv.KvCatalog]]: the scan reports
+    * `KeyGroupedPartitioning(bucket(n, fp))` and Spark's
+    * storage-partitioned join shuffles ONLY the batch side to the
+    * store's existing layout (`v2.bucketing.shuffle.enabled`) — the
+    * store never reshuffles per batch. KvBucketedJoinSpec pins the
+    * one-exchange plan; q_dedup_incremental runs this exact shape.
+    * Both joins key on the 64-bit fingerprint.
     */
   def dropSeenDuplicates(
       batch: DataFrame, seenFps: DataFrame, textCol: String, idCol: String): DataFrame = {
@@ -307,6 +310,54 @@ object Dedup {
       .agg(countDistinct(col("shingle")).as("n_bad"),
         countDistinct(col("bid")).as("n_bench"))
       .where(col("n_bad") >= minOverlap)
+  }
+
+  /** Jaccard-threshold (fuzzy) decontamination — the near-duplicate
+    * complement of [[decontaminate]]'s any-overlap filter: flag corpus
+    * docs whose word-`n`-gram SET Jaccard with ANY benchmark doc is at
+    * least `minJaccard` — a lightly-edited copy of an eval document (a
+    * rephrased question, a re-wrapped passage) shares most but not all
+    * shingles, so it clears an overlap-count filter's radar while
+    * leaking the benchmark. Returns one row per flagged corpus doc:
+    * `(id, max_jaccard, n_bench_hits)` — the strongest benchmark match
+    * and how many benchmark docs clear the bar.
+    *
+    * Scale shape (identical to [[decontaminate]]): per-doc shingle-set
+    * SIZES are row-local (`size(shingles(text))` — the corpus never
+    * shuffles to learn its own set sizes); the benchmark's shingle set
+    * broadcasts; only benchmark-colliding corpus shingles reach the
+    * df-capped groupBy; intersections aggregate per (corpus doc,
+    * benchmark doc) over that bounded stream. Jaccard uses the FULL set
+    * sizes with the capped intersection — the cap can only lower a hot
+    * pair's score, same conservatism as [[decontaminate]]'s cap.
+    */
+  def decontaminateFuzzy(
+      corpus: DataFrame, benchmark: DataFrame,
+      textCol: String, idCol: String,
+      n: Int = 3, minJaccard: Double = 0.5,
+      maxShingleDf: Int = 10000): DataFrame = {
+    require(minJaccard > 0.0 && minJaccard <= 1.0,
+      s"minJaccard must be in (0, 1], got $minJaccard")
+    def withSets(df: DataFrame) = df.select(col(idCol).as("id"),
+      TextFunctions.shingles(col(textCol), n).as("ss"))
+    val benchSh = withSets(benchmark)
+      .select(col("id").as("bid"), size(col("ss")).as("nb"),
+        explode(col("ss")).as("shingle"))
+    val corpusSh = withSets(corpus)
+      .select(col("id"), size(col("ss")).as("na"),
+        explode(col("ss")).as("shingle"))
+    val matched = corpusSh
+      .join(broadcast(benchSh.select(col("shingle")).distinct()), Seq("shingle"), "left_semi")
+    val capped = capBuckets(matched, Seq("shingle"), maxShingleDf)
+    val pairs = capped.join(broadcast(benchSh), "shingle")
+      .groupBy(col("id"), col("bid"))
+      .agg(count(lit(1)).as("n_common"), max(col("na")).as("na"), max(col("nb")).as("nb"))
+      .withColumn("jac", col("n_common").cast("double") /
+        (col("na") + col("nb") - col("n_common")))
+      .where(col("jac") >= minJaccard)
+    pairs.groupBy(col("id"))
+      .agg(round(max(col("jac")), 4).as("max_jaccard"),
+        count(lit(1)).as("n_bench_hits"))
   }
 
   /** Word-level containment dedup: pairs (id_inner, id_outer) where the

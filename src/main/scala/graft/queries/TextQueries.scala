@@ -130,8 +130,18 @@ object TextQueries {
         .select(TextFunctions.fingerprint64(col("text")).as("fp"))
         .distinct()
         .write.format("kv").option("path", store).mode("overwrite").save()
+      // production store shape: fp-bucketized layout + catalog read, so
+      // the batch-vs-store anti-join shuffles ONLY the batch side
+      // (storage-partitioned join — KvBuckets; spec-pinned in
+      // KvBucketedJoinSpec)
+      graft.operators.KvMerge.bucketize(s, store, 8, Seq("fp"))
+      s.conf.set("spark.sql.catalog.kvcat",
+        classOf[graft.sources.kv.KvCatalog].getName)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       graft.operators.Dedup.dropSeenDuplicates(
-          docs, s.read.format("kv").option("path", store).load(), "text", "doc_id")
+          docs, s.read.table(s"kvcat.`$store`"), "text", "doc_id")
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     }),
@@ -148,6 +158,23 @@ object TextQueries {
         docs.filter(col("doc_id") % 37 === 0),
         "text", "doc_id", n = 3, minOverlap = 1, maxShingleDf = 100,
         numBits = 4096, numHashes = 5)
+        .orderBy(col("id"))
+    }),
+
+    // Fuzzy decontamination: a lightly-edited benchmark copy shares MOST
+    // shingles — the near-dup leak an overlap-count filter under-weighs.
+    // The fixture's cross-split near-dup signal is thin (one true pair at
+    // J>=0.5), so the gate lowers the bar to 0.01 to drive a rich result
+    // set (156 docs at sf0.01) through the whole pair/aggregate path;
+    // DedupSpec's randomized brute-force covers the high-threshold
+    // semantics. Same broadcast + df-cap scale shape as the exact gate;
+    // per-doc set sizes are row-local.
+    "q_doc_decontaminate_fuzzy" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.Dedup.decontaminateFuzzy(
+        docs.filter(col("doc_id") % 37 =!= 0),
+        docs.filter(col("doc_id") % 37 === 0),
+        "text", "doc_id", n = 3, minJaccard = 0.01, maxShingleDf = 100)
         .orderBy(col("id"))
     }),
 
@@ -241,6 +268,40 @@ object TextQueries {
   def oracles: Map[String, String] = Map(
     "q_doc_decontaminate_bloom" -> decontaminateOracle,
     "q_doc_decontaminate" -> decontaminateOracle,
+
+    // full-set sizes with the capped intersection, exactly as the
+    // operator computes them; the df cap (rare) is over the whole corpus
+    // — identical per-shingle counts to the operator's matched-stream
+    // cap, because filtering by shingle membership cannot change another
+    // shingle's count
+    "q_doc_decontaminate_fuzzy" ->
+      """WITH sets AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(greatest(len(words) - 3, 0) + 1), si ->
+        |      array_to_string(words[(si + 1)::INT : (least(si + 3, len(words)))::INT], ' '))) AS ss
+        |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS words
+        |        FROM documents)
+        |), sh AS (
+        |  SELECT doc_id, len(ss) AS n_sh, unnest(ss) AS shingle FROM sets
+        |), corpus AS (SELECT * FROM sh WHERE doc_id % 37 <> 0),
+        |bench AS (SELECT doc_id AS bid, n_sh AS nb, shingle FROM sh WHERE doc_id % 37 = 0),
+        |rare AS (SELECT shingle FROM corpus GROUP BY shingle HAVING count(*) <= 100),
+        |c AS (SELECT corpus.doc_id, corpus.n_sh AS na, corpus.shingle
+        |      FROM corpus JOIN rare USING (shingle)),
+        |pairs AS (
+        |  SELECT c.doc_id, bench.bid,
+        |    count(*) AS n_common, max(c.na) AS na, max(bench.nb) AS nb
+        |  FROM c JOIN bench USING (shingle)
+        |  GROUP BY 1, 2
+        |), jpairs AS (
+        |  SELECT doc_id,
+        |    CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jac
+        |  FROM pairs
+        |  WHERE CAST(n_common AS DOUBLE) / (na + nb - n_common) >= 0.01
+        |)
+        |SELECT doc_id AS id, round(max(jac), 4) AS max_jaccard,
+        |  CAST(count(*) AS BIGINT) AS n_bench_hits
+        |FROM jpairs GROUP BY 1 ORDER BY id""".stripMargin,
 
     // content identity = the normalized text itself (the fingerprint is
     // an engine detail; equality of fingerprints == equality of

@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+import org.apache.spark.sql.execution.joins.{ShuffledHashJoinExec, SortMergeJoinExec}
+
+/** Scale-shape invariants asserted (not just printed — the ExplainCheck
+  * probes' hard versions): a corpus-sized sort-merge join appearing in
+  * the DSIR / decontamination / incremental-dedup plans is a 100 TB
+  * regression even when sf0.001 results stay correct.
+  */
+class PlanInvariantSpec extends SparkSpec {
+
+  private val dir = sf("any")
+
+  /** Physical plan with AQE off so the static tree is inspectable. */
+  private def planOf(q: String): SparkPlan = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  private def subtreeHasAggregate(p: SparkPlan): Boolean =
+    p.collectFirst { case a: BaseAggregateExec => a }.isDefined
+
+  test("DSIR resampling: every sort-merge join is between aggregated (histogram-sized) frames") {
+    val plan = planOf("q_dsir_resample")
+    val smjs = plan.collect { case j: SortMergeJoinExec => j }
+    smjs.foreach { j =>
+      assert(subtreeHasAggregate(j.left) && subtreeHasAggregate(j.right),
+        s"corpus-sized SMJ side in DSIR plan:\n$j")
+    }
+  }
+
+  test("decontamination (exact and Bloom): zero shuffled joins — every corpus join broadcasts") {
+    for (q <- Seq("q_doc_decontaminate", "q_doc_decontaminate_bloom")) {
+      val plan = planOf(q)
+      val shuffled = plan.collect {
+        case j: SortMergeJoinExec => j: SparkPlan
+        case j: ShuffledHashJoinExec => j: SparkPlan
+      }
+      assert(shuffled.isEmpty,
+        s"$q has ${shuffled.length} shuffled join(s) — the corpus must only " +
+          s"ever join via broadcast:\n${shuffled.headOption.getOrElse("")}")
+    }
+  }
+
+  test("incremental dedup gate: the bucketized seen-store is never reshuffled") {
+    // the gate itself builds the fp-bucketized store and reads it through
+    // the kv catalog — in its plan, the join side containing the kv store
+    // scan must have NO shuffle (the SPJ routes the batch side to the
+    // store's layout instead)
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    val df: DataFrame = SparkEntry.queries("q_dedup_incremental")(spark, dir)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try SparkEntry.queries("q_dedup_incremental")(spark, dir)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // every root→scan path, for each kv store scan in the plan
+    def pathsToScans(p: SparkPlan, acc: List[SparkPlan]): Seq[List[SparkPlan]] = p match {
+      case b: BatchScanExec if b.scan.isInstanceOf[graft.sources.kv.KvScan] =>
+        Seq((b :: acc).reverse)
+      case other => other.children.flatMap(c => pathsToScans(c, other :: acc))
+    }
+    val paths = pathsToScans(plan, Nil)
+    assert(paths.nonEmpty, s"no kv store scan in plan:\n$plan")
+    paths.foreach { path =>
+      // segment between the scan and its nearest join ancestor: no
+      // shuffle allowed there — the store feeds its join in place
+      // (broadcast at toy scale, storage-partitioned at cluster scale;
+      // KvBucketedJoinSpec pins the SPJ one-exchange plan itself)
+      val belowJoin = path.reverse.takeWhile(!_.isInstanceOf[BaseJoinExec])
+      val shuffles = belowJoin.filter(_.isInstanceOf[ShuffleExchangeExec])
+      assert(shuffles.isEmpty,
+        s"the seen-store reshuffles before reaching its join:\n$plan")
+    }
+  }
+}

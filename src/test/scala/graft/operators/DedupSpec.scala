@@ -367,6 +367,45 @@ class DedupSpec extends SparkSpec {
     assert(out.forall(r => r.getLong(1) >= 1 && r.getLong(2) == 1L))
   }
 
+  test("decontaminateFuzzy agrees with a brute-force Jaccard scan on randomized data") {
+    val rnd = new scala.util.Random(20260814L)
+    val vocab = Vector("apple", "bear", "cat", "dog", "echo", "fog", "gnu", "hat")
+    def doc() = Seq.fill(6 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.length))).mkString(" ")
+    val all = Seq.tabulate(120)(i => (i.toLong, doc()))
+    // plant near-copies of benchmark docs into the corpus (one word edited)
+    val planted = all.filter(_._1 % 10 == 0).map { case (id, t) =>
+      val ws = t.split(" "); ws(ws.length - 1) = "zzz"
+      (id + 1000L, ws.mkString(" "))
+    }
+    val corpusRows = all.filterNot(_._1 % 10 == 0) ++ planted
+    val benchRows = all.filter(_._1 % 10 == 0)
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val bench = benchRows.toDF("doc_id", "text")
+    val minJ = 0.4
+    val got = Dedup.decontaminateFuzzy(corpus, bench, "text", "doc_id",
+      n = 3, minJaccard = minJ, maxShingleDf = 10000)
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getLong(2)))).toMap
+    // brute force over all (corpus, bench) pairs
+    def shingleSet(t: String): Set[String] = {
+      val ws = t.trim.split("\\s+").toSeq
+      (0 to math.max(ws.length - 3, 0)).map(i => ws.slice(i, math.min(i + 3, ws.length)).mkString(" ")).toSet
+    }
+    val want = corpusRows.flatMap { case (cid, ct) =>
+      val cs = shingleSet(ct)
+      val js = benchRows.map { case (_, bt) =>
+        val bs = shingleSet(bt)
+        val inter = (cs & bs).size
+        inter.toDouble / (cs.size + bs.size - inter)
+      }.filter(_ >= minJ)
+      if (js.isEmpty) None
+      else Some(cid -> ((BigDecimal(js.max).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble,
+        js.size.toLong)))
+    }.toMap
+    assert(got == want, s"got ${got.size} flagged vs ${want.size}")
+    assert(want.nonEmpty && planted.forall(p => want.contains(p._1)),
+      "planted near-copies must be flagged")
+  }
+
   test("embedding cosine dedup finds planted near-identical vectors") {
     val v = Array.tabulate(16)(i => math.cos(i + 1).toFloat)
     val near = v.zipWithIndex.map { case (x, i) => if (i == 0) x + 0.001f else x }
