@@ -602,6 +602,65 @@ object Curation {
       shiftrightunsigned(Sketches.splitmixLong(col(idCol)), 11) <
         (rate * lit(9007199254740992.0 /* 2^53 */)).cast("long"))
 
+  /** Temperature-based class rebalancing — the multilingual/topic-cluster
+    * sampling step of a pretraining mixture (the XLM-R / mC4 recipe):
+    * classes (languages, clusters, domains) are kept at rates making the
+    * SAMPLED class shares ∝ n_c^alpha, flattening the head and boosting
+    * the tail as alpha → 0 (alpha = 1 keeps natural proportions). The
+    * overall kept fraction targets `targetFraction` of the corpus
+    * (per-class rates clamp at 1, so very small classes can cap the
+    * achievable boost). Selection is the [[sampleMixture]] deterministic
+    * thinning at the class's derived rate — replayable in any engine.
+    *
+    * Determinism contract (the DSIR convention): the only transcendental,
+    * `pow(n_c, alpha)`, is INTEGER-quantized per class
+    * (`floor(1e6·n_c^alpha + 0.5)`) BEFORE the cross-class sum, so the
+    * normalizer is an order-free integer sum (a float Σ over classes
+    * would fold in partition order and 1-ulp-flip thresholds between
+    * engines); the rate arithmetic on those exact integers is
+    * fixed-op-order, and the keep threshold floors to a long on both
+    * sides (DuckDB CAST rounds; `floor` on both replays exactly).
+    * Quantization headroom: 1e6·n^alpha must stay under 2^53 — holds to
+    * corpus sizes of 10¹² docs for alpha ≤ 0.9.
+    *
+    * Scale shape: one partial-agg groupBy for the class histogram (≤
+    * classes rows), a one-row totals frame, rates broadcast back, and a
+    * row-local hash filter — the corpus shuffles zero times.
+    */
+  def temperatureSample(
+      df: DataFrame, classCol: String, idCol: String,
+      alpha: Double, targetFraction: Double, seed: Long = 0L): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
+    require(targetFraction > 0.0 && targetFraction <= 1.0,
+      s"targetFraction must be in (0, 1], got $targetFraction")
+    val counts = df.groupBy(col(classCol))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__qp",
+        floor(pow(col("__n").cast("double"), alpha) * 1e6 + 0.5).cast("long"))
+    val totals = counts.agg(
+      sum(col("__n")).as("__tot_n"), sum(col("__qp")).as("__tot_qp"))
+    val rates = counts.crossJoin(broadcast(totals))
+      .select(col(classCol),
+        least(lit(1.0),
+          lit(targetFraction) * col("__tot_n").cast("double") * col("__qp").cast("double") /
+            (col("__tot_qp").cast("double") * col("__n").cast("double"))).as("__rate"))
+    val idType = df.schema(idCol).dataType
+    val hk = idType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Sketches.splitmixLong(col(idCol).cast("long").bitwiseXOR(lit(seed)))
+      case StringType =>
+        Sketches.splitmixLong(
+          Sketches.stringHash64(col(idCol), 0x1337L).bitwiseXOR(lit(seed)))
+      case t => throw new IllegalArgumentException(
+        s"temperatureSample id column '$idCol' must be integral or string, got $t")
+    }
+    df.join(broadcast(rates), Seq(classCol))
+      .where(shiftrightunsigned(hk, 11) <
+        floor(col("__rate") * lit(9007199254740992.0 /* 2^53 */)))
+      .withColumn("keep_rate", round(col("__rate"), 6))
+      .drop("__rate")
+  }
+
   /** PII scrub: replace emails, dotted-quad IPs and NNN-NNN-NNNN phone
     * numbers with typed placeholder tags, and count each. The regexes are
     * deliberately in the common RE2/Java subset so results replay

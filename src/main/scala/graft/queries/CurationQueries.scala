@@ -95,6 +95,19 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Temperature-based language rebalancing (the XLM-R / mC4 recipe):
+    // sampled class shares ∝ n_c^0.7 at an overall ~0.5 kept fraction —
+    // head languages thinned, tail boosted. The rate derivation
+    // (quantized pow, integer normalizer, fixed op order) replays
+    // exactly in the oracle.
+    "q_sample_temperature" -> ((s, dir) => {
+      Curation.temperatureSample(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", alpha = 0.7, targetFraction = 0.5)
+        .select(col("doc_id"), col("lang"), col("keep_rate"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token-budget subsample: documents in splitmix64 hash order until
     // the running token total passes the budget — "take N tokens from
     // the corpus", the pretraining-mixture primitive. Oracle replays
@@ -438,6 +451,32 @@ object CurationQueries {
          |  CAST((global_pos * 4) // n AS INT) AS shard,
          |  CAST(global_pos - (((global_pos * 4) // n) * n + 3) // 4 AS BIGINT) AS pos
          |FROM g ORDER BY doc_id""".stripMargin
+    },
+
+    // rate derivation mirrors the operator op for op: quantized pow per
+    // class, integer normalizer sum, ((F·N)·qp)/(S·n), floor'd 2^53
+    // threshold (CAST alone would round where Spark truncates)
+    "q_sample_temperature" -> {
+      val hk = SketchOracleSql.splitmixBigintSql("doc_id")
+      s"""WITH counts AS (
+         |  SELECT lang, count(*) AS n,
+         |    CAST(floor(pow(CAST(count(*) AS DOUBLE), 0.7) * 1e6 + 0.5) AS BIGINT) AS qp
+         |  FROM documents GROUP BY 1
+         |), tot AS (SELECT sum(n) AS nn, sum(qp) AS s FROM counts),
+         |rates AS (
+         |  SELECT lang,
+         |    least(1.0, 0.5 * CAST(nn AS DOUBLE) * CAST(qp AS DOUBLE) /
+         |      (CAST(s AS DOUBLE) * CAST(n AS DOUBLE))) AS rate
+         |  FROM counts CROSS JOIN tot
+         |)
+         |SELECT doc_id, lang, round(rate, 6) AS keep_rate FROM (
+         |  SELECT d.doc_id, d.lang, r.rate,
+         |    (CASE WHEN ($hk) < 0
+         |      THEN ($hk)::HUGEINT + 18446744073709551616::HUGEINT
+         |      ELSE ($hk)::HUGEINT END) // 2048 AS u53
+         |  FROM documents d JOIN rates r USING (lang)
+         |) WHERE u53 < CAST(floor(rate * 9007199254740992.0) AS BIGINT)::HUGEINT
+         |ORDER BY doc_id""".stripMargin
     },
 
     "q_sample_mixture" -> {

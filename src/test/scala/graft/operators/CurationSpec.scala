@@ -541,4 +541,49 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("InMemoryTableScan"),
       "bucket histogram must be cached across its three consumers")
   }
+
+  test("temperatureSample: alpha=1 keeps natural proportions, low alpha boosts the tail") {
+    val rnd = new scala.util.Random(7L)
+    // skewed classes: 800 'en', 150 'de', 50 'fr'
+    val rows = Seq.tabulate(1000) { i =>
+      val c = if (i < 800) "en" else if (i < 950) "de" else "fr"
+      (i.toLong, c)
+    }
+    val df = rows.toDF("id", "cls")
+    // alpha = 1: every class keeps the same rate (= targetFraction)
+    val flat = Curation.temperatureSample(df, "cls", "id", alpha = 1.0,
+      targetFraction = 0.5)
+    val flatRates = flat.select("cls", "keep_rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    flatRates.values.foreach(r => assert(math.abs(r - 0.5) < 1e-6, flatRates))
+
+    // alpha = 0.3: the tail class's keep rate must exceed the head's
+    val skew = Curation.temperatureSample(df, "cls", "id", alpha = 0.3,
+      targetFraction = 0.5)
+    val rates = skew.select("cls", "keep_rate").distinct().collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rates("fr") > rates("de") && rates("de") > rates("en"), rates)
+
+    // deterministic: the exact same keep set on re-evaluation
+    val a = skew.select("id").as[Long].collect().toSet
+    val b = Curation.temperatureSample(df, "cls", "id", alpha = 0.3,
+      targetFraction = 0.5).select("id").as[Long].collect().toSet
+    assert(a == b && a.nonEmpty)
+
+    // empirical share shift: sampled 'fr' share must beat its natural share
+    val kept = skew.groupBy("cls").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val frShare = kept.getOrElse("fr", 0L).toDouble / kept.values.sum
+    assert(frShare > 0.05, s"tail share not boosted: $kept")
+  }
+
+  test("temperatureSample plan: corpus filtered row-locally against broadcast rates") {
+    val df = Seq.tabulate(100)(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
+      .toDF("id", "cls")
+    val plan = Curation.temperatureSample(df, "cls", "id", 0.5, 0.5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "no window functions")
+    assert(!plan.contains("SortMergeJoin"),
+      s"rates must broadcast to the corpus:\n$plan")
+  }
 }
