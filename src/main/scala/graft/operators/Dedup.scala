@@ -257,8 +257,14 @@ object Dedup {
     // of the whole corpus shingle stream (at 100 TB the corpus never
     // shuffles for decontamination at all: broadcast filter + bounded
     // cap + broadcast join).
+    // The benchmark-colliding working set is consumed twice (df-cap
+    // counts, then the capped join probe) — persist it so the corpus
+    // scan + shingle pipeline run ONCE, not once per consumer (the DSIR
+    // histogram-frame precedent). Bounded: ≤ Σ_bench-shingles df(s)
+    // rows, spill-safe under MEMORY_AND_DISK.
     val matched = sh(corpus)
       .join(broadcast(benchSh.select(col("shingle")).distinct()), Seq("shingle"), "left_semi")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusSh = capBuckets(matched, Seq("shingle"), maxShingleDf)
     corpusSh.join(broadcast(benchSh), "shingle")
       .groupBy(col("id"))
@@ -304,6 +310,8 @@ object Dedup {
       .crossJoin(broadcast(bloomRow))
       .select(col("id"), explode(BloomFilterSketch.keepStrings(
         col("bloom"), col("ss"), numBits, numHashes, seed)).as("shingle"))
+      // persisted for the same two-consumer reason as [[decontaminate]]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val corpusSh = capBuckets(matched, Seq("shingle"), maxShingleDf)
     corpusSh.join(broadcast(benchSh), "shingle")
       .groupBy(col("id"))
@@ -348,6 +356,8 @@ object Dedup {
         explode(col("ss")).as("shingle"))
     val matched = corpusSh
       .join(broadcast(benchSh.select(col("shingle")).distinct()), Seq("shingle"), "left_semi")
+      // persisted for the same two-consumer reason as [[decontaminate]]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val capped = capBuckets(matched, Seq("shingle"), maxShingleDf)
     val pairs = capped.join(broadcast(benchSh), "shingle")
       .groupBy(col("id"), col("bid"))

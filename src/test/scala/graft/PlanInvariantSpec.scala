@@ -33,8 +33,9 @@ class PlanInvariantSpec extends SparkSpec {
     }
   }
 
-  test("decontamination (exact and Bloom): zero shuffled joins — every corpus join broadcasts") {
-    for (q <- Seq("q_doc_decontaminate", "q_doc_decontaminate_bloom")) {
+  test("decontamination (exact, Bloom, fuzzy): zero shuffled joins — every corpus join broadcasts") {
+    for (q <- Seq("q_doc_decontaminate", "q_doc_decontaminate_bloom",
+        "q_doc_decontaminate_fuzzy")) {
       val plan = planOf(q)
       val shuffled = plan.collect {
         case j: SortMergeJoinExec => j: SparkPlan

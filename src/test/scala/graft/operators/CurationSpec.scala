@@ -577,6 +577,21 @@ class CurationSpec extends SparkSpec {
     assert(frShare > 0.05, s"tail share not boosted: $kept")
   }
 
+  test("temperatureSample: string ids hash deterministically; unsupported id types fail fast") {
+    val df = Seq.tabulate(300)(i => (s"doc-$i", if (i % 4 == 0) "tail" else "head"))
+      .toDF("id", "cls")
+    val a = Curation.temperatureSample(df, "cls", "id", 0.5, 0.5)
+      .select("id").as[String].collect().toSet
+    val b = Curation.temperatureSample(df, "cls", "id", 0.5, 0.5)
+      .select("id").as[String].collect().toSet
+    assert(a == b && a.nonEmpty && a.size < 300)
+    val bad = Seq((1.5, "x")).toDF("id", "cls")
+    val err = intercept[IllegalArgumentException] {
+      Curation.temperatureSample(bad, "cls", "id", 0.5, 0.5)
+    }
+    assert(err.getMessage.contains("integral or string"))
+  }
+
   test("temperatureSample plan: corpus filtered row-locally against broadcast rates") {
     val df = Seq.tabulate(100)(i => (i.toLong, if (i % 3 == 0) "a" else "b"))
       .toDF("id", "cls")
