@@ -114,6 +114,81 @@ object Dedup {
     unseen.join(keepers, Seq("fp", idCol), "left_semi")
   }
 
+  /** Streaming ingest dedup — [[dropSeenDuplicates]] as a restartable
+    * Structured Streaming pipeline: every micro-batch anti-joins against
+    * the PERSISTED fingerprint store (a kv table), appends its surviving
+    * rows to `outDir` and their fingerprints back to the store, all with
+    * exactly-once visibility. Unlike `dropDuplicates` stream state, the
+    * seen set lives in a TABLE: unbounded without executor state growth,
+    * inspectable with any reader, compactable / fp-bucketizable offline
+    * ([[graft.operators.KvMerge.bucketize]] turns the per-batch
+    * anti-join into the storage-partitioned one-exchange plan), and the
+    * pipeline restarts from its checkpoint with no state migration.
+    *
+    * Exactly-once: each epoch's files land under the kv streaming
+    * sink's OWN naming + commit-marker discipline
+    * (`epoch-<id>-part…parquet`, visible only once `_commits/<id>`
+    * exists — `ParquetIO.listFilesStatus`): a replayed batch first
+    * deletes its epoch's files and rewrites them, so a crash between
+    * the two sinks or before the checkpoint commit re-executes into the
+    * SAME names and readers never observe duplicates or torn epochs.
+    *
+    * Scale shape per batch: the store side is a plain kv scan (broadcast
+    * at small store sizes, storage-partitioned once bucketized — the
+    * batch side shuffles, the store never does), the in-batch keeper
+    * groupBy is partial-aggregable on the 64-bit fp, and the kept frame
+    * is persisted for its two consumers (docs out + fp append).
+    */
+  def ingestStream(
+      stream: DataFrame, storeDir: String, outDir: String,
+      textCol: String, idCol: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    stream.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val s = batch.sparkSession
+        val seen =
+          if (graft.sources.ParquetIO.listFilesStatus(storeDir).nonEmpty)
+            s.read.format("kv").option("path", storeDir).load().select(col("fp"))
+          else s.range(0).select(col("id").as("fp"))
+        val kept = dropSeenDuplicates(batch, seen, textCol, idCol)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          writeEpoch(kept.drop("fp"), outDir, batchId)
+          writeEpoch(kept.select(col("fp")).distinct(), storeDir, batchId)
+        } finally { kept.unpersist(); () }
+        ()
+      }
+      .start()
+  }
+
+  /** Write one epoch's rows into `dir` under the kv streaming sink's
+    * epoch-file + commit-marker convention, idempotently: a replay
+    * deletes the epoch's previous files and rewrites the same names
+    * before re-marking the epoch committed.
+    */
+  private[operators] def writeEpoch(df: DataFrame, dir: String, epoch: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.ParquetIO
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(ParquetIO.hadoopConf)
+    fs.mkdirs(dirPath)
+    fs.listStatus(dirPath)
+      .filter(st => st.isFile && st.getPath.getName.startsWith(s"epoch-$epoch-"))
+      .foreach(st => fs.delete(st.getPath, false))
+    val tmp = new Path(dir, s".epoch-$epoch-inprogress")
+    ParquetIO.deletePath(tmp.toString)
+    df.write.format("kv").option("path", tmp.toString).mode("append").save()
+    ParquetIO.listFiles(tmp.toString).zipWithIndex.foreach { case (f, i) =>
+      fs.rename(f, new Path(dir, s"epoch-$epoch-part%05d.parquet".format(i)))
+    }
+    ParquetIO.deletePath(tmp.toString)
+    val commits = new Path(dir, "_commits")
+    fs.mkdirs(commits)
+    fs.create(new Path(commits, epoch.toString), true).close()
+  }
+
   /** MinHash + LSH banding near-dup candidate pairs with verified
     * signature-estimated Jaccard.
     *

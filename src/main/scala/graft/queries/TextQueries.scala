@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextFunctions
+import graft.sources.ParquetIO
 
 /** Training-data-pipeline text operators over the `documents` table —
   * oracle-checkable subset (exact dedup, token stats, quality scoring,
@@ -142,6 +143,44 @@ object TextQueries {
       s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
       graft.operators.Dedup.dropSeenDuplicates(
           docs, s.read.table(s"kvcat.`$store`"), "text", "doc_id")
+        .select(col("doc_id"), col("source"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Streaming ingest dedup: the whole corpus streams through the log
+    // source in rate-limited micro-batches; each batch anti-joins the
+    // persisted fp store, appends survivors + fps with the epoch-file +
+    // commit-marker exactly-once discipline. Fixture rows are doc_id-
+    // monotone, so the first-delivery keeper == the global min-id keeper
+    // and the oracle replays it without modeling batch boundaries.
+    "q_dedup_stream_ingest" -> ((s, dir) => {
+      // stage ONE file with originals followed by id-shifted re-deliveries
+      // of the even docs (single sorted partition → the stream's batches
+      // are row prefixes, so first-delivery keeper == min-id keeper and
+      // the oracle needs no batch-boundary model)
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val staged = s"/tmp/graft_ingeststage$safe"
+      if (ParquetIO.listFiles(staged).isEmpty) {
+        val docs = Tables.load(s, dir, "documents")
+          .select(col("doc_id"), col("text"), col("source"))
+        docs.unionByName(
+            docs.filter(col("doc_id") % 2 === 0)
+              .withColumn("doc_id", col("doc_id") + 100000L))
+          .coalesce(1).sortWithinPartitions(col("doc_id"))
+          .write.mode("overwrite").parquet(staged)
+      }
+      val total = ParquetIO.listFiles(staged).map(ParquetIO.rowCount).sum
+      val u = java.util.UUID.randomUUID().toString.replace("-", "")
+      val store = s"/tmp/graft_ingest_store_$u"
+      val out = s"/tmp/graft_ingest_out_$u"
+      val stream = s.readStream.format("log")
+        .option("path", staged)
+        .option("maxOffsetsPerTrigger", math.max(total / 4L, 1L).toString).load()
+        .select(col("doc_id"), col("text"), col("source"))
+      val q = graft.operators.Dedup.ingestStream(
+        stream, store, out, "text", "doc_id", s"/tmp/graft_ingest_ck_$u")
+      q.awaitTermination()
+      s.read.format("kv").option("path", out).load()
         .select(col("doc_id"), col("source"))
         .orderBy(col("doc_id"))
     }),
@@ -324,6 +363,23 @@ object TextQueries {
         |FROM documents
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // first-delivery keeper == global min-id keeper (the staged file is
+    // doc_id-sorted, batches are row prefixes; re-delivered even docs
+    // carry +100000 ids and always lose)
+    "q_dedup_stream_ingest" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, source, text FROM documents WHERE doc_id % 2 = 0
+        |), norm AS (
+        |  SELECT doc_id, source,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |  FROM all_docs
+        |), keep AS (SELECT t, min(doc_id) AS doc_id FROM norm GROUP BY t)
+        |SELECT n.doc_id, n.source FROM norm n
+        |JOIN keep k ON n.t = k.t AND n.doc_id = k.doc_id
+        |ORDER BY n.doc_id""".stripMargin,
 
     "q_doc_dedup_lines_indoc" ->
       """WITH aug AS (
