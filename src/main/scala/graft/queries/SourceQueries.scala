@@ -229,6 +229,38 @@ object SourceQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Storage-partitioned join: orders and customer land as co-bucketized
+    // kv tables (KvMerge.bucketize — Spark's own HashPartitioning
+    // assignment, file→bucket recorded), read through the kv catalog so
+    // the scans report KeyGroupedPartitioning(bucket(8, key)) and the
+    // join plans with ZERO exchanges (KvBucketedJoinSpec pins the plan;
+    // this gate puts the RESULT on the oracle board).
+    "q_kv_bucketed_join" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val ordersT = s"/tmp/graft_spjorders$safe"
+      val custT = s"/tmp/graft_spjcust$safe"
+      if (ParquetIO.listFiles(ordersT).isEmpty) {
+        graft.Tables.load(s, dir, "orders")
+          .select(col("o_custkey").as("custkey"), col("o_totalprice"))
+          .write.format("kv").option("path", ordersT).mode("overwrite").save()
+        graft.operators.KvMerge.bucketize(s, ordersT, 8, Seq("custkey"))
+        graft.Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
+          .write.format("kv").option("path", custT).mode("overwrite").save()
+        graft.operators.KvMerge.bucketize(s, custT, 8, Seq("custkey"))
+      }
+      s.conf.set("spark.sql.catalog.kvcat",
+        classOf[graft.sources.kv.KvCatalog].getName)
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.read.table(s"kvcat.`$ordersT`")
+        .join(s.read.table(s"kvcat.`$custT`"), "custkey")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
     // Footer-only aggregate pushdown: ungrouped COUNT/MIN/MAX answered
     // from cached parquet footers through the kv DSv2 scan — zero data
     // pages read (KvAggPushdownSpec asserts the plan; this gate checks
@@ -683,6 +715,12 @@ object SourceQueries {
       """SELECT o_orderpriority, count(*) AS n, min(o_orderkey) AS min_key,
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_kv_bucketed_join" ->
+      """SELECT c_mktsegment, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // the oracle scans the data for real — the footer-only answer must
