@@ -661,6 +661,35 @@ object Curation {
       .drop("__rate")
   }
 
+  /** Snapshot diff between two corpus versions keyed by `idCol` — the
+    * dataset-release audit: which documents were added, removed, or
+    * changed (normalized-content fingerprint differs) between v1 and
+    * v2. Returns one row per differing id, `(id, status)` with status ∈
+    * added | removed | changed; unchanged ids are dropped (the common
+    * case at 100 TB — emit only the delta).
+    *
+    * Scale shape: each side reduces to (id, 64-bit fp) row-locally, the
+    * full-outer join is ONE shuffle on the id key — and zero shuffles
+    * when both snapshots are id-bucketized kv tables read through the
+    * catalog ([[graft.operators.KvMerge.bucketize]]); the status
+    * computation is row-local.
+    */
+  def snapshotDiff(
+      oldDf: DataFrame, newDf: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val o = oldDf.select(col(idCol).as("id"),
+      TextFunctions.fingerprint64(col(textCol)).as("__fp_old"))
+    val n = newDf.select(col(idCol).as("id"),
+      TextFunctions.fingerprint64(col(textCol)).as("__fp_new"))
+    o.join(n, Seq("id"), "full_outer")
+      .withColumn("status",
+        when(col("__fp_old").isNull, "added")
+          .when(col("__fp_new").isNull, "removed")
+          .when(col("__fp_old") =!= col("__fp_new"), "changed"))
+      .where(col("status").isNotNull)
+      .select(col("id"), col("status"))
+  }
+
   /** PII scrub: replace emails, dotted-quad IPs and NNN-NNN-NNNN phone
     * numbers with typed placeholder tags, and count each. The regexes are
     * deliberately in the common RE2/Java subset so results replay

@@ -95,6 +95,20 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Snapshot diff between two derived corpus versions: v1 drops every
+    // 7th doc and prefixes every 5th's text (→ changed); v2 drops every
+    // 11th. added = %7-only, removed = %11-only, changed = %5 survivors.
+    "q_corpus_diff" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val v1 = docs.filter(col("doc_id") % 7 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(lit("OLD "), col("text")))
+            .otherwise(col("text")))
+      val v2 = docs.filter(col("doc_id") % 11 =!= 0)
+      graft.operators.Curation.snapshotDiff(v1, v2, "doc_id", "text")
+        .orderBy(col("id"))
+    }),
+
     // Temperature-based language rebalancing (the XLM-R / mC4 recipe):
     // sampled class shares ∝ n_c^0.7 at an overall ~0.5 kept fraction —
     // head languages thinned, tail boosted. The rate derivation
@@ -452,6 +466,27 @@ object CurationQueries {
          |  CAST(global_pos - (((global_pos * 4) // n) * n + 3) // 4 AS BIGINT) AS pos
          |FROM g ORDER BY doc_id""".stripMargin
     },
+
+    // fp equality == normalized-text equality (collisions aside), so the
+    // oracle compares the normalized strings directly
+    "q_corpus_diff" ->
+      """WITH v1 AS (
+        |  SELECT doc_id,
+        |    lower(regexp_replace(trim(CASE WHEN doc_id % 5 = 0
+        |      THEN 'OLD ' || text ELSE text END), '\s+', ' ', 'g')) AS t
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |), v2 AS (
+        |  SELECT doc_id,
+        |    lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents WHERE doc_id % 11 <> 0
+        |)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS id,
+        |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |       WHEN v2.doc_id IS NULL THEN 'removed'
+        |       WHEN v1.t <> v2.t THEN 'changed' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |WHERE (v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.t <> v2.t)
+        |ORDER BY id""".stripMargin,
 
     // rate derivation mirrors the operator op for op: quantized pow per
     // class, integer normalizer sum, ((F·N)·qp)/(S·n), floor'd 2^53

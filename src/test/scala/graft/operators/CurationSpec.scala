@@ -577,6 +577,18 @@ class CurationSpec extends SparkSpec {
     assert(frShare > 0.05, s"tail share not boosted: $kept")
   }
 
+  test("snapshotDiff classifies added/removed/changed and drops unchanged") {
+    val v1 = Seq((1L, "same text"), (2L, "will change"), (3L, "goes away"),
+      (4L, "Same   Text normalized")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "same text"), (2L, "has changed"), (5L, "brand new"),
+      (4L, "same text NORMALIZED")).toDF("doc_id", "text")
+    val got = Curation.snapshotDiff(v1, v2, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // id 4 differs only in whitespace/case → unchanged under the
+    // normalized fingerprint → absent from the diff
+    assert(got == Map(2L -> "changed", 3L -> "removed", 5L -> "added"), got)
+  }
+
   test("temperatureSample: string ids hash deterministically; unsupported id types fail fast") {
     val df = Seq.tabulate(300)(i => (s"doc-$i", if (i % 4 == 0) "tail" else "head"))
       .toDF("id", "cls")
