@@ -46,6 +46,35 @@ class IngestStreamSpec extends SparkSpec {
     assert(spark.read.format("kv").option("path", store).load().distinct().count() == 3)
   }
 
+  test("maintenance cycle: bucketize the grown store, later phases SPJ against it") {
+    val src = Files.createTempDirectory("ingsrc2").toString + "/docs"
+    val store = Files.createTempDirectory("ingstore2").toString
+    val out = Files.createTempDirectory("ingout2").toString
+    val ckpt = Files.createTempDirectory("ingck2").toString
+    writeDocs(src, Seq.tabulate(60)(i => (i.toLong, s"unique doc number $i here")))
+    def run(): Unit = {
+      val stream = spark.readStream.format("log").option("path", src).load()
+        .select(col("doc_id"), col("text"))
+      Dedup.ingestStream(stream, store, out, "text", "doc_id", ckpt).awaitTermination()
+    }
+    run()
+    // offline maintenance: compact + bucketize the fp store
+    KvMerge.bucketize(spark, store, 4, Seq("fp"))
+    assert(graft.sources.kv.KvBuckets.bucketsFor(store).isDefined)
+    // next phase re-delivers everything plus new docs; the anti-join now
+    // runs against the bucketized store (SPJ plan pinned in
+    // KvBucketedJoinSpec — here we prove the cycle stays CORRECT)
+    writeDocs(src, Seq.tabulate(60)(i => (100L + i, s"unique doc number $i here")) ++
+      Seq((999L, "a genuinely new document")))
+    run()
+    val kept = spark.read.format("kv").option("path", out).load()
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == (0L until 60L).toSet + 999L, s"cycle broke dedup: $kept")
+    // the store append after bucketize withdraws the bucket claim (stale
+    // meta must never affect correctness, only the elision)
+    assert(graft.sources.kv.KvBuckets.bucketsFor(store).isEmpty)
+  }
+
   test("epoch replay is idempotent; uncommitted epochs are invisible") {
     val dir = Files.createTempDirectory("ingepoch").toString
     val df = Seq((1L, "x"), (2L, "y")).toDF("k", "v")

@@ -105,6 +105,34 @@ class KvBucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("aggregation on the bucket key plans without an exchange") {
+    val dir = Files.createTempDirectory("kvspjagg").toString
+    Seq.tabulate(500)(i => (i.toLong % 113, i.toDouble)).toDF("k", "v")
+      .write.format("kv").option("path", dir).mode("overwrite").save()
+    KvMerge.bucketize(spark, dir, 8, Seq("k"))
+    withSpj {
+      val t = spark.read.table(s"kvcat.`$dir`")
+      val agg = t.groupBy("k").agg(sum("v").as("s"))
+      assert(exchanges(agg) == 0,
+        s"KeyGroupedPartitioning must satisfy the groupBy distribution:\n${agg.queryExecution.executedPlan}")
+      val got = agg.as[(Long, Double)].collect().toMap
+      val want = (0 until 500).groupBy(i => i.toLong % 113)
+        .view.mapValues(_.map(_.toDouble).sum).toMap
+      assert(got == want)
+    }
+  }
+
+  test("the catalog serves plain SQL over a path identifier") {
+    val dir = Files.createTempDirectory("kvspjsql").toString
+    Seq((1L, "x"), (2L, "y")).toDF("k", "v")
+      .write.format("kv").option("path", dir).mode("overwrite").save()
+    withSpj {
+      val got = spark.sql(s"SELECT k, v FROM kvcat.`$dir` ORDER BY k")
+        .as[(Long, String)].collect().toSeq
+      assert(got == Seq((1L, "x"), (2L, "y")))
+    }
+  }
+
   test("bucket claim disappears after an append; plans and results stay correct") {
     val dir = Files.createTempDirectory("kvspjstale").toString
     Seq((1L, "a"), (2L, "b")).toDF("k", "v")
