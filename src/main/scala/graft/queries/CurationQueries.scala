@@ -146,6 +146,22 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Temperature rebalancing feeding per-language token budgets in one
+    // Catalyst plan — the "flatten the language head, then cap each
+    // language's tokens" mixture recipe. Oracle chains the quantized-pow
+    // rate replay into the window-sum budget replay.
+    "q_pipeline_temperature" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      val kept = Curation.temperatureSample(docs, "lang", "doc_id",
+        alpha = 0.7, targetFraction = 0.5)
+      Curation.tokenBudgetByGroup(
+        kept.select(col("lang"), col("doc_id"), col("text")),
+        "lang", "doc_id", size(split(col("text"), " ")),
+        when(col("lang") === "en", 3000L).otherwise(lit(1500L)))
+        .orderBy(col("doc_id"))
+    }),
+
     // The mixture-building pipeline END TO END in one Catalyst plan:
     // per-language token budgets (hash-order prefixes) feed the stride
     // interleave — domain capping then weighted scheduling, the two
@@ -487,6 +503,43 @@ object CurationQueries {
         |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
         |WHERE (v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.t <> v2.t)
         |ORDER BY id""".stripMargin,
+
+    // temperature keep-set replay chained into the per-lang window-sum
+    // budget replay (both fragments identical to their standalone gates)
+    "q_pipeline_temperature" -> {
+      val hk = SketchOracleSql.splitmixBigintSql("d.doc_id")
+      val hkB = SketchOracleSql.splitmixBigintSql("doc_id")
+      s"""WITH counts AS (
+         |  SELECT lang, count(*) AS n,
+         |    CAST(floor(pow(CAST(count(*) AS DOUBLE), 0.7) * 1e6 + 0.5) AS BIGINT) AS qp
+         |  FROM documents GROUP BY 1
+         |), tot AS (SELECT sum(n) AS nn, sum(qp) AS s FROM counts),
+         |rates AS (
+         |  SELECT lang,
+         |    least(1.0, 0.5 * CAST(nn AS DOUBLE) * CAST(qp AS DOUBLE) /
+         |      (CAST(s AS DOUBLE) * CAST(n AS DOUBLE))) AS rate
+         |  FROM counts CROSS JOIN tot
+         |), kept AS (
+         |  SELECT d.doc_id, d.lang, d.text FROM documents d JOIN rates r USING (lang)
+         |  WHERE (CASE WHEN ($hk) < 0
+         |      THEN ($hk)::HUGEINT + 18446744073709551616::HUGEINT
+         |      ELSE ($hk)::HUGEINT END) // 2048
+         |    < CAST(floor(rate * 9007199254740992.0) AS BIGINT)::HUGEINT
+         |), tb AS (
+         |  SELECT lang, doc_id, n_tok, bud,
+         |    CAST(sum(n_tok) OVER (PARTITION BY lang ORDER BY hk, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM (
+         |    SELECT lang, doc_id,
+         |      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+         |      CAST(CASE WHEN lang = 'en' THEN 3000 ELSE 1500 END AS BIGINT) AS bud,
+         |      ($hkB) AS hk
+         |    FROM kept)
+         |)
+         |SELECT lang, doc_id, n_tok, cum_tokens FROM tb
+         |WHERE cum_tokens <= bud
+         |ORDER BY doc_id""".stripMargin
+    },
 
     // rate derivation mirrors the operator op for op: quantized pow per
     // class, integer normalizer sum, ((F·N)·qp)/(S·n), floor'd 2^53
