@@ -157,6 +157,78 @@ object Multimodal {
     }(enc)
   }
 
+  /** 64-bit average perceptual hash (aHash) of each image payload — the
+    * image-dedup primitive: decode (REAL ImageIO), integer Rec.601 luma,
+    * 8×8 block means with pixel→cell assignment `(y·8/h, x·8/w)`
+    * (integer division, so any dimensions work — cells can be empty on
+    * sub-8px images), bit `cy·8+cx` set iff the cell's mean exceeds the
+    * mean of the occupied cells' means (integer cross-multiplied
+    * compare, no floats anywhere). Re-encoding the same pixels yields
+    * the SAME hash (content identity, not byte identity — the property
+    * that makes this a dedup key where md5 fails); near-duplicate
+    * images land within a small Hamming distance, so the SimHash
+    * machinery's banding applies unchanged. Null/undecodable payloads
+    * hash to null.
+    *
+    * Scale shape: pure `mapPartitions` row-local compute — constant
+    * memory per task, no shuffle; the downstream dedup is one groupBy
+    * on the 8-byte hash.
+    */
+  def imageHash(df: DataFrame, payloadCol: String,
+      hashCol: String = "ahash64"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(hashCol, LongType))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        val img =
+          if (payload == null) null
+          else try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+          catch { case _: Exception => null }
+        val hash: Any = if (img == null) null
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          val cellSum = new Array[Long](64)
+          val cellN = new Array[Long](64)
+          var y = 0
+          while (y < h) {
+            val cy = y * 8 / h
+            var x = 0
+            while (x < w) {
+              val rgb = img.getRGB(x, y)
+              val luma = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                (rgb & 0xff) * 114) / 1000
+              val c = cy * 8 + x * 8 / w
+              cellSum(c) += luma
+              cellN(c) += 1
+              x += 1
+            }
+            y += 1
+          }
+          val means = new Array[Long](64)
+          var tot = 0L
+          var nOcc = 0L
+          var i = 0
+          while (i < 64) {
+            if (cellN(i) > 0) {
+              means(i) = cellSum(i) / cellN(i); tot += means(i); nOcc += 1
+            }
+            i += 1
+          }
+          var bits = 0L
+          i = 0
+          while (i < 64) {
+            if (cellN(i) > 0 && means(i) * nOcc > tot) bits |= (1L << i)
+            i += 1
+          }
+          bits
+        }
+        Row.fromSeq(r.toSeq :+ hash)
+      }
+    }(enc)
+  }
+
   /** Decode metadata for each payload in partition-local batches.
     * Runs as `mapPartitions` over an iterator — constant memory per task,
     * no driver involvement, codec initialized once per partition (the

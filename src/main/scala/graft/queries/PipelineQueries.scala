@@ -206,6 +206,21 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Perceptual image hash through the REAL decode path: the 64-bit
+    // aHash of every staged PNG plus the Hamming distance to the next
+    // doc's image — both replayed bit-exactly by the oracle from the
+    // generator formula (pure integer math end to end). Re-encode
+    // invariance (the dedup property) is spec-pinned in MultimodalSpec.
+    "q_multimodal_phash" -> ((s, dir) => {
+      val hashed = Multimodal.imageHash(stagedPngDocs(s, dir), "payload")
+        .select(col("doc_id"), col("ahash64"))
+      hashed.as("a").join(hashed.as("b"),
+          col("a.doc_id") + 1 === col("b.doc_id"), "left_outer")
+        .select(col("a.doc_id").as("doc_id"), col("a.ahash64").as("ahash64"),
+          expr("bit_count(a.ahash64 ^ b.ahash64)").cast("int").as("dist_next"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_multimodal_frames" -> ((s, dir) => {
       val docs = Multimodal.withBinaryPayload(
         Tables.load(s, dir, "documents"), "text")
@@ -493,6 +508,42 @@ object PipelineQueries {
         |    AS n_bright
         |FROM agg a JOIN lum l USING (doc_id)
         |GROUP BY 1, 2, 3
+        |ORDER BY a.doc_id""".stripMargin,
+
+    // aHash replay: same generator-formula pixels, same integer luma,
+    // same 8×8 cell assignment and cross-multiplied mean compare; the
+    // u64 bit sum converts to the signed BIGINT image for the compare
+    "q_multimodal_phash" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(doc_id % 64 + 1 AS BIGINT) AS w,
+        |    CAST(doc_id % 48 + 1 AS BIGINT) AS h
+        |  FROM documents
+        |), px AS (
+        |  SELECT doc_id,
+        |    (y * 8 // h) * 8 + (x * 8 // w) AS cell,
+        |    ((((doc_id * 31 + y) * 31 + x) % 16777216 // 65536) * 299 +
+        |     ((((doc_id * 31 + y) * 31 + x) % 16777216 // 256) % 256) * 587 +
+        |     (((doc_id * 31 + y) * 31 + x) % 16777216 % 256) * 114) // 1000 AS luma
+        |  FROM dims, unnest(generate_series(0, h - 1)) AS ty(y),
+        |    unnest(generate_series(0, w - 1)) AS tx(x)
+        |), cells AS (
+        |  SELECT doc_id, cell, sum(luma) // count(*) AS m FROM px GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT doc_id, sum(m) AS tot, count(*) AS n_occ FROM cells GROUP BY 1
+        |), hashes AS (
+        |  SELECT c.doc_id,
+        |    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |      THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS ahash64
+        |  FROM (
+        |    SELECT c.doc_id,
+        |      sum(CASE WHEN c.m * t.n_occ > t.tot
+        |        THEN (1::HUGEINT << c.cell::INT) ELSE 0::HUGEINT END) AS hu
+        |    FROM cells c JOIN tot t USING (doc_id)
+        |    GROUP BY 1) c
+        |)
+        |SELECT a.doc_id, a.ahash64,
+        |  CAST(bit_count(xor(a.ahash64, b.ahash64)) AS INT) AS dist_next
+        |FROM hashes a LEFT JOIN hashes b ON b.doc_id = a.doc_id + 1
         |ORDER BY a.doc_id""".stripMargin,
 
     "q_multimodal_frames" ->

@@ -87,4 +87,37 @@ class MultimodalSpec extends SparkSpec {
     val rb = Multimodal.lumaStats(bad, "payload").collect()(0)
     assert(rb.isNullAt(rb.fieldIndex("n_pixels")) && rb.isNullAt(rb.fieldIndex("sum_luma")))
   }
+
+  test("imageHash: re-encoded pixels hash identically (content identity, not byte identity)") {
+    import spark.implicits._
+    val base = Multimodal.withPngPayload(
+      Seq(17L, 23L, 40L).toDF("doc_id"), "doc_id")
+    // decode and re-encode each PNG: byte-different payloads, same pixels
+    val reencoded = base.collect().map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.getAs[Array[Byte]]("payload")))
+      val bos = new java.io.ByteArrayOutputStream()
+      // re-encode through a different image type to vary the byte stream
+      val copy = new java.awt.image.BufferedImage(
+        img.getWidth, img.getHeight, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+      copy.getGraphics.drawImage(img, 0, 0, null)
+      javax.imageio.ImageIO.write(copy, "png", bos)
+      (r.getLong(0), bos.toByteArray)
+    }.toSeq
+    val reDf = reencoded.toDF("doc_id", "payload")
+    val origBytes = base.collect().map(r => r.getLong(0) -> r.getAs[Array[Byte]]("payload")).toMap
+    assert(reencoded.exists { case (id, b) => !java.util.Arrays.equals(b, origBytes(id)) },
+      "re-encode should change at least one byte stream")
+    val h1 = Multimodal.imageHash(base, "payload")
+      .select("doc_id", "ahash64").as[(Long, Long)].collect().toMap
+    val h2 = Multimodal.imageHash(reDf, "payload")
+      .select("doc_id", "ahash64").as[(Long, Long)].collect().toMap
+    assert(h1 == h2, s"perceptual hash must survive re-encoding: $h1 vs $h2")
+    // distinct images hash differently (content sensitivity)
+    assert(h1.values.toSet.size == 3, h1)
+    // undecodable payload → null hash
+    val bad = Multimodal.imageHash(
+      Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload"), "payload").collect()(0)
+    assert(bad.isNullAt(bad.fieldIndex("ahash64")))
+  }
 }
