@@ -30,6 +30,25 @@ import graft.functions.{BoundedTopK, Sketches, TextFunctions}
   */
 object Curation {
 
+  /** The canonical seeded per-row hash key shared by the deterministic
+    * samplers/schedulers: integral ids go through splitmix64 directly
+    * (the oracle-replayed formulation), string ids hash via
+    * stringHash64 first. Anything else fails fast — a silent
+    * `cast("long")` would yield null for every row and collapse the
+    * seeded order into plain id order inside one null bucket.
+    */
+  private[operators] def seededHashKey(
+      df: DataFrame, idCol: String, seed: Long): Column =
+    df.schema(idCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Sketches.splitmixLong(col(idCol).cast("long").bitwiseXOR(lit(seed)))
+      case StringType =>
+        Sketches.splitmixLong(
+          Sketches.stringHash64(col(idCol), 0x1337L).bitwiseXOR(lit(seed)))
+      case t => throw new IllegalArgumentException(
+        s"id column '$idCol' must be integral or string for seeded hashing, got $t")
+    }
+
   private def words(c: Column): Column = graft.functions.WhitespaceTokens.wsTokens(c)
 
   /** Word n-grams of `textCol` as an array column; empty when the doc has
@@ -386,21 +405,7 @@ object Curation {
     val id = col(idCol)
     def esc(s: String) = s.replace("'", "''")
 
-    // Seeded hash key: integral ids go through splitmix directly (the
-    // oracle-replayed formulation); string ids hash via stringHash64
-    // first. Anything else fails fast — a silent cast("long") would
-    // yield null for every row and collapse the seeded order into plain
-    // id order inside one null bucket.
-    val idType = df.schema(idCol).dataType
-    val hk = idType match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        Sketches.splitmixLong(id.cast("long").bitwiseXOR(lit(seed)))
-      case StringType =>
-        Sketches.splitmixLong(
-          Sketches.stringHash64(id, 0x1337L).bitwiseXOR(lit(seed)))
-      case t => throw new IllegalArgumentException(
-        s"interleaveMixture id column '$idCol' must be integral or string, got $t")
-    }
+    val hk = seededHashKey(df, idCol, seed)
     val base = df
       .where(col(sourceCol).isin(weights.map(_._1): _*))
       .select(col(sourceCol).as("__src"), id, hk.as("__hk"))
@@ -633,10 +638,16 @@ object Curation {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
     require(targetFraction > 0.0 && targetFraction <= 1.0,
       s"targetFraction must be in (0, 1], got $targetFraction")
+    // persisted: the ≤classes-row histogram is consumed by both the
+    // totals frame and the rates join — without the persist each
+    // consumer re-runs the full-corpus groupBy scan (the DSIR
+    // histogram-frame precedent; CacheManager reuses one entry across
+    // re-invocations of the same plan)
     val counts = df.groupBy(col(classCol))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__qp",
         floor(pow(col("__n").cast("double"), alpha) * 1e6 + 0.5).cast("long"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val totals = counts.agg(
       sum(col("__n")).as("__tot_n"), sum(col("__qp")).as("__tot_qp"))
     val rates = counts.crossJoin(broadcast(totals))
@@ -644,16 +655,7 @@ object Curation {
         least(lit(1.0),
           lit(targetFraction) * col("__tot_n").cast("double") * col("__qp").cast("double") /
             (col("__tot_qp").cast("double") * col("__n").cast("double"))).as("__rate"))
-    val idType = df.schema(idCol).dataType
-    val hk = idType match {
-      case ByteType | ShortType | IntegerType | LongType =>
-        Sketches.splitmixLong(col(idCol).cast("long").bitwiseXOR(lit(seed)))
-      case StringType =>
-        Sketches.splitmixLong(
-          Sketches.stringHash64(col(idCol), 0x1337L).bitwiseXOR(lit(seed)))
-      case t => throw new IllegalArgumentException(
-        s"temperatureSample id column '$idCol' must be integral or string, got $t")
-    }
+    val hk = seededHashKey(df, idCol, seed)
     df.join(broadcast(rates), Seq(classCol))
       .where(shiftrightunsigned(hk, 11) <
         floor(col("__rate") * lit(9007199254740992.0 /* 2^53 */)))
@@ -780,8 +782,7 @@ object Curation {
 
     // row-local scoring against the broadcast weight array, then the
     // Gumbel key; u = ((h >>> 11) + 0.5)·2⁻⁵³ is an exact dyadic in (0,1)
-    val u = (shiftrightunsigned(
-        Sketches.splitmixLong(id.cast("long").bitwiseXOR(lit(seed))), 11)
+    val u = (shiftrightunsigned(seededHashKey(raw, idCol, seed), 11)
       .cast("double") + 0.5) * lit(math.pow(2.0, -53))
     raw.select(id, featBuckets(col(textCol)).as("fb"))
       .crossJoin(broadcast(lamArr))

@@ -147,26 +147,58 @@ object Dedup {
       .option("checkpointLocation", checkpointDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
-        val s = batch.sparkSession
-        val seen =
-          if (graft.sources.ParquetIO.listFilesStatus(storeDir).nonEmpty)
-            s.read.format("kv").option("path", storeDir).load().select(col("fp"))
-          else s.range(0).select(col("id").as("fp"))
-        val kept = dropSeenDuplicates(batch, seen, textCol, idCol)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          writeEpoch(kept.drop("fp"), outDir, batchId)
-          writeEpoch(kept.select(col("fp")).distinct(), storeDir, batchId)
-        } finally { kept.unpersist(); () }
+        processIngestBatch(batch.toDF(), storeDir, outDir, textCol, idCol, batchId)
         ()
       }
       .start()
   }
 
+  /** One ingest micro-batch, idempotent under foreachBatch replay: the
+    * crashed attempt's OWN epoch is retracted from both tables FIRST
+    * (marker, then files — so no reader ever sees a committed-but-torn
+    * epoch), which also keeps the replayed batch from deduplicating
+    * against its own previously committed fingerprints and erasing its
+    * output.
+    */
+  private[operators] def processIngestBatch(
+      batch: DataFrame, storeDir: String, outDir: String,
+      textCol: String, idCol: String, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    clearEpoch(outDir, batchId)
+    clearEpoch(storeDir, batchId)
+    val seen =
+      if (graft.sources.ParquetIO.listFilesStatus(storeDir).nonEmpty)
+        s.read.format("kv").option("path", storeDir).load().select(col("fp"))
+      else s.range(0).select(col("id").as("fp"))
+    val kept = dropSeenDuplicates(batch, seen, textCol, idCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      writeEpoch(kept.drop("fp"), outDir, batchId)
+      writeEpoch(kept.select(col("fp")).distinct(), storeDir, batchId)
+    } finally { kept.unpersist(); () }
+  }
+
+  /** Retract one epoch: commit marker FIRST (readers stop seeing the
+    * epoch atomically), then its files. Used before a replay rewrite.
+    */
+  private[operators] def clearEpoch(dir: String, epoch: Long): Unit = {
+    import org.apache.hadoop.fs.Path
+    import graft.sources.ParquetIO
+    val dirPath = new Path(dir)
+    val fs = dirPath.getFileSystem(ParquetIO.hadoopConf)
+    if (!fs.exists(dirPath)) return
+    val marker = new Path(dir, s"_commits/$epoch")
+    if (fs.exists(marker)) fs.delete(marker, false)
+    fs.listStatus(dirPath)
+      .filter(st => st.isFile && st.getPath.getName.startsWith(s"epoch-$epoch-"))
+      .foreach(st => fs.delete(st.getPath, false))
+  }
+
   /** Write one epoch's rows into `dir` under the kv streaming sink's
     * epoch-file + commit-marker convention, idempotently: a replay
-    * deletes the epoch's previous files and rewrites the same names
-    * before re-marking the epoch committed.
+    * retracts the epoch (marker first — [[clearEpoch]]) and rewrites the
+    * same names before re-marking the epoch committed, so readers only
+    * ever see the epoch fully absent or fully present.
     */
   private[operators] def writeEpoch(df: DataFrame, dir: String, epoch: Long): Unit = {
     import org.apache.hadoop.fs.Path
@@ -174,9 +206,7 @@ object Dedup {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(ParquetIO.hadoopConf)
     fs.mkdirs(dirPath)
-    fs.listStatus(dirPath)
-      .filter(st => st.isFile && st.getPath.getName.startsWith(s"epoch-$epoch-"))
-      .foreach(st => fs.delete(st.getPath, false))
+    clearEpoch(dir, epoch)
     val tmp = new Path(dir, s".epoch-$epoch-inprogress")
     ParquetIO.deletePath(tmp.toString)
     df.write.format("kv").option("path", tmp.toString).mode("append").save()
@@ -336,7 +366,11 @@ object Dedup {
     // counts, then the capped join probe) — persist it so the corpus
     // scan + shingle pipeline run ONCE, not once per consumer (the DSIR
     // histogram-frame precedent). Bounded: ≤ Σ_bench-shingles df(s)
-    // rows, spill-safe under MEMORY_AND_DISK.
+    // rows, spill-safe under MEMORY_AND_DISK. Lifecycle: the result is
+    // lazy, so the operator cannot unpersist; CacheManager keys entries
+    // on the canonicalized plan (re-invocations over the same inputs
+    // REUSE one entry, they don't accumulate) — a session cycling many
+    // distinct corpora should `spark.catalog.clearCache()` between them.
     val matched = sh(corpus)
       .join(broadcast(benchSh.select(col("shingle")).distinct()), Seq("shingle"), "left_semi")
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -171,6 +171,15 @@ object KvMerge {
     if (!fs.exists(livePath) && fs.exists(backup)) fs.rename(backup, livePath)
 
     val table = spark.read.format("kv").option("path", path).load()
+    // fail HERE, not at every later catalog read: a bucket column type
+    // the v2 bucket function can't bind would otherwise poison the
+    // table's KeyGroupedPartitioning resolution
+    bucketBy.foreach { c =>
+      val dt = table.schema(c).dataType
+      require(graft.sources.kv.KvBuckets.supportedTypes.contains(dt),
+        s"bucketize: column '$c' has type $dt, not bucketable " +
+          s"(supported: ${graft.sources.kv.KvBuckets.supportedTypes.mkString(", ")})")
+    }
     val shaped = table
       .repartition(numBuckets, bucketBy.map(col): _*)
       .sortWithinPartitions(bucketBy.map(col): _*)

@@ -75,6 +75,33 @@ class IngestStreamSpec extends SparkSpec {
     assert(graft.sources.kv.KvBuckets.bucketsFor(store).isEmpty)
   }
 
+  test("a fully committed batch replays without losing its output") {
+    // foreachBatch replay after BOTH sinks committed but before the
+    // checkpoint commit: the replayed batch must not dedup against its
+    // own previously committed fingerprints and erase its epoch
+    val store = Files.createTempDirectory("ingreplay_s").toString
+    val out = Files.createTempDirectory("ingreplay_o").toString
+    val batch = Seq((1L, "first doc"), (2L, "second doc"), (3L, "first doc"))
+      .toDF("doc_id", "text")
+    Dedup.processIngestBatch(batch, store, out, "text", "doc_id", 0L)
+    val first = spark.read.format("kv").option("path", out).load()
+      .select("doc_id").as[Long].collect().toSet
+    assert(first == Set(1L, 2L))
+    // replay the SAME batch id with the store already holding epoch 0
+    Dedup.processIngestBatch(batch, store, out, "text", "doc_id", 0L)
+    val replayed = spark.read.format("kv").option("path", out).load()
+      .select("doc_id").as[Long].collect().toSet
+    assert(replayed == Set(1L, 2L), s"replay lost or duplicated output: $replayed")
+    assert(spark.read.format("kv").option("path", store).load().count() == 2)
+    // a NEW batch against the recovered state still dedups correctly
+    Dedup.processIngestBatch(
+      Seq((9L, "first doc"), (10L, "third doc")).toDF("doc_id", "text"),
+      store, out, "text", "doc_id", 1L)
+    val after = spark.read.format("kv").option("path", out).load()
+      .select("doc_id").as[Long].collect().toSet
+    assert(after == Set(1L, 2L, 10L), after)
+  }
+
   test("epoch replay is idempotent; uncommitted epochs are invisible") {
     val dir = Files.createTempDirectory("ingepoch").toString
     val df = Seq((1L, "x"), (2L, "y")).toDF("k", "v")

@@ -122,6 +122,20 @@ class KvBucketedJoinSpec extends SparkSpec {
     }
   }
 
+  test("bucketize rejects unbucketable column types up front") {
+    val dir = Files.createTempDirectory("kvspjbad").toString
+    Seq((1.5, "x")).toDF("price", "v")
+      .write.format("kv").option("path", dir).mode("overwrite").save()
+    val err = intercept[IllegalArgumentException] {
+      KvMerge.bucketize(spark, dir, 4, Seq("price"))
+    }
+    assert(err.getMessage.contains("not bucketable"), err.getMessage)
+    // the table stays readable — no poisoned partitioning meta
+    withSpj {
+      assert(spark.read.table(s"kvcat.`$dir`").count() == 1)
+    }
+  }
+
   test("the catalog serves plain SQL over a path identifier") {
     val dir = Files.createTempDirectory("kvspjsql").toString
     Seq((1L, "x"), (2L, "y")).toDF("k", "v")
