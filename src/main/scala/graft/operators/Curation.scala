@@ -607,6 +607,49 @@ object Curation {
       shiftrightunsigned(Sketches.splitmixLong(col(idCol)), 11) <
         (rate * lit(9007199254740992.0 /* 2^53 */)).cast("long"))
 
+  /** Deterministic train/validation/test split assignment — the
+    * dataset-release primitive: every document lands in exactly one named
+    * split, with split shares equal to the requested fractions in
+    * expectation, and the assignment is a pure function of (id, seed) —
+    * stable across reruns, engines, partition layouts, and corpus
+    * growth (adding documents never moves an existing one between
+    * splits, unlike sort/limit-based splitting).
+    *
+    * Mechanics (the [[sampleMixture]] convention): u = top 53 bits of
+    * splitmix64(id ⊕ seed) is uniform on [0, 2^53); split i wins iff
+    * u < floor(cum_i · 2^53) and no earlier split matched. Thresholds
+    * are exact longs computed once on the driver, so any engine replays
+    * the assignment with a single integer compare chain. Fractions must
+    * sum to 1 (±1e-9); the last split absorbs the floor remainder.
+    *
+    * Scale shape: row-local hash + compare — zero shuffles, zero state,
+    * whole-stage codegen. The 100 TB story is trivial by construction.
+    */
+  def assignSplits(
+      df: DataFrame, idCol: String, splits: Seq[(String, Double)],
+      seed: Long = 0L, outCol: String = "split"): DataFrame = {
+    require(splits.nonEmpty, "need at least one split")
+    require(splits.forall(_._2 > 0.0), s"fractions must be > 0: $splits")
+    require(splits.map(_._1).distinct.size == splits.size,
+      s"split names must be distinct: ${splits.map(_._1)}")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"fractions must sum to 1, got $total")
+    val names = splits.map(_._1)
+    val thresholds = splits.map(_._2).scanLeft(0.0)(_ + _).tail.init
+      .map(c => math.floor(c * 9007199254740992.0 /* 2^53 */).toLong)
+    val u = shiftrightunsigned(seededHashKey(df, idCol, seed), 11)
+    val assign =
+      if (thresholds.isEmpty) lit(names.head)
+      else {
+        val first = when(u < lit(thresholds.head), lit(names.head))
+        thresholds.tail.zip(names.tail.init).foldLeft(first) {
+          case (acc, (t, n)) => acc.when(u < lit(t), lit(n))
+        }.otherwise(lit(names.last))
+      }
+    df.withColumn(outCol, assign)
+  }
+
   /** Temperature-based class rebalancing — the multilingual/topic-cluster
     * sampling step of a pretraining mixture (the XLM-R / mC4 recipe):
     * classes (languages, clusters, domains) are kept at rates making the

@@ -74,6 +74,51 @@ object SimilaritySearch {
       k)
   }
 
+  /** Scalar-quantized (SQ8 / int8) cosine top-k — the memory-lean
+    * brute-force tier: each L2-normalized vector is quantized to one
+    * signed byte per dimension (per-vector symmetric scale 127/max|x|),
+    * an 8× shrink vs float64 planes (4× vs float32) that turns a
+    * 100 TB float corpus into a scannable 12.5 TB byte corpus while
+    * keeping cosine error under ~1%. The standard "SQ8" flat index of
+    * IVF libraries (Johnson et al. 2017 use the same per-vector scalar
+    * codec as their flat-storage fallback).
+    *
+    * Exactness contract: quantization is `floor(x·127/mx + 0.5)` (the
+    * codebase's round-half-up convention), the dot product is an exact
+    * INTEGER sum, and the final rescale `(idot·qmx·nmx)/127²` is a
+    * fixed-op-order double expression — every step replays verbatim in
+    * the gate oracle, so the approximation itself is value-checked, not
+    * fuzz-tolerated.
+    *
+    * Scale shape: quantization is row-local; queries broadcast; the
+    * corpus codes never shuffle; per-query top-k is the bounded-heap
+    * aggregate (map-side k-row partials).
+    */
+  def sq8Knn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    def quantize(df: DataFrame): DataFrame = {
+      val p = prep(df, vecCol, idCol)
+      p.select(col("id"), transform(col("e"), x => x / col("nrm")).as("u"))
+        .withColumn("mx", array_max(transform(col("u"), x => abs(x))))
+        .select(col("id"),
+          transform(col("u"),
+            x => floor(x * lit(127.0) / col("mx") + lit(0.5)).cast("long")).as("q"),
+          col("mx"))
+    }
+    val c = quantize(corpus)
+      .select(col("id").as("nid"), col("q").as("nq"), col("mx").as("nmx"))
+    val q = quantize(queries)
+      .select(col("id").as("qid"), col("q").as("qq"), col("mx").as("qmx"))
+    val idot = aggregate(
+      zip_with(col("qq"), col("nq"), (a, b) => a * b), lit(0L), (acc, v) => acc + v)
+    topKPerQuery(
+      broadcast(q).join(c, col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          (idot.cast("double") * col("qmx") * col("nmx") / lit(16129.0)).as("sim")),
+      k)
+  }
+
   /** LSH-pruned top-k: candidates = corpus vectors sharing ≥1 sketch band
     * with the query; exact cosine re-scoring on candidates only.
     */

@@ -109,6 +109,17 @@ object CurationQueries {
         .orderBy(col("id"))
     }),
 
+    // Deterministic train/val/test split assignment: every doc lands in
+    // exactly one named split by an integer threshold compare on
+    // splitmix64(doc_id ^ seed) — stable under corpus growth, replayed
+    // exactly by the oracle's compare chain.
+    "q_doc_split" -> ((s, dir) => {
+      Curation.assignSplits(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("source")),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 42L)
+        .orderBy(col("doc_id"))
+    }),
+
     // Temperature-based language rebalancing (the XLM-R / mC4 recipe):
     // sampled class shares ∝ n_c^0.7 at an overall ~0.5 kept fraction —
     // head languages thinned, tail boosted. The rate derivation
@@ -564,6 +575,23 @@ object CurationQueries {
          |      ELSE ($hk)::HUGEINT END) // 2048 AS u53
          |  FROM documents d JOIN rates r USING (lang)
          |) WHERE u53 < CAST(floor(rate * 9007199254740992.0) AS BIGINT)::HUGEINT
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_doc_split" -> {
+      val hk = SketchOracleSql.splitmixBigintSql("xor(doc_id, 42)")
+      val t1 = math.floor(0.8 * 9007199254740992.0).toLong
+      val t2 = math.floor(0.9 * 9007199254740992.0).toLong
+      s"""SELECT doc_id, source,
+         |  CASE WHEN u53 < ${t1}::HUGEINT THEN 'train'
+         |       WHEN u53 < ${t2}::HUGEINT THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (
+         |  SELECT doc_id, source,
+         |    (CASE WHEN ($hk) < 0 THEN ($hk)::HUGEINT + 18446744073709551616::HUGEINT
+         |          ELSE ($hk)::HUGEINT END) // 2048 AS u53
+         |  FROM documents
+         |)
          |ORDER BY doc_id""".stripMargin
     },
 

@@ -149,6 +149,16 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // Scalar quantization (SQ8): one signed byte per dimension, exact
+    // integer dot products, fixed-op-order rescale — the 8×-smaller
+    // brute-force plane; every quantization step replays in the oracle.
+    "q_ann_sq8" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.sq8Knn(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // Product quantization: per-subspace deterministic k-means, corpus as
     // m×code bytes, ADC lookup-sum search — the memory-compressed ANN
     // tier (oracle replays train/encode/search end to end).
@@ -309,6 +319,36 @@ object PipelineQueries {
   )
 
   def oracles: Map[String, String] = SketchOracleSql.oracles ++ Map(
+    // SQ8 ANN: the whole codec replays — unit-normalize, per-vector
+    // scale, floor(x·127/mx + .5) byte codes, exact INTEGER dot, then
+    // the same fixed-op-order double rescale. Left-assoc arithmetic in
+    // both engines, so sim doubles are bit-identical pre-round.
+    "q_ann_sq8" ->
+      """WITH n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+        |  FROM embeddings
+        |), qz AS (
+        |  SELECT vec_id, mx,
+        |    list_transform(u, x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT)) AS q
+        |  FROM (
+        |    SELECT vec_id, u,
+        |      list_max(list_transform(u, x -> abs(x))) AS mx
+        |    FROM (SELECT vec_id, list_transform(e, x -> x / nrm) AS u FROM n)
+        |  )
+        |), p AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS nid,
+        |    CAST(list_sum(list_transform(generate_series(1, len(a.q)),
+        |      i -> a.q[i] * b.q[i])) AS DOUBLE) * a.mx * b.mx / 16129.0 AS sim
+        |  FROM qz a JOIN qz b ON a.vec_id < 5 AND b.vec_id <> a.vec_id
+        |), r AS (
+        |  SELECT qid, nid, sim,
+        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk
+        |  FROM p
+        |)
+        |SELECT qid, nid, round(sim, 6) AS sim, rnk
+        |FROM r WHERE rnk <= 3
+        |ORDER BY qid, rnk""".stripMargin,
     // Containment is plain string algebra in DuckDB: space-padded
     // substring test over the same normalized + prefix-augmented corpus
     // (brute-force N² pairs — exact, oracle-sized only).

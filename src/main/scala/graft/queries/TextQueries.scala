@@ -20,6 +20,20 @@ import graft.sources.ParquetIO
 object TextQueries {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BM25 keyword retrieval (Lucene idf variant): per-(term,doc)
+    // contributions integer-quantized before the per-(query,doc) sum, so
+    // the oracle replays the exact micro-unit scores; top-5 per query via
+    // the bounded-heap aggregate.
+    "q_doc_bm25" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1, "hash join"), (2, "stream window agg"),
+        (3, "vector data slow")).toDF("qid", "qtext")
+      graft.operators.TextRetrieval.bm25TopK(
+        Tables.load(s, dir, "documents"), qs,
+        "text", "doc_id", "qid", "qtext", k = 5)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // Exact dedup: hash-groupBy on content digest. At 100 TB this is one
     // shuffle on a 16-byte key, with map-side partial aggregation.
     "q_doc_dedup_exact" -> ((s, dir) => {
@@ -305,6 +319,52 @@ object TextQueries {
       |ORDER BY id""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    // BM25: identical left-assoc double op order, contributions quantized
+    // to BIGINT micro-units before summation (order-free integer sum);
+    // sum cast back to BIGINT (DuckDB sum(BIGINT) is HUGEINT).
+    "q_doc_bm25" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS terms,
+        |    CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl
+        |  FROM documents
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS nd, sum(dl) AS sdl FROM d
+        |), q AS (
+        |  SELECT * FROM (VALUES (1, 'hash join'), (2, 'stream window agg'),
+        |    (3, 'vector data slow')) t(qid, qtext)
+        |), qt AS (
+        |  SELECT qid, unnest(list_distinct(string_split(lower(qtext), ' '))) AS term
+        |  FROM q
+        |), qterms AS (SELECT DISTINCT term FROM qt
+        |), m AS (
+        |  SELECT doc_id, dl, unnest(terms) AS term FROM d
+        |), mt AS (
+        |  SELECT m.doc_id, m.dl, m.term FROM m JOIN qterms USING (term)
+        |), tf AS (
+        |  SELECT term, doc_id, dl, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM mt GROUP BY 1, 2, 3
+        |), dfreq AS (
+        |  SELECT term, CAST(count(*) AS DOUBLE) AS dfq FROM tf GROUP BY 1
+        |), scored AS (
+        |  SELECT tf.term, tf.doc_id,
+        |    CAST(floor(
+        |      ln(1.0 + (stats.nd - dfreq.dfq + 0.5) / (dfreq.dfq + 0.5)) *
+        |      (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (stats.sdl / stats.nd)))) *
+        |      1000000.0 + 0.5) AS BIGINT) AS c
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        |), per AS (
+        |  SELECT qt.qid, s.doc_id, CAST(sum(s.c) AS BIGINT) AS score_micro
+        |  FROM qt JOIN scored s USING (term)
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT qid, doc_id, score_micro,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY CAST(score_micro AS DOUBLE) DESC, doc_id) AS INT) AS rnk
+        |  FROM per
+        |)
+        |SELECT qid, doc_id, score_micro, rnk FROM r WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
+
     "q_doc_decontaminate_bloom" -> decontaminateOracle,
     "q_doc_decontaminate" -> decontaminateOracle,
 

@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
-import graft.functions.TextFunctions
+import graft.functions.{Sketches, TextFunctions}
 import org.apache.spark.sql.functions._
 
 class CurationSpec extends SparkSpec {
@@ -185,6 +185,41 @@ class CurationSpec extends SparkSpec {
       .select("id").as[Long].collect().toSet
     val kept50 = half.select("id").as[Long].collect().toSet
     assert(kept25.subsetOf(kept50))
+  }
+
+  test("assignSplits: exhaustive, proportional, growth-stable, replayable") {
+    val rows = (0L until 4000L).map(i => (i, s"s${i % 2}")).toDF("id", "src")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Curation.assignSplits(rows, "id", splits, seed = 7L)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    // every row assigned exactly once (withColumn preserves row count)
+    assert(got.size == 4000)
+    val byName = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(byName("train") > 3000 && byName("train") < 3400, byName.toString)
+    assert(byName("val") > 250 && byName("val") < 550, byName.toString)
+    assert(byName("test") > 250 && byName("test") < 550, byName.toString)
+    // independent plain-Scala replay of the threshold chain
+    val t1 = math.floor(0.8 * 9007199254740992.0).toLong
+    val t2 = math.floor(0.9 * 9007199254740992.0).toLong
+    (0L until 4000L).foreach { id =>
+      val u = Sketches.splitmix64(id ^ 7L) >>> 11
+      val want = if (u < t1) "train" else if (u < t2) "val" else "test"
+      assert(got(id) == want, s"id=$id")
+    }
+    // growth stability: assignment over a subset equals the full corpus's
+    val sub = Curation.assignSplits(rows.filter($"id" < 1000), "id", splits, seed = 7L)
+      .select("id", "split").as[(Long, String)].collect().toMap
+    sub.foreach { case (id, sp) => assert(got(id) == sp) }
+    // invalid fraction sets fail fast
+    intercept[IllegalArgumentException] {
+      Curation.assignSplits(rows, "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Curation.assignSplits(rows, "id", Seq("a" -> 0.5, "a" -> 0.5))
+    }
+    // single split degenerates to a constant label
+    assert(Curation.assignSplits(rows, "id", Seq("all" -> 1.0))
+      .select("split").distinct().as[String].collect().toSeq == Seq("all"))
   }
 
   test("hard negatives carry only cross-label neighbors, ranked by similarity") {

@@ -38,6 +38,27 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(got(0).getAs[Long]("nid") == 99L, s"got ${got.mkString(",")}")
   }
 
+  test("sq8 knn tracks exact cosine within quantization error") {
+    val q = corpus.filter(col("vec_id") === 0L)
+    val got = SimilaritySearch.sq8Knn(corpus, q, "embedding", "vec_id", k = 5)
+      .orderBy("rnk").collect()
+    assert(got.length == 5)
+    // the planted near-duplicate survives int8 quantization as top hit
+    assert(got(0).getAs[Long]("nid") == 99L, s"got ${got.mkString(",")}")
+    // per-neighbor similarity within ~1% of the exact cosine
+    val exact = SimilaritySearch.bruteForceKnn(corpus, q, "embedding", "vec_id", k = 50)
+      .select("nid", "sim").collect()
+      .map(r => r.getAs[Long]("nid") -> r.getAs[Double]("sim")).toMap
+    got.foreach { r =>
+      val d = math.abs(r.getAs[Double]("sim") - exact(r.getAs[Long]("nid")))
+      assert(d < 0.01, s"nid ${r.getAs[Long]("nid")} off by $d")
+    }
+    // deterministic codec: identical output on re-run
+    val again = SimilaritySearch.sq8Knn(corpus, q, "embedding", "vec_id", k = 5)
+      .orderBy("rnk").collect()
+    assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("knn plans contain no Window over candidates (bounded-heap top-k)") {
     val q = corpus.limit(2)
     Seq(

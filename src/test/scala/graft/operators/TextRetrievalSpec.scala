@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextRetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "spark runs fast queries fast"),
+    (2L, "duck runs slow"),
+    (3L, "spark spark spark spark spark spark spark spark"), // tf saturation
+    (4L, "a very long document about nothing in particular with many words " +
+      "padding padding padding padding padding padding spark"),
+    (5L, "unrelated text entirely")
+  ).toDF("doc_id", "text")
+
+  private def run(qs: Seq[(Int, String)], k: Int = 5) =
+    TextRetrieval.bm25TopK(docs, qs.toDF("qid", "qtext"),
+      "text", "doc_id", "qid", "qtext", k)
+
+  /** Plain-Scala BM25 replay with the operator's exact quantization. */
+  private def reference(query: String, k1: Double = 1.2, b: Double = 0.75): Map[Long, Long] = {
+    val corpus = docs.as[(Long, String)].collect().toMap
+      .view.mapValues(_.toLowerCase.split(" ", -1).toSeq).toMap
+    val nd = corpus.size.toDouble
+    val avgdl = corpus.values.map(_.size.toDouble).sum / nd
+    val qterms = query.toLowerCase.split(" ", -1).distinct.toSeq
+    corpus.flatMap { case (id, terms) =>
+      val dl = terms.size.toDouble
+      val cs = qterms.flatMap { t =>
+        val tf = terms.count(_ == t).toDouble
+        if (tf == 0) None
+        else {
+          val dfq = corpus.values.count(_.contains(t)).toDouble
+          val idf = math.log(1.0 + (nd - dfq + 0.5) / (dfq + 0.5))
+          val tfp = tf * (k1 + 1.0) / (tf + k1 * ((1.0 - b) + b * dl / avgdl))
+          Some(math.floor(idf * tfp * 1e6 + 0.5).toLong)
+        }
+      }
+      if (cs.isEmpty) None else Some(id -> cs.sum)
+    }
+  }
+
+  test("bm25 matches an independent scalar replay exactly") {
+    val got = run(Seq((1, "spark fast"), (2, "runs"))).collect()
+      .map(r => (r.getAs[Int]("qid"), r.getAs[Long]("doc_id")) -> r.getAs[Long]("score_micro"))
+      .toMap
+    val want1 = reference("spark fast")
+    val want2 = reference("runs")
+    assert(got.collect { case ((1, d), s) => d -> s } == want1)
+    assert(got.collect { case ((2, d), s) => d -> s } == want2)
+  }
+
+  test("bm25 ranking behaves: tf saturates, length normalizes, rarity weighs") {
+    val top = run(Seq((1, "spark"))).filter($"rnk" === 1)
+      .select("doc_id").as[Long].head()
+    // doc 3 is all-spark: highest tf, short — must win the 'spark' query
+    assert(top == 3L)
+    // a doc without any query term never appears
+    val ids = run(Seq((1, "spark"))).select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(5L) && !ids.contains(2L))
+    // rare term ('duck', df=1) outweighs common ('spark', df=3) for the
+    // doc containing it
+    val mixed = run(Seq((1, "duck spark"))).orderBy($"rnk").collect()
+    assert(mixed.head.getAs[Long]("doc_id") == 2L,
+      mixed.map(_.toString).mkString(","))
+  }
+
+  test("bm25 is deterministic across partition layouts") {
+    val spread = TextRetrieval.bm25TopK(docs.repartition(7), Seq((1, "spark fast runs"))
+      .toDF("qid", "qtext"), "text", "doc_id", "qid", "qtext", k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    val narrow = TextRetrieval.bm25TopK(docs.coalesce(1), Seq((1, "spark fast runs"))
+      .toDF("qid", "qtext"), "text", "doc_id", "qid", "qtext", k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(spread == narrow)
+  }
+}
