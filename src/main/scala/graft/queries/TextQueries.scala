@@ -20,6 +20,23 @@ import graft.sources.ParquetIO
 object TextQueries {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Edit-distance fuzzy self-join (record linkage): all unordered
+    // customer-name pairs within Levenshtein distance 1, found via
+    // PassJoin segment blocking + exact verify — the oracle brute-forces
+    // the same predicate.
+    // Bounded input (custkey < 300): TPC-H names share the 9-char
+    // "Customer#" prefix, which concentrates one segment key into an
+    // all-pairs bucket — the operator verifies through it correctly, but
+    // the gate pins cost across scale factors the way the ANN gates pin
+    // their query sets.
+    "q_fuzzy_join" -> ((s, dir) => {
+      val c = Tables.load(s, dir, "customer").filter(col("c_custkey") < 300)
+      graft.operators.FuzzyJoin.editDistanceJoin(
+        c, c, "c_custkey", "c_name", "c_custkey", "c_name", maxDist = 1)
+        .where(col("lid") < col("rid"))
+        .orderBy(col("lid"), col("rid"))
+    }),
+
     // BM25 keyword retrieval (Lucene idf variant): per-(term,doc)
     // contributions integer-quantized before the per-(query,doc) sum, so
     // the oracle replays the exact micro-unit scores; top-5 per query via
@@ -319,6 +336,15 @@ object TextQueries {
       |ORDER BY id""".stripMargin
 
   def oracles: Map[String, String] = Map(
+    "q_fuzzy_join" ->
+      """SELECT a.c_custkey AS lid, b.c_custkey AS rid,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        | AND levenshtein(a.c_name, b.c_name) <= 1
+        |WHERE a.c_custkey < 300 AND b.c_custkey < 300
+        |ORDER BY lid, rid""".stripMargin,
+
     // BM25: identical left-assoc double op order, contributions quantized
     // to BIGINT micro-units before summation (order-free integer sum);
     // sum cast back to BIGINT (DuckDB sum(BIGINT) is HUGEINT).
