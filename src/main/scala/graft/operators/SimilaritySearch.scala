@@ -119,6 +119,82 @@ object SimilaritySearch {
       k)
   }
 
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
+    * diversified re-ranking: from each query's `poolSize` most similar
+    * candidates, greedily select `k` maximizing
+    * `λ·rel(d) − (1−λ)·max_{s∈selected} sim(d, s)` — the standard
+    * redundancy-penalized retrieval head (RAG context selection,
+    * diverse few-shot sampling).
+    *
+    * Determinism contract: relevance and candidate-pair cosines are
+    * integer-quantized micro-units (`floor(sim·1e6 + 0.5)`), λ is a
+    * milli-unit rational, so every greedy step compares exact integers
+    * (`lambdaMilli·rel − (1000−lambdaMilli)·maxsim`) with nid-asc
+    * tiebreaks — the oracle unrolls the identical k stages in SQL.
+    *
+    * Scale shape: the candidate pool is `poolSize` rows per query
+    * (bounded-heap top-k over the corpus — the only corpus-sized pass);
+    * everything after operates on |Q|·poolSize rows. The k greedy stages
+    * are DataFrame joins/aggregations over those pool frames (persisted
+    * once), so the iteration cost is independent of corpus size; the
+    * corpus is scanned exactly once.
+    */
+  def mmrRerank(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      poolSize: Int = 20, lambdaMilli: Int = 700): DataFrame = {
+    require(k >= 1 && poolSize >= k, s"need poolSize >= k >= 1, got k=$k pool=$poolSize")
+    require(lambdaMilli >= 0 && lambdaMilli <= 1000,
+      s"lambdaMilli must be in [0, 1000], got $lambdaMilli")
+    val cPrep = prep(corpus, vecCol, idCol)
+      .select(col("id").as("nid"), col("e").as("ne"), col("nrm").as("nn"))
+    val qPrep = prep(queries, vecCol, idCol)
+      .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    // pool: top-poolSize by exact cosine, relevance in integer micro-units
+    val cands = broadcast(qPrep).join(cPrep, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim"))
+      .groupBy(col("qid"))
+      .agg(BoundedTopK.topK(struct(col("sim"), col("nid")), poolSize).as("top"))
+      .select(col("qid"), explode(col("top")).as("s"))
+      .select(col("qid"), col("s.nid").as("nid"),
+        floor(col("s.sim") * lit(1e6) + lit(0.5)).as("rel"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // pairwise cosines INSIDE each pool (|Q|·poolSize² rows max)
+    val withVec = broadcast(cands).join(cPrep, Seq("nid"))
+      .select(col("qid"), col("nid"), col("rel"), col("ne"), col("nn"))
+    val pairs = withVec.as("a")
+      .join(withVec.as("b"),
+        col("a.qid") === col("b.qid") && col("a.nid") =!= col("b.nid"))
+      .select(col("a.qid").as("qid"), col("a.nid").as("nid"),
+        col("b.nid").as("other"),
+        floor(arrayDot(col("a.ne"), col("b.ne")) / (col("a.nn") * col("b.nn"))
+          * lit(1e6) + lit(0.5)).as("ps"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    def pick1(df: DataFrame, scoreCol: String): DataFrame =
+      df.groupBy(col("qid"))
+        .agg(BoundedTopK.topK(
+          struct(col(scoreCol).cast("double").as("sc"), col("nid"), col("rel")), 1).as("t"))
+        .select(col("qid"), col("t")(0).getField("nid").as("nid"),
+          col("t")(0).getField("rel").as("rel"))
+
+    var out = pick1(cands, "rel").withColumn("rnk", lit(1))
+    for (t <- 2 to k) {
+      val remaining = cands.join(out.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
+      val maxSim = pairs.join(out.select(col("qid"), col("nid").as("other")),
+          Seq("qid", "other"))
+        .groupBy(col("qid"), col("nid")).agg(max(col("ps")).as("maxsim"))
+      val scoredT = remaining.join(maxSim, Seq("qid", "nid"))
+        .withColumn("mmr",
+          lit(lambdaMilli.toLong) * col("rel") -
+            lit((1000 - lambdaMilli).toLong) * col("maxsim"))
+      out = out.unionByName(pick1(scoredT, "mmr").withColumn("rnk", lit(t)))
+    }
+    out.select(col("qid"), col("nid"), col("rel").cast("long").as("rel_micro"),
+      col("rnk").cast("int").as("rnk"))
+  }
+
   /** LSH-pruned top-k: candidates = corpus vectors sharing ≥1 sketch band
     * with the query; exact cosine re-scoring on candidates only.
     */

@@ -28,7 +28,76 @@ object VectorQueries {
         transform(col("embedding"), x => x.cast("double")).as("e"))
 
 
+  /** Unrolled k-stage greedy MMR replay: stage CTEs mirror the operator's
+    * exact integer arithmetic (micro-unit sims, milli-unit λ, nid-asc
+    * ties), so the whole greedy trajectory is value-checked.
+    */
+  private def mmrOracle(k: Int, pool: Int, lambdaMilli: Int, queryPred: String): String = {
+    val lam = lambdaMilli
+    val mu = 1000 - lambdaMilli
+    def dotOf(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, len($a.e)), i -> $a.e[i] * $b.e[i]))"
+    val stages = (2 to k).map { t =>
+      s"""sel$t AS (
+         |  SELECT qid, nid, rel, $t AS rnk FROM (
+         |    SELECT r.qid, r.nid, r.rel,
+         |      row_number() OVER (PARTITION BY r.qid
+         |        ORDER BY ($lam * r.rel - $mu * m.maxsim) DESC, r.nid) AS rn
+         |    FROM cand r
+         |    JOIN (SELECT p.qid, p.nid, max(p.ps) AS maxsim
+         |          FROM pairs p JOIN selall${t - 1} s
+         |            ON p.qid = s.qid AND p.other = s.nid
+         |          GROUP BY 1, 2) m ON m.qid = r.qid AND m.nid = r.nid
+         |    WHERE NOT EXISTS (SELECT 1 FROM selall${t - 1} s2
+         |                      WHERE s2.qid = r.qid AND s2.nid = r.nid)
+         |  ) WHERE rn = 1
+         |), selall$t AS (
+         |  SELECT * FROM selall${t - 1} UNION ALL SELECT * FROM sel$t
+         |)""".stripMargin
+    }.mkString(", ")
+    s"""WITH n AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+       |  FROM embeddings
+       |), p0 AS (
+       |  SELECT q.vec_id AS qid, c.vec_id AS nid,
+       |    ${dotOf("q", "c")} / (q.nrm * c.nrm) AS sim
+       |  FROM n q JOIN n c ON ($queryPred) AND c.vec_id <> q.vec_id
+       |), cand AS (
+       |  SELECT qid, nid, CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT) AS rel
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+       |          ORDER BY sim DESC, nid) AS rn FROM p0)
+       |  WHERE rn <= $pool
+       |), pairs AS (
+       |  SELECT a.qid, a.nid, b.nid AS other,
+       |    CAST(floor(${dotOf("x", "y")} / (x.nrm * y.nrm) * 1000000.0 + 0.5)
+       |      AS BIGINT) AS ps
+       |  FROM cand a JOIN cand b ON a.qid = b.qid AND a.nid <> b.nid
+       |  JOIN n x ON x.vec_id = a.nid
+       |  JOIN n y ON y.vec_id = b.nid
+       |), sel1 AS (
+       |  SELECT qid, nid, rel, 1 AS rnk FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY rel DESC, nid) AS rn FROM cand
+       |  ) WHERE rn = 1
+       |), selall1 AS (SELECT * FROM sel1), $stages
+       |SELECT qid, nid, rel AS rel_micro, CAST(rnk AS INT) AS rnk
+       |FROM selall$k
+       |ORDER BY qid, rnk""".stripMargin
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // MMR diversified rerank: top-15 cosine pool per query, greedy top-5
+    // at λ=0.7 penalizing similarity to already-selected — the whole
+    // greedy trajectory replays in the oracle's unrolled stages.
+    "q_embed_mmr" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.operators.SimilaritySearch.mmrRerank(
+        emb, emb.filter(col("vec_id") < 3), "embedding", "vec_id",
+        k = 5, poolSize = 15, lambdaMilli = 700)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // L2 norms — sanity/oracle anchor for all similarity math.
     "q_embed_norms" -> ((s, dir) => {
       emb(s, dir)
@@ -76,6 +145,9 @@ object VectorQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_embed_mmr" -> mmrOracle(k = 5, pool = 15, lambdaMilli = 700,
+      queryPred = "q.vec_id < 3"),
+
     "q_embed_norms" ->
       """SELECT vec_id, label,
         |  round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),

@@ -59,6 +59,46 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("mmrRerank matches an independent greedy replay and diversifies") {
+    val q = corpus.filter(col("vec_id") === 0L)
+    val k = 4; val pool = 10; val lam = 700
+    val got = SimilaritySearch.mmrRerank(corpus, q, "embedding", "vec_id",
+      k = k, poolSize = pool, lambdaMilli = lam)
+      .orderBy("rnk")
+      .select("nid", "rel_micro", "rnk")
+      .as[(Long, Long, Int)].collect().toSeq
+
+    // scalar replay: cosine pool, quantize, greedy with integer MMR
+    val vecs = corpus.as[(Long, Seq[Float])].collect().toMap
+      .view.mapValues(_.map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val qv = vecs(0L)
+    val cands = vecs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => (id, cos(qv, v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(pool)
+      .map { case (id, s) => (id, math.floor(s * 1e6 + 0.5).toLong) }
+    val micro = (a: Long, b: Long) => math.floor(cos(vecs(a), vecs(b)) * 1e6 + 0.5).toLong
+    var selected = Vector(cands.sortBy { case (id, r) => (-r, id) }.head)
+    for (_ <- 2 to k) {
+      val rem = cands.filterNot(c => selected.exists(_._1 == c._1))
+      val pick = rem.map { case (id, r) =>
+        val ms = selected.map(s => micro(id, s._1)).max
+        (id, r, lam.toLong * r - (1000L - lam) * ms)
+      }.sortBy { case (id, _, m) => (-m, id) }.head
+      selected :+= ((pick._1, pick._2))
+    }
+    val want = selected.zipWithIndex.map { case ((id, r), i) => (id, r, i + 1) }
+    assert(got == want, s"got=$got want=$want")
+
+    // diversification: the planted duplicate of the top hit (99 ~ 0 ~ ...)
+    // cannot occupy BOTH of the first two MMR slots alongside itself
+    assert(got.map(_._1).distinct.size == k)
+  }
+
   test("knn plans contain no Window over candidates (bounded-heap top-k)") {
     val q = corpus.limit(2)
     Seq(
