@@ -256,6 +256,32 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    // FineWeb-style end-to-end curation (the web-scale recipe): n-gram
+    // language gate → Gopher quality rules → exact dedup (normalized-
+    // content keeper) → PII scrub → token accounting, ONE Catalyst plan.
+    // PII is injected post-dedup (the scrub stage runs last in real
+    // pipelines) so the scrubber provably fires inside the composition.
+    // Every stage replays in the oracle: per-doc langid detection,
+    // rule thresholds, keeper choice, regex scrub, token recount.
+    "q_pipeline_fineweb" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val en = docs.where(LangId.langId(col("text")) === "en")
+      val passed = Curation.gopherFilter(en, "text", "doc_id", minWords = 40)
+        .where(col("passed")).select(col("doc_id"), col("text"))
+      val deduped = Dedup.dropExactDuplicates(passed, "text", "doc_id")
+      val aug = deduped.select(col("doc_id"), concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com from 10."), (col("doc_id") % 200).cast("string"),
+        lit(".0.1 or call 555-123-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("text"))
+      Curation.scrubPii(aug, "text")
+        .select(col("doc_id"),
+          TextFunctions.tokenCount(col("text")).as("n_tok"),
+          (col("n_emails") + col("n_ips") + col("n_phones")).as("n_pii"),
+          md5(col("text")).as("scrubbed_md5"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The dataloader-facing end-to-end composition: auditable Gopher
     // filter → exact dedup → token budget → deterministic epoch shuffle,
     // all one Catalyst plan. The output IS a training manifest: which
@@ -381,6 +407,60 @@ object PipelineQueries {
         |  FROM documents)
         |WHERE rn = 1
         |ORDER BY doc_id""".stripMargin,
+
+    "q_pipeline_fineweb" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+      val phone = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+      s"""WITH det AS (
+         |${SketchOracleSql.langidDetectSql("documents")}
+         |), en AS (
+         |  SELECT d.doc_id, d.text FROM documents d JOIN det USING (doc_id)
+         |  WHERE det.detected_lang = 'en'
+         |), m AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE) AS nw,
+         |    length(regexp_replace(text, '\\s+', '', 'g')) /
+         |      greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 1.0) AS al,
+         |    1.0 - len(list_distinct(string_split_regex(trim(text), '\\s+'))) /
+         |      greatest(CAST(len(string_split_regex(trim(text), '\\s+')) AS DOUBLE), 1.0) AS wr,
+         |    CAST(len(regexp_extract_all(text, '[^\\p{L}0-9\\s]')) AS DOUBLE) /
+         |      greatest(CAST(length(text) AS DOUBLE), 1.0) AS pr
+         |  FROM en
+         |), f AS (
+         |  SELECT e.doc_id, e.text FROM en e JOIN m USING (doc_id)
+         |  WHERE NOT (m.nw < 40 OR m.nw > 100000 OR m.al < 3.0 OR m.al > 10.0
+         |    OR m.wr > 0.6 OR m.pr > 0.3)
+         |), ded AS (
+         |  SELECT doc_id, text FROM (
+         |    SELECT doc_id, text, row_number() OVER (
+         |      PARTITION BY lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))
+         |      ORDER BY doc_id) AS rn
+         |    FROM f) WHERE rn = 1
+         |), aug AS (
+         |  SELECT doc_id, text || ' contact user' || CAST(doc_id AS VARCHAR)
+         |    || '@mail.example.com from 10.' || CAST(doc_id % 200 AS VARCHAR)
+         |    || '.0.1 or call 555-123-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         |    AS text
+         |  FROM ded
+         |), scr AS (
+         |  SELECT doc_id,
+         |    CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+         |    CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+         |    CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$email', '<EMAIL>', 'g'),
+         |      '$ip', '<IP>', 'g'),
+         |      '$phone', '<PHONE>', 'g') AS text
+         |  FROM aug
+         |)
+         |SELECT doc_id,
+         |  CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n_tok,
+         |  n_emails + n_ips + n_phones AS n_pii,
+         |  md5(text) AS scrubbed_md5
+         |FROM scr
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_pipeline_pretrain" -> {
       val hk0 = SketchOracleSql.splitmixBigintSql("doc_id")

@@ -277,8 +277,11 @@ object SketchOracleSql {
        |ORDER BY d.doc_id""".stripMargin
   }
 
-  /** q_doc_langid: (detected_lang, n_docs) — LangId.detect in SQL. */
-  def langidOracle: String = {
+  /** Per-document LangId.detect replay: a SELECT producing
+    * (doc_id, detected_lang) over `src` — shared by the langid gate's
+    * histogram and the fineweb pipeline's language stage.
+    */
+  def langidDetectSql(src: String): String = {
     val profiles = Seq(
       "en" -> Seq("the", "and", "of", "to", "in", "is", "that", "it", "was", "for", "with", "as", "his", "on", "be"),
       "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "zu", "den", "von", "sich", "auf", "für"),
@@ -293,40 +296,44 @@ object SketchOracleSql {
     }.mkString(", ")
     val wordScore = pipe(s"list_sort([$scoreStructs], 'DESC')", "sl",
       "CASE WHEN sl[1].h = 0 THEN 'und' ELSE sl[1].l END")
-    s"""WITH det AS (
-       |  SELECT CASE
-       |      WHEN t = '' THEN 'und'
-       |      WHEN bsc > 0 AND 2 * bsc >= lat THEN bs
-       |      WHEN cjk > 0 AND 2 * cjk >= lat THEN 'zh'
-       |      WHEN lat = 0 THEN 'und'
-       |      WHEN len(words) = 0 THEN 'und'
-       |      ELSE $wordScore
-       |    END AS detected_lang
+    s"""SELECT doc_id, CASE
+       |    WHEN t = '' THEN 'und'
+       |    WHEN bsc > 0 AND 2 * bsc >= lat THEN bs
+       |    WHEN cjk > 0 AND 2 * cjk >= lat THEN 'zh'
+       |    WHEN lat = 0 THEN 'und'
+       |    WHEN len(words) = 0 THEN 'und'
+       |    ELSE $wordScore
+       |  END AS detected_lang
+       |FROM (
+       |  SELECT doc_id, t, cjk, lat,
+       |    greatest(hkat, hang, cyr, arb, dev) AS bsc,
+       |    CASE WHEN hkat = greatest(hkat, hang, cyr, arb, dev) THEN 'ja'
+       |         WHEN hang = greatest(hkat, hang, cyr, arb, dev) THEN 'ko'
+       |         WHEN cyr = greatest(hkat, hang, cyr, arb, dev) THEN 'ru'
+       |         WHEN arb = greatest(hkat, hang, cyr, arb, dev) THEN 'ar'
+       |         ELSE 'hi' END AS bs,
+       |    list_filter(string_split_regex(lower(t), '[^\\p{L}]+'), fw -> fw <> '') AS words
        |  FROM (
-       |    SELECT t, cjk, lat,
-       |      greatest(hkat, hang, cyr, arb, dev) AS bsc,
-       |      CASE WHEN hkat = greatest(hkat, hang, cyr, arb, dev) THEN 'ja'
-       |           WHEN hang = greatest(hkat, hang, cyr, arb, dev) THEN 'ko'
-       |           WHEN cyr = greatest(hkat, hang, cyr, arb, dev) THEN 'ru'
-       |           WHEN arb = greatest(hkat, hang, cyr, arb, dev) THEN 'ar'
-       |           ELSE 'hi' END AS bs,
-       |      list_filter(string_split_regex(lower(t), '[^\\p{L}]+'), fw -> fw <> '') AS words
-       |    FROM (
-       |      SELECT t,
-       |        len(regexp_extract_all(t, '\\p{Han}')) AS cjk,
-       |        len(regexp_extract_all(t, '[\\p{Hiragana}\\p{Katakana}]')) AS hkat,
-       |        len(regexp_extract_all(t, '\\p{Hangul}')) AS hang,
-       |        len(regexp_extract_all(t, '\\p{Cyrillic}')) AS cyr,
-       |        len(regexp_extract_all(t, '\\p{Arabic}')) AS arb,
-       |        len(regexp_extract_all(t, '\\p{Devanagari}')) AS dev,
-       |        len(regexp_extract_all(t, '\\p{Latin}')) AS lat
-       |      FROM (SELECT coalesce(trim(text), '') AS t FROM documents)
-       |    )
+       |    SELECT doc_id, t,
+       |      len(regexp_extract_all(t, '\\p{Han}')) AS cjk,
+       |      len(regexp_extract_all(t, '[\\p{Hiragana}\\p{Katakana}]')) AS hkat,
+       |      len(regexp_extract_all(t, '\\p{Hangul}')) AS hang,
+       |      len(regexp_extract_all(t, '\\p{Cyrillic}')) AS cyr,
+       |      len(regexp_extract_all(t, '\\p{Arabic}')) AS arb,
+       |      len(regexp_extract_all(t, '\\p{Devanagari}')) AS dev,
+       |      len(regexp_extract_all(t, '\\p{Latin}')) AS lat
+       |    FROM (SELECT doc_id, coalesce(trim(text), '') AS t FROM $src)
        |  )
+       |)""".stripMargin
+  }
+
+  /** q_doc_langid: (detected_lang, n_docs) — LangId.detect in SQL. */
+  def langidOracle: String =
+    s"""WITH det AS (
+       |${langidDetectSql("documents")}
        |)
        |SELECT detected_lang, count(*) AS n_docs
        |FROM det GROUP BY detected_lang ORDER BY detected_lang""".stripMargin
-  }
 
   /** q_dedup_simhash: (id_a, id_b, hamming ≤ 3) — replays the adaptive
     * banding at maxHamming = 3: 4 chunks × 16 bits (simhashChunks with
