@@ -195,6 +195,63 @@ object SimilaritySearch {
       col("rnk").cast("int").as("rnk"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings" —
+    * the LASER/CCMatrix recipe): score candidate translation pairs by
+    * the RATIO margin `cos(x,y) / ((avgNN_k(x) + avgNN_k(y)) / 2)` —
+    * raw cosine over the mean of both sides' k-NN cosines — which
+    * cancels hubness, then keep each source row's best target above a
+    * threshold.
+    *
+    * Determinism contract: per-pair cosines are quantized to micro-units
+    * AFTER the raw-double top-k ranking; neighborhood sums are integer
+    * sums of those micro-units; the margin is the exact integer division
+    * `(2000·k·cm) div (sx + sy)` (milli-units). Pairs with a negative
+    * cosine or non-positive neighborhood mass are dropped before the
+    * division on both engines (floor-vs-truncate division semantics
+    * diverge on negatives; such pairs are unminable anyway).
+    *
+    * Scale shape: the source side broadcasts against the target corpus
+    * (LASER-style mining runs a bounded query batch per pass); both
+    * neighborhood sums are per-id aggregates of bounded-heap top-k
+    * frames. At corpus×corpus scale, feed ANN candidates (ivfKnn pairs)
+    * in place of the brute-force pair stream — the margin math is
+    * unchanged.
+    */
+  def marginMine(
+      src: DataFrame, tgt: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      minMarginMilli: Int = 1000): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val x = prep(src, vecCol, idCol)
+      .select(col("id").as("xid"), col("e").as("xe"), col("nrm").as("xn"))
+    val y = prep(tgt, vecCol, idCol)
+      .select(col("id").as("yid"), col("e").as("ye"), col("nrm").as("yn"))
+    val pairs = broadcast(x).join(y)
+      .select(col("xid"), col("yid"),
+        (dot(col("xe"), col("ye")) / (col("xn") * col("yn"))).as("sim"))
+    def topkOf(key: String, other: String): DataFrame =
+      pairs.groupBy(col(key))
+        .agg(BoundedTopK.topK(struct(col("sim"), col(other)), k).as("top"))
+        .select(col(key), explode(col("top")).as("s"))
+        .select(col(key), col(s"s.$other").as(other),
+          floor(col("s.sim") * lit(1e6) + lit(0.5)).as("cm"))
+    val fwd = topkOf("xid", "yid")
+    val sx = fwd.groupBy(col("xid")).agg(sum(col("cm")).as("sx"))
+    val sy = topkOf("yid", "xid").groupBy(col("yid")).agg(sum(col("cm")).as("sy"))
+    val margins = fwd
+      .join(broadcast(sx), Seq("xid")).join(broadcast(sy), Seq("yid"))
+      .where(col("cm") >= 0 && (col("sx") + col("sy")) > 0)
+      .withColumn("margin_milli", expr(s"(${2000L * k} * cm) DIV (sx + sy)"))
+    margins.groupBy(col("xid"))
+      .agg(BoundedTopK.topK(
+        struct(col("margin_milli").cast("double").as("mm"), col("yid")), 1).as("t"))
+      .select(col("xid").as("src_id"),
+        col("t")(0).getField("yid").as("tgt_id"),
+        col("t")(0).getField("mm").cast("long").as("margin_milli"))
+      .where(col("margin_milli") >= minMarginMilli)
+  }
+
   /** LSH-pruned top-k: candidates = corpus vectors sharing ≥1 sketch band
     * with the query; exact cosine re-scoring on candidates only.
     */

@@ -87,6 +87,18 @@ object VectorQueries {
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Margin-based bitext mining (the LASER/CCMatrix recipe): label-0
+    // vectors as the source "language", label-1 as the target; ratio
+    // margin in exact integer milli-units, best target per source above
+    // threshold — the full k-NN + margin chain replays in the oracle.
+    "q_embed_margin_mine" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.operators.SimilaritySearch.marginMine(
+        emb.filter(col("label") === 0), emb.filter(col("label") === 1),
+        "embedding", "vec_id", k = 4, minMarginMilli = 1000)
+        .orderBy(col("src_id"))
+    }),
+
     // MMR diversified rerank: top-15 cosine pool per query, greedy top-5
     // at λ=0.7 penalizing similarity to already-selected — the whole
     // greedy trajectory replays in the oracle's unrolled stages.
@@ -147,6 +159,40 @@ object VectorQueries {
   def oracles: Map[String, String] = Map(
     "q_embed_mmr" -> mmrOracle(k = 5, pool = 15, lambdaMilli = 700,
       queryPred = "q.vec_id < 3"),
+
+    "q_embed_margin_mine" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+        |  FROM embeddings
+        |), p AS (
+        |  SELECT x.vec_id AS xid, y.vec_id AS yid,
+        |    list_sum(list_transform(generate_series(1, len(x.e)),
+        |      i -> x.e[i] * y.e[i])) / (x.nrm * y.nrm) AS sim
+        |  FROM n x JOIN n y ON x.label = 0 AND y.label = 1
+        |), fwd AS (
+        |  SELECT xid, yid, CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT) AS cm
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY xid
+        |          ORDER BY sim DESC, yid) AS rn FROM p) WHERE rn <= 4
+        |), bwd AS (
+        |  SELECT yid, CAST(floor(sim * 1000000.0 + 0.5) AS BIGINT) AS cm
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY yid
+        |          ORDER BY sim DESC, xid) AS rn FROM p) WHERE rn <= 4
+        |), sx AS (SELECT xid, CAST(sum(cm) AS BIGINT) AS sx FROM fwd GROUP BY 1
+        |), sy AS (SELECT yid, CAST(sum(cm) AS BIGINT) AS sy FROM bwd GROUP BY 1
+        |), m AS (
+        |  SELECT f.xid, f.yid, (8000 * f.cm) // (sx.sx + sy.sy) AS margin_milli
+        |  FROM fwd f JOIN sx USING (xid) JOIN sy USING (yid)
+        |  WHERE f.cm >= 0 AND sx.sx + sy.sy > 0
+        |), best AS (
+        |  SELECT xid, yid, margin_milli,
+        |    row_number() OVER (PARTITION BY xid
+        |      ORDER BY CAST(margin_milli AS DOUBLE) DESC, yid) AS rn
+        |  FROM m
+        |)
+        |SELECT xid AS src_id, yid AS tgt_id, margin_milli
+        |FROM best WHERE rn = 1 AND margin_milli >= 1000
+        |ORDER BY src_id""".stripMargin,
 
     "q_embed_norms" ->
       """SELECT vec_id, label,

@@ -99,6 +99,31 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(got.map(_._1).distinct.size == k)
   }
 
+  test("marginMine surfaces the planted pair and hubness-corrects") {
+    // independent random vectors (the sinusoid fixture is unusable here:
+    // all its vectors are shifted samples of one sine and correlate ~0.9,
+    // which the hubness denominator rightly flattens)
+    def rvec(seed: Int): Seq[Float] = {
+      val r = new scala.util.Random(seed)
+      Seq.fill(24)((r.nextDouble() * 2 - 1).toFloat)
+    }
+    // src: vectors 0..9; tgt: vector 0's planted twin + 9 unrelated
+    val src = (0 until 10).map(s => (s.toLong, rvec(s))).toDF("vec_id", "embedding")
+    val tgt = ((100L, rvec(0).zipWithIndex.map { case (x, i) => if (i == 1) x + 0.02f else x }) +:
+      (101 until 110).map(s => (s.toLong, rvec(s + 40))))
+      .toDF("vec_id", "embedding")
+    val got = SimilaritySearch.marginMine(src, tgt, "embedding", "vec_id",
+      k = 3, minMarginMilli = 1000)
+      .orderBy("src_id").collect()
+    val mined = got.map(r => r.getAs[Long]("src_id") -> r.getAs[Long]("tgt_id")).toMap
+    // the planted twin is source 0's best target, with a strong margin
+    assert(mined.get(0L).contains(100L), got.mkString(","))
+    val m0 = got.find(_.getAs[Long]("src_id") == 0L).get.getAs[Long]("margin_milli")
+    assert(m0 > 1100, s"margin $m0")
+    // every mined margin clears the threshold
+    got.foreach(r => assert(r.getAs[Long]("margin_milli") >= 1000))
+  }
+
   test("knn plans contain no Window over candidates (bounded-heap top-k)") {
     val q = corpus.limit(2)
     Seq(
