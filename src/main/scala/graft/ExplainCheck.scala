@@ -102,6 +102,24 @@ object ExplainCheck {
         p.linesIterator.count(_.contains("Exchange hashpartitioning")) + " (want 1)")
     }
 
+    // round-7 additions: retrieval/mining plans keep every corpus join a
+    // broadcast and never window; fuzzy join must stay an equi-join
+    for (q <- Seq("q_doc_bm25", "q_ann_sq8", "q_embed_margin_mine", "q_embed_mmr")) {
+      val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      println(s"=== $q === sortmerge joins: " +
+        p.linesIterator.count(_.contains("SortMergeJoin")) +
+        " (want 0), windows: " + p.linesIterator.count(_.contains("Window")) +
+        " (want 0), broadcasts: " +
+        p.linesIterator.count(_.contains("BroadcastExchange")))
+    }
+    {
+      val p = SparkEntry.queries("q_fuzzy_join")(spark, dir)
+        .queryExecution.executedPlan.toString
+      println("=== q_fuzzy_join === cartesian/BNLJ: " +
+        p.linesIterator.count(l => l.contains("CartesianProduct") ||
+          l.contains("BroadcastNestedLoopJoin")) + " (want 0)")
+    }
+
     val idxDir = java.nio.file.Files.createTempDirectory("explainidx").toString + "/t"
     import org.apache.spark.sql.functions._
     import spark.implicits._

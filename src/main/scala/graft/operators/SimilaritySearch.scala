@@ -179,13 +179,17 @@ object SimilaritySearch {
         .select(col("qid"), col("t")(0).getField("nid").as("nid"),
           col("t")(0).getField("rel").as("rel"))
 
+    // every per-stage frame is ≤|Q|·poolSize rows — hint broadcast so the
+    // k stages plan as broadcast joins instead of stats-blind sort-merges
     var out = pick1(cands, "rel").withColumn("rnk", lit(1))
     for (t <- 2 to k) {
-      val remaining = cands.join(out.select("qid", "nid"), Seq("qid", "nid"), "left_anti")
-      val maxSim = pairs.join(out.select(col("qid"), col("nid").as("other")),
+      val remaining = cands.join(broadcast(out.select("qid", "nid")),
+        Seq("qid", "nid"), "left_anti")
+      val maxSim = pairs.join(
+          broadcast(out.select(col("qid"), col("nid").as("other"))),
           Seq("qid", "other"))
         .groupBy(col("qid"), col("nid")).agg(max(col("ps")).as("maxsim"))
-      val scoredT = remaining.join(maxSim, Seq("qid", "nid"))
+      val scoredT = remaining.join(broadcast(maxSim), Seq("qid", "nid"))
         .withColumn("mmr",
           lit(lambdaMilli.toLong) * col("rel") -
             lit((1000 - lambdaMilli).toLong) * col("maxsim"))

@@ -47,6 +47,48 @@ class PlanInvariantSpec extends SparkSpec {
     }
   }
 
+  test("bm25 / sq8 / margin mining: corpus joins are all broadcasts, no windows") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q_doc_bm25", "q_ann_sq8", "q_embed_margin_mine", "q_embed_mmr")) {
+      val plan = planOf(q)
+      val shuffledJoins = plan.collect {
+        case j: SortMergeJoinExec => j: SparkPlan
+        case j: ShuffledHashJoinExec => j: SparkPlan
+      }
+      assert(shuffledJoins.isEmpty,
+        s"$q: corpus-side shuffled join (broadcast semi-join must cut the " +
+          s"stream first):\n${shuffledJoins.headOption.getOrElse("")}")
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.isEmpty, s"$q: window over candidate sets (bounded-heap " +
+        s"top-k must aggregate instead)")
+    }
+  }
+
+  test("fuzzy join: candidates come from an equi-join — no cartesian, no BNLJ") {
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    val plan = planOf("q_fuzzy_join")
+    val loops = plan.collect {
+      case j: CartesianProductExec => j: SparkPlan
+      case j: BroadcastNestedLoopJoinExec => j: SparkPlan
+    }
+    assert(loops.isEmpty,
+      s"fuzzy join degenerated to a product join:\n${loops.headOption.getOrElse("")}")
+  }
+
+  test("assignSplits is row-local: zero exchanges, zero aggregates") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val plan =
+      try graft.operators.Curation.assignSplits(
+        Tables.load(spark, dir, "documents"), "doc_id",
+        Seq("train" -> 0.9, "test" -> 0.1), seed = 1L)
+        .queryExecution.executedPlan
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(plan.collect { case e: ShuffleExchangeExec => e }.isEmpty &&
+      plan.collect { case a: BaseAggregateExec => a }.isEmpty,
+      s"split assignment must be a pure map:\n$plan")
+  }
+
   test("incremental dedup gate: the bucketized seen-store is never reshuffled") {
     // the gate itself builds the fp-bucketized store and reads it through
     // the kv catalog — in its plan, the join side containing the kv store
