@@ -20,6 +20,16 @@ import graft.sources.ParquetIO
 object TextQueries {
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // BPE-style merge training: 6 rounds of count-adjacent-pairs →
+    // merge-the-global-argmax; the oracle replays every round with a
+    // sentinel-string greedy replace (leftmost non-overlapping — the
+    // same semantics as the operator's token fold).
+    "q_tokenizer_merges" -> ((s, dir) => {
+      graft.operators.TokenizerTraining.trainMerges(
+        Tables.load(s, dir, "documents"), "text", rounds = 6)
+        .orderBy(col("round"))
+    }),
+
     // Edit-distance fuzzy self-join (record linkage): all unordered
     // customer-name pairs within Levenshtein distance 1, found via
     // PassJoin segment blocking + exact verify — the oracle brute-forces
@@ -335,7 +345,47 @@ object TextQueries {
       |HAVING count(DISTINCT c.shingle) >= 1
       |ORDER BY id""".stripMargin
 
+  /** Unrolled BPE-round replay: documents as chr(1)-sentinel strings
+    * (each token owns one sentinel on each side, so a pair pattern is
+    * `~l~~r~` and a global `replace` is exactly the greedy leftmost
+    * non-overlapping merge), one (pairs → argmax → replace) stage per
+    * round.
+    */
+  private def bpeMergesOracle(rounds: Int): String = {
+    val S = "chr(1)"
+    val stages = (1 to rounds).map { t =>
+      val next =
+        if (t == rounds) ""
+        else
+          s""", s${t + 1} AS (
+             |  SELECT replace(s, $S || l || $S || $S || r || $S,
+             |                 $S || l || ' ' || r || $S) AS s
+             |  FROM s$t CROSS JOIN a$t
+             |)""".stripMargin
+      s"""p$t AS (
+         |  SELECT p.l AS l, p.r AS r, count(*) AS c FROM (
+         |    SELECT unnest(list_transform(generate_series(1, len(lst) - 1),
+         |      i -> {'l': lst[i], 'r': lst[i + 1]})) AS p
+         |    FROM (SELECT string_split(substr(s, 2, len(s) - 2), $S || $S) AS lst
+         |          FROM s$t)
+         |  ) GROUP BY 1, 2
+         |), a$t AS (
+         |  SELECT $t AS round, l, r, c FROM p$t ORDER BY c DESC, l, r LIMIT 1
+         |)$next""".stripMargin
+    }.mkString(", ")
+    val unioned = (1 to rounds).map(t => s"SELECT * FROM a$t").mkString(" UNION ALL ")
+    s"""WITH s1 AS (
+       |  SELECT $S || array_to_string(string_split(text, ' '), $S || $S) || $S AS s
+       |  FROM documents
+       |), $stages
+       |SELECT round, l AS "left", r AS "right", CAST(c AS BIGINT) AS pair_count
+       |FROM ($unioned)
+       |ORDER BY round""".stripMargin
+  }
+
   def oracles: Map[String, String] = Map(
+    "q_tokenizer_merges" -> bpeMergesOracle(6),
+
     "q_fuzzy_join" ->
       """SELECT a.c_custkey AS lid, b.c_custkey AS rid,
         |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
