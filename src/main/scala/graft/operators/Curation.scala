@@ -533,6 +533,70 @@ object Curation {
         expr("__sum_micro div n_bigrams").as("surprisal_micro"))
   }
 
+  /** Interpolated Kneser-Ney bigram surprisal — the KenLM-family quality
+    * scorer (Kneser & Ney 1995; Chen & Goodman 1999 interpolated form):
+    * per-doc mean −ln p_KN(w|v) with
+    * `p_KN(w|v) = max(c(v,w) − D, 0)/c(v) + D·N1+(v,·)/c(v) · N1+(·,w)/N1+(··)`
+    * — absolute discounting plus the continuation-probability backoff
+    * that plain interpolation ([[bigramSurprisal]]) lacks ("york" is
+    * frequent but only ever follows "new"; KN scores it accordingly).
+    *
+    * Exactness: with the discount a quarter-integer D = q/4, the
+    * probability is the INTEGER rational
+    * `[max(4c−q, 0)·T + q·N1v·N1w] / (4·c(v)·T)` (T = bigram type
+    * count), so the only transcendental is one `ln` per bigram TYPE,
+    * quantized to micro-nats (`floor(1e6·x + 0.5)`) before the exact
+    * integer per-doc sums — the [[bigramSurprisal]] replay convention.
+    *
+    * Scale shape: same as [[bigramSurprisal]] — type tables shuffle on
+    * term keys (canonical word-count shape), N1+ tables are grouped
+    * aggregates of the type table, T is a one-row broadcast, the token
+    * stream never windows.
+    */
+  def knSurprisal(
+      df: DataFrame, textCol: String, idCol: String,
+      discountQuarters: Int = 3): DataFrame = {
+    require(discountQuarters >= 1 && discountQuarters <= 3,
+      s"discount D = q/4 needs q in [1, 3], got $discountQuarters")
+    val q = discountQuarters
+    val id = col(idCol)
+    val ws = words(col(textCol))
+
+    val docPairs = df.select(id, ws.as("w"))
+      .where(size(col("w")) >= 2)
+      .select(id, explode(transform(sequence(lit(2), size(col("w"))),
+        i => struct(element_at(col("w"), i - 1).as("prev"),
+          element_at(col("w"), i).as("cur")))).as("p"))
+      .select(id, col("p.prev").as("prev"), col("p.cur").as("cur"))
+      .groupBy(id, col("prev"), col("cur")).agg(count(lit(1)).as("m"))
+
+    val bc = docPairs.groupBy(col("prev"), col("cur")).agg(sum(col("m")).as("bc"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // context mass + follower diversity per prev; predecessor diversity
+    // per cur; bigram type total as a one-row broadcast
+    val ctx = bc.groupBy(col("prev"))
+      .agg(sum(col("bc")).as("cv"), count(lit(1)).as("n1v"))
+    val pred = bc.groupBy(col("cur")).agg(count(lit(1)).as("n1w"))
+    val types = bc.agg(count(lit(1)).as("__tt"))
+
+    val typeScore = bc
+      .join(ctx, "prev").join(pred, "cur")
+      .crossJoin(broadcast(types))
+      .select(col("prev"), col("cur"),
+        floor(lit(1e6) * -log(
+          (greatest(lit(4L) * col("bc") - lit(q.toLong), lit(0L)) * col("__tt") +
+            lit(q.toLong) * col("n1v") * col("n1w")).cast("double") /
+            (lit(4L) * col("cv") * col("__tt")).cast("double")) + 0.5)
+          .cast("long").as("micro"))
+
+    docPairs.join(typeScore, Seq("prev", "cur"))
+      .groupBy(id)
+      .agg(sum(col("m")).as("n_bigrams"),
+        sum(col("m") * col("micro")).as("__sum_micro"))
+      .select(id, col("n_bigrams"),
+        expr("__sum_micro div n_bigrams").as("kn_micro"))
+  }
+
   /** Gopher-style composite document filter (Rae et al. §A1.1 shape):
     * every rule is a row-local codegen'd expression — no shuffle, no UDF
     * — and each document gets a `passed` flag plus a comma-joined

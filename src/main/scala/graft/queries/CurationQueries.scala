@@ -256,6 +256,15 @@ object CurationQueries {
         .orderBy(col("rnk"))
     }),
 
+    // Interpolated Kneser-Ney bigram surprisal (the KenLM-family scorer):
+    // absolute discounting + continuation backoff; the probability is an
+    // integer rational (quarter-integer discount), so only one ln per
+    // bigram type — replayed exactly by the oracle.
+    "q_doc_kn_surprisal" -> ((s, dir) => {
+      Curation.knSurprisal(Tables.load(s, dir, "documents"), "text", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
     // Contrastive hard-negative mining: for each query embedding, the 5
     // most similar corpus vectors with a DIFFERENT label.
     "q_embed_hard_negatives" -> ((s, dir) => {
@@ -721,6 +730,36 @@ object CurationQueries {
          |GROUP BY 1
          |ORDER BY 1""".stripMargin
     },
+
+    "q_doc_kn_surprisal" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+        |), dp AS (
+        |  SELECT doc_id, prev, cur, count(*)::BIGINT AS m FROM (
+        |    SELECT doc_id, ws[i] AS prev, ws[i + 1] AS cur
+        |    FROM w, unnest(generate_series(1, len(ws) - 1)) AS t(i)
+        |    WHERE len(ws) >= 2
+        |  ) GROUP BY 1, 2, 3
+        |), bc AS (
+        |  SELECT prev, cur, CAST(sum(m) AS BIGINT) AS bc FROM dp GROUP BY 1, 2
+        |), ctx AS (
+        |  SELECT prev, CAST(sum(bc) AS BIGINT) AS cv, count(*)::BIGINT AS n1v
+        |  FROM bc GROUP BY 1
+        |), pred AS (
+        |  SELECT cur, count(*)::BIGINT AS n1w FROM bc GROUP BY 1
+        |), t AS (SELECT count(*)::BIGINT AS tt FROM bc),
+        |ts AS (
+        |  SELECT b.prev, b.cur,
+        |    CAST(floor(1000000.0 * -ln(
+        |      CAST(greatest(4 * b.bc - 3, 0) * t.tt + 3 * ctx.n1v * pred.n1w AS DOUBLE) /
+        |      CAST(4 * ctx.cv * t.tt AS DOUBLE)) + 0.5) AS BIGINT) AS micro
+        |  FROM bc b JOIN ctx USING (prev) JOIN pred USING (cur) CROSS JOIN t
+        |)
+        |SELECT doc_id, CAST(sum(m) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(m * micro) // sum(m) AS BIGINT) AS kn_micro
+        |FROM dp JOIN ts USING (prev, cur)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
 
     "q_embed_hard_negatives" ->
       """WITH n AS (

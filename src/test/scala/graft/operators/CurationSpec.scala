@@ -222,6 +222,42 @@ class CurationSpec extends SparkSpec {
       .select("split").distinct().as[String].collect().toSeq == Seq("all"))
   }
 
+  test("knSurprisal matches a plain-Scala Kneser-Ney replay") {
+    val docs = Seq(
+      (1L, "new york new york city"),
+      (2L, "new jersey and new york"),
+      (3L, "the city and the york")  // 'york' here follows 'the', not 'new'
+    ).toDF("doc_id", "text")
+    val got = Curation.knSurprisal(docs, "text", "doc_id")
+      .orderBy("doc_id").as[(Long, Long, Long)].collect().toSeq
+
+    // scalar replay with the exact integer rational + quantization
+    val corpus = Seq("new york new york city", "new jersey and new york",
+      "the city and the york").map(_.split("\\s+").toSeq)
+    val pairs = corpus.flatMap(t => t.sliding(2).map(p => (p(0), p(1))).toSeq)
+    val bc = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cv = bc.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val n1v = bc.groupBy(_._1._1).view.mapValues(_.size.toLong).toMap
+    val n1w = bc.groupBy(_._1._2).view.mapValues(_.size.toLong).toMap
+    val tt = bc.size.toLong
+    def micro(v: String, w: String): Long = {
+      val num = (math.max(4L * bc((v, w)) - 3L, 0L) * tt + 3L * n1v(v) * n1w(w)).toDouble
+      val den = (4L * cv(v) * tt).toDouble
+      math.floor(1e6 * -math.log(num / den) + 0.5).toLong
+    }
+    val want = corpus.zipWithIndex.map { case (t, i) =>
+      val ms = t.sliding(2).map(p => micro(p(0), p(1))).toSeq
+      (i + 1L, ms.size.toLong, ms.sum / ms.size)
+    }
+    assert(got == want, s"got=$got want=$want")
+
+    // KN semantics: 'york' has only predecessor diversity 2 — its
+    // continuation probability is low despite high raw frequency, so an
+    // unseen-context use would be penalized; here check the continuation
+    // term orders types sensibly: p(york|the) exists and got scored
+    assert(bc.contains(("the", "york")))
+  }
+
   test("hard negatives carry only cross-label neighbors, ranked by similarity") {
     val vecs = Seq(
       (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.99f, 0.14f), 0),
