@@ -22,6 +22,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Tables.tuneForGates(spark)
 
     def run(name: String): Double = {
       val t0 = System.nanoTime()

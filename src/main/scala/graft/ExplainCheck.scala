@@ -7,6 +7,7 @@ object ExplainCheck {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    Tables.tuneForGates(spark)
     val dir = "/root/testdata/sf0.01"
     for (q <- Seq("q6_revenue_forecast", "q5_region_revenue", "q3_shipping_priority", "q_kv_scan")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
@@ -145,15 +146,14 @@ object ExplainCheck {
         .write.format("kv").option("path", b).mode("overwrite").save()
       graft.operators.KvMerge.bucketize(spark, a, 8, Seq("k"))
       graft.operators.KvMerge.bucketize(spark, b, 8, Seq("k"))
-      spark.conf.set("spark.sql.catalog.kvcat",
-        classOf[graft.sources.kv.KvCatalog].getName)
-      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      // restore the PRIOR threshold, not a hardcoded default
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val p = spark.read.table(s"kvcat.`$a`")
-        .join(spark.read.table(s"kvcat.`$b`"), "k")
-        .queryExecution.executedPlan.toString
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      val p =
+        try spark.read.table(s"kvcat.`$a`")
+          .join(spark.read.table(s"kvcat.`$b`"), "k")
+          .queryExecution.executedPlan.toString
+        finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       println("=== kv bucketed join (SPJ) === exchanges: " +
         p.linesIterator.count(_.contains("Exchange")) + " (want 0)")
     }

@@ -15,6 +15,20 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** Session confs the SPJ-reading gates need (kv catalog + v2
+    * bucketing). Set ONCE per session by every gate-running main
+    * (Verify/Bench/ExplainCheck) so plan shapes don't depend on which
+    * gate happens to run first — individual gates also set them
+    * idempotently for standalone use.
+    */
+  def tuneForGates(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.catalog.kvcat",
+      classOf[graft.sources.kv.KvCatalog].getName)
+    spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.shuffle.enabled", "true")
+    spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // The events fixture has stored ts as parquet TIMESTAMP(NANOS) in

@@ -20,6 +20,7 @@ object VerifySubset {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    Tables.tuneForGates(spark)
     new java.io.File(outDir).mkdirs()
     val subset = SparkEntry.queries.filter(p => matches(p._1))
     subset.foreach { case (name, fn) =>

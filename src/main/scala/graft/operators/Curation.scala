@@ -740,11 +740,18 @@ object Curation {
     * row-local hash filter — the corpus shuffles zero times.
     */
   def temperatureSample(
-      df: DataFrame, classCol: String, idCol: String,
+      df0: DataFrame, classCol: String, idCol: String,
       alpha: Double, targetFraction: Double, seed: Long = 0L): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1], got $alpha")
     require(targetFraction > 0.0 && targetFraction <= 1.0,
       s"targetFraction must be in (0, 1], got $targetFraction")
+    // NULL-class rows are excluded consistently: an equi-join never
+    // matches null keys, so leaving them in the histogram would deflate
+    // every real class's rate (phantom mass in the normalizer) while the
+    // rows themselves silently vanish — drop them from BOTH sides up
+    // front instead (callers bucket unknowns into a sentinel class if
+    // they want them sampled)
+    val df = df0.where(col(classCol).isNotNull)
     // persisted: the ≤classes-row histogram is consumed by both the
     // totals frame and the rates join — without the persist each
     // consumer re-runs the full-corpus groupBy scan (the DSIR
@@ -786,15 +793,21 @@ object Curation {
   def snapshotDiff(
       oldDf: DataFrame, newDf: DataFrame,
       idCol: String, textCol: String): DataFrame = {
+    // explicit row-existence markers: a NULL-text doc has a NULL
+    // fingerprint, so fp nullness cannot double as "row absent" — a doc
+    // present in both snapshots with NULL text must compare as
+    // unchanged, not as added/removed
     val o = oldDf.select(col(idCol).as("id"),
-      TextFunctions.fingerprint64(col(textCol)).as("__fp_old"))
+      TextFunctions.fingerprint64(col(textCol)).as("__fp_old"),
+      lit(true).as("__in_old"))
     val n = newDf.select(col(idCol).as("id"),
-      TextFunctions.fingerprint64(col(textCol)).as("__fp_new"))
+      TextFunctions.fingerprint64(col(textCol)).as("__fp_new"),
+      lit(true).as("__in_new"))
     o.join(n, Seq("id"), "full_outer")
       .withColumn("status",
-        when(col("__fp_old").isNull, "added")
-          .when(col("__fp_new").isNull, "removed")
-          .when(col("__fp_old") =!= col("__fp_new"), "changed"))
+        when(col("__in_old").isNull, "added")
+          .when(col("__in_new").isNull, "removed")
+          .when(not(col("__fp_old") <=> col("__fp_new")), "changed"))
       .where(col("status").isNotNull)
       .select(col("id"), col("status"))
   }

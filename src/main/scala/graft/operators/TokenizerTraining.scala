@@ -71,27 +71,32 @@ object TokenizerTraining {
     val spark = df.sparkSession
     var cur = df.select(split(col(textCol), " ").as("__toks"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var parent: DataFrame = null
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
     var round = 1
     var exhausted = false
     while (round <= rounds && !exhausted) {
+      // this action materializes cur's cache, after which its parent's
+      // cache is dead weight — no separate count() job needed
       val top = pairStream(cur)
         .groupBy(col("l"), col("r")).agg(count(lit(1)).as("c"))
         .orderBy(col("c").desc, col("l"), col("r"))
         .limit(1).collect()
+      if (parent != null) { parent.unpersist(); parent = null }
       if (top.isEmpty) exhausted = true
       else {
         val w = top.head
         val (l, r, c) = (w.getString(0), w.getString(1), w.getLong(2))
         merges += ((round, l, r, c))
-        val next = cur.select(applyMerge(col("__toks"), l, r).as("__toks"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count() // materialize before unpersisting the parent
-        cur.unpersist()
-        cur = next
+        if (round < rounds) { // the last round's merge is never counted
+          parent = cur
+          cur = cur.select(applyMerge(col("__toks"), l, r).as("__toks"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        }
         round += 1
       }
     }
+    if (parent != null) parent.unpersist()
     cur.unpersist()
     spark.createDataFrame(
       spark.sparkContext.parallelize(merges.toSeq.map {

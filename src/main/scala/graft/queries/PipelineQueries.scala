@@ -185,8 +185,10 @@ object PipelineQueries {
     // IDENTICALLY to the in-memory q_ann_ivf, so it shares that gate's
     // full k-means-replay oracle.
     "q_ann_ivf_indexed" -> ((s, dir) => {
-      val u = java.util.UUID.randomUUID().toString.replace("-", "")
-      val idx = s"/tmp/graft_ivfidx_$u"
+      // fixed per-sf path cleared up front (a UUID-fresh dir per
+      // invocation strands a corpus-sized cells table in /tmp per run)
+      val idx = s"/tmp/graft_ivfidx${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(idx) // centroids + cells live under it
       val emb = Tables.load(s, dir, "embeddings")
       SimilaritySearch.buildIvfIndex(emb, "embedding", "vec_id", idx,
         nCells = 8, maxTrainPerCell = 32)

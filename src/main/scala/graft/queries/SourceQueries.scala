@@ -239,20 +239,27 @@ object SourceQueries {
       val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val ordersT = s"/tmp/graft_spjorders$safe"
       val custT = s"/tmp/graft_spjcust$safe"
-      if (ParquetIO.listFiles(ordersT).isEmpty) {
+      // each table gated on ITS OWN completion marker (written after the
+      // bucketize): a run that dies between the two tables' staging can't
+      // strand the gate on a half-staged pair — the unmarked table
+      // restages from scratch on the next run
+      def stage(path: String)(build: => Unit): Unit = {
+        val marker = new java.io.File(path, "_GATE_STAGED")
+        if (!marker.exists()) { build; marker.createNewFile(); () }
+      }
+      stage(ordersT) {
         graft.Tables.load(s, dir, "orders")
           .select(col("o_custkey").as("custkey"), col("o_totalprice"))
           .write.format("kv").option("path", ordersT).mode("overwrite").save()
         graft.operators.KvMerge.bucketize(s, ordersT, 8, Seq("custkey"))
+      }
+      stage(custT) {
         graft.Tables.load(s, dir, "customer")
           .select(col("c_custkey").as("custkey"), col("c_mktsegment"))
           .write.format("kv").option("path", custT).mode("overwrite").save()
         graft.operators.KvMerge.bucketize(s, custT, 8, Seq("custkey"))
       }
-      s.conf.set("spark.sql.catalog.kvcat",
-        classOf[graft.sources.kv.KvCatalog].getName)
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
-      s.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      graft.Tables.tuneForGates(s)
       s.read.table(s"kvcat.`$ordersT`")
         .join(s.read.table(s"kvcat.`$custT`"), "custkey")
         .groupBy(col("c_mktsegment"))

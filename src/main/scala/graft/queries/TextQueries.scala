@@ -211,15 +211,20 @@ object TextQueries {
           .write.mode("overwrite").parquet(staged)
       }
       val total = ParquetIO.listFiles(staged).map(ParquetIO.rowCount).sum
-      val u = java.util.UUID.randomUUID().toString.replace("-", "")
-      val store = s"/tmp/graft_ingest_store_$u"
-      val out = s"/tmp/graft_ingest_out_$u"
+      // fixed per-sf paths CLEARED up front, not UUID-fresh ones: each
+      // invocation previously stranded a full deduped-corpus copy plus
+      // checkpoint in /tmp, and a bench sweep invokes this gate dozens
+      // of times
+      val store = s"/tmp/graft_ingest_store$safe"
+      val out = s"/tmp/graft_ingest_out$safe"
+      val ck = s"/tmp/graft_ingest_ck$safe"
+      Seq(store, out, ck).foreach(ParquetIO.deletePath)
       val stream = s.readStream.format("log")
         .option("path", staged)
         .option("maxOffsetsPerTrigger", math.max(total / 4L, 1L).toString).load()
         .select(col("doc_id"), col("text"), col("source"))
       val q = graft.operators.Dedup.ingestStream(
-        stream, store, out, "text", "doc_id", s"/tmp/graft_ingest_ck_$u")
+        stream, store, out, "text", "doc_id", ck)
       q.awaitTermination()
       s.read.format("kv").option("path", out).load()
         .select(col("doc_id"), col("source"))

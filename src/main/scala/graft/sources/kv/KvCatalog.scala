@@ -35,13 +35,16 @@ class KvCatalog extends TableCatalog with FunctionCatalog {
 
   override def loadTable(ident: Identifier): Table = {
     val path = pathOf(ident)
+    // "not found" is decided by the LISTING, not by inferSchema throwing:
+    // swallowing every inference exception as NoSuchTableException would
+    // report a transient IO failure or a corrupt footer as a missing
+    // table and send debugging the wrong way
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     val provider = new KvSource()
     val opts = new CaseInsensitiveStringMap(
       java.util.Collections.singletonMap("path", path))
-    val schema =
-      try provider.inferSchema(opts)
-      catch { case _: Exception =>
-        throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident) }
+    val schema = provider.inferSchema(opts) // real errors propagate as-is
     provider.getTable(schema, Array.empty, opts.asCaseSensitiveMap())
   }
 
