@@ -262,6 +262,75 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
 
+  /** Incremental NEAR-dup ingest — the fuzzy sibling of
+    * [[dropSeenDuplicates]]: drop batch documents whose estimated
+    * MinHash Jaccard against ANY document already in the persisted
+    * signature index clears `minJaccard`, then append the survivors'
+    * signatures so later batches dedup against them. The index is ONE kv
+    * table of (id, sig): unbounded without executor state, restartable,
+    * compactable like the exact-fp store; band keys derive row-locally
+    * from the signature at read time, so there is no second table to
+    * keep consistent. Within-batch near-dups are the caller's
+    * composition ([[minHashLsh]] + [[dropNearDuplicates]] before the
+    * ingest call) — this operator's contract is batch-vs-index.
+    *
+    * Scale shape per batch: the index side is scanned ONCE and never
+    * shuffles — the batch's band keys broadcast into the index scan
+    * (restricting the banded stream to matching buckets), candidate
+    * pairs and the verify join are batch-sized, and the bucket cap runs
+    * over the already-restricted matches only. Returns the surviving
+    * batch rows.
+    */
+  def nearDupIngest(
+      batch: DataFrame, indexDir: String, textCol: String, idCol: String,
+      numHashes: Int = 64, bands: Int = 16, shingleSize: Int = 3,
+      minJaccard: Double = 0.5, maxBucket: Int = 10000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val s = batch.sparkSession
+    val sigs = batch.select(col(idCol).as("__bid"),
+        Sketches.minhashSignature(col(textCol), numHashes, shingleSize).as("__bsig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bandedBatch = sigs.select(col("__bid"),
+      posexplode(Sketches.minhashBands(col("__bsig"), bands)).as(Seq("band", "key")))
+    val dropIds: DataFrame =
+      if (graft.sources.ParquetIO.listFilesStatus(indexDir).isEmpty)
+        sigs.select(col("__bid")).limit(0)
+      else {
+        graft.Tables.tuneForGates(s)
+        val store = s.read.table(s"kvcat.`$indexDir`")
+        val bandedStore = store.select(col("id"),
+          posexplode(Sketches.minhashBands(col("sig"), bands)).as(Seq("band", "key")))
+        // broadcast the batch's band keys INTO the index scan, then cap
+        // hot buckets over the restricted stream only
+        val matched = bandedStore.join(
+          broadcast(bandedBatch.select("band", "key").distinct()), Seq("band", "key"))
+        val capped = capBuckets(matched, Seq("band", "key"), maxBucket)
+        val cands = capped.join(broadcast(bandedBatch), Seq("band", "key"))
+          .select(col("__bid"), col("id").as("__sid")).distinct()
+        cands
+          .join(broadcast(sigs), "__bid")
+          .join(store.select(col("id").as("__sid"), col("sig").as("__ssig")), "__sid")
+          .where(Sketches.minhashJaccard(col("__bsig"), col("__ssig")) >= minJaccard)
+          .select(col("__bid")).distinct()
+      }
+    // PIN the drop set before appending: the returned survivors frame is
+    // lazy, and a post-append re-evaluation of dropIds would re-scan the
+    // index WITH the batch's own just-appended signatures — every
+    // survivor would self-match (est = 1.0) and vanish. The eager
+    // localCheckpoint truncates the lineage at the pre-append store
+    // state.
+    val pinned = dropIds.localCheckpoint(true)
+    val survivors = batch
+      .join(broadcast(pinned), batch(idCol) === pinned("__bid"), "left_anti")
+    // append the survivors' signatures for the next batch
+    sigs.join(broadcast(pinned.select(col("__bid").as("__d"))),
+        col("__bid") === col("__d"), "left_anti")
+      .select(col("__bid").as("id"), col("__bsig").as("sig"))
+      .write.format("kv").option("path", indexDir).mode("append").save()
+    sigs.unpersist()
+    survivors
+  }
+
   /** SimHash near-dup pairs: 64-bit sketch, candidates banded into
     * maxHamming + 1 chunks — the pigeonhole guarantees FULL recall at the
     * requested radius (two sketches within Hamming distance maxHamming

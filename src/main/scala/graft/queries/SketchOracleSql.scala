@@ -374,6 +374,30 @@ object SketchOracleSql {
        |SELECT id_a, id_b, est_jaccard FROM est
        |WHERE est_jaccard >= 0.2 ORDER BY id_a, id_b""".stripMargin
 
+  /** q_dedup_near_ingest: even docs surviving a batch-vs-index MinHash
+    * screen against the odd docs' persisted signatures (64 lanes,
+    * 16 bands × 4, est ≥ 0.2 — the incremental near-dup ingest gate).
+    */
+  def nearIngestOracle: String = {
+    def banded(parity: Int, nm: String) =
+      s"""$nm AS (
+         |  SELECT id, sig, b, sig[(4 * b + 1)::INT : (4 * b + 4)::INT] AS key
+         |  FROM mh_sigs CROSS JOIN (SELECT unnest(range(16)) AS b) u
+         |  WHERE id % 2 = $parity
+         |)""".stripMargin
+    s"""WITH $minhashCtes, ${banded(1, "sb")}, ${banded(0, "bb")}, cand AS (
+       |  SELECT DISTINCT bb.id AS bid, sb.id AS sid, bb.sig AS sa, sb.sig AS sb2
+       |  FROM bb JOIN sb ON bb.b = sb.b AND bb.key = sb.key
+       |), dropped AS (
+       |  SELECT DISTINCT bid FROM cand
+       |  WHERE (len(list_filter(range(64),
+       |      i -> sa[(i + 1)::INT] = sb2[(i + 1)::INT]))::DOUBLE / 64.0) >= 0.2
+       |)
+       |SELECT id AS doc_id FROM mh_sigs
+       |WHERE id % 2 = 0 AND id NOT IN (SELECT bid FROM dropped)
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** q_dedup_groups: (id, component) — connected components of the
     * MinHash-LSH pair graph (same parameters as q_dedup_minhash_lsh).
     * The operator's iterative min-label propagation is replayed as a

@@ -231,6 +231,28 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Incremental NEAR-dup ingest: odd docs seed the persisted MinHash
+    // signature index in-gate, then the even-doc batch is screened
+    // against it (est Jaccard >= 0.2) — survivors out, their signatures
+    // appended. The oracle replays the signature math, banding, and the
+    // batch-vs-store candidate screen exactly.
+    "q_dedup_near_ingest" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val idx = s"/tmp/graft_neardup$safe"
+      ParquetIO.deletePath(idx)
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      // batch 1: odd docs into the empty index (all survive, all append)
+      graft.operators.Dedup.nearDupIngest(
+        docs.filter(col("doc_id") % 2 === 1), idx, "text", "doc_id",
+        numHashes = 64, bands = 16, minJaccard = 0.2)
+      // batch 2: even docs screened against the persisted odd signatures
+      graft.operators.Dedup.nearDupIngest(
+        docs.filter(col("doc_id") % 2 === 0), idx, "text", "doc_id",
+        numHashes = 64, bands = 16, minJaccard = 0.2)
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // The same decontamination through the Bloom-prefilter path (compact
     // broadcast + exact verify join): numBits is deliberately small here
     // (4096 bits for ~700 benchmark shingles ⇒ a few % false positives)
@@ -390,6 +412,7 @@ object TextQueries {
 
   def oracles: Map[String, String] = Map(
     "q_tokenizer_merges" -> bpeMergesOracle(6),
+    "q_dedup_near_ingest" -> SketchOracleSql.nearIngestOracle,
 
     "q_fuzzy_join" ->
       """SELECT a.c_custkey AS lid, b.c_custkey AS rid,

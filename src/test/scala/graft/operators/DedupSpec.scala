@@ -434,4 +434,25 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted.toSeq
     assert(out == Seq(12L, 14L))
   }
+
+  test("nearDupIngest: batch screened against the persisted index, survivors appended") {
+    val idx = java.nio.file.Files.createTempDirectory("neardup").toString + "/idx"
+    def run(rows: Seq[(Long, String)]): Seq[Long] =
+      Dedup.nearDupIngest(rows.toDF("doc_id", "text"), idx, "text", "doc_id",
+        numHashes = 64, bands = 16, minJaccard = 0.5)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+
+    val base = "the quick brown fox jumps over the lazy dog again and again today"
+    // batch 1 into the empty index: everything survives
+    assert(run(Seq(1L -> base, 2L -> "completely different material about spark joins and shuffles")) ==
+      Seq(1L, 2L))
+    // batch 2: doc 1 plus a trailing word (shingle Jaccard ~0.9) dies
+    // against the index; a fresh doc survives
+    assert(run(Seq(10L -> (base + " ok"), 11L -> "yet another unrelated piece of text entirely here")) ==
+      Seq(11L))
+    // batch 3: a near-copy of batch 2's SURVIVOR dies too — proving the
+    // survivors' signatures were appended, not just the seed batch's
+    assert(run(Seq(20L -> "so yet another unrelated piece of text entirely here")) ==
+      Seq.empty)
+  }
 }
