@@ -157,6 +157,122 @@ object Multimodal {
     }(enc)
   }
 
+  /** Canonical PCM16 mono WAV: 44-byte RIFF/fmt/data header + LE
+    * samples. Both directions here so the audio gates stage REAL wav
+    * bytes and the parser proves it reads them back, byte for byte.
+    */
+  object WavCodec {
+    val SampleRate = 8000
+
+    /** Deterministic full-range integer sample stream per id: the audio
+      * analogue of the PNG pixel formula — SQL-replayable so the decode
+      * gate proves sample-exact parsing.
+      */
+    def sampleAt(id: Long, i: Int): Int =
+      (((id * 31 + i.toLong * 17) % 65536L) - 32768L).toInt
+
+    def encodeWav(id: Long): Array[Byte] = {
+      val n = (id % 500).toInt + 100
+      val dataLen = n * 2
+      val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1) // PCM
+        .putShort(1) // mono
+        .putInt(SampleRate)
+        .putInt(SampleRate * 2) // byte rate
+        .putShort(2) // block align
+        .putShort(16) // bits per sample
+      buf.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < n) { buf.putShort(sampleAt(id, i).toShort); i += 1 }
+      buf.array()
+    }
+
+    /** REAL RIFF chunk walk: verify RIFF/WAVE magic, locate fmt and
+      * data chunks (any order, other chunks skipped), return
+      * (sampleRate, nSamples, sumAbs, peak) from the PCM16 stream.
+      * Anything malformed → None (never fabricated properties).
+      */
+    def parse(p: Array[Byte]): Option[(Int, Long, Long, Long)] = {
+      if (p == null || p.length < 12) return None
+      def ascii(off: Int, n: Int) = new String(p, off, n, "US-ASCII")
+      def le32(off: Int): Int =
+        (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+          ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+      def le16(off: Int): Int = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+      if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "WAVE") return None
+      var off = 12
+      var rate = -1; var blockAlign = -1; var bits = -1
+      var dataOff = -1; var dataLen = -1
+      while (off + 8 <= p.length) {
+        val cid = ascii(off, 4); val clen = le32(off + 4)
+        if (clen < 0 || off + 8 + clen > p.length) return None
+        cid match {
+          case "fmt " if clen >= 16 =>
+            if (le16(off + 8) != 1 || le16(off + 10) != 1) return None // PCM mono only
+            rate = le32(off + 12); blockAlign = le16(off + 20); bits = le16(off + 22)
+          case "data" => dataOff = off + 8; dataLen = clen
+          case _ => // skip unknown chunks
+        }
+        off += 8 + clen + (clen & 1) // chunks are word-aligned
+      }
+      if (rate <= 0 || bits != 16 || blockAlign != 2 || dataOff < 0) return None
+      val n = dataLen / 2
+      var sumAbs = 0L; var peak = 0L; var i = 0
+      while (i < n) {
+        val s = (le16(dataOff + 2 * i) << 16) >> 16 // sign-extend
+        val a = math.abs(s.toLong)
+        sumAbs += a; if (a > peak) peak = a
+        i += 1
+      }
+      Some((rate, n.toLong, sumAbs, peak))
+    }
+  }
+
+  /** Attach a real PCM16 WAV payload derived from a long id column
+    * (fixture helper — the audio sibling of [[withPngPayload]]).
+    */
+  def withWavPayload(df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(payloadCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+ WavCodec.encodeWav(r.getLong(idIdx))))
+    }(enc)
+  }
+
+  /** Audio metadata + sample statistics from a REAL RIFF/WAVE parse:
+    * sample rate, sample count, integer duration (ms, truncating),
+    * Σ|sample| and peak |sample| over the PCM16 stream — all-integer
+    * math, so an oracle that knows the sample generator predicts every
+    * value bit-exactly (the [[lumaStats]] proof standard, for audio).
+    * Unrecognized payloads yield nulls. Iterator-to-iterator
+    * `mapPartitions`, constant memory per task.
+    */
+  def decodeAudioMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("sample_rate", IntegerType), StructField("n_samples", LongType),
+      StructField("duration_ms", LongType), StructField("sum_abs", LongType),
+      StructField("peak", LongType)))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        WavCodec.parse(payload) match {
+          case Some((rate, n, sumAbs, peak)) =>
+            // Seq[Any]: a plain Seq(rate, n, ...) would weakly-conform
+            // Int rate up to Long and break the INT field's external type
+            Row.fromSeq(r.toSeq ++ Seq[Any](rate, n, n * 1000L / rate, sumAbs, peak))
+          case None => Row.fromSeq(r.toSeq ++ Seq(null, null, null, null, null))
+        }
+      }
+    }(enc)
+  }
+
   /** 64-bit average perceptual hash (aHash) of each image payload — the
     * image-dedup primitive: decode (REAL ImageIO), integer Rec.601 luma,
     * 8×8 block means with pixel→cell assignment `(y·8/h, x·8/w)`

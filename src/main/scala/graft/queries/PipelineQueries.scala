@@ -29,7 +29,29 @@ object PipelineQueries {
     s.read.format("kv").option("path", pngDir).load()
   }
 
+  private def stagedWavDocs(s: SparkSession, dir: String): DataFrame = {
+    val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val wavDir = s"/tmp/graft_wav$safe"
+    if (graft.sources.ParquetIO.listFiles(wavDir).isEmpty) {
+      Multimodal.withWavPayload(
+        Tables.load(s, dir, "documents").select(col("doc_id")), "doc_id")
+        .write.format("kv").option("path", wavDir).mode("overwrite").save()
+    }
+    s.read.format("kv").option("path", wavDir).load()
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Audio modality through a REAL RIFF/WAVE chunk walk + PCM16 sample
+    // scan: every value (rate, counts, integer duration, Σ|s|, peak) is
+    // predicted bit-exactly by the oracle from the staged generator
+    // formula — the lumaStats proof standard, for audio.
+    "q_multimodal_audio" -> ((s, dir) => {
+      Multimodal.decodeAudioMeta(stagedWavDocs(s, dir), "payload")
+        .select(col("doc_id"), col("sample_rate"), col("n_samples"),
+          col("duration_ms"), col("sum_abs"), col("peak"))
+        .orderBy(col("doc_id"))
+    }),
+
     // --- dedup (operator-backed) ---
     "q_dedup_drop_exact" -> ((s, dir) => {
       Dedup.dropExactDuplicates(Tables.load(s, dir, "documents"), "text", "doc_id")
@@ -347,6 +369,24 @@ object PipelineQueries {
   )
 
   def oracles: Map[String, String] = SketchOracleSql.oracles ++ Map(
+    // audio decode: replay the staged PCM generator
+    // s_i = ((id·31 + i·17) mod 65536) − 32768 over n = id%500+100
+    // samples — integer math end to end
+    "q_multimodal_audio" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 500 + 100 AS BIGINT) AS n FROM documents
+        |), s AS (
+        |  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM d
+        |), v AS (
+        |  SELECT doc_id, n,
+        |    abs((doc_id * 31 + i * 17) % 65536 - 32768) AS a
+        |  FROM s
+        |)
+        |SELECT doc_id, CAST(8000 AS INT) AS sample_rate, n AS n_samples,
+        |  n * 1000 // 8000 AS duration_ms,
+        |  CAST(sum(a) AS BIGINT) AS sum_abs, CAST(max(a) AS BIGINT) AS peak
+        |FROM v GROUP BY doc_id, n
+        |ORDER BY doc_id""".stripMargin,
     // SQ8 ANN: the whole codec replays — unit-normalize, per-vector
     // scale, floor(x·127/mx + .5) byte codes, exact INTEGER dot, then
     // the same fixed-op-order double rescale. Left-assoc arithmetic in

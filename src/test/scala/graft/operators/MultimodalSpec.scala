@@ -120,4 +120,55 @@ class MultimodalSpec extends SparkSpec {
       Seq((9L, Array[Byte](1, 2, 3))).toDF("doc_id", "payload"), "payload").collect()(0)
     assert(bad.isNullAt(bad.fieldIndex("ahash64")))
   }
+
+  test("WAV parse reproduces the generator samples through a real RIFF walk") {
+    val ids = Seq(0L, 7L, 499L, 1234L)
+    val docs = Multimodal.withWavPayload(ids.toDF("doc_id"), "doc_id")
+    val got = Multimodal.decodeAudioMeta(docs, "payload")
+      .select("doc_id", "sample_rate", "n_samples", "duration_ms", "sum_abs", "peak")
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    ids.foreach { id =>
+      val n = (id % 500).toInt + 100
+      val samples = (0 until n).map(i => Multimodal.WavCodec.sampleAt(id, i).toLong)
+      val want = (8000, n.toLong, n.toLong * 1000 / 8000,
+        samples.map(math.abs).sum, samples.map(math.abs).max)
+      assert(got(id) == want, s"id=$id got=${got(id)} want=$want")
+    }
+    // sign extension is exercised: at least one tested id's stream wraps
+    // negative (not every id does — small ids' ranges stay below 2^15)
+    assert(ids.exists { id =>
+      val n = (id % 500).toInt + 100
+      (0 until n).exists(i => Multimodal.WavCodec.sampleAt(id, i) < 0)
+    })
+  }
+
+  test("WAV parse: unknown chunks skipped, malformed payloads null out") {
+    // hand-build a wav with a junk odd-length chunk BEFORE fmt/data —
+    // the walker must skip it (word-aligned) and still parse
+    val base = Multimodal.WavCodec.encodeWav(42L)
+    val junk = java.nio.ByteBuffer.allocate(8 + 3 + 1)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put("LIST".getBytes("US-ASCII")).putInt(3).put(Array[Byte](1, 2, 3, 0))
+      .array()
+    val patched = java.nio.ByteBuffer
+      .allocate(base.length + junk.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .put(base, 0, 12).put(junk).put(base, 12, base.length - 12).array()
+    // fix the RIFF size field
+    val riffLen = patched.length - 8
+    patched(4) = (riffLen & 0xff).toByte
+    patched(5) = ((riffLen >> 8) & 0xff).toByte
+    patched(6) = ((riffLen >> 16) & 0xff).toByte
+    patched(7) = ((riffLen >> 24) & 0xff).toByte
+    assert(Multimodal.WavCodec.parse(patched) == Multimodal.WavCodec.parse(base))
+    // malformed: truncated, wrong magic, stereo refused
+    assert(Multimodal.WavCodec.parse(Array[Byte](1, 2, 3)).isEmpty)
+    assert(Multimodal.WavCodec.parse("RIFFxxxxNOPE".getBytes("US-ASCII")).isEmpty)
+    val stereo = base.clone(); stereo(22) = 2 // channels field
+    assert(Multimodal.WavCodec.parse(stereo).isEmpty)
+    val viaDf = Multimodal.decodeAudioMeta(
+      Seq((1L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload"), "payload").collect()(0)
+    assert(viaDf.isNullAt(viaDf.fieldIndex("n_samples")))
+  }
 }
