@@ -119,11 +119,13 @@ object Multimodal {
   }
 
   /** ======= STUB BOUNDARY =======
-    * Deterministic fake frame sampler for video payloads (the JDK ships
-    * no video codec). This is the ONLY fake left: unreadable payloads on
-    * the metadata/resize paths yield null, never invented properties — a
-    * corrupt JPEG in a real pipeline must surface as undecodable, not as
-    * plausible-looking metadata.
+    * Deterministic fake frame sampler for payloads in UNKNOWN video
+    * containers (the JDK ships no mp4/webm demuxer). Payloads in the
+    * GFV container below take the REAL path: container walk + per-frame
+    * ImageIO decode. This fallback is the only fake left: unreadable
+    * payloads on the metadata/resize paths yield null, never invented
+    * properties — a corrupt JPEG in a real pipeline must surface as
+    * undecodable, not as plausible-looking metadata.
     */
   object FakeCodec {
     /** "Frame sample": split payload into `n` pseudo-frames. */
@@ -131,6 +133,109 @@ object Multimodal {
       val size = math.max(payload.length / math.max(n, 1), 1)
       payload.grouped(size).take(n).toSeq
     }
+  }
+
+  /** Minimal REAL video container (an MJPEG-style frame concatenation):
+    * magic "GFV1" | frame count (BE int32) | per-frame byte length (BE
+    * int32 each) | concatenated PNG frames. Both directions live here so
+    * the video gates stage real container bytes and the parser proves it
+    * walks them back — the [[WavCodec]] treatment, for video.
+    */
+  object VideoCodec {
+    def encodeGfv(id: Long): Array[Byte] = {
+      val n = (id % 4).toInt + 2
+      val frames = (0 until n).map(f =>
+        ImageCodec.encodePng((id % 16).toInt + 1, (id % 12).toInt + 1, id * 131 + f))
+      val bos = new java.io.ByteArrayOutputStream()
+      val out = new java.io.DataOutputStream(bos)
+      out.write("GFV1".getBytes("US-ASCII"))
+      out.writeInt(n)
+      frames.foreach(fr => out.writeInt(fr.length))
+      frames.foreach(out.write)
+      bos.toByteArray
+    }
+
+    /** Real container walk: verify magic, read the frame index, slice
+      * exact frame payloads; anything malformed (bad magic, negative or
+      * overflowing lengths, truncation) → None.
+      */
+    def parseFrames(p: Array[Byte]): Option[Seq[Array[Byte]]] = {
+      if (p == null || p.length < 8) return None
+      if (new String(p, 0, 4, "US-ASCII") != "GFV1") return None
+      def be32(off: Int): Int =
+        ((p(off) & 0xff) << 24) | ((p(off + 1) & 0xff) << 16) |
+          ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)
+      val n = be32(4)
+      if (n < 0 || 8 + 4L * n > p.length) return None
+      val lens = (0 until n).map(i => be32(8 + 4 * i))
+      if (lens.exists(_ < 0)) return None
+      val total = lens.foldLeft(0L)(_ + _)
+      val dataOff = 8 + 4 * n
+      if (dataOff + total != p.length) return None
+      var off = dataOff
+      Some(lens.map { l =>
+        val fr = java.util.Arrays.copyOfRange(p, off, off + l)
+        off += l
+        fr
+      })
+    }
+  }
+
+  /** Attach a real GFV video payload derived from a long id column
+    * (fixture helper — the video sibling of [[withPngPayload]] /
+    * [[withWavPayload]]).
+    */
+  def withGfvPayload(df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(payloadCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+ VideoCodec.encodeGfv(r.getLong(idIdx))))
+    }(enc)
+  }
+
+  /** Per-frame pixel statistics through the REAL path: GFV container
+    * walk → per-frame `javax.imageio` PNG decode → integer Rec.601 luma
+    * sums. One output row per (doc, frame): (frame_idx, n_pixels,
+    * sum_luma) — all-integer, so the oracle predicts every value from
+    * the staged generator formula. Non-GFV payloads produce zero rows
+    * (never fabricated frames). Iterator-to-iterator `mapPartitions`.
+    */
+  def videoFrameStats(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("n_pixels", LongType, nullable = false),
+      StructField("sum_luma", LongType, nullable = false)))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val payload = r.getAs[Array[Byte]](payloadIdx)
+        VideoCodec.parseFrames(payload).toSeq.flatMap(_.zipWithIndex.flatMap {
+          case (fr, idx) =>
+            val img =
+              try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fr))
+              catch { case _: Exception => null }
+            if (img == null) None
+            else {
+              val (w, h) = (img.getWidth, img.getHeight)
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val rgb = img.getRGB(x, y)
+                  sum += (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+                    (rgb & 0xff) * 114) / 1000
+                  x += 1
+                }
+                y += 1
+              }
+              Some(Row.fromSeq(r.toSeq ++ Seq[Any](idx, w.toLong * h, sum)))
+            }
+        })
+      }
+    }(enc)
   }
 
   /** Attach a binary payload column derived from a string column (fixture
@@ -458,8 +563,14 @@ object Multimodal {
       rows.flatMap { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
         if (payload == null) Iterator.empty
-        else FakeCodec.frames(payload, framesPerDoc).iterator.zipWithIndex.map {
-          case (f, i) => Row.fromSeq(r.toSeq ++ Seq(i, f))
+        else {
+          // real container first; FakeCodec only for unknown formats
+          val frames = VideoCodec.parseFrames(payload)
+            .map(_.take(framesPerDoc))
+            .getOrElse(FakeCodec.frames(payload, framesPerDoc))
+          frames.iterator.zipWithIndex.map {
+            case (f, i) => Row.fromSeq(r.toSeq ++ Seq(i, f))
+          }
         }
       }
     }(enc)

@@ -41,6 +41,23 @@ object PipelineQueries {
   }
 
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Video modality through the REAL path: GFV container walk → real
+    // per-frame ImageIO PNG decode → integer luma sums; every value
+    // predicted by the oracle from the per-frame generator seed.
+    "q_multimodal_video" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val gfvDir = s"/tmp/graft_gfv$safe"
+      if (graft.sources.ParquetIO.listFiles(gfvDir).isEmpty) {
+        Multimodal.withGfvPayload(
+          Tables.load(s, dir, "documents").select(col("doc_id")), "doc_id")
+          .write.format("kv").option("path", gfvDir).mode("overwrite").save()
+      }
+      Multimodal.videoFrameStats(
+        s.read.format("kv").option("path", gfvDir).load(), "payload")
+        .select(col("doc_id"), col("frame_idx"), col("n_pixels"), col("sum_luma"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // Audio modality through a REAL RIFF/WAVE chunk walk + PCM16 sample
     // scan: every value (rate, counts, integer duration, Σ|s|, peak) is
     // predicted bit-exactly by the oracle from the staged generator
@@ -369,6 +386,31 @@ object PipelineQueries {
   )
 
   def oracles: Map[String, String] = SketchOracleSql.oracles ++ Map(
+    // video decode: replay the per-frame pixel generator — frame f of
+    // doc d uses seed d·131 + f over w = d%16+1, h = d%12+1
+    "q_multimodal_video" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 4 + 2 AS INT) AS nf,
+        |    CAST(doc_id % 16 + 1 AS BIGINT) AS w,
+        |    CAST(doc_id % 12 + 1 AS BIGINT) AS h
+        |  FROM documents
+        |), f AS (
+        |  SELECT doc_id, w, h, unnest(generate_series(0, nf - 1)) AS frame_idx
+        |  FROM d
+        |), px AS (
+        |  SELECT doc_id, frame_idx, w, h,
+        |    (((doc_id * 131 + frame_idx) * 31 + y) * 31 + x) % 16777216 AS v
+        |  FROM f, unnest(generate_series(0, h - 1)) AS ty(y),
+        |    unnest(generate_series(0, w - 1)) AS tx(x)
+        |)
+        |SELECT doc_id, CAST(frame_idx AS INT) AS frame_idx,
+        |  max(w * h) AS n_pixels,
+        |  CAST(sum(((v // 65536) * 299 + ((v // 256) % 256) * 587 + (v % 256) * 114) // 1000)
+        |    AS BIGINT) AS sum_luma
+        |FROM px
+        |GROUP BY doc_id, frame_idx
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
     // audio decode: replay the staged PCM generator
     // s_i = ((id·31 + i·17) mod 65536) − 32768 over n = id%500+100
     // samples — integer math end to end

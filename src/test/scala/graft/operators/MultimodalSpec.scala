@@ -143,6 +143,40 @@ class MultimodalSpec extends SparkSpec {
     })
   }
 
+  test("GFV container: real frame walk + per-frame decode reproduce the generator") {
+    val ids = Seq(0L, 3L, 17L)
+    val docs = Multimodal.withGfvPayload(ids.toDF("doc_id"), "doc_id")
+    val got = Multimodal.videoFrameStats(docs, "payload")
+      .select("doc_id", "frame_idx", "n_pixels", "sum_luma")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    ids.foreach { id =>
+      val n = (id % 4).toInt + 2
+      val (w, h) = ((id % 16).toInt + 1, (id % 12).toInt + 1)
+      (0 until n).foreach { f =>
+        val seed = id * 131 + f
+        var sum = 0L
+        for (y <- 0 until h; x <- 0 until w) {
+          val v = ((seed * 31 + y) * 31 + x).toInt & 0xffffff
+          sum += (((v >> 16) & 0xff) * 299 + ((v >> 8) & 0xff) * 587 + (v & 0xff) * 114) / 1000
+        }
+        assert(got((id, f)) == (w.toLong * h, sum), s"id=$id f=$f")
+      }
+      assert(!got.contains((id, n)), s"id=$id produced extra frames")
+    }
+    // malformed containers produce zero rows, not invented frames
+    val bad = Multimodal.videoFrameStats(
+      Seq((9L, "GFV1junkjunk".getBytes("US-ASCII"))).toDF("doc_id", "payload"), "payload")
+    assert(bad.count() == 0)
+    // sampleFrames prefers the REAL container walk: frames are exact PNGs
+    val sampled = Multimodal.sampleFrames(docs, "payload", framesPerDoc = 2)
+      .select("doc_id", "frame").collect()
+    sampled.foreach { r =>
+      val fr = r.getAs[Array[Byte]]("frame")
+      assert(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fr)) != null,
+        s"sampled frame of doc ${r.getLong(0)} is not a decodable image")
+    }
+  }
+
   test("WAV parse: unknown chunks skipped, malformed payloads null out") {
     // hand-build a wav with a junk odd-length chunk BEFORE fmt/data —
     // the walker must skip it (word-aligned) and still parse
