@@ -120,6 +120,18 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // GROUP-keyed (leakage-safe) splits: hashing the SOURCE instead of
+    // the doc id puts every document of a domain in the same split — the
+    // contamination-safe eval-split discipline (a near-duplicate pair
+    // within one crawl domain can never straddle train/test). Same
+    // operator, string key; oracle replays the string hash.
+    "q_doc_split_grouped" -> ((s, dir) => {
+      val split = Curation.assignSplits(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("source")),
+        "source", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), seed = 42L)
+      split.orderBy(col("doc_id"))
+    }),
+
     // Temperature-based language rebalancing (the XLM-R / mC4 recipe):
     // sampled class shares ∝ n_c^0.7 at an overall ~0.5 kept fraction —
     // head languages thinned, tail boosted. The rate derivation
@@ -584,6 +596,24 @@ object CurationQueries {
          |      ELSE ($hk)::HUGEINT END) // 2048 AS u53
          |  FROM documents d JOIN rates r USING (lang)
          |) WHERE u53 < CAST(floor(rate * 9007199254740992.0) AS BIGINT)::HUGEINT
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_doc_split_grouped" -> {
+      val sh = SketchOracleSql.stringHash64BigintSql("source", 0x1337L)
+      val hk = SketchOracleSql.splitmixBigintSql(s"xor($sh, 42)")
+      val t1 = math.floor(0.8 * 9007199254740992.0).toLong
+      val t2 = math.floor(0.9 * 9007199254740992.0).toLong
+      s"""SELECT doc_id, source,
+         |  CASE WHEN u53 < ${t1}::HUGEINT THEN 'train'
+         |       WHEN u53 < ${t2}::HUGEINT THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (
+         |  SELECT doc_id, source,
+         |    (CASE WHEN ($hk) < 0 THEN ($hk)::HUGEINT + 18446744073709551616::HUGEINT
+         |          ELSE ($hk)::HUGEINT END) // 2048 AS u53
+         |  FROM documents
+         |)
          |ORDER BY doc_id""".stripMargin
     },
 

@@ -768,6 +768,13 @@ object SketchOracleSql {
     */
   def splitmixBigintSql(expr: String): String = sx(splitmix(ux(expr)))
 
+  /** Signed-BIGINT DuckDB replay of `Sketches.stringHash64` — for gates
+    * that hash STRING keys (group-keyed splits/sampling) outside this
+    * file.
+    */
+  def stringHash64BigintSql(expr: String, seed: Long): String =
+    sx(hashStrU(expr, seed))
+
   /** DuckDB replay of `Curation.importanceResample` over the documents
     * table (DSIR: hashed unigram+bigram buckets, integer-quantized
     * Laplace-smoothed log-likelihood-ratio weights, splitmix-Gumbel

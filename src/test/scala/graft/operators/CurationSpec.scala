@@ -220,6 +220,11 @@ class CurationSpec extends SparkSpec {
     // single split degenerates to a constant label
     assert(Curation.assignSplits(rows, "id", Seq("all" -> 1.0))
       .select("split").distinct().as[String].collect().toSeq == Seq("all"))
+    // GROUP-keyed splits (string key): constant within a group — the
+    // leakage-safe eval-split property
+    val bySrc = Curation.assignSplits(rows, "src", splits, seed = 7L)
+      .select("src", "split").distinct().collect()
+    assert(bySrc.length == 2, bySrc.mkString(","))
   }
 
   test("knSurprisal matches a plain-Scala Kneser-Ney replay") {
