@@ -77,6 +77,10 @@ object TextRetrieval {
     val perQuery = broadcast(qt).join(scored, Seq("term"))
       .groupBy(col("qid"), col("doc_id"))
       .agg(sum(col("c")).as("score_micro"))
+    topKDocs(perQuery, k)
+  }
+
+  private def topKDocs(perQuery: DataFrame, k: Int): DataFrame =
     perQuery.groupBy(col("qid"))
       .agg(BoundedTopK.topK(
         struct(col("score_micro").cast("double").as("sm"), col("doc_id")), k).as("top"))
@@ -84,5 +88,71 @@ object TextRetrieval {
       .select(col("qid"), col("s.doc_id").as("doc_id"),
         col("s.sm").cast("long").as("score_micro"),
         (col("pos") + 1).cast("int").as("rnk"))
+
+  /** Build the persisted BM25 index — "index once, search many", the
+    * [[SimilaritySearch.buildIvfIndex]] stance for lexical retrieval:
+    *
+    *  - `<dir>/postings`: (term, doc_id, tf, dl) — the inverted index,
+    *    hash-BUCKETIZED on `term` ([[graft.operators.KvMerge.bucketize]])
+    *    so searches read only matching buckets' files and a co-keyed
+    *    join never reshuffles the postings;
+    *  - `<dir>/terms`: (term, dfq) — document frequencies;
+    *  - `<dir>/stats`: one row (nd, sdl) — corpus size + total length.
+    *
+    * Building costs one corpus pass (explode + two aggregations); after
+    * that every query batch touches index tables only — the corpus
+    * itself is never rescanned.
+    */
+  def buildBm25Index(
+      docs: DataFrame, textCol: String, idCol: String, dir: String,
+      numBuckets: Int = 16): Unit = {
+    val s = docs.sparkSession
+    val d = docs.select(col(idCol).as("doc_id"),
+        split(lower(col(textCol)), " ").as("terms"))
+      .withColumn("dl", size(col("terms")).cast("double"))
+    d.agg(count(lit(1)).cast("double").as("nd"), sum(col("dl")).as("sdl"))
+      .write.format("kv").option("path", s"$dir/stats").mode("overwrite").save()
+    val postings = d.select(col("doc_id"), col("dl"), explode(col("terms")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    postings.write.format("kv").option("path", s"$dir/postings")
+      .mode("overwrite").save()
+    postings.groupBy(col("term")).agg(count(lit(1)).cast("double").as("dfq"))
+      .write.format("kv").option("path", s"$dir/terms").mode("overwrite").save()
+    postings.unpersist()
+    KvMerge.bucketize(s, s"$dir/postings", numBuckets, Seq("term"))
+  }
+
+  /** BM25 top-k against a persisted index — must answer IDENTICALLY to
+    * [[bm25TopK]] over the same corpus (the gate shares the oracle).
+    * Scale shape: query terms broadcast into the postings scan (the
+    * term-bucketized layout prunes whole buckets); the df/stats frames
+    * are index-table reads; nothing corpus-sized moves.
+    */
+  def bm25TopKIndexed(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      queries: DataFrame, queryIdCol: String, queryTextCol: String,
+      k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    graft.Tables.tuneForGates(spark)
+    val postings = spark.read.table(s"kvcat.`$dir/postings`")
+    val dfreq = spark.read.format("kv").option("path", s"$dir/terms").load()
+    val stats = spark.read.format("kv").option("path", s"$dir/stats").load()
+    val qt = queries.select(col(queryIdCol).as("qid"),
+      explode(array_distinct(split(lower(col(queryTextCol)), " "))).as("term"))
+    val matched = postings.join(broadcast(qt.select("term").distinct()), Seq("term"))
+    val scored = matched
+      .join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sdl") / col("nd"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("nd") - col("dfq") + lit(0.5)) / (col("dfq") + lit(0.5))))
+      .withColumn("tfp", col("tf") * lit(k1 + 1.0) /
+        (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("c", floor(col("idf") * col("tfp") * lit(1e6) + lit(0.5)))
+    val perQuery = broadcast(qt).join(scored, Seq("term"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(sum(col("c")).as("score_micro"))
+    topKDocs(perQuery, k)
   }
 }

@@ -47,6 +47,23 @@ object TextQueries {
         .orderBy(col("lid"), col("rid"))
     }),
 
+    // The persisted-index BM25 path: build the term-bucketized inverted
+    // index once in-gate, search against it — must answer IDENTICALLY
+    // to q_doc_bm25, so it shares that gate's oracle.
+    "q_doc_bm25_indexed" -> ((s, dir) => {
+      import s.implicits._
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val idx = s"/tmp/graft_bm25$safe"
+      ParquetIO.deletePath(idx)
+      graft.operators.TextRetrieval.buildBm25Index(
+        Tables.load(s, dir, "documents"), "text", "doc_id", idx)
+      val qs = Seq((1, "hash join"), (2, "stream window agg"),
+        (3, "vector data slow")).toDF("qid", "qtext")
+      graft.operators.TextRetrieval.bm25TopKIndexed(
+        s, idx, qs, "qid", "qtext", k = 5)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // BM25 keyword retrieval (Lucene idf variant): per-(term,doc)
     // contributions integer-quantized before the per-(query,doc) sum, so
     // the oracle replays the exact micro-unit scores; top-5 per query via
@@ -410,24 +427,8 @@ object TextQueries {
        |ORDER BY round""".stripMargin
   }
 
-  def oracles: Map[String, String] = Map(
-    "q_tokenizer_merges" -> bpeMergesOracle(6),
-    "q_dedup_near_ingest" -> SketchOracleSql.nearIngestOracle,
-
-    "q_fuzzy_join" ->
-      """SELECT a.c_custkey AS lid, b.c_custkey AS rid,
-        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
-        |FROM customer a JOIN customer b
-        |  ON a.c_custkey < b.c_custkey
-        | AND levenshtein(a.c_name, b.c_name) <= 1
-        |WHERE a.c_custkey < 300 AND b.c_custkey < 300
-        |ORDER BY lid, rid""".stripMargin,
-
-    // BM25: identical left-assoc double op order, contributions quantized
-    // to BIGINT micro-units before summation (order-free integer sum);
-    // sum cast back to BIGINT (DuckDB sum(BIGINT) is HUGEINT).
-    "q_doc_bm25" ->
-      """WITH d AS (
+  private val bm25OracleSql: String =
+    """WITH d AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS terms,
         |    CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl
         |  FROM documents
@@ -467,7 +468,27 @@ object TextQueries {
         |  FROM per
         |)
         |SELECT qid, doc_id, score_micro, rnk FROM r WHERE rnk <= 5
-        |ORDER BY qid, rnk""".stripMargin,
+        |ORDER BY qid, rnk""".stripMargin
+
+  def oracles: Map[String, String] = Map(
+    "q_tokenizer_merges" -> bpeMergesOracle(6),
+    "q_dedup_near_ingest" -> SketchOracleSql.nearIngestOracle,
+
+    "q_fuzzy_join" ->
+      """SELECT a.c_custkey AS lid, b.c_custkey AS rid,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_custkey < b.c_custkey
+        | AND levenshtein(a.c_name, b.c_name) <= 1
+        |WHERE a.c_custkey < 300 AND b.c_custkey < 300
+        |ORDER BY lid, rid""".stripMargin,
+
+    // BM25: identical left-assoc double op order, contributions quantized
+    // to BIGINT micro-units before summation (order-free integer sum);
+    // sum cast back to BIGINT (DuckDB sum(BIGINT) is HUGEINT).
+    "q_doc_bm25" -> bm25OracleSql,
+    // identical answers required from the persisted-index path
+    "q_doc_bm25_indexed" -> bm25OracleSql,
 
     "q_doc_decontaminate_bloom" -> decontaminateOracle,
     "q_doc_decontaminate" -> decontaminateOracle,

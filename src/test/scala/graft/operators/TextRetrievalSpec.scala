@@ -67,6 +67,17 @@ class TextRetrievalSpec extends SparkSpec {
       mixed.map(_.toString).mkString(","))
   }
 
+  test("persisted index answers identically to the in-memory path") {
+    val idx = java.nio.file.Files.createTempDirectory("bm25idx").toString + "/i"
+    TextRetrieval.buildBm25Index(docs, "text", "doc_id", idx, numBuckets = 4)
+    val qs = Seq((1, "spark fast"), (2, "runs duck")).toDF("qid", "qtext")
+    val mem = TextRetrieval.bm25TopK(docs, qs, "text", "doc_id", "qid", "qtext", k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    val viaIdx = TextRetrieval.bm25TopKIndexed(spark, idx, qs, "qid", "qtext", k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(mem == viaIdx)
+  }
+
   test("bm25 is deterministic across partition layouts") {
     val spread = TextRetrieval.bm25TopK(docs.repartition(7), Seq((1, "spark fast runs"))
       .toDF("qid", "qtext"), "text", "doc_id", "qid", "qtext", k = 5)
