@@ -89,6 +89,33 @@ object TextRetrieval {
         col("s.sm").cast("long").as("score_micro"),
         (col("pos") + 1).cast("int").as("rnk"))
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher 2009) — the
+    * standard hybrid-retrieval combiner: given per-query rankings from
+    * heterogeneous retrievers (BM25, dense ANN, …), score each candidate
+    * `Σ_r 1/(k0 + rank_r)` and re-rank. Scores are integer-quantized
+    * micro-units per (retriever, rank) — `floor(1e6 / (k0 + rank))` —
+    * so the fused ordering is an order-free integer sum any engine
+    * replays exactly. Inputs are (qid, doc_id, rnk) frames (the shape
+    * every retriever here emits); a document absent from one ranking
+    * simply contributes nothing from it.
+    *
+    * Scale shape: rankings are already top-k frames (|Q|·k rows each) —
+    * the fusion is a union + one partial-aggregable groupBy on
+    * (qid, doc_id) + bounded-heap top-k. Nothing corpus-sized.
+    */
+  def rrfFuse(rankings: Seq[DataFrame], k: Int, k0: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "need at least one ranking")
+    require(k0 >= 1, s"k0 must be >= 1, got $k0")
+    // integer division (a plain `/` on longs is double division in Spark)
+    val normalized = rankings.map(_.select(col("qid"), col("doc_id"),
+      expr(s"CAST(1000000 AS BIGINT) DIV ($k0 + CAST(rnk AS BIGINT))").as("contrib")))
+    val unioned = normalized.reduce(_ unionByName _)
+    topKDocs(
+      unioned.groupBy(col("qid"), col("doc_id"))
+        .agg(sum(col("contrib")).as("score_micro")),
+      k)
+  }
+
   /** Build the persisted BM25 index — "index once, search many", the
     * [[SimilaritySearch.buildIvfIndex]] stance for lexical retrieval:
     *

@@ -47,6 +47,25 @@ object TextQueries {
         .orderBy(col("lid"), col("rid"))
     }),
 
+    // Hybrid retrieval: BM25 lexical top-10 fused with dense cosine
+    // top-10 by reciprocal-rank fusion (integer micro-unit
+    // contributions) — the modern RAG retrieval head; both chains and
+    // the fusion replay in the oracle.
+    "q_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1, "hash join"), (2, "stream window agg"),
+        (3, "vector data slow")).toDF("qid", "qtext")
+      val lexical = graft.operators.TextRetrieval.bm25TopK(
+        Tables.load(s, dir, "documents"), qs, "text", "doc_id", "qid", "qtext", k = 10)
+        .select(col("qid"), col("doc_id"), col("rnk"))
+      val emb = Tables.load(s, dir, "embeddings")
+      val dense = graft.operators.SimilaritySearch.bruteForceKnn(
+        emb, emb.filter(col("vec_id").isin(1, 2, 3)), "embedding", "vec_id", k = 10)
+        .select(col("qid").cast("int").as("qid"), col("nid").as("doc_id"), col("rnk"))
+      graft.operators.TextRetrieval.rrfFuse(Seq(lexical, dense), k = 5)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // The persisted-index BM25 path: build the term-bucketized inverted
     // index once in-gate, search against it — must answer IDENTICALLY
     // to q_doc_bm25, so it shares that gate's oracle.
@@ -486,6 +505,80 @@ object TextQueries {
     // BM25: identical left-assoc double op order, contributions quantized
     // to BIGINT micro-units before summation (order-free integer sum);
     // sum cast back to BIGINT (DuckDB sum(BIGINT) is HUGEINT).
+    // hybrid fusion: both retrieval chains (bm25 k=10, cosine k=10) +
+    // the integer RRF combiner, replayed end to end
+    "q_hybrid_rrf" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(lower(text), ' ') AS terms,
+        |    CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl
+        |  FROM documents
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS nd, sum(dl) AS sdl FROM d
+        |), q AS (
+        |  SELECT * FROM (VALUES (1, 'hash join'), (2, 'stream window agg'),
+        |    (3, 'vector data slow')) t(qid, qtext)
+        |), qt AS (
+        |  SELECT qid, unnest(list_distinct(string_split(lower(qtext), ' '))) AS term
+        |  FROM q
+        |), qterms AS (SELECT DISTINCT term FROM qt
+        |), m AS (
+        |  SELECT doc_id, dl, unnest(terms) AS term FROM d
+        |), mt AS (
+        |  SELECT m.doc_id, m.dl, m.term FROM m JOIN qterms USING (term)
+        |), tf AS (
+        |  SELECT term, doc_id, dl, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM mt GROUP BY 1, 2, 3
+        |), dfreq AS (
+        |  SELECT term, CAST(count(*) AS DOUBLE) AS dfq FROM tf GROUP BY 1
+        |), scored AS (
+        |  SELECT tf.term, tf.doc_id,
+        |    CAST(floor(
+        |      ln(1.0 + (stats.nd - dfreq.dfq + 0.5) / (dfreq.dfq + 0.5)) *
+        |      (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (stats.sdl / stats.nd)))) *
+        |      1000000.0 + 0.5) AS BIGINT) AS c
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        |), per AS (
+        |  SELECT qt.qid, s.doc_id, CAST(sum(s.c) AS BIGINT) AS score_micro
+        |  FROM qt JOIN scored s USING (term)
+        |  GROUP BY 1, 2
+        |), lex AS (
+        |  SELECT qid, doc_id, rnk FROM (
+        |    SELECT qid, doc_id,
+        |      CAST(row_number() OVER (PARTITION BY qid
+        |        ORDER BY CAST(score_micro AS DOUBLE) DESC, doc_id) AS INT) AS rnk
+        |    FROM per
+        |  ) WHERE rnk <= 10
+        |), n AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+        |  FROM embeddings
+        |), p AS (
+        |  SELECT CAST(qv.vec_id AS INT) AS qid, c2.vec_id AS doc_id,
+        |    list_sum(list_transform(generate_series(1, len(qv.e)),
+        |      i -> qv.e[i] * c2.e[i])) / (qv.nrm * c2.nrm) AS sim
+        |  FROM n qv JOIN n c2 ON qv.vec_id IN (1, 2, 3) AND c2.vec_id <> qv.vec_id
+        |), den AS (
+        |  SELECT qid, doc_id, rnk FROM (
+        |    SELECT qid, doc_id,
+        |      CAST(row_number() OVER (PARTITION BY qid
+        |        ORDER BY sim DESC, doc_id) AS INT) AS rnk
+        |    FROM p
+        |  ) WHERE rnk <= 10
+        |), fused AS (
+        |  SELECT qid, doc_id, CAST(sum(c) AS BIGINT) AS score_micro FROM (
+        |    SELECT qid, doc_id, 1000000 // (60 + rnk) AS c FROM lex
+        |    UNION ALL
+        |    SELECT qid, doc_id, 1000000 // (60 + rnk) AS c FROM den
+        |  ) GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT qid, doc_id, score_micro,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY CAST(score_micro AS DOUBLE) DESC, doc_id) AS INT) AS rnk
+        |  FROM fused
+        |)
+        |SELECT qid, doc_id, score_micro, rnk FROM ranked WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
+
     "q_doc_bm25" -> bm25OracleSql,
     // identical answers required from the persisted-index path
     "q_doc_bm25_indexed" -> bm25OracleSql,

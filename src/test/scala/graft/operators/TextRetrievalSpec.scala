@@ -78,6 +78,21 @@ class TextRetrievalSpec extends SparkSpec {
     assert(mem == viaIdx)
   }
 
+  test("rrfFuse combines rankings exactly (integer contributions, both-lists boost)") {
+    val a = Seq((1, 100L, 1), (1, 101L, 2), (1, 102L, 3)).toDF("qid", "doc_id", "rnk")
+    val b = Seq((1, 102L, 1), (1, 103L, 2)).toDF("qid", "doc_id", "rnk")
+    val got = TextRetrieval.rrfFuse(Seq(a, b), k = 4)
+      .orderBy("rnk").as[(Int, Long, Long, Int)].collect().toSeq
+    def c(r: Int) = 1000000L / (60 + r)
+    // doc 102 appears in both lists → top despite rank 3 in list a
+    val want = Seq(
+      (1, 102L, c(3) + c(1), 1),
+      (1, 100L, c(1), 2),
+      (1, 101L, c(2), 3), // ties (16129) break doc_id-asc
+      (1, 103L, c(2), 4))
+    assert(got == want, s"got=$got want=$want")
+  }
+
   test("bm25 is deterministic across partition layouts") {
     val spread = TextRetrieval.bm25TopK(docs.repartition(7), Seq((1, "spark fast runs"))
       .toDF("qid", "qtext"), "text", "doc_id", "qid", "qtext", k = 5)
