@@ -47,6 +47,26 @@ object TextQueries {
         .orderBy(col("lid"), col("rid"))
     }),
 
+    // RAG-prep composition: token-window chunking feeding BM25 retrieval
+    // over the CHUNKS, with (doc, chunk) provenance — one Catalyst plan
+    // from raw documents to ranked passages; the oracle replays chunking
+    // and the full retrieval chain.
+    "q_pipeline_rag" -> ((s, dir) => {
+      import s.implicits._
+      val chunks = graft.operators.Curation.chunkDocuments(
+        Tables.load(s, dir, "documents"), "text", "doc_id", chunk = 64, stride = 48)
+        .select((col("doc_id") * 1000 + col("chunk_idx")).as("cid"),
+          col("chunk_text"))
+      val qs = Seq((1, "hash join"), (2, "stream window agg"),
+        (3, "vector data slow")).toDF("qid", "qtext")
+      graft.operators.TextRetrieval.bm25TopK(
+        chunks, qs, "chunk_text", "cid", "qid", "qtext", k = 5)
+        .select(col("qid"), expr("doc_id DIV 1000").as("doc_id"),
+          (col("doc_id") % 1000).cast("int").as("chunk_idx"),
+          col("score_micro"), col("rnk"))
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // Hybrid retrieval: BM25 lexical top-10 fused with dense cosine
     // top-10 by reciprocal-rank fusion (integer micro-unit
     // contributions) — the modern RAG retrieval head; both chains and
@@ -505,6 +525,62 @@ object TextQueries {
     // BM25: identical left-assoc double op order, contributions quantized
     // to BIGINT micro-units before summation (order-free integer sum);
     // sum cast back to BIGINT (DuckDB sum(BIGINT) is HUGEINT).
+    // RAG composition: q_doc_chunks' replay builds the chunk table, the
+    // bm25 chain runs over it with chunk ids doc_id·1000 + k, provenance
+    // derived back at the end
+    "q_pipeline_rag" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws FROM documents
+        |), chunks AS (
+        |  SELECT doc_id * 1000 + k AS cid,
+        |    array_to_string(ws[k * 48 + 1 : k * 48 + least(64, len(ws) - k * 48)],
+        |      ' ') AS text
+        |  FROM w, unnest(generate_series(0, (len(ws) - 1) // 48)) AS t(k)
+        |  WHERE len(ws) > 1 OR ws[1] <> ''
+        |), d AS (
+        |  SELECT cid, string_split(lower(text), ' ') AS terms,
+        |    CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl
+        |  FROM chunks
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS nd, sum(dl) AS sdl FROM d
+        |), q AS (
+        |  SELECT * FROM (VALUES (1, 'hash join'), (2, 'stream window agg'),
+        |    (3, 'vector data slow')) t(qid, qtext)
+        |), qt AS (
+        |  SELECT qid, unnest(list_distinct(string_split(lower(qtext), ' '))) AS term
+        |  FROM q
+        |), qterms AS (SELECT DISTINCT term FROM qt
+        |), m AS (
+        |  SELECT cid, dl, unnest(terms) AS term FROM d
+        |), mt AS (
+        |  SELECT m.cid, m.dl, m.term FROM m JOIN qterms USING (term)
+        |), tf AS (
+        |  SELECT term, cid, dl, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM mt GROUP BY 1, 2, 3
+        |), dfreq AS (
+        |  SELECT term, CAST(count(*) AS DOUBLE) AS dfq FROM tf GROUP BY 1
+        |), scored AS (
+        |  SELECT tf.term, tf.cid,
+        |    CAST(floor(
+        |      ln(1.0 + (stats.nd - dfreq.dfq + 0.5) / (dfreq.dfq + 0.5)) *
+        |      (tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / (stats.sdl / stats.nd)))) *
+        |      1000000.0 + 0.5) AS BIGINT) AS c
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        |), per AS (
+        |  SELECT qt.qid, s.cid, CAST(sum(s.c) AS BIGINT) AS score_micro
+        |  FROM qt JOIN scored s USING (term)
+        |  GROUP BY 1, 2
+        |), r AS (
+        |  SELECT qid, cid, score_micro,
+        |    CAST(row_number() OVER (PARTITION BY qid
+        |      ORDER BY CAST(score_micro AS DOUBLE) DESC, cid) AS INT) AS rnk
+        |  FROM per
+        |)
+        |SELECT qid, cid // 1000 AS doc_id, CAST(cid % 1000 AS INT) AS chunk_idx,
+        |  score_micro, rnk
+        |FROM r WHERE rnk <= 5
+        |ORDER BY qid, rnk""".stripMargin,
+
     // hybrid fusion: both retrieval chains (bm25 k=10, cosine k=10) +
     // the integer RRF combiner, replayed end to end
     "q_hybrid_rrf" ->
