@@ -39,6 +39,37 @@ object KvMerge {
 
   val Ops: Set[String] = Set("INSERT", "UPSERT", "UPDATE", "DELETE")
 
+  /** Retention maintenance for streaming-sink tables: delete UNCOMMITTED
+    * epoch files older than `olderThanMs` — the disk-growth leak of a
+    * crashed streaming writer (readers already ignore epoch files whose
+    * `_commits/<id>` marker is missing, but the bytes stay behind
+    * forever; a replayed epoch rewrites its own names, so files this old
+    * belong to epochs that will never commit). Committed epochs and
+    * non-epoch files are never touched. Returns the number of files
+    * removed.
+    */
+  def vacuum(path: String, olderThanMs: Long): Int = {
+    require(olderThanMs >= 0, s"olderThanMs must be >= 0, got $olderThanMs")
+    val fs = new Path(path).getFileSystem(ParquetIO.hadoopConf)
+    val p = new Path(path)
+    if (!fs.exists(p)) return 0
+    val commits = new Path(p, "_commits")
+    val committed: Set[String] =
+      if (fs.exists(commits)) fs.listStatus(commits).map(_.getPath.getName).toSet
+      else Set.empty
+    val cutoff = System.currentTimeMillis() - olderThanMs
+    val stale = fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && n.startsWith("epoch-") && n.endsWith(".parquet") &&
+        !committed.contains(n.stripPrefix("epoch-").takeWhile(_ != '-')) &&
+        st.getModificationTime < cutoff
+    }
+    stale.foreach(st => fs.delete(st.getPath, false))
+    // planning caches key on (path, len, mtime) — a deleted file simply
+    // stops appearing in listings, no invalidation needed
+    stale.length
+  }
+
   /** Heal a crash between backup-aside and rename-into-place: the backup
     * is the last committed table state. Call before reading the table in
     * any maintenance op.

@@ -52,6 +52,32 @@ object TokenizerTraining {
         .otherwise(acc.getField("out")))
   }
 
+  /** The same greedy merge as [[applyMerge]], as a LINEAR JVM pass for
+    * the training hot loop: the Column fold's per-token array `concat`
+    * copies the accumulated array every step — O(len²) per document,
+    * and the dominant cost of a training round. Semantics are pinned
+    * equal by the round-for-round trainer spec.
+    */
+  private def applyMergeRows(df: DataFrame, l: String, r: String): DataFrame = {
+    val schema = df.schema
+    val idx = schema.fieldIndex("__toks")
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    val merged = l + " " + r
+    df.mapPartitions { rows =>
+      rows.map { row =>
+        val t = row.getSeq[String](idx)
+        val n = t.length
+        val b = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < n) {
+          if (i + 1 < n && t(i) == l && t(i + 1) == r) { b += merged; i += 2 }
+          else { b += t(i); i += 1 }
+        }
+        Row(b.toSeq)
+      }
+    }(enc)
+  }
+
   /** Adjacent (l, r) pair stream of a token-array column. */
   private def pairStream(df: DataFrame): DataFrame = {
     val n = size(col("__toks"))
@@ -77,11 +103,17 @@ object TokenizerTraining {
     var exhausted = false
     while (round <= rounds && !exhausted) {
       // this action materializes cur's cache, after which its parent's
-      // cache is dead weight — no separate count() job needed
+      // cache is dead weight — no separate count() job needed. The
+      // argmax rides the bounded-heap aggregate (count desc, l asc,
+      // r asc — the exact tie rule) instead of a global sort + limit.
       val top = pairStream(cur)
         .groupBy(col("l"), col("r")).agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("l"), col("r"))
-        .limit(1).collect()
+        .agg(graft.functions.BoundedTopK.topK(
+          struct(col("c").cast("double").as("c"), col("l"), col("r")), 1).as("t"))
+        .select(col("t")(0).getField("l").as("l"), col("t")(0).getField("r").as("r"),
+          col("t")(0).getField("c").cast("long").as("c"))
+        .where(col("l").isNotNull)
+        .collect()
       if (parent != null) { parent.unpersist(); parent = null }
       if (top.isEmpty) exhausted = true
       else {
@@ -90,7 +122,7 @@ object TokenizerTraining {
         merges += ((round, l, r, c))
         if (round < rounds) { // the last round's merge is never counted
           parent = cur
-          cur = cur.select(applyMerge(col("__toks"), l, r).as("__toks"))
+          cur = applyMergeRows(cur, l, r)
             .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         }
         round += 1

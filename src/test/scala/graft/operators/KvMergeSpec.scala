@@ -155,4 +155,36 @@ class KvMergeSpec extends SparkSpec {
     // and the table is intact
     assert(spark.read.format("kv").option("path", dir).load().count() == 400)
   }
+
+  test("vacuum removes only stale uncommitted epoch files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("vacuum").toString + "/t"
+    (0 until 10).map(i => (i.toLong, s"v$i")).toDF("k", "v")
+      .write.format("kv").option("path", dir).mode("overwrite").save()
+    // simulate a crashed streaming writer: one committed epoch, one
+    // uncommitted (data file but no _commits marker)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(graft.sources.ParquetIO.hadoopConf)
+    val part = graft.sources.ParquetIO.listFiles(dir).head
+    fs.mkdirs(new org.apache.hadoop.fs.Path(dir, "_commits"))
+    def copyAs(name: String): Unit = {
+      val dst = new org.apache.hadoop.fs.Path(dir, name)
+      org.apache.hadoop.fs.FileUtil.copy(fs, part, fs, dst, false,
+        graft.sources.ParquetIO.hadoopConf)
+      ()
+    }
+    copyAs("epoch-7-part-0.parquet")
+    fs.create(new org.apache.hadoop.fs.Path(dir, "_commits/7")).close()
+    copyAs("epoch-9-part-0.parquet") // uncommitted
+    val before = spark.read.format("kv").option("path", dir).load().count()
+    // too-young uncommitted files survive a tight retention window...
+    assert(KvMerge.vacuum(dir, olderThanMs = 60000) == 0)
+    // ...and die once older than the cutoff
+    assert(KvMerge.vacuum(dir, olderThanMs = 0) == 1)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "epoch-9-part-0.parquet")))
+    // committed epoch + plain files untouched; visible rows unchanged
+    // (readers never saw the uncommitted epoch anyway)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "epoch-7-part-0.parquet")))
+    assert(spark.read.format("kv").option("path", dir).load().count() == before)
+  }
 }
