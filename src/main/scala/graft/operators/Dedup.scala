@@ -331,6 +331,63 @@ object Dedup {
     survivors
   }
 
+  /** TF-IDF weighted-cosine near-dup pairs — the weighted-lexical tier
+    * between set-based n-gram Jaccard (which ignores term weights) and
+    * embedding cosine (which needs vectors): two documents pair iff the
+    * cosine of their tf-idf vectors clears `minCosPermille/1000`.
+    *
+    * Exactness contract: per-(doc,term) weights are quantized ONCE
+    * (`floor(tf·(ln((N+1)/(df+1)) + 1)·1000 + 0.5)` — the corpus tf-idf
+    * convention, one ln per term type), dots and norms are exact integer
+    * sums over those weights, and the threshold test is the
+    * cross-multiplied integer compare
+    * `1e6·dot² ≥ p²·‖a‖²·‖b‖²` in 38-digit decimals (both engines carry
+    * ≥128-bit exact integers at this width) — no float cosine, no sqrt,
+    * nothing order-dependent.
+    *
+    * Scale shape: terms with document frequency above `maxTermDf` are
+    * pruned from the vector space entirely (ubiquitous terms carry no
+    * discriminative weight — the stopword-pruning standard, and the same
+    * df-cap stance as [[ngramJaccard]]); candidates then come from a
+    * term-keyed equi-join over the pruned postings, norms are one
+    * partial-aggregable groupBy, and every returned pair carries its
+    * exact (dot, na, nb) integers.
+    */
+  def tfidfCosine(
+      df: DataFrame, textCol: String, idCol: String,
+      minCosPermille: Int, maxTermDf: Int = 100): DataFrame = {
+    require(minCosPermille >= 1 && minCosPermille <= 1000,
+      s"minCosPermille must be in [1, 1000], got $minCosPermille")
+    require(maxTermDf >= 1, s"maxTermDf must be >= 1, got $maxTermDf")
+    val d = df.select(col(idCol).as("id"),
+      explode(split(lower(col(textCol)), " ")).as("term"))
+    val tf = d.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfq"))
+      .where(col("dfq") <= maxTermDf) // prune ubiquitous terms
+    val nd = df.select(col(idCol)).agg(count(lit(1)).cast("double").as("nd"))
+    val w = tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(nd))
+      .select(col("id"), col("term"),
+        floor(col("tf").cast("double") *
+          (log((col("nd") + 1.0) / (col("dfq").cast("double") + 1.0)) + 1.0) *
+          1000.0 + 0.5).cast("long").as("wq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val norms = w.groupBy(col("id")).agg(sum(col("wq") * col("wq")).as("n2"))
+    val dots = w.as("a").join(w.as("b"),
+        col("a.term") === col("b.term") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(sum(col("a.wq") * col("b.wq")).as("dot"))
+    val dec = "decimal(38,0)"
+    val p2 = minCosPermille.toLong * minCosPermille
+    dots
+      .join(norms.select(col("id").as("id_a"), col("n2").as("na")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("n2").as("nb")), "id_b")
+      .where(lit(1000000L).cast(dec) * col("dot").cast(dec) * col("dot").cast(dec) >=
+        lit(p2).cast(dec) * col("na").cast(dec) * col("nb").cast(dec))
+      .select(col("id_a"), col("id_b"), col("dot"), col("na"), col("nb"))
+  }
+
   /** SimHash near-dup pairs: 64-bit sketch, candidates banded into
     * maxHamming + 1 chunks — the pigeonhole guarantees FULL recall at the
     * requested radius (two sketches within Hamming distance maxHamming

@@ -287,6 +287,17 @@ object TextQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // TF-IDF weighted-cosine near-dup (the weighted-lexical tier):
+    // pairs clearing cosine 0.6 over df-pruned tf-idf vectors; the
+    // threshold is a cross-multiplied exact integer compare, and every
+    // pair carries its exact (dot, na, nb) integers for the oracle.
+    "q_dedup_tfidf" -> ((s, dir) => {
+      graft.operators.Dedup.tfidfCosine(
+        Tables.load(s, dir, "documents"), "text", "doc_id",
+        minCosPermille = 600, maxTermDf = 100)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // Incremental NEAR-dup ingest: odd docs seed the persisted MinHash
     // signature index in-gate, then the even-doc batch is screened
     // against it (est Jaccard >= 0.2) — survivors out, their signatures
@@ -512,6 +523,39 @@ object TextQueries {
   def oracles: Map[String, String] = Map(
     "q_tokenizer_merges" -> bpeMergesOracle(6),
     "q_dedup_near_ingest" -> SketchOracleSql.nearIngestOracle,
+
+    // tf-idf cosine: weights quantized once per (doc, term), exact
+    // integer dots/norms, HUGEINT cross-multiplied threshold (600² = 360000)
+    "q_dedup_tfidf" ->
+      """WITH d AS (
+        |  SELECT doc_id AS id, unnest(string_split(lower(text), ' ')) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT id, term, count(*)::BIGINT AS tf FROM d GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(*)::BIGINT AS dfq FROM tf GROUP BY 1
+        |  HAVING count(*) <= 100
+        |), nd AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+        |w AS (
+        |  SELECT id, term,
+        |    CAST(floor(CAST(tf AS DOUBLE) *
+        |      (ln((nd.nd + 1.0) / (CAST(dfq AS DOUBLE) + 1.0)) + 1.0) *
+        |      1000.0 + 0.5) AS BIGINT) AS wq
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd
+        |), norms AS (
+        |  SELECT id, CAST(sum(wq * wq) AS BIGINT) AS n2 FROM w GROUP BY 1
+        |), dots AS (
+        |  SELECT a.id AS id_a, b.id AS id_b, CAST(sum(a.wq * b.wq) AS BIGINT) AS dot
+        |  FROM w a JOIN w b ON a.term = b.term AND a.id < b.id
+        |  GROUP BY 1, 2
+        |)
+        |SELECT id_a, id_b, dot, na.n2 AS na, nb.n2 AS nb
+        |FROM dots
+        |JOIN norms na ON na.id = dots.id_a
+        |JOIN norms nb ON nb.id = dots.id_b
+        |WHERE 1000000::HUGEINT * dot::HUGEINT * dot::HUGEINT >=
+        |      360000::HUGEINT * na.n2::HUGEINT * nb.n2::HUGEINT
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_fuzzy_join" ->
       """SELECT a.c_custkey AS lid, b.c_custkey AS rid,

@@ -435,6 +435,46 @@ class DedupSpec extends SparkSpec {
     assert(out == Seq(12L, 14L))
   }
 
+  test("tfidfCosine equals a scalar replay on randomized docs") {
+    val rnd = new scala.util.Random(7)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta")
+    val docs = (0L until 40L).map { i =>
+      val n = rnd.nextInt(12) + 3
+      (i, Seq.fill(n)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+    }
+    val p = 700; val cap = 25
+    val got = Dedup.tfidfCosine(docs.toDF("doc_id", "text"), "text", "doc_id",
+      minCosPermille = p, maxTermDf = cap)
+      .select("id_a", "id_b", "dot", "na", "nb")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+
+    // scalar replay with the identical quantization
+    val corpus = docs.toMap.view.mapValues(_.toLowerCase.split(" ", -1).toSeq).toMap
+    val nd = corpus.size.toDouble
+    val tf = corpus.map { case (id, ts) =>
+      id -> ts.groupBy(identity).view.mapValues(_.size.toLong).toMap }
+    val dfq = tf.values.flatMap(_.keys).groupBy(identity).view.mapValues(_.size.toLong)
+      .filter(_._2 <= cap).toMap
+    val wq = tf.map { case (id, m) =>
+      id -> m.collect { case (t, c) if dfq.contains(t) =>
+        t -> math.floor(c.toDouble * (math.log((nd + 1.0) / (dfq(t) + 1.0)) + 1.0)
+          * 1000.0 + 0.5).toLong
+      }.toMap
+    }
+    val want = (for {
+      a <- corpus.keys; b <- corpus.keys if a < b
+      shared = wq(a).keySet intersect wq(b).keySet if shared.nonEmpty
+      dot = shared.toSeq.map(t => wq(a)(t) * wq(b)(t)).sum
+      na = wq(a).values.map(v => v * v).sum
+      nb = wq(b).values.map(v => v * v).sum
+      if BigInt(1000000) * BigInt(dot) * BigInt(dot) >=
+        BigInt(p.toLong * p) * BigInt(na) * BigInt(nb)
+    } yield (a, b, dot, na, nb)).toSet
+    assert(got == want,
+      s"missing=${(want -- got).take(3)} extra=${(got -- want).take(3)}")
+    assert(want.nonEmpty, "degenerate test: no pairs cleared the threshold")
+  }
+
   test("nearDupIngest: batch screened against the persisted index, survivors appended") {
     val idx = java.nio.file.Files.createTempDirectory("neardup").toString + "/idx"
     def run(rows: Seq[(Long, String)]): Seq[Long] =
