@@ -100,4 +100,49 @@ object CorpusStats {
       .agg(max(col("n")).as("n"),
         ps.map(p => max(when(col("p") === p, col("q"))).as(pName(p))): _*)
   }
+
+  /** Unigram distribution drift between two corpus snapshots — the
+    * dataset-release audit for "did the language move?" (new crawl vs
+    * last release, post-filter vs pre-filter). Both sides tokenize on
+    * lowercased whitespace words; term probabilities are Laplace-smoothed
+    * over the UNION vocabulary (p_a = (c_a+1)/(T_a+V)), and each term
+    * carries its pointwise KL(A‖B) contribution p_a·ln(p_a/p_b) quantized
+    * ONCE to integer micro-nats — corpus-level KL is the exact integer
+    * sum of that column, and the returned frame is the top `topN`
+    * positive drivers (terms over-represented in A), the release-notes
+    * view. Deterministic: one ln per term TYPE, integer compare ties.
+    *
+    * Scale shape: one partial-aggregable term count per side, a same-key
+    * (term) full-outer join of the two count frames, a ONE-row broadcast
+    * totals frame, and a bounded-heap global top-N — nothing corpus-sized
+    * reaches the driver and the token streams shuffle exactly once each.
+    */
+  def unigramDrift(
+      a: DataFrame, b: DataFrame, textCol: String, topN: Int = 50): DataFrame = {
+    require(topN >= 1, s"topN must be >= 1, got $topN")
+    def counts(df: DataFrame, as: String) =
+      df.select(explode(
+          graft.functions.WhitespaceTokens.wsTokens(lower(col(textCol)))).as("term"))
+        .groupBy(col("term")).agg(count(lit(1)).as(as))
+    val joined = counts(a, "cnt_a")
+      .join(counts(b, "cnt_b"), Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("cnt_a"), lit(0L)).as("cnt_a"),
+        coalesce(col("cnt_b"), lit(0L)).as("cnt_b"))
+    val tot = joined.agg(
+      sum(col("cnt_a")).cast("double").as("__ta"),
+      sum(col("cnt_b")).cast("double").as("__tb"),
+      count(lit(1)).cast("double").as("__v"))
+    val pa = (col("cnt_a").cast("double") + lit(1.0)) / (col("__ta") + col("__v"))
+    val pb = (col("cnt_b").cast("double") + lit(1.0)) / (col("__tb") + col("__v"))
+    val klMicro = floor(lit(1e6) * (pa * log(pa / pb)) + lit(0.5)).cast("long")
+    joined.crossJoin(broadcast(tot))
+      .select(col("term"), col("cnt_a"), col("cnt_b"), klMicro.as("kl_micro"))
+      .agg(graft.functions.BoundedTopK.topK(
+        struct(col("kl_micro").cast("double").as("s"), col("term"),
+          col("cnt_a"), col("cnt_b"), col("kl_micro").as("kl")), topN).as("top"))
+      .select(explode(col("top")).as("t"))
+      .select(col("t.term").as("term"), col("t.cnt_a").as("cnt_a"),
+        col("t.cnt_b").as("cnt_b"), col("t.kl").as("kl_micro"))
+  }
 }

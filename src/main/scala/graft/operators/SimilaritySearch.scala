@@ -401,6 +401,26 @@ object SimilaritySearch {
       nCells: Int = 16, nProbe: Int = 4,
       m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
       maxTrainPerCell: Int = 16384): DataFrame = {
+    val scored = ivfPqAdcScores(corpus, queries, vecCol, idCol,
+      nCells, nProbe, m, pqCells, iterations, maxTrainPerCell)
+    scored.groupBy(col("qid"))
+      .agg(BoundedTopK.topK(
+        struct((-col("adist")).as("negd"), col("nid").as("nid")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
+      .select(col("qid"), col("s.nid").as("nid"),
+        round(-col("s.negd"), 6).as("adist"), (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  /** The IVF-PQ candidate generator shared by [[ivfPqKnn]] and
+    * [[ivfPqRefineKnn]]: (qid, nid, adist) for every code in the query's
+    * probed cells, self-matches excluded.
+    */
+  private def ivfPqAdcScores(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String,
+      nCells: Int, nProbe: Int,
+      m: Int, pqCells: Int, iterations: Int,
+      maxTrainPerCell: Int): DataFrame = {
     def sub(df: DataFrame, s: Int): DataFrame = pqSubspace(df, vecCol, idCol, s, m)
 
     // coarse inverted lists over the full vectors
@@ -440,19 +460,50 @@ object SimilaritySearch {
       .select(col("id").as("qid"),
         array((0 until m).map(s => col(s"dt$s")): _*).as("dtabs"))
 
-    val scored = broadcast(probes.join(dtabs, "qid"))
+    broadcast(probes.join(dtabs, "qid"))
       .join(codes, Seq("ivf_cell"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
           (acc, s) => acc + element_at(element_at(col("dtabs"), s + 1),
             (element_at(col("codes"), s + 1) + 1).cast("int"))).as("adist"))
-    scored.groupBy(col("qid"))
+  }
+
+  /** IVF-PQ with an exact re-ranking tail (the FAISS `IndexRefineFlat`
+    * pattern): ADC selects a `refine`-sized shortlist per query from the
+    * compact codes, then ONLY those shortlist ids fetch their raw vectors
+    * for exact cosine rescoring, and the top `k` by TRUE similarity come
+    * back. The recall of a wide approximate beam, the final ordering of
+    * exact similarity — per query the corpus pays its code scan plus
+    * `refine` raw-vector dot products instead of N.
+    *
+    * Scale shape: the shortlist is queries×refine rows (broadcast-sized);
+    * the raw corpus is probed by a broadcast hash join on id and never
+    * shuffles. Shortlist selection rides the bounded heap (adist asc,
+    * nid asc at the boundary — the deterministic cut the oracle replays).
+    */
+  def ivfPqRefineKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, refine: Int = 16,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384): DataFrame = {
+    require(refine >= k, s"refine shortlist ($refine) must be >= k ($k)")
+    val scored = ivfPqAdcScores(corpus, queries, vecCol, idCol,
+      nCells, nProbe, m, pqCells, iterations, maxTrainPerCell)
+    val shortlist = scored.groupBy(col("qid"))
       .agg(BoundedTopK.topK(
-        struct((-col("adist")).as("negd"), col("nid").as("nid")), k).as("top"))
-      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
-      .select(col("qid"), col("s.nid").as("nid"),
-        round(-col("s.negd"), 6).as("adist"), (col("pos") + 1).cast("int").as("rnk"))
+        struct((-col("adist")).as("negd"), col("nid").as("nid")), refine).as("top"))
+      .select(col("qid"), explode(col("top").getField("nid")).as("nid"))
+    val c = prep(corpus, vecCol, idCol)
+      .select(col("id").as("nid"), col("e").as("ne"), col("nrm").as("nn"))
+    val q = prep(queries, vecCol, idCol)
+      .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    topKPerQuery(
+      broadcast(shortlist.join(q, "qid")).join(c, Seq("nid"))
+        .select(col("qid"), col("nid"),
+          (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim")),
+      k)
   }
 
   /** Persist an IVF index: centroids and cell assignments land as two kv
@@ -577,6 +628,35 @@ object SimilaritySearch {
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
       .select(col("qid"), col("s.nid").as("nid"),
         round(-col("s.negd"), 6).as("adist"), (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  /** Exact dense re-rank of a candidate shortlist — the cascade tail of
+    * a retrieve-then-rerank stack: `candidates` is a per-query shortlist
+    * (qid, nid) from ANY first-stage retriever (BM25, ANN, RRF fusion);
+    * every pair scores exact cosine between the query's and the
+    * candidate's vector, and the top `k` by TRUE similarity return as
+    * (qid, nid, sim, rnk).
+    *
+    * Scale shape: the shortlist is |Q|·R rows (broadcast-sized by
+    * construction); the vector table is probed by a broadcast hash join
+    * on id — it never shuffles and is never brute-force scanned per
+    * query. This is the shape that turns any cheap recall stage into an
+    * exact-ordered result at 100 TB.
+    */
+  def denseRerank(
+      candidates: DataFrame, queryVecs: DataFrame, docVecs: DataFrame,
+      vecCol: String, idCol: String, k: Int): DataFrame = {
+    val q = prep(queryVecs, vecCol, idCol)
+      .select(col("id").as("__qv_id"), col("e").as("qe"), col("nrm").as("qn"))
+    val c = prep(docVecs, vecCol, idCol)
+      .select(col("id").as("__cv_id"), col("e").as("ne"), col("nrm").as("nn"))
+    val paired = candidates.select(col("qid"), col("nid"))
+      .join(q, col("qid") === col("__qv_id"))
+    topKPerQuery(
+      broadcast(paired).join(c, col("nid") === col("__cv_id"))
+        .select(col("qid"), col("nid"),
+          (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim")),
+      k)
   }
 
   /** Contrastive hard-negative mining: for each query vector, the k most

@@ -109,6 +109,19 @@ object CurationQueries {
         .orderBy(col("id"))
     }),
 
+    // Unigram distribution drift (release audit): English docs vs the
+    // rest of the corpus — Laplace-smoothed union-vocabulary term
+    // probabilities, pointwise KL(A||B) per term in integer micro-nats,
+    // top-40 positive drivers. One ln per term type; every float step
+    // (including the smoothing denominators) replays in the oracle.
+    "q_corpus_drift" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.CorpusStats.unigramDrift(
+        docs.filter(col("lang") === "en"), docs.filter(col("lang") =!= "en"),
+        "text", topN = 40)
+        .orderBy(col("kl_micro").desc, col("term"))
+    }),
+
     // Deterministic train/val/test split assignment: every doc lands in
     // exactly one named split by an integer threshold compare on
     // splitmix64(doc_id ^ seed) — stable under corpus growth, replayed
@@ -535,6 +548,40 @@ object CurationQueries {
         |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
         |WHERE (v1.doc_id IS NULL OR v2.doc_id IS NULL OR v1.t <> v2.t)
         |ORDER BY id""".stripMargin,
+
+    // drift replay: identical smoothing denominators and op order (the
+    // single ln per term type quantized with floor(1e6·x + 0.5))
+    "q_corpus_drift" ->
+      """WITH ta AS (
+        |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    w -> w <> '')) AS term
+        |  FROM documents WHERE lang = 'en'
+        |), tb AS (
+        |  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+        |    w -> w <> '')) AS term
+        |  FROM documents WHERE lang <> 'en'
+        |), caq AS (SELECT term, count(*)::BIGINT AS cnt_a FROM ta GROUP BY 1
+        |), cbq AS (SELECT term, count(*)::BIGINT AS cnt_b FROM tb GROUP BY 1
+        |), j AS (
+        |  SELECT coalesce(caq.term, cbq.term) AS term,
+        |    coalesce(cnt_a, 0::BIGINT) AS cnt_a,
+        |    coalesce(cnt_b, 0::BIGINT) AS cnt_b
+        |  FROM caq FULL OUTER JOIN cbq ON caq.term = cbq.term
+        |), tot AS (
+        |  SELECT CAST(sum(cnt_a) AS DOUBLE) AS ta, CAST(sum(cnt_b) AS DOUBLE) AS tb,
+        |    CAST(count(*) AS DOUBLE) AS v
+        |  FROM j
+        |), k AS (
+        |  SELECT term, cnt_a, cnt_b,
+        |    CAST(floor(1000000.0 *
+        |      (((CAST(cnt_a AS DOUBLE) + 1.0) / (tot.ta + tot.v)) *
+        |       ln(((CAST(cnt_a AS DOUBLE) + 1.0) / (tot.ta + tot.v)) /
+        |          ((CAST(cnt_b AS DOUBLE) + 1.0) / (tot.tb + tot.v)))) + 0.5)
+        |      AS BIGINT) AS kl_micro
+        |  FROM j, tot
+        |)
+        |SELECT term, cnt_a, cnt_b, kl_micro FROM k
+        |ORDER BY kl_micro DESC, term LIMIT 40""".stripMargin,
 
     // temperature keep-set replay chained into the per-lang window-sum
     // budget replay (both fragments identical to their standalone gates)

@@ -219,6 +219,19 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // IVF-PQ + exact refine: the ADC beam picks a 10-wide shortlist, the
+    // shortlist rescores with exact cosine over the raw vectors, top-3 by
+    // TRUE similarity — approximate recall, exact final ordering (the
+    // FAISS IndexRefineFlat pattern; every stage incl. the shortlist cut
+    // replays in the oracle).
+    "q_ann_ivfpq_refine" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.ivfPqRefineKnn(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, refine = 10, nCells = 4, nProbe = 2,
+        m = 2, pqCells = 4, maxTrainPerCell = 32)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // The persisted-index path: build the IVF index once (kv tables for
     // centroids + cell assignments), search against it — must answer
     // IDENTICALLY to the in-memory q_ann_ivf, so it shares that gate's

@@ -741,6 +741,67 @@ object SketchOracleSql {
        |FROM ip_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
   }
 
+  /** q_ann_ivfpq_refine: the IVF-PQ chain of [[annIvfPqOracle]] plus the
+    * exact re-rank tail — ADC picks a 10-wide shortlist per query
+    * (adist asc, nid asc at the cut), the shortlist rescored with exact
+    * cosine over the raw vectors, final rank by true similarity.
+    */
+  def annIvfPqRefineOracle: String = {
+    def prepSub(p: String, lo: Int, hi: Int) =
+      s"""${p}prep AS MATERIALIZED (
+         |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[])[$lo:$hi] AS e FROM embeddings
+         |)""".stripMargin
+    def qd(p: String, out: String) =
+      s"""$out AS (
+         |  SELECT q.id AS qid, c.cell, ${kmD2("q.e", "c.ce")} AS d
+         |  FROM ${p}prep q CROSS JOIN ${p}cent2 c WHERE q.id < 5
+         |)""".stripMargin
+    s"""WITH ip_prep AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e,
+       |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+       |  FROM embeddings
+       |), ${kmChain("ip_", 4, 32)},
+       |${prepSub("ipq0_", 1, 32)}, ${kmChain("ipq0_", 4, 32)},
+       |${prepSub("ipq1_", 33, 64)}, ${kmChain("ipq1_", 4, 32)},
+       |ip_codes AS (
+       |  SELECT a0.id, l.cell AS ivf_cell, a0.cell AS c0, a1.cell AS c1
+       |  FROM ipq0_af a0 JOIN ipq1_af a1 USING (id) JOIN ip_af l USING (id)
+       |), ip_probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.id AS qid, c.cell,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY ${kmD2("q.e", "c.ce")}, c.cell) AS rn
+       |    FROM (SELECT id, e FROM ip_prep WHERE id < 5) q CROSS JOIN ip_cent2 c
+       |  ) WHERE rn <= 2
+       |), ${qd("ipq0_", "ip_qd0")}, ${qd("ipq1_", "ip_qd1")},
+       |ip_scored AS (
+       |  SELECT p.qid, k.id AS nid, q0.d + q1.d AS adist
+       |  FROM ip_probes p
+       |  JOIN ip_codes k ON k.ivf_cell = p.cell
+       |  JOIN ip_qd0 q0 ON q0.qid = p.qid AND q0.cell = k.c0
+       |  JOIN ip_qd1 q1 ON q1.qid = p.qid AND q1.cell = k.c1
+       |  WHERE p.qid <> k.id
+       |), ip_short AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
+       |    FROM ip_scored
+       |  ) WHERE rn <= 10
+       |), ip_exact AS (
+       |  SELECT s.qid, s.nid,
+       |    list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * c.e[i]))
+       |      / (q.nrm * c.nrm) AS sim
+       |  FROM ip_short s
+       |  JOIN ip_prep q ON q.id = s.qid
+       |  JOIN ip_prep c ON c.id = s.nid
+       |), ip_rranked AS (
+       |  SELECT qid, nid, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk
+       |  FROM ip_exact
+       |)
+       |SELECT qid, nid, round(sim, 6) AS sim, rnk
+       |FROM ip_rranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+  }
+
   /** q_dedup_semantic: SemDeDup replay — the same deterministic k-means
     * chain as the IVF oracle (8 cells, cap-32 training samples), then
     * all within-cell pairs with round(cosine, 6) >= 0.25, id_a < id_b.
@@ -837,6 +898,7 @@ object SketchOracleSql {
     "q_ann_ivf_indexed" -> annIvfOracle,
     "q_ann_pq" -> annPqOracle,
     "q_ann_ivfpq" -> annIvfPqOracle,
+    "q_ann_ivfpq_refine" -> annIvfPqRefineOracle,
     "q_dedup_groups" -> componentsOracle,
     "q_dedup_drop_best" -> dropBestOracle,
     "q_corpus_stats" -> corpusStatsOracle,

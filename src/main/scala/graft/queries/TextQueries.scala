@@ -67,6 +67,26 @@ object TextQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // Retrieve-then-rerank cascade: BM25 recalls a 20-wide lexical
+    // shortlist per query, the shortlist rescores with EXACT cosine over
+    // the embedding table (vec_id = doc_id), top-5 by true similarity —
+    // the two-stage production retrieval head; both stages and the
+    // shortlist cut replay in the oracle.
+    "q_pipeline_rerank" -> ((s, dir) => {
+      import s.implicits._
+      val qs = Seq((1, "hash join"), (2, "stream window agg"),
+        (3, "vector data slow")).toDF("qid", "qtext")
+      val lexical = graft.operators.TextRetrieval.bm25TopK(
+        Tables.load(s, dir, "documents"), qs, "text", "doc_id", "qid", "qtext",
+        k = 20)
+        .select(col("qid"), col("doc_id").as("nid"))
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.operators.SimilaritySearch.denseRerank(
+        lexical, emb.filter(col("vec_id").isin(1, 2, 3)), emb,
+        "embedding", "vec_id", k = 5)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // Hybrid retrieval: BM25 lexical top-10 fused with dense cosine
     // top-10 by reciprocal-rank fusion (integer micro-unit
     // contributions) — the modern RAG retrieval head; both chains and
@@ -477,7 +497,10 @@ object TextQueries {
        |ORDER BY round""".stripMargin
   }
 
-  private val bm25OracleSql: String =
+  /** The BM25 replay CTE chain shared by the bm25 gates and the cascade:
+    * ends at ranked `r` (qid, doc_id, score_micro, rnk).
+    */
+  private val bm25Cte: String =
     """WITH d AS (
         |  SELECT doc_id, string_split(lower(text), ' ') AS terms,
         |    CAST(len(string_split(lower(text), ' ')) AS DOUBLE) AS dl
@@ -516,9 +539,39 @@ object TextQueries {
         |    CAST(row_number() OVER (PARTITION BY qid
         |      ORDER BY CAST(score_micro AS DOUBLE) DESC, doc_id) AS INT) AS rnk
         |  FROM per
-        |)
-        |SELECT qid, doc_id, score_micro, rnk FROM r WHERE rnk <= 5
-        |ORDER BY qid, rnk""".stripMargin
+        |)""".stripMargin
+
+  private val bm25OracleSql: String =
+    s"""$bm25Cte
+       |SELECT qid, doc_id, score_micro, rnk FROM r WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
+
+  /** q_pipeline_rerank: the BM25 chain cut at rnk <= 20 feeding an exact
+    * cosine re-rank over embeddings (vec_id = doc_id), top-5 by true
+    * similarity (sim desc, nid asc — the bounded-heap tie rule).
+    */
+  private val bm25RerankOracle: String =
+    s"""$bm25Cte, cand AS (
+       |  SELECT qid, doc_id FROM r WHERE rnk <= 20
+       |), nv AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+       |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+       |  FROM embeddings
+       |), ex AS (
+       |  SELECT c.qid, c.doc_id AS nid,
+       |    list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * v.e[i]))
+       |      / (q.nrm * v.nrm) AS sim
+       |  FROM cand c
+       |  JOIN nv q ON q.vec_id = c.qid
+       |  JOIN nv v ON v.vec_id = c.doc_id
+       |), rr AS (
+       |  SELECT qid, nid, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY sim DESC, nid) AS INT) AS rnk
+       |  FROM ex
+       |)
+       |SELECT qid, nid, round(sim, 6) AS sim, rnk FROM rr WHERE rnk <= 5
+       |ORDER BY qid, rnk""".stripMargin
 
   def oracles: Map[String, String] = Map(
     "q_tokenizer_merges" -> bpeMergesOracle(6),
@@ -700,6 +753,7 @@ object TextQueries {
         |ORDER BY qid, rnk""".stripMargin,
 
     "q_doc_bm25" -> bm25OracleSql,
+    "q_pipeline_rerank" -> bm25RerankOracle,
     // identical answers required from the persisted-index path
     "q_doc_bm25_indexed" -> bm25OracleSql,
 

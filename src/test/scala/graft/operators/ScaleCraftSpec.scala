@@ -88,4 +88,29 @@ class ScaleCraftSpec extends SparkSpec {
     val small = (0 until 500).map(i => s"v$i").toDF("u")
     assert(small.agg(kmvDistinct(col("u"), 1024)).as[Long].head() == 500L)
   }
+
+  test("unigramDrift matches a plain-Scala KL replay and signs the drift") {
+    val a = Seq("cat cat dog", "cat fish", "dog cat").toDF("text")
+    val b = Seq("dog dog bird", "bird bird dog", "fish").toDF("text")
+    val got = CorpusStats.unigramDrift(a, b, "text", topN = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // independent replay: Laplace smoothing over the union vocabulary
+    val ca = Map("cat" -> 4L, "dog" -> 2L, "fish" -> 1L)
+    val cb = Map("dog" -> 3L, "bird" -> 3L, "fish" -> 1L)
+    val vocab = (ca.keySet ++ cb.keySet).toSeq.sorted
+    val (ta, tb, v) = (7.0, 7.0, vocab.size.toDouble)
+    val want = vocab.map { t =>
+      val pa = (ca.getOrElse(t, 0L).toDouble + 1.0) / (ta + v)
+      val pb = (cb.getOrElse(t, 0L).toDouble + 1.0) / (tb + v)
+      (t, ca.getOrElse(t, 0L), cb.getOrElse(t, 0L),
+        math.floor(1e6 * (pa * math.log(pa / pb)) + 0.5).toLong)
+    }.sortBy(x => (-x._4, x._1))
+    assert(got.toSeq == want)
+    // signs: the A-only term drives positive drift, the B-only negative
+    val byTerm = got.map(r => r._1 -> r._4).toMap
+    assert(byTerm("cat") > 0 && byTerm("bird") < 0)
+    // corpus-level KL(A||B) is the exact integer sum of the column
+    assert(got.map(_._4).sum == want.map(_._4).sum)
+  }
 }

@@ -263,4 +263,60 @@ class SimilaritySearchSpec extends SparkSpec {
       .collect()(0)
     assert(top.getAs[Long]("nid") == 3L)
   }
+
+  test("ivfPqRefineKnn with full probes and corpus-wide shortlist equals brute force") {
+    val q = corpus.filter(col("vec_id") < 3L)
+    // nProbe = nCells → every code is a candidate; refine ≥ corpus →
+    // the shortlist is everything; the exact rescore must then reproduce
+    // brute-force cosine ranking bit for bit.
+    val refined = SimilaritySearch.ivfPqRefineKnn(corpus, q, "embedding", "vec_id",
+      k = 3, refine = 100, nCells = 4, nProbe = 4, m = 2, pqCells = 4,
+      maxTrainPerCell = 32)
+      .orderBy("qid", "rnk").collect().map(_.toString).toSeq
+    val brute = SimilaritySearch.bruteForceKnn(corpus, q, "embedding", "vec_id", k = 3)
+      .orderBy("qid", "rnk").collect().map(_.toString).toSeq
+    assert(refined == brute)
+  }
+
+  test("ivfPqRefineKnn scores its shortlist with exact cosine, ordered") {
+    val q = corpus.filter(col("vec_id") === 0L)
+    val got = SimilaritySearch.ivfPqRefineKnn(corpus, q, "embedding", "vec_id",
+      k = 3, refine = 10, nCells = 4, nProbe = 2, m = 2, pqCells = 4,
+      maxTrainPerCell = 32).orderBy("rnk").collect()
+    assert(got.length == 3)
+    // sims ordered by the exact rescore, not adist
+    assert(got.map(_.getAs[Double]("sim")).toSeq.sliding(2).forall(p => p(0) >= p(1)))
+    // every returned sim is the TRUE cosine of that pair (scalar replay)
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      val d = ad.zip(bd).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(ad.map(x => x * x).sum) * math.sqrt(bd.map(x => x * x).sum))
+    }
+    def vecOf(id: Long): Seq[Float] = if (id == 99L)
+      vec(0).zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }
+    else vec(id.toInt)
+    got.foreach { r =>
+      val expected = math.rint(cos(vecOf(0L), vecOf(r.getAs[Long]("nid"))) * 1e6) / 1e6
+      assert(math.abs(r.getAs[Double]("sim") - expected) < 1e-9, r.toString)
+    }
+  }
+
+  test("denseRerank orders an arbitrary candidate shortlist by exact cosine") {
+    import spark.implicits._
+    // candidate shortlist: a fixed 6-doc subset for query 0, deliberately
+    // shuffled — the rerank must impose exact-cosine order, matching
+    // brute force restricted to the same subset
+    val cand = Seq((0L, 7L), (0L, 99L), (0L, 3L), (0L, 21L), (0L, 14L), (0L, 42L))
+      .toDF("qid", "nid")
+    val got = SimilaritySearch.denseRerank(
+      cand, corpus.filter(col("vec_id") === 0L), corpus, "embedding", "vec_id", k = 4)
+      .orderBy("rnk").collect()
+    assert(got.length == 4)
+    assert(got(0).getAs[Long]("nid") == 99L)
+    val brute = SimilaritySearch.bruteForceKnn(
+      corpus.filter(col("vec_id").isin(7L, 99L, 3L, 21L, 14L, 42L)),
+      corpus.filter(col("vec_id") === 0L), "embedding", "vec_id", k = 4)
+      .orderBy("rnk").collect().map(_.toString).toSeq
+    assert(got.map(_.toString).toSeq == brute)
+  }
 }
