@@ -299,6 +299,53 @@ object Curation {
       .select((col("i") + 1).as("rnk"), col("r.term").as("term"), col("r.cnt").as("cnt"))
   }
 
+  /** Content-defined chunking ([[graft.functions.CdcChunks]]): one row
+    * per chunk with (chunk_idx, start, len, chunk_text). Boundaries are
+    * local-content hashes, so an edit re-chunks only the chunk it lands
+    * in — the storage-dedup segmentation (LBFS/FastCDC family) that
+    * fixed-width chunking can't give (one inserted byte shifts every
+    * downstream boundary). Row-local explode — zero shuffles; expected
+    * chunk length 2^maskBits code points.
+    */
+  def cdcChunkDocuments(
+      df: DataFrame, textCol: String, idCol: String,
+      maskBits: Int = 5): DataFrame = {
+    val id = col(idCol)
+    df.select(id, col(textCol).as("__t"),
+        posexplode(graft.functions.CdcChunks.cdcChunks(col(textCol), maskBits))
+          .as(Seq("chunk_idx", "c")))
+      .select(id, col("chunk_idx").cast("int").as("chunk_idx"),
+        col("c.start").as("start"), col("c.len").as("len"),
+        expr("substring(__t, c.start, c.len)").as("chunk_text"))
+  }
+
+  /** Vocabulary coverage / OOV rate against a fixed vocabulary table —
+    * the tokenizer-fit audit ("how much of the corpus does this vocab
+    * actually cover?") run before committing to a tokenizer: per doc,
+    * total whitespace tokens, how many are in `vocab`, and the OOV rate.
+    * Docs whose text yields zero tokens produce no row (the
+    * [[unigramSurprisal]] convention).
+    *
+    * Scale shape: the vocabulary is broadcast into the exploded token
+    * stream (vocabularies are ≤ millions of rows — broadcast-sized by
+    * construction), then ONE partial-aggregable groupBy on the doc id.
+    * The corpus shuffles once, keyed by id, carrying two counters.
+    */
+  def vocabCoverage(
+      df: DataFrame, textCol: String, idCol: String,
+      vocab: DataFrame, termCol: String = "term"): DataFrame = {
+    val id = col(idCol)
+    val v = vocab.select(col(termCol).as("__vterm")).distinct()
+    df.select(id, explode(words(col(textCol))).as("__tok"))
+      .join(broadcast(v), col("__tok") === col("__vterm"), "left")
+      .groupBy(id)
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        count(col("__vterm")).cast("long").as("n_in_vocab"))
+      .withColumn("oov_rate",
+        round((col("n_tokens") - col("n_in_vocab")).cast("double") /
+          col("n_tokens").cast("double"), 6))
+  }
+
   /** Deterministic uniform sample of `k` rows per group: keep the k
     * members with the largest `splitmix64(id)` (as double, id-asc
     * tiebreak — the same replayable order [[SimilaritySearch]] uses for

@@ -198,6 +198,55 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Content-defined chunking: gear rolling hash over code points, cut
+    // where the low 5 bits clear — the storage-dedup segmentation whose
+    // boundaries survive edits. The oracle recomputes every cut from the
+    // mod-32 window identity (only the last 5 gear values can touch the
+    // masked bits) and rebuilds the same chunks.
+    "q_doc_cdc_chunks" -> ((s, dir) => {
+      Curation.cdcChunkDocuments(
+        Tables.load(s, dir, "documents"), "text", "doc_id", maskBits = 5)
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Vocabulary coverage / OOV rate: learn the top-20 vocabulary from
+    // the corpus itself (the q_doc_vocab_topk machinery), then audit
+    // per-doc coverage against it — the tokenizer-fit report. The oracle
+    // replays the vocab cut (count desc, term asc) and both counters.
+    "q_doc_vocab_coverage" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val vocab = Curation.topVocabulary(docs, "text", k = 20)
+      Curation.vocabCoverage(docs, "text", "doc_id", vocab)
+        .orderBy(col("doc_id"))
+    }),
+
+    // CCNet-style perplexity bucketing end to end: score every doc by
+    // unigram surprisal, cut the corpus into head/middle/tail at the
+    // exact binned 33/67 percentile thresholds (bounded-state quantiles,
+    // broadcast back), then give each bucket its own token budget —
+    // most tokens from the most-fluent head, a thinned tail. One
+    // Catalyst plan; the oracle replays scoring, interpolated
+    // thresholds, bucketing, and the per-bucket window-sum budgets.
+    "q_pipeline_ccnet" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val scored = Curation.unigramSurprisal(docs, "text", "doc_id")
+      val thr = graft.operators.CorpusStats.binnedQuantiles(
+        scored.withColumn("__g", lit(1)), "__g", "surprisal",
+        Seq(0.33, 0.67), binDecimals = 4)
+        .select(col("q_33"), col("q_67"))
+      val bucketed = scored.crossJoin(broadcast(thr))
+        .withColumn("bucket",
+          when(col("surprisal") <= col("q_33"), lit("head"))
+            .when(col("surprisal") <= col("q_67"), lit("middle"))
+            .otherwise(lit("tail")))
+      Curation.tokenBudgetByGroup(
+        bucketed.select(col("doc_id"), col("bucket"), col("n_tokens")),
+        "bucket", "doc_id", col("n_tokens"),
+        when(col("bucket") === "head", 6000L)
+          .when(col("bucket") === "middle", 3000L).otherwise(lit(1500L)))
+        .orderBy(col("doc_id"))
+    }),
+
     // The mixture-building pipeline END TO END in one Catalyst plan:
     // per-language token budgets (hash-order prefixes) feed the stride
     // interleave — domain capping then weighted scheduling, the two
@@ -455,6 +504,127 @@ object CurationQueries {
         |FROM tokens JOIN freq USING (term) CROSS JOIN tot
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // gear-hash cut replay: h_i & 31 depends on only the last 5 gear
+    // values (2^(i-j) ≡ 0 mod 32 beyond that), so each cut is a 5-term
+    // windowed sum — no sequential fold needed
+    "q_doc_cdc_chunks" -> {
+      val sm = SketchOracleSql.splitmixBigintSql("CAST(ord(substr(text, i, 1)) AS BIGINT)")
+      s"""WITH chars AS (
+         |  SELECT doc_id, text, n, i,
+         |    ((($sm) % 32) + 32) % 32 AS gm
+         |  FROM (
+         |    SELECT doc_id, text, length(text) AS n,
+         |      unnest(generate_series(1, length(text))) AS i
+         |    FROM documents WHERE length(text) > 0)
+         |), cuts AS (
+         |  SELECT a.doc_id, a.i
+         |  FROM chars a JOIN chars b
+         |    ON b.doc_id = a.doc_id AND b.i BETWEEN a.i - 4 AND a.i
+         |  GROUP BY a.doc_id, a.i, a.n
+         |  HAVING sum(b.gm * (1 << (a.i - b.i))) % 32 = 0 AND a.i < a.n
+         |), starts AS (
+         |  SELECT doc_id, 1 AS start FROM documents WHERE length(text) > 0
+         |  UNION ALL
+         |  SELECT doc_id, i + 1 AS start FROM cuts
+         |), chunks AS (
+         |  SELECT s.doc_id, s.start,
+         |    coalesce((SELECT min(c.i) FROM cuts c
+         |              WHERE c.doc_id = s.doc_id AND c.i >= s.start),
+         |      (SELECT length(text) FROM documents d WHERE d.doc_id = s.doc_id))
+         |      AS fin
+         |  FROM starts s
+         |)
+         |SELECT c.doc_id,
+         |  CAST(row_number() OVER (PARTITION BY c.doc_id ORDER BY c.start) - 1
+         |    AS INT) AS chunk_idx,
+         |  CAST(c.start AS INT) AS start,
+         |  CAST(c.fin - c.start + 1 AS INT) AS len,
+         |  substr(d.text, c.start, c.fin - c.start + 1) AS chunk_text
+         |FROM chunks c JOIN documents d USING (doc_id)
+         |ORDER BY doc_id, chunk_idx""".stripMargin
+    },
+
+    // vocab cut (count desc, term asc, rnk <= 20) + per-doc coverage
+    // counters over the same whitespace token stream
+    "q_doc_vocab_coverage" ->
+      """WITH tokens AS (
+        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+        |  FROM documents
+        |), f AS (
+        |  SELECT term, count(*)::BIGINT AS cnt FROM tokens GROUP BY 1
+        |), v AS (
+        |  SELECT term FROM (
+        |    SELECT term, row_number() OVER (ORDER BY cnt DESC, term) AS rnk FROM f
+        |  ) WHERE rnk <= 20
+        |)
+        |SELECT t.doc_id, count(*)::BIGINT AS n_tokens,
+        |  count(v.term)::BIGINT AS n_in_vocab,
+        |  round(CAST(count(*) - count(v.term) AS DOUBLE) /
+        |    CAST(count(*) AS DOUBLE), 6) AS oov_rate
+        |FROM tokens t LEFT JOIN v ON t.term = v.term
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin,
+
+    // scoring → binned-quantile thresholds → bucket CASE → per-bucket
+    // window-sum budgets, each fragment identical to its standalone gate
+    "q_pipeline_ccnet" -> {
+      val hk = SketchOracleSql.splitmixBigintSql("doc_id")
+      s"""WITH tokens AS (
+         |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+         |  FROM documents
+         |), freq AS (
+         |  SELECT term, count(*) AS cnt FROM tokens GROUP BY 1
+         |), tot AS (SELECT sum(cnt) AS total FROM freq),
+         |sc AS (
+         |  SELECT doc_id, count(*)::BIGINT AS n_tokens,
+         |    round(avg(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))), 4) AS surprisal
+         |  FROM tokens JOIN freq USING (term) CROSS JOIN tot
+         |  GROUP BY 1
+         |), cnts AS (
+         |  SELECT round(surprisal, 4) AS b, count(*) AS cnt FROM sc GROUP BY 1
+         |), ranked AS (
+         |  SELECT b, cnt,
+         |    sum(cnt) OVER (ORDER BY b) AS cum,
+         |    sum(cnt) OVER (ORDER BY b) - cnt + 1 AS first_rank
+         |  FROM cnts
+         |), totals AS (SELECT sum(cnt) AS n FROM cnts),
+         |targets AS (
+         |  SELECT n, p, CAST(floor(p * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 AS rlo,
+         |    CAST(ceil(p * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 AS rhi,
+         |    p * CAST(n - 1 AS DOUBLE) - floor(p * CAST(n - 1 AS DOUBLE)) AS frac
+         |  FROM totals, unnest(CAST([0.33, 0.67] AS DOUBLE[])) AS tp(p)
+         |), lo AS (
+         |  SELECT t.p, t.frac, r.b AS vlo
+         |  FROM targets t JOIN ranked r ON t.rlo BETWEEN r.first_rank AND r.cum
+         |), hi AS (
+         |  SELECT t.p, t.frac, r.b AS vhi
+         |  FROM targets t JOIN ranked r ON t.rhi BETWEEN r.first_rank AND r.cum
+         |), thr AS (
+         |  SELECT max(CASE WHEN lo.p = 0.33 THEN vlo + (vhi - vlo) * lo.frac END) AS q33,
+         |    max(CASE WHEN lo.p = 0.67 THEN vlo + (vhi - vlo) * lo.frac END) AS q67
+         |  FROM lo JOIN hi ON lo.p = hi.p
+         |), bucketed AS (
+         |  SELECT doc_id, n_tokens,
+         |    CASE WHEN surprisal <= q33 THEN 'head'
+         |         WHEN surprisal <= q67 THEN 'middle'
+         |         ELSE 'tail' END AS bucket
+         |  FROM sc, thr
+         |), tb AS (
+         |  SELECT bucket, doc_id, n_tok, bud,
+         |    CAST(sum(n_tok) OVER (PARTITION BY bucket ORDER BY hk, doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+         |  FROM (
+         |    SELECT bucket, doc_id, n_tokens AS n_tok,
+         |      CAST(CASE bucket WHEN 'head' THEN 6000
+         |        WHEN 'middle' THEN 3000 ELSE 1500 END AS BIGINT) AS bud,
+         |      ($hk) AS hk
+         |    FROM bucketed)
+         |)
+         |SELECT bucket, doc_id, n_tok, cum_tokens FROM tb
+         |WHERE cum_tokens <= bud
+         |ORDER BY doc_id""".stripMargin
+    },
 
     "q_sample_token_budget" -> {
       val hk = SketchOracleSql.splitmixBigintSql("doc_id")

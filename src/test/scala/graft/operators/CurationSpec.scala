@@ -689,4 +689,41 @@ class CurationSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"),
       s"rates must broadcast to the corpus:\n$plan")
   }
+
+  test("cdcChunkDocuments: chunks tile the text; boundaries survive a prefix edit") {
+    import spark.implicits._
+    val text = "the quick brown fox jumps over the lazy dog and then the " +
+      "quick brown fox jumps again over yet another lazy dog in the yard " +
+      "until every word has been chunked into content defined pieces"
+    val df = Seq((1L, text), (2L, "INSERTED BYTES " + text), (3L, ""))
+      .toDF("doc_id", "text")
+    val out = Curation.cdcChunkDocuments(df, "text", "doc_id", maskBits = 4)
+      .collect()
+    val byDoc = out.groupBy(_.getLong(0))
+
+    // tiling: chunks are contiguous, start at 1, concatenate to the text
+    val c1 = byDoc(1L).sortBy(_.getInt(1))
+    assert(c1.head.getAs[Int]("start") == 1)
+    assert(c1.map(_.getAs[String]("chunk_text")).mkString == text)
+    c1.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Int]("start") ==
+          a.getAs[Int]("start") + a.getAs[Int]("len"))
+      case _ =>
+    }
+    assert(c1.length >= 3, s"expected several chunks, got ${c1.length}")
+
+    // empty doc → no chunks
+    assert(!byDoc.contains(3L))
+
+    // content-defined: a cut decision sees only the trailing maskBits
+    // code points, so after a PREFIX insertion every boundary beyond the
+    // first affected chunk lands on the same content — the chunk-text
+    // suffix is shared (fixed-width chunking would share nothing)
+    val t1 = c1.map(_.getAs[String]("chunk_text")).toSeq
+    val t2 = byDoc(2L).sortBy(_.getInt(1)).map(_.getAs[String]("chunk_text")).toSeq
+    val common = t1.reverse.zip(t2.reverse).takeWhile { case (a, b) => a == b }.length
+    assert(common >= t1.length - 2,
+      s"suffix stability broke: $common shared of ${t1.length}\n$t1\n$t2")
+  }
 }
