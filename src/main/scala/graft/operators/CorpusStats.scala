@@ -101,6 +101,51 @@ object CorpusStats {
         ps.map(p => max(when(col("p") === p, col("q"))).as(pName(p))): _*)
   }
 
+  /** One-row dataset card — the release-notes summary every corpus drop
+    * ships with: document/token/char totals, exact duplicate-text rate,
+    * language count, dominant language + share, and the language-mix
+    * entropy in integer micro-nats (one ln per language TYPE, quantized
+    * before the sum — order-free and engine-replayable).
+    *
+    * Scale shape: one pass for the global totals (partial-aggregable,
+    * includes the exact distinct-digest count — a 16-byte-key shuffle),
+    * one language histogram (|langs| rows), everything else broadcast
+    * one-row frames.
+    */
+  def card(
+      df: DataFrame, textCol: String, idCol: String,
+      langCol: String): DataFrame = {
+    val t = col(textCol)
+    val base = df.agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(graft.functions.WhitespaceTokens.wsTokens(t)).cast("long"))
+        .as("n_tokens"),
+      sum(length(t).cast("long")).as("n_chars"),
+      countDistinct(md5(t)).as("__n_unique"))
+    val langs = df.groupBy(col(langCol).as("__lang"))
+      .agg(count(lit(1)).as("__c"))
+    val p = col("__c").cast("double") / col("__t").cast("double")
+    val langStats = langs
+      .crossJoin(broadcast(langs.agg(
+        sum(col("__c")).as("__t"), count(lit(1)).as("n_langs"))))
+      .select(col("__lang"), col("__c"), col("__t"), col("n_langs"),
+        floor(lit(1e6) * ((-p) * log(p)) + lit(0.5)).cast("long").as("__h"))
+      .agg(max(col("n_langs")).as("n_langs"),
+        max(struct(col("__c"), col("__lang"))).as("__top"),
+        sum(col("__h")).as("lang_entropy_micro"),
+        max(col("__t")).as("__t"))
+    base.crossJoin(broadcast(langStats)).select(
+      col("n_docs"), col("n_tokens"), col("n_chars"),
+      round(lit(1.0) -
+        col("__n_unique").cast("double") / col("n_docs").cast("double"), 6)
+        .as("dup_rate"),
+      col("n_langs"),
+      col("__top").getField("__lang").as("top_lang"),
+      round(col("__top").getField("__c").cast("double") /
+        col("__t").cast("double"), 6).as("top_lang_share"),
+      col("lang_entropy_micro"))
+  }
+
   /** Unigram distribution drift between two corpus snapshots — the
     * dataset-release audit for "did the language move?" (new crawl vs
     * last release, post-filter vs pre-filter). Both sides tokenize on

@@ -198,6 +198,14 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // One-row dataset card: totals, exact duplicate-text rate, language
+    // mix (count, dominant share, entropy in integer micro-nats) — the
+    // release-notes summary, every value exactly replayed.
+    "q_corpus_card" -> ((s, dir) => {
+      graft.operators.CorpusStats.card(
+        Tables.load(s, dir, "documents"), "text", "doc_id", "lang")
+    }),
+
     // Content-defined chunking: gear rolling hash over code points, cut
     // where the low 5 bits clear — the storage-dedup segmentation whose
     // boundaries survive edits. The oracle recomputes every cut from the
@@ -504,6 +512,39 @@ object CurationQueries {
         |FROM tokens JOIN freq USING (term) CROSS JOIN tot
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // the card's every value replayed: totals, md5-distinct dup rate,
+    // language histogram (top by c desc / lang desc — the max-struct tie),
+    // per-language entropy terms quantized before the integer sum
+    "q_corpus_card" ->
+      """WITH base AS (
+        |  SELECT count(*)::BIGINT AS n_docs,
+        |    CAST(sum(len(list_filter(string_split_regex(trim(text), '\s+'),
+        |      w -> w <> ''))) AS BIGINT) AS n_tokens,
+        |    CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |    count(DISTINCT md5(text))::BIGINT AS n_unique
+        |  FROM documents
+        |), langs AS (
+        |  SELECT lang, count(*)::BIGINT AS c FROM documents GROUP BY 1
+        |), lt AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS t, count(*)::BIGINT AS nl FROM langs
+        |), ent AS (
+        |  SELECT CAST(sum(CAST(floor(1000000.0 *
+        |      ((-(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))) *
+        |       ln(CAST(c AS DOUBLE) / CAST(t AS DOUBLE))) + 0.5) AS BIGINT))
+        |    AS BIGINT) AS h
+        |  FROM langs, lt
+        |), top AS (
+        |  SELECT lang AS top_lang, c AS top_n FROM langs
+        |  ORDER BY c DESC, lang DESC LIMIT 1
+        |)
+        |SELECT n_docs, n_tokens, n_chars,
+        |  round(1.0 - CAST(n_unique AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+        |    AS dup_rate,
+        |  nl AS n_langs, top_lang,
+        |  round(CAST(top_n AS DOUBLE) / CAST(t AS DOUBLE), 6) AS top_lang_share,
+        |  h AS lang_entropy_micro
+        |FROM base, lt, ent, top""".stripMargin,
 
     // gear-hash cut replay: h_i & 31 depends on only the last 5 gear
     // values (2^(i-j) ≡ 0 mod 32 beyond that), so each cut is a 5-term

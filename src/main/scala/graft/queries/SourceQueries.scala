@@ -208,6 +208,43 @@ object SourceQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Streaming-table time travel: three committed epochs (nation split
+    // by key mod 3) plus a TORN fourth epoch (files on disk, no commit
+    // marker). `snapshot.epoch = 1` must read epochs 0..1 only — the
+    // sink's commit markers double as the snapshot log, and the torn
+    // epoch stays invisible to every read.
+    "q_kv_time_travel" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      import org.apache.spark.unsafe.types.UTF8String
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = s"/tmp/graft_tt$safe"
+      ParquetIO.deletePath(root)
+      val sink = s"$root/t"
+      val sinkSchema = StructType(Seq(
+        StructField("n_nationkey", LongType), StructField("n_name", StringType)))
+      val rows = graft.Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+      val factory = graft.sources.kv.KvStreamingWriterFactory(sink, sinkSchema)
+      val write = new graft.sources.kv.KvStreamingWrite(sink, sinkSchema)
+      (0L to 2L).foreach { e =>
+        val w = factory.createWriter(0, 0L, e)
+        rows.filter(_.getLong(0) % 3 == e).foreach { r =>
+          w.write(new GenericInternalRow(Array[Any](
+            r.getLong(0), UTF8String.fromString(r.getString(1)))))
+        }
+        write.commit(e, Array(w.commit()))
+      }
+      locally { // torn epoch 3: no marker — must not surface anywhere
+        val w = factory.createWriter(0, 0L, 3L)
+        w.write(new GenericInternalRow(Array[Any](
+          999L, UTF8String.fromString("TORN"))))
+        w.commit()
+      }
+      s.read.format("kv").option("path", sink).option("snapshot.epoch", "1")
+        .load().orderBy(col("n_nationkey"))
+    }),
+
     // Table maintenance end-to-end: a 8-file kv table is compacted to 2
     // range-clustered files (crash-safe swap), then queried — contents
     // must be untouched by the rewrite.
@@ -717,6 +754,13 @@ object SourceQueries {
         |FROM orders
         |WHERE o_orderkey % 3 IN (0, 1)
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // the snapshot at epoch 1 is exactly the first two mod-3 slices; the
+    // torn epoch's sentinel row must never appear
+    "q_kv_time_travel" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation
+        |WHERE n_nationkey % 3 <= 1
+        |ORDER BY n_nationkey""".stripMargin,
 
     "q_kv_compact" ->
       """SELECT o_orderpriority, count(*) AS n, min(o_orderkey) AS min_key,

@@ -37,6 +37,23 @@ object ParquetIO {
   /** List data files under path (a single parquet file or a directory). */
   def listFiles(path: String): Seq[Path] = listFilesStatus(path).map(_._1)
 
+  /** Listing restricted to a streaming-table snapshot: with `maxEpoch`
+    * set, committed epoch files with id > maxEpoch are hidden — the
+    * time-travel read ("the table as of epoch N"). Non-epoch files
+    * (batch writes, compactions) are always visible: compaction and
+    * vacuum fold history and therefore bound how far back a snapshot
+    * can reach, the usual lakehouse retention contract.
+    */
+  def listFilesStatus(path: String, maxEpoch: Option[Long]): Seq[(Path, Long, Long)] =
+    maxEpoch match {
+      case None => listFilesStatus(path)
+      case Some(max) => listFilesStatus(path).filter { case (f, _, _) =>
+        val n = f.getName
+        !n.startsWith("epoch-") ||
+          n.stripPrefix("epoch-").takeWhile(_ != '-').toLongOption.forall(_ <= max)
+      }
+    }
+
   /** Listing with (path, length, modification time) from ONE namenode
     * call — the triple is the cache signature for planning metadata (part
     * files are never modified in place; a rewrite changes len/mtime).

@@ -155,7 +155,10 @@ class KvTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
     new KvScanBuilder(tablePath, tableSchema,
       options.getInt("max.split.count", 1000),
       options.getLong("split.size.mb", 128L),
-      options.getBoolean("vectorized.read", true))
+      options.getBoolean("vectorized.read", true),
+      // time travel: `snapshot.epoch = N` reads the table as of streaming
+      // epoch N (committed epoch files ≤ N plus all batch files)
+      Option(options.get("snapshot.epoch")).map(_.toLong))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new KvWriteBuilder(tablePath, info.schema(),
@@ -249,7 +252,7 @@ object KvSinkConverter {
 }
 
 class KvScanBuilder(path: String, schema: StructType, maxSplitCount: Int, splitSizeMb: Long,
-    vectorized: Boolean = true)
+    vectorized: Boolean = true, snapshotEpoch: Option[Long] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = schema
@@ -263,11 +266,14 @@ class KvScanBuilder(path: String, schema: StructType, maxSplitCount: Int, splitS
   // refused under ANY filter or grouping — correctness over coverage.
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    !sawFilters && KvAggregates.compile(path, schema, agg).isDefined
+    !sawFilters && snapshotEpoch.isEmpty &&
+      KvAggregates.compile(path, schema, agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
-    if (sawFilters) return false
+    // footer aggregates fold EVERY visible file — refused under a
+    // snapshot (they would read epochs the snapshot hides)
+    if (sawFilters || snapshotEpoch.isDefined) return false
     KvAggregates.compile(path, schema, agg) match {
       case some @ Some(_) => aggCompiled = some; true
       case None => false // no partial pushdown: footer stats are all-or-nothing
@@ -276,7 +282,7 @@ class KvScanBuilder(path: String, schema: StructType, maxSplitCount: Int, splitS
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     if (filters.nonEmpty) sawFilters = true
-    ParquetIO.commonSchema(ParquetIO.listFilesStatus(path)).foreach { common =>
+    ParquetIO.commonSchema(ParquetIO.listFilesStatus(path, snapshotEpoch)).foreach { common =>
       val (pred, acc) = KvFilters.compileAll(filters.toSeq, common)
       predicate = pred
       accepted = acc.toArray
@@ -311,7 +317,7 @@ class KvScanBuilder(path: String, schema: StructType, maxSplitCount: Int, splitS
       // plans no re-filter) — only the row path record-filters, so the
       // columnar plane is off whenever any filter was satisfied.
       new KvScan(path, required, schema, predicate, accepted, maxSplitCount, splitSizeMb,
-        vectorized && satisfied.isEmpty)
+        vectorized && satisfied.isEmpty, snapshotEpoch)
   }
 }
 
@@ -343,11 +349,18 @@ class KvBucketedInputPartition(chunks: Seq[KvChunk], val bucket: Int)
 class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
     predicate: Option[FilterPredicate],
     accepted: Array[Filter], maxSplitCount: Int, splitSizeMb: Long,
-    vectorized: Boolean = true)
+    vectorized: Boolean = true, snapshotEpoch: Option[Long] = None)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
     with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
+
+  /** The snapshot-visible file listing — every planning decision in this
+    * scan goes through it so a `snapshot.epoch` read can never touch a
+    * later epoch's bytes.
+    */
+  private def visibleFiles(): Seq[(Path, Long, Long)] =
+    ParquetIO.listFilesStatus(path, snapshotEpoch)
 
   /** Bucket layout claim ([[KvBuckets]]): valid meta AND every bucket
     * column still in the projected schema (Catalyst resolves the
@@ -443,7 +456,7 @@ class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
 
   override def filter(filters: Array[Filter]): Unit = {
     runtimeFilters = filters
-    runtimePredicate = ParquetIO.commonSchema(ParquetIO.listFilesStatus(path))
+    runtimePredicate = ParquetIO.commonSchema(visibleFiles())
       .flatMap(c => graft.sources.KvFilters.compileAll(filters.toSeq, c)._1)
   }
 
@@ -468,7 +481,7 @@ class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
         val zones = KvIndex.zonesFromStats(ParquetIO.columnStatsCached(f, len, mtime))
         runtimeFilters.forall(rf => KvIndex.mayMatch(rf, zones))
       }
-    ParquetIO.listFilesStatus(path)
+    visibleFiles()
       .filter { case (f, len, mtime) => fileMayMatch(f, len, mtime) }
       .flatMap { case (f, len, mtime) =>
         ParquetIO.footerInfoCached(f, len, mtime)
@@ -483,7 +496,7 @@ class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
     // KeyGroupedPartitioning stays stable under runtime filters).
     bucketMeta.foreach { m =>
       val byFile = prunedGroups().groupBy(_._1).view.mapValues(_.map(_._2))
-      val chunksByBucket = ParquetIO.listFilesStatus(path).flatMap { case (f, _, _) =>
+      val chunksByBucket = visibleFiles().flatMap { case (f, _, _) =>
         val groups = byFile.getOrElse(f, Seq.empty)
         m.fileBuckets.get(f.getName).filter(_ => groups.nonEmpty).map { b =>
           // contiguity break on pruned gaps, as in the unbucketed path
@@ -509,7 +522,7 @@ class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
     }
     val targetBytes = splitSizeMb * 1024L * 1024L
     val byFile = prunedGroups().groupBy(_._1).view.mapValues(_.map(_._2))
-    val all = ParquetIO.listFilesStatus(path).flatMap { case (f, _, _) =>
+    val all = visibleFiles().flatMap { case (f, _, _) =>
       val groups = byFile.getOrElse(f, Seq.empty)
       if (groups.isEmpty) Nil
       else {

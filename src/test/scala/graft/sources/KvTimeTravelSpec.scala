@@ -1,0 +1,85 @@
+package graft.sources
+
+import java.nio.file.Files
+import graft.SparkSpec
+import graft.sources.kv.{KvStreamingWrite, KvStreamingWriterFactory}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `snapshot.epoch` time travel over a streaming kv table: the sink's
+  * commit markers double as the snapshot log, so "the table as of epoch
+  * N" is the committed epoch files with id ≤ N (batch files always
+  * visible). Torn epochs stay invisible at every snapshot.
+  */
+class KvTimeTravelSpec extends SparkSpec {
+
+  private val schema = StructType(Seq(
+    StructField("k", LongType), StructField("v", StringType)))
+
+  /** writes epochs 0..2 with rows (10e+i, "e<e>-<i>") i<3; returns dir. */
+  private def stage(): String = {
+    val dir = Files.createTempDirectory("kvtt").toString + "/t"
+    val factory = KvStreamingWriterFactory(dir, schema)
+    val write = new KvStreamingWrite(dir, schema)
+    (0L to 2L).foreach { e =>
+      val w = factory.createWriter(0, 0L, e)
+      (0 until 3).foreach { i =>
+        w.write(new GenericInternalRow(Array[Any](
+          10L * e + i, UTF8String.fromString(s"e$e-$i"))))
+      }
+      write.commit(e, Array(w.commit()))
+    }
+    dir
+  }
+
+  private def read(dir: String, epoch: Option[Long]) = {
+    val r = spark.read.format("kv").option("path", dir)
+    epoch.fold(r)(e => r.option("snapshot.epoch", e.toString)).load()
+  }
+
+  test("snapshot.epoch hides later epochs; full read sees all") {
+    val dir = stage()
+    assert(read(dir, None).count() == 9)
+    assert(read(dir, Some(0L)).select("k").as[Long](spark.implicits.newLongEncoder)
+      .collect().sorted.toSeq == Seq(0L, 1L, 2L))
+    assert(read(dir, Some(1L)).count() == 6)
+    assert(read(dir, Some(2L)).count() == 9)
+    // beyond the last epoch = the full table
+    assert(read(dir, Some(99L)).count() == 9)
+  }
+
+  test("torn epochs stay invisible at every snapshot") {
+    val dir = stage()
+    val w = KvStreamingWriterFactory(dir, schema).createWriter(0, 0L, 3L)
+    w.write(new GenericInternalRow(Array[Any](999L, UTF8String.fromString("TORN"))))
+    w.commit() // files on disk, NO commit marker
+    assert(read(dir, None).where(col("k") === 999L).count() == 0)
+    assert(read(dir, Some(3L)).where(col("k") === 999L).count() == 0)
+    assert(read(dir, Some(3L)).count() == 9)
+  }
+
+  test("filters still push down under a snapshot; footer aggregates refuse") {
+    val dir = stage()
+    val filtered = read(dir, Some(1L)).where(col("k") >= 10L)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual"),
+      plan)
+    assert(filtered.count() == 3)
+    // footer COUNT folds every visible file — must refuse under snapshot
+    // (the answer must come from the snapshot's files, proven by value)
+    val agg = read(dir, Some(1L)).agg(count(lit(1)).as("n"))
+    assert(!agg.queryExecution.executedPlan.toString.contains("PushedAggregation"))
+    assert(agg.collect()(0).getLong(0) == 6L)
+  }
+
+  test("batch (non-epoch) files remain visible at any snapshot") {
+    import spark.implicits._
+    val dir = stage()
+    Seq((100L, "batch")).toDF("k", "v")
+      .write.format("kv").option("path", dir).mode("append").save()
+    assert(read(dir, Some(0L)).where(col("k") === 100L).count() == 1)
+    assert(read(dir, Some(0L)).count() == 4)
+  }
+}
