@@ -401,15 +401,18 @@ object SimilaritySearch {
       nCells: Int = 16, nProbe: Int = 4,
       m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
       maxTrainPerCell: Int = 16384): DataFrame = {
-    val scored = ivfPqAdcScores(corpus, queries, vecCol, idCol,
-      nCells, nProbe, m, pqCells, iterations, maxTrainPerCell)
+    rankAdc(ivfPqAdcScores(corpus, queries, vecCol, idCol,
+      nCells, nProbe, m, pqCells, iterations, maxTrainPerCell), k)
+  }
+
+  /** (qid, nid, adist) → top-k per query, adist asc / nid asc ties. */
+  private def rankAdc(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("qid"))
       .agg(BoundedTopK.topK(
         struct((-col("adist")).as("negd"), col("nid").as("nid")), k).as("top"))
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "s")))
       .select(col("qid"), col("s.nid").as("nid"),
         round(-col("s.negd"), 6).as("adist"), (col("pos") + 1).cast("int").as("rnk"))
-  }
 
   /** The IVF-PQ candidate generator shared by [[ivfPqKnn]] and
     * [[ivfPqRefineKnn]]: (qid, nid, adist) for every code in the query's
@@ -448,6 +451,24 @@ object SimilaritySearch {
       .select(col("id").as("nid"), col("ivf_cell"),
         array((0 until m).map(s => col(s"code$s")): _*).as("codes"))
 
+    // per-query frames: joined broadcast (a stats-blind SMJ between
+    // |Q|-sized aggregates otherwise)
+    val dtabs = perSub.map(_._2).reduce((a, b) => a.join(broadcast(b), "id"))
+      .select(col("id").as("qid"),
+        array((0 until m).map(s => col(s"dt$s")): _*).as("dtabs"))
+    ivfPqScoreModel(queries, vecCol, idCol, coarse, dtabs, codes, nProbe, m)
+  }
+
+  /** ADC scoring against MATERIALIZED model frames — shared by the
+    * in-memory path and the persisted index: coarse centroids (cell,
+    * ce), per-query distance tables `dtabs` (qid, dtabs array-of-array),
+    * corpus codes (nid, ivf_cell, codes). Probe selection and the
+    * joined distance tables broadcast; the codes table never shuffles.
+    */
+  private def ivfPqScoreModel(
+      queries: DataFrame, vecCol: String, idCol: String,
+      coarse: DataFrame, dtabs: DataFrame, codes: DataFrame,
+      nProbe: Int, m: Int): DataFrame = {
     // nProbe nearest coarse cells per query (broadcast-sized sort)
     val probes = prep(queries, vecCol, idCol).crossJoin(broadcast(coarse))
       .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
@@ -456,17 +477,115 @@ object SimilaritySearch {
       .agg(slice(sort_array(collect_list(struct(col("d2"), col("cell")))), 1, nProbe)
         .as("cells"))
       .select(col("id").as("qid"), explode(col("cells.cell")).as("ivf_cell"))
-    val dtabs = perSub.map(_._2).reduce(_.join(_, "id"))
-      .select(col("id").as("qid"),
-        array((0 until m).map(s => col(s"dt$s")): _*).as("dtabs"))
-
-    broadcast(probes.join(dtabs, "qid"))
+    broadcast(probes.join(broadcast(dtabs), "qid"))
       .join(codes, Seq("ivf_cell"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
           (acc, s) => acc + element_at(element_at(col("dtabs"), s + 1),
             (element_at(col("codes"), s + 1) + 1).cast("int"))).as("adist"))
+  }
+
+  /** Per-query PQ distance tables against given per-subspace codebooks:
+    * (qid, dtabs) where dtabs(s)(c) = d²(query subspace s, codebook s
+    * centroid c).
+    */
+  private def pqDistanceTables(
+      queries: DataFrame, vecCol: String, idCol: String,
+      subCents: Seq[DataFrame]): DataFrame = {
+    val m = subCents.length
+    subCents.zipWithIndex.map { case (cents, s) =>
+      prep(pqSubspace(queries, vecCol, idCol, s, m), "subv", idCol)
+        .crossJoin(broadcast(cents))
+        .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+        .groupBy(col("id"))
+        .agg(transform(sort_array(collect_list(struct(col("cell"), col("d2")))),
+          x => x.getField("d2")).as(s"dt$s"))
+    }.reduce((a, b) => a.join(broadcast(b), "id"))
+      .select(col("id").as("qid"),
+        array((0 until m).map(s => col(s"dt$s")): _*).as("dtabs"))
+  }
+
+  /** Persist an IVF-PQ index — the production "train once, search many"
+    * layout ([[buildIvfIndex]]'s stance for the compact-code tier):
+    * coarse centroids at `<path>/coarse`, per-subspace PQ codebooks at
+    * `<path>/pq<s>`, and the corpus as codes (nid, ivf_cell, codes) at
+    * `<path>/codes` — m bytes-worth of codes per vector instead of the
+    * raw floats. Searches and appends never retrain or rescan the
+    * corpus.
+    */
+  def buildIvfPqIndex(
+      corpus: DataFrame, vecCol: String, idCol: String, path: String,
+      nCells: Int = 16, m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384): Unit = {
+    val coarse = trainCentroids(corpus, vecCol, idCol, nCells, iterations, maxTrainPerCell)
+    coarse.write.format("kv").option("path", s"$path/coarse")
+      .mode("overwrite").save()
+    val lists = assignCells(prep(corpus, vecCol, idCol), coarse)
+      .select(col("id"), col("cell").as("ivf_cell"))
+    val perSub = (0 until m).map { s =>
+      val sub = pqSubspace(corpus, vecCol, idCol, s, m)
+      val cents = trainCentroids(sub, "subv", idCol, pqCells, iterations, maxTrainPerCell)
+      cents.write.format("kv").option("path", s"$path/pq$s")
+        .mode("overwrite").save()
+      assignCells(prep(sub, "subv", idCol), cents)
+        .select(col("id"), col("cell").as(s"code$s"))
+    }
+    perSub.reduce(_.join(_, "id"))
+      .join(lists, "id")
+      .select(col("id").as("nid"), col("ivf_cell"),
+        array((0 until m).map(s => col(s"code$s")): _*).as("codes"))
+      .write.format("kv").option("path", s"$path/codes")
+      .mode("overwrite").save()
+  }
+
+  /** Search a persisted IVF-PQ index — must answer IDENTICALLY to the
+    * in-memory [[ivfPqKnn]] over the same corpus (deterministic
+    * training), so the gates share one oracle. Only the codebooks
+    * (broadcast-sized) and the probed cells' codes are touched.
+    */
+  def ivfPqKnnIndexed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, vecCol: String, idCol: String,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    def table(sub: String) =
+      spark.read.format("kv").option("path", s"$path/$sub").load()
+    val subCents = Iterator.from(0)
+      .takeWhile(s => graft.sources.ParquetIO.listFiles(s"$path/pq$s").nonEmpty)
+      .map(s => table(s"pq$s")).toSeq
+    require(subCents.nonEmpty, s"no PQ codebooks under $path")
+    val dtabs = pqDistanceTables(queries, vecCol, idCol, subCents)
+    rankAdc(ivfPqScoreModel(queries, vecCol, idCol, table("coarse"), dtabs,
+      table("codes").select(col("nid"), col("ivf_cell"), col("codes")),
+      nProbe, subCents.length), k)
+  }
+
+  /** Incremental IVF-PQ maintenance: encode NEW vectors against the
+    * persisted codebooks (coarse assignment + per-subspace codes — no
+    * retraining, the codebooks stay stable) and append them to the codes
+    * table. Periodic re-training is [[buildIvfPqIndex]] again.
+    */
+  def ivfPqIndexAppend(
+      newVecs: DataFrame, vecCol: String, idCol: String, path: String): Unit = {
+    val spark = newVecs.sparkSession
+    def table(sub: String) =
+      spark.read.format("kv").option("path", s"$path/$sub").load()
+    val subCents = Iterator.from(0)
+      .takeWhile(s => graft.sources.ParquetIO.listFiles(s"$path/pq$s").nonEmpty)
+      .map(s => table(s"pq$s")).toSeq
+    val m = subCents.length
+    val lists = assignCells(prep(newVecs, vecCol, idCol), table("coarse"))
+      .select(col("id"), col("cell").as("ivf_cell"))
+    val perSub = subCents.zipWithIndex.map { case (cents, s) =>
+      assignCells(prep(pqSubspace(newVecs, vecCol, idCol, s, m), "subv", idCol), cents)
+        .select(col("id"), col("cell").as(s"code$s"))
+    }
+    perSub.reduce(_.join(_, "id"))
+      .join(lists, "id")
+      .select(col("id").as("nid"), col("ivf_cell"),
+        array((0 until m).map(s => col(s"code$s")): _*).as("codes"))
+      .write.format("kv").option("path", s"$path/codes").mode("append").save()
   }
 
   /** IVF-PQ with an exact re-ranking tail (the FAISS `IndexRefineFlat`
@@ -500,7 +619,7 @@ object SimilaritySearch {
     val q = prep(queries, vecCol, idCol)
       .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
     topKPerQuery(
-      broadcast(shortlist.join(q, "qid")).join(c, Seq("nid"))
+      broadcast(shortlist.join(broadcast(q), "qid")).join(c, Seq("nid"))
         .select(col("qid"), col("nid"),
           (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim")),
       k)
@@ -651,7 +770,7 @@ object SimilaritySearch {
     val c = prep(docVecs, vecCol, idCol)
       .select(col("id").as("__cv_id"), col("e").as("ne"), col("nrm").as("nn"))
     val paired = candidates.select(col("qid"), col("nid"))
-      .join(q, col("qid") === col("__qv_id"))
+      .join(broadcast(q), col("qid") === col("__qv_id"))
     topKPerQuery(
       broadcast(paired).join(c, col("nid") === col("__cv_id"))
         .select(col("qid"), col("nid"),

@@ -232,6 +232,21 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // The persisted IVF-PQ index: codebooks + corpus codes as kv tables,
+    // search without retraining or rescanning the corpus — must answer
+    // IDENTICALLY to the in-memory q_ann_ivfpq (deterministic training),
+    // so it shares that gate's full-replay oracle.
+    "q_ann_ivfpq_indexed" -> ((s, dir) => {
+      val idx = s"/tmp/graft_ivfpqidx${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(idx)
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.buildIvfPqIndex(emb, "embedding", "vec_id", idx,
+        nCells = 4, m = 2, pqCells = 4, maxTrainPerCell = 32)
+      SimilaritySearch.ivfPqKnnIndexed(s, idx, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, nProbe = 2)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // The persisted-index path: build the IVF index once (kv tables for
     // centroids + cell assignments), search against it — must answer
     // IDENTICALLY to the in-memory q_ann_ivf, so it shares that gate's

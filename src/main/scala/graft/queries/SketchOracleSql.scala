@@ -898,6 +898,9 @@ object SketchOracleSql {
     "q_ann_ivf_indexed" -> annIvfOracle,
     "q_ann_pq" -> annPqOracle,
     "q_ann_ivfpq" -> annIvfPqOracle,
+    // the persisted IVF-PQ index must answer identically to the
+    // in-memory path — same replayed oracle
+    "q_ann_ivfpq_indexed" -> annIvfPqOracle,
     "q_ann_ivfpq_refine" -> annIvfPqRefineOracle,
     "q_dedup_groups" -> componentsOracle,
     "q_dedup_drop_best" -> dropBestOracle,

@@ -122,4 +122,47 @@ class PlanInvariantSpec extends SparkSpec {
         s"the seen-store reshuffles before reaching its join:\n$plan")
     }
   }
+
+  test("refine / rerank cascades: raw-vector fetches broadcast; any SMJ is between keyed aggregates") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (q <- Seq("q_ann_ivfpq_refine", "q_pipeline_rerank")) {
+      val plan = planOf(q)
+      // the code-assembly joins (code_s ⋈ code_s+1 ⋈ lists) are same-key
+      // corpus joins between per-id AGGREGATES — legal; what must never
+      // appear is a shuffled join with a raw (un-aggregated) scan side,
+      // which would mean the shortlist shuffled the corpus instead of
+      // broadcasting into it
+      val shuffledJoins = plan.collect {
+        case j: SortMergeJoinExec => j: SparkPlan
+        case j: ShuffledHashJoinExec => j: SparkPlan
+      }
+      shuffledJoins.foreach { j =>
+        assert(subtreeHasAggregate(j.children(0)) && subtreeHasAggregate(j.children(1)),
+          s"$q: shuffled join with a raw corpus side (the rescore fetch " +
+            s"must broadcast):\n$j")
+      }
+      assert(plan.collect { case w: WindowExec => w }.isEmpty,
+        s"$q: window over candidates (bounded-heap top-k must aggregate)")
+    }
+  }
+
+  test("drift audit: no windows; the only SMJ is the same-key count-frame full outer") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = planOf("q_corpus_drift")
+    assert(plan.collect { case w: WindowExec => w }.isEmpty,
+      "drift must rank via the bounded heap, not a window")
+    val smjs = plan.collect { case j: SortMergeJoinExec => j }
+    smjs.foreach { j =>
+      assert(subtreeHasAggregate(j.left) && subtreeHasAggregate(j.right),
+        s"drift SMJ side is not an aggregated term-count frame:\n$j")
+    }
+  }
+
+  test("time-travel snapshot scan keeps filter pushdown (plan-visible)") {
+    val df = SparkEntry.queries("q_kv_time_travel")(spark, dir)
+      .where(org.apache.spark.sql.functions.col("n_nationkey") > 5L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThan"),
+      s"snapshot read lost pushdown:\n$plan")
+  }
 }

@@ -264,6 +264,35 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(top.getAs[Long]("nid") == 3L)
   }
 
+  test("persisted IVF-PQ index answers identically to the in-memory path and absorbs appends") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
+    val q = corpus.filter(col("vec_id") < 3L)
+    SimilaritySearch.buildIvfPqIndex(corpus, "embedding", "vec_id", idx,
+      nCells = 4, m = 2, pqCells = 4, maxTrainPerCell = 32)
+    val indexed = SimilaritySearch.ivfPqKnnIndexed(spark, idx, q,
+      "embedding", "vec_id", k = 3, nProbe = 2)
+      .orderBy("qid", "rnk").collect().map(_.toString).toSeq
+    val inMemory = SimilaritySearch.ivfPqKnn(corpus, q, "embedding", "vec_id",
+      k = 3, nCells = 4, nProbe = 2, m = 2, pqCells = 4, maxTrainPerCell = 32)
+      .orderBy("qid", "rnk").collect().map(_.toString).toSeq
+    assert(indexed == inMemory)
+
+    // append an exact duplicate of vector 0 — it encodes to vector 0's
+    // own codes, so a full-probe search for 0 must surface it TIED at
+    // the minimal ADC distance (= 0's own quantization error; ADC ties
+    // are shared by every vector with the same codes, nid-asc ranked)
+    val dup = Seq((777L, vec(0))).toDF("vec_id", "embedding")
+    SimilaritySearch.ivfPqIndexAppend(dup, "embedding", "vec_id", idx)
+    val after = SimilaritySearch.ivfPqKnnIndexed(spark, idx,
+      corpus.filter(col("vec_id") === 0L), "embedding", "vec_id",
+      k = 60, nProbe = 4).orderBy("rnk").collect()
+    val mine = after.filter(_.getAs[Long]("nid") == 777L)
+    assert(mine.length == 1, s"appended vector missing: ${after.mkString(",")}")
+    assert(mine(0).getAs[Double]("adist") ==
+      after.map(_.getAs[Double]("adist")).min)
+  }
+
   test("ivfPqRefineKnn with full probes and corpus-wide shortlist equals brute force") {
     val q = corpus.filter(col("vec_id") < 3L)
     // nProbe = nCells → every code is a candidate; refine ≥ corpus →
