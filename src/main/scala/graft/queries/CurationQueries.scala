@@ -198,6 +198,22 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Unicode NFC normalization: every 7th doc gets a decomposed-accent
+    // prefix ("Cafe" + combining U+0301) the normalizer must fold to the
+    // composed form; NFC is standard-defined, so DuckDB's nfc_normalize
+    // replays it byte-identically. Output: normalized text + changed flag.
+    "q_doc_unicode_norm" -> ((s, dir) => {
+      val aug = Tables.load(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit("Cafe\u0301 "), col("text"))).otherwise(col("text"))
+          .as("text"))
+      aug.select(col("doc_id"),
+          graft.functions.UnicodeNfc.nfc(col("text")).as("norm_text"),
+          (graft.functions.UnicodeNfc.nfc(col("text")) =!= col("text"))
+            .as("changed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // One-row dataset card: totals, exact duplicate-text rate, language
     // mix (count, dominant share, entropy in integer micro-nats) — the
     // release-notes summary, every value exactly replayed.
@@ -512,6 +528,19 @@ object CurationQueries {
         |FROM tokens JOIN freq USING (term) CROSS JOIN tot
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // NFC is standard-defined: DuckDB's nfc_normalize must byte-match
+    // java.text.Normalizer on the decomposed-accent augmentation
+    "q_doc_unicode_norm" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'Cafe' || chr(769) || ' ' || text
+        |         ELSE text END AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id, nfc_normalize(text) AS norm_text,
+        |  nfc_normalize(text) <> text AS changed
+        |FROM aug ORDER BY doc_id""".stripMargin,
 
     // the card's every value replayed: totals, md5-distinct dup rate,
     // language histogram (top by c desc / lang desc — the max-struct tie),

@@ -102,6 +102,30 @@ object EventsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Percentile winsorization audit: exact binned 1/99-percentile
+    // thresholds per event type (broadcast back), rows classified
+    // against them — outlier clipping as data prep, with the clip
+    // counts exact integers and the thresholds exposed. The oracle
+    // replays the interpolation and the strict-inequality classification.
+    "q_events_winsorize" -> ((s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+      val thr = graft.operators.CorpusStats.binnedQuantiles(
+        ev, "event_type", "value", Seq(0.01, 0.99))
+        .select(col("event_type"), col("q_01"), col("q_99"))
+      ev.join(broadcast(thr), "event_type")
+        .select(col("event_type"),
+          when(col("value") < col("q_01"), lit(1L)).otherwise(lit(0L)).as("lo"),
+          when(col("value") > col("q_99"), lit(1L)).otherwise(lit(0L)).as("hi"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("lo")).as("n_clipped_lo"),
+          sum(col("hi")).as("n_clipped_hi"))
+        .join(broadcast(thr), Seq("event_type"))
+        .select(col("event_type"), col("n"), col("n_clipped_lo"),
+          col("n_clipped_hi"), round(col("q_01"), 6).as("q_01"),
+          round(col("q_99"), 6).as("q_99"))
+        .orderBy(col("event_type"))
+    }),
+
     // Point-in-time (as-of) join: attach to each view the user's most
     // recent purchase at or before it — the time-series lookup Spark has
     // no native operator for ([[graft.operators.AsOfJoin]]: tagged union
@@ -271,6 +295,44 @@ object EventsQueries {
         |  max(CASE WHEN p = 0.9 THEN q END) AS q_9,
         |  max(CASE WHEN p = 0.99 THEN q END) AS q_99
         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same interpolation replay as q_events_quantiles at p = 1/99,
+    // then the strict-inequality clip classification
+    "q_events_winsorize" ->
+      """WITH cnts AS (
+        |  SELECT event_type AS g, round(value, 2) AS b, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2
+        |), ranked AS (
+        |  SELECT g, b, cnt,
+        |    sum(cnt) OVER (PARTITION BY g ORDER BY b) AS cum,
+        |    sum(cnt) OVER (PARTITION BY g ORDER BY b) - cnt + 1 AS first_rank
+        |  FROM cnts
+        |), totals AS (
+        |  SELECT g, sum(cnt) AS n FROM cnts GROUP BY 1
+        |), targets AS (
+        |  SELECT g, n, p, CAST(floor(p * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 AS rlo,
+        |    CAST(ceil(p * CAST(n - 1 AS DOUBLE)) AS BIGINT) + 1 AS rhi,
+        |    p * CAST(n - 1 AS DOUBLE) - floor(p * CAST(n - 1 AS DOUBLE)) AS frac
+        |  FROM totals, unnest(CAST([0.01, 0.99] AS DOUBLE[])) AS tp(p)
+        |), lo AS (
+        |  SELECT t.g, t.p, t.frac, r.b AS vlo
+        |  FROM targets t JOIN ranked r ON t.g = r.g AND t.rlo BETWEEN r.first_rank AND r.cum
+        |), hi AS (
+        |  SELECT t.g, t.p, t.frac, r.b AS vhi
+        |  FROM targets t JOIN ranked r ON t.g = r.g AND t.rhi BETWEEN r.first_rank AND r.cum
+        |), thr AS (
+        |  SELECT lo.g AS event_type,
+        |    max(CASE WHEN lo.p = 0.01 THEN vlo + (vhi - vlo) * lo.frac END) AS q01,
+        |    max(CASE WHEN lo.p = 0.99 THEN vlo + (vhi - vlo) * lo.frac END) AS q99
+        |  FROM lo JOIN hi ON lo.g = hi.g AND lo.p = hi.p
+        |  GROUP BY 1
+        |)
+        |SELECT e.event_type, count(*)::BIGINT AS n,
+        |  CAST(sum(CASE WHEN e.value < t.q01 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_lo,
+        |  CAST(sum(CASE WHEN e.value > t.q99 THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped_hi,
+        |  round(max(t.q01), 6) AS q_01, round(max(t.q99), 6) AS q_99
+        |FROM events e JOIN thr t USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // DuckDB's native ASOF JOIN is the oracle for the hand-built
     // union+window implementation — two independent formulations of the

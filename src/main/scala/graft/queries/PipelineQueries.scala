@@ -145,6 +145,19 @@ object PipelineQueries {
       Dedup.connectedComponents(pairs).orderBy(col("id"))
     }),
 
+    // Duplicate-cluster size histogram — the dedup audit chart
+    // ("how big are the duplicate families?"): same pair graph and
+    // closure as q_dedup_groups, two partial-aggregable groupBys on top.
+    "q_dedup_cluster_sizes" -> ((s, dir) => {
+      val pairs = Dedup.minHashLsh(Tables.load(s, dir, "documents"),
+        "text", "doc_id", numHashes = 64, bands = 16, minJaccard = 0.2)
+      Dedup.connectedComponents(pairs)
+        .groupBy(col("component")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .orderBy(col("cluster_size"))
+    }),
+
     // Best-keeper near-dup drop: per duplicate cluster keep the longest
     // member (ties → min id) — what a production pipeline does, vs the
     // arbitrary min-id keeper. Same pair graph as q_dedup_groups; the

@@ -432,6 +432,16 @@ object SketchOracleSql {
     s"""WITH RECURSIVE $componentsCtes
        |SELECT id, min(r) AS component FROM reach GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** q_dedup_cluster_sizes: the duplicate-cluster size histogram over
+    * the same recursive closure — (cluster_size, n_clusters).
+    */
+  def clusterSizesOracle: String =
+    s"""SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters FROM (
+       |  SELECT component, count(*)::BIGINT AS sz FROM (
+       |    $componentsOracle
+       |  ) g GROUP BY 1
+       |) GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** q_dedup_drop_best: doc_ids surviving best-keeper near-dup drop —
     * per component keep the max-n_chars member (ties → min id); docs in
     * no pair pass through. Same pair graph as q_dedup_groups.
@@ -903,6 +913,7 @@ object SketchOracleSql {
     "q_ann_ivfpq_indexed" -> annIvfPqOracle,
     "q_ann_ivfpq_refine" -> annIvfPqRefineOracle,
     "q_dedup_groups" -> componentsOracle,
+    "q_dedup_cluster_sizes" -> clusterSizesOracle,
     "q_dedup_drop_best" -> dropBestOracle,
     "q_corpus_stats" -> corpusStatsOracle,
     "q_ann_ivf" -> annIvfOracle,
