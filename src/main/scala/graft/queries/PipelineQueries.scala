@@ -145,6 +145,22 @@ object PipelineQueries {
       Dedup.connectedComponents(pairs).orderBy(col("id"))
     }),
 
+    // Integer-exact PageRank over a deterministic synthetic link graph
+    // (three mod-arithmetic out-links per doc): the crawl-prioritization
+    // prior, 3 fixed iterations of pure integer arithmetic (micro-unit
+    // ranks, div-by-outdeg contributions, 85% damping as *85 DIV 100) —
+    // bit-identical on any engine, oracle unrolls all three iterations.
+    "q_graph_pagerank" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+      val n = docs.agg((max(col("doc_id")) + 1L).as("__n"))
+      val edges = docs.crossJoin(broadcast(n))
+        .select(col("doc_id").as("src"),
+          explode(array(lit(7L), lit(31L), lit(131L))).as("m"), col("__n"))
+        .select(col("src"), ((col("src") * col("m") + 1L) % col("__n")).as("dst"))
+      graft.operators.GraphRank.pageRank(edges, "src", "dst", iterations = 3)
+        .orderBy(col("id"))
+    }),
+
     // Duplicate-cluster size histogram — the dedup audit chart
     // ("how big are the duplicate families?"): same pair graph and
     // closure as q_dedup_groups, two partial-aggregable groupBys on top.
@@ -427,6 +443,29 @@ object PipelineQueries {
   )
 
   def oracles: Map[String, String] = SketchOracleSql.oracles ++ Map(
+    // pagerank: the 3 integer iterations unrolled — div-by-outdeg
+    // contributions, *85 // 100 damping, 150000 teleport
+    "q_graph_pagerank" -> {
+      def iter(prev: String, out: String) =
+        s"""$out AS (
+           |  SELECT n.id, coalesce(s.inflow, 0) * 85 // 100 + 150000 AS r
+           |  FROM nodes n LEFT JOIN (
+           |    SELECT e.dst AS id, CAST(sum(r.r // od.outdeg) AS BIGINT) AS inflow
+           |    FROM $prev r JOIN od ON r.id = od.src JOIN e ON e.src = od.src
+           |    GROUP BY 1) s ON n.id = s.id
+           |)""".stripMargin
+      s"""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+         |e AS (
+         |  SELECT doc_id AS src, (doc_id * m + 1) % nn.n AS dst
+         |  FROM documents, nn, unnest(CAST([7, 31, 131] AS BIGINT[])) AS t(m)
+         |), nodes AS (
+         |  SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
+         |), od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY 1),
+         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+         |${iter("r0", "r1")}, ${iter("r1", "r2")}, ${iter("r2", "r3")}
+         |SELECT id, CAST(r AS BIGINT) AS rank_micro FROM r3 ORDER BY id""".stripMargin
+    },
+
     // video decode: replay the per-frame pixel generator — frame f of
     // doc d uses seed d·131 + f over w = d%16+1, h = d%12+1
     "q_multimodal_video" ->

@@ -690,6 +690,45 @@ class CurationSpec extends SparkSpec {
       s"rates must broadcast to the corpus:\n$plan")
   }
 
+  test("cdcChunkDocuments equals an independent mod-32 window replay on random text") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcdef 字文."
+    def randText(n: Int) =
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    val docs = (0 until 30).map(i => (i.toLong, randText(rnd.nextInt(120))))
+    val got = Curation.cdcChunkDocuments(
+      docs.toDF("doc_id", "text"), "text", "doc_id", maskBits = 5)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+      .sortBy(t => (t._1, t._2)).toSeq
+
+    // independent formulation: the oracle's identity — h_i mod 32 is a
+    // 5-term window sum of mod-32 gear values, no sequential fold
+    val want = docs.flatMap { case (id, text) =>
+      val cps = text.codePoints().toArray
+      val n = cps.length
+      if (n == 0) Nil
+      else {
+        val gm = cps.map { cp =>
+          val g = graft.functions.Sketches.splitmix64(cp.toLong)
+          ((g % 32) + 32) % 32
+        }
+        val cuts = (1 until n).filter { i => // 1-based position i = index i-1
+          val lo = math.max(1, i - 4)
+          (lo to i).map(j => gm(j - 1) << (i - j)).sum % 32 == 0
+        }
+        val starts = 1 +: cuts.map(_ + 1)
+        val ends = cuts :+ n
+        starts.zip(ends).zipWithIndex.map { case ((st, en), idx) =>
+          val txt = new String(cps.slice(st - 1, en).flatMap(Character.toChars))
+          (id, idx, st, en - st + 1, txt)
+        }
+      }
+    }.sortBy(t => (t._1, t._2))
+    assert(got == want)
+  }
+
   test("cdcChunkDocuments: chunks tile the text; boundaries survive a prefix edit") {
     import spark.implicits._
     val text = "the quick brown fox jumps over the lazy dog and then the " +
