@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.types.{IntegerType, LongType}
+
+/** SQL registration for the engine's native expressions — a SQL-only
+  * user gets the same codegen'd kernels the Column API exposes
+  * (`SELECT unicode_nfc(text), array_dot(a, b) FROM ...`), completing
+  * the "switch without leaving SQL" story next to the streaming DDL
+  * surface ([[graft.streaming.GraftSqlExtensions]]) and the registered
+  * `cdc_col_parser` / `logistic_regression` UDFs.
+  */
+object GraftFunctions {
+
+  private def intLit(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case Literal(v: Long, LongType) => v.toInt
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def longLit(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, IntegerType) => v.toLong
+    case Literal(v: Long, LongType) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be a long literal, got $other")
+  }
+
+  /** (name, builder) for every native SQL function — one list feeds both
+    * the temp-function registration and the session-extensions path.
+    */
+  def builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "unicode_nfc" -> { exprs =>
+      require(exprs.length == 1, "unicode_nfc(text)")
+      UnicodeNfc(exprs.head)
+    },
+    "cdc_chunks" -> { exprs =>
+      require(exprs.length == 2, "cdc_chunks(text, maskBits)")
+      CdcChunks(exprs.head, intLit(exprs(1), "maskBits"))
+    },
+    "array_dot" -> { exprs =>
+      require(exprs.length == 2, "array_dot(a, b)")
+      VectorExpressions.ArrayDot(exprs.head, exprs(1))
+    },
+    "ws_tokens" -> { exprs =>
+      require(exprs.length == 1, "ws_tokens(text)")
+      WhitespaceTokens(exprs.head)
+    },
+    "splitmix64" -> { exprs =>
+      require(exprs.length == 1, "splitmix64(x)")
+      Sketches.SplitMix64Expr(exprs.head)
+    },
+    "string_hash64" -> { exprs =>
+      require(exprs.length == 2, "string_hash64(s, seed)")
+      Sketches.StringHash64Expr(exprs.head, longLit(exprs(1), "seed"))
+    },
+    "gram_coverage" -> { exprs =>
+      require(exprs.length == 2, "gram_coverage(words, n)")
+      GramCoverage(exprs.head, intLit(exprs(1), "n"))
+    })
+
+  /** Register all native SQL functions into an existing session. */
+  def registerAll(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    builders.foreach { case (name, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
+  }
+}

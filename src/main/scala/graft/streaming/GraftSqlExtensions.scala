@@ -52,6 +52,11 @@ class GraftSqlExtensions extends (SparkSessionExtensions => Unit) {
         require(exprs.length == 1, "delay(timeColumn)")
         DelayMarker(exprs.head)
       }))
+    // the native text/vector/hash kernels, SQL-addressable
+    graft.functions.GraftFunctions.builders.foreach { case (name, b) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftSqlExtensions].getName, name), b))
+    }
     ext.injectResolutionRule(_ => RewriteDelayPredicate)
     // INSERT INTO <table with output.mode> SELECT ... FROM <stream table>
     // → streaming query (the reference's pure-SQL streaming-table DDL)
