@@ -121,6 +121,36 @@ object ExplainCheck {
           l.contains("BroadcastNestedLoopJoin")) + " (want 0)")
     }
 
+    // round-7 fourth wave: cascades broadcast their shortlists; drift and
+    // pagerank shuffle only keyed aggregates; time travel keeps pushdown
+    for (q <- Seq("q_ann_ivfpq_refine", "q_pipeline_rerank")) {
+      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan
+      // tree-collect (the PlanInvariantSpec semantics): windows inside the
+      // CACHED k-means training chain don't count — the candidate path
+      // itself must have none
+      val windows = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w }.length
+      val p = plan.toString
+      println(s"=== $q === candidate-path windows: $windows (want 0), broadcasts: " +
+        p.linesIterator.count(_.contains("BroadcastExchange")) +
+        ", sortmerge joins (keyed-aggregate sides only — PlanInvariantSpec asserts): " +
+        p.linesIterator.count(_.contains("SortMergeJoin")))
+    }
+    for (q <- Seq("q_corpus_drift", "q_graph_pagerank", "q_pipeline_ccnet")) {
+      val p = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
+      println(s"=== $q === windows: " +
+        p.linesIterator.count(_.contains("WindowExec")) +
+        ", cartesian/BNLJ (non-broadcast-hinted): " +
+        p.linesIterator.count(_.contains("CartesianProduct")) + " (want 0)")
+    }
+    {
+      val p = SparkEntry.queries("q_kv_time_travel")(spark, dir)
+        .queryExecution.executedPlan.toString
+      println("=== q_kv_time_travel === snapshot scan pushes filters: " +
+        p.contains("PushedFilters") + ", footer-agg pushdown (want false under snapshot): " +
+        p.contains("PushedAggregation"))
+    }
+
     val idxDir = java.nio.file.Files.createTempDirectory("explainidx").toString + "/t"
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -299,6 +299,39 @@ object Curation {
       .select((col("i") + 1).as("rnk"), col("r.term").as("term"), col("r.cnt").as("cnt"))
   }
 
+  /** Deterministic release export with an integrity manifest — the last
+    * mile of a dataset drop: the corpus lands as `shards` hash-assigned
+    * parquet partitions under `path` (one pass, `partitionBy`), and the
+    * returned manifest carries per shard
+    * `(shard, n_rows, n_tokens, content_sig)` where `content_sig` is the
+    * BIT_XOR of each row's `stringHash64(id || \\u0001 || text)` —
+    * order-free, partitioning-free, overflow-free, so a consumer (or a
+    * different engine) re-reading the shards can verify both membership
+    * and content byte-for-byte without any canonical ordering.
+    *
+    * Scale shape: shard assignment is a row-local hash; the export is
+    * ONE `partitionBy` write (no per-shard rescans) and the manifest ONE
+    * partial-aggregable groupBy with three counters — two corpus passes
+    * total.
+    */
+  def exportShards(
+      df: DataFrame, idCol: String, textCol: String,
+      path: String, shards: Int, seed: Long = 0L): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val id = col(idCol)
+    val withShard = df.select(id, col(textCol),
+      pmod(Sketches.splitmixLong(id.cast("long").bitwiseXOR(lit(seed))),
+        lit(shards.toLong)).cast("int").as("shard"),
+      Sketches.stringHash64(
+        concat_ws("\u0001", id.cast("string"), col(textCol)), seed).as("__rh"),
+      size(words(col(textCol))).cast("long").as("__ntok"))
+    withShard.drop("__rh", "__ntok")
+      .write.partitionBy("shard").mode("overwrite").parquet(path)
+    withShard.groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("__ntok")).as("n_tokens"),
+        expr("bit_xor(__rh)").as("content_sig"))
+  }
+
   /** Content-defined chunking ([[graft.functions.CdcChunks]]): one row
     * per chunk with (chunk_idx, start, len, chunk_text). Boundaries are
     * local-content hashes, so an edit re-chunks only the chunk it lands

@@ -198,6 +198,21 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Release export + integrity manifest: 8 hash-assigned parquet
+    // shards written in one pass; per shard (n_rows, n_tokens,
+    // content_sig) where the signature is the order-free BIT_XOR of
+    // per-row stringHash64(id || U+0001 || text) — shard assignment,
+    // counts, and signature all replayed by the oracle.
+    "q_export_manifest" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val out = s"/tmp/graft_export$safe"
+      graft.sources.ParquetIO.deletePath(out)
+      Curation.exportShards(
+        Tables.load(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", out, shards = 8, seed = 5L)
+        .orderBy(col("shard"))
+    }),
+
     // Unicode NFC normalization: every 7th doc gets a decomposed-accent
     // prefix ("Cafe" + combining U+0301) the normalizer must fold to the
     // composed form; NFC is standard-defined, so DuckDB's nfc_normalize
@@ -528,6 +543,24 @@ object CurationQueries {
         |FROM tokens JOIN freq USING (term) CROSS JOIN tot
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // shard = pmod(splitmix64(id ^ 5), 8); content_sig = bit_xor of the
+    // full per-row string hash over id || chr(1) || text
+    "q_export_manifest" -> {
+      val hk = SketchOracleSql.splitmixBigintSql("xor(doc_id, 5::BIGINT)")
+      val rh = SketchOracleSql.stringHash64BigintSql(
+        "doc_id::VARCHAR || chr(1) || text", 5L)
+      s"""SELECT shard, count(*)::BIGINT AS n_rows,
+         |  CAST(sum(ntok) AS BIGINT) AS n_tokens,
+         |  bit_xor(rh) AS content_sig
+         |FROM (
+         |  SELECT CAST(((($hk) % 8) + 8) % 8 AS INT) AS shard,
+         |    CAST(len(list_filter(string_split_regex(trim(text), '\\s+'),
+         |      w -> w <> '')) AS BIGINT) AS ntok,
+         |    ($rh) AS rh
+         |  FROM documents)
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     // NFC is standard-defined: DuckDB's nfc_normalize must byte-match
     // java.text.Normalizer on the decomposed-accent augmentation

@@ -690,6 +690,40 @@ class CurationSpec extends SparkSpec {
       s"rates must broadcast to the corpus:\n$plan")
   }
 
+  test("exportShards: re-read shards verify against the manifest; tampering breaks the signature") {
+    import spark.implicits._
+    import graft.functions.Sketches
+    val docs = (0L until 200L).map(i => (i, s"doc $i body ${"w " * (i % 9).toInt}"))
+      .toDF("id", "text")
+    val out = java.nio.file.Files.createTempDirectory("export").toString + "/rel"
+    val manifest = Curation.exportShards(docs, "id", "text", out, shards = 4, seed = 9L)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(3))).toMap
+
+    // the consumer's verification pass: recompute per-shard signatures
+    // from the RE-READ parquet — must equal the manifest exactly
+    val back = spark.read.parquet(out)
+    assert(back.count() == 200)
+    val re = back.select(col("shard"),
+        Sketches.stringHash64(
+          concat_ws("\u0001", col("id").cast("string"), col("text")), 9L).as("rh"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n"), expr("bit_xor(rh)").as("sig"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(re == manifest, s"$re vs $manifest")
+
+    // tampering (dropping one row) must break that shard's signature
+    val victim = back.limit(1).collect()(0)
+    val tampered = back.where(!(col("id") === victim.getAs[Long]("id")))
+      .select(col("shard"),
+        Sketches.stringHash64(
+          concat_ws("\u0001", col("id").cast("string"), col("text")), 9L).as("rh"))
+      .groupBy(col("shard"))
+      .agg(expr("bit_xor(rh)").as("sig"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val vShard = victim.getAs[Int]("shard")
+    assert(tampered(vShard) != manifest(vShard)._2)
+  }
+
   test("cdcChunkDocuments equals an independent mod-32 window replay on random text") {
     import spark.implicits._
     val rnd = new scala.util.Random(7)
