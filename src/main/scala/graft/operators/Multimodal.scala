@@ -575,4 +575,46 @@ object Multimodal {
       }
     }(enc)
   }
+
+  /** Image near-duplicate pairs via banded perceptual hashes — visual
+    * dedup over the REAL decode path: each image's 64-bit aHash
+    * ([[imageHash]]) splits into `bands` equal slices; images sharing
+    * ANY slice become candidates, and the exact Hamming distance
+    * filters to `maxHamming`. With `maxHamming < bands`, recall is
+    * EXACT by pigeonhole (≤ maxHamming differing bits cannot touch all
+    * bands) — the MinHash-LSH discipline applied to pixels.
+    *
+    * Scale shape: decode + hash row-local; candidates come from an
+    * equi-join on (band, slice) — one partial shuffle of 8-byte keys,
+    * never an all-pairs comparison; the verify is a codegen'd
+    * `bit_count`. Degenerate slices (e.g. all-dark corpora hashing to
+    * zero) concentrate a band key exactly like a hot MinHash band — the
+    * same cap/salting playbook applies upstream of this operator.
+    */
+  def imageNearDup(
+      df: DataFrame, payloadCol: String, idCol: String,
+      maxHamming: Int = 3, bands: Int = 4): DataFrame = {
+    require(bands >= 1 && 64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxHamming >= 0 && maxHamming < bands,
+      s"pigeonhole recall needs maxHamming < bands ($maxHamming >= $bands)")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1L
+    val hashed = imageHash(df, payloadCol)
+      .select(col(idCol).as("id"), col("ahash64"))
+      .where(col("ahash64").isNotNull)
+    val banded = hashed.select(col("id"), col("ahash64"),
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("ahash64"), b * width).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band", "key")))
+    val a = banded.select(col("band"), col("key"),
+      col("id").as("id_a"), col("ahash64").as("ha"))
+    val b = banded.select(col("band"), col("key"),
+      col("id").as("id_b"), col("ahash64").as("hb"))
+    a.join(b, Seq("band", "key"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("ha"), col("hb")).distinct()
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(ha ^ hb)").cast("int").as("hamming"))
+      .where(col("hamming") <= maxHamming)
+  }
 }

@@ -329,6 +329,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Visual near-dup through the REAL decode path: banded aHash
+    // candidates + exact Hamming verify (recall exact by pigeonhole at
+    // maxHamming < bands). The oracle is a genuinely independent
+    // formulation: it brute-forces ALL pairs over the replayed hashes —
+    // no banding — so any candidate-generation bug fails the gate.
+    // Input restricted to images at least 8x8 (degenerate tiny images
+    // hash to near-constant values — the hot-band case the operator
+    // documents).
+    "q_multimodal_img_dedup" -> ((s, dir) => {
+      val docs = stagedPngDocs(s, dir)
+        .where(col("doc_id") % 64 >= 7 && col("doc_id") % 48 >= 7)
+      Multimodal.imageNearDup(docs, "payload", "doc_id",
+        maxHamming = 3, bands = 4)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "q_multimodal_frames" -> ((s, dir) => {
       val docs = Multimodal.withBinaryPayload(
         Tables.load(s, dir, "documents"), "text")
@@ -829,6 +845,43 @@ object PipelineQueries {
         |  CAST(bit_count(xor(a.ahash64, b.ahash64)) AS INT) AS dist_next
         |FROM hashes a LEFT JOIN hashes b ON b.doc_id = a.doc_id + 1
         |ORDER BY a.doc_id""".stripMargin,
+
+    // independent formulation: brute-force ALL pairs over the replayed
+    // aHash chain (no banding) — candidate generation is not trusted
+    "q_multimodal_img_dedup" ->
+      """WITH dims AS (
+        |  SELECT doc_id, CAST(doc_id % 64 + 1 AS BIGINT) AS w,
+        |    CAST(doc_id % 48 + 1 AS BIGINT) AS h
+        |  FROM documents
+        |  WHERE doc_id % 64 >= 7 AND doc_id % 48 >= 7
+        |), px AS (
+        |  SELECT doc_id,
+        |    (y * 8 // h) * 8 + (x * 8 // w) AS cell,
+        |    ((((doc_id * 31 + y) * 31 + x) % 16777216 // 65536) * 299 +
+        |     ((((doc_id * 31 + y) * 31 + x) % 16777216 // 256) % 256) * 587 +
+        |     (((doc_id * 31 + y) * 31 + x) % 16777216 % 256) * 114) // 1000 AS luma
+        |  FROM dims, unnest(generate_series(0, h - 1)) AS ty(y),
+        |    unnest(generate_series(0, w - 1)) AS tx(x)
+        |), cells AS (
+        |  SELECT doc_id, cell, sum(luma) // count(*) AS m FROM px GROUP BY 1, 2
+        |), tot AS (
+        |  SELECT doc_id, sum(m) AS tot, count(*) AS n_occ FROM cells GROUP BY 1
+        |), hashes AS (
+        |  SELECT c.doc_id,
+        |    CAST(CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |      THEN hu - 18446744073709551616::HUGEINT ELSE hu END AS BIGINT) AS ah
+        |  FROM (
+        |    SELECT c.doc_id,
+        |      sum(CASE WHEN c.m * t.n_occ > t.tot
+        |        THEN (1::HUGEINT << c.cell::INT) ELSE 0::HUGEINT END) AS hu
+        |    FROM cells c JOIN tot t USING (doc_id)
+        |    GROUP BY 1) c
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.ah, b.ah)) AS INT) AS hamming
+        |FROM hashes a JOIN hashes b
+        |  ON a.doc_id < b.doc_id AND bit_count(xor(a.ah, b.ah)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin,
 
     "q_multimodal_frames" ->
       """SELECT doc_id, 4 AS n_frames,

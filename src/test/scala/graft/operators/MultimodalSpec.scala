@@ -205,4 +205,25 @@ class MultimodalSpec extends SparkSpec {
       Seq((1L, Array[Byte](9, 9, 9))).toDF("doc_id", "payload"), "payload").collect()(0)
     assert(viaDf.isNullAt(viaDf.fieldIndex("n_samples")))
   }
+
+  test("imageNearDup: banded candidates lose nothing vs brute force (pigeonhole)") {
+    // 8x8-or-larger generated PNGs; compare the banded operator against
+    // a brute-force all-pairs pass over the same decoded hashes
+    val ids = (0L until 400L).filter(i => i % 64 >= 7 && i % 48 >= 7)
+    val docs = Multimodal.withPngPayload(ids.toDF("doc_id"), "doc_id")
+    val got = Multimodal.imageNearDup(docs, "payload", "doc_id",
+      maxHamming = 3, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val hashes = Multimodal.imageHash(docs, "payload")
+      .select(col("doc_id"), col("ahash64"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted
+    val brute = (for {
+      (ia, ha) <- hashes; (ib, hb) <- hashes
+      if ia < ib
+      d = java.lang.Long.bitCount(ha ^ hb)
+      if d <= 3
+    } yield (ia, ib, d)).sorted.toSeq
+    assert(got == brute)
+    assert(brute.nonEmpty, "fixture should produce near-dup pairs")
+  }
 }
