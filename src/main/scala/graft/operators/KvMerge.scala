@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.sources.ParquetIO
 
@@ -175,6 +175,53 @@ object KvMerge {
     graft.sources.kv.KvClustering.record(path, clusterBy)
     // any prior bucket layout is gone after a range rewrite
     graft.sources.kv.KvBuckets.record(path, Nil, 0, Map.empty)
+  }
+
+  /** Predicate DELETE — the retention / GDPR surface of the table
+    * maintenance family: rows matching `condition` are removed by a
+    * filtered rewrite under the same crash-safe backup-aside swap as
+    * [[rewrite]] (a crash mid-delete leaves either the old table or the
+    * new one, never a torn mix). Returns the number of rows deleted.
+    *
+    * Scale shape: one scan + one write; the filter pushes into the scan
+    * (files whose zone maps prove no match are copied via rows that
+    * never materialize a match — at 100 TB pair this with clustering on
+    * the retention key so most files prune to pure pass-through).
+    */
+  def deleteWhere(spark: SparkSession, path: String, condition: Column): Long = {
+    recoverSwap(path)
+    val table = spark.read.format("kv").option("path", path).load()
+    val removed = table.where(condition).count()
+    if (removed > 0) writeAndSwap(table.where(!condition || condition.isNull), path)
+    removed
+  }
+
+  /** Predicate UPDATE — `SET col = expr` for every row matching
+    * `condition`; non-matching rows pass through byte-identically. Same
+    * crash-safe swap; `assignments` may reference any column. Returns
+    * the number of rows updated.
+    */
+  def updateWhere(
+      spark: SparkSession, path: String, condition: Column,
+      assignments: Map[String, Column]): Long = {
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    recoverSwap(path)
+    val table = spark.read.format("kv").option("path", path).load()
+    assignments.keys.foreach { c =>
+      require(table.columns.contains(c), s"unknown column '$c' in SET")
+    }
+    val matched = table.where(condition).count()
+    if (matched > 0) {
+      val cond = condition && !condition.isNull
+      val updated = table.select(table.columns.map { c =>
+        assignments.get(c) match {
+          case Some(e) => when(cond, e).otherwise(col(c)).as(c)
+          case None => col(c)
+        }
+      }: _*)
+      writeAndSwap(updated, path)
+    }
+    matched
   }
 
   /** Bucketized rewrite — the storage-partitioned-join layout

@@ -245,6 +245,28 @@ object SourceQueries {
         .load().orderBy(col("n_nationkey"))
     }),
 
+    // Predicate DELETE + UPDATE (the retention / GDPR maintenance
+    // surface): stage orders as a kv table, delete the '1-URGENT'
+    // priority, discount every totalprice above 200k by 10%, read back
+    // aggregated — the oracle applies the same DML to the raw table.
+    "q_kv_dml" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val staged = s"/tmp/graft_dml$safe"
+      ParquetIO.deletePath(staged)
+      graft.Tables.load(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice"))
+        .write.format("kv").option("path", staged).mode("overwrite").save()
+      graft.operators.KvMerge.deleteWhere(s, staged,
+        col("o_orderpriority") === "1-URGENT")
+      graft.operators.KvMerge.updateWhere(s, staged,
+        col("o_totalprice") > 200000.0,
+        Map("o_totalprice" -> (col("o_totalprice") * 0.9)))
+      s.read.format("kv").option("path", staged).load()
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
     // Table maintenance end-to-end: a 8-file kv table is compacted to 2
     // range-clustered files (crash-safe swap), then queried — contents
     // must be untouched by the rewrite.
@@ -761,6 +783,16 @@ object SourceQueries {
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation
         |WHERE n_nationkey % 3 <= 1
         |ORDER BY n_nationkey""".stripMargin,
+
+    // the same DML applied to the raw table: delete the urgent class,
+    // discount the > 200k tail
+    "q_kv_dml" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n,
+        |  round(sum(CASE WHEN o_totalprice > 200000.0
+        |    THEN o_totalprice * 0.9 ELSE o_totalprice END), 2) AS total
+        |FROM orders
+        |WHERE o_orderpriority <> '1-URGENT'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_kv_compact" ->
       """SELECT o_orderpriority, count(*) AS n, min(o_orderkey) AS min_key,

@@ -139,9 +139,58 @@ object KvSource {
   }
 }
 
+object KvTable {
+  /** Source `Filter` → `Column` for the DELETE path (None = refuse —
+    * canDeleteWhere must be exact, a silently dropped conjunct would
+    * delete MORE rows than asked).
+    */
+  def filterToColumn(f: Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+      case IsNull(a) => Some(col(a).isNull)
+      case IsNotNull(a) => Some(col(a).isNotNull)
+      case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+      case StringContains(a, v) => Some(col(a).contains(v))
+      case And(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc && rc
+      case Or(l, r) =>
+        for (lc <- filterToColumn(l); rc <- filterToColumn(r)) yield lc || rc
+      case Not(c) => filterToColumn(c).map(!_)
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
+}
+
 class KvTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
   private val tablePath = options.get("path")
+
+  // SQL `DELETE FROM kvcat.`<path>` WHERE ...` — Catalyst routes the
+  // (fully translatable) predicate here; the rewrite is KvMerge's
+  // crash-safe filtered swap, so SQL DML gets the same atomicity as the
+  // programmatic surface. Untranslatable predicates are refused via
+  // canDeleteWhere and Spark falls back to an analysis error rather
+  // than a wrong partial delete.
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => KvTable.filterToColumn(f).isDefined)
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    val cond = filters.flatMap(KvTable.filterToColumn(_))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    graft.operators.KvMerge.deleteWhere(spark, tablePath, cond)
+  }
 
   override def name(): String = s"kv:$tablePath"
   override def schema(): StructType = tableSchema

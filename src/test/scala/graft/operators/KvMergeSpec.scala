@@ -187,4 +187,57 @@ class KvMergeSpec extends SparkSpec {
     assert(fs.exists(new org.apache.hadoop.fs.Path(dir, "epoch-7-part-0.parquet")))
     assert(spark.read.format("kv").option("path", dir).load().count() == before)
   }
+
+  test("deleteWhere / updateWhere apply predicate DML with SQL null semantics") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("kvdml").toString + "/t"
+    Seq((1L, Some(10.0), "a"), (2L, Some(250.0), "b"),
+        (3L, Option.empty[Double], "c"), (4L, Some(300.0), "a"))
+      .toDF("k", "v", "tag")
+      .write.format("kv").option("path", dir).mode("overwrite").save()
+
+    // DELETE WHERE v > 200: null v rows are KEPT (SQL three-valued logic)
+    assert(KvMerge.deleteWhere(spark, dir, col("v") > 200.0) == 2L)
+    val afterDel = spark.read.format("kv").option("path", dir).load()
+      .orderBy("k").collect()
+    assert(afterDel.map(_.getLong(0)).toSeq == Seq(1L, 3L))
+
+    // UPDATE WHERE tag = 'a' SET v = v + 1: null-condition rows untouched
+    assert(KvMerge.updateWhere(spark, dir, col("tag") === "a",
+      Map("v" -> (coalesce(col("v"), lit(0.0)) + 1.0))) == 1L)
+    val afterUpd = spark.read.format("kv").option("path", dir).load()
+      .orderBy("k").collect()
+    assert(afterUpd(0).getDouble(1) == 11.0)
+    assert(afterUpd(1).isNullAt(1)) // row 3 untouched
+
+    // no-match predicates touch nothing (and rewrite nothing)
+    val filesBefore = graft.sources.ParquetIO.listFiles(dir).map(_.toString)
+    assert(KvMerge.deleteWhere(spark, dir, col("k") === 999L) == 0L)
+    assert(KvMerge.updateWhere(spark, dir, col("k") === 999L,
+      Map("v" -> lit(0.0))) == 0L)
+    assert(graft.sources.ParquetIO.listFiles(dir).map(_.toString) == filesBefore)
+
+    // unknown SET column fails fast
+    val e = intercept[IllegalArgumentException] {
+      KvMerge.updateWhere(spark, dir, col("k") === 1L, Map("nope" -> lit(1)))
+    }
+    assert(e.getMessage.contains("unknown column"))
+  }
+
+  test("SQL DELETE FROM flows through the catalog to the crash-safe rewrite") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    graft.Tables.tuneForGates(spark) // registers the kvcat catalog
+    val dir = java.nio.file.Files.createTempDirectory("kvsqldel").toString + "/t"
+    (0L until 50L).map(i => (i, s"r$i", i % 5)).toDF("k", "v", "m")
+      .write.format("kv").option("path", dir).mode("overwrite").save()
+    spark.sql(s"DELETE FROM kvcat.`$dir` WHERE m = 3 OR k >= 45")
+    val left = spark.read.format("kv").option("path", dir).load()
+    assert(left.count() == 36)
+    assert(left.where(col("m") === 3 || col("k") >= 45).count() == 0)
+    // complex-but-translatable predicates work; IN lists too
+    spark.sql(s"DELETE FROM kvcat.`$dir` WHERE v IN ('r0', 'r1') AND NOT (k > 0)")
+    assert(spark.read.format("kv").option("path", dir).load().count() == 35)
+  }
 }
