@@ -399,6 +399,48 @@ object TextQueries {
         .orderBy(col("doc_a"), col("doc_b"))
     }),
 
+    // LSH quality audit — precision/recall accounting of the deployed
+    // MinHash-LSH detector against the deployed exact-Jaccard detector
+    // at the same threshold: one row (n_pred, n_truth, tp, fp, fn). The
+    // knob choice (hashes/bands) becomes a measured tradeoff; the
+    // oracle composes the two detectors' full replays and joins them.
+    "q_dedup_lsh_audit" -> ((s, dir) => {
+      val docsRaw = Tables.load(s, dir, "documents")
+      val pred = graft.operators.Dedup.minHashLsh(docsRaw, "text", "doc_id",
+          numHashes = 64, bands = 16, minJaccard = 0.2)
+        .select(col("id_a"), col("id_b"), lit(1).as("p"))
+      // exact truth: the q_doc_ngram_jaccard pipeline verbatim
+      val docs = docsRaw
+        .select(col("doc_id"), split(col("text"), " ").as("words"))
+        .filter(size(col("words")) >= 3)
+      val shinglesRaw = docs.select(col("doc_id"), explode(
+        transform(sequence(lit(0), size(col("words")) - 3),
+          i => concat_ws(" ", slice(col("words"), i + 1, lit(3))))).as("shingle"))
+        .distinct()
+      val rare = shinglesRaw.groupBy(col("shingle"))
+        .agg(count(lit(1)).as("df")).filter(col("df") <= 100).select("shingle")
+      val shingles = shinglesRaw.join(rare, Seq("shingle"), "left_semi")
+      val sizes = shingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val truth = shingles.as("a")
+        .join(shingles.as("b"),
+          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(sizes.select(col("doc_id").as("id_a"), col("n_sh").as("na")), "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("n_sh").as("nb")), "id_b")
+        .where(round(col("n_common").cast("double") /
+          (col("na") + col("nb") - col("n_common")), 4) >= 0.2)
+        .select(col("id_a"), col("id_b"), lit(1).as("t"))
+      pred.join(truth, Seq("id_a", "id_b"), "full_outer")
+        .agg(count(col("p")).as("n_pred"), count(col("t")).as("n_truth"),
+          sum(when(col("p").isNotNull && col("t").isNotNull, 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("p").isNotNull && col("t").isNull, 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(col("p").isNull && col("t").isNotNull, 1L).otherwise(0L))
+            .as("fn"))
+    }),
+
     // TF-IDF: classic sparse text-feature pipeline — explode tokens,
     // tf per (doc, term), df per term over the corpus, smoothed idf,
     // top-scoring term per doc. Two shuffles (term, doc) regardless of
@@ -496,6 +538,35 @@ object TextQueries {
        |FROM ($unioned)
        |ORDER BY round""".stripMargin
   }
+
+  /** The exact n-gram-Jaccard replay (no trailing ORDER BY) — shared by
+    * the standalone gate and the LSH-audit truth side.
+    */
+  private val ngramJaccardOracleBody: String =
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
+      |  WHERE len(string_split(text, ' ')) >= 3
+      |), sh0 AS (
+      |  SELECT DISTINCT doc_id,
+      |    words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3] AS shingle
+      |  FROM w, unnest(generate_series(0, len(words) - 3)) AS t(i)
+      |), rare AS (
+      |  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 100
+      |), sh AS (
+      |  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)
+      |), sizes AS (
+      |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+      |), common AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b,
+      |  round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
+      |FROM common
+      |JOIN sizes sa ON sa.doc_id = doc_a
+      |JOIN sizes sb ON sb.doc_id = doc_b
+      |WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2""".stripMargin
 
   /** The BM25 replay CTE chain shared by the bm25 gates and the cascade:
     * ends at ranked `r` (qid, doc_id, score_micro, rnk).
@@ -919,31 +990,22 @@ object TextQueries {
         |ORDER BY doc_id""".stripMargin,
 
     "q_doc_ngram_jaccard" ->
-      """WITH w AS (
-        |  SELECT doc_id, string_split(text, ' ') AS words FROM documents
-        |  WHERE len(string_split(text, ' ')) >= 3
-        |), sh0 AS (
-        |  SELECT DISTINCT doc_id,
-        |    words[i + 1] || ' ' || words[i + 2] || ' ' || words[i + 3] AS shingle
-        |  FROM w, unnest(generate_series(0, len(words) - 3)) AS t(i)
-        |), rare AS (
-        |  SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 100
-        |), sh AS (
-        |  SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN rare USING (shingle)
-        |), sizes AS (
-        |  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
-        |), common AS (
-        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2
-        |)
-        |SELECT doc_a, doc_b,
-        |  round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) AS jaccard
-        |FROM common
-        |JOIN sizes sa ON sa.doc_id = doc_a
-        |JOIN sizes sb ON sb.doc_id = doc_b
-        |WHERE round(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 4) >= 0.2
-        |ORDER BY doc_a, doc_b""".stripMargin,
+      s"""$ngramJaccardOracleBody
+         |ORDER BY doc_a, doc_b""".stripMargin,
+
+    // the two detectors' replays, full-outer joined into one
+    // confusion-count row
+    "q_dedup_lsh_audit" ->
+      s"""SELECT count(p.id_a)::BIGINT AS n_pred, count(t.doc_a)::BIGINT AS n_truth,
+         |  CAST(sum(CASE WHEN p.id_a IS NOT NULL AND t.doc_a IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN p.id_a IS NOT NULL AND t.doc_a IS NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN p.id_a IS NULL AND t.doc_a IS NOT NULL
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS fn
+         |FROM (${SketchOracleSql.minhashLshOracle}) p
+         |FULL OUTER JOIN ($ngramJaccardOracleBody) t
+         |  ON p.id_a = t.doc_a AND p.id_b = t.doc_b""".stripMargin,
 
     "q_doc_tfidf_top" ->
       """WITH tokens AS (
