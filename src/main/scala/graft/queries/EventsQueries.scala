@@ -102,6 +102,47 @@ object EventsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Training examples from the raw event stream in ONE Catalyst plan —
+    // the feature-engineering flagship: gap-sessionize (4-hour
+    // inactivity — the fixture's median inter-event gap is ~7 h),
+    // aggregate per-session features (counts, exact integer cents),
+    // then label each session by whether a purchase follows within
+    // 8 hours of its end (forward as-of with
+    // tolerance, strictly-after via end+1µs). Every stage replays in
+    // the oracle: window lag/cumsum sessionization, integer features,
+    // EXISTS-window label.
+    "q_pipeline_features" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("t_us", unix_micros(col("ts")))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val lagW = Window.partitionBy(col("user_id"))
+        .orderBy(col("t_us"), col("event_id"))
+      val sess = ev
+        .withColumn("new_s",
+          when(lag(col("t_us"), 1).over(lagW).isNull ||
+            col("t_us") - lag(col("t_us"), 1).over(lagW) >= 14400000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(w))
+      val feats = sess.groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_views"),
+          sum(floor(col("value") * 100 + 0.5).cast("long")).cast("long")
+            .as("value_cents"),
+          min(col("t_us")).as("sess_start"), max(col("t_us")).as("sess_end"))
+      val left = feats.withColumn("t_us", col("sess_end") + 1L)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("t_us"), col("event_id").as("p_id"))
+      graft.operators.AsOfJoin.asofForward(left, purchases, "user_id", "t_us",
+        Seq("p_id"), tolerance = Some(lit(28800000000L)))
+        .select(col("user_id"), col("session_id"), col("n_events"),
+          col("n_views"), col("value_cents"), col("sess_start"),
+          col("sess_end"), col("p_id").isNotNull.cast("int").as("label"))
+        .orderBy(col("user_id"), col("session_id"))
+    }),
+
     // Percentile winsorization audit: exact binned 1/99-percentile
     // thresholds per event type (broadcast back), rows classified
     // against them — outlier clipping as data prep, with the clip
@@ -295,6 +336,43 @@ object EventsQueries {
         |  max(CASE WHEN p = 0.9 THEN q END) AS q_9,
         |  max(CASE WHEN p = 0.99 THEN q END) AS q_99
         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // sessionization (lag/cumsum), integer features, EXISTS label over
+    // the strictly-after 10-minute window — the full chain replayed
+    "q_pipeline_features" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type, value,
+        |    epoch_ns(ts) // 1000 AS t_us
+        |  FROM events
+        |), o AS (
+        |  SELECT *, CASE WHEN lag(t_us) OVER w IS NULL
+        |      OR t_us - lag(t_us) OVER w >= 14400000000 THEN 1 ELSE 0 END AS new_s
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY t_us, event_id)
+        |), s AS (
+        |  SELECT *, CAST(sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY t_us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+        |    AS session_id
+        |  FROM o
+        |), feats AS (
+        |  SELECT user_id, session_id, count(*)::BIGINT AS n_events,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_views,
+        |    CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS value_cents,
+        |    min(t_us) AS sess_start, max(t_us) AS sess_end
+        |  FROM s GROUP BY 1, 2
+        |)
+        |SELECT f.user_id, f.session_id, f.n_events, f.n_views, f.value_cents,
+        |  f.sess_start, f.sess_end,
+        |  CAST(CASE WHEN EXISTS (
+        |    SELECT 1 FROM ev p
+        |    WHERE p.user_id = f.user_id AND p.event_type = 'purchase'
+        |      AND p.t_us >= f.sess_end + 1
+        |      AND p.t_us <= f.sess_end + 1 + 28800000000)
+        |    THEN 1 ELSE 0 END AS INT) AS label
+        |FROM feats f
+        |ORDER BY user_id, session_id""".stripMargin,
 
     // same interpolation replay as q_events_quantiles at p = 1/99,
     // then the strict-inequality clip classification
