@@ -151,6 +151,45 @@ object TextRetrieval {
     KvMerge.bucketize(s, s"$dir/postings", numBuckets, Seq("term"))
   }
 
+  /** Incremental index maintenance — absorb NEW documents without
+    * rescanning the corpus (the [[SimilaritySearch.ivfIndexAppend]]
+    * stance for lexical retrieval): the new docs' postings append to the
+    * postings table, then the document-frequency and corpus-stats tables
+    * are REBUILT from the postings table alone (df/stats are global
+    * aggregates — unlike ANN centroids they must reflect every document,
+    * and the postings table is the index-sized source of truth for
+    * both). Cost: one pass over the new docs plus one index-sized
+    * aggregation — the corpus itself is never re-read.
+    *
+    * Note: appending de-bucketizes the postings layout; re-run
+    * [[graft.operators.KvMerge.bucketize]] on `<dir>/postings` at the
+    * next maintenance window to restore bucket pruning (exactly the
+    * seen-store maintenance cycle of the dedup ingest pipeline).
+    */
+  def bm25IndexAppend(
+      newDocs: DataFrame, textCol: String, idCol: String, dir: String): Unit = {
+    val s = newDocs.sparkSession
+    val d = newDocs.select(col(idCol).as("doc_id"),
+        split(lower(col(textCol)), " ").as("terms"))
+      .withColumn("dl", size(col("terms")).cast("double"))
+    d.select(col("doc_id"), col("dl"), explode(col("terms")).as("term"))
+      .groupBy(col("term"), col("doc_id"), col("dl"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .write.format("kv").option("path", s"$dir/postings").mode("append").save()
+    val postings = s.read.format("kv").option("path", s"$dir/postings").load()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = postings.groupBy(col("term"))
+      .agg(count(lit(1)).cast("double").as("dfq"))
+    val stats = postings.select(col("doc_id"), col("dl")).distinct()
+      .agg(count(lit(1)).cast("double").as("nd"), sum(col("dl")).as("sdl"))
+    // the rebuild reads postings, not terms/stats — overwrite is safe
+    dfreq.write.format("kv").option("path", s"$dir/terms")
+      .mode("overwrite").save()
+    stats.write.format("kv").option("path", s"$dir/stats")
+      .mode("overwrite").save()
+    postings.unpersist()
+  }
+
   /** BM25 top-k against a persisted index — must answer IDENTICALLY to
     * [[bm25TopK]] over the same corpus (the gate shares the oracle).
     * Scale shape: query terms broadcast into the postings scan (the

@@ -93,6 +93,25 @@ class TextRetrievalSpec extends SparkSpec {
     assert(got == want, s"got=$got want=$want")
   }
 
+  test("bm25IndexAppend absorbs new docs; search equals a full rebuild") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25app").toString + "/idx"
+    val first = docs.filter(col("doc_id") <= 3L)
+    val extra = docs.filter(col("doc_id") > 3L)
+    TextRetrieval.buildBm25Index(first, "text", "doc_id", dir)
+    TextRetrieval.bm25IndexAppend(extra, "text", "doc_id", dir)
+    val qs = Seq((1, "spark fast runs"), (2, "padding text")).toDF("qid", "qtext")
+    val appended = TextRetrieval.bm25TopKIndexed(spark, dir, qs, "qid", "qtext", k = 5)
+      .collect().map(_.toString).sorted.toSeq
+
+    val full = java.nio.file.Files.createTempDirectory("bm25full").toString + "/idx"
+    TextRetrieval.buildBm25Index(docs, "text", "doc_id", full)
+    val rebuilt = TextRetrieval.bm25TopKIndexed(spark, full, qs, "qid", "qtext", k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(appended == rebuilt)
+    // the appended docs are actually findable (df/stats were rebuilt)
+    assert(appended.exists(_.contains("4")), appended.mkString(","))
+  }
+
   test("bm25 is deterministic across partition layouts") {
     val spread = TextRetrieval.bm25TopK(docs.repartition(7), Seq((1, "spark fast runs"))
       .toDF("qid", "qtext"), "text", "doc_id", "qid", "qtext", k = 5)
