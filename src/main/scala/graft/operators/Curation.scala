@@ -379,6 +379,44 @@ object Curation {
           col("n_tokens").cast("double"), 6))
   }
 
+  /** Weighted sampling WITHOUT replacement, per group — the
+    * quality-weighted cousin of [[sampleByGroup]] (Efraimidis &
+    * Spirakis 2006 A-ES keys): each row draws u uniform from
+    * splitmix64(id ⊕ seed) and ranks by `ln(u) / w` (⇔ u^(1/w)); the k
+    * best per group are an exact weighted sample without replacement —
+    * "keep the k best-weighted docs per domain, at random but favoring
+    * quality". Deterministic: u is hash-derived, the key is quantized
+    * once to integer micro-units (ties break id-asc in the bounded
+    * heap), so any engine replays the exact keep set. Weights must be
+    * > 0 — violations raise rather than silently skewing the sample.
+    *
+    * Scale shape: key computation is row-local; per-group top-k is the
+    * bounded-heap aggregate (k-row map-side partials) — one shuffle of
+    * k-row states per group, never a window.
+    */
+  def sampleWeightedByGroup(
+      df: DataFrame, groupCol: String, idCol: String, weightCol: Column,
+      k: Int, seed: Long = 0L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val grp = col(groupCol)
+    val id = col(idCol)
+    val w = weightCol.cast("double")
+    val wChecked = when(w.isNull || !(w > 0.0),
+      raise_error(concat(lit("sampleWeightedByGroup: weight must be > 0 for id "),
+        id.cast("string"))).cast("double")).otherwise(w)
+    val u = (shiftrightunsigned(
+        Sketches.splitmixLong(id.cast("long").bitwiseXOR(lit(seed))), 11)
+        .cast("double") + lit(0.5)) / lit(9007199254740992.0 /* 2^53 */)
+    val key = floor(lit(1e6) * (log(u) / wChecked) + lit(0.5)).cast("long")
+    df.select(grp, id, key.as("samp_key"))
+      .groupBy(grp)
+      .agg(BoundedTopK.topK(
+        struct(col("samp_key").cast("double").as("s"), id, col("samp_key")), k)
+        .as("top"))
+      .select(grp, explode(col("top")).as("t"))
+      .select(grp, col(s"t.$idCol").as(idCol), col("t.samp_key").as("samp_key"))
+  }
+
   /** Deterministic uniform sample of `k` rows per group: keep the k
     * members with the largest `splitmix64(id)` (as double, id-asc
     * tiebreak — the same replayable order [[SimilaritySearch]] uses for

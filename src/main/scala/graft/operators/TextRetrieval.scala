@@ -165,6 +165,10 @@ object TextRetrieval {
     * [[graft.operators.KvMerge.bucketize]] on `<dir>/postings` at the
     * next maintenance window to restore bucket pruning (exactly the
     * seen-store maintenance cycle of the dedup ingest pipeline).
+    * Contract: `newDocs` carries NEW doc ids only (the
+    * [[SimilaritySearch.ivfIndexAppend]] / [[Dedup.nearDupIngest]]
+    * convention) — re-appending an existing id would duplicate its
+    * postings; dedup upstream or rebuild.
     */
   def bm25IndexAppend(
       newDocs: DataFrame, textCol: String, idCol: String, dir: String): Unit = {

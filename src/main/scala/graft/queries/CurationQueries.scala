@@ -198,6 +198,19 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Weighted per-source sampling without replacement (A-ES keys):
+    // keep 5 docs per source at random but ∝-favoring length (weight
+    // n_chars+1) — the quality-weighted downsampling primitive. The
+    // hash-u draw, ln(u)/w key, micro quantization, and id-asc ties all
+    // replay in the oracle.
+    "q_sample_weighted" -> ((s, dir) => {
+      Curation.sampleWeightedByGroup(
+        Tables.load(s, dir, "documents")
+          .select(col("source"), col("doc_id"), col("n_chars")),
+        "source", "doc_id", col("n_chars") + lit(1L), k = 5, seed = 7L)
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // Release export + integrity manifest: 8 hash-assigned parquet
     // shards written in one pass; per shard (n_rows, n_tokens,
     // content_sig) where the signature is the order-free BIT_XOR of
@@ -543,6 +556,29 @@ object CurationQueries {
         |FROM tokens JOIN freq USING (term) CROSS JOIN tot
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // u from the unsigned top-53 hash bits, ln(u)/(n_chars+1) key in
+    // micro units, per-source top-5 by key desc / id asc
+    "q_sample_weighted" -> {
+      val hk = SketchOracleSql.splitmixBigintSql("xor(doc_id, 7::BIGINT)")
+      s"""WITH keyed AS (
+         |  SELECT source, doc_id,
+         |    CAST(floor(1000000.0 * (ln(
+         |      (((CASE WHEN ($hk) < 0
+         |          THEN ($hk)::HUGEINT + 18446744073709551616::HUGEINT
+         |          ELSE ($hk)::HUGEINT END) // 2048)::DOUBLE + 0.5)
+         |        / 9007199254740992.0)
+         |      / CAST(n_chars + 1 AS DOUBLE)) + 0.5) AS BIGINT) AS samp_key
+         |  FROM documents
+         |), r AS (
+         |  SELECT source, doc_id, samp_key,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY CAST(samp_key AS DOUBLE) DESC, doc_id) AS rn
+         |  FROM keyed
+         |)
+         |SELECT source, doc_id, samp_key FROM r WHERE rn <= 5
+         |ORDER BY source, doc_id""".stripMargin
+    },
 
     // shard = pmod(splitmix64(id ^ 5), 8); content_sig = bit_xor of the
     // full per-row string hash over id || chr(1) || text

@@ -690,6 +690,36 @@ class CurationSpec extends SparkSpec {
       s"rates must broadcast to the corpus:\n$plan")
   }
 
+  test("sampleWeightedByGroup: plain-Scala A-ES replay; weights bias the sample") {
+    import org.apache.spark.sql.functions._
+    val rows = (0L until 300L).map(i => (s"g${i % 3}", i, if (i % 10 == 0) 50.0 else 1.0))
+    val df = rows.toDF("grp", "id", "w")
+    val got = Curation.sampleWeightedByGroup(df, "grp", "id", col("w"), k = 8, seed = 3L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+
+    // independent replay
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (g, members) =>
+      members.map { case (_, id, w) =>
+        val h = graft.functions.Sketches.splitmix64(id ^ 3L)
+        val u = ((h >>> 11).toDouble + 0.5) / 9007199254740992.0
+        val key = math.floor(1e6 * (math.log(u) / w) + 0.5).toLong
+        (g, id, key)
+      }.sortBy(t => (-t._3, t._2)).take(8)
+    }.sorted
+    assert(got == want)
+
+    // the 50×-weighted members (id % 10 == 0) dominate the kept set
+    val heavyKept = got.count(_._2 % 10 == 0)
+    assert(heavyKept > got.size / 2, s"weighting too weak: $heavyKept of ${got.size}")
+
+    // non-positive weights fail fast instead of skewing silently
+    val bad = Seq(("g", 1L, 0.0)).toDF("grp", "id", "w")
+    val e = intercept[Exception] {
+      Curation.sampleWeightedByGroup(bad, "grp", "id", col("w"), k = 1).collect()
+    }
+    assert(e.getMessage.contains("weight must be > 0"))
+  }
+
   test("exportShards: re-read shards verify against the manifest; tampering breaks the signature") {
     import spark.implicits._
     import graft.functions.Sketches
