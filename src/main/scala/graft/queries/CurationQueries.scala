@@ -198,6 +198,24 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Memorization-audit chart (Lee et al. 2022 family): the most
+    // widely duplicated word 3-grams across the corpus — the report a
+    // span-dedup run starts from. Bounded-heap top-40 by document
+    // frequency; the per-doc DISTINCT shingle semantics replay exactly.
+    "q_doc_top_ngrams" -> ((s, dir) => {
+      Tables.load(s, dir, "documents")
+        .select(explode(TextFunctions.shingles(col("text"), 3)).as("ngram"))
+        .where(col("ngram") =!= "")
+        .groupBy(col("ngram")).agg(count(lit(1)).as("n_docs"))
+        .where(col("n_docs") >= 2L)
+        .agg(graft.functions.BoundedTopK.topK(
+          struct(col("n_docs").cast("double").as("s"), col("ngram"),
+            col("n_docs").as("nd")), 40).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t.ngram").as("ngram"), col("t.nd").as("n_docs"))
+        .orderBy(col("n_docs").desc, col("ngram"))
+    }),
+
     // Weighted per-source sampling without replacement (A-ES keys):
     // keep 5 docs per source at random but ∝-favoring length (weight
     // n_chars+1) — the quality-weighted downsampling primitive. The
@@ -556,6 +574,29 @@ object CurationQueries {
         |FROM tokens JOIN freq USING (term) CROSS JOIN tot
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // per-doc DISTINCT 3-gram sets (short docs contribute their full
+    // text as one partial gram — the shingles() contract), df >= 2,
+    // top-40 by df desc / gram asc
+    "q_doc_top_ngrams" ->
+      """WITH w AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS words
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    generate_series(0, greatest(len(words) - 3, 0)),
+        |    i -> array_to_string(words[(i+1)::INT : (i+3)::INT], ' ')))) AS ngram
+        |  FROM w
+        |), c AS (
+        |  SELECT ngram, count(*)::BIGINT AS n_docs FROM g
+        |  WHERE ngram <> ''
+        |  GROUP BY 1 HAVING count(*) >= 2
+        |)
+        |SELECT ngram, n_docs FROM (
+        |  SELECT *, row_number() OVER (ORDER BY n_docs DESC, ngram) AS rn FROM c
+        |) WHERE rn <= 40
+        |ORDER BY n_docs DESC, ngram""".stripMargin,
 
     // u from the unsigned top-53 hash bits, ln(u)/(n_chars+1) key in
     // micro units, per-source top-5 by key desc / id asc
