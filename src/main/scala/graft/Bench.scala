@@ -36,6 +36,13 @@ object Bench {
     }
 
     run("q1_pricing_summary") // warmup (unmeasured)
+    // Streaming-JIT warmup (round-8 protocol, BASELINE.md): the FIRST
+    // streaming gate of a run pays one-time micro-batch-engine JIT +
+    // codegen warmup that has faked a >2x "regression" on whichever gate
+    // ran first two rounds straight (q101/q102 in r6, q_sql_q3 in r7).
+    // One unmeasured throwaway drain moves that cost out of every timed
+    // measurement.
+    run("q_sql_q84") // cheapest streaming-SQL gate (unmeasured)
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     // optional comma-separated name-prefix filter (local iteration only —
     // the driver invokes with no args and gets the full set)
@@ -80,8 +87,12 @@ object Bench {
       }.getOrElse(Map.empty)
     }
     def medOf(t: Seq[Double]): Double = t(t.length / 2)
+    // Round-8 protocol: the drift threshold vs the previous committed
+    // spread is 2x (was 3x) with a 0.5 s absolute floor — a 2.8x drift
+    // like r7's q_sql_q3 now self-reruns instead of burning a judge
+    // adjudication cycle.
     val flagged = spreads.filter { case (n, t) =>
-      committedMed.get(n).exists(c => medOf(t) > 3 * c && medOf(t) - c > 1.0)
+      committedMed.get(n).exists(c => medOf(t) > 2 * c && medOf(t) - c > 0.5)
     }.map(_._1)
     val reruns: Map[String, Seq[Double]] = flagged.map { n =>
       System.err.println(s"[bench] re-running load-flagged outlier $n in isolation")
@@ -92,7 +103,8 @@ object Bench {
       n -> reruns.get(n).map(r => math.min(medOf(times), medOf(r)))
         .getOrElse(medOf(times))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    def r3(v: Double): Double = math.rint(v * 1000) / 1000
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val outlierJson = flagged.map { n =>
@@ -118,10 +130,24 @@ object Bench {
       s"""{"runs":$runs,"sf":"$sfDir","total_med":$total,"queries":$spreadJson}""" + "\n")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","n":$runs,"queries":$qs,""" +
       s""""outliers":$outlierJson,"sf":"$sfDir"}"""
-    // stdout can be interleaved with sbt/Spark noise — always also write
-    // the line to a file the driver can read verbatim
+    // The driver's stdout capture keeps only the last ~2 KB — a 190-query
+    // map (~6 KB) truncates mid-line and lands as `"parsed": null`
+    // (BENCH_r06/r07). The LAST stdout line is therefore a COMPACT
+    // summary that always fits: total + the four relational headline
+    // queries + pointers to the two full artifacts (the committed
+    // BENCH_SPREAD.json is the round artifact of record; the full
+    // per-query line is in SPARK_GRAFT_BENCH_OUT).
+    val headline = Seq("q1_pricing_summary", "q3_shipping_priority",
+      "q5_region_revenue", "q6_revenue_forecast")
+      .flatMap(n => results.toMap.get(n).map(v => "\"" + n + "\":" + r3(v)))
+      .mkString("{", ",", "}")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (only.isDefined) "/tmp/graft_bench_subset.json" else "/tmp/graft_bench.json")
+    val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":$runs,""" +
+      s""""n_queries":${results.length},"queries":$headline,""" +
+      s""""queries_file":"$spreadFile","full_line":"$outFile","sf":"$sfDir"}"""
+    // stdout can be interleaved with sbt/Spark noise — always also write
+    // the full line to a file the driver can read verbatim
     java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     println(line)
     System.err.println(s"[bench] json written to $outFile")
@@ -133,7 +159,7 @@ object Bench {
     // after sbt's final output — the last line on stdout is pure JSON.
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       val fd1 = new java.io.FileOutputStream(java.io.FileDescriptor.out)
-      fd1.write((line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      fd1.write((compact + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
       fd1.flush()
     }))
     spark.stop()

@@ -90,7 +90,7 @@ object KvMerge {
     * [[recoverSwap]] on the next maintenance run (or by any reader
     * preferring backup when live is missing).
     */
-  private def writeAndSwap(result: DataFrame, path: String): Unit = {
+  private[graft] def writeAndSwap(result: DataFrame, path: String): Unit = {
     val fs = new Path(path).getFileSystem(ParquetIO.hadoopConf)
     val livePath = new Path(path)
     val backup = new Path(s"$path.merge-old")
@@ -187,19 +187,44 @@ object KvMerge {
     * (files whose zone maps prove no match are copied via rows that
     * never materialize a match — at 100 TB pair this with clustering on
     * the retention key so most files prune to pure pass-through).
+    *
+    * Count discipline: the returned count is `rows before − rows after`,
+    * derived from the table's actual row counts around the rewrite (both
+    * footer-count reads) — NOT from a separate condition-evaluation pass,
+    * so it agrees with the rows physically removed even when `condition`
+    * is non-deterministic (`rand()`, `current_timestamp`). The cheap
+    * pre-count only decides whether a rewrite is needed at all; like
+    * every maintenance op here it assumes single-writer discipline (a
+    * concurrent append mid-rewrite is lost to the swap, not miscounted).
     */
   def deleteWhere(spark: SparkSession, path: String, condition: Column): Long = {
     recoverSwap(path)
-    val table = spark.read.format("kv").option("path", path).load()
-    val removed = table.where(condition).count()
-    if (removed > 0) writeAndSwap(table.where(!condition || condition.isNull), path)
-    removed
+    def t = spark.read.format("kv").option("path", path).load()
+    val table = t
+    val anyMatch = table.where(condition).limit(1).count() > 0
+    if (!anyMatch) return 0L
+    val before = table.count()
+    writeAndSwap(table.where(!condition || condition.isNull), path)
+    before - t.count()
   }
 
   /** Predicate UPDATE — `SET col = expr` for every row matching
     * `condition`; non-matching rows pass through byte-identically. Same
     * crash-safe swap; `assignments` may reference any column. Returns
     * the number of rows updated.
+    *
+    * Schema discipline: every assignment must keep its column's type.
+    * `when(cond, e).otherwise(col(c))` silently coerces the WHOLE column
+    * to the wider of the two types, so an int literal assigned to a
+    * double column (or a string expr to a numeric one) would rewrite the
+    * table with a drifted schema. Assignments whose type up-casts
+    * losslessly (int → long/double, etc.) are cast to the existing
+    * column type; anything else fails fast with a cast hint.
+    *
+    * Count discipline: the condition is evaluated ONCE — the matched
+    * flag is computed into a persisted frame that both the count and the
+    * rewrite read — so the returned count agrees with the rows actually
+    * rewritten even when `condition` is non-deterministic.
     */
   def updateWhere(
       spark: SparkSession, path: String, condition: Column,
@@ -210,18 +235,32 @@ object KvMerge {
     assignments.keys.foreach { c =>
       require(table.columns.contains(c), s"unknown column '$c' in SET")
     }
-    val matched = table.where(condition).count()
-    if (matched > 0) {
-      val cond = condition && !condition.isNull
-      val updated = table.select(table.columns.map { c =>
-        assignments.get(c) match {
-          case Some(e) => when(cond, e).otherwise(col(c)).as(c)
-          case None => col(c)
-        }
-      }: _*)
-      writeAndSwap(updated, path)
+    val castAssignments = assignments.map { case (c, e) =>
+      val assigned = table.select(e.as(c)).schema.head.dataType
+      val existing = table.schema(c).dataType
+      require(assigned == existing ||
+        org.apache.spark.sql.catalyst.expressions.Cast.canUpCast(assigned, existing),
+        s"SET $c: assignment type $assigned does not match column type " +
+          s"$existing and cannot up-cast losslessly — cast the expression " +
+          s"explicitly if the narrowing is intended")
+      c -> (if (assigned == existing) e else e.cast(existing))
     }
-    matched
+    val marked = table
+      .withColumn("__upd", coalesce(condition, lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val matched = marked.where(col("__upd")).count()
+      if (matched > 0) {
+        val updated = marked.select(table.columns.map { c =>
+          castAssignments.get(c) match {
+            case Some(e) => when(col("__upd"), e).otherwise(col(c)).as(c)
+            case None => col(c)
+          }
+        }: _*)
+        writeAndSwap(updated, path)
+      }
+      matched
+    } finally { marked.unpersist(); () }
   }
 
   /** Bucketized rewrite — the storage-partitioned-join layout

@@ -134,6 +134,7 @@ object TextRetrieval {
       docs: DataFrame, textCol: String, idCol: String, dir: String,
       numBuckets: Int = 16): Unit = {
     val s = docs.sparkSession
+    clearStatsMarker(dir)
     val d = docs.select(col(idCol).as("doc_id"),
         split(lower(col(textCol)), " ").as("terms"))
       .withColumn("dl", size(col("terms")).cast("double"))
@@ -149,7 +150,32 @@ object TextRetrieval {
       .write.format("kv").option("path", s"$dir/terms").mode("overwrite").save()
     postings.unpersist()
     KvMerge.bucketize(s, s"$dir/postings", numBuckets, Seq("term"))
+    writeStatsMarker(dir)
   }
+
+  /** Consistency marker for the derived terms/stats tables: present only
+    * when they were rebuilt from the CURRENT postings table. Any
+    * maintenance op drops it first and re-creates it last, so a crash
+    * anywhere in between leaves the marker absent and
+    * [[bm25TopKIndexed]] falls back to deriving df/stats from the
+    * postings table directly (postings are the source of truth; the
+    * derived tables are a read-time optimization, never a correctness
+    * dependency).
+    */
+  private def statsMarker(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_stats_consistent")
+  private def fs(dir: String) =
+    statsMarker(dir).getFileSystem(graft.sources.ParquetIO.hadoopConf)
+  private def clearStatsMarker(dir: String): Unit = {
+    fs(dir).delete(statsMarker(dir), false); ()
+  }
+  private def writeStatsMarker(dir: String): Unit = {
+    val f = fs(dir)
+    f.mkdirs(statsMarker(dir).getParent)
+    f.create(statsMarker(dir), true).close()
+  }
+  private def statsConsistent(dir: String): Boolean =
+    scala.util.Try(fs(dir).exists(statsMarker(dir))).getOrElse(false)
 
   /** Incremental index maintenance — absorb NEW documents without
     * rescanning the corpus (the [[SimilaritySearch.ivfIndexAppend]]
@@ -173,6 +199,12 @@ object TextRetrieval {
   def bm25IndexAppend(
       newDocs: DataFrame, textCol: String, idCol: String, dir: String): Unit = {
     val s = newDocs.sparkSession
+    // Crash safety: drop the consistency marker BEFORE touching anything.
+    // A crash after the postings append but mid-rebuild leaves terms/stats
+    // inconsistent with postings — with the marker absent,
+    // [[bm25TopKIndexed]] derives both from postings until the next
+    // successful maintenance run restores them (and the marker).
+    clearStatsMarker(dir)
     val d = newDocs.select(col(idCol).as("doc_id"),
         split(lower(col(textCol)), " ").as("terms"))
       .withColumn("dl", size(col("terms")).cast("double"))
@@ -186,12 +218,13 @@ object TextRetrieval {
       .agg(count(lit(1)).cast("double").as("dfq"))
     val stats = postings.select(col("doc_id"), col("dl")).distinct()
       .agg(count(lit(1)).cast("double").as("nd"), sum(col("dl")).as("sdl"))
-    // the rebuild reads postings, not terms/stats — overwrite is safe
-    dfreq.write.format("kv").option("path", s"$dir/terms")
-      .mode("overwrite").save()
-    stats.write.format("kv").option("path", s"$dir/stats")
-      .mode("overwrite").save()
+    // the rebuild reads postings, not terms/stats — and each overwrite is
+    // the crash-safe backup-aside swap (a committed state exists on disk
+    // at every instant; recovery is the marker fallback above)
+    KvMerge.writeAndSwap(dfreq, s"$dir/terms")
+    KvMerge.writeAndSwap(stats, s"$dir/stats")
     postings.unpersist()
+    writeStatsMarker(dir)
   }
 
   /** BM25 top-k against a persisted index — must answer IDENTICALLY to
@@ -206,8 +239,18 @@ object TextRetrieval {
       k: Int, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     graft.Tables.tuneForGates(spark)
     val postings = spark.read.table(s"kvcat.`$dir/postings`")
-    val dfreq = spark.read.format("kv").option("path", s"$dir/terms").load()
-    val stats = spark.read.format("kv").option("path", s"$dir/stats").load()
+    // marker absent ⇒ a maintenance op crashed mid-rebuild: derive
+    // df/stats from postings (source of truth) instead of reading the
+    // possibly-stale derived tables — silently-wrong scores are the one
+    // unacceptable outcome
+    val (dfreq, stats) =
+      if (statsConsistent(dir)) (
+        spark.read.format("kv").option("path", s"$dir/terms").load(),
+        spark.read.format("kv").option("path", s"$dir/stats").load())
+      else (
+        postings.groupBy(col("term")).agg(count(lit(1)).cast("double").as("dfq")),
+        postings.select(col("doc_id"), col("dl")).distinct()
+          .agg(count(lit(1)).cast("double").as("nd"), sum(col("dl")).as("sdl")))
     val qt = queries.select(col(queryIdCol).as("qid"),
       explode(array_distinct(split(lower(col(queryTextCol)), " "))).as("term"))
     val matched = postings.join(broadcast(qt.select("term").distinct()), Seq("term"))

@@ -61,10 +61,16 @@ class KvSource extends TableProvider with DataSourceRegister {
     * reads as NULL where absent (the supported sparse read path).
     */
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    // A time-travel read ('snapshot.epoch') must compute its schema from
+    // the snapshot's VISIBLE files only: the sidecar records the table's
+    // CURRENT schema, so consulting it would expose (null-filled) columns
+    // added by epochs after the snapshot — diverging from "the table as
+    // of epoch N" that every other planning path honors.
+    val snapshot = Option(options.get("snapshot.epoch")).map(_.toLong)
     Option(options.get("catalog")).map(SchemaCatalog.parse)
-      .orElse(KvSchemaMeta.read(path(options)))
+      .orElse(if (snapshot.isDefined) None else KvSchemaMeta.read(path(options)))
       .getOrElse {
-        val files = ParquetIO.listFilesStatus(path(options))
+        val files = ParquetIO.listFilesStatus(path(options), snapshot)
         require(files.nonEmpty, s"no parquet files under ${path(options)} and no catalog option")
         files.map { case (f, len, mt) =>
           KvSource.toStructType(ParquetIO.fileSchemaCached(f, len, mt))

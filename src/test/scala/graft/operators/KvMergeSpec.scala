@@ -240,4 +240,53 @@ class KvMergeSpec extends SparkSpec {
     spark.sql(s"DELETE FROM kvcat.`$dir` WHERE v IN ('r0', 'r1') AND NOT (k > 0)")
     assert(spark.read.format("kv").option("path", dir).load().count() == 35)
   }
+
+  test("updateWhere keeps the column's type: lossless up-casts apply, drifts fail fast") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("kvupdty").toString + "/t"
+    Seq((1L, 10.0, "a"), (2L, 20.0, "b")).toDF("k", "v", "tag")
+      .write.format("kv").option("path", dir).mode("overwrite").save()
+
+    // int literal into a double column: up-cast silently applied, the
+    // table's schema does NOT drift to int (the when/otherwise coercion)
+    assert(KvMerge.updateWhere(spark, dir, col("k") === 1L, Map("v" -> lit(5))) == 1L)
+    val after = spark.read.format("kv").option("path", dir).load()
+    assert(after.schema("v").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(after.where(col("k") === 1L).head().getDouble(1) == 5.0)
+
+    // a string into a double column is a schema drift — rejected, table
+    // untouched
+    val e1 = intercept[IllegalArgumentException] {
+      KvMerge.updateWhere(spark, dir, col("k") === 2L, Map("v" -> lit("oops")))
+    }
+    assert(e1.getMessage.contains("cast the expression explicitly"))
+    // double into a long column is lossy — also rejected
+    val e2 = intercept[IllegalArgumentException] {
+      KvMerge.updateWhere(spark, dir, col("k") === 2L, Map("k" -> lit(1.5)))
+    }
+    assert(e2.getMessage.contains("does not match column type"))
+    val untouched = spark.read.format("kv").option("path", dir).load()
+    assert(untouched.schema("v").dataType == org.apache.spark.sql.types.DoubleType)
+    assert(untouched.where(col("k") === 2L).head().getDouble(1) == 20.0)
+  }
+
+  test("DML counts agree with rows actually touched under a non-deterministic condition") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("kvnd").toString + "/t"
+    (0L until 400L).map(i => (i, 0.0)).toDF("k", "v")
+      .write.format("kv").option("path", dir).mode("overwrite").save()
+    // DELETE WHERE rand() < 0.5: the count must equal before − after even
+    // though every evaluation pass sees different matches
+    val removed = KvMerge.deleteWhere(spark, dir, rand(7) < 0.5)
+    val left = spark.read.format("kv").option("path", dir).load().count()
+    assert(removed == 400L - left, s"removed=$removed left=$left")
+    // UPDATE WHERE rand() < 0.5 SET v = 1: matched count must equal the
+    // rows that actually carry the new value (single evaluation)
+    val matched = KvMerge.updateWhere(spark, dir, rand(13) < 0.5, Map("v" -> lit(1.0)))
+    val ones = spark.read.format("kv").option("path", dir).load()
+      .where(col("v") === 1.0).count()
+    assert(matched == ones, s"matched=$matched ones=$ones")
+  }
 }

@@ -112,6 +112,27 @@ class TextRetrievalSpec extends SparkSpec {
     assert(appended.exists(_.contains("4")), appended.mkString(","))
   }
 
+  test("missing consistency marker: indexed search derives df/stats from postings") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25mk").toString + "/idx"
+    TextRetrieval.buildBm25Index(docs, "text", "doc_id", dir)
+    val qs = Seq((1, "spark fast runs")).toDF("qid", "qtext")
+    val withMarker = TextRetrieval.bm25TopKIndexed(spark, dir, qs, "qid", "qtext", k = 5)
+      .collect().map(_.toString).sorted.toSeq
+
+    // simulate a crash mid-maintenance: marker gone AND the derived
+    // tables poisoned (stale stats would silently skew scores — the
+    // fallback must not read them at all)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      graft.sources.ParquetIO.hadoopConf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_stats_consistent"), false)
+    Seq((9999.0, 1.0)).toDF("nd", "sdl")
+      .write.format("kv").option("path", s"$dir/stats").mode("overwrite").save()
+
+    val fallback = TextRetrieval.bm25TopKIndexed(spark, dir, qs, "qid", "qtext", k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fallback == withMarker, "fallback must rederive from postings")
+  }
+
   test("bm25 is deterministic across partition layouts") {
     val spread = TextRetrieval.bm25TopK(docs.repartition(7), Seq((1, "spark fast runs"))
       .toDF("qid", "qtext"), "text", "doc_id", "qid", "qtext", k = 5)

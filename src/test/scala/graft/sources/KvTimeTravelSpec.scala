@@ -50,6 +50,25 @@ class KvTimeTravelSpec extends SparkSpec {
     assert(read(dir, Some(99L)).count() == 9)
   }
 
+  test("snapshot schema is computed from visible files only (schema evolution)") {
+    val dir = stage() // epochs 0..2 with (k, v)
+    // epoch 3 evolves the schema: (k, v, w). The sidecar now records the
+    // union — but a snapshot at epoch ≤ 2 must NOT expose `w`.
+    val evolved = StructType(schema.fields :+ StructField("w", LongType))
+    val w = KvStreamingWriterFactory(dir, evolved).createWriter(0, 0L, 3L)
+    w.write(new GenericInternalRow(Array[Any](
+      30L, UTF8String.fromString("e3-0"), 7L)))
+    new KvStreamingWrite(dir, evolved).commit(3L, Array(w.commit()))
+
+    assert(read(dir, None).columns.toSeq == Seq("k", "v", "w"))
+    assert(read(dir, Some(1L)).columns.toSeq == Seq("k", "v"),
+      "snapshot read leaked a column added after the snapshot epoch")
+    // and the evolved column reads null-filled for pre-evolution files
+    val full = read(dir, None)
+    assert(full.where(col("w").isNull).count() == 9)
+    assert(full.where(col("w") === 7L).count() == 1)
+  }
+
   test("torn epochs stay invisible at every snapshot") {
     val dir = stage()
     val w = KvStreamingWriterFactory(dir, schema).createWriter(0, 0L, 3L)
