@@ -9,9 +9,22 @@ object ExplainCheck {
     spark.sparkContext.setLogLevel("ERROR")
     Tables.tuneForGates(spark)
     val dir = "/root/testdata/sf0.01"
+    // Batch probes inspect the AQE FINAL plan (round-8 fix): stringifying
+    // an un-executed AdaptiveSparkPlan shows the initial tree with zero
+    // WholeStageCodegen spans — execute first, then read what actually ran.
+    def finalPlanString(df: org.apache.spark.sql.DataFrame): String = {
+      // execute THIS queryExecution distributed-only (df.write would
+      // execute a clone and leave this one un-finalized)
+      df.queryExecution.executedPlan.execute().foreach(_ => ())
+      df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
+    }
     for (q <- Seq("q6_revenue_forecast", "q5_region_revenue", "q3_shipping_priority", "q_kv_scan")) {
-      val plan = SparkEntry.queries(q)(spark, dir).queryExecution.executedPlan.toString
-      println(s"=== $q ===")
+      val plan = finalPlanString(SparkEntry.queries(q)(spark, dir))
+      println(s"=== $q === (AQE final plan)")
       println("  pushed: " + plan.linesIterator.filter(_.contains("PushedFilters")).map(_.trim.take(150)).mkString(" | "))
       println("  broadcast joins: " + plan.linesIterator.count(_.contains("BroadcastHashJoin")))
       println("  sortmerge joins: " + plan.linesIterator.count(_.contains("SortMergeJoin")))
@@ -186,6 +199,30 @@ object ExplainCheck {
         finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
       println("=== kv bucketed join (SPJ) === exchanges: " +
         p.linesIterator.count(_.contains("Exchange")) + " (want 0)")
+    }
+
+    // round-8: bucketized graph iteration — the rank⋈edges join must read
+    // the (corpus-sized) edge table IN PLACE; only the node-sized rank
+    // frame may shuffle. PlanInvariantSpec asserts the path-level claim.
+    {
+      val edges = spark.range(500).selectExpr("id % 97 AS src", "(id * 7 + 1) % 97 AS dst")
+      val path = java.nio.file.Files.createTempDirectory("explainpr").toString + "/edges"
+      graft.operators.GraphRank.prepareEdgesBucketed(spark, edges, "src", "dst", path, 4)
+      val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val p = try {
+        val ewd = spark.read.table(s"kvcat.`$path`")
+        val ranks = ewd.select(col("src").as("id")).distinct()
+          .withColumn("rank_micro", lit(1000000L))
+        ranks.select(col("id").as("src"), col("rank_micro"))
+          .join(ewd, "src")
+          .selectExpr("dst AS id", "rank_micro DIV outdeg AS c")
+          .groupBy(col("id")).agg(sum(col("c")).as("inflow"))
+          .queryExecution.executedPlan.toString
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      println("=== bucketed pagerank iteration === exchanges: " +
+        p.linesIterator.count(_.contains("Exchange hashpartitioning")) +
+        " (want <=2, rank-side only — the edge scan side has none)")
     }
     spark.stop()
   }

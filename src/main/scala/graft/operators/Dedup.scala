@@ -628,8 +628,12 @@ object Dedup {
     * df of its least-common boilerplate). Documents shorter than k words
     * are out of contract (no k-gram to anchor on).
     */
-  def containment(df: DataFrame, textCol: String, idCol: String, k: Int = 4): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
+  /** (docs, shingle set, rarest-shingle frame) shared by [[containment]]
+    * and [[containmentAudit]]. `rarest` carries the rarest shingle's df
+    * as `rdf` — the per-inner-doc candidate fan-out bound.
+    */
+  private def containmentParts(df: DataFrame, textCol: String, idCol: String,
+      k: Int): (DataFrame, DataFrame, DataFrame) = {
     // Byte-scanning tokenizer, not regexp_replace+split: wsTokens
     // replicates split(trim(c), "\s+") bit-for-bit (incl. the edge empty
     // tokens), and rejoining with single spaces reproduces the old
@@ -647,8 +651,25 @@ object Dedup {
     val rarest = sh.join(dfreq, "shingle")
       .groupBy(col("id"))
       .agg(min(struct(col("df"), col("shingle"))).as("m"))
-      .select(col("id").as("id_inner"), col("m.shingle").as("shingle"))
-    val candidates = rarest
+      .select(col("id").as("id_inner"), col("m.shingle").as("shingle"),
+        col("m.df").as("rdf"))
+    (docs, sh, rarest)
+  }
+
+  /** `maxShingleDf` (off by default) is the skew cap the rest of the
+    * banded family carries ([[capBuckets]]): an inner doc whose RAREST
+    * shingle is still common (df > cap — the every-doc-is-boilerplate
+    * corpus) has an unbounded candidate fan-out, and with the cap set
+    * such docs are SKIPPED as containment-inner candidates (they can
+    * still appear as outer docs). That is a measured recall trade —
+    * [[containmentAudit]] reports exactly what the cap costs.
+    */
+  def containment(df: DataFrame, textCol: String, idCol: String, k: Int = 4,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxShingleDf >= 1, s"maxShingleDf must be >= 1, got $maxShingleDf")
+    val (docs, sh, rarest) = containmentParts(df, textCol, idCol, k)
+    val candidates = rarest.where(col("rdf") <= maxShingleDf)
       .join(sh.select(col("id").as("id_outer"), col("shingle")), "shingle")
       .where(col("id_inner") =!= col("id_outer"))
       .select(col("id_inner"), col("id_outer"))
@@ -660,6 +681,28 @@ object Dedup {
       .where(contains(concat(lit(" "), col("t_out"), lit(" ")),
         concat(lit(" "), col("t_in"), lit(" "))))
       .select(col("id_inner"), col("id_outer"))
+  }
+
+  /** Measured precision/recall audit of the capped containment pass (the
+    * `q_dedup_lsh_audit` discipline): runs the exact (uncapped) and the
+    * `maxShingleDf`-capped detectors end to end and reports one row —
+    * pair counts, how many inner docs the cap skipped, and recall in
+    * milli-units (`capped·1000 div exact`; precision is 1.0 by
+    * construction — the capped path only ever drops candidates, its
+    * verify is exact). This is the number a production pipeline needs
+    * before turning the cap on over a boilerplate-heavy corpus.
+    */
+  def containmentAudit(df: DataFrame, textCol: String, idCol: String,
+      k: Int = 4, maxShingleDf: Int = 100): DataFrame = {
+    val spark = df.sparkSession
+    val nExact = containment(df, textCol, idCol, k).count()
+    val nCapped = containment(df, textCol, idCol, k, maxShingleDf).count()
+    val (_, _, rarest) = containmentParts(df, textCol, idCol, k)
+    val nSkipped = rarest.where(col("rdf") > maxShingleDf).count()
+    val recallMilli = if (nExact == 0) 1000L else nCapped * 1000L / nExact
+    spark.range(1).select(
+      lit(nExact).as("n_pairs_exact"), lit(nCapped).as("n_pairs_capped"),
+      lit(nSkipped).as("n_docs_skipped"), lit(recallMilli).as("recall_milli"))
   }
 
   /** Line-level (CCNet-style) dedup: drop every line whose normalized
@@ -873,6 +916,45 @@ object Dedup {
       pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
         .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
         .distinct())
+    componentsLoop(edges, materialize, maxIter)
+  }
+
+  /** Connected components with the edge set materialized ONCE as a
+    * `dst`-bucketized kv table under `workDir` — the storage-partitioned
+    * layout for the iteration's dominant join: each round's
+    * edges⋈labels join on `dst` reads the (corpus-sized) edge side IN
+    * PLACE (`KeyGroupedPartitioning(bucket(n, dst))`) and shuffles only
+    * the node-sized label frame to match (`v2.bucketing.shuffle`) — at
+    * 100 TB the edge list never crosses the wire after its one-time
+    * layout write, vs one full edge shuffle per round in the
+    * checkpoint-backed variant. Labels are the same pointer-jumping
+    * rounds, so the fixpoint is identical to [[connectedComponents]]
+    * (one shared oracle).
+    */
+  def connectedComponentsBucketed(
+      spark: org.apache.spark.sql.SparkSession, pairs: DataFrame,
+      workDir: String, numBuckets: Int = 16, aCol: String = "id_a",
+      bCol: String = "id_b", maxIter: Int = 20): DataFrame = {
+    graft.Tables.tuneForGates(spark) // kvcat + v2 bucketing confs
+    graft.sources.ParquetIO.deletePath(workDir)
+    pairs.select(col(aCol).as("src"), col(bCol).as("dst"))
+      .union(pairs.select(col(bCol).as("src"), col(aCol).as("dst")))
+      .distinct()
+      .write.format("kv").option("path", workDir).mode("overwrite").save()
+    KvMerge.bucketize(spark, workDir, numBuckets, Seq("dst"))
+    val edges = spark.read.table(s"kvcat.`$workDir`")
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def materialize(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    componentsLoop(edges, materialize, maxIter)
+  }
+
+  /** The shared pointer-jumping rounds: `edges` must be the symmetric,
+    * deduplicated (src, dst) set, already materialized (checkpointed or
+    * table-backed).
+    */
+  private def componentsLoop(edges: DataFrame,
+      materialize: DataFrame => DataFrame, maxIter: Int): DataFrame = {
     var labels = materialize(
       edges.select(col("src").as("id")).distinct()
         .withColumn("component", col("id")))

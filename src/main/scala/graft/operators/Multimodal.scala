@@ -16,8 +16,11 @@ import org.apache.spark.sql.types._
   * header-only probe (no pixel decode on the metadata path), resize
   * re-encodes through `BufferedImage`. Payloads no installed reader
   * recognizes yield NULL metadata / null resize output — undecodable
-  * input surfaces as undecodable. [[FakeCodec]] remains only for video
-  * frame sampling (the JDK ships no video codec) — the one stub boundary.
+  * input surfaces as undecodable. Video goes through REAL container
+  * walks ([[VideoCodec]]: the GFV frame-index container and AVI/MJPEG
+  * RIFF forms) with per-frame ImageIO decode; containers the stack
+  * doesn't understand (mp4/webm — the JDK ships no demuxer for them)
+  * surface a `decode_error`, never fabricated frames.
   */
 object Multimodal {
 
@@ -118,23 +121,6 @@ object Multimodal {
     }
   }
 
-  /** ======= STUB BOUNDARY =======
-    * Deterministic fake frame sampler for payloads in UNKNOWN video
-    * containers (the JDK ships no mp4/webm demuxer). Payloads in the
-    * GFV container below take the REAL path: container walk + per-frame
-    * ImageIO decode. This fallback is the only fake left: unreadable
-    * payloads on the metadata/resize paths yield null, never invented
-    * properties — a corrupt JPEG in a real pipeline must surface as
-    * undecodable, not as plausible-looking metadata.
-    */
-  object FakeCodec {
-    /** "Frame sample": split payload into `n` pseudo-frames. */
-    def frames(payload: Array[Byte], n: Int): Seq[Array[Byte]] = {
-      val size = math.max(payload.length / math.max(n, 1), 1)
-      payload.grouped(size).take(n).toSeq
-    }
-  }
-
   /** Minimal REAL video container (an MJPEG-style frame concatenation):
     * magic "GFV1" | frame count (BE int32) | per-frame byte length (BE
     * int32 each) | concatenated PNG frames. Both directions live here so
@@ -179,6 +165,129 @@ object Multimodal {
         fr
       })
     }
+
+    /** REAL AVI/MJPEG fixture encoder: a standards-shaped RIFF('AVI ')
+      * form — LIST('hdrl') with the avih main header and one 'vids'
+      * stream (strh fourcc 'MJPG' + strf BITMAPINFOHEADER), then
+      * LIST('movi') carrying each frame as an '00dc' chunk of REAL JPEG
+      * bytes (ImageIO-encoded). Frame count / dimensions / pixel seed
+      * follow the GFV formula (n = id%4+2, w = id%16+1, h = id%12+1,
+      * seed id·131+f) so structural oracles are shared.
+      */
+    def encodeAviMjpeg(id: Long): Array[Byte] = {
+      val n = (id % 4).toInt + 2
+      val w = (id % 16).toInt + 1
+      val h = (id % 12).toInt + 1
+      val frames = (0 until n).map { f =>
+        val seed = id * 131 + f
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, ((seed * 31 + y) * 31 + x).toInt & 0xffffff)
+            x += 1
+          }
+          y += 1
+        }
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(img, "jpg", bos)
+        bos.toByteArray
+      }
+      def chunk(fourcc: String, body: Array[Byte]): Array[Byte] = {
+        val buf = java.nio.ByteBuffer.allocate(8 + body.length + (body.length & 1))
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put(fourcc.getBytes("US-ASCII")).putInt(body.length).put(body)
+        if ((body.length & 1) == 1) buf.put(0.toByte) // word alignment
+        buf.array()
+      }
+      def list(listType: String, bodies: Seq[Array[Byte]]): Array[Byte] = {
+        val inner = bodies.foldLeft(Array.emptyByteArray)(_ ++ _)
+        val buf = java.nio.ByteBuffer.allocate(12 + inner.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        buf.put("LIST".getBytes("US-ASCII")).putInt(4 + inner.length)
+          .put(listType.getBytes("US-ASCII")).put(inner)
+        buf.array()
+      }
+      def le(fields: Seq[Int]): Array[Byte] = {
+        val buf = java.nio.ByteBuffer.allocate(4 * fields.length)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        fields.foreach(buf.putInt)
+        buf.array()
+      }
+      val fourccMjpg = java.nio.ByteBuffer.wrap("MJPG".getBytes("US-ASCII"))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      val fourccVids = java.nio.ByteBuffer.wrap("vids".getBytes("US-ASCII"))
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).getInt
+      // avih: usPerFrame, maxBytesPerSec, pad, flags, totalFrames, initial,
+      // streams, bufSize, w, h, reserved[4]
+      val avih = chunk("avih", le(Seq(
+        100000, 0, 0, 0, n, 0, 1, 0, w, h, 0, 0, 0, 0)))
+      // strh: fccType 'vids', handler 'MJPG', flags, prio+lang, initial,
+      // scale, rate, start, length, bufSize, quality, sampleSize, frame rect
+      val strh = chunk("strh", le(Seq(
+        fourccVids, fourccMjpg, 0, 0, 0, 1, 10, 0, n, 0, -1, 0, 0, 0)))
+      // strf: BITMAPINFOHEADER (size 40, w, h, planes|bitcount,
+      // compression 'MJPG', imageSize, ppm x/y, clrUsed, clrImportant)
+      val strf = chunk("strf", le(Seq(
+        40, w, h, 1 | (24 << 16), fourccMjpg, w * h * 3, 0, 0, 0, 0)))
+      val hdrl = list("hdrl", Seq(avih, list("strl", Seq(strh, strf))))
+      val movi = list("movi", frames.map(chunk("00dc", _)))
+      val form = hdrl ++ movi
+      val buf = java.nio.ByteBuffer.allocate(12 + form.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(4 + form.length)
+        .put("AVI ".getBytes("US-ASCII")).put(form)
+      buf.array()
+    }
+
+    /** REAL AVI container walk (the [[WavCodec]] RIFF discipline, for
+      * video): verify the RIFF/'AVI ' form, walk top-level chunks to the
+      * LIST('movi'), collect each video frame chunk's payload ('00dc'
+      * compressed / '00db' uncompressed, any stream number). Anything
+      * malformed — bad magic, overflowing lengths, truncation — → None,
+      * never invented frames. Frame bytes are whatever the container
+      * carries (JPEG for MJPEG files); the consumer decodes them with
+      * ImageIO and surfaces per-frame failures.
+      */
+    def parseAviFrames(p: Array[Byte]): Option[Seq[Array[Byte]]] = {
+      if (p == null || p.length < 12) return None
+      def ascii(off: Int, n: Int) = new String(p, off, n, "US-ASCII")
+      def le32(off: Int): Int =
+        (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8) |
+          ((p(off + 2) & 0xff) << 16) | ((p(off + 3) & 0xff) << 24)
+      if (ascii(0, 4) != "RIFF" || ascii(8, 4) != "AVI ") return None
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def isFrameChunk(cid: String): Boolean =
+        cid.length == 4 && cid(0).isDigit && cid(1).isDigit &&
+          (cid.substring(2) == "dc" || cid.substring(2) == "db")
+      def walkMovi(start: Int, end: Int): Boolean = {
+        var off = start
+        while (off + 8 <= end) {
+          val cid = ascii(off, 4); val clen = le32(off + 4)
+          if (clen < 0 || off + 8 + clen > end) return false
+          if (isFrameChunk(cid))
+            frames += java.util.Arrays.copyOfRange(p, off + 8, off + 8 + clen)
+          off += 8 + clen + (clen & 1)
+        }
+        true
+      }
+      var off = 12
+      while (off + 8 <= p.length) {
+        val cid = ascii(off, 4); val clen = le32(off + 4)
+        if (clen < 0 || off + 8 + clen > p.length) return None
+        if (cid == "LIST" && clen >= 4 && ascii(off + 8, 4) == "movi") {
+          if (!walkMovi(off + 12, off + 8 + clen)) return None
+        }
+        off += 8 + clen + (clen & 1)
+      }
+      if (frames.isEmpty) None else Some(frames.toSeq)
+    }
+
+    /** Container dispatch: GFV first (fixed offsets), then AVI. */
+    def parseAnyFrames(p: Array[Byte]): Option[Seq[Array[Byte]]] =
+      parseFrames(p).orElse(parseAviFrames(p))
   }
 
   /** Attach a real GFV video payload derived from a long id column
@@ -211,7 +320,7 @@ object Multimodal {
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
-        VideoCodec.parseFrames(payload).toSeq.flatMap(_.zipWithIndex.flatMap {
+        VideoCodec.parseAnyFrames(payload).toSeq.flatMap(_.zipWithIndex.flatMap {
           case (fr, idx) =>
             val img =
               try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(fr))
@@ -235,6 +344,18 @@ object Multimodal {
             }
         })
       }
+    }(enc)
+  }
+
+  /** Attach a real AVI/MJPEG payload derived from a long id column
+    * (fixture helper — the AVI sibling of [[withGfvPayload]]).
+    */
+  def withAviPayload(df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(payloadCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+ VideoCodec.encodeAviMjpeg(r.getLong(idIdx))))
     }(enc)
   }
 
@@ -550,27 +671,33 @@ object Multimodal {
   }
 
   /** Frame sampling: one output row per sampled frame (video → frames).
-    * Emits (original columns..., frame_idx, frame) — a generator-style
-    * explode executed partition-locally.
+    * Emits (original columns..., frame_idx, frame, decode_error) — a
+    * generator-style explode executed partition-locally. Containers the
+    * codec stack actually understands (GFV, AVI — [[VideoCodec]]) take
+    * the REAL walk; anything else yields ONE row with a `decode_error`
+    * instead of fabricated frames (the round-8 honesty contract: a
+    * pipeline pointed at an mp4 corpus must SEE that nothing decoded,
+    * not receive plausible-looking byte slices). Null payloads emit no
+    * rows (no media, not an error).
     */
   def sampleFrames(df: DataFrame, payloadCol: String, framesPerDoc: Int): DataFrame = {
     val schema = StructType(df.schema.fields ++ Seq(
-      StructField("frame_idx", IntegerType, nullable = false),
-      StructField("frame", BinaryType)))
+      StructField("frame_idx", IntegerType, nullable = true),
+      StructField("frame", BinaryType),
+      StructField("decode_error", StringType, nullable = true)))
     val payloadIdx = df.schema.fieldIndex(payloadCol)
     val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
     df.mapPartitions { rows =>
       rows.flatMap { r =>
         val payload = r.getAs[Array[Byte]](payloadIdx)
         if (payload == null) Iterator.empty
-        else {
-          // real container first; FakeCodec only for unknown formats
-          val frames = VideoCodec.parseFrames(payload)
-            .map(_.take(framesPerDoc))
-            .getOrElse(FakeCodec.frames(payload, framesPerDoc))
-          frames.iterator.zipWithIndex.map {
-            case (f, i) => Row.fromSeq(r.toSeq ++ Seq(i, f))
-          }
+        else VideoCodec.parseAnyFrames(payload) match {
+          case Some(frames) =>
+            frames.take(framesPerDoc).iterator.zipWithIndex.map {
+              case (f, i) => Row.fromSeq(r.toSeq ++ Seq(i, f, null))
+            }
+          case None => Iterator.single(
+            Row.fromSeq(r.toSeq ++ Seq(null, null, "unsupported container")))
         }
       }
     }(enc)

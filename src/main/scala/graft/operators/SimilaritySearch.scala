@@ -142,7 +142,8 @@ object SimilaritySearch {
   def mmrRerank(
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int,
-      poolSize: Int = 20, lambdaMilli: Int = 700): DataFrame = {
+      poolSize: Int = 20, lambdaMilli: Int = 700,
+      maxDriverRows: Long = 1000000L): DataFrame = {
     require(k >= 1 && poolSize >= k, s"need poolSize >= k >= 1, got k=$k pool=$poolSize")
     require(lambdaMilli >= 0 && lambdaMilli <= 1000,
       s"lambdaMilli must be in [0, 1000], got $lambdaMilli")
@@ -150,6 +151,15 @@ object SimilaritySearch {
       .select(col("id").as("nid"), col("e").as("ne"), col("nrm").as("nn"))
     val qPrep = prep(queries, vecCol, idCol)
       .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    // ENFORCED driver-traffic bound (the greedy stages collect ≤|Q| rows
+    // each, k·|Q| total): MMR is a RERANK-scale operator — a corpus-scale
+    // query set must be partitioned into bounded batches upstream, not
+    // silently funneled through the driver.
+    val nQ = qPrep.count()
+    require(k.toLong * nQ <= maxDriverRows,
+      s"mmrRerank collects k·|Q| = ${k.toLong * nQ} selected rows through " +
+        s"the driver (bound $maxDriverRows): partition the query set into " +
+        s"bounded batches (or raise maxDriverRows deliberately)")
     // pool: top-poolSize by exact cosine, relevance in integer micro-units
     val cands = broadcast(qPrep).join(cPrep, col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
@@ -574,6 +584,7 @@ object SimilaritySearch {
     val subCents = Iterator.from(0)
       .takeWhile(s => graft.sources.ParquetIO.listFiles(s"$path/pq$s").nonEmpty)
       .map(s => table(s"pq$s")).toSeq
+    require(subCents.nonEmpty, s"no PQ codebooks under $path")
     val m = subCents.length
     val lists = assignCells(prep(newVecs, vecCol, idCol), table("coarse"))
       .select(col("id"), col("cell").as("ivf_cell"))

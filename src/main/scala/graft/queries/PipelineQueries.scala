@@ -29,6 +29,18 @@ object PipelineQueries {
     s.read.format("kv").option("path", pngDir).load()
   }
 
+  /** The deterministic synthetic link graph shared by the pagerank
+    * gates: three mod-arithmetic out-links per doc.
+    */
+  private def syntheticLinkGraph(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
+    val n = docs.agg((max(col("doc_id")) + 1L).as("__n"))
+    docs.crossJoin(broadcast(n))
+      .select(col("doc_id").as("src"),
+        explode(array(lit(7L), lit(31L), lit(131L))).as("m"), col("__n"))
+      .select(col("src"), ((col("src") * col("m") + 1L) % col("__n")).as("dst"))
+  }
+
   private def stagedWavDocs(s: SparkSession, dir: String): DataFrame = {
     val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
     val wavDir = s"/tmp/graft_wav$safe"
@@ -104,6 +116,22 @@ object PipelineQueries {
       Dedup.containment(base.unionByName(prefixes), "text", "doc_id", k = 4)
         .orderBy(col("id_inner"), col("id_outer"))
     }),
+    // The measured cost of the containment skew cap (q_dedup_lsh_audit
+    // discipline): run the exact and the rarest-shingle-df-capped
+    // detectors end to end over the same augmented corpus and report
+    // pair counts, skipped inner docs, and recall at the cap. df ≤ 2
+    // admits docs whose rarest shingle appears in at most 2 docs —
+    // tight enough that the cap provably fires at sf0.01.
+    "q_dedup_containment_audit" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val words = split(lower(regexp_replace(trim(col("text")), "\\s+", " ")), " ")
+      val prefixes = base
+        .where(col("doc_id") % 10 === 0 && size(words) >= 8)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          array_join(slice(words, lit(1), (size(words) / lit(2)).cast("int")), " ").as("text"))
+      Dedup.containmentAudit(base.unionByName(prefixes), "text", "doc_id",
+        k = 4, maxShingleDf = 2)
+    }),
     // CCNet-style line-level dedup over a deterministically line-ified
     // corpus (8-word chunks as lines — the fixture text is single-line):
     // lines shared across >1 document are dropped as boilerplate, docs
@@ -151,14 +179,35 @@ object PipelineQueries {
     // ranks, div-by-outdeg contributions, 85% damping as *85 DIV 100) —
     // bit-identical on any engine, oracle unrolls all three iterations.
     "q_graph_pagerank" -> ((s, dir) => {
-      val docs = Tables.load(s, dir, "documents").select(col("doc_id"))
-      val n = docs.agg((max(col("doc_id")) + 1L).as("__n"))
-      val edges = docs.crossJoin(broadcast(n))
-        .select(col("doc_id").as("src"),
-          explode(array(lit(7L), lit(31L), lit(131L))).as("m"), col("__n"))
-        .select(col("src"), ((col("src") * col("m") + 1L) % col("__n")).as("dst"))
-      graft.operators.GraphRank.pageRank(edges, "src", "dst", iterations = 3)
+      graft.operators.GraphRank.pageRank(syntheticLinkGraph(s, dir),
+        "src", "dst", iterations = 3)
         .orderBy(col("id"))
+    }),
+
+    // The same integer-exact PageRank through the storage-partitioned
+    // layout: edges (+ pre-joined out-degrees) materialized ONCE as a
+    // src-bucketized kv table, every iteration's rank⋈edges join reads
+    // the edge side in place — identical ranks, shared oracle; the
+    // 100 TB iteration shape (PlanInvariantSpec asserts the edge scan
+    // never reshuffles).
+    "q_graph_pagerank_bucketed" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val path = s"/tmp/graft_prededges$safe"
+      graft.operators.GraphRank.prepareEdgesBucketed(
+        s, syntheticLinkGraph(s, dir), "src", "dst", path, numBuckets = 8)
+      graft.operators.GraphRank.pageRankBucketed(s, path, iterations = 3)
+        .orderBy(col("id"))
+    }),
+
+    // Components through the dst-bucketized edge layout: the per-round
+    // edges⋈labels join reads the edge table in place — identical
+    // fixpoint to q_dedup_groups (shared recursive-closure oracle).
+    "q_dedup_groups_bucketed" -> ((s, dir) => {
+      val pairs = Dedup.minHashLsh(Tables.load(s, dir, "documents"),
+        "text", "doc_id", numHashes = 64, bands = 16, minJaccard = 0.2)
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      Dedup.connectedComponentsBucketed(s, pairs,
+        s"/tmp/graft_ccedges$safe", numBuckets = 8).orderBy(col("id"))
     }),
 
     // Duplicate-cluster size histogram — the dedup audit chart
@@ -345,14 +394,44 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // Frame sampling with the round-8 honesty contract: even docs carry
+    // a REAL GFV container (frames explode through the real walk + their
+    // PNG headers probe to the generator dimensions), odd docs carry
+    // text bytes — NOT a video container — and surface ONE decode_error
+    // row instead of fabricated frame slices.
     "q_multimodal_frames" -> ((s, dir) => {
-      val docs = Multimodal.withBinaryPayload(
-        Tables.load(s, dir, "documents"), "text")
-      Multimodal.sampleFrames(docs, "payload", framesPerDoc = 4)
-        .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_frames"),
-          sum(length(col("frame"))).as("frame_bytes"))
-        .orderBy(col("doc_id"))
+      val base = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val gfv = Multimodal.withGfvPayload(
+        base.where(col("doc_id") % 2 === 0).select("doc_id"), "doc_id")
+      val txt = Multimodal.withBinaryPayload(
+          base.where(col("doc_id") % 2 =!= 0), "text")
+        .select("doc_id", "payload")
+      val sampled = Multimodal.sampleFrames(
+        gfv.unionByName(txt), "payload", framesPerDoc = 4)
+      Multimodal.decodeMeta(sampled, "frame")
+        .select(col("doc_id"), col("frame_idx"),
+          col("media.width").as("w"), col("media.height").as("h"),
+          col("decode_error"))
+        .orderBy(col("doc_id"), col("frame_idx").asc_nulls_first)
+    }),
+
+    // Video through a REAL AVI/MJPEG container: RIFF('AVI ') walk to the
+    // movi LIST, per-frame REAL JPEG decode (ImageIO) — the oracle pins
+    // the structural truth (frame count and decoded pixel count per
+    // frame); JPEG sample values are codec-defined, so the pixel-exact
+    // luma proof stays on the GFV gate (q_multimodal_video).
+    "q_multimodal_video_avi" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val aviDir = s"/tmp/graft_avi$safe"
+      if (graft.sources.ParquetIO.listFiles(aviDir).isEmpty) {
+        Multimodal.withAviPayload(
+          Tables.load(s, dir, "documents").select(col("doc_id")), "doc_id")
+          .write.format("kv").option("path", aviDir).mode("overwrite").save()
+      }
+      Multimodal.videoFrameStats(
+        s.read.format("kv").option("path", aviDir).load(), "payload")
+        .select(col("doc_id"), col("frame_idx"), col("n_pixels"))
+        .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
     // Capstone: a composed training-data pipeline — quality gate →
@@ -458,29 +537,37 @@ object PipelineQueries {
     }),
   )
 
+  // pagerank: the 3 integer iterations unrolled — div-by-outdeg
+  // contributions, *85 // 100 damping, 150000 teleport. Shared by the
+  // checkpoint-backed and the bucketized-layout gates (integer math is
+  // layout-free).
+  private val pagerankOracle: String = {
+    def iter(prev: String, out: String) =
+      s"""$out AS (
+         |  SELECT n.id, coalesce(s.inflow, 0) * 85 // 100 + 150000 AS r
+         |  FROM nodes n LEFT JOIN (
+         |    SELECT e.dst AS id, CAST(sum(r.r // od.outdeg) AS BIGINT) AS inflow
+         |    FROM $prev r JOIN od ON r.id = od.src JOIN e ON e.src = od.src
+         |    GROUP BY 1) s ON n.id = s.id
+         |)""".stripMargin
+    s"""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
+       |e AS (
+       |  SELECT doc_id AS src, (doc_id * m + 1) % nn.n AS dst
+       |  FROM documents, nn, unnest(CAST([7, 31, 131] AS BIGINT[])) AS t(m)
+       |), nodes AS (
+       |  SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
+       |), od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY 1),
+       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
+       |${iter("r0", "r1")}, ${iter("r1", "r2")}, ${iter("r2", "r3")}
+       |SELECT id, CAST(r AS BIGINT) AS rank_micro FROM r3 ORDER BY id""".stripMargin
+  }
+
   def oracles: Map[String, String] = SketchOracleSql.oracles ++ Map(
-    // pagerank: the 3 integer iterations unrolled — div-by-outdeg
-    // contributions, *85 // 100 damping, 150000 teleport
-    "q_graph_pagerank" -> {
-      def iter(prev: String, out: String) =
-        s"""$out AS (
-           |  SELECT n.id, coalesce(s.inflow, 0) * 85 // 100 + 150000 AS r
-           |  FROM nodes n LEFT JOIN (
-           |    SELECT e.dst AS id, CAST(sum(r.r // od.outdeg) AS BIGINT) AS inflow
-           |    FROM $prev r JOIN od ON r.id = od.src JOIN e ON e.src = od.src
-           |    GROUP BY 1) s ON n.id = s.id
-           |)""".stripMargin
-      s"""WITH nn AS (SELECT max(doc_id) + 1 AS n FROM documents),
-         |e AS (
-         |  SELECT doc_id AS src, (doc_id * m + 1) % nn.n AS dst
-         |  FROM documents, nn, unnest(CAST([7, 31, 131] AS BIGINT[])) AS t(m)
-         |), nodes AS (
-         |  SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)
-         |), od AS (SELECT src, count(*)::BIGINT AS outdeg FROM e GROUP BY 1),
-         |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM nodes),
-         |${iter("r0", "r1")}, ${iter("r1", "r2")}, ${iter("r2", "r3")}
-         |SELECT id, CAST(r AS BIGINT) AS rank_micro FROM r3 ORDER BY id""".stripMargin
-    },
+    "q_graph_pagerank" -> pagerankOracle,
+    "q_graph_pagerank_bucketed" -> pagerankOracle,
+    // bucketized components share q_dedup_groups' recursive-closure
+    // oracle: two algorithms AND two physical layouts, one fixpoint
+    "q_dedup_groups_bucketed" -> SketchOracleSql.componentsOracle,
 
     // video decode: replay the per-frame pixel generator — frame f of
     // doc d uses seed d·131 + f over w = d%16+1, h = d%12+1
@@ -578,6 +665,49 @@ object PipelineQueries {
         |  ON a.doc_id <> b.doc_id
         |  AND instr(' ' || b.t || ' ', ' ' || a.t || ' ') > 0
         |ORDER BY 1, 2""".stripMargin,
+
+    // containment audit: exact pairs (brute force), capped pairs (exact
+    // pairs whose inner doc's rarest-shingle df ≤ 2 — the capped
+    // operator's candidate join is complete per admitted inner doc, so
+    // the two formulations coincide), skipped docs, integer recall
+    "q_dedup_containment_audit" ->
+      """WITH base AS (
+        |  SELECT doc_id, lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS t
+        |  FROM documents
+        |), aug AS (
+        |  SELECT doc_id, t FROM base
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |    array_to_string(list_slice(string_split(t, ' '), 1,
+        |      len(string_split(t, ' ')) // 2), ' ')
+        |  FROM base
+        |  WHERE doc_id % 10 = 0 AND len(string_split(t, ' ')) >= 8
+        |), docs AS (
+        |  SELECT doc_id, t, string_split(t, ' ') AS wds FROM aug
+        |  WHERE len(string_split(t, ' ')) >= 4
+        |), sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(wds[(i + 1)::INT : (i + 4)::INT], ' ') AS shingle
+        |  FROM docs, unnest(generate_series(0, len(wds) - 4)) AS g(i)
+        |), dfq AS (
+        |  SELECT shingle, count(*)::BIGINT AS df FROM sh GROUP BY 1
+        |), rarest AS (
+        |  SELECT doc_id, min(df) AS rdf FROM sh JOIN dfq USING (shingle) GROUP BY 1
+        |), ep AS (
+        |  SELECT a.doc_id AS i, b.doc_id AS o
+        |  FROM docs a JOIN docs b
+        |    ON a.doc_id <> b.doc_id
+        |    AND instr(' ' || b.t || ' ', ' ' || a.t || ' ') > 0
+        |), cp AS (
+        |  SELECT ep.i, ep.o FROM ep JOIN rarest r ON r.doc_id = ep.i
+        |  WHERE r.rdf <= 2
+        |)
+        |SELECT CAST((SELECT count(*) FROM ep) AS BIGINT) AS n_pairs_exact,
+        |  CAST((SELECT count(*) FROM cp) AS BIGINT) AS n_pairs_capped,
+        |  CAST((SELECT count(*) FROM rarest WHERE rdf > 2) AS BIGINT) AS n_docs_skipped,
+        |  CAST(CASE WHEN (SELECT count(*) FROM ep) = 0 THEN 1000
+        |    ELSE (SELECT count(*) FROM cp) * 1000 // (SELECT count(*) FROM ep)
+        |  END AS BIGINT) AS recall_milli""".stripMargin,
 
     "q_dedup_drop_exact" ->
       """SELECT doc_id FROM (
@@ -883,11 +1013,37 @@ object PipelineQueries {
         |  ON a.doc_id < b.doc_id AND bit_count(xor(a.ah, b.ah)) <= 3
         |ORDER BY id_a, id_b""".stripMargin,
 
+    // even docs: real GFV walk → min(n, 4) frames whose PNG headers probe
+    // to the generator dims; odd docs: unknown container → one error row
     "q_multimodal_frames" ->
-      """SELECT doc_id, 4 AS n_frames,
-        |  CAST(4 * (octet_length(encode(text)) // 4) AS BIGINT) AS frame_bytes
-        |FROM documents
-        |ORDER BY doc_id""".stripMargin,
+      """WITH even AS (
+        |  SELECT doc_id, CAST(doc_id % 4 + 2 AS INT) AS nf,
+        |    CAST(doc_id % 16 + 1 AS INT) AS w, CAST(doc_id % 12 + 1 AS INT) AS h
+        |  FROM documents WHERE doc_id % 2 = 0
+        |), fr AS (
+        |  SELECT doc_id, unnest(generate_series(0, least(nf, 4) - 1)) AS fi, w, h
+        |  FROM even
+        |)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx, w, h,
+        |  CAST(NULL AS VARCHAR) AS decode_error
+        |FROM fr
+        |UNION ALL
+        |SELECT doc_id, NULL, NULL, NULL, 'unsupported container'
+        |FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY doc_id, frame_idx NULLS FIRST""".stripMargin,
+
+    // AVI/MJPEG structural truth: n = id%4+2 real JPEG frames each
+    // decoding to (id%16+1) × (id%12+1) pixels
+    "q_multimodal_video_avi" ->
+      """WITH d AS (
+        |  SELECT doc_id, CAST(doc_id % 4 + 2 AS INT) AS nf,
+        |    CAST(doc_id % 16 + 1 AS BIGINT) * CAST(doc_id % 12 + 1 AS BIGINT) AS px
+        |  FROM documents
+        |)
+        |SELECT doc_id, CAST(unnest(generate_series(0, nf - 1)) AS INT) AS frame_idx,
+        |  px AS n_pixels
+        |FROM d
+        |ORDER BY doc_id, frame_idx""".stripMargin,
 
     "q_doc_bpe_tokens" ->
       """SELECT doc_id,

@@ -267,6 +267,26 @@ object SourceQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Schema evolution: ALTER TABLE ADD COLUMN is a metadata-only
+    // sidecar update (no table rewrite — the only plan at 100 TB).
+    // Stage nation as a kv table, add a BIGINT column through the SQL
+    // surface, append rows that carry it — pre-evolution rows read as
+    // NULL (the sparse-attribute read path), appended rows carry values.
+    "q_kv_add_column" -> ((s, dir) => {
+      graft.Tables.tuneForGates(s) // kvcat catalog
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val staged = s"/tmp/graft_addcol$safe"
+      ParquetIO.deletePath(staged)
+      val nation = graft.Tables.load(s, dir, "nation")
+      nation.select(col("n_nationkey").cast("long").as("n_nationkey"), col("n_name"))
+        .write.format("kv").option("path", staged).mode("overwrite").save()
+      s.sql(s"ALTER TABLE kvcat.`$staged` ADD COLUMN n_bonus BIGINT")
+      nation.select((col("n_nationkey") + 1000L).as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("long").as("n_bonus"))
+        .write.format("kv").option("path", staged).mode("append").save()
+      s.read.table(s"kvcat.`$staged`").orderBy(col("n_nationkey"))
+    }),
+
     // Table maintenance end-to-end: a 8-file kv table is compacted to 2
     // range-clustered files (crash-safe swap), then queried — contents
     // must be untouched by the rewrite.
@@ -793,6 +813,18 @@ object SourceQueries {
         |FROM orders
         |WHERE o_orderpriority <> '1-URGENT'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // schema evolution: original rows NULL in the added column, appended
+    // rows (+1000 keys) carry the value
+    "q_kv_add_column" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name,
+        |  CAST(NULL AS BIGINT) AS n_bonus
+        |FROM nation
+        |UNION ALL
+        |SELECT CAST(n_nationkey + 1000 AS BIGINT), n_name,
+        |  CAST(n_regionkey AS BIGINT)
+        |FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
 
     "q_kv_compact" ->
       """SELECT o_orderpriority, count(*) AS n, min(o_orderkey) AS min_key,

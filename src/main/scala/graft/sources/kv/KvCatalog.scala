@@ -58,8 +58,40 @@ class KvCatalog extends TableCatalog with FunctionCatalog {
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
     throw new UnsupportedOperationException(
       "kv catalog is path-addressed: write with df.write.format(\"kv\").option(\"path\", ...)")
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException("kv catalog does not support ALTER TABLE")
+  /** Schema evolution, metadata-only: `ALTER TABLE … ADD COLUMN` appends
+    * nullable columns to the persisted schema sidecar ([[KvSchemaMeta]])
+    * — NO data rewrite (at 100 TB "rewrite the table to add a column" is
+    * not a plan). Files written before the evolution simply lack the
+    * column and read as NULL (the kv source's sparse-attribute read
+    * path); `snapshot.epoch` time travel keeps showing the pre-evolution
+    * schema because snapshot inference reads visible files' footers, not
+    * the sidecar. Everything except ADD COLUMN is rejected.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val path = pathOf(ident)
+    if (!tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
+    val current = new KvSource().inferSchema(new CaseInsensitiveStringMap(
+      java.util.Collections.singletonMap("path", path)))
+    val added = changes.map {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          s"kv ADD COLUMN supports top-level columns only, got " +
+            add.fieldNames().mkString("."))
+        val name = add.fieldNames()(0)
+        require(!current.fieldNames.exists(_.equalsIgnoreCase(name)),
+          s"column '$name' already exists in kv table $path")
+        require(add.position() == null,
+          "kv ADD COLUMN appends at the end; FIRST/AFTER positions are not supported")
+        // always nullable: pre-evolution files have no values for it
+        org.apache.spark.sql.types.StructField(name, add.dataType(), nullable = true)
+      case other => throw new UnsupportedOperationException(
+        s"kv catalog supports ALTER TABLE ADD COLUMN only, got $other")
+    }
+    KvSchemaMeta.record(path,
+      KvSchemaMeta.union(current, org.apache.spark.sql.types.StructType(added)))
+    loadTable(ident)
+  }
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException("kv catalog does not support DROP TABLE")
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =

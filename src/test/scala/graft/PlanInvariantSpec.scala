@@ -158,6 +158,85 @@ class PlanInvariantSpec extends SparkSpec {
     }
   }
 
+  test("bucketed graph iteration: the edge-table scan feeds its join with ZERO exchanges") {
+    // the iteration body both pageRankBucketed and
+    // connectedComponentsBucketed build: ranks/labels ⋈ bucketized edge
+    // table on the bucket key. With broadcast off (cluster-scale shape),
+    // the edge side must plan as scan→join IN PLACE — only the
+    // node-sized frame may shuffle (v2.bucketing.shuffle).
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    Tables.tuneForGates(spark)
+    val edges = (0L until 500L).map(i => (i % 97, (i * 7 + 1) % 97))
+      .toDF("src", "dst")
+    val path = java.nio.file.Files.createTempDirectory("spjpr").toString + "/edges"
+    graft.operators.GraphRank.prepareEdgesBucketed(
+      spark, edges, "src", "dst", path, numBuckets = 4)
+    val prevBroadcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ewd = spark.read.table(s"kvcat.`$path`")
+      val ranks = ewd.select(col("src").as("id")).distinct()
+        .withColumn("rank_micro", lit(1000000L))
+      val contrib = ranks.select(col("id").as("src"), col("rank_micro"))
+        .join(ewd, "src")
+        .select(col("dst").as("id"), expr("rank_micro DIV outdeg").as("c"))
+        .groupBy(col("id")).agg(sum(col("c")).as("inflow"))
+      val plan = contrib.queryExecution.executedPlan
+      def pathsToScans(p: org.apache.spark.sql.execution.SparkPlan,
+          acc: List[org.apache.spark.sql.execution.SparkPlan])
+          : Seq[List[org.apache.spark.sql.execution.SparkPlan]] = p match {
+        case b: BatchScanExec if b.scan.isInstanceOf[graft.sources.kv.KvScan] =>
+          Seq((b :: acc).reverse)
+        case other => other.children.flatMap(c => pathsToScans(c, other :: acc))
+      }
+      val paths = pathsToScans(plan, Nil)
+      assert(paths.nonEmpty, s"no kv edge scan in plan:\n$plan")
+      // the RIGHT (edge) side of the join: no exchange between scan and join.
+      // (One scan — the ranks seed — legitimately shuffles for distinct;
+      // the join-feeding scan must not.)
+      val clean = paths.filter { path =>
+        val belowJoin = path.reverse.takeWhile(!_.isInstanceOf[BaseJoinExec])
+        !belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec])
+      }
+      assert(clean.nonEmpty,
+        s"every edge scan reshuffles before its join — SPJ layout lost:\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+  }
+
+  test("AQE final plan runs whole-stage codegen and broadcast joins (executed, not initial)") {
+    // the ExplainCheck probes' hard version: inspect what ACTUALLY ran.
+    // An un-executed AdaptiveSparkPlan stringifies its initial tree with
+    // zero codegen spans — executedPlan after execution is the contract.
+    import org.apache.spark.sql.execution.WholeStageCodegenExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val df = SparkEntry.queries("q5_region_revenue")(spark, dir)
+    // execute THIS queryExecution (a noop write would execute a clone)
+    df.queryExecution.executedPlan.execute().foreach(_ => ())
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => assert(a.isFinalPlan); a.executedPlan
+      case p => p
+    }
+    def collectAll[T](p: org.apache.spark.sql.execution.SparkPlan)(
+        pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] =
+      p.collect(pf) ++ p.collect {
+        // query stages are leaves — recurse into their materialized plans
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec => s.plan
+      }.flatMap(collectAll(_)(pf))
+    val codegen = collectAll(finalPlan) { case w: WholeStageCodegenExec => w }
+    assert(codegen.nonEmpty, s"no WholeStageCodegen in the executed final plan:\n$finalPlan")
+    val bhj = collectAll(finalPlan) { case j: BroadcastHashJoinExec => j }
+    assert(bhj.size >= 4, s"q5 should broadcast its dimension joins, got ${bhj.size}:\n$finalPlan")
+  }
+
   test("time-travel snapshot scan keeps filter pushdown (plan-visible)") {
     val df = SparkEntry.queries("q_kv_time_travel")(spark, dir)
       .where(org.apache.spark.sql.functions.col("n_nationkey") > 5L)

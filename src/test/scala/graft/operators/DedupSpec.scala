@@ -353,6 +353,29 @@ class DedupSpec extends SparkSpec {
       s"expected word-aligned containments only (5 in 6 is a char-level trap): $got")
   }
 
+  test("containment maxShingleDf cap skips boilerplate-rarest inner docs; audit measures it") {
+    // docs 1/2/4 share every shingle of doc 4 (df ≥ 3-ish); doc 4's
+    // rarest shingle df = 3 → a cap of 2 skips doc 4 as an inner
+    // candidate while 1-in-2 (rarest df 2) survives
+    val docs = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "x the quick brown fox jumps y"),
+      (3L, "completely unrelated words here now"),
+      (4L, "the quick brown fox"))
+      .toDF("doc_id", "text")
+    val exact = Dedup.containment(docs, "text", "doc_id", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact == Set((1L, 2L), (4L, 1L), (4L, 2L)))
+    val capped = Dedup.containment(docs, "text", "doc_id", k = 4, maxShingleDf = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)), s"cap should drop doc 4's pairs: $capped")
+    val audit = Dedup.containmentAudit(docs, "text", "doc_id", k = 4,
+      maxShingleDf = 2).collect()(0)
+    assert(audit.getLong(0) == 3L && audit.getLong(1) == 1L) // exact, capped
+    assert(audit.getLong(2) == 1L)                           // doc 4 skipped
+    assert(audit.getLong(3) == 333L)                         // 1000/3
+  }
+
   test("decontaminate flags corpus docs overlapping the benchmark set") {
     val corpus = Seq(
       (1L, "the quick brown fox jumps over lazy dogs"),

@@ -29,6 +29,19 @@ class GraphRankSpec extends SparkSpec {
     assert(got(3L) == 150000L)
   }
 
+  test("pageRankBucketed over the SPJ edge layout equals the in-memory path") {
+    val edges = (0L until 300L).flatMap(i =>
+      Seq((i, (i * 7 + 1) % 300), (i, (i * 31 + 1) % 300), (i, (i * 131 + 1) % 300)))
+      .toDF("src", "dst")
+    val path = java.nio.file.Files.createTempDirectory("prbuck").toString + "/edges"
+    GraphRank.prepareEdgesBucketed(spark, edges, "src", "dst", path, numBuckets = 4)
+    val plain = GraphRank.pageRank(edges, "src", "dst", iterations = 3)
+      .orderBy("id").collect().map(_.toString).toSeq
+    val bucketed = GraphRank.pageRankBucketed(spark, path, iterations = 3)
+      .orderBy("id").collect().map(_.toString).toSeq
+    assert(bucketed == plain)
+  }
+
   test("rank is partitioning-invariant (integer sums are order-free)") {
     val edges = (0L until 200L).flatMap(i => Seq((i, (i * 7 + 1) % 200), (i, (i * 31 + 1) % 200)))
       .toDF("src", "dst")

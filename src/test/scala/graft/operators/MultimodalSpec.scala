@@ -59,11 +59,46 @@ class MultimodalSpec extends SparkSpec {
     assert(metas.forall(r => r.getString(0) == "png" && r.getInt(1) == 16 && r.getInt(2) == 12))
   }
 
-  test("sampleFrames explodes n frames per document") {
-    val got = Multimodal.sampleFrames(withPayload, "payload", framesPerDoc = 4)
-      .groupBy("doc_id").count().orderBy("doc_id").collect()
-    assert(got.length == 2, "null payload row contributes no frames")
-    assert(got.forall(_.getLong(1) == 4L))
+  test("sampleFrames: real containers explode frames, unknown containers surface decode_error") {
+    // text bytes are NOT a video container: one error row, zero frames
+    val unknown = Multimodal.sampleFrames(withPayload, "payload", framesPerDoc = 4)
+      .select("doc_id", "frame_idx", "frame", "decode_error").orderBy("doc_id").collect()
+    assert(unknown.length == 2, "null payload row contributes no rows")
+    unknown.foreach { r =>
+      assert(r.isNullAt(1) && r.isNullAt(2) &&
+        r.getString(3) == "unsupported container",
+        s"unknown container must error, not fabricate frames: $r")
+    }
+    // a real GFV container explodes min(n, framesPerDoc) frames, no error
+    val gfv = Multimodal.withGfvPayload(Seq(7L).toDF("doc_id"), "doc_id")
+    val got = Multimodal.sampleFrames(gfv, "payload", framesPerDoc = 4).collect()
+    assert(got.length == math.min((7 % 4) + 2, 4))
+    assert(got.forall(r => r.getAs[String]("decode_error") == null))
+  }
+
+  test("AVI/MJPEG: real RIFF walk + per-frame ImageIO decode of real JPEG frames") {
+    val ids = Seq(3L, 8L, 14L)
+    val avi = Multimodal.withAviPayload(ids.toDF("doc_id"), "doc_id")
+    // container walk finds exactly n = id%4+2 frames, each a REAL JPEG
+    // decoding to the generator dimensions (w = id%16+1, h = id%12+1)
+    val stats = Multimodal.videoFrameStats(avi, "payload")
+      .select("doc_id", "frame_idx", "n_pixels").collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    for (id <- ids) {
+      val n = (id % 4).toInt + 2
+      val px = ((id % 16) + 1) * ((id % 12) + 1)
+      (0 until n).foreach(f => assert(stats((id, f)) == px, s"id=$id f=$f"))
+      assert(!stats.contains((id, n)), s"id=$id produced extra frames")
+    }
+    // the raw frame bytes are JPEG (SOI marker), not PNG or raw pixels
+    val frame0 = Multimodal.sampleFrames(avi, "payload", framesPerDoc = 1)
+      .select("frame").collect().map(_.getAs[Array[Byte]](0))
+    frame0.foreach { b =>
+      assert((b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8, "JPEG SOI expected")
+    }
+    // truncated AVI payloads fail the walk cleanly (no invented frames)
+    val whole = Multimodal.VideoCodec.encodeAviMjpeg(3L)
+    assert(Multimodal.VideoCodec.parseAviFrames(whole.take(whole.length - 5)).isEmpty)
   }
 
   test("lumaStats reproduces the generator pixels through a real decode") {

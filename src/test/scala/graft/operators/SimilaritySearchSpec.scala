@@ -59,6 +59,15 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("mmrRerank enforces its driver-traffic bound (k·|Q| ≤ maxDriverRows)") {
+    val q = corpus.filter(col("vec_id") < 4L) // |Q| = 4
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.mmrRerank(corpus, q, "embedding", "vec_id",
+        k = 3, poolSize = 5, maxDriverRows = 10L) // 3·4 = 12 > 10
+    }
+    assert(e.getMessage.contains("partition the query set"))
+  }
+
   test("mmrRerank matches an independent greedy replay and diversifies") {
     val q = corpus.filter(col("vec_id") === 0L)
     val k = 4; val pool = 10; val lam = 700
@@ -291,6 +300,14 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(mine.length == 1, s"appended vector missing: ${after.mkString(",")}")
     assert(mine(0).getAs[Double]("adist") ==
       after.map(_.getAs[Double]("adist")).min)
+
+    // appending against a missing/empty index path fails with a clear
+    // error, not an opaque empty.reduce
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfPqIndexAppend(dup, "embedding", "vec_id",
+        java.nio.file.Files.createTempDirectory("noidx").toString + "/idx")
+    }
+    assert(e.getMessage.contains("no PQ codebooks"))
   }
 
   test("ivfPqRefineKnn with full probes and corpus-wide shortlist equals brute force") {
