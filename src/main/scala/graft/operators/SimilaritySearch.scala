@@ -847,4 +847,38 @@ object SimilaritySearch {
           (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim")),
       k)
   }
+
+  /** Measured recall audit of the IVF tier vs exact brute force — the
+    * `q_dedup_lsh_audit` discipline applied to ANN: run BOTH detectors
+    * end to end over the same corpus/queries and report one row
+    * (n_queries, k, n_hits, recall_milli) where `n_hits` is the summed
+    * per-query top-k intersection and `recall_milli = hits·1000 div
+    * (k·|Q|)`. This is the number a production retrieval stack needs
+    * before trusting `nProbe`: IVF recall depends on the data's cluster
+    * structure, so it must be MEASURED per corpus, not assumed from the
+    * parameter sheet. Runs on a sampled query set at scale (the brute
+    * side is one broadcast-query scan — |Q|·N dot products, fine for
+    * audit-sized |Q|).
+    */
+  def annRecallAudit(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384): DataFrame = {
+    val spark = corpus.sparkSession
+    val ivf = ivfKnn(corpus, queries, vecCol, idCol, k,
+      nCells, nProbe, iterations, maxTrainPerCell).select(col("qid"), col("nid"))
+    val exact = bruteForceKnn(corpus, queries, vecCol, idCol, k)
+      .select(col("qid"), col("nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nQueries = exact.select(col("qid")).distinct().count()
+      val nHits = ivf.join(exact, Seq("qid", "nid"), "left_semi").count()
+      val recallMilli =
+        if (nQueries == 0) 1000L else nHits * 1000L / (k.toLong * nQueries)
+      spark.range(1).select(
+        lit(nQueries).as("n_queries"), lit(k).as("k"),
+        lit(nHits).as("n_hits"), lit(recallMilli).as("recall_milli"))
+    } finally { exact.unpersist(); () }
+  }
 }

@@ -266,6 +266,16 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // The ANN recall audit (the q_dedup_lsh_audit discipline for the
+    // vector tier): IVF top-k AND exact brute-force top-k run end to
+    // end, one row of measured recall — IVF recall is a property of the
+    // corpus's cluster structure, so it gets measured, not assumed.
+    "q_ann_ivf_audit" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.annRecallAudit(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, nCells = 8, nProbe = 3, maxTrainPerCell = 32)
+    }),
+
     // Scalar quantization (SQ8): one signed byte per dimension, exact
     // integer dot products, fixed-op-order rescale — the 8×-smaller
     // brute-force plane; every quantization step replays in the oracle.

@@ -594,9 +594,13 @@ object SketchOracleSql {
        |), ${p}af AS (${kmAssign(s"${p}prep", s"${p}cent2")}
        |)""".stripMargin
 
-  def annIvfOracle: String = {
+  /** The shared IVF replay CTE chain (prep → trained centroids → probes
+    * → scored → ranked), reused by the q_ann_ivf gate oracle and the
+    * recall audit.
+    */
+  private def annIvfCtes: String = {
     def d2(a: String, b: String) = kmD2(a, b)
-    s"""WITH iv_prep AS MATERIALIZED (
+    s"""iv_prep AS MATERIALIZED (
        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e,
        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
        |  FROM embeddings
@@ -619,10 +623,36 @@ object SketchOracleSql {
        |  SELECT qid, nid, sim,
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk
        |  FROM iv_scored
-       |)
+       |)""".stripMargin
+  }
+
+  def annIvfOracle: String =
+    s"""WITH $annIvfCtes
        |SELECT qid, nid, round(sim, 6) AS sim, rnk
        |FROM iv_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
-  }
+
+  /** q_ann_ivf_audit: one row — the IVF tier's measured recall vs exact
+    * brute force over the SAME corpus/queries/parameters as q_ann_ivf
+    * (k=3, 8 cells, 3 probes). Both detectors replayed end to end; the
+    * hit count is the per-query top-k intersection.
+    */
+  def annIvfAuditOracle: String =
+    s"""WITH $annIvfCtes, ivf AS (
+       |  SELECT qid, nid FROM iv_ranked WHERE rnk <= 3
+       |), br AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.id AS qid, a.id AS nid,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * a.e[i]))
+       |          / (q.nrm * a.nrm) DESC, a.id) AS rn
+       |    FROM (SELECT * FROM iv_prep WHERE id < 5) q
+       |    JOIN iv_prep a ON a.id <> q.id
+       |  ) WHERE rn <= 3
+       |), hits AS (SELECT count(*)::BIGINT AS h FROM ivf JOIN br USING (qid, nid)),
+       |nq AS (SELECT count(DISTINCT qid)::BIGINT AS n FROM br)
+       |SELECT nq.n AS n_queries, CAST(3 AS INT) AS k, hits.h AS n_hits,
+       |  CAST(hits.h * 1000 // (3 * nq.n) AS BIGINT) AS recall_milli
+       |FROM hits, nq""".stripMargin
 
   /** q_corpus_stats: per-column (column, n_rows, n_nulls, approx_ndv,
     * min_str, max_str) over orders (o_totalprice projected to
@@ -917,6 +947,7 @@ object SketchOracleSql {
     "q_dedup_drop_best" -> dropBestOracle,
     "q_corpus_stats" -> corpusStatsOracle,
     "q_ann_ivf" -> annIvfOracle,
+    "q_ann_ivf_audit" -> annIvfAuditOracle,
     "q_dedup_ngram_lsh" -> ngramViaLshOracle,
     "q_doc_winnow" -> winnowOracle,
     "q_doc_langid" -> langidOracle,

@@ -267,6 +267,64 @@ object SourceQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // SQL MERGE INTO through the kv catalog (SupportsRowLevelOperations,
+    // group-based copy-on-write): matched-update, matched-delete and
+    // not-matched-insert clauses in one statement against a staged
+    // customer table; the oracle replays the merge as plain SQL algebra.
+    // Assignment arithmetic is an exact double ADDITION (bit-identical
+    // across engines — no round() on halves).
+    "q_kv_merge_into" -> ((s, dir) => {
+      graft.Tables.tuneForGates(s)
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val staged = s"/tmp/graft_mergeinto$safe"
+      ParquetIO.deletePath(staged)
+      graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .write.format("kv").option("path", staged).mode("overwrite").save()
+      graft.Tables.load(s, dir, "customer")
+        .where(col("c_custkey") % 3 === 0)
+        .select(col("c_custkey").cast("long").as("k"),
+          (col("c_acctbal") + 1000.0).as("new_bal"),
+          when(col("c_custkey") % 10 === 0, "del").otherwise("upd").as("op"))
+        .unionByName(graft.Tables.load(s, dir, "customer")
+          .where(col("c_custkey") % 50 === 0)
+          .select((col("c_custkey").cast("long") + 1000000L).as("k"),
+            lit(0.0).as("new_bal"), lit("ins").as("op")))
+        .createOrReplaceTempView("mi_changes")
+      s.sql(
+        s"""MERGE INTO kvcat.`$staged` t USING mi_changes c ON t.c_custkey = c.k
+           |WHEN MATCHED AND c.op = 'del' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET c_acctbal = c.new_bal
+           |WHEN NOT MATCHED THEN INSERT (c_custkey, c_acctbal, c_mktsegment)
+           |  VALUES (c.k, c.new_bal, 'NEW')
+           |""".stripMargin)
+      s.read.format("kv").option("path", staged).load()
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Bloom-sidecar point lookup: orders scattered UNSORTED over 8 files
+    // (min/max zones span the whole key domain — useless), per-file
+    // Bloom filters on the key built once, then an IN lookup incl. an
+    // absent key. Values must equal the raw-table oracle; KvBloomSpec
+    // asserts the files actually pruned.
+    "q_kv_bloom_prune" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val staged = s"/tmp/graft_bloom$safe"
+      if (ParquetIO.listFiles(staged).isEmpty) {
+        graft.Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+          .repartition(8)
+          .write.format("kv").option("path", staged).mode("overwrite").save()
+        graft.sources.kv.KvBloom.build(s, staged, Seq("o_orderkey"))
+      }
+      s.read.format("kv").option("path", staged).load()
+        .filter(col("o_orderkey").isin(1L, 2L, 3L, 999999999L))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     // Schema evolution: ALTER TABLE ADD COLUMN is a metadata-only
     // sidecar update (no table rewrite — the only plan at 100 TB).
     // Stage nation as a kv table, add a BIGINT column through the SQL
@@ -813,6 +871,28 @@ object SourceQueries {
         |FROM orders
         |WHERE o_orderpriority <> '1-URGENT'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_kv_bloom_prune" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM orders WHERE o_orderkey IN (1, 2, 3, 999999999)
+        |ORDER BY o_orderkey""".stripMargin,
+
+    // the merge replayed as set algebra: %3∧%10 keys deleted, other %3
+    // keys re-balanced (+1000, exact double add), %50 keys re-inserted
+    // under +1000000 as 'NEW'
+    "q_kv_merge_into" ->
+      """SELECT c_custkey, c_acctbal, c_mktsegment FROM (
+        |  SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+        |    CASE WHEN c_custkey % 3 = 0 AND c_custkey % 10 <> 0
+        |      THEN c_acctbal + 1000.0 ELSE c_acctbal END AS c_acctbal,
+        |    c_mktsegment
+        |  FROM customer
+        |  WHERE NOT (c_custkey % 3 = 0 AND c_custkey % 10 = 0)
+        |  UNION ALL
+        |  SELECT CAST(c_custkey + 1000000 AS BIGINT), 0.0, 'NEW'
+        |  FROM customer WHERE c_custkey % 50 = 0
+        |)
+        |ORDER BY c_custkey""".stripMargin,
 
     // schema evolution: original rows NULL in the added column, appended
     // rows (+1000 keys) carry the value

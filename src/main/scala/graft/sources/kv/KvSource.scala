@@ -179,8 +179,19 @@ object KvTable {
 }
 
 class KvTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
-    extends Table with SupportsRead with SupportsWrite with SupportsDelete {
+    extends Table with SupportsRead with SupportsWrite with SupportsDelete
+    with SupportsRowLevelOperations {
   private val tablePath = options.get("path")
+
+  // SQL UPDATE / MERGE INTO (and DELETEs whose predicate can't compile
+  // to the metadata path): group-based copy-on-write rewrite — see
+  // KvRowLevelOperation for the whole-table-group contract.
+  override def newRowLevelOperationBuilder(
+      info: RowLevelOperationInfo): RowLevelOperationBuilder =
+    () => new KvRowLevelOperation(tablePath, tableSchema, info.command(),
+      options.getInt("max.split.count", 1000),
+      options.getLong("split.size.mb", 128L),
+      options.getBoolean("vectorized.read", true))
 
   // SQL `DELETE FROM kvcat.`<path>` WHERE ...` — Catalyst routes the
   // (fully translatable) predicate here; the rewrite is KvMerge's
@@ -526,16 +537,24 @@ class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
     val allFilters = accepted ++ runtimeFilters
     val zoneMap = if (allFilters.isEmpty) Map.empty[String, Map[Long, Map[String, KvIndex.Zone]]]
       else KvIndex.zoneMap(path)
+    // Bloom sidecar (KvBloom): whole-file pruning for point lookups on
+    // UNCLUSTERED columns, where min/max zones span everything. Same
+    // safety contract: files without an entry are never pruned.
+    val bloomMap = if (allFilters.isEmpty) Map.empty[String, Map[String, KvBloom.ColBloom]]
+      else KvBloom.bloomMap(path)
     def groupMayMatch(file: String, g: ParquetIO.RowGroupInfo): Boolean =
       zoneMap.get(file).flatMap(_.get(g.startByte)) match {
         case Some(zones) => allFilters.forall(f => KvIndex.mayMatch(f, zones))
         case None => true
       }
     def fileMayMatch(f: Path, len: Long, mtime: Long): Boolean =
-      runtimeFilters.isEmpty || {
+      (runtimeFilters.isEmpty || {
         val zones = KvIndex.zonesFromStats(ParquetIO.columnStatsCached(f, len, mtime))
         runtimeFilters.forall(rf => KvIndex.mayMatch(rf, zones))
-      }
+      }) && (bloomMap.get(f.toString) match {
+        case Some(blooms) => allFilters.forall(fl => KvBloom.mayMatch(fl, blooms))
+        case None => true
+      })
     visibleFiles()
       .filter { case (f, len, mtime) => fileMayMatch(f, len, mtime) }
       .flatMap { case (f, len, mtime) =>
