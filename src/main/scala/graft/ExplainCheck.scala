@@ -28,7 +28,11 @@ object ExplainCheck {
       println("  pushed: " + plan.linesIterator.filter(_.contains("PushedFilters")).map(_.trim.take(150)).mkString(" | "))
       println("  broadcast joins: " + plan.linesIterator.count(_.contains("BroadcastHashJoin")))
       println("  sortmerge joins: " + plan.linesIterator.count(_.contains("SortMergeJoin")))
-      println("  wholestage spans: " + plan.linesIterator.count(_.contains("WholeStageCodegen")))
+      // codegen'd operators print as "*(id) Op" in the tree string; count
+      // distinct codegen stage ids (PlanInvariantSpec asserts the
+      // WholeStageCodegenExec nodes themselves on the executed plan)
+      val codegenStages = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan).map(_.group(1)).toSet
+      println("  wholestage spans: " + codegenStages.size)
     }
     // round-2 plan invariants: no Window over corpus-sized inputs in the
     // dedup/ANN paths (bounded-heap top-k, groupBy+join bucket caps)

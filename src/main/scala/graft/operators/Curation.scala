@@ -1041,4 +1041,51 @@ object Curation {
       .select(col(s"r.$idCol"), col("r.score"),
         (-col("r.neg_key")).as("samp_key"))
   }
+
+  /** DoReMi-style mixture reweighting (Xie et al. 2023, "DoReMi:
+    * Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    * domains whose loss EXCEEDS a reference get their mixture weight
+    * amplified by multiplicative-weights rounds — the "train more where
+    * the reference model struggles" prior, here with FIXED per-domain
+    * scores (the standard fixed-reference simplification: the real
+    * recipe retrains a proxy between rounds; with fixed scores the
+    * rounds amplify one measured signal).
+    *
+    * INTEGER-EXACT: excess in milli-units (clamped to `[0, capMilli]`,
+    * computed only when loss > ref so integer division never sees a
+    * negative — floor-vs-truncate semantics diverge there across
+    * engines), weights in micro-units through `rounds` rounds of
+    * `w ← w·(10⁶ + η·excess) div 10⁶`, and the final share is
+    * `w·10⁶ div Σw`. Every value replays bit-exactly in plain SQL.
+    *
+    * Scale shape: per-domain rows only — the update chain is row-local
+    * (excess is fixed per domain), the one aggregation is the Σw
+    * normalization over ≤|domains| rows, broadcast back. Returns
+    * (domain, loss_micro, excess_milli, weight_micro, share_micro).
+    */
+  def mixtureReweight(
+      domainScores: DataFrame, domainCol: String,
+      lossMicroCol: String, refMicroCol: String,
+      rounds: Int = 5, etaMilli: Int = 100, capMilli: Int = 1000): DataFrame = {
+    require(rounds >= 1 && rounds <= 16, s"rounds must be in [1, 16], got $rounds")
+    require(etaMilli >= 1 && etaMilli <= 1000, s"etaMilli must be in [1, 1000], got $etaMilli")
+    require(capMilli >= 1, s"capMilli must be >= 1, got $capMilli")
+    val scored = domainScores.select(
+      col(domainCol).as("domain"),
+      col(lossMicroCol).cast("long").as("loss_micro"),
+      col(refMicroCol).cast("long").as("ref_micro"))
+      .withColumn("excess_milli",
+        when(col("loss_micro") <= col("ref_micro"), lit(0L))
+          .otherwise(least(lit(capMilli.toLong),
+            expr("(loss_micro - ref_micro) * 1000 DIV ref_micro"))))
+    val wExpr = (1 to rounds).foldLeft("CAST(1000000 AS BIGINT)") { (prev, _) =>
+      s"(($prev) * (1000000 + $etaMilli * excess_milli)) DIV 1000000"
+    }
+    val weighted = scored.withColumn("weight_micro", expr(wExpr))
+    val total = weighted.agg(sum(col("weight_micro")).as("__total"))
+    weighted.crossJoin(broadcast(total))
+      .select(col("domain"), col("loss_micro"), col("excess_milli"),
+        col("weight_micro"),
+        expr("weight_micro * 1000000 DIV __total").as("share_micro"))
+  }
 }

@@ -664,11 +664,12 @@ object Dedup {
     * still appear as outer docs). That is a measured recall trade —
     * [[containmentAudit]] reports exactly what the cap costs.
     */
-  def containment(df: DataFrame, textCol: String, idCol: String, k: Int = 4,
-      maxShingleDf: Int = Int.MaxValue): DataFrame = {
-    require(k >= 1, s"k must be >= 1, got $k")
-    require(maxShingleDf >= 1, s"maxShingleDf must be >= 1, got $maxShingleDf")
-    val (docs, sh, rarest) = containmentParts(df, textCol, idCol, k)
+  /** Candidate-join + exact verify over prepared parts — shared by
+    * [[containment]] (one pass) and [[containmentAudit]] (which runs it
+    * twice over ONE persisted parts set).
+    */
+  private def containmentPairs(docs: DataFrame, sh: DataFrame,
+      rarest: DataFrame, maxShingleDf: Int): DataFrame = {
     val candidates = rarest.where(col("rdf") <= maxShingleDf)
       .join(sh.select(col("id").as("id_outer"), col("shingle")), "shingle")
       .where(col("id_inner") =!= col("id_outer"))
@@ -683,6 +684,14 @@ object Dedup {
       .select(col("id_inner"), col("id_outer"))
   }
 
+  def containment(df: DataFrame, textCol: String, idCol: String, k: Int = 4,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(maxShingleDf >= 1, s"maxShingleDf must be >= 1, got $maxShingleDf")
+    val (docs, sh, rarest) = containmentParts(df, textCol, idCol, k)
+    containmentPairs(docs, sh, rarest, maxShingleDf)
+  }
+
   /** Measured precision/recall audit of the capped containment pass (the
     * `q_dedup_lsh_audit` discipline): runs the exact (uncapped) and the
     * `maxShingleDf`-capped detectors end to end and reports one row —
@@ -695,14 +704,21 @@ object Dedup {
   def containmentAudit(df: DataFrame, textCol: String, idCol: String,
       k: Int = 4, maxShingleDf: Int = 100): DataFrame = {
     val spark = df.sparkSession
-    val nExact = containment(df, textCol, idCol, k).count()
-    val nCapped = containment(df, textCol, idCol, k, maxShingleDf).count()
-    val (_, _, rarest) = containmentParts(df, textCol, idCol, k)
-    val nSkipped = rarest.where(col("rdf") > maxShingleDf).count()
-    val recallMilli = if (nExact == 0) 1000L else nCapped * 1000L / nExact
-    spark.range(1).select(
-      lit(nExact).as("n_pairs_exact"), lit(nCapped).as("n_pairs_capped"),
-      lit(nSkipped).as("n_docs_skipped"), lit(recallMilli).as("recall_milli"))
+    // ONE tokenize/shingle/df chain persisted for both detectors and the
+    // skip count (3× recompute otherwise — measured 4.0 → ~2 s at sf0.1)
+    val (docs0, sh0, rarest0) = containmentParts(df, textCol, idCol, k)
+    val docs = docs0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sh = sh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rarest = rarest0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nExact = containmentPairs(docs, sh, rarest, Int.MaxValue).count()
+      val nCapped = containmentPairs(docs, sh, rarest, maxShingleDf).count()
+      val nSkipped = rarest.where(col("rdf") > maxShingleDf).count()
+      val recallMilli = if (nExact == 0) 1000L else nCapped * 1000L / nExact
+      spark.range(1).select(
+        lit(nExact).as("n_pairs_exact"), lit(nCapped).as("n_pairs_capped"),
+        lit(nSkipped).as("n_docs_skipped"), lit(recallMilli).as("recall_milli"))
+    } finally { docs.unpersist(); sh.unpersist(); rarest.unpersist(); () }
   }
 
   /** Line-level (CCNet-style) dedup: drop every line whose normalized

@@ -182,6 +182,21 @@ object CurationQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // DoReMi-style mixture reweighting: per-language mean doc length as
+    // the loss proxy, global mean as the reference, 5 integer
+    // multiplicative-weights rounds — domains whose loss exceeds the
+    // reference gain share. The oracle unrolls every round.
+    "q_mixture_reweight" -> ((s, dir) => {
+      val d = Tables.load(s, dir, "documents")
+        .select(col("lang"), TextFunctions.tokenCount(col("text")).as("nt"))
+      val per = d.groupBy(col("lang"))
+        .agg(expr("sum(nt) * 1000000 DIV count(*)").as("loss_micro"))
+      val ref = d.agg(expr("sum(nt) * 1000000 DIV count(*)").as("ref_micro"))
+      Curation.mixtureReweight(per.crossJoin(broadcast(ref)), "lang",
+        "loss_micro", "ref_micro", rounds = 5, etaMilli = 200)
+        .orderBy(col("domain"))
+    }),
+
     // Temperature rebalancing feeding per-language token budgets in one
     // Catalyst plan — the "flatten the language head, then cap each
     // language's tokens" mixture recipe. Oracle chains the quantized-pow
@@ -428,6 +443,32 @@ object CurationQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    // the 5 multiplicative-weights rounds unrolled; excess only computed
+    // when loss > ref so integer division never sees a negative
+    "q_mixture_reweight" -> {
+      val wt = (1 to 5).foldLeft("CAST(1000000 AS BIGINT)") { (prev, _) =>
+        s"(($prev) * (1000000 + 200 * ex)) // 1000000"
+      }
+      s"""WITH d AS (
+         |  SELECT lang, CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS nt
+         |  FROM documents
+         |), per AS (
+         |  SELECT lang, CAST(sum(nt) AS BIGINT) * 1000000 // count(*) AS loss
+         |  FROM d GROUP BY 1
+         |), ref AS (
+         |  SELECT CAST(sum(nt) AS BIGINT) * 1000000 // count(*) AS r FROM d
+         |), e AS (
+         |  SELECT lang, loss, CASE WHEN loss <= r THEN 0
+         |    ELSE least(1000, (loss - r) * 1000 // r) END AS ex
+         |  FROM per, ref
+         |), w AS (
+         |  SELECT lang, loss, ex, $wt AS wt FROM e
+         |), t AS (SELECT sum(wt) AS total FROM w)
+         |SELECT lang AS domain, CAST(loss AS BIGINT) AS loss_micro,
+         |  CAST(ex AS BIGINT) AS excess_milli, CAST(wt AS BIGINT) AS weight_micro,
+         |  CAST(wt * 1000000 // total AS BIGINT) AS share_micro
+         |FROM w, t ORDER BY domain""".stripMargin
+    },
     "q_dsir_resample" -> SketchOracleSql.dsirResampleOracle(
       k = 50, buckets = 1024, seed = 0x7a5a0d51e5a3b1c9L,
       targetPred = "source IN ('src1', 'src2', 'src3')"),

@@ -829,4 +829,37 @@ class CurationSpec extends SparkSpec {
     assert(common >= t1.length - 2,
       s"suffix stability broke: $common shared of ${t1.length}\n$t1\n$t2")
   }
+
+  test("mixtureReweight matches a plain-Scala multiplicative-weights replay") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // (domain, loss, ref): 'hard' 50% over ref, 'mild' 10% over,
+    // 'easy' under (excess 0), 'extreme' 300% over (clamped to cap)
+    val scores = Seq(
+      ("hard", 1500000L, 1000000L), ("mild", 1100000L, 1000000L),
+      ("easy", 800000L, 1000000L), ("extreme", 4000000L, 1000000L))
+      .toDF("domain", "loss", "ref")
+    val got = Curation.mixtureReweight(scores, "domain", "loss", "ref",
+      rounds = 3, etaMilli = 100, capMilli = 1000)
+      .orderBy("domain").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getLong(4)))
+
+    // independent replay
+    def replay(excess: Long): Long =
+      (1 to 3).foldLeft(1000000L)((w, _) => w * (1000000L + 100L * excess) / 1000000L)
+    val ex = Map("hard" -> 500L, "mild" -> 100L, "easy" -> 0L, "extreme" -> 1000L)
+    val ws = ex.view.mapValues(replay).toMap
+    val total = ws.values.sum
+    got.foreach { case (d, e, w, s) =>
+      assert(e == ex(d), s"excess for $d")
+      assert(w == ws(d), s"weight for $d")
+      assert(s == w * 1000000L / total, s"share for $d")
+    }
+    // shares sum to ~1e6 (floor rounding loses at most |domains|-1)
+    val shareSum = got.map(_._4).sum
+    assert(shareSum <= 1000000L && shareSum > 1000000L - 4)
+    // the over-loss domains gained share relative to uniform; easy lost
+    assert(got.find(_._1 == "extreme").get._4 > 250000L)
+    assert(got.find(_._1 == "easy").get._4 < 250000L)
+  }
 }

@@ -59,6 +59,18 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(got.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("annRecallAudit: full probes give perfect recall; fewer probes can only lose it") {
+    val q = corpus.filter(col("vec_id") < 4L)
+    val full = SimilaritySearch.annRecallAudit(corpus, q, "embedding", "vec_id",
+      k = 3, nCells = 4, nProbe = 4, maxTrainPerCell = 32).collect()(0)
+    assert(full.getLong(0) == 4L && full.getInt(1) == 3)
+    assert(full.getLong(3) == 1000L,
+      s"probing every cell must recover brute force exactly: $full")
+    val partial = SimilaritySearch.annRecallAudit(corpus, q, "embedding", "vec_id",
+      k = 3, nCells = 4, nProbe = 1, maxTrainPerCell = 32).collect()(0)
+    assert(partial.getLong(3) <= 1000L && partial.getLong(2) <= full.getLong(2))
+  }
+
   test("mmrRerank enforces its driver-traffic bound (k·|Q| ≤ maxDriverRows)") {
     val q = corpus.filter(col("vec_id") < 4L) // |Q| = 4
     val e = intercept[IllegalArgumentException] {
