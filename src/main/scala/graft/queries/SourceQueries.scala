@@ -267,6 +267,27 @@ object SourceQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // SQL UPDATE through the kv catalog (the row-level-operation twin of
+    // q_kv_merge_into): expression assignments referencing other
+    // columns, three-valued WHERE semantics — the oracle applies the
+    // same update as plain SQL. Exact double addition (engine-stable).
+    "q_kv_update_sql" -> ((s, dir) => {
+      graft.Tables.tuneForGates(s)
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val staged = s"/tmp/graft_updsql$safe"
+      ParquetIO.deletePath(staged)
+      graft.Tables.load(s, dir, "customer")
+        .select(col("c_custkey").cast("long").as("c_custkey"),
+          col("c_acctbal"), col("c_mktsegment"))
+        .write.format("kv").option("path", staged).mode("overwrite").save()
+      s.sql(s"""UPDATE kvcat.`$staged`
+                |SET c_acctbal = c_acctbal + CAST(c_custkey AS DOUBLE),
+                |    c_mktsegment = concat(c_mktsegment, '+')
+                |WHERE c_custkey % 7 = 0 AND c_acctbal > 0.0""".stripMargin)
+      s.read.format("kv").option("path", staged).load()
+        .orderBy(col("c_custkey"))
+    }),
+
     // SQL MERGE INTO through the kv catalog (SupportsRowLevelOperations,
     // group-based copy-on-write): matched-update, matched-delete and
     // not-matched-insert clauses in one statement against a staged
@@ -876,6 +897,15 @@ object SourceQueries {
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders WHERE o_orderkey IN (1, 2, 3, 999999999)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_kv_update_sql" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,
+        |  CASE WHEN c_custkey % 7 = 0 AND c_acctbal > 0.0
+        |    THEN c_acctbal + CAST(c_custkey AS DOUBLE) ELSE c_acctbal END AS c_acctbal,
+        |  CASE WHEN c_custkey % 7 = 0 AND c_acctbal > 0.0
+        |    THEN c_mktsegment || '+' ELSE c_mktsegment END AS c_mktsegment
+        |FROM customer
+        |ORDER BY c_custkey""".stripMargin,
 
     // the merge replayed as set algebra: %3∧%10 keys deleted, other %3
     // keys re-balanced (+1000, exact double add), %50 keys re-inserted
