@@ -267,6 +267,27 @@ object SourceQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // `_file` metadata column (the lakehouse input_file_name): stage 8
+    // files, read back with per-row file provenance — the audit proves
+    // the reader attributes every row to a distinct real file. Exact
+    // per-file row placement is layout-dependent, so the oracle pins the
+    // layout-free truths: 8 distinct files, every row attributed.
+    "q_kv_file_audit" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val staged = s"/tmp/graft_filecol$safe"
+      if (ParquetIO.listFiles(staged).isEmpty) {
+        graft.Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice"))
+          .repartition(8)
+          .write.format("kv").option("path", staged).mode("overwrite").save()
+      }
+      s.read.format("kv").option("path", staged).load()
+        .select(col("_file"), col("o_orderkey"))
+        .agg(countDistinct(col("_file")).as("n_files"),
+          count(lit(1)).as("n_rows"),
+          count(col("_file")).as("n_attributed"))
+    }),
+
     // SQL UPDATE through the kv catalog (the row-level-operation twin of
     // q_kv_merge_into): expression assignments referencing other
     // columns, three-valued WHERE semantics — the oracle applies the
@@ -897,6 +918,11 @@ object SourceQueries {
       """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
         |FROM orders WHERE o_orderkey IN (1, 2, 3, 999999999)
         |ORDER BY o_orderkey""".stripMargin,
+
+    "q_kv_file_audit" ->
+      """SELECT CAST(8 AS BIGINT) AS n_files, count(*)::BIGINT AS n_rows,
+        |  count(*)::BIGINT AS n_attributed
+        |FROM orders""".stripMargin,
 
     "q_kv_update_sql" ->
       """SELECT CAST(c_custkey AS BIGINT) AS c_custkey,

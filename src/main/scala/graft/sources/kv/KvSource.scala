@@ -180,8 +180,23 @@ object KvTable {
 
 class KvTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
     extends Table with SupportsRead with SupportsWrite with SupportsDelete
-    with SupportsRowLevelOperations {
+    with SupportsRowLevelOperations with SupportsMetadataColumns {
   private val tablePath = options.get("path")
+
+  /** `_file` metadata column (the lakehouse `input_file_name` for kv
+    * tables): the data file path of each row, resolved per CHUNK in the
+    * reader — the provenance/debugging/compaction-audit handle, and the
+    * group identity a file-granular rewrite will key on. Only
+    * materialized when referenced (the scan builder sees it in the
+    * pruned schema); requesting it routes the scan to the row plane.
+    */
+  override def metadataColumns(): Array[MetadataColumn] = Array(
+    new MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): org.apache.spark.sql.types.DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file path of the row"
+    })
 
   // SQL UPDATE / MERGE INTO (and DELETEs whose predicate can't compile
   // to the metadata path): group-based copy-on-write rewrite — see
@@ -327,6 +342,7 @@ class KvScanBuilder(path: String, schema: StructType, maxSplitCount: Int, splitS
   private var satisfied: Array[Filter] = Array.empty
   private var sawFilters = false
   private var aggCompiled: Option[KvAggregates.Compiled] = None
+  private var withFilePath = false
 
   // Complete-only aggregate pushdown from cached footers (KvAggregates):
   // refused under ANY filter or grouping — correctness over coverage.
@@ -371,8 +387,10 @@ class KvScanBuilder(path: String, schema: StructType, maxSplitCount: Int, splitS
   override def pushedFilters(): Array[Filter] = accepted
 
   override def pruneColumns(requiredSchema: StructType): Unit = {
-    // keep table column order for the requested subset
+    // keep table column order for the requested subset; the `_file`
+    // metadata column is a reader-side constant, not a stored field
     val names = requiredSchema.fieldNames.toSet
+    withFilePath = names.contains("_file") && !schema.fieldNames.contains("_file")
     required = StructType(schema.fields.filter(f => names.contains(f.name)))
   }
 
@@ -383,7 +401,7 @@ class KvScanBuilder(path: String, schema: StructType, maxSplitCount: Int, splitS
       // plans no re-filter) — only the row path record-filters, so the
       // columnar plane is off whenever any filter was satisfied.
       new KvScan(path, required, schema, predicate, accepted, maxSplitCount, splitSizeMb,
-        vectorized && satisfied.isEmpty, snapshotEpoch)
+        vectorized && satisfied.isEmpty, snapshotEpoch, withFilePath)
   }
 }
 
@@ -412,10 +430,11 @@ class KvBucketedInputPartition(chunks: Seq[KvChunk], val bucket: Int)
       Array[Any](bucket))
 }
 
-class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
+class KvScan(path: String, requiredSchema: StructType, tableSchema: StructType,
     predicate: Option[FilterPredicate],
     accepted: Array[Filter], maxSplitCount: Int, splitSizeMb: Long,
-    vectorized: Boolean = true, snapshotEpoch: Option[Long] = None)
+    vectorized: Boolean = true, snapshotEpoch: Option[Long] = None,
+    withFilePath: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -435,7 +454,7 @@ class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
     */
   private lazy val bucketMeta: Option[KvBuckets.BucketMeta] =
     KvBuckets.bucketsFor(path)
-      .filter(_.cols.forall(readSchema.fieldNames.contains))
+      .filter(_.cols.forall(requiredSchema.fieldNames.contains))
 
   /** `KeyGroupedPartitioning(bucket(n, cols), n)` for a bucketized table
     * — Spark's storage-partitioned join plans the table WITHOUT an
@@ -464,7 +483,7 @@ class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
   override def outputOrdering()
       : Array[org.apache.spark.sql.connector.expressions.SortOrder] = {
     val cols = KvClustering.orderingFor(path)
-    if (cols.isEmpty || !cols.forall(readSchema.fieldNames.contains)) return Array.empty
+    if (cols.isEmpty || !cols.forall(requiredSchema.fieldNames.contains)) return Array.empty
     val singleFileOrdered = planInputPartitions().forall { p =>
       val chunks = p.asInstanceOf[KvInputPartition].chunks
       chunks.map(_.file).distinct.length == 1 &&
@@ -479,11 +498,17 @@ class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
       org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)).toArray
   }
 
-  override def readSchema(): StructType = readSchema
+  // the `_file` metadata column rides AFTER the data columns — a
+  // reader-side per-chunk constant, never a stored field
+  override def readSchema(): StructType =
+    if (withFilePath)
+      StructType(requiredSchema.fields :+
+        StructField("_file", StringType, nullable = false))
+    else requiredSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"kv path=$path, PushedFilters: [${accepted.mkString(", ")}], " +
-      s"ReadSchema: ${readSchema.simpleString}"
+      s"ReadSchema: ${readSchema().simpleString}"
 
   /** Post-pruning size/row estimate from the cached footers. Without it a
     * DSv2 relation defaults to `defaultSizeInBytes` (effectively ∞), so a
@@ -499,7 +524,7 @@ class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
     prunedGroups().foreach { case (_, g) => bytes += g.totalByteSize; rows += g.rowCount }
     val frac =
       if (tableSchema.isEmpty) 1.0
-      else math.max(readSchema.size, 1).toDouble / tableSchema.size
+      else math.max(requiredSchema.size, 1).toDouble / tableSchema.size
     val estBytes = math.max((bytes * frac).toLong, 1L)
     new Statistics {
       override def sizeInBytes(): util.OptionalLong = util.OptionalLong.of(estBytes)
@@ -518,7 +543,7 @@ class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
   @volatile private var runtimePredicate: Option[FilterPredicate] = None
 
   override def filterAttributes(): Array[org.apache.spark.sql.connector.expressions.NamedReference] =
-    readSchema.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
+    requiredSchema.fieldNames.map(org.apache.spark.sql.connector.expressions.Expressions.column)
 
   override def filter(filters: Array[Filter]): Unit = {
     runtimeFilters = filters
@@ -637,10 +662,10 @@ class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
     // columns, emit only the required ones.
     val filterCols = accepted.flatMap(_.references).toSet
     val missing = tableSchema.fields
-      .filter(f => filterCols.contains(f.name) && !readSchema.fieldNames.contains(f.name))
-    val wide = StructType(readSchema.fields ++ missing)
+      .filter(f => filterCols.contains(f.name) && !requiredSchema.fieldNames.contains(f.name))
+    val wide = StructType(requiredSchema.fields ++ missing)
     val keep = if (missing.isEmpty) None
-      else Some(readSchema.fieldNames.map(wide.fieldNames.indexOf(_)))
+      else Some(requiredSchema.fieldNames.map(wide.fieldNames.indexOf(_)))
     // runtime filters join the parquet-level skip (group stats on both
     // paths, record level on the row path — they are advisory, so the
     // columnar plane's stats-only application is safe)
@@ -652,15 +677,15 @@ class KvScan(path: String, readSchema: StructType, tableSchema: StructType,
     // Columnar data plane when every requested column is stored natively
     // (KvVectorized Scaladoc); the widening/nanos coercion cases and
     // filter-column widening stay on the row reader.
-    val columnar = vectorized && missing.isEmpty &&
-      KvVectorized.scanEligible(path, readSchema)
-    new KvReaderFactory(wide, keep, fullPredicate, columnar)
+    val columnar = vectorized && missing.isEmpty && !withFilePath &&
+      KvVectorized.scanEligible(path, requiredSchema)
+    new KvReaderFactory(wide, keep, fullPredicate, columnar, withFilePath)
   }
 }
 
 class KvReaderFactory(schema: StructType, keepIdx: Option[Array[Int]],
     predicate: Option[FilterPredicate],
-    columnar: Boolean = false)
+    columnar: Boolean = false, appendFilePath: Boolean = false)
     extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
   override def createColumnarReader(partition: InputPartition)
@@ -675,10 +700,19 @@ class KvReaderFactory(schema: StructType, keepIdx: Option[Array[Int]],
       // chunks the cap packed into this partition
       private var it: Iterator[InternalRow] with AutoCloseable = _
       private var current: InternalRow = _
+      // `_file` rides as a per-chunk constant joined to each data row
+      // (the reader knows which chunk it is draining — multi-file
+      // partitions stay legal); one reused row pair per chunk
+      private var fileJoin: org.apache.spark.sql.catalyst.expressions.JoinedRow = _
       private def advance(): Boolean = {
         while ((it == null || !it.hasNext) && chunks.hasNext) {
           if (it != null) it.close()
           val c = chunks.next()
+          if (appendFilePath) {
+            fileJoin = new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+            fileJoin.withRight(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+              Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(c.file))))
+          }
           it = ParquetIO.readFile(new Path(c.file), schema,
             range = Some((c.startByte, c.endByte)), filter = predicate)
         }
@@ -698,6 +732,7 @@ class KvReaderFactory(schema: StructType, keepIdx: Option[Array[Int]],
               }
               out
           }
+          if (appendFilePath) current = fileJoin.withLeft(current)
           true
         } else false
       }
