@@ -57,12 +57,20 @@ object KvMerge {
     val committed: Set[String] =
       if (fs.exists(commits)) fs.listStatus(commits).map(_.getPath.getName).toSet
       else Set.empty
+    // rlo partial-rewrite leftovers: files REPLACED by a committed rlo
+    // transaction are already invisible — a crash between the marker
+    // flip and the physical delete leaves their bytes behind
+    val rloHidden = ParquetIO.rloHiddenNames(path)
     val cutoff = System.currentTimeMillis() - olderThanMs
     val stale = fs.listStatus(p).filter { st =>
       val n = st.getPath.getName
-      st.isFile && n.startsWith("epoch-") && n.endsWith(".parquet") &&
-        !committed.contains(n.stripPrefix("epoch-").takeWhile(_ != '-')) &&
-        st.getModificationTime < cutoff
+      st.isFile && n.endsWith(".parquet") && st.getModificationTime < cutoff && (
+        (n.startsWith("epoch-") &&
+          !committed.contains(n.stripPrefix("epoch-").takeWhile(_ != '-'))) ||
+        // uncommitted rlo parts: a rewrite that crashed before its marker
+        (n.startsWith("rlo-") &&
+          !committed.contains("rlo-" + n.stripPrefix("rlo-").takeWhile(_ != '-'))) ||
+        rloHidden.contains(n))
     }
     stale.foreach(st => fs.delete(st.getPath, false))
     // planning caches key on (path, len, mtime) — a deleted file simply

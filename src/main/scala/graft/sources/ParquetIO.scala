@@ -71,23 +71,84 @@ object ParquetIO {
       // commit marker exists — a concurrent reader must not see a file a
       // continuous/micro-batch writer still has open (zero-length or
       // footerless). Non-epoch files are always visible.
-      lazy val committedEpochs: Set[String] = {
+      lazy val markerNames: Set[String] = {
         val commits = new Path(p, "_commits")
         if (fs.exists(commits)) fs.listStatus(commits).map(_.getPath.getName).toSet
         else Set.empty
       }
+      // rlo (partial-rewrite) transactions: `rlo-<txid>-N.parquet` files
+      // become visible — and the file names the transaction REPLACED
+      // become hidden — atomically when `_commits/rlo-<txid>` appears
+      // (its body lists the replaced names). One marker rename flips
+      // both sides, so readers never see a torn mix of old and new.
+      lazy val rloHidden: Set[String] =
+        markerNames.filter(_.startsWith("rlo-"))
+          .flatMap(m => rloRemovedCached(fs, new Path(new Path(p, "_commits"), m)))
       entries.filter { s =>
         val n = s.getPath.getName
         n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
           s.getLen > 0 &&
           (!n.startsWith("epoch-") ||
-            committedEpochs.contains(n.stripPrefix("epoch-").takeWhile(_ != '-')))
+            markerNames.contains(n.stripPrefix("epoch-").takeWhile(_ != '-'))) &&
+          (!n.startsWith("rlo-") ||
+            markerNames.contains("rlo-" + n.stripPrefix("rlo-").takeWhile(_ != '-'))) &&
+          !rloHidden.contains(n)
       }
       .map(s => (s.getPath, s.getLen, s.getModificationTime))
       .sortBy(_._1.toString)
       .toSeq
     }
   }
+
+  // ---- rlo (partial-rewrite) transaction markers -----------------------
+
+  /** Atomically commit an rlo transaction: `_commits/rlo-<txid>` whose
+    * body is the JSON list of replaced file NAMES. The single rename
+    * makes the transaction's `rlo-<txid>-*` files visible and the
+    * replaced names invisible in the same instant.
+    */
+  def writeRloMarker(tablePath: String, txid: String, removed: Seq[String]): Unit = {
+    val commits = new Path(new Path(tablePath), "_commits")
+    val fs = commits.getFileSystem(hadoopConf)
+    fs.mkdirs(commits)
+    val marker = new Path(commits, s"rlo-$txid")
+    val tmp = new Path(commits, s".rlo-$txid.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(org.json4s.jackson.JsonMethods.compact(
+      org.json4s.jackson.JsonMethods.render(
+        org.json4s.JsonDSL.seq2jvalue(removed.map(org.json4s.JsonDSL.string2jvalue)))
+    ).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    require(fs.rename(tmp, marker), s"rlo marker commit failed for $marker")
+  }
+
+  /** Names hidden by committed rlo transactions (the vacuum surface). */
+  def rloHiddenNames(tablePath: String): Set[String] = {
+    val commits = new Path(new Path(tablePath), "_commits")
+    val fs = commits.getFileSystem(hadoopConf)
+    if (!fs.exists(commits)) return Set.empty
+    fs.listStatus(commits).map(_.getPath)
+      .filter(_.getName.startsWith("rlo-"))
+      .flatMap(m => rloRemovedCached(fs, m)).toSet
+  }
+
+  // markers are immutable once renamed into place — cache bodies by path
+  private val rloMarkerCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+
+  private def rloRemovedCached(fs: org.apache.hadoop.fs.FileSystem,
+      marker: Path): Set[String] =
+    rloMarkerCache.computeIfAbsent(marker.toString, _ =>
+      scala.util.Try {
+        val in = fs.open(marker)
+        val body = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        org.json4s.jackson.JsonMethods.parse(body) match {
+          case org.json4s.JArray(vs) =>
+            vs.collect { case org.json4s.JString(s) => s }.toSet
+          case _ => Set.empty[String]
+        }
+      }.getOrElse(Set.empty))
 
   // ---- driver-side planning caches -------------------------------------
   // A kv/log/cdc query plans by reading per-file footers (row groups,

@@ -199,14 +199,14 @@ class KvTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
     })
 
   // SQL UPDATE / MERGE INTO (and DELETEs whose predicate can't compile
-  // to the metadata path): group-based copy-on-write rewrite — see
-  // KvRowLevelOperation for the whole-table-group contract.
+  // to the metadata path): group-based copy-on-write rewrite at FILE
+  // granularity — see KvRowLevelOperation for the runtime group
+  // filtering handshake and the rlo transaction commit protocol.
   override def newRowLevelOperationBuilder(
       info: RowLevelOperationInfo): RowLevelOperationBuilder =
     () => new KvRowLevelOperation(tablePath, tableSchema, info.command(),
       options.getInt("max.split.count", 1000),
-      options.getLong("split.size.mb", 128L),
-      options.getBoolean("vectorized.read", true))
+      options.getLong("split.size.mb", 128L))
 
   // SQL `DELETE FROM kvcat.`<path>` WHERE ...` — Catalyst routes the
   // (fully translatable) predicate here; the rewrite is KvMerge's

@@ -56,6 +56,101 @@ class KvRowLevelSpec extends SparkSpec {
     assert(readAll(dir).select("k").as[Long].collect().toSeq == Seq(1L, 2L))
   }
 
+  /** 4 single-file appends with disjoint key ranges (file i owns
+    * [i·100, i·100+49]) — the layout where group filtering is provable.
+    */
+  private def stageFiles(): (String, Map[String, Set[Long]]) = {
+    graft.Tables.tuneForGates(spark)
+    val dir = java.nio.file.Files.createTempDirectory("kvrlog").toString + "/t"
+    (0 until 4).foreach { i =>
+      (0L until 50L).map(k => (i * 100L + k, 1.0, s"f$i")).toDF("k", "v", "tag")
+        .coalesce(1)
+        .write.format("kv").option("path", dir).mode("append").save()
+    }
+    val byFile = ParquetIO.listFiles(dir).map { f =>
+      f.toString -> spark.read.format("kv").option("path", f.toString).load()
+        .select("k").as[Long].collect().toSet
+    }.toMap
+    (dir, byFile)
+  }
+
+  test("selective UPDATE rewrites ONLY the files containing matches (runtime group filter)") {
+    val (dir, byFile) = stageFiles()
+    val before = ParquetIO.listFilesStatus(dir)
+      .map { case (f, len, mt) => (f.toString, len, mt) }
+    // k = 105 lives in exactly one file
+    val target = byFile.collect { case (f, ks) if ks.contains(105L) => f }.head
+    spark.sql(s"UPDATE kvcat.`$dir` SET v = 42.0 WHERE k = 105")
+
+    // correctness first: one row updated, everything else intact
+    val rows = readAll(dir).collect()
+    assert(rows.length == 200)
+    assert(rows.count(_.getDouble(1) == 42.0) == 1)
+    assert(rows.find(_.getLong(0) == 105L).get.getDouble(1) == 42.0)
+
+    // group filtering: the three untouched files survive BYTE-IDENTICAL
+    // (same path, length, mtime); the matched file is gone, replaced by
+    // committed rlo parts
+    val after = ParquetIO.listFilesStatus(dir)
+      .map { case (f, len, mt) => (f.toString, len, mt) }
+    val untouchedBefore = before.filterNot(_._1 == target)
+    assert(untouchedBefore.forall(after.contains),
+      s"untouched files were rewritten:\nbefore=$untouchedBefore\nafter=$after")
+    assert(!after.exists(_._1 == target), "the matched file must be replaced")
+    val rloFiles = after.map(_._1).filterNot(f => before.exists(_._1 == f))
+    assert(rloFiles.nonEmpty &&
+      rloFiles.forall(new org.apache.hadoop.fs.Path(_).getName.startsWith("rlo-")))
+  }
+
+  test("MERGE INTO with group filtering: untouched files intact, inserts land") {
+    val (dir, byFile) = stageFiles()
+    val before = ParquetIO.listFilesStatus(dir).map(_._1.toString).toSet
+    val touched = byFile.collect {
+      case (f, ks) if ks.contains(5L) || ks.contains(205L) => f }.toSet
+    Seq((5L, 50.0, "upd"), (205L, -1.0, "del"), (999L, 9.0, "ins"))
+      .toDF("k", "nv", "op").createOrReplaceTempView("gchanges")
+    spark.sql(
+      s"""MERGE INTO kvcat.`$dir` t USING gchanges c ON t.k = c.k
+         |WHEN MATCHED AND c.op = 'del' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = c.nv
+         |WHEN NOT MATCHED THEN INSERT (k, v, tag) VALUES (c.k, c.nv, c.op)
+         |""".stripMargin)
+    val rows = readAll(dir).collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(rows.size == 200) // 200 - 1 deleted + 1 inserted
+    assert(rows(5L) == 50.0 && rows(999L) == 9.0 && !rows.contains(205L))
+    // the two files without matches survived untouched
+    val after = ParquetIO.listFilesStatus(dir).map(_._1.toString).toSet
+    (before -- touched).foreach(f => assert(after.contains(f), s"$f rewritten"))
+    touched.foreach(f => assert(!after.contains(f), s"$f should be replaced"))
+  }
+
+  test("rlo transaction protocol: torn parts invisible, marker flips atomically, vacuum sweeps") {
+    val (dir, byFile) = stageFiles()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(ParquetIO.hadoopConf)
+    // a torn rewrite: staged rlo part with NO marker — invisible
+    val strayTx = "deadbeef"
+    val donor = ParquetIO.listFiles(dir).head
+    org.apache.hadoop.fs.FileUtil.copy(fs, donor, fs,
+      new org.apache.hadoop.fs.Path(dir, s"rlo-$strayTx-0.parquet"),
+      false, ParquetIO.hadoopConf)
+    assert(spark.read.format("kv").option("path", dir).load().count() == 200,
+      "uncommitted rlo parts must be invisible")
+    // commit a marker replacing one file: the flip is visible immediately
+    val victim = new org.apache.hadoop.fs.Path(
+      byFile.collect { case (f, ks) if ks.contains(300L) => f }.head)
+    ParquetIO.writeRloMarker(dir, strayTx, Seq(victim.getName))
+    val visible = spark.read.format("kv").option("path", dir).load()
+      .select("k").as[Long].collect()
+    assert(!visible.contains(300L), "replaced file must be hidden")
+    // file 0's keys now appear TWICE: original + the committed rlo copy
+    assert(visible.count(_ < 100L) == 100,
+      "the committed rlo part (a copy of file 0) must be visible")
+    // vacuum sweeps the now-hidden victim bytes
+    assert(fs.exists(victim))
+    val swept = graft.operators.KvMerge.vacuum(dir, olderThanMs = 0L)
+    assert(swept >= 1 && !fs.exists(victim), s"vacuum swept $swept")
+  }
+
   test("replace-data commit is the crash-safe swap: no tmp/backup residue, sidecar refreshed") {
     val dir = stage()
     spark.sql(s"UPDATE kvcat.`$dir` SET v = 0.0 WHERE k = 1")
