@@ -526,6 +526,47 @@ object SourceQueries {
       Cdc.mergeOnReadView(s, base, logDir, Seq("pk")).orderBy(col("pk"))
     }),
 
+    // The same change algebra through the SQL MERGE surface — the CDC →
+    // lakehouse-table apply path a warehouse user actually types: base
+    // image as a kv table, later changelog records folded to one row per
+    // key (latest timestamp wins — MERGE cardinality discipline), then
+    // ONE MERGE INTO with delete/update/insert clauses driving the
+    // file-granular copy-on-write rewrite. Same oracle as
+    // q_cdc_merge_read: three physical apply strategies, one algebra.
+    "q_cdc_merge_sql" -> ((s, dir) => {
+      graft.Tables.tuneForGates(s)
+      val logDir = cdcLogDir(s, dir)
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val staged = s"/tmp/graft_cdcsql$safe"
+      ParquetIO.deletePath(staged)
+      val changes = s.read.format("cdc").option("path", logDir).load()
+      changes.filter(col("__record_type__") === "PUT" &&
+          col("__record_timestamp__") === 1L)
+        .select(col("pk"), col("custkey"), col("status"),
+          col("totalprice"), col("priority"))
+        .write.format("kv").option("path", staged).mode("overwrite").save()
+      val later = changes.filter(col("__record_timestamp__") > 1L)
+      val latestTs = later.groupBy(col("pk"))
+        .agg(max(col("__record_timestamp__")).as("__record_timestamp__"))
+      later.join(latestTs, Seq("pk", "__record_timestamp__"), "left_semi")
+        .select(col("__record_type__").as("rt"), col("pk"), col("custkey"),
+          col("status"), col("totalprice"),
+          when(col("__column_type_priority") === "DELETE_ONE_VERSION",
+            lit(null).cast("string")).otherwise(col("priority")).as("priority"))
+        .createOrReplaceTempView("cdc_sql_changes")
+      s.sql(
+        s"""MERGE INTO kvcat.`$staged` t USING cdc_sql_changes c ON t.pk = c.pk
+           |WHEN MATCHED AND c.rt = 'DELETE' THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET custkey = c.custkey,
+           |  status = c.status, totalprice = c.totalprice,
+           |  priority = c.priority
+           |WHEN NOT MATCHED AND c.rt <> 'DELETE' THEN
+           |  INSERT (pk, custkey, status, totalprice, priority)
+           |  VALUES (c.pk, c.custkey, c.status, c.totalprice, c.priority)
+           |""".stripMargin)
+      s.read.format("kv").option("path", staged).load().orderBy(col("pk"))
+    }),
+
     // T1/T2 + U1: deterministic changelog derived from orders → cdc batch
     // read → applyChanges (PUT/UPDATE upsert, column-op resolution, DELETE
     // retirement). The oracle reproduces the change algebra in SQL.
@@ -995,6 +1036,17 @@ object SourceQueries {
         |FROM events
         |WHERE event_type = 'error'
         |ORDER BY event_id""".stripMargin,
+
+    // identical final image through the SQL MERGE strategy
+    "q_cdc_merge_sql" ->
+      """SELECT o_orderkey AS pk, o_custkey AS custkey, o_orderstatus AS status,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100
+        |       ELSE o_totalprice END AS totalprice,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |       ELSE o_orderpriority END AS priority
+        |FROM orders
+        |WHERE o_orderkey % 13 <> 0
+        |ORDER BY pk""".stripMargin,
 
     "q_cdc_merge_read" ->
       """SELECT o_orderkey AS pk, o_custkey AS custkey, o_orderstatus AS status,
