@@ -199,12 +199,32 @@ class PlanInvariantSpec extends SparkSpec {
       // the RIGHT (edge) side of the join: no exchange between scan and join.
       // (One scan — the ranks seed — legitimately shuffles for distinct;
       // the join-feeding scan must not.)
-      val clean = paths.filter { path =>
-        val belowJoin = path.reverse.takeWhile(!_.isInstanceOf[BaseJoinExec])
-        !belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec])
-      }
-      assert(clean.nonEmpty,
+      def hasCleanScanPath(ps: Seq[List[org.apache.spark.sql.execution.SparkPlan]]) =
+        ps.exists { path =>
+          val belowJoin = path.reverse.takeWhile(!_.isInstanceOf[BaseJoinExec])
+          !belowJoin.exists(_.isInstanceOf[ShuffleExchangeExec])
+        }
+      assert(hasCleanScanPath(paths),
         s"every edge scan reshuffles before its join — SPJ layout lost:\n$plan")
+
+      // the connectedComponentsBucketed iteration body — edges⋈labels on
+      // the dst bucket key — must keep the same shape
+      val cPath = java.nio.file.Files.createTempDirectory("spjcc").toString + "/edges"
+      (0L until 500L).map(i => (i % 89, (i * 13 + 1) % 89)).toDF("src", "dst")
+        .write.format("kv").option("path", cPath).mode("overwrite").save()
+      graft.operators.KvMerge.bucketize(spark, cPath, 4, Seq("dst"))
+      val cEdges = spark.read.table(s"kvcat.`$cPath`")
+      val labels = cEdges.select(col("src").as("id")).distinct()
+        .withColumn("component", col("id"))
+      val step = cEdges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min(col("component")).as("n_comp"))
+      val cPlan = step.queryExecution.executedPlan
+      val cPaths = pathsToScans(cPlan, Nil)
+      assert(cPaths.nonEmpty, s"no kv edge scan in components plan:\n$cPlan")
+      assert(hasCleanScanPath(cPaths),
+        s"components edge scan reshuffles before its join:\n$cPlan")
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBroadcast)
       spark.conf.set("spark.sql.adaptive.enabled", "true")
