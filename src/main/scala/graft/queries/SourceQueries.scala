@@ -567,6 +567,57 @@ object SourceQueries {
       s.read.format("kv").option("path", staged).load().orderBy(col("pk"))
     }),
 
+    // The STREAMING maintenance loop: cdc micro-batches (one changelog
+    // epoch per trigger) folded per-key and applied through SQL MERGE
+    // INTO inside foreachBatch — the continuous CDC → lakehouse-table
+    // pipeline. Exactly-once table state follows from merge idempotence:
+    // a replayed batch is a keyed upsert/delete set, and re-merging it
+    // converges to the same image (upsert to the same values, delete of
+    // an absent key) — no sink-side batch log needed. Epoch 1 inserts
+    // into the EMPTY base (schema staged via a zero-row write), epochs
+    // 2-3 update/delete; same oracle algebra as the other apply paths.
+    "q_cdc_stream_merge" -> ((s, dir) => {
+      graft.Tables.tuneForGates(s)
+      val logDir = cdcLogDir(s, dir)
+      val u = java.util.UUID.randomUUID().toString.replace("-", "")
+      val staged = s"/tmp/graft_cdcstrm_$u"
+      val ckpt = s"/tmp/graft_cdcstrmck_$u"
+      s.read.format("cdc").option("path", logDir).load()
+        .select(col("pk"), col("custkey"), col("status"),
+          col("totalprice"), col("priority"))
+        .limit(0)
+        .write.format("kv").option("path", staged).mode("overwrite").save()
+      s.readStream.format("cdc").option("path", logDir)
+        .option("maxFilesPerTrigger", "1").load()
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val ss = batch.sparkSession
+          val latestTs = batch.groupBy(col("pk"))
+            .agg(max(col("__record_timestamp__")).as("__record_timestamp__"))
+          batch.join(latestTs, Seq("pk", "__record_timestamp__"), "left_semi")
+            .select(col("__record_type__").as("rt"), col("pk"), col("custkey"),
+              col("status"), col("totalprice"),
+              when(col("__column_type_priority") === "DELETE_ONE_VERSION",
+                lit(null).cast("string")).otherwise(col("priority")).as("priority"))
+            .createOrReplaceTempView("cdc_stream_batch")
+          ss.sql(
+            s"""MERGE INTO kvcat.`$staged` t USING cdc_stream_batch c ON t.pk = c.pk
+               |WHEN MATCHED AND c.rt = 'DELETE' THEN DELETE
+               |WHEN MATCHED THEN UPDATE SET custkey = c.custkey,
+               |  status = c.status, totalprice = c.totalprice,
+               |  priority = c.priority
+               |WHEN NOT MATCHED AND c.rt <> 'DELETE' THEN
+               |  INSERT (pk, custkey, status, totalprice, priority)
+               |  VALUES (c.pk, c.custkey, c.status, c.totalprice, c.priority)
+               |""".stripMargin)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+      s.read.format("kv").option("path", staged).load().orderBy(col("pk"))
+    }),
+
     // T1/T2 + U1: deterministic changelog derived from orders → cdc batch
     // read → applyChanges (PUT/UPDATE upsert, column-op resolution, DELETE
     // retirement). The oracle reproduces the change algebra in SQL.
@@ -1036,6 +1087,17 @@ object SourceQueries {
         |FROM events
         |WHERE event_type = 'error'
         |ORDER BY event_id""".stripMargin,
+
+    // identical final image through the streaming foreachBatch-MERGE loop
+    "q_cdc_stream_merge" ->
+      """SELECT o_orderkey AS pk, o_custkey AS custkey, o_orderstatus AS status,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 100
+        |       ELSE o_totalprice END AS totalprice,
+        |  CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |       ELSE o_orderpriority END AS priority
+        |FROM orders
+        |WHERE o_orderkey % 13 <> 0
+        |ORDER BY pk""".stripMargin,
 
     // identical final image through the SQL MERGE strategy
     "q_cdc_merge_sql" ->

@@ -151,6 +151,27 @@ class KvRowLevelSpec extends SparkSpec {
     assert(swept >= 1 && !fs.exists(victim), s"vacuum swept $swept")
   }
 
+  test("MERGE replay is idempotent — the streaming foreachBatch exactly-once argument") {
+    val dir = stage()
+    Seq((1L, 111.0, "upd"), (4L, -1.0, "del"), (7L, 70.0, "ins"))
+      .toDF("k", "nv", "op").createOrReplaceTempView("idem_changes")
+    def mergeOnce(): Unit = spark.sql(
+      s"""MERGE INTO kvcat.`$dir` t USING idem_changes c ON t.k = c.k
+         |WHEN MATCHED AND c.op = 'del' THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = c.nv
+         |WHEN NOT MATCHED AND c.op <> 'del' THEN
+         |  INSERT (k, v, tag) VALUES (c.k, c.nv, c.op)
+         |""".stripMargin)
+    mergeOnce()
+    val first = readAll(dir).collect().map(_.toString).toSeq
+    // a replayed micro-batch re-merges the SAME keyed change set: upsert
+    // to the same values, delete of an absent key, insert that now
+    // MATCHES and updates to the same value — the image must not move
+    mergeOnce()
+    val second = readAll(dir).collect().map(_.toString).toSeq
+    assert(second == first, "replaying an identical MERGE changed the table")
+  }
+
   test("replace-data commit is the crash-safe swap: no tmp/backup residue, sidecar refreshed") {
     val dir = stage()
     spark.sql(s"UPDATE kvcat.`$dir` SET v = 0.0 WHERE k = 1")
