@@ -150,6 +150,14 @@ object TextRetrieval {
       .write.format("kv").option("path", s"$dir/terms").mode("overwrite").save()
     postings.unpersist()
     KvMerge.bucketize(s, s"$dir/postings", numBuckets, Seq("term"))
+    // Per-file term Blooms: the search-side postings ⋈ query-terms join
+    // runtime-filters the scan by term (SupportsRuntimeFiltering), and
+    // with hash-bucketized files the min/max zones span the whole term
+    // domain — the Bloom sidecar is what turns that runtime filter into
+    // whole-FILE pruning, so a k-term query reads ≤k buckets' files.
+    // (Appends are uncovered-and-unpruned until the next maintenance
+    // bucketize+build — the KvBloom staleness contract.)
+    graft.sources.kv.KvBloom.build(s, s"$dir/postings", Seq("term"))
     writeStatsMarker(dir)
   }
 

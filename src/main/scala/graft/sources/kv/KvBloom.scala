@@ -46,7 +46,15 @@ object KvBloom {
 
   private def indexFile(tablePath: String) = new Path(tablePath, "_index/bloom.json")
 
-  /** Build (or rebuild) per-file Bloom filters for `cols`.
+  /** Build (or rebuild) per-file Bloom filters for `cols` in ONE
+    * distributed pass: the scan's `_file` metadata column groups rows by
+    * their physical file, and one `groupBy(_file)` aggregates every
+    * file's bitsets together — no per-file driver loop, the shape that
+    * holds at a million files. Filter width is sized from the LARGEST
+    * file's row count (one width per table keeps the single-pass
+    * aggregation; small files just get a sparser filter). Files absent
+    * from the grouped output hold zero rows and get an all-zero filter
+    * (they contain nothing — prune everything).
     * `bitsPerKey` ≈ 10 gives ~1% false positives with 7 probes.
     */
   def build(spark: SparkSession, tablePath: String, cols: Seq[String],
@@ -54,19 +62,31 @@ object KvBloom {
     require(cols.nonEmpty, "bloom build needs at least one column")
     require(bitsPerKey >= 1 && bitsPerKey <= 64, s"bitsPerKey out of range: $bitsPerKey")
     val numHashes = math.max(1, math.round(bitsPerKey * 0.693).toInt)
-    val entries = ParquetIO.listFilesStatus(tablePath).map { case (f, len, mtime) =>
-      val rows = ParquetIO.footerInfoCached(f, len, mtime).map(_.rowCount).sum
-      val numBits = math.max(64, ((rows * bitsPerKey + 63) / 64 * 64)).toInt
-      val df = spark.read.format("kv").option("path", f.toString).load()
-      val aggs = cols.map { c =>
-        BloomFilterSketch.bloomAgg(xxhash64(col(c)), numBits, numHashes).as(c)
-      }
-      val row = df.agg(aggs.head, aggs.tail: _*).head()
-      f.toString -> cols.zipWithIndex.map { case (c, i) =>
-        c -> ColBloom(row.getAs[Array[Byte]](i), numBits, numHashes)
+    val files = ParquetIO.listFilesStatus(tablePath)
+    if (files.isEmpty) { writeJson(tablePath, Map.empty); return }
+    val maxRows = files.map { case (f, len, mtime) =>
+      ParquetIO.footerInfoCached(f, len, mtime).map(_.rowCount).sum
+    }.max
+    val numBits = math.max(64L, (maxRows * bitsPerKey + 63) / 64 * 64)
+    require(numBits <= Int.MaxValue,
+      s"bloom width $numBits exceeds Int range — lower bitsPerKey or split files")
+    val df = spark.read.format("kv").option("path", tablePath).load()
+    val aggs = cols.map { c =>
+      BloomFilterSketch.bloomAgg(xxhash64(col(c)), numBits.toInt, numHashes).as(c)
+    }
+    val grouped = df.select(col("_file") +: cols.map(col): _*)
+      .groupBy(col("_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        r.getString(0) -> cols.zipWithIndex.map { case (c, i) =>
+          c -> ColBloom(r.getAs[Array[Byte]](i + 1), numBits.toInt, numHashes)
+        }.toMap
       }.toMap
-    }.toMap
-    writeJson(tablePath, entries)
+    val emptyBloom = ColBloom(new Array[Byte](numBits.toInt / 8), numBits.toInt, numHashes)
+    val empties = files.map(_._1.toString).filterNot(grouped.contains)
+      .map(f => f -> cols.map(_ -> emptyBloom).toMap).toMap
+    writeJson(tablePath, grouped ++ empties)
   }
 
   /** The persisted bloom map, or empty when absent/unreadable. */
