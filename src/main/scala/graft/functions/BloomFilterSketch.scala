@@ -121,6 +121,84 @@ object BloomFilterSketch {
     override def prettyName: String = "bloom_agg"
   }
 
+  /** [[BloomAgg]] with the filter width arriving as a per-row LONG
+    * column instead of a literal — the single-pass per-FILE-width build:
+    * `groupBy(_file).agg(bloomAggVar(hash, width))` sizes every file's
+    * filter from ITS row count (a driver-computed width joined in by
+    * file), so a skewed table no longer pays the largest file's width
+    * for every small file. The width must be group-constant: the buffer
+    * allocates on the group's first row, an empty partial merges as
+    * identity, and a width mismatch fails loudly rather than building a
+    * filter that lies.
+    */
+  case class BloomAggVar(
+      child: Expression,
+      widthChild: Expression,
+      numHashes: Int,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+      extends TypedImperativeAggregate[Array[Long]] {
+
+    require(numHashes >= 1, s"numHashes must be >= 1, got $numHashes")
+
+    override def children: Seq[Expression] = Seq(child, widthChild)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+
+    // empty = "no row seen yet"; real allocation happens on first update
+    override def createAggregationBuffer(): Array[Long] = Array.emptyLongArray
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v == null) buf
+      else {
+        val w = widthChild.eval(input)
+        require(w != null, "bloom_agg_var: width column must be non-null")
+        val numBits = w.asInstanceOf[Long]
+        require(numBits >= 64 && numBits % 64 == 0 && numBits <= Int.MaxValue,
+          s"bloom_agg_var: width must be a positive multiple of 64 within Int range, got $numBits")
+        val b = if (buf.length == 0) new Array[Long](numBits.toInt / 64) else buf
+        require(b.length.toLong * 64 == numBits,
+          s"bloom_agg_var: width $numBits differs within one group (have ${b.length * 64})")
+        setBits(b, v.asInstanceOf[Long], numBits.toInt, numHashes)
+        b
+      }
+    }
+
+    override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+      if (other.length == 0) buf
+      else if (buf.length == 0) other
+      else {
+        require(buf.length == other.length,
+          s"bloom_agg_var: merging widths ${buf.length * 64} and ${other.length * 64}")
+        var i = 0
+        while (i < buf.length) { buf(i) |= other(i); i += 1 }
+        buf
+      }
+    }
+
+    override def eval(buf: Array[Long]): Any = {
+      val bb = ByteBuffer.allocate(buf.length * 8)
+      buf.foreach(bb.putLong)
+      bb.array()
+    }
+
+    override def serialize(buf: Array[Long]): Array[Byte] = eval(buf).asInstanceOf[Array[Byte]]
+
+    override def deserialize(bytes: Array[Byte]): Array[Long] = {
+      val bb = ByteBuffer.wrap(bytes)
+      Array.fill(bytes.length / 8)(bb.getLong)
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): BloomAggVar =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): BloomAggVar =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+      copy(child = newChildren(0), widthChild = newChildren(1))
+    override def prettyName: String = "bloom_agg_var"
+  }
+
   /** Membership probe: bits BinaryType (from [[BloomAgg]]), hash
     * LongType. True ⇒ possibly present; false ⇒ DEFINITELY absent.
     */
@@ -138,6 +216,9 @@ object BloomFilterSketch {
 
   def bloomAgg(hash: Column, numBits: Int, numHashes: Int): Column =
     toColumn(BloomAgg(exprOf(hash), numBits, numHashes).toAggregateExpression())
+
+  def bloomAggVar(hash: Column, numBits: Column, numHashes: Int): Column =
+    toColumn(BloomAggVar(exprOf(hash), exprOf(numBits), numHashes).toAggregateExpression())
 
   def mightContain(bits: Column, hash: Column, numBits: Int, numHashes: Int): Column =
     toColumn(BloomMightContain(exprOf(bits), exprOf(hash), numBits, numHashes))

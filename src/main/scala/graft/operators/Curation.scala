@@ -1054,7 +1054,9 @@ object Curation {
     * INTEGER-EXACT: excess in milli-units (clamped to `[0, capMilli]`,
     * computed only when loss > ref so integer division never sees a
     * negative — floor-vs-truncate semantics diverge there across
-    * engines), weights in micro-units through `rounds` rounds of
+    * engines; a non-positive reference is DEFINED as the cap, so the
+    * division never sees a zero divisor either), weights in micro-units
+    * through `rounds` rounds of
     * `w ← w·(10⁶ + η·excess) div 10⁶`, and the final share is
     * `w·10⁶ div Σw`. Every value replays bit-exactly in plain SQL.
     *
@@ -1074,8 +1076,14 @@ object Curation {
       col(domainCol).as("domain"),
       col(lossMicroCol).cast("long").as("loss_micro"),
       col(refMicroCol).cast("long").as("ref_micro"))
+      // ref_micro <= 0 is a degenerate reference (any positive loss is
+      // infinite excess): defined as the cap EXPLICITLY, so the integer
+      // division below never sees a zero/negative divisor — under ANSI
+      // mode that would error the whole query, and with ANSI off it
+      // would lean on least() skipping NULL to land on the cap by luck
       .withColumn("excess_milli",
-        when(col("loss_micro") <= col("ref_micro"), lit(0L))
+        when(col("ref_micro") <= 0L, lit(capMilli.toLong))
+          .when(col("loss_micro") <= col("ref_micro"), lit(0L))
           .otherwise(least(lit(capMilli.toLong),
             expr("(loss_micro - ref_micro) * 1000 DIV ref_micro"))))
     val wExpr = (1 to rounds).foldLeft("CAST(1000000 AS BIGINT)") { (prev, _) =>

@@ -73,9 +73,84 @@ object KvMerge {
         rloHidden.contains(n))
     }
     stale.foreach(st => fs.delete(st.getPath, false))
+    // INERT rlo markers — a marker compaction that crashed after folding
+    // a transaction's files but before dropping its marker leaves a
+    // marker that hides nothing and guards no rlo parts. Inert is
+    // checkable: no `rlo-<txid>-*` file remains AND none of its hidden
+    // names still exist. The epoch watermark folds into the snapshot
+    // floor before the marker goes (compactMarkers already recorded it;
+    // re-recording here is idempotent belt-and-braces).
+    val liveNames = fs.listStatus(p).filter(_.isFile).map(_.getPath.getName).toSet
+    val inert = (if (fs.exists(commits)) fs.listStatus(commits)
+      else Array.empty[org.apache.hadoop.fs.FileStatus])
+      .filter { st =>
+        val n = st.getPath.getName
+        st.isFile && n.startsWith("rlo-") && st.getModificationTime < cutoff && {
+          val tx = n.stripPrefix("rlo-")
+          val (removed, _) = ParquetIO.rloInfoCached(fs, st.getPath)
+          !liveNames.exists(_.startsWith(s"rlo-$tx-")) &&
+            !removed.exists(liveNames.contains)
+        }
+      }
+    if (inert.nonEmpty) {
+      ParquetIO.recordRloFloor(path,
+        inert.map(st => ParquetIO.rloInfoCached(fs, st.getPath)._2).max)
+      inert.foreach(st => fs.delete(st.getPath, false))
+    }
     // planning caches key on (path, len, mtime) — a deleted file simply
     // stops appearing in listings, no invalidation needed
-    stale.length
+    stale.length + inert.length
+  }
+
+  /** Fold committed rlo transactions into base state WITHOUT a data
+    * rewrite — the listing-cost maintenance op for rewrite-heavy tables
+    * (every UPDATE/MERGE leaves a `_commits/rlo-<txid>` marker that
+    * file listing consults forever; this op retires them for the cost
+    * of a few renames). Sequence, crash-safe at every point:
+    *
+    *  1. record the snapshot floor (max marker epoch watermark) — the
+    *     markers' time-travel gate survives their deletion;
+    *  2. delete still-present bytes hidden by any committed marker
+    *     (already invisible — this is the vacuum sweep, pulled forward
+    *     because step 3's renames must not resurrect a hidden name);
+    *  3. rename each committed `rlo-<txid>-N.parquet` to the plain
+    *     `part-rlo-<txid>-N.parquet` (visible before AND after — each
+    *     file exists under exactly one name at any instant);
+    *  4. drop the markers (now inert; a crash here is healed by
+    *     [[vacuum]]'s inert-marker sweep).
+    *
+    * Single-writer like every maintenance op here. Returns the number
+    * of markers folded. [[rewrite]]/[[bucketize]] fold markers
+    * wholesale as a side effect of the swap; this op is for tables too
+    * large to rewrite just to retire listing metadata.
+    */
+  def compactMarkers(path: String): Int = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(ParquetIO.hadoopConf)
+    val commits = new Path(p, "_commits")
+    if (!fs.exists(commits)) return 0
+    val markers = fs.listStatus(commits).map(_.getPath)
+      .filter(_.getName.startsWith("rlo-"))
+    if (markers.isEmpty) return 0
+    val infos = markers.map(m => m -> ParquetIO.rloInfoCached(fs, m))
+    ParquetIO.recordRloFloor(path, infos.map(_._2._2).max)
+    val hidden = infos.flatMap(_._2._1).toSet
+    hidden.foreach { n =>
+      val f = new Path(p, n)
+      if (fs.exists(f)) fs.delete(f, false)
+    }
+    val committedTx = markers.map(_.getName.stripPrefix("rlo-")).toSet
+    fs.listStatus(p).filter(_.isFile).map(_.getPath).foreach { f =>
+      val n = f.getName
+      if (n.startsWith("rlo-") && n.endsWith(".parquet")) {
+        val tx = n.stripPrefix("rlo-").takeWhile(_ != '-')
+        if (committedTx.contains(tx))
+          require(fs.rename(f, new Path(p, s"part-$n")),
+            s"compactMarkers: rename failed for $n")
+      }
+    }
+    markers.foreach(m => fs.delete(m, false))
+    markers.length
   }
 
   /** Heal a crash between backup-aside and rename-into-place: the backup
@@ -89,6 +164,21 @@ object KvMerge {
     if (!fs.exists(livePath) && fs.exists(backup)) { fs.rename(backup, livePath); () }
   }
 
+  /** Test seam for the concurrent-writer guard: runs after the tmp
+    * materialization, immediately before the fingerprint check — where a
+    * concurrent append is most dangerous (it would be silently dropped
+    * by the swap).
+    */
+  @volatile private[graft] var testBeforeSwap: () => Unit = () => ()
+
+  /** The live listing fingerprint a maintenance op captures at start:
+    * any concurrent write changes it (part files are never modified in
+    * place, so (name, len, mtime) triples identify a state).
+    */
+  private def fingerprint(path: String): Set[(String, Long, Long)] =
+    ParquetIO.listFilesStatus(path)
+      .map { case (f, len, mt) => (f.getName, len, mt) }.toSet
+
   /** THE crash-safe publish sequence, shared by merge / rewrite /
     * bucketize (one copy — this is the code that runs during crashes):
     * materialize `result` to a tmp dir (the read side is lazy, so an
@@ -97,14 +187,35 @@ object KvMerge {
     * tmp → live, drop backup. A crash mid-swap is healed by
     * [[recoverSwap]] on the next maintenance run (or by any reader
     * preferring backup when live is missing).
+    *
+    * CONCURRENT-WRITER DETECTION: these ops are single-writer by
+    * contract, but a violated contract must not silently lose data — a
+    * file appended between the op's initial read and the swap would
+    * vanish with the old directory. `expect` carries the visible-file
+    * fingerprint from the op's start; a mismatch right before the swap
+    * aborts with `ConcurrentModificationException`, leaving the live
+    * table (including the concurrent append) untouched.
     */
-  private[graft] def writeAndSwap(result: DataFrame, path: String): Unit = {
+  private[graft] def writeAndSwap(result: DataFrame, path: String,
+      expect: Option[Set[(String, Long, Long)]] = None): Unit = {
     val fs = new Path(path).getFileSystem(ParquetIO.hadoopConf)
     val livePath = new Path(path)
     val backup = new Path(s"$path.merge-old")
     val tmp = new Path(s"$path.merge-tmp")
     ParquetIO.deletePath(tmp.toString)
     result.write.format("kv").option("path", tmp.toString).mode("append").save()
+    testBeforeSwap()
+    expect.foreach { fp =>
+      val now = fingerprint(path)
+      if (now != fp) {
+        ParquetIO.deletePath(tmp.toString)
+        throw new java.util.ConcurrentModificationException(
+          s"kv maintenance on $path aborted: the table changed during the " +
+            s"rewrite (files added/removed: ${(now diff fp) ++ (fp diff now)}" +
+            ") — these ops are single-writer; re-run after the concurrent " +
+            "writer finishes")
+      }
+    }
     ParquetIO.deletePath(backup.toString) // stale backup from a completed swap
     if (fs.exists(livePath)) fs.rename(livePath, backup)
     fs.rename(tmp, livePath)
@@ -118,6 +229,7 @@ object KvMerge {
     pks.foreach(pk => require(data.columns.contains(pk), s"missing pk column $pk"))
 
     recoverSwap(path)
+    val fp = fingerprint(path)
     val hasTable = ParquetIO.listFiles(path).nonEmpty
     val target =
       if (hasTable) spark.read.format("kv").option("path", path).load()
@@ -152,7 +264,7 @@ object KvMerge {
       .join(targetKeys, pks, "left_anti")
       .join(upsertKeys, pks, "left_anti")
     val result = kept.unionByName(upserts).unionByName(updates).unionByName(inserts)
-    writeAndSwap(result, path)
+    writeAndSwap(result, path, Some(fp))
   }
 
   /** Table maintenance: rewrite a kv table as `numFiles` files, optionally
@@ -172,13 +284,14 @@ object KvMerge {
       clusterBy: Seq[String] = Nil): Unit = {
     require(numFiles >= 1, "numFiles must be >= 1")
     recoverSwap(path)
+    val fp = fingerprint(path)
     val table = spark.read.format("kv").option("path", path).load()
     val shaped =
       if (clusterBy.isEmpty) table.repartition(numFiles)
       else table
         .repartitionByRange(numFiles, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)
-    writeAndSwap(shaped, path)
+    writeAndSwap(shaped, path, Some(fp))
     // record (or clear) the clustered ordering so the scan can report it
     graft.sources.kv.KvClustering.record(path, clusterBy)
     // any prior bucket layout is gone after a range rewrite
@@ -207,12 +320,13 @@ object KvMerge {
     */
   def deleteWhere(spark: SparkSession, path: String, condition: Column): Long = {
     recoverSwap(path)
+    val fp = fingerprint(path)
     def t = spark.read.format("kv").option("path", path).load()
     val table = t
     val anyMatch = table.where(condition).limit(1).count() > 0
     if (!anyMatch) return 0L
     val before = table.count()
-    writeAndSwap(table.where(!condition || condition.isNull), path)
+    writeAndSwap(table.where(!condition || condition.isNull), path, Some(fp))
     before - t.count()
   }
 
@@ -239,6 +353,7 @@ object KvMerge {
       assignments: Map[String, Column]): Long = {
     require(assignments.nonEmpty, "updateWhere needs at least one assignment")
     recoverSwap(path)
+    val fp = fingerprint(path)
     val table = spark.read.format("kv").option("path", path).load()
     assignments.keys.foreach { c =>
       require(table.columns.contains(c), s"unknown column '$c' in SET")
@@ -265,7 +380,7 @@ object KvMerge {
             case None => col(c)
           }
         }: _*)
-        writeAndSwap(updated, path)
+        writeAndSwap(updated, path, Some(fp))
       }
       matched
     } finally { marked.unpersist(); () }
@@ -296,6 +411,7 @@ object KvMerge {
     require(numBuckets >= 1, "numBuckets must be >= 1")
     require(bucketBy.nonEmpty, "bucketBy must name at least one column")
     recoverSwap(path)
+    val fp = fingerprint(path)
     val table = spark.read.format("kv").option("path", path).load()
     // fail HERE, not at every later catalog read: a bucket column type
     // the v2 bucket function can't bind would otherwise poison the
@@ -309,7 +425,7 @@ object KvMerge {
     val shaped = table
       .repartition(numBuckets, bucketBy.map(col): _*)
       .sortWithinPartitions(bucketBy.map(col): _*)
-    writeAndSwap(shaped, path)
+    writeAndSwap(shaped, path, Some(fp))
     // file → bucket from the writer's part-<partitionId>- names: the
     // repartition above IS the bucket assignment, partition index = bucket
     val partRe = "part-(\\d+)-.*".r

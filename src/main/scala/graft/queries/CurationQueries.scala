@@ -458,7 +458,8 @@ object CurationQueries {
          |), ref AS (
          |  SELECT CAST(sum(nt) AS BIGINT) * 1000000 // count(*) AS r FROM d
          |), e AS (
-         |  SELECT lang, loss, CASE WHEN loss <= r THEN 0
+         |  SELECT lang, loss, CASE WHEN r <= 0 THEN 1000
+         |    WHEN loss <= r THEN 0
          |    ELSE least(1000, (loss - r) * 1000 // r) END AS ex
          |  FROM per, ref
          |), w AS (

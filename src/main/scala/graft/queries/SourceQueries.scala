@@ -353,7 +353,11 @@ object SourceQueries {
     "q_kv_bloom_prune" -> ((s, dir) => {
       val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val staged = s"/tmp/graft_bloom$safe"
-      if (ParquetIO.listFiles(staged).isEmpty) {
+      // restage when the table OR its sharded sidecar is missing (a
+      // staged dir carrying only a legacy monolithic sidecar rebuilds)
+      if (ParquetIO.listFiles(staged).isEmpty ||
+          graft.sources.kv.KvBloom.reader(staged).isEmpty) {
+        ParquetIO.deletePath(staged)
         graft.Tables.load(s, dir, "orders")
           .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
           .repartition(8)

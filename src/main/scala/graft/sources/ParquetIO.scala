@@ -43,15 +43,45 @@ object ParquetIO {
     * (batch writes, compactions) are always visible: compaction and
     * vacuum fold history and therefore bound how far back a snapshot
     * can reach, the usual lakehouse retention contract.
+    *
+    * Row-level operations (UPDATE/MERGE/DELETE rewrites) fold history
+    * the same way — the replaced bytes are gone, so pre-rewrite epochs
+    * cannot be reconstructed. Each rlo marker records the epoch
+    * watermark at its commit; a snapshot read BELOW any committed
+    * marker's watermark (or below the floor left behind by marker
+    * compaction) FAILS loudly instead of silently serving post-rewrite
+    * values for a pre-rewrite epoch. Snapshots at ≥ the watermark
+    * include the rewrite (it happened after those epochs committed).
     */
   def listFilesStatus(path: String, maxEpoch: Option[Long]): Seq[(Path, Long, Long)] =
     maxEpoch match {
       case None => listFilesStatus(path)
-      case Some(max) => listFilesStatus(path).filter { case (f, _, _) =>
-        val n = f.getName
-        !n.startsWith("epoch-") ||
-          n.stripPrefix("epoch-").takeWhile(_ != '-').toLongOption.forall(_ <= max)
-      }
+      case Some(max) =>
+        val p = new Path(path)
+        val fs = p.getFileSystem(hadoopConf)
+        val commits = new Path(p, "_commits")
+        if (fs.exists(commits)) {
+          fs.listStatus(commits).map(_.getPath)
+            .filter(_.getName.startsWith("rlo-"))
+            .foreach { m =>
+              val epoch = rloInfoCached(fs, m)._2
+              if (epoch > max) throw new IllegalStateException(
+                s"kv snapshot.epoch=$max precedes a row-level operation " +
+                  s"committed at epoch watermark $epoch on $path — the " +
+                  "replaced bytes are folded; history below the watermark " +
+                  "is not reconstructible")
+            }
+        }
+        rloFloor(path).foreach { floor =>
+          if (max < floor) throw new IllegalStateException(
+            s"kv snapshot.epoch=$max precedes compacted row-level history " +
+              s"(floor epoch $floor) on $path")
+        }
+        listFilesStatus(path).filter { case (f, _, _) =>
+          val n = f.getName
+          !n.startsWith("epoch-") ||
+            n.stripPrefix("epoch-").takeWhile(_ != '-').toLongOption.forall(_ <= max)
+        }
     }
 
   /** Listing with (path, length, modification time) from ONE namenode
@@ -83,7 +113,7 @@ object ParquetIO {
       // both sides, so readers never see a torn mix of old and new.
       lazy val rloHidden: Set[String] =
         markerNames.filter(_.startsWith("rlo-"))
-          .flatMap(m => rloRemovedCached(fs, new Path(new Path(p, "_commits"), m)))
+          .flatMap(m => rloInfoCached(fs, new Path(new Path(p, "_commits"), m))._1)
       entries.filter { s =>
         val n = s.getPath.getName
         n.endsWith(".parquet") && !n.startsWith("_") && !n.startsWith(".") &&
@@ -103,23 +133,41 @@ object ParquetIO {
   // ---- rlo (partial-rewrite) transaction markers -----------------------
 
   /** Atomically commit an rlo transaction: `_commits/rlo-<txid>` whose
-    * body is the JSON list of replaced file NAMES. The single rename
-    * makes the transaction's `rlo-<txid>-*` files visible and the
-    * replaced names invisible in the same instant.
+    * body carries the replaced file NAMES plus the epoch watermark at
+    * commit (`{"removed": [...], "epoch": E}` — E = the highest
+    * committed streaming epoch visible when the rewrite ran, -1 when
+    * none). The single rename makes the transaction's `rlo-<txid>-*`
+    * files visible and the replaced names invisible in the same
+    * instant; the watermark gates snapshot reads (see
+    * [[listFilesStatus(path:String,maxEpoch:Option[Long])*]]).
     */
-  def writeRloMarker(tablePath: String, txid: String, removed: Seq[String]): Unit = {
+  def writeRloMarker(tablePath: String, txid: String, removed: Seq[String],
+      epoch: Long): Unit = {
     val commits = new Path(new Path(tablePath), "_commits")
     val fs = commits.getFileSystem(hadoopConf)
     fs.mkdirs(commits)
     val marker = new Path(commits, s"rlo-$txid")
     val tmp = new Path(commits, s".rlo-$txid.tmp")
+    val body: org.json4s.JValue = org.json4s.JObject(
+      "removed" -> org.json4s.JArray(removed.map(org.json4s.JString(_)).toList),
+      "epoch" -> org.json4s.JInt(epoch))
     val out = fs.create(tmp, true)
     try out.write(org.json4s.jackson.JsonMethods.compact(
-      org.json4s.jackson.JsonMethods.render(
-        org.json4s.JsonDSL.seq2jvalue(removed.map(org.json4s.JsonDSL.string2jvalue)))
+      org.json4s.jackson.JsonMethods.render(body)
     ).getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     require(fs.rename(tmp, marker), s"rlo marker commit failed for $marker")
+  }
+
+  /** Highest committed streaming-epoch id of the table, -1 when none —
+    * the rlo commit watermark.
+    */
+  def maxCommittedEpoch(tablePath: String): Long = {
+    val commits = new Path(new Path(tablePath), "_commits")
+    val fs = commits.getFileSystem(hadoopConf)
+    if (!fs.exists(commits)) return -1L
+    fs.listStatus(commits).map(_.getPath.getName)
+      .flatMap(_.toLongOption).foldLeft(-1L)(math.max)
   }
 
   /** Names hidden by committed rlo transactions (the vacuum surface). */
@@ -129,15 +177,19 @@ object ParquetIO {
     if (!fs.exists(commits)) return Set.empty
     fs.listStatus(commits).map(_.getPath)
       .filter(_.getName.startsWith("rlo-"))
-      .flatMap(m => rloRemovedCached(fs, m)).toSet
+      .flatMap(m => rloInfoCached(fs, m)._1).toSet
   }
 
   // markers are immutable once renamed into place — cache bodies by path
   private val rloMarkerCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Set[String]]()
+    new java.util.concurrent.ConcurrentHashMap[String, (Set[String], Long)]()
 
-  private def rloRemovedCached(fs: org.apache.hadoop.fs.FileSystem,
-      marker: Path): Set[String] =
+  /** (replaced names, commit epoch watermark) of one marker. Legacy
+    * array-bodied markers (pre-watermark builds) read as epoch -1 —
+    * they never block a snapshot, the old behavior.
+    */
+  private[graft] def rloInfoCached(fs: org.apache.hadoop.fs.FileSystem,
+      marker: Path): (Set[String], Long) =
     rloMarkerCache.computeIfAbsent(marker.toString, _ =>
       scala.util.Try {
         val in = fs.open(marker)
@@ -145,10 +197,64 @@ object ParquetIO {
           java.nio.charset.StandardCharsets.UTF_8) finally in.close()
         org.json4s.jackson.JsonMethods.parse(body) match {
           case org.json4s.JArray(vs) =>
-            vs.collect { case org.json4s.JString(s) => s }.toSet
-          case _ => Set.empty[String]
+            (vs.collect { case org.json4s.JString(s) => s }.toSet, -1L)
+          case o: org.json4s.JObject =>
+            val removed = (o \ "removed") match {
+              case org.json4s.JArray(vs) =>
+                vs.collect { case org.json4s.JString(s) => s }.toSet
+              case _ => Set.empty[String]
+            }
+            val epoch = (o \ "epoch") match {
+              case org.json4s.JInt(e) => e.toLong
+              case _ => -1L
+            }
+            (removed, epoch)
+          case _ => (Set.empty[String], -1L)
         }
-      }.getOrElse(Set.empty))
+      }.getOrElse((Set.empty[String], -1L)))
+
+  // ---- rlo history floor (marker compaction) ---------------------------
+
+  private def rloFloorFile(tablePath: String): Path =
+    new Path(new Path(tablePath), "_meta/rlo_floor.json")
+
+  /** Record the snapshot floor left behind when committed rlo markers
+    * are folded into base state (`KvMerge.compactMarkers`): snapshots
+    * below `epoch` fail instead of silently reading folded data. Keeps
+    * the max of any existing floor.
+    */
+  def recordRloFloor(tablePath: String, epoch: Long): Unit = {
+    if (epoch < 0) return
+    val merged = math.max(epoch, rloFloor(tablePath).getOrElse(-1L))
+    val p = rloFloorFile(tablePath)
+    val fs = p.getFileSystem(hadoopConf)
+    fs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(s"""{"floorEpoch":$merged}"""
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p)) fs.delete(tmp, false)
+    ()
+  }
+
+  /** The compacted-rlo snapshot floor, if any. */
+  def rloFloor(tablePath: String): Option[Long] =
+    scala.util.Try {
+      val p = rloFloorFile(tablePath)
+      val fs = p.getFileSystem(hadoopConf)
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val body = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        org.json4s.jackson.JsonMethods.parse(body) \ "floorEpoch" match {
+          case org.json4s.JInt(e) => Some(e.toLong)
+          case _ => None
+        }
+      }
+    }.toOption.flatten
 
   // ---- driver-side planning caches -------------------------------------
   // A kv/log/cdc query plans by reading per-file footers (row groups,

@@ -2,8 +2,10 @@ package graft.sources.kv
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.functions.{col, xxhash64}
+import org.apache.spark.sql.functions.{broadcast, col, first, xxhash64}
 import org.apache.spark.sql.sources._
+import org.json4s._
+import org.json4s.jackson.JsonMethods
 import graft.functions.BloomFilterSketch
 import graft.sources.ParquetIO
 
@@ -21,41 +23,48 @@ import graft.sources.ParquetIO
   * conservative (files without an entry are never pruned, non-equality
   * predicates never consult the filter), false negatives are impossible
   * by construction, and false positives only cost a scan that the
-  * record-level predicate then empties. Maintenance rewrites
-  * (`KvMerge.writeAndSwap`) replace the table directory wholesale, so a
-  * stale sidecar cannot survive a rewrite.
+  * record-level predicate then empties. Entries carry the covered
+  * file's (len, mtime) and are validated against the live listing at
+  * probe time — a part-file NAME reused by a later driver session
+  * (overwrite-mode writers) invalidates its entry instead of silently
+  * pruning keys the new bytes contain.
+  *
+  * Storage is the sharded [[KvSidecar]] layout (`_index/bloom/`):
+  * per-file entries in ~64-entry shard files, parsed once per signature
+  * JVM-wide — planning cost is cache lookups, not a monolithic
+  * multi-MB JSON re-parse per plan.
   *
   * Hashing: `xxhash64(col)` (Spark's codegen'd built-in, seed 42) on
   * the build side, replayed value-side at probe time via
   * `XxHash64Function` — then [[BloomFilterSketch]]'s splitmix double
   * hashing for probe positions. One deterministic chain, no per-row UDF.
   *
-  * Build cost: one column scan per file (driver-sequenced Spark jobs —
-  * at cluster scale this runs per table-partition in the same
-  * maintenance window as compaction/bucketize).
+  * Build: ONE distributed pass — `groupBy(_file)` with the
+  * variable-width aggregate sizes every file's filter from ITS OWN
+  * footer row count (a skewed table no longer costs numFiles × the
+  * largest file's width), and shard files are written by EXECUTORS
+  * (repartition on shard id), so the driver never materializes the
+  * bitsets. At cluster scale this runs per table-partition in the same
+  * maintenance window as compaction/bucketize.
   */
 object KvBloom {
+
+  val SidecarName = "bloom"
 
   case class ColBloom(bits: Array[Byte], numBits: Int, numHashes: Int) {
     def mightContain(hash: Long): Boolean =
       BloomFilterSketch.probeHit(bits, hash, numBits, numHashes)
   }
 
-  /** file path → column → bloom. */
-  type BloomMap = Map[String, Map[String, ColBloom]]
-
-  private def indexFile(tablePath: String) = new Path(tablePath, "_index/bloom.json")
+  /** Per-file width: rows × bitsPerKey rounded up to a multiple of 64,
+    * floor 64 (empty/tiny files get the minimum filter).
+    */
+  private def widthFor(rows: Long, bitsPerKey: Int): Long =
+    math.max(64L, (rows * bitsPerKey + 63) / 64 * 64)
 
   /** Build (or rebuild) per-file Bloom filters for `cols` in ONE
-    * distributed pass: the scan's `_file` metadata column groups rows by
-    * their physical file, and one `groupBy(_file)` aggregates every
-    * file's bitsets together — no per-file driver loop, the shape that
-    * holds at a million files. Filter width is sized from the LARGEST
-    * file's row count (one width per table keeps the single-pass
-    * aggregation; small files just get a sparser filter). Files absent
-    * from the grouped output hold zero rows and get an all-zero filter
-    * (they contain nothing — prune everything).
-    * `bitsPerKey` ≈ 10 gives ~1% false positives with 7 probes.
+    * distributed pass (see object scaladoc). `bitsPerKey` ≈ 10 gives
+    * ~1% false positives with 7 probes.
     */
   def build(spark: SparkSession, tablePath: String, cols: Seq[String],
       bitsPerKey: Int = 10): Unit = {
@@ -63,35 +72,114 @@ object KvBloom {
     require(bitsPerKey >= 1 && bitsPerKey <= 64, s"bitsPerKey out of range: $bitsPerKey")
     val numHashes = math.max(1, math.round(bitsPerKey * 0.693).toInt)
     val files = ParquetIO.listFilesStatus(tablePath)
-    if (files.isEmpty) { writeJson(tablePath, Map.empty); return }
-    val maxRows = files.map { case (f, len, mtime) =>
-      ParquetIO.footerInfoCached(f, len, mtime).map(_.rowCount).sum
-    }.max
-    val numBits = math.max(64L, (maxRows * bitsPerKey + 63) / 64 * 64)
-    require(numBits <= Int.MaxValue,
-      s"bloom width $numBits exceeds Int range — lower bitsPerKey or split files")
+    val numShards = KvSidecar.numShardsFor(files.length)
+    val meta: JValue =
+      JObject("numShards" -> JInt(numShards),
+        "columns" -> JArray(cols.map(JString(_)).toList),
+        "numHashes" -> JInt(numHashes))
+    if (files.isEmpty) {
+      KvSidecar.publish(tablePath, SidecarName, meta)(_ => ())
+      return
+    }
+    // driver-side per-file widths from cached footers (no data pages)
+    val widths = files.map { case (f, len, mtime) =>
+      val rows = ParquetIO.footerInfoCached(f, len, mtime).map(_.rowCount).sum
+      val nb = widthFor(rows, bitsPerKey)
+      require(nb <= Int.MaxValue,
+        s"bloom width $nb exceeds Int range — lower bitsPerKey or split files")
+      (f.toString, len, mtime, nb)
+    }
+    import spark.implicits._
+    val widthDf = widths.toDF("__file", "__len", "__mtime", "__nb")
     val df = spark.read.format("kv").option("path", tablePath).load()
     val aggs = cols.map { c =>
-      BloomFilterSketch.bloomAgg(xxhash64(col(c)), numBits.toInt, numHashes).as(c)
-    }
+      BloomFilterSketch.bloomAggVar(xxhash64(col(c)), col("__nb"), numHashes).as(c)
+    } ++ Seq(first(col("__len")).as("__len"), first(col("__mtime")).as("__mtime"),
+      first(col("__nb")).as("__nb"))
+    val colsArr = cols.toArray
     val grouped = df.select(col("_file") +: cols.map(col): _*)
+      .join(broadcast(widthDf), col("_file") === col("__file"))
       .groupBy(col("_file"))
       .agg(aggs.head, aggs.tail: _*)
-      .collect()
-      .map { r =>
-        r.getString(0) -> cols.zipWithIndex.map { case (c, i) =>
-          c -> ColBloom(r.getAs[Array[Byte]](i + 1), numBits.toInt, numHashes)
-        }.toMap
-      }.toMap
-    val emptyBloom = ColBloom(new Array[Byte](numBits.toInt / 8), numBits.toInt, numHashes)
-    val empties = files.map(_._1.toString).filterNot(grouped.contains)
-      .map(f => f -> cols.map(_ -> emptyBloom).toMap).toMap
-    writeJson(tablePath, grouped ++ empties)
+    // (shard, jsonl line) per covered file; files absent from the
+    // grouped output hold zero rows — all-zero minimal filter (they
+    // contain nothing: prune everything)
+    val groupedLines = grouped.map { r =>
+      val fileName = new Path(r.getString(0)).getName
+      val entry = entryJson(colsArr.zipWithIndex.map { case (c, i) =>
+        c -> ColBloom(r.getAs[Array[Byte]](i + 1),
+          r.getAs[Long](colsArr.length + 3).toInt, numHashes)
+      }.toMap)
+      (KvSidecar.shardOf(fileName, numShards),
+        KvSidecar.entryLine(fileName, r.getAs[Long](colsArr.length + 1),
+          r.getAs[Long](colsArr.length + 2), entry))
+    }
+    val covered = grouped.select(col("_file")).as[String].collect().toSet
+    val emptyLines = spark.createDataset(widths.filterNot(w => covered.contains(w._1))
+      .map { case (f, len, mtime, nb) =>
+        val fileName = new Path(f).getName
+        val entry = entryJson(
+          cols.map(_ -> ColBloom(new Array[Byte](nb.toInt / 8), nb.toInt, numHashes)).toMap)
+        (KvSidecar.shardOf(fileName, numShards),
+          KvSidecar.entryLine(fileName, len, mtime, entry))
+      })
+    val lines = groupedLines.union(emptyLines)
+    KvSidecar.publish(tablePath, SidecarName, meta) { tmp =>
+      val tmpStr = tmp.toString
+      // all lines of one shard land in one partition (hash repartition
+      // on the shard id); each task writes the shard files it owns
+      lines.repartition(math.min(numShards, 64), col("_1"))
+        .foreachPartition { (it: Iterator[(Int, String)]) =>
+          val fs = new Path(tmpStr).getFileSystem(ParquetIO.hadoopConf)
+          val writers = scala.collection.mutable.Map.empty[Int, java.io.BufferedWriter]
+          try {
+            it.foreach { case (k, line) =>
+              val w = writers.getOrElseUpdate(k, new java.io.BufferedWriter(
+                new java.io.OutputStreamWriter(
+                  fs.create(new Path(tmpStr, KvSidecar.shardFileName(k)), true),
+                  java.nio.charset.StandardCharsets.UTF_8)))
+              w.write(line); w.write("\n")
+            }
+          } finally writers.values.foreach(w => scala.util.Try(w.close()))
+        }
+    }
   }
 
-  /** The persisted bloom map, or empty when absent/unreadable. */
-  def bloomMap(tablePath: String): BloomMap =
-    scala.util.Try(readJson(tablePath)).toOption.flatten.getOrElse(Map.empty)
+  private def entryJson(byCol: Map[String, ColBloom]): String = {
+    val fields = byCol.toSeq.sortBy(_._1).map { case (c, b) =>
+      c -> (JObject(
+        "bits" -> JString(java.util.Base64.getEncoder.encodeToString(b.bits)),
+        "numBits" -> JInt(b.numBits), "numHashes" -> JInt(b.numHashes)): JValue)
+    }
+    JsonMethods.compact(JsonMethods.render(JObject("cols" -> JObject(fields: _*))))
+  }
+
+  /** Resolved read handle for one planning pass (one `listStatus` on the
+    * sidecar dir; shard parses are signature-cached JVM-wide).
+    */
+  final class BloomReader(shards: KvSidecar.SidecarShards) {
+    /** Per-column blooms for a live file, or None when uncovered / the
+      * entry's (len, mtime) no longer matches — never prune then.
+      */
+    def bloomsFor(fileName: String, len: Long, mtime: Long): Option[Map[String, ColBloom]] =
+      shards.entryFor(fileName, len, mtime).flatMap { e =>
+        scala.util.Try {
+          JsonMethods.parse(e) \ "cols" match {
+            case JObject(cs) => Some(cs.map { case (c, j) =>
+              implicit val fmts: Formats = DefaultFormats
+              c -> ColBloom(
+                java.util.Base64.getDecoder.decode((j \ "bits").extract[String]),
+                (j \ "numBits").extract[Int], (j \ "numHashes").extract[Int])
+            }.toMap)
+            case _ => None
+          }
+        }.toOption.flatten
+      }
+  }
+
+  /** Open the table's bloom sidecar, or None when absent/unreadable. */
+  def reader(tablePath: String): Option[BloomReader] =
+    KvSidecar.open(tablePath, SidecarName).map(new BloomReader(_))
 
   /** Probe-side hash: replay `xxhash64(value)` for an external filter
     * value. None for types the build side doesn't hash (no pruning).
@@ -126,51 +214,6 @@ object KvBloom {
       case EqualNullSafe(c, v) if v != null => hit(c, v)
       case In(c, vs) => vs.isEmpty || vs.exists(v => v == null || hit(c, v))
       case _ => true // ranges/null-tests/unknown: the bloom says nothing
-    }
-  }
-
-  // ---- persistence (json4s, the KvIndex pattern) ----
-
-  private def writeJson(tablePath: String, bm: BloomMap): Unit = {
-    import org.json4s.JsonDSL._
-    import org.json4s.jackson.JsonMethods
-    val files: org.json4s.JValue = bm.map { case (f, byCol) =>
-      f -> byCol.map { case (c, b) =>
-        c -> (("bits" -> java.util.Base64.getEncoder.encodeToString(b.bits)) ~
-          ("numBits" -> b.numBits) ~ ("numHashes" -> b.numHashes))
-      }
-    }
-    val p = indexFile(tablePath)
-    val fs = p.getFileSystem(ParquetIO.hadoopConf)
-    fs.mkdirs(p.getParent)
-    val out = fs.create(p, true)
-    try out.write(JsonMethods.compact(JsonMethods.render("files" -> files))
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
-
-  private def readJson(tablePath: String): Option[BloomMap] = {
-    val p = indexFile(tablePath)
-    val fs = p.getFileSystem(ParquetIO.hadoopConf)
-    if (!fs.exists(p)) return None
-    import org.json4s._
-    import org.json4s.jackson.JsonMethods
-    val in = fs.open(p)
-    val root = try JsonMethods.parse(new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8)) finally in.close()
-    implicit val fmts: Formats = DefaultFormats
-    root \ "files" match {
-      case JObject(fields) => Some(fields.map { case (file, byCol) =>
-        file -> (byCol match {
-          case JObject(cs) => cs.map { case (c, j) =>
-            c -> ColBloom(
-              java.util.Base64.getDecoder.decode((j \ "bits").extract[String]),
-              (j \ "numBits").extract[Int], (j \ "numHashes").extract[Int])
-          }.toMap
-          case _ => Map.empty[String, ColBloom]
-        })
-      }.toMap)
-      case _ => None
     }
   }
 }

@@ -15,7 +15,8 @@ import graft.sources.ParquetIO
   * leftovers back.
   *
   * The index is a per-column zone map persisted beside the table
-  * (`_index/zonemap.json`): per (file, row group) the column chunk's
+  * (sharded `_index/zonemap/` [[KvSidecar]] layout): per (file, row
+  * group) the column chunk's
   * min/max/null-count lifted from parquet footers — built without reading
   * data pages, O(row groups) small, and used at PLANNING time to drop row
   * groups before tasks are scheduled (parquet's own stats skipping only
@@ -52,17 +53,19 @@ object KvIndex {
     }
   }
 
-  /** file → per-row-group (startByte → column → zone). */
-  type ZoneMap = Map[String, Map[Long, Map[String, Zone]]]
+  /** per-row-group zones of one file: startByte → column → zone. */
+  type FileZones = Map[Long, Map[String, Zone]]
 
-  private def indexFile(tablePath: String) = new Path(tablePath, "_index/zonemap.json")
+  val SidecarName = "zonemap"
 
   /** Build (or rebuild) the zone-map index for `cols` from parquet
-    * footers only.
+    * footers only — persisted in the sharded [[KvSidecar]] layout
+    * (`_index/zonemap/`), per-file entries validated by (len, mtime) at
+    * probe time (the [[KvBloom]] staleness discipline).
     */
   def build(tablePath: String, cols: Seq[String]): Unit = {
-    val files = ParquetIO.listFiles(tablePath)
-    val entries = files.map { f =>
+    val files = ParquetIO.listFilesStatus(tablePath)
+    val entries = files.map { case (f, len, mtime) =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, ParquetIO.hadoopConf))
       try {
         import scala.jdk.CollectionConverters._
@@ -96,16 +99,42 @@ object KvIndex {
           }.toMap
           b.getStartingPos -> byCol
         }.toMap
-        f.toString -> groups
+        (f.getName, len, mtime, entryJson(groups))
       } finally reader.close()
-    }.toMap
-    writeJson(tablePath, cols, entries)
+    }
+    val numShards = KvSidecar.numShardsFor(files.length)
+    val meta: org.json4s.JValue = org.json4s.JObject(
+      "numShards" -> org.json4s.JInt(numShards),
+      "columns" -> org.json4s.JArray(cols.map(org.json4s.JString(_)).toList))
+    KvSidecar.publish(tablePath, SidecarName, meta) { tmp =>
+      KvSidecar.stageEntries(tmp.getFileSystem(ParquetIO.hadoopConf), tmp,
+        numShards, entries.iterator)
+    }
   }
 
-  /** Indexed column names, or empty if no index exists. */
-  def indexedColumns(tablePath: String): Set[String] = readJson(tablePath).map(_._1).getOrElse(Set.empty)
+  /** Indexed column names, or empty if no index exists — one cached
+    * meta.json read, no shard touched.
+    */
+  def indexedColumns(tablePath: String): Set[String] =
+    KvSidecar.readMeta(tablePath, SidecarName).map { m =>
+      (m \ "columns") match {
+        case org.json4s.JArray(vs) =>
+          vs.collect { case org.json4s.JString(s) => s }.toSet
+        case _ => Set.empty[String]
+      }
+    }.getOrElse(Set.empty)
 
-  def zoneMap(tablePath: String): ZoneMap = readJson(tablePath).map(_._2).getOrElse(Map.empty)
+  /** Resolved read handle for one planning pass. */
+  final class ZoneReader(shards: KvSidecar.SidecarShards) {
+    /** Zones of a live file, or None when uncovered/stale (keep all). */
+    def zonesFor(fileName: String, len: Long, mtime: Long): Option[FileZones] =
+      shards.entryFor(fileName, len, mtime).flatMap(e =>
+        scala.util.Try(parseEntry(e)).toOption)
+  }
+
+  /** Open the table's zone-map sidecar, or None when absent. */
+  def reader(tablePath: String): Option[ZoneReader] =
+    KvSidecar.open(tablePath, SidecarName).map(new ZoneReader(_))
 
   // ---- filter satisfaction ----
 
@@ -179,26 +208,17 @@ object KvIndex {
     }
   }
 
-  // ---- persistence (json4s, Spark's bundled JSON) ----
+  // ---- per-file entry encoding (json4s, Spark's bundled JSON) ----
 
-  private def writeJson(tablePath: String, cols: Seq[String], zm: ZoneMap): Unit = {
+  private def entryJson(groups: FileZones): String = {
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
     def zoneJson(z: Zone): org.json4s.JValue =
       ("min" -> lit(z.min)) ~ ("max" -> lit(z.max)) ~ ("nullsOnly" -> z.nullsOnly)
-    val files: org.json4s.JValue = zm.map { case (f, groups) =>
-      f -> groups.map { case (pos, byCol) =>
-        pos.toString -> byCol.map { case (c, z) => c -> zoneJson(z) }
-      }
+    val gs: org.json4s.JValue = groups.map { case (pos, byCol) =>
+      pos.toString -> byCol.map { case (c, z) => c -> zoneJson(z) }
     }
-    val root = ("columns" -> cols) ~ ("files" -> files)
-    val p = indexFile(tablePath)
-    val fs = p.getFileSystem(ParquetIO.hadoopConf)
-    fs.mkdirs(p.getParent)
-    val out = fs.create(p, true)
-    try out.write(JsonMethods.compact(JsonMethods.render(root))
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    JsonMethods.compact(JsonMethods.render(("groups" -> gs)))
   }
 
   private def lit(v: Option[Any]): org.json4s.JValue = {
@@ -211,15 +231,9 @@ object KvIndex {
     }
   }
 
-  private def readJson(tablePath: String): Option[(Set[String], ZoneMap)] = {
-    val p = indexFile(tablePath)
-    val fs = p.getFileSystem(ParquetIO.hadoopConf)
-    if (!fs.exists(p)) return None
+  private def parseEntry(entry: String): FileZones = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
-    val in = fs.open(p)
-    val root = try JsonMethods.parse(new String(in.readAllBytes(),
-      java.nio.charset.StandardCharsets.UTF_8)) finally in.close()
     implicit val fmts: Formats = DefaultFormats
     def unlit(j: JValue): Option[Any] = j match {
       case JObject(fields) =>
@@ -232,24 +246,17 @@ object KvIndex {
         }
       case _ => None
     }
-    val cols = (root \ "columns").extract[Seq[String]].toSet
-    val files = (root \ "files") match {
-      case JObject(fs0) => fs0.map { case (file, groups) =>
-        file -> (groups match {
-          case JObject(gs) => gs.map { case (pos, byCol) =>
-            pos.toLong -> (byCol match {
-              case JObject(cs) => cs.map { case (c, z) =>
-                c -> Zone(unlit(z \ "min"), unlit(z \ "max"),
-                  (z \ "nullsOnly").extractOrElse[Boolean](false))
-              }.toMap
-              case _ => Map.empty[String, Zone]
-            })
+    JsonMethods.parse(entry) \ "groups" match {
+      case JObject(gs) => gs.map { case (pos, byCol) =>
+        pos.toLong -> (byCol match {
+          case JObject(cs) => cs.map { case (c, z) =>
+            c -> Zone(unlit(z \ "min"), unlit(z \ "max"),
+              (z \ "nullsOnly").extractOrElse[Boolean](false))
           }.toMap
-          case _ => Map.empty[Long, Map[String, Zone]]
+          case _ => Map.empty[String, Zone]
         })
       }.toMap
-      case _ => Map.empty[String, Map[Long, Map[String, Zone]]]
+      case _ => Map.empty[Long, Map[String, Zone]]
     }
-    Some((cols, files))
   }
 }

@@ -47,7 +47,16 @@ class KvRowLevelOperation(
     maxSplitCount: Int, splitSizeMb: Long)
     extends RowLevelOperation {
 
-  @volatile private[kv] var currentScan: Option[KvRloScan] = None
+  // ONE scan instance per operation (the upstream-connector pattern,
+  // e.g. Iceberg's RowLevelOperation): every ScanBuilder.build() from
+  // this operation — the rewrite scan AND any matching-rows-subquery
+  // scan Catalyst plans from the same relation — returns the SAME
+  // object, so the runtime group filter lands on the scan the commit
+  // reads no matter which plan copy delivered it. The previous
+  // last-created-wins scheme rested on a planner internal (the subquery
+  // being planned against the original table, not this operation).
+  private[kv] lazy val currentScan: KvRloScan =
+    new KvRloScan(path, tableSchema, maxSplitCount, splitSizeMb)
 
   override def command(): RowLevelOperation.Command = cmd
   override def description(): String = s"kv copy-on-write $cmd (file groups)"
@@ -57,24 +66,14 @@ class KvRowLevelOperation(
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
-      override def build(): Scan = {
-        val s = new KvRloScan(path, tableSchema, maxSplitCount, splitSizeMb)
-        // the matching-rows subquery may build a second scan from the
-        // same relation; both share this operation's state and the
-        // commit reads the post-filter file set, so last-created wins
-        // harmlessly (allowedFiles is per-scan, read at commit)
-        currentScan = Some(s)
-        s
-      }
+      override def build(): Scan = currentScan
     }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new WriteBuilder {
       override def build(): Write = new Write {
         override def toBatch: BatchWrite =
-          new KvReplaceDataWrite(path, info.schema(), () =>
-            currentScan.map(_.replacedFiles()).getOrElse(
-              ParquetIO.listFiles(path).map(_.toString).toSet))
+          new KvReplaceDataWrite(path, info.schema(), () => currentScan.replacedFiles())
       }
     }
 }
@@ -247,8 +246,11 @@ class KvReplaceDataWrite(path: String, schema: StructType,
       require(fs.rename(f, new Path(path, s"rlo-$txid-$i.parquet")),
         s"failed to stage ${f.getName}")
     }
-    // THE atomic flip: new parts visible + replaced names hidden
-    ParquetIO.writeRloMarker(path, txid, replaced.map(new Path(_).getName).toSeq)
+    // THE atomic flip: new parts visible + replaced names hidden. The
+    // marker records the epoch watermark so snapshot reads below it
+    // fail instead of silently serving post-rewrite values.
+    ParquetIO.writeRloMarker(path, txid, replaced.map(new Path(_).getName).toSeq,
+      ParquetIO.maxCommittedEpoch(path))
     // physical cleanup (already invisible; vacuum sweeps on crash)
     replaced.foreach(f => fs.delete(new Path(f), false))
     ParquetIO.deletePath(tmp)

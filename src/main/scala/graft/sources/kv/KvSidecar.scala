@@ -1,0 +1,234 @@
+package graft.sources.kv
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.json4s._
+import org.json4s.jackson.JsonMethods
+import graft.sources.ParquetIO
+
+/** Sharded planning-sidecar layout shared by the kv Bloom filter index
+  * ([[KvBloom]]) and the zone-map search index ([[KvIndex]]) — the
+  * scale-safe successor of the single `_index/<name>.json` blob.
+  *
+  * Why sharded: a monolithic sidecar is O(all files) ON THE DRIVER per
+  * query plan — the manifest mistake every lakehouse format walked back
+  * (Delta checkpoints Parquet-sharded its log, Iceberg split manifests
+  * into a manifest list). At a million files one Base64-JSON blob is
+  * multi-GB and was re-parsed 2–3× per plan (`estimateStatistics`,
+  * `planInputPartitions`, `outputOrdering`). The sharded layout keeps
+  * per-parse units bounded (~64 file entries each) and every parse
+  * lands in a (path, len, mtime)-signature cache, so repeated plans —
+  * and repeated passes within ONE plan — hit memory, not the namenode.
+  *
+  * Layout under `<table>/_index/<name>/`:
+  *   - `meta.json` — `{"numShards": n, ...consumer fields}`
+  *   - `shard-<k>.jsonl` — one JSON object per covered file:
+  *     `{"file": name, "len": L, "mtime": M, "e": <consumer entry>}`
+  *
+  * Entries are keyed by file NAME and validated against the live
+  * listing's (len, mtime) at probe time: part-file names CAN be reused
+  * across driver sessions (`part-<partitionId>-<taskId>` +
+  * overwrite-mode writers), and a stale entry consulted for a reused
+  * name would prune files on keys they now contain. A signature
+  * mismatch reads as "no entry" — never pruned, the only safe meaning.
+  *
+  * Publish is atomic (stage to a dot-tmp dir, one rename); shard files
+  * are immutable once published, which is what makes the signature
+  * caches sound. Readers resolve all shard signatures from ONE
+  * `listStatus` per planning pass ([[SidecarShards]]).
+  */
+object KvSidecar {
+
+  /** Shard-file parses since JVM start — the spec hook proving repeated
+    * plans hit the cache instead of re-reading the sidecar.
+    */
+  val parseCount = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  def dirOf(tablePath: String, name: String): Path =
+    new Path(tablePath, s"_index/$name")
+
+  /** ~64 file entries per shard, capped so the shard COUNT stays a
+    * single directory listing at any table size.
+    */
+  def numShardsFor(nFiles: Int): Int =
+    math.max(1, math.min(256, (nFiles + 63) / 64))
+
+  /** Stable shard assignment by file name (NOT replayed by any oracle —
+    * purely a storage layout choice).
+    */
+  def shardOf(fileName: String, numShards: Int): Int =
+    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(fileName), numShards)
+
+  def shardFileName(k: Int): String = s"shard-$k.jsonl"
+
+  /** One shard line. `entryJson` is the consumer's compact JSON for the
+    * file (written verbatim under `"e"`).
+    */
+  def entryLine(fileName: String, len: Long, mtime: Long, entryJson: String): String = {
+    val key = JsonMethods.compact(JsonMethods.render(JString(fileName)))
+    s"""{"file":$key,"len":$len,"mtime":$mtime,"e":$entryJson}"""
+  }
+
+  /** Atomically publish a sidecar: `stage` writes shard files into a
+    * temp dir, then meta.json lands beside them and ONE rename flips
+    * `_index/<name>` to the new state. Any legacy monolithic
+    * `_index/<name>.json` from an earlier build is removed.
+    */
+  def publish(tablePath: String, name: String, metaJson: JValue)(
+      stage: Path => Unit): Unit = {
+    val dir = dirOf(tablePath, name)
+    val fs = dir.getFileSystem(ParquetIO.hadoopConf)
+    val tmp = new Path(dir.getParent,
+      s".${name}-tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}")
+    fs.mkdirs(tmp)
+    stage(tmp)
+    val metaOut = fs.create(new Path(tmp, "meta.json"), true)
+    try metaOut.write(JsonMethods.compact(JsonMethods.render(metaJson))
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally metaOut.close()
+    if (fs.exists(dir)) fs.delete(dir, true)
+    require(fs.rename(tmp, dir), s"sidecar publish failed for $dir")
+    val legacy = new Path(dir.getParent, s"$name.json")
+    if (fs.exists(legacy)) fs.delete(legacy, false)
+    ()
+  }
+
+  // ---- cached reads ----------------------------------------------------
+  // meta.json and shard bodies are immutable once published (publish is
+  // a whole-directory swap), so both caches key on (path, len, mtime) —
+  // the ParquetIO.footerInfoCached discipline. Bounded by wholesale
+  // clearing; sidecars are cheap to re-read.
+
+  private val metaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long), Option[JValue]]()
+  private val shardCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      Map[String, (Long, Long, String)]]()
+  private val MaxCacheEntries = 65536
+
+  /** Resolved handle for one planning pass: meta + every shard's
+    * signature from ONE `listStatus` RPC. `entryFor` then costs a cache
+    * lookup per file (first touch of a shard parses it once per
+    * signature, JVM-wide).
+    */
+  final class SidecarShards(
+      val meta: JValue,
+      val numShards: Int,
+      shards: Map[String, (Path, Long, Long)]) {
+
+    /** The raw consumer entry JSON for `fileName`, or None when the file
+      * is uncovered OR its signature no longer matches the live listing
+      * (stale entry — never prune).
+      */
+    def entryFor(fileName: String, len: Long, mtime: Long): Option[String] = {
+      val sf = shardFileName(shardOf(fileName, numShards))
+      shards.get(sf).flatMap { case (p, slen, smtime) =>
+        loadShard(p, slen, smtime).get(fileName).collect {
+          case (elen, emtime, e) if elen == len && emtime == mtime => e
+        }
+      }
+    }
+  }
+
+  /** Open a sidecar for reading: one `getFileStatus`-free `listStatus`
+    * resolves meta + shard signatures. None when absent/unreadable —
+    * consumers must treat that as "no index" (no pruning, no
+    * satisfaction claims).
+    */
+  def open(tablePath: String, name: String): Option[SidecarShards] =
+    scala.util.Try {
+      val dir = dirOf(tablePath, name)
+      val fs = dir.getFileSystem(ParquetIO.hadoopConf)
+      if (!fs.exists(dir)) None
+      else {
+        val statuses = fs.listStatus(dir).filter(_.isFile)
+          .map(s => s.getPath.getName -> ((s.getPath, s.getLen, s.getModificationTime)))
+          .toMap
+        statuses.get("meta.json").flatMap { case (p, len, mtime) =>
+          readMetaCached(p, len, mtime).flatMap { meta =>
+            (meta \ "numShards") match {
+              case JInt(n) =>
+                Some(new SidecarShards(meta, n.toInt, statuses - "meta.json"))
+              case _ => None
+            }
+          }
+        }
+      }
+    }.toOption.flatten
+
+  /** meta.json of a sidecar, or None — the cheap existence probe
+    * (`KvIndex.indexedColumns` path: one status + cached parse).
+    */
+  def readMeta(tablePath: String, name: String): Option[JValue] =
+    scala.util.Try {
+      val p = new Path(dirOf(tablePath, name), "meta.json")
+      val fs = p.getFileSystem(ParquetIO.hadoopConf)
+      if (!fs.exists(p)) None
+      else {
+        val st = fs.getFileStatus(p)
+        readMetaCached(p, st.getLen, st.getModificationTime)
+      }
+    }.toOption.flatten
+
+  private def readMetaCached(p: Path, len: Long, mtime: Long): Option[JValue] = {
+    if (metaCache.size > MaxCacheEntries) metaCache.clear()
+    metaCache.computeIfAbsent((p.toString, len, mtime), _ =>
+      scala.util.Try {
+        val fs = p.getFileSystem(ParquetIO.hadoopConf)
+        val in = fs.open(p)
+        val body = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        JsonMethods.parse(body)
+      }.toOption)
+  }
+
+  /** fileName → (len, mtime, raw entry JSON) for one shard file, parsed
+    * once per (path, len, mtime) JVM-wide. A corrupt line drops only
+    * itself (its file reads as uncovered — never pruned).
+    */
+  private def loadShard(p: Path, len: Long, mtime: Long)
+      : Map[String, (Long, Long, String)] = {
+    if (shardCache.size > MaxCacheEntries) shardCache.clear()
+    shardCache.computeIfAbsent((p.toString, len, mtime), _ =>
+      scala.util.Try {
+        parseCount.incrementAndGet()
+        val fs = p.getFileSystem(ParquetIO.hadoopConf)
+        val in = fs.open(p)
+        val body = try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+        body.linesIterator.flatMap { line =>
+          scala.util.Try {
+            val j = JsonMethods.parse(line)
+            (j \ "file", j \ "len", j \ "mtime", j \ "e") match {
+              case (JString(f), JInt(l), JInt(m), e) =>
+                Some(f -> ((l.toLong, m.toLong, JsonMethods.compact(JsonMethods.render(e)))))
+              case _ => None
+            }
+          }.toOption.flatten
+        }.toMap
+      }.getOrElse(Map.empty))
+  }
+
+  /** Spec/bench hook: drop every cached sidecar parse. */
+  def clearCaches(): Unit = { metaCache.clear(); shardCache.clear() }
+
+  /** Driver-side staging helper: write `entries` (fileName, len, mtime,
+    * entryJson) into shard files under `tmpDir` — used by builders whose
+    * per-entry payload is footer-derived (zone maps). Distributed
+    * builders ([[KvBloom]]) write shard files from executors instead.
+    */
+  def stageEntries(fs: FileSystem, tmpDir: Path, numShards: Int,
+      entries: Iterator[(String, Long, Long, String)]): Unit = {
+    val writers = scala.collection.mutable.Map.empty[Int, java.io.BufferedWriter]
+    try {
+      entries.foreach { case (f, len, mtime, e) =>
+        val k = shardOf(f, numShards)
+        val w = writers.getOrElseUpdate(k, new java.io.BufferedWriter(
+          new java.io.OutputStreamWriter(
+            fs.create(new Path(tmpDir, shardFileName(k)), true),
+            java.nio.charset.StandardCharsets.UTF_8)))
+        w.write(entryLine(f, len, mtime, e))
+        w.write("\n")
+      }
+    } finally writers.values.foreach(w => scala.util.Try(w.close()))
+  }
+}

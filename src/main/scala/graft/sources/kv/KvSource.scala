@@ -553,38 +553,58 @@ class KvScan(path: String, requiredSchema: StructType, tableSchema: StructType,
 
   /** Row groups that survive zone-map + runtime-filter pruning, per file
     * (cached footers — shared by planning and statistics).
+    *
+    * MEMOIZED per filter state: Spark consults a scan 2–3 times per plan
+    * (`estimateStatistics`, `planInputPartitions`, `outputOrdering`),
+    * so the pruning pass — including the sidecar reads — runs once per
+    * plan, not once per consultation. The memo keys on the filter
+    * conjunction because a runtime (DPP) filter can arrive between
+    * consultations.
     */
   private def prunedGroups(): Seq[(Path, ParquetIO.RowGroupInfo)] = {
+    val key: Seq[Filter] = (accepted ++ runtimeFilters).toSeq
+    prunedMemo match {
+      case Some((k, v)) if k == key => v
+      case _ =>
+        val v = prunedGroupsUncached(key)
+        prunedMemo = Some((key, v))
+        v
+    }
+  }
+  @volatile private var prunedMemo
+      : Option[(Seq[Filter], Seq[(Path, ParquetIO.RowGroupInfo)])] = None
+
+  private def prunedGroupsUncached(allFilters: Seq[Filter])
+      : Seq[(Path, ParquetIO.RowGroupInfo)] = {
     // Planning-time zone-map pruning (search-index mode): drop row groups
     // that cannot match the pushed conjunction BEFORE tasks are scheduled
     // — parquet's own stats skipping only saves work after a task starts.
-    // Files/groups the index doesn't cover are never pruned.
-    val allFilters = accepted ++ runtimeFilters
-    val zoneMap = if (allFilters.isEmpty) Map.empty[String, Map[Long, Map[String, KvIndex.Zone]]]
-      else KvIndex.zoneMap(path)
+    // Files/groups the index doesn't cover are never pruned. Sidecars are
+    // sharded + signature-cached (KvSidecar): each handle below costs one
+    // listStatus; per-file probes are cache lookups, and stale entries
+    // (reused file name, new bytes) read as uncovered.
+    val zoneReader = if (allFilters.isEmpty) None else KvIndex.reader(path)
     // Bloom sidecar (KvBloom): whole-file pruning for point lookups on
     // UNCLUSTERED columns, where min/max zones span everything. Same
     // safety contract: files without an entry are never pruned.
-    val bloomMap = if (allFilters.isEmpty) Map.empty[String, Map[String, KvBloom.ColBloom]]
-      else KvBloom.bloomMap(path)
-    def groupMayMatch(file: String, g: ParquetIO.RowGroupInfo): Boolean =
-      zoneMap.get(file).flatMap(_.get(g.startByte)) match {
-        case Some(zones) => allFilters.forall(f => KvIndex.mayMatch(f, zones))
-        case None => true
-      }
+    val bloomReader = if (allFilters.isEmpty) None else KvBloom.reader(path)
     def fileMayMatch(f: Path, len: Long, mtime: Long): Boolean =
       (runtimeFilters.isEmpty || {
         val zones = KvIndex.zonesFromStats(ParquetIO.columnStatsCached(f, len, mtime))
         runtimeFilters.forall(rf => KvIndex.mayMatch(rf, zones))
-      }) && (bloomMap.get(f.toString) match {
+      }) && (bloomReader.flatMap(_.bloomsFor(f.getName, len, mtime)) match {
         case Some(blooms) => allFilters.forall(fl => KvBloom.mayMatch(fl, blooms))
         case None => true
       })
     visibleFiles()
       .filter { case (f, len, mtime) => fileMayMatch(f, len, mtime) }
       .flatMap { case (f, len, mtime) =>
+        val fileZones = zoneReader.flatMap(_.zonesFor(f.getName, len, mtime))
         ParquetIO.footerInfoCached(f, len, mtime)
-          .filter(g => groupMayMatch(f.toString, g))
+          .filter(g => fileZones.flatMap(_.get(g.startByte)) match {
+            case Some(zones) => allFilters.forall(fl => KvIndex.mayMatch(fl, zones))
+            case None => true
+          })
           .map(g => (f, g))
       }
   }

@@ -289,4 +289,66 @@ class KvMergeSpec extends SparkSpec {
       .where(col("v") === 1.0).count()
     assert(matched == ones, s"matched=$matched ones=$ones")
   }
+
+  test("compactMarkers folds committed rlo transactions: zero markers, identical contents") {
+    import graft.sources.ParquetIO
+    graft.Tables.tuneForGates(spark)
+    val dir = java.nio.file.Files.createTempDirectory("kvcm").toString + "/t"
+    (0 until 4).foreach { i =>
+      (0L until 50L).map(k => (i * 100L + k, 1.0)).toDF("k", "v").coalesce(1)
+        .write.format("kv").option("path", dir).mode("append").save()
+    }
+    // two row-level ops → two committed rlo markers
+    spark.sql(s"UPDATE kvcat.`$dir` SET v = 2.0 WHERE k = 5")
+    spark.sql(s"UPDATE kvcat.`$dir` SET v = 3.0 WHERE k = 205")
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(ParquetIO.hadoopConf)
+    val commits = new org.apache.hadoop.fs.Path(dir, "_commits")
+    def markers() = fs.listStatus(commits).map(_.getPath.getName)
+      .count(_.startsWith("rlo-"))
+    assert(markers() == 2)
+    val before = spark.read.format("kv").option("path", dir).load()
+      .orderBy("k").collect().map(_.toString).toSeq
+
+    val folded = KvMerge.compactMarkers(dir)
+    assert(folded == 2)
+    assert(markers() == 0, "all rlo markers retired")
+    assert(!fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .exists(_.getPath.getName.matches("rlo-.*\\.parquet")),
+      "committed rlo parts renamed to plain names")
+    val after = spark.read.format("kv").option("path", dir).load()
+      .orderBy("k").collect().map(_.toString).toSeq
+    assert(after == before, "compaction must not change contents")
+    // idempotent; vacuum finds nothing rlo-related left to sweep
+    assert(KvMerge.compactMarkers(dir) == 0)
+    assert(KvMerge.vacuum(dir, 0L) == 0)
+    // a later row-level op on the compacted table still works
+    spark.sql(s"UPDATE kvcat.`$dir` SET v = 9.0 WHERE k = 305")
+    assert(spark.read.format("kv").option("path", dir).load()
+      .where(col("k") === 305L).head().getDouble(1) == 9.0)
+  }
+
+  test("a concurrent append during maintenance aborts the swap, table intact") {
+    val dir = java.nio.file.Files.createTempDirectory("kvcc").toString + "/t"
+    (0L until 100L).map(i => (i, 1.0)).toDF("k", "v")
+      .write.format("kv").option("path", dir).mode("overwrite").save()
+    // inject: another writer appends between the op's read and its swap
+    KvMerge.testBeforeSwap = () =>
+      Seq((999L, 7.0)).toDF("k", "v").coalesce(1)
+        .write.format("kv").option("path", dir).mode("append").save()
+    try {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        KvMerge.deleteWhere(spark, dir, col("k") < 10L)
+      }
+      assert(e.getMessage.contains("single-writer"))
+    } finally KvMerge.testBeforeSwap = () => ()
+    val rows = spark.read.format("kv").option("path", dir).load()
+    // nothing deleted, the concurrent append survived, no tmp residue
+    assert(rows.count() == 101L)
+    assert(rows.where(col("k") === 999L).count() == 1L)
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(
+      graft.sources.ParquetIO.hadoopConf)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir.merge-tmp")))
+    // with no concurrent writer the same op proceeds
+    assert(KvMerge.deleteWhere(spark, dir, col("k") < 10L) == 10L)
+  }
 }

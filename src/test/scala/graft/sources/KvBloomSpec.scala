@@ -81,12 +81,87 @@ class KvBloomSpec extends SparkSpec {
       .filter(col("k") === 9999L)
     assert(late.count() == 1, "uncovered file must never be pruned")
 
-    // corrupt sidecar: pruning silently disabled, results intact
-    val p = new org.apache.hadoop.fs.Path(dir, "_index/bloom.json")
-    val fs = p.getFileSystem(ParquetIO.hadoopConf)
-    val out = fs.create(p, true); out.write("not json".getBytes); out.close()
+    // corrupt EVERY shard: pruning silently disabled, results intact
+    val d = new org.apache.hadoop.fs.Path(dir, "_index/bloom")
+    val fs = d.getFileSystem(ParquetIO.hadoopConf)
+    fs.listStatus(d).filter(_.getPath.getName.startsWith("shard-")).foreach { st =>
+      val out = fs.create(st.getPath, true); out.write("not json".getBytes); out.close()
+    }
+    graft.sources.kv.KvSidecar.clearCaches()
     val all = spark.read.format("kv").option("path", dir).load()
       .filter(col("k") === 50L)
     assert(all.count() == 1)
+  }
+
+  test("sharded layout on disk; one parse per shard per state — re-plans hit the cache") {
+    val dir = stage()
+    val d = new org.apache.hadoop.fs.Path(dir, "_index/bloom")
+    val fs = d.getFileSystem(ParquetIO.hadoopConf)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(d, "meta.json")),
+      "sharded sidecar must carry meta.json")
+    assert(fs.listStatus(d).exists(_.getPath.getName.startsWith("shard-")),
+      "sharded sidecar must carry shard files")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_index/bloom.json")),
+      "no monolithic sidecar")
+
+    def read() = spark.read.format("kv").option("path", dir).load()
+      .filter(col("k") === 50L)
+    graft.sources.kv.KvSidecar.clearCaches()
+    plannedFiles(read()) // first plan parses shards
+    val afterFirst = graft.sources.kv.KvSidecar.parseCount.get()
+    assert(afterFirst >= 1)
+    (1 to 3).foreach(_ => plannedFiles(read()))
+    assert(graft.sources.kv.KvSidecar.parseCount.get() == afterFirst,
+      "re-planning must not re-parse the sidecar (signature cache)")
+  }
+
+  test("a reused file name with new bytes invalidates its entry — no stale-bloom pruning") {
+    val dir = stage()
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(ParquetIO.hadoopConf)
+    // simulate a later driver session overwriting a sidecar-covered part
+    // file NAME with different contents (part names are deterministic +
+    // writers open with Mode.OVERWRITE): replace the file owning key 50
+    // with bytes that contain ONLY key 424242
+    val victim = ParquetIO.listFiles(dir).find { f =>
+      spark.read.format("kv").option("path", f.toString).load()
+        .filter(col("k") === 50L).count() == 1
+    }.get
+    val tmp = new org.apache.hadoop.fs.Path(dir + ".swap")
+    Seq((424242L, "new")).toDF("k", "v").coalesce(1)
+      .write.format("kv").option("path", tmp.toString).mode("overwrite").save()
+    val donor = ParquetIO.listFiles(tmp.toString).head
+    fs.delete(victim, false)
+    assert(fs.rename(donor, victim))
+    ParquetIO.deletePath(tmp.toString)
+    graft.sources.kv.KvSidecar.clearCaches()
+    // the stale entry's (len, mtime) no longer matches: the file must
+    // NOT be pruned for a key only its NEW bytes contain
+    val got = spark.read.format("kv").option("path", dir).load()
+      .filter(col("k") === 424242L)
+    assert(got.count() == 1,
+      "stale bloom entry (reused name, new bytes) must read as uncovered")
+  }
+
+  test("per-file filter widths: a skewed table gets per-file sizing, not max-file sizing") {
+    val dir = java.nio.file.Files.createTempDirectory("kvbloomw").toString + "/t"
+    (0L until 4000L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1)
+      .write.format("kv").option("path", dir).mode("append").save()
+    Seq((99999L, "small")).toDF("k", "v").coalesce(1)
+      .write.format("kv").option("path", dir).mode("append").save()
+    graft.sources.kv.KvBloom.build(spark, dir, Seq("k"))
+    val reader = graft.sources.kv.KvBloom.reader(dir).get
+    val widths = ParquetIO.listFilesStatus(dir).flatMap { case (f, len, mt) =>
+      reader.bloomsFor(f.getName, len, mt).map(_("k").numBits)
+    }
+    assert(widths.length == 2, s"both files covered: $widths")
+    assert(widths.max >= 4000 * 10 && widths.min == 64,
+      s"per-file widths expected (got $widths): the small file must not " +
+        "pay the big file's width")
+    // and the filters still answer correctly
+    def lookup(k: Long) = spark.read.format("kv").option("path", dir).load()
+      .filter(col("k") === k)
+    assert(lookup(99999L).count() == 1)
+    assert(lookup(123L).count() == 1)
+    assert(lookup(555555L).count() == 0)
   }
 }

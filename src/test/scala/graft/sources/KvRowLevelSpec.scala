@@ -138,7 +138,8 @@ class KvRowLevelSpec extends SparkSpec {
     // commit a marker replacing one file: the flip is visible immediately
     val victim = new org.apache.hadoop.fs.Path(
       byFile.collect { case (f, ks) if ks.contains(300L) => f }.head)
-    ParquetIO.writeRloMarker(dir, strayTx, Seq(victim.getName))
+    ParquetIO.writeRloMarker(dir, strayTx, Seq(victim.getName),
+      ParquetIO.maxCommittedEpoch(dir))
     val visible = spark.read.format("kv").option("path", dir).load()
       .select("k").as[Long].collect()
     assert(!visible.contains(300L), "replaced file must be hidden")
@@ -149,6 +150,23 @@ class KvRowLevelSpec extends SparkSpec {
     assert(fs.exists(victim))
     val swept = graft.operators.KvMerge.vacuum(dir, olderThanMs = 0L)
     assert(swept >= 1 && !fs.exists(victim), s"vacuum swept $swept")
+  }
+
+  test("one scan instance per operation: every ScanBuilder.build() returns the same scan") {
+    // the commit reads replacedFiles() from the operation's scan; if a
+    // second scan were ever built (e.g. a matching-rows subquery) and
+    // the runtime group filter landed on the other copy, the commit
+    // would replace files the rewrite never read — a silent data loss.
+    // One shared instance makes the question moot.
+    val dir = stage()
+    val schema = spark.read.format("kv").option("path", dir).load().schema
+    val op = new graft.sources.kv.KvRowLevelOperation(dir, schema,
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.UPDATE,
+      32, 64L)
+    val opts = org.apache.spark.sql.util.CaseInsensitiveStringMap.empty()
+    val s1 = op.newScanBuilder(opts).build()
+    val s2 = op.newScanBuilder(opts).build()
+    assert(s1 eq s2, "row-level operation must hand out ONE scan instance")
   }
 
   test("MERGE replay is idempotent — the streaming foreachBatch exactly-once argument") {

@@ -101,4 +101,31 @@ class KvTimeTravelSpec extends SparkSpec {
     assert(read(dir, Some(0L)).where(col("k") === 100L).count() == 1)
     assert(read(dir, Some(0L)).count() == 4)
   }
+
+  test("row-level ops fold history: snapshots below the rlo watermark fail loudly") {
+    val dir = stage()
+    graft.Tables.tuneForGates(spark)
+    // a row-level UPDATE rewrites (and deletes) bytes from epoch files —
+    // its marker records watermark 2 (the highest committed epoch)
+    spark.sql(s"UPDATE kvcat.`$dir` SET v = 'rewritten' WHERE k = 11")
+    // snapshots at/above the watermark include the rewrite
+    val atWm = read(dir, Some(2L)).where(col("k") === 11L).head().getString(1)
+    assert(atWm == "rewritten")
+    assert(read(dir, Some(2L)).count() == 9)
+    // snapshots BELOW it cannot be reconstructed (the replaced epoch-1
+    // bytes are gone): fail with a clear error, never silently serve
+    // post-rewrite values for a pre-rewrite epoch
+    val e = intercept[Exception] {
+      read(dir, Some(0L)).count()
+    }
+    def rootMsg(t: Throwable): String =
+      if (t.getCause == null) t.getMessage else t.getMessage + rootMsg(t.getCause)
+    assert(rootMsg(e).contains("row-level operation"), rootMsg(e))
+
+    // marker compaction keeps the gate through the recorded floor
+    assert(graft.operators.KvMerge.compactMarkers(dir) == 1)
+    val e2 = intercept[Exception] { read(dir, Some(1L)).count() }
+    assert(rootMsg(e2).contains("compacted row-level history"), rootMsg(e2))
+    assert(read(dir, Some(2L)).count() == 9)
+  }
 }
