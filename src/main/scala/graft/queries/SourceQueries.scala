@@ -391,6 +391,33 @@ object SourceQueries {
       s.read.table(s"kvcat.`$staged`").orderBy(col("n_nationkey"))
     }),
 
+    // Schema evolution, step 2: ALTER COLUMN TYPE widening (int → long,
+    // float → double), metadata-only. Pre-widening files keep INT32 /
+    // FLOAT storage and upcast at read time; the post-widening append
+    // carries keys beyond Int.MaxValue — only the widened type can hold
+    // the table. The filter exercises the mixed-physical pushdown path
+    // (the column drops out of the common schema, so the predicate is
+    // applied as a residual, never compiled against the wrong width).
+    "q_kv_widen_column" -> ((s, dir) => {
+      graft.Tables.tuneForGates(s) // kvcat catalog
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val staged = s"/tmp/graft_widen$safe"
+      ParquetIO.deletePath(staged)
+      val supplier = graft.Tables.load(s, dir, "supplier")
+      supplier.select(col("s_suppkey").cast("int").as("s_suppkey"),
+          col("s_name"), col("s_acctbal").cast("float").as("s_acctbal"))
+        .write.format("kv").option("path", staged).mode("overwrite").save()
+      s.sql(s"ALTER TABLE kvcat.`$staged` ALTER COLUMN s_suppkey TYPE BIGINT")
+      s.sql(s"ALTER TABLE kvcat.`$staged` ALTER COLUMN s_acctbal TYPE DOUBLE")
+      supplier.select((col("s_suppkey") + lit(5000000000L)).as("s_suppkey"),
+          col("s_name"),
+          (col("s_acctbal").cast("float").cast("double") + 0.5).as("s_acctbal"))
+        .write.format("kv").option("path", staged).mode("append").save()
+      s.read.table(s"kvcat.`$staged`")
+        .where(col("s_suppkey") > 10L)
+        .orderBy(col("s_suppkey"))
+    }),
+
     // Table maintenance end-to-end: a 8-file kv table is compacted to 2
     // range-clustered files (crash-safe swap), then queried — contents
     // must be untouched by the rewrite.
@@ -1057,6 +1084,21 @@ object SourceQueries {
         |  CAST(n_regionkey AS BIGINT)
         |FROM nation
         |ORDER BY n_nationkey""".stripMargin,
+
+    // widening: old rows' float/int storage upcast exactly (IEEE
+    // float→double promotion is exact, so no rounding is needed);
+    // appended keys sit beyond Int.MaxValue
+    "q_kv_widen_column" ->
+      """SELECT s_suppkey, s_name, s_acctbal FROM (
+        |  SELECT CAST(s_suppkey AS BIGINT) AS s_suppkey, s_name,
+        |    CAST(CAST(s_acctbal AS FLOAT) AS DOUBLE) AS s_acctbal
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT CAST(s_suppkey + 5000000000 AS BIGINT), s_name,
+        |    CAST(CAST(s_acctbal AS FLOAT) AS DOUBLE) + 0.5
+        |  FROM supplier
+        |)
+        |WHERE s_suppkey > 10 ORDER BY s_suppkey""".stripMargin,
 
     "q_kv_compact" ->
       """SELECT o_orderpriority, count(*) AS n, min(o_orderkey) AS min_key,

@@ -51,6 +51,11 @@ object KvAggregates {
     def toInternal(v: Any, dt: DataType): Any = (v, dt) match {
       case (l: java.lang.Long, LongType) => l.longValue()
       case (d: java.lang.Double, DoubleType) => d.doubleValue()
+      // widened columns (ALTER COLUMN int → long / float → double):
+      // pre-widening files carry narrow footer stats; the upcast is
+      // exact, same as the read path's storage-widening decode
+      case (i: java.lang.Integer, LongType) => i.longValue()
+      case (f: java.lang.Float, DoubleType) => f.doubleValue()
       case (b: org.apache.parquet.io.api.Binary, StringType) =>
         UTF8String.fromBytes(b.getBytes)
       case _ => null // type mismatch between footer and catalog → refuse
@@ -82,23 +87,20 @@ object KvAggregates {
           name <- colName(m.column)
           dt <- sparkType(name)
           (_, mins, _) <- folded(name)
-          v = mins.map(toInternal(_, dt)).filter(_ != null) match {
-            case Nil => null
-            case vs => minOf(vs, dt)
-          }
-          if mins.isEmpty || v != null // conversion failed → refuse
-        } yield (dt, v: Any, true)
+          vs = mins.map(toInternal(_, dt))
+          // ANY failed conversion refuses the pushdown — folding only
+          // the convertible files' stats would silently answer from a
+          // subset of the table
+          if !vs.contains(null)
+        } yield (dt, (if (vs.isEmpty) null else minOf(vs, dt)): Any, true)
       case m: Max =>
         for {
           name <- colName(m.column)
           dt <- sparkType(name)
           (_, _, maxs) <- folded(name)
-          v = maxs.map(toInternal(_, dt)).filter(_ != null) match {
-            case Nil => null
-            case vs => maxOf(vs, dt)
-          }
-          if maxs.isEmpty || v != null
-        } yield (dt, v: Any, true)
+          vs = maxs.map(toInternal(_, dt))
+          if !vs.contains(null)
+        } yield (dt, (if (vs.isEmpty) null else maxOf(vs, dt)): Any, true)
       case _ => None
     }
     if (compiled.exists(_.isEmpty)) None

@@ -58,38 +58,90 @@ class KvCatalog extends TableCatalog with FunctionCatalog {
       partitions: Array[Transform], properties: util.Map[String, String]): Table =
     throw new UnsupportedOperationException(
       "kv catalog is path-addressed: write with df.write.format(\"kv\").option(\"path\", ...)")
-  /** Schema evolution, metadata-only: `ALTER TABLE … ADD COLUMN` appends
-    * nullable columns to the persisted schema sidecar ([[KvSchemaMeta]])
-    * — NO data rewrite (at 100 TB "rewrite the table to add a column" is
-    * not a plan). Files written before the evolution simply lack the
-    * column and read as NULL (the kv source's sparse-attribute read
-    * path); `snapshot.epoch` time travel keeps showing the pre-evolution
-    * schema because snapshot inference reads visible files' footers, not
-    * the sidecar. Everything except ADD COLUMN is rejected.
+  /** Schema evolution, metadata-only — NO data rewrite either way (at
+    * 100 TB "rewrite the table to evolve the schema" is not a plan):
+    *
+    *  - `ADD COLUMN` appends nullable columns to the persisted schema
+    *    sidecar ([[KvSchemaMeta]]); files written before the evolution
+    *    simply lack the column and read as NULL (the kv source's
+    *    sparse-attribute read path).
+    *  - `ALTER COLUMN … TYPE` WIDENS a column (int → long,
+    *    float → double): pre-evolution files keep their narrow storage
+    *    and upcast at read time (the row reader's storage-widening
+    *    decode; the vectorized plane declines mixed-physical columns,
+    *    filter pushdown on them degrades to residuals via the
+    *    common-schema check, and footer-aggregate pushdown refuses on
+    *    physical/declared mismatch — all pre-existing safety paths).
+    *    Narrowing and cross-family changes are REJECTED: old bytes
+    *    can't be re-read through a smaller type. A Bloom sidecar
+    *    covering the column is dropped — its hashes were computed in
+    *    the old value domain (xxhash64 of int ≠ xxhash64 of the same
+    *    value as long) and a stale probe would silently prune files
+    *    that match; rebuild with [[KvBloom.build]] after widening.
+    *    Zone maps survive: both sides of their comparisons normalize
+    *    to long/double already.
+    *
+    * `snapshot.epoch` time travel keeps showing the pre-evolution
+    * schema because snapshot inference reads visible files' footers,
+    * not the sidecar. Everything else is rejected.
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    import org.apache.spark.sql.types._
     val path = pathOf(ident)
     if (!tableExists(ident))
       throw new org.apache.spark.sql.catalyst.analysis.NoSuchTableException(ident)
     val current = new KvSource().inferSchema(new CaseInsensitiveStringMap(
       java.util.Collections.singletonMap("path", path)))
-    val added = changes.map {
-      case add: TableChange.AddColumn =>
+
+    def widens(from: DataType, to: DataType): Boolean = (from, to) match {
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+
+    val evolved = changes.foldLeft(current) {
+      case (schema, add: TableChange.AddColumn) =>
         require(add.fieldNames().length == 1,
           s"kv ADD COLUMN supports top-level columns only, got " +
             add.fieldNames().mkString("."))
         val name = add.fieldNames()(0)
-        require(!current.fieldNames.exists(_.equalsIgnoreCase(name)),
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
           s"column '$name' already exists in kv table $path")
         require(add.position() == null,
           "kv ADD COLUMN appends at the end; FIRST/AFTER positions are not supported")
         // always nullable: pre-evolution files have no values for it
-        org.apache.spark.sql.types.StructField(name, add.dataType(), nullable = true)
-      case other => throw new UnsupportedOperationException(
-        s"kv catalog supports ALTER TABLE ADD COLUMN only, got $other")
+        StructType(schema.fields :+ StructField(name, add.dataType(), nullable = true))
+      case (schema, upd: TableChange.UpdateColumnType) =>
+        require(upd.fieldNames().length == 1,
+          s"kv ALTER COLUMN supports top-level columns only, got " +
+            upd.fieldNames().mkString("."))
+        val name = upd.fieldNames()(0)
+        val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+        require(idx >= 0, s"column '$name' does not exist in kv table $path")
+        val from = schema(idx).dataType
+        if (from != upd.newDataType()) {
+          require(widens(from, upd.newDataType()),
+            s"kv ALTER COLUMN only widens (INT -> BIGINT, FLOAT -> DOUBLE): " +
+              s"'$name' is ${from.simpleString}, requested " +
+              s"${upd.newDataType().simpleString} — existing bytes cannot be " +
+              "re-read through a narrower or cross-family type")
+          // stale hash domain: a bloom built on the narrow type would
+          // silently prune files that match the widened probes
+          if (KvSidecar.readMeta(path, KvBloom.SidecarName).exists { m =>
+            (m \ "columns") match {
+              case org.json4s.JArray(cs) =>
+                cs.exists { case org.json4s.JString(c) => c.equalsIgnoreCase(name)
+                            case _ => false }
+              case _ => false
+            }
+          }) KvSidecar.drop(path, KvBloom.SidecarName)
+        }
+        StructType(schema.fields.updated(idx,
+          schema(idx).copy(dataType = upd.newDataType())))
+      case (_, other) => throw new UnsupportedOperationException(
+        s"kv catalog supports ALTER TABLE ADD COLUMN / ALTER COLUMN TYPE only, got $other")
     }
-    KvSchemaMeta.record(path,
-      KvSchemaMeta.union(current, org.apache.spark.sql.types.StructType(added)))
+    KvSchemaMeta.replace(path, evolved)
     loadTable(ident)
   }
   override def dropTable(ident: Identifier): Boolean =

@@ -36,9 +36,20 @@ object KvSchemaMeta {
   def record(tablePath: String, schema: StructType): Unit =
     scala.util.Try(recordUnsafe(tablePath, schema)).getOrElse(())
 
-  private def recordUnsafe(tablePath: String, schema: StructType): Unit = {
-    val nullable = allNullable(schema)
-    val merged = read(tablePath).map(union(_, nullable)).getOrElse(nullable)
+  private def recordUnsafe(tablePath: String, schema: StructType): Unit =
+    writeSchema(tablePath, read(tablePath)
+      .map(union(_, allNullable(schema))).getOrElse(allNullable(schema)))
+
+  /** Replace the persisted schema WHOLESALE — the schema-evolution DDL
+    * path (`ALTER COLUMN … TYPE`), where the new field type must WIN
+    * over the recorded one; `record`'s first-wins union would keep the
+    * old type forever. Unlike `record` this is not best-effort: DDL
+    * must fail loudly when the sidecar can't be written.
+    */
+  def replace(tablePath: String, schema: StructType): Unit =
+    writeSchema(tablePath, allNullable(schema))
+
+  private def writeSchema(tablePath: String, merged: StructType): Unit = {
     val p = metaFile(tablePath)
     val fs = p.getFileSystem(ParquetIO.hadoopConf)
     fs.mkdirs(p.getParent)

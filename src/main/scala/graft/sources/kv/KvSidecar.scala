@@ -211,6 +211,20 @@ object KvSidecar {
   /** Spec/bench hook: drop every cached sidecar parse. */
   def clearCaches(): Unit = { metaCache.clear(); shardCache.clear() }
 
+  /** Delete a sidecar (and any legacy monolithic blob) — the
+    * invalidation path when an index's contents can no longer be
+    * trusted (e.g. a column-type widening changes the Bloom hash
+    * domain). Absence is always safe: readers degrade to "no index".
+    */
+  def drop(tablePath: String, name: String): Unit = {
+    val dir = dirOf(tablePath, name)
+    val fs = dir.getFileSystem(ParquetIO.hadoopConf)
+    if (fs.exists(dir)) fs.delete(dir, true)
+    val legacy = new Path(dir.getParent, s"$name.json")
+    if (fs.exists(legacy)) fs.delete(legacy, false)
+    ()
+  }
+
   /** Driver-side staging helper: write `entries` (fileName, len, mtime,
     * entryJson) into shard files under `tmpDir` — used by builders whose
     * per-entry payload is footer-derived (zone maps). Distributed

@@ -51,7 +51,97 @@ class KvAlterSpec extends SparkSpec {
     val drop = intercept[Exception] {
       spark.sql(s"ALTER TABLE kvcat.`$dir` DROP COLUMN v")
     }
-    assert(drop.getMessage.contains("ADD COLUMN only") ||
+    assert(drop.getMessage.contains("ALTER COLUMN TYPE only") ||
       drop.getMessage.toLowerCase.contains("unsupported"), drop.getMessage)
+  }
+
+  test("ALTER COLUMN widening is metadata-only; narrow storage upcasts on read") {
+    graft.Tables.tuneForGates(spark)
+    val dir = java.nio.file.Files.createTempDirectory("kvwiden").toString + "/t"
+    Seq((1, 1.5f), (2, 2.5f)).toDF("k", "p")
+      .write.format("kv").option("path", dir).mode("overwrite").save()
+    val filesBefore = ParquetIO.listFilesStatus(dir)
+      .map { case (f, len, mt) => (f.toString, len, mt) }.sorted
+    spark.sql(s"ALTER TABLE kvcat.`$dir` ALTER COLUMN k TYPE BIGINT")
+    spark.sql(s"ALTER TABLE kvcat.`$dir` ALTER COLUMN p TYPE DOUBLE")
+    // metadata-only: same files, same bytes, same mtimes
+    assert(ParquetIO.listFilesStatus(dir)
+      .map { case (f, len, mt) => (f.toString, len, mt) }.sorted == filesBefore)
+    // the widened types are immediately visible; old values upcast exactly
+    val evolved = spark.read.format("kv").option("path", dir).load()
+    assert(evolved.schema("k").dataType.simpleString == "bigint")
+    assert(evolved.schema("p").dataType.simpleString == "double")
+    // an append can now carry values only the wide type holds
+    Seq((5000000000L, 3.5)).toDF("k", "p")
+      .write.format("kv").option("path", dir).mode("append").save()
+    val all = spark.read.format("kv").option("path", dir).load()
+      .orderBy("k").collect()
+    assert(all.map(_.getLong(0)).toSeq == Seq(1L, 2L, 5000000000L))
+    assert(all.map(_.getDouble(1)).toSeq == Seq(1.5, 2.5, 3.5))
+    // a pushed filter on the mixed-physical column stays correct (the
+    // column drops out of the common schema → residual re-apply)
+    assert(spark.read.format("kv").option("path", dir).load()
+      .where(col("k") > 1L).count() == 2)
+    // footer-aggregate pushdown folds narrow files' stats through the
+    // exact upcast — the answer must cover ALL files, not just the
+    // post-widening ones
+    val agg = spark.read.format("kv").option("path", dir).load()
+      .agg(min(col("k")).as("mn"), max(col("k")).as("mx")).head()
+    assert(agg.getLong(0) == 1L && agg.getLong(1) == 5000000000L)
+  }
+
+  test("ALTER COLUMN rejects narrowing and cross-family changes") {
+    val dir = stage() // k: bigint, v: string
+    // Spark's analyzer pre-rejects non-upcasts (NOT_SUPPORTED_CHANGE_COLUMN);
+    // the catalog's own lattice check backstops direct TableChange callers
+    // and analyzer-permitted upcasts outside the kv lattice (e.g. int→string)
+    val narrow = intercept[Exception] {
+      spark.sql(s"ALTER TABLE kvcat.`$dir` ALTER COLUMN k TYPE INT")
+    }
+    assert(narrow.getMessage.contains("only widens") ||
+      narrow.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), narrow.getMessage)
+    val cross = intercept[Exception] {
+      spark.sql(s"ALTER TABLE kvcat.`$dir` ALTER COLUMN v TYPE BIGINT")
+    }
+    assert(cross.getMessage.contains("only widens") ||
+      cross.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), cross.getMessage)
+    // an upcast Spark allows but the kv lattice doesn't (long → string)
+    // is stopped by the catalog check
+    val toStr = intercept[Exception] {
+      spark.sql(s"ALTER TABLE kvcat.`$dir` ALTER COLUMN k TYPE STRING")
+    }
+    assert(toStr.getMessage.contains("only widens") ||
+      toStr.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN"), toStr.getMessage)
+    val missing = intercept[Exception] {
+      spark.sql(s"ALTER TABLE kvcat.`$dir` ALTER COLUMN zz TYPE BIGINT")
+    }
+    assert(missing.getMessage.toLowerCase.contains("does not exist") ||
+      missing.getMessage.toLowerCase.contains("cannot be resolved") ||
+      missing.getMessage.toLowerCase.contains("unresolved"), missing.getMessage)
+    // table unchanged after the failures
+    assert(spark.read.format("kv").option("path", dir).load().count() == 2)
+  }
+
+  test("widening drops a Bloom sidecar built in the old hash domain") {
+    graft.Tables.tuneForGates(spark)
+    val dir = java.nio.file.Files.createTempDirectory("kvwbloom").toString + "/t"
+    (0 until 4).foreach { i =>
+      Seq.tabulate(25)(j => (i * 100 + j, s"r$i-$j")).toDF("k", "v").coalesce(1)
+        .write.format("kv").option("path", dir).mode("append").save()
+    }
+    graft.sources.kv.KvBloom.build(spark, dir, Seq("k"))
+    assert(graft.sources.kv.KvBloom.reader(dir).isDefined)
+    spark.sql(s"ALTER TABLE kvcat.`$dir` ALTER COLUMN k TYPE BIGINT")
+    // the sidecar hashed int values; long probes would hash differently
+    // and silently prune matching files — it must be GONE, not stale
+    assert(graft.sources.kv.KvBloom.reader(dir).isEmpty,
+      "bloom sidecar must be invalidated by widening")
+    // point lookup still correct without the index
+    assert(spark.read.format("kv").option("path", dir).load()
+      .where(col("k") === 205L).count() == 1)
+    // a rebuild hashes the widened domain and prunes correctly again
+    graft.sources.kv.KvBloom.build(spark, dir, Seq("k"))
+    assert(spark.read.format("kv").option("path", dir).load()
+      .where(col("k") === 205L).count() == 1)
   }
 }
