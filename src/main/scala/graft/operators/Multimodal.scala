@@ -290,6 +290,224 @@ object Multimodal {
       parseFrames(p).orElse(parseAviFrames(p))
   }
 
+  /** ISO BMFF (mp4) BOX-STRUCTURE walk — container-level metadata for
+    * the dominant real-world video format. The JDK ships no H.264/AAC
+    * codec, so FRAMES keep the decode_error honesty contract
+    * ([[sampleFrames]]); what CAN be answered honestly is the box
+    * structure itself: major brand (ftyp), movie timescale + duration
+    * (moov/mvhd, version 0 and 1 layouts), track count (trak boxes) and
+    * each track's sample-entry codec fourcc (trak/mdia/minf/stbl/stsd)
+    * — pure big-endian size/type box parsing, the same discipline as
+    * the RIFF walks ([[WavCodec]]/[[VideoCodec.parseAviFrames]]).
+    * Anything malformed (bad sizes, truncation, missing moov/mvhd) →
+    * None, never invented properties. Public layout: ISO/IEC 14496-12.
+    */
+  object Mp4Codec {
+
+    case class Mp4Meta(majorBrand: String, timescale: Long, durationUnits: Long,
+        nTracks: Int, codecs: Seq[String])
+
+    /** Minimal standards-shaped mp4 fixture, deterministic from `id`:
+      * ftyp('isom') + moov(mvhd timescale 600, duration (id%97+3)*600;
+      * one 'avc1' video trak, plus one 'mp4a' audio trak when id%3==0 —
+      * each with tkhd/mdia/mdhd/hdlr/minf/stbl/stsd) + an opaque mdat. Sample tables beyond stsd are elided: the fixture
+      * exists to prove the METADATA walk; its frames are intentionally
+      * undecodable (no JVM codec), which is exactly what the frame path
+      * must surface.
+      */
+    def encodeMp4(id: Long): Array[Byte] = {
+      def box(tpe: String, body: Array[Byte]): Array[Byte] = {
+        val buf = java.nio.ByteBuffer.allocate(8 + body.length)
+        buf.putInt(8 + body.length).put(tpe.getBytes("US-ASCII")).put(body)
+        buf.array()
+      }
+      def be(fields: Seq[Int]): Array[Byte] = {
+        val buf = java.nio.ByteBuffer.allocate(4 * fields.length)
+        fields.foreach(buf.putInt)
+        buf.array()
+      }
+      val timescale = 600
+      val durationUnits = ((id % 97) + 3).toInt * 600
+      val nTracks = if (id % 3 == 0) 2 else 1
+
+      val ftyp = box("ftyp",
+        "isom".getBytes("US-ASCII") ++ be(Seq(512)) ++
+          "isom".getBytes("US-ASCII") ++ "mp41".getBytes("US-ASCII"))
+      // mvhd v0: ver/flags, creation, modification, timescale, duration,
+      // rate 1.0, volume 1.0 (+reserved), reserved[2], unity matrix,
+      // predefined[6], next track id
+      val mvhd = box("mvhd", be(Seq(
+        0, 0, 0, timescale, durationUnits, 0x00010000, 0x01000000, 0, 0,
+        0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000,
+        0, 0, 0, 0, 0, 0, nTracks + 1)))
+      def trak(trackId: Int, handler: String, codec: String): Array[Byte] = {
+        val tkhd = box("tkhd", be(Seq(
+          7, 0, 0, trackId, 0, durationUnits, 0, 0, 0, 0, 0,
+          0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000, 0, 0)))
+        val mdhd = box("mdhd", be(Seq(0, 0, 0, timescale, durationUnits,
+          0x55C40000))) // lang 'und' + predefined
+        val hdlr = box("hdlr", be(Seq(0, 0)) ++
+          handler.getBytes("US-ASCII") ++ be(Seq(0, 0, 0)) ++ Array(0.toByte))
+        // one sample entry: 6 reserved bytes + data_ref_index, then a
+        // codec-shaped body (dimensions/rates for video, channel/rate
+        // for audio) — enough structure for any stsd-aware reader
+        val entryBody =
+          if (handler == "vide") be(Seq(0, 0x0001, 0, 0, 0, 0x00400030,
+            0x00480000, 0x00480000, 0, 0x00010000, 0, 0, 0, 0, 0, 0, 0, 0,
+            0x00180000)).take(78)
+          else be(Seq(0, 0x0001, 0, 0, 0x00020010, 0, 0xAC440000)).take(28)
+        val stsd = box("stsd", be(Seq(0, 1)) ++ box(codec, entryBody))
+        val stbl = box("stbl", stsd)
+        val minf = box("minf", stbl)
+        val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+        box("trak", tkhd ++ mdia)
+      }
+      val traks = (1 to nTracks).map { t =>
+        if (t == 1) trak(1, "vide", "avc1") else trak(2, "soun", "mp4a")
+      }.foldLeft(Array.emptyByteArray)(_ ++ _)
+      val moov = box("moov", mvhd ++ traks)
+      val mdat = box("mdat",
+        Array.tabulate(16 + (id % 32).toInt)(i => ((id * 31 + i) & 0xff).toByte))
+      ftyp ++ moov ++ mdat
+    }
+
+    /** The REAL box walk. None for anything that is not a well-formed
+      * mp4 with ftyp + moov/mvhd — the caller surfaces a decode_error.
+      */
+    def parseMeta(p: Array[Byte]): Option[Mp4Meta] = {
+      if (p == null || p.length < 16) return None
+      def ascii(off: Int, n: Int): String = new String(p, off, n, "US-ASCII")
+      def be32(off: Int): Long =
+        (((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xff) << 16) |
+          ((p(off + 2) & 0xff) << 8) | (p(off + 3) & 0xff)) & 0xffffffffL
+      def be64(off: Int): Long = (be32(off) << 32) | be32(off + 4)
+
+      /** Walk sibling boxes in [start, end): (type, bodyStart, bodyEnd). */
+      def children(start: Int, end: Int): Option[Seq[(String, Int, Int)]] = {
+        val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+        var off = start
+        while (off + 8 <= end) {
+          val size32 = be32(off)
+          val tpe = ascii(off + 4, 4)
+          if (!tpe.forall(c => c >= 0x20 && c < 0x7f)) return None
+          val (hdr, size) =
+            if (size32 == 1L) { if (off + 16 > end) return None; (16, be64(off + 8)) }
+            else if (size32 == 0L) (8, (end - off).toLong) // box runs to end
+            else (8, size32)
+          if (size < hdr || off + size > end) return None
+          out += ((tpe, off + hdr, off + size.toInt))
+          off += size.toInt
+        }
+        if (off != end) return None
+        Some(out.toSeq)
+      }
+
+      def fullBoxBody(b: (String, Int, Int)): (Int, Int) = ((p(b._2) & 0xff), b._2 + 4)
+
+      children(0, p.length).flatMap { top =>
+        for {
+          ftyp <- top.find(_._1 == "ftyp")
+          _ <- if (ftyp._3 - ftyp._2 >= 4) Some(()) else None
+          brand = ascii(ftyp._2, 4)
+          moov <- top.find(_._1 == "moov")
+          moovKids <- children(moov._2, moov._3)
+          mvhd <- moovKids.find(_._1 == "mvhd")
+          (ver, body) = fullBoxBody(mvhd)
+          tsDur <- ver match {
+            case 0 if mvhd._3 - body >= 16 => Some((be32(body + 8), be32(body + 12)))
+            case 1 if mvhd._3 - body >= 24 => Some((be32(body + 16), be64(body + 20)))
+            case _ => None
+          }
+          traks = moovKids.filter(_._1 == "trak")
+          codecs = traks.flatMap { t =>
+            for {
+              kids <- children(t._2, t._3)
+              mdia <- kids.find(_._1 == "mdia")
+              mk <- children(mdia._2, mdia._3)
+              minf <- mk.find(_._1 == "minf")
+              ik <- children(minf._2, minf._3)
+              stbl <- ik.find(_._1 == "stbl")
+              sk <- children(stbl._2, stbl._3)
+              stsd <- sk.find(_._1 == "stsd")
+              // stsd body: ver/flags + entry_count, then the first
+              // sample entry box whose TYPE is the codec fourcc
+              (_, b) = fullBoxBody(stsd)
+              entries <- children(b + 4, stsd._3)
+              first <- entries.headOption
+            } yield first._1
+          }
+        } yield Mp4Meta(brand, tsDur._1, tsDur._2, traks.length, codecs)
+      }
+    }
+  }
+
+  /** Attach a real mp4 fixture payload derived from a long id column
+    * (the mp4 sibling of [[withGfvPayload]]/[[withAviPayload]]).
+    */
+  def withMp4Payload(df: DataFrame, idCol: String, payloadCol: String = "payload"): DataFrame = {
+    val schema = StructType(df.schema.fields :+ StructField(payloadCol, BinaryType))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map(r => Row.fromSeq(r.toSeq :+ Mp4Codec.encodeMp4(r.getLong(idIdx))))
+    }(enc)
+  }
+
+  /** Container-level video metadata over the REAL walks — what a crawl
+    * triage pass needs before any codec runs: which container, how
+    * long, how many tracks, which codecs — per payload:
+    *
+    *  - mp4 → (container 'mp4', major brand, timescale, duration in
+    *    units + exact milliseconds, track count, codec fourccs)
+    *  - AVI / GFV → container tag + frame count (the walk's truth;
+    *    these containers carry no declared duration the walk trusts)
+    *  - anything else → ONE row with `decode_error`, null metadata —
+    *    never fabricated properties.
+    *
+    * Row-local `mapPartitions`, no shuffle — scales like every other
+    * decode-plane operator here.
+    */
+  def videoContainerMeta(df: DataFrame, payloadCol: String): DataFrame = {
+    val schema = StructType(df.schema.fields ++ Seq(
+      StructField("container", StringType, nullable = true),
+      StructField("major_brand", StringType, nullable = true),
+      StructField("timescale", LongType, nullable = true),
+      StructField("duration_units", LongType, nullable = true),
+      StructField("duration_ms", LongType, nullable = true),
+      StructField("n_tracks", IntegerType, nullable = true),
+      StructField("codecs", StringType, nullable = true),
+      StructField("n_frames", IntegerType, nullable = true),
+      StructField("decode_error", StringType, nullable = true)))
+    val payloadIdx = df.schema.fieldIndex(payloadCol)
+    val enc = org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]](payloadIdx)
+        val meta: Seq[Any] = Mp4Codec.parseMeta(p) match {
+          case Some(m) =>
+            // integer-exact ms: units * 1000 / timescale (timescale > 0
+            // enforced by the walk's well-formedness; guard anyway)
+            val ms = if (m.timescale > 0) m.durationUnits * 1000L / m.timescale
+              else null
+            Seq("mp4", m.majorBrand, m.timescale, m.durationUnits, ms,
+              m.nTracks, m.codecs.mkString(","), null, null)
+          case None => VideoCodec.parseFrames(p) match {
+            case Some(frames) =>
+              Seq("gfv", null, null, null, null, null, null, frames.length, null)
+            case None => VideoCodec.parseAviFrames(p) match {
+              case Some(frames) =>
+                Seq("avi", null, null, null, null, null, null, frames.length, null)
+              case None =>
+                Seq(null, null, null, null, null, null, null, null,
+                  "unsupported container")
+            }
+          }
+        }
+        Row.fromSeq(r.toSeq ++ meta)
+      }
+    }(enc)
+  }
+
   /** Attach a real GFV video payload derived from a long id column
     * (fixture helper — the video sibling of [[withPngPayload]] /
     * [[withWavPayload]]).
@@ -696,8 +914,17 @@ object Multimodal {
             frames.take(framesPerDoc).iterator.zipWithIndex.map {
               case (f, i) => Row.fromSeq(r.toSeq ++ Seq(i, f, null))
             }
-          case None => Iterator.single(
-            Row.fromSeq(r.toSeq ++ Seq(null, null, "unsupported container")))
+          case None =>
+            // a RECOGNIZED mp4 errors with the specific truth (container
+            // walked fine, tracks need a codec the JVM doesn't ship) —
+            // triage can tell "not a video" from "video we can't decode"
+            val err = Mp4Codec.parseMeta(payload) match {
+              case Some(m) =>
+                s"mp4 container recognized (codecs=${m.codecs.mkString(",")}) " +
+                  "but no JVM decoder for its tracks"
+              case None => "unsupported container"
+            }
+            Iterator.single(Row.fromSeq(r.toSeq ++ Seq(null, null, err)))
         }
       }
     }(enc)

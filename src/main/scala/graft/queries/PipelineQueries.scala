@@ -444,6 +444,27 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // mp4 container metadata through the REAL ISO BMFF box walk: even
+    // docs carry a standards-shaped mp4 fixture (brand / duration /
+    // track count / codec fourccs all box-derived from doc_id), odd
+    // docs carry text bytes — not a container — and surface ONE
+    // decode_error row. Frames stay honestly undecodable for mp4 (no
+    // JVM codec; Mp4Spec pins the frame-path error) — this gate pins
+    // that the METADATA tier answers from the real box structure.
+    "q_multimodal_mp4_meta" -> ((s, dir) => {
+      val base = Tables.load(s, dir, "documents").select(col("doc_id"), col("text"))
+      val mp4 = Multimodal.withMp4Payload(
+        base.where(col("doc_id") % 2 === 0).select("doc_id"), "doc_id")
+      val txt = Multimodal.withBinaryPayload(
+          base.where(col("doc_id") % 2 =!= 0), "text")
+        .select("doc_id", "payload")
+      Multimodal.videoContainerMeta(mp4.unionByName(txt), "payload")
+        .select(col("doc_id"), col("container"), col("major_brand"),
+          col("timescale"), col("duration_units"), col("duration_ms"),
+          col("n_tracks"), col("codecs"), col("decode_error"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Capstone: a composed training-data pipeline — quality gate →
     // exact dedup → per-language token accounting — each stage an
     // operator from this library, the whole chain one Catalyst plan
@@ -1054,6 +1075,24 @@ object PipelineQueries {
         |  px AS n_pixels
         |FROM d
         |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // mp4 structural truth, replayed from the fixture formulas: the box
+    // walk must read back exactly what the encoder's mvhd/trak/stsd
+    // boxes declare; non-containers error
+    "q_multimodal_mp4_meta" ->
+      """SELECT doc_id, 'mp4' AS container, 'isom' AS major_brand,
+        |  CAST(600 AS BIGINT) AS timescale,
+        |  CAST((doc_id % 97 + 3) * 600 AS BIGINT) AS duration_units,
+        |  CAST((doc_id % 97 + 3) * 1000 AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) AS n_tracks,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'avc1,mp4a' ELSE 'avc1' END AS codecs,
+        |  CAST(NULL AS VARCHAR) AS decode_error
+        |FROM documents WHERE doc_id % 2 = 0
+        |UNION ALL
+        |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
+        |  'unsupported container'
+        |FROM documents WHERE doc_id % 2 = 1
+        |ORDER BY doc_id""".stripMargin,
 
     "q_doc_bpe_tokens" ->
       """SELECT doc_id,

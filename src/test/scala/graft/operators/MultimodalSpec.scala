@@ -261,4 +261,66 @@ class MultimodalSpec extends SparkSpec {
     assert(got == brute)
     assert(brute.nonEmpty, "fixture should produce near-dup pairs")
   }
+
+  test("mp4 box walk reads brand/duration/tracks/codecs from the real structure") {
+    // both track shapes, a v1 mvhd, and malformed payloads
+    val m1 = Multimodal.Mp4Codec.parseMeta(Multimodal.Mp4Codec.encodeMp4(7L)).get
+    assert(m1.majorBrand == "isom" && m1.timescale == 600L)
+    assert(m1.durationUnits == (7 % 97 + 3) * 600L)
+    assert(m1.nTracks == 1 && m1.codecs == Seq("avc1"))
+    val m2 = Multimodal.Mp4Codec.parseMeta(Multimodal.Mp4Codec.encodeMp4(12L)).get
+    assert(m2.nTracks == 2 && m2.codecs == Seq("avc1", "mp4a"))
+    // truncation / garbage / text → None, never invented metadata
+    val bytes = Multimodal.Mp4Codec.encodeMp4(12L)
+    assert(Multimodal.Mp4Codec.parseMeta(bytes.take(bytes.length - 3)).isEmpty)
+    assert(Multimodal.Mp4Codec.parseMeta("not a container at all".getBytes).isEmpty)
+    assert(Multimodal.Mp4Codec.parseMeta(Array.fill[Byte](64)(0x41)).isEmpty)
+  }
+
+  test("mvhd version 1 layout parses (64-bit duration offsets)") {
+    // splice a v1 mvhd into an encoded file: version byte 1, 8-byte
+    // creation/modification, 4-byte timescale, 8-byte duration
+    def be32(v: Long): Array[Byte] = java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+    def be64(v: Long): Array[Byte] = java.nio.ByteBuffer.allocate(8).putLong(v).array()
+    val mvhdBody = Array[Byte](1, 0, 0, 0) ++ be64(0) ++ be64(0) ++
+      be32(90000) ++ be64(123456789L) ++ be32(0x00010000) ++ be32(0x01000000) ++
+      Array.fill[Byte](8 + 36 + 24 + 4)(0)
+    val mvhd = be32(8L + mvhdBody.length) ++ "mvhd".getBytes("US-ASCII") ++ mvhdBody
+    val moov = be32(8L + mvhd.length) ++ "moov".getBytes("US-ASCII") ++ mvhd
+    val ftyp = be32(16L) ++ "ftyp".getBytes("US-ASCII") ++
+      "isom".getBytes("US-ASCII") ++ be32(0)
+    val m = Multimodal.Mp4Codec.parseMeta(ftyp ++ moov).get
+    assert(m.timescale == 90000L && m.durationUnits == 123456789L && m.nTracks == 0)
+  }
+
+  test("videoContainerMeta: mp4 metadata is real, frames stay honestly undecodable") {
+    val ids = Seq(6L, 7L).toDF("doc_id")
+    val mp4 = Multimodal.withMp4Payload(ids, "doc_id")
+    val meta = Multimodal.videoContainerMeta(mp4, "payload")
+      .select("doc_id", "container", "major_brand", "duration_ms", "n_tracks",
+        "codecs", "decode_error")
+      .orderBy("doc_id").collect()
+    assert(meta(0).getString(1) == "mp4" && meta(0).getString(2) == "isom")
+    assert(meta(0).getLong(3) == (6 % 97 + 3) * 1000L)
+    assert(meta(0).getInt(4) == 2 && meta(0).getString(5) == "avc1,mp4a")
+    assert(meta(1).getInt(4) == 1 && meta(1).getString(5) == "avc1")
+    assert(meta.forall(_.isNullAt(6)))
+    // the frame path must NOT fabricate frames from the recognized mp4 —
+    // it errors with the specific truth (container ok, no JVM codec)
+    val frames = Multimodal.sampleFrames(mp4, "payload", 4)
+      .select("doc_id", "frame_idx", "decode_error").collect()
+    assert(frames.length == 2)
+    assert(frames.forall(_.isNullAt(1)))
+    assert(frames.forall(_.getString(2).contains("no JVM decoder")))
+    // GFV/AVI payloads report their container + frame count; garbage errors
+    val gfv = Multimodal.withGfvPayload(Seq(5L).toDF("doc_id"), "doc_id")
+    val g = Multimodal.videoContainerMeta(gfv, "payload")
+      .select("container", "n_frames", "decode_error").head()
+    assert(g.getString(0) == "gfv" && g.getInt(1) == (5 % 4 + 2) && g.isNullAt(2))
+    val bad = Seq((9L, "plain text bytes")).toDF("doc_id", "text")
+    val b = Multimodal.videoContainerMeta(
+        Multimodal.withBinaryPayload(bad, "text"), "payload")
+      .select("container", "decode_error").head()
+    assert(b.isNullAt(0) && b.getString(1) == "unsupported container")
+  }
 }
