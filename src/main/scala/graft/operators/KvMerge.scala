@@ -295,7 +295,7 @@ object KvMerge {
     // record (or clear) the clustered ordering so the scan can report it
     graft.sources.kv.KvClustering.record(path, clusterBy)
     // any prior bucket layout is gone after a range rewrite
-    graft.sources.kv.KvBuckets.record(path, Nil, 0, Map.empty)
+    graft.sources.kv.KvBuckets.record(path, Nil, Nil, 0, Map.empty)
   }
 
   /** Predicate DELETE — the retention / GDPR surface of the table
@@ -435,7 +435,8 @@ object KvMerge {
         case _ => None
       }
     }.toMap
-    graft.sources.kv.KvBuckets.record(path, bucketBy, numBuckets, fileBuckets)
+    graft.sources.kv.KvBuckets.record(path, bucketBy,
+      bucketBy.map(c => table.schema(c).dataType), numBuckets, fileBuckets)
     // each bucket file is sorted by the bucket columns — the per-partition
     // ordering claim holds too
     graft.sources.kv.KvClustering.record(path, bucketBy)

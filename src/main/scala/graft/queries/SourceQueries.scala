@@ -398,8 +398,14 @@ object SourceQueries {
     // the table. The filter exercises the mixed-physical pushdown path
     // (the column drops out of the common schema, so the predicate is
     // applied as a residual, never compiled against the wrong width).
+    // The table is BUCKETIZED on the int key before widening and the
+    // result flows through an equi-join on the widened key under the
+    // SPJ confs: murmur3's hash domain changed with the type, so a kept
+    // KeyGroupedPartitioning claim would silently drop rows here —
+    // the catalog must withdraw the layout on widening (row-preserving
+    // join, so the oracle is the plain table scan).
     "q_kv_widen_column" -> ((s, dir) => {
-      graft.Tables.tuneForGates(s) // kvcat catalog
+      graft.Tables.tuneForGates(s) // kvcat catalog + SPJ confs
       val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val staged = s"/tmp/graft_widen$safe"
       ParquetIO.deletePath(staged)
@@ -407,13 +413,21 @@ object SourceQueries {
       supplier.select(col("s_suppkey").cast("int").as("s_suppkey"),
           col("s_name"), col("s_acctbal").cast("float").as("s_acctbal"))
         .write.format("kv").option("path", staged).mode("overwrite").save()
+      graft.operators.KvMerge.bucketize(s, staged, 8, Seq("s_suppkey"))
       s.sql(s"ALTER TABLE kvcat.`$staged` ALTER COLUMN s_suppkey TYPE BIGINT")
       s.sql(s"ALTER TABLE kvcat.`$staged` ALTER COLUMN s_acctbal TYPE DOUBLE")
       supplier.select((col("s_suppkey") + lit(5000000000L)).as("s_suppkey"),
           col("s_name"),
           (col("s_acctbal").cast("float").cast("double") + 0.5).as("s_acctbal"))
         .write.format("kv").option("path", staged).mode("append").save()
+      // every key of the table exactly once — the inner join keeps
+      // each row iff bucket routing is sound
+      val keys = supplier.select(col("s_suppkey").cast("long").as("s_suppkey"))
+        .union(supplier.select((col("s_suppkey") + lit(5000000000L)).as("s_suppkey")))
+        .distinct()
       s.read.table(s"kvcat.`$staged`")
+        .join(keys, "s_suppkey")
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"))
         .where(col("s_suppkey") > 10L)
         .orderBy(col("s_suppkey"))
     }),
@@ -622,7 +636,7 @@ object SourceQueries {
         .option("maxFilesPerTrigger", "1").load()
         .writeStream
         .option("checkpointLocation", ckpt)
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, batchId: Long) =>
           val ss = batch.sparkSession
           val latestTs = batch.groupBy(col("pk"))
             .agg(max(col("__record_timestamp__")).as("__record_timestamp__"))
@@ -632,6 +646,7 @@ object SourceQueries {
               when(col("__column_type_priority") === "DELETE_ONE_VERSION",
                 lit(null).cast("string")).otherwise(col("priority")).as("priority"))
             .createOrReplaceTempView("cdc_stream_batch")
+          graft.sources.kv.KvRloScan.lastGroupFilter = None
           ss.sql(
             s"""MERGE INTO kvcat.`$staged` t USING cdc_stream_batch c ON t.pk = c.pk
                |WHEN MATCHED AND c.rt = 'DELETE' THEN DELETE
@@ -642,6 +657,16 @@ object SourceQueries {
                |  INSERT (pk, custkey, status, totalprice, priority)
                |  VALUES (c.pk, c.custkey, c.status, c.totalprice, c.priority)
                |""".stripMargin)
+          // Backpressure invariant, PINNED per batch: once the base is
+          // non-empty, the MERGE's rewrite scan must have received the
+          // `_file IN (matched groups)` runtime filter — per-batch
+          // rewrite cost is bounded by the files the batch's keys touch,
+          // not by the table size. (Batch 0 merges into the empty base,
+          // where there are no matched groups to filter.)
+          if (batchId >= 1) require(
+            graft.sources.kv.KvRloScan.lastGroupFilter.exists(_._1 == staged),
+            s"streaming MERGE batch $batchId planned WITHOUT runtime group " +
+              "filtering — per-batch cost would scale with table size")
           ()
         }
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -97,10 +97,16 @@ object KvBloom {
     } ++ Seq(first(col("__len")).as("__len"), first(col("__mtime")).as("__mtime"),
       first(col("__nb")).as("__nb"))
     val colsArr = cols.toArray
+    // persisted: the covered-set collect and the shard-writing
+    // foreachPartition are TWO actions over this plan — caching keeps
+    // the build one distributed scan and pins both actions to the same
+    // snapshot of the listing (a file appended between two uncached
+    // jobs could otherwise land both a real and an all-zero entry)
     val grouped = df.select(col("_file") +: cols.map(col): _*)
       .join(broadcast(widthDf), col("_file") === col("__file"))
       .groupBy(col("_file"))
       .agg(aggs.head, aggs.tail: _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // (shard, jsonl line) per covered file; files absent from the
     // grouped output hold zero rows — all-zero minimal filter (they
     // contain nothing: prune everything)
@@ -114,6 +120,7 @@ object KvBloom {
         KvSidecar.entryLine(fileName, r.getAs[Long](colsArr.length + 1),
           r.getAs[Long](colsArr.length + 2), entry))
     }
+    try {
     val covered = grouped.select(col("_file")).as[String].collect().toSet
     val emptyLines = spark.createDataset(widths.filterNot(w => covered.contains(w._1))
       .map { case (f, len, mtime, nb) =>
@@ -143,6 +150,7 @@ object KvBloom {
           } finally writers.values.foreach(w => scala.util.Try(w.close()))
         }
     }
+    } finally { grouped.unpersist(); () }
   }
 
   private def entryJson(byCol: Map[String, ColBloom]): String = {

@@ -3,6 +3,7 @@ package graft.sources.kv
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.catalyst.parser.CatalystSqlParser
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 import graft.sources.ParquetIO
@@ -34,7 +35,7 @@ import graft.sources.ParquetIO
   */
 object KvBuckets {
 
-  case class BucketMeta(cols: Seq[String], numBuckets: Int,
+  case class BucketMeta(cols: Seq[String], colTypes: Seq[DataType], numBuckets: Int,
       fileBuckets: Map[String, Int])
 
   private def metaFile(tablePath: String) = new Path(tablePath, "_meta/buckets.json")
@@ -45,20 +46,32 @@ object KvBuckets {
 
   /** Best-effort like the clustering sidecar: a lost update only loses
     * the shuffle elision.
+    *
+    * `colTypes` records the DATA TYPE each bucket column had at
+    * bucketize time: `Murmur3HashFunction.hash` is type-sensitive (an
+    * INT hashes 4 bytes, a BIGINT 8 — `hash(5: INT) != hash(5L)`), so a
+    * layout placed at one type is WRONG under another. [[bucketsFor]]
+    * withdraws the claim on any mismatch with the live schema — the
+    * guard against `ALTER COLUMN` type widening silently poisoning a
+    * storage-partitioned join.
     */
-  def record(tablePath: String, cols: Seq[String], numBuckets: Int,
-      fileBuckets: Map[String, Int]): Unit =
-    scala.util.Try(recordUnsafe(tablePath, cols, numBuckets, fileBuckets)).getOrElse(())
+  def record(tablePath: String, cols: Seq[String], colTypes: Seq[DataType],
+      numBuckets: Int, fileBuckets: Map[String, Int]): Unit =
+    scala.util.Try(recordUnsafe(tablePath, cols, colTypes, numBuckets, fileBuckets))
+      .getOrElse(())
 
-  private def recordUnsafe(tablePath: String, cols: Seq[String], numBuckets: Int,
-      fileBuckets: Map[String, Int]): Unit = {
+  private def recordUnsafe(tablePath: String, cols: Seq[String], colTypes: Seq[DataType],
+      numBuckets: Int, fileBuckets: Map[String, Int]): Unit = {
     val p = metaFile(tablePath)
     val fs = p.getFileSystem(ParquetIO.hadoopConf)
     if (cols.isEmpty) { if (fs.exists(p)) fs.delete(p, false); return }
+    require(colTypes.length == cols.length,
+      s"bucket meta: ${cols.length} columns but ${colTypes.length} types")
     import org.json4s.JsonDSL._
     import org.json4s.jackson.JsonMethods
     val doc =
       ("bucketBy" -> cols) ~
+      ("bucketTypes" -> colTypes.map(_.catalogString)) ~
       ("numBuckets" -> numBuckets) ~
       ("files" -> signature(tablePath).map { case (n, len, mt) =>
         ("name" -> n) ~ ("len" -> len) ~ ("mtime" -> mt) ~
@@ -98,6 +111,16 @@ object KvBuckets {
           case Some(JArray(vs)) => vs.collect { case JString(s) => s }
           case _ => return None
         }
+        // no recorded types (pre-widening-guard meta) => withdraw the
+        // claim: we cannot prove the layout's hash domain matches
+        val colTypes = m.get("bucketTypes") match {
+          case Some(JArray(vs)) if vs.length == cols.length =>
+            vs.map {
+              case JString(s) => CatalystSqlParser.parseDataType(s)
+              case _ => return None
+            }
+          case _ => return None
+        }
         val n = m.get("numBuckets") match {
           case Some(JInt(i)) => i.toInt
           case _ => return None
@@ -117,7 +140,8 @@ object KvBuckets {
         val live = signature(tablePath)
         if (recorded.map(_._1).sortBy(_._1) == live &&
             recorded.forall { case (_, b) => b >= 0 && b < n })
-          Some(BucketMeta(cols, n, recorded.map { case ((nm, _, _), b) => nm -> b }.toMap))
+          Some(BucketMeta(cols, colTypes, n,
+            recorded.map { case ((nm, _, _), b) => nm -> b }.toMap))
         else None
       case _ => None
     }

@@ -135,6 +135,14 @@ class KvCatalog extends TableCatalog with FunctionCatalog {
               case _ => false
             }
           }) KvSidecar.drop(path, KvBloom.SidecarName)
+          // same discipline for the bucket layout: murmur3 is
+          // type-sensitive, so files placed at the narrow type's hash
+          // are WRONG under the widened type — a kept claim would
+          // silently mis-route a storage-partitioned join.
+          // bucketsFor would also withdraw on the recorded-vs-live type
+          // mismatch; deleting here keeps the meta honest on disk.
+          if (KvBuckets.bucketsFor(path).exists(_.cols.exists(_.equalsIgnoreCase(name))))
+            KvBuckets.record(path, Nil, Nil, 0, Map.empty)
         }
         StructType(schema.fields.updated(idx,
           schema(idx).copy(dataType = upd.newDataType())))

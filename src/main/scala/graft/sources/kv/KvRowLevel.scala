@@ -115,6 +115,7 @@ class KvRloScan(path: String, tableSchema: StructType,
           "refusing to guess the replaced file set")
     }
     allowedFiles = Some(sets.map(_.get).reduce(_ intersect _))
+    KvRloScan.lastGroupFilter = Some((path, allowedFiles.get.size))
   }
 
   /** The post-filter visible file set — what the plan reads and the
@@ -148,6 +149,15 @@ class KvRloScan(path: String, tableSchema: StructType,
 object KvRloScan {
   import org.apache.spark.sql.connector.expressions.{Expression, Literal => V2Literal}
   import org.apache.spark.sql.connector.expressions.filter.Predicate
+
+  /** Observability seam (gates + specs): the most recent runtime group
+    * filter that LANDED on an rlo scan, as (tablePath, admitted file
+    * count). `q_cdc_stream_merge` asserts on it per batch — the claim
+    * that a streaming MERGE's per-batch rewrite cost is bounded by the
+    * matched file groups (batch size), not the table size, is pinned by
+    * the filter's arrival, not just stated.
+    */
+  @volatile var lastGroupFilter: Option[(String, Int)] = None
 
   private def fileRef(e: Expression): Boolean = e match {
     case r: NamedReference => r.fieldNames().sameElements(Array("_file"))
@@ -257,7 +267,7 @@ class KvReplaceDataWrite(path: String, schema: StructType,
     KvSchemaMeta.record(path, schema)
     // a partial rewrite invalidates clustered/bucketized layout claims
     KvClustering.record(path, Nil)
-    KvBuckets.record(path, Nil, 0, Map.empty)
+    KvBuckets.record(path, Nil, Nil, 0, Map.empty)
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit =

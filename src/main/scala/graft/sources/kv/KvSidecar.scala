@@ -80,11 +80,18 @@ object KvSidecar {
     val tmp = new Path(dir.getParent,
       s".${name}-tmp-${java.util.UUID.randomUUID().toString.replace("-", "")}")
     fs.mkdirs(tmp)
-    stage(tmp)
-    val metaOut = fs.create(new Path(tmp, "meta.json"), true)
-    try metaOut.write(JsonMethods.compact(JsonMethods.render(metaJson))
-      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally metaOut.close()
+    // a failed stage (e.g. a Spark job dying mid-build) must not leak
+    // the staging dir — nothing else ever sweeps dot-tmp dirs
+    try {
+      stage(tmp)
+      val metaOut = fs.create(new Path(tmp, "meta.json"), true)
+      try metaOut.write(JsonMethods.compact(JsonMethods.render(metaJson))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally metaOut.close()
+    } catch { case t: Throwable =>
+      scala.util.Try(fs.delete(tmp, true))
+      throw t
+    }
     if (fs.exists(dir)) fs.delete(dir, true)
     require(fs.rename(tmp, dir), s"sidecar publish failed for $dir")
     val legacy = new Path(dir.getParent, s"$name.json")

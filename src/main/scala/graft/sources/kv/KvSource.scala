@@ -450,11 +450,22 @@ class KvScan(path: String, requiredSchema: StructType, tableSchema: StructType,
   /** Bucket layout claim ([[KvBuckets]]): valid meta AND every bucket
     * column still in the projected schema (Catalyst resolves the
     * reported transform's refs against the relation output — a pruned
-    * bucket column would fail resolution).
+    * bucket column would fail resolution) AND every bucket column's
+    * CURRENT type equal to the type recorded at bucketize time.
+    * Murmur3 is type-sensitive (`hash(5: INT) != hash(5L)`), so after
+    * `ALTER COLUMN ... TYPE BIGINT` widens a bucket column the files
+    * sit at int-hash positions while the v2 bucket function would
+    * re-bind at long — claiming the layout then would silently
+    * mis-route the other join side. Withdrawing the claim only costs
+    * the shuffle elision.
     */
   private lazy val bucketMeta: Option[KvBuckets.BucketMeta] =
-    KvBuckets.bucketsFor(path)
-      .filter(_.cols.forall(requiredSchema.fieldNames.contains))
+    KvBuckets.bucketsFor(path).filter { m =>
+      m.cols.forall(requiredSchema.fieldNames.contains) &&
+        m.cols.zip(m.colTypes).forall { case (c, t) =>
+          requiredSchema(requiredSchema.fieldIndex(c)).dataType == t
+        }
+    }
 
   /** `KeyGroupedPartitioning(bucket(n, cols), n)` for a bucketized table
     * — Spark's storage-partitioned join plans the table WITHOUT an

@@ -144,4 +144,32 @@ class KvAlterSpec extends SparkSpec {
     assert(spark.read.format("kv").option("path", dir).load()
       .where(col("k") === 205L).count() == 1)
   }
+
+  test("clustering ordering and zone maps are widening-safe (pinned)") {
+    // unlike the murmur3 bucket layout, these two claims SURVIVE
+    // ALTER COLUMN widening by design: int and long sort orders agree
+    // (clustered ordering), and both zone-map sides normalize to
+    // long/double before comparing (KvIndex.zonesFromStats reads INT32
+    // stats as long, FLOAT as double). Pin both so a future change to
+    // either normalization trips this instead of shipping.
+    graft.Tables.tuneForGates(spark)
+    val dir = java.nio.file.Files.createTempDirectory("kvwsafe").toString + "/t"
+    Seq.tabulate(200)(i => (i * 7 % 1000, s"v$i")).toDF("k", "v")
+      .write.format("kv").option("path", dir).mode("overwrite").save()
+    graft.operators.KvMerge.rewrite(spark, dir, 4, clusterBy = Seq("k"))
+    assert(graft.sources.kv.KvClustering.orderingFor(dir) == Seq("k"))
+    spark.sql(s"ALTER TABLE kvcat.`$dir` ALTER COLUMN k TYPE BIGINT")
+    // ordering claim survives: int-sorted bytes ARE long-sorted
+    assert(graft.sources.kv.KvClustering.orderingFor(dir) == Seq("k"),
+      "clustering ordering must survive widening — int and long orders agree")
+    val t = spark.read.format("kv").option("path", dir).load()
+    assert(t.schema("k").dataType == org.apache.spark.sql.types.LongType)
+    // zone-map pruned point lookup with a LONG probe over INT32 stats:
+    // normalization to long must keep the matching row group
+    val hit = t.where(col("k") === 7L)
+    assert(hit.count() == 1 && hit.select("v").as[String].head() == "v1")
+    // range predicate across the widened domain
+    assert(t.where(col("k") >= 990L).count() ==
+      (0 until 200).count(i => i * 7 % 1000 >= 990))
+  }
 }
