@@ -304,8 +304,15 @@ object Multimodal {
     */
   object Mp4Codec {
 
+    /** Per-track sample-table statistics from stsz (count + byte total,
+      * both the uniform-size and per-sample-size layouts) and stco
+      * (chunk count) — the size/bitrate truth a triage pass reads
+      * without touching any codec.
+      */
+    case class TrackSamples(sampleCount: Long, totalBytes: Long, chunkCount: Long)
+
     case class Mp4Meta(majorBrand: String, timescale: Long, durationUnits: Long,
-        nTracks: Int, codecs: Seq[String])
+        nTracks: Int, codecs: Seq[String], samples: Seq[TrackSamples])
 
     /** Minimal standards-shaped mp4 fixture, deterministic from `id`:
       * ftyp('isom') + moov(mvhd timescale 600, duration (id%97+3)*600;
@@ -357,7 +364,21 @@ object Multimodal {
             0x00180000)).take(78)
           else be(Seq(0, 0x0001, 0, 0, 0x00020010, 0, 0xAC440000)).take(28)
         val stsd = box("stsd", be(Seq(0, 1)) ++ box(codec, entryBody))
-        val stbl = box("stbl", stsd)
+        // sample tables, deterministic from id: video uses the
+        // per-sample-size stsz layout (sample_size = 0, explicit
+        // entries), audio the uniform-size layout — both real paths of
+        // the walk; one chunk offset each
+        val stsz =
+          if (handler == "vide") {
+            val nv = ((id % 7) + 2).toInt
+            box("stsz", be(Seq(0, 0, nv) ++
+              (0 until nv).map(i => 100 + ((id + i) % 50).toInt)))
+          } else {
+            val na = ((id % 5) + 1).toInt
+            box("stsz", be(Seq(0, 40 + (id % 20).toInt, na)))
+          }
+        val stco = box("stco", be(Seq(0, 1, 4096)))
+        val stbl = box("stbl", stsd ++ stsz ++ stco)
         val minf = box("minf", stbl)
         val mdia = box("mdia", mdhd ++ hdlr ++ minf)
         box("trak", tkhd ++ mdia)
@@ -402,7 +423,39 @@ object Multimodal {
         Some(out.toSeq)
       }
 
-      def fullBoxBody(b: (String, Int, Int)): (Int, Int) = ((p(b._2) & 0xff), b._2 + 4)
+      // full box = 1-byte version + 3-byte flags before the body; a
+      // structurally valid walk can still carry an EMPTY full box at
+      // the buffer's end — guard the header read (malformed -> None,
+      // never crash: the untrusted-payload contract)
+      def fullBoxBody(b: (String, Int, Int)): Option[(Int, Int)] =
+        if (b._3 - b._2 >= 4) Some(((p(b._2) & 0xff), b._2 + 4)) else None
+
+      // stsz: sample_size(4) + sample_count(4), then per-sample sizes
+      // iff sample_size == 0; stco: entry_count(4). Size guards bound
+      // every read by the box end — a lying count yields None for the
+      // track, never an out-of-bounds read.
+      def parseSampleTables(sk: Seq[(String, Int, Int)]): Option[TrackSamples] =
+        for {
+          stsz <- sk.find(_._1 == "stsz")
+          (_, zb) <- fullBoxBody(stsz)
+          _ <- if (stsz._3 - zb >= 8) Some(()) else None
+          uniform = be32(zb)
+          count = be32(zb + 4)
+          total <-
+            if (uniform != 0L) Some(uniform * count)
+            else if (count <= (stsz._3 - zb - 8) / 4) {
+              var s = 0L; var i = 0
+              while (i < count.toInt) { s += be32(zb + 8 + 4 * i); i += 1 }
+              Some(s)
+            } else None
+        } yield {
+          val chunks = (for {
+            stco <- sk.find(_._1 == "stco")
+            (_, cb) <- fullBoxBody(stco)
+            _ <- if (stco._3 - cb >= 4) Some(()) else None
+          } yield be32(cb)).getOrElse(0L)
+          TrackSamples(count, total, chunks)
+        }
 
       children(0, p.length).flatMap { top =>
         for {
@@ -412,14 +465,14 @@ object Multimodal {
           moov <- top.find(_._1 == "moov")
           moovKids <- children(moov._2, moov._3)
           mvhd <- moovKids.find(_._1 == "mvhd")
-          (ver, body) = fullBoxBody(mvhd)
+          (ver, body) <- fullBoxBody(mvhd)
           tsDur <- ver match {
             case 0 if mvhd._3 - body >= 16 => Some((be32(body + 8), be32(body + 12)))
             case 1 if mvhd._3 - body >= 24 => Some((be32(body + 16), be64(body + 20)))
             case _ => None
           }
           traks = moovKids.filter(_._1 == "trak")
-          codecs = traks.flatMap { t =>
+          trackInfo = traks.flatMap { t =>
             for {
               kids <- children(t._2, t._3)
               mdia <- kids.find(_._1 == "mdia")
@@ -431,12 +484,14 @@ object Multimodal {
               stsd <- sk.find(_._1 == "stsd")
               // stsd body: ver/flags + entry_count, then the first
               // sample entry box whose TYPE is the codec fourcc
-              (_, b) = fullBoxBody(stsd)
+              (_, b) <- fullBoxBody(stsd)
               entries <- children(b + 4, stsd._3)
               first <- entries.headOption
-            } yield first._1
+            } yield (first._1, parseSampleTables(sk))
           }
-        } yield Mp4Meta(brand, tsDur._1, tsDur._2, traks.length, codecs)
+          codecs = trackInfo.map(_._1)
+        } yield Mp4Meta(brand, tsDur._1, tsDur._2, traks.length, codecs,
+          trackInfo.flatMap(_._2))
       }
     }
   }
@@ -476,6 +531,12 @@ object Multimodal {
       StructField("duration_ms", LongType, nullable = true),
       StructField("n_tracks", IntegerType, nullable = true),
       StructField("codecs", StringType, nullable = true),
+      // sample-table truth (stsz/stco), summed over the tracks that
+      // carry them; null when no track declares sample tables
+      StructField("n_samples", LongType, nullable = true),
+      StructField("sample_bytes", LongType, nullable = true),
+      StructField("n_chunks", LongType, nullable = true),
+      StructField("bitrate_bps", LongType, nullable = true),
       StructField("n_frames", IntegerType, nullable = true),
       StructField("decode_error", StringType, nullable = true)))
     val payloadIdx = df.schema.fieldIndex(payloadCol)
@@ -487,19 +548,34 @@ object Multimodal {
           case Some(m) =>
             // integer-exact ms: units * 1000 / timescale (timescale > 0
             // enforced by the walk's well-formedness; guard anyway)
-            val ms = if (m.timescale > 0) m.durationUnits * 1000L / m.timescale
+            val ms: Any = if (m.timescale > 0) m.durationUnits * 1000L / m.timescale
               else null
+            val (nSamples, sampleBytes, nChunks, bitrate): (Any, Any, Any, Any) =
+              if (m.samples.isEmpty) (null, null, null, null)
+              else {
+                val bytes = m.samples.map(_.totalBytes).sum
+                // integer-exact bits/sec from the box-declared duration
+                val bps: Any = ms match {
+                  case msL: Long if msL > 0 => bytes * 8000L / msL
+                  case _ => null
+                }
+                (m.samples.map(_.sampleCount).sum, bytes,
+                  m.samples.map(_.chunkCount).sum, bps)
+              }
             Seq("mp4", m.majorBrand, m.timescale, m.durationUnits, ms,
-              m.nTracks, m.codecs.mkString(","), null, null)
+              m.nTracks, m.codecs.mkString(","),
+              nSamples, sampleBytes, nChunks, bitrate, null, null)
           case None => VideoCodec.parseFrames(p) match {
             case Some(frames) =>
-              Seq("gfv", null, null, null, null, null, null, frames.length, null)
+              Seq("gfv", null, null, null, null, null, null,
+                null, null, null, null, frames.length, null)
             case None => VideoCodec.parseAviFrames(p) match {
               case Some(frames) =>
-                Seq("avi", null, null, null, null, null, null, frames.length, null)
+                Seq("avi", null, null, null, null, null, null,
+                  null, null, null, null, frames.length, null)
               case None =>
-                Seq(null, null, null, null, null, null, null, null,
-                  "unsupported container")
+                Seq(null, null, null, null, null, null, null,
+                  null, null, null, null, null, "unsupported container")
             }
           }
         }

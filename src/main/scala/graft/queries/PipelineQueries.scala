@@ -461,7 +461,9 @@ object PipelineQueries {
       Multimodal.videoContainerMeta(mp4.unionByName(txt), "payload")
         .select(col("doc_id"), col("container"), col("major_brand"),
           col("timescale"), col("duration_units"), col("duration_ms"),
-          col("n_tracks"), col("codecs"), col("decode_error"))
+          col("n_tracks"), col("codecs"), col("n_samples"),
+          col("sample_bytes"), col("n_chunks"), col("bitrate_bps"),
+          col("decode_error"))
         .orderBy(col("doc_id"))
     }),
 
@@ -1077,20 +1079,38 @@ object PipelineQueries {
         |ORDER BY doc_id, frame_idx""".stripMargin,
 
     // mp4 structural truth, replayed from the fixture formulas: the box
-    // walk must read back exactly what the encoder's mvhd/trak/stsd
-    // boxes declare; non-containers error
+    // walk must read back exactly what the encoder's mvhd/trak/stsd/
+    // stsz/stco boxes declare; non-containers error. Sample-table
+    // replay: video track nv = id%7+2 per-sample sizes 100+((id+i)%50),
+    // audio track (id%3=0) na = id%5+1 uniform size 40+id%20; one stco
+    // chunk per track; bitrate = bytes*8000 / duration_ms floor.
     "q_multimodal_mp4_meta" ->
-      """SELECT doc_id, 'mp4' AS container, 'isom' AS major_brand,
+      """SELECT d.doc_id, 'mp4' AS container, 'isom' AS major_brand,
         |  CAST(600 AS BIGINT) AS timescale,
-        |  CAST((doc_id % 97 + 3) * 600 AS BIGINT) AS duration_units,
-        |  CAST((doc_id % 97 + 3) * 1000 AS BIGINT) AS duration_ms,
-        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) AS n_tracks,
-        |  CASE WHEN doc_id % 3 = 0 THEN 'avc1,mp4a' ELSE 'avc1' END AS codecs,
+        |  CAST((d.doc_id % 97 + 3) * 600 AS BIGINT) AS duration_units,
+        |  CAST((d.doc_id % 97 + 3) * 1000 AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN d.doc_id % 3 = 0 THEN 2 ELSE 1 END AS INT) AS n_tracks,
+        |  CASE WHEN d.doc_id % 3 = 0 THEN 'avc1,mp4a' ELSE 'avc1' END AS codecs,
+        |  CAST(d.doc_id % 7 + 2
+        |    + CASE WHEN d.doc_id % 3 = 0 THEN d.doc_id % 5 + 1 ELSE 0 END
+        |    AS BIGINT) AS n_samples,
+        |  CAST(v.vbytes
+        |    + CASE WHEN d.doc_id % 3 = 0
+        |        THEN (d.doc_id % 5 + 1) * (40 + d.doc_id % 20) ELSE 0 END
+        |    AS BIGINT) AS sample_bytes,
+        |  CAST(CASE WHEN d.doc_id % 3 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_chunks,
+        |  CAST((v.vbytes
+        |    + CASE WHEN d.doc_id % 3 = 0
+        |        THEN (d.doc_id % 5 + 1) * (40 + d.doc_id % 20) ELSE 0 END) * 8000
+        |    // ((d.doc_id % 97 + 3) * 1000) AS BIGINT) AS bitrate_bps,
         |  CAST(NULL AS VARCHAR) AS decode_error
-        |FROM documents WHERE doc_id % 2 = 0
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 2 = 0) d,
+        |  LATERAL (SELECT CAST(list_sum(list_transform(
+        |    range(0, CAST(d.doc_id % 7 + 2 AS INT)),
+        |    i -> 100 + (d.doc_id + i) % 50)) AS BIGINT) AS vbytes) v
         |UNION ALL
         |SELECT doc_id, NULL, NULL, NULL, NULL, NULL, NULL, NULL,
-        |  'unsupported container'
+        |  NULL, NULL, NULL, NULL, 'unsupported container'
         |FROM documents WHERE doc_id % 2 = 1
         |ORDER BY doc_id""".stripMargin,
 

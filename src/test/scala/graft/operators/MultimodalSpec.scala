@@ -270,11 +270,34 @@ class MultimodalSpec extends SparkSpec {
     assert(m1.nTracks == 1 && m1.codecs == Seq("avc1"))
     val m2 = Multimodal.Mp4Codec.parseMeta(Multimodal.Mp4Codec.encodeMp4(12L)).get
     assert(m2.nTracks == 2 && m2.codecs == Seq("avc1", "mp4a"))
+    // sample tables (stsz both layouts + stco): per-sample video sizes,
+    // uniform audio sizes, one chunk per track — replayed from the
+    // fixture formulas
+    val nv7 = 7 % 7 + 2
+    assert(m1.samples == Seq(Multimodal.Mp4Codec.TrackSamples(
+      nv7, (0 until nv7).map(i => 100L + (7 + i) % 50).sum, 1L)))
+    val nv12 = 12 % 7 + 2
+    val na12 = 12 % 5 + 1
+    assert(m2.samples == Seq(
+      Multimodal.Mp4Codec.TrackSamples(
+        nv12, (0 until nv12).map(i => 100L + (12 + i) % 50).sum, 1L),
+      Multimodal.Mp4Codec.TrackSamples(na12, na12 * (40L + 12 % 20), 1L)))
     // truncation / garbage / text → None, never invented metadata
     val bytes = Multimodal.Mp4Codec.encodeMp4(12L)
     assert(Multimodal.Mp4Codec.parseMeta(bytes.take(bytes.length - 3)).isEmpty)
     assert(Multimodal.Mp4Codec.parseMeta("not a container at all".getBytes).isEmpty)
     assert(Multimodal.Mp4Codec.parseMeta(Array.fill[Byte](64)(0x41)).isEmpty)
+  }
+
+  test("an EMPTY full box at the buffer end yields None, never a crash") {
+    // structurally valid walk whose mvhd has a zero-length body: the
+    // version-byte read must be guarded (untrusted-payload contract)
+    def be32(v: Long): Array[Byte] = java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+    val ftyp = be32(16L) ++ "ftyp".getBytes("US-ASCII") ++
+      "isom".getBytes("US-ASCII") ++ be32(0)
+    val emptyMvhd = be32(8L) ++ "mvhd".getBytes("US-ASCII")
+    val moov = be32(8L + emptyMvhd.length) ++ "moov".getBytes("US-ASCII") ++ emptyMvhd
+    assert(Multimodal.Mp4Codec.parseMeta(ftyp ++ moov).isEmpty)
   }
 
   test("mvhd version 1 layout parses (64-bit duration offsets)") {
