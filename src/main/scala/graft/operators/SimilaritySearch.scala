@@ -860,6 +860,102 @@ object SimilaritySearch {
     * side is one broadcast-query scan — |Q|·N dot products, fine for
     * audit-sized |Q|).
     */
+  /** OPQ-style structured rotation — the rotation tier of FAISS's OPQ
+    * (Ge et al., CVPR 2013) with the deterministic Hadamard·sign
+    * construction in place of the alternating-SVD refinement (an SVD is
+    * not exactly replayable by a SQL oracle; the data-free structured
+    * rotation is the standard initialization of that same pipeline):
+    *
+    *   y_j = (1/√d) · Σ_i (-1)^popcount(i AND j) · s_i · x_i
+    *
+    * with s_i = ±1 from the low bit of splitmix64(i). H·D is orthogonal
+    * (H Hadamard, D diagonal ±1), so EXACT distances are unchanged —
+    * only PQ's fixed subspace split sees a different, variance-mixed
+    * basis, which is precisely the OPQ objective. Requires d a power of
+    * two (Sylvester Hadamard), checked per row. Row-local O(d²) map —
+    * no shuffle; a 100 TB deployment would fold the same matrix into a
+    * codegen'd FWHT Expression (O(d log d)), the semantics pinned here.
+    */
+  def opqRotate(vec: Column, d: Int): Column = {
+    require(d > 0 && (d & (d - 1)) == 0, s"opqRotate: dim $d is not a power of two")
+    // plan-time sign constants (splitmix64 parity) — the hot loop stays
+    // literal arithmetic inside codegen, no per-element hashing
+    val signs = opqSigns(d)
+    val signArr = array(signs.map(lit(_)): _*)
+    val checked = when(size(vec) === d, vec)
+      .otherwise(raise_error(concat(lit(s"opqRotate: expected dim $d, got "),
+        size(vec).cast("string"))))
+    val invSqrtD = lit(math.sqrt(d.toDouble))
+    transform(sequence(lit(0), lit(d - 1)), j =>
+      aggregate(sequence(lit(0), lit(d - 1)), lit(0.0), (acc, i) =>
+        acc + element_at(checked, (i + 1).cast("int")).cast("double") *
+          element_at(signArr, (i + 1).cast("int")) *
+          when(bit_count(i.bitwiseAND(j)).bitwiseAND(lit(1)) === 0,
+            lit(1.0)).otherwise(lit(-1.0))) /
+      invSqrtD)
+  }
+
+  /** The ±1 sign diagonal of [[opqRotate]] — shared with the oracle
+    * generator so the SQL replay embeds the identical literals.
+    */
+  def opqSigns(d: Int): Seq[Double] =
+    (0 until d).map(i =>
+      if ((Sketches.splitmix64(i.toLong) & 1L) == 0L) 1.0 else -1.0)
+
+  /** IVF-PQ over the OPQ-rotated basis: rotate corpus and queries with
+    * the same orthogonal matrix, then run the standard deterministic
+    * IVF-PQ chain. Coarse cells, codes and ADC all live in the rotated
+    * space; since the rotation preserves distances, results are
+    * directly comparable to [[ivfPqKnn]] at equal probe budget — the
+    * recall delta IS the rotation's value on the corpus at hand.
+    */
+  def ivfPqOpqKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, dim: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384): DataFrame = {
+    def rot(df: DataFrame): DataFrame =
+      df.select(col(idCol), opqRotate(col(vecCol), dim).as(vecCol))
+    rankAdc(ivfPqAdcScores(rot(corpus), rot(queries), vecCol, idCol,
+      nCells, nProbe, m, pqCells, iterations, maxTrainPerCell), k)
+  }
+
+  /** Measured-recall comparison of the OPQ-rotated IVF-PQ tier against
+    * the plain one at EQUAL probe budget, both vs exact brute force —
+    * one row. The rotation's value is a property of the corpus's
+    * covariance structure (≈0 on an isotropic corpus, positive on
+    * correlated/anisotropic ones), so it is MEASURED per corpus, never
+    * assumed ([[annRecallAudit]] discipline).
+    */
+  def opqRecallAudit(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, dim: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384): DataFrame = {
+    val spark = corpus.sparkSession
+    val exact = bruteForceKnn(corpus, queries, vecCol, idCol, k)
+      .select(col("qid"), col("nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nQueries = exact.select(col("qid")).distinct().count()
+      def hits(ann: DataFrame): Long =
+        ann.select(col("qid"), col("nid"))
+          .join(exact, Seq("qid", "nid"), "left_semi").count()
+      val hitsPlain = hits(ivfPqKnn(corpus, queries, vecCol, idCol, k,
+        nCells, nProbe, m, pqCells, iterations, maxTrainPerCell))
+      val hitsOpq = hits(ivfPqOpqKnn(corpus, queries, vecCol, idCol, dim, k,
+        nCells, nProbe, m, pqCells, iterations, maxTrainPerCell))
+      def milli(h: Long): Long =
+        if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
+      spark.range(1).select(
+        lit(nQueries).as("n_queries"), lit(k).as("k"),
+        lit(hitsPlain).as("hits_plain"), lit(milli(hitsPlain)).as("recall_plain_milli"),
+        lit(hitsOpq).as("hits_opq"), lit(milli(hitsOpq)).as("recall_opq_milli"))
+    } finally { exact.unpersist(); () }
+  }
+
   def annRecallAudit(
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int,

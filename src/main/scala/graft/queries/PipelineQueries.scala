@@ -276,6 +276,29 @@ object PipelineQueries {
         "embedding", "vec_id", k = 3, nCells = 8, nProbe = 3, maxTrainPerCell = 32)
     }),
 
+    // OPQ tier: IVF-PQ over the deterministic Hadamard·sign rotation
+    // (FAISS OPQ's rotation stage, data-free structured construction so
+    // the whole chain — rotation, coarse k-means, per-subspace PQ, ADC
+    // — replays exactly in the oracle). Same budget as q_ann_ivfpq.
+    "q_ann_opq" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.ivfPqOpqKnn(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", dim = 64, k = 3, nCells = 4, nProbe = 2,
+        m = 2, pqCells = 4, maxTrainPerCell = 32)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // The rotation's measured value: OPQ-rotated vs plain IVF-PQ recall
+    // at EQUAL probe budget, both against exact brute force — one row.
+    // On an isotropic corpus the delta is ≈0 by construction; the gate
+    // keeps the comparison measured instead of assumed.
+    "q_ann_opq_audit" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.opqRecallAudit(emb, emb.filter(col("vec_id") < 10),
+        "embedding", "vec_id", dim = 64, k = 3, nCells = 4, nProbe = 3,
+        m = 2, pqCells = 16, maxTrainPerCell = 64)
+    }),
+
     // Scalar quantization (SQ8): one signed byte per dimension, exact
     // integer dot products, fixed-op-order rescale — the 8×-smaller
     // brute-force plane; every quantization step replays in the oracle.

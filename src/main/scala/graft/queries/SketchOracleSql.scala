@@ -932,7 +932,112 @@ object SketchOracleSql {
        |) ORDER BY doc_id""".stripMargin
   }
 
+  /** The OPQ structured-rotation replay (q_ann_opq): literal ±1 sign
+    * diagonal (the SAME values `SimilaritySearch.opqSigns` computes —
+    * splitmix64 parity, embedded at generation time), Sylvester
+    * Hadamard sign via bit_count parity, identically-ordered inner fold
+    * and the final /8 (= √64) division — bit-for-bit the Spark
+    * `opqRotate` column.
+    */
+  private def opqRotCtes: String = {
+    val signs = graft.operators.SimilaritySearch.opqSigns(64)
+      .map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    s"""or_prep AS MATERIALIZED (
+       |  SELECT id, list_transform(generate_series(0, 63), j ->
+       |    list_sum(list_transform(generate_series(0, 63), i ->
+       |      e0[(i + 1)::INT] * ($signs)[(i + 1)::INT] *
+       |      (CASE WHEN (bit_count(i & j) & 1) = 0 THEN 1.0 ELSE -1.0 END)))
+       |    / 8.0) AS e
+       |  FROM (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e0 FROM embeddings)
+       |)""".stripMargin
+  }
+
+  /** Parameterized IVF-PQ replay over a `(id, e DOUBLE[64])` CTE named
+    * `base` — the [[annIvfPqOracle]] chain shape (two 32-dim PQ
+    * subspaces; coarse cells / probes / PQ cells / sample cap / query
+    * cutoff as given) with every CTE prefixed `px`, ending in
+    * `<px>ranked (qid, nid, adist, rnk)`. Lets one oracle carry BOTH
+    * the rotated and the plain chain.
+    */
+  private def ivfPqChainOver(px: String, base: String, nCells: Int = 4,
+      nProbe: Int = 2, pqCells: Int = 4, cap: Int = 32, qMax: Int = 5): String =
+    s"""${px}c_prep AS (SELECT id, e FROM $base),
+       |${kmChain(s"${px}c_", nCells, cap)},
+       |${px}s0_prep AS (SELECT id, e[1:32] AS e FROM $base),
+       |${kmChain(s"${px}s0_", pqCells, cap)},
+       |${px}s1_prep AS (SELECT id, e[33:64] AS e FROM $base),
+       |${kmChain(s"${px}s1_", pqCells, cap)},
+       |${px}codes AS (
+       |  SELECT a0.id, l.cell AS ivf_cell, a0.cell AS c0, a1.cell AS c1
+       |  FROM ${px}s0_af a0 JOIN ${px}s1_af a1 USING (id) JOIN ${px}c_af l USING (id)
+       |), ${px}probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.id AS qid, c.cell,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY ${kmD2("q.e", "c.ce")}, c.cell) AS rn
+       |    FROM (SELECT id, e FROM ${px}c_prep WHERE id < $qMax) q CROSS JOIN ${px}c_cent2 c
+       |  ) WHERE rn <= $nProbe
+       |), ${px}qd0 AS (
+       |  SELECT q.id AS qid, c.cell, ${kmD2("q.e", "c.ce")} AS d
+       |  FROM ${px}s0_prep q CROSS JOIN ${px}s0_cent2 c WHERE q.id < $qMax
+       |), ${px}qd1 AS (
+       |  SELECT q.id AS qid, c.cell, ${kmD2("q.e", "c.ce")} AS d
+       |  FROM ${px}s1_prep q CROSS JOIN ${px}s1_cent2 c WHERE q.id < $qMax
+       |), ${px}scored AS (
+       |  SELECT p.qid, k.id AS nid, q0.d + q1.d AS adist
+       |  FROM ${px}probes p
+       |  JOIN ${px}codes k ON k.ivf_cell = p.cell
+       |  JOIN ${px}qd0 q0 ON q0.qid = p.qid AND q0.cell = k.c0
+       |  JOIN ${px}qd1 q1 ON q1.qid = p.qid AND q1.cell = k.c1
+       |  WHERE p.qid <> k.id
+       |), ${px}ranked AS (
+       |  SELECT qid, nid, adist,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS INT) AS rnk
+       |  FROM ${px}scored
+       |)""".stripMargin
+
+  def annOpqOracle: String =
+    s"""WITH $opqRotCtes, ${ivfPqChainOver("op_", "or_prep")}
+       |SELECT qid, nid, round(adist, 6) AS adist, rnk
+       |FROM op_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
+  /** q_ann_opq_audit: rotated and plain IVF-PQ chains at equal budget,
+    * both scored against exact brute-force top-3 over the raw vectors.
+    */
+  def annOpqAuditOracle: String =
+    s"""WITH $opqRotCtes,
+       |${ivfPqChainOver("op_", "or_prep", nCells = 4, nProbe = 3,
+          pqCells = 16, cap = 64, qMax = 10)},
+       |pl_base AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), ${ivfPqChainOver("pl_", "pl_base", nCells = 4, nProbe = 3,
+          pqCells = 16, cap = 64, qMax = 10)},
+       |ax_prep AS (
+       |  SELECT id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+       |  FROM pl_base
+       |), ax_br AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.id AS qid, a.id AS nid,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * a.e[i]))
+       |          / (q.nrm * a.nrm) DESC, a.id) AS rn
+       |    FROM (SELECT * FROM ax_prep WHERE id < 10) q
+       |    JOIN ax_prep a ON a.id <> q.id
+       |  ) WHERE rn <= 3
+       |), hp AS (SELECT count(*)::BIGINT AS h
+       |  FROM (SELECT qid, nid FROM pl_ranked WHERE rnk <= 3) JOIN ax_br USING (qid, nid)),
+       |ho AS (SELECT count(*)::BIGINT AS h
+       |  FROM (SELECT qid, nid FROM op_ranked WHERE rnk <= 3) JOIN ax_br USING (qid, nid)),
+       |nq AS (SELECT count(DISTINCT qid)::BIGINT AS n FROM ax_br)
+       |SELECT nq.n AS n_queries, CAST(3 AS INT) AS k,
+       |  hp.h AS hits_plain,
+       |  CAST(hp.h * 1000 // (3 * nq.n) AS BIGINT) AS recall_plain_milli,
+       |  ho.h AS hits_opq,
+       |  CAST(ho.h * 1000 // (3 * nq.n) AS BIGINT) AS recall_opq_milli
+       |FROM hp, ho, nq""".stripMargin
+
   def oracles: Map[String, String] = Map(
+    "q_ann_opq" -> annOpqOracle,
+    "q_ann_opq_audit" -> annOpqAuditOracle,
     // the persisted-index search must answer identically to the
     // in-memory IVF path — same replayed-k-means oracle
     "q_ann_ivf_indexed" -> annIvfOracle,

@@ -359,6 +359,68 @@ class SimilaritySearchSpec extends SparkSpec {
     }
   }
 
+  // 16-dim corpus (opqRotate needs a power-of-two dim) with an exact
+  // duplicate of vector 0 planted as id 99
+  private def vec16(seed: Int): Seq[Float] =
+    Seq.tabulate(16)(i => math.sin(seed * 31 + i).toFloat)
+  private lazy val corpus16 = ((0 until 40).map(s => (s.toLong, vec16(s))) :+
+    (99L, vec16(0))).toDF("vec_id", "embedding")
+
+  test("opqRotate is orthogonal: norms and dot products survive the rotation") {
+    val rotated = corpus16.select(col("vec_id"),
+      SimilaritySearch.opqRotate(col("embedding"), 16).as("r"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("nr", sqrt(aggregate(col("r"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("ne", sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)))
+      .collect()
+    rotated.foreach { r =>
+      assert(math.abs(r.getAs[Double]("nr") - r.getAs[Double]("ne")) < 1e-9,
+        s"norm changed for ${r.get(0)}")
+    }
+    // the planted duplicate stays an exact duplicate in rotated space
+    val byId = rotated.map(r => r.getAs[Long]("vec_id") ->
+      r.getSeq[Double](1).toList).toMap
+    assert(byId(0L) == byId(99L))
+  }
+
+  test("opqRotate matches the closed form and rejects non-power-of-two dims") {
+    // independent scala replay: y_j = (1/4)*sum_i sign_i * x_i * (-1)^pc(i&j)
+    val x = vec16(3).map(_.toDouble)
+    val signs = SimilaritySearch.opqSigns(16)
+    val want = (0 until 16).map { j =>
+      (0 until 16).map { i =>
+        x(i) * signs(i) *
+          (if (java.lang.Integer.bitCount(i & j) % 2 == 0) 1.0 else -1.0)
+      }.sum / 4.0
+    }
+    val got = corpus16.filter(col("vec_id") === 3L)
+      .select(SimilaritySearch.opqRotate(col("embedding"), 16))
+      .collect()(0).getSeq[Double](0)
+    got.zip(want).foreach { case (g, w) => assert(math.abs(g - w) < 1e-12) }
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.opqRotate(col("embedding"), 24)
+    }
+    // dim mismatch at runtime raises, never silently truncates
+    intercept[Exception] {
+      corpus16.select(SimilaritySearch.opqRotate(col("embedding"), 32)).collect()
+    }
+  }
+
+  test("ivfPqOpqKnn ranks the planted exact duplicate first") {
+    val q = corpus16.filter(col("vec_id") === 0L)
+    val got = SimilaritySearch.ivfPqOpqKnn(corpus16, q, "embedding", "vec_id",
+      dim = 16, k = 3, nCells = 2, nProbe = 2, m = 2, pqCells = 8)
+      .orderBy("rnk").collect()
+    assert(got.nonEmpty)
+    // identical vector -> identical rotated vector -> identical codes ->
+    // minimal ADC distance (other vectors may COLLIDE onto the same
+    // codes and tie — the duplicate must sit AT the minimum)
+    val dup = got.find(_.getAs[Long]("nid") == 99L)
+    assert(dup.isDefined, s"got ${got.mkString(",")}")
+    val minD = got.map(_.getAs[Double]("adist")).min
+    assert(dup.get.getAs[Double]("adist") == minD, s"got ${got.mkString(",")}")
+  }
+
   test("denseRerank orders an arbitrary candidate shortlist by exact cosine") {
     import spark.implicits._
     // candidate shortlist: a fixed 6-doc subset for query 0, deliberately
