@@ -153,6 +153,49 @@ object KvMerge {
     markers.length
   }
 
+  /** Rebuild the table's pruning sidecars from their RECORDED
+    * configurations — the maintenance hook that keeps the pruning tier
+    * warm after an event that invalidated or outdated it (ALTER COLUMN
+    * widening tombstones the Bloom sidecar — stale hash domain;
+    * [[compactMarkers]]/appends leave sidecars covering only the old
+    * file set). Each sidecar's meta carries what was indexed: the Bloom
+    * sidecar re-runs [[graft.sources.kv.KvBloom.build]] with its
+    * recorded columns and bitsPerKey (live OR tombstoned meta — the
+    * tombstone exists exactly so this op knows what to rebuild), the
+    * zone map re-runs [[graft.sources.kv.KvIndex.build]] from footers.
+    * Returns the rebuilt sidecar names. Single-writer like every
+    * maintenance op.
+    */
+  def rebuildIndexes(spark: SparkSession, path: String): Seq[String] = {
+    import org.json4s._
+    val rebuilt = scala.collection.mutable.ArrayBuffer.empty[String]
+    def cols(meta: JValue): Seq[String] = (meta \ "columns") match {
+      case JArray(cs) => cs.collect { case JString(c) => c }
+      case _ => Nil
+    }
+    graft.sources.kv.KvSidecar.readMeta(path, graft.sources.kv.KvBloom.SidecarName)
+      .foreach { meta =>
+        val cs = cols(meta)
+        if (cs.nonEmpty) {
+          val bpk = (meta \ "bitsPerKey") match {
+            case JInt(b) => b.toInt
+            case _ => 10 // pre-tombstone metas recorded no bitsPerKey
+          }
+          graft.sources.kv.KvBloom.build(spark, path, cs, bpk)
+          rebuilt += graft.sources.kv.KvBloom.SidecarName
+        }
+      }
+    graft.sources.kv.KvSidecar.readMeta(path, graft.sources.kv.KvIndex.SidecarName)
+      .foreach { meta =>
+        val cs = cols(meta)
+        if (cs.nonEmpty) {
+          graft.sources.kv.KvIndex.build(path, cs)
+          rebuilt += graft.sources.kv.KvIndex.SidecarName
+        }
+      }
+    rebuilt.toSeq
+  }
+
   /** Heal a crash between backup-aside and rename-into-place: the backup
     * is the last committed table state. Call before reading the table in
     * any maintenance op.

@@ -245,6 +245,62 @@ object SourceQueries {
         .load().orderBy(col("n_nationkey"))
     }),
 
+    // Marker-aware snapshot retention, end to end: epoch-stamped history
+    // (0..2), a row-level UPDATE whose marker records the epoch
+    // watermark, then compactMarkers folds the marker into base state
+    // while RECORDING the retention floor — time travel below the
+    // watermark refuses BEFORE compaction (marker check) and keeps
+    // refusing AFTER it (floor check), because the replaced bytes are
+    // gone and history below the floor is not reconstructible. Both
+    // refusals are asserted in-gate; the returned rows are the current
+    // state with an exact oracle.
+    "q_kv_marker_retention" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      import org.apache.spark.unsafe.types.UTF8String
+      graft.Tables.tuneForGates(s)
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = s"/tmp/graft_mret$safe"
+      ParquetIO.deletePath(root)
+      val sink = s"$root/t"
+      val sinkSchema = StructType(Seq(
+        StructField("n_nationkey", LongType), StructField("n_name", StringType)))
+      val rows = graft.Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+      val factory = graft.sources.kv.KvStreamingWriterFactory(sink, sinkSchema)
+      val write = new graft.sources.kv.KvStreamingWrite(sink, sinkSchema)
+      (0L to 2L).foreach { e =>
+        val w = factory.createWriter(0, 0L, e)
+        rows.filter(_.getLong(0) % 3 == e).foreach { r =>
+          w.write(new GenericInternalRow(Array[Any](
+            r.getLong(0), UTF8String.fromString(r.getString(1)))))
+        }
+        write.commit(e, Array(w.commit()))
+      }
+      s.sql(s"UPDATE kvcat.`$sink` SET n_name = 'RETIRED' WHERE n_nationkey % 5 = 0")
+      def travelTo(epoch: Long): Either[Throwable, Long] =
+        scala.util.Try(s.read.format("kv").option("path", sink)
+          .option("snapshot.epoch", epoch.toString).load().count()).toEither
+      // BEFORE compaction: the rlo marker's watermark (2) gates epoch 1
+      travelTo(1L) match {
+        case Left(e) => require(e.getMessage.contains("row-level operation"),
+          s"pre-compaction refusal had the wrong cause: ${e.getMessage}")
+        case Right(n) => throw new IllegalStateException(
+          s"snapshot below the rlo watermark served $n rows instead of refusing")
+      }
+      val folded = graft.operators.KvMerge.compactMarkers(sink)
+      require(folded >= 1, s"expected >= 1 folded marker, got $folded")
+      // AFTER compaction: the marker is gone; the recorded floor gates
+      travelTo(1L) match {
+        case Left(e) => require(e.getMessage.contains("compacted row-level history"),
+          s"post-compaction refusal had the wrong cause: ${e.getMessage}")
+        case Right(n) => throw new IllegalStateException(
+          s"snapshot below the retention floor served $n rows instead of refusing")
+      }
+      s.read.format("kv").option("path", sink).option("snapshot.epoch", "2")
+        .load().orderBy(col("n_nationkey"))
+    }),
+
     // Predicate DELETE + UPDATE (the retention / GDPR maintenance
     // surface): stage orders as a kv table, delete the '1-URGENT'
     // priority, discount every totalprice above 200k by 10%, read back
@@ -1050,6 +1106,15 @@ object SourceQueries {
     "q_kv_time_travel" ->
       """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name FROM nation
         |WHERE n_nationkey % 3 <= 1
+        |ORDER BY n_nationkey""".stripMargin,
+
+    // current state after the retirement UPDATE (the refusals below the
+    // retention floor are asserted in-gate; a refusal that failed to
+    // fire would throw there, never reach this compare)
+    "q_kv_marker_retention" ->
+      """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |  CASE WHEN n_nationkey % 5 = 0 THEN 'RETIRED' ELSE n_name END AS n_name
+        |FROM nation
         |ORDER BY n_nationkey""".stripMargin,
 
     // the same DML applied to the raw table: delete the urgent class,

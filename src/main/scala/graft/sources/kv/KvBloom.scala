@@ -76,7 +76,10 @@ object KvBloom {
     val meta: JValue =
       JObject("numShards" -> JInt(numShards),
         "columns" -> JArray(cols.map(JString(_)).toList),
-        "numHashes" -> JInt(numHashes))
+        "numHashes" -> JInt(numHashes),
+        // recorded so a maintenance rebuild (KvMerge.rebuildIndexes)
+        // can re-run this build with the same parameters
+        "bitsPerKey" -> JInt(bitsPerKey))
     if (files.isEmpty) {
       KvSidecar.publish(tablePath, SidecarName, meta)(_ => ())
       return

@@ -134,7 +134,7 @@ class KvCatalog extends TableCatalog with FunctionCatalog {
                             case _ => false }
               case _ => false
             }
-          }) KvSidecar.drop(path, KvBloom.SidecarName)
+          }) KvSidecar.tombstone(path, KvBloom.SidecarName)
           // same discipline for the bucket layout: murmur3 is
           // type-sensitive, so files placed at the narrow type's hash
           // are WRONG under the widened type — a kept claim would

@@ -152,8 +152,9 @@ object KvSidecar {
           .toMap
         statuses.get("meta.json").flatMap { case (p, len, mtime) =>
           readMetaCached(p, len, mtime).flatMap { meta =>
-            (meta \ "numShards") match {
-              case JInt(n) =>
+            ((meta \ "stale"), (meta \ "numShards")) match {
+              case (JBool(true), _) => None // tombstoned: config only, never serve
+              case (_, JInt(n)) =>
                 Some(new SidecarShards(meta, n.toInt, statuses - "meta.json"))
               case _ => None
             }
@@ -223,6 +224,27 @@ object KvSidecar {
     * trusted (e.g. a column-type widening changes the Bloom hash
     * domain). Absence is always safe: readers degrade to "no index".
     */
+  /** Invalidate a sidecar but KEEP its configuration: the shards are
+    * deleted and the meta is republished with `"stale": true`, so
+    * [[open]] refuses to serve it while a maintenance rebuild
+    * ([[graft.operators.KvMerge.rebuildIndexes]]) can still read WHAT
+    * was indexed (columns, parameters) and re-run the build after the
+    * event that invalidated it (schema evolution). A stale meta is
+    * exactly as safe as an absent one — no pruning happens off it.
+    */
+  def tombstone(tablePath: String, name: String): Unit = {
+    readMeta(tablePath, name) match {
+      case None => drop(tablePath, name)
+      case Some(meta) =>
+        val stale = meta match {
+          case JObject(fields) =>
+            JObject(fields.filterNot(_._1 == "stale") :+ ("stale" -> JBool(true)))
+          case other => other
+        }
+        publish(tablePath, name, stale)(_ => ())
+    }
+  }
+
   def drop(tablePath: String, name: String): Unit = {
     val dir = dirOf(tablePath, name)
     val fs = dir.getFileSystem(ParquetIO.hadoopConf)
