@@ -324,13 +324,30 @@ object KvMerge {
     * partitioner), so no single reducer owns the table.
     */
   def rewrite(spark: SparkSession, path: String, numFiles: Int,
-      clusterBy: Seq[String] = Nil): Unit = {
+      clusterBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil,
+      zorderBits: Int = 6): Unit = {
     require(numFiles >= 1, "numFiles must be >= 1")
+    require(clusterBy.isEmpty || zorderBy.isEmpty,
+      "rewrite: clusterBy and zorderBy are mutually exclusive layouts")
     recoverSwap(path)
     val fp = fingerprint(path)
     val table = spark.read.format("kv").option("path", path).load()
     val shaped =
-      if (clusterBy.isEmpty) table.repartition(numFiles)
+      if (zorderBy.nonEmpty) {
+        // multi-dimensional clustering: range-partition + sort by the
+        // interleaved curve key (ZOrder scaladoc), then project the key
+        // away — the layout serves zone-map pruning on EVERY zorder
+        // column, at the cost of the single-column ordering claim (the
+        // files are not sorted by any one column, so no clustering meta
+        // is recorded below).
+        val bnds = ZOrder.boundaries(table, zorderBy, zorderBits)
+        table.withColumn("__graft_z",
+            ZOrder.zColumn(table, zorderBy, bnds, zorderBits))
+          .repartitionByRange(numFiles, col("__graft_z"))
+          .sortWithinPartitions("__graft_z")
+          .drop("__graft_z")
+      }
+      else if (clusterBy.isEmpty) table.repartition(numFiles)
       else table
         .repartitionByRange(numFiles, clusterBy.map(col): _*)
         .sortWithinPartitions(clusterBy.map(col): _*)

@@ -902,6 +902,36 @@ object SimilaritySearch {
     (0 until d).map(i =>
       if ((Sketches.splitmix64(i.toLong) & 1L) == 0L) 1.0 else -1.0)
 
+  /** The same rotation executed as the O(d log d) fast Walsh–Hadamard
+    * butterfly inside whole-stage codegen
+    * (`functions.VectorExpressions.FwhtRotate`) — the scale path the
+    * [[opqRotate]] scaladoc promises. Mathematically the identical
+    * orthogonal map; floating-point output differs from the naive fold
+    * only in final ulps (different summation tree), so chains built on
+    * it get their OWN oracle replay of the butterfly op order
+    * (`SketchOracleSql.opqFwhtCtes`) rather than reusing [[opqRotate]]'s.
+    */
+  def opqRotateFwht(vec: Column, d: Int): Column = {
+    require(d > 0 && (d & (d - 1)) == 0,
+      s"opqRotateFwht: dim $d is not a power of two")
+    graft.functions.VectorExpressions.fwhtRotate(vec, opqSigns(d))
+  }
+
+  /** [[ivfPqOpqKnn]] with the rotation executed by the FWHT expression —
+    * same chain, O(d log d) rotation cost, codegen'd end to end.
+    */
+  def ivfPqOpqFwhtKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, dim: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384): DataFrame = {
+    def rot(df: DataFrame): DataFrame =
+      df.select(col(idCol), opqRotateFwht(col(vecCol), dim).as(vecCol))
+    rankAdc(ivfPqAdcScores(rot(corpus), rot(queries), vecCol, idCol,
+      nCells, nProbe, m, pqCells, iterations, maxTrainPerCell), k)
+  }
+
   /** IVF-PQ over the OPQ-rotated basis: rotate corpus and queries with
     * the same orthogonal matrix, then run the standard deterministic
     * IVF-PQ chain. Coarse cells, codes and ADC all live in the rotated
@@ -970,6 +1000,152 @@ object SimilaritySearch {
     try {
       val nQueries = exact.select(col("qid")).distinct().count()
       val nHits = ivf.join(exact, Seq("qid", "nid"), "left_semi").count()
+      val recallMilli =
+        if (nQueries == 0) 1000L else nHits * 1000L / (k.toLong * nQueries)
+      spark.range(1).select(
+        lit(nQueries).as("n_queries"), lit(k).as("k"),
+        lit(nHits).as("n_hits"), lit(recallMilli).as("recall_milli"))
+    } finally { exact.unpersist(); () }
+  }
+
+  /** Graph-walk ANN (NSW-lite): deterministic beam search over a
+    * within-cell k-NN graph — the graph tier of the ANN family, kept
+    * exactly oracle-replayable where HNSW's insert-order-dependent
+    * construction is not.
+    *
+    * Build (deterministic, batch): IVF coarse cells (the bit-exact
+    * [[trainCentroids]] chain), then per node the `degree` most-cosine-
+    * similar SAME-CELL neighbors as directed edges (cell-local
+    * self-join, bounded-heap top-degree, nid-asc ties), plus per cell
+    * `seedsPerCell` entry points nearest the centroid. Cross-cell
+    * connectivity comes from probing: a query seeds its beam from its
+    * `nProbe` nearest cells' entry points.
+    *
+    * Search: `hops` rounds of frontier expansion — beam ∪ beam's edge
+    * targets, exact-cosine scored, top-`beamWidth` per query (sim desc,
+    * nid asc) — then top-k from the final beam (self-matches excluded
+    * at output only; the query's own node is a useful hub mid-walk).
+    *
+    * Scale shape vs [[ivfKnn]]: a probe SCANS its whole cell
+    * (N/nCells·nProbe candidates per query); the walk touches
+    * ≤ beamWidth·(degree+1) candidates per hop REGARDLESS of cell size
+    * — the win grows with corpus size. Build cost is the per-cell
+    * self-join (Σ s²), the price of determinism (NN-descent converges
+    * faster but is iteration-order-dependent); it amortizes across
+    * every query served. Per hop: two broadcast joins (beam×edges,
+    * candidates×vectors) — the corpus-sized sides never shuffle.
+    */
+  def graphKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      degree: Int = 4, beamWidth: Int = 8, hops: Int = 2,
+      seedsPerCell: Int = 2, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384): DataFrame = {
+    require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
+    val cents = trainCentroids(corpus, vecCol, idCol, nCells, iterations,
+      maxTrainPerCell)
+    val assigned = assignCells(prep(corpus, vecCol, idCol), cents)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = assigned.select(col("id").as("nid"), col("e").as("ne"),
+      col("nrm").as("nn"))
+
+    // ---- build: within-cell top-degree cosine edges ----
+    val src = assigned.select(col("cell"), col("id").as("src"),
+      col("e").as("se"), col("nrm").as("sn"))
+    val dst = assigned.select(col("cell"), col("id").as("dst"),
+      col("e").as("de"), col("nrm").as("dn"))
+    val edges = src.join(dst, Seq("cell")).where(col("src") =!= col("dst"))
+      .select(col("src"),
+        (dot(col("se"), col("de")) / (col("sn") * col("dn"))).as("sim"),
+        col("dst"))
+      .groupBy(col("src"))
+      .agg(graft.functions.BoundedTopK.topK(
+        struct(col("sim"), col("dst")), degree).as("top"))
+      .select(col("src"), explode(col("top")).as("t"))
+      .select(col("src"), col("t.dst").as("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // ---- build: per-cell entry points (nearest the centroid; score is
+    // -d2 so the shared heap's score-desc order means d2 asc, id asc) ----
+    val seeds = assigned.join(broadcast(cents), Seq("cell"))
+      .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("cell"))
+      .agg(graft.functions.BoundedTopK.topK(
+        struct((lit(0.0) - col("d2")).as("nd2"), col("id")), seedsPerCell).as("top"))
+      .select(col("cell"), explode(col("top")).as("t"))
+      .select(col("cell"), col("t.id").as("nid"))
+
+    // ---- search: probe cells, seed, walk ----
+    val probes = prep(queries, vecCol, idCol).crossJoin(broadcast(cents))
+      .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("id"))
+      .agg(slice(sort_array(collect_list(struct(col("d2"), col("cell")))),
+        1, nProbe).as("cells"),
+        first(col("e")).as("e"), first(col("nrm")).as("nrm"))
+      .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+        explode(col("cells.cell")).as("cell"))
+
+    def score(cand: DataFrame): DataFrame = // (qid, qe, qn, nid) -> + sim
+      broadcast(cand).join(nodes, Seq("nid"))
+        .select(col("qid"), col("qe"), col("qn"), col("nid"),
+          (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim"))
+
+    def topBeam(scored: DataFrame): DataFrame =
+      scored.groupBy(col("qid"))
+        .agg(graft.functions.BoundedTopK.topK(
+          struct(col("sim"), col("nid")), beamWidth).as("top"),
+          first(col("qe")).as("qe"), first(col("qn")).as("qn"))
+        .select(col("qid"), col("qe"), col("qn"), explode(col("top")).as("t"))
+        .select(col("qid"), col("qe"), col("qn"),
+          col("t.nid").as("nid"), col("t.sim").as("sim"))
+
+    val seeded = broadcast(probes).join(seeds, Seq("cell"))
+      .select(col("qid"), col("qe"), col("qn"), col("nid"))
+      .dropDuplicates("qid", "nid")
+    var beam = topBeam(score(seeded))
+    var hop = 0
+    while (hop < hops) {
+      val expanded = broadcast(beam
+        .select(col("qid"), col("qe"), col("qn"), col("nid").as("src")))
+        .join(edges, Seq("src"))
+        .select(col("qid"), col("qe"), col("qn"), col("dst").as("nid"))
+      val cand = beam.select(col("qid"), col("qe"), col("qn"), col("nid"))
+        .unionByName(expanded)
+        .dropDuplicates("qid", "nid")
+      beam = topBeam(score(cand))
+      hop += 1
+    }
+    topKPerQuery(
+      beam.where(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"), col("sim")), k)
+  }
+
+  /** Measured recall of the graph tier vs exact brute force — the
+    * [[annRecallAudit]] discipline for [[graphKnn]]: one row
+    * (n_queries, k, n_hits, recall_milli). Walk depth and beam width
+    * are corpus-dependent knobs; their recall must be measured, never
+    * assumed.
+    */
+  def graphRecallAudit(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      degree: Int = 4, beamWidth: Int = 8, hops: Int = 2,
+      seedsPerCell: Int = 2, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384): DataFrame = {
+    val spark = corpus.sparkSession
+    val graph = graphKnn(corpus, queries, vecCol, idCol, k, nCells, nProbe,
+      degree, beamWidth, hops, seedsPerCell, iterations, maxTrainPerCell)
+      .select(col("qid"), col("nid"))
+    val exact = bruteForceKnn(corpus, queries, vecCol, idCol, k)
+      .select(col("qid"), col("nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nQueries = exact.select(col("qid")).distinct().count()
+      val nHits = graph.join(exact, Seq("qid", "nid"), "left_semi").count()
       val recallMilli =
         if (nQueries == 0) 1000L else nHits * 1000L / (k.toLong * nQueries)
       spark.range(1).select(

@@ -288,6 +288,43 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // Graph-walk ANN (NSW-lite): deterministic beam search over a
+    // within-cell kNN graph — per hop the walk touches beam×(degree+1)
+    // candidates regardless of cell size, where an IVF probe scans its
+    // whole cell. Build, seeds, walk and final top-k all replay in the
+    // oracle (SketchOracleSql.annGraphCtes unrolls the hops).
+    "q_ann_graph" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.graphKnn(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, nCells = 8, nProbe = 3,
+        degree = 8, beamWidth = 16, hops = 3, seedsPerCell = 4,
+        maxTrainPerCell = 32)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // The walk's measured recall vs exact brute force at the same
+    // parameters — one row, annRecallAudit discipline.
+    "q_ann_graph_audit" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.graphRecallAudit(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, nCells = 8, nProbe = 3,
+        degree = 8, beamWidth = 16, hops = 3, seedsPerCell = 4,
+        maxTrainPerCell = 32)
+    }),
+
+    // The same rotation executed by the codegen'd O(d log d) fast
+    // Walsh-Hadamard Expression (VectorExpressions.FwhtRotate) — the
+    // butterfly reassociates the sums, so this chain gets its own
+    // oracle replaying the stage/op order literally rather than
+    // reusing q_ann_opq's naive-fold replay.
+    "q_ann_opq_fwht" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.ivfPqOpqFwhtKnn(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", dim = 64, k = 3, nCells = 4, nProbe = 2,
+        m = 2, pqCells = 4, maxTrainPerCell = 32)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // The rotation's measured value: OPQ-rotated vs plain IVF-PQ recall
     // at EQUAL probe budget, both against exact brute force — one row.
     // On an isotropic corpus the delta is ≈0 by construction; the gate

@@ -1000,6 +1000,149 @@ object SketchOracleSql {
        |SELECT qid, nid, round(adist, 6) AS adist, rnk
        |FROM op_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
 
+  /** The FWHT execution of the same rotation (q_ann_opq_fwht): the
+    * butterfly's stage/op order replayed literally — sign diagonal,
+    * then for h = 1, 2, …, 32 each output j takes e[j] + e[j+h] when
+    * bit h of j is clear and e[j−h] − e[j] when set (exactly what
+    * `FwhtKernel.kernel`'s in-place (a+b, a−b) writes produce), then
+    * one /8 (= √64, exact). Additions are the only rounding ops and
+    * run in the same order on both engines → bit-identical doubles.
+    */
+  private def opqFwhtCtes: String = {
+    val signs = graft.operators.SimilaritySearch.opqSigns(64)
+      .map(s => if (s > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+    val stages = Seq(1, 2, 4, 8, 16, 32).zipWithIndex.map { case (h, s) =>
+      s"""of_s${s + 1} AS (
+         |  SELECT id, list_transform(generate_series(0, 63), j ->
+         |    CASE WHEN (j & $h) = 0
+         |      THEN e[(j + 1)::INT] + e[(j + $h + 1)::INT]
+         |      ELSE e[(j - $h + 1)::INT] - e[(j + 1)::INT] END) AS e
+         |  FROM of_s$s
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""of_s0 AS MATERIALIZED (
+       |  SELECT id, list_transform(generate_series(0, 63), i ->
+       |    e0[(i + 1)::INT] * ($signs)[(i + 1)::INT]) AS e
+       |  FROM (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e0 FROM embeddings)
+       |),
+       |$stages,
+       |of_prep AS MATERIALIZED (
+       |  SELECT id, list_transform(e, v -> v / 8.0) AS e FROM of_s6
+       |)""".stripMargin
+  }
+
+  def annOpqFwhtOracle: String =
+    s"""WITH $opqFwhtCtes, ${ivfPqChainOver("of2_", "of_prep")}
+       |SELECT qid, nid, round(adist, 6) AS adist, rnk
+       |FROM of2_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
+  /** Graph-walk ANN replay (q_ann_graph): the [[kmChain]] cells, then
+    * per node the top-`degree` same-cell cosine edges (sim desc, id asc
+    * — the bounded-heap order), per cell the `seedsPerCell` nodes
+    * nearest the centroid, and `hops` unrolled beam rounds: candidates
+    * = beam ∪ edge targets (DISTINCT), exact-cosine scored, top-
+    * `beamWidth` per query. Self-matches survive the walk and drop only
+    * at the final top-k — exactly `SimilaritySearch.graphKnn`.
+    */
+  private def annGraphCtes(nCells: Int = 8, cap: Int = 32, qMax: Int = 5,
+      nProbe: Int = 2, degree: Int = 4, beamWidth: Int = 8, hops: Int = 2,
+      seedsPerCell: Int = 2): String = {
+    def cos(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, len($a.e)), i -> $a.e[i] * $b.e[i])) / ($a.nrm * $b.nrm)"
+    def beam(cand: String): String =
+      s"""SELECT qid, nid, sim FROM (
+         |  SELECT qid, nid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+         |  FROM (
+         |    SELECT c.qid, c.nid, ${cos("q", "n")} AS sim
+         |    FROM $cand c JOIN gr_n n ON n.id = c.nid
+         |    JOIN gr_prep q ON q.id = c.qid
+         |  )
+         |) WHERE rn <= $beamWidth""".stripMargin
+    val hopCtes = (1 to hops).map { h =>
+      s"""gr_cand$h AS (
+         |  SELECT DISTINCT qid, nid FROM (
+         |    SELECT qid, nid FROM gr_beam${h - 1}
+         |    UNION ALL
+         |    SELECT b.qid, e.dst AS nid
+         |    FROM gr_beam${h - 1} b JOIN gr_edges e ON e.src = b.nid
+         |  )
+         |), gr_beam$h AS (${beam(s"gr_cand$h")}
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""gr_prep AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e,
+       |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+       |  FROM embeddings
+       |), ${kmChain("gr_", nCells, cap)},
+       |gr_n AS MATERIALIZED (
+       |  SELECT af.id, af.e, af.cell, pr.nrm
+       |  FROM gr_af af JOIN gr_prep pr ON af.id = pr.id
+       |), gr_edges AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT a.id AS src, b.id AS dst,
+       |      row_number() OVER (PARTITION BY a.id
+       |        ORDER BY ${cos("a", "b")} DESC, b.id) AS rn
+       |    FROM gr_n a JOIN gr_n b ON a.cell = b.cell AND a.id <> b.id
+       |  ) WHERE rn <= $degree
+       |), gr_seeds AS (
+       |  SELECT cell, id FROM (
+       |    SELECT a.cell, a.id,
+       |      row_number() OVER (PARTITION BY a.cell
+       |        ORDER BY ${kmD2("a.e", "c.ce")}, a.id) AS rn
+       |    FROM gr_n a JOIN gr_cent2 c ON a.cell = c.cell
+       |  ) WHERE rn <= $seedsPerCell
+       |), gr_probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.id AS qid, c.cell,
+       |      row_number() OVER (PARTITION BY q.id
+       |        ORDER BY ${kmD2("q.e", "c.ce")}, c.cell) AS rn
+       |    FROM (SELECT id, e FROM gr_prep WHERE id < $qMax) q
+       |    CROSS JOIN gr_cent2 c
+       |  ) WHERE rn <= $nProbe
+       |), gr_cand0 AS (
+       |  SELECT DISTINCT p.qid, s.id AS nid
+       |  FROM gr_probes p JOIN gr_seeds s ON s.cell = p.cell
+       |), gr_beam0 AS (${beam("gr_cand0")}
+       |),
+       |$hopCtes""".stripMargin
+  }
+
+  // gate parameters (PipelineQueries q_ann_graph/_audit must match)
+  private val grHops = 3
+  private def grCtes = annGraphCtes(nProbe = 3, degree = 8, beamWidth = 16,
+    hops = grHops, seedsPerCell = 4)
+
+  def annGraphOracle: String =
+    s"""WITH $grCtes
+       |SELECT qid, nid, round(sim, 6) AS sim, rnk FROM (
+       |  SELECT qid, nid, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk
+       |  FROM gr_beam$grHops WHERE qid <> nid
+       |) WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
+  def annGraphAuditOracle: String =
+    s"""WITH $grCtes, gw AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       |    FROM gr_beam$grHops WHERE qid <> nid
+       |  ) WHERE rn <= 3
+       |), br AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.id AS qid, a.id AS nid,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * a.e[i]))
+       |          / (q.nrm * a.nrm) DESC, a.id) AS rn
+       |    FROM (SELECT * FROM gr_prep WHERE id < 5) q
+       |    JOIN gr_prep a ON a.id <> q.id
+       |  ) WHERE rn <= 3
+       |), hits AS (SELECT count(*)::BIGINT AS h FROM gw JOIN br USING (qid, nid)),
+       |nq AS (SELECT count(DISTINCT qid)::BIGINT AS n FROM br)
+       |SELECT nq.n AS n_queries, CAST(3 AS INT) AS k, hits.h AS n_hits,
+       |  CAST(hits.h * 1000 // (3 * nq.n) AS BIGINT) AS recall_milli
+       |FROM hits, nq""".stripMargin
+
   /** q_ann_opq_audit: rotated and plain IVF-PQ chains at equal budget,
     * both scored against exact brute-force top-3 over the raw vectors.
     */
@@ -1037,7 +1180,10 @@ object SketchOracleSql {
 
   def oracles: Map[String, String] = Map(
     "q_ann_opq" -> annOpqOracle,
+    "q_ann_opq_fwht" -> annOpqFwhtOracle,
     "q_ann_opq_audit" -> annOpqAuditOracle,
+    "q_ann_graph" -> annGraphOracle,
+    "q_ann_graph_audit" -> annGraphAuditOracle,
     // the persisted-index search must answer identically to the
     // in-memory IVF path — same replayed-k-means oracle
     "q_ann_ivf_indexed" -> annIvfOracle,

@@ -509,6 +509,36 @@ object SourceQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // Multi-dimensional clustering: the staged lineitem slice is
+    // Z-ORDER rewritten on (l_partkey, l_suppkey) — the interleaved
+    // curve layout that lets zone maps prune file reads on BOTH columns
+    // (linear clusterBy serves only its leading column; KvZorderSpec
+    // pins the pruning plans). The gate puts the RESULT on the oracle
+    // board: a 2-D box query over the rewritten table must match DuckDB
+    // over the original parquet exactly — layout never touches values.
+    "q_kv_zorder" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val staged = s"/tmp/graft_zorder$safe"
+      if (ParquetIO.listFiles(staged).isEmpty) {
+        graft.Tables.load(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
+            col("l_extendedprice"))
+          .repartition(8)
+          .write.format("kv").option("path", staged).mode("overwrite").save()
+      }
+      graft.operators.KvMerge.rewrite(s, staged, numFiles = 8,
+        zorderBy = Seq("l_partkey", "l_suppkey"))
+      graft.sources.kv.KvIndex.build(staged, Seq("l_partkey", "l_suppkey"))
+      s.read.format("kv").option("path", staged).load()
+        .filter(col("l_partkey").between(100, 400) &&
+          col("l_suppkey").between(1, 60))
+        .groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy(col("l_suppkey"))
+    }),
+
     // Storage-partitioned join: orders and customer land as co-bucketized
     // kv tables (KvMerge.bucketize — Spark's own HashPartitioning
     // assignment, file→bucket recorded), read through the kv catalog so
@@ -1194,6 +1224,15 @@ object SourceQueries {
       """SELECT o_orderpriority, count(*) AS n, min(o_orderkey) AS min_key,
         |  round(sum(o_totalprice), 2) AS total
         |FROM orders
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_kv_zorder" ->
+      """SELECT l_suppkey, count(*) AS n,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 400
+        |  AND l_suppkey BETWEEN 1 AND 60
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_kv_bucketed_join" ->

@@ -421,6 +421,96 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(dup.get.getAs[Double]("adist") == minD, s"got ${got.mkString(",")}")
   }
 
+  test("opqRotateFwht replays the butterfly bit-exactly and tracks the naive fold") {
+    // independent functional butterfly: stage h maps j -> x[j]+x[j+h]
+    // (bit h clear) / x[j-h]-x[j] (bit h set) — the values FwhtKernel's
+    // in-place (a+b, a-b) writes produce. Exact == expected: same IEEE
+    // ops in the same order.
+    val signs = SimilaritySearch.opqSigns(16)
+    def replay(x0: Seq[Double]): Seq[Double] = {
+      var x = x0.zip(signs).map { case (v, s) => v * s }.toVector
+      for (h <- Seq(1, 2, 4, 8)) {
+        x = Vector.tabulate(16)(j =>
+          if ((j & h) == 0) x(j) + x(j + h) else x(j - h) - x(j))
+      }
+      x.map(_ / 4.0)
+    }
+    val rows = corpus16.select(col("vec_id"),
+      SimilaritySearch.opqRotateFwht(col("embedding"), 16).as("f"),
+      SimilaritySearch.opqRotate(col("embedding"), 16).as("naive"),
+      col("embedding")).collect()
+    rows.foreach { r =>
+      val in = r.getSeq[Float](3).map(_.toDouble)
+      val f = r.getSeq[Double](1)
+      val naive = r.getSeq[Double](2)
+      // bit-exact vs the independent replay of the SAME op order
+      assert(f == replay(in), s"butterfly mismatch for ${r.get(0)}")
+      // ulp-close to the naive fold (different summation tree)
+      f.zip(naive).foreach { case (a, b) =>
+        assert(math.abs(a - b) < 1e-9, s"fwht vs naive for ${r.get(0)}") }
+    }
+    // the planted duplicate stays exact in FWHT-rotated space
+    val byId = rows.map(r => r.getAs[Long]("vec_id") -> r.getSeq[Double](1)).toMap
+    assert(byId(0L) == byId(99L))
+    // non-power-of-two rejected at build time; runtime dim mismatch raises
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.opqRotateFwht(col("embedding"), 24)
+    }
+    intercept[Exception] {
+      corpus16.select(SimilaritySearch.opqRotateFwht(col("embedding"), 32)).collect()
+    }
+  }
+
+  test("ivfPqOpqFwhtKnn ranks the planted exact duplicate first") {
+    val q = corpus16.filter(col("vec_id") === 0L)
+    val got = SimilaritySearch.ivfPqOpqFwhtKnn(corpus16, q, "embedding", "vec_id",
+      dim = 16, k = 3, nCells = 2, nProbe = 2, m = 2, pqCells = 8)
+      .orderBy("rnk").collect()
+    assert(got.nonEmpty)
+    val dup = got.find(_.getAs[Long]("nid") == 99L)
+    assert(dup.isDefined, s"got ${got.mkString(",")}")
+    val minD = got.map(_.getAs[Double]("adist")).min
+    assert(dup.get.getAs[Double]("adist") == minD, s"got ${got.mkString(",")}")
+  }
+
+  test("graphKnn with full seed coverage equals brute force exactly") {
+    // one cell, every node a seed, beam wider than the corpus: the walk
+    // degenerates to an exact scan — output must be bit-identical to
+    // bruteForceKnn (same scoring, same rounding, same tiebreaks)
+    val q = corpus16.filter(col("vec_id") < 3L)
+    val got = SimilaritySearch.graphKnn(corpus16, q, "embedding", "vec_id",
+      k = 3, nCells = 1, nProbe = 1, degree = 2, beamWidth = 50, hops = 0,
+      seedsPerCell = 50, maxTrainPerCell = 64)
+      .orderBy("qid", "rnk").collect().toSeq
+    val want = SimilaritySearch.bruteForceKnn(corpus16, q, "embedding", "vec_id", 3)
+      .orderBy("qid", "rnk").collect().toSeq
+    assert(got == want)
+  }
+
+  test("graphKnn hops only improve the beam: recall is monotone in walk depth") {
+    val q = corpus16.filter(col("vec_id") < 5L)
+    def recall(hops: Int): Long =
+      SimilaritySearch.graphRecallAudit(corpus16, q, "embedding", "vec_id",
+        k = 3, nCells = 2, nProbe = 1, degree = 4, beamWidth = 6, hops = hops,
+        seedsPerCell = 2, maxTrainPerCell = 64)
+        .collect()(0).getAs[Long]("recall_milli")
+    val r0 = recall(0)
+    val r2 = recall(2)
+    assert(r2 >= r0, s"hops=2 recall $r2 < hops=0 recall $r0")
+    // deterministic: the same walk twice is bit-identical
+    val a = SimilaritySearch.graphKnn(corpus16, q, "embedding", "vec_id",
+      k = 3, nCells = 2, nProbe = 2, degree = 4, beamWidth = 8, hops = 2,
+      seedsPerCell = 2, maxTrainPerCell = 64).orderBy("qid", "rnk").collect().toSeq
+    val b = SimilaritySearch.graphKnn(corpus16, q, "embedding", "vec_id",
+      k = 3, nCells = 2, nProbe = 2, degree = 4, beamWidth = 8, hops = 2,
+      seedsPerCell = 2, maxTrainPerCell = 64).orderBy("qid", "rnk").collect().toSeq
+    assert(a == b)
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.graphKnn(corpus16, q, "embedding", "vec_id",
+        k = 5, beamWidth = 4)
+    }
+  }
+
   test("denseRerank orders an arbitrary candidate shortlist by exact cosine") {
     import spark.implicits._
     // candidate shortlist: a fixed 6-doc subset for query 0, deliberately
