@@ -1042,15 +1042,29 @@ object SimilaritySearch {
       degree: Int = 4, beamWidth: Int = 8, hops: Int = 2,
       seedsPerCell: Int = 2, iterations: Int = 2,
       maxTrainPerCell: Int = 16384): DataFrame = {
-    require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
+    val (cents, nodes, edges, seeds) = graphPieces(corpus, vecCol, idCol,
+      nCells, degree, seedsPerCell, iterations, maxTrainPerCell)
+    graphWalk(cents, nodes, edges, seeds, queries, vecCol, idCol,
+      k, nProbe, beamWidth, hops)
+  }
+
+  /** The graph index's four tables: (centroids (cell, ce), nodes (cell,
+    * nid, ne, nn), edges (src, dst), seeds (cell, nid)) — shared by the
+    * in-memory walk and the persisted-index build, so the two paths are
+    * identical by construction.
+    */
+  private def graphPieces(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      nCells: Int, degree: Int, seedsPerCell: Int, iterations: Int,
+      maxTrainPerCell: Int): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val cents = trainCentroids(corpus, vecCol, idCol, nCells, iterations,
       maxTrainPerCell)
     val assigned = assignCells(prep(corpus, vecCol, idCol), cents)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = assigned.select(col("id").as("nid"), col("e").as("ne"),
-      col("nrm").as("nn"))
+    val nodes = assigned.select(col("cell"), col("id").as("nid"),
+      col("e").as("ne"), col("nrm").as("nn"))
 
-    // ---- build: within-cell top-degree cosine edges ----
+    // ---- within-cell top-degree cosine edges ----
     val src = assigned.select(col("cell"), col("id").as("src"),
       col("e").as("se"), col("nrm").as("sn"))
     val dst = assigned.select(col("cell"), col("id").as("dst"),
@@ -1066,8 +1080,8 @@ object SimilaritySearch {
       .select(col("src"), col("t.dst").as("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
-    // ---- build: per-cell entry points (nearest the centroid; score is
-    // -d2 so the shared heap's score-desc order means d2 asc, id asc) ----
+    // ---- per-cell entry points (nearest the centroid; score is -d2 so
+    // the shared heap's score-desc order means d2 asc, id asc) ----
     val seeds = assigned.join(broadcast(cents), Seq("cell"))
       .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
         (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
@@ -1076,8 +1090,49 @@ object SimilaritySearch {
         struct((lit(0.0) - col("d2")).as("nd2"), col("id")), seedsPerCell).as("top"))
       .select(col("cell"), explode(col("top")).as("t"))
       .select(col("cell"), col("t.id").as("nid"))
+    (cents, nodes, edges, seeds)
+  }
 
-    // ---- search: probe cells, seed, walk ----
+  /** Persist the graph index as four kv tables under `path` — train
+    * once, search many ([[buildIvfIndex]] discipline). Doubles
+    * round-trip parquet exactly, so [[graphKnnIndexed]] answers
+    * bit-identically to [[graphKnn]] at the same search knobs.
+    */
+  def buildGraphIndex(
+      corpus: DataFrame, vecCol: String, idCol: String, path: String,
+      nCells: Int = 16, degree: Int = 4, seedsPerCell: Int = 2,
+      iterations: Int = 2, maxTrainPerCell: Int = 16384): Unit = {
+    val (cents, nodes, edges, seeds) = graphPieces(corpus, vecCol, idCol,
+      nCells, degree, seedsPerCell, iterations, maxTrainPerCell)
+    cents.write.format("kv").option("path", s"$path/centroids")
+      .mode("overwrite").save()
+    nodes.write.format("kv").option("path", s"$path/cells")
+      .mode("overwrite").save()
+    edges.write.format("kv").option("path", s"$path/edges")
+      .mode("overwrite").save()
+    seeds.write.format("kv").option("path", s"$path/seeds")
+      .mode("overwrite").save()
+  }
+
+  /** Graph walk against a persisted index — no rebuild: the walk reads
+    * the broadcast-sized centroid/seed tables and only the beam's edge
+    * lists and candidate vectors.
+    */
+  def graphKnnIndexed(
+      queries: DataFrame, vecCol: String, idCol: String, path: String,
+      k: Int, nProbe: Int = 4, beamWidth: Int = 8, hops: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    def t(n: String) = spark.read.format("kv").option("path", s"$path/$n").load()
+    graphWalk(t("centroids"), t("cells"), t("edges"), t("seeds"),
+      queries, vecCol, idCol, k, nProbe, beamWidth, hops)
+  }
+
+  private def graphWalk(
+      cents: DataFrame, nodesWithCell: DataFrame, edges: DataFrame,
+      seeds: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
+      k: Int, nProbe: Int, beamWidth: Int, hops: Int): DataFrame = {
+    require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
+    val nodes = nodesWithCell.select(col("nid"), col("ne"), col("nn"))
     val probes = prep(queries, vecCol, idCol).crossJoin(broadcast(cents))
       .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
         (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))

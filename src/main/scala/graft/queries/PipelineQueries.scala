@@ -302,6 +302,21 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // The persisted-index walk: centroids/cells/edges/seeds as kv
+    // tables (train once, search many) — answers bit-identically to
+    // the in-memory walk, so it shares q_ann_graph's oracle.
+    "q_ann_graph_indexed" -> ((s, dir) => {
+      val idx = s"/tmp/graft_gridx${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(idx)
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.buildGraphIndex(emb, "embedding", "vec_id", idx,
+        nCells = 8, degree = 8, seedsPerCell = 4, maxTrainPerCell = 32)
+      SimilaritySearch.graphKnnIndexed(emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", idx, k = 3, nProbe = 3,
+        beamWidth = 16, hops = 3)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // The walk's measured recall vs exact brute force at the same
     // parameters — one row, annRecallAudit discipline.
     "q_ann_graph_audit" -> ((s, dir) => {

@@ -1183,6 +1183,9 @@ object SketchOracleSql {
     "q_ann_opq_fwht" -> annOpqFwhtOracle,
     "q_ann_opq_audit" -> annOpqAuditOracle,
     "q_ann_graph" -> annGraphOracle,
+    // the persisted-index walk must answer identically to the in-memory
+    // walk — same unrolled-hops oracle
+    "q_ann_graph_indexed" -> annGraphOracle,
     "q_ann_graph_audit" -> annGraphAuditOracle,
     // the persisted-index search must answer identically to the
     // in-memory IVF path — same replayed-k-means oracle

@@ -511,6 +511,21 @@ class SimilaritySearchSpec extends SparkSpec {
     }
   }
 
+  test("persisted graph index answers identically to the in-memory walk") {
+    val idx = java.nio.file.Files.createTempDirectory("gridx").toString + "/i"
+    val q = corpus16.filter(col("vec_id") < 5L)
+    SimilaritySearch.buildGraphIndex(corpus16, "embedding", "vec_id", idx,
+      nCells = 2, degree = 4, seedsPerCell = 2, maxTrainPerCell = 64)
+    val indexed = SimilaritySearch.graphKnnIndexed(q, "embedding", "vec_id",
+      idx, k = 3, nProbe = 2, beamWidth = 8, hops = 2)
+      .orderBy("qid", "rnk").collect().toSeq
+    val mem = SimilaritySearch.graphKnn(corpus16, q, "embedding", "vec_id",
+      k = 3, nCells = 2, nProbe = 2, degree = 4, beamWidth = 8, hops = 2,
+      seedsPerCell = 2, maxTrainPerCell = 64)
+      .orderBy("qid", "rnk").collect().toSeq
+    assert(indexed == mem)
+  }
+
   test("denseRerank orders an arbitrary candidate shortlist by exact cosine") {
     import spark.implicits._
     // candidate shortlist: a fixed 6-doc subset for query 0, deliberately

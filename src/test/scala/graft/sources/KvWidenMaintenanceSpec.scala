@@ -65,6 +65,26 @@ class KvWidenMaintenanceSpec extends SparkSpec {
     assert(hit.select("v").as[String].collect().toSeq == Seq("wide"))
   }
 
+  test("zorder rewrite after widening: rows exact, curve ranks computed at the wide type") {
+    val dir = stageMixed()
+    // the boundary pass and rank exprs read the LIVE (widened) schema —
+    // narrow-typed files upcast at read, the curve key never sees a
+    // mixed hash/order domain (unlike murmur3 bucket routing)
+    KvMerge.rewrite(spark, dir, numFiles = 4, zorderBy = Seq("k", "p"))
+    assert(ParquetIO.listFiles(dir).length == 4)
+    assert(readBack(dir) == expected)
+    // layout claims are correctly gone after the range rewrite
+    assert(KvBuckets.bucketsFor(dir).isEmpty)
+    assert(graft.sources.kv.KvClustering.orderingFor(dir).isEmpty)
+    // zone-map pruning works on both curve dimensions post-rewrite
+    graft.sources.kv.KvIndex.build(dir, Seq("k", "p"))
+    def read() = spark.read.format("kv").option("path", dir).load()
+    assert(read().where(col("k") === 5000000000L)
+      .select("v").as[String].collect().toSeq == Seq("wide"))
+    val planned = plannedFiles(read().where(col("k") === 5000000000L))
+    assert(planned.size < 4, s"outlier key should prune, planned $planned")
+  }
+
   test("bucketize after widening claims the layout at the WIDE type; SPJ join correct") {
     val dir = stageMixed()
     KvMerge.bucketize(spark, dir, 4, Seq("k"))
