@@ -539,6 +539,38 @@ object SourceQueries {
         .orderBy(col("l_suppkey"))
     }),
 
+    // Incremental zone-map maintenance: build on the first wave of
+    // files, append a second wave, KvIndex.append folds ONLY the new
+    // files in (footer I/O O(new); KvIndexSpec pins the shard reuse and
+    // coverage). The gate queries ACROSS both waves through the merged
+    // index — any hole in the merge loses rows against the oracle.
+    "q_kv_index_append" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val staged = s"/tmp/graft_idxapp$safe"
+      // marker-gated staging (the q_kv_bucketed_join discipline): a run
+      // dying mid-stage restages from scratch instead of stranding the
+      // gate on a half-written pair of waves
+      val marker = new java.io.File(staged, "_GATE_STAGED")
+      if (!marker.exists()) {
+        ParquetIO.deletePath(staged)
+        val ord = graft.Tables.load(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        ord.filter(col("o_orderkey") % 2 === 0).repartition(4)
+          .write.format("kv").option("path", staged).mode("append").save()
+        graft.sources.kv.KvIndex.build(staged, Seq("o_orderkey"))
+        ord.filter(col("o_orderkey") % 2 === 1).repartition(2)
+          .write.format("kv").option("path", staged).mode("append").save()
+        marker.createNewFile()
+      }
+      graft.sources.kv.KvIndex.append(staged)
+      s.read.format("kv").option("path", staged).load()
+        .filter(col("o_orderkey") > 1000L)
+        .groupBy((col("o_orderkey") % 2).as("parity"))
+        .agg(count(lit(1)).as("n"), min(col("o_orderkey")).as("min_key"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("parity"))
+    }),
+
     // Storage-partitioned join: orders and customer land as co-bucketized
     // kv tables (KvMerge.bucketize — Spark's own HashPartitioning
     // assignment, file→bucket recorded), read through the kv catalog so
@@ -1233,6 +1265,14 @@ object SourceQueries {
         |FROM lineitem
         |WHERE l_partkey BETWEEN 100 AND 400
         |  AND l_suppkey BETWEEN 1 AND 60
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_kv_index_append" ->
+      """SELECT o_orderkey % 2 AS parity, count(*) AS n,
+        |  min(o_orderkey) AS min_key,
+        |  round(sum(o_totalprice), 2) AS total
+        |FROM orders
+        |WHERE o_orderkey > 1000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_kv_bucketed_join" ->

@@ -65,7 +65,79 @@ object KvIndex {
     */
   def build(tablePath: String, cols: Seq[String]): Unit = {
     val files = ParquetIO.listFilesStatus(tablePath)
-    val entries = files.map { case (f, len, mtime) =>
+    val entries = entriesFor(files, cols)
+    val numShards = KvSidecar.numShardsFor(files.length)
+    KvSidecar.publish(tablePath, SidecarName, metaJson(numShards, cols)) { tmp =>
+      KvSidecar.stageEntries(tmp.getFileSystem(ParquetIO.hadoopConf), tmp,
+        numShards, entries.iterator)
+    }
+  }
+
+  private def metaJson(numShards: Int, cols: Seq[String]): org.json4s.JValue =
+    org.json4s.JObject(
+      "numShards" -> org.json4s.JInt(numShards),
+      "columns" -> org.json4s.JArray(cols.map(org.json4s.JString(_)).toList))
+
+  /** Incremental maintenance: index only the files the existing sidecar
+    * does not cover (new appends, or rewritten bytes under a reused
+    * name) and merge them in — footer I/O is O(new files), untouched
+    * shards are BYTE-COPIED, and only shards receiving new entries are
+    * re-serialized. When the live file count moves the shard-count
+    * budget ([[KvSidecar.numShardsFor]]), falls back to re-sharding
+    * every still-valid entry (no footer re-reads — entries re-serialize
+    * from the old shards). Entries for deleted files are dropped on the
+    * re-shard path and are harmless meanwhile (signature-validated,
+    * never served).
+    *
+    * Returns the number of newly indexed files. Requires an existing,
+    * non-tombstoned index — the recorded columns are the contract; a
+    * missing index means [[build]] (and after schema evolution the
+    * tombstone keeps config but refuses service, so append refuses
+    * too instead of mixing hash/type domains).
+    */
+  def append(tablePath: String): Int = {
+    val sc = KvSidecar.open(tablePath, SidecarName).getOrElse(
+      throw new IllegalStateException(
+        s"no live zone-map index on $tablePath — run KvIndex.build first"))
+    val cols = indexedColumns(tablePath).toSeq.sorted
+    require(cols.nonEmpty, s"zone-map meta on $tablePath records no columns")
+    val live = ParquetIO.listFilesStatus(tablePath)
+    val newFiles = live.filter { case (f, len, mt) =>
+      sc.entryFor(f.getName, len, mt).isEmpty }
+    if (newFiles.isEmpty) return 0
+    val newEntries = entriesFor(newFiles, cols)
+    val numShards = KvSidecar.numShardsFor(live.length)
+    KvSidecar.publish(tablePath, SidecarName, metaJson(numShards, cols)) { tmp =>
+      val fs = tmp.getFileSystem(ParquetIO.hadoopConf)
+      if (numShards == sc.numShards) {
+        val bySh = newEntries.groupBy(e => KvSidecar.shardOf(e._1, numShards))
+        (0 until numShards).foreach { k =>
+          bySh.get(k) match {
+            case None => sc.copyShardTo(k, fs, tmp)
+            case Some(add) =>
+              val replaced = add.map(_._1).toSet
+              val kept = sc.shardEntries(k).collect {
+                case (f, (len, mt, e)) if !replaced.contains(f) => (f, len, mt, e)
+              }
+              KvSidecar.stageShard(fs, tmp, k, (kept ++ add).iterator)
+          }
+        }
+      } else {
+        val keptOld = live.flatMap { case (f, len, mt) =>
+          sc.entryFor(f.getName, len, mt).map(e => (f.getName, len, mt, e)) }
+        KvSidecar.stageEntries(fs, tmp, numShards,
+          (keptOld ++ newEntries).iterator)
+      }
+    }
+    newFiles.length
+  }
+
+  /** Footer-only zone extraction for `files` — the shared walk behind
+    * [[build]] (all files) and [[append]] (new files only).
+    */
+  private def entriesFor(files: Seq[(Path, Long, Long)], cols: Seq[String])
+      : Seq[(String, Long, Long, String)] = {
+    files.map { case (f, len, mtime) =>
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(f, ParquetIO.hadoopConf))
       try {
         import scala.jdk.CollectionConverters._
@@ -101,14 +173,6 @@ object KvIndex {
         }.toMap
         (f.getName, len, mtime, entryJson(groups))
       } finally reader.close()
-    }
-    val numShards = KvSidecar.numShardsFor(files.length)
-    val meta: org.json4s.JValue = org.json4s.JObject(
-      "numShards" -> org.json4s.JInt(numShards),
-      "columns" -> org.json4s.JArray(cols.map(org.json4s.JString(_)).toList))
-    KvSidecar.publish(tablePath, SidecarName, meta) { tmp =>
-      KvSidecar.stageEntries(tmp.getFileSystem(ParquetIO.hadoopConf), tmp,
-        numShards, entries.iterator)
     }
   }
 

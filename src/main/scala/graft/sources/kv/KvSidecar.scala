@@ -134,6 +134,34 @@ object KvSidecar {
         }
       }
     }
+
+    /** All entries of shard `k` (fileName → (len, mtime, entryJson)) —
+      * the incremental-maintenance read path ([[graft.sources.kv.KvIndex]]
+      * `append`): merge new entries into one shard without touching the
+      * others.
+      */
+    def shardEntries(k: Int): Map[String, (Long, Long, String)] =
+      shards.get(shardFileName(k)).map { case (p, slen, smtime) =>
+        loadShard(p, slen, smtime)
+      }.getOrElse(Map.empty)
+
+    /** Copy shard `k`'s file verbatim into `tmpDir` (absent shard = no
+      * file, matching [[stageEntries]]' sparse layout). Byte copy, no
+      * parse — untouched shards cost I/O proportional to their size,
+      * never footer reads.
+      */
+    def copyShardTo(k: Int, fs: FileSystem, tmpDir: Path): Unit =
+      shards.get(shardFileName(k)).foreach { case (p, _, _) =>
+        val in = fs.open(p)
+        try {
+          val out = fs.create(new Path(tmpDir, shardFileName(k)), true)
+          try {
+            val buf = new Array[Byte](65536)
+            var n = in.read(buf)
+            while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
+          } finally out.close()
+        } finally in.close()
+      }
   }
 
   /** Open a sidecar for reading: one `getFileStatus`-free `listStatus`
@@ -259,6 +287,19 @@ object KvSidecar {
     * per-entry payload is footer-derived (zone maps). Distributed
     * builders ([[KvBloom]]) write shard files from executors instead.
     */
+  /** Write ONE shard file from fully-resolved entries — the merge path
+    * of incremental maintenance (the caller owns shard assignment).
+    */
+  def stageShard(fs: FileSystem, tmpDir: Path, k: Int,
+      entries: Iterator[(String, Long, Long, String)]): Unit = {
+    val w = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(new Path(tmpDir, shardFileName(k)), true),
+      java.nio.charset.StandardCharsets.UTF_8))
+    try entries.foreach { case (f, len, mtime, e) =>
+      w.write(entryLine(f, len, mtime, e)); w.write("\n")
+    } finally w.close()
+  }
+
   def stageEntries(fs: FileSystem, tmpDir: Path, numShards: Int,
       entries: Iterator[(String, Long, Long, String)]): Unit = {
     val writers = scala.collection.mutable.Map.empty[Int, java.io.BufferedWriter]

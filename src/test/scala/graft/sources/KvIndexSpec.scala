@@ -92,4 +92,70 @@ class KvIndexSpec extends SparkSpec {
       .filter(col("k") === 9999L).collect()
     assert(got.length == 1, "uncovered files are never pruned and still filtered correctly")
   }
+
+  private def plannedFiles(df: org.apache.spark.sql.DataFrame): Set[String] = {
+    import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+    import graft.sources.kv.{KvInputPartition, KvScan}
+    val scan = df.queryExecution.sparkPlan.collectFirst {
+      case b: BatchScanExec if b.scan.isInstanceOf[KvScan] => b.scan.asInstanceOf[KvScan]
+    }.get
+    scan.toBatch.planInputPartitions()
+      .flatMap(_.asInstanceOf[KvInputPartition].chunks.map(_.file)).toSet
+  }
+
+  test("append indexes only the new files and extends pruning to them") {
+    val dir = makeTable() // 4 files, disjoint 1000-row key ranges
+    KvIndex.build(dir, Seq("k", "cat"))
+    (4 until 6).foreach { part =>
+      (part * 1000 until (part + 1) * 1000)
+        .map(i => (i.toLong, s"cat${i % 5}", i * 1.5))
+        .toDF("k", "cat", "v").coalesce(1)
+        .write.format("kv").option("path", dir).mode("append").save()
+    }
+    def read() = spark.read.format("kv").option("path", dir).load()
+    // pre-append the two new files are uncovered: a point probe inside
+    // an OLD file's range still plans the uncovered files (never pruned)
+    assert(plannedFiles(read().filter(col("k").between(1200L, 1300L))).size == 3)
+
+    assert(KvIndex.append(dir) == 2, "exactly the two new files get indexed")
+    assert(KvIndex.append(dir) == 0, "append is a no-op when coverage is complete")
+    graft.sources.kv.KvSidecar.clearCaches()
+
+    // new coverage prunes: a range inside file 5 plans one file…
+    assert(plannedFiles(read().filter(col("k").between(5200L, 5300L))).size == 1)
+    // …and old coverage is untouched
+    assert(plannedFiles(read().filter(col("k").between(1200L, 1300L))).size == 1)
+    assert(read().filter(col("k") >= 4000L).count() == 2000)
+  }
+
+  test("append re-shards when the file count outgrows the shard budget") {
+    import graft.sources.kv.KvSidecar
+    val dir = Files.createTempDirectory("kvidxgrow").toString + "/t"
+    (0 until 6000).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+      .repartition(60)
+      .write.format("kv").option("path", dir).mode("append").save()
+    KvIndex.build(dir, Seq("k"))
+    assert(KvSidecar.open(dir, KvIndex.SidecarName).get.numShards == 1)
+
+    (0 until 1000).map(i => (i + 10000L, i * 1.0)).toDF("k", "v")
+      .repartition(10)
+      .write.format("kv").option("path", dir).mode("append").save()
+    assert(KvIndex.append(dir) == 10)
+    KvSidecar.clearCaches()
+    val sc = KvSidecar.open(dir, KvIndex.SidecarName).get
+    assert(sc.numShards == 2, "shard budget grows with the table")
+    // EVERY live file is covered after the re-shard — old entries
+    // re-serialized, new ones indexed
+    val live = ParquetIO.listFilesStatus(dir)
+    assert(live.length == 70)
+    assert(live.forall { case (f, l, m) => sc.entryFor(f.getName, l, m).isDefined })
+  }
+
+  test("append refuses a missing or tombstoned index instead of guessing config") {
+    val dir = makeTable()
+    intercept[IllegalStateException] { KvIndex.append(dir) }
+    KvIndex.build(dir, Seq("k"))
+    graft.sources.kv.KvSidecar.tombstone(dir, KvIndex.SidecarName)
+    intercept[IllegalStateException] { KvIndex.append(dir) }
+  }
 }
