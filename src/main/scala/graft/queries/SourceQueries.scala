@@ -427,6 +427,34 @@ object SourceQueries {
         .orderBy(col("o_orderkey"))
     }),
 
+    // Incremental Bloom maintenance: build covers wave 1, KvBloom.append
+    // hashes ONLY wave 2's rows (the maintenance.files allowlist scan —
+    // KvBloomSpec pins shard reuse and pruning). Point lookups straddle
+    // both waves through the merged sidecar; a merge hole loses rows
+    // against the oracle.
+    "q_kv_bloom_append" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val staged = s"/tmp/graft_bloomapp$safe"
+      val marker = new java.io.File(staged, "_GATE_STAGED")
+      if (!marker.exists()) {
+        ParquetIO.deletePath(staged)
+        val cust = graft.Tables.load(s, dir, "customer")
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        cust.filter(col("c_custkey") % 2 === 0).repartition(4)
+          .write.format("kv").option("path", staged).mode("append").save()
+        graft.sources.kv.KvBloom.build(s, staged, Seq("c_custkey"))
+        cust.filter(col("c_custkey") % 2 === 1).repartition(2)
+          .write.format("kv").option("path", staged).mode("append").save()
+        marker.createNewFile()
+      }
+      graft.sources.kv.KvBloom.append(s, staged)
+      s.read.format("kv").option("path", staged).load()
+        .filter(col("c_custkey").isin(2L, 3L, 40L, 41L, 999999999L))
+        .select(col("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("c_acctbal"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Schema evolution: ALTER TABLE ADD COLUMN is a metadata-only
     // sidecar update (no table rewrite — the only plan at 100 TB).
     // Stage nation as a kv table, add a BIGINT column through the SQL
@@ -1266,6 +1294,12 @@ object SourceQueries {
         |WHERE l_partkey BETWEEN 100 AND 400
         |  AND l_suppkey BETWEEN 1 AND 60
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_kv_bloom_append" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+        |FROM customer
+        |WHERE c_custkey IN (2, 3, 40, 41, 999999999)
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_kv_index_append" ->
       """SELECT o_orderkey % 2 AS parity, count(*) AS n,

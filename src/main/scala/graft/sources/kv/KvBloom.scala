@@ -156,6 +156,107 @@ object KvBloom {
     } finally { grouped.unpersist(); () }
   }
 
+  /** Incremental maintenance — the `KvIndex.append` discipline for the
+    * Bloom tier: hash ONLY the uncovered files' rows. The distributed
+    * pass scans the delta through the normal kv read plane (the
+    * `maintenance.files` allowlist restricts planning to those files —
+    * same coercions, same hashing chain as [[build]]), untouched shards
+    * are byte-copied, and only shards receiving entries re-serialize.
+    *
+    * Delta blooms are collected to the driver before the merge —
+    * bounded by |new files| · rows·bitsPerKey/8 bytes, fine for the
+    * incremental case this exists for; a full-table change should run
+    * [[build]]'s executor-written streaming path instead. Refuses a
+    * missing or tombstoned sidecar (post-widening, the rebuild hook
+    * owns recovery — appending into a stale hash domain would poison
+    * it). Returns the number of newly covered files.
+    */
+  def append(spark: SparkSession, tablePath: String): Int = {
+    val sc = KvSidecar.open(tablePath, SidecarName).getOrElse(
+      throw new IllegalStateException(
+        s"no live bloom sidecar on $tablePath — run KvBloom.build first"))
+    val cols = (sc.meta \ "columns") match {
+      case JArray(vs) => vs.collect { case JString(s) => s }
+      case _ => throw new IllegalStateException(
+        s"bloom meta on $tablePath records no columns")
+    }
+    implicit val fmts: Formats = DefaultFormats
+    val numHashes = (sc.meta \ "numHashes").extract[Int]
+    val bitsPerKey = (sc.meta \ "bitsPerKey").extract[Int]
+    val live = ParquetIO.listFilesStatus(tablePath)
+    val newFiles = live.filter { case (f, len, mt) =>
+      sc.entryFor(f.getName, len, mt).isEmpty }
+    if (newFiles.isEmpty) return 0
+    val widths = newFiles.map { case (f, len, mtime) =>
+      val rows = ParquetIO.footerInfoCached(f, len, mtime).map(_.rowCount).sum
+      val nb = widthFor(rows, bitsPerKey)
+      require(nb <= Int.MaxValue,
+        s"bloom width $nb exceeds Int range — lower bitsPerKey or split files")
+      (f.toString, len, mtime, nb)
+    }
+    import spark.implicits._
+    val widthDf = widths.toDF("__file", "__len", "__mtime", "__nb")
+    val df = spark.read.format("kv").option("path", tablePath)
+      .option("maintenance.files", newFiles.map(_._1.getName).mkString(","))
+      .load()
+    val aggs = cols.map { c =>
+      BloomFilterSketch.bloomAggVar(xxhash64(col(c)), col("__nb"), numHashes).as(c)
+    } ++ Seq(first(col("__len")).as("__len"), first(col("__mtime")).as("__mtime"),
+      first(col("__nb")).as("__nb"))
+    val colsArr = cols.toArray
+    val hashed = df.select(col("_file") +: cols.map(col): _*)
+      .join(broadcast(widthDf), col("_file") === col("__file"))
+      .groupBy(col("_file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { r =>
+        val fileName = new Path(r.getString(0)).getName
+        (fileName, r.getAs[Long](colsArr.length + 1),
+          r.getAs[Long](colsArr.length + 2),
+          entryJson(colsArr.zipWithIndex.map { case (c, i) =>
+            c -> ColBloom(r.getAs[Array[Byte]](i + 1),
+              r.getAs[Long](colsArr.length + 3).toInt, numHashes)
+          }.toMap))
+      }.toSeq
+    // new files holding zero rows never reach the grouped output: they
+    // get the minimal all-zero filter (contain nothing → prune all)
+    val hashedNames = hashed.map(_._1).toSet
+    val empties = widths.filterNot(w => hashedNames.contains(new Path(w._1).getName))
+      .map { case (f, len, mtime, nb) =>
+        (new Path(f).getName, len, mtime, entryJson(
+          cols.map(_ -> ColBloom(new Array[Byte](nb.toInt / 8), nb.toInt,
+            numHashes)).toMap))
+      }
+    val newEntries = hashed ++ empties
+    val numShards = KvSidecar.numShardsFor(live.length)
+    val meta: JValue = JObject("numShards" -> JInt(numShards),
+      "columns" -> JArray(cols.map(JString(_)).toList),
+      "numHashes" -> JInt(numHashes), "bitsPerKey" -> JInt(bitsPerKey))
+    KvSidecar.publish(tablePath, SidecarName, meta) { tmp =>
+      val fs = tmp.getFileSystem(ParquetIO.hadoopConf)
+      if (numShards == sc.numShards) {
+        val bySh = newEntries.groupBy(e => KvSidecar.shardOf(e._1, numShards))
+        (0 until numShards).foreach { k =>
+          bySh.get(k) match {
+            case None => sc.copyShardTo(k, fs, tmp)
+            case Some(add) =>
+              val replaced = add.map(_._1).toSet
+              val kept = sc.shardEntries(k).collect {
+                case (f, (len, mt, e)) if !replaced.contains(f) => (f, len, mt, e)
+              }
+              KvSidecar.stageShard(fs, tmp, k, (kept ++ add).iterator)
+          }
+        }
+      } else {
+        val keptOld = live.flatMap { case (f, len, mt) =>
+          sc.entryFor(f.getName, len, mt).map(e => (f.getName, len, mt, e)) }
+        KvSidecar.stageEntries(fs, tmp, numShards,
+          (keptOld ++ newEntries).iterator)
+      }
+    }
+    newFiles.length
+  }
+
   private def entryJson(byCol: Map[String, ColBloom]): String = {
     val fields = byCol.toSeq.sortBy(_._1).map { case (c, b) =>
       c -> (JObject(

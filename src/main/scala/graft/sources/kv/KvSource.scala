@@ -239,7 +239,10 @@ class KvTable(tableSchema: StructType, options: CaseInsensitiveStringMap)
       options.getBoolean("vectorized.read", true),
       // time travel: `snapshot.epoch = N` reads the table as of streaming
       // epoch N (committed epoch files ≤ N plus all batch files)
-      Option(options.get("snapshot.epoch")).map(_.toLong))
+      Option(options.get("snapshot.epoch")).map(_.toLong),
+      // internal maintenance hook: restrict the scan to these file names
+      Option(options.get("maintenance.files"))
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet))
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new KvWriteBuilder(tablePath, info.schema(),
@@ -333,7 +336,8 @@ object KvSinkConverter {
 }
 
 class KvScanBuilder(path: String, schema: StructType, maxSplitCount: Int, splitSizeMb: Long,
-    vectorized: Boolean = true, snapshotEpoch: Option[Long] = None)
+    vectorized: Boolean = true, snapshotEpoch: Option[Long] = None,
+    fileAllowlist: Option[Set[String]] = None)
     extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var required: StructType = schema
@@ -348,14 +352,15 @@ class KvScanBuilder(path: String, schema: StructType, maxSplitCount: Int, splitS
   // refused under ANY filter or grouping — correctness over coverage.
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
-    !sawFilters && snapshotEpoch.isEmpty &&
+    !sawFilters && snapshotEpoch.isEmpty && fileAllowlist.isEmpty &&
       KvAggregates.compile(path, schema, agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
     // footer aggregates fold EVERY visible file — refused under a
-    // snapshot (they would read epochs the snapshot hides)
-    if (sawFilters || snapshotEpoch.isDefined) return false
+    // snapshot (they would read epochs the snapshot hides) and under a
+    // maintenance allowlist (they would read files the scan hides)
+    if (sawFilters || snapshotEpoch.isDefined || fileAllowlist.isDefined) return false
     KvAggregates.compile(path, schema, agg) match {
       case some @ Some(_) => aggCompiled = some; true
       case None => false // no partial pushdown: footer stats are all-or-nothing
@@ -401,7 +406,8 @@ class KvScanBuilder(path: String, schema: StructType, maxSplitCount: Int, splitS
       // plans no re-filter) — only the row path record-filters, so the
       // columnar plane is off whenever any filter was satisfied.
       new KvScan(path, required, schema, predicate, accepted, maxSplitCount, splitSizeMb,
-        vectorized && satisfied.isEmpty, snapshotEpoch, withFilePath)
+        vectorized && satisfied.isEmpty, snapshotEpoch, withFilePath,
+        fileAllowlist)
   }
 }
 
@@ -434,7 +440,8 @@ class KvScan(path: String, requiredSchema: StructType, tableSchema: StructType,
     predicate: Option[FilterPredicate],
     accepted: Array[Filter], maxSplitCount: Int, splitSizeMb: Long,
     vectorized: Boolean = true, snapshotEpoch: Option[Long] = None,
-    withFilePath: Boolean = false)
+    withFilePath: Boolean = false,
+    fileAllowlist: Option[Set[String]] = None)
     extends Scan with Batch with SupportsReportStatistics
     with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering
     with org.apache.spark.sql.connector.read.SupportsReportOrdering
@@ -446,6 +453,10 @@ class KvScan(path: String, requiredSchema: StructType, tableSchema: StructType,
     */
   private def visibleFiles(): Seq[(Path, Long, Long)] =
     ParquetIO.listFilesStatus(path, snapshotEpoch)
+      // `maintenance.files` allowlist: incremental sidecar builds scan
+      // ONLY their delta through the normal read plane (same coercions,
+      // same record filters) — planning never touches other files
+      .filter { case (f, _, _) => fileAllowlist.forall(_.contains(f.getName)) }
 
   /** Bucket layout claim ([[KvBuckets]]): valid meta AND every bucket
     * column still in the projected schema (Catalyst resolves the

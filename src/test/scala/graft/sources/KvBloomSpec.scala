@@ -164,4 +164,72 @@ class KvBloomSpec extends SparkSpec {
     assert(lookup(123L).count() == 1)
     assert(lookup(555555L).count() == 0)
   }
+
+  test("append hashes only the new files and extends point-lookup pruning to them") {
+    val dir = stage() // 8 covered files, keys 0..799
+    (0 until 2).foreach { i =>
+      (800L + i * 100 until 900L + i * 100).map(k => (k, s"v$k")).toDF("k", "v")
+        .coalesce(1)
+        .write.format("kv").option("path", dir).mode("append").save()
+    }
+    def read() = spark.read.format("kv").option("path", dir).load()
+    val reader0 = graft.sources.kv.KvBloom.reader(dir).get
+    val newNames = ParquetIO.listFilesStatus(dir).collect {
+      case (f, len, mt) if reader0.bloomsFor(f.getName, len, mt).isEmpty =>
+        f.toString
+    }
+    // uncovered: BOTH new files survive every lookup's pruning (a bloom
+    // false positive may add an old file — never subtract a new one)
+    val pre = plannedFiles(read().filter(col("k") === 850L))
+    assert(newNames.length == 2 && newNames.forall(pre.contains),
+      s"uncovered files must plan: new=$newNames planned=$pre")
+
+    assert(graft.sources.kv.KvBloom.append(spark, dir) == 2)
+    assert(graft.sources.kv.KvBloom.append(spark, dir) == 0)
+    graft.sources.kv.KvSidecar.clearCaches()
+
+    // new coverage: the second wave's non-owning file now PRUNES for a
+    // wave-2 key (only FP-rate old files may ride along); value exact
+    val hit = read().filter(col("k") === 850L)
+    val post = plannedFiles(hit)
+    assert(post.count(newNames.contains) == 1,
+      s"exactly the owning new file plans: $post")
+    // old-file FP sets are identical pre/post (same blooms), so the
+    // delta is exactly the pruned non-owning new file
+    assert(post.size == pre.size - 1,
+      s"pruning must drop the non-owning new file: pre=$pre post=$post")
+    assert(hit.select("v").as[String].collect().toSeq == Seq("v850"))
+    // absent key: every covered file may prove absence (tolerate the
+    // ~1%/file false-positive rate, never a false negative)
+    val absent = read().filter(col("k") === 123456L)
+    assert(plannedFiles(absent).size <= 2)
+    assert(absent.count() == 0)
+    assert(read().filter(col("k") === 50L).count() == 1)
+    assert(read().count() == 1000)
+  }
+
+  test("append refuses missing/tombstoned sidecars; allowlist scan reads only its files") {
+    val dir = stage()
+    // the maintenance allowlist restricts the scan to the named files
+    val one = ParquetIO.listFiles(dir).head
+    val restricted = spark.read.format("kv").option("path", dir)
+      .option("maintenance.files", one.getName).load()
+    assert(restricted.count() == 100, "one file holds 100 of the 800 keys")
+    // footer-agg pushdown must refuse under the allowlist (it would
+    // otherwise fold every visible file's footer)
+    val agg = restricted.agg(count(lit(1)))
+    assert(agg.collect()(0).getLong(0) == 100)
+
+    val fresh = java.nio.file.Files.createTempDirectory("kvbloomapp").toString + "/t"
+    Seq((1L, "a")).toDF("k", "v").coalesce(1)
+      .write.format("kv").option("path", fresh).mode("append").save()
+    intercept[IllegalStateException] {
+      graft.sources.kv.KvBloom.append(spark, fresh)
+    }
+    graft.sources.kv.KvBloom.build(spark, fresh, Seq("k"))
+    graft.sources.kv.KvSidecar.tombstone(fresh, graft.sources.kv.KvBloom.SidecarName)
+    intercept[IllegalStateException] {
+      graft.sources.kv.KvBloom.append(spark, fresh)
+    }
+  }
 }
