@@ -49,34 +49,63 @@ object ZOrder {
         "bits must fit a long (<= 62)")
   }
 
-  /** Equi-depth boundaries per column: (2^bits - 1) interior quantiles
-    * of the column cast to double (numeric, date and timestamp columns;
-    * zone maps normalize the same way — `KvIndex.zonesFromStats`).
+  /** Equi-depth boundaries per column, (2^bits - 1) interior cuts:
+    *   - numeric/date/timestamp → quantiles of the column cast to
+    *     double (one `percentile_approx` aggregation; zone maps
+    *     normalize the same way — `KvIndex.zonesFromStats`);
+    *   - string → quantiles of a bounded deterministic hash-sample
+    *     (`BoundedTopK` over splitmix64(xxhash64(value)) — the
+    *     trainCentroids sampling discipline; duplicates stay in the
+    *     sample, so heavy values still shape the cuts equi-depth).
     * Duplicate boundaries collapse (a heavy value spanning quantiles
     * costs curve resolution on that column, never correctness).
     */
-  def boundaries(df: DataFrame, cols: Seq[String], bits: Int)
-      : Map[String, Array[Double]] = {
+  def boundaries(df: DataFrame, cols: Seq[String], bits: Int,
+      maxStringSample: Int = 4096): Map[String, Seq[Any]] = {
     checkDims(cols.length, bits)
+    import org.apache.spark.sql.types.StringType
     cols.foreach { c =>
       val dt = df.schema(c).dataType
-      require(orderPreservingDouble(col(c), dt).isDefined,
-        s"zorder column $c: unsupported type $dt (numeric, date and " +
-          "timestamp columns order-preserve through double)")
+      require(dt == StringType || orderPreservingDouble(col(c), dt).isDefined,
+        s"zorder column $c: unsupported type $dt (numeric, date, " +
+          "timestamp and string columns)")
     }
     val n = 1 << bits
-    val pcts = array((1 until n).map(i => lit(i.toDouble / n)): _*)
-    val aggs = cols.map(c => percentile_approx(
-      orderPreservingDouble(col(c), df.schema(c).dataType).get,
-      pcts, lit(10000)).as(c))
-    val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
-    cols.zipWithIndex.map { case (c, i) =>
-      val raw = row.getSeq[Double](i) match {
-        case null => Array.empty[Double] // empty table: single bucket
-        case s => s.toArray
+    val (strCols, numCols) =
+      cols.partition(c => df.schema(c).dataType == StringType)
+    val numBnds: Map[String, Seq[Any]] =
+      if (numCols.isEmpty) Map.empty
+      else {
+        val pcts = array((1 until n).map(i => lit(i.toDouble / n)): _*)
+        val aggs = numCols.map(c => percentile_approx(
+          orderPreservingDouble(col(c), df.schema(c).dataType).get,
+          pcts, lit(10000)).as(c))
+        val row = df.agg(aggs.head, aggs.tail: _*).collect()(0)
+        numCols.zipWithIndex.map { case (c, i) =>
+          val raw = row.getSeq[Double](i) match {
+            case null => Array.empty[Double] // empty table: single bucket
+            case s => s.toArray
+          }
+          c -> (raw.distinct.sorted.toSeq: Seq[Any])
+        }.toMap
       }
-      c -> raw.distinct.sorted
+    val strBnds: Map[String, Seq[Any]] = strCols.map { c =>
+      // bounded global heap: ≤ maxStringSample rows shuffle, hash-desc
+      // order is a uniform sample, value-asc ties keep it deterministic
+      val sample = df.select(col(c)).na.drop()
+        .select(graft.functions.Sketches.splitmixLong(xxhash64(col(c)))
+          .cast("double").as("hk"), col(c).as("v"))
+        .agg(graft.functions.BoundedTopK.topK(
+          struct(col("hk"), col("v")), maxStringSample).as("top"))
+        .select(explode(col("top.v")).as("v"))
+        .collect().map(_.getString(0)).sorted
+      val cuts =
+        if (sample.isEmpty) Array.empty[String]
+        else (1 until n).map(i => sample((i * sample.length / n)
+          .min(sample.length - 1))).toArray
+      c -> (cuts.distinct.sorted.toSeq: Seq[Any])
     }.toMap
+    (numBnds ++ strBnds: Map[String, Seq[Any]])
   }
 
   /** Order-preserving cast to double, or None for unsupported types.
@@ -101,15 +130,21 @@ object ZOrder {
     * stale boundary set only degrades placement).
     */
   def zColumn(df: DataFrame, cols: Seq[String],
-      bnds: Map[String, Array[Double]], bits: Int): Column = {
+      bnds: Map[String, Seq[Any]], bits: Int): Column = {
     checkDims(cols.length, bits)
+    import org.apache.spark.sql.types.StringType
     val k = cols.length
     val ranks = cols.map { c =>
-      val d = orderPreservingDouble(col(c), df.schema(c).dataType).getOrElse(
-        throw new IllegalArgumentException(s"zorder column $c unsupported"))
-      val bs = bnds.getOrElse(c, Array.empty[Double])
-      // indicator sum = number of boundaries strictly below the value;
-      // NULL comparisons are false under when(), so NULL ranks 0
+      val d =
+        if (df.schema(c).dataType == StringType) col(c)
+        else orderPreservingDouble(col(c), df.schema(c).dataType).getOrElse(
+          throw new IllegalArgumentException(s"zorder column $c unsupported"))
+      val bs = bnds.getOrElse(c, Seq.empty)
+      // indicator sum = number of boundaries strictly below the value
+      // (string comparisons are Spark's binary UTF8 order — the same
+      // order parquet BINARY min/max stats use, so zone maps prune the
+      // resulting layout); NULL comparisons are false under when(),
+      // so NULL ranks 0
       if (bs.isEmpty) lit(0)
       else bs.foldLeft(lit(0)) { (acc, b) =>
         acc + when(d > lit(b), 1).otherwise(0)

@@ -109,8 +109,39 @@ class KvZorderSpec extends SparkSpec {
     assert(zs.getLong(0) >= 0L && zs.getLong(1) < (1L << 8))
   }
 
+  test("string dimension: sampled equi-depth cuts, both dims prune post-rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("kvzstr").toString + "/t"
+    // 26 string categories × 64 numeric positions, row-hash placement
+    (0 until 4096).map { i =>
+      (('a' + i % 26).toChar.toString * 3, i / 64, i.toLong)
+    }.toDF("cat", "x", "payload")
+      .repartition(16, col("payload"))
+      .write.format("kv").option("path", dir).mode("overwrite").save()
+    def read() = spark.read.format("kv").option("path", dir).load()
+    val before = read().collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getLong(2))).sortBy(identity).toSeq
+
+    KvMerge.rewrite(spark, dir, numFiles = 16, zorderBy = Seq("cat", "x"))
+    KvIndex.build(dir, Seq("cat", "x"))
+    val after = read().collect().map(r =>
+      (r.getString(0), r.getInt(1), r.getLong(2))).sortBy(identity).toSeq
+    assert(after == before)
+
+    // a 4-letter category band (≈4/26 of the string domain) prunes…
+    val cats = read().filter(col("cat") >= "ccc" && col("cat") <= "fff")
+    // residues 2..5 of 4096 mod 26: residues < 14 occur 158 times each
+    assert(cats.count() == 4 * 158)
+    assert(cats.collect().forall(r => r.getString(0) >= "ccc" && r.getString(0) <= "fff"))
+    val catPlanned = plannedFiles(cats).size
+    assert(catPlanned <= 8, s"string band planned $catPlanned of 16")
+    // …and so does the numeric dimension
+    val xs = read().filter(col("x").between(8, 15))
+    assert(plannedFiles(xs).size <= 8)
+    assert(xs.count() == 8 * 64)
+  }
+
   test("rejects layouts that cannot fit and non-orderable types") {
-    val df = Seq((1, "a")).toDF("x", "s")
+    val df = Seq((1, Array[Byte](1, 2))).toDF("x", "s")
     intercept[IllegalArgumentException] {
       ZOrder.boundaries(df, Seq("x"), bits = 63)
     }
