@@ -919,6 +919,44 @@ object SourceQueries {
         .orderBy(col("pk"))
     }),
 
+    // Streaming ingest with incremental index maintenance — the
+    // composition this round's sidecar increments exist for: each
+    // micro-batch appends to the kv table and folds ONLY its new files
+    // into the Bloom + zone-map sidecars (build on first batch, append
+    // after), so point-lookup pruning never goes stale and maintenance
+    // cost tracks batch size, not table size. The gate's final read
+    // crosses every batch through the maintained sidecars.
+    "q_kv_stream_index" -> ((s, dir) => {
+      val u = java.util.UUID.randomUUID().toString.replace("-", "")
+      val sink = s"/tmp/graft_stridx_$u/t"
+      val ckpt = s"/tmp/graft_stridxck_$u"
+      val q = s.readStream.format("log").option("path", s"$dir/events.parquet")
+        .option("maxOffsetsPerTrigger", "4000").load()
+        .select(col("event_id"), col("user_id"), col("value"))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.format("kv").option("path", sink).mode("append").save()
+          if (graft.sources.kv.KvBloom.reader(sink).isEmpty) {
+            graft.sources.kv.KvBloom.build(s, sink, Seq("event_id"))
+            graft.sources.kv.KvIndex.build(sink, Seq("event_id", "user_id"))
+          } else {
+            graft.sources.kv.KvBloom.append(s, sink)
+            graft.sources.kv.KvIndex.append(sink)
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.format("kv").option("path", sink).load()
+        .filter(col("user_id").between(10L, 20L))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"),
+          min(col("event_id")).as("min_event"))
+        .orderBy(col("user_id"))
+    }),
+
     // S5 + W10: warehouse partitioned write, dynamic single-partition
     // overwrite, partition-pruned read-back — the ODPS create/overwrite-
     // partition semantics (ODPSWriter.scala:57-167) on hive-layout
@@ -1293,6 +1331,14 @@ object SourceQueries {
         |FROM lineitem
         |WHERE l_partkey BETWEEN 100 AND 400
         |  AND l_suppkey BETWEEN 1 AND 60
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q_kv_stream_index" ->
+      """SELECT user_id, count(*) AS n,
+        |  round(sum(value), 2) AS sum_value,
+        |  min(event_id) AS min_event
+        |FROM events
+        |WHERE user_id BETWEEN 10 AND 20
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q_kv_bloom_append" ->
