@@ -1096,4 +1096,47 @@ object Curation {
         col("weight_micro"),
         expr("weight_micro * 1000000 DIV __total").as("share_micro"))
   }
+
+  /** SSL-prototypes density pruning (Sorscher et al. 2022, "Beyond
+    * neural scaling laws"): k-means-cluster the embedding space and keep
+    * each cluster's HARDEST `keepMilli`‰ — the examples farthest from
+    * their prototype (centroid). Easy, prototypical examples carry the
+    * least training signal at scale; pruning them per cluster (not
+    * globally) preserves coverage of every mode. The dual of
+    * [[Dedup.semantic]] over the same deterministic clustering chain
+    * (`SimilaritySearch.trainCentroids` — bit-replayable k-means).
+    *
+    * Determinism: d2 to the centroid is the exact assignment fold, rank
+    * is (d2 desc, id asc), keep count per cluster is integer
+    * `max(1, n·keepMilli div 1000)` — the whole chain replays in SQL.
+    *
+    * Scale: assignment broadcasts centroids (the corpus never shuffles
+    * for it); ranking shuffles once on `cell` and sorts within cluster
+    * — cells stay bounded by growing nCells with the corpus, the
+    * SemDeDup sizing argument.
+    */
+  def prototypesPrune(
+      df: DataFrame, vecCol: String, idCol: String,
+      keepMilli: Int, nCells: Int = 64, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384): DataFrame = {
+    require(keepMilli >= 0 && keepMilli <= 1000,
+      s"keepMilli out of range: $keepMilli")
+    val cents = SimilaritySearch.trainCentroids(
+      df, vecCol, idCol, nCells, iterations, maxTrainPerCell)
+    val prepped = df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("e"))
+      .withColumn("nrm", graft.functions.VectorExpressions.l2Norm(col("e")))
+    val assigned = SimilaritySearch.assignCells(prepped, cents)
+    val withD2 = assigned.join(broadcast(cents), Seq("cell"))
+      .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+    val w = Window.partitionBy(col("cell"))
+      .orderBy(col("d2").desc, col("id"))
+    withD2
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("cell"))))
+      .where(col("rnk") <= expr(s"greatest(1, (n * $keepMilli) DIV 1000)"))
+      .select(col("id"), col("cell"), col("rnk").cast("int").as("rnk"),
+        round(col("d2"), 6).as("d2"))
+  }
 }

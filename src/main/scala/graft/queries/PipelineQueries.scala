@@ -288,6 +288,17 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // SSL-prototypes density pruning (Sorscher et al. 2022): per
+    // k-means cluster keep the hardest keepMilli‰ (farthest from the
+    // prototype) — the per-mode coverage-preserving prune. Whole chain
+    // (k-means, d2, rank, integer keep counts) replays in the oracle.
+    "q_sample_prototypes" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      graft.operators.Curation.prototypesPrune(emb, "embedding", "vec_id",
+        keepMilli = 300, nCells = 8, maxTrainPerCell = 32)
+        .orderBy(col("cell"), col("rnk"))
+    }),
+
     // Graph-walk ANN (NSW-lite): deterministic beam search over a
     // within-cell kNN graph — per hop the walk touches beam×(degree+1)
     // candidates regardless of cell size, where an IVF probe scans its

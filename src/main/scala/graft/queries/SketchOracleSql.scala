@@ -1031,6 +1031,23 @@ object SketchOracleSql {
        |)""".stripMargin
   }
 
+  /** q_sample_prototypes: the SSL-prototypes prune — kmChain cells,
+    * exact d2 to the assigned centroid, (d2 desc, id asc) rank, integer
+    * per-cluster keep counts.
+    */
+  def samplePrototypesOracle: String =
+    s"""WITH pp_prep AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), ${kmChain("pp_", 8, 32)}
+       |SELECT id, cell, CAST(rnk AS INT) AS rnk, round(d2, 6) AS d2 FROM (
+       |  SELECT a.id, a.cell, ${kmD2("a.e", "c.ce")} AS d2,
+       |    row_number() OVER (PARTITION BY a.cell
+       |      ORDER BY ${kmD2("a.e", "c.ce")} DESC, a.id) AS rnk,
+       |    count(*) OVER (PARTITION BY a.cell) AS n
+       |  FROM pp_af a JOIN pp_cent2 c USING (cell)
+       |) WHERE rnk <= greatest(1, (n * 300) // 1000)
+       |ORDER BY cell, rnk""".stripMargin
+
   def annOpqFwhtOracle: String =
     s"""WITH $opqFwhtCtes, ${ivfPqChainOver("of2_", "of_prep")}
        |SELECT qid, nid, round(adist, 6) AS adist, rnk
@@ -1180,6 +1197,7 @@ object SketchOracleSql {
 
   def oracles: Map[String, String] = Map(
     "q_ann_opq" -> annOpqOracle,
+    "q_sample_prototypes" -> samplePrototypesOracle,
     "q_ann_opq_fwht" -> annOpqFwhtOracle,
     "q_ann_opq_audit" -> annOpqAuditOracle,
     "q_ann_graph" -> annGraphOracle,

@@ -862,4 +862,33 @@ class CurationSpec extends SparkSpec {
     assert(got.find(_._1 == "extreme").get._4 > 250000L)
     assert(got.find(_._1 == "easy").get._4 < 250000L)
   }
+
+  test("prototypesPrune keeps each cluster's hardest integer fraction, deterministically") {
+    val corpus = ((0 until 40).map(i => (i.toLong, Seq.tabulate(16)(d => math.sin(i * 31 + d).toFloat)))
+      ).toDF("vec_id", "embedding")
+    def run() = Curation.prototypesPrune(corpus, "embedding", "vec_id",
+      keepMilli = 300, nCells = 2, maxTrainPerCell = 64)
+      .orderBy("cell", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    val a = run().toSeq
+    assert(a == run().toSeq, "bit-deterministic across runs")
+    // per-cell: ranks contiguous from 1, keep count = max(1, n*300/1000)
+    val cents = SimilaritySearch.trainCentroids(corpus, "embedding", "vec_id", 2, 2, 64)
+    val sizes = SimilaritySearch.assignCells(
+      corpus.select(col("vec_id").as("id"),
+        transform(col("embedding"), x => x.cast("double")).as("e"))
+        .withColumn("nrm", graft.functions.VectorExpressions.l2Norm(col("e"))), cents)
+      .groupBy("cell").count().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    a.groupBy(_._2).foreach { case (cell, rows) =>
+      val expectKeep = math.max(1L, sizes(cell) * 300 / 1000)
+      assert(rows.length == expectKeep, s"cell $cell kept ${rows.length} of ${sizes(cell)}")
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
+      // hardest first: d2 non-increasing with rank
+      val byRank = rows.sortBy(_._3).map(_._4)
+      assert(byRank.zip(byRank.drop(1)).forall { case (x, y) => x >= y })
+    }
+    intercept[IllegalArgumentException] {
+      Curation.prototypesPrune(corpus, "embedding", "vec_id", keepMilli = 1001)
+    }
+  }
 }
