@@ -1114,6 +1114,52 @@ object SimilaritySearch {
       .mode("overwrite").save()
   }
 
+  /** Incremental graph-index maintenance — NSW's bidirectional insert,
+    * batch-shaped: assign NEW vectors against the persisted centroids
+    * (no retraining), give each its top-`degree` outgoing edges within
+    * its cell (over existing + new nodes), and append the REVERSE
+    * edges too, so walks through the old graph can reach the new nodes
+    * (without them a new node is only findable from its own outgoing
+    * links — never as a walk target). Centroids and entry points stay
+    * fixed; periodic re-clustering is [[buildGraphIndex]] again.
+    *
+    * Crash-safe by jointedness: edges land before cells, and a dangling
+    * edge (target not yet in the cells table) silently drops at the
+    * walk's scoring join; duplicate edges from a retried append are
+    * absorbed by the walk's candidate dedup. Reverse edges can push an
+    * old node's degree past `degree` — that only widens its frontier.
+    */
+  def graphIndexAppend(newVecs: DataFrame, vecCol: String, idCol: String,
+      path: String, degree: Int = 4): Unit = {
+    val spark = newVecs.sparkSession
+    def t(n: String) = spark.read.format("kv").option("path", s"$path/$n").load()
+    val cents = t("centroids")
+    val newNodes = assignCells(prep(newVecs, vecCol, idCol), cents)
+      .select(col("cell"), col("id").as("nid"), col("e").as("ne"),
+        col("nrm").as("nn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val all = t("cells").unionByName(newNodes)
+    val src = newNodes.select(col("cell"), col("nid").as("src"),
+      col("ne").as("se"), col("nn").as("sn"))
+    val dst = all.select(col("cell"), col("nid").as("dst"),
+      col("ne").as("de"), col("nn").as("dn"))
+    val fwd = broadcast(src).join(dst, Seq("cell"))
+      .where(col("src") =!= col("dst"))
+      .select(col("src"),
+        (dot(col("se"), col("de")) / (col("sn") * col("dn"))).as("sim"),
+        col("dst"))
+      .groupBy(col("src"))
+      .agg(graft.functions.BoundedTopK.topK(
+        struct(col("sim"), col("dst")), degree).as("top"))
+      .select(col("src"), explode(col("top")).as("t"))
+      .select(col("src"), col("t.dst").as("dst"))
+    val rev = fwd.select(col("dst").as("src"), col("src").as("dst"))
+    fwd.unionByName(rev).write.format("kv")
+      .option("path", s"$path/edges").mode("append").save()
+    newNodes.select(col("cell"), col("nid"), col("ne"), col("nn"))
+      .write.format("kv").option("path", s"$path/cells").mode("append").save()
+  }
+
   /** Graph walk against a persisted index — no rebuild: the walk reads
     * the broadcast-sized centroid/seed tables and only the beam's edge
     * lists and candidate vectors.

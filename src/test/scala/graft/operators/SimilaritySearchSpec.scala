@@ -526,6 +526,30 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(indexed == mem)
   }
 
+  test("graphIndexAppend links new vectors bidirectionally — reachable both ways") {
+    val idx = java.nio.file.Files.createTempDirectory("gridxapp").toString + "/i"
+    // build WITHOUT the planted duplicate (id 99), append it after
+    val base = corpus16.filter(col("vec_id") =!= 99L)
+    SimilaritySearch.buildGraphIndex(base, "embedding", "vec_id", idx,
+      nCells = 1, degree = 4, seedsPerCell = 40, maxTrainPerCell = 64)
+    SimilaritySearch.graphIndexAppend(corpus16.filter(col("vec_id") === 99L),
+      "embedding", "vec_id", idx, degree = 4)
+    // old→new: query 0's walk reaches the appended duplicate through the
+    // REVERSE edge (every node is a seed, so node 0 is in the beam; its
+    // reverse link to 99 is one hop) — sim 1.0 must rank first
+    val fromOld = SimilaritySearch.graphKnnIndexed(
+      corpus16.filter(col("vec_id") === 0L), "embedding", "vec_id", idx,
+      k = 3, nProbe = 1, beamWidth = 45, hops = 1).orderBy("rnk").collect()
+    assert(fromOld.head.getAs[Long]("nid") == 99L &&
+      fromOld.head.getAs[Double]("sim") == 1.0, fromOld.mkString(","))
+    // new→old: the appended node's own outgoing edges find its twin
+    val fromNew = SimilaritySearch.graphKnnIndexed(
+      corpus16.filter(col("vec_id") === 99L), "embedding", "vec_id", idx,
+      k = 3, nProbe = 1, beamWidth = 45, hops = 1).orderBy("rnk").collect()
+    assert(fromNew.head.getAs[Long]("nid") == 0L &&
+      fromNew.head.getAs[Double]("sim") == 1.0, fromNew.mkString(","))
+  }
+
   test("denseRerank orders an arbitrary candidate shortlist by exact cosine") {
     import spark.implicits._
     // candidate shortlist: a fixed 6-doc subset for query 0, deliberately
