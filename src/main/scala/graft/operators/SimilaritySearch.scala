@@ -885,14 +885,14 @@ object SimilaritySearch {
     val checked = when(size(vec) === d, vec)
       .otherwise(raise_error(concat(lit(s"opqRotate: expected dim $d, got "),
         size(vec).cast("string"))))
-    val invSqrtD = lit(math.sqrt(d.toDouble))
+    val sqrtD = lit(math.sqrt(d.toDouble))
     transform(sequence(lit(0), lit(d - 1)), j =>
       aggregate(sequence(lit(0), lit(d - 1)), lit(0.0), (acc, i) =>
         acc + element_at(checked, (i + 1).cast("int")).cast("double") *
           element_at(signArr, (i + 1).cast("int")) *
           when(bit_count(i.bitwiseAND(j)).bitwiseAND(lit(1)) === 0,
             lit(1.0)).otherwise(lit(-1.0))) /
-      invSqrtD)
+      sqrtD)
   }
 
   /** The ±1 sign diagonal of [[opqRotate]] — shared with the oracle
@@ -1042,7 +1042,7 @@ object SimilaritySearch {
       degree: Int = 4, beamWidth: Int = 8, hops: Int = 2,
       seedsPerCell: Int = 2, iterations: Int = 2,
       maxTrainPerCell: Int = 16384): DataFrame = {
-    val (cents, nodes, edges, seeds) = graphPieces(corpus, vecCol, idCol,
+    val (cents, nodes, edges, seeds, _) = graphPieces(corpus, vecCol, idCol,
       nCells, degree, seedsPerCell, iterations, maxTrainPerCell)
     graphWalk(cents, nodes, edges, seeds, queries, vecCol, idCol,
       k, nProbe, beamWidth, hops)
@@ -1051,12 +1051,17 @@ object SimilaritySearch {
   /** The graph index's four tables: (centroids (cell, ce), nodes (cell,
     * nid, ne, nn), edges (src, dst), seeds (cell, nid)) — shared by the
     * in-memory walk and the persisted-index build, so the two paths are
-    * identical by construction.
+    * identical by construction. The fifth element releases the interim
+    * caches: EAGER consumers (buildGraphIndex) call it after their
+    * actions; the lazy walk path cannot (its result still reads the
+    * cached frames) and keeps them for the session — the trainCentroids
+    * cache discipline.
     */
   private def graphPieces(
       corpus: DataFrame, vecCol: String, idCol: String,
       nCells: Int, degree: Int, seedsPerCell: Int, iterations: Int,
-      maxTrainPerCell: Int): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      maxTrainPerCell: Int)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, () => Unit) = {
     val cents = trainCentroids(corpus, vecCol, idCol, nCells, iterations,
       maxTrainPerCell)
     val assigned = assignCells(prep(corpus, vecCol, idCol), cents)
@@ -1090,7 +1095,8 @@ object SimilaritySearch {
         struct((lit(0.0) - col("d2")).as("nd2"), col("id")), seedsPerCell).as("top"))
       .select(col("cell"), explode(col("top")).as("t"))
       .select(col("cell"), col("t.id").as("nid"))
-    (cents, nodes, edges, seeds)
+    (cents, nodes, edges, seeds,
+      () => { assigned.unpersist(); edges.unpersist(); () })
   }
 
   /** Persist the graph index as four kv tables under `path` — train
@@ -1102,16 +1108,18 @@ object SimilaritySearch {
       corpus: DataFrame, vecCol: String, idCol: String, path: String,
       nCells: Int = 16, degree: Int = 4, seedsPerCell: Int = 2,
       iterations: Int = 2, maxTrainPerCell: Int = 16384): Unit = {
-    val (cents, nodes, edges, seeds) = graphPieces(corpus, vecCol, idCol,
-      nCells, degree, seedsPerCell, iterations, maxTrainPerCell)
-    cents.write.format("kv").option("path", s"$path/centroids")
-      .mode("overwrite").save()
-    nodes.write.format("kv").option("path", s"$path/cells")
-      .mode("overwrite").save()
-    edges.write.format("kv").option("path", s"$path/edges")
-      .mode("overwrite").save()
-    seeds.write.format("kv").option("path", s"$path/seeds")
-      .mode("overwrite").save()
+    val (cents, nodes, edges, seeds, release) = graphPieces(corpus, vecCol,
+      idCol, nCells, degree, seedsPerCell, iterations, maxTrainPerCell)
+    try {
+      cents.write.format("kv").option("path", s"$path/centroids")
+        .mode("overwrite").save()
+      nodes.write.format("kv").option("path", s"$path/cells")
+        .mode("overwrite").save()
+      edges.write.format("kv").option("path", s"$path/edges")
+        .mode("overwrite").save()
+      seeds.write.format("kv").option("path", s"$path/seeds")
+        .mode("overwrite").save()
+    } finally release()
   }
 
   /** Incremental graph-index maintenance — NSW's bidirectional insert,
@@ -1125,9 +1133,11 @@ object SimilaritySearch {
     *
     * Crash-safe by jointedness: edges land before cells, and a dangling
     * edge (target not yet in the cells table) silently drops at the
-    * walk's scoring join; duplicate edges from a retried append are
-    * absorbed by the walk's candidate dedup. Reverse edges can push an
-    * old node's degree past `degree` — that only widens its frontier.
+    * walk's scoring join; duplicate EDGES from a retried append are
+    * absorbed by the walk's candidate dedup, duplicate CELLS rows (a
+    * retry after a partially committed cells write) by the walk's
+    * per-nid node dedup. Reverse edges can push an old node's degree
+    * past `degree` — that only widens its frontier.
     */
   def graphIndexAppend(newVecs: DataFrame, vecCol: String, idCol: String,
       path: String, degree: Int = 4): Unit = {
@@ -1154,10 +1164,12 @@ object SimilaritySearch {
       .select(col("src"), explode(col("top")).as("t"))
       .select(col("src"), col("t.dst").as("dst"))
     val rev = fwd.select(col("dst").as("src"), col("src").as("dst"))
-    fwd.unionByName(rev).write.format("kv")
-      .option("path", s"$path/edges").mode("append").save()
-    newNodes.select(col("cell"), col("nid"), col("ne"), col("nn"))
-      .write.format("kv").option("path", s"$path/cells").mode("append").save()
+    try {
+      fwd.unionByName(rev).write.format("kv")
+        .option("path", s"$path/edges").mode("append").save()
+      newNodes.select(col("cell"), col("nid"), col("ne"), col("nn"))
+        .write.format("kv").option("path", s"$path/cells").mode("append").save()
+    } finally { newNodes.unpersist(); () }
   }
 
   /** Graph walk against a persisted index — no rebuild: the walk reads
@@ -1178,7 +1190,12 @@ object SimilaritySearch {
       seeds: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
       k: Int, nProbe: Int, beamWidth: Int, hops: Int): DataFrame = {
     require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
+    // dedup by nid: a graphIndexAppend retried after a partially
+    // committed cells write can leave a node's row twice in the table;
+    // candidate dedup alone would still score both copies and let one
+    // nid occupy two beam/top-k slots
     val nodes = nodesWithCell.select(col("nid"), col("ne"), col("nn"))
+      .dropDuplicates("nid")
     val probes = prep(queries, vecCol, idCol).crossJoin(broadcast(cents))
       .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
         (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
@@ -1206,7 +1223,14 @@ object SimilaritySearch {
     val seeded = broadcast(probes).join(seeds, Seq("cell"))
       .select(col("qid"), col("qe"), col("qn"), col("nid"))
       .dropDuplicates("qid", "nid")
-    var beam = topBeam(score(seeded))
+    // each hop references the beam TWICE (kept candidates + frontier
+    // expansion), so an unbroken lineage re-evaluates the whole
+    // upstream 2^hops times — at hops=3 that re-planned and re-read
+    // the index tables ~8x per consumer (measured 74 s on the indexed
+    // gate). The beam is bounded at |Q|·beamWidth rows: an eager
+    // localCheckpoint per hop cuts the lineage and makes every hop two
+    // bounded jobs, keeping the walk linear in `hops`.
+    var beam = topBeam(score(seeded)).localCheckpoint()
     var hop = 0
     while (hop < hops) {
       val expanded = broadcast(beam
@@ -1216,7 +1240,7 @@ object SimilaritySearch {
       val cand = beam.select(col("qid"), col("qe"), col("qn"), col("nid"))
         .unionByName(expanded)
         .dropDuplicates("qid", "nid")
-      beam = topBeam(score(cand))
+      beam = topBeam(score(cand)).localCheckpoint()
       hop += 1
     }
     topKPerQuery(

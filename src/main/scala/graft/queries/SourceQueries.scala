@@ -547,12 +547,19 @@ object SourceQueries {
     "q_kv_zorder" -> ((s, dir) => {
       val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
       val staged = s"/tmp/graft_zorder$safe"
-      if (ParquetIO.listFiles(staged).isEmpty) {
+      // marker-gated staging: a run dying mid-stage restages from
+      // scratch instead of zorder-rewriting a partial slice forever.
+      // The marker sits BESIDE the table — the rewrite's whole-dir swap
+      // below would delete an in-table marker every invocation.
+      val marker = new java.io.File(staged + ".staged")
+      if (!marker.exists()) {
+        ParquetIO.deletePath(staged)
         graft.Tables.load(s, dir, "lineitem")
           .select(col("l_partkey"), col("l_suppkey"), col("l_quantity"),
             col("l_extendedprice"))
           .repartition(8)
           .write.format("kv").option("path", staged).mode("overwrite").save()
+        marker.createNewFile()
       }
       graft.operators.KvMerge.rewrite(s, staged, numFiles = 8,
         zorderBy = Seq("l_partkey", "l_suppkey"))
@@ -792,6 +799,12 @@ object SourceQueries {
               when(col("__column_type_priority") === "DELETE_ONE_VERSION",
                 lit(null).cast("string")).otherwise(col("priority")).as("priority"))
             .createOrReplaceTempView("cdc_stream_batch")
+          // the invariant below only binds when this batch MATCHES some
+          // existing row — an insert-only batch has no matched groups
+          // for Spark to runtime-filter, and must not trip the require
+          val hadMatches = ss.read.format("kv").option("path", staged).load()
+            .join(batch.select(col("pk")).distinct(), Seq("pk"), "left_semi")
+            .limit(1).count() > 0
           graft.sources.kv.KvRloScan.lastGroupFilter = None
           ss.sql(
             s"""MERGE INTO kvcat.`$staged` t USING cdc_stream_batch c ON t.pk = c.pk
@@ -809,7 +822,7 @@ object SourceQueries {
           // rewrite cost is bounded by the files the batch's keys touch,
           // not by the table size. (Batch 0 merges into the empty base,
           // where there are no matched groups to filter.)
-          if (batchId >= 1) require(
+          if (batchId >= 1 && hadMatches) require(
             graft.sources.kv.KvRloScan.lastGroupFilter.exists(_._1 == staged),
             s"streaming MERGE batch $batchId planned WITHOUT runtime group " +
               "filtering — per-batch cost would scale with table size")

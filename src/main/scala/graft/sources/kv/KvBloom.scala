@@ -180,9 +180,15 @@ object KvBloom {
       case _ => throw new IllegalStateException(
         s"bloom meta on $tablePath records no columns")
     }
-    implicit val fmts: Formats = DefaultFormats
-    val numHashes = (sc.meta \ "numHashes").extract[Int]
-    val bitsPerKey = (sc.meta \ "bitsPerKey").extract[Int]
+    // legacy metas (pre-round-9 builds) may lack bitsPerKey — default
+    // like KvMerge.rebuildIndexes does, instead of a MappingException
+    def intOr(field: String, dflt: Int): Int = (sc.meta \ field) match {
+      case JInt(v) => v.toInt
+      case _ => dflt
+    }
+    val bitsPerKey = intOr("bitsPerKey", 10)
+    val numHashes = intOr("numHashes",
+      math.max(1, math.round(bitsPerKey * 0.693).toInt))
     val live = ParquetIO.listFilesStatus(tablePath)
     val newFiles = live.filter { case (f, len, mt) =>
       sc.entryFor(f.getName, len, mt).isEmpty }
@@ -233,26 +239,8 @@ object KvBloom {
       "columns" -> JArray(cols.map(JString(_)).toList),
       "numHashes" -> JInt(numHashes), "bitsPerKey" -> JInt(bitsPerKey))
     KvSidecar.publish(tablePath, SidecarName, meta) { tmp =>
-      val fs = tmp.getFileSystem(ParquetIO.hadoopConf)
-      if (numShards == sc.numShards) {
-        val bySh = newEntries.groupBy(e => KvSidecar.shardOf(e._1, numShards))
-        (0 until numShards).foreach { k =>
-          bySh.get(k) match {
-            case None => sc.copyShardTo(k, fs, tmp)
-            case Some(add) =>
-              val replaced = add.map(_._1).toSet
-              val kept = sc.shardEntries(k).collect {
-                case (f, (len, mt, e)) if !replaced.contains(f) => (f, len, mt, e)
-              }
-              KvSidecar.stageShard(fs, tmp, k, (kept ++ add).iterator)
-          }
-        }
-      } else {
-        val keptOld = live.flatMap { case (f, len, mt) =>
-          sc.entryFor(f.getName, len, mt).map(e => (f.getName, len, mt, e)) }
-        KvSidecar.stageEntries(fs, tmp, numShards,
-          (keptOld ++ newEntries).iterator)
-      }
+      KvSidecar.mergeEntries(sc, tmp.getFileSystem(ParquetIO.hadoopConf),
+        tmp, numShards, live, newEntries)
     }
     newFiles.length
   }

@@ -108,26 +108,8 @@ object KvIndex {
     val newEntries = entriesFor(newFiles, cols)
     val numShards = KvSidecar.numShardsFor(live.length)
     KvSidecar.publish(tablePath, SidecarName, metaJson(numShards, cols)) { tmp =>
-      val fs = tmp.getFileSystem(ParquetIO.hadoopConf)
-      if (numShards == sc.numShards) {
-        val bySh = newEntries.groupBy(e => KvSidecar.shardOf(e._1, numShards))
-        (0 until numShards).foreach { k =>
-          bySh.get(k) match {
-            case None => sc.copyShardTo(k, fs, tmp)
-            case Some(add) =>
-              val replaced = add.map(_._1).toSet
-              val kept = sc.shardEntries(k).collect {
-                case (f, (len, mt, e)) if !replaced.contains(f) => (f, len, mt, e)
-              }
-              KvSidecar.stageShard(fs, tmp, k, (kept ++ add).iterator)
-          }
-        }
-      } else {
-        val keptOld = live.flatMap { case (f, len, mt) =>
-          sc.entryFor(f.getName, len, mt).map(e => (f.getName, len, mt, e)) }
-        KvSidecar.stageEntries(fs, tmp, numShards,
-          (keptOld ++ newEntries).iterator)
-      }
+      KvSidecar.mergeEntries(sc, tmp.getFileSystem(ParquetIO.hadoopConf),
+        tmp, numShards, live, newEntries)
     }
     newFiles.length
   }

@@ -287,6 +287,38 @@ object KvSidecar {
     * per-entry payload is footer-derived (zone maps). Distributed
     * builders ([[KvBloom]]) write shard files from executors instead.
     */
+  /** Merge `newEntries` into an open sidecar during a publish stage —
+    * the incremental-maintenance write path shared by `KvIndex.append`
+    * and `KvBloom.append` (one implementation, two tiers): with an
+    * unchanged shard count, untouched shards are byte-copied and only
+    * shards receiving entries re-serialize (same-name entries
+    * replaced); a changed shard budget re-shards every entry still
+    * valid for the `live` listing plus the new ones (no consumer-side
+    * rebuild — entries re-serialize from the old shards).
+    */
+  def mergeEntries(sc: SidecarShards, fs: FileSystem, tmpDir: Path,
+      numShards: Int, live: Seq[(Path, Long, Long)],
+      newEntries: Seq[(String, Long, Long, String)]): Unit = {
+    if (numShards == sc.numShards) {
+      val bySh = newEntries.groupBy(e => shardOf(e._1, numShards))
+      (0 until numShards).foreach { k =>
+        bySh.get(k) match {
+          case None => sc.copyShardTo(k, fs, tmpDir)
+          case Some(add) =>
+            val replaced = add.map(_._1).toSet
+            val kept = sc.shardEntries(k).collect {
+              case (f, (len, mt, e)) if !replaced.contains(f) => (f, len, mt, e)
+            }
+            stageShard(fs, tmpDir, k, (kept ++ add).iterator)
+        }
+      }
+    } else {
+      val keptOld = live.flatMap { case (f, len, mt) =>
+        sc.entryFor(f.getName, len, mt).map(e => (f.getName, len, mt, e)) }
+      stageEntries(fs, tmpDir, numShards, (keptOld ++ newEntries).iterator)
+    }
+  }
+
   /** Write ONE shard file from fully-resolved entries — the merge path
     * of incremental maintenance (the caller owns shard assignment).
     */
