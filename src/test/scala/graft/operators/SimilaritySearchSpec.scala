@@ -550,6 +550,40 @@ class SimilaritySearchSpec extends SparkSpec {
       fromNew.head.getAs[Double]("sim") == 1.0, fromNew.mkString(","))
   }
 
+  test("graph walk cost is linear in hops, not exponential (lineage is cut per hop)") {
+    // regression pin for the 2^hops re-evaluation bug: each hop consumes
+    // the beam twice; without the per-hop localCheckpoint the job count
+    // roughly doubled per hop (74 s on the indexed gate). Count Spark
+    // jobs for hops=1 vs hops=4 — the delta per extra hop must stay
+    // bounded (a few bounded jobs each), nowhere near doubling.
+    val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        counter.incrementAndGet(); ()
+      }
+    }
+    val q = corpus16.filter(col("vec_id") < 3L)
+    def jobsFor(hops: Int): Int = {
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        counter.set(0)
+        SimilaritySearch.graphKnn(corpus16, q, "embedding", "vec_id",
+          k = 3, nCells = 2, nProbe = 2, degree = 4, beamWidth = 8,
+          hops = hops, seedsPerCell = 2, maxTrainPerCell = 64).collect()
+        // listener events are async — give the bus a moment to drain
+        Thread.sleep(500)
+        counter.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val j1 = jobsFor(1)
+    val j4 = jobsFor(4)
+    // 3 extra hops: linear growth is a handful of jobs per hop; the
+    // pre-fix exponential shape multiplied the total several-fold
+    assert(j4 - j1 <= 3 * 8, s"hops=1 ran $j1 jobs, hops=4 ran $j4 — " +
+      "per-hop cost must stay bounded")
+    assert(j4 < 3 * j1, s"hops=4 ($j4 jobs) vs hops=1 ($j1 jobs) looks exponential")
+  }
+
   test("denseRerank orders an arbitrary candidate shortlist by exact cosine") {
     import spark.implicits._
     // candidate shortlist: a fixed 6-doc subset for query 0, deliberately
