@@ -166,33 +166,42 @@ object KvMerge {
     * Returns the rebuilt sidecar names. Single-writer like every
     * maintenance op.
     */
-  def rebuildIndexes(spark: SparkSession, path: String): Seq[String] = {
+  def rebuildIndexes(spark: SparkSession, path: String): Seq[String] =
+    rebuildFromMetas(spark, path,
+      graft.sources.kv.KvSidecar.readMeta(path, graft.sources.kv.KvBloom.SidecarName),
+      graft.sources.kv.KvSidecar.readMeta(path, graft.sources.kv.KvIndex.SidecarName))
+
+  /** Re-run the Bloom/zone-map builds from CAPTURED meta documents —
+    * the [[rewrite]] refresh path captures them BEFORE its whole-dir
+    * swap deletes the old `_index` along with the old files.
+    */
+  private def rebuildFromMetas(spark: SparkSession, path: String,
+      bloomMeta: Option[org.json4s.JValue],
+      zoneMeta: Option[org.json4s.JValue]): Seq[String] = {
     import org.json4s._
     val rebuilt = scala.collection.mutable.ArrayBuffer.empty[String]
     def cols(meta: JValue): Seq[String] = (meta \ "columns") match {
       case JArray(cs) => cs.collect { case JString(c) => c }
       case _ => Nil
     }
-    graft.sources.kv.KvSidecar.readMeta(path, graft.sources.kv.KvBloom.SidecarName)
-      .foreach { meta =>
-        val cs = cols(meta)
-        if (cs.nonEmpty) {
-          val bpk = (meta \ "bitsPerKey") match {
-            case JInt(b) => b.toInt
-            case _ => 10 // pre-tombstone metas recorded no bitsPerKey
-          }
-          graft.sources.kv.KvBloom.build(spark, path, cs, bpk)
-          rebuilt += graft.sources.kv.KvBloom.SidecarName
+    bloomMeta.foreach { meta =>
+      val cs = cols(meta)
+      if (cs.nonEmpty) {
+        val bpk = (meta \ "bitsPerKey") match {
+          case JInt(b) => b.toInt
+          case _ => 10 // pre-tombstone metas recorded no bitsPerKey
         }
+        graft.sources.kv.KvBloom.build(spark, path, cs, bpk)
+        rebuilt += graft.sources.kv.KvBloom.SidecarName
       }
-    graft.sources.kv.KvSidecar.readMeta(path, graft.sources.kv.KvIndex.SidecarName)
-      .foreach { meta =>
-        val cs = cols(meta)
-        if (cs.nonEmpty) {
-          graft.sources.kv.KvIndex.build(path, cs)
-          rebuilt += graft.sources.kv.KvIndex.SidecarName
-        }
+    }
+    zoneMeta.foreach { meta =>
+      val cs = cols(meta)
+      if (cs.nonEmpty) {
+        graft.sources.kv.KvIndex.build(path, cs)
+        rebuilt += graft.sources.kv.KvIndex.SidecarName
       }
+    }
     rebuilt.toSeq
   }
 
@@ -325,11 +334,18 @@ object KvMerge {
     */
   def rewrite(spark: SparkSession, path: String, numFiles: Int,
       clusterBy: Seq[String] = Nil, zorderBy: Seq[String] = Nil,
-      zorderBits: Int = 6): Unit = {
+      zorderBits: Int = 6, refreshIndexes: Boolean = false): Unit = {
     require(numFiles >= 1, "numFiles must be >= 1")
     require(clusterBy.isEmpty || zorderBy.isEmpty,
       "rewrite: clusterBy and zorderBy are mutually exclusive layouts")
     recoverSwap(path)
+    // sidecar configs must be captured BEFORE the swap: the whole-dir
+    // rename drops the old _index along with the old files
+    val (bloomMeta, zoneMeta) =
+      if (!refreshIndexes) (None, None)
+      else (
+        graft.sources.kv.KvSidecar.readMeta(path, graft.sources.kv.KvBloom.SidecarName),
+        graft.sources.kv.KvSidecar.readMeta(path, graft.sources.kv.KvIndex.SidecarName))
     val fp = fingerprint(path)
     val table = spark.read.format("kv").option("path", path).load()
     val shaped =
@@ -356,6 +372,12 @@ object KvMerge {
     graft.sources.kv.KvClustering.record(path, clusterBy)
     // any prior bucket layout is gone after a range rewrite
     graft.sources.kv.KvBuckets.record(path, Nil, Nil, 0, Map.empty)
+    // a rewrite replaces every file, so sidecar coverage is gone (the
+    // swap deletes the old _index — safe, but pruning silently stops).
+    // Opt-in refresh re-runs the PRE-SWAP recorded Bloom/zone-map
+    // builds in the same maintenance window — pruning stays warm for
+    // the layout the rewrite just created, no separate rebuild step.
+    if (refreshIndexes) { rebuildFromMetas(spark, path, bloomMeta, zoneMeta); () }
   }
 
   /** Predicate DELETE — the retention / GDPR surface of the table
