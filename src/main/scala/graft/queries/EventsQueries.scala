@@ -70,6 +70,41 @@ object EventsQueries {
         .orderBy(col("user_id"))
     }),
 
+    // Session windows on a STREAM: gap-merged sessions under a
+    // watermark in APPEND mode — only sessions the watermark has sealed
+    // (end + nothing can extend them) emit; open tails stay in state.
+    // The oracle replays gap assignment (new session iff diff >= gap,
+    // Spark's session_window semantics) and the emission rule at
+    // microsecond event time vs the ms-floored watermark — the
+    // q_sql_q102 discipline applied to MERGING windows, whose extents
+    // are data-dependent rather than grid-aligned.
+    "q_events_session_stream" -> ((s, dir) => {
+      val u = java.util.UUID.randomUUID().toString.replace("-", "")
+      val sink = s"/tmp/graft_sessstrm_$u/t"
+      val ckpt = s"/tmp/graft_sessstrmck_$u"
+      val q = s.readStream.format("log").option("path", s"$dir/events.parquet")
+        .option("maxOffsetsPerTrigger", "4000").load()
+        // event time must be LTZ; the session is pinned to UTC so the
+        // NTZ→LTZ cast is value-identity
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("sum_value"))
+        .select(col("user_id"),
+          unix_timestamp(col("session_window.start")).as("s_start"),
+          unix_timestamp(col("session_window.end")).as("s_end"),
+          col("n_events"), col("sum_value"))
+        .writeStream.format("kv").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.format("kv").option("path", sink).load()
+        .orderBy(col("user_id"), col("s_start"))
+    }),
+
     // Bucketized interval join ([[graft.operators.IntervalJoin]]): each
     // signup opens a 10-minute attribution window; find every view of
     // the same user inside it. Spark would run the raw BETWEEN predicate
@@ -273,6 +308,36 @@ object EventsQueries {
         |FROM events
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    "q_events_session_stream" ->
+      """WITH e AS (
+        |  SELECT user_id, date_trunc('microseconds', ts) AS ts, value
+        |  FROM events
+        |), o AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        |), sid AS (
+        |  SELECT user_id, ts, value,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM o
+        |), sess AS (
+        |  SELECT user_id,
+        |    CAST(floor(epoch(min(ts))) AS BIGINT) AS s_start,
+        |    CAST(floor(epoch(max(ts) + INTERVAL 5 MINUTE)) AS BIGINT) AS s_end,
+        |    max(ts) AS last_ts,
+        |    count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |  FROM sid GROUP BY user_id, sid
+        |)
+        |SELECT user_id, s_start, s_end, n_events, sum_value
+        |FROM sess
+        |WHERE epoch_us(last_ts + INTERVAL 5 MINUTE)
+        |      <= (SELECT (epoch_ms(max(ts)) - 600000) * 1000 FROM events)
+        |ORDER BY user_id, s_start""".stripMargin,
 
     "q_events_sessionize" ->
       """WITH o AS (
