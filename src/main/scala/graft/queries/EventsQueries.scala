@@ -82,8 +82,13 @@ object EventsQueries {
       val u = java.util.UUID.randomUUID().toString.replace("-", "")
       val sink = s"/tmp/graft_sessstrm_$u/t"
       val ckpt = s"/tmp/graft_sessstrmck_$u"
+      // cap sized for ~3 batches at sf0.1 (100k events): emission
+      // correctness is batching-independent (the final no-data batch
+      // evicts everything the final watermark seals), but every extra
+      // micro-batch pays a full stateful checkpoint cycle — 25 batches
+      // measured 42 s of pure engine overhead
       val q = s.readStream.format("log").option("path", s"$dir/events.parquet")
-        .option("maxOffsetsPerTrigger", "4000").load()
+        .option("maxOffsetsPerTrigger", "40000").load()
         // event time must be LTZ; the session is pinned to UTC so the
         // NTZ→LTZ cast is value-identity
         .withColumn("ts", col("ts").cast("timestamp"))
