@@ -90,9 +90,11 @@ object Bench {
     // Round-8 protocol: the drift threshold vs the previous committed
     // spread is 2x (was 3x) with a 0.5 s absolute floor — a 2.8x drift
     // like r7's q_sql_q3 now self-reruns instead of burning a judge
-    // adjudication cycle.
+    // adjudication cycle. Both bounds are INCLUSIVE (round-10 verdict:
+    // q_events_hopping sat at exactly 2.08x/+0.56 s and a strict
+    // comparison boundary must never hide a future 2.0x mover).
     val flagged = spreads.filter { case (n, t) =>
-      committedMed.get(n).exists(c => medOf(t) > 2 * c && medOf(t) - c > 0.5)
+      committedMed.get(n).exists(c => medOf(t) >= 2 * c && medOf(t) - c >= 0.5)
     }.map(_._1)
     val reruns: Map[String, Seq[Double]] = flagged.map { n =>
       System.err.println(s"[bench] re-running load-flagged outlier $n in isolation")
@@ -120,16 +122,20 @@ object Bench {
     // (load only ever inflates), with the contaminated first pass kept
     // under `first_med` for the audit trail (round-9 verdict: a fake 8x
     // `med` regression must not be the first thing a diff reader sees).
+    // `first_med` is emitted for EVERY query (not only rerun-flagged
+    // ones) so `med`'s semantics are uniform: med = the value of record
+    // (min of first-pass and isolated-rerun medians when the rerun
+    // fired), first_med = always the first-pass median — consumers never
+    // have to infer which statistic they are reading from field presence.
     val spreadJson = spreads.map { case (n, t) =>
       val firstMed = medOf(t)
       val rr = reruns.get(n)
       val effMed = rr.map(r => math.min(firstMed, medOf(r))).getOrElse(firstMed)
       val extra = rr.map(r =>
-        ",\"first_med\":" + firstMed +
-          ",\"rerun_min\":" + r.head + ",\"rerun_med\":" + medOf(r) +
+        ",\"rerun_min\":" + r.head + ",\"rerun_med\":" + medOf(r) +
           ",\"rerun_max\":" + r.last).getOrElse("")
       "\"" + n + "\":{\"min\":" + t.head + ",\"med\":" + effMed +
-        ",\"max\":" + t.last + extra + "}"
+        ",\"first_med\":" + firstMed + ",\"max\":" + t.last + extra + "}"
     }.mkString("{", ",", "}")
     // a filtered run must never clobber the committed full-set spread
     // (or the driver-read bench line) with a partial subset

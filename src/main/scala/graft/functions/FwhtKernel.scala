@@ -19,6 +19,12 @@ class FwhtKernel extends Serializable {
     val x = new Array[Double](n)
     var i = 0
     while (i < n) {
+      // ArrayData.getFloat/getDouble on a null slot silently yields 0.0,
+      // which would diverge from the naive-fold path (null propagates
+      // through its HOF fold) — embeddings never carry null elements, so
+      // a null here is corrupt input: fail loudly instead of rotating it
+      if (a.isNullAt(i)) throw new IllegalArgumentException(
+        s"fwht_rotate: null array element at index $i - embeddings must not contain nulls")
       x(i) = if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
       i += 1
     }

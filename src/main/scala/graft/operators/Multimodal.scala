@@ -442,7 +442,14 @@ object Multimodal {
           uniform = be32(zb)
           count = be32(zb + 4)
           total <-
-            if (uniform != 0L) Some(uniform * count)
+            // uniform and count are untrusted unsigned-32 values: guard
+            // the product so an adversarial stsz (e.g. both 0xFFFFFFFF)
+            // yields the documented malformed->None, not a silently
+            // negative overflowed total
+            if (uniform != 0L) {
+              if (count != 0L && uniform > Long.MaxValue / count) None
+              else Some(uniform * count)
+            }
             else if (count <= (stsz._3 - zb - 8) / 4) {
               var s = 0L; var i = 0
               while (i < count.toInt) { s += be32(zb + 8 + 4 * i); i += 1 }

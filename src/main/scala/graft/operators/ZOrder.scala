@@ -47,6 +47,13 @@ object ZOrder {
     require(bits >= 1 && nCols * bits <= 62,
       s"zorder: $nCols columns x $bits bits = ${nCols * bits} interleaved " +
         "bits must fit a long (<= 62)")
+    // boundaries() materializes 2^bits - 1 interior cuts per column as an
+    // Int count; past ~20 bits the cut list is far beyond
+    // percentile_approx resolution anyway and `1 << bits` would wrap —
+    // cap at a practical ceiling instead of silently coarsening
+    require(bits <= 20,
+      s"zorder: $bits bits per dimension exceeds the practical ceiling of " +
+        "20 (2^bits boundary cuts per column)")
   }
 
   /** Equi-depth boundaries per column, (2^bits - 1) interior cuts:

@@ -805,7 +805,8 @@ object SourceQueries {
           val hadMatches = ss.read.format("kv").option("path", staged).load()
             .join(batch.select(col("pk")).distinct(), Seq("pk"), "left_semi")
             .limit(1).count() > 0
-          graft.sources.kv.KvRloScan.lastGroupFilter = None
+          val filtersBefore =
+            graft.sources.kv.KvRloScan.groupFilterCount(staged)
           ss.sql(
             s"""MERGE INTO kvcat.`$staged` t USING cdc_stream_batch c ON t.pk = c.pk
                |WHEN MATCHED AND c.rt = 'DELETE' THEN DELETE
@@ -823,7 +824,7 @@ object SourceQueries {
           // not by the table size. (Batch 0 merges into the empty base,
           // where there are no matched groups to filter.)
           if (batchId >= 1 && hadMatches) require(
-            graft.sources.kv.KvRloScan.lastGroupFilter.exists(_._1 == staged),
+            graft.sources.kv.KvRloScan.groupFilterCount(staged) > filtersBefore,
             s"streaming MERGE batch $batchId planned WITHOUT runtime group " +
               "filtering — per-batch cost would scale with table size")
           ()

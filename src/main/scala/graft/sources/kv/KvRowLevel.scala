@@ -115,7 +115,7 @@ class KvRloScan(path: String, tableSchema: StructType,
           "refusing to guess the replaced file set")
     }
     allowedFiles = Some(sets.map(_.get).reduce(_ intersect _))
-    KvRloScan.lastGroupFilter = Some((path, allowedFiles.get.size))
+    KvRloScan.recordGroupFilter(path)
   }
 
   /** The post-filter visible file set — what the plan reads and the
@@ -150,14 +150,29 @@ object KvRloScan {
   import org.apache.spark.sql.connector.expressions.{Expression, Literal => V2Literal}
   import org.apache.spark.sql.connector.expressions.filter.Predicate
 
-  /** Observability seam (gates + specs): the most recent runtime group
-    * filter that LANDED on an rlo scan, as (tablePath, admitted file
-    * count). `q_cdc_stream_merge` asserts on it per batch — the claim
-    * that a streaming MERGE's per-batch rewrite cost is bounded by the
-    * matched file groups (batch size), not the table size, is pinned by
-    * the filter's arrival, not just stated.
+  /** Observability seam (gates + specs): a PER-PATH monotonic counter of
+    * runtime group filters that LANDED on rlo scans of that table.
+    * `q_cdc_stream_merge` asserts per batch that the counter for ITS
+    * table advanced across the MERGE — the claim that a streaming
+    * MERGE's per-batch rewrite cost is bounded by the matched file
+    * groups (batch size), not the table size, is pinned by the filter's
+    * arrival, not just stated. Keyed by table path (not a single global
+    * slot) so concurrent queries on OTHER tables can neither false-pass
+    * nor false-fail the assertion; bench/test observability only — never
+    * load-bearing for correctness.
     */
-  @volatile var lastGroupFilter: Option[(String, Int)] = None
+  private val groupFilterEvents =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
+  private[kv] def recordGroupFilter(path: String): Unit = {
+    groupFilterEvents.merge(path, 1L, (a, b) => a + b); ()
+  }
+
+  /** How many runtime group filters have landed on rlo scans of `path`
+    * since JVM start — compare before/after a MERGE to pin its arrival.
+    */
+  def groupFilterCount(path: String): Long =
+    Option(groupFilterEvents.get(path)).map(_.longValue).getOrElse(0L)
 
   private def fileRef(e: Expression): Boolean = e match {
     case r: NamedReference => r.fieldNames().sameElements(Array("_file"))
