@@ -209,7 +209,7 @@ object KvMerge {
     * is the last committed table state. Call before reading the table in
     * any maintenance op.
     */
-  private def recoverSwap(path: String): Unit = {
+  private[graft] def recoverSwap(path: String): Unit = {
     val fs = new Path(path).getFileSystem(ParquetIO.hadoopConf)
     val livePath = new Path(path)
     val backup = new Path(s"$path.merge-old")

@@ -951,6 +951,116 @@ object SimilaritySearch {
       nCells, nProbe, m, pqCells, iterations, maxTrainPerCell), k)
   }
 
+  /** Data-dependent OPQ rotation, determinized: a variance-balancing
+    * dimension PERMUTATION — the eigenvalue-allocation step of OPQ's
+    * parametric solution (Ge et al., CVPR 2013 §4.1; FAISS OPQ's
+    * initialization) applied to raw coordinates. Dims are ranked by an
+    * integer-quantized variance proxy (Σ floor(x²·10⁶ + 0.5) per dim —
+    * an order-free integer sum, exact on any engine) and dealt to the
+    * `m` PQ subspaces in serpentine order, so each subspace codes an
+    * equal share of the corpus's variance instead of whatever the
+    * contiguous split happens to cut. A permutation matrix is
+    * orthogonal (exact distances unchanged); unlike a learned float
+    * rotation (power-iteration PCA's eigenbasis, whose iterate is a
+    * float fold no SQL oracle can replay bit-exactly), its DERIVATION
+    * replays exactly — the DSIR integer-quantization discipline applied
+    * to subspace allocation.
+    *
+    * Returns `perm` where output slot j reads input dim perm(j). The
+    * driver materializes exactly `dim` integer rows (bounded,
+    * require-guarded). The 10⁶ quantizer assumes per-dim Σx⁴... proxy
+    * sums stay under Long.MaxValue (~9.2e18): at ~10¹² rows of unit-ish
+    * values there is still 10⁶ headroom; rescale the corpus or the
+    * quantizer before that.
+    */
+  def variancePermutation(
+      corpus: DataFrame, vecCol: String, dim: Int, m: Int): Seq[Int] = {
+    require(dim >= 1 && dim <= 4096, s"dim $dim out of range (1..4096)")
+    require(m >= 1 && dim % m == 0,
+      s"dim $dim must split evenly into m=$m subspaces")
+    val q = corpus
+      .select(posexplode(transform(col(vecCol), x => x.cast("double")))
+        .as(Seq("pos", "v")))
+      .groupBy(col("pos"))
+      .agg(sum(floor(col("v") * col("v") * lit(1e6) + lit(0.5))
+        .cast("long")).as("q"))
+      .collect()
+      .map(r => r.getAs[Int]("pos") -> r.getAs[Long]("q")).toMap
+    val ranked = (0 until dim).sortBy(i => (-q.getOrElse(i, 0L), i))
+    val dsub = dim / m
+    val perm = new Array[Int](dim)
+    ranked.zipWithIndex.foreach { case (dimR, r) =>
+      val t = r / m
+      val pos = r % m
+      val s = if (t % 2 == 0) pos else m - 1 - pos
+      perm(s * dsub + t) = dimR
+    }
+    perm.toSeq
+  }
+
+  /** Apply a dimension permutation row-locally: output slot j reads
+    * input element perm(j) (plan-time literal indices — pure projection,
+    * zero shuffles, whole-stage codegen).
+    */
+  def permuteVec(vec: Column, perm: Seq[Int]): Column =
+    array(perm.map(p => element_at(vec, p + 1).cast("double")): _*)
+
+  /** IVF-PQ over the variance-permuted basis ([[variancePermutation]]):
+    * permute corpus and queries with the same data-derived permutation,
+    * then run the standard deterministic chain — [[ivfPqOpqKnn]] with a
+    * LEARNED (data-dependent) orthogonal map in place of the data-free
+    * Hadamard·sign one.
+    */
+  def ivfPqVarPermKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, dim: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384): DataFrame = {
+    val perm = variancePermutation(corpus, vecCol, dim, m)
+    def rot(df: DataFrame): DataFrame =
+      df.select(col(idCol), permuteVec(col(vecCol), perm).as(vecCol))
+    rankAdc(ivfPqAdcScores(rot(corpus), rot(queries), vecCol, idCol,
+      nCells, nProbe, m, pqCells, iterations, maxTrainPerCell), k)
+  }
+
+  /** Measured value of the learned permutation: permuted vs plain
+    * IVF-PQ recall at EQUAL probe budget, both vs exact brute force —
+    * one row ([[opqRecallAudit]] discipline). On an anisotropic corpus
+    * whose variance concentrates inside one contiguous subspace the
+    * permutation rebalances what each product quantizer must code and
+    * recall rises; on an isotropic corpus it measures ≈0, as it should.
+    */
+  def varPermRecallAudit(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, dim: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384): DataFrame = {
+    val spark = corpus.sparkSession
+    val exact = bruteForceKnn(corpus, queries, vecCol, idCol, k)
+      .select(col("qid"), col("nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nQueries = exact.select(col("qid")).distinct().count()
+      def hits(ann: DataFrame): Long =
+        ann.select(col("qid"), col("nid"))
+          .join(exact, Seq("qid", "nid"), "left_semi").count()
+      val hitsPlain = hits(ivfPqKnn(corpus, queries, vecCol, idCol, k,
+        nCells, nProbe, m, pqCells, iterations, maxTrainPerCell))
+      val hitsPerm = hits(ivfPqVarPermKnn(corpus, queries, vecCol, idCol,
+        dim, k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell))
+      def milli(h: Long): Long =
+        if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
+      spark.range(1).select(
+        lit(nQueries).as("n_queries"), lit(k).as("k"),
+        lit(hitsPlain).as("hits_plain"),
+        lit(milli(hitsPlain)).as("recall_plain_milli"),
+        lit(hitsPerm).as("hits_perm"),
+        lit(milli(hitsPerm)).as("recall_perm_milli"))
+    } finally { exact.unpersist(); () }
+  }
+
   /** Measured-recall comparison of the OPQ-rotated IVF-PQ tier against
     * the plain one at EQUAL probe budget, both vs exact brute force —
     * one row. The rotation's value is a property of the corpus's
@@ -1029,11 +1139,24 @@ object SimilaritySearch {
     * Scale shape vs [[ivfKnn]]: a probe SCANS its whole cell
     * (N/nCells·nProbe candidates per query); the walk touches
     * ≤ beamWidth·(degree+1) candidates per hop REGARDLESS of cell size
-    * — the win grows with corpus size. Build cost is the per-cell
-    * self-join (Σ s²), the price of determinism (NN-descent converges
-    * faster but is iteration-order-dependent); it amortizes across
-    * every query served. Per hop: two broadcast joins (beam×edges,
-    * candidates×vectors) — the corpus-sized sides never shuffle.
+    * — the win grows with corpus size. Build cost is BOUNDED: edges are
+    * computed against a ≤ `maxEdgeCandidatesPerCell` deterministic
+    * per-cell candidate pool (the [[trainCentroids]] splitmix64
+    * top-sample discipline), so the candidate-pair count is
+    * ≤ |corpus| · cap — linear in the corpus at fixed cap — never the
+    * unbounded Σ|cell|² self-join a skewed or under-partitioned cell
+    * would otherwise produce. Recall impact of a binding cap is
+    * MEASURED, not assumed ([[graphRecallAudit]]). Per hop: two
+    * broadcast joins (beam×edges, candidates×vectors) — the
+    * corpus-sized sides never shuffle.
+    *
+    * Cross-cell long-range edges (`crossCells`/`degreeCross`, off by
+    * default): NSW's long-range links, deterministically — each node
+    * also gets its `degreeCross` most-similar targets inside its
+    * `crossCells` nearest OTHER cells (centroid-routed, candidates from
+    * the same bounded pools). Without them, cross-cell connectivity
+    * exists only through probe seeding: a query whose true neighbors
+    * live in a cell its probes missed can never walk to them.
     */
   def graphKnn(
       corpus: DataFrame, queries: DataFrame,
@@ -1041,11 +1164,37 @@ object SimilaritySearch {
       nCells: Int = 16, nProbe: Int = 4,
       degree: Int = 4, beamWidth: Int = 8, hops: Int = 2,
       seedsPerCell: Int = 2, iterations: Int = 2,
-      maxTrainPerCell: Int = 16384): DataFrame = {
+      maxTrainPerCell: Int = 16384,
+      maxEdgeCandidatesPerCell: Int = 16384,
+      crossCells: Int = 0, degreeCross: Int = 0): DataFrame = {
     val (cents, nodes, edges, seeds, _) = graphPieces(corpus, vecCol, idCol,
-      nCells, degree, seedsPerCell, iterations, maxTrainPerCell)
+      nCells, degree, seedsPerCell, iterations, maxTrainPerCell,
+      maxEdgeCandidatesPerCell, crossCells, degreeCross)
     graphWalk(cents, nodes, edges, seeds, queries, vecCol, idCol,
       k, nProbe, beamWidth, hops)
+  }
+
+  /** The bounded per-cell edge-candidate pool: the
+    * `maxEdgeCandidatesPerCell` members of each cell with the largest
+    * splitmix64(id) — `trainCentroids`' `maxTrainPerCell` sampling
+    * discipline (bounded heap, hash-as-double desc, id-asc ties;
+    * map-side partials, so a hot cell never materializes its membership
+    * in any buffer). When the cap exceeds the cell size the pool IS the
+    * cell and edge construction is unchanged; when it binds, edges are
+    * computed against a uniform deterministic sample — exactly
+    * replayable by the oracle either way.
+    */
+  private[operators] def edgeCandidatePool(
+      assigned: DataFrame, cap: Int): DataFrame = {
+    require(cap >= 1, s"maxEdgeCandidatesPerCell must be >= 1, got $cap")
+    assigned
+      .withColumn("hk", Sketches.splitmixLong(col("id")).cast("double"))
+      .groupBy(col("cell"))
+      .agg(BoundedTopK.topK(
+        struct(col("hk"), col("id"), col("e"), col("nrm")), cap).as("top"))
+      .select(col("cell"), explode(col("top")).as("t"))
+      .select(col("cell"), col("t.id").as("dst"),
+        col("t.e").as("de"), col("t.nrm").as("dn"))
   }
 
   /** The graph index's four tables: (centroids (cell, ce), nodes (cell,
@@ -1060,8 +1209,12 @@ object SimilaritySearch {
   private def graphPieces(
       corpus: DataFrame, vecCol: String, idCol: String,
       nCells: Int, degree: Int, seedsPerCell: Int, iterations: Int,
-      maxTrainPerCell: Int)
+      maxTrainPerCell: Int, maxEdgeCandidatesPerCell: Int,
+      crossCells: Int, degreeCross: Int)
       : (DataFrame, DataFrame, DataFrame, DataFrame, () => Unit) = {
+    require((crossCells == 0) == (degreeCross == 0),
+      s"crossCells ($crossCells) and degreeCross ($degreeCross) must be " +
+        "enabled together")
     val cents = trainCentroids(corpus, vecCol, idCol, nCells, iterations,
       maxTrainPerCell)
     val assigned = assignCells(prep(corpus, vecCol, idCol), cents)
@@ -1069,12 +1222,15 @@ object SimilaritySearch {
     val nodes = assigned.select(col("cell"), col("id").as("nid"),
       col("e").as("ne"), col("nrm").as("nn"))
 
+    // ---- bounded edge-candidate pool (shared by within-cell and
+    // cross-cell edges): candidate pairs ≤ |corpus| · cap, never Σ s² ----
+    val pool = edgeCandidatePool(assigned, maxEdgeCandidatesPerCell)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
     // ---- within-cell top-degree cosine edges ----
     val src = assigned.select(col("cell"), col("id").as("src"),
       col("e").as("se"), col("nrm").as("sn"))
-    val dst = assigned.select(col("cell"), col("id").as("dst"),
-      col("e").as("de"), col("nrm").as("dn"))
-    val edges = src.join(dst, Seq("cell")).where(col("src") =!= col("dst"))
+    val within = src.join(pool, Seq("cell")).where(col("src") =!= col("dst"))
       .select(col("src"),
         (dot(col("se"), col("de")) / (col("sn") * col("dn"))).as("sim"),
         col("dst"))
@@ -1083,6 +1239,39 @@ object SimilaritySearch {
         struct(col("sim"), col("dst")), degree).as("top"))
       .select(col("src"), explode(col("top")).as("t"))
       .select(col("src"), col("t.dst").as("dst"))
+
+    // ---- cross-cell long-range edges (NSW's long links, determinized):
+    // per node its `crossCells` nearest OTHER cells by centroid distance
+    // (d2 asc, cell asc — probe routing applied to corpus nodes), then
+    // the `degreeCross` most-similar members of those cells' bounded
+    // pools. Candidate pairs ≤ |corpus| · crossCells · cap. ----
+    val edgesAll =
+      if (degreeCross == 0) within
+      else {
+        val xsel = assigned
+          .crossJoin(broadcast(cents.select(col("cell").as("xcell"), col("ce"))))
+          .where(col("xcell") =!= col("cell"))
+          .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+          .groupBy(col("id"))
+          .agg(graft.functions.BoundedTopK.topK(
+            struct((lit(0.0) - col("d2")).as("nd2"), col("xcell")),
+            crossCells).as("top"),
+            first(col("e")).as("se"), first(col("nrm")).as("sn"))
+          .select(col("id").as("src"), col("se"), col("sn"),
+            explode(col("top.xcell")).as("cell"))
+        val cross = xsel.join(pool, Seq("cell"))
+          .select(col("src"),
+            (dot(col("se"), col("de")) / (col("sn") * col("dn"))).as("sim"),
+            col("dst"))
+          .groupBy(col("src"))
+          .agg(graft.functions.BoundedTopK.topK(
+            struct(col("sim"), col("dst")), degreeCross).as("top"))
+          .select(col("src"), explode(col("top")).as("t"))
+          .select(col("src"), col("t.dst").as("dst"))
+        within.unionByName(cross)
+      }
+    val edges = edgesAll
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // ---- per-cell entry points (nearest the centroid; score is -d2 so
@@ -1096,7 +1285,7 @@ object SimilaritySearch {
       .select(col("cell"), explode(col("top")).as("t"))
       .select(col("cell"), col("t.id").as("nid"))
     (cents, nodes, edges, seeds,
-      () => { assigned.unpersist(); edges.unpersist(); () })
+      () => { assigned.unpersist(); pool.unpersist(); edges.unpersist(); () })
   }
 
   /** Persist the graph index as four kv tables under `path` — train
@@ -1107,9 +1296,12 @@ object SimilaritySearch {
   def buildGraphIndex(
       corpus: DataFrame, vecCol: String, idCol: String, path: String,
       nCells: Int = 16, degree: Int = 4, seedsPerCell: Int = 2,
-      iterations: Int = 2, maxTrainPerCell: Int = 16384): Unit = {
+      iterations: Int = 2, maxTrainPerCell: Int = 16384,
+      maxEdgeCandidatesPerCell: Int = 16384,
+      crossCells: Int = 0, degreeCross: Int = 0): Unit = {
     val (cents, nodes, edges, seeds, release) = graphPieces(corpus, vecCol,
-      idCol, nCells, degree, seedsPerCell, iterations, maxTrainPerCell)
+      idCol, nCells, degree, seedsPerCell, iterations, maxTrainPerCell,
+      maxEdgeCandidatesPerCell, crossCells, degreeCross)
     try {
       cents.write.format("kv").option("path", s"$path/centroids")
         .mode("overwrite").save()
@@ -1137,10 +1329,17 @@ object SimilaritySearch {
     * absorbed by the walk's candidate dedup, duplicate CELLS rows (a
     * retry after a partially committed cells write) by the walk's
     * per-nid node dedup. Reverse edges can push an old node's degree
-    * past `degree` — that only widens its frontier.
+    * past `degree` — that only widens its frontier; fold it back with
+    * [[graphPruneEdges]] at the next maintenance window before hub
+    * nodes inflate per-hop walk cost.
+    *
+    * The dst side is the same bounded per-cell candidate pool as the
+    * build ([[edgeCandidatePool]]): per new vector ≤ cap candidates,
+    * so an append into a giant cell stays O(batch · cap).
     */
   def graphIndexAppend(newVecs: DataFrame, vecCol: String, idCol: String,
-      path: String, degree: Int = 4): Unit = {
+      path: String, degree: Int = 4,
+      maxEdgeCandidatesPerCell: Int = 16384): Unit = {
     val spark = newVecs.sparkSession
     def t(n: String) = spark.read.format("kv").option("path", s"$path/$n").load()
     val cents = t("centroids")
@@ -1151,8 +1350,10 @@ object SimilaritySearch {
     val all = t("cells").unionByName(newNodes)
     val src = newNodes.select(col("cell"), col("nid").as("src"),
       col("ne").as("se"), col("nn").as("sn"))
-    val dst = all.select(col("cell"), col("nid").as("dst"),
-      col("ne").as("de"), col("nn").as("dn"))
+    val dst = edgeCandidatePool(
+      all.select(col("nid").as("id"), col("cell"),
+        col("ne").as("e"), col("nn").as("nrm")),
+      maxEdgeCandidatesPerCell)
     val fwd = broadcast(src).join(dst, Seq("cell"))
       .where(col("src") =!= col("dst"))
       .select(col("src"),
@@ -1170,6 +1371,43 @@ object SimilaritySearch {
       newNodes.select(col("cell"), col("nid"), col("ne"), col("nn"))
         .write.format("kv").option("path", s"$path/cells").mode("append").save()
     } finally { newNodes.unpersist(); () }
+  }
+
+  /** Maintenance for the persisted graph index: fold every node's
+    * out-edge list back to its `degree` most-similar targets (sim desc,
+    * dst asc — the build's bounded-heap order). [[graphIndexAppend]]'s
+    * reverse edges grow hub nodes' degree unboundedly across append
+    * waves, inflating per-hop walk cost (≤ beamWidth·(maxDegree+1));
+    * this re-establishes the bound — the `rebuildIndexes` discipline
+    * applied to the graph tier, run in the same maintenance window.
+    * Similarities are recomputed from the co-located cells table (the
+    * vectors are already there), retry-duplicated edge rows dedup, and
+    * dangling edges from a crashed append (src or dst missing from the
+    * cells table) heal by dropping at the join. Crash-safe via the
+    * shared backup-aside swap ([[KvMerge.writeAndSwap]]).
+    */
+  def graphPruneEdges(spark: org.apache.spark.sql.SparkSession,
+      path: String, degree: Int): Unit = {
+    require(degree >= 1, s"degree must be >= 1, got $degree")
+    val edgesPath = s"$path/edges"
+    KvMerge.recoverSwap(edgesPath)
+    def t(n: String) = spark.read.format("kv").option("path", s"$path/$n").load()
+    val nodes = t("cells").select(col("nid"), col("ne"), col("nn"))
+      .dropDuplicates("nid")
+    val pruned = t("edges").dropDuplicates("src", "dst")
+      .join(nodes.select(col("nid").as("src"),
+        col("ne").as("se"), col("nn").as("sn")), Seq("src"))
+      .join(nodes.select(col("nid").as("dst"),
+        col("ne").as("de"), col("nn").as("dn")), Seq("dst"))
+      .select(col("src"),
+        (dot(col("se"), col("de")) / (col("sn") * col("dn"))).as("sim"),
+        col("dst"))
+      .groupBy(col("src"))
+      .agg(graft.functions.BoundedTopK.topK(
+        struct(col("sim"), col("dst")), degree).as("top"))
+      .select(col("src"), explode(col("top")).as("t"))
+      .select(col("src"), col("t.dst").as("dst"))
+    KvMerge.writeAndSwap(pruned, edgesPath)
   }
 
   /** Graph walk against a persisted index — no rebuild: the walk reads
@@ -1260,10 +1498,13 @@ object SimilaritySearch {
       nCells: Int = 16, nProbe: Int = 4,
       degree: Int = 4, beamWidth: Int = 8, hops: Int = 2,
       seedsPerCell: Int = 2, iterations: Int = 2,
-      maxTrainPerCell: Int = 16384): DataFrame = {
+      maxTrainPerCell: Int = 16384,
+      maxEdgeCandidatesPerCell: Int = 16384,
+      crossCells: Int = 0, degreeCross: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     val graph = graphKnn(corpus, queries, vecCol, idCol, k, nCells, nProbe,
-      degree, beamWidth, hops, seedsPerCell, iterations, maxTrainPerCell)
+      degree, beamWidth, hops, seedsPerCell, iterations, maxTrainPerCell,
+      maxEdgeCandidatesPerCell, crossCells, degreeCross)
       .select(col("qid"), col("nid"))
     val exact = bruteForceKnn(corpus, queries, vecCol, idCol, k)
       .select(col("qid"), col("nid"))

@@ -338,6 +338,48 @@ object PipelineQueries {
         maxTrainPerCell = 32)
     }),
 
+    // Cross-cell long-range edges (NSW's long links, determinized):
+    // q_ann_graph's exact budget plus per-node top-4 edges into its 2
+    // nearest OTHER cells. Without them a query whose true neighbors sit
+    // in a cell its probes missed can never walk there; with them the
+    // walk escapes its probed cells. Build+walk fully oracle-replayed.
+    "q_ann_graph_cross" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.graphKnn(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, nCells = 8, nProbe = 3,
+        degree = 8, beamWidth = 16, hops = 3, seedsPerCell = 4,
+        maxTrainPerCell = 32, crossCells = 2, degreeCross = 4)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // The long-range edges' measured value at EQUAL beam/hops budget:
+    // recall vs brute force (one row). On this fixture the probe-seeded
+    // walk floor is 533‰ (q_ann_graph_audit); the cross edges lift it to
+    // 800‰ — measured, not assumed.
+    "q_ann_graph_cross_audit" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.graphRecallAudit(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, nCells = 8, nProbe = 3,
+        degree = 8, beamWidth = 16, hops = 3, seedsPerCell = 4,
+        maxTrainPerCell = 32, crossCells = 2, degreeCross = 4)
+    }),
+
+    // The build-side cost bound, BINDING: edges computed against a
+    // 48-member deterministic per-cell candidate pool (cells hold ~62
+    // members at sf0.01, ~250 at sf0.1), so candidate pairs are
+    // |corpus|·48, never Σ|cell|². The oracle replays the sampled pool
+    // (splitmix64-desc top-48 per cell), the capped edge build, and the
+    // full walk — the cap is part of the replayed contract, not a
+    // hidden approximation.
+    "q_ann_graph_capped" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.graphKnn(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, nCells = 8, nProbe = 3,
+        degree = 8, beamWidth = 16, hops = 3, seedsPerCell = 4,
+        maxTrainPerCell = 32, maxEdgeCandidatesPerCell = 48)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // The same rotation executed by the codegen'd O(d log d) fast
     // Walsh-Hadamard Expression (VectorExpressions.FwhtRotate) — the
     // butterfly reassociates the sums, so this chain gets its own
@@ -349,6 +391,43 @@ object PipelineQueries {
         "embedding", "vec_id", dim = 64, k = 3, nCells = 4, nProbe = 2,
         m = 2, pqCells = 4, maxTrainPerCell = 32)
         .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // LEARNED OPQ rotation: variance-balancing dimension permutation
+    // (OPQ's eigenvalue-allocation step, integer-determinized) on an
+    // ANISOTROPIC fixture — dims 0-31 ×4.0, 32-63 ×0.25 (exact powers
+    // of two), so the contiguous PQ split puts all the variance in one
+    // subspace and the learned permutation has something real to fix.
+    // Proxy sums, ranking, serpentine allocation, permutation and the
+    // full IVF-PQ chain all replay in the oracle.
+    "q_ann_varperm" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val aniso = emb.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") * when(i < 32, lit(4.0)).otherwise(lit(0.25)))
+          .as("embedding"))
+      SimilaritySearch.ivfPqVarPermKnn(aniso,
+        aniso.filter(col("vec_id") < 10), "embedding", "vec_id",
+        dim = 64, k = 3, nCells = 4, nProbe = 3, m = 2, pqCells = 16,
+        maxTrainPerCell = 64)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // The learned permutation's measured value on the anisotropic
+    // fixture: permuted vs plain IVF-PQ recall at EQUAL probe budget vs
+    // exact brute force — where q_ann_opq_audit's data-free rotation
+    // correctly ties on the isotropic fixture, the data-dependent
+    // permutation shows a REAL gain here (measured, oracle-replayed).
+    "q_ann_varperm_audit" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val aniso = emb.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") * when(i < 32, lit(4.0)).otherwise(lit(0.25)))
+          .as("embedding"))
+      SimilaritySearch.varPermRecallAudit(aniso,
+        aniso.filter(col("vec_id") < 10), "embedding", "vec_id",
+        dim = 64, k = 3, nCells = 4, nProbe = 3, m = 2, pqCells = 16,
+        maxTrainPerCell = 64)
     }),
 
     // The rotation's measured value: OPQ-rotated vs plain IVF-PQ recall

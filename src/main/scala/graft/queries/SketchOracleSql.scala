@@ -1000,6 +1000,77 @@ object SketchOracleSql {
        |SELECT qid, nid, round(adist, 6) AS adist, rnk
        |FROM op_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
 
+  /** The variance-permutation (learned OPQ) replay: anisotropic fixture
+    * (dims 0–31 ×4.0, 32–63 ×0.25 — exact powers of two, so the scaled
+    * doubles are bit-identical on both engines), per-dim integer
+    * variance proxies Σ floor(v²·10⁶+0.5), rank (q desc, pos asc),
+    * serpentine allocation to the two 32-dim PQ subspaces (t = r//2,
+    * s = r%2 flipped on odd rounds, slot j = s·32 + t), permuted
+    * vectors — exactly `SimilaritySearch.variancePermutation`.
+    */
+  private def varPermCtes: String =
+    s"""vx_prep AS MATERIALIZED (
+       |  SELECT vec_id AS id, list_transform(generate_series(0, 63), i ->
+       |    CAST(embedding AS DOUBLE[])[(i + 1)::INT] *
+       |      (CASE WHEN i < 32 THEN 4.0 ELSE 0.25 END)) AS e
+       |  FROM embeddings
+       |), vp_q AS (
+       |  SELECT pos, sum(CAST(floor(v * v * 1000000.0 + 0.5) AS BIGINT)) AS q
+       |  FROM (SELECT unnest(range(0, 64)) AS pos, unnest(e) AS v FROM vx_prep)
+       |  GROUP BY pos
+       |), vp_rank AS (
+       |  SELECT pos, row_number() OVER (ORDER BY q DESC, pos) - 1 AS r FROM vp_q
+       |), vp_map AS (
+       |  SELECT (CASE WHEN (r // 2) % 2 = 0 THEN r % 2 ELSE 1 - (r % 2) END) * 32
+       |    + (r // 2) AS j, pos
+       |  FROM vp_rank
+       |), vp_perm AS (SELECT list(pos ORDER BY j) AS p FROM vp_map),
+       |vp_prep AS MATERIALIZED (
+       |  SELECT id, list_transform(generate_series(1, 64), j ->
+       |    e[(p[j] + 1)::INT]) AS e
+       |  FROM vx_prep, vp_perm
+       |)""".stripMargin
+
+  def annVarPermOracle: String =
+    s"""WITH $varPermCtes, ${ivfPqChainOver("vpp_", "vp_prep", nCells = 4,
+          nProbe = 3, pqCells = 16, cap = 64, qMax = 10)}
+       |SELECT qid, nid, round(adist, 6) AS adist, rnk
+       |FROM vpp_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
+  /** q_ann_varperm_audit: permuted and plain IVF-PQ chains at equal
+    * budget over the anisotropic fixture, both scored against exact
+    * brute-force top-3 in the same (scaled) space.
+    */
+  def annVarPermAuditOracle: String =
+    s"""WITH $varPermCtes,
+       |${ivfPqChainOver("vpl_", "vx_prep", nCells = 4, nProbe = 3,
+          pqCells = 16, cap = 64, qMax = 10)},
+       |${ivfPqChainOver("vpp_", "vp_prep", nCells = 4, nProbe = 3,
+          pqCells = 16, cap = 64, qMax = 10)},
+       |vx_n AS (
+       |  SELECT id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+       |  FROM vx_prep
+       |), vx_br AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.id AS qid, a.id AS nid,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * a.e[i]))
+       |          / (q.nrm * a.nrm) DESC, a.id) AS rn
+       |    FROM (SELECT * FROM vx_n WHERE id < 10) q
+       |    JOIN vx_n a ON a.id <> q.id
+       |  ) WHERE rn <= 3
+       |), hp AS (SELECT count(*)::BIGINT AS h
+       |  FROM (SELECT qid, nid FROM vpl_ranked WHERE rnk <= 3) JOIN vx_br USING (qid, nid)),
+       |ho AS (SELECT count(*)::BIGINT AS h
+       |  FROM (SELECT qid, nid FROM vpp_ranked WHERE rnk <= 3) JOIN vx_br USING (qid, nid)),
+       |nq AS (SELECT count(DISTINCT qid)::BIGINT AS n FROM vx_br)
+       |SELECT nq.n AS n_queries, CAST(3 AS INT) AS k,
+       |  hp.h AS hits_plain,
+       |  CAST(hp.h * 1000 // (3 * nq.n) AS BIGINT) AS recall_plain_milli,
+       |  ho.h AS hits_perm,
+       |  CAST(ho.h * 1000 // (3 * nq.n) AS BIGINT) AS recall_perm_milli
+       |FROM hp, ho, nq""".stripMargin
+
   /** The FWHT execution of the same rotation (q_ann_opq_fwht): the
     * butterfly's stage/op order replayed literally — sign diagonal,
     * then for h = 1, 2, …, 32 each output j takes e[j] + e[j+h] when
@@ -1063,7 +1134,8 @@ object SketchOracleSql {
     */
   private def annGraphCtes(nCells: Int = 8, cap: Int = 32, qMax: Int = 5,
       nProbe: Int = 2, degree: Int = 4, beamWidth: Int = 8, hops: Int = 2,
-      seedsPerCell: Int = 2): String = {
+      seedsPerCell: Int = 2, edgeCap: Option[Int] = None,
+      crossCells: Int = 0, degreeCross: Int = 0): String = {
     def cos(a: String, b: String) =
       s"list_sum(list_transform(generate_series(1, len($a.e)), i -> $a.e[i] * $b.e[i])) / ($a.nrm * $b.nrm)"
     def beam(cand: String): String =
@@ -1076,17 +1148,62 @@ object SketchOracleSql {
          |    JOIN gr_prep q ON q.id = c.qid
          |  )
          |) WHERE rn <= $beamWidth""".stripMargin
+    // the walk's edge table: within-cell edges, plus cross-cell
+    // long-range edges when enabled
+    val edgesRef = if (degreeCross > 0) "gr_alledges" else "gr_edges"
     val hopCtes = (1 to hops).map { h =>
       s"""gr_cand$h AS (
          |  SELECT DISTINCT qid, nid FROM (
          |    SELECT qid, nid FROM gr_beam${h - 1}
          |    UNION ALL
          |    SELECT b.qid, e.dst AS nid
-         |    FROM gr_beam${h - 1} b JOIN gr_edges e ON e.src = b.nid
+         |    FROM gr_beam${h - 1} b JOIN $edgesRef e ON e.src = b.nid
          |  )
          |), gr_beam$h AS (${beam(s"gr_cand$h")}
          |)""".stripMargin
     }.mkString(",\n")
+    // edge-candidate pool: edgeCandidatePool's bounded splitmix64
+    // top-sample per cell (hash-as-double desc, id asc — the
+    // trainCentroids kmSample order); identity when no cap is set
+    val (poolCte, poolRef) = edgeCap match {
+      case None => ("", "gr_n")
+      case Some(ec) => (
+        s"""gr_pool AS MATERIALIZED (
+           |  SELECT id, e, cell, nrm FROM (
+           |    SELECT id, e, cell, nrm,
+           |      row_number() OVER (PARTITION BY cell
+           |        ORDER BY CAST(${sx(splitmix(ux("id")))} AS DOUBLE) DESC, id) AS prn
+           |    FROM gr_n
+           |  ) WHERE prn <= $ec
+           |), """.stripMargin, "gr_pool")
+    }
+    // cross-cell edges: per node its `crossCells` nearest OTHER cells by
+    // centroid d2 (d2 asc, cell asc), then top-`degreeCross` by cosine
+    // over those cells' pools (sim desc, id asc) — one rank across the
+    // union of the node's cross cells, like the Spark bounded heap
+    val crossCtes =
+      if (degreeCross == 0) ""
+      else
+        s""", gr_xsel AS (
+           |  SELECT id, xcell FROM (
+           |    SELECT a.id, c.cell AS xcell,
+           |      row_number() OVER (PARTITION BY a.id
+           |        ORDER BY ${kmD2("a.e", "c.ce")}, c.cell) AS rn
+           |    FROM gr_n a JOIN gr_cent2 c ON c.cell <> a.cell
+           |  ) WHERE rn <= $crossCells
+           |), gr_xedges AS (
+           |  SELECT src, dst FROM (
+           |    SELECT a.id AS src, b.id AS dst,
+           |      row_number() OVER (PARTITION BY a.id
+           |        ORDER BY ${cos("a", "b")} DESC, b.id) AS rn
+           |    FROM gr_n a JOIN gr_xsel x ON x.id = a.id
+           |    JOIN $poolRef b ON b.cell = x.xcell
+           |  ) WHERE rn <= $degreeCross
+           |), gr_alledges AS MATERIALIZED (
+           |  SELECT src, dst FROM gr_edges
+           |  UNION ALL
+           |  SELECT src, dst FROM gr_xedges
+           |)""".stripMargin
     s"""gr_prep AS MATERIALIZED (
        |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e,
        |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
@@ -1095,14 +1212,14 @@ object SketchOracleSql {
        |gr_n AS MATERIALIZED (
        |  SELECT af.id, af.e, af.cell, pr.nrm
        |  FROM gr_af af JOIN gr_prep pr ON af.id = pr.id
-       |), gr_edges AS MATERIALIZED (
+       |), ${poolCte}gr_edges AS MATERIALIZED (
        |  SELECT src, dst FROM (
        |    SELECT a.id AS src, b.id AS dst,
        |      row_number() OVER (PARTITION BY a.id
        |        ORDER BY ${cos("a", "b")} DESC, b.id) AS rn
-       |    FROM gr_n a JOIN gr_n b ON a.cell = b.cell AND a.id <> b.id
+       |    FROM gr_n a JOIN $poolRef b ON a.cell = b.cell AND a.id <> b.id
        |  ) WHERE rn <= $degree
-       |), gr_seeds AS (
+       |)$crossCtes, gr_seeds AS (
        |  SELECT cell, id FROM (
        |    SELECT a.cell, a.id,
        |      row_number() OVER (PARTITION BY a.cell
@@ -1129,17 +1246,26 @@ object SketchOracleSql {
   private val grHops = 3
   private def grCtes = annGraphCtes(nProbe = 3, degree = 8, beamWidth = 16,
     hops = grHops, seedsPerCell = 4)
+  // q_ann_graph_cross/_cross_audit: the same walk budget with NSW-style
+  // cross-cell long-range edges (crossCells=2, degreeCross=4)
+  private def grxCtes = annGraphCtes(nProbe = 3, degree = 8, beamWidth = 16,
+    hops = grHops, seedsPerCell = 4, crossCells = 2, degreeCross = 4)
+  // q_ann_graph_capped: the build's per-cell edge-candidate pool capped
+  // at 48 — BINDING at both sf0.01 (~62/cell) and sf0.1 (~250/cell), so
+  // the oracle replays the sampled build, not just the uncapped one
+  private def grcapCtes = annGraphCtes(nProbe = 3, degree = 8,
+    beamWidth = 16, hops = grHops, seedsPerCell = 4, edgeCap = Some(48))
 
-  def annGraphOracle: String =
-    s"""WITH $grCtes
+  private def graphTopKSelect(ctes: String): String =
+    s"""WITH $ctes
        |SELECT qid, nid, round(sim, 6) AS sim, rnk FROM (
        |  SELECT qid, nid, sim,
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk
        |  FROM gr_beam$grHops WHERE qid <> nid
        |) WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
 
-  def annGraphAuditOracle: String =
-    s"""WITH $grCtes, gw AS (
+  private def graphAuditSelect(ctes: String): String =
+    s"""WITH $ctes, gw AS (
        |  SELECT qid, nid FROM (
        |    SELECT qid, nid,
        |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
@@ -1159,6 +1285,12 @@ object SketchOracleSql {
        |SELECT nq.n AS n_queries, CAST(3 AS INT) AS k, hits.h AS n_hits,
        |  CAST(hits.h * 1000 // (3 * nq.n) AS BIGINT) AS recall_milli
        |FROM hits, nq""".stripMargin
+
+  def annGraphOracle: String = graphTopKSelect(grCtes)
+  def annGraphAuditOracle: String = graphAuditSelect(grCtes)
+  def annGraphCrossOracle: String = graphTopKSelect(grxCtes)
+  def annGraphCrossAuditOracle: String = graphAuditSelect(grxCtes)
+  def annGraphCappedOracle: String = graphTopKSelect(grcapCtes)
 
   /** q_ann_opq_audit: rotated and plain IVF-PQ chains at equal budget,
     * both scored against exact brute-force top-3 over the raw vectors.
@@ -1205,6 +1337,11 @@ object SketchOracleSql {
     // walk — same unrolled-hops oracle
     "q_ann_graph_indexed" -> annGraphOracle,
     "q_ann_graph_audit" -> annGraphAuditOracle,
+    "q_ann_graph_cross" -> annGraphCrossOracle,
+    "q_ann_graph_cross_audit" -> annGraphCrossAuditOracle,
+    "q_ann_graph_capped" -> annGraphCappedOracle,
+    "q_ann_varperm" -> annVarPermOracle,
+    "q_ann_varperm_audit" -> annVarPermAuditOracle,
     // the persisted-index search must answer identically to the
     // in-memory IVF path — same replayed-k-means oracle
     "q_ann_ivf_indexed" -> annIvfOracle,

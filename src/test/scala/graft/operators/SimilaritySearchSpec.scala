@@ -584,6 +584,153 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(j4 < 3 * j1, s"hops=4 ($j4 jobs) vs hops=1 ($j1 jobs) looks exponential")
   }
 
+  test("variancePermutation balances subspace variance and lifts anisotropic recall") {
+    // anisotropic fixture: first 8 of 16 dims carry 16x the scale, so
+    // the contiguous m=2 split leaves all the variance in subspace 0
+    val aniso = corpus16.select(col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x.cast("double") * when(i < 8, lit(4.0)).otherwise(lit(0.25)))
+        .as("embedding"))
+    val perm = SimilaritySearch.variancePermutation(aniso, "embedding", 16, 2)
+    // a valid permutation of 0..15
+    assert(perm.sorted == (0 until 16))
+    // balanced: each subspace gets exactly half the high-variance dims
+    assert(perm.take(8).count(_ < 8) == 4,
+      s"subspace 0 got ${perm.take(8).count(_ < 8)}/8 high-variance dims")
+    // plain-Scala replay of the whole derivation (proxy sums, rank,
+    // serpentine allocation) — the oracle replays the same math in SQL
+    val rows = aniso.select(col("embedding")).collect().map(_.getSeq[Double](0))
+    val qs = (0 until 16).map(d =>
+      rows.map(v => math.floor(v(d) * v(d) * 1e6 + 0.5).toLong).sum)
+    val ranked = (0 until 16).sortBy(i => (-qs(i), i))
+    val want = Array.ofDim[Int](16)
+    ranked.zipWithIndex.foreach { case (dimR, r) =>
+      val t = r / 2
+      val s = if (t % 2 == 0) r % 2 else 1 - r % 2
+      want(s * 8 + t) = dimR
+    }
+    assert(perm == want.toSeq)
+    // permuting is a projection: each row keeps the same element multiset
+    val permuted = aniso.select(
+      SimilaritySearch.permuteVec(col("embedding"), perm).as("p"),
+      col("embedding")).collect()
+    permuted.foreach { r =>
+      assert(r.getSeq[Double](0).sorted == r.getSeq[Double](1).sorted)
+    }
+    // measured on the anisotropic fixture: the permuted chain's recall
+    // never drops below the plain chain's, and the audit is deterministic
+    val q = aniso.filter(col("vec_id") < 5L)
+    def audit() = SimilaritySearch.varPermRecallAudit(aniso, q,
+      "embedding", "vec_id", dim = 16, k = 3, nCells = 2, nProbe = 1,
+      m = 2, pqCells = 8, maxTrainPerCell = 64).collect()(0)
+    val a = audit()
+    assert(a.getAs[Long]("recall_perm_milli") >=
+      a.getAs[Long]("recall_plain_milli"), a.toString)
+    assert(audit().toString == a.toString)
+    // dim must split evenly into subspaces; dim range guarded
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.variancePermutation(aniso, "embedding", 15, 2)
+    }
+  }
+
+  test("edgeCandidatePool bounds the build's per-cell candidates on a skewed fixture") {
+    // skewed assignment: 100 nodes in one hot cell, 5 in another — the
+    // exact shape that made the uncapped build quadratic per cell
+    val assigned = ((0 until 100).map(i => (i.toLong, 0L)) ++
+      (100 until 105).map(i => (i.toLong, 1L)))
+      .toDF("id", "cell")
+      .withColumn("e", array(lit(1.0), lit(0.0)))
+      .withColumn("nrm", lit(1.0))
+    val pool = SimilaritySearch.edgeCandidatePool(assigned, 8).collect()
+    val byCell = pool.groupBy(_.getAs[Long]("cell"))
+    assert(byCell(0L).length == 8, "hot cell must sample down to the cap")
+    assert(byCell(1L).length == 5, "small cell's pool IS the cell")
+    // deterministic replay: hot cell's pool = top-8 by splitmix64(id)
+    // cast to double desc, id asc — the trainCentroids sample order
+    val want = (0 until 100).map(_.toLong)
+      .sortBy(id => (-graft.functions.Sketches.splitmix64(id).toDouble, id))
+      .take(8).toSet
+    assert(byCell(0L).map(_.getAs[Long]("dst")).toSet == want)
+    // a non-binding cap leaves the walk bit-identical to the default
+    val q = corpus16.filter(col("vec_id") < 3L)
+    val capped = SimilaritySearch.graphKnn(corpus16, q, "embedding", "vec_id",
+      k = 3, nCells = 2, nProbe = 2, degree = 4, beamWidth = 8, hops = 2,
+      seedsPerCell = 2, maxTrainPerCell = 64,
+      maxEdgeCandidatesPerCell = 1000).orderBy("qid", "rnk").collect().toSeq
+    val plain = SimilaritySearch.graphKnn(corpus16, q, "embedding", "vec_id",
+      k = 3, nCells = 2, nProbe = 2, degree = 4, beamWidth = 8, hops = 2,
+      seedsPerCell = 2, maxTrainPerCell = 64).orderBy("qid", "rnk").collect().toSeq
+    assert(capped == plain)
+    // a BINDING cap still returns k well-formed rows per query
+    val bound = SimilaritySearch.graphKnn(corpus16, q, "embedding", "vec_id",
+      k = 3, nCells = 2, nProbe = 2, degree = 4, beamWidth = 8, hops = 2,
+      seedsPerCell = 2, maxTrainPerCell = 64,
+      maxEdgeCandidatesPerCell = 5).orderBy("qid", "rnk").collect()
+    assert(bound.length == 9, s"got ${bound.length} rows")
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.edgeCandidatePool(assigned, 0)
+    }
+  }
+
+  test("cross-cell long-range edges lift walk recall above the probe-seeded floor") {
+    val q = corpus16.filter(col("vec_id") < 5L)
+    def recall(cc: Int, dc: Int): Long =
+      SimilaritySearch.graphRecallAudit(corpus16, q, "embedding", "vec_id",
+        k = 3, nCells = 4, nProbe = 1, degree = 4, beamWidth = 8, hops = 3,
+        seedsPerCell = 2, maxTrainPerCell = 64,
+        crossCells = cc, degreeCross = dc)
+        .collect()(0).getAs[Long]("recall_milli")
+    val base = recall(0, 0)
+    val crossed = recall(2, 4)
+    // nProbe=1 of 4 cells: the probe-seeded walk is blind to 3/4 of the
+    // corpus; long-range edges are the only way out — recall must rise
+    assert(crossed > base, s"cross recall $crossed !> probe-only $base")
+    // deterministic: the same cross-edge walk twice is identical
+    assert(recall(2, 4) == crossed)
+    // half-enabled knobs fail fast instead of silently disabling
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.graphKnn(corpus16, q, "embedding", "vec_id", k = 3,
+        crossCells = 2)
+    }
+  }
+
+  test("graphPruneEdges folds append-inflated degree back to the bound") {
+    val idx = java.nio.file.Files.createTempDirectory("gridxprune").toString + "/i"
+    val base = corpus16.filter(col("vec_id") < 20L)
+    SimilaritySearch.buildGraphIndex(base, "embedding", "vec_id", idx,
+      nCells = 1, degree = 3, seedsPerCell = 40, maxTrainPerCell = 64)
+    // three append waves: reverse edges push hub degrees past `degree`
+    SimilaritySearch.graphIndexAppend(
+      corpus16.filter(col("vec_id") >= 20L && col("vec_id") < 30L),
+      "embedding", "vec_id", idx, degree = 3)
+    SimilaritySearch.graphIndexAppend(
+      corpus16.filter(col("vec_id") >= 30L && col("vec_id") =!= 99L),
+      "embedding", "vec_id", idx, degree = 3)
+    SimilaritySearch.graphIndexAppend(corpus16.filter(col("vec_id") === 99L),
+      "embedding", "vec_id", idx, degree = 3)
+    def maxDeg: Long = spark.read.format("kv")
+      .option("path", s"$idx/edges").load()
+      .groupBy("src").count().agg(max("count")).collect()(0).getLong(0)
+    assert(maxDeg > 3, s"fixture never inflated degree (max $maxDeg)")
+    SimilaritySearch.graphPruneEdges(spark, idx, degree = 3)
+    assert(maxDeg <= 3, s"post-prune max degree $maxDeg exceeds the bound")
+    // the appended twin stays reachable BOTH ways: 99 is node 0's most
+    // similar target so 0->99 survives the top-3 fold, and vice versa
+    val fromOld = SimilaritySearch.graphKnnIndexed(
+      corpus16.filter(col("vec_id") === 0L), "embedding", "vec_id", idx,
+      k = 3, nProbe = 1, beamWidth = 45, hops = 1).orderBy("rnk").collect()
+    assert(fromOld.head.getAs[Long]("nid") == 99L &&
+      fromOld.head.getAs[Double]("sim") == 1.0, fromOld.mkString(","))
+    val fromNew = SimilaritySearch.graphKnnIndexed(
+      corpus16.filter(col("vec_id") === 99L), "embedding", "vec_id", idx,
+      k = 3, nProbe = 1, beamWidth = 45, hops = 1).orderBy("rnk").collect()
+    assert(fromNew.head.getAs[Long]("nid") == 0L &&
+      fromNew.head.getAs[Double]("sim") == 1.0, fromNew.mkString(","))
+    // idempotent: pruning an already-bounded graph is a no-op fold
+    SimilaritySearch.graphPruneEdges(spark, idx, degree = 3)
+    assert(maxDeg <= 3)
+  }
+
   test("denseRerank orders an arbitrary candidate shortlist by exact cosine") {
     import spark.implicits._
     // candidate shortlist: a fixed 6-doc subset for query 0, deliberately
