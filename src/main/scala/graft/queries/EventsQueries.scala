@@ -106,6 +106,23 @@ object EventsQueries {
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      // State-eviction invariant, PINNED: after the final (no-data)
+      // batch evicts everything the final watermark seals, the state
+      // store must hold EXACTLY the open sessions — total gap-merged
+      // sessions minus emitted (sealed) ones. This is the claim that
+      // matters at 100x stream length: sealed state evicts, only open
+      // tails stay resident, so state is bounded by concurrently-open
+      // sessions under the watermark, never by stream history.
+      val stateRows = Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators).map(_.numRowsTotal).sum
+      val emitted = s.read.format("kv").option("path", sink).load().count()
+      val totalSessions = Tables.load(s, dir, "events")
+        .groupBy(col("user_id"), session_window(col("ts"), "5 minutes"))
+        .agg(count(lit(1))).count()
+      require(stateRows == totalSessions - emitted,
+        s"session state holds $stateRows rows; want open sessions only " +
+          s"($totalSessions total - $emitted sealed = " +
+          s"${totalSessions - emitted})")
       s.read.format("kv").option("path", sink).load()
         .orderBy(col("user_id"), col("s_start"))
     }),

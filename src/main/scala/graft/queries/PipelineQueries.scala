@@ -407,8 +407,8 @@ object PipelineQueries {
           x.cast("double") * when(i < 32, lit(4.0)).otherwise(lit(0.25)))
           .as("embedding"))
       SimilaritySearch.ivfPqVarPermKnn(aniso,
-        aniso.filter(col("vec_id") < 10), "embedding", "vec_id",
-        dim = 64, k = 3, nCells = 4, nProbe = 3, m = 2, pqCells = 16,
+        aniso.filter(col("vec_id") < 20), "embedding", "vec_id",
+        dim = 64, k = 3, nCells = 4, nProbe = 4, m = 2, pqCells = 16,
         maxTrainPerCell = 64)
         .orderBy(col("qid"), col("rnk"))
     }),
@@ -425,8 +425,8 @@ object PipelineQueries {
           x.cast("double") * when(i < 32, lit(4.0)).otherwise(lit(0.25)))
           .as("embedding"))
       SimilaritySearch.varPermRecallAudit(aniso,
-        aniso.filter(col("vec_id") < 10), "embedding", "vec_id",
-        dim = 64, k = 3, nCells = 4, nProbe = 3, m = 2, pqCells = 16,
+        aniso.filter(col("vec_id") < 20), "embedding", "vec_id",
+        dim = 64, k = 3, nCells = 4, nProbe = 4, m = 2, pqCells = 16,
         maxTrainPerCell = 64)
     }),
 

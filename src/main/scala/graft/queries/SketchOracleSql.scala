@@ -1033,7 +1033,7 @@ object SketchOracleSql {
 
   def annVarPermOracle: String =
     s"""WITH $varPermCtes, ${ivfPqChainOver("vpp_", "vp_prep", nCells = 4,
-          nProbe = 3, pqCells = 16, cap = 64, qMax = 10)}
+          nProbe = 4, pqCells = 16, cap = 64, qMax = 20)}
        |SELECT qid, nid, round(adist, 6) AS adist, rnk
        |FROM vpp_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
 
@@ -1043,10 +1043,10 @@ object SketchOracleSql {
     */
   def annVarPermAuditOracle: String =
     s"""WITH $varPermCtes,
-       |${ivfPqChainOver("vpl_", "vx_prep", nCells = 4, nProbe = 3,
-          pqCells = 16, cap = 64, qMax = 10)},
-       |${ivfPqChainOver("vpp_", "vp_prep", nCells = 4, nProbe = 3,
-          pqCells = 16, cap = 64, qMax = 10)},
+       |${ivfPqChainOver("vpl_", "vx_prep", nCells = 4, nProbe = 4,
+          pqCells = 16, cap = 64, qMax = 20)},
+       |${ivfPqChainOver("vpp_", "vp_prep", nCells = 4, nProbe = 4,
+          pqCells = 16, cap = 64, qMax = 20)},
        |vx_n AS (
        |  SELECT id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
        |  FROM vx_prep
@@ -1056,7 +1056,7 @@ object SketchOracleSql {
        |      row_number() OVER (PARTITION BY q.id ORDER BY
        |        list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * a.e[i]))
        |          / (q.nrm * a.nrm) DESC, a.id) AS rn
-       |    FROM (SELECT * FROM vx_n WHERE id < 10) q
+       |    FROM (SELECT * FROM vx_n WHERE id < 20) q
        |    JOIN vx_n a ON a.id <> q.id
        |  ) WHERE rn <= 3
        |), hp AS (SELECT count(*)::BIGINT AS h

@@ -1,0 +1,122 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** The ANN-index × table-maintenance interaction matrix — the
+  * widen-then-maintain discipline (`KvWidenMaintenanceSpec`) applied to
+  * the persisted ANN index tables. The index tables are ordinary kv
+  * tables, so every maintenance op (compaction/clustering `rewrite`,
+  * zone-map sidecars + `rebuildIndexes`, `vacuum`) composes with index
+  * appends (`ivfIndexAppend`, `graphIndexAppend`) and the degree prune
+  * (`graphPruneEdges`); any pairing that corrupts search results trips a
+  * spec here instead of shipping.
+  *
+  * Equality discipline: maintenance must be SEARCH-INVARIANT — the kv
+  * scan contract guarantees content-preserving rewrites, and the walk /
+  * probe results are deterministic functions of table content, so
+  * before/after results must be bit-identical.
+  */
+class AnnIndexMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vec16(seed: Int): Seq[Float] =
+    Seq.tabulate(16)(i => math.sin(seed * 37 + i).toFloat)
+  private lazy val corpus = ((0 until 40).map(s => (s.toLong, vec16(s))) :+
+    (99L, vec16(0).zipWithIndex.map { case (x, i) => if (i == 0) x + 0.01f else x }))
+    .toDF("vec_id", "embedding")
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.orderBy("qid", "rnk").collect().toSeq.map(_.toString)
+
+  test("IVF index survives rewrite (compaction + clustering) across appends") {
+    val idx = java.nio.file.Files.createTempDirectory("annmx1").toString + "/i"
+    val base = corpus.filter(col("vec_id") < 30L)
+    SimilaritySearch.buildIvfIndex(base, "embedding", "vec_id", idx,
+      nCells = 2, maxTrainPerCell = 64)
+    val q = corpus.filter(col("vec_id") < 3L)
+    def search() = SimilaritySearch.ivfKnnIndexed(
+      q, "embedding", "vec_id", idx, k = 3, nProbe = 2)
+    val baseline = rows(search())
+
+    // compaction rewrite of the cells table: search-invariant
+    KvMerge.rewrite(spark, s"$idx/cells", numFiles = 2)
+    assert(rows(search()) == baseline, "compaction changed IVF results")
+
+    // cell-clustered rewrite (the layout a probe-heavy deployment wants:
+    // each probed cell reads few files): still search-invariant
+    KvMerge.rewrite(spark, s"$idx/cells", numFiles = 2,
+      clusterBy = Seq("cell"))
+    assert(rows(search()) == baseline, "clustering changed IVF results")
+
+    // append after the rewrites: new vectors are found, old results keep
+    // their relative order (99 is 0's planted twin — rank 1 for query 0)
+    SimilaritySearch.ivfIndexAppend(
+      corpus.filter(col("vec_id") >= 30L), "embedding", "vec_id", idx)
+    val after = SimilaritySearch.ivfKnnIndexed(
+      corpus.filter(col("vec_id") === 0L), "embedding", "vec_id", idx,
+      k = 3, nProbe = 2).orderBy("rnk").collect()
+    assert(after.head.getAs[Long]("nid") == 99L, after.mkString(","))
+
+    // rewrite AGAIN over the mixed (post-append) table, then vacuum:
+    // still consistent with a fresh in-memory run over the same corpus
+    KvMerge.rewrite(spark, s"$idx/cells", numFiles = 1)
+    KvMerge.vacuum(s"$idx/cells", olderThanMs = 0L)
+    val again = SimilaritySearch.ivfKnnIndexed(
+      corpus.filter(col("vec_id") === 0L), "embedding", "vec_id", idx,
+      k = 3, nProbe = 2).orderBy("rnk").collect()
+    assert(again.map(_.toString).toSeq == after.map(_.toString).toSeq)
+  }
+
+  test("IVF cells table keeps Bloom pruning warm through rewrite(refreshIndexes)") {
+    val idx = java.nio.file.Files.createTempDirectory("annmx2").toString + "/i"
+    SimilaritySearch.buildIvfIndex(corpus, "embedding", "vec_id", idx,
+      nCells = 2, maxTrainPerCell = 64)
+    val q = corpus.filter(col("vec_id") < 3L)
+    def search() = SimilaritySearch.ivfKnnIndexed(
+      q, "embedding", "vec_id", idx, k = 3, nProbe = 2)
+    val baseline = rows(search())
+    // point-lookup Bloom sidecar on the node id (the "fetch vector by
+    // id" maintenance path), then a refreshing rewrite: the sidecar is
+    // rebuilt for the new files and search is unchanged
+    graft.sources.kv.KvBloom.build(spark, s"$idx/cells", Seq("nid"))
+    KvMerge.rewrite(spark, s"$idx/cells", numFiles = 2,
+      refreshIndexes = true)
+    assert(rows(search()) == baseline)
+    assert(graft.sources.kv.KvSidecar
+      .readMeta(s"$idx/cells", graft.sources.kv.KvBloom.SidecarName).isDefined,
+      "refreshIndexes must re-record the Bloom sidecar")
+  }
+
+  test("graph index survives rewrite + append + prune composition") {
+    val idx = java.nio.file.Files.createTempDirectory("annmx3").toString + "/i"
+    val base = corpus.filter(col("vec_id") < 30L)
+    SimilaritySearch.buildGraphIndex(base, "embedding", "vec_id", idx,
+      nCells = 1, degree = 3, seedsPerCell = 40, maxTrainPerCell = 64)
+    val q = corpus.filter(col("vec_id") < 3L)
+    def search() = SimilaritySearch.graphKnnIndexed(
+      q, "embedding", "vec_id", idx, k = 3, nProbe = 1,
+      beamWidth = 45, hops = 1)
+    val baseline = rows(search())
+
+    // compact BOTH graph tables: search-invariant
+    KvMerge.rewrite(spark, s"$idx/cells", numFiles = 2)
+    KvMerge.rewrite(spark, s"$idx/edges", numFiles = 2)
+    assert(rows(search()) == baseline, "graph table rewrite changed results")
+
+    // append the planted twin AFTER the rewrites, prune, rewrite again:
+    // the twin stays reachable both directions through the whole cycle
+    SimilaritySearch.graphIndexAppend(corpus.filter(col("vec_id") === 99L),
+      "embedding", "vec_id", idx, degree = 3)
+    SimilaritySearch.graphPruneEdges(spark, idx, degree = 3)
+    KvMerge.rewrite(spark, s"$idx/edges", numFiles = 1)
+    val fromOld = SimilaritySearch.graphKnnIndexed(
+      corpus.filter(col("vec_id") === 0L), "embedding", "vec_id", idx,
+      k = 3, nProbe = 1, beamWidth = 45, hops = 1).orderBy("rnk").collect()
+    assert(fromOld.head.getAs[Long]("nid") == 99L, fromOld.mkString(","))
+    val fromNew = SimilaritySearch.graphKnnIndexed(
+      corpus.filter(col("vec_id") === 99L), "embedding", "vec_id", idx,
+      k = 3, nProbe = 1, beamWidth = 45, hops = 1).orderBy("rnk").collect()
+    assert(fromNew.head.getAs[Long]("nid") == 0L, fromNew.mkString(","))
+  }
+}
