@@ -566,9 +566,14 @@ object SimilaritySearch {
       .map(s => table(s"pq$s")).toSeq
     require(subCents.nonEmpty, s"no PQ codebooks under $path")
     val dtabs = pqDistanceTables(queries, vecCol, idCol, subCents)
+    // dedup by (qid, nid): an [[ivfPqIndexAppend]] retried after a crash
+    // appends the same codes rows twice; without this, one nid's
+    // identical (adist, nid) pair seats TWO of the k heap slots and
+    // evicts a true neighbor (the graph walk's per-nid node dedup, at
+    // the bounded candidate level — never a corpus-table shuffle)
     rankAdc(ivfPqScoreModel(queries, vecCol, idCol, table("coarse"), dtabs,
       table("codes").select(col("nid"), col("ivf_cell"), col("codes")),
-      nProbe, subCents.length), k)
+      nProbe, subCents.length).dropDuplicates("qid", "nid"), k)
   }
 
   /** Incremental IVF-PQ maintenance: encode NEW vectors against the
@@ -690,11 +695,17 @@ object SimilaritySearch {
         first(col("e")).as("e"), first(col("nrm")).as("nrm"))
       .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
         explode(col("cells.cell")).as("cell"))
+    // dedup by (qid, nid): an [[ivfIndexAppend]] retried after a crash
+    // appends the same cells rows twice; without this, one nid's
+    // identical (sim, nid) pair seats TWO of the k heap slots and
+    // evicts a true neighbor (bounded candidate-level dedup — the
+    // corpus-sized cells table never reshuffles for it)
     topKPerQuery(
       broadcast(probes).join(assigned, Seq("cell"))
         .where(col("qid") =!= col("nid"))
         .select(col("qid"), col("nid"),
-          (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim")),
+          (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim"))
+        .dropDuplicates("qid", "nid"),
       k)
   }
 

@@ -201,8 +201,10 @@ object TextRetrieval {
     * seen-store maintenance cycle of the dedup ingest pipeline).
     * Contract: `newDocs` carries NEW doc ids only (the
     * [[SimilaritySearch.ivfIndexAppend]] / [[Dedup.nearDupIngest]]
-    * convention) — re-appending an existing id would duplicate its
-    * postings; dedup upstream or rebuild.
+    * convention). A RETRIED identical append is absorbed — the search
+    * path dedups (term, doc_id) after the query cut and df/stats count
+    * distinct postings — but appending a MODIFIED existing doc leaves
+    * both versions' postings live: dedup upstream or rebuild.
     */
   def bm25IndexAppend(
       newDocs: DataFrame, textCol: String, idCol: String, dir: String): Unit = {
@@ -222,7 +224,12 @@ object TextRetrieval {
       .write.format("kv").option("path", s"$dir/postings").mode("append").save()
     val postings = s.read.format("kv").option("path", s"$dir/postings").load()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val dfreq = postings.groupBy(col("term"))
+    // df counts DISTINCT (term, doc_id): a crash-retried append leaves
+    // identical postings rows twice, and a raw count would double those
+    // docs' df (stats already distincts on (doc_id, dl) for the same
+    // reason) — the ivfKnnIndexed retry-dedup discipline
+    val dfreq = postings.select(col("term"), col("doc_id")).distinct()
+      .groupBy(col("term"))
       .agg(count(lit(1)).cast("double").as("dfq"))
     val stats = postings.select(col("doc_id"), col("dl")).distinct()
       .agg(count(lit(1)).cast("double").as("nd"), sum(col("dl")).as("sdl"))
@@ -256,12 +263,19 @@ object TextRetrieval {
         spark.read.format("kv").option("path", s"$dir/terms").load(),
         spark.read.format("kv").option("path", s"$dir/stats").load())
       else (
-        postings.groupBy(col("term")).agg(count(lit(1)).cast("double").as("dfq")),
+        postings.select(col("term"), col("doc_id")).distinct()
+          .groupBy(col("term")).agg(count(lit(1)).cast("double").as("dfq")),
         postings.select(col("doc_id"), col("dl")).distinct()
           .agg(count(lit(1)).cast("double").as("nd"), sum(col("dl")).as("sdl")))
     val qt = queries.select(col(queryIdCol).as("qid"),
       explode(array_distinct(split(lower(col(queryTextCol)), " "))).as("term"))
+    // dedup by (term, doc_id) AFTER the query-term cut (bounded by the
+    // matched terms' postings — the full postings table never
+    // reshuffles): a crash-retried bm25IndexAppend leaves identical
+    // postings rows twice, which would double those docs' per-term
+    // contributions
     val matched = postings.join(broadcast(qt.select("term").distinct()), Seq("term"))
+      .dropDuplicates("term", "doc_id")
     val scored = matched
       .join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(stats))

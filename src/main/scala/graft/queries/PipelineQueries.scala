@@ -393,6 +393,41 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // Streaming ingest × ANN index maintenance (the q_kv_stream_index
+    // composition applied to the vector tier): build the IVF index on a
+    // base slice, then stream the remaining vectors in rate-limited
+    // micro-batches, each foreachBatch running ivfIndexAppend (assign
+    // against the FIXED persisted centroids, append to the cells table
+    // — O(batch) per trigger, never O(index)). Assignment is per-row
+    // against fixed centroids, so the final index content is
+    // batching-independent: the oracle trains on the base slice,
+    // assigns ALL vectors, and replays the probe search exactly.
+    "q_ann_stream_index" -> ((s, dir) => {
+      val u = java.util.UUID.randomUUID().toString.replace("-", "")
+      val idx = s"/tmp/graft_annstr_$u/i"
+      val ckpt = s"/tmp/graft_annstrck_$u"
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.buildIvfIndex(emb.filter(col("vec_id") < 250),
+        "embedding", "vec_id", idx, nCells = 8, maxTrainPerCell = 32)
+      val q = s.readStream.format("log")
+        .option("path", s"$dir/embeddings.parquet")
+        .option("maxOffsetsPerTrigger", "500").load()
+        .filter(col("vec_id") >= 250)
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          if (!df.isEmpty)
+            SimilaritySearch.ivfIndexAppend(df, "embedding", "vec_id", idx)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      SimilaritySearch.ivfKnnIndexed(emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", idx, k = 3, nProbe = 3)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // LEARNED OPQ rotation: variance-balancing dimension permutation
     // (OPQ's eigenvalue-allocation step, integer-determinized) on an
     // ANISOTROPIC fixture — dims 0-31 ×4.0, 32-63 ×0.25 (exact powers

@@ -631,6 +631,47 @@ object SketchOracleSql {
        |SELECT qid, nid, round(sim, 6) AS sim, rnk
        |FROM iv_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
 
+  /** q_ann_stream_index: the streaming-maintained IVF index — centroids
+    * trained on the base slice only (vec_id < 250, the build input),
+    * EVERY vector assigned against those fixed centroids (streamed
+    * appends are per-row assignments, so the final index content is
+    * batching-independent), probe search replayed over the union.
+    */
+  def annStreamIndexOracle: String = {
+    def nrmOf(src: String) =
+      s"""SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e,
+         |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+         |  FROM $src""".stripMargin
+    s"""WITH st_prep AS MATERIALIZED (
+       |  ${nrmOf("embeddings WHERE vec_id < 250")}
+       |), ${kmChain("st_", 8, 32)},
+       |stf_prep AS MATERIALIZED (
+       |  ${nrmOf("embeddings")}
+       |), st_afall AS (${kmAssign("stf_prep", "st_cent2")}
+       |), st_probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.id AS qid, c.cell,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY ${kmD2("q.e", "c.ce")}, c.cell) AS rn
+       |    FROM (SELECT id, e FROM stf_prep WHERE id < 5) q CROSS JOIN st_cent2 c
+       |  ) WHERE rn <= 3
+       |), st_scored AS (
+       |  SELECT p.qid, a.id AS nid,
+       |    list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * a.e[i]))
+       |      / (q.nrm * a.nrm) AS sim
+       |  FROM st_probes p
+       |  JOIN (SELECT af.id, af.e, af.cell, pr.nrm
+       |        FROM st_afall af JOIN stf_prep pr ON af.id = pr.id) a
+       |    ON p.cell = a.cell
+       |  JOIN stf_prep q ON p.qid = q.id
+       |  WHERE p.qid <> a.id
+       |)
+       |SELECT qid, nid, round(sim, 6) AS sim, rnk FROM (
+       |  SELECT qid, nid, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk
+       |  FROM st_scored
+       |) WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+  }
+
   /** q_ann_ivf_audit: one row — the IVF tier's measured recall vs exact
     * brute force over the SAME corpus/queries/parameters as q_ann_ivf
     * (k=3, 8 cells, 3 probes). Both detectors replayed end to end; the
@@ -1342,6 +1383,7 @@ object SketchOracleSql {
     "q_ann_graph_capped" -> annGraphCappedOracle,
     "q_ann_varperm" -> annVarPermOracle,
     "q_ann_varperm_audit" -> annVarPermAuditOracle,
+    "q_ann_stream_index" -> annStreamIndexOracle,
     // the persisted-index search must answer identically to the
     // in-memory IVF path — same replayed-k-means oracle
     "q_ann_ivf_indexed" -> annIvfOracle,

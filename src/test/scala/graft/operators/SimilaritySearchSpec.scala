@@ -584,6 +584,43 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(j4 < 3 * j1, s"hops=4 ($j4 jobs) vs hops=1 ($j1 jobs) looks exponential")
   }
 
+  test("retried index appends cannot double-seat a nid in indexed ANN search") {
+    // a maintenance append retried after a crash writes the same rows
+    // twice; the indexed search paths must dedup candidates by (qid,
+    // nid) or one nid's identical score seats two of the k heap slots
+    // and silently evicts a true neighbor
+    val base = corpus16.filter(col("vec_id") =!= 99L)
+    val nv = corpus16.filter(col("vec_id") === 99L)
+    val q = corpus16.filter(col("vec_id") === 0L)
+    // IVF-Flat
+    val idx = java.nio.file.Files.createTempDirectory("annretry1").toString + "/i"
+    SimilaritySearch.buildIvfIndex(base, "embedding", "vec_id", idx,
+      nCells = 2, maxTrainPerCell = 64)
+    SimilaritySearch.ivfIndexAppend(nv, "embedding", "vec_id", idx)
+    val single = SimilaritySearch.ivfKnnIndexed(q, "embedding", "vec_id",
+      idx, k = 3, nProbe = 2).orderBy("rnk").collect().toSeq
+    SimilaritySearch.ivfIndexAppend(nv, "embedding", "vec_id", idx) // retry
+    val doubled = SimilaritySearch.ivfKnnIndexed(q, "embedding", "vec_id",
+      idx, k = 3, nProbe = 2).orderBy("rnk").collect().toSeq
+    assert(doubled == single, "a retried ivfIndexAppend changed results")
+    assert(doubled.map(_.getAs[Long]("nid")).distinct.size == 3,
+      s"duplicate nid in top-k: $doubled")
+    assert(doubled.head.getAs[Long]("nid") == 99L)
+    // IVF-PQ
+    val idx2 = java.nio.file.Files.createTempDirectory("annretry2").toString + "/p"
+    SimilaritySearch.buildIvfPqIndex(base, "embedding", "vec_id", idx2,
+      nCells = 2, m = 2, pqCells = 8, maxTrainPerCell = 64)
+    SimilaritySearch.ivfPqIndexAppend(nv, "embedding", "vec_id", idx2)
+    val s1 = SimilaritySearch.ivfPqKnnIndexed(spark, idx2, q, "embedding",
+      "vec_id", k = 3, nProbe = 2).orderBy("rnk").collect().toSeq
+    SimilaritySearch.ivfPqIndexAppend(nv, "embedding", "vec_id", idx2) // retry
+    val s2 = SimilaritySearch.ivfPqKnnIndexed(spark, idx2, q, "embedding",
+      "vec_id", k = 3, nProbe = 2).orderBy("rnk").collect().toSeq
+    assert(s2 == s1, "a retried ivfPqIndexAppend changed results")
+    assert(s2.map(_.getAs[Long]("nid")).distinct.size == 3,
+      s"duplicate nid in top-k: $s2")
+  }
+
   test("variancePermutation balances subspace variance and lifts anisotropic recall") {
     // anisotropic fixture: first 8 of 16 dims carry 16x the scale, so
     // the contiguous m=2 split leaves all the variance in subspace 0

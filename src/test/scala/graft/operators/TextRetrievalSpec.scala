@@ -112,6 +112,30 @@ class TextRetrievalSpec extends SparkSpec {
     assert(appended.exists(_.contains("4")), appended.mkString(","))
   }
 
+  test("a retried bm25IndexAppend leaves scores identical (postings dedup + distinct df)") {
+    val dir = java.nio.file.Files.createTempDirectory("bm25retry").toString + "/idx"
+    val first = docs.filter(col("doc_id") <= 3L)
+    val extra = docs.filter(col("doc_id") > 3L)
+    TextRetrieval.buildBm25Index(first, "text", "doc_id", dir)
+    TextRetrieval.bm25IndexAppend(extra, "text", "doc_id", dir)
+    val qs = Seq((1, "spark fast runs"), (2, "padding text")).toDF("qid", "qtext")
+    val single = TextRetrieval.bm25TopKIndexed(spark, dir, qs, "qid", "qtext", k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    // the crash-retried append: identical postings rows land twice —
+    // tf contributions must not double and df must not inflate
+    TextRetrieval.bm25IndexAppend(extra, "text", "doc_id", dir)
+    val doubled = TextRetrieval.bm25TopKIndexed(spark, dir, qs, "qid", "qtext", k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(doubled == single, "a retried bm25IndexAppend changed scores")
+    // the marker-absent fallback derives df/stats retry-safely too
+    val fs = new org.apache.hadoop.fs.Path(dir, "_stats_consistent")
+      .getFileSystem(graft.sources.ParquetIO.hadoopConf)
+    fs.delete(new org.apache.hadoop.fs.Path(dir, "_stats_consistent"), false)
+    val fallback = TextRetrieval.bm25TopKIndexed(spark, dir, qs, "qid", "qtext", k = 5)
+      .collect().map(_.toString).sorted.toSeq
+    assert(fallback == single, "marker-absent fallback diverged after retry")
+  }
+
   test("missing consistency marker: indexed search derives df/stats from postings") {
     val dir = java.nio.file.Files.createTempDirectory("bm25mk").toString + "/idx"
     TextRetrieval.buildBm25Index(docs, "text", "doc_id", dir)
