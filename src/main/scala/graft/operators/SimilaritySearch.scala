@@ -1035,6 +1035,52 @@ object SimilaritySearch {
       nCells, nProbe, m, pqCells, iterations, maxTrainPerCell), k)
   }
 
+  /** Persist a variance-permuted IVF-PQ index: derive the permutation
+    * from the corpus, store it as a kv table (`perm`: slot j → source
+    * dim) beside the standard IVF-PQ tables built over the PERMUTED
+    * vectors — train once, search many for the learned tier. Queries
+    * at search time apply the STORED permutation ([[varPermKnnIndexed]]),
+    * so index and query live in the same learned basis even across
+    * sessions; answers are bit-identical to the in-memory
+    * [[ivfPqVarPermKnn]] at the same knobs.
+    */
+  def buildVarPermIndex(
+      corpus: DataFrame, vecCol: String, idCol: String, path: String,
+      dim: Int, nCells: Int = 16, m: Int = 2, pqCells: Int = 16,
+      iterations: Int = 2, maxTrainPerCell: Int = 16384): Unit = {
+    val spark = corpus.sparkSession
+    val perm = variancePermutation(corpus, vecCol, dim, m)
+    import spark.implicits._
+    perm.zipWithIndex.map { case (pos, j) => (j.toLong, pos.toLong) }
+      .toDF("slot", "pos")
+      .write.format("kv").option("path", s"$path/perm")
+      .mode("overwrite").save()
+    buildIvfPqIndex(
+      corpus.select(col(idCol), permuteVec(col(vecCol), perm).as(vecCol)),
+      vecCol, idCol, path, nCells, m, pqCells, iterations, maxTrainPerCell)
+  }
+
+  /** Search a [[buildVarPermIndex]] index: apply the STORED permutation
+    * to the queries, then the standard indexed ADC chain. The perm table
+    * is `dim` rows — a bounded driver read, like the centroid tables.
+    */
+  def varPermKnnIndexed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, vecCol: String, idCol: String,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val permRows = spark.read.format("kv").option("path", s"$path/perm")
+      .load().collect()
+    require(permRows.nonEmpty, s"no permutation table under $path")
+    val perm = permRows
+      .map(r => r.getAs[Long]("slot").toInt -> r.getAs[Long]("pos").toInt)
+      .sortBy(_._1).map(_._2).toSeq
+    require(perm.sorted == (0 until perm.length),
+      s"corrupt permutation table under $path")
+    ivfPqKnnIndexed(spark, path,
+      queries.select(col(idCol), permuteVec(col(vecCol), perm).as(vecCol)),
+      vecCol, idCol, k, nProbe)
+  }
+
   /** Measured value of the learned permutation: permuted vs plain
     * IVF-PQ recall at EQUAL probe budget, both vs exact brute force —
     * one row ([[opqRecallAudit]] discipline). On an anisotropic corpus
@@ -1322,6 +1368,19 @@ object SimilaritySearch {
         .mode("overwrite").save()
       seeds.write.format("kv").option("path", s"$path/seeds")
         .mode("overwrite").save()
+      // build-knob metadata: appends read the CROSS-edge knobs from here
+      // so an index built with long-range links keeps giving them to
+      // appended nodes (without it, appended nodes would only ever link
+      // within their cell — a silent connectivity downgrade per append)
+      val spark = corpus.sparkSession
+      import spark.implicits._
+      Seq((degree.toLong, seedsPerCell.toLong, nCells.toLong,
+        maxEdgeCandidatesPerCell.toLong, crossCells.toLong,
+        degreeCross.toLong))
+        .toDF("degree", "seeds_per_cell", "n_cells",
+          "max_edge_candidates", "cross_cells", "degree_cross")
+        .write.format("kv").option("path", s"$path/knobs")
+        .mode("overwrite").save()
     } finally release()
   }
 
@@ -1347,12 +1406,25 @@ object SimilaritySearch {
     * The dst side is the same bounded per-cell candidate pool as the
     * build ([[edgeCandidatePool]]): per new vector ≤ cap candidates,
     * so an append into a giant cell stays O(batch · cap).
+    *
+    * Cross-edge knobs come from the index's `knobs` table (written by
+    * [[buildGraphIndex]]): an index built with long-range links gives
+    * appended nodes the same `degreeCross` links into their
+    * `crossCells` nearest OTHER cells (plus reverse links), so append
+    * waves never silently downgrade cross-cell connectivity. Indexes
+    * without a knobs table (pre-meta layouts) append within-cell only.
     */
   def graphIndexAppend(newVecs: DataFrame, vecCol: String, idCol: String,
       path: String, degree: Int = 4,
       maxEdgeCandidatesPerCell: Int = 16384): Unit = {
     val spark = newVecs.sparkSession
     def t(n: String) = spark.read.format("kv").option("path", s"$path/$n").load()
+    val (crossCells, degreeCross) =
+      if (graft.sources.ParquetIO.listFiles(s"$path/knobs").isEmpty) (0, 0)
+      else t("knobs").collect().headOption
+        .map(r => (r.getAs[Long]("cross_cells").toInt,
+          r.getAs[Long]("degree_cross").toInt))
+        .getOrElse((0, 0))
     val cents = t("centroids")
     val newNodes = assignCells(prep(newVecs, vecCol, idCol), cents)
       .select(col("cell"), col("id").as("nid"), col("e").as("ne"),
@@ -1365,19 +1437,39 @@ object SimilaritySearch {
       all.select(col("nid").as("id"), col("cell"),
         col("ne").as("e"), col("nn").as("nrm")),
       maxEdgeCandidatesPerCell)
-    val fwd = broadcast(src).join(dst, Seq("cell"))
-      .where(col("src") =!= col("dst"))
+    def topEdges(cand: DataFrame, deg: Int): DataFrame = cand
       .select(col("src"),
         (dot(col("se"), col("de")) / (col("sn") * col("dn"))).as("sim"),
         col("dst"))
       .groupBy(col("src"))
       .agg(graft.functions.BoundedTopK.topK(
-        struct(col("sim"), col("dst")), degree).as("top"))
+        struct(col("sim"), col("dst")), deg).as("top"))
       .select(col("src"), explode(col("top")).as("t"))
       .select(col("src"), col("t.dst").as("dst"))
-    val rev = fwd.select(col("dst").as("src"), col("src").as("dst"))
+    val fwd = topEdges(
+      broadcast(src).join(dst, Seq("cell")).where(col("src") =!= col("dst")),
+      degree)
+    val cross =
+      if (degreeCross == 0) fwd.limit(0)
+      else {
+        val xsel = newNodes
+          .crossJoin(broadcast(cents.select(col("cell").as("xcell"), col("ce"))))
+          .where(col("xcell") =!= col("cell"))
+          .withColumn("d2", aggregate(zip_with(col("ne"), col("ce"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+          .groupBy(col("nid"))
+          .agg(graft.functions.BoundedTopK.topK(
+            struct((lit(0.0) - col("d2")).as("nd2"), col("xcell")),
+            crossCells).as("top"),
+            first(col("ne")).as("se"), first(col("nn")).as("sn"))
+          .select(col("nid").as("src"), col("se"), col("sn"),
+            explode(col("top.xcell")).as("cell"))
+        topEdges(broadcast(xsel).join(dst, Seq("cell")), degreeCross)
+      }
+    val outgoing = fwd.unionByName(cross)
+    val rev = outgoing.select(col("dst").as("src"), col("src").as("dst"))
     try {
-      fwd.unionByName(rev).write.format("kv")
+      outgoing.unionByName(rev).write.format("kv")
         .option("path", s"$path/edges").mode("append").save()
       newNodes.select(col("cell"), col("nid"), col("ne"), col("nn"))
         .write.format("kv").option("path", s"$path/cells").mode("append").save()

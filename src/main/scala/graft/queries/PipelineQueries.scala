@@ -448,6 +448,26 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // The learned tier persisted: permutation + IVF-PQ tables as kv
+    // tables (train once, search many) — queries apply the STORED
+    // permutation, so results are bit-identical to the in-memory chain
+    // and the gate shares its oracle.
+    "q_ann_varperm_indexed" -> ((s, dir) => {
+      val idx = s"/tmp/graft_vpidx${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(idx)
+      val emb = Tables.load(s, dir, "embeddings")
+      val aniso = emb.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") * when(i < 32, lit(4.0)).otherwise(lit(0.25)))
+          .as("embedding"))
+      SimilaritySearch.buildVarPermIndex(aniso, "embedding", "vec_id", idx,
+        dim = 64, nCells = 4, m = 2, pqCells = 16, maxTrainPerCell = 64)
+      SimilaritySearch.varPermKnnIndexed(s, idx,
+        aniso.filter(col("vec_id") < 20), "embedding", "vec_id",
+        k = 3, nProbe = 4)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // The learned permutation's measured value on the anisotropic
     // fixture: permuted vs plain IVF-PQ recall at EQUAL probe budget vs
     // exact brute force — where q_ann_opq_audit's data-free rotation

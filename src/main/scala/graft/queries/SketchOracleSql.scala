@@ -1382,6 +1382,9 @@ object SketchOracleSql {
     "q_ann_graph_cross_audit" -> annGraphCrossAuditOracle,
     "q_ann_graph_capped" -> annGraphCappedOracle,
     "q_ann_varperm" -> annVarPermOracle,
+    // the persisted learned index applies the STORED permutation — same
+    // basis, same chain, same oracle
+    "q_ann_varperm_indexed" -> annVarPermOracle,
     "q_ann_varperm_audit" -> annVarPermAuditOracle,
     "q_ann_stream_index" -> annStreamIndexOracle,
     // the persisted-index search must answer identically to the

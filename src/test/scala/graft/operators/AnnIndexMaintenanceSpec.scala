@@ -88,6 +88,39 @@ class AnnIndexMaintenanceSpec extends SparkSpec {
       "refreshIndexes must re-record the Bloom sidecar")
   }
 
+  test("cell-clustered cells table prunes probe scans by footer stats") {
+    import graft.sources.kv.{KvInputPartition, KvScan, KvScanBuilder}
+    import org.apache.spark.sql.sources.{EqualTo, Filter}
+    val idx = java.nio.file.Files.createTempDirectory("annmx4").toString + "/i"
+    SimilaritySearch.buildIvfIndex(corpus, "embedding", "vec_id", idx,
+      nCells = 4, maxTrainPerCell = 64)
+    val q = corpus.filter(col("vec_id") < 3L)
+    val baseline = rows(SimilaritySearch.ivfKnnIndexed(
+      q, "embedding", "vec_id", idx, k = 3, nProbe = 2))
+    // the 100 TB probe layout: cluster the cells table BY CELL so each
+    // probed cell reads few files — the probe join's runtime filter
+    // (SupportsRuntimeFiltering on the kv scan) then prunes whole files
+    // by footer min/max
+    KvMerge.rewrite(spark, s"$idx/cells", numFiles = 4,
+      clusterBy = Seq("cell"))
+    val schema = spark.read.format("kv")
+      .option("path", s"$idx/cells").load().schema
+    def files(scan: KvScan): Int = scan.toBatch.planInputPartitions()
+      .flatMap(_.asInstanceOf[KvInputPartition].chunks.map(_.file))
+      .distinct.length
+    val scan = new KvScanBuilder(s"$idx/cells", schema, 1000, 128L)
+      .build().asInstanceOf[KvScan]
+    val before = files(scan)
+    scan.filter(Array[Filter](EqualTo("cell", 0L)))
+    val after = files(scan)
+    assert(after < before,
+      s"single-cell runtime filter planned $after of $before files - " +
+        "the clustered layout must prune")
+    // and the search over the clustered layout is unchanged
+    assert(rows(SimilaritySearch.ivfKnnIndexed(
+      q, "embedding", "vec_id", idx, k = 3, nProbe = 2)) == baseline)
+  }
+
   test("graph index survives rewrite + append + prune composition") {
     val idx = java.nio.file.Files.createTempDirectory("annmx3").toString + "/i"
     val base = corpus.filter(col("vec_id") < 30L)

@@ -584,6 +584,66 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(j4 < 3 * j1, s"hops=4 ($j4 jobs) vs hops=1 ($j1 jobs) looks exponential")
   }
 
+  test("persisted varperm index answers identically to the in-memory learned chain") {
+    val aniso = corpus16.select(col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x.cast("double") * when(i < 8, lit(4.0)).otherwise(lit(0.25)))
+        .as("embedding"))
+    val q = aniso.filter(col("vec_id") < 3L)
+    val idx = java.nio.file.Files.createTempDirectory("vpidx").toString + "/i"
+    SimilaritySearch.buildVarPermIndex(aniso, "embedding", "vec_id", idx,
+      dim = 16, nCells = 2, m = 2, pqCells = 8, maxTrainPerCell = 64)
+    val indexed = SimilaritySearch.varPermKnnIndexed(spark, idx, q,
+      "embedding", "vec_id", k = 3, nProbe = 2)
+      .orderBy("qid", "rnk").collect().toSeq
+    val mem = SimilaritySearch.ivfPqVarPermKnn(aniso, q, "embedding",
+      "vec_id", dim = 16, k = 3, nCells = 2, nProbe = 2, m = 2,
+      pqCells = 8, maxTrainPerCell = 64)
+      .orderBy("qid", "rnk").collect().toSeq
+    assert(indexed == mem, "stored permutation diverged from the in-memory chain")
+    // missing perm table fails fast instead of searching the wrong basis
+    intercept[Exception] {
+      SimilaritySearch.varPermKnnIndexed(spark,
+        java.nio.file.Files.createTempDirectory("vpnone").toString + "/x",
+        q, "embedding", "vec_id", k = 3)
+    }
+  }
+
+  test("graphIndexAppend gives appended nodes the index's cross-cell edges") {
+    val idx = java.nio.file.Files.createTempDirectory("gridxcross").toString + "/i"
+    val base = corpus16.filter(col("vec_id") =!= 99L)
+    SimilaritySearch.buildGraphIndex(base, "embedding", "vec_id", idx,
+      nCells = 2, degree = 3, seedsPerCell = 40, maxTrainPerCell = 64,
+      crossCells = 1, degreeCross = 2)
+    SimilaritySearch.graphIndexAppend(corpus16.filter(col("vec_id") === 99L),
+      "embedding", "vec_id", idx, degree = 3)
+    def table(n: String) = spark.read.format("kv")
+      .option("path", s"$idx/$n").load()
+    val cellOf = table("cells").select("nid", "cell").collect()
+      .map(r => r.getAs[Long]("nid") -> r.getAs[Long]("cell")).toMap
+    val myCell = cellOf(99L)
+    val out99 = table("edges").filter(col("src") === 99L)
+      .select("dst").collect().map(_.getAs[Long]("dst"))
+    assert(out99.nonEmpty)
+    // the appended node got long-range links into the OTHER cell, not
+    // just within-cell ones (the knobs-table contract)
+    assert(out99.exists(d => cellOf(d) != myCell),
+      s"appended node 99 has no cross-cell edge (cell $myCell, dsts ${out99.toSeq})")
+    // and its within-cell twin is still its top hit
+    val got = SimilaritySearch.graphKnnIndexed(
+      corpus16.filter(col("vec_id") === 99L), "embedding", "vec_id", idx,
+      k = 3, nProbe = 1, beamWidth = 45, hops = 1).orderBy("rnk").collect()
+    assert(got.head.getAs[Long]("nid") == 0L, got.mkString(","))
+    // a pre-meta index (no knobs table) still appends, within-cell only
+    graft.sources.ParquetIO.deletePath(s"$idx/knobs")
+    SimilaritySearch.graphIndexAppend(corpus16.filter(col("vec_id") === 98L)
+      .unionByName(corpus16.filter(col("vec_id") === 99L))
+      .filter(col("vec_id") === 99L)
+      .withColumn("vec_id", lit(98L)),
+      "embedding", "vec_id", idx, degree = 3)
+    assert(table("cells").filter(col("nid") === 98L).count() == 1)
+  }
+
   test("retried index appends cannot double-seat a nid in indexed ANN search") {
     // a maintenance append retried after a crash writes the same rows
     // twice; the indexed search paths must dedup candidates by (qid,
