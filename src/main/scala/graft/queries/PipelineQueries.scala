@@ -380,6 +380,28 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // The full graph-index maintenance cycle, oracle-replayed: build on
+    // a base slice, append a batch (forward + reverse edges against the
+    // fixed centroids), degree-prune the inflated edge lists back to
+    // the bound, then walk. Every stage — assignment, append edges,
+    // dedup, the top-degree re-fold, seeds (build-time, base-only) and
+    // the unrolled hops — replays in the oracle.
+    "q_ann_graph_prune" -> ((s, dir) => {
+      val idx = s"/tmp/graft_grprune${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(idx)
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.buildGraphIndex(emb.filter(col("vec_id") >= 10),
+        "embedding", "vec_id", idx, nCells = 8, degree = 8,
+        seedsPerCell = 4, maxTrainPerCell = 32)
+      SimilaritySearch.graphIndexAppend(emb.filter(col("vec_id") < 10),
+        "embedding", "vec_id", idx, degree = 8)
+      SimilaritySearch.graphPruneEdges(s, idx, degree = 8)
+      SimilaritySearch.graphKnnIndexed(emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", idx, k = 3, nProbe = 3,
+        beamWidth = 16, hops = 3)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // The same rotation executed by the codegen'd O(d log d) fast
     // Walsh-Hadamard Expression (VectorExpressions.FwhtRotate) — the
     // butterfly reassociates the sums, so this chain gets its own

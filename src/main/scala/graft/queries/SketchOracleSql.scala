@@ -1333,6 +1333,111 @@ object SketchOracleSql {
   def annGraphCrossAuditOracle: String = graphAuditSelect(grxCtes)
   def annGraphCappedOracle: String = graphTopKSelect(grcapCtes)
 
+  /** q_ann_graph_prune: the maintenance cycle — build on the base slice
+    * (vec_id >= 10), append vec_id < 10 (forward top-degree edges over
+    * base ∪ batch in the new node's cell, plus reverse edges), DISTINCT
+    * + top-degree re-fold over recomputed similarities (the prune),
+    * then the standard walk with BUILD-time (base-only) seeds.
+    */
+  def annGraphPruneOracle: String = {
+    val (nCells, cap, degree, seedsPerCell) = (8, 32, 8, 4)
+    val (nProbe, beamWidth, hops, qMax) = (3, 16, 3, 5)
+    def cos(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, len($a.e)), i -> $a.e[i] * $b.e[i])) / ($a.nrm * $b.nrm)"
+    def beam(cand: String): String =
+      s"""SELECT qid, nid, sim FROM (
+         |  SELECT qid, nid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+         |  FROM (
+         |    SELECT c.qid, c.nid, ${cos("q", "n")} AS sim
+         |    FROM $cand c JOIN gp_alln n ON n.id = c.nid
+         |    JOIN gp_fullprep q ON q.id = c.qid
+         |  )
+         |) WHERE rn <= $beamWidth""".stripMargin
+    val hopCtes = (1 to hops).map { h =>
+      s"""gp_cand$h AS (
+         |  SELECT DISTINCT qid, nid FROM (
+         |    SELECT qid, nid FROM gp_beam${h - 1}
+         |    UNION ALL
+         |    SELECT b.qid, e.dst AS nid
+         |    FROM gp_beam${h - 1} b JOIN gp_pruned e ON e.src = b.nid
+         |  )
+         |), gp_beam$h AS (${beam(s"gp_cand$h")}
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH gp_fullprep AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e,
+       |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+       |  FROM embeddings
+       |), gp_prep AS MATERIALIZED (
+       |  SELECT id, e, nrm FROM gp_fullprep WHERE id >= 10
+       |), ${kmChain("gp_", nCells, cap)},
+       |gp_basen AS MATERIALIZED (
+       |  SELECT af.id, af.e, af.cell, pr.nrm
+       |  FROM gp_af af JOIN gp_prep pr ON af.id = pr.id
+       |), gp_newn AS MATERIALIZED (
+       |  SELECT a.id, a.e, a.cell, pr.nrm FROM (
+       |    ${kmAssign("(SELECT id, e FROM gp_fullprep WHERE id < 10)", "gp_cent2")}
+       |  ) a JOIN gp_fullprep pr ON a.id = pr.id
+       |), gp_alln AS MATERIALIZED (
+       |  SELECT * FROM gp_basen UNION ALL SELECT * FROM gp_newn
+       |), gp_baseedges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT a.id AS src, b.id AS dst,
+       |      row_number() OVER (PARTITION BY a.id
+       |        ORDER BY ${cos("a", "b")} DESC, b.id) AS rn
+       |    FROM gp_basen a JOIN gp_basen b ON a.cell = b.cell AND a.id <> b.id
+       |  ) WHERE rn <= $degree
+       |), gp_fwd AS (
+       |  SELECT src, dst FROM (
+       |    SELECT a.id AS src, b.id AS dst,
+       |      row_number() OVER (PARTITION BY a.id
+       |        ORDER BY ${cos("a", "b")} DESC, b.id) AS rn
+       |    FROM gp_newn a JOIN gp_alln b ON a.cell = b.cell AND a.id <> b.id
+       |  ) WHERE rn <= $degree
+       |), gp_edges AS (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM gp_baseedges
+       |    UNION ALL SELECT src, dst FROM gp_fwd
+       |    UNION ALL SELECT dst AS src, src AS dst FROM gp_fwd
+       |  )
+       |), gp_pruned AS MATERIALIZED (
+       |  SELECT src, dst FROM (
+       |    SELECT e.src, e.dst,
+       |      row_number() OVER (PARTITION BY e.src
+       |        ORDER BY ${cos("a", "b")} DESC, e.dst) AS rn
+       |    FROM gp_edges e
+       |    JOIN gp_alln a ON a.id = e.src
+       |    JOIN gp_alln b ON b.id = e.dst
+       |  ) WHERE rn <= $degree
+       |), gp_seeds AS (
+       |  SELECT cell, id FROM (
+       |    SELECT a.cell, a.id,
+       |      row_number() OVER (PARTITION BY a.cell
+       |        ORDER BY ${kmD2("a.e", "c.ce")}, a.id) AS rn
+       |    FROM gp_basen a JOIN gp_cent2 c ON a.cell = c.cell
+       |  ) WHERE rn <= $seedsPerCell
+       |), gp_probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.id AS qid, c.cell,
+       |      row_number() OVER (PARTITION BY q.id
+       |        ORDER BY ${kmD2("q.e", "c.ce")}, c.cell) AS rn
+       |    FROM (SELECT id, e FROM gp_fullprep WHERE id < $qMax) q
+       |    CROSS JOIN gp_cent2 c
+       |  ) WHERE rn <= $nProbe
+       |), gp_cand0 AS (
+       |  SELECT DISTINCT p.qid, s.id AS nid
+       |  FROM gp_probes p JOIN gp_seeds s ON s.cell = p.cell
+       |), gp_beam0 AS (${beam("gp_cand0")}
+       |),
+       |$hopCtes
+       |SELECT qid, nid, round(sim, 6) AS sim, rnk FROM (
+       |  SELECT qid, nid, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk
+       |  FROM gp_beam$hops WHERE qid <> nid
+       |) WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+  }
+
   /** q_ann_opq_audit: rotated and plain IVF-PQ chains at equal budget,
     * both scored against exact brute-force top-3 over the raw vectors.
     */
@@ -1381,6 +1486,7 @@ object SketchOracleSql {
     "q_ann_graph_cross" -> annGraphCrossOracle,
     "q_ann_graph_cross_audit" -> annGraphCrossAuditOracle,
     "q_ann_graph_capped" -> annGraphCappedOracle,
+    "q_ann_graph_prune" -> annGraphPruneOracle,
     "q_ann_varperm" -> annVarPermOracle,
     // the persisted learned index applies the STORED permutation — same
     // basis, same chain, same oracle
