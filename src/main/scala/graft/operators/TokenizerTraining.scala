@@ -140,6 +140,165 @@ object TokenizerTraining {
         StructField("pair_count", LongType, nullable = false))))
   }
 
+  /** Unigram-LM tokenizer training (Kudo 2018, "Subword Regularization:
+    * Improving Neural Network Translation Models with Multiple Subword
+    * Candidates" — the SentencePiece unigram model), hard-EM/Viterbi
+    * variant, determinized: the soft-EM marginals of the original are
+    * float folds no SQL oracle can replay bit-exactly, so this trains
+    * with the textbook Viterbi-EM step — seed vocabulary from substring
+    * frequencies, Viterbi-segment every word type under integer
+    * micro-nat surprisal scores, re-count tokens from the best
+    * segmentations, prune to the target vocabulary, re-score. Every
+    * stage is integer-exact or once-quantized (the DSIR discipline):
+    * scores are floor(10⁶·ln((T+V)/(c+1)) + 0.5) with one engine-side ln
+    * per token TYPE, ties in the seed/prune ranks break token-asc, and
+    * the Viterbi tie rule is (cost asc, longer-token wins) — a total
+    * order the oracle replays stage by stage.
+    *
+    * Scale shape: word-type counts and substring/token counts are
+    * partial-aggregable groupBys; seed/prune selection rides the
+    * bounded heap (k-row state, never a global sort); segmentation is a
+    * row-local pair of folds over word positions with the score map as
+    * a plan-time literal (vocab is bounded: all single chars +
+    * `seedMulti` multi-char candidates, require-guarded at the driver
+    * collect). Words longer than `maxWordLen` chars are deterministically
+    * chunked so the fold depth is bounded.
+    *
+    * Returns (tok, cnt, score): the post-EM vocabulary with its Viterbi
+    * re-counts and final smoothed scores.
+    */
+  def trainUnigram(
+      df: DataFrame, textCol: String,
+      seedMulti: Int = 256, vocabMulti: Int = 128,
+      maxTokenLen: Int = 4, maxWordLen: Int = 16): DataFrame = {
+    require(seedMulti >= 1 && seedMulti <= 4096,
+      s"seedMulti must be in [1, 4096], got $seedMulti")
+    require(vocabMulti >= 1 && vocabMulti <= seedMulti,
+      s"vocabMulti must be in [1, seedMulti], got $vocabMulti")
+    require(maxTokenLen >= 1 && maxTokenLen <= 8,
+      s"maxTokenLen must be in [1, 8], got $maxTokenLen")
+    require(maxWordLen >= maxTokenLen && maxWordLen <= 64,
+      s"maxWordLen must be in [$maxTokenLen, 64], got $maxWordLen")
+
+    // word TYPES with counts; long words chunked to maxWordLen pieces
+    val w0 = df.select(explode(split(lower(col(textCol)), " ")).as("w0"))
+      .where(length(col("w0")) > 0)
+    val words = w0.select(explode(transform(
+        sequence(lit(0),
+          ceil(length(col("w0")).cast("double") / lit(maxWordLen.toDouble))
+            .cast("int") - 1),
+        g => col("w0").substr(g * maxWordLen + 1, lit(maxWordLen)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // substring seed frequencies: every (start, len ≤ maxTokenLen)
+    // occurrence, word-count-weighted — row-local explode, one groupBy
+    val subs = words.select(col("cnt"), explode(flatten(transform(
+        sequence(lit(0), length(col("w")) - 1),
+        i => filter(transform(sequence(lit(1), lit(maxTokenLen)),
+          k => when(i + k <= length(col("w")), col("w").substr(i + 1, k))),
+          x => x.isNotNull)))).as("tok"))
+      .groupBy(col("tok")).agg(sum(col("cnt")).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // seed vocabulary: ALL single chars (coverage guarantee — every word
+    // stays segmentable) + top-seedMulti multi-char substrings by
+    // (freq desc, tok asc) via the bounded heap
+    val chars = subs.where(length(col("tok")) === 1)
+    val multiTop = subs.where(length(col("tok")) > 1)
+      .agg(graft.functions.BoundedTopK.topK(
+        struct(col("freq").cast("double").as("s"), col("tok"), col("freq")),
+        seedMulti).as("t"))
+      .select(explode(col("t")).as("x"))
+      .select(col("x.tok").as("tok"), col("x.freq").as("freq"))
+    val seedv = chars.select(col("tok"), col("freq")).unionByName(multiTop)
+
+    // Laplace-smoothed integer micro-nat surprisal, ln computed
+    // ENGINE-side (one per token type — the same Spark-vs-DuckDB ln
+    // discipline the surprisal gates pinned)
+    def scoredVocab(v: DataFrame): DataFrame = {
+      val tot = v.agg(sum(col("freq")).as("t"), count(lit(1)).as("v"))
+      v.crossJoin(broadcast(tot))
+        .withColumn("score", floor(lit(1e6) *
+          log((col("t") + col("v")).cast("double") /
+            (col("freq") + lit(1)).cast("double")) + lit(0.5)).cast("long"))
+        .select(col("tok"), col("freq"), col("score"))
+    }
+    val seedRows = scoredVocab(seedv).collect()
+    require(seedRows.length <= 8192,
+      s"unigram seed vocabulary ${seedRows.length} exceeds the bounded " +
+        "driver budget (8192) — lower seedMulti")
+    val scores = seedRows
+      .map(r => r.getAs[String]("tok") -> r.getAs[Long]("score")).toMap
+
+    // hard-EM step: Viterbi re-segmentation + token re-counts
+    val seg = words.select(col("cnt"),
+        explode(viterbiSegment(col("w"), scores, maxTokenLen)).as("tok"))
+      .groupBy(col("tok")).agg(sum(col("cnt")).as("cnt2"))
+    // prune: chars always survive (coverage); top-vocabMulti multi-char
+    // tokens by (count desc, tok asc)
+    val keptMulti = seg.where(length(col("tok")) > 1)
+      .agg(graft.functions.BoundedTopK.topK(
+        struct(col("cnt2").cast("double").as("s"), col("tok"), col("cnt2")),
+        vocabMulti).as("t"))
+      .select(explode(col("t")).as("x"))
+      .select(col("x.tok").as("tok"), col("x.cnt2").as("freq"))
+    val vocab2 = chars.select(col("tok"))
+      .join(seg, Seq("tok"), "left")
+      .select(col("tok"), coalesce(col("cnt2"), lit(0L)).as("freq"))
+      .unionByName(keptMulti)
+    scoredVocab(vocab2).select(col("tok"), col("freq").as("cnt"), col("score"))
+  }
+
+  /** Viterbi segmentation of one word under a literal score map —
+    * row-local, zero shuffles, plain HOF folds. Forward pass: one fold
+    * over positions carrying (costs, ks) arrays; the best last token at
+    * each position minimizes (cost asc, token-length DESC) via
+    * `array_min` over (cost, -k) candidate structs. Backtrack: a second
+    * bounded fold walking the recorded ks, prepending tokens. Missing
+    * tokens cost an unreachable sentinel; single-char tokens are always
+    * in the vocabulary, so every position stays reachable.
+    */
+  private[operators] def viterbiSegment(word: Column,
+      scores: Map[String, Long], maxTokenLen: Int): Column = {
+    val INF = 1000000000000000L // sentinel; bounded adds never overflow
+    val sMap = typedLit(scores)
+    val fwd = aggregate(
+      sequence(lit(1), length(word)),
+      struct(array(lit(0L)).as("costs"),
+        array().cast("array<int>").as("ks")),
+      (acc, i) => {
+        val cands = array((1 to maxTokenLen).map { k =>
+          when(i >= k, struct(
+            (element_at(acc.getField("costs"), (i - k + 1).cast("int")) +
+              coalesce(element_at(sMap, word.substr(i - k + 1, lit(k))),
+                lit(INF))).as("c"),
+            lit(-k).as("nk")))
+        }: _*)
+        val best = array_min(filter(cands, x => x.isNotNull))
+        struct(
+          concat(acc.getField("costs"), array(best.getField("c"))).as("costs"),
+          concat(acc.getField("ks"),
+            array((lit(0) - best.getField("nk")).cast("int"))).as("ks"))
+      })
+    aggregate(
+      sequence(lit(1), length(word)),
+      struct(length(word).cast("int").as("pos"),
+        array().cast("array<string>").as("toks"),
+        fwd.getField("ks").as("ks")),
+      (acc, _) => {
+        val pos = acc.getField("pos")
+        val k = element_at(acc.getField("ks"), pos)
+        when(pos > 0, struct(
+          (pos - k).cast("int").as("pos"),
+          concat(array(word.substr(pos - k + 1, k)),
+            acc.getField("toks")).as("toks"),
+          acc.getField("ks").as("ks")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("toks"))
+  }
+
   /** Apply a learned merge table (in order) to a corpus — the encode
     * side of the trainer; row-local, zero shuffles.
     */

@@ -415,6 +415,20 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // Unigram-LM tokenizer training (Kudo 2018 / SentencePiece), the
+    // hard-EM/Viterbi variant: substring seed vocabulary, integer
+    // micro-nat surprisal scores, Viterbi re-segmentation of every word
+    // type, re-count, prune, re-score. With BPE (q_tokenizer_merges)
+    // this covers both major public subword-tokenizer trainers; the
+    // oracle replays seed ranks, the unrolled per-position DP (cost
+    // asc, longer-token-wins ties), the recursive backtrack walk, and
+    // both smoothed score tables.
+    "q_tokenizer_unigram" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.TokenizerTraining.trainUnigram(docs, "text")
+        .orderBy(col("cnt").desc, col("tok")).limit(64)
+    }),
+
     // Streaming ingest × ANN index maintenance (the q_kv_stream_index
     // composition applied to the vector tier): build the IVF index on a
     // base slice, then stream the remaining vectors in rate-limited

@@ -631,6 +631,101 @@ object SketchOracleSql {
        |SELECT qid, nid, round(sim, 6) AS sim, rnk
        |FROM iv_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
 
+  /** q_tokenizer_unigram: the hard-EM unigram-LM trainer replay —
+    * word-type counts (long words chunked), count-weighted substring
+    * seed frequencies, Laplace-smoothed micro-nat scores, the Viterbi
+    * DP unrolled position by position (per position the best last token
+    * minimizes (cost asc, k DESC) — `row_number ORDER BY cost, k DESC`),
+    * a recursive backtrack walk collecting the segmentation, token
+    * re-counts, char-preserving prune, final scores. Literals must
+    * match `TokenizerTraining.trainUnigram`'s gate knobs.
+    */
+  def tokenizerUnigramOracle: String = {
+    val (seedMulti, vocabMulti, maxTok, maxWord) = (256, 128, 4, 16)
+    val dpStages = (1 to maxWord).map { i =>
+      val cands = (1 to maxTok).filter(_ <= i).map { k =>
+        s"""SELECT wd.w AS w, $i AS i, $k AS k,
+           |          d${i - k}.cost + sc.s AS cost
+           |        FROM ug_words wd JOIN ug_dp${i - k} d${i - k} ON d${i - k}.w = wd.w
+           |        JOIN ug_seedsc sc ON sc.tok = substr(wd.w, ${i - k + 1}, $k)
+           |        WHERE len(wd.w) >= $i""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""ug_dp$i AS MATERIALIZED (
+         |  SELECT w, i, cost, k FROM (
+         |    SELECT w, i, cost, k,
+         |      row_number() OVER (PARTITION BY w ORDER BY cost, k DESC) AS rn
+         |    FROM ($cands)
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val bkUnion = (1 to maxWord)
+      .map(i => s"SELECT w, i, k FROM ug_dp$i").mkString(" UNION ALL ")
+    s"""WITH ug_wraw AS (
+       |  SELECT unnest(string_split(lower(text), ' ')) AS w0 FROM documents
+       |), ug_words AS MATERIALIZED (
+       |  SELECT w, count(*)::BIGINT AS cnt FROM (
+       |    SELECT substr(w0, 1 + $maxWord * g, $maxWord) AS w
+       |    FROM (SELECT w0, unnest(range(CAST(ceil(len(w0) / $maxWord.0) AS BIGINT))) AS g
+       |          FROM ug_wraw WHERE len(w0) > 0)
+       |  ) GROUP BY w
+       |), ug_subs AS MATERIALIZED (
+       |  SELECT substr(w, i + 1, k) AS tok, sum(cnt)::BIGINT AS freq
+       |  FROM ug_words,
+       |    LATERAL (SELECT unnest(range(len(w))) AS i),
+       |    LATERAL (SELECT unnest(range(1, ${maxTok + 1})) AS k)
+       |  WHERE i + k <= len(w)
+       |  GROUP BY 1
+       |), ug_chars AS (
+       |  SELECT tok, freq FROM ug_subs WHERE len(tok) = 1
+       |), ug_seedv AS (
+       |  SELECT tok, freq FROM ug_chars
+       |  UNION ALL
+       |  SELECT tok, freq FROM (
+       |    SELECT tok, freq, row_number() OVER (ORDER BY freq DESC, tok) AS rn
+       |    FROM ug_subs WHERE len(tok) > 1
+       |  ) WHERE rn <= $seedMulti
+       |), ug_seedtot AS (
+       |  SELECT sum(freq)::BIGINT AS t, count(*)::BIGINT AS v FROM ug_seedv
+       |), ug_seedsc AS MATERIALIZED (
+       |  SELECT tok, CAST(floor(1000000.0 * ln((t + v) / (freq + 1.0)) + 0.5) AS BIGINT) AS s
+       |  FROM ug_seedv, ug_seedtot
+       |), ug_dp0 AS MATERIALIZED (
+       |  SELECT w, 0 AS i, CAST(0 AS BIGINT) AS cost, 0 AS k FROM ug_words
+       |),
+       |$dpStages,
+       |ug_bk AS MATERIALIZED ($bkUnion),
+       |ug_walk AS MATERIALIZED (
+       |  WITH RECURSIVE r(w, pos, toks) AS (
+       |    SELECT w, len(w), CAST([] AS VARCHAR[]) FROM ug_words
+       |    UNION ALL
+       |    SELECT r.w, r.pos - b.k,
+       |      list_prepend(substr(r.w, r.pos - b.k + 1, b.k), r.toks)
+       |    FROM r JOIN ug_bk b ON b.w = r.w AND b.i = r.pos
+       |    WHERE r.pos > 0
+       |  )
+       |  SELECT w, toks FROM r WHERE pos = 0
+       |), ug_newcnt AS MATERIALIZED (
+       |  SELECT tok, sum(wd.cnt)::BIGINT AS cnt
+       |  FROM ug_walk JOIN ug_words wd USING (w),
+       |    LATERAL (SELECT unnest(ug_walk.toks) AS tok)
+       |  GROUP BY tok
+       |), ug_vocab2 AS (
+       |  SELECT c.tok, coalesce(n.cnt, 0)::BIGINT AS cnt
+       |  FROM ug_chars c LEFT JOIN ug_newcnt n ON n.tok = c.tok
+       |  UNION ALL
+       |  SELECT tok, cnt FROM (
+       |    SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rn
+       |    FROM ug_newcnt WHERE len(tok) > 1
+       |  ) WHERE rn <= $vocabMulti
+       |), ug_tot2 AS (
+       |  SELECT sum(cnt)::BIGINT AS t, count(*)::BIGINT AS v FROM ug_vocab2
+       |)
+       |SELECT tok, cnt,
+       |  CAST(floor(1000000.0 * ln((t + v) / (cnt + 1.0)) + 0.5) AS BIGINT) AS score
+       |FROM ug_vocab2, ug_tot2
+       |ORDER BY cnt DESC, tok LIMIT 64""".stripMargin
+  }
+
   /** q_ann_stream_index: the streaming-maintained IVF index — centroids
     * trained on the base slice only (vec_id < 250, the build input),
     * EVERY vector assigned against those fixed centroids (streamed
@@ -1493,6 +1588,7 @@ object SketchOracleSql {
     "q_ann_varperm_indexed" -> annVarPermOracle,
     "q_ann_varperm_audit" -> annVarPermAuditOracle,
     "q_ann_stream_index" -> annStreamIndexOracle,
+    "q_tokenizer_unigram" -> tokenizerUnigramOracle,
     // the persisted-index search must answer identically to the
     // in-memory IVF path — same replayed-k-means oracle
     "q_ann_ivf_indexed" -> annIvfOracle,

@@ -58,6 +58,105 @@ class TokenizerTrainingSpec extends SparkSpec {
     assert(out(1) == Seq("a a", "a a"))
   }
 
+  test("trainUnigram matches an independent plain-Scala Viterbi-EM replay") {
+    val docs = Seq(
+      "the cat sat on the mat with the other cat",
+      "the cats sit on mats and the dog sits too",
+      "internationalization is a very long word indeed",
+      "the the the cat cat dog")
+    val (seedMulti, vocabMulti, maxTok, maxWord) = (32, 16, 4, 16)
+    val got = TokenizerTraining.trainUnigram(docs.toDF("text"), "text",
+      seedMulti = seedMulti, vocabMulti = vocabMulti,
+      maxTokenLen = maxTok, maxWordLen = maxWord)
+      .orderBy(col("cnt").desc, col("tok"))
+      .as[(String, Long, Long)].collect().toSeq
+
+    // ---- independent replay (the python/duckdb prototype in Scala) ----
+    val wcnt = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach(_.toLowerCase.split(' ').filter(_.nonEmpty).foreach { w =>
+      w.grouped(maxWord).foreach(c => wcnt(c) = wcnt.getOrElse(c, 0L) + 1L)
+    })
+    val sub = scala.collection.mutable.Map.empty[String, Long]
+    wcnt.foreach { case (w, c) =>
+      for (i <- 0 until w.length; k <- 1 to math.min(maxTok, w.length - i))
+        sub(w.substring(i, i + k)) = sub.getOrElse(w.substring(i, i + k), 0L) + c
+    }
+    val chars = sub.keys.filter(_.length == 1).toSet
+    val multi = sub.keys.filter(_.length > 1).toSeq
+      .sortBy(t => (-sub(t), t)).take(seedMulti)
+    def scoresOf(freq: Map[String, Long], vocab: Seq[String]): Map[String, Long] = {
+      val t = vocab.map(freq.getOrElse(_, 0L)).sum
+      val v = vocab.length
+      vocab.map(tok => tok -> math.floor(1e6 *
+        math.log((t + v).toDouble / (freq.getOrElse(tok, 0L) + 1L)) + 0.5).toLong).toMap
+    }
+    val seedVocab = (chars ++ multi).toSeq.sorted
+    val s1 = scoresOf(sub.toMap, seedVocab)
+    def viterbi(w: String, s: Map[String, Long]): Seq[String] = {
+      val inf = Long.MaxValue / 4
+      val dp = Array.fill(w.length + 1)(inf); dp(0) = 0L
+      val bk = Array.fill(w.length + 1)(0)
+      for (i <- 1 to w.length) {
+        var best = inf; var bestk = 0
+        for (k <- 1 to math.min(maxTok, i)) {
+          s.get(w.substring(i - k, i)).foreach { c =>
+            val tot = dp(i - k) + c
+            if (tot < best || (tot == best && k > bestk)) { best = tot; bestk = k }
+          }
+        }
+        dp(i) = best; bk(i) = bestk
+      }
+      var pos = w.length
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (pos > 0) { val k = bk(pos); out.prepend(w.substring(pos - k, pos)); pos -= k }
+      out.toSeq
+    }
+    val newcnt = scala.collection.mutable.Map.empty[String, Long]
+    wcnt.foreach { case (w, c) =>
+      viterbi(w, s1).foreach(t => newcnt(t) = newcnt.getOrElse(t, 0L) + c)
+    }
+    val kept = newcnt.keys.filter(_.length > 1).toSeq
+      .sortBy(t => (-newcnt(t), t)).take(vocabMulti)
+    val vocab2 = (chars ++ kept).toSeq.sorted
+    val s2 = scoresOf(newcnt.toMap, vocab2)
+    val want = vocab2.map(t => (t, newcnt.getOrElse(t, 0L), s2(t)))
+      .sortBy { case (t, c, _) => (-c, t) }
+    assert(got == want, s"got=${got.take(8)} want=${want.take(8)}")
+
+    // coverage: every corpus char survives pruning; determinism
+    assert(chars.forall(c => got.exists(_._1 == c)))
+    val again = TokenizerTraining.trainUnigram(docs.toDF("text"), "text",
+      seedMulti = seedMulti, vocabMulti = vocabMulti,
+      maxTokenLen = maxTok, maxWordLen = maxWord)
+      .orderBy(col("cnt").desc, col("tok"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(again == got)
+    intercept[IllegalArgumentException] {
+      TokenizerTraining.trainUnigram(docs.toDF("text"), "text", vocabMulti = 0)
+    }
+  }
+
+  test("viterbiSegment concatenates back to the word and prefers cheap long tokens") {
+    // vocabulary: chars cost 10, the bigram 'ab' costs 1 — 'ababa' must
+    // segment as [ab, ab, a], never five chars
+    val s = Map("a" -> 10L, "b" -> 10L, "ab" -> 1L)
+    val got = Seq("ababa", "ba", "a").toDF("w")
+      .select(col("w"), TokenizerTraining.viterbiSegment(col("w"), s, 4).as("t"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(got("ababa") == Seq("ab", "ab", "a"), got("ababa"))
+    assert(got("ba") == Seq("b", "a"))
+    assert(got("a") == Seq("a"))
+    // segmentation always concatenates back to the word
+    got.foreach { case (w, t) => assert(t.mkString == w) }
+    // cost ties prefer the LONGER last token: with equal char/bigram
+    // economics ('xy' = 'x'+'y'), the bigram wins the tie
+    val tie = Map("x" -> 5L, "y" -> 5L, "xy" -> 10L)
+    val t2 = Seq("xy").toDF("w")
+      .select(TokenizerTraining.viterbiSegment(col("w"), tie, 4).as("t"))
+      .as[Seq[String]].collect().head
+    assert(t2 == Seq("xy"), s"tie must prefer the longer token, got $t2")
+  }
+
   test("encodeWithMerges applies the learned table in order") {
     val docs = Seq("x y z x y", "x y x y z")
     val merges = TokenizerTraining.trainMerges(docs.toDF("text"), "text", rounds = 2)
