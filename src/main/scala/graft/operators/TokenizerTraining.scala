@@ -250,6 +250,44 @@ object TokenizerTraining {
     scoredVocab(vocab2).select(col("tok"), col("freq").as("cnt"), col("score"))
   }
 
+  /** Encode a corpus with a trained unigram vocabulary ([[trainUnigram]]
+    * output collected to a bounded score map): per-document token arrays
+    * under Viterbi segmentation. The scalable shape: each word TYPE is
+    * segmented ONCE (the corpus's type table is orders of magnitude
+    * smaller than its token stream) and documents join their words back
+    * to the segmented types — the DP never runs per occurrence. Long
+    * words chunk exactly as in training, so encode and training see the
+    * same word universe.
+    *
+    * Returns (idCol, tokens array<string>, n_tokens) — token order
+    * follows document word order (chunks in order), per-word
+    * segmentation order inside.
+    */
+  def encodeUnigram(
+      df: DataFrame, textCol: String, idCol: String,
+      scores: Map[String, Long],
+      maxTokenLen: Int = 4, maxWordLen: Int = 16): DataFrame = {
+    require(scores.nonEmpty, "encodeUnigram needs a non-empty score map")
+    val docWords = df.select(col(idCol),
+        posexplode(split(lower(col(textCol)), " ")).as(Seq("wp", "w0")))
+      .where(length(col("w0")) > 0)
+      .select(col(idCol), col("wp"),
+        posexplode(transform(
+          sequence(lit(0),
+            ceil(length(col("w0")).cast("double") / lit(maxWordLen.toDouble))
+              .cast("int") - 1),
+          g => col("w0").substr(g * maxWordLen + 1, lit(maxWordLen))))
+          .as(Seq("cp", "w")))
+    val types = docWords.select(col("w")).distinct()
+      .select(col("w"), viterbiSegment(col("w"), scores, maxTokenLen).as("toks"))
+    docWords.join(types, Seq("w"))
+      .groupBy(col(idCol))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("wp"), col("cp"), col("toks")))),
+        x => x.getField("toks"))).as("tokens"))
+      .select(col(idCol), col("tokens"), size(col("tokens")).as("n_tokens"))
+  }
+
   /** Viterbi segmentation of one word under a literal score map —
     * row-local, zero shuffles, plain HOF folds. Forward pass: one fold
     * over positions carrying (costs, ks) arrays; the best last token at

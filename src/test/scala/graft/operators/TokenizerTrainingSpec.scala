@@ -157,6 +157,71 @@ class TokenizerTrainingSpec extends SparkSpec {
     assert(t2 == Seq("xy"), s"tie must prefer the longer token, got $t2")
   }
 
+  test("encodeUnigram segments documents with a trained vocabulary, in word order") {
+    val docs = Seq(
+      (1L, "the cat sat"),
+      (2L, "internationalization cat"),
+      (3L, ""))
+    val trained = TokenizerTraining.trainUnigram(
+      docs.map(_._2).toDF("text"), "text",
+      seedMulti = 32, vocabMulti = 16, maxTokenLen = 4, maxWordLen = 16)
+      .collect().map(r => r.getAs[String]("tok") -> r.getAs[Long]("score")).toMap
+    val enc = TokenizerTraining.encodeUnigram(
+      docs.toDF("doc_id", "text"), "text", "doc_id", trained)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getSeq[String](1), r.getAs[Int]("n_tokens"))).toMap
+    // concatenation restores the document's words in order (spaces out)
+    val d1 = enc(1L)._1
+    assert(d1.mkString == "thecatsat", d1)
+    assert(enc(1L)._2 == d1.length)
+    // long words chunk exactly like training (16-char pieces, in order)
+    val d2 = enc(2L)._1
+    assert(d2.mkString == "internationalizationcat", d2)
+    // empty doc: no words -> absent from the grouped output
+    assert(!enc.contains(3L))
+    // per-word segmentation equals the direct viterbiSegment fold
+    val direct = Seq("the", "cat", "sat").toDF("w")
+      .select(TokenizerTraining.viterbiSegment(col("w"), trained, 4).as("t"))
+      .as[Seq[String]].collect().flatten.toSeq
+    assert(d1 == direct)
+  }
+
+  test("viterbiSegment matches a plain-Scala DP on randomized words and vocabs") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abc"
+    def randWord(n: Int) = Seq.fill(n)(alphabet(rnd.nextInt(3))).mkString
+    // vocab: all single chars + random multi-grams with random costs
+    val vocab: Map[String, Long] =
+      (alphabet.map(c => c.toString -> (50L + rnd.nextInt(100))) ++
+        Seq.fill(30)(randWord(2 + rnd.nextInt(3)) -> (10L + rnd.nextInt(200)).toLong)).toMap
+    def replay(w: String): Seq[String] = {
+      val inf = Long.MaxValue / 4
+      val dp = Array.fill(w.length + 1)(inf); dp(0) = 0L
+      val bk = Array.fill(w.length + 1)(0)
+      for (i <- 1 to w.length) {
+        var best = inf; var bestk = 0
+        for (k <- 1 to math.min(4, i))
+          vocab.get(w.substring(i - k, i)).foreach { c =>
+            val t = dp(i - k) + c
+            if (t < best || (t == best && k > bestk)) { best = t; bestk = k }
+          }
+        dp(i) = best; bk(i) = bestk
+      }
+      var pos = w.length
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (pos > 0) { val k = bk(pos); out.prepend(w.substring(pos - k, pos)); pos -= k }
+      out.toSeq
+    }
+    val words = Seq.fill(60)(randWord(1 + rnd.nextInt(15)))
+    val got = words.toDF("w")
+      .select(col("w"), TokenizerTraining.viterbiSegment(col("w"), vocab, 4).as("t"))
+      .as[(String, Seq[String])].collect().toMap
+    words.foreach { w =>
+      assert(got(w) == replay(w), s"word $w: got ${got(w)} want ${replay(w)}")
+      assert(got(w).mkString == w)
+    }
+  }
+
   test("encodeWithMerges applies the learned table in order") {
     val docs = Seq("x y z x y", "x y x y z")
     val merges = TokenizerTraining.trainMerges(docs.toDF("text"), "text", rounds = 2)
