@@ -429,6 +429,21 @@ object PipelineQueries {
         .orderBy(col("cnt").desc, col("tok")).limit(64)
     }),
 
+    // The encode side of the unigram trainer: tokenize every document
+    // with the trained vocabulary (each word TYPE segmented once,
+    // documents join back) — per-doc token counts, with the oracle
+    // re-deriving the trained scores and running a SECOND Viterbi
+    // unroll under them.
+    "q_doc_unigram_tokens" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val vocab = graft.operators.TokenizerTraining.trainUnigram(docs, "text")
+        .collect()
+        .map(r => r.getAs[String]("tok") -> r.getAs[Long]("score")).toMap
+      graft.operators.TokenizerTraining.encodeUnigram(docs, "text", "doc_id", vocab)
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Streaming ingest × ANN index maintenance (the q_kv_stream_index
     // composition applied to the vector tier): build the IVF index on a
     // base slice, then stream the remaining vectors in rate-limited

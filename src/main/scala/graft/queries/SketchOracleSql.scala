@@ -640,17 +640,22 @@ object SketchOracleSql {
     * re-counts, char-preserving prune, final scores. Literals must
     * match `TokenizerTraining.trainUnigram`'s gate knobs.
     */
-  def tokenizerUnigramOracle: String = {
-    val (seedMulti, vocabMulti, maxTok, maxWord) = (256, 128, 4, 16)
+  /** The per-position Viterbi DP unroll + recursive backtrack over a
+    * words CTE and a (tok, s) score CTE — shared by the trainer oracle
+    * (seed scores) and the encode oracle (final trained scores).
+    * Produces `<p>walk (w, toks)`.
+    */
+  private def ugViterbiCtes(p: String, scoreCte: String,
+      maxTok: Int, maxWord: Int): String = {
     val dpStages = (1 to maxWord).map { i =>
       val cands = (1 to maxTok).filter(_ <= i).map { k =>
         s"""SELECT wd.w AS w, $i AS i, $k AS k,
            |          d${i - k}.cost + sc.s AS cost
-           |        FROM ug_words wd JOIN ug_dp${i - k} d${i - k} ON d${i - k}.w = wd.w
-           |        JOIN ug_seedsc sc ON sc.tok = substr(wd.w, ${i - k + 1}, $k)
+           |        FROM ug_words wd JOIN ${p}dp${i - k} d${i - k} ON d${i - k}.w = wd.w
+           |        JOIN $scoreCte sc ON sc.tok = substr(wd.w, ${i - k + 1}, $k)
            |        WHERE len(wd.w) >= $i""".stripMargin
       }.mkString(" UNION ALL ")
-      s"""ug_dp$i AS MATERIALIZED (
+      s"""${p}dp$i AS MATERIALIZED (
          |  SELECT w, i, cost, k FROM (
          |    SELECT w, i, cost, k,
          |      row_number() OVER (PARTITION BY w ORDER BY cost, k DESC) AS rn
@@ -659,8 +664,32 @@ object SketchOracleSql {
          |)""".stripMargin
     }.mkString(",\n")
     val bkUnion = (1 to maxWord)
-      .map(i => s"SELECT w, i, k FROM ug_dp$i").mkString(" UNION ALL ")
-    s"""WITH ug_wraw AS (
+      .map(i => s"SELECT w, i, k FROM ${p}dp$i").mkString(" UNION ALL ")
+    s"""${p}dp0 AS MATERIALIZED (
+       |  SELECT w, 0 AS i, CAST(0 AS BIGINT) AS cost, 0 AS k FROM ug_words
+       |),
+       |$dpStages,
+       |${p}bk AS MATERIALIZED ($bkUnion),
+       |${p}walk AS MATERIALIZED (
+       |  WITH RECURSIVE r(w, pos, toks) AS (
+       |    SELECT w, len(w), CAST([] AS VARCHAR[]) FROM ug_words
+       |    UNION ALL
+       |    SELECT r.w, r.pos - b.k,
+       |      list_prepend(substr(r.w, r.pos - b.k + 1, b.k), r.toks)
+       |    FROM r JOIN ${p}bk b ON b.w = r.w AND b.i = r.pos
+       |    WHERE r.pos > 0
+       |  )
+       |  SELECT w, toks FROM r WHERE pos = 0
+       |)""".stripMargin
+  }
+
+  /** The training chain CTE body (words → seed → scores → Viterbi →
+    * re-count → pruned vocab2 + tot2) — shared by the trainer and
+    * encode oracles. Literals must match `trainUnigram`'s gate knobs.
+    */
+  private def ugTrainCtes(seedMulti: Int, vocabMulti: Int,
+      maxTok: Int, maxWord: Int): String =
+    s"""ug_wraw AS (
        |  SELECT unnest(string_split(lower(text), ' ')) AS w0 FROM documents
        |), ug_words AS MATERIALIZED (
        |  SELECT w, count(*)::BIGINT AS cnt FROM (
@@ -689,22 +718,8 @@ object SketchOracleSql {
        |), ug_seedsc AS MATERIALIZED (
        |  SELECT tok, CAST(floor(1000000.0 * ln((t + v) / (freq + 1.0)) + 0.5) AS BIGINT) AS s
        |  FROM ug_seedv, ug_seedtot
-       |), ug_dp0 AS MATERIALIZED (
-       |  SELECT w, 0 AS i, CAST(0 AS BIGINT) AS cost, 0 AS k FROM ug_words
-       |),
-       |$dpStages,
-       |ug_bk AS MATERIALIZED ($bkUnion),
-       |ug_walk AS MATERIALIZED (
-       |  WITH RECURSIVE r(w, pos, toks) AS (
-       |    SELECT w, len(w), CAST([] AS VARCHAR[]) FROM ug_words
-       |    UNION ALL
-       |    SELECT r.w, r.pos - b.k,
-       |      list_prepend(substr(r.w, r.pos - b.k + 1, b.k), r.toks)
-       |    FROM r JOIN ug_bk b ON b.w = r.w AND b.i = r.pos
-       |    WHERE r.pos > 0
-       |  )
-       |  SELECT w, toks FROM r WHERE pos = 0
-       |), ug_newcnt AS MATERIALIZED (
+       |), ${ugViterbiCtes("ug_", "ug_seedsc", maxTok, maxWord)},
+       |ug_newcnt AS MATERIALIZED (
        |  SELECT tok, sum(wd.cnt)::BIGINT AS cnt
        |  FROM ug_walk JOIN ug_words wd USING (w),
        |    LATERAL (SELECT unnest(ug_walk.toks) AS tok)
@@ -719,12 +734,36 @@ object SketchOracleSql {
        |  ) WHERE rn <= $vocabMulti
        |), ug_tot2 AS (
        |  SELECT sum(cnt)::BIGINT AS t, count(*)::BIGINT AS v FROM ug_vocab2
-       |)
+       |)""".stripMargin
+
+  def tokenizerUnigramOracle: String =
+    s"""WITH ${ugTrainCtes(256, 128, 4, 16)}
        |SELECT tok, cnt,
        |  CAST(floor(1000000.0 * ln((t + v) / (cnt + 1.0)) + 0.5) AS BIGINT) AS score
        |FROM ug_vocab2, ug_tot2
        |ORDER BY cnt DESC, tok LIMIT 64""".stripMargin
-  }
+
+  /** q_doc_unigram_tokens: the encode side — re-derive the trained
+    * vocabulary's FINAL scores, run a SECOND Viterbi unroll over the
+    * word types under them, and roll per-document token counts up from
+    * each document's (chunked) word occurrences. Documents with no
+    * words drop on both engines (the groupBy sees no rows).
+    */
+  def docUnigramTokensOracle: String =
+    s"""WITH ${ugTrainCtes(256, 128, 4, 16)},
+       |ug_finsc AS MATERIALIZED (
+       |  SELECT tok, CAST(floor(1000000.0 * ln((t + v) / (cnt + 1.0)) + 0.5) AS BIGINT) AS s
+       |  FROM ug_vocab2, ug_tot2
+       |), ${ugViterbiCtes("ugf_", "ug_finsc", 4, 16)},
+       |ug_docw AS (
+       |  SELECT doc_id, substr(w0, 1 + 16 * g, 16) AS w FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w0 FROM documents
+       |  ), LATERAL (SELECT unnest(range(CAST(ceil(len(w0) / 16.0) AS BIGINT))) AS g)
+       |  WHERE len(w0) > 0
+       |)
+       |SELECT d.doc_id, CAST(sum(len(wk.toks)) AS INT) AS n_tokens
+       |FROM ug_docw d JOIN ugf_walk wk USING (w)
+       |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
   /** q_ann_stream_index: the streaming-maintained IVF index — centroids
     * trained on the base slice only (vec_id < 250, the build input),
@@ -1589,6 +1628,7 @@ object SketchOracleSql {
     "q_ann_varperm_audit" -> annVarPermAuditOracle,
     "q_ann_stream_index" -> annStreamIndexOracle,
     "q_tokenizer_unigram" -> tokenizerUnigramOracle,
+    "q_doc_unigram_tokens" -> docUnigramTokensOracle,
     // the persisted-index search must answer identically to the
     // in-memory IVF path — same replayed-k-means oracle
     "q_ann_ivf_indexed" -> annIvfOracle,
