@@ -1407,36 +1407,86 @@ object SimilaritySearch {
     * build ([[edgeCandidatePool]]): per new vector ≤ cap candidates,
     * so an append into a giant cell stays O(batch · cap).
     *
-    * Cross-edge knobs come from the index's `knobs` table (written by
+    * Build knobs come from the index's `knobs` table (written by
     * [[buildGraphIndex]]): an index built with long-range links gives
     * appended nodes the same `degreeCross` links into their
     * `crossCells` nearest OTHER cells (plus reverse links), so append
-    * waves never silently downgrade cross-cell connectivity. Indexes
-    * without a knobs table (pre-meta layouts) append within-cell only.
+    * waves never silently downgrade cross-cell connectivity — and the
+    * `degree`/`maxEdgeCandidatesPerCell` parameters default (at the 0
+    * sentinel) to the BUILD's values from the same table, so appending
+    * to an index built with degree=8 without re-passing the knob never
+    * silently gives new nodes thinner edge lists. Indexes without a
+    * knobs table (pre-meta layouts) append within-cell only with the
+    * literal fallbacks (4, 16384).
+    *
+    * Maintenance cost is O(batch), not O(index): the dst candidate
+    * pool is built ONLY over the cells this batch touches (the batch's
+    * own cells plus its cross-edge target cells — a broadcast semi-join
+    * on the cells table), so the pool aggregation's input tracks the
+    * append's cell membership, never the whole corpus. Duplicate node
+    * rows left by a crash-retried prior append dedup before the pool,
+    * so they neither double-count against the cap nor seat two
+    * identical (sim, dst) candidates in the top-degree heap. To also
+    * prune the semi-join's file I/O at scale, keep the cells table
+    * clustered by cell ([[KvMerge.rewrite]] with `clusterBy=cell` in
+    * the maintenance window) — the scan's runtime filter then skips
+    * whole files of untouched cells.
     */
   def graphIndexAppend(newVecs: DataFrame, vecCol: String, idCol: String,
-      path: String, degree: Int = 4,
-      maxEdgeCandidatesPerCell: Int = 16384): Unit = {
+      path: String, degree: Int = 0,
+      maxEdgeCandidatesPerCell: Int = 0): Unit = {
+    require(degree >= 0, s"degree must be >= 0 (0 = from knobs), got $degree")
+    require(maxEdgeCandidatesPerCell >= 0,
+      "maxEdgeCandidatesPerCell must be >= 0 (0 = from knobs), got " +
+        maxEdgeCandidatesPerCell)
     val spark = newVecs.sparkSession
     def t(n: String) = spark.read.format("kv").option("path", s"$path/$n").load()
-    val (crossCells, degreeCross) =
-      if (graft.sources.ParquetIO.listFiles(s"$path/knobs").isEmpty) (0, 0)
+    val knobs =
+      if (graft.sources.ParquetIO.listFiles(s"$path/knobs").isEmpty) None
       else t("knobs").collect().headOption
-        .map(r => (r.getAs[Long]("cross_cells").toInt,
-          r.getAs[Long]("degree_cross").toInt))
-        .getOrElse((0, 0))
+    def knob(name: String, explicit: Int, fallback: Int): Int =
+      if (explicit > 0) explicit
+      else knobs.map(_.getAs[Long](name).toInt).getOrElse(fallback)
+    val deg = knob("degree", degree, 4)
+    val cap = knob("max_edge_candidates", maxEdgeCandidatesPerCell, 16384)
+    val (crossCells, degreeCross) = knobs
+      .map(r => (r.getAs[Long]("cross_cells").toInt,
+        r.getAs[Long]("degree_cross").toInt))
+      .getOrElse((0, 0))
     val cents = t("centroids")
     val newNodes = assignCells(prep(newVecs, vecCol, idCol), cents)
       .select(col("cell"), col("id").as("nid"), col("e").as("ne"),
         col("nrm").as("nn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val all = t("cells").unionByName(newNodes)
+    // cross-cell target selection FIRST: its target cells join the
+    // batch's own cells to form the touched set that bounds the pool
+    val xselOpt =
+      if (degreeCross == 0) None
+      else Some(newNodes
+        .crossJoin(broadcast(cents.select(col("cell").as("xcell"), col("ce"))))
+        .where(col("xcell") =!= col("cell"))
+        .withColumn("d2", aggregate(zip_with(col("ne"), col("ce"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+        .groupBy(col("nid"))
+        .agg(graft.functions.BoundedTopK.topK(
+          struct((lit(0.0) - col("d2")).as("nd2"), col("xcell")),
+          crossCells).as("top"),
+          first(col("ne")).as("se"), first(col("nn")).as("sn"))
+        .select(col("nid").as("src"), col("se"), col("sn"),
+          explode(col("top.xcell")).as("cell"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val touched = xselOpt
+      .map(x => newNodes.select(col("cell"))
+        .unionByName(x.select(col("cell"))))
+      .getOrElse(newNodes.select(col("cell")))
+      .distinct()
     val src = newNodes.select(col("cell"), col("nid").as("src"),
       col("ne").as("se"), col("nn").as("sn"))
     val dst = edgeCandidatePool(
-      all.select(col("nid").as("id"), col("cell"),
-        col("ne").as("e"), col("nn").as("nrm")),
-      maxEdgeCandidatesPerCell)
+      appendCandidateMembers(t("cells"), newNodes, touched)
+        .select(col("nid").as("id"), col("cell"),
+          col("ne").as("e"), col("nn").as("nrm")),
+      cap)
     def topEdges(cand: DataFrame, deg: Int): DataFrame = cand
       .select(col("src"),
         (dot(col("se"), col("de")) / (col("sn") * col("dn"))).as("sim"),
@@ -1448,24 +1498,10 @@ object SimilaritySearch {
       .select(col("src"), col("t.dst").as("dst"))
     val fwd = topEdges(
       broadcast(src).join(dst, Seq("cell")).where(col("src") =!= col("dst")),
-      degree)
-    val cross =
-      if (degreeCross == 0) fwd.limit(0)
-      else {
-        val xsel = newNodes
-          .crossJoin(broadcast(cents.select(col("cell").as("xcell"), col("ce"))))
-          .where(col("xcell") =!= col("cell"))
-          .withColumn("d2", aggregate(zip_with(col("ne"), col("ce"),
-            (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
-          .groupBy(col("nid"))
-          .agg(graft.functions.BoundedTopK.topK(
-            struct((lit(0.0) - col("d2")).as("nd2"), col("xcell")),
-            crossCells).as("top"),
-            first(col("ne")).as("se"), first(col("nn")).as("sn"))
-          .select(col("nid").as("src"), col("se"), col("sn"),
-            explode(col("top.xcell")).as("cell"))
-        topEdges(broadcast(xsel).join(dst, Seq("cell")), degreeCross)
-      }
+      deg)
+    val cross = xselOpt
+      .map(xsel => topEdges(broadcast(xsel).join(dst, Seq("cell")), degreeCross))
+      .getOrElse(fwd.limit(0))
     val outgoing = fwd.unionByName(cross)
     val rev = outgoing.select(col("dst").as("src"), col("src").as("dst"))
     try {
@@ -1473,8 +1509,24 @@ object SimilaritySearch {
         .option("path", s"$path/edges").mode("append").save()
       newNodes.select(col("cell"), col("nid"), col("ne"), col("nn"))
         .write.format("kv").option("path", s"$path/cells").mode("append").save()
-    } finally { newNodes.unpersist(); () }
+    } finally {
+      newNodes.unpersist(); xselOpt.foreach(_.unpersist()); ()
+    }
   }
+
+  /** The O(batch) dst-pool input for [[graphIndexAppend]]: existing ∪
+    * new node rows restricted (broadcast semi-join) to the append's
+    * touched cells, deduped by nid (crash-retried prior appends leave
+    * identical node rows). The pool aggregation downstream therefore
+    * reads rows bounded by touched-cell MEMBERSHIP, never table size —
+    * pinned by the maintenance spec on a 1-of-16-cells append.
+    */
+  private[operators] def appendCandidateMembers(
+      existing: DataFrame, newNodes: DataFrame,
+      touched: DataFrame): DataFrame =
+    existing.unionByName(newNodes)
+      .join(broadcast(touched), Seq("cell"), "left_semi")
+      .dropDuplicates("nid")
 
   /** Maintenance for the persisted graph index: fold every node's
     * out-edge list back to its `degree` most-similar targets (sim desc,
@@ -1488,6 +1540,14 @@ object SimilaritySearch {
     * dangling edges from a crashed append (src or dst missing from the
     * cells table) heal by dropping at the join. Crash-safe via the
     * shared backup-aside swap ([[KvMerge.writeAndSwap]]).
+    *
+    * On an index built with cross-cell long-range links the prune
+    * mirrors the BUILD's two budgets (read from the knobs table):
+    * same-cell edges fold to top-`degree`, cross-cell edges fold
+    * SEPARATELY to top-`degree_cross` — otherwise the deliberately
+    * lower-similarity long-range links would always lose the single
+    * shared rank to within-cell neighbors and maintenance would
+    * silently disconnect the cells the links were added to bridge.
     */
   def graphPruneEdges(spark: org.apache.spark.sql.SparkSession,
       path: String, degree: Int): Unit = {
@@ -1495,21 +1555,30 @@ object SimilaritySearch {
     val edgesPath = s"$path/edges"
     KvMerge.recoverSwap(edgesPath)
     def t(n: String) = spark.read.format("kv").option("path", s"$path/$n").load()
-    val nodes = t("cells").select(col("nid"), col("ne"), col("nn"))
+    val degreeCross =
+      if (graft.sources.ParquetIO.listFiles(s"$path/knobs").isEmpty) 0
+      else t("knobs").collect().headOption
+        .map(_.getAs[Long]("degree_cross").toInt).getOrElse(0)
+    val nodes = t("cells").select(col("nid"), col("cell"), col("ne"), col("nn"))
       .dropDuplicates("nid")
-    val pruned = t("edges").dropDuplicates("src", "dst")
-      .join(nodes.select(col("nid").as("src"),
+    val scored = t("edges").dropDuplicates("src", "dst")
+      .join(nodes.select(col("nid").as("src"), col("cell").as("scell"),
         col("ne").as("se"), col("nn").as("sn")), Seq("src"))
-      .join(nodes.select(col("nid").as("dst"),
+      .join(nodes.select(col("nid").as("dst"), col("cell").as("dcell"),
         col("ne").as("de"), col("nn").as("dn")), Seq("dst"))
       .select(col("src"),
         (dot(col("se"), col("de")) / (col("sn") * col("dn"))).as("sim"),
-        col("dst"))
+        col("dst"), (col("scell") === col("dcell")).as("same_cell"))
+    def fold(edges: DataFrame, deg: Int): DataFrame = edges
       .groupBy(col("src"))
       .agg(graft.functions.BoundedTopK.topK(
-        struct(col("sim"), col("dst")), degree).as("top"))
+        struct(col("sim"), col("dst")), deg).as("top"))
       .select(col("src"), explode(col("top")).as("t"))
       .select(col("src"), col("t.dst").as("dst"))
+    val pruned =
+      if (degreeCross == 0) fold(scored, degree)
+      else fold(scored.where(col("same_cell")), degree)
+        .unionByName(fold(scored.where(!col("same_cell")), degreeCross))
     KvMerge.writeAndSwap(pruned, edgesPath)
   }
 
@@ -1546,7 +1615,23 @@ object SimilaritySearch {
         first(col("e")).as("e"), first(col("nrm")).as("nrm"))
       .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
         explode(col("cells.cell")).as("cell"))
+    val seeded = broadcast(probes).join(seeds, Seq("cell"))
+      .select(col("qid"), col("qe"), col("qn"), col("nid"))
+      .dropDuplicates("qid", "nid")
+    val beam = walkFrom(nodes, edges, seeded, beamWidth, hops)
+    topKPerQuery(
+      beam.where(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"), col("sim")), k)
+  }
 
+  /** The beam loop shared by the base walk and the hierarchical top
+    * layer: score the entry rows (qid, qe, qn, nid), keep the
+    * per-query top-`beamWidth`, then `hops` rounds of (beam ∪ edge
+    * expansion) → dedup → score → top-beam. Returns the final beam
+    * (qid, qe, qn, nid, sim).
+    */
+  private def walkFrom(nodes: DataFrame, edges: DataFrame,
+      seeded: DataFrame, beamWidth: Int, hops: Int): DataFrame = {
     def score(cand: DataFrame): DataFrame = // (qid, qe, qn, nid) -> + sim
       broadcast(cand).join(nodes, Seq("nid"))
         .select(col("qid"), col("qe"), col("qn"), col("nid"),
@@ -1561,9 +1646,6 @@ object SimilaritySearch {
         .select(col("qid"), col("qe"), col("qn"),
           col("t.nid").as("nid"), col("t.sim").as("sim"))
 
-    val seeded = broadcast(probes).join(seeds, Seq("cell"))
-      .select(col("qid"), col("qe"), col("qn"), col("nid"))
-      .dropDuplicates("qid", "nid")
     // each hop references the beam TWICE (kept candidates + frontier
     // expansion), so an unbroken lineage re-evaluates the whole
     // upstream 2^hops times — at hops=3 that re-planned and re-read
@@ -1584,9 +1666,152 @@ object SimilaritySearch {
       beam = topBeam(score(cand)).localCheckpoint()
       hop += 1
     }
+    beam
+  }
+
+  /** The hierarchical top layer (HNSW's upper levels, determinized to
+    * ONE coarse level): a kNN graph over the SEED nodes only. Entry
+    * routing walks this graph from a fixed global entry (the min-nid
+    * seed — HNSW's fixed entry point) instead of scoring the query
+    * against every centroid, so per-query routing cost is
+    * O(entryBeam · degreeTop · hopsTop) — independent of nCells, where
+    * flat probing pays O(nCells) centroid distances per query. The
+    * seed table is broadcast-sized by construction (nCells ·
+    * seedsPerCell rows); its all-pairs edge build is bounded by
+    * `maxTopCandidates` (the [[edgeCandidatePool]] splitmix64
+    * top-sample, one global pool), so top-layer build cost is
+    * ≤ |seeds| · cap, never |seeds]².
+    *
+    * Returns (seed nodes (nid, ne, nn), top edges (src, dst)).
+    */
+  private[operators] def topLayer(nodes: DataFrame, seeds: DataFrame,
+      degreeTop: Int, maxTopCandidates: Int = 16384)
+      : (DataFrame, DataFrame) = {
+    require(degreeTop >= 1, s"degreeTop must be >= 1, got $degreeTop")
+    val seedN = seeds.select(col("nid")).distinct()
+      .join(nodes.select(col("nid"), col("ne"), col("nn"))
+        .dropDuplicates("nid"), Seq("nid"))
+    val pool = edgeCandidatePool(
+      seedN.select(col("nid").as("id"), lit(0L).as("cell"),
+        col("ne").as("e"), col("nn").as("nrm")),
+      maxTopCandidates)
+      .select(col("dst"), col("de"), col("dn"))
+    val topEdges = seedN
+      .select(col("nid").as("src"), col("ne").as("se"), col("nn").as("sn"))
+      .crossJoin(broadcast(pool))
+      .where(col("src") =!= col("dst"))
+      .select(col("src"),
+        (dot(col("se"), col("de")) / (col("sn") * col("dn"))).as("sim"),
+        col("dst"))
+      .groupBy(col("src"))
+      .agg(graft.functions.BoundedTopK.topK(
+        struct(col("sim"), col("dst")), degreeTop).as("top"))
+      .select(col("src"), explode(col("top")).as("t"))
+      .select(col("src"), col("t.dst").as("dst"))
+    (seedN, topEdges)
+  }
+
+  /** The hierarchical walk: route through the top layer from the fixed
+    * min-nid entry seed (beam `entryBeam`, `hopsTop` rounds over the
+    * seed graph), then run the standard base walk seeded by the final
+    * top-layer beam — `entryBeam` query-adaptive entry nodes instead of
+    * nProbe · seedsPerCell per-cell quota seeds.
+    */
+  private def hierWalk(
+      nodesWithCell: DataFrame, edges: DataFrame,
+      seedN: DataFrame, topEdges: DataFrame,
+      queries: DataFrame, vecCol: String, idCol: String,
+      k: Int, entryBeam: Int, hopsTop: Int,
+      beamWidth: Int, hops: Int): DataFrame = {
+    require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
+    require(entryBeam >= 1, s"entryBeam must be >= 1, got $entryBeam")
+    require(hopsTop >= 0, s"hopsTop must be >= 0, got $hopsTop")
+    val nodes = nodesWithCell.select(col("nid"), col("ne"), col("nn"))
+      .dropDuplicates("nid")
+    val entry = seedN.agg(min(col("nid")).as("nid"))
+    val seeded0 = prep(queries, vecCol, idCol)
+      .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+      .crossJoin(broadcast(entry))
+    val routed = walkFrom(nodes, topEdges, seeded0, entryBeam, hopsTop)
+    val beam = walkFrom(nodes, edges,
+      routed.select(col("qid"), col("qe"), col("qn"), col("nid")),
+      beamWidth, hops)
     topKPerQuery(
       beam.where(col("qid") =!= col("nid"))
         .select(col("qid"), col("nid"), col("sim")), k)
+  }
+
+  /** Graph-walk ANN with a hierarchical entry — [[graphKnn]] with the
+    * flat centroid probing replaced by the top-layer routed entries.
+    * The point of the hierarchy: the same recall floor at HALF the
+    * entry budget (entryBeam vs nProbe·seedsPerCell seeds), with
+    * routing cost independent of nCells.
+    */
+  def graphKnnHier(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      nCells: Int = 16, degree: Int = 4, beamWidth: Int = 8, hops: Int = 2,
+      seedsPerCell: Int = 2, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384,
+      maxEdgeCandidatesPerCell: Int = 16384,
+      crossCells: Int = 0, degreeCross: Int = 0,
+      entryBeam: Int = 4, hopsTop: Int = 2, degreeTop: Int = 4): DataFrame = {
+    val (_, nodes, edges, seeds, _) = graphPieces(corpus, vecCol, idCol,
+      nCells, degree, seedsPerCell, iterations, maxTrainPerCell,
+      maxEdgeCandidatesPerCell, crossCells, degreeCross)
+    val (seedN, topEdges) = topLayer(nodes, seeds, degreeTop)
+    hierWalk(nodes, edges, seedN, topEdges, queries, vecCol, idCol,
+      k, entryBeam, hopsTop, beamWidth, hops)
+  }
+
+  /** Hierarchical walk against a persisted index: the top layer is
+    * rebuilt from the (broadcast-sized) persisted seeds + their node
+    * rows — a bounded job, no corpus pass — so any existing graph
+    * index supports hierarchical entry without a new table or a
+    * rebuild. Seeds are build-time-fixed ([[graphIndexAppend]] never
+    * changes them), so the routed layer is append-stable.
+    */
+  def graphKnnHierIndexed(
+      queries: DataFrame, vecCol: String, idCol: String, path: String,
+      k: Int, entryBeam: Int = 4, hopsTop: Int = 2, degreeTop: Int = 4,
+      beamWidth: Int = 8, hops: Int = 2): DataFrame = {
+    val spark = queries.sparkSession
+    def t(n: String) = spark.read.format("kv").option("path", s"$path/$n").load()
+    val (seedN, topEdges) = topLayer(t("cells"), t("seeds"), degreeTop)
+    hierWalk(t("cells"), t("edges"), seedN, topEdges,
+      queries, vecCol, idCol, k, entryBeam, hopsTop, beamWidth, hops)
+  }
+
+  /** Measured recall of the hierarchical walk vs exact brute force —
+    * the [[graphRecallAudit]] discipline for [[graphKnnHier]].
+    */
+  def graphHierRecallAudit(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      nCells: Int = 16, degree: Int = 4, beamWidth: Int = 8, hops: Int = 2,
+      seedsPerCell: Int = 2, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384,
+      maxEdgeCandidatesPerCell: Int = 16384,
+      crossCells: Int = 0, degreeCross: Int = 0,
+      entryBeam: Int = 4, hopsTop: Int = 2, degreeTop: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val hier = graphKnnHier(corpus, queries, vecCol, idCol, k, nCells,
+      degree, beamWidth, hops, seedsPerCell, iterations, maxTrainPerCell,
+      maxEdgeCandidatesPerCell, crossCells, degreeCross,
+      entryBeam, hopsTop, degreeTop)
+      .select(col("qid"), col("nid"))
+    val exact = bruteForceKnn(corpus, queries, vecCol, idCol, k)
+      .select(col("qid"), col("nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nQueries = exact.select(col("qid")).distinct().count()
+      val nHits = hier.join(exact, Seq("qid", "nid"), "left_semi").count()
+      val recallMilli =
+        if (nQueries == 0) 1000L else nHits * 1000L / (k.toLong * nQueries)
+      spark.range(1).select(
+        lit(nQueries).as("n_queries"), lit(k).as("k"),
+        lit(nHits).as("n_hits"), lit(recallMilli).as("recall_milli"))
+    } finally { exact.unpersist(); () }
   }
 
   /** Measured recall of the graph tier vs exact brute force — the

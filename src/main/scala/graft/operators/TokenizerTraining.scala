@@ -164,13 +164,24 @@ object TokenizerTraining {
     * collect). Words longer than `maxWordLen` chars are deterministically
     * chunked so the fold depth is bounded.
     *
+    * `emIterations` runs the EM step multiple times (SentencePiece's
+    * outer loop): each round re-scores the surviving vocabulary,
+    * Viterbi re-segments every word type under the fresh scores,
+    * re-counts, and prunes the multi-char tier to that round's budget —
+    * a geometric shrink from `seedMulti` down to `vocabMulti`
+    * ([[unigramBudgets]], the 0.75-per-round SentencePiece shrink
+    * capped at the target), so early rounds keep slack for tokens the
+    * next segmentation may promote. One round is exactly the previous
+    * single-step trainer.
+    *
     * Returns (tok, cnt, score): the post-EM vocabulary with its Viterbi
     * re-counts and final smoothed scores.
     */
   def trainUnigram(
       df: DataFrame, textCol: String,
       seedMulti: Int = 256, vocabMulti: Int = 128,
-      maxTokenLen: Int = 4, maxWordLen: Int = 16): DataFrame = {
+      maxTokenLen: Int = 4, maxWordLen: Int = 16,
+      emIterations: Int = 1): DataFrame = {
     require(seedMulti >= 1 && seedMulti <= 4096,
       s"seedMulti must be in [1, 4096], got $seedMulti")
     require(vocabMulti >= 1 && vocabMulti <= seedMulti,
@@ -179,6 +190,8 @@ object TokenizerTraining {
       s"maxTokenLen must be in [1, 8], got $maxTokenLen")
     require(maxWordLen >= maxTokenLen && maxWordLen <= 64,
       s"maxWordLen must be in [$maxTokenLen, 64], got $maxWordLen")
+    require(emIterations >= 1 && emIterations <= 8,
+      s"emIterations must be in [1, 8], got $emIterations")
 
     // word TYPES with counts; long words chunked to maxWordLen pieces
     val w0 = df.select(explode(split(lower(col(textCol)), " ")).as("w0"))
@@ -224,31 +237,68 @@ object TokenizerTraining {
             (col("freq") + lit(1)).cast("double")) + lit(0.5)).cast("long"))
         .select(col("tok"), col("freq"), col("score"))
     }
-    val seedRows = scoredVocab(seedv).collect()
-    require(seedRows.length <= 8192,
-      s"unigram seed vocabulary ${seedRows.length} exceeds the bounded " +
-        "driver budget (8192) — lower seedMulti")
-    val scores = seedRows
-      .map(r => r.getAs[String]("tok") -> r.getAs[Long]("score")).toMap
+    // EM rounds: score → Viterbi re-segment → re-count → prune to the
+    // round's budget. Each round's score map is a bounded driver
+    // collect (require-guarded); the returned vocabulary is collected
+    // eagerly so the interim caches release before return.
+    val budgets = unigramBudgets(seedMulti, vocabMulti, emIterations)
+    var vocab = seedv
+    for (round <- 1 to emIterations) {
+      val roundRows = scoredVocab(vocab).collect()
+      require(roundRows.length <= 8192,
+        s"unigram vocabulary ${roundRows.length} exceeds the bounded " +
+          "driver budget (8192) — lower seedMulti")
+      val scores = roundRows
+        .map(r => r.getAs[String]("tok") -> r.getAs[Long]("score")).toMap
 
-    // hard-EM step: Viterbi re-segmentation + token re-counts
-    val seg = words.select(col("cnt"),
-        explode(viterbiSegment(col("w"), scores, maxTokenLen)).as("tok"))
-      .groupBy(col("tok")).agg(sum(col("cnt")).as("cnt2"))
-    // prune: chars always survive (coverage); top-vocabMulti multi-char
-    // tokens by (count desc, tok asc)
-    val keptMulti = seg.where(length(col("tok")) > 1)
-      .agg(graft.functions.BoundedTopK.topK(
-        struct(col("cnt2").cast("double").as("s"), col("tok"), col("cnt2")),
-        vocabMulti).as("t"))
-      .select(explode(col("t")).as("x"))
-      .select(col("x.tok").as("tok"), col("x.cnt2").as("freq"))
-    val vocab2 = chars.select(col("tok"))
-      .join(seg, Seq("tok"), "left")
-      .select(col("tok"), coalesce(col("cnt2"), lit(0L)).as("freq"))
-      .unionByName(keptMulti)
-    scoredVocab(vocab2).select(col("tok"), col("freq").as("cnt"), col("score"))
+      // hard-EM step: Viterbi re-segmentation + token re-counts
+      val seg = words.select(col("cnt"),
+          explode(viterbiSegment(col("w"), scores, maxTokenLen)).as("tok"))
+        .groupBy(col("tok")).agg(sum(col("cnt")).as("cnt2"))
+      // prune: chars always survive (coverage); top-budget multi-char
+      // tokens by (count desc, tok asc)
+      val keptMulti = seg.where(length(col("tok")) > 1)
+        .agg(graft.functions.BoundedTopK.topK(
+          struct(col("cnt2").cast("double").as("s"), col("tok"), col("cnt2")),
+          budgets(round - 1)).as("t"))
+        .select(explode(col("t")).as("x"))
+        .select(col("x.tok").as("tok"), col("x.cnt2").as("freq"))
+      vocab = chars.select(col("tok"))
+        .join(seg, Seq("tok"), "left")
+        .select(col("tok"), coalesce(col("cnt2"), lit(0L)).as("freq"))
+        .unionByName(keptMulti)
+    }
+    val finalRows = scoredVocab(vocab)
+      .select(col("tok"), col("freq").as("cnt"), col("score")).collect()
+    require(finalRows.length <= 8192,
+      s"unigram vocabulary ${finalRows.length} exceeds the bounded " +
+        "driver budget (8192) — lower vocabMulti")
+    // release the round caches only AFTER the result is materialized —
+    // nothing downstream recomputes through the unpersisted lineage
+    words.unpersist()
+    subs.unpersist()
+    df.sparkSession.createDataFrame(
+      df.sparkSession.sparkContext.parallelize(finalRows.toSeq, 1),
+      StructType(Seq(
+        StructField("tok", StringType, nullable = true),
+        StructField("cnt", LongType, nullable = true),
+        StructField("score", LongType, nullable = true))))
   }
+
+  /** Per-round multi-char prune budgets for [[trainUnigram]]: a
+    * geometric 0.75-per-round shrink from `seedMulti`, floored at
+    * `vocabMulti`, with the LAST round pinned to `vocabMulti` exactly —
+    * closed-form integers, so oracle SQL embeds the same literals.
+    */
+  def unigramBudgets(seedMulti: Int, vocabMulti: Int, rounds: Int): Seq[Int] =
+    (1 to rounds).map { r =>
+      if (r == rounds) vocabMulti
+      else {
+        // floor(seedMulti * 3^r / 4^r) in exact integer arithmetic
+        val num = BigInt(seedMulti) * BigInt(3).pow(r)
+        math.max(vocabMulti, (num / BigInt(4).pow(r)).toInt)
+      }
+    }
 
   /** Encode a corpus with a trained unigram vocabulary ([[trainUnigram]]
     * output collected to a bounded score map): per-document token arrays

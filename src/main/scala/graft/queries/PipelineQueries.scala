@@ -315,13 +315,19 @@ object PipelineQueries {
 
     // The persisted-index walk: centroids/cells/edges/seeds as kv
     // tables (train once, search many) — answers bit-identically to
-    // the in-memory walk, so it shares q_ann_graph's oracle.
+    // the in-memory walk at the same knobs, so it shares the capped
+    // walk's oracle. The build binds the production edge-candidate cap
+    // (48/cell — binding at every fixture sf), because this gate is a
+    // ScaleTrend family: the uncapped build is |corpus|·|cell| and
+    // bends quadratic between fixture decades; the capped build is
+    // |corpus|·cap — the configuration a 100 TB corpus would run.
     "q_ann_graph_indexed" -> ((s, dir) => {
       val idx = s"/tmp/graft_gridx${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       graft.sources.ParquetIO.deletePath(idx)
       val emb = Tables.load(s, dir, "embeddings")
       SimilaritySearch.buildGraphIndex(emb, "embedding", "vec_id", idx,
-        nCells = 8, degree = 8, seedsPerCell = 4, maxTrainPerCell = 32)
+        nCells = 8, degree = 8, seedsPerCell = 4, maxTrainPerCell = 32,
+        maxEdgeCandidatesPerCell = 48)
       SimilaritySearch.graphKnnIndexed(emb.filter(col("vec_id") < 5),
         "embedding", "vec_id", idx, k = 3, nProbe = 3,
         beamWidth = 16, hops = 3)
@@ -402,6 +408,78 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // Hierarchical entry (HNSW's upper levels, one determinized coarse
+    // layer): a kNN graph over the 32 seed nodes, walked from the fixed
+    // min-nid entry with beam 6 for 2 rounds — the final routed beam
+    // seeds the base walk instead of flat centroid probing. HALF the
+    // entry budget of q_ann_graph_cross (6 routed entries vs 12 quota
+    // seeds), routing cost independent of nCells. Fully oracle-replayed
+    // (top-layer edges, fixed entry, both unrolled walks).
+    "q_ann_graph_hier" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.graphKnnHier(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, nCells = 8,
+        degree = 8, beamWidth = 16, hops = 3, seedsPerCell = 4,
+        maxTrainPerCell = 32, crossCells = 2, degreeCross = 4,
+        entryBeam = 6, hopsTop = 2, degreeTop = 4)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // The persisted-index hierarchical walk: the top layer rebuilds
+    // from the broadcast-sized persisted seeds (no new table, no
+    // corpus pass), so ANY existing graph index routes hierarchically
+    // — answers bit-identically to the in-memory hier walk.
+    "q_ann_graph_hier_indexed" -> ((s, dir) => {
+      val idx = s"/tmp/graft_grhidx${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(idx)
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.buildGraphIndex(emb, "embedding", "vec_id", idx,
+        nCells = 8, degree = 8, seedsPerCell = 4, maxTrainPerCell = 32,
+        crossCells = 2, degreeCross = 4)
+      SimilaritySearch.graphKnnHierIndexed(emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", idx, k = 3,
+        entryBeam = 6, hopsTop = 2, degreeTop = 4,
+        beamWidth = 16, hops = 3)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // The hierarchy's measured value: recall vs brute force at HALF
+    // q_ann_graph_cross's entry budget — the audit must hold the 800‰
+    // cross-edge floor with 6 routed entries where flat probing needed
+    // 12 quota seeds.
+    "q_ann_graph_hier_audit" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.graphHierRecallAudit(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, nCells = 8,
+        degree = 8, beamWidth = 16, hops = 3, seedsPerCell = 4,
+        maxTrainPerCell = 32, crossCells = 2, degreeCross = 4,
+        entryBeam = 6, hopsTop = 2, degreeTop = 4)
+    }),
+
+    // The maintenance cycle on an index built WITH cross-cell links:
+    // the append takes degree AND the cross knobs from the knobs table
+    // (no re-passed parameters — the silent-downgrade trap this gate
+    // pins shut), and the prune folds same-cell and cross-cell edges
+    // to their SEPARATE build budgets so long-range links survive
+    // maintenance. Build, knobs-driven append, split-budget prune and
+    // walk all replay in the oracle.
+    "q_ann_graph_prune_cross" -> ((s, dir) => {
+      val idx = s"/tmp/graft_grprunex${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(idx)
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.buildGraphIndex(emb.filter(col("vec_id") >= 10),
+        "embedding", "vec_id", idx, nCells = 8, degree = 8,
+        seedsPerCell = 4, maxTrainPerCell = 32,
+        crossCells = 2, degreeCross = 4)
+      SimilaritySearch.graphIndexAppend(emb.filter(col("vec_id") < 10),
+        "embedding", "vec_id", idx)
+      SimilaritySearch.graphPruneEdges(s, idx, degree = 8)
+      SimilaritySearch.graphKnnIndexed(emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", idx, k = 3, nProbe = 3,
+        beamWidth = 16, hops = 3)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // The same rotation executed by the codegen'd O(d log d) fast
     // Walsh-Hadamard Expression (VectorExpressions.FwhtRotate) — the
     // butterfly reassociates the sums, so this chain gets its own
@@ -426,6 +504,18 @@ object PipelineQueries {
     "q_tokenizer_unigram" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       graft.operators.TokenizerTraining.trainUnigram(docs, "text")
+        .orderBy(col("cnt").desc, col("tok")).limit(64)
+    }),
+
+    // The multi-round EM variant: two Viterbi-EM rounds with the
+    // geometric interim prune budget (256→192→128) — round 2's
+    // segmentation runs under round 1's re-learned scores, so the
+    // final vocabulary can differ from the single-step trainer's.
+    // Both rounds' DP/backtrack/re-count/prune replay in the oracle.
+    "q_tokenizer_unigram_em2" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.TokenizerTraining.trainUnigram(docs, "text",
+        emIterations = 2)
         .orderBy(col("cnt").desc, col("tok")).limit(64)
     }),
 

@@ -683,12 +683,42 @@ object SketchOracleSql {
        |)""".stripMargin
   }
 
-  /** The training chain CTE body (words → seed → scores → Viterbi →
-    * re-count → pruned vocab2 + tot2) — shared by the trainer and
-    * encode oracles. Literals must match `trainUnigram`'s gate knobs.
+  /** The training chain CTE body (words → seed → per-round: scores →
+    * Viterbi → re-count → prune — the final round's vocabulary lands as
+    * ug_vocab2 + ug_tot2) — shared by the trainer and encode oracles.
+    * Literals must match `trainUnigram`'s gate knobs; the per-round
+    * prune budgets embed `TokenizerTraining.unigramBudgets`' integers.
     */
   private def ugTrainCtes(seedMulti: Int, vocabMulti: Int,
-      maxTok: Int, maxWord: Int): String =
+      maxTok: Int, maxWord: Int, rounds: Int = 1): String = {
+    val budgets = graft.operators.TokenizerTraining
+      .unigramBudgets(seedMulti, vocabMulti, rounds)
+    val roundCtes = (1 to rounds).map { r =>
+      val src = if (r == 1) "ug_seedv"
+        else s"SELECT tok, cnt AS freq FROM ug_vocab_${r - 1}"
+      val srcRef = if (r == 1) src else s"($src)"
+      val vocabName = if (r == rounds) "ug_vocab2" else s"ug_vocab_$r"
+      s"""ug_tot_$r AS (
+         |  SELECT sum(freq)::BIGINT AS t, count(*)::BIGINT AS v FROM $srcRef
+         |), ug_sc_$r AS MATERIALIZED (
+         |  SELECT tok, CAST(floor(1000000.0 * ln((t + v) / (freq + 1.0)) + 0.5) AS BIGINT) AS s
+         |  FROM $srcRef, ug_tot_$r
+         |), ${ugViterbiCtes(s"ug_e${r}_", s"ug_sc_$r", maxTok, maxWord)},
+         |ug_newcnt_$r AS MATERIALIZED (
+         |  SELECT tok, sum(wd.cnt)::BIGINT AS cnt
+         |  FROM ug_e${r}_walk JOIN ug_words wd USING (w),
+         |    LATERAL (SELECT unnest(ug_e${r}_walk.toks) AS tok)
+         |  GROUP BY tok
+         |), $vocabName AS (
+         |  SELECT c.tok, coalesce(n.cnt, 0)::BIGINT AS cnt
+         |  FROM ug_chars c LEFT JOIN ug_newcnt_$r n ON n.tok = c.tok
+         |  UNION ALL
+         |  SELECT tok, cnt FROM (
+         |    SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rn
+         |    FROM ug_newcnt_$r WHERE len(tok) > 1
+         |  ) WHERE rn <= ${budgets(r - 1)}
+         |)""".stripMargin
+    }.mkString(",\n")
     s"""ug_wraw AS (
        |  SELECT unnest(string_split(lower(text), ' ')) AS w0 FROM documents
        |), ug_words AS MATERIALIZED (
@@ -713,35 +743,28 @@ object SketchOracleSql {
        |    SELECT tok, freq, row_number() OVER (ORDER BY freq DESC, tok) AS rn
        |    FROM ug_subs WHERE len(tok) > 1
        |  ) WHERE rn <= $seedMulti
-       |), ug_seedtot AS (
-       |  SELECT sum(freq)::BIGINT AS t, count(*)::BIGINT AS v FROM ug_seedv
-       |), ug_seedsc AS MATERIALIZED (
-       |  SELECT tok, CAST(floor(1000000.0 * ln((t + v) / (freq + 1.0)) + 0.5) AS BIGINT) AS s
-       |  FROM ug_seedv, ug_seedtot
-       |), ${ugViterbiCtes("ug_", "ug_seedsc", maxTok, maxWord)},
-       |ug_newcnt AS MATERIALIZED (
-       |  SELECT tok, sum(wd.cnt)::BIGINT AS cnt
-       |  FROM ug_walk JOIN ug_words wd USING (w),
-       |    LATERAL (SELECT unnest(ug_walk.toks) AS tok)
-       |  GROUP BY tok
-       |), ug_vocab2 AS (
-       |  SELECT c.tok, coalesce(n.cnt, 0)::BIGINT AS cnt
-       |  FROM ug_chars c LEFT JOIN ug_newcnt n ON n.tok = c.tok
-       |  UNION ALL
-       |  SELECT tok, cnt FROM (
-       |    SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rn
-       |    FROM ug_newcnt WHERE len(tok) > 1
-       |  ) WHERE rn <= $vocabMulti
-       |), ug_tot2 AS (
+       |),
+       |$roundCtes, ug_tot2 AS (
        |  SELECT sum(cnt)::BIGINT AS t, count(*)::BIGINT AS v FROM ug_vocab2
        |)""".stripMargin
+  }
 
-  def tokenizerUnigramOracle: String =
-    s"""WITH ${ugTrainCtes(256, 128, 4, 16)}
+  private def tokenizerUnigramSql(rounds: Int): String =
+    s"""WITH ${ugTrainCtes(256, 128, 4, 16, rounds)}
        |SELECT tok, cnt,
        |  CAST(floor(1000000.0 * ln((t + v) / (cnt + 1.0)) + 0.5) AS BIGINT) AS score
        |FROM ug_vocab2, ug_tot2
        |ORDER BY cnt DESC, tok LIMIT 64""".stripMargin
+
+  def tokenizerUnigramOracle: String = tokenizerUnigramSql(1)
+
+  /** q_tokenizer_unigram_em2: the trainer with TWO EM rounds — round 1
+    * prunes to the geometric interim budget (192 of 256 seeds), round 2
+    * re-scores, re-segments under the fresh scores, and prunes to the
+    * final 128 — every round's DP, backtrack, re-count and budget
+    * replayed stage by stage.
+    */
+  def tokenizerUnigramEm2Oracle: String = tokenizerUnigramSql(2)
 
   /** q_doc_unigram_tokens: the encode side — re-derive the trained
     * vocabulary's FINAL scores, run a SECOND Viterbi unroll over the
@@ -1310,7 +1333,8 @@ object SketchOracleSql {
   private def annGraphCtes(nCells: Int = 8, cap: Int = 32, qMax: Int = 5,
       nProbe: Int = 2, degree: Int = 4, beamWidth: Int = 8, hops: Int = 2,
       seedsPerCell: Int = 2, edgeCap: Option[Int] = None,
-      crossCells: Int = 0, degreeCross: Int = 0): String = {
+      crossCells: Int = 0, degreeCross: Int = 0,
+      hier: Option[(Int, Int, Int)] = None): String = {
     def cos(a: String, b: String) =
       s"list_sum(list_transform(generate_series(1, len($a.e)), i -> $a.e[i] * $b.e[i])) / ($a.nrm * $b.nrm)"
     def beam(cand: String): String =
@@ -1401,20 +1425,77 @@ object SketchOracleSql {
        |        ORDER BY ${kmD2("a.e", "c.ce")}, a.id) AS rn
        |    FROM gr_n a JOIN gr_cent2 c ON a.cell = c.cell
        |  ) WHERE rn <= $seedsPerCell
-       |), gr_probes AS (
-       |  SELECT qid, cell FROM (
-       |    SELECT q.id AS qid, c.cell,
-       |      row_number() OVER (PARTITION BY q.id
-       |        ORDER BY ${kmD2("q.e", "c.ce")}, c.cell) AS rn
-       |    FROM (SELECT id, e FROM gr_prep WHERE id < $qMax) q
-       |    CROSS JOIN gr_cent2 c
-       |  ) WHERE rn <= $nProbe
-       |), gr_cand0 AS (
-       |  SELECT DISTINCT p.qid, s.id AS nid
-       |  FROM gr_probes p JOIN gr_seeds s ON s.cell = p.cell
-       |), gr_beam0 AS (${beam("gr_cand0")}
-       |),
+       |), ${annGraphEntryCtes(qMax, nProbe, hier, beam)},
        |$hopCtes""".stripMargin
+  }
+
+  /** gr_cand0 for the walk: flat centroid probing (per query the
+    * nProbe nearest cells' seeds), or — when `hier` is set — the
+    * hierarchical top-layer route: a kNN graph over the seed nodes,
+    * walked from the fixed min-id entry seed with beam `entryBeam` for
+    * `hopsTop` rounds; the final routed beam seeds the base walk.
+    */
+  private def annGraphEntryCtes(qMax: Int, nProbe: Int,
+      hier: Option[(Int, Int, Int)],
+      beam: String => String): String = hier match {
+    case None =>
+      s"""gr_probes AS (
+         |  SELECT qid, cell FROM (
+         |    SELECT q.id AS qid, c.cell,
+         |      row_number() OVER (PARTITION BY q.id
+         |        ORDER BY ${kmD2("q.e", "c.ce")}, c.cell) AS rn
+         |    FROM (SELECT id, e FROM gr_prep WHERE id < $qMax) q
+         |    CROSS JOIN gr_cent2 c
+         |  ) WHERE rn <= $nProbe
+         |), gr_cand0 AS (
+         |  SELECT DISTINCT p.qid, s.id AS nid
+         |  FROM gr_probes p JOIN gr_seeds s ON s.cell = p.cell
+         |), gr_beam0 AS (${beam("gr_cand0")}
+         |)""".stripMargin
+    case Some((entryBeam, hopsTop, degreeTop)) =>
+      def cos(a: String, b: String) =
+        s"list_sum(list_transform(generate_series(1, len($a.e)), i -> $a.e[i] * $b.e[i])) / ($a.nrm * $b.nrm)"
+      def beamT(cand: String): String =
+        s"""SELECT qid, nid, sim FROM (
+           |  SELECT qid, nid, sim,
+           |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+           |  FROM (
+           |    SELECT c.qid, c.nid, ${cos("q", "n")} AS sim
+           |    FROM $cand c JOIN gr_n n ON n.id = c.nid
+           |    JOIN gr_prep q ON q.id = c.qid
+           |  )
+           |) WHERE rn <= $entryBeam""".stripMargin
+      val topHops = (1 to hopsTop).map { h =>
+        s"""gt_cand$h AS (
+           |  SELECT DISTINCT qid, nid FROM (
+           |    SELECT qid, nid FROM gt_beam${h - 1}
+           |    UNION ALL
+           |    SELECT b.qid, e.dst AS nid
+           |    FROM gt_beam${h - 1} b JOIN gr_tedges e ON e.src = b.nid
+           |  )
+           |), gt_beam$h AS (${beamT(s"gt_cand$h")}
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""gr_seedn AS MATERIALIZED (
+         |  SELECT n.id, n.e, n.nrm FROM gr_n n
+         |  JOIN (SELECT DISTINCT id FROM gr_seeds) s ON s.id = n.id
+         |), gr_tedges AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT a.id AS src, b.id AS dst,
+         |      row_number() OVER (PARTITION BY a.id
+         |        ORDER BY ${cos("a", "b")} DESC, b.id) AS rn
+         |    FROM gr_seedn a JOIN gr_seedn b ON a.id <> b.id
+         |  ) WHERE rn <= $degreeTop
+         |), gt_cand0 AS (
+         |  SELECT q.id AS qid, e.nid
+         |  FROM (SELECT id FROM gr_prep WHERE id < $qMax) q
+         |  CROSS JOIN (SELECT min(id) AS nid FROM gr_seedn) e
+         |), gt_beam0 AS (${beamT("gt_cand0")}
+         |),
+         |$topHops, gr_cand0 AS (
+         |  SELECT DISTINCT qid, nid FROM gt_beam$hopsTop
+         |), gr_beam0 AS (${beam("gr_cand0")}
+         |)""".stripMargin
   }
 
   // gate parameters (PipelineQueries q_ann_graph/_audit must match)
@@ -1461,11 +1542,20 @@ object SketchOracleSql {
        |  CAST(hits.h * 1000 // (3 * nq.n) AS BIGINT) AS recall_milli
        |FROM hits, nq""".stripMargin
 
+  // q_ann_graph_hier/_audit/_indexed: the cross-edge fixture walked
+  // from the HIERARCHICAL entry at HALF the flat entry budget
+  // (entryBeam=6 routed entries vs nProbe·seedsPerCell=12 quota seeds)
+  private def grhCtes = annGraphCtes(nProbe = 3, degree = 8, beamWidth = 16,
+    hops = grHops, seedsPerCell = 4, crossCells = 2, degreeCross = 4,
+    hier = Some((6, 2, 4)))
+
   def annGraphOracle: String = graphTopKSelect(grCtes)
   def annGraphAuditOracle: String = graphAuditSelect(grCtes)
   def annGraphCrossOracle: String = graphTopKSelect(grxCtes)
   def annGraphCrossAuditOracle: String = graphAuditSelect(grxCtes)
   def annGraphCappedOracle: String = graphTopKSelect(grcapCtes)
+  def annGraphHierOracle: String = graphTopKSelect(grhCtes)
+  def annGraphHierAuditOracle: String = graphAuditSelect(grhCtes)
 
   /** q_ann_graph_prune: the maintenance cycle — build on the base slice
     * (vec_id >= 10), append vec_id < 10 (forward top-degree edges over
@@ -1473,7 +1563,94 @@ object SketchOracleSql {
     * + top-degree re-fold over recomputed similarities (the prune),
     * then the standard walk with BUILD-time (base-only) seeds.
     */
-  def annGraphPruneOracle: String = {
+  def annGraphPruneOracle: String = annGraphPruneSql(0, 0)
+
+  /** q_ann_graph_prune_cross: the same maintenance cycle on an index
+    * built WITH cross-cell long-range links — build adds per-node
+    * top-`degreeCross` edges into its `crossCells` nearest other cells,
+    * the append gives the batch the same links (knobs-table contract),
+    * and the prune folds same-cell and cross-cell edges to their
+    * SEPARATE budgets (degree / degreeCross), mirroring the build.
+    */
+  def annGraphPruneCrossOracle: String = annGraphPruneSql(2, 4)
+
+  /** gp_edges (build ∪ append ∪ reverse, cross legs when enabled) +
+    * gp_pruned (single-budget fold, or the split same-cell/cross-cell
+    * budgets when the index carries long-range links).
+    */
+  private def annGraphPruneEdgeCtes(crossCells: Int, degreeCross: Int,
+      degree: Int, cos: (String, String) => String): String =
+    if (degreeCross == 0)
+      s"""gp_edges AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM gp_baseedges
+         |    UNION ALL SELECT src, dst FROM gp_fwd
+         |    UNION ALL SELECT dst AS src, src AS dst FROM gp_fwd
+         |  )
+         |), gp_pruned AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT e.src, e.dst,
+         |      row_number() OVER (PARTITION BY e.src
+         |        ORDER BY ${cos("a", "b")} DESC, e.dst) AS rn
+         |    FROM gp_edges e
+         |    JOIN gp_alln a ON a.id = e.src
+         |    JOIN gp_alln b ON b.id = e.dst
+         |  ) WHERE rn <= $degree
+         |)""".stripMargin
+    else
+      s"""gp_bxsel AS (
+         |  SELECT id, xcell FROM (
+         |    SELECT a.id, c.cell AS xcell,
+         |      row_number() OVER (PARTITION BY a.id
+         |        ORDER BY ${kmD2("a.e", "c.ce")}, c.cell) AS rn
+         |    FROM gp_basen a JOIN gp_cent2 c ON c.cell <> a.cell
+         |  ) WHERE rn <= $crossCells
+         |), gp_bxedges AS (
+         |  SELECT src, dst FROM (
+         |    SELECT a.id AS src, b.id AS dst,
+         |      row_number() OVER (PARTITION BY a.id
+         |        ORDER BY ${cos("a", "b")} DESC, b.id) AS rn
+         |    FROM gp_basen a JOIN gp_bxsel x ON x.id = a.id
+         |    JOIN gp_basen b ON b.cell = x.xcell
+         |  ) WHERE rn <= $degreeCross
+         |), gp_nxsel AS (
+         |  SELECT id, xcell FROM (
+         |    SELECT a.id, c.cell AS xcell,
+         |      row_number() OVER (PARTITION BY a.id
+         |        ORDER BY ${kmD2("a.e", "c.ce")}, c.cell) AS rn
+         |    FROM gp_newn a JOIN gp_cent2 c ON c.cell <> a.cell
+         |  ) WHERE rn <= $crossCells
+         |), gp_nxedges AS (
+         |  SELECT src, dst FROM (
+         |    SELECT a.id AS src, b.id AS dst,
+         |      row_number() OVER (PARTITION BY a.id
+         |        ORDER BY ${cos("a", "b")} DESC, b.id) AS rn
+         |    FROM gp_newn a JOIN gp_nxsel x ON x.id = a.id
+         |    JOIN gp_alln b ON b.cell = x.xcell
+         |  ) WHERE rn <= $degreeCross
+         |), gp_out AS (
+         |  SELECT src, dst FROM gp_fwd
+         |  UNION ALL SELECT src, dst FROM gp_nxedges
+         |), gp_edges AS (
+         |  SELECT DISTINCT src, dst FROM (
+         |    SELECT src, dst FROM gp_baseedges
+         |    UNION ALL SELECT src, dst FROM gp_bxedges
+         |    UNION ALL SELECT src, dst FROM gp_out
+         |    UNION ALL SELECT dst AS src, src AS dst FROM gp_out
+         |  )
+         |), gp_pruned AS MATERIALIZED (
+         |  SELECT src, dst FROM (
+         |    SELECT e.src, e.dst, (a.cell = b.cell) AS same_cell,
+         |      row_number() OVER (PARTITION BY e.src, (a.cell = b.cell)
+         |        ORDER BY ${cos("a", "b")} DESC, e.dst) AS rn
+         |    FROM gp_edges e
+         |    JOIN gp_alln a ON a.id = e.src
+         |    JOIN gp_alln b ON b.id = e.dst
+         |  ) WHERE (same_cell AND rn <= $degree)
+         |     OR ((NOT same_cell) AND rn <= $degreeCross)
+         |)""".stripMargin
+
+  private def annGraphPruneSql(crossCells: Int, degreeCross: Int): String = {
     val (nCells, cap, degree, seedsPerCell) = (8, 32, 8, 4)
     val (nProbe, beamWidth, hops, qMax) = (3, 16, 3, 5)
     def cos(a: String, b: String) =
@@ -1529,22 +1706,7 @@ object SketchOracleSql {
        |        ORDER BY ${cos("a", "b")} DESC, b.id) AS rn
        |    FROM gp_newn a JOIN gp_alln b ON a.cell = b.cell AND a.id <> b.id
        |  ) WHERE rn <= $degree
-       |), gp_edges AS (
-       |  SELECT DISTINCT src, dst FROM (
-       |    SELECT src, dst FROM gp_baseedges
-       |    UNION ALL SELECT src, dst FROM gp_fwd
-       |    UNION ALL SELECT dst AS src, src AS dst FROM gp_fwd
-       |  )
-       |), gp_pruned AS MATERIALIZED (
-       |  SELECT src, dst FROM (
-       |    SELECT e.src, e.dst,
-       |      row_number() OVER (PARTITION BY e.src
-       |        ORDER BY ${cos("a", "b")} DESC, e.dst) AS rn
-       |    FROM gp_edges e
-       |    JOIN gp_alln a ON a.id = e.src
-       |    JOIN gp_alln b ON b.id = e.dst
-       |  ) WHERE rn <= $degree
-       |), gp_seeds AS (
+       |), ${annGraphPruneEdgeCtes(crossCells, degreeCross, degree, cos)}, gp_seeds AS (
        |  SELECT cell, id FROM (
        |    SELECT a.cell, a.id,
        |      row_number() OVER (PARTITION BY a.cell
@@ -1613,14 +1775,21 @@ object SketchOracleSql {
     "q_ann_opq_fwht" -> annOpqFwhtOracle,
     "q_ann_opq_audit" -> annOpqAuditOracle,
     "q_ann_graph" -> annGraphOracle,
-    // the persisted-index walk must answer identically to the in-memory
-    // walk — same unrolled-hops oracle
-    "q_ann_graph_indexed" -> annGraphOracle,
+    // the persisted-index walk builds with the BINDING production cap
+    // (it is a ScaleTrend family — see the gate comment), so it answers
+    // identically to the capped in-memory walk
+    "q_ann_graph_indexed" -> annGraphCappedOracle,
     "q_ann_graph_audit" -> annGraphAuditOracle,
     "q_ann_graph_cross" -> annGraphCrossOracle,
     "q_ann_graph_cross_audit" -> annGraphCrossAuditOracle,
     "q_ann_graph_capped" -> annGraphCappedOracle,
+    "q_ann_graph_hier" -> annGraphHierOracle,
+    // the persisted-index hierarchical walk rebuilds the top layer from
+    // the broadcast-sized seeds — identical route, same oracle
+    "q_ann_graph_hier_indexed" -> annGraphHierOracle,
+    "q_ann_graph_hier_audit" -> annGraphHierAuditOracle,
     "q_ann_graph_prune" -> annGraphPruneOracle,
+    "q_ann_graph_prune_cross" -> annGraphPruneCrossOracle,
     "q_ann_varperm" -> annVarPermOracle,
     // the persisted learned index applies the STORED permutation — same
     // basis, same chain, same oracle
@@ -1628,6 +1797,7 @@ object SketchOracleSql {
     "q_ann_varperm_audit" -> annVarPermAuditOracle,
     "q_ann_stream_index" -> annStreamIndexOracle,
     "q_tokenizer_unigram" -> tokenizerUnigramOracle,
+    "q_tokenizer_unigram_em2" -> tokenizerUnigramEm2Oracle,
     "q_doc_unigram_tokens" -> docUnigramTokensOracle,
     // the persisted-index search must answer identically to the
     // in-memory IVF path — same replayed-k-means oracle

@@ -791,6 +791,134 @@ class SimilaritySearchSpec extends SparkSpec {
     }
   }
 
+  test("hierarchical entry: indexed parity, planted neighbor, determinism") {
+    val q = corpus16.filter(col("vec_id") < 3L)
+    val mem = SimilaritySearch.graphKnnHier(corpus16, q, "embedding", "vec_id",
+      k = 3, nCells = 2, degree = 4, beamWidth = 8, hops = 3,
+      seedsPerCell = 3, maxTrainPerCell = 64, crossCells = 1, degreeCross = 2,
+      entryBeam = 3, hopsTop = 2, degreeTop = 3)
+      .orderBy("qid", "rnk").collect().toSeq
+    // the planted twin (99 = vec16(0)) is query 0's top hit through the
+    // routed entries — the hierarchy reaches outside the entry's cell
+    assert(mem.head.getAs[Long]("nid") == 99L &&
+      mem.head.getAs[Double]("sim") > 0.999, mem.take(3).mkString(","))
+    // persisted-index hier walk answers bit-identically (top layer
+    // rebuilt from the persisted seeds — no new table)
+    val idx = java.nio.file.Files.createTempDirectory("gridxhier").toString + "/i"
+    SimilaritySearch.buildGraphIndex(corpus16, "embedding", "vec_id", idx,
+      nCells = 2, degree = 4, seedsPerCell = 3, maxTrainPerCell = 64,
+      crossCells = 1, degreeCross = 2)
+    val indexed = SimilaritySearch.graphKnnHierIndexed(q, "embedding",
+      "vec_id", idx, k = 3, entryBeam = 3, hopsTop = 2, degreeTop = 3,
+      beamWidth = 8, hops = 3).orderBy("qid", "rnk").collect().toSeq
+    assert(indexed == mem)
+    // deterministic on re-run
+    val again = SimilaritySearch.graphKnnHier(corpus16, q, "embedding", "vec_id",
+      k = 3, nCells = 2, degree = 4, beamWidth = 8, hops = 3,
+      seedsPerCell = 3, maxTrainPerCell = 64, crossCells = 1, degreeCross = 2,
+      entryBeam = 3, hopsTop = 2, degreeTop = 3)
+      .orderBy("qid", "rnk").collect().toSeq
+    assert(again == mem)
+    // knob guards
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.graphKnnHier(corpus16, q, "embedding", "vec_id",
+        k = 3, entryBeam = 0)
+    }
+  }
+
+  test("graphIndexAppend's dst pool input is bounded by touched-cell membership") {
+    // 16 well-separated cells (one-hot axes), 20 members each; an append
+    // that lands in ONE cell must feed the pool aggregation only that
+    // cell's members — never the 320-row table (the O(batch) contract)
+    val dim = 16
+    def oneHot(cell: Int, jitter: Int): Seq[Float] =
+      Seq.tabulate(dim)(i => if (i == cell) 10f else jitter * 0.001f * (i + 1))
+    val cellsDf = (for (c <- 0 until 16; j <- 0 until 20)
+      yield ((c * 100 + j).toLong, c.toLong, oneHot(c, j)))
+      .toDF("nid", "cell", "v")
+      .select(col("cell"), col("nid"),
+        transform(col("v"), x => x.cast("double")).as("ne"),
+        sqrt(aggregate(transform(col("v"), x => x.cast("double")),
+          lit(0.0), (a, x) => a + x * x)).as("nn"))
+    val newNodes = Seq((9999L, 3L, oneHot(3, 5)))
+      .toDF("nid", "cell", "v")
+      .select(col("cell"), col("nid"),
+        transform(col("v"), x => x.cast("double")).as("ne"),
+        sqrt(aggregate(transform(col("v"), x => x.cast("double")),
+          lit(0.0), (a, x) => a + x * x)).as("nn"))
+    val touched = newNodes.select(col("cell")).distinct()
+    val members = SimilaritySearch.appendCandidateMembers(
+      cellsDf, newNodes, touched)
+    // membership of cell 3 (20) + the appended node, not 321
+    assert(members.count() == 21, s"pool input not batch-bounded")
+    assert(members.select("cell").distinct().collect()
+      .map(_.getAs[Long]("cell")).toSeq == Seq(3L))
+    // crash-retried duplicates dedup before the pool: union the new node
+    // twice — still 21 (one row per nid), so a duplicate can neither
+    // eat cap budget nor double-seat a (sim, dst) heap slot
+    val dup = SimilaritySearch.appendCandidateMembers(
+      cellsDf.unionByName(newNodes), newNodes, touched)
+    assert(dup.count() == 21, "retried rows must dedup by nid")
+  }
+
+  test("graphIndexAppend defaults degree and cap from the knobs table") {
+    val idx = java.nio.file.Files.createTempDirectory("gridxknob").toString + "/i"
+    val base = corpus16.filter(col("vec_id") =!= 99L)
+    // build with degree=6 — an append with NO re-passed knob must give
+    // the new node 6 within-cell edges, not the literal fallback 4
+    SimilaritySearch.buildGraphIndex(base, "embedding", "vec_id", idx,
+      nCells = 1, degree = 6, seedsPerCell = 40, maxTrainPerCell = 64)
+    SimilaritySearch.graphIndexAppend(corpus16.filter(col("vec_id") === 99L),
+      "embedding", "vec_id", idx)
+    def outDeg(nid: Long): Long = spark.read.format("kv")
+      .option("path", s"$idx/edges").load()
+      .filter(col("src") === nid).count()
+    assert(outDeg(99L) == 6, s"knobs degree ignored: got ${outDeg(99L)}")
+    // pre-meta index (no knobs table): literal fallback degree 4
+    graft.sources.ParquetIO.deletePath(s"$idx/knobs")
+    SimilaritySearch.graphIndexAppend(
+      corpus16.filter(col("vec_id") === 0L).withColumn("vec_id", lit(98L)),
+      "embedding", "vec_id", idx)
+    assert(outDeg(98L) == 4, s"pre-meta fallback broken: got ${outDeg(98L)}")
+    // an explicit parameter still overrides (sentinel is 0, not 4)
+    SimilaritySearch.graphIndexAppend(
+      corpus16.filter(col("vec_id") === 1L).withColumn("vec_id", lit(97L)),
+      "embedding", "vec_id", idx, degree = 2)
+    assert(outDeg(97L) == 2, s"explicit degree lost: got ${outDeg(97L)}")
+  }
+
+  test("graphPruneEdges keeps cross-cell links under their own budget") {
+    val idx = java.nio.file.Files.createTempDirectory("gridxprunex").toString + "/i"
+    val base = corpus16.filter(col("vec_id") < 30L)
+    SimilaritySearch.buildGraphIndex(base, "embedding", "vec_id", idx,
+      nCells = 2, degree = 3, seedsPerCell = 20, maxTrainPerCell = 64,
+      crossCells = 1, degreeCross = 2)
+    SimilaritySearch.graphIndexAppend(
+      corpus16.filter(col("vec_id") >= 30L), "embedding", "vec_id", idx)
+    SimilaritySearch.graphPruneEdges(spark, idx, degree = 3)
+    def t(n: String) = spark.read.format("kv")
+      .option("path", s"$idx/$n").load()
+    val cellOf = t("cells").select("nid", "cell").collect()
+      .map(r => r.getAs[Long]("nid") -> r.getAs[Long]("cell")).toMap
+    val edges = t("edges").select("src", "dst").collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst")))
+    val (same, cross) = edges.partition { case (s, d) => cellOf(s) == cellOf(d) }
+    // long-range links SURVIVE maintenance (the single-rank fold evicted
+    // them: within-cell sims always beat cross-cell sims)
+    assert(cross.nonEmpty, "prune evicted every cross-cell edge")
+    // and each class respects its own build budget
+    same.groupBy(_._1).foreach { case (s, es) =>
+      assert(es.length <= 3, s"src $s same-cell degree ${es.length} > 3") }
+    cross.groupBy(_._1).foreach { case (s, es) =>
+      assert(es.length <= 2, s"src $s cross-cell degree ${es.length} > 2") }
+    // idempotent under the split budgets
+    val before = edges.toSet
+    SimilaritySearch.graphPruneEdges(spark, idx, degree = 3)
+    val after = t("edges").select("src", "dst").collect()
+      .map(r => (r.getAs[Long]("src"), r.getAs[Long]("dst"))).toSet
+    assert(after == before, "second prune changed an already-pruned graph")
+  }
+
   test("graphPruneEdges folds append-inflated degree back to the bound") {
     val idx = java.nio.file.Files.createTempDirectory("gridxprune").toString + "/i"
     val base = corpus16.filter(col("vec_id") < 20L)

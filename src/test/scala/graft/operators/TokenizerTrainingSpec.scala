@@ -136,6 +136,119 @@ class TokenizerTrainingSpec extends SparkSpec {
     }
   }
 
+  /** Plain-Scala multi-round Viterbi-EM replay (the single-round replay
+    * above, looped with the shared geometric prune budgets).
+    */
+  private def referenceUnigram(docs: Seq[String], seedMulti: Int,
+      vocabMulti: Int, maxTok: Int, maxWord: Int,
+      rounds: Int): Seq[(String, Long, Long)] = {
+    val wcnt = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach(_.toLowerCase.split(' ').filter(_.nonEmpty).foreach { w =>
+      w.grouped(maxWord).foreach(c => wcnt(c) = wcnt.getOrElse(c, 0L) + 1L)
+    })
+    val sub = scala.collection.mutable.Map.empty[String, Long]
+    wcnt.foreach { case (w, c) =>
+      for (i <- 0 until w.length; k <- 1 to math.min(maxTok, w.length - i))
+        sub(w.substring(i, i + k)) = sub.getOrElse(w.substring(i, i + k), 0L) + c
+    }
+    val chars = sub.keys.filter(_.length == 1).toSet
+    def scoresOf(freq: Map[String, Long], vocab: Seq[String]): Map[String, Long] = {
+      val t = vocab.map(freq.getOrElse(_, 0L)).sum
+      val v = vocab.length
+      vocab.map(tok => tok -> math.floor(1e6 *
+        math.log((t + v).toDouble / (freq.getOrElse(tok, 0L) + 1L)) + 0.5).toLong).toMap
+    }
+    def viterbi(w: String, s: Map[String, Long]): Seq[String] = {
+      val inf = Long.MaxValue / 4
+      val dp = Array.fill(w.length + 1)(inf); dp(0) = 0L
+      val bk = Array.fill(w.length + 1)(0)
+      for (i <- 1 to w.length) {
+        var best = inf; var bestk = 0
+        for (k <- 1 to math.min(maxTok, i))
+          s.get(w.substring(i - k, i)).foreach { c =>
+            val t = dp(i - k) + c
+            if (t < best || (t == best && k > bestk)) { best = t; bestk = k }
+          }
+        dp(i) = best; bk(i) = bestk
+      }
+      var pos = w.length
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (pos > 0) { val k = bk(pos); out.prepend(w.substring(pos - k, pos)); pos -= k }
+      out.toSeq
+    }
+    val budgets = TokenizerTraining.unigramBudgets(seedMulti, vocabMulti, rounds)
+    var freq: Map[String, Long] = sub.toMap
+    var vocab: Seq[String] = (chars ++ sub.keys.filter(_.length > 1).toSeq
+      .sortBy(t => (-sub(t), t)).take(seedMulti)).toSeq.sorted
+    for (r <- 1 to rounds) {
+      val s = scoresOf(freq, vocab)
+      val newcnt = scala.collection.mutable.Map.empty[String, Long]
+      wcnt.foreach { case (w, c) =>
+        viterbi(w, s).foreach(t => newcnt(t) = newcnt.getOrElse(t, 0L) + c)
+      }
+      val kept = newcnt.keys.filter(_.length > 1).toSeq
+        .sortBy(t => (-newcnt(t), t)).take(budgets(r - 1))
+      vocab = (chars ++ kept).toSeq.sorted
+      freq = vocab.map(t => t -> newcnt.getOrElse(t, 0L)).toMap
+    }
+    val sf = scoresOf(freq, vocab)
+    vocab.map(t => (t, freq(t), sf(t))).sortBy { case (t, c, _) => (-c, t) }
+  }
+
+  test("multi-round EM matches the scalar replay at every round count") {
+    val docs = Seq(
+      "the cat sat on the mat with the other cat",
+      "the cats sit on mats and the dog sits too",
+      "internationalization is a very long word indeed",
+      "the the the cat cat dog")
+    for (rounds <- 1 to 3) {
+      val got = TokenizerTraining.trainUnigram(docs.toDF("text"), "text",
+        seedMulti = 32, vocabMulti = 16, maxTokenLen = 4, maxWordLen = 16,
+        emIterations = rounds)
+        .orderBy(col("cnt").desc, col("tok"))
+        .as[(String, Long, Long)].collect().toSeq
+      val want = referenceUnigram(docs, 32, 16, 4, 16, rounds)
+      assert(got == want, s"rounds=$rounds: got=${got.take(6)} want=${want.take(6)}")
+    }
+    // randomized corpora: the property must hold per round, not just on
+    // the curated fixture
+    val rnd = new scala.util.Random(7)
+    def randDoc() = Seq.fill(6 + rnd.nextInt(10))(
+      Seq.fill(1 + rnd.nextInt(8))("abcd"(rnd.nextInt(4))).mkString).mkString(" ")
+    for (trial <- 0 until 3) {
+      val rdocs = Seq.fill(8)(randDoc())
+      val got = TokenizerTraining.trainUnigram(rdocs.toDF("text"), "text",
+        seedMulti = 24, vocabMulti = 12, maxTokenLen = 3, maxWordLen = 12,
+        emIterations = 2)
+        .orderBy(col("cnt").desc, col("tok"))
+        .as[(String, Long, Long)].collect().toSeq
+      val want = referenceUnigram(rdocs, 24, 12, 3, 12, 2)
+      assert(got == want, s"trial $trial: got=${got.take(6)} want=${want.take(6)}")
+    }
+    intercept[IllegalArgumentException] {
+      TokenizerTraining.trainUnigram(docs.toDF("text"), "text", emIterations = 0)
+    }
+  }
+
+  test("unigramBudgets shrinks geometrically and pins the last round") {
+    assert(TokenizerTraining.unigramBudgets(256, 128, 1) == Seq(128))
+    assert(TokenizerTraining.unigramBudgets(256, 128, 2) == Seq(192, 128))
+    assert(TokenizerTraining.unigramBudgets(256, 128, 3) == Seq(192, 144, 128))
+    // never below the target, even when the shrink would pass it
+    assert(TokenizerTraining.unigramBudgets(256, 200, 4) == Seq(200, 200, 200, 200))
+  }
+
+  test("trainUnigram releases its interim caches before returning") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = TokenizerTraining.trainUnigram(
+      Seq("the cat sat", "a cat sat on a mat").toDF("text"), "text",
+      seedMulti = 16, vocabMulti = 8, emIterations = 2)
+    assert(out.count() > 0)
+    val leaked = sc.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"trainUnigram leaked cached RDDs: $leaked")
+  }
+
   test("viterbiSegment concatenates back to the word and prefers cheap long tokens") {
     // vocabulary: chars cost 10, the bigram 'ab' costs 1 — 'ababa' must
     // segment as [ab, ab, a], never five chars
