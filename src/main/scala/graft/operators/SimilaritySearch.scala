@@ -1118,6 +1118,132 @@ object SimilaritySearch {
     } finally { exact.unpersist(); () }
   }
 
+  /** Integer-determinized power iteration: the corpus's dominant
+    * principal direction (of the uncentered second-moment matrix), as a
+    * micro-unit integer vector the oracle re-derives exactly. Each
+    * iteration is ONE distributed pass — per row the double fold
+    * x·v (v a plan-time literal), then per dimension an exact integer
+    * sum of floor(x_d·(x·v) + 0.5) (order-free), then a driver-side
+    * integer renormalization v'_d = sign(s_d)·(|s_d| ÷ max(1,
+    * s_max ÷ 10⁶)) (truncating division, identical in Scala and SQL).
+    * The driver holds `dim` longs per iteration, never a row. Start
+    * vector is all-ones (the canonical knob-free choice); `iters` is
+    * fixed, so the derivation is a closed formula over the data.
+    */
+  def powerDirection(corpus: DataFrame, vecCol: String, dim: Int,
+      iters: Int = 4): Seq[Long] = {
+    require(dim >= 1 && dim <= 4096, s"dim $dim out of range (1..4096)")
+    require(iters >= 1 && iters <= 16, s"iters must be in [1, 16], got $iters")
+    val rows = corpus.select(
+      transform(col(vecCol), x => x.cast("double")).as("e"))
+    var v: Seq[Long] = Seq.fill(dim)(1000000L)
+    for (_ <- 1 to iters) {
+      val s = rows
+        .withColumn("dt", arrayDot(col("e"), typedLit(v.map(_.toDouble))))
+        .select(col("dt"), posexplode(col("e")).as(Seq("pos", "x")))
+        .groupBy(col("pos"))
+        .agg(sum(floor(col("x") * col("dt") + lit(0.5)).cast("long")).as("s"))
+        .collect()
+        .map(r => r.getAs[Int]("pos") -> r.getAs[Long]("s")).toMap
+      val sv = (0 until dim).map(d => s.getOrElse(d, 0L))
+      val sMax = sv.map(math.abs).max
+      require(sMax > 0, "power iteration collapsed: all-zero moment sums")
+      val g = math.max(1L, sMax / 1000000L)
+      v = sv.map(x => if (x >= 0) x / g else -((-x) / g))
+    }
+    v
+  }
+
+  /** The Householder vector u mapping [[powerDirection]]'s integer v
+    * (approximately) onto ±e₁: u = v + sign(v₁)·⌊√(Σv²)⌋·e₁ — the
+    * cancellation-safe sign choice. All integer arithmetic (Σv² <
+    * 2⁵³, so the double sqrt is exact-input and IEEE on both engines).
+    */
+  def householderU(v: Seq[Long]): Seq[Long] = {
+    val sumSq = v.map(x => x * x).sum
+    require(sumSq > 0, "zero direction has no Householder reflection")
+    val l = math.floor(math.sqrt(sumSq.toDouble)).toLong
+    v.zipWithIndex.map { case (x, i) =>
+      if (i == 0) x + (if (x >= 0) l else -l) else x
+    }
+  }
+
+  /** Apply the exact orthogonal reflection H = I − 2uuᵀ/(uᵀu) row-
+    * locally: x − (2(u·x)/(uᵀu))·u with u a plan-time integer literal —
+    * H is EXACTLY orthogonal for any u (distances preserved to float
+    * rounding), regardless of v's quantization. Zero shuffles.
+    */
+  def householderReflect(vec: Column, u: Seq[Long]): Column = {
+    val uu = u.map(x => x * x).sum.toDouble // < 2^53: exact
+    val ul = typedLit(u.map(_.toDouble))
+    val ux = arrayDot(transform(vec, x => x.cast("double")), ul)
+    zip_with(transform(vec, x => x.cast("double")), ul,
+      (x, uj) => x - (lit(2.0) * ux / lit(uu)) * uj)
+  }
+
+  /** IVF-PQ over the PCA-rotated basis: power-iterate the dominant
+    * principal direction, reflect it onto e₁ (Householder), run the
+    * standard chain. A permutation can only reallocate AXIS variances;
+    * when the dominant variance direction is oblique (correlated dims —
+    * every axis variance equal) it is blind, and only a genuine
+    * rotation concentrates the shared component into ONE dimension
+    * that a single product quantizer then codes with its whole
+    * codebook. (Measured: re-permuting AFTER the reflection re-mixes
+    * that isolated dimension back across both subspaces and recall
+    * falls — 50 → 16‰ on the sheared fixture — so the rotation is
+    * deliberately NOT composed with the allocation step here.)
+    */
+  def ivfPqPcaKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, dim: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384, powerIters: Int = 4): DataFrame = {
+    val u = householderU(powerDirection(corpus, vecCol, dim, powerIters))
+    def rot(df: DataFrame): DataFrame =
+      df.select(col(idCol), householderReflect(col(vecCol), u).as(vecCol))
+    rankAdc(ivfPqAdcScores(rot(corpus), rot(queries), vecCol, idCol,
+      nCells, nProbe, m, pqCells, iterations, maxTrainPerCell), k)
+  }
+
+  /** Measured value of the PCA rotation vs the variance permutation at
+    * EQUAL probe budget, both vs exact brute force — one row. On an
+    * oblique-anisotropy corpus (a dominant direction shared across
+    * dims) the permutation is blind — every axis variance is equal —
+    * and recall_pca > recall_perm; on axis-aligned anisotropy both
+    * fix it. Measured per corpus, never assumed.
+    */
+  def pcaRecallAudit(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, dim: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384, powerIters: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val exact = bruteForceKnn(corpus, queries, vecCol, idCol, k)
+      .select(col("qid"), col("nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nQueries = exact.select(col("qid")).distinct().count()
+      def hits(ann: DataFrame): Long =
+        ann.select(col("qid"), col("nid"))
+          .join(exact, Seq("qid", "nid"), "left_semi").count()
+      val hitsPerm = hits(ivfPqVarPermKnn(corpus, queries, vecCol, idCol,
+        dim, k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell))
+      val hitsPca = hits(ivfPqPcaKnn(corpus, queries, vecCol, idCol,
+        dim, k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell,
+        powerIters))
+      def milli(h: Long): Long =
+        if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
+      spark.range(1).select(
+        lit(nQueries).as("n_queries"), lit(k).as("k"),
+        lit(hitsPerm).as("hits_perm"),
+        lit(milli(hitsPerm)).as("recall_perm_milli"),
+        lit(hitsPca).as("hits_pca"),
+        lit(milli(hitsPca)).as("recall_pca_milli"))
+    } finally { exact.unpersist(); () }
+  }
+
   /** Measured-recall comparison of the OPQ-rotated IVF-PQ tier against
     * the plain one at EQUAL probe budget, both vs exact brute force —
     * one row. The rotation's value is a property of the corpus's

@@ -626,6 +626,45 @@ object PipelineQueries {
         maxTrainPerCell = 64)
     }),
 
+    // LEARNED PCA rotation (integer power iteration + exact Householder
+    // reflection) on an OBLIQUE-anisotropy fixture: every dim sheared
+    // by +4·dim1, so the dominant variance direction is the all-ones
+    // diagonal and every AXIS variance is equal — the variance
+    // permutation is blind here, only a genuine rotation concentrates
+    // the shared component where one product quantizer can code it.
+    // Power rounds, Householder u, reflection and the full IVF-PQ
+    // chain all replay in the oracle.
+    "q_ann_pca" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val sheared = emb.select(col("vec_id"),
+        transform(col("embedding"), x =>
+          x.cast("double") +
+            lit(4.0) * element_at(col("embedding"), 1).cast("double"))
+          .as("embedding"))
+      SimilaritySearch.ivfPqPcaKnn(sheared,
+        sheared.filter(col("vec_id") < 20), "embedding", "vec_id",
+        dim = 64, k = 3, nCells = 4, nProbe = 4, m = 2, pqCells = 16,
+        maxTrainPerCell = 64)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // The rotation's measured value vs the PERMUTATION at equal probe
+    // budget on the oblique fixture — recall_pca must exceed
+    // recall_perm (the permutation reads equal axis variances and
+    // reduces to a no-op reallocation), both vs exact brute force.
+    "q_ann_pca_audit" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val sheared = emb.select(col("vec_id"),
+        transform(col("embedding"), x =>
+          x.cast("double") +
+            lit(4.0) * element_at(col("embedding"), 1).cast("double"))
+          .as("embedding"))
+      SimilaritySearch.pcaRecallAudit(sheared,
+        sheared.filter(col("vec_id") < 20), "embedding", "vec_id",
+        dim = 64, k = 3, nCells = 4, nProbe = 4, m = 2, pqCells = 16,
+        maxTrainPerCell = 64)
+    }),
+
     // The rotation's measured value: OPQ-rotated vs plain IVF-PQ recall
     // at EQUAL probe budget, both against exact brute force — one row.
     // On an isotropic corpus the delta is ≈0 by construction; the gate

@@ -1269,6 +1269,130 @@ object SketchOracleSql {
        |  CAST(ho.h * 1000 // (3 * nq.n) AS BIGINT) AS recall_perm_milli
        |FROM hp, ho, nq""".stripMargin
 
+  /** The PCA-rotation replay (q_ann_pca): oblique-anisotropy fixture
+    * (every dim sheared by +4·dim1, so the dominant variance direction
+    * is the all-ones diagonal and every AXIS variance is equal — the
+    * permutation's blind spot), then `SimilaritySearch.powerDirection`'s
+    * integer power iteration re-derived round by round (per-row double
+    * fold x·v with the previous round's integer v, per-dim exact
+    * integer sums of floor(x_d·(x·v)+0.5), truncating-division
+    * renormalization), the Householder u (cancellation-safe sign,
+    * integer √), the exact reflection, and the standard IVF-PQ chain
+    * over the rotated basis.
+    */
+  private def pcaPowerCtes(iters: Int): String = {
+    val iterCtes = (1 to iters).map { r =>
+      val (from, vref) =
+        if (r == 1) ("px_prep", "1000000.0")
+        else (s"px_prep, pw_v${r - 1}", s"v[j]")
+      s"""pw_s$r AS MATERIALIZED (
+         |  SELECT pos, sum(CAST(floor(x * dt + 0.5) AS BIGINT)) AS s
+         |  FROM (
+         |    SELECT unnest(range(0, 64)) AS pos, unnest(e) AS x,
+         |      list_sum(list_transform(generate_series(1, 64),
+         |        j -> e[j::INT] * $vref)) AS dt
+         |    FROM $from
+         |  ) GROUP BY pos
+         |), pw_v$r AS MATERIALIZED (
+         |  SELECT list(CASE WHEN s >= 0 THEN s // g
+         |    ELSE -((-s) // g) END ORDER BY pos) AS v
+         |  FROM pw_s$r, (SELECT greatest(1, max(abs(s)) // 1000000) AS g
+         |    FROM pw_s$r)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""px_prep AS MATERIALIZED (
+       |  SELECT vec_id AS id, list_transform(generate_series(1, 64), j ->
+       |    CAST(embedding AS DOUBLE[])[j::INT] +
+       |      4.0 * CAST(embedding AS DOUBLE[])[1]) AS e
+       |  FROM embeddings
+       |),
+       |$iterCtes, pw_l AS (
+       |  SELECT CAST(floor(sqrt(CAST(list_sum(list_transform(v, z -> z * z))
+       |    AS DOUBLE))) AS BIGINT) AS l
+       |  FROM pw_v$iters
+       |), pw_u AS (
+       |  SELECT list_transform(generate_series(1, 64), j ->
+       |    CASE WHEN j = 1 THEN v[1] + (CASE WHEN v[1] >= 0 THEN l ELSE -l END)
+       |    ELSE v[j::INT] END) AS u
+       |  FROM pw_v$iters, pw_l
+       |), pw_uu AS (
+       |  SELECT CAST(list_sum(list_transform(u, z -> z * z)) AS DOUBLE) AS uu
+       |  FROM pw_u
+       |), pw_prep AS MATERIALIZED (
+       |  SELECT id, list_transform(generate_series(1, 64), d ->
+       |    e[d::INT] - (2.0 * ux / uu) * u[d::INT]) AS e
+       |  FROM (
+       |    SELECT id, e, u, list_sum(list_transform(generate_series(1, 64),
+       |      j -> e[j::INT] * u[j::INT])) AS ux
+       |    FROM px_prep, pw_u
+       |  ), pw_uu
+       |)""".stripMargin
+  }
+
+  /** The variance-permutation machinery over an arbitrary (id, e) CTE —
+    * [[varPermCtes]] generalized for the PCA audit's perm-vs-pca
+    * comparison on the sheared fixture.
+    */
+  private def varPermOver(p: String, src: String): String =
+    s"""${p}q AS (
+       |  SELECT pos, sum(CAST(floor(v * v * 1000000.0 + 0.5) AS BIGINT)) AS q
+       |  FROM (SELECT unnest(range(0, 64)) AS pos, unnest(e) AS v FROM $src)
+       |  GROUP BY pos
+       |), ${p}rank AS (
+       |  SELECT pos, row_number() OVER (ORDER BY q DESC, pos) - 1 AS r FROM ${p}q
+       |), ${p}map AS (
+       |  SELECT (CASE WHEN (r // 2) % 2 = 0 THEN r % 2 ELSE 1 - (r % 2) END) * 32
+       |    + (r // 2) AS j, pos
+       |  FROM ${p}rank
+       |), ${p}perm AS (SELECT list(pos ORDER BY j) AS p FROM ${p}map),
+       |${p}prep AS MATERIALIZED (
+       |  SELECT id, list_transform(generate_series(1, 64), j ->
+       |    e[(p[j] + 1)::INT]) AS e
+       |  FROM $src, ${p}perm
+       |)""".stripMargin
+
+  def annPcaOracle: String =
+    s"""WITH ${pcaPowerCtes(4)}, ${ivfPqChainOver("pc_", "pw_prep",
+          nCells = 4, nProbe = 4, pqCells = 16, cap = 64, qMax = 20)}
+       |SELECT qid, nid, round(adist, 6) AS adist, rnk
+       |FROM pc_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
+  /** q_ann_pca_audit: PCA-rotated and variance-permuted IVF-PQ chains
+    * at equal budget over the sheared fixture, both vs exact brute
+    * force — the rotation must beat the permutation where the
+    * anisotropy is oblique.
+    */
+  def annPcaAuditOracle: String =
+    s"""WITH ${pcaPowerCtes(4)},
+       |${ivfPqChainOver("pc_", "pw_prep", nCells = 4, nProbe = 4,
+          pqCells = 16, cap = 64, qMax = 20)},
+       |${varPermOver("qp_", "px_prep")},
+       |${ivfPqChainOver("qpp_", "qp_prep", nCells = 4, nProbe = 4,
+          pqCells = 16, cap = 64, qMax = 20)},
+       |px_n AS (
+       |  SELECT id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+       |  FROM px_prep
+       |), px_br AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.id AS qid, a.id AS nid,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * a.e[i]))
+       |          / (q.nrm * a.nrm) DESC, a.id) AS rn
+       |    FROM (SELECT * FROM px_n WHERE id < 20) q
+       |    JOIN px_n a ON a.id <> q.id
+       |  ) WHERE rn <= 3
+       |), hq AS (SELECT count(*)::BIGINT AS h
+       |  FROM (SELECT qid, nid FROM qpp_ranked WHERE rnk <= 3) JOIN px_br USING (qid, nid)),
+       |hc AS (SELECT count(*)::BIGINT AS h
+       |  FROM (SELECT qid, nid FROM pc_ranked WHERE rnk <= 3) JOIN px_br USING (qid, nid)),
+       |nq AS (SELECT count(DISTINCT qid)::BIGINT AS n FROM px_br)
+       |SELECT nq.n AS n_queries, CAST(3 AS INT) AS k,
+       |  hq.h AS hits_perm,
+       |  CAST(hq.h * 1000 // (3 * nq.n) AS BIGINT) AS recall_perm_milli,
+       |  hc.h AS hits_pca,
+       |  CAST(hc.h * 1000 // (3 * nq.n) AS BIGINT) AS recall_pca_milli
+       |FROM hq, hc, nq""".stripMargin
+
   /** The FWHT execution of the same rotation (q_ann_opq_fwht): the
     * butterfly's stage/op order replayed literally — sign diagonal,
     * then for h = 1, 2, …, 32 each output j takes e[j] + e[j+h] when
@@ -1790,6 +1914,8 @@ object SketchOracleSql {
     "q_ann_graph_hier_audit" -> annGraphHierAuditOracle,
     "q_ann_graph_prune" -> annGraphPruneOracle,
     "q_ann_graph_prune_cross" -> annGraphPruneCrossOracle,
+    "q_ann_pca" -> annPcaOracle,
+    "q_ann_pca_audit" -> annPcaAuditOracle,
     "q_ann_varperm" -> annVarPermOracle,
     // the persisted learned index applies the STORED permutation — same
     // basis, same chain, same oracle

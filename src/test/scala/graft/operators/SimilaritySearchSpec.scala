@@ -791,6 +791,60 @@ class SimilaritySearchSpec extends SparkSpec {
     }
   }
 
+  test("powerDirection finds an oblique dominant direction; Householder is exactly orthogonal") {
+    import spark.implicits._
+    // sheared corpus: every dim carries +4·dim1 — dominant principal
+    // direction is the all-ones diagonal, axis variances all equal
+    def rv(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      // burn-in: java.util.Random's first draws barely vary across
+      // sequential seeds, which would freeze the shared component
+      (0 until 5).foreach(_ => r.nextDouble())
+      Seq.fill(16)(r.nextDouble() * 2 - 1)
+    }
+    val sheared = (0 until 200).map { s =>
+      val x = rv(s)
+      (s.toLong, x.map(_ + 4.0 * x.head))
+    }.toDF("vec_id", "embedding")
+    val v = SimilaritySearch.powerDirection(sheared, "embedding", 16, iters = 4)
+    // converged direction ≈ ±1⃗/4: cosine to all-ones above 0.99
+    val vd = v.map(_.toDouble)
+    val cosOnes = vd.sum / (math.sqrt(vd.map(x => x * x).sum) * 4.0)
+    assert(math.abs(cosOnes) > 0.99, s"direction $v cos-to-ones $cosOnes")
+    // deterministic
+    assert(SimilaritySearch.powerDirection(sheared, "embedding", 16, iters = 4) == v)
+
+    // the reflection is EXACTLY orthogonal (any u): norms and pairwise
+    // dots survive within float rounding
+    val u = SimilaritySearch.householderU(v)
+    val refl = sheared.select(col("vec_id"),
+      SimilaritySearch.householderReflect(col("embedding"), u).as("r"),
+      transform(col("embedding"), x => x.cast("double")).as("e"))
+      .withColumn("nr", sqrt(aggregate(col("r"), lit(0.0), (a, x) => a + x * x)))
+      .withColumn("ne", sqrt(aggregate(col("e"), lit(0.0), (a, x) => a + x * x)))
+      .collect()
+    refl.foreach { r =>
+      val d = math.abs(r.getAs[Double]("nr") - r.getAs[Double]("ne"))
+      assert(d < 1e-9, s"reflection changed a norm by $d")
+    }
+    // the dominant direction lands on e1: dim-1 now carries nearly all
+    // the variance (the permutation-blind obliqueness made axis-visible)
+    val dimVar = (0 until 16).map { d =>
+      val xs = refl.map(_.getSeq[Double](1)(d))
+      val mu = xs.sum / xs.length
+      xs.map(x => (x - mu) * (x - mu)).sum / xs.length
+    }
+    assert(dimVar.head > dimVar.tail.max * 10,
+      s"dim-1 variance ${dimVar.head} does not dominate ${dimVar.tail.max}")
+    // guards
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.householderU(Seq(0L, 0L))
+    }
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.powerDirection(sheared, "embedding", 16, iters = 0)
+    }
+  }
+
   test("hierarchical entry: indexed parity, planted neighbor, determinism") {
     val q = corpus16.filter(col("vec_id") < 3L)
     val mem = SimilaritySearch.graphKnnHier(corpus16, q, "embedding", "vec_id",
