@@ -26,9 +26,12 @@ object ScaleTrend {
     "q_kv_scan",            // DSv2 scan + pushdown
     "q_dedup_minhash_lsh",  // banded sketch dedup
     "q_ann_ivf_indexed",    // persisted-index ANN probe
-    "q_ann_graph_indexed",  // graph-walk ANN (build + bounded walk)
+    "q_ann_graph_indexed",  // graph-walk ANN (capped build + bounded walk)
     "q_doc_decontaminate",  // broadcast benchmark, corpus never shuffles
-    "q_events_sessionize")  // session-window aggregation
+    "q_events_sessionize",  // session-window aggregation
+    "q_tokenizer_unigram",  // Viterbi-EM trainer (word-TYPE table passes)
+    "q_doc_bm25_indexed",   // persisted postings build + probe read
+    "q_kv_zorder")          // multi-dim clustering rewrite + pruned scan
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

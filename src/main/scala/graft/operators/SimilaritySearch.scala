@@ -1206,6 +1206,52 @@ object SimilaritySearch {
       nCells, nProbe, m, pqCells, iterations, maxTrainPerCell), k)
   }
 
+  /** Persist a PCA-rotated IVF-PQ index: derive the power direction and
+    * Householder u from the corpus, store u as a kv table
+    * (`householder`: slot j → integer u_j) beside the standard IVF-PQ
+    * tables built over the REFLECTED vectors — train once, search many
+    * for the learned-rotation tier ([[buildVarPermIndex]] discipline).
+    * Queries at search time apply the STORED u, so index and query live
+    * in the same learned basis across sessions; answers are
+    * bit-identical to the in-memory [[ivfPqPcaKnn]] at the same knobs.
+    */
+  def buildPcaIndex(
+      corpus: DataFrame, vecCol: String, idCol: String, path: String,
+      dim: Int, nCells: Int = 16, m: Int = 2, pqCells: Int = 16,
+      iterations: Int = 2, maxTrainPerCell: Int = 16384,
+      powerIters: Int = 4): Unit = {
+    val spark = corpus.sparkSession
+    val u = householderU(powerDirection(corpus, vecCol, dim, powerIters))
+    import spark.implicits._
+    u.zipWithIndex.map { case (uj, j) => (j.toLong, uj) }
+      .toDF("slot", "u")
+      .write.format("kv").option("path", s"$path/householder")
+      .mode("overwrite").save()
+    buildIvfPqIndex(
+      corpus.select(col(idCol), householderReflect(col(vecCol), u).as(vecCol)),
+      vecCol, idCol, path, nCells, m, pqCells, iterations, maxTrainPerCell)
+  }
+
+  /** Search a [[buildPcaIndex]] index: apply the STORED Householder
+    * vector to the queries, then the standard indexed ADC chain. The u
+    * table is `dim` rows — a bounded driver read, like the perm table.
+    */
+  def pcaKnnIndexed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, vecCol: String, idCol: String,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val uRows = spark.read.format("kv").option("path", s"$path/householder")
+      .load().collect()
+    require(uRows.nonEmpty, s"no householder table under $path")
+    val u = uRows
+      .map(r => r.getAs[Long]("slot").toInt -> r.getAs[Long]("u"))
+      .sortBy(_._1).map(_._2).toSeq
+    require(u.map(x => x * x).sum > 0, s"corrupt householder table under $path")
+    ivfPqKnnIndexed(spark, path,
+      queries.select(col(idCol), householderReflect(col(vecCol), u).as(vecCol)),
+      vecCol, idCol, k, nProbe)
+  }
+
   /** Measured value of the PCA rotation vs the variance permutation at
     * EQUAL probe budget, both vs exact brute force — one row. On an
     * oblique-anisotropy corpus (a dominant direction shared across

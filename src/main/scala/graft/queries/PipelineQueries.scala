@@ -507,15 +507,18 @@ object PipelineQueries {
         .orderBy(col("cnt").desc, col("tok")).limit(64)
     }),
 
-    // The multi-round EM variant: two Viterbi-EM rounds with the
-    // geometric interim prune budget (256→192→128) — round 2's
-    // segmentation runs under round 1's re-learned scores, so the
-    // final vocabulary can differ from the single-step trainer's.
-    // Both rounds' DP/backtrack/re-count/prune replay in the oracle.
+    // The multi-round EM variant: two Viterbi-EM rounds at TIGHT
+    // budgets (64→48→8) — the interim prune evicts multi-char tokens
+    // round 2's re-segmentation must route around, so the final
+    // vocabulary measurably DIFFERS from the single-round trainer's on
+    // this corpus (knobs chosen so the gate differentiates a broken
+    // second round; at the default 256→192→128 the corpus converges
+    // after round 1 and rounds 2+ are fixed points). Both rounds' DP /
+    // backtrack / re-count / prune replay in the oracle.
     "q_tokenizer_unigram_em2" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       graft.operators.TokenizerTraining.trainUnigram(docs, "text",
-        emIterations = 2)
+        seedMulti = 64, vocabMulti = 8, emIterations = 2)
         .orderBy(col("cnt").desc, col("tok")).limit(64)
     }),
 
@@ -645,6 +648,27 @@ object PipelineQueries {
         sheared.filter(col("vec_id") < 20), "embedding", "vec_id",
         dim = 64, k = 3, nCells = 4, nProbe = 4, m = 2, pqCells = 16,
         maxTrainPerCell = 64)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // The learned-rotation tier persisted: Householder u + IVF-PQ
+    // tables as kv tables (train once, search many) — queries apply
+    // the STORED u, so results are bit-identical to the in-memory
+    // chain and the gate shares its oracle.
+    "q_ann_pca_indexed" -> ((s, dir) => {
+      val idx = s"/tmp/graft_pcaidx${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(idx)
+      val emb = Tables.load(s, dir, "embeddings")
+      val sheared = emb.select(col("vec_id"),
+        transform(col("embedding"), x =>
+          x.cast("double") +
+            lit(4.0) * element_at(col("embedding"), 1).cast("double"))
+          .as("embedding"))
+      SimilaritySearch.buildPcaIndex(sheared, "embedding", "vec_id", idx,
+        dim = 64, nCells = 4, m = 2, pqCells = 16, maxTrainPerCell = 64)
+      SimilaritySearch.pcaKnnIndexed(s, idx,
+        sheared.filter(col("vec_id") < 20), "embedding", "vec_id",
+        k = 3, nProbe = 4)
         .orderBy(col("qid"), col("rnk"))
     }),
 

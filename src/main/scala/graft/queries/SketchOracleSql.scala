@@ -749,8 +749,9 @@ object SketchOracleSql {
        |)""".stripMargin
   }
 
-  private def tokenizerUnigramSql(rounds: Int): String =
-    s"""WITH ${ugTrainCtes(256, 128, 4, 16, rounds)}
+  private def tokenizerUnigramSql(rounds: Int, seedMulti: Int = 256,
+      vocabMulti: Int = 128): String =
+    s"""WITH ${ugTrainCtes(seedMulti, vocabMulti, 4, 16, rounds)}
        |SELECT tok, cnt,
        |  CAST(floor(1000000.0 * ln((t + v) / (cnt + 1.0)) + 0.5) AS BIGINT) AS score
        |FROM ug_vocab2, ug_tot2
@@ -758,13 +759,15 @@ object SketchOracleSql {
 
   def tokenizerUnigramOracle: String = tokenizerUnigramSql(1)
 
-  /** q_tokenizer_unigram_em2: the trainer with TWO EM rounds — round 1
-    * prunes to the geometric interim budget (192 of 256 seeds), round 2
-    * re-scores, re-segments under the fresh scores, and prunes to the
-    * final 128 — every round's DP, backtrack, re-count and budget
-    * replayed stage by stage.
+  /** q_tokenizer_unigram_em2: the trainer with TWO EM rounds at tight
+    * budgets (64→48→8) — round 1 prunes to the geometric interim
+    * budget, round 2 re-scores, re-segments under the fresh scores
+    * (routing around the evicted tokens — the output DIFFERS from the
+    * single-round trainer's on this corpus), and prunes to the final
+    * 8 — every round's DP, backtrack, re-count and budget replayed
+    * stage by stage.
     */
-  def tokenizerUnigramEm2Oracle: String = tokenizerUnigramSql(2)
+  def tokenizerUnigramEm2Oracle: String = tokenizerUnigramSql(2, 64, 8)
 
   /** q_doc_unigram_tokens: the encode side — re-derive the trained
     * vocabulary's FINAL scores, run a SECOND Viterbi unroll over the
@@ -1915,6 +1918,9 @@ object SketchOracleSql {
     "q_ann_graph_prune" -> annGraphPruneOracle,
     "q_ann_graph_prune_cross" -> annGraphPruneCrossOracle,
     "q_ann_pca" -> annPcaOracle,
+    // the persisted learned rotation applies the STORED u — same basis,
+    // same chain, same oracle
+    "q_ann_pca_indexed" -> annPcaOracle,
     "q_ann_pca_audit" -> annPcaAuditOracle,
     "q_ann_varperm" -> annVarPermOracle,
     // the persisted learned index applies the STORED permutation — same

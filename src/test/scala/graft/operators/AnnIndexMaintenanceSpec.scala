@@ -152,4 +152,61 @@ class AnnIndexMaintenanceSpec extends SparkSpec {
       k = 3, nProbe = 1, beamWidth = 45, hops = 1).orderBy("rnk").collect()
     assert(fromNew.head.getAs[Long]("nid") == 0L, fromNew.mkString(","))
   }
+
+  test("hierarchical walk survives the same maintenance composition") {
+    // the hier entry rebuilds its top layer from the PERSISTED seeds,
+    // which are build-time-fixed — so table rewrites must be exactly
+    // search-invariant, and append+prune must keep the planted twin
+    // reachable through the routed entries
+    val idx = java.nio.file.Files.createTempDirectory("annmx4").toString + "/i"
+    val base = corpus.filter(col("vec_id") < 30L)
+    SimilaritySearch.buildGraphIndex(base, "embedding", "vec_id", idx,
+      nCells = 2, degree = 3, seedsPerCell = 15, maxTrainPerCell = 64,
+      crossCells = 1, degreeCross = 2)
+    val q = corpus.filter(col("vec_id") < 3L)
+    def search() = SimilaritySearch.graphKnnHierIndexed(
+      q, "embedding", "vec_id", idx, k = 3,
+      entryBeam = 4, hopsTop = 2, degreeTop = 3, beamWidth = 10, hops = 3)
+    val baseline = rows(search())
+    KvMerge.rewrite(spark, s"$idx/cells", numFiles = 2)
+    KvMerge.rewrite(spark, s"$idx/edges", numFiles = 2)
+    KvMerge.rewrite(spark, s"$idx/seeds", numFiles = 1)
+    assert(rows(search()) == baseline, "graph table rewrite changed hier results")
+    // append the twin, prune under the split budgets, rewrite: the twin
+    // is findable through the hierarchy (routed entries -> reverse edge)
+    SimilaritySearch.graphIndexAppend(corpus.filter(col("vec_id") === 99L),
+      "embedding", "vec_id", idx)
+    SimilaritySearch.graphPruneEdges(spark, idx, degree = 3)
+    KvMerge.rewrite(spark, s"$idx/edges", numFiles = 1)
+    val got = SimilaritySearch.graphKnnHierIndexed(
+      corpus.filter(col("vec_id") === 0L), "embedding", "vec_id", idx,
+      k = 3, entryBeam = 4, hopsTop = 2, degreeTop = 3,
+      beamWidth = 30, hops = 3).orderBy("rnk").collect()
+    assert(got.head.getAs[Long]("nid") == 99L, got.mkString(","))
+  }
+
+  test("PCA index maintenance: rewrite is search-invariant, stored u survives") {
+    val idx = java.nio.file.Files.createTempDirectory("annmx5").toString + "/i"
+    val sheared = corpus.select(col("vec_id"),
+      transform(col("embedding"), x =>
+        x.cast("double") +
+          lit(4.0) * element_at(col("embedding"), 1).cast("double"))
+        .as("embedding"))
+    SimilaritySearch.buildPcaIndex(sheared, "embedding", "vec_id", idx,
+      dim = 24, nCells = 2, m = 2, pqCells = 8, maxTrainPerCell = 64)
+    val q = sheared.filter(col("vec_id") < 3L)
+    def search() = SimilaritySearch.pcaKnnIndexed(
+      spark, idx, q, "embedding", "vec_id", k = 3, nProbe = 2)
+    val baseline = rows(search())
+    // indexed == in-memory at the same knobs (same stored basis)
+    assert(baseline == rows(SimilaritySearch.ivfPqPcaKnn(sheared, q,
+      "embedding", "vec_id", dim = 24, k = 3, nCells = 2, nProbe = 2,
+      m = 2, pqCells = 8, maxTrainPerCell = 64)))
+    KvMerge.rewrite(spark, s"$idx/householder", numFiles = 1)
+    KvMerge.rewrite(spark, s"$idx/codes", numFiles = 2)
+    assert(rows(search()) == baseline, "pca index rewrite changed results")
+    // a missing u table fails fast instead of silently searching unrotated
+    graft.sources.ParquetIO.deletePath(s"$idx/householder")
+    intercept[Exception] { search().collect() }
+  }
 }

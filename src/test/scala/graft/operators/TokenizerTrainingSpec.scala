@@ -228,6 +228,21 @@ class TokenizerTrainingSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       TokenizerTraining.trainUnigram(docs.toDF("text"), "text", emIterations = 0)
     }
+    // non-vacuity: at tight budgets a second round must actually CHANGE
+    // the vocabulary (round 2 re-segments around the evicted tokens) —
+    // otherwise the multi-round gate could not catch a broken round 2
+    val r1 = TokenizerTraining.trainUnigram(docs.toDF("text"), "text",
+      seedMulti = 16, vocabMulti = 4, emIterations = 1)
+      .orderBy(col("cnt").desc, col("tok"))
+      .as[(String, Long, Long)].collect().toSeq
+    val r2 = TokenizerTraining.trainUnigram(docs.toDF("text"), "text",
+      seedMulti = 16, vocabMulti = 4, emIterations = 2)
+      .orderBy(col("cnt").desc, col("tok"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(r1 == referenceUnigram(docs, 16, 4, 4, 16, 1))
+    assert(r2 == referenceUnigram(docs, 16, 4, 4, 16, 2))
+    assert(r1 != r2,
+      "tight-budget round 2 was a fixed point — pick knobs that differentiate")
   }
 
   test("unigramBudgets shrinks geometrically and pins the last round") {
