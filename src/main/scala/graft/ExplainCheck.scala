@@ -40,7 +40,8 @@ object ExplainCheck {
         "q_ann_pq", "q_dedup_semantic", "q_embed_hard_negatives",
         "q_sample_stratified", "q_ann_graph", "q_ann_opq_fwht",
         "q_ann_graph_cross", "q_ann_graph_capped", "q_ann_varperm",
-        "q_ann_graph_hier", "q_ann_graph_prune_cross")) {
+        "q_ann_graph_hier", "q_ann_graph_prune_cross",
+        "q_ann_lsh_multiprobe")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
       val windows = plan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window

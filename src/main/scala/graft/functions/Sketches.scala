@@ -285,6 +285,49 @@ object Sketches {
   def hyperplaneSketch(vec: Column, numPlanes: Int = 64, seed: Long = 42L): Column =
     toColumn(HyperplaneSketch(exprOf(vec), numPlanes, seed))
 
+  /** Per-plane CONFIDENCE margins of [[HyperplaneSketch]]: |dot(v, h_p)|
+    * quantized once to integer micro-units (floor(|dot|·10⁶ + 0.5)) —
+    * the bit-flip priority for multi-probe LSH (Lv et al., VLDB 2007):
+    * the lower a plane's margin, the likelier its sign bit differs for
+    * a true near neighbor, so low-margin bits flip first. Same plane
+    * hash and fold order as the sketch, so sketch and margins describe
+    * the same hyperplanes on every engine.
+    */
+  case class HyperplaneMargins(child: Expression, numPlanes: Int, seed: Long)
+      extends UnaryExpression with CodegenFallback {
+    require(numPlanes >= 1 && numPlanes <= 64, "numPlanes must be in [1,64]")
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      val dim = arr.numElements()
+      val elemType = child.dataType.asInstanceOf[ArrayType].elementType
+      val out = new Array[Long](numPlanes)
+      var p = 0
+      while (p < numPlanes) {
+        var dotProd = 0.0
+        var i = 0
+        while (i < dim) {
+          val v = elemType match {
+            case FloatType => arr.getFloat(i).toDouble
+            case DoubleType => arr.getDouble(i)
+            case _ => throw new IllegalArgumentException(s"unsupported element type $elemType")
+          }
+          val sign = if ((splitmix64(seed ^ (p.toLong << 32) ^ i.toLong) & 1L) == 1L) 1.0 else -1.0
+          dotProd += v * sign
+          i += 1
+        }
+        out(p) = math.floor(math.abs(dotProd) * 1e6 + 0.5).toLong
+        p += 1
+      }
+      new GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+    override def prettyName: String = "hyperplane_margins"
+  }
+
+  def hyperplaneMargins(vec: Column, numPlanes: Int = 64, seed: Long = 42L): Column =
+    toColumn(HyperplaneMargins(exprOf(vec), numPlanes, seed))
+
   /** Byte-granularity band keys of a hyperplane sketch (8 bands of 8 bits
     * for a 64-plane sketch).
     */

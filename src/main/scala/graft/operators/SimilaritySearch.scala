@@ -308,6 +308,94 @@ object SimilaritySearch {
       k)
   }
 
+  /** Multi-probe LSH (Lv et al., VLDB 2007, single-bit perturbations,
+    * determinized): each query probes its own band key PLUS the keys
+    * with the 1st..(probes−1)th LOWEST-confidence bit flipped (plane
+    * |margin| asc, bit index asc — integer micro-unit margins from
+    * [[Sketches.hyperplaneMargins]]). The scale point: recall grows on
+    * the QUERY side only — the corpus-side banded table (the big,
+    * shuffled/broadcast thing) stays `bands·|corpus|` rows, where
+    * single-probe LSH buys the same recall by ADDING bands and growing
+    * the corpus table. probes=1 is exactly [[lshKnn]].
+    */
+  def lshMultiProbeKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      numPlanes: Int = 64, bands: Int = 8, probes: Int = 4): DataFrame = {
+    require(numPlanes % bands == 0,
+      s"numPlanes $numPlanes must split into $bands bands")
+    val w = numPlanes / bands
+    require(w <= 32, s"band width $w exceeds 32 bits — use more bands")
+    require(probes >= 1 && probes <= w + 1,
+      s"probes must be in [1, ${w + 1}] (the band has $w flippable bits)")
+    val c = prep(corpus, vecCol, idCol)
+      .withColumn("sk", Sketches.hyperplaneSketch(col("e"), numPlanes))
+      .select(col("id").as("cid"), col("e").as("ce"), col("nrm").as("cn"),
+        posexplode(Sketches.sketchBands(col("sk"), bands))
+          .as(Seq("band", "band_key")))
+    val probeKeys = prep(queries, vecCol, idCol)
+      .withColumn("sk", Sketches.hyperplaneSketch(col("e"), numPlanes))
+      .withColumn("mg", Sketches.hyperplaneMargins(col("e"), numPlanes))
+      .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+        posexplode(Sketches.sketchBands(col("sk"), bands))
+          .as(Seq("band", "key")), col("mg"))
+      .withColumn("flips",
+        slice(array_sort(zip_with(
+          slice(col("mg"), col("band") * w + 1, lit(w)),
+          sequence(lit(0), lit(w - 1)),
+          (m, j) => struct(m.as("m"), j.as("j")))), 1, probes - 1))
+      .select(col("qid"), col("qe"), col("qn"), col("band"),
+        explode(concat(array(col("key")),
+          transform(col("flips"), f =>
+            col("key").bitwiseXOR(
+              pow(lit(2.0), f.getField("j").cast("double")).cast("long")))))
+          .as("band_key"))
+    topKPerQuery(
+      broadcast(probeKeys).join(c, Seq("band", "band_key"))
+        .where(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid").as("nid"),
+          col("qe"), col("ce"), col("qn"), col("cn"))
+        .dropDuplicates("qid", "nid")
+        .select(col("qid"), col("nid"),
+          (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim")),
+      k)
+  }
+
+  /** Measured value of multi-probe at EQUAL band budget: single-probe
+    * vs multi-probe recall, both vs exact brute force — one row
+    * ([[varPermRecallAudit]] discipline). Multi-probe candidates are a
+    * superset of single-probe's, so recall_multi ≥ recall_single by
+    * construction; the audit MEASURES how much the flipped probes buy
+    * on this corpus.
+    */
+  def lshMultiProbeRecallAudit(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      numPlanes: Int = 64, bands: Int = 8, probes: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val exact = bruteForceKnn(corpus, queries, vecCol, idCol, k)
+      .select(col("qid"), col("nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nQueries = exact.select(col("qid")).distinct().count()
+      def hits(ann: DataFrame): Long =
+        ann.select(col("qid"), col("nid"))
+          .join(exact, Seq("qid", "nid"), "left_semi").count()
+      val hitsSingle = hits(lshKnn(corpus, queries, vecCol, idCol, k,
+        numPlanes, bands))
+      val hitsMulti = hits(lshMultiProbeKnn(corpus, queries, vecCol, idCol,
+        k, numPlanes, bands, probes))
+      def milli(h: Long): Long =
+        if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
+      spark.range(1).select(
+        lit(nQueries).as("n_queries"), lit(k).as("k"),
+        lit(hitsSingle).as("hits_single"),
+        lit(milli(hitsSingle)).as("recall_single_milli"),
+        lit(hitsMulti).as("hits_multi"),
+        lit(milli(hitsMulti)).as("recall_multi_milli"))
+    } finally { exact.unpersist(); () }
+  }
+
   /** Train IVF centroids with Lloyd iterations expressed as DataFrame
     * aggregations (one shuffle of `nCells`·dim rows per iteration — never
     * the corpus). Initial centroids are a deterministic hash-sample of

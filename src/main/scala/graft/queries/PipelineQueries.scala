@@ -256,6 +256,31 @@ object PipelineQueries {
         "embedding", "vec_id", k = 3, bands = 16)
         .orderBy(col("qid"), col("rnk"))
     }),
+
+    // Multi-probe LSH (Lv et al. 2007, single-bit perturbations): at a
+    // deliberately collision-poor band budget (8 bands × 8 bits; the
+    // 16-band gate above reaches 933‰ by paying twice the corpus-side
+    // table) each query also probes the keys with its 5 lowest-
+    // confidence bits flipped — recall rises on the QUERY side only,
+    // where single-probe buys recall by adding bands and growing the
+    // CORPUS-side banded table. Sketches, margins, flip priorities,
+    // probe keys and the exact rescore all replay in the oracle.
+    "q_ann_lsh_multiprobe" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.lshMultiProbeKnn(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, bands = 8, probes = 6)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // The flipped probes' measured value at EQUAL band budget: single
+    // vs multi-probe recall vs exact brute force — one row (measured
+    // 200 → 533‰ at sf0.01).
+    "q_ann_lsh_multiprobe_audit" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.lshMultiProbeRecallAudit(emb,
+        emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, bands = 8, probes = 6)
+    }),
     "q_ann_ivf" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       // maxTrainPerCell=32 < members-per-cell at sf0.01 — the gate

@@ -218,7 +218,17 @@ object SketchOracleSql {
     * one shard of embeddings → (id, e, nrm, sku). The per-plane dot is an
     * ordered left fold (bit-equal with the Scala ascending-dim loop).
     */
-  private def hyperplaneShard(pred: String): String = {
+  private def hyperplaneShard(pred: String): String =
+    hyperplaneShardImpl(pred, withMargins = false)
+
+  /** The same sketch derivation, also emitting the per-plane
+    * integer-micro margins `mgs` (floor(|dot|·10⁶ + 0.5), plane order)
+    * — `Sketches.hyperplaneMargins`' multi-probe flip priorities.
+    */
+  private def hyperplaneMarginShard(pred: String): String =
+    hyperplaneShardImpl(pred, withMargins = true)
+
+  private def hyperplaneShardImpl(pred: String, withMargins: Boolean): String = {
     // plane-seed constants 42 ^ (p << 32), precomputed per plane
     val planeConsts = (0 until 64)
       .map(p => (42L ^ (p.toLong << 32)).toString + "::BIGINT")
@@ -229,9 +239,13 @@ object SketchOracleSql {
     // i < 2^31 so the signed image of i::HUGEINT is i itself: the sign key
     // (42 ^ (p<<32) ^ i) is one native BIGINT xor per row
     val sgn = smCols(s"SELECT id, p, i, ev, ${ux("xor(pk, i)")} AS kx FROM ($pdi)", "kx", "sh", "hps")
-    s"""SELECT p2.id, p2.e, sqrt(list_sum(list_transform(p2.e, x -> x * x))) AS nrm, s.sku
+    val mgsSel = if (withMargins)
+      ", list(CAST(floor(abs(dot) * 1000000.0 + 0.5) AS BIGINT) ORDER BY p) AS mgs"
+    else ""
+    val mgsOut = if (withMargins) ", s.mgs" else ""
+    s"""SELECT p2.id, p2.e, sqrt(list_sum(list_transform(p2.e, x -> x * x))) AS nrm, s.sku$mgsOut
        |FROM ($prep) p2 JOIN (
-       |  SELECT id, sum(CASE WHEN dot > 0 THEN power(2.0, p)::HUGEINT ELSE 0::HUGEINT END) AS sku
+       |  SELECT id, sum(CASE WHEN dot > 0 THEN power(2.0, p)::HUGEINT ELSE 0::HUGEINT END) AS sku$mgsSel
        |  FROM (
        |    SELECT id, p, list_sum(list(term ORDER BY i)) AS dot FROM (
        |      SELECT id, p, i, ev * (CASE WHEN sh % 2 = 1 THEN 1.0 ELSE -1.0 END) AS term
@@ -507,6 +521,94 @@ object SketchOracleSql {
        |)
        |SELECT qid, nid, round(sim, 6) AS sim, rnk
        |FROM ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
+  /** Multi-probe LSH replay (q_ann_lsh_multiprobe): 8 bands × 8 bits,
+    * per query each band probes its own key plus the keys with the
+    * 1st..5th lowest-margin bit flipped (margin asc, plane asc — the
+    * integer micro-unit priorities of `Sketches.hyperplaneMargins`),
+    * exact rescore, top-3.
+    */
+  private def lshMultiProbeCtes(bands: Int, probes: Int, qMax: Int): String = {
+    val w = 64 / bands
+    s"""mp_sk AS MATERIALIZED (
+       |  SELECT id, e, nrm, sku, mgs FROM ${shardUnion(Shards, hyperplaneMarginShard)}
+       |), mp_banded AS MATERIALIZED (
+       |  SELECT id, e, nrm, bi,
+       |    CAST((sku // power(2.0, $w * bi)::HUGEINT) % ${1L << w}::HUGEINT AS BIGINT) AS key
+       |  FROM mp_sk CROSS JOIN (SELECT unnest(range($bands)) AS bi) u
+       |), mp_flip AS (
+       |  SELECT id, bi, j, rnk FROM (
+       |    SELECT id, p // $w AS bi, p % $w AS j,
+       |      row_number() OVER (PARTITION BY id, p // $w ORDER BY mg, p) AS rnk
+       |    FROM (SELECT id, unnest(range(64)) AS p, unnest(mgs) AS mg
+       |          FROM mp_sk WHERE id < $qMax)
+       |  ) WHERE rnk <= ${probes - 1}
+       |), mp_qkeys AS (
+       |  SELECT id, bi, key FROM mp_banded WHERE id < $qMax
+       |  UNION ALL
+       |  SELECT f.id, f.bi, xor(b.key, CAST(power(2.0, f.j) AS BIGINT)) AS key
+       |  FROM mp_flip f JOIN mp_banded b ON b.id = f.id AND b.bi = f.bi
+       |), mp_cands AS (
+       |  SELECT DISTINCT q.id AS qid, c.id AS nid
+       |  FROM mp_qkeys q JOIN mp_banded c
+       |    ON q.bi = c.bi AND q.key = c.key AND q.id <> c.id
+       |), mp_scored AS (
+       |  SELECT cd.qid, cd.nid,
+       |    list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * c.e[i]))
+       |      / (q.nrm * c.nrm) AS sim
+       |  FROM mp_cands cd JOIN mp_sk q ON q.id = cd.qid
+       |  JOIN mp_sk c ON c.id = cd.nid
+       |)""".stripMargin
+  }
+
+  def annLshMultiProbeOracle: String =
+    s"""WITH ${lshMultiProbeCtes(8, 6, 5)}
+       |SELECT qid, nid, round(sim, 6) AS sim, rnk FROM (
+       |  SELECT qid, nid, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk
+       |  FROM mp_scored
+       |) WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
+  /** q_ann_lsh_multiprobe_audit: single-probe vs multi-probe recall at
+    * EQUAL band budget (8 bands × 8 bits — deliberately collision-poor,
+    * so the flipped probes have something to buy), both vs brute force.
+    */
+  def annLshMultiProbeAuditOracle: String =
+    s"""WITH ${lshMultiProbeCtes(8, 6, 5)}, ms_cands AS (
+       |  SELECT DISTINCT q.id AS qid, c.id AS nid
+       |  FROM (SELECT id, bi, key FROM mp_banded WHERE id < 5) q
+       |  JOIN mp_banded c ON q.bi = c.bi AND q.key = c.key AND q.id <> c.id
+       |), ms_top AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT cd.qid, cd.nid, row_number() OVER (PARTITION BY cd.qid ORDER BY
+       |      list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * c.e[i]))
+       |        / (q.nrm * c.nrm) DESC, cd.nid) AS rn
+       |    FROM ms_cands cd JOIN mp_sk q ON q.id = cd.qid
+       |    JOIN mp_sk c ON c.id = cd.nid
+       |  ) WHERE rn <= 3
+       |), mm_top AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       |    FROM mp_scored
+       |  ) WHERE rn <= 3
+       |), mx_br AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.id AS qid, a.id AS nid,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * a.e[i]))
+       |          / (q.nrm * a.nrm) DESC, a.id) AS rn
+       |    FROM (SELECT * FROM mp_sk WHERE id < 5) q
+       |    JOIN mp_sk a ON a.id <> q.id
+       |  ) WHERE rn <= 3
+       |), hs AS (SELECT count(*)::BIGINT AS h FROM ms_top JOIN mx_br USING (qid, nid)),
+       |hm AS (SELECT count(*)::BIGINT AS h FROM mm_top JOIN mx_br USING (qid, nid)),
+       |nq AS (SELECT count(DISTINCT qid)::BIGINT AS n FROM mx_br)
+       |SELECT nq.n AS n_queries, CAST(3 AS INT) AS k,
+       |  hs.h AS hits_single,
+       |  CAST(hs.h * 1000 // (3 * nq.n) AS BIGINT) AS recall_single_milli,
+       |  hm.h AS hits_multi,
+       |  CAST(hm.h * 1000 // (3 * nq.n) AS BIGINT) AS recall_multi_milli
+       |FROM hs, hm, nq""".stripMargin
 
   /** q_dedup_ngram_lsh: LSH candidates verified by exact shingle-set
     * Jaccard — candidate pairs from the MinHash bands, exact measure from
@@ -1952,5 +2054,7 @@ object SketchOracleSql {
     "q_dedup_simhash" -> simhashDedupOracle,
     "q_dedup_minhash_lsh" -> minhashLshOracle,
     "q_dedup_embedding" -> embeddingDedupOracle,
-    "q_ann_lsh" -> annLshOracle)
+    "q_ann_lsh" -> annLshOracle,
+    "q_ann_lsh_multiprobe" -> annLshMultiProbeOracle,
+    "q_ann_lsh_multiprobe_audit" -> annLshMultiProbeAuditOracle)
 }

@@ -30,6 +30,62 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(got(0).getAs[Long]("nid") == 99L, s"got ${got.mkString(",")}")
   }
 
+  test("multi-probe lsh: probes=1 is exactly lshKnn, flips only add recall") {
+    val q = corpus.filter(col("vec_id") < 4L)
+    // probes=1 probes only each band's own key — bit-identical to lshKnn
+    val single = SimilaritySearch.lshKnn(corpus, q, "embedding", "vec_id",
+      k = 3, bands = 8).orderBy("qid", "rnk").collect().map(_.toString).toSeq
+    val mp1 = SimilaritySearch.lshMultiProbeKnn(corpus, q, "embedding",
+      "vec_id", k = 3, bands = 8, probes = 1)
+      .orderBy("qid", "rnk").collect().map(_.toString).toSeq
+    assert(mp1 == single)
+    // multi-probe candidates are a superset: measured recall never drops
+    val a = SimilaritySearch.lshMultiProbeRecallAudit(corpus, q,
+      "embedding", "vec_id", k = 3, bands = 8, probes = 5).collect()(0)
+    assert(a.getAs[Long]("recall_multi_milli") >=
+      a.getAs[Long]("recall_single_milli"), a.toString)
+    // the planted twin (99 ~ 0) is found through the flipped probes
+    val got = SimilaritySearch.lshMultiProbeKnn(corpus,
+      corpus.filter(col("vec_id") === 0L), "embedding", "vec_id",
+      k = 3, bands = 8, probes = 5).orderBy("rnk").collect()
+    assert(got.nonEmpty && got.head.getAs[Long]("nid") == 99L,
+      got.mkString(","))
+    // margins replay: the expression's integer micros equal a plain-Scala
+    // fold over the same splitmix64 hyperplanes
+    val row = corpus.filter(col("vec_id") === 7L)
+      .select(graft.functions.Sketches.hyperplaneMargins(
+        transform(col("embedding"), x => x.cast("double")), 64).as("m"),
+        col("embedding"))
+      .collect()(0)
+    val vec = row.getSeq[Float](1).map(_.toDouble)
+    val want = (0 until 64).map { p =>
+      var d = 0.0
+      for (i <- vec.indices) {
+        val s = if ((graft.functions.Sketches.splitmix64(
+          42L ^ (p.toLong << 32) ^ i.toLong) & 1L) == 1L) 1.0 else -1.0
+        d += vec(i) * s
+      }
+      math.floor(math.abs(d) * 1e6 + 0.5).toLong
+    }
+    assert(row.getSeq[Long](0) == want)
+    // determinism + guards
+    val again = SimilaritySearch.lshMultiProbeKnn(corpus, q, "embedding",
+      "vec_id", k = 3, bands = 8, probes = 5)
+      .orderBy("qid", "rnk").collect().map(_.toString).toSeq
+    val first = SimilaritySearch.lshMultiProbeKnn(corpus, q, "embedding",
+      "vec_id", k = 3, bands = 8, probes = 5)
+      .orderBy("qid", "rnk").collect().map(_.toString).toSeq
+    assert(again == first)
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.lshMultiProbeKnn(corpus, q, "embedding", "vec_id",
+        k = 3, bands = 8, probes = 10) // > w + 1
+    }
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.lshMultiProbeKnn(corpus, q, "embedding", "vec_id",
+        k = 3, bands = 1, probes = 2) // 64-bit band
+    }
+  }
+
   test("ivf knn recovers the planted neighbor probing a subset of cells") {
     val q = corpus.filter(col("vec_id") === 0L)
     val got = SimilaritySearch.ivfKnn(corpus, q, "embedding", "vec_id", k = 3,
