@@ -185,6 +185,26 @@ class AnnIndexMaintenanceSpec extends SparkSpec {
     assert(got.head.getAs[Long]("nid") == 99L, got.mkString(","))
   }
 
+  test("append's touched-cell semi-join reaches the cells scan as a runtime filter") {
+    // the O(batch) claim at the I/O level: on a cell-clustered cells
+    // table the dst-pool semi-join's keys must arrive at the kv scan as
+    // a runtime (DPP-style) filter, so untouched cells' FILES are
+    // planned away (KvRuntimeFilterSpec proves a filtered KvScan prunes
+    // files; this pins that the append's join SHAPE delivers the filter)
+    val idx = java.nio.file.Files.createTempDirectory("annmx6").toString + "/i"
+    SimilaritySearch.buildGraphIndex(corpus, "embedding", "vec_id", idx,
+      nCells = 4, degree = 3, seedsPerCell = 2, maxTrainPerCell = 64)
+    KvMerge.rewrite(spark, s"$idx/cells", numFiles = 4, clusterBy = Seq("cell"))
+    val cells = spark.read.format("kv").option("path", s"$idx/cells").load()
+    val touched = cells.filter(col("cell") === 0L).select(col("cell")).distinct()
+    val members = SimilaritySearch.appendCandidateMembers(
+      cells, cells.limit(0), touched)
+    members.collect()
+    val plan = members.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning") || plan.contains("RuntimeFilter"),
+      s"no runtime filter reached the cells scan:\n${plan.take(2000)}")
+  }
+
   test("PCA index maintenance: rewrite is search-invariant, stored u survives") {
     val idx = java.nio.file.Files.createTempDirectory("annmx5").toString + "/i"
     val sheared = corpus.select(col("vec_id"),
