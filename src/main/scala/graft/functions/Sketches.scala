@@ -328,13 +328,27 @@ object Sketches {
   def hyperplaneMargins(vec: Column, numPlanes: Int = 64, seed: Long = 42L): Column =
     toColumn(HyperplaneMargins(exprOf(vec), numPlanes, seed))
 
-  /** Byte-granularity band keys of a hyperplane sketch (8 bands of 8 bits
-    * for a 64-plane sketch).
+  /** Band keys of a hyperplane sketch: `bands` contiguous chunks of
+    * `numPlanes / bands` bits each (8 bands of 8 bits for the default
+    * 64-plane sketch). The stride is derived from `numPlanes`, NOT from
+    * the 64-bit carrier word: a 32-plane sketch banded 4 ways yields
+    * four 8-bit keys over planes [0,8),[8,16),[16,24),[24,32) — so the
+    * band that covers plane p is always `p / (numPlanes/bands)`, the
+    * same arithmetic multi-probe uses to map margin ranks to flip bits.
+    * (Banding at a fixed 64/bands stride would leave high bands
+    * constant-zero for numPlanes < 64 — every row colliding — and
+    * desynchronize the margin slice from the flipped plane.)
     */
-  def sketchBands(sketch: Column, bands: Int = 8): Column =
+  def sketchBands(sketch: Column, bands: Int = 8, numPlanes: Int = 64): Column = {
+    require(numPlanes >= 1 && numPlanes <= 64,
+      s"numPlanes must be in [1,64], got $numPlanes")
+    require(numPlanes % bands == 0,
+      s"numPlanes $numPlanes must split into $bands bands")
+    val w = numPlanes / bands
     array((0 until bands).map(i =>
-      shiftrightunsigned(sketch, i * (64 / bands))
-        .bitwiseAND(lit((1L << (64 / bands)) - 1))): _*)
+      shiftrightunsigned(sketch, i * w)
+        .bitwiseAND(lit(if (w == 64) -1L else (1L << w) - 1))): _*)
+  }
 
   // ---------------------------------------------------------------------
   // Winnowing fingerprints

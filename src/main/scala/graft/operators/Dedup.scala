@@ -1064,7 +1064,8 @@ object Dedup {
       .withColumn("nrm", l2Norm(col("e")))
       .withColumn("sk", Sketches.hyperplaneSketch(col("e"), numPlanes))
     val banded = sk.select(col("id"), col("e"), col("nrm"),
-      posexplode(Sketches.sketchBands(col("sk"), bands)).as(Seq("band", "key")))
+      posexplode(Sketches.sketchBands(col("sk"), bands, numPlanes))
+        .as(Seq("band", "key")))
     val bucketed = capBuckets(banded, Seq("band", "key"), maxBucket)
     bucketed.as("a")
       .join(bucketed.as("b"),

@@ -295,7 +295,8 @@ object SimilaritySearch {
         .withColumn("sk", Sketches.hyperplaneSketch(col("e"), numPlanes))
         .select(col("id").as(s"${prefix}id"), col("e").as(s"${prefix}e"),
           col("nrm").as(s"${prefix}n"),
-          posexplode(Sketches.sketchBands(col("sk"), bands)).as(Seq("band", "band_key")))
+          posexplode(Sketches.sketchBands(col("sk"), bands, numPlanes))
+            .as(Seq("band", "band_key")))
     val q = banded(queries, "q")
     val c = banded(corpus, "c")
     topKPerQuery(
@@ -308,11 +309,16 @@ object SimilaritySearch {
       k)
   }
 
-  /** Multi-probe LSH (Lv et al., VLDB 2007, single-bit perturbations,
-    * determinized): each query probes its own band key PLUS the keys
-    * with the 1st..(probes−1)th LOWEST-confidence bit flipped (plane
-    * |margin| asc, bit index asc — integer micro-unit margins from
-    * [[Sketches.hyperplaneMargins]]). The scale point: recall grows on
+  /** Multi-probe LSH (Lv et al., VLDB 2007, determinized): each query
+    * probes its own band key PLUS the keys perturbed by the
+    * 1st..(probes−1)th LOWEST-cost bit SETS. At `maxFlipBits = 1` the
+    * perturbations are single-bit flips ranked by plane |margin| (asc,
+    * then mask asc — integer micro-unit margins from
+    * [[Sketches.hyperplaneMargins]], so rank order is closed-form); at
+    * `maxFlipBits = 2` the probe sequence also spans bit PAIRS, ranked
+    * by SUMMED margins in the same total order — Lv et al.'s
+    * perturbation-set sequence, where multi-probe typically reaches
+    * parity with 2× the band budget. The scale point: recall grows on
     * the QUERY side only — the corpus-side banded table (the big,
     * shuffled/broadcast thing) stays `bands·|corpus|` rows, where
     * single-probe LSH buys the same recall by ADDING bands and growing
@@ -321,34 +327,50 @@ object SimilaritySearch {
   def lshMultiProbeKnn(
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int,
-      numPlanes: Int = 64, bands: Int = 8, probes: Int = 4): DataFrame = {
+      numPlanes: Int = 64, bands: Int = 8, probes: Int = 4,
+      maxFlipBits: Int = 1): DataFrame = {
     require(numPlanes % bands == 0,
       s"numPlanes $numPlanes must split into $bands bands")
     val w = numPlanes / bands
     require(w <= 32, s"band width $w exceeds 32 bits — use more bands")
-    require(probes >= 1 && probes <= w + 1,
-      s"probes must be in [1, ${w + 1}] (the band has $w flippable bits)")
+    require(maxFlipBits >= 1 && maxFlipBits <= 2,
+      s"maxFlipBits must be 1 (singles) or 2 (+pairs), got $maxFlipBits")
+    val nPerturb = if (maxFlipBits == 1) w else w + w * (w - 1) / 2
+    require(probes >= 1 && probes <= nPerturb + 1,
+      s"probes must be in [1, ${nPerturb + 1}] (the band has $nPerturb " +
+        s"perturbation sets at maxFlipBits=$maxFlipBits)")
     val c = prep(corpus, vecCol, idCol)
       .withColumn("sk", Sketches.hyperplaneSketch(col("e"), numPlanes))
       .select(col("id").as("cid"), col("e").as("ce"), col("nrm").as("cn"),
-        posexplode(Sketches.sketchBands(col("sk"), bands))
+        posexplode(Sketches.sketchBands(col("sk"), bands, numPlanes))
           .as(Seq("band", "band_key")))
+    // perturbation sets as (summed margin, XOR mask) structs — a total
+    // order (ms asc, mask asc) array_sort replays lexicographically and
+    // the oracle replays as a row_number; singles sort identically to
+    // the r12 (margin asc, bit asc) rule since mask = 2^j is monotone
+    def bitMask(j: Column): Column = pow(lit(2.0), j.cast("double")).cast("long")
+    val singles = zip_with(
+      slice(col("mg"), col("band") * w + 1, lit(w)),
+      sequence(lit(0), lit(w - 1)),
+      (m, j) => struct(m.as("ms"), bitMask(j).as("mask")))
+    val perturbs =
+      if (maxFlipBits == 1) singles
+      else concat(singles, flatten(transform(sequence(lit(0), lit(w - 2)),
+        i => transform(sequence(i + 1, lit(w - 1)), j => struct(
+          (element_at(col("mg"), col("band") * w + i + 1) +
+            element_at(col("mg"), col("band") * w + j + 1)).as("ms"),
+          (bitMask(i) + bitMask(j)).as("mask"))))))
     val probeKeys = prep(queries, vecCol, idCol)
       .withColumn("sk", Sketches.hyperplaneSketch(col("e"), numPlanes))
       .withColumn("mg", Sketches.hyperplaneMargins(col("e"), numPlanes))
       .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
-        posexplode(Sketches.sketchBands(col("sk"), bands))
+        posexplode(Sketches.sketchBands(col("sk"), bands, numPlanes))
           .as(Seq("band", "key")), col("mg"))
-      .withColumn("flips",
-        slice(array_sort(zip_with(
-          slice(col("mg"), col("band") * w + 1, lit(w)),
-          sequence(lit(0), lit(w - 1)),
-          (m, j) => struct(m.as("m"), j.as("j")))), 1, probes - 1))
+      .withColumn("flips", slice(array_sort(perturbs), 1, probes - 1))
       .select(col("qid"), col("qe"), col("qn"), col("band"),
         explode(concat(array(col("key")),
           transform(col("flips"), f =>
-            col("key").bitwiseXOR(
-              pow(lit(2.0), f.getField("j").cast("double")).cast("long")))))
+            col("key").bitwiseXOR(f.getField("mask")))))
           .as("band_key"))
     topKPerQuery(
       broadcast(probeKeys).join(c, Seq("band", "band_key"))
@@ -393,6 +415,42 @@ object SimilaritySearch {
         lit(milli(hitsSingle)).as("recall_single_milli"),
         lit(hitsMulti).as("hits_multi"),
         lit(milli(hitsMulti)).as("recall_multi_milli"))
+    } finally { exact.unpersist(); () }
+  }
+
+  /** Measured value of the PAIR probe sequence at EQUAL band budget:
+    * single-bit multi-probe (the r12 sequence, its probe count capped
+    * at w+1 by construction) vs the maxFlipBits=2 sequence with a
+    * longer probe budget — the corpus-side banded table is IDENTICAL
+    * in both (that is the multi-probe trade), so any recall gap is
+    * bought purely query-side. Both vs exact brute force.
+    */
+  def lshMultiProbePairRecallAudit(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      numPlanes: Int = 64, bands: Int = 8,
+      probes1: Int = 6, probes2: Int = 12): DataFrame = {
+    val spark = corpus.sparkSession
+    val exact = bruteForceKnn(corpus, queries, vecCol, idCol, k)
+      .select(col("qid"), col("nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nQueries = exact.select(col("qid")).distinct().count()
+      def hits(ann: DataFrame): Long =
+        ann.select(col("qid"), col("nid"))
+          .join(exact, Seq("qid", "nid"), "left_semi").count()
+      val hits1 = hits(lshMultiProbeKnn(corpus, queries, vecCol, idCol, k,
+        numPlanes, bands, probes1, maxFlipBits = 1))
+      val hits2 = hits(lshMultiProbeKnn(corpus, queries, vecCol, idCol, k,
+        numPlanes, bands, probes2, maxFlipBits = 2))
+      def milli(h: Long): Long =
+        if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
+      spark.range(1).select(
+        lit(nQueries).as("n_queries"), lit(k).as("k"),
+        lit(hits1).as("hits_single_bit"),
+        lit(milli(hits1)).as("recall_single_bit_milli"),
+        lit(hits2).as("hits_pair"),
+        lit(milli(hits2)).as("recall_pair_milli"))
     } finally { exact.unpersist(); () }
   }
 
@@ -1226,13 +1284,35 @@ object SimilaritySearch {
       transform(col(vecCol), x => x.cast("double")).as("e"))
     var v: Seq[Long] = Seq.fill(dim)(1000000L)
     for (_ <- 1 to iters) {
+      // two silent-overflow hazards guarded here, both places the Scala
+      // side could diverge from the oracle's arithmetic: (1) Spark's
+      // floor(double) returns LongType and SATURATES at 2^63−1, where
+      // DuckDB keeps the double and errors on the BIGINT cast — so the
+      // per-TERM magnitude is checked in the same aggregate; (2) a
+      // LongType sum over many in-range terms wraps, where DuckDB's
+      // sum(BIGINT) promotes to HUGEINT — so the sum runs in
+      // Decimal(38,0) (matching the promotion) with a fits-in-Long
+      // require. Either violation is a loud error, never a divergence.
       val s = rows
         .withColumn("dt", arrayDot(col("e"), typedLit(v.map(_.toDouble))))
         .select(col("dt"), posexplode(col("e")).as(Seq("pos", "x")))
+        .withColumn("t", col("x") * col("dt") + lit(0.5))
         .groupBy(col("pos"))
-        .agg(sum(floor(col("x") * col("dt") + lit(0.5)).cast("long")).as("s"))
+        .agg(sum(floor(col("t"))
+          .cast(org.apache.spark.sql.types.DecimalType(38, 0))).as("s"),
+          max(abs(col("t"))).as("mx"))
         .collect()
-        .map(r => r.getAs[Int]("pos") -> r.getAs[Long]("s")).toMap
+        .map { r =>
+          require(r.getAs[Double]("mx") < 9.0e18,
+            "power-iteration term exceeds 2^63 — Spark's long floor " +
+              "would saturate; reduce corpus magnitude or pre-scale " +
+              "the vectors")
+          val bd = r.getAs[java.math.BigDecimal]("s")
+          require(bd.abs.compareTo(new java.math.BigDecimal(Long.MaxValue)) <= 0,
+            s"power-iteration moment sum $bd exceeds 2^63 — reduce corpus " +
+              "magnitude or pre-scale the vectors")
+          r.getAs[Int]("pos") -> bd.longValueExact()
+        }.toMap
       val sv = (0 until dim).map(d => s.getOrElse(d, 0L))
       val sMax = sv.map(math.abs).max
       require(sMax > 0, "power iteration collapsed: all-zero moment sums")
@@ -1247,13 +1327,104 @@ object SimilaritySearch {
     * cancellation-safe sign choice. All integer arithmetic (Σv² <
     * 2⁵³, so the double sqrt is exact-input and IEEE on both engines).
     */
-  def householderU(v: Seq[Long]): Seq[Long] = {
+  def householderU(v: Seq[Long]): Seq[Long] = householderUAt(v, 0)
+
+  /** [[householderU]] generalized to map v onto ±e_pivot. Entries below
+    * the pivot must be EXACTLY zero: then u has zeros there too, so the
+    * reflection H = I−2uuᵀ/(uᵀu) FIXES dimensions 0..pivot−1 — the
+    * deflation contract that lets a second component's reflection leave
+    * the first component's isolated dimension untouched.
+    */
+  def householderUAt(v: Seq[Long], pivot: Int): Seq[Long] = {
+    require(pivot >= 0 && pivot < v.length,
+      s"pivot $pivot out of range (0..${v.length - 1})")
+    require(v.take(pivot).forall(_ == 0L),
+      "entries below the pivot must be zero — deflate (mask) the " +
+        "already-isolated dimensions before power-iterating")
     val sumSq = v.map(x => x * x).sum
     require(sumSq > 0, "zero direction has no Householder reflection")
     val l = math.floor(math.sqrt(sumSq.toDouble)).toLong
     v.zipWithIndex.map { case (x, i) =>
-      if (i == 0) x + (if (x >= 0) l else -l) else x
+      if (i == pivot) x + (if (x >= 0) l else -l) else x
     }
+  }
+
+  /** TWO deflated principal directions as Householder vectors (u₁, u₂):
+    * power-iterate the dominant direction and reflect it onto e₁, then
+    * power-iterate the RESIDUAL — the reflected corpus with dimension 0
+    * masked to exactly 0.0, so the second moment pass cannot see the
+    * isolated first component (and its per-dim sums at position 0 are
+    * exactly zero, giving v₂[0] = 0 — the [[householderUAt]] pivot
+    * contract holds by construction, not by rounding luck) — and
+    * reflect it onto e₂. H₂∘H₁ is a product of exact orthogonals,
+    * hence exactly orthogonal: quantization never distorts distances.
+    */
+  def pcaDirections2(corpus: DataFrame, vecCol: String, dim: Int,
+      powerIters: Int = 4): (Seq[Long], Seq[Long]) = {
+    val u1 = householderU(powerDirection(corpus, vecCol, dim, powerIters))
+    val masked = corpus.select(
+      transform(householderReflect(col(vecCol), u1),
+        (x, i) => when(i === 0, lit(0.0)).otherwise(x)).as("e2"))
+    val v2 = powerDirection(masked, "e2", dim, powerIters)
+    (u1, householderUAt(v2, 1))
+  }
+
+  /** IVF-PQ over the TWO-component PCA basis: H₂(H₁x) isolates the two
+    * dominant oblique directions into dimensions 0 and 1 — covering
+    * corpora where one reflection leaves the SECOND shared component
+    * smeared across every dimension of both PQ subspaces (measured in
+    * the audit; the single-component chain is blind to it exactly the
+    * way the permutation was blind to the first).
+    */
+  def ivfPqPca2Knn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, dim: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384, powerIters: Int = 4): DataFrame = {
+    val (u1, u2) = pcaDirections2(corpus, vecCol, dim, powerIters)
+    def rot(df: DataFrame): DataFrame =
+      df.select(col(idCol),
+        householderReflect(householderReflect(col(vecCol), u1), u2)
+          .as(vecCol))
+    rankAdc(ivfPqAdcScores(rot(corpus), rot(queries), vecCol, idCol,
+      nCells, nProbe, m, pqCells, iterations, maxTrainPerCell), k)
+  }
+
+  /** Measured value of the second deflated component: one- vs
+    * two-reflection PCA chains at equal budget on the same corpus, both
+    * vs exact brute force — [[pcaRecallAudit]]'s discipline one rung up.
+    */
+  def pca2RecallAudit(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, dim: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384, powerIters: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val exact = bruteForceKnn(corpus, queries, vecCol, idCol, k)
+      .select(col("qid"), col("nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nQueries = exact.select(col("qid")).distinct().count()
+      def hits(ann: DataFrame): Long =
+        ann.select(col("qid"), col("nid"))
+          .join(exact, Seq("qid", "nid"), "left_semi").count()
+      val hits1 = hits(ivfPqPcaKnn(corpus, queries, vecCol, idCol,
+        dim, k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell,
+        powerIters))
+      val hits2 = hits(ivfPqPca2Knn(corpus, queries, vecCol, idCol,
+        dim, k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell,
+        powerIters))
+      def milli(h: Long): Long =
+        if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
+      spark.range(1).select(
+        lit(nQueries).as("n_queries"), lit(k).as("k"),
+        lit(hits1).as("hits_pca1"),
+        lit(milli(hits1)).as("recall_pca1_milli"),
+        lit(hits2).as("hits_pca2"),
+        lit(milli(hits2)).as("recall_pca2_milli"))
+    } finally { exact.unpersist(); () }
   }
 
   /** Apply the exact orthogonal reflection H = I − 2uuᵀ/(uᵀu) row-
@@ -1615,7 +1786,10 @@ object SimilaritySearch {
       nCells: Int = 16, degree: Int = 4, seedsPerCell: Int = 2,
       iterations: Int = 2, maxTrainPerCell: Int = 16384,
       maxEdgeCandidatesPerCell: Int = 16384,
-      crossCells: Int = 0, degreeCross: Int = 0): Unit = {
+      crossCells: Int = 0, degreeCross: Int = 0,
+      degreeTop: Int = 0): Unit = {
+    require(degreeTop >= 0,
+      s"degreeTop must be >= 0 (0 = no persisted top layer), got $degreeTop")
     val (cents, nodes, edges, seeds, release) = graphPieces(corpus, vecCol,
       idCol, nCells, degree, seedsPerCell, iterations, maxTrainPerCell,
       maxEdgeCandidatesPerCell, crossCells, degreeCross)
@@ -1628,6 +1802,15 @@ object SimilaritySearch {
         .mode("overwrite").save()
       seeds.write.format("kv").option("path", s"$path/seeds")
         .mode("overwrite").save()
+      // hierarchical-entry top layer, persisted train-once/search-many
+      // (the buildIvfIndex discipline): seeds are build-time-fixed, so
+      // the top-layer kNN graph over them is append-stable and can be
+      // stored beside the other tables instead of being refolded
+      // (≤ |seeds|·cap work) on every hier search
+      if (degreeTop > 0)
+        topLayer(nodes, seeds, degreeTop)._2
+          .write.format("kv").option("path", s"$path/top_edges")
+          .mode("overwrite").save()
       // build-knob metadata: appends read the CROSS-edge knobs from here
       // so an index built with long-range links keeps giving them to
       // appended nodes (without it, appended nodes would only ever link
@@ -1636,9 +1819,10 @@ object SimilaritySearch {
       import spark.implicits._
       Seq((degree.toLong, seedsPerCell.toLong, nCells.toLong,
         maxEdgeCandidatesPerCell.toLong, crossCells.toLong,
-        degreeCross.toLong))
+        degreeCross.toLong, degreeTop.toLong))
         .toDF("degree", "seeds_per_cell", "n_cells",
-          "max_edge_candidates", "cross_cells", "degree_cross")
+          "max_edge_candidates", "cross_cells", "degree_cross",
+          "degree_top")
         .write.format("kv").option("path", s"$path/knobs")
         .mode("overwrite").save()
     } finally release()
@@ -1695,15 +1879,37 @@ object SimilaritySearch {
   def graphIndexAppend(newVecs: DataFrame, vecCol: String, idCol: String,
       path: String, degree: Int = 0,
       maxEdgeCandidatesPerCell: Int = 0): Unit = {
+    val spark = newVecs.sparkSession
+    val (deg, cap, crossCells, degreeCross) =
+      appendKnobs(spark, path, degree, maxEdgeCandidatesPerCell)
+    def t(n: String) = spark.read.format("kv").option("path", s"$path/$n").load()
+    val newNodes = assignCells(prep(newVecs, vecCol, idCol), t("centroids"))
+      .select(col("cell"), col("id").as("nid"), col("e").as("ne"),
+        col("nrm").as("nn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      appendEdgesFor(spark, path, newNodes, deg, cap, crossCells, degreeCross)
+      newNodes.select(col("cell"), col("nid"), col("ne"), col("nn"))
+        .write.format("kv").option("path", s"$path/cells").mode("append").save()
+    } finally { newNodes.unpersist(); () }
+  }
+
+  /** Resolve the append-time build knobs: explicit parameter > knobs
+    * table (the build's values) > literal fallback — the 0-sentinel
+    * contract shared by [[graphIndexAppend]], [[graphFinalizeAppend]]
+    * and [[graphPruneEdges]].
+    */
+  private def appendKnobs(spark: org.apache.spark.sql.SparkSession,
+      path: String, degree: Int, maxEdgeCandidatesPerCell: Int)
+      : (Int, Int, Int, Int) = {
     require(degree >= 0, s"degree must be >= 0 (0 = from knobs), got $degree")
     require(maxEdgeCandidatesPerCell >= 0,
       "maxEdgeCandidatesPerCell must be >= 0 (0 = from knobs), got " +
         maxEdgeCandidatesPerCell)
-    val spark = newVecs.sparkSession
-    def t(n: String) = spark.read.format("kv").option("path", s"$path/$n").load()
     val knobs =
       if (graft.sources.ParquetIO.listFiles(s"$path/knobs").isEmpty) None
-      else t("knobs").collect().headOption
+      else spark.read.format("kv").option("path", s"$path/knobs").load()
+        .collect().headOption
     def knob(name: String, explicit: Int, fallback: Int): Int =
       if (explicit > 0) explicit
       else knobs.map(_.getAs[Long](name).toInt).getOrElse(fallback)
@@ -1713,11 +1919,22 @@ object SimilaritySearch {
       .map(r => (r.getAs[Long]("cross_cells").toInt,
         r.getAs[Long]("degree_cross").toInt))
       .getOrElse((0, 0))
+    (deg, cap, crossCells, degreeCross)
+  }
+
+  /** The append EDGE pass shared by [[graphIndexAppend]] (one-shot) and
+    * [[graphFinalizeAppend]] (streaming drain): computes `newNodes`'
+    * forward within-cell edges, their cross-cell long-range edges when
+    * the build carries them, and the reverse edges, over the bounded
+    * final-state candidate pool — then APPENDS them to the edges table.
+    * `newNodes` must be persisted by the caller (it is consumed by
+    * several jobs).
+    */
+  private def appendEdgesFor(spark: org.apache.spark.sql.SparkSession,
+      path: String, newNodes: DataFrame, deg: Int, cap: Int,
+      crossCells: Int, degreeCross: Int): Unit = {
+    def t(n: String) = spark.read.format("kv").option("path", s"$path/$n").load()
     val cents = t("centroids")
-    val newNodes = assignCells(prep(newVecs, vecCol, idCol), cents)
-      .select(col("cell"), col("id").as("nid"), col("e").as("ne"),
-        col("nrm").as("nn"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // cross-cell target selection FIRST: its target cells join the
     // batch's own cells to form the touched set that bounds the pool
     val xselOpt =
@@ -1767,26 +1984,111 @@ object SimilaritySearch {
     try {
       outgoing.unionByName(rev).write.format("kv")
         .option("path", s"$path/edges").mode("append").save()
-      newNodes.select(col("cell"), col("nid"), col("ne"), col("nn"))
-        .write.format("kv").option("path", s"$path/cells").mode("append").save()
     } finally {
-      newNodes.unpersist(); xselOpt.foreach(_.unpersist()); ()
+      xselOpt.foreach(_.unpersist()); ()
     }
+  }
+
+  /** Streaming graph-index maintenance, NODE phase — the
+    * batching-independent half of [[graphIndexAppend]], safe to call
+    * per micro-batch from `foreachBatch`: assign the batch against the
+    * persisted centroids (a per-row map, so the resulting node rows do
+    * not depend on how the stream was chopped into batches) and append
+    * them to the `cells` table, recording their ids in a `pending`
+    * table. NO edges are computed here: the build's per-wave top-degree
+    * edge fold sees only its wave's pool, so edges computed per
+    * micro-batch would depend on trigger boundaries — instead ONE
+    * deterministic edge pass over the whole drained set runs at
+    * [[graphFinalizeAppend]], keyed by final state. Until then the
+    * drained nodes are invisible to walks (reachable only through
+    * edges/seeds), never wrong.
+    *
+    * Crash contract: `pending` lands before `cells`, so every committed
+    * node row is covered by a pending id; a foreachBatch retry
+    * re-appends both, and the duplicates dedup by nid at the finalize
+    * (and at every walk).
+    */
+  def graphAppendNodes(newVecs: DataFrame, vecCol: String, idCol: String,
+      path: String): Unit = {
+    val spark = newVecs.sparkSession
+    def t(n: String) = spark.read.format("kv").option("path", s"$path/$n").load()
+    val newNodes = assignCells(prep(newVecs, vecCol, idCol), t("centroids"))
+      .select(col("cell"), col("id").as("nid"), col("e").as("ne"),
+        col("nrm").as("nn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      newNodes.select(col("cell"), col("nid")).write.format("kv")
+        .option("path", s"$path/pending").mode("append").save()
+      newNodes.write.format("kv")
+        .option("path", s"$path/cells").mode("append").save()
+    } finally { newNodes.unpersist(); () }
+  }
+
+  /** Streaming graph-index maintenance, EDGE phase: one deterministic
+    * [[graphIndexAppend]] edge pass over EVERYTHING [[graphAppendNodes]]
+    * drained since the last finalize — the pending set joins its node
+    * rows back from the cells table (final state, not wave order), so
+    * the finished index is bit-identical to a single-batch
+    * `graphIndexAppend` of the union, no matter how the stream was
+    * chopped into micro-batches (pinned by the maintenance spec).
+    * Build knobs resolve from the knobs table under the same 0-sentinel
+    * contract as the one-shot append. A finalize with nothing pending
+    * is a no-op. Crash contract: edges land before the pending clear; a
+    * retried finalize duplicates edge rows, which the walks' candidate
+    * dedup absorbs and the next [[graphPruneEdges]] removes.
+    */
+  def graphFinalizeAppend(spark: org.apache.spark.sql.SparkSession,
+      path: String, degree: Int = 0,
+      maxEdgeCandidatesPerCell: Int = 0): Unit = {
+    if (graft.sources.ParquetIO.listFiles(s"$path/pending").isEmpty) return
+    val (deg, cap, crossCells, degreeCross) =
+      appendKnobs(spark, path, degree, maxEdgeCandidatesPerCell)
+    def t(n: String) = spark.read.format("kv").option("path", s"$path/$n").load()
+    // no broadcast hint on the pending set: a long drain can accumulate
+    // an arbitrarily large pending table, so the planner (AQE) decides —
+    // small drains broadcast, big ones shuffle
+    val newNodes = t("cells")
+      .join(t("pending").select(col("nid")).distinct(), Seq("nid"), "left_semi")
+      .dropDuplicates("nid")
+      .select(col("cell"), col("nid"), col("ne"), col("nn"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      appendEdgesFor(spark, path, newNodes, deg, cap, crossCells, degreeCross)
+    } finally { newNodes.unpersist(); () }
+    graft.sources.ParquetIO.deletePath(s"$path/pending")
   }
 
   /** The O(batch) dst-pool input for [[graphIndexAppend]]: existing ∪
     * new node rows restricted (broadcast semi-join) to the append's
-    * touched cells, deduped by nid (crash-retried prior appends leave
-    * identical node rows). The pool aggregation downstream therefore
-    * reads rows bounded by touched-cell MEMBERSHIP, never table size —
-    * pinned by the maintenance spec on a 1-of-16-cells append.
+    * touched cells, deduped by nid — DETERMINISTICALLY: an existing row
+    * whose nid also appears in the batch loses to the batch's row (a
+    * broadcast anti-join on the batch's nids), so re-appending an id
+    * with a changed vector always pools the NEW embedding instead of
+    * letting `dropDuplicates` pick one arbitrarily. Within each leg,
+    * duplicate nids carry identical rows (crash-retried appends), so
+    * the per-leg dedup is order-free. NOTE: re-appending an existing id
+    * is still not an update — the cells table ends up with both rows
+    * and the WALK's per-nid dedup picks arbitrarily; use a rebuild (or
+    * row-level DML on the cells table) to change a vector. The pool
+    * aggregation downstream reads rows bounded by touched-cell
+    * MEMBERSHIP, never table size — pinned by the maintenance spec on
+    * a 1-of-16-cells append.
     */
   private[operators] def appendCandidateMembers(
       existing: DataFrame, newNodes: DataFrame,
-      touched: DataFrame): DataFrame =
-    existing.unionByName(newNodes)
+      touched: DataFrame): DataFrame = {
+    val newDedup = newNodes
       .join(broadcast(touched), Seq("cell"), "left_semi")
       .dropDuplicates("nid")
+    // no broadcast hint on the batch's nid set: one-shot appends are
+    // batch-sized, but a streaming finalize can pass an arbitrarily
+    // large drained set — the planner (AQE) picks broadcast when small
+    existing
+      .join(broadcast(touched), Seq("cell"), "left_semi")
+      .join(newNodes.select(col("nid")), Seq("nid"), "left_anti")
+      .dropDuplicates("nid")
+      .unionByName(newDedup)
+  }
 
   /** Maintenance for the persisted graph index: fold every node's
     * out-edge list back to its `degree` most-similar targets (sim desc,
@@ -1810,15 +2112,25 @@ object SimilaritySearch {
     * silently disconnect the cells the links were added to bridge.
     */
   def graphPruneEdges(spark: org.apache.spark.sql.SparkSession,
-      path: String, degree: Int): Unit = {
-    require(degree >= 1, s"degree must be >= 1, got $degree")
+      path: String, degree: Int = 0): Unit = {
+    require(degree >= 0, s"degree must be >= 0 (0 = from knobs), got $degree")
     val edgesPath = s"$path/edges"
     KvMerge.recoverSwap(edgesPath)
     def t(n: String) = spark.read.format("kv").option("path", s"$path/$n").load()
-    val degreeCross =
-      if (graft.sources.ParquetIO.listFiles(s"$path/knobs").isEmpty) 0
+    // same 0-sentinel discipline as graphIndexAppend: the same-cell
+    // degree resolves from the BUILD's knobs table unless explicitly
+    // overridden, so a maintenance call without the knob never silently
+    // prunes with a budget different from the one the index was built
+    // with (pre-meta indexes fall back to the explicit value / literal 4)
+    val knobRow =
+      if (graft.sources.ParquetIO.listFiles(s"$path/knobs").isEmpty) None
       else t("knobs").collect().headOption
-        .map(_.getAs[Long]("degree_cross").toInt).getOrElse(0)
+    val deg =
+      if (degree > 0) degree
+      else knobRow.map(_.getAs[Long]("degree").toInt).getOrElse(4)
+    require(deg >= 1, s"resolved degree must be >= 1, got $deg")
+    val degreeCross =
+      knobRow.map(_.getAs[Long]("degree_cross").toInt).getOrElse(0)
     val nodes = t("cells").select(col("nid"), col("cell"), col("ne"), col("nn"))
       .dropDuplicates("nid")
     val scored = t("edges").dropDuplicates("src", "dst")
@@ -1836,8 +2148,8 @@ object SimilaritySearch {
       .select(col("src"), explode(col("top")).as("t"))
       .select(col("src"), col("t.dst").as("dst"))
     val pruned =
-      if (degreeCross == 0) fold(scored, degree)
-      else fold(scored.where(col("same_cell")), degree)
+      if (degreeCross == 0) fold(scored, deg)
+      else fold(scored.where(col("same_cell")), deg)
         .unionByName(fold(scored.where(!col("same_cell")), degreeCross))
     KvMerge.writeAndSwap(pruned, edgesPath)
   }
@@ -1948,9 +2260,7 @@ object SimilaritySearch {
       degreeTop: Int, maxTopCandidates: Int = 16384)
       : (DataFrame, DataFrame) = {
     require(degreeTop >= 1, s"degreeTop must be >= 1, got $degreeTop")
-    val seedN = seeds.select(col("nid")).distinct()
-      .join(nodes.select(col("nid"), col("ne"), col("nn"))
-        .dropDuplicates("nid"), Seq("nid"))
+    val seedN = seedNodes(nodes, seeds)
     val pool = edgeCandidatePool(
       seedN.select(col("nid").as("id"), lit(0L).as("cell"),
         col("ne").as("e"), col("nn").as("nrm")),
@@ -1970,6 +2280,15 @@ object SimilaritySearch {
       .select(col("src"), col("t.dst").as("dst"))
     (seedN, topEdges)
   }
+
+  /** The seed NODE rows (nid, ne, nn) of a graph index — the broadcast-
+    * sized join of the seed ids to their vectors, shared by the
+    * top-layer build and the persisted-top-layer read path.
+    */
+  private def seedNodes(nodes: DataFrame, seeds: DataFrame): DataFrame =
+    seeds.select(col("nid")).distinct()
+      .join(nodes.select(col("nid"), col("ne"), col("nn"))
+        .dropDuplicates("nid"), Seq("nid"))
 
   /** The hierarchical walk: route through the top layer from the fixed
     * min-nid entry seed (beam `entryBeam`, `hopsTop` rounds over the
@@ -2024,12 +2343,19 @@ object SimilaritySearch {
       k, entryBeam, hopsTop, beamWidth, hops)
   }
 
-  /** Hierarchical walk against a persisted index: the top layer is
-    * rebuilt from the (broadcast-sized) persisted seeds + their node
-    * rows — a bounded job, no corpus pass — so any existing graph
-    * index supports hierarchical entry without a new table or a
-    * rebuild. Seeds are build-time-fixed ([[graphIndexAppend]] never
-    * changes them), so the routed layer is append-stable.
+  /** Hierarchical walk against a persisted index — read-only at search
+    * time when the build persisted its top layer ([[buildGraphIndex]]
+    * with `degreeTop` > 0, recorded in the knobs table): `top_edges`
+    * reads back like every other index table, restoring the
+    * train-once/search-many discipline for the hier tier. An index
+    * without the table (pre-persist layouts) or built at a DIFFERENT
+    * `degreeTop` than the search requests falls back to rebuilding the
+    * top layer from the (broadcast-sized) persisted seeds + their node
+    * rows — a bounded job, no corpus pass. Both paths answer
+    * bit-identically (`topLayer` is deterministic and its edges are
+    * longs — exact in parquet), pinned by the maintenance spec. Seeds
+    * are build-time-fixed ([[graphIndexAppend]] never changes them), so
+    * the persisted layer is append-stable.
     */
   def graphKnnHierIndexed(
       queries: DataFrame, vecCol: String, idCol: String, path: String,
@@ -2037,7 +2363,20 @@ object SimilaritySearch {
       beamWidth: Int = 8, hops: Int = 2): DataFrame = {
     val spark = queries.sparkSession
     def t(n: String) = spark.read.format("kv").option("path", s"$path/$n").load()
-    val (seedN, topEdges) = topLayer(t("cells"), t("seeds"), degreeTop)
+    // read-only search when the build persisted its top layer at this
+    // degreeTop (knobs-recorded); rebuild from the broadcast-sized seed
+    // set otherwise (pre-r13 indexes / mismatched degreeTop) — both
+    // paths bit-identical, pinned by the maintenance spec
+    val storedDegreeTop =
+      if (graft.sources.ParquetIO.listFiles(s"$path/knobs").isEmpty) 0
+      else t("knobs").collect().headOption
+        .filter(_.schema.fieldNames.contains("degree_top"))
+        .map(_.getAs[Long]("degree_top").toInt).getOrElse(0)
+    val (seedN, topEdges) =
+      if (storedDegreeTop == degreeTop &&
+          graft.sources.ParquetIO.listFiles(s"$path/top_edges").nonEmpty)
+        (seedNodes(t("cells"), t("seeds")), t("top_edges"))
+      else topLayer(t("cells"), t("seeds"), degreeTop)
     hierWalk(t("cells"), t("edges"), seedN, topEdges,
       queries, vecCol, idCol, k, entryBeam, hopsTop, beamWidth, hops)
   }

@@ -281,6 +281,30 @@ object PipelineQueries {
         emb.filter(col("vec_id") < 5),
         "embedding", "vec_id", k = 3, bands = 8, probes = 6)
     }),
+
+    // Lv et al.'s full probe-set sequence: perturbations span bit PAIRS
+    // ranked by SUMMED integer margins ((ms, mask) total order), so the
+    // probe budget extends past the w+1 single-bit ceiling while the
+    // corpus-side banded table stays untouched. The pair generation,
+    // rank order, XOR keys and exact rescore all replay in the oracle.
+    "q_ann_lsh_multiprobe2" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.lshMultiProbeKnn(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, bands = 8, probes = 12,
+        maxFlipBits = 2)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // The pair sequence's measured value: single-bit multi-probe (the
+    // r12 budget) vs the pair sequence at the SAME corpus-side table —
+    // the pair recall must hold the single-bit floor.
+    "q_ann_lsh_multiprobe2_audit" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.lshMultiProbePairRecallAudit(emb,
+        emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, bands = 8,
+        probes1 = 6, probes2 = 12)
+    }),
     "q_ann_ivf" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       // maxTrainPerCell=32 < members-per-cell at sf0.01 — the gate
@@ -450,20 +474,57 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
-    // The persisted-index hierarchical walk: the top layer rebuilds
-    // from the broadcast-sized persisted seeds (no new table, no
-    // corpus pass), so ANY existing graph index routes hierarchically
-    // — answers bit-identically to the in-memory hier walk.
+    // The persisted-index hierarchical walk: the build persists the
+    // top layer (`top_edges`, knobs-recorded degreeTop) so search is
+    // READ-ONLY — no per-call top-layer refold — and answers
+    // bit-identically to the in-memory hier walk (and to the rebuild
+    // fallback pre-persist indexes use).
     "q_ann_graph_hier_indexed" -> ((s, dir) => {
       val idx = s"/tmp/graft_grhidx${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       graft.sources.ParquetIO.deletePath(idx)
       val emb = Tables.load(s, dir, "embeddings")
       SimilaritySearch.buildGraphIndex(emb, "embedding", "vec_id", idx,
         nCells = 8, degree = 8, seedsPerCell = 4, maxTrainPerCell = 32,
-        crossCells = 2, degreeCross = 4)
+        crossCells = 2, degreeCross = 4, degreeTop = 4)
       SimilaritySearch.graphKnnHierIndexed(emb.filter(col("vec_id") < 5),
         "embedding", "vec_id", idx, k = 3,
         entryBeam = 6, hopsTop = 2, degreeTop = 4,
+        beamWidth = 16, hops = 3)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // Streaming graph-tier index maintenance — the graph analogue of
+    // q_ann_stream_index, batching-INDEPENDENT by construction: the
+    // foreachBatch drain appends NODE rows only (per-row assignment
+    // against fixed centroids), then ONE deterministic edge pass over
+    // the whole drained set runs at finalize, keyed by final state —
+    // so the oracle can replay it as train-on-base / assign-all /
+    // edge-replay without knowing the trigger boundaries.
+    "q_ann_graph_stream_index" -> ((s, dir) => {
+      val u = java.util.UUID.randomUUID().toString.replace("-", "")
+      val idx = s"/tmp/graft_grstr_$u/i"
+      val ckpt = s"/tmp/graft_grstrck_$u"
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.buildGraphIndex(emb.filter(col("vec_id") < 250),
+        "embedding", "vec_id", idx, nCells = 8, degree = 8,
+        seedsPerCell = 4, maxTrainPerCell = 32)
+      val q = s.readStream.format("log")
+        .option("path", s"$dir/embeddings.parquet")
+        .option("maxOffsetsPerTrigger", "100").load()
+        .filter(col("vec_id") >= 250)
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          if (!df.isEmpty)
+            SimilaritySearch.graphAppendNodes(df, "embedding", "vec_id", idx)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      SimilaritySearch.graphFinalizeAppend(s, idx)
+      SimilaritySearch.graphKnnIndexed(emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", idx, k = 3, nProbe = 3,
         beamWidth = 16, hops = 3)
         .orderBy(col("qid"), col("rnk"))
     }),
@@ -710,6 +771,49 @@ object PipelineQueries {
           .as("embedding"))
       SimilaritySearch.pcaRecallAudit(sheared,
         sheared.filter(col("vec_id") < 20), "embedding", "vec_id",
+        dim = 64, k = 3, nCells = 4, nProbe = 4, m = 2, pqCells = 16,
+        maxTrainPerCell = 64)
+    }),
+
+    // TWO deflated PCA components on a TWO-oblique-directions fixture:
+    // +4·dim1 along all-ones AND +2·dim2 along the alternating-sign
+    // diagonal (exact powers of two) — one reflection isolates only
+    // the first; the second component power-iterates the dim0-masked
+    // residual (v₂[0] = 0 exactly, so H₂ fixes e₁) and composes,
+    // H₂∘H₁ exactly orthogonal. Both power chains, both Householders
+    // and the chain replay in the oracle.
+    "q_ann_pca2" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val two = emb.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") +
+            lit(4.0) * element_at(col("embedding"), 1).cast("double") +
+            when(pmod(i, lit(2)) === 0, lit(2.0)).otherwise(lit(-2.0)) *
+              element_at(col("embedding"), 2).cast("double"))
+          .as("embedding"))
+      SimilaritySearch.ivfPqPca2Knn(two,
+        two.filter(col("vec_id") < 20), "embedding", "vec_id",
+        dim = 64, k = 3, nCells = 4, nProbe = 4, m = 2, pqCells = 16,
+        maxTrainPerCell = 64)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // The second component's measured value: one- vs two-reflection
+    // chains at equal budget on the two-direction fixture, both vs
+    // exact brute force — recall_pca2 must exceed recall_pca1 (the
+    // single reflection leaves the second shared component smeared
+    // across both PQ subspaces).
+    "q_ann_pca2_audit" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val two = emb.select(col("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          x.cast("double") +
+            lit(4.0) * element_at(col("embedding"), 1).cast("double") +
+            when(pmod(i, lit(2)) === 0, lit(2.0)).otherwise(lit(-2.0)) *
+              element_at(col("embedding"), 2).cast("double"))
+          .as("embedding"))
+      SimilaritySearch.pca2RecallAudit(two,
+        two.filter(col("vec_id") < 20), "embedding", "vec_id",
         dim = 64, k = 3, nCells = 4, nProbe = 4, m = 2, pqCells = 16,
         maxTrainPerCell = 64)
     }),

@@ -610,6 +610,98 @@ object SketchOracleSql {
        |  CAST(hm.h * 1000 // (3 * nq.n) AS BIGINT) AS recall_multi_milli
        |FROM hs, hm, nq""".stripMargin
 
+  /** The PAIR probe-set sequence (q_ann_lsh_multiprobe2): perturbations
+    * are single bits ∪ bit pairs, ranked per (query, band) by (summed
+    * micro-unit margin asc, XOR mask asc) — the engine's array_sort
+    * struct order as a row_number. `flips` selects the first
+    * probes−1 sets; probe keys are the band key XORed with each mask.
+    */
+  private def lshMultiProbePairCtes(bands: Int, probes: Int, qMax: Int): String = {
+    val w = 64 / bands
+    s"""m2_sk AS MATERIALIZED (
+       |  SELECT id, e, nrm, sku, mgs FROM ${shardUnion(Shards, hyperplaneMarginShard)}
+       |), m2_banded AS MATERIALIZED (
+       |  SELECT id, e, nrm, bi,
+       |    CAST((sku // power(2.0, $w * bi)::HUGEINT) % ${1L << w}::HUGEINT AS BIGINT) AS key
+       |  FROM m2_sk CROSS JOIN (SELECT unnest(range($bands)) AS bi) u
+       |), m2_pl AS (
+       |  SELECT id, p // $w AS bi, p % $w AS j, mg
+       |  FROM (SELECT id, unnest(range(64)) AS p, unnest(mgs) AS mg
+       |        FROM m2_sk WHERE id < $qMax)
+       |), m2_pert AS (
+       |  SELECT id, bi, mg AS ms, CAST(power(2.0, j) AS BIGINT) AS mask FROM m2_pl
+       |  UNION ALL
+       |  SELECT a.id, a.bi, a.mg + b.mg AS ms,
+       |    CAST(power(2.0, a.j) + power(2.0, b.j) AS BIGINT) AS mask
+       |  FROM m2_pl a JOIN m2_pl b
+       |    ON a.id = b.id AND a.bi = b.bi AND a.j < b.j
+       |), m2_flip AS (
+       |  SELECT id, bi, mask FROM (
+       |    SELECT id, bi, mask,
+       |      row_number() OVER (PARTITION BY id, bi ORDER BY ms, mask) AS rnk
+       |    FROM m2_pert
+       |  ) WHERE rnk <= ${probes - 1}
+       |), m2_qkeys AS (
+       |  SELECT id, bi, key FROM m2_banded WHERE id < $qMax
+       |  UNION ALL
+       |  SELECT f.id, f.bi, xor(b.key, f.mask) AS key
+       |  FROM m2_flip f JOIN m2_banded b ON b.id = f.id AND b.bi = f.bi
+       |), m2_cands AS (
+       |  SELECT DISTINCT q.id AS qid, c.id AS nid
+       |  FROM m2_qkeys q JOIN m2_banded c
+       |    ON q.bi = c.bi AND q.key = c.key AND q.id <> c.id
+       |), m2_scored AS (
+       |  SELECT cd.qid, cd.nid,
+       |    list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * c.e[i]))
+       |      / (q.nrm * c.nrm) AS sim
+       |  FROM m2_cands cd JOIN m2_sk q ON q.id = cd.qid
+       |  JOIN m2_sk c ON c.id = cd.nid
+       |)""".stripMargin
+  }
+
+  def annLshMultiProbe2Oracle: String =
+    s"""WITH ${lshMultiProbePairCtes(8, 12, 5)}
+       |SELECT qid, nid, round(sim, 6) AS sim, rnk FROM (
+       |  SELECT qid, nid, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk
+       |  FROM m2_scored
+       |) WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
+  /** q_ann_lsh_multiprobe2_audit: the r12 single-bit sequence (6
+    * probes) vs the pair sequence (12 probes) at the SAME corpus-side
+    * banded table, both vs brute force.
+    */
+  def annLshMultiProbe2AuditOracle: String =
+    s"""WITH ${lshMultiProbeCtes(8, 6, 5)}, ${lshMultiProbePairCtes(8, 12, 5)},
+       |m1_top AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       |    FROM mp_scored
+       |  ) WHERE rn <= 3
+       |), m2_top AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       |    FROM m2_scored
+       |  ) WHERE rn <= 3
+       |), m2_br AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.id AS qid, a.id AS nid,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * a.e[i]))
+       |          / (q.nrm * a.nrm) DESC, a.id) AS rn
+       |    FROM (SELECT * FROM m2_sk WHERE id < 5) q
+       |    JOIN m2_sk a ON a.id <> q.id
+       |  ) WHERE rn <= 3
+       |), h1 AS (SELECT count(*)::BIGINT AS h FROM m1_top JOIN m2_br USING (qid, nid)),
+       |h2 AS (SELECT count(*)::BIGINT AS h FROM m2_top JOIN m2_br USING (qid, nid)),
+       |nq2 AS (SELECT count(DISTINCT qid)::BIGINT AS n FROM m2_br)
+       |SELECT nq2.n AS n_queries, CAST(3 AS INT) AS k,
+       |  h1.h AS hits_single_bit,
+       |  CAST(h1.h * 1000 // (3 * nq2.n) AS BIGINT) AS recall_single_bit_milli,
+       |  h2.h AS hits_pair,
+       |  CAST(h2.h * 1000 // (3 * nq2.n) AS BIGINT) AS recall_pair_milli
+       |FROM h1, h2, nq2""".stripMargin
+
   /** q_dedup_ngram_lsh: LSH candidates verified by exact shingle-set
     * Jaccard — candidate pairs from the MinHash bands, exact measure from
     * TextFunctions.shingles sets (trim-split windows incl. short tails,
@@ -1498,6 +1590,125 @@ object SketchOracleSql {
        |  CAST(hc.h * 1000 // (3 * nq.n) AS BIGINT) AS recall_pca_milli
        |FROM hq, hc, nq""".stripMargin
 
+  /** One integer power chain over `src` with the Householder pinned at
+    * `pivot` (1-indexed in SQL): `{p}s$r`/`{p}v$r` iteration rounds,
+    * then `{p}l`/`{p}u`/`{p}uu` — [[pcaPowerCtes]]'s machinery
+    * parameterized for the two-component composition (q_ann_pca2).
+    */
+  private def powerUCtes(p: String, src: String, iters: Int, pivot: Int): String = {
+    val iterCtes = (1 to iters).map { r =>
+      val (from, vref) =
+        if (r == 1) (src, "1000000.0")
+        else (s"$src, ${p}v${r - 1}", "v[j]")
+      s"""${p}s$r AS MATERIALIZED (
+         |  SELECT pos, sum(CAST(floor(x * dt + 0.5) AS BIGINT)) AS s
+         |  FROM (
+         |    SELECT unnest(range(0, 64)) AS pos, unnest(e) AS x,
+         |      list_sum(list_transform(generate_series(1, 64),
+         |        j -> e[j::INT] * $vref)) AS dt
+         |    FROM $from
+         |  ) GROUP BY pos
+         |), ${p}v$r AS MATERIALIZED (
+         |  SELECT list(CASE WHEN s >= 0 THEN s // g
+         |    ELSE -((-s) // g) END ORDER BY pos) AS v
+         |  FROM ${p}s$r, (SELECT greatest(1, max(abs(s)) // 1000000) AS g
+         |    FROM ${p}s$r)
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""$iterCtes, ${p}l AS (
+       |  SELECT CAST(floor(sqrt(CAST(list_sum(list_transform(v, z -> z * z))
+       |    AS DOUBLE))) AS BIGINT) AS l
+       |  FROM ${p}v$iters
+       |), ${p}u AS (
+       |  SELECT list_transform(generate_series(1, 64), j ->
+       |    CASE WHEN j = $pivot
+       |      THEN v[$pivot] + (CASE WHEN v[$pivot] >= 0 THEN l ELSE -l END)
+       |    ELSE v[j::INT] END) AS u
+       |  FROM ${p}v$iters, ${p}l
+       |), ${p}uu AS (
+       |  SELECT CAST(list_sum(list_transform(u, z -> z * z)) AS DOUBLE) AS uu
+       |  FROM ${p}u
+       |)""".stripMargin
+  }
+
+  /** Apply `{uP}u`'s exact reflection to `src` as CTE `name`. */
+  private def reflectCteOver(name: String, src: String, uP: String): String =
+    s"""$name AS MATERIALIZED (
+       |  SELECT id, list_transform(generate_series(1, 64), d ->
+       |    e[d::INT] - (2.0 * ux / uu) * u[d::INT]) AS e
+       |  FROM (
+       |    SELECT id, e, u, list_sum(list_transform(generate_series(1, 64),
+       |      j -> e[j::INT] * u[j::INT])) AS ux
+       |    FROM $src, ${uP}u
+       |  ), ${uP}uu
+       |)""".stripMargin
+
+  /** The two-component composition (q_ann_pca2): the TWO-oblique
+    * fixture (+4·dim1 all-ones AND +2·dim2 alternating-sign), first
+    * power chain + reflection onto e₁, dim-1 mask (SQL 1-indexed) so
+    * the residual chain cannot see the isolated component, second
+    * power chain + reflection onto e₂ applied to the UNMASKED
+    * once-reflected vectors (u₂[1] = 0 ⇒ H₂ fixes e₁).
+    */
+  private def pca2Ctes: String =
+    s"""p2_base AS MATERIALIZED (
+       |  SELECT vec_id AS id, list_transform(generate_series(1, 64), j ->
+       |    CAST(embedding AS DOUBLE[])[j::INT]
+       |      + 4.0 * CAST(embedding AS DOUBLE[])[1]
+       |      + (CASE WHEN (j - 1) % 2 = 0 THEN 2.0 ELSE -2.0 END)
+       |          * CAST(embedding AS DOUBLE[])[2]) AS e
+       |  FROM embeddings
+       |),
+       |${powerUCtes("pa_", "p2_base", 4, 1)},
+       |${reflectCteOver("pa_prep", "p2_base", "pa_")},
+       |p2_mask AS MATERIALIZED (
+       |  SELECT id, list_transform(generate_series(1, 64), d ->
+       |    CASE WHEN d = 1 THEN 0.0 ELSE e[d::INT] END) AS e
+       |  FROM pa_prep
+       |),
+       |${powerUCtes("pb_", "p2_mask", 4, 2)},
+       |${reflectCteOver("p2_rot", "pa_prep", "pb_")}""".stripMargin
+
+  def annPca2Oracle: String =
+    s"""WITH $pca2Ctes, ${ivfPqChainOver("pd_", "p2_rot",
+          nCells = 4, nProbe = 4, pqCells = 16, cap = 64, qMax = 20)}
+       |SELECT qid, nid, round(adist, 6) AS adist, rnk
+       |FROM pd_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
+  /** q_ann_pca2_audit: one- vs two-reflection chains at equal budget
+    * over the two-direction fixture, both vs exact brute force —
+    * recall_pca2 must exceed recall_pca1.
+    */
+  def annPca2AuditOracle: String =
+    s"""WITH $pca2Ctes,
+       |${ivfPqChainOver("pd_", "p2_rot", nCells = 4, nProbe = 4,
+          pqCells = 16, cap = 64, qMax = 20)},
+       |${ivfPqChainOver("pe_", "pa_prep", nCells = 4, nProbe = 4,
+          pqCells = 16, cap = 64, qMax = 20)},
+       |p2_n AS (
+       |  SELECT id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+       |  FROM p2_base
+       |), p2_br AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.id AS qid, a.id AS nid,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * a.e[i]))
+       |          / (q.nrm * a.nrm) DESC, a.id) AS rn
+       |    FROM (SELECT * FROM p2_n WHERE id < 20) q
+       |    JOIN p2_n a ON a.id <> q.id
+       |  ) WHERE rn <= 3
+       |), h1 AS (SELECT count(*)::BIGINT AS h
+       |  FROM (SELECT qid, nid FROM pe_ranked WHERE rnk <= 3) JOIN p2_br USING (qid, nid)),
+       |h2 AS (SELECT count(*)::BIGINT AS h
+       |  FROM (SELECT qid, nid FROM pd_ranked WHERE rnk <= 3) JOIN p2_br USING (qid, nid)),
+       |nqa AS (SELECT count(DISTINCT qid)::BIGINT AS n FROM p2_br)
+       |SELECT nqa.n AS n_queries, CAST(3 AS INT) AS k,
+       |  h1.h AS hits_pca1,
+       |  CAST(h1.h * 1000 // (3 * nqa.n) AS BIGINT) AS recall_pca1_milli,
+       |  h2.h AS hits_pca2,
+       |  CAST(h2.h * 1000 // (3 * nqa.n) AS BIGINT) AS recall_pca2_milli
+       |FROM h1, h2, nqa""".stripMargin
+
   /** The FWHT execution of the same rotation (q_ann_opq_fwht): the
     * butterfly's stage/op order replayed literally — sign diagonal,
     * then for h = 1, 2, …, 32 each output j takes e[j] + e[j+h] when
@@ -1879,6 +2090,106 @@ object SketchOracleSql {
          |     OR ((NOT same_cell) AND rn <= $degreeCross)
          |)""".stripMargin
 
+  /** q_ann_graph_stream_index: the streaming-maintained GRAPH index.
+    * The engine's drain appends node rows per micro-batch (per-row
+    * assignment against the base build's fixed centroids) and computes
+    * edges ONCE at finalize over the whole drained set — keyed by
+    * final state, not wave order — so the replay is trigger-agnostic:
+    * train on the base slice (vec_id < 250), assign EVERY vector,
+    * give the streamed set (vec_id >= 250) its forward top-degree
+    * edges over base ∪ drained in each node's cell plus the reverse
+    * edges, then the standard walk with BUILD-time (base-only) seeds.
+    */
+  def annGraphStreamIndexOracle: String = {
+    val (nCells, cap, degree, seedsPerCell) = (8, 32, 8, 4)
+    val (nProbe, beamWidth, hops, qMax) = (3, 16, 3, 5)
+    def cos(a: String, b: String) =
+      s"list_sum(list_transform(generate_series(1, len($a.e)), i -> $a.e[i] * $b.e[i])) / ($a.nrm * $b.nrm)"
+    def beam(cand: String): String =
+      s"""SELECT qid, nid, sim FROM (
+         |  SELECT qid, nid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+         |  FROM (
+         |    SELECT c.qid, c.nid, ${cos("q", "n")} AS sim
+         |    FROM $cand c JOIN gs_alln n ON n.id = c.nid
+         |    JOIN gs_fullprep q ON q.id = c.qid
+         |  )
+         |) WHERE rn <= $beamWidth""".stripMargin
+    val hopCtes = (1 to hops).map { h =>
+      s"""gs_cand$h AS (
+         |  SELECT DISTINCT qid, nid FROM (
+         |    SELECT qid, nid FROM gs_beam${h - 1}
+         |    UNION ALL
+         |    SELECT b.qid, e.dst AS nid
+         |    FROM gs_beam${h - 1} b JOIN gs_edges e ON e.src = b.nid
+         |  )
+         |), gs_beam$h AS (${beam(s"gs_cand$h")}
+         |)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH gs_fullprep AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e,
+       |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+       |  FROM embeddings
+       |), gs_prep AS MATERIALIZED (
+       |  SELECT id, e, nrm FROM gs_fullprep WHERE id < 250
+       |), ${kmChain("gs_", nCells, cap)},
+       |gs_basen AS MATERIALIZED (
+       |  SELECT af.id, af.e, af.cell, pr.nrm
+       |  FROM gs_af af JOIN gs_prep pr ON af.id = pr.id
+       |), gs_newn AS MATERIALIZED (
+       |  SELECT a.id, a.e, a.cell, pr.nrm FROM (
+       |    ${kmAssign("(SELECT id, e FROM gs_fullprep WHERE id >= 250)", "gs_cent2")}
+       |  ) a JOIN gs_fullprep pr ON a.id = pr.id
+       |), gs_alln AS MATERIALIZED (
+       |  SELECT * FROM gs_basen UNION ALL SELECT * FROM gs_newn
+       |), gs_baseedges AS (
+       |  SELECT src, dst FROM (
+       |    SELECT a.id AS src, b.id AS dst,
+       |      row_number() OVER (PARTITION BY a.id
+       |        ORDER BY ${cos("a", "b")} DESC, b.id) AS rn
+       |    FROM gs_basen a JOIN gs_basen b ON a.cell = b.cell AND a.id <> b.id
+       |  ) WHERE rn <= $degree
+       |), gs_fwd AS (
+       |  SELECT src, dst FROM (
+       |    SELECT a.id AS src, b.id AS dst,
+       |      row_number() OVER (PARTITION BY a.id
+       |        ORDER BY ${cos("a", "b")} DESC, b.id) AS rn
+       |    FROM gs_newn a JOIN gs_alln b ON a.cell = b.cell AND a.id <> b.id
+       |  ) WHERE rn <= $degree
+       |), gs_edges AS MATERIALIZED (
+       |  SELECT DISTINCT src, dst FROM (
+       |    SELECT src, dst FROM gs_baseedges
+       |    UNION ALL SELECT src, dst FROM gs_fwd
+       |    UNION ALL SELECT dst AS src, src AS dst FROM gs_fwd
+       |  )
+       |), gs_seeds AS (
+       |  SELECT cell, id FROM (
+       |    SELECT a.cell, a.id,
+       |      row_number() OVER (PARTITION BY a.cell
+       |        ORDER BY ${kmD2("a.e", "c.ce")}, a.id) AS rn
+       |    FROM gs_basen a JOIN gs_cent2 c ON a.cell = c.cell
+       |  ) WHERE rn <= $seedsPerCell
+       |), gs_probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.id AS qid, c.cell,
+       |      row_number() OVER (PARTITION BY q.id
+       |        ORDER BY ${kmD2("q.e", "c.ce")}, c.cell) AS rn
+       |    FROM (SELECT id, e FROM gs_fullprep WHERE id < $qMax) q
+       |    CROSS JOIN gs_cent2 c
+       |  ) WHERE rn <= $nProbe
+       |), gs_cand0 AS (
+       |  SELECT DISTINCT p.qid, s.id AS nid
+       |  FROM gs_probes p JOIN gs_seeds s ON s.cell = p.cell
+       |), gs_beam0 AS (${beam("gs_cand0")}
+       |),
+       |$hopCtes
+       |SELECT qid, nid, round(sim, 6) AS sim, rnk FROM (
+       |  SELECT qid, nid, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk
+       |  FROM gs_beam$hops WHERE qid <> nid
+       |) WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+  }
+
   private def annGraphPruneSql(crossCells: Int, degreeCross: Int): String = {
     val (nCells, cap, degree, seedsPerCell) = (8, 32, 8, 4)
     val (nProbe, beamWidth, hops, qMax) = (3, 16, 3, 5)
@@ -2024,12 +2335,17 @@ object SketchOracleSql {
     // same chain, same oracle
     "q_ann_pca_indexed" -> annPcaOracle,
     "q_ann_pca_audit" -> annPcaAuditOracle,
+    "q_ann_pca2" -> annPca2Oracle,
+    "q_ann_pca2_audit" -> annPca2AuditOracle,
     "q_ann_varperm" -> annVarPermOracle,
     // the persisted learned index applies the STORED permutation — same
     // basis, same chain, same oracle
     "q_ann_varperm_indexed" -> annVarPermOracle,
     "q_ann_varperm_audit" -> annVarPermAuditOracle,
     "q_ann_stream_index" -> annStreamIndexOracle,
+    "q_ann_graph_stream_index" -> annGraphStreamIndexOracle,
+    "q_ann_lsh_multiprobe2" -> annLshMultiProbe2Oracle,
+    "q_ann_lsh_multiprobe2_audit" -> annLshMultiProbe2AuditOracle,
     "q_tokenizer_unigram" -> tokenizerUnigramOracle,
     "q_tokenizer_unigram_em2" -> tokenizerUnigramEm2Oracle,
     "q_doc_unigram_tokens" -> docUnigramTokensOracle,

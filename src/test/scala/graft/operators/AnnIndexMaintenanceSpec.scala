@@ -229,4 +229,109 @@ class AnnIndexMaintenanceSpec extends SparkSpec {
     graft.sources.ParquetIO.deletePath(s"$idx/householder")
     intercept[Exception] { search().collect() }
   }
+
+  test("streamed node appends + one finalize equal the one-shot append bit-for-bit") {
+    // the batching-independence contract of the streaming graph tier:
+    // graphAppendNodes per micro-batch (nodes only) + ONE
+    // graphFinalizeAppend (edges over final state) must produce the
+    // same index as a single graphIndexAppend of the union — no matter
+    // how the drain was chopped. Cross-cell build so the finalize
+    // exercises the knobs-driven long-range legs too.
+    val base = corpus.filter(col("vec_id") < 30L)
+    def build(): String = {
+      val idx = java.nio.file.Files.createTempDirectory("annmx7").toString + "/i"
+      SimilaritySearch.buildGraphIndex(base, "embedding", "vec_id", idx,
+        nCells = 2, degree = 3, seedsPerCell = 3, maxTrainPerCell = 64,
+        crossCells = 1, degreeCross = 2)
+      idx
+    }
+    def table(p: String, n: String): Seq[String] = spark.read.format("kv")
+      .option("path", s"$p/$n").load()
+      .collect().toSeq.map(_.toString).sorted
+    val one = build()
+    SimilaritySearch.graphIndexAppend(corpus.filter(col("vec_id") >= 30L),
+      "embedding", "vec_id", one)
+    val str = build()
+    // three arbitrary waves (2 + 8 + the twin) — nodes only
+    SimilaritySearch.graphAppendNodes(
+      corpus.filter(col("vec_id") >= 30L && col("vec_id") < 32L),
+      "embedding", "vec_id", str)
+    SimilaritySearch.graphAppendNodes(
+      corpus.filter(col("vec_id") >= 32L && col("vec_id") < 99L),
+      "embedding", "vec_id", str)
+    SimilaritySearch.graphAppendNodes(
+      corpus.filter(col("vec_id") === 99L), "embedding", "vec_id", str)
+    // before finalize the drained nodes have no edges: they are
+    // invisible to walks (never wrong, just not found yet)
+    val pre = SimilaritySearch.graphKnnIndexed(
+      corpus.filter(col("vec_id") < 3L), "embedding", "vec_id", str,
+      k = 3, nProbe = 2, beamWidth = 8, hops = 2).collect()
+    assert(pre.forall(r => r.getAs[Long]("nid") < 30L),
+      s"drained nodes leaked into the walk before finalize: ${pre.mkString(",")}")
+    SimilaritySearch.graphFinalizeAppend(spark, str)
+    assert(table(str, "cells") == table(one, "cells"),
+      "drained cells table differs from the one-shot append's")
+    assert(table(str, "edges") == table(one, "edges"),
+      "drained edges differ from the one-shot append's")
+    // pending cleared: a second finalize is a no-op
+    val e1 = table(str, "edges")
+    SimilaritySearch.graphFinalizeAppend(spark, str)
+    assert(table(str, "edges") == e1, "retried finalize must be a no-op")
+    // and the searches agree bit-for-bit
+    val q = corpus.filter(col("vec_id") < 3L)
+    def s(p: String) = rows(SimilaritySearch.graphKnnIndexed(
+      q, "embedding", "vec_id", p, k = 3, nProbe = 2, beamWidth = 8, hops = 2))
+    assert(s(str) == s(one))
+  }
+
+  test("persisted hier top layer: read-only search equals the rebuild fallback") {
+    val idx = java.nio.file.Files.createTempDirectory("annmx8").toString + "/i"
+    SimilaritySearch.buildGraphIndex(corpus, "embedding", "vec_id", idx,
+      nCells = 2, degree = 3, seedsPerCell = 3, maxTrainPerCell = 64,
+      crossCells = 1, degreeCross = 2, degreeTop = 3)
+    val q = corpus.filter(col("vec_id") < 3L)
+    def search(dt: Int) = rows(SimilaritySearch.graphKnnHierIndexed(
+      q, "embedding", "vec_id", idx, k = 3,
+      entryBeam = 4, hopsTop = 2, degreeTop = dt, beamWidth = 10, hops = 3))
+    val persisted = search(3)
+    // the stored table is actually read: tampering with it changes
+    // routing (then restore by rebuilding the layer through a build)
+    val realTop = spark.read.format("kv")
+      .option("path", s"$idx/top_edges").load().collect().toSeq
+    val minSeed = spark.read.format("kv").option("path", s"$idx/seeds")
+      .load().agg(org.apache.spark.sql.functions.min("nid")).collect()(0).getLong(0)
+    import spark.implicits._
+    Seq((minSeed, minSeed)).toDF("src", "dst").write.format("kv")
+      .option("path", s"$idx/top_edges").mode("overwrite").save()
+    assert(search(3) != persisted,
+      "tampered top_edges did not change results — the stored layer is not being read")
+    spark.createDataFrame(spark.sparkContext.parallelize(realTop, 1),
+      spark.read.format("kv").option("path", s"$idx/top_edges").load().schema)
+      .write.format("kv").option("path", s"$idx/top_edges")
+      .mode("overwrite").save()
+    assert(search(3) == persisted, "restored top_edges must restore results")
+    // a search at a DIFFERENT degreeTop ignores the stored layer and
+    // rebuilds — and deleting the table entirely falls back too, with
+    // bit-identical answers to the persisted path
+    val dt2 = search(2)
+    graft.sources.ParquetIO.deletePath(s"$idx/top_edges")
+    assert(search(3) == persisted,
+      "rebuild fallback diverged from the persisted top layer")
+    assert(search(2) == dt2)
+    // appends never touch the persisted layer (seeds are fixed)
+    SimilaritySearch.buildGraphIndex(corpus, "embedding", "vec_id", idx,
+      nCells = 2, degree = 3, seedsPerCell = 3, maxTrainPerCell = 64,
+      crossCells = 1, degreeCross = 2, degreeTop = 3)
+    val before = spark.read.format("kv")
+      .option("path", s"$idx/top_edges").load()
+      .collect().toSeq.map(_.toString).sorted
+    SimilaritySearch.graphIndexAppend(
+      corpus.filter(col("vec_id") === 99L)
+        .withColumn("vec_id", org.apache.spark.sql.functions.lit(199L)),
+      "embedding", "vec_id", idx)
+    val after = spark.read.format("kv")
+      .option("path", s"$idx/top_edges").load()
+      .collect().toSeq.map(_.toString).sorted
+    assert(after == before, "append must leave the persisted top layer intact")
+  }
 }

@@ -78,11 +78,87 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(again == first)
     intercept[IllegalArgumentException] {
       SimilaritySearch.lshMultiProbeKnn(corpus, q, "embedding", "vec_id",
-        k = 3, bands = 8, probes = 10) // > w + 1
+        k = 3, bands = 8, probes = 10) // > w + 1 at maxFlipBits = 1
     }
     intercept[IllegalArgumentException] {
       SimilaritySearch.lshMultiProbeKnn(corpus, q, "embedding", "vec_id",
         k = 3, bands = 1, probes = 2) // 64-bit band
+    }
+  }
+
+  test("second deflated component: exact pivot zero, composed orthogonality, recall") {
+    import spark.implicits._
+    // TWO oblique directions: +4·x₀ along all-ones, +2·x₁ alternating —
+    // one reflection isolates only the dominant one
+    def rv(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      (0 until 5).foreach(_ => r.nextDouble())
+      Seq.fill(16)(r.nextDouble() * 2 - 1)
+    }
+    val two = (0 until 200).map { s =>
+      val x = rv(s)
+      (s.toLong, x.zipWithIndex.map { case (xi, i) =>
+        xi + 4.0 * x.head + (if (i % 2 == 0) 2.0 else -2.0) * x(1) })
+    }.toDF("vec_id", "embedding")
+    val (u1, u2) = SimilaritySearch.pcaDirections2(two, "embedding", 16)
+    // the deflation contract: the masked residual's dim-0 moment sums
+    // are exactly zero, so u2 fixes e₁ EXACTLY (not to rounding)
+    assert(u2.head == 0L, s"u2[0] must be exactly 0, got ${u2.head}")
+    // H₂∘H₁ is exactly orthogonal: norms survive to float rounding
+    val n = two.select(
+      sqrt(aggregate(transform(col("embedding"), x => x * x),
+        lit(0.0), (a, x) => a + x)).as("n0"),
+      sqrt(aggregate(transform(
+        SimilaritySearch.householderReflect(
+          SimilaritySearch.householderReflect(col("embedding"), u1), u2),
+        x => x * x), lit(0.0), (a, x) => a + x)).as("n2"))
+      .select(max(abs(col("n0") - col("n2"))).as("d")).collect()(0)
+    assert(n.getAs[Double]("d") < 1e-9, s"norm drift ${n.getAs[Double]("d")}")
+    // the second reflection's measured value on this fixture
+    val a = SimilaritySearch.pca2RecallAudit(two,
+      two.filter(col("vec_id") < 10), "embedding", "vec_id", dim = 16,
+      k = 3, nCells = 4, nProbe = 2, m = 2, pqCells = 8,
+      maxTrainPerCell = 64).collect()(0)
+    assert(a.getAs[Long]("recall_pca2_milli") >=
+      a.getAs[Long]("recall_pca1_milli"), a.toString)
+    // guards: pivot range; nonzero entries below the pivot refuse
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.householderUAt(Seq(1L, 2L), 2)
+    }
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.householderUAt(Seq(1L, 2L), 1)
+    }
+  }
+
+  test("pair probe sets extend the sequence past the single-bit ceiling") {
+    val q = corpus.filter(col("vec_id") < 4L)
+    // probes=1 at maxFlipBits=2 is still exactly lshKnn (no perturbation)
+    val single = SimilaritySearch.lshKnn(corpus, q, "embedding", "vec_id",
+      k = 3, bands = 8).orderBy("qid", "rnk").collect().map(_.toString).toSeq
+    val mp1 = SimilaritySearch.lshMultiProbeKnn(corpus, q, "embedding",
+      "vec_id", k = 3, bands = 8, probes = 1, maxFlipBits = 2)
+      .orderBy("qid", "rnk").collect().map(_.toString).toSeq
+    assert(mp1 == single)
+    // the pair sequence accepts probe budgets past w+1 (9 at 8-bit
+    // bands) and its measured recall holds the single-bit floor
+    val a = SimilaritySearch.lshMultiProbePairRecallAudit(corpus, q,
+      "embedding", "vec_id", k = 3, bands = 8, probes1 = 6, probes2 = 12)
+      .collect()(0)
+    assert(a.getAs[Long]("recall_pair_milli") >=
+      a.getAs[Long]("recall_single_bit_milli"), a.toString)
+    // deterministic on re-run
+    def run() = SimilaritySearch.lshMultiProbeKnn(corpus, q, "embedding",
+      "vec_id", k = 3, bands = 8, probes = 12, maxFlipBits = 2)
+      .orderBy("qid", "rnk").collect().map(_.toString).toSeq
+    assert(run() == run())
+    // guards: budget past the pair ceiling, maxFlipBits range
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.lshMultiProbeKnn(corpus, q, "embedding", "vec_id",
+        k = 3, bands = 8, probes = 38, maxFlipBits = 2) // > 8 + 28 + 1
+    }
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.lshMultiProbeKnn(corpus, q, "embedding", "vec_id",
+        k = 3, bands = 8, probes = 2, maxFlipBits = 3)
     }
   }
 
@@ -1083,5 +1159,99 @@ class SimilaritySearchSpec extends SparkSpec {
       corpus.filter(col("vec_id") === 0L), "embedding", "vec_id", k = 4)
       .orderBy("rnk").collect().map(_.toString).toSeq
     assert(got.map(_.toString).toSeq == brute)
+  }
+
+  test("sketchBands strides by numPlanes, so sub-64-plane multi-probe flips real planes") {
+    // band keys of a 32-plane sketch banded 4 ways must be the four 8-bit
+    // chunks of the LOW 32 bits — the same 'plane p lives in band p/8 at
+    // bit p%8' arithmetic multi-probe uses to turn margin ranks into XOR
+    // masks. (A fixed 64/bands stride would band at 16 bits, leaving the
+    // top two bands constant zero — every row colliding there — and
+    // flipping bits that belong to a different band's planes.)
+    val r = corpus.limit(1)
+      .select(graft.functions.Sketches.hyperplaneSketch(
+        transform(col("embedding"), x => x.cast("double")), 32).as("sk"))
+      .select(col("sk"),
+        graft.functions.Sketches.sketchBands(col("sk"), 4, 32).as("keys"))
+      .collect()(0)
+    val sk = r.getAs[Long]("sk")
+    assert(r.getSeq[Long](1) ==
+      (0 until 4).map(b => (sk >>> (8 * b)) & 0xffL))
+    // probes=1 is still exactly lshKnn at the same sub-64 geometry
+    val q = corpus.filter(col("vec_id") < 4L)
+    val single = SimilaritySearch.lshKnn(corpus, q, "embedding", "vec_id",
+      k = 3, numPlanes = 32, bands = 4).orderBy("qid", "rnk")
+      .collect().map(_.toString).toSeq
+    val mp1 = SimilaritySearch.lshMultiProbeKnn(corpus, q, "embedding",
+      "vec_id", k = 3, numPlanes = 32, bands = 4, probes = 1)
+      .orderBy("qid", "rnk").collect().map(_.toString).toSeq
+    assert(mp1 == single)
+    // and the flipped probes still find the planted twin at 32 planes
+    val got = SimilaritySearch.lshMultiProbeKnn(corpus,
+      corpus.filter(col("vec_id") === 0L), "embedding", "vec_id",
+      k = 3, numPlanes = 32, bands = 4, probes = 5).orderBy("rnk").collect()
+    assert(got.nonEmpty && got.head.getAs[Long]("nid") == 99L,
+      got.mkString(","))
+    intercept[IllegalArgumentException] {
+      graft.functions.Sketches.sketchBands(col("x"), 3, 32) // 32 % 3 != 0
+    }
+  }
+
+  test("powerDirection guards moment-sum overflow instead of wrapping") {
+    // one huge-magnitude row: x=1e9 per dim, dt = Σ x·v ≈ 2e15, so the
+    // per-dim term floor(x·dt) ≈ 2e24 > 2^63 — a LongType sum would wrap
+    // silently where the DuckDB oracle's HUGEINT promotes; the Decimal
+    // sum must instead refuse loudly
+    val huge = Seq((0L, Seq(1e9f, 1e9f))).toDF("vec_id", "embedding")
+    val e = intercept[IllegalArgumentException] {
+      SimilaritySearch.powerDirection(huge, "embedding", 2, iters = 1)
+    }
+    assert(e.getMessage.contains("2^63"), e.getMessage)
+  }
+
+  test("graphPruneEdges resolves degree from the knobs table at the 0 sentinel") {
+    // two bit-identical indexes (the build is deterministic); prune one
+    // with no explicit degree, the other with the build's — the results
+    // must match, so a maintenance call without the knob can never
+    // silently prune with a budget different from the build's
+    val base = corpus16.filter(col("vec_id") < 30L)
+    val batch = corpus16.filter(col("vec_id") >= 30L)
+    def mk(): String = {
+      val idx = java.nio.file.Files.createTempDirectory("gprunedflt")
+        .toString + "/i"
+      SimilaritySearch.buildGraphIndex(base, "embedding", "vec_id", idx,
+        nCells = 2, degree = 3, seedsPerCell = 4, maxTrainPerCell = 64)
+      SimilaritySearch.graphIndexAppend(batch, "embedding", "vec_id", idx)
+      idx
+    }
+    val (a, b) = (mk(), mk())
+    SimilaritySearch.graphPruneEdges(spark, a) // degree from knobs
+    SimilaritySearch.graphPruneEdges(spark, b, degree = 3)
+    def edges(p: String): Seq[String] = spark.read.format("kv")
+      .option("path", s"$p/edges").load()
+      .orderBy("src", "dst").collect().toSeq.map(_.toString)
+    assert(edges(a) == edges(b))
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.graphPruneEdges(spark, a, degree = -1)
+    }
+  }
+
+  test("appendCandidateMembers prefers the batch row for a re-appended nid") {
+    // nid 5 exists with vector A and re-appears in the batch with vector
+    // B: the pool must carry B deterministically (anti-join beats an
+    // arbitrary dropDuplicates pick), so crash-retry determinism claims
+    // hold even under an (unsupported-as-update) id re-append
+    def row(nid: Long, cell: Long, v: Seq[Double]) = (cell, nid, v,
+      math.sqrt(v.map(x => x * x).sum))
+    val existing = Seq(row(5L, 0L, Seq(1.0, 0.0)), row(6L, 0L, Seq(0.0, 1.0)))
+      .toDF("cell", "nid", "ne", "nn")
+    val batch = Seq(row(5L, 0L, Seq(2.0, 2.0)))
+      .toDF("cell", "nid", "ne", "nn")
+    val touched = batch.select(col("cell")).distinct()
+    val pool = SimilaritySearch.appendCandidateMembers(existing, batch, touched)
+      .orderBy("nid").collect()
+    assert(pool.map(_.getAs[Long]("nid")).toSeq == Seq(5L, 6L))
+    assert(pool(0).getSeq[Double](pool(0).fieldIndex("ne")) == Seq(2.0, 2.0),
+      s"re-appended nid must pool the batch's vector: ${pool(0)}")
   }
 }
