@@ -2381,6 +2381,163 @@ object SimilaritySearch {
       queries, vecCol, idCol, k, entryBeam, hopsTop, beamWidth, hops)
   }
 
+  /** The COARSE routing layer for very-large-nCells graph indexes: a
+    * kNN graph over the cell CENTROIDS themselves (top-`degreeCells`
+    * nearest other centroids by d2, d2 asc / cell asc — the probe
+    * metric, one row per cell). At nCells where the seed table
+    * (nCells·seedsPerCell) stops being comfortably broadcast-sized,
+    * entry routing should not scan all centroids per query (flat
+    * probing) nor walk a seed graph from one global entry across the
+    * whole corpus' seed set — a beam walk over this nCells-node graph
+    * first picks each query's `entryCells` cells, and only THOSE cells'
+    * seeds enter the seed-layer walk. Candidate pairs are bounded by
+    * the [[edgeCandidatePool]] splitmix64 top-sample
+    * (`maxCellCandidates`), so the build is ≤ nCells·cap, never
+    * nCells².
+    */
+  private[operators] def cellLayer(cents: DataFrame, degreeCells: Int,
+      maxCellCandidates: Int = 16384): DataFrame = {
+    require(degreeCells >= 1, s"degreeCells must be >= 1, got $degreeCells")
+    val pool = edgeCandidatePool(
+      cents.select(lit(0L).as("cell"), col("cell").as("id"),
+        col("ce").as("e"), lit(1.0).as("nrm")),
+      maxCellCandidates)
+      .select(col("dst"), col("de"))
+    cents.select(col("cell").as("src"), col("ce").as("se"))
+      .crossJoin(broadcast(pool))
+      .where(col("src") =!= col("dst"))
+      .withColumn("d2", aggregate(zip_with(col("se"), col("de"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("src"))
+      .agg(graft.functions.BoundedTopK.topK(
+        struct((lit(0.0) - col("d2")).as("nd2"), col("dst")),
+        degreeCells).as("top"))
+      .select(col("src"), explode(col("top")).as("t"))
+      .select(col("src"), col("t.dst").as("dst"))
+  }
+
+  /** Beam walk over the [[cellLayer]] graph from the fixed min-cell
+    * entry: per hop the beam's cells expand through their centroid
+    * edges, candidates score by query-to-centroid d2 (d2 asc, cell asc
+    * — the probe order), fold to `entryCells`. Per-query routing cost
+    * is O(entryCells · degreeCells · hopsCells) centroid distances —
+    * independent of nCells, where flat probing pays O(nCells).
+    */
+  private def cellWalk(cents: DataFrame, cellEdges: DataFrame,
+      queries: DataFrame, entryCells: Int, hopsCells: Int): DataFrame = {
+    require(entryCells >= 1, s"entryCells must be >= 1, got $entryCells")
+    require(hopsCells >= 0, s"hopsCells must be >= 0, got $hopsCells")
+    def score(cand: DataFrame): DataFrame = cand
+      .join(broadcast(cents), Seq("cell"))
+      .select(col("qid"), col("qe"), col("qn"), col("cell"),
+        aggregate(zip_with(col("qe"), col("ce"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x)
+          .as("d2"))
+    def topBeam(scored: DataFrame): DataFrame =
+      scored.groupBy(col("qid"))
+        .agg(graft.functions.BoundedTopK.topK(
+          struct((lit(0.0) - col("d2")).as("nd2"), col("cell")),
+          entryCells).as("top"),
+          first(col("qe")).as("qe"), first(col("qn")).as("qn"))
+        .select(col("qid"), col("qe"), col("qn"), explode(col("top")).as("t"))
+        .select(col("qid"), col("qe"), col("qn"), col("t.cell").as("cell"))
+    val entry = cents.agg(min(col("cell")).as("cell"))
+    var beam = topBeam(score(queries.crossJoin(broadcast(entry))))
+      .localCheckpoint()
+    var hop = 0
+    while (hop < hopsCells) {
+      val expanded = broadcast(beam
+        .select(col("qid"), col("qe"), col("qn"), col("cell").as("src")))
+        .join(cellEdges, Seq("src"))
+        .select(col("qid"), col("qe"), col("qn"), col("dst").as("cell"))
+      val cand = beam.select(col("qid"), col("qe"), col("qn"), col("cell"))
+        .unionByName(expanded)
+        .dropDuplicates("qid", "cell")
+      beam = topBeam(score(cand)).localCheckpoint()
+      hop += 1
+    }
+    beam
+  }
+
+  /** TWO-layer hierarchical graph ANN: a coarse centroid-graph walk
+    * routes each query to `entryCells` cells, those cells' seeds (a
+    * per-query entryCells·seedsPerCell set — bounded regardless of
+    * nCells) seed the seed-layer walk, and the final routed beam seeds
+    * the base walk. This removes the last nCells dependence from the
+    * hierarchical entry: [[graphKnnHier]]'s fixed-entry seed walk is
+    * per-query cheap but its ENTRY quality decays as one global entry
+    * point routes across ever more cells; here routing cost AND entry
+    * quality are independent of nCells (audited: the 800‰ cross-edge
+    * floor at nCells = 64 with the same entry budget).
+    */
+  def graphKnnHier2(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      nCells: Int = 64, degree: Int = 4, beamWidth: Int = 8, hops: Int = 2,
+      seedsPerCell: Int = 2, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384,
+      maxEdgeCandidatesPerCell: Int = 16384,
+      crossCells: Int = 0, degreeCross: Int = 0,
+      entryBeam: Int = 4, hopsTop: Int = 2, degreeTop: Int = 4,
+      entryCells: Int = 4, hopsCells: Int = 2,
+      degreeCells: Int = 4): DataFrame = {
+    require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
+    val (cents, nodes, edges, seeds, _) = graphPieces(corpus, vecCol, idCol,
+      nCells, degree, seedsPerCell, iterations, maxTrainPerCell,
+      maxEdgeCandidatesPerCell, crossCells, degreeCross)
+    val (_, topEdges) = topLayer(nodes, seeds, degreeTop)
+    val cellEdges = cellLayer(cents, degreeCells)
+    val q0 = prep(queries, vecCol, idCol)
+      .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    val routedCells = cellWalk(cents, cellEdges, q0, entryCells, hopsCells)
+    val nodesD = nodes.select(col("nid"), col("ne"), col("nn"))
+      .dropDuplicates("nid")
+    val seeded0 = routedCells.join(seeds, Seq("cell"))
+      .select(col("qid"), col("qe"), col("qn"), col("nid"))
+      .dropDuplicates("qid", "nid")
+    val routed = walkFrom(nodesD, topEdges, seeded0, entryBeam, hopsTop)
+    val beam = walkFrom(nodesD, edges,
+      routed.select(col("qid"), col("qe"), col("qn"), col("nid")),
+      beamWidth, hops)
+    topKPerQuery(
+      beam.where(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"), col("sim")), k)
+  }
+
+  /** Measured recall of the two-layer walk vs exact brute force — the
+    * [[graphHierRecallAudit]] discipline for [[graphKnnHier2]].
+    */
+  def graphHier2RecallAudit(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      nCells: Int = 64, degree: Int = 4, beamWidth: Int = 8, hops: Int = 2,
+      seedsPerCell: Int = 2, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384,
+      maxEdgeCandidatesPerCell: Int = 16384,
+      crossCells: Int = 0, degreeCross: Int = 0,
+      entryBeam: Int = 4, hopsTop: Int = 2, degreeTop: Int = 4,
+      entryCells: Int = 4, hopsCells: Int = 2,
+      degreeCells: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val hier = graphKnnHier2(corpus, queries, vecCol, idCol, k, nCells,
+      degree, beamWidth, hops, seedsPerCell, iterations, maxTrainPerCell,
+      maxEdgeCandidatesPerCell, crossCells, degreeCross,
+      entryBeam, hopsTop, degreeTop, entryCells, hopsCells, degreeCells)
+      .select(col("qid"), col("nid"))
+    val exact = bruteForceKnn(corpus, queries, vecCol, idCol, k)
+      .select(col("qid"), col("nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nQueries = exact.select(col("qid")).distinct().count()
+      val nHits = hier.join(exact, Seq("qid", "nid"), "left_semi").count()
+      val recallMilli =
+        if (nQueries == 0) 1000L else nHits * 1000L / (k.toLong * nQueries)
+      spark.range(1).select(
+        lit(nQueries).as("n_queries"), lit(k).as("k"),
+        lit(nHits).as("n_hits"), lit(recallMilli).as("recall_milli"))
+    } finally { exact.unpersist(); () }
+  }
+
   /** Measured recall of the hierarchical walk vs exact brute force —
     * the [[graphRecallAudit]] discipline for [[graphKnnHier]].
     */

@@ -226,30 +226,20 @@ object TokenizerTraining {
       .select(col("x.tok").as("tok"), col("x.freq").as("freq"))
     val seedv = chars.select(col("tok"), col("freq")).unionByName(multiTop)
 
-    // Laplace-smoothed integer micro-nat surprisal, ln computed
-    // ENGINE-side (one per token type — the same Spark-vs-DuckDB ln
-    // discipline the surprisal gates pinned)
-    def scoredVocab(v: DataFrame): DataFrame = {
-      val tot = v.agg(sum(col("freq")).as("t"), count(lit(1)).as("v"))
-      v.crossJoin(broadcast(tot))
-        .withColumn("score", floor(lit(1e6) *
-          log((col("t") + col("v")).cast("double") /
-            (col("freq") + lit(1)).cast("double")) + lit(0.5)).cast("long"))
-        .select(col("tok"), col("freq"), col("score"))
-    }
     // EM rounds: score → Viterbi re-segment → re-count → prune to the
-    // round's budget. Each round's score map is a bounded driver
-    // collect (require-guarded); the returned vocabulary is collected
-    // eagerly so the interim caches release before return.
+    // round's budget. Each round collects the (require-bounded ≤ 8192
+    // rows) vocabulary ONCE and computes the Laplace-smoothed integer
+    // micro-nat scores DRIVER-side — `Math.log` is the same JVM
+    // function the engine's `log` expression calls, so the quantized
+    // scores are bit-identical to an engine-side pass (pinned by the
+    // plain-Scala reference property test), and the vocabulary lineage
+    // (a full Viterbi pass per round after round 1) evaluates once per
+    // round instead of twice (total agg + join).
     val budgets = unigramBudgets(seedMulti, vocabMulti, emIterations)
     var vocab = seedv
     for (round <- 1 to emIterations) {
-      val roundRows = scoredVocab(vocab).collect()
-      require(roundRows.length <= 8192,
-        s"unigram vocabulary ${roundRows.length} exceeds the bounded " +
-          "driver budget (8192) — lower seedMulti")
-      val scores = roundRows
-        .map(r => r.getAs[String]("tok") -> r.getAs[Long]("score")).toMap
+      val roundRows = collectScored(vocab, 8192, "seedMulti")
+      val scores = roundRows.map { case (tok, _, s) => tok -> s }.toMap
 
       // hard-EM step: Viterbi re-segmentation + token re-counts
       val seg = words.select(col("cnt"),
@@ -268,21 +258,43 @@ object TokenizerTraining {
         .select(col("tok"), coalesce(col("cnt2"), lit(0L)).as("freq"))
         .unionByName(keptMulti)
     }
-    val finalRows = scoredVocab(vocab)
-      .select(col("tok"), col("freq").as("cnt"), col("score")).collect()
-    require(finalRows.length <= 8192,
-      s"unigram vocabulary ${finalRows.length} exceeds the bounded " +
-        "driver budget (8192) — lower vocabMulti")
+    val finalRows = collectScored(vocab, 8192, "vocabMulti")
     // release the round caches only AFTER the result is materialized —
     // nothing downstream recomputes through the unpersisted lineage
     words.unpersist()
     subs.unpersist()
     df.sparkSession.createDataFrame(
-      df.sparkSession.sparkContext.parallelize(finalRows.toSeq, 1),
+      df.sparkSession.sparkContext.parallelize(
+        finalRows.map { case (t, c, s) => Row(t, c, s) }.toSeq, 1),
       StructType(Seq(
         StructField("tok", StringType, nullable = true),
         StructField("cnt", LongType, nullable = true),
         StructField("score", LongType, nullable = true))))
+  }
+
+  /** Collect a (tok, freq) vocabulary frame ONCE (require-bounded) and
+    * attach the Laplace-smoothed integer micro-nat surprisal scores
+    * driver-side: floor(10⁶·ln((T+V)/(c+1)) + 0.5) with `Math.log` —
+    * the exact function the engine's `log` expression evaluates, so the
+    * quantized scores are bit-identical to an engine-side scoring pass
+    * (pinned by the plain-Scala reference property tests) while the
+    * vocabulary lineage evaluates once instead of twice (total
+    * aggregate + scoring join).
+    */
+  private def collectScored(v: DataFrame, bound: Int,
+      knob: String): Array[(String, Long, Long)] = {
+    val rows = v.select(col("tok"), col("freq")).collect()
+    require(rows.length <= bound,
+      s"unigram vocabulary ${rows.length} exceeds the bounded " +
+        s"driver budget ($bound) — lower $knob")
+    val t = rows.map(_.getAs[Long]("freq")).sum
+    val nv = rows.length
+    rows.map { r =>
+      val c = r.getAs[Long]("freq")
+      (r.getAs[String]("tok"), c,
+        math.floor(1e6 * math.log((t + nv).toDouble / (c + 1).toDouble)
+          + 0.5).toLong)
+    }
   }
 
   /** Per-round multi-char prune budgets for [[trainUnigram]]: a
@@ -336,6 +348,160 @@ object TokenizerTraining {
         array_sort(collect_list(struct(col("wp"), col("cp"), col("toks")))),
         x => x.getField("toks"))).as("tokens"))
       .select(col(idCol), col("tokens"), size(col("tokens")).as("n_tokens"))
+  }
+
+  /** Unigram-LM pruning by LOSS DELTA (SentencePiece's actual
+    * criterion, hard-EM/Viterbi form; Kudo 2018 §3.2): instead of
+    * keeping the most-COUNTED multi-char tokens, keep the tokens whose
+    * REMOVAL most increases total corpus cost. Per word type the
+    * Viterbi best cost is the sum of its tokens' scores; for every
+    * multi-char token in that best segmentation the ALTERNATIVE cost
+    * re-runs the same integer DP with the token masked (single chars
+    * are never masked, so a path always exists), and the token's loss
+    * delta is Σ cnt(w)·(alt_cost − best_cost) over the word types that
+    * use it — all integer micro-nats, once-quantized, so the oracle
+    * replays the whole derivation (a masked DP per (word, token) pair,
+    * fanned over the pairs table). Count-pruning can evict a
+    * rare-but-irreplaceable token whose words would re-segment
+    * expensively; delta-pruning keeps exactly the irreplaceable ones.
+    *
+    * Scale shape mirrors [[trainUnigram]]: word-TYPE table, row-local
+    * DPs (the masked DP runs once per (type, distinct-multi-token)
+    * pair — ≤ maxWordLen pairs per type), one groupBy for the deltas,
+    * bounded-heap prune, driver state ≤ the vocab require.
+    *
+    * Returns (tok, cnt, delta, score): Viterbi re-counts, the loss
+    * delta that ranked the token (0 for single chars — coverage tokens
+    * are never at risk), and final smoothed scores.
+    */
+  def trainUnigramLossPrune(
+      df: DataFrame, textCol: String,
+      seedMulti: Int = 64, vocabMulti: Int = 32,
+      maxTokenLen: Int = 4, maxWordLen: Int = 16): DataFrame = {
+    require(seedMulti >= 1 && seedMulti <= 4096,
+      s"seedMulti must be in [1, 4096], got $seedMulti")
+    require(vocabMulti >= 1 && vocabMulti <= seedMulti,
+      s"vocabMulti must be in [1, seedMulti], got $vocabMulti")
+    require(maxTokenLen >= 1 && maxTokenLen <= 8,
+      s"maxTokenLen must be in [1, 8], got $maxTokenLen")
+    require(maxWordLen >= maxTokenLen && maxWordLen <= 64,
+      s"maxWordLen must be in [$maxTokenLen, 64], got $maxWordLen")
+    val spark = df.sparkSession
+
+    val w0 = df.select(explode(split(lower(col(textCol)), " ")).as("w0"))
+      .where(length(col("w0")) > 0)
+    val words = w0.select(explode(transform(
+        sequence(lit(0),
+          ceil(length(col("w0")).cast("double") / lit(maxWordLen.toDouble))
+            .cast("int") - 1),
+        g => col("w0").substr(g * maxWordLen + 1, lit(maxWordLen)))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val subs = words.select(col("cnt"), explode(flatten(transform(
+        sequence(lit(0), length(col("w")) - 1),
+        i => filter(transform(sequence(lit(1), lit(maxTokenLen)),
+          k => when(i + k <= length(col("w")), col("w").substr(i + 1, k))),
+          x => x.isNotNull)))).as("tok"))
+      .groupBy(col("tok")).agg(sum(col("cnt")).as("freq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val chars = subs.where(length(col("tok")) === 1)
+    val multiTop = subs.where(length(col("tok")) > 1)
+      .agg(graft.functions.BoundedTopK.topK(
+        struct(col("freq").cast("double").as("s"), col("tok"), col("freq")),
+        seedMulti).as("t"))
+      .select(explode(col("t")).as("x"))
+      .select(col("x.tok").as("tok"), col("x.freq").as("freq"))
+    val seedv = chars.select(col("tok"), col("freq")).unionByName(multiTop)
+
+    val scores = collectScored(seedv, 8192, "seedMulti")
+      .map { case (tok, _, s) => tok -> s }.toMap
+    val sMap = typedLit(scores)
+
+    // Viterbi per word TYPE; base cost = sum of the best tokens' scores
+    val seg = words.select(col("w"), col("cnt"),
+        viterbiSegment(col("w"), scores, maxTokenLen).as("toks"))
+      .withColumn("cost", aggregate(col("toks"), lit(0L),
+        (a, t) => a + element_at(sMap, t)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cnts = seg.select(col("cnt"), explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(sum(col("cnt")).as("cnt2"))
+
+    // masked alternative cost, one DP per (word type, distinct multi-
+    // char token of its best segmentation)
+    val deltas = seg.select(col("w"), col("cnt"), col("cost"),
+        explode(array_distinct(filter(col("toks"),
+          t => length(t) > 1))).as("mtok"))
+      .withColumn("mcost",
+        viterbiCostMasked(col("w"), scores, maxTokenLen, col("mtok")))
+      .groupBy(col("mtok"))
+      .agg(sum(col("cnt") * (col("mcost") - col("cost"))).as("delta"))
+      .select(col("mtok").as("tok"), col("delta"))
+
+    // prune: chars always survive; multis keep the top-vocabMulti by
+    // LARGEST loss increase (delta desc, tok asc — the bounded heap)
+    val keptMulti = deltas.join(cnts, Seq("tok"))
+      .agg(graft.functions.BoundedTopK.topK(
+        struct(col("delta").cast("double").as("s"), col("tok"),
+          col("cnt2"), col("delta")), vocabMulti).as("t"))
+      .select(explode(col("t")).as("x"))
+      .select(col("x.tok").as("tok"), col("x.cnt2").as("freq"),
+        col("x.delta").as("delta"))
+    val vocab = chars.select(col("tok"))
+      .join(cnts, Seq("tok"), "left")
+      .select(col("tok"), coalesce(col("cnt2"), lit(0L)).as("freq"),
+        lit(0L).as("delta"))
+      .unionByName(keptMulti)
+    // one bounded collect (tok, freq, delta ≤ 8192 rows), scores
+    // attached driver-side — the collectScored discipline
+    val vocabRows = vocab.select(col("tok"), col("freq"), col("delta"))
+      .collect()
+    require(vocabRows.length <= 8192,
+      s"unigram vocabulary ${vocabRows.length} exceeds the bounded " +
+        "driver budget (8192) — lower vocabMulti")
+    val t = vocabRows.map(_.getAs[Long]("freq")).sum
+    val nv = vocabRows.length
+    val finalRows = vocabRows.map { r =>
+      val c = r.getAs[Long]("freq")
+      Row(r.getAs[String]("tok"), c, r.getAs[Long]("delta"),
+        math.floor(1e6 * math.log((t + nv).toDouble / (c + 1).toDouble)
+          + 0.5).toLong)
+    }
+    words.unpersist(); subs.unpersist(); seg.unpersist()
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(finalRows.toSeq, 1),
+      StructType(Seq(
+        StructField("tok", StringType, nullable = true),
+        StructField("cnt", LongType, nullable = true),
+        StructField("delta", LongType, nullable = true),
+        StructField("score", LongType, nullable = true))))
+  }
+
+  /** The Viterbi FORWARD cost with one token masked (treated as
+    * out-of-vocabulary): the same per-position fold as
+    * [[viterbiSegment]], costs only, with the mask compared per
+    * candidate — the mask is a COLUMN, so one plan segment serves every
+    * (word, token) pair. Single chars are never masked upstream, so the
+    * masked word remains segmentable (cost < the INF sentinel).
+    */
+  private[operators] def viterbiCostMasked(word: Column,
+      scores: Map[String, Long], maxTokenLen: Int, mask: Column): Column = {
+    val INF = 1000000000000000L
+    val sMap = typedLit(scores)
+    val fwd = aggregate(
+      sequence(lit(1), length(word)),
+      array(lit(0L)),
+      (costs, i) => {
+        val cands = array((1 to maxTokenLen).map { k =>
+          when(i >= k, {
+            val tok = word.substr(i - k + 1, lit(k))
+            element_at(costs, (i - k + 1).cast("int")) +
+              when(tok === mask, lit(INF))
+                .otherwise(coalesce(element_at(sMap, tok), lit(INF)))
+          })
+        }: _*)
+        concat(costs, array(array_min(filter(cands, x => x.isNotNull))))
+      })
+    element_at(fwd, (length(word) + 1).cast("int"))
   }
 
   /** Viterbi segmentation of one word under a literal score map —

@@ -529,6 +529,41 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // TWO-layer hierarchy at nCells=64 (where the flat entry would scan
+    // 64 centroids per query and the fixed-entry seed walk routes one
+    // global entry across 128 seeds): a coarse walk over the
+    // cell-centroid kNN graph picks each query's 6 entry cells, their
+    // seeds enter the seed-layer walk at the SAME entryBeam=6 budget —
+    // routing cost independent of nCells. Measured at the shared
+    // budget (beamWidth=24, hops=3): flat probing 466‰, one-layer hier
+    // 533‰, two-layer 800‰ — the 800‰ cross-edge floor survives the
+    // 8× cell count ONLY with the cell-routed entries. Centroid graph,
+    // cell walk, seed walk and base walk all replay in the oracle.
+    "q_ann_graph_hier2" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.graphKnnHier2(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, nCells = 64,
+        degree = 8, beamWidth = 24, hops = 3, seedsPerCell = 2,
+        maxTrainPerCell = 32, crossCells = 2, degreeCross = 4,
+        entryBeam = 6, hopsTop = 2, degreeTop = 4,
+        entryCells = 6, hopsCells = 2, degreeCells = 4)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // The two-layer walk's measured value: the 800‰ cross-edge recall
+    // floor must survive nCells=64 at the same entry budget (flat and
+    // one-layer walks measure 466/533‰ at this exact budget).
+    "q_ann_graph_hier2_audit" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.graphHier2RecallAudit(emb,
+        emb.filter(col("vec_id") < 5), "embedding", "vec_id", k = 3,
+        nCells = 64, degree = 8, beamWidth = 24, hops = 3,
+        seedsPerCell = 2, maxTrainPerCell = 32,
+        crossCells = 2, degreeCross = 4,
+        entryBeam = 6, hopsTop = 2, degreeTop = 4,
+        entryCells = 6, hopsCells = 2, degreeCells = 4)
+    }),
+
     // The hierarchy's measured value: recall vs brute force at HALF
     // q_ann_graph_cross's entry budget — the audit must hold the 800‰
     // cross-edge floor with 6 routed entries where flat probing needed
@@ -590,6 +625,21 @@ object PipelineQueries {
     "q_tokenizer_unigram" -> ((s, dir) => {
       val docs = Tables.load(s, dir, "documents")
       graft.operators.TokenizerTraining.trainUnigram(docs, "text")
+        .orderBy(col("cnt").desc, col("tok")).limit(64)
+    }),
+
+    // SentencePiece's ACTUAL prune criterion (loss delta): keep the
+    // multi-char tokens whose REMOVAL most increases total corpus cost
+    // (masked-Viterbi alternative segmentation per (word type, token)
+    // pair, integer micro-nats) instead of the most-counted ones — at
+    // this budget the two criteria measurably disagree on the corpus
+    // (loss keeps irreplaceable stems like 'hash'/'join' over generic
+    // fragments; non-vacuity spec-pinned). Seed ranks, both DPs, the
+    // deltas and the prune all replay in the oracle.
+    "q_tokenizer_unigram_loss" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.TokenizerTraining.trainUnigramLossPrune(docs, "text",
+        seedMulti = 64, vocabMulti = 8)
         .orderBy(col("cnt").desc, col("tok")).limit(64)
     }),
 

@@ -953,6 +953,75 @@ object SketchOracleSql {
 
   def tokenizerUnigramOracle: String = tokenizerUnigramSql(1)
 
+  /** q_tokenizer_unigram_loss: loss-delta pruning — the round-1
+    * training CTEs (words/seed/scores/Viterbi walk/re-counts) are
+    * reused; per (word, multi-char token of its best segmentation) the
+    * MASKED DP re-runs the same unrolled stages with `sc.tok <> t`, the
+    * delta is Σ cnt·(masked − base) in exact integer micro-nats, and
+    * the multi tier keeps the top-`vocabMulti` by (delta desc, tok).
+    */
+  private def ugLossCtes(seedMulti: Int, vocabMulti: Int,
+      maxTok: Int, maxWord: Int): String = {
+    val dpStages = (1 to maxWord).map { i =>
+      val cands = (1 to maxTok).filter(_ <= i).map { k =>
+        s"""SELECT wt.w AS w, wt.t AS t, $i AS i, $k AS k,
+           |          d${i - k}.cost + sc.s AS cost
+           |        FROM ul_wt wt JOIN ul_dp${i - k} d${i - k}
+           |          ON d${i - k}.w = wt.w AND d${i - k}.t = wt.t
+           |        JOIN ug_sc_1 sc
+           |          ON sc.tok = substr(wt.w, ${i - k + 1}, $k) AND sc.tok <> wt.t
+           |        WHERE len(wt.w) >= $i""".stripMargin
+      }.mkString(" UNION ALL ")
+      s"""ul_dp$i AS MATERIALIZED (
+         |  SELECT w, t, i, cost, k FROM (
+         |    SELECT w, t, i, cost, k,
+         |      row_number() OVER (PARTITION BY w, t ORDER BY cost, k DESC) AS rn
+         |    FROM ($cands)
+         |  ) WHERE rn = 1
+         |)""".stripMargin
+    }.mkString(",\n")
+    val mUnion = (1 to maxWord)
+      .map(i => s"SELECT w, t, cost FROM ul_dp$i WHERE len(w) = $i")
+      .mkString(" UNION ALL ")
+    val bUnion = (1 to maxWord)
+      .map(i => s"SELECT w, cost FROM ug_e1_dp$i WHERE len(w) = $i")
+      .mkString(" UNION ALL ")
+    s"""${ugTrainCtes(seedMulti, vocabMulti, maxTok, maxWord, 1)},
+       |ul_wt AS MATERIALIZED (
+       |  SELECT DISTINCT w, t FROM (
+       |    SELECT w, unnest(toks) AS t FROM ug_e1_walk) WHERE len(t) > 1
+       |), ul_dp0 AS MATERIALIZED (
+       |  SELECT w, t, 0 AS i, CAST(0 AS BIGINT) AS cost, 0 AS k FROM ul_wt
+       |),
+       |$dpStages,
+       |ul_mcost AS MATERIALIZED ($mUnion),
+       |ul_bcost AS MATERIALIZED ($bUnion),
+       |ul_delta AS MATERIALIZED (
+       |  SELECT m.t AS tok, sum(wd.cnt * (m.cost - b.cost))::BIGINT AS delta
+       |  FROM ul_mcost m JOIN ul_bcost b ON b.w = m.w
+       |  JOIN ug_words wd ON wd.w = m.w
+       |  GROUP BY m.t
+       |), ul_vocab AS (
+       |  SELECT c.tok, coalesce(n.cnt, 0)::BIGINT AS cnt, CAST(0 AS BIGINT) AS delta
+       |  FROM ug_chars c LEFT JOIN ug_newcnt_1 n ON n.tok = c.tok
+       |  UNION ALL
+       |  SELECT tok, cnt, delta FROM (
+       |    SELECT d.tok, n.cnt, d.delta,
+       |      row_number() OVER (ORDER BY d.delta DESC, d.tok) AS rn
+       |    FROM ul_delta d JOIN ug_newcnt_1 n ON n.tok = d.tok
+       |  ) WHERE rn <= $vocabMulti
+       |), ul_tot AS (
+       |  SELECT sum(cnt)::BIGINT AS t, count(*)::BIGINT AS v FROM ul_vocab
+       |)""".stripMargin
+  }
+
+  def tokenizerUnigramLossOracle: String =
+    s"""WITH ${ugLossCtes(64, 8, 4, 16)}
+       |SELECT tok, cnt, delta,
+       |  CAST(floor(1000000.0 * ln((t + v) / (cnt + 1.0)) + 0.5) AS BIGINT) AS score
+       |FROM ul_vocab, ul_tot
+       |ORDER BY cnt DESC, tok LIMIT 64""".stripMargin
+
   /** q_tokenizer_unigram_em2: the trainer with TWO EM rounds at tight
     * budgets (64→48→8) — round 1 prunes to the geometric interim
     * budget, round 2 re-scores, re-segments under the fresh scores
@@ -1774,7 +1843,8 @@ object SketchOracleSql {
       nProbe: Int = 2, degree: Int = 4, beamWidth: Int = 8, hops: Int = 2,
       seedsPerCell: Int = 2, edgeCap: Option[Int] = None,
       crossCells: Int = 0, degreeCross: Int = 0,
-      hier: Option[(Int, Int, Int)] = None): String = {
+      hier: Option[(Int, Int, Int)] = None,
+      hier2: Option[(Int, Int, Int)] = None): String = {
     def cos(a: String, b: String) =
       s"list_sum(list_transform(generate_series(1, len($a.e)), i -> $a.e[i] * $b.e[i])) / ($a.nrm * $b.nrm)"
     def beam(cand: String): String =
@@ -1865,7 +1935,7 @@ object SketchOracleSql {
        |        ORDER BY ${kmD2("a.e", "c.ce")}, a.id) AS rn
        |    FROM gr_n a JOIN gr_cent2 c ON a.cell = c.cell
        |  ) WHERE rn <= $seedsPerCell
-       |), ${annGraphEntryCtes(qMax, nProbe, hier, beam)},
+       |), ${annGraphEntryCtes(qMax, nProbe, hier, hier2, beam)},
        |$hopCtes""".stripMargin
   }
 
@@ -1877,6 +1947,7 @@ object SketchOracleSql {
     */
   private def annGraphEntryCtes(qMax: Int, nProbe: Int,
       hier: Option[(Int, Int, Int)],
+      hier2: Option[(Int, Int, Int)],
       beam: String => String): String = hier match {
     case None =>
       s"""gr_probes AS (
@@ -1916,6 +1987,56 @@ object SketchOracleSql {
            |), gt_beam$h AS (${beamT(s"gt_cand$h")}
            |)""".stripMargin
       }.mkString(",\n")
+      // hier2: a COARSE walk over the cell-centroid graph picks each
+      // query's entry cells; their seeds replace the fixed min-seed
+      // entry of the seed-layer walk — one more unrolled stage
+      val (cellCtes, gtCand0) = hier2 match {
+        case None => ("",
+          s"""gt_cand0 AS (
+             |  SELECT q.id AS qid, e.nid
+             |  FROM (SELECT id FROM gr_prep WHERE id < $qMax) q
+             |  CROSS JOIN (SELECT min(id) AS nid FROM gr_seedn) e
+             |)""".stripMargin)
+        case Some((entryCells, hopsCells, degreeCells)) =>
+          def beamC(cand: String): String =
+            s"""SELECT qid, cell FROM (
+               |  SELECT c.qid, c.cell,
+               |    row_number() OVER (PARTITION BY c.qid
+               |      ORDER BY ${kmD2("q.e", "ct.ce")}, c.cell) AS rn
+               |  FROM $cand c JOIN gr_cent2 ct ON ct.cell = c.cell
+               |  JOIN gr_prep q ON q.id = c.qid
+               |) WHERE rn <= $entryCells""".stripMargin
+          val hopsC = (1 to hopsCells).map { h =>
+            s"""gc_cand$h AS (
+               |  SELECT DISTINCT qid, cell FROM (
+               |    SELECT qid, cell FROM gc_beam${h - 1}
+               |    UNION ALL
+               |    SELECT b.qid, e.dst AS cell
+               |    FROM gc_beam${h - 1} b JOIN gc_edges e ON e.src = b.cell
+               |  )
+               |), gc_beam$h AS (${beamC(s"gc_cand$h")}
+               |)""".stripMargin
+          }.mkString(",\n")
+          (s"""gc_edges AS MATERIALIZED (
+              |  SELECT src, dst FROM (
+              |    SELECT a.cell AS src, b.cell AS dst,
+              |      row_number() OVER (PARTITION BY a.cell
+              |        ORDER BY ${kmD2("a.ce", "b.ce")}, b.cell) AS rn
+              |    FROM gr_cent2 a JOIN gr_cent2 b ON a.cell <> b.cell
+              |  ) WHERE rn <= $degreeCells
+              |), gc_cand0 AS (
+              |  SELECT q.id AS qid, c.cell
+              |  FROM (SELECT id FROM gr_prep WHERE id < $qMax) q
+              |  CROSS JOIN (SELECT min(cell) AS cell FROM gr_cent2) c
+              |), gc_beam0 AS (${beamC("gc_cand0")}
+              |),
+              |$hopsC,
+              |""".stripMargin,
+            s"""gt_cand0 AS (
+               |  SELECT DISTINCT b.qid, s.id AS nid
+               |  FROM gc_beam$hopsCells b JOIN gr_seeds s ON s.cell = b.cell
+               |)""".stripMargin)
+      }
       s"""gr_seedn AS MATERIALIZED (
          |  SELECT n.id, n.e, n.nrm FROM gr_n n
          |  JOIN (SELECT DISTINCT id FROM gr_seeds) s ON s.id = n.id
@@ -1926,11 +2047,7 @@ object SketchOracleSql {
          |        ORDER BY ${cos("a", "b")} DESC, b.id) AS rn
          |    FROM gr_seedn a JOIN gr_seedn b ON a.id <> b.id
          |  ) WHERE rn <= $degreeTop
-         |), gt_cand0 AS (
-         |  SELECT q.id AS qid, e.nid
-         |  FROM (SELECT id FROM gr_prep WHERE id < $qMax) q
-         |  CROSS JOIN (SELECT min(id) AS nid FROM gr_seedn) e
-         |), gt_beam0 AS (${beamT("gt_cand0")}
+         |), $cellCtes$gtCand0, gt_beam0 AS (${beamT("gt_cand0")}
          |),
          |$topHops, gr_cand0 AS (
          |  SELECT DISTINCT qid, nid FROM gt_beam$hopsTop
@@ -1989,8 +2106,21 @@ object SketchOracleSql {
     hops = grHops, seedsPerCell = 4, crossCells = 2, degreeCross = 4,
     hier = Some((6, 2, 4)))
 
+  // q_ann_graph_hier2/_audit: TWO routing layers at nCells=64 — the
+  // coarse centroid-graph walk picks each query's 6 entry cells, their
+  // seeds (2/cell) enter the seed-layer walk at the SAME entryBeam=6
+  // budget; the audit holds the 800‰ cross-edge floor where flat
+  // probing and the one-layer hier measure 466/533‰ at this exact
+  // walk budget (beamWidth=24)
+  private def grh2Ctes = annGraphCtes(nCells = 64, nProbe = 3, degree = 8,
+    beamWidth = 24, hops = grHops, seedsPerCell = 2,
+    crossCells = 2, degreeCross = 4,
+    hier = Some((6, 2, 4)), hier2 = Some((6, 2, 4)))
+
   def annGraphOracle: String = graphTopKSelect(grCtes)
   def annGraphAuditOracle: String = graphAuditSelect(grCtes)
+  def annGraphHier2Oracle: String = graphTopKSelect(grh2Ctes)
+  def annGraphHier2AuditOracle: String = graphAuditSelect(grh2Ctes)
   def annGraphCrossOracle: String = graphTopKSelect(grxCtes)
   def annGraphCrossAuditOracle: String = graphAuditSelect(grxCtes)
   def annGraphCappedOracle: String = graphTopKSelect(grcapCtes)
@@ -2346,7 +2476,10 @@ object SketchOracleSql {
     "q_ann_graph_stream_index" -> annGraphStreamIndexOracle,
     "q_ann_lsh_multiprobe2" -> annLshMultiProbe2Oracle,
     "q_ann_lsh_multiprobe2_audit" -> annLshMultiProbe2AuditOracle,
+    "q_ann_graph_hier2" -> annGraphHier2Oracle,
+    "q_ann_graph_hier2_audit" -> annGraphHier2AuditOracle,
     "q_tokenizer_unigram" -> tokenizerUnigramOracle,
+    "q_tokenizer_unigram_loss" -> tokenizerUnigramLossOracle,
     "q_tokenizer_unigram_em2" -> tokenizerUnigramEm2Oracle,
     "q_doc_unigram_tokens" -> docUnigramTokensOracle,
     // the persisted-index search must answer identically to the

@@ -1012,6 +1012,43 @@ class SimilaritySearchSpec extends SparkSpec {
     }
   }
 
+  test("two-layer hierarchy: planted neighbor through the routed cells, determinism") {
+    val q = corpus16.filter(col("vec_id") < 3L)
+    def run() = SimilaritySearch.graphKnnHier2(corpus16, q, "embedding",
+      "vec_id", k = 3, nCells = 4, degree = 4, beamWidth = 8, hops = 3,
+      seedsPerCell = 2, maxTrainPerCell = 64, crossCells = 1, degreeCross = 2,
+      entryBeam = 3, hopsTop = 2, degreeTop = 3,
+      entryCells = 2, hopsCells = 2, degreeCells = 2)
+      .orderBy("qid", "rnk").collect().toSeq
+    val got = run()
+    // the planted twin (99 = vec16(0)) is query 0's top hit through the
+    // cell-routed entries — the coarse layer must route OUT of the
+    // min-cell entry when the query lives elsewhere
+    assert(got.head.getAs[Long]("nid") == 99L &&
+      got.head.getAs[Double]("sim") > 0.999, got.take(3).mkString(","))
+    assert(run() == got)
+    // full cell coverage degenerates to the one-layer walk: with
+    // entryCells = nCells every cell's seeds enter the seed walk, so
+    // the routed-entry result can only match or beat the fixed-entry
+    // one at the same seed-layer budget (superset of entry candidates)
+    val wide = SimilaritySearch.graphKnnHier2(corpus16, q, "embedding",
+      "vec_id", k = 3, nCells = 4, degree = 4, beamWidth = 8, hops = 3,
+      seedsPerCell = 2, maxTrainPerCell = 64, crossCells = 1, degreeCross = 2,
+      entryBeam = 3, hopsTop = 2, degreeTop = 3,
+      entryCells = 4, hopsCells = 0, degreeCells = 2)
+      .orderBy("qid", "rnk").collect().toSeq
+    assert(wide.nonEmpty && wide.head.getAs[Long]("nid") == 99L)
+    // guards
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.graphKnnHier2(corpus16, q, "embedding", "vec_id",
+        k = 3, entryCells = 0)
+    }
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.cellLayer(corpus16.select(col("vec_id").as("cell"),
+        transform(col("embedding"), x => x.cast("double")).as("ce")), 0)
+    }
+  }
+
   test("graphIndexAppend's dst pool input is bounded by touched-cell membership") {
     // 16 well-separated cells (one-hot axes), 20 members each; an append
     // that lands in ONE cell must feed the pool aggregation only that

@@ -350,6 +350,127 @@ class TokenizerTrainingSpec extends SparkSpec {
     }
   }
 
+  /** Plain-Scala loss-delta pruning replay: seed scores, Viterbi per
+    * word type (ties prefer longer tokens), per multi-char token of the
+    * best segmentation the masked-DP alternative cost, delta =
+    * Σ cnt·(alt − best), multis kept by (delta desc, tok asc).
+    */
+  private def referenceLossPrune(docs: Seq[String], seedMulti: Int,
+      vocabMulti: Int, maxTok: Int, maxWord: Int)
+      : Seq[(String, Long, Long, Long)] = {
+    val wcnt = scala.collection.mutable.Map.empty[String, Long]
+    docs.foreach(_.toLowerCase.split(' ').filter(_.nonEmpty).foreach { w =>
+      w.grouped(maxWord).foreach(c => wcnt(c) = wcnt.getOrElse(c, 0L) + 1L)
+    })
+    val sub = scala.collection.mutable.Map.empty[String, Long]
+    wcnt.foreach { case (w, c) =>
+      for (i <- 0 until w.length; k <- 1 to math.min(maxTok, w.length - i))
+        sub(w.substring(i, i + k)) = sub.getOrElse(w.substring(i, i + k), 0L) + c
+    }
+    val chars = sub.keys.filter(_.length == 1).toSet
+    def scoresOf(freq: Map[String, Long], vocab: Seq[String]): Map[String, Long] = {
+      val t = vocab.map(freq.getOrElse(_, 0L)).sum
+      val v = vocab.length
+      vocab.map(tok => tok -> math.floor(1e6 *
+        math.log((t + v).toDouble / (freq.getOrElse(tok, 0L) + 1L)) + 0.5).toLong).toMap
+    }
+    // Viterbi: (toks, cost); masked variant returns cost only
+    def viterbi(w: String, s: Map[String, Long],
+        mask: Option[String]): (Seq[String], Long) = {
+      val inf = Long.MaxValue / 4
+      val dp = Array.fill(w.length + 1)(inf); dp(0) = 0L
+      val bk = Array.fill(w.length + 1)(0)
+      for (i <- 1 to w.length) {
+        var best = inf; var bestk = 0
+        for (k <- 1 to math.min(maxTok, i)) {
+          val tok = w.substring(i - k, i)
+          if (!mask.contains(tok))
+            s.get(tok).foreach { c =>
+              val t = dp(i - k) + c
+              if (t < best || (t == best && k > bestk)) { best = t; bestk = k }
+            }
+        }
+        dp(i) = best; bk(i) = bestk
+      }
+      var pos = w.length
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (pos > 0) { val k = bk(pos); out.prepend(w.substring(pos - k, pos)); pos -= k }
+      (out.toSeq, dp(w.length))
+    }
+    val vocab = (chars ++ sub.keys.filter(_.length > 1).toSeq
+      .sortBy(t => (-sub(t), t)).take(seedMulti)).toSeq.sorted
+    val s = scoresOf(sub.toMap, vocab)
+    val segs = wcnt.keys.map(w => w -> viterbi(w, s, None)).toMap
+    val newcnt = scala.collection.mutable.Map.empty[String, Long]
+    wcnt.foreach { case (w, c) =>
+      segs(w)._1.foreach(t => newcnt(t) = newcnt.getOrElse(t, 0L) + c)
+    }
+    val delta = scala.collection.mutable.Map.empty[String, Long]
+    wcnt.foreach { case (w, c) =>
+      val (toks, base) = segs(w)
+      toks.filter(_.length > 1).distinct.foreach { t =>
+        val alt = viterbi(w, s, Some(t))._2
+        delta(t) = delta.getOrElse(t, 0L) + c * (alt - base)
+      }
+    }
+    val kept = delta.keys.toSeq.sortBy(t => (-delta(t), t)).take(vocabMulti)
+    val out = chars.toSeq.map(c => (c, newcnt.getOrElse(c, 0L), 0L)) ++
+      kept.map(t => (t, newcnt(t), delta(t)))
+    val sf = scoresOf(out.map(x => x._1 -> x._2).toMap, out.map(_._1))
+    out.map { case (t, c, d) => (t, c, d, sf(t)) }
+      .sortBy { case (t, c, _, _) => (-c, t) }
+  }
+
+  test("loss-delta pruning matches the scalar replay and keeps irreplaceable tokens") {
+    // 'ab' is frequent but SUBSTITUTABLE (a and b are cheap chars
+    // elsewhere); 'zq' is rarer but IRREPLACEABLE (z and q exist only
+    // inside it, so masking forces two expensive chars) — count-pruning
+    // and loss-pruning must disagree on which multis survive
+    val docs = Seq(
+      Seq.fill(20)("ab").mkString(" "),
+      Seq.fill(8)("zq").mkString(" "),
+      Seq.fill(12)("aaaa bbbb").mkString(" "))
+    def multisOf(rows: Seq[(String, Long, Long, Long)]): Set[String] =
+      rows.map(_._1).filter(_.length > 1).toSet
+    val got = TokenizerTraining.trainUnigramLossPrune(docs.toDF("text"),
+      "text", seedMulti = 24, vocabMulti = 2, maxTokenLen = 4, maxWordLen = 12)
+      .orderBy(col("cnt").desc, col("tok"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val want = referenceLossPrune(docs, 24, 2, 4, 12)
+    assert(got == want, s"got=$got want=$want")
+    // the irreplaceable token survives
+    assert(multisOf(got).contains("zq"), s"zq evicted: $got")
+    // non-vacuity vs count-pruning at the same budget: different multis
+    val counted = TokenizerTraining.trainUnigram(docs.toDF("text"), "text",
+      seedMulti = 24, vocabMulti = 2, maxTokenLen = 4, maxWordLen = 12)
+      .orderBy(col("cnt").desc, col("tok"))
+      .as[(String, Long, Long)].collect().toSeq
+    assert(multisOf(got) != counted.map(_._1).filter(_.length > 1).toSet,
+      "loss- and count-pruning agreed — fixture does not differentiate")
+    // determinism + randomized property vs the reference
+    val again = TokenizerTraining.trainUnigramLossPrune(docs.toDF("text"),
+      "text", seedMulti = 24, vocabMulti = 2, maxTokenLen = 4, maxWordLen = 12)
+      .orderBy(col("cnt").desc, col("tok"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(again == got)
+    val rnd = new scala.util.Random(13)
+    def randDoc() = Seq.fill(5 + rnd.nextInt(8))(
+      Seq.fill(1 + rnd.nextInt(6))("abcz"(rnd.nextInt(4))).mkString).mkString(" ")
+    for (trial <- 0 until 3) {
+      val rdocs = Seq.fill(6)(randDoc())
+      val g = TokenizerTraining.trainUnigramLossPrune(rdocs.toDF("text"),
+        "text", seedMulti = 16, vocabMulti = 6, maxTokenLen = 3, maxWordLen = 10)
+        .orderBy(col("cnt").desc, col("tok"))
+        .as[(String, Long, Long, Long)].collect().toSeq
+      val w = referenceLossPrune(rdocs, 16, 6, 3, 10)
+      assert(g == w, s"trial $trial: got=${g.take(6)} want=${w.take(6)}")
+    }
+    intercept[IllegalArgumentException] {
+      TokenizerTraining.trainUnigramLossPrune(docs.toDF("text"), "text",
+        vocabMulti = 0)
+    }
+  }
+
   test("encodeWithMerges applies the learned table in order") {
     val docs = Seq("x y z x y", "x y x y z")
     val merges = TokenizerTraining.trainMerges(docs.toDF("text"), "text", rounds = 2)
