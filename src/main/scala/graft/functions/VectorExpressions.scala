@@ -154,4 +154,72 @@ object VectorExpressions {
 
   def fwhtRotate(a: Column, signs: Seq[Double]): Column =
     toColumn(FwhtRotate(exprOf(a), signs))
+
+  /** A SEQUENCE of exact Householder reflections applied in one pass —
+    * the learned-PCA rotation's execution tier. Composing reflections
+    * as nested `zip_with(transform(...))` HOFs re-evaluates the inner
+    * reflection once per outer reference (≈9 base-array evaluations per
+    * row for two levels, re-paid in EVERY job of the IVF-PQ chain —
+    * measured 11× on q_ann_pca2); this expression walks the chain once
+    * per row through one static kernel shared by the interpreted eval
+    * and the generated code, so the two paths are bit-identical by
+    * construction and the arithmetic (index-order dot, one factor,
+    * per-element subtract) matches both the HOF formulation it replaces
+    * and the oracle's replay term for term.
+    */
+  case class HouseholderChain(child: Expression, us: Seq[Seq[Double]])
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType | DoubleType, _)
+          if us.nonEmpty && us.forall(u => u.length == us.head.length &&
+            u.exists(_ != 0.0)) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case ArrayType(FloatType | DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            "householder_chain: reflection vectors must be non-empty, " +
+              "equal-length and nonzero")
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"householder_chain expects array<float|double>, got $other")
+      }
+
+    @transient private lazy val uArrs: Array[Array[Double]] =
+      us.map(_.toArray).toArray
+    // integer-valued squares summed in doubles stay < 2^53: exact, and
+    // identical to the driver-side Long sum the HOF formulation used
+    @transient private lazy val uus: Array[Double] =
+      uArrs.map(u => u.map(x => x * x).sum)
+    private def isFloat: Boolean =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(input: Any): Any = {
+      val k = HouseholderKernel.instance
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        k.chain(k.toDoubles(input.asInstanceOf[ArrayData], isFloat),
+          uArrs, uus))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val usRef = ctx.addReferenceObj("hhUs", uArrs, "double[][]")
+      val uusRef = ctx.addReferenceObj("hhUus", uus, "double[]")
+      val kernelRef = ctx.addReferenceObj("hhKernel", HouseholderKernel.instance,
+        "graft.functions.HouseholderKernel")
+      nullSafeCodeGen(ctx, ev, a => {
+        s"""
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  $kernelRef.chain($kernelRef.toDoubles($a, $isFloat), $usRef, $uusRef));
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def prettyName: String = "householder_chain"
+  }
+
+  def householderChain(a: Column, us: Seq[Seq[Double]]): Column =
+    toColumn(HouseholderChain(exprOf(a), us))
 }

@@ -1383,9 +1383,12 @@ object SimilaritySearch {
       m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
       maxTrainPerCell: Int = 16384, powerIters: Int = 4): DataFrame = {
     val (u1, u2) = pcaDirections2(corpus, vecCol, dim, powerIters)
+    // ONE chained-kernel pass per row — nesting householderReflect here
+    // re-evaluated the inner reflection per outer HOF reference
     def rot(df: DataFrame): DataFrame =
       df.select(col(idCol),
-        householderReflect(householderReflect(col(vecCol), u1), u2)
+        graft.functions.VectorExpressions.householderChain(
+          col(vecCol), Seq(u1.map(_.toDouble), u2.map(_.toDouble)))
           .as(vecCol))
     rankAdc(ivfPqAdcScores(rot(corpus), rot(queries), vecCol, idCol,
       nCells, nProbe, m, pqCells, iterations, maxTrainPerCell), k)
@@ -1430,15 +1433,14 @@ object SimilaritySearch {
   /** Apply the exact orthogonal reflection H = I − 2uuᵀ/(uᵀu) row-
     * locally: x − (2(u·x)/(uᵀu))·u with u a plan-time integer literal —
     * H is EXACTLY orthogonal for any u (distances preserved to float
-    * rounding), regardless of v's quantization. Zero shuffles.
+    * rounding), regardless of v's quantization. Zero shuffles; executed
+    * by the codegen'd [[graft.functions.VectorExpressions.HouseholderChain]]
+    * kernel (one pass per row — identical arithmetic to the zip_with
+    * formulation it replaced, term for term).
     */
-  def householderReflect(vec: Column, u: Seq[Long]): Column = {
-    val uu = u.map(x => x * x).sum.toDouble // < 2^53: exact
-    val ul = typedLit(u.map(_.toDouble))
-    val ux = arrayDot(transform(vec, x => x.cast("double")), ul)
-    zip_with(transform(vec, x => x.cast("double")), ul,
-      (x, uj) => x - (lit(2.0) * ux / lit(uu)) * uj)
-  }
+  def householderReflect(vec: Column, u: Seq[Long]): Column =
+    graft.functions.VectorExpressions.householderChain(
+      vec, Seq(u.map(_.toDouble)))
 
   /** IVF-PQ over the PCA-rotated basis: power-iterate the dominant
     * principal direction, reflect it onto e₁ (Householder), run the
@@ -1787,9 +1789,11 @@ object SimilaritySearch {
       iterations: Int = 2, maxTrainPerCell: Int = 16384,
       maxEdgeCandidatesPerCell: Int = 16384,
       crossCells: Int = 0, degreeCross: Int = 0,
-      degreeTop: Int = 0): Unit = {
+      degreeTop: Int = 0, degreeCells: Int = 0): Unit = {
     require(degreeTop >= 0,
       s"degreeTop must be >= 0 (0 = no persisted top layer), got $degreeTop")
+    require(degreeCells >= 0,
+      s"degreeCells must be >= 0 (0 = no persisted cell graph), got $degreeCells")
     val (cents, nodes, edges, seeds, release) = graphPieces(corpus, vecCol,
       idCol, nCells, degree, seedsPerCell, iterations, maxTrainPerCell,
       maxEdgeCandidatesPerCell, crossCells, degreeCross)
@@ -1811,6 +1815,13 @@ object SimilaritySearch {
         topLayer(nodes, seeds, degreeTop)._2
           .write.format("kv").option("path", s"$path/top_edges")
           .mode("overwrite").save()
+      // the two-layer tier's coarse routing graph, same discipline:
+      // centroids are build-time-fixed, so the cell graph is
+      // append-stable too
+      if (degreeCells > 0)
+        cellLayer(cents, degreeCells)
+          .write.format("kv").option("path", s"$path/cell_edges")
+          .mode("overwrite").save()
       // build-knob metadata: appends read the CROSS-edge knobs from here
       // so an index built with long-range links keeps giving them to
       // appended nodes (without it, appended nodes would only ever link
@@ -1819,10 +1830,10 @@ object SimilaritySearch {
       import spark.implicits._
       Seq((degree.toLong, seedsPerCell.toLong, nCells.toLong,
         maxEdgeCandidatesPerCell.toLong, crossCells.toLong,
-        degreeCross.toLong, degreeTop.toLong))
+        degreeCross.toLong, degreeTop.toLong, degreeCells.toLong))
         .toDF("degree", "seeds_per_cell", "n_cells",
           "max_edge_candidates", "cross_cells", "degree_cross",
-          "degree_top")
+          "degree_top", "degree_cells")
         .write.format("kv").option("path", s"$path/knobs")
         .mode("overwrite").save()
     } finally release()
@@ -2481,16 +2492,31 @@ object SimilaritySearch {
       entryBeam: Int = 4, hopsTop: Int = 2, degreeTop: Int = 4,
       entryCells: Int = 4, hopsCells: Int = 2,
       degreeCells: Int = 4): DataFrame = {
-    require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
     val (cents, nodes, edges, seeds, _) = graphPieces(corpus, vecCol, idCol,
       nCells, degree, seedsPerCell, iterations, maxTrainPerCell,
       maxEdgeCandidatesPerCell, crossCells, degreeCross)
     val (_, topEdges) = topLayer(nodes, seeds, degreeTop)
     val cellEdges = cellLayer(cents, degreeCells)
+    hier2Walk(cents, nodes, edges, seeds, topEdges, cellEdges,
+      queries, vecCol, idCol, k, entryBeam, hopsTop, entryCells,
+      hopsCells, beamWidth, hops)
+  }
+
+  /** The two-layer walk over explicit tables — shared by the in-memory
+    * [[graphKnnHier2]] and the persisted-index [[graphKnnHier2Indexed]],
+    * so the two paths are identical by construction.
+    */
+  private def hier2Walk(
+      cents: DataFrame, nodesWithCell: DataFrame, edges: DataFrame,
+      seeds: DataFrame, topEdges: DataFrame, cellEdges: DataFrame,
+      queries: DataFrame, vecCol: String, idCol: String, k: Int,
+      entryBeam: Int, hopsTop: Int, entryCells: Int, hopsCells: Int,
+      beamWidth: Int, hops: Int): DataFrame = {
+    require(beamWidth >= k, s"beamWidth $beamWidth must be >= k $k")
     val q0 = prep(queries, vecCol, idCol)
       .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
     val routedCells = cellWalk(cents, cellEdges, q0, entryCells, hopsCells)
-    val nodesD = nodes.select(col("nid"), col("ne"), col("nn"))
+    val nodesD = nodesWithCell.select(col("nid"), col("ne"), col("nn"))
       .dropDuplicates("nid")
     val seeded0 = routedCells.join(seeds, Seq("cell"))
       .select(col("qid"), col("qe"), col("qn"), col("nid"))
@@ -2502,6 +2528,45 @@ object SimilaritySearch {
     topKPerQuery(
       beam.where(col("qid") =!= col("nid"))
         .select(col("qid"), col("nid"), col("sim")), k)
+  }
+
+  /** Two-layer hierarchical walk against a persisted index — read-only
+    * at search time when the build persisted BOTH routing layers
+    * ([[buildGraphIndex]] with `degreeTop` and `degreeCells` > 0,
+    * knobs-recorded): `top_edges` and `cell_edges` read back like every
+    * other index table. Either layer falls back to its bounded rebuild
+    * (seed-set fold / centroid fold — no corpus pass) when its table is
+    * missing or was built at a different degree; all paths answer
+    * bit-identically (longs round-trip parquet exactly), pinned by the
+    * maintenance spec. Both layers are append-stable: seeds and
+    * centroids are build-time-fixed.
+    */
+  def graphKnnHier2Indexed(
+      queries: DataFrame, vecCol: String, idCol: String, path: String,
+      k: Int, entryBeam: Int = 4, hopsTop: Int = 2, degreeTop: Int = 4,
+      entryCells: Int = 4, hopsCells: Int = 2, degreeCells: Int = 4,
+      beamWidth: Int = 8, hops: Int = 2): DataFrame = {
+    require(degreeCells >= 1, s"degreeCells must be >= 1, got $degreeCells")
+    val spark = queries.sparkSession
+    def t(n: String) = spark.read.format("kv").option("path", s"$path/$n").load()
+    def knob(name: String): Int =
+      if (graft.sources.ParquetIO.listFiles(s"$path/knobs").isEmpty) 0
+      else t("knobs").collect().headOption
+        .filter(_.schema.fieldNames.contains(name))
+        .map(_.getAs[Long](name).toInt).getOrElse(0)
+    val topEdges =
+      if (knob("degree_top") == degreeTop &&
+          graft.sources.ParquetIO.listFiles(s"$path/top_edges").nonEmpty)
+        t("top_edges")
+      else topLayer(t("cells"), t("seeds"), degreeTop)._2
+    val cellEdges =
+      if (knob("degree_cells") == degreeCells &&
+          graft.sources.ParquetIO.listFiles(s"$path/cell_edges").nonEmpty)
+        t("cell_edges")
+      else cellLayer(t("centroids"), degreeCells)
+    hier2Walk(t("centroids"), t("cells"), t("edges"), t("seeds"),
+      topEdges, cellEdges, queries, vecCol, idCol, k,
+      entryBeam, hopsTop, entryCells, hopsCells, beamWidth, hops)
   }
 
   /** Measured recall of the two-layer walk vs exact brute force — the

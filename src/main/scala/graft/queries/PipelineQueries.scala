@@ -508,9 +508,13 @@ object PipelineQueries {
       SimilaritySearch.buildGraphIndex(emb.filter(col("vec_id") < 250),
         "embedding", "vec_id", idx, nCells = 8, degree = 8,
         seedsPerCell = 4, maxTrainPerCell = 32)
+      // 400 source rows/trigger: ≥2 non-empty node batches at sf0.01
+      // (150 + 100 post-filter) and 5 at sf0.1 — multi-batch enough to
+      // exercise the drain (the spec pins arbitrary-chop bit-equality)
+      // without paying 20 fixed micro-batch cycles per bench run
       val q = s.readStream.format("log")
         .option("path", s"$dir/embeddings.parquet")
-        .option("maxOffsetsPerTrigger", "100").load()
+        .option("maxOffsetsPerTrigger", "400").load()
         .filter(col("vec_id") >= 250)
         .writeStream
         .foreachBatch { (df: DataFrame, _: Long) =>
@@ -547,6 +551,25 @@ object PipelineQueries {
         maxTrainPerCell = 32, crossCells = 2, degreeCross = 4,
         entryBeam = 6, hopsTop = 2, degreeTop = 4,
         entryCells = 6, hopsCells = 2, degreeCells = 4)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // The persisted two-layer tier: BOTH routing layers stored at build
+    // time (top_edges + cell_edges, knobs-recorded) — search is
+    // read-only across all three layers and answers bit-identically to
+    // the in-memory walk, so the gate shares its oracle.
+    "q_ann_graph_hier2_indexed" -> ((s, dir) => {
+      val idx = s"/tmp/graft_grh2idx${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(idx)
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.buildGraphIndex(emb, "embedding", "vec_id", idx,
+        nCells = 64, degree = 8, seedsPerCell = 2, maxTrainPerCell = 32,
+        crossCells = 2, degreeCross = 4, degreeTop = 4, degreeCells = 4)
+      SimilaritySearch.graphKnnHier2Indexed(emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", idx, k = 3,
+        entryBeam = 6, hopsTop = 2, degreeTop = 4,
+        entryCells = 6, hopsCells = 2, degreeCells = 4,
+        beamWidth = 24, hops = 3)
         .orderBy(col("qid"), col("rnk"))
     }),
 

@@ -2477,6 +2477,9 @@ object SketchOracleSql {
     "q_ann_lsh_multiprobe2" -> annLshMultiProbe2Oracle,
     "q_ann_lsh_multiprobe2_audit" -> annLshMultiProbe2AuditOracle,
     "q_ann_graph_hier2" -> annGraphHier2Oracle,
+    // the persisted two-layer tier applies the STORED routing graphs —
+    // same walk, same oracle
+    "q_ann_graph_hier2_indexed" -> annGraphHier2Oracle,
     "q_ann_graph_hier2_audit" -> annGraphHier2AuditOracle,
     "q_tokenizer_unigram" -> tokenizerUnigramOracle,
     "q_tokenizer_unigram_loss" -> tokenizerUnigramLossOracle,

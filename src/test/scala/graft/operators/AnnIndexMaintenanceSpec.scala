@@ -212,15 +212,18 @@ class AnnIndexMaintenanceSpec extends SparkSpec {
         x.cast("double") +
           lit(4.0) * element_at(col("embedding"), 1).cast("double"))
         .as("embedding"))
+    // dim must equal the corpus's true dimension (16): the round-13
+    // HouseholderChain kernel REFUSES a mismatched reflection vector
+    // where the old zip_with silently null-padded past the array
     SimilaritySearch.buildPcaIndex(sheared, "embedding", "vec_id", idx,
-      dim = 24, nCells = 2, m = 2, pqCells = 8, maxTrainPerCell = 64)
+      dim = 16, nCells = 2, m = 2, pqCells = 8, maxTrainPerCell = 64)
     val q = sheared.filter(col("vec_id") < 3L)
     def search() = SimilaritySearch.pcaKnnIndexed(
       spark, idx, q, "embedding", "vec_id", k = 3, nProbe = 2)
     val baseline = rows(search())
     // indexed == in-memory at the same knobs (same stored basis)
     assert(baseline == rows(SimilaritySearch.ivfPqPcaKnn(sheared, q,
-      "embedding", "vec_id", dim = 24, k = 3, nCells = 2, nProbe = 2,
+      "embedding", "vec_id", dim = 16, k = 3, nCells = 2, nProbe = 2,
       m = 2, pqCells = 8, maxTrainPerCell = 64)))
     KvMerge.rewrite(spark, s"$idx/householder", numFiles = 1)
     KvMerge.rewrite(spark, s"$idx/codes", numFiles = 2)
@@ -228,6 +231,47 @@ class AnnIndexMaintenanceSpec extends SparkSpec {
     // a missing u table fails fast instead of silently searching unrotated
     graft.sources.ParquetIO.deletePath(s"$idx/householder")
     intercept[Exception] { search().collect() }
+  }
+
+  test("persisted two-layer tier: indexed parity, stored cell graph actually read") {
+    val q = corpus.filter(col("vec_id") < 3L)
+    val mem = rows(SimilaritySearch.graphKnnHier2(corpus, q, "embedding",
+      "vec_id", k = 3, nCells = 4, degree = 3, beamWidth = 10, hops = 3,
+      seedsPerCell = 2, maxTrainPerCell = 64, crossCells = 1, degreeCross = 2,
+      entryBeam = 4, hopsTop = 2, degreeTop = 3,
+      entryCells = 2, hopsCells = 2, degreeCells = 2))
+    val idx = java.nio.file.Files.createTempDirectory("annmx9").toString + "/i"
+    SimilaritySearch.buildGraphIndex(corpus, "embedding", "vec_id", idx,
+      nCells = 4, degree = 3, seedsPerCell = 2, maxTrainPerCell = 64,
+      crossCells = 1, degreeCross = 2, degreeTop = 3, degreeCells = 2)
+    def search(dc: Int) = rows(SimilaritySearch.graphKnnHier2Indexed(
+      q, "embedding", "vec_id", idx, k = 3,
+      entryBeam = 4, hopsTop = 2, degreeTop = 3,
+      entryCells = 2, hopsCells = 2, degreeCells = dc,
+      beamWidth = 10, hops = 3))
+    // persisted-path search equals the in-memory walk bit-for-bit
+    assert(search(2) == mem)
+    // the stored cell graph is actually read: tamper → change, restore
+    val real = spark.read.format("kv")
+      .option("path", s"$idx/cell_edges").load().collect().toSeq
+    val schema = spark.read.format("kv")
+      .option("path", s"$idx/cell_edges").load().schema
+    import spark.implicits._
+    Seq((0L, 0L)).toDF("src", "dst").write.format("kv")
+      .option("path", s"$idx/cell_edges").mode("overwrite").save()
+    assert(search(2) != mem,
+      "tampered cell_edges did not change results — stored graph unread")
+    spark.createDataFrame(spark.sparkContext.parallelize(real, 1), schema)
+      .write.format("kv").option("path", s"$idx/cell_edges")
+      .mode("overwrite").save()
+    assert(search(2) == mem)
+    // a DIFFERENT degreeCells ignores the stored graph and rebuilds —
+    // and deleting the table falls back bit-identically too
+    val dc3 = search(3)
+    graft.sources.ParquetIO.deletePath(s"$idx/cell_edges")
+    assert(search(2) == mem,
+      "cell-graph rebuild fallback diverged from the persisted path")
+    assert(search(3) == dc3)
   }
 
   test("streamed node appends + one finalize equal the one-shot append bit-for-bit") {
