@@ -418,6 +418,113 @@ object SimilaritySearch {
     } finally { exact.unpersist(); () }
   }
 
+  /** Multi-probe LSH with the probe budget spent JOINTLY across bands
+    * (Lv et al.'s full query-directed ordering): instead of a per-band
+    * quota (every band flips its own `probes−1` lowest-margin sets —
+    * even bands whose key already matches confidently), ONE global rank
+    * over every band's perturbation sets — (summed micro-margin asc,
+    * band asc, mask asc), still closed-form — spends `extraProbes`
+    * keys where the sketch is least confident, query by query. Equal
+    * TOTAL budget to the per-band sequence when extraProbes =
+    * bands·(probes−1); the corpus-side banded table is IDENTICAL.
+    * extraProbes = 0 is exactly [[lshKnn]].
+    */
+  def lshMultiProbeJointKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      numPlanes: Int = 64, bands: Int = 8, extraProbes: Int = 16,
+      maxFlipBits: Int = 2): DataFrame = {
+    require(numPlanes % bands == 0,
+      s"numPlanes $numPlanes must split into $bands bands")
+    val w = numPlanes / bands
+    require(w <= 32, s"band width $w exceeds 32 bits — use more bands")
+    require(maxFlipBits >= 1 && maxFlipBits <= 2,
+      s"maxFlipBits must be 1 (singles) or 2 (+pairs), got $maxFlipBits")
+    val nPerturb =
+      bands * (if (maxFlipBits == 1) w else w + w * (w - 1) / 2)
+    require(extraProbes >= 0 && extraProbes <= nPerturb,
+      s"extraProbes must be in [0, $nPerturb] at maxFlipBits=$maxFlipBits")
+    val c = prep(corpus, vecCol, idCol)
+      .withColumn("sk", Sketches.hyperplaneSketch(col("e"), numPlanes))
+      .select(col("id").as("cid"), col("e").as("ce"), col("nrm").as("cn"),
+        posexplode(Sketches.sketchBands(col("sk"), bands, numPlanes))
+          .as(Seq("band", "band_key")))
+    def bitMask(j: Column): Column = pow(lit(2.0), j.cast("double")).cast("long")
+    def mgAt(b: Column, j: Column): Column =
+      element_at(col("mg"), b * w + j + 1)
+    def singles(b: Column): Column = transform(sequence(lit(0), lit(w - 1)),
+      j => struct(mgAt(b, j).as("ms"), b.as("band"), bitMask(j).as("mask")))
+    def pairs(b: Column): Column = flatten(transform(
+      sequence(lit(0), lit(w - 2)),
+      i => transform(sequence(i + 1, lit(w - 1)), j => struct(
+        (mgAt(b, i) + mgAt(b, j)).as("ms"), b.as("band"),
+        (bitMask(i) + bitMask(j)).as("mask")))))
+    val perturbs = flatten(transform(sequence(lit(0), lit(bands - 1)),
+      b => if (maxFlipBits == 1) singles(b)
+           else concat(singles(b), pairs(b))))
+    val probeKeys = prep(queries, vecCol, idCol)
+      .withColumn("sk", Sketches.hyperplaneSketch(col("e"), numPlanes))
+      .withColumn("mg", Sketches.hyperplaneMargins(col("e"), numPlanes))
+      .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+        Sketches.sketchBands(col("sk"), bands, numPlanes).as("keys"),
+        slice(array_sort(perturbs), 1, extraProbes).as("flips"))
+      .select(col("qid"), col("qe"), col("qn"),
+        explode(concat(
+          transform(sequence(lit(0), lit(bands - 1)), b =>
+            struct(b.cast("int").as("band"),
+              element_at(col("keys"), (b + 1).cast("int")).as("band_key"))),
+          transform(col("flips"), f =>
+            struct(f.getField("band").cast("int").as("band"),
+              element_at(col("keys"), (f.getField("band") + 1).cast("int"))
+                .bitwiseXOR(f.getField("mask")).as("band_key")))))
+          .as("p"))
+      .select(col("qid"), col("qe"), col("qn"),
+        col("p.band").as("band"), col("p.band_key").as("band_key"))
+    topKPerQuery(
+      broadcast(probeKeys).join(c, Seq("band", "band_key"))
+        .where(col("qid") =!= col("cid"))
+        .select(col("qid"), col("cid").as("nid"),
+          col("qe"), col("ce"), col("qn"), col("cn"))
+        .dropDuplicates("qid", "nid")
+        .select(col("qid"), col("nid"),
+          (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim")),
+      k)
+  }
+
+  /** Measured value of the JOINT ordering at equal TOTAL budget: the
+    * per-band pair sequence (probes−1 flips in EVERY band) vs the joint
+    * rank spending the same bands·(probes−1) keys where margins are
+    * lowest — same corpus-side table, both vs exact brute force.
+    */
+  def lshMultiProbeJointRecallAudit(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      numPlanes: Int = 64, bands: Int = 8, probes: Int = 6,
+      maxFlipBits: Int = 2): DataFrame = {
+    val spark = corpus.sparkSession
+    val exact = bruteForceKnn(corpus, queries, vecCol, idCol, k)
+      .select(col("qid"), col("nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nQueries = exact.select(col("qid")).distinct().count()
+      def hits(ann: DataFrame): Long =
+        ann.select(col("qid"), col("nid"))
+          .join(exact, Seq("qid", "nid"), "left_semi").count()
+      val hitsBand = hits(lshMultiProbeKnn(corpus, queries, vecCol, idCol,
+        k, numPlanes, bands, probes, maxFlipBits))
+      val hitsJoint = hits(lshMultiProbeJointKnn(corpus, queries, vecCol,
+        idCol, k, numPlanes, bands, bands * (probes - 1), maxFlipBits))
+      def milli(h: Long): Long =
+        if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
+      spark.range(1).select(
+        lit(nQueries).as("n_queries"), lit(k).as("k"),
+        lit(hitsBand).as("hits_per_band"),
+        lit(milli(hitsBand)).as("recall_per_band_milli"),
+        lit(hitsJoint).as("hits_joint"),
+        lit(milli(hitsJoint)).as("recall_joint_milli"))
+    } finally { exact.unpersist(); () }
+  }
+
   /** Measured value of the PAIR probe sequence at EQUAL band budget:
     * single-bit multi-probe (the r12 sequence, its probe count capped
     * at w+1 by construction) vs the maxFlipBits=2 sequence with a

@@ -305,6 +305,29 @@ object PipelineQueries {
         "embedding", "vec_id", k = 3, bands = 8,
         probes1 = 6, probes2 = 12)
     }),
+
+    // Lv et al.'s JOINT probe ordering: the same pair perturbation sets
+    // ranked GLOBALLY per query ((ms, band, mask) — one budget spent
+    // where the sketch is least confident) instead of a per-band quota
+    // that flips even confidently-matched bands. Equal TOTAL budget
+    // (8·5 = 40 extra keys), identical corpus-side table; the global
+    // rank, XOR keys and rescore replay in the oracle.
+    "q_ann_lsh_multiprobe_joint" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.lshMultiProbeJointKnn(emb,
+        emb.filter(col("vec_id") < 5), "embedding", "vec_id",
+        k = 3, bands = 8, extraProbes = 40, maxFlipBits = 2)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // The joint ordering's measured value vs the per-band quota at
+    // equal total budget, both vs brute force.
+    "q_ann_lsh_multiprobe_joint_audit" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.lshMultiProbeJointRecallAudit(emb,
+        emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, bands = 8, probes = 6)
+    }),
     "q_ann_ivf" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       // maxTrainPerCell=32 < members-per-cell at sf0.01 — the gate

@@ -659,6 +659,121 @@ object SketchOracleSql {
        |)""".stripMargin
   }
 
+  /** Joint probe ordering (q_ann_lsh_multiprobe_joint): the SAME pair
+    * perturbation sets, ranked GLOBALLY per query — row_number over
+    * (ms, band, mask) across all bands — with `bands·(probes−1)` sets
+    * taken in total; also materializes the per-band selection (rank
+    * within each band ≤ probes−1) so the audit compares both at equal
+    * TOTAL budget against brute force.
+    */
+  private def lshMultiProbeJointCtes(bands: Int, probes: Int, qMax: Int): String = {
+    val w = 64 / bands
+    val extra = bands * (probes - 1)
+    s"""m3_sk AS MATERIALIZED (
+       |  SELECT id, e, nrm, sku, mgs FROM ${shardUnion(Shards, hyperplaneMarginShard)}
+       |), m3_banded AS MATERIALIZED (
+       |  SELECT id, e, nrm, bi,
+       |    CAST((sku // power(2.0, $w * bi)::HUGEINT) % ${1L << w}::HUGEINT AS BIGINT) AS key
+       |  FROM m3_sk CROSS JOIN (SELECT unnest(range($bands)) AS bi) u
+       |), m3_pl AS (
+       |  SELECT id, p // $w AS bi, p % $w AS j, mg
+       |  FROM (SELECT id, unnest(range(64)) AS p, unnest(mgs) AS mg
+       |        FROM m3_sk WHERE id < $qMax)
+       |), m3_pert AS MATERIALIZED (
+       |  SELECT id, bi, mg AS ms, CAST(power(2.0, j) AS BIGINT) AS mask FROM m3_pl
+       |  UNION ALL
+       |  SELECT a.id, a.bi, a.mg + b.mg AS ms,
+       |    CAST(power(2.0, a.j) + power(2.0, b.j) AS BIGINT) AS mask
+       |  FROM m3_pl a JOIN m3_pl b
+       |    ON a.id = b.id AND a.bi = b.bi AND a.j < b.j
+       |), m3_jflip AS (
+       |  SELECT id, bi, mask FROM (
+       |    SELECT id, bi, mask,
+       |      row_number() OVER (PARTITION BY id ORDER BY ms, bi, mask) AS rnk
+       |    FROM m3_pert
+       |  ) WHERE rnk <= $extra
+       |), m3_bflip AS (
+       |  SELECT id, bi, mask FROM (
+       |    SELECT id, bi, mask,
+       |      row_number() OVER (PARTITION BY id, bi ORDER BY ms, mask) AS rnk
+       |    FROM m3_pert
+       |  ) WHERE rnk <= ${probes - 1}
+       |), m3_jqkeys AS (
+       |  SELECT id, bi, key FROM m3_banded WHERE id < $qMax
+       |  UNION ALL
+       |  SELECT f.id, f.bi, xor(b.key, f.mask) AS key
+       |  FROM m3_jflip f JOIN m3_banded b ON b.id = f.id AND b.bi = f.bi
+       |), m3_bqkeys AS (
+       |  SELECT id, bi, key FROM m3_banded WHERE id < $qMax
+       |  UNION ALL
+       |  SELECT f.id, f.bi, xor(b.key, f.mask) AS key
+       |  FROM m3_bflip f JOIN m3_banded b ON b.id = f.id AND b.bi = f.bi
+       |), m3_jscored AS (
+       |  SELECT cd.qid, cd.nid,
+       |    list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * c.e[i]))
+       |      / (q.nrm * c.nrm) AS sim
+       |  FROM (
+       |    SELECT DISTINCT q.id AS qid, c.id AS nid
+       |    FROM m3_jqkeys q JOIN m3_banded c
+       |      ON q.bi = c.bi AND q.key = c.key AND q.id <> c.id
+       |  ) cd JOIN m3_sk q ON q.id = cd.qid
+       |  JOIN m3_sk c ON c.id = cd.nid
+       |), m3_bscored AS (
+       |  SELECT cd.qid, cd.nid,
+       |    list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * c.e[i]))
+       |      / (q.nrm * c.nrm) AS sim
+       |  FROM (
+       |    SELECT DISTINCT q.id AS qid, c.id AS nid
+       |    FROM m3_bqkeys q JOIN m3_banded c
+       |      ON q.bi = c.bi AND q.key = c.key AND q.id <> c.id
+       |  ) cd JOIN m3_sk q ON q.id = cd.qid
+       |  JOIN m3_sk c ON c.id = cd.nid
+       |)""".stripMargin
+  }
+
+  def annLshMultiProbeJointOracle: String =
+    s"""WITH ${lshMultiProbeJointCtes(8, 6, 5)}
+       |SELECT qid, nid, round(sim, 6) AS sim, rnk FROM (
+       |  SELECT qid, nid, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk
+       |  FROM m3_jscored
+       |) WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
+  /** q_ann_lsh_multiprobe_joint_audit: per-band vs joint selection at
+    * equal TOTAL budget (bands·(probes−1) extra keys), both vs brute
+    * force.
+    */
+  def annLshMultiProbeJointAuditOracle: String =
+    s"""WITH ${lshMultiProbeJointCtes(8, 6, 5)},
+       |m3b_top AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       |    FROM m3_bscored
+       |  ) WHERE rn <= 3
+       |), m3j_top AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       |    FROM m3_jscored
+       |  ) WHERE rn <= 3
+       |), m3_br AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.id AS qid, a.id AS nid,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * a.e[i]))
+       |          / (q.nrm * a.nrm) DESC, a.id) AS rn
+       |    FROM (SELECT * FROM m3_sk WHERE id < 5) q
+       |    JOIN m3_sk a ON a.id <> q.id
+       |  ) WHERE rn <= 3
+       |), h3b AS (SELECT count(*)::BIGINT AS h FROM m3b_top JOIN m3_br USING (qid, nid)),
+       |h3j AS (SELECT count(*)::BIGINT AS h FROM m3j_top JOIN m3_br USING (qid, nid)),
+       |nq3 AS (SELECT count(DISTINCT qid)::BIGINT AS n FROM m3_br)
+       |SELECT nq3.n AS n_queries, CAST(3 AS INT) AS k,
+       |  h3b.h AS hits_per_band,
+       |  CAST(h3b.h * 1000 // (3 * nq3.n) AS BIGINT) AS recall_per_band_milli,
+       |  h3j.h AS hits_joint,
+       |  CAST(h3j.h * 1000 // (3 * nq3.n) AS BIGINT) AS recall_joint_milli
+       |FROM h3b, h3j, nq3""".stripMargin
+
   def annLshMultiProbe2Oracle: String =
     s"""WITH ${lshMultiProbePairCtes(8, 12, 5)}
        |SELECT qid, nid, round(sim, 6) AS sim, rnk FROM (
@@ -2476,6 +2591,8 @@ object SketchOracleSql {
     "q_ann_graph_stream_index" -> annGraphStreamIndexOracle,
     "q_ann_lsh_multiprobe2" -> annLshMultiProbe2Oracle,
     "q_ann_lsh_multiprobe2_audit" -> annLshMultiProbe2AuditOracle,
+    "q_ann_lsh_multiprobe_joint" -> annLshMultiProbeJointOracle,
+    "q_ann_lsh_multiprobe_joint_audit" -> annLshMultiProbeJointAuditOracle,
     "q_ann_graph_hier2" -> annGraphHier2Oracle,
     // the persisted two-layer tier applies the STORED routing graphs —
     // same walk, same oracle

@@ -86,6 +86,37 @@ class SimilaritySearchSpec extends SparkSpec {
     }
   }
 
+  test("joint probe ordering spends the shared budget and holds the per-band floor") {
+    val q = corpus.filter(col("vec_id") < 4L)
+    // extraProbes=0 probes only the band keys — exactly lshKnn
+    val single = SimilaritySearch.lshKnn(corpus, q, "embedding", "vec_id",
+      k = 3, bands = 8).orderBy("qid", "rnk").collect().map(_.toString).toSeq
+    val j0 = SimilaritySearch.lshMultiProbeJointKnn(corpus, q, "embedding",
+      "vec_id", k = 3, bands = 8, extraProbes = 0)
+      .orderBy("qid", "rnk").collect().map(_.toString).toSeq
+    assert(j0 == single)
+    // at equal TOTAL budget the joint rank must hold the per-band floor
+    // (it can only reallocate the same keys toward lower margins)
+    val a = SimilaritySearch.lshMultiProbeJointRecallAudit(corpus, q,
+      "embedding", "vec_id", k = 3, bands = 8, probes = 6).collect()(0)
+    assert(a.getAs[Long]("recall_joint_milli") >=
+      a.getAs[Long]("recall_per_band_milli") - 67, a.toString)
+    // deterministic
+    def run() = SimilaritySearch.lshMultiProbeJointKnn(corpus, q,
+      "embedding", "vec_id", k = 3, bands = 8, extraProbes = 24,
+      maxFlipBits = 2).orderBy("qid", "rnk").collect().map(_.toString).toSeq
+    assert(run() == run())
+    // guards
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.lshMultiProbeJointKnn(corpus, q, "embedding",
+        "vec_id", k = 3, bands = 8, extraProbes = 1000)
+    }
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.lshMultiProbeJointKnn(corpus, q, "embedding",
+        "vec_id", k = 3, bands = 8, extraProbes = 2, maxFlipBits = 0)
+    }
+  }
+
   test("second deflated component: exact pivot zero, composed orthogonality, recall") {
     import spark.implicits._
     // TWO oblique directions: +4·x₀ along all-ones, +2·x₁ alternating —
