@@ -41,7 +41,8 @@ object ExplainCheck {
         "q_sample_stratified", "q_ann_graph", "q_ann_opq_fwht",
         "q_ann_graph_cross", "q_ann_graph_capped", "q_ann_varperm",
         "q_ann_graph_hier", "q_ann_graph_prune_cross",
-        "q_ann_lsh_multiprobe", "q_ann_lsh_multiprobe2", "q_ann_pca2")) {
+        "q_ann_lsh_multiprobe", "q_ann_lsh_multiprobe2", "q_ann_pca2",
+        "q_ann_pca3")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
       val windows = plan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window

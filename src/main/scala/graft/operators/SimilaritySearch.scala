@@ -1442,18 +1442,45 @@ object SimilaritySearch {
     * deflation contract that lets a second component's reflection leave
     * the first component's isolated dimension untouched.
     */
-  def householderUAt(v: Seq[Long], pivot: Int): Seq[Long] = {
+  def householderUAt(v: Seq[Long], pivot: Int): Seq[Long] =
+    householderUAtFixed(v, pivot, 0 until pivot)
+
+  /** [[householderUAt]] with an arbitrary FIXED-dimension set: v must be
+    * exactly zero at every already-isolated pivot position (then u is
+    * zero there too, so the reflection fixes those dimensions) — the
+    * deflation contract for non-contiguous pivot placement
+    * ([[balancedPivots]] spreads isolated components across PQ
+    * subspaces instead of packing them into the first one).
+    */
+  def householderUAtFixed(v: Seq[Long], pivot: Int,
+      fixed: Seq[Int]): Seq[Long] = {
     require(pivot >= 0 && pivot < v.length,
       s"pivot $pivot out of range (0..${v.length - 1})")
-    require(v.take(pivot).forall(_ == 0L),
-      "entries below the pivot must be zero — deflate (mask) the " +
-        "already-isolated dimensions before power-iterating")
+    require(!fixed.contains(pivot), s"pivot $pivot is already isolated")
+    require(fixed.forall(p => v(p) == 0L),
+      "entries at already-isolated pivots must be zero — deflate (mask) " +
+        "them before power-iterating")
     val sumSq = v.map(x => x * x).sum
     require(sumSq > 0, "zero direction has no Householder reflection")
     val l = math.floor(math.sqrt(sumSq.toDouble)).toLong
     v.zipWithIndex.map { case (x, i) =>
       if (i == pivot) x + (if (x >= 0) l else -l) else x
     }
+  }
+
+  /** Variance-balanced pivot placement: component c isolates into the
+    * FIRST free slot of subspace c % m — (c % m)·(dim/m) + c/m — so a
+    * product quantizer's 2^b codewords never have to code two dominant
+    * directions while another subspace codes none (Ge et al. 2013's
+    * variance-balancing objective, applied to the pivot positions the
+    * Householder construction leaves free). Packing all components
+    * into subspace 0 (sequential pivots) measurably LOSES recall past
+    * k=2 at small codebooks — the audit gates keep that measured.
+    */
+  def balancedPivots(components: Int, dim: Int, m: Int): Seq[Int] = {
+    require(m >= 1 && dim % m == 0, s"m $m must divide dim $dim")
+    require(components <= dim, s"components $components > dim $dim")
+    (0 until components).map(c => (c % m) * (dim / m) + c / m)
   }
 
   /** TWO deflated principal directions as Householder vectors (u₁, u₂):
@@ -1468,12 +1495,52 @@ object SimilaritySearch {
     */
   def pcaDirections2(corpus: DataFrame, vecCol: String, dim: Int,
       powerIters: Int = 4): (Seq[Long], Seq[Long]) = {
-    val u1 = householderU(powerDirection(corpus, vecCol, dim, powerIters))
-    val masked = corpus.select(
-      transform(householderReflect(col(vecCol), u1),
-        (x, i) => when(i === 0, lit(0.0)).otherwise(x)).as("e2"))
-    val v2 = powerDirection(masked, "e2", dim, powerIters)
-    (u1, householderUAt(v2, 1))
+    val us = pcaDirectionsK(corpus, vecCol, dim, 2, powerIters)
+    (us(0), us(1))
+  }
+
+  /** `components` deflated principal directions as Householder vectors
+    * u₀..u_{k−1} — [[pcaDirections2]]'s deflation loop generalized:
+    * component i power-iterates the RESIDUAL (the corpus rotated by the
+    * reflections learned so far, with the already-isolated dimensions
+    * 0..i−1 masked to exactly 0.0 — their per-dim moment sums are then
+    * exactly zero, so v_i satisfies the [[householderUAt]] pivot
+    * contract by construction) and reflects it onto e_{i+1}. The
+    * composed H_{k−1}∘…∘H₀ is a product of exact orthogonals, hence
+    * exactly orthogonal — quantization never distorts distances, at any
+    * k. Each round's rotation runs through the single-pass
+    * [[graft.functions.VectorExpressions.HouseholderChain]] kernel
+    * (never nested HOFs), so deriving k components costs k power chains
+    * of `powerIters` one-pass iterations each.
+    */
+  def pcaDirectionsK(corpus: DataFrame, vecCol: String, dim: Int,
+      components: Int, powerIters: Int = 4,
+      pivots: Seq[Int] = Seq.empty): Seq[Seq[Long]] = {
+    require(components >= 1 && components <= 8,
+      s"components must be in [1, 8], got $components")
+    require(dim >= components,
+      s"dim $dim must be >= components $components")
+    val pv = if (pivots.isEmpty) (0 until components) else pivots
+    require(pv.length == components && pv.distinct.length == components &&
+      pv.forall(p => p >= 0 && p < dim),
+      s"pivots must be $components distinct positions in [0, $dim), got $pv")
+    val us = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    for (i <- 0 until components) {
+      val v =
+        if (us.isEmpty) powerDirection(corpus, vecCol, dim, powerIters)
+        else {
+          val isolated = pv.take(i)
+          val masked = corpus.select(
+            transform(graft.functions.VectorExpressions.householderChain(
+              col(vecCol), us.toSeq.map(_.map(_.toDouble))),
+              (x, j) => when(
+                isolated.map(p => j === p).reduce(_ || _), lit(0.0))
+                .otherwise(x)).as("e2"))
+          powerDirection(masked, "e2", dim, powerIters)
+        }
+      us += householderUAtFixed(v, pv(i), pv.take(i))
+    }
+    us.toSeq
   }
 
   /** IVF-PQ over the TWO-component PCA basis: H₂(H₁x) isolates the two
@@ -1488,17 +1555,58 @@ object SimilaritySearch {
       vecCol: String, idCol: String, dim: Int, k: Int,
       nCells: Int = 16, nProbe: Int = 4,
       m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
-      maxTrainPerCell: Int = 16384, powerIters: Int = 4): DataFrame = {
-    val (u1, u2) = pcaDirections2(corpus, vecCol, dim, powerIters)
+      maxTrainPerCell: Int = 16384, powerIters: Int = 4): DataFrame =
+    ivfPqPcaKKnn(corpus, queries, vecCol, idCol, dim, k, 2, nCells,
+      nProbe, m, pqCells, iterations, maxTrainPerCell, powerIters)
+
+  /** IVF-PQ over the `components`-reflection PCA basis: the composed
+    * chain isolates the k dominant oblique directions into dimensions
+    * 0..k−1 — each additional component covers a corpus whose NEXT
+    * shared direction the shorter chain leaves smeared across every PQ
+    * subspace (measured rung by rung in [[pca3RecallAudit]]). The
+    * whole rotation is ONE chained-kernel pass per row, so search cost
+    * is independent of k.
+    */
+  def ivfPqPcaKKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, dim: Int, k: Int, components: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384, powerIters: Int = 4,
+      normalize: Boolean = false, balancePivots: Boolean = false): DataFrame = {
+    val pivots =
+      if (balancePivots) balancedPivots(components, dim, m) else Seq.empty[Int]
+    def base(df: DataFrame): DataFrame =
+      if (normalize) df.select(col(idCol), unitNorm(col(vecCol)).as(vecCol))
+      else df
+    val bCorpus = base(corpus)
+    val us = pcaDirectionsK(bCorpus, vecCol, dim, components, powerIters,
+      pivots)
     // ONE chained-kernel pass per row — nesting householderReflect here
     // re-evaluated the inner reflection per outer HOF reference
     def rot(df: DataFrame): DataFrame =
       df.select(col(idCol),
         graft.functions.VectorExpressions.householderChain(
-          col(vecCol), Seq(u1.map(_.toDouble), u2.map(_.toDouble)))
+          col(vecCol), us.map(_.map(_.toDouble)))
           .as(vecCol))
-    rankAdc(ivfPqAdcScores(rot(corpus), rot(queries), vecCol, idCol,
+    rankAdc(ivfPqAdcScores(rot(bCorpus), rot(base(queries)), vecCol, idCol,
       nCells, nProbe, m, pqCells, iterations, maxTrainPerCell), k)
+  }
+
+  /** Row-local unit normalization — the cosine-consistency fix for the
+    * L2 ADC chain: on unit vectors ‖x−y‖² = 2−2·cos(x,y), so L2
+    * nearest neighbors ARE cosine nearest neighbors and the quantizer's
+    * budget stops being spent coding norm spread the metric ignores
+    * (measured: on a norm-spread fixture the UN-normalized chain's
+    * recall is capped by the metric mismatch itself — even EXACT L2
+    * search retrieves ~10% of the cosine top-k; q_ann_cosine_audit
+    * keeps that measured). Plain doubles, left-to-right fold — the
+    * oracle replays it bit-exactly.
+    */
+  private[operators] def unitNorm(vec: Column): Column = {
+    val e = transform(vec, x => x.cast("double"))
+    val nrm = sqrt(aggregate(e, lit(0.0), (a, x) => a + x * x))
+    transform(e, x => x / nrm)
   }
 
   /** Measured value of the second deflated component: one- vs
@@ -1534,6 +1642,104 @@ object SimilaritySearch {
         lit(milli(hits1)).as("recall_pca1_milli"),
         lit(hits2).as("hits_pca2"),
         lit(milli(hits2)).as("recall_pca2_milli"))
+    } finally { exact.unpersist(); () }
+  }
+
+  /** The THIRD deflated component's measured value: two- vs three-
+    * reflection chains at equal budget on the same corpus, both vs
+    * exact brute force — [[pca2RecallAudit]]'s discipline one more rung
+    * up. On a corpus with three oblique shared directions the two-
+    * reflection chain leaves the third smeared across every PQ
+    * subspace; the third deflation isolates it.
+    */
+  def pca3RecallAudit(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, dim: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384, powerIters: Int = 4,
+      normalize: Boolean = false, balancePivots: Boolean = false): DataFrame = {
+    val spark = corpus.sparkSession
+    val exact = bruteForceKnn(corpus, queries, vecCol, idCol, k)
+      .select(col("qid"), col("nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nQueries = exact.select(col("qid")).distinct().count()
+      def hits(ann: DataFrame): Long =
+        ann.select(col("qid"), col("nid"))
+          .join(exact, Seq("qid", "nid"), "left_semi").count()
+      val hits2 = hits(ivfPqPcaKKnn(corpus, queries, vecCol, idCol,
+        dim, k, 2, nCells, nProbe, m, pqCells, iterations,
+        maxTrainPerCell, powerIters, normalize, balancePivots))
+      val hits3 = hits(ivfPqPcaKKnn(corpus, queries, vecCol, idCol,
+        dim, k, 3, nCells, nProbe, m, pqCells, iterations,
+        maxTrainPerCell, powerIters, normalize, balancePivots))
+      def milli(h: Long): Long =
+        if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
+      spark.range(1).select(
+        lit(nQueries).as("n_queries"), lit(k).as("k"),
+        lit(hits2).as("hits_pca2"),
+        lit(milli(hits2)).as("recall_pca2_milli"),
+        lit(hits3).as("hits_pca3"),
+        lit(milli(hits3)).as("recall_pca3_milli"))
+    } finally { exact.unpersist(); () }
+  }
+
+  /** The metric-consistency audit: the SAME plain IVF-PQ chain at the
+    * SAME budget over raw vs unit-normalized vectors, both vs exact
+    * cosine brute force — on a corpus with real norm spread the raw
+    * chain's recall is capped by the L2↔cosine mismatch itself (its
+    * quantizer spends codewords on norm differences the metric
+    * ignores), and `exact_l2` pins that ceiling: even EXACT L2 search
+    * misses most cosine neighbors. Normalization is the fix, measured
+    * — it is what makes the learned-rotation tiers pay off at all.
+    */
+  def cosineRecallAudit(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384): DataFrame = {
+    val spark = corpus.sparkSession
+    val exact = bruteForceKnn(corpus, queries, vecCol, idCol, k)
+      .select(col("qid"), col("nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nQueries = exact.select(col("qid")).distinct().count()
+      def hits(ann: DataFrame): Long =
+        ann.select(col("qid"), col("nid"))
+          .join(exact, Seq("qid", "nid"), "left_semi").count()
+      def norm(df: DataFrame): DataFrame =
+        df.select(col(idCol), unitNorm(col(vecCol)).as(vecCol))
+      val hitsRaw = hits(rankAdc(ivfPqAdcScores(corpus, queries, vecCol,
+        idCol, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell), k))
+      val hitsNorm = hits(rankAdc(ivfPqAdcScores(norm(corpus), norm(queries),
+        vecCol, idCol, nCells, nProbe, m, pqCells, iterations,
+        maxTrainPerCell), k))
+      // the mismatch ceiling itself: EXACT L2 top-k vs cosine top-k
+      val pc = prep(corpus, vecCol, idCol)
+        .select(col("id"), col("e"))
+      val pq = prep(queries, vecCol, idCol)
+        .select(col("id").as("qid"), col("e").as("qe"))
+      val hitsL2 = hits(pq.crossJoin(pc)
+        .where(col("qid") =!= col("id"))
+        .withColumn("d2", aggregate(zip_with(col("qe"), col("e"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+        .groupBy(col("qid"))
+        .agg(graft.functions.BoundedTopK.topK(
+          struct((lit(0.0) - col("d2")).as("negd"), col("id").as("nid")),
+          k).as("top"))
+        .select(col("qid"), explode(col("top.nid")).as("nid")))
+      def milli(h: Long): Long =
+        if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
+      spark.range(1).select(
+        lit(nQueries).as("n_queries"), lit(k).as("k"),
+        lit(hitsL2).as("hits_exact_l2"),
+        lit(milli(hitsL2)).as("recall_exact_l2_milli"),
+        lit(hitsRaw).as("hits_raw"),
+        lit(milli(hitsRaw)).as("recall_raw_milli"),
+        lit(hitsNorm).as("hits_norm"),
+        lit(milli(hitsNorm)).as("recall_norm_milli"))
     } finally { exact.unpersist(); () }
   }
 
@@ -1587,22 +1793,41 @@ object SimilaritySearch {
       corpus: DataFrame, vecCol: String, idCol: String, path: String,
       dim: Int, nCells: Int = 16, m: Int = 2, pqCells: Int = 16,
       iterations: Int = 2, maxTrainPerCell: Int = 16384,
-      powerIters: Int = 4): Unit = {
+      powerIters: Int = 4, components: Int = 1,
+      normalize: Boolean = false, balancePivots: Boolean = false): Unit = {
     val spark = corpus.sparkSession
-    val u = householderU(powerDirection(corpus, vecCol, dim, powerIters))
+    val pivots =
+      if (balancePivots) balancedPivots(components, dim, m) else Seq.empty[Int]
+    val bCorpus =
+      if (normalize) corpus.select(col(idCol), unitNorm(col(vecCol)).as(vecCol))
+      else corpus
+    val us = pcaDirectionsK(bCorpus, vecCol, dim, components, powerIters,
+      pivots)
     import spark.implicits._
-    u.zipWithIndex.map { case (uj, j) => (j.toLong, uj) }
-      .toDF("slot", "u")
+    // (comp, slot) → u_j: one reflection per component, in application
+    // order — dim·components rows, still a bounded driver read
+    us.zipWithIndex.flatMap { case (u, c) =>
+      u.zipWithIndex.map { case (uj, j) => (c.toLong, j.toLong, uj) }
+    }.toDF("comp", "slot", "u")
       .write.format("kv").option("path", s"$path/householder")
       .mode("overwrite").save()
+    // search-time preprocessing knobs (pivots are build-time-only: the
+    // stored u vectors already encode the placement)
+    Seq(Tuple1(if (normalize) 1L else 0L)).toDF("normalize")
+      .write.format("kv").option("path", s"$path/pca_meta")
+      .mode("overwrite").save()
+    val rot = graft.functions.VectorExpressions.householderChain(
+      col(vecCol), us.map(_.map(_.toDouble)))
     buildIvfPqIndex(
-      corpus.select(col(idCol), householderReflect(col(vecCol), u).as(vecCol)),
+      bCorpus.select(col(idCol), rot.as(vecCol)),
       vecCol, idCol, path, nCells, m, pqCells, iterations, maxTrainPerCell)
   }
 
   /** Search a [[buildPcaIndex]] index: apply the STORED Householder
-    * vector to the queries, then the standard indexed ADC chain. The u
-    * table is `dim` rows — a bounded driver read, like the perm table.
+    * chain to the queries, then the standard indexed ADC chain. The u
+    * table is `dim·components` rows — a bounded driver read, like the
+    * perm table. Pre-multi-component tables (no `comp` column) read as
+    * one reflection.
     */
   def pcaKnnIndexed(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -1611,12 +1836,25 @@ object SimilaritySearch {
     val uRows = spark.read.format("kv").option("path", s"$path/householder")
       .load().collect()
     require(uRows.nonEmpty, s"no householder table under $path")
-    val u = uRows
-      .map(r => r.getAs[Long]("slot").toInt -> r.getAs[Long]("u"))
-      .sortBy(_._1).map(_._2).toSeq
-    require(u.map(x => x * x).sum > 0, s"corrupt householder table under $path")
+    val hasComp = uRows.head.schema.fieldNames.contains("comp")
+    val us = uRows
+      .map(r => ((if (hasComp) r.getAs[Long]("comp") else 0L),
+        r.getAs[Long]("slot").toInt, r.getAs[Long]("u")))
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (_, rows) => rows.sortBy(_._2).map(_._3).toSeq }
+    require(us.forall(_.map(x => x * x).sum > 0),
+      s"corrupt householder table under $path")
+    // normalize flag from pca_meta (pre-meta indexes: raw vectors)
+    val normalize =
+      graft.sources.ParquetIO.listFiles(s"$path/pca_meta").nonEmpty &&
+        spark.read.format("kv").option("path", s"$path/pca_meta").load()
+          .collect().headOption.exists(_.getAs[Long]("normalize") == 1L)
+    val qVec =
+      if (normalize) unitNorm(col(vecCol)) else col(vecCol)
+    val rot = graft.functions.VectorExpressions.householderChain(
+      qVec, us.map(_.map(_.toDouble)))
     ivfPqKnnIndexed(spark, path,
-      queries.select(col(idCol), householderReflect(col(vecCol), u).as(vecCol)),
+      queries.select(col(idCol), rot.as(vecCol)),
       vecCol, idCol, k, nProbe)
   }
 

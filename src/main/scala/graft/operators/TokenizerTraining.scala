@@ -370,14 +370,24 @@ object TokenizerTraining {
     * pair — ≤ maxWordLen pairs per type), one groupBy for the deltas,
     * bounded-heap prune, driver state ≤ the vocab require.
     *
+    * `emIterations` puts the loss criterion INSIDE SentencePiece's
+    * outer EM loop: each round re-scores the surviving vocabulary,
+    * re-segments, recomputes the masked-DP deltas under the FRESH
+    * scores, and prunes to that round's [[unigramBudgets]] budget —
+    * so a token's irreplaceability is re-judged against the routes the
+    * previous prune left open, not frozen at the seed segmentation.
+    * One round is exactly the previous single-step form.
+    *
     * Returns (tok, cnt, delta, score): Viterbi re-counts, the loss
-    * delta that ranked the token (0 for single chars — coverage tokens
-    * are never at risk), and final smoothed scores.
+    * delta that ranked the token in the LAST round (0 for single
+    * chars — coverage tokens are never at risk), and final smoothed
+    * scores.
     */
   def trainUnigramLossPrune(
       df: DataFrame, textCol: String,
       seedMulti: Int = 64, vocabMulti: Int = 32,
-      maxTokenLen: Int = 4, maxWordLen: Int = 16): DataFrame = {
+      maxTokenLen: Int = 4, maxWordLen: Int = 16,
+      emIterations: Int = 1): DataFrame = {
     require(seedMulti >= 1 && seedMulti <= 4096,
       s"seedMulti must be in [1, 4096], got $seedMulti")
     require(vocabMulti >= 1 && vocabMulti <= seedMulti,
@@ -386,6 +396,8 @@ object TokenizerTraining {
       s"maxTokenLen must be in [1, 8], got $maxTokenLen")
     require(maxWordLen >= maxTokenLen && maxWordLen <= 64,
       s"maxWordLen must be in [$maxTokenLen, 64], got $maxWordLen")
+    require(emIterations >= 1 && emIterations <= 8,
+      s"emIterations must be in [1, 8], got $emIterations")
     val spark = df.sparkSession
 
     val w0 = df.select(explode(split(lower(col(textCol)), " ")).as("w0"))
@@ -413,51 +425,74 @@ object TokenizerTraining {
       .select(col("x.tok").as("tok"), col("x.freq").as("freq"))
     val seedv = chars.select(col("tok"), col("freq")).unionByName(multiTop)
 
-    val scores = collectScored(seedv, 8192, "seedMulti")
-      .map { case (tok, _, s) => tok -> s }.toMap
-    val sMap = typedLit(scores)
+    // EM rounds with the LOSS criterion (SentencePiece's outer loop and
+    // its actual prune rule together): score → Viterbi re-segment →
+    // re-count → masked-DP loss deltas → keep the round's budget of
+    // multis by LARGEST loss increase. Budgets follow the same
+    // 0.75-geometric [[unigramBudgets]] schedule as the count-pruning
+    // trainer; one round is exactly the previous single-step form.
+    val budgets = unigramBudgets(seedMulti, vocabMulti, emIterations)
+    var vocab = seedv.select(col("tok"), col("freq"), lit(0L).as("delta"))
+    for (round <- 1 to emIterations) {
+      val scores = collectScored(
+        vocab.select(col("tok"), col("freq")), 8192, "seedMulti")
+        .map { case (tok, _, s) => tok -> s }.toMap
+      val sMap = typedLit(scores)
 
-    // Viterbi per word TYPE; base cost = sum of the best tokens' scores
-    val seg = words.select(col("w"), col("cnt"),
-        viterbiSegment(col("w"), scores, maxTokenLen).as("toks"))
-      .withColumn("cost", aggregate(col("toks"), lit(0L),
-        (a, t) => a + element_at(sMap, t)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cnts = seg.select(col("cnt"), explode(col("toks")).as("tok"))
-      .groupBy(col("tok")).agg(sum(col("cnt")).as("cnt2"))
+      // Viterbi per word TYPE; base cost = sum of the best tokens' scores
+      val seg = words.select(col("w"), col("cnt"),
+          viterbiSegment(col("w"), scores, maxTokenLen).as("toks"))
+        .withColumn("cost", aggregate(col("toks"), lit(0L),
+          (a, t) => a + element_at(sMap, t)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cnts = seg.select(col("cnt"), explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(sum(col("cnt")).as("cnt2"))
 
-    // masked alternative cost, one DP per (word type, distinct multi-
-    // char token of its best segmentation)
-    val deltas = seg.select(col("w"), col("cnt"), col("cost"),
-        explode(array_distinct(filter(col("toks"),
-          t => length(t) > 1))).as("mtok"))
-      .withColumn("mcost",
-        viterbiCostMasked(col("w"), scores, maxTokenLen, col("mtok")))
-      .groupBy(col("mtok"))
-      .agg(sum(col("cnt") * (col("mcost") - col("cost"))).as("delta"))
-      .select(col("mtok").as("tok"), col("delta"))
+      // masked alternative cost, one DP per (word type, distinct multi-
+      // char token of its best segmentation)
+      val deltas = seg.select(col("w"), col("cnt"), col("cost"),
+          explode(array_distinct(filter(col("toks"),
+            t => length(t) > 1))).as("mtok"))
+        .withColumn("mcost",
+          viterbiCostMasked(col("w"), scores, maxTokenLen, col("mtok")))
+        .groupBy(col("mtok"))
+        .agg(sum(col("cnt") * (col("mcost") - col("cost"))).as("delta"))
+        .select(col("mtok").as("tok"), col("delta"))
 
-    // prune: chars always survive; multis keep the top-vocabMulti by
-    // LARGEST loss increase (delta desc, tok asc — the bounded heap)
-    val keptMulti = deltas.join(cnts, Seq("tok"))
-      .agg(graft.functions.BoundedTopK.topK(
-        struct(col("delta").cast("double").as("s"), col("tok"),
-          col("cnt2"), col("delta")), vocabMulti).as("t"))
-      .select(explode(col("t")).as("x"))
-      .select(col("x.tok").as("tok"), col("x.cnt2").as("freq"),
-        col("x.delta").as("delta"))
-    val vocab = chars.select(col("tok"))
-      .join(cnts, Seq("tok"), "left")
-      .select(col("tok"), coalesce(col("cnt2"), lit(0L)).as("freq"),
-        lit(0L).as("delta"))
-      .unionByName(keptMulti)
+      // prune: chars always survive; multis keep the round's budget by
+      // LARGEST loss increase (delta desc, tok asc — the bounded heap)
+      val keptMulti = deltas.join(cnts, Seq("tok"))
+        .agg(graft.functions.BoundedTopK.topK(
+          struct(col("delta").cast("double").as("s"), col("tok"),
+            col("cnt2"), col("delta")), budgets(round - 1)).as("t"))
+        .select(explode(col("t")).as("x"))
+        .select(col("x.tok").as("tok"), col("x.cnt2").as("freq"),
+          col("x.delta").as("delta"))
+      val next = chars.select(col("tok"))
+        .join(cnts, Seq("tok"), "left")
+        .select(col("tok"), coalesce(col("cnt2"), lit(0L)).as("freq"),
+          lit(0L).as("delta"))
+        .unionByName(keptMulti)
+      // materialize the round's vocabulary BEFORE seg unpersists: the
+      // next round's collectScored must not recompute through a
+      // released cache (bounded rows — the same collect feeds either
+      // the next round's scores or the final result)
+      val matRows = next.collect()
+      require(matRows.length <= 8192,
+        s"unigram vocabulary ${matRows.length} exceeds the bounded " +
+          "driver budget (8192) — lower vocabMulti")
+      seg.unpersist()
+      vocab = spark.createDataFrame(
+        spark.sparkContext.parallelize(matRows.toSeq, 1),
+        StructType(Seq(
+          StructField("tok", StringType, nullable = true),
+          StructField("freq", LongType, nullable = true),
+          StructField("delta", LongType, nullable = true))))
+    }
     // one bounded collect (tok, freq, delta ≤ 8192 rows), scores
     // attached driver-side — the collectScored discipline
     val vocabRows = vocab.select(col("tok"), col("freq"), col("delta"))
       .collect()
-    require(vocabRows.length <= 8192,
-      s"unigram vocabulary ${vocabRows.length} exceeds the bounded " +
-        "driver budget (8192) — lower vocabMulti")
     val t = vocabRows.map(_.getAs[Long]("freq")).sum
     val nv = vocabRows.length
     val finalRows = vocabRows.map { r =>
@@ -466,7 +501,7 @@ object TokenizerTraining {
         math.floor(1e6 * math.log((t + nv).toDouble / (c + 1).toDouble)
           + 0.5).toLong)
     }
-    words.unpersist(); subs.unpersist(); seg.unpersist()
+    words.unpersist(); subs.unpersist()
     spark.createDataFrame(
       spark.sparkContext.parallelize(finalRows.toSeq, 1),
       StructType(Seq(

@@ -52,6 +52,25 @@ object PipelineQueries {
     s.read.format("kv").option("path", wavDir).load()
   }
 
+  /** The THREE-oblique-directions fixture shared by the q_ann_pca3 and
+    * q_ann_cosine_audit gates: +8·dim1 (all-ones), +4·dim2
+    * (alternating ±), +2·dim3 (period-4 ++−−) — three mutually
+    * orthogonal sign diagonals with strictly decreasing magnitudes
+    * (exact powers of two), and a REAL norm spread: the dominant
+    * coordinates dominate ‖x‖, so cosine and L2 neighbors genuinely
+    * diverge here (the property the cosine audit measures).
+    */
+  private def Pca3Fixture(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x.cast("double") +
+          lit(8.0) * element_at(col("embedding"), 1).cast("double") +
+          when(pmod(i, lit(2)) === 0, lit(4.0)).otherwise(lit(-4.0)) *
+            element_at(col("embedding"), 2).cast("double") +
+          when(pmod(i, lit(4)) < 2, lit(2.0)).otherwise(lit(-2.0)) *
+            element_at(col("embedding"), 3).cast("double"))
+        .as("embedding"))
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Video modality through the REAL path: GFV container walk → real
     // per-frame ImageIO PNG decode → integer luma sums; every value
@@ -556,6 +575,45 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // Streaming maintenance × the persisted hierarchy: the SAME drain
+    // harness, but the build persists its top layer (degreeTop=4 over
+    // the base seeds) and the post-drain search routes through it
+    // read-only (graphKnnHierIndexed) — seeds and top_edges are
+    // build-time-fixed, so the layer is append-STABLE under streaming
+    // ingest: nothing to refresh at the finalize, pinned by the
+    // oracle replaying the base-seed top graph + the final
+    // (base ∪ drained) walk. Closes the hier tier's batch/streaming
+    // asymmetry.
+    "q_ann_graph_stream_hier" -> ((s, dir) => {
+      val u = java.util.UUID.randomUUID().toString.replace("-", "")
+      val idx = s"/tmp/graft_grsh_$u/i"
+      val ckpt = s"/tmp/graft_grshck_$u"
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.buildGraphIndex(emb.filter(col("vec_id") < 250),
+        "embedding", "vec_id", idx, nCells = 8, degree = 8,
+        seedsPerCell = 4, maxTrainPerCell = 32, degreeTop = 4)
+      val q = s.readStream.format("log")
+        .option("path", s"$dir/embeddings.parquet")
+        .option("maxOffsetsPerTrigger", "400").load()
+        .filter(col("vec_id") >= 250)
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          if (!df.isEmpty)
+            SimilaritySearch.graphAppendNodes(df, "embedding", "vec_id", idx)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      SimilaritySearch.graphFinalizeAppend(s, idx)
+      SimilaritySearch.graphKnnHierIndexed(emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", idx, k = 3,
+        entryBeam = 4, hopsTop = 2, degreeTop = 4,
+        beamWidth = 16, hops = 3)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // TWO-layer hierarchy at nCells=64 (where the flat entry would scan
     // 64 centroids per query and the fixed-entry seed walk routes one
     // global entry across 128 seeds): a coarse walk over the
@@ -686,6 +744,21 @@ object PipelineQueries {
       val docs = Tables.load(s, dir, "documents")
       graft.operators.TokenizerTraining.trainUnigramLossPrune(docs, "text",
         seedMulti = 64, vocabMulti = 8)
+        .orderBy(col("cnt").desc, col("tok")).limit(64)
+    }),
+
+    // The loss criterion INSIDE the EM loop: two rounds at the tight
+    // 64→48→8 budget schedule — round 1 prunes to 48 by loss delta,
+    // round 2 re-scores, re-segments (routing around the evictions),
+    // recomputes every masked DP under the fresh scores and prunes to
+    // the final 8. The result measurably differs from BOTH the
+    // single-round loss prune and the two-round count-pruning EM on
+    // this corpus (non-vacuity spec-pinned); both rounds' DPs, masked
+    // DPs, deltas and budgets replay in the oracle.
+    "q_tokenizer_unigram_loss_em2" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.TokenizerTraining.trainUnigramLossPrune(docs, "text",
+        seedMulti = 64, vocabMulti = 8, emIterations = 2)
         .orderBy(col("cnt").desc, col("tok")).limit(64)
     }),
 
@@ -911,6 +984,80 @@ object PipelineQueries {
       SimilaritySearch.pca2RecallAudit(two,
         two.filter(col("vec_id") < 20), "embedding", "vec_id",
         dim = 64, k = 3, nCells = 4, nProbe = 4, m = 2, pqCells = 16,
+        maxTrainPerCell = 64)
+    }),
+
+    // THREE deflated PCA components over UNIT-NORMALIZED vectors with
+    // VARIANCE-BALANCED pivots (one isolated component per PQ subspace:
+    // pivots 0/16/32 at m=4 — Ge et al. 2013's balancing objective
+    // applied to the Householder pivot positions). Sequential pivots
+    // measurably LOSE here — packing three dominant dims into one
+    // 16-codeword codebook leaves ~2.5 quantization levels per dim —
+    // and without normalization EVERYTHING is capped by the L2↔cosine
+    // mismatch (q_ann_cosine_audit pins that ceiling). Normalization,
+    // all three power chains, Householders and the composed rotation
+    // replay in the oracle.
+    "q_ann_pca3" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val three = Pca3Fixture(emb)
+      SimilaritySearch.ivfPqPcaKKnn(three,
+        three.filter(col("vec_id") < 20), "embedding", "vec_id",
+        dim = 64, k = 3, components = 3, nCells = 4, nProbe = 4, m = 4,
+        pqCells = 16, maxTrainPerCell = 64,
+        normalize = true, balancePivots = true)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // The k-component chain persisted: householder table stores
+    // (comp, slot, u) — dim·k rows, application order — plus the
+    // normalize flag in pca_meta, beside the IVF-PQ tables built over
+    // the normalized+rotated vectors; queries apply the STORED chain,
+    // bit-identical to the in-memory k=3 path, so the gate shares its
+    // oracle.
+    "q_ann_pca3_indexed" -> ((s, dir) => {
+      val idx = s"/tmp/graft_pca3idx${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(idx)
+      val emb = Tables.load(s, dir, "embeddings")
+      val three = Pca3Fixture(emb)
+      SimilaritySearch.buildPcaIndex(three, "embedding", "vec_id", idx,
+        dim = 64, nCells = 4, m = 4, pqCells = 16, maxTrainPerCell = 64,
+        components = 3, normalize = true, balancePivots = true)
+      SimilaritySearch.pcaKnnIndexed(s, idx,
+        three.filter(col("vec_id") < 20), "embedding", "vec_id",
+        k = 3, nProbe = 4)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // The third component's measured value: two- vs three-reflection
+    // chains at equal budget on the three-direction fixture (both
+    // normalized + balanced), both vs exact cosine brute force —
+    // recall_pca3 must exceed recall_pca2 (the two-reflection chain
+    // leaves the third shared component smeared across every PQ
+    // subspace).
+    "q_ann_pca3_audit" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val three = Pca3Fixture(emb)
+      SimilaritySearch.pca3RecallAudit(three,
+        three.filter(col("vec_id") < 20), "embedding", "vec_id",
+        dim = 64, k = 3, nCells = 4, nProbe = 4, m = 4, pqCells = 16,
+        maxTrainPerCell = 64, normalize = true, balancePivots = true)
+    }),
+
+    // The metric-consistency audit: the SAME plain IVF-PQ chain at the
+    // SAME budget over raw vs unit-normalized vectors, both vs exact
+    // COSINE brute force, on the norm-spread fixture — plus the
+    // mismatch ceiling itself (exact L2 top-k vs cosine top-k). On
+    // unit vectors ‖x−y‖² = 2−2cos(x,y), so normalization is what
+    // makes an L2 ADC chain answer the cosine question at all; the
+    // raw chain's recall is capped near the exact-L2 ceiling no
+    // matter how good its quantizer is. Everything replays in the
+    // oracle.
+    "q_ann_cosine_audit" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val three = Pca3Fixture(emb)
+      SimilaritySearch.cosineRecallAudit(three,
+        three.filter(col("vec_id") < 20), "embedding", "vec_id",
+        k = 3, nCells = 4, nProbe = 4, m = 4, pqCells = 16,
         maxTrainPerCell = 64)
     }),
 

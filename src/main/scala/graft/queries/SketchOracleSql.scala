@@ -1028,6 +1028,17 @@ object SketchOracleSql {
          |  ) WHERE rn <= ${budgets(r - 1)}
          |)""".stripMargin
     }.mkString(",\n")
+    s"""${ugSeedCtes(seedMulti, maxTok, maxWord)},
+       |$roundCtes, ug_tot2 AS (
+       |  SELECT sum(cnt)::BIGINT AS t, count(*)::BIGINT AS v FROM ug_vocab2
+       |)""".stripMargin
+  }
+
+  /** The shared unigram-trainer seed: chunked word types, substring
+    * frequencies, the single-char coverage tier and the top-`seedMulti`
+    * multi-char seed vocabulary.
+    */
+  private def ugSeedCtes(seedMulti: Int, maxTok: Int, maxWord: Int): String =
     s"""ug_wraw AS (
        |  SELECT unnest(string_split(lower(text), ' ')) AS w0 FROM documents
        |), ug_words AS MATERIALIZED (
@@ -1052,11 +1063,7 @@ object SketchOracleSql {
        |    SELECT tok, freq, row_number() OVER (ORDER BY freq DESC, tok) AS rn
        |    FROM ug_subs WHERE len(tok) > 1
        |  ) WHERE rn <= $seedMulti
-       |),
-       |$roundCtes, ug_tot2 AS (
-       |  SELECT sum(cnt)::BIGINT AS t, count(*)::BIGINT AS v FROM ug_vocab2
        |)""".stripMargin
-  }
 
   private def tokenizerUnigramSql(rounds: Int, seedMulti: Int = 256,
       vocabMulti: Int = 128): String =
@@ -1075,19 +1082,26 @@ object SketchOracleSql {
     * delta is Σ cnt·(masked − base) in exact integer micro-nats, and
     * the multi tier keeps the top-`vocabMulti` by (delta desc, tok).
     */
-  private def ugLossCtes(seedMulti: Int, vocabMulti: Int,
+  /** ONE loss-criterion EM round: scores from `src` (tok, freq), a full
+    * Viterbi walk + re-count, the masked DP per (word type, multi-char
+    * token of its best segmentation) under THIS round's scores, loss
+    * deltas, and the chars ∪ top-`budget`-by-delta vocabulary — all
+    * CTEs prefixed `ul$r` so rounds chain.
+    */
+  private def ugLossRound(r: Int, src: String, budget: Int,
       maxTok: Int, maxWord: Int): String = {
+    val p = s"ul$r"
     val dpStages = (1 to maxWord).map { i =>
       val cands = (1 to maxTok).filter(_ <= i).map { k =>
         s"""SELECT wt.w AS w, wt.t AS t, $i AS i, $k AS k,
            |          d${i - k}.cost + sc.s AS cost
-           |        FROM ul_wt wt JOIN ul_dp${i - k} d${i - k}
+           |        FROM ${p}_wt wt JOIN ${p}_dp${i - k} d${i - k}
            |          ON d${i - k}.w = wt.w AND d${i - k}.t = wt.t
-           |        JOIN ug_sc_1 sc
+           |        JOIN ${p}_sc sc
            |          ON sc.tok = substr(wt.w, ${i - k + 1}, $k) AND sc.tok <> wt.t
            |        WHERE len(wt.w) >= $i""".stripMargin
       }.mkString(" UNION ALL ")
-      s"""ul_dp$i AS MATERIALIZED (
+      s"""${p}_dp$i AS MATERIALIZED (
          |  SELECT w, t, i, cost, k FROM (
          |    SELECT w, t, i, cost, k,
          |      row_number() OVER (PARTITION BY w, t ORDER BY cost, k DESC) AS rn
@@ -1096,46 +1110,85 @@ object SketchOracleSql {
          |)""".stripMargin
     }.mkString(",\n")
     val mUnion = (1 to maxWord)
-      .map(i => s"SELECT w, t, cost FROM ul_dp$i WHERE len(w) = $i")
+      .map(i => s"SELECT w, t, cost FROM ${p}_dp$i WHERE len(w) = $i")
       .mkString(" UNION ALL ")
     val bUnion = (1 to maxWord)
-      .map(i => s"SELECT w, cost FROM ug_e1_dp$i WHERE len(w) = $i")
+      .map(i => s"SELECT w, cost FROM ${p}e_dp$i WHERE len(w) = $i")
       .mkString(" UNION ALL ")
-    s"""${ugTrainCtes(seedMulti, vocabMulti, maxTok, maxWord, 1)},
-       |ul_wt AS MATERIALIZED (
+    s"""${p}_tot AS (
+       |  SELECT sum(freq)::BIGINT AS t, count(*)::BIGINT AS v FROM ($src)
+       |), ${p}_sc AS MATERIALIZED (
+       |  SELECT tok, CAST(floor(1000000.0 * ln((t + v) / (freq + 1.0)) + 0.5) AS BIGINT) AS s
+       |  FROM ($src), ${p}_tot
+       |), ${ugViterbiCtes(s"${p}e_", s"${p}_sc", maxTok, maxWord)},
+       |${p}_newcnt AS MATERIALIZED (
+       |  SELECT tok, sum(wd.cnt)::BIGINT AS cnt
+       |  FROM ${p}e_walk JOIN ug_words wd USING (w),
+       |    LATERAL (SELECT unnest(${p}e_walk.toks) AS tok)
+       |  GROUP BY tok
+       |), ${p}_wt AS MATERIALIZED (
        |  SELECT DISTINCT w, t FROM (
-       |    SELECT w, unnest(toks) AS t FROM ug_e1_walk) WHERE len(t) > 1
-       |), ul_dp0 AS MATERIALIZED (
-       |  SELECT w, t, 0 AS i, CAST(0 AS BIGINT) AS cost, 0 AS k FROM ul_wt
+       |    SELECT w, unnest(toks) AS t FROM ${p}e_walk) WHERE len(t) > 1
+       |), ${p}_dp0 AS MATERIALIZED (
+       |  SELECT w, t, 0 AS i, CAST(0 AS BIGINT) AS cost, 0 AS k FROM ${p}_wt
        |),
        |$dpStages,
-       |ul_mcost AS MATERIALIZED ($mUnion),
-       |ul_bcost AS MATERIALIZED ($bUnion),
-       |ul_delta AS MATERIALIZED (
+       |${p}_mcost AS MATERIALIZED ($mUnion),
+       |${p}_bcost AS MATERIALIZED ($bUnion),
+       |${p}_delta AS MATERIALIZED (
        |  SELECT m.t AS tok, sum(wd.cnt * (m.cost - b.cost))::BIGINT AS delta
-       |  FROM ul_mcost m JOIN ul_bcost b ON b.w = m.w
+       |  FROM ${p}_mcost m JOIN ${p}_bcost b ON b.w = m.w
        |  JOIN ug_words wd ON wd.w = m.w
        |  GROUP BY m.t
-       |), ul_vocab AS (
+       |), ${p}_vocab AS MATERIALIZED (
        |  SELECT c.tok, coalesce(n.cnt, 0)::BIGINT AS cnt, CAST(0 AS BIGINT) AS delta
-       |  FROM ug_chars c LEFT JOIN ug_newcnt_1 n ON n.tok = c.tok
+       |  FROM ug_chars c LEFT JOIN ${p}_newcnt n ON n.tok = c.tok
        |  UNION ALL
        |  SELECT tok, cnt, delta FROM (
        |    SELECT d.tok, n.cnt, d.delta,
        |      row_number() OVER (ORDER BY d.delta DESC, d.tok) AS rn
-       |    FROM ul_delta d JOIN ug_newcnt_1 n ON n.tok = d.tok
-       |  ) WHERE rn <= $vocabMulti
-       |), ul_tot AS (
-       |  SELECT sum(cnt)::BIGINT AS t, count(*)::BIGINT AS v FROM ul_vocab
+       |    FROM ${p}_delta d JOIN ${p}_newcnt n ON n.tok = d.tok
+       |  ) WHERE rn <= $budget
        |)""".stripMargin
   }
 
-  def tokenizerUnigramLossOracle: String =
-    s"""WITH ${ugLossCtes(64, 8, 4, 16)}
+  /** The loss-criterion trainer over `rounds` EM rounds at the shared
+    * [[graft.operators.TokenizerTraining.unigramBudgets]] schedule —
+    * every round's scores, Viterbi walk, masked DPs, deltas and budget
+    * replayed; round r's scores come from round r−1's PRUNED
+    * vocabulary (its Viterbi re-counts), exactly the Scala loop.
+    */
+  private def ugLossEmCtes(seedMulti: Int, vocabMulti: Int,
+      maxTok: Int, maxWord: Int, rounds: Int): String = {
+    val budgets = graft.operators.TokenizerTraining
+      .unigramBudgets(seedMulti, vocabMulti, rounds)
+    val roundCtes = (1 to rounds).map { r =>
+      val src = if (r == 1) "SELECT tok, freq FROM ug_seedv"
+        else s"SELECT tok, cnt AS freq FROM ul${r - 1}_vocab"
+      ugLossRound(r, src, budgets(r - 1), maxTok, maxWord)
+    }.mkString(",\n")
+    s"""${ugSeedCtes(seedMulti, maxTok, maxWord)},
+       |$roundCtes, ul_ftot AS (
+       |  SELECT sum(cnt)::BIGINT AS t, count(*)::BIGINT AS v
+       |  FROM ul${rounds}_vocab
+       |)""".stripMargin
+  }
+
+  private def tokenizerUnigramLossSql(rounds: Int, seedMulti: Int = 64,
+      vocabMulti: Int = 8): String =
+    s"""WITH ${ugLossEmCtes(seedMulti, vocabMulti, 4, 16, rounds)}
        |SELECT tok, cnt, delta,
        |  CAST(floor(1000000.0 * ln((t + v) / (cnt + 1.0)) + 0.5) AS BIGINT) AS score
-       |FROM ul_vocab, ul_tot
+       |FROM ul${rounds}_vocab, ul_ftot
        |ORDER BY cnt DESC, tok LIMIT 64""".stripMargin
+
+  def tokenizerUnigramLossOracle: String = tokenizerUnigramLossSql(1)
+
+  /** q_tokenizer_unigram_loss_em2: the loss criterion INSIDE the EM
+    * loop — two rounds at budgets 48→8; round 2's masked DPs run under
+    * the scores of round 1's PRUNED vocabulary.
+    */
+  def tokenizerUnigramLossEm2Oracle: String = tokenizerUnigramLossSql(2)
 
   /** q_tokenizer_unigram_em2: the trainer with TWO EM rounds at tight
     * budgets (64→48→8) — round 1 prunes to the geometric interim
@@ -1539,40 +1592,51 @@ object SketchOracleSql {
     * the rotated and the plain chain.
     */
   private def ivfPqChainOver(px: String, base: String, nCells: Int = 4,
-      nProbe: Int = 2, pqCells: Int = 4, cap: Int = 32, qMax: Int = 5): String =
+      nProbe: Int = 2, pqCells: Int = 4, cap: Int = 32, qMax: Int = 5,
+      m: Int = 2): String = {
+    require(64 % m == 0, s"m $m must divide 64")
+    val w = 64 / m
+    val subs = (0 until m).map { s =>
+      s"""${px}s${s}_prep AS (SELECT id, e[${s * w + 1}:${(s + 1) * w}] AS e FROM $base),
+         |${kmChain(s"${px}s${s}_", pqCells, cap)}""".stripMargin
+    }.mkString(",\n")
+    val codeCols = (0 until m).map(s => s"a$s.cell AS c$s").mkString(", ")
+    val codeJoins = (1 until m)
+      .map(s => s"JOIN ${px}s${s}_af a$s USING (id)").mkString(" ")
+    val qds = (0 until m).map { s =>
+      s"""${px}qd$s AS (
+         |  SELECT q.id AS qid, c.cell, ${kmD2("q.e", "c.ce")} AS d
+         |  FROM ${px}s${s}_prep q CROSS JOIN ${px}s${s}_cent2 c WHERE q.id < $qMax
+         |)""".stripMargin
+    }.mkString(", ")
+    val dSum = (0 until m).map(s => s"q$s.d").mkString(" + ")
+    val qdJoins = (0 until m)
+      .map(s => s"JOIN ${px}qd$s q$s ON q$s.qid = p.qid AND q$s.cell = k.c$s")
+      .mkString("\n  ")
     s"""${px}c_prep AS (SELECT id, e FROM $base),
        |${kmChain(s"${px}c_", nCells, cap)},
-       |${px}s0_prep AS (SELECT id, e[1:32] AS e FROM $base),
-       |${kmChain(s"${px}s0_", pqCells, cap)},
-       |${px}s1_prep AS (SELECT id, e[33:64] AS e FROM $base),
-       |${kmChain(s"${px}s1_", pqCells, cap)},
+       |$subs,
        |${px}codes AS (
-       |  SELECT a0.id, l.cell AS ivf_cell, a0.cell AS c0, a1.cell AS c1
-       |  FROM ${px}s0_af a0 JOIN ${px}s1_af a1 USING (id) JOIN ${px}c_af l USING (id)
+       |  SELECT a0.id, l.cell AS ivf_cell, $codeCols
+       |  FROM ${px}s0_af a0 $codeJoins JOIN ${px}c_af l USING (id)
        |), ${px}probes AS (
        |  SELECT qid, cell FROM (
        |    SELECT q.id AS qid, c.cell,
        |      row_number() OVER (PARTITION BY q.id ORDER BY ${kmD2("q.e", "c.ce")}, c.cell) AS rn
        |    FROM (SELECT id, e FROM ${px}c_prep WHERE id < $qMax) q CROSS JOIN ${px}c_cent2 c
        |  ) WHERE rn <= $nProbe
-       |), ${px}qd0 AS (
-       |  SELECT q.id AS qid, c.cell, ${kmD2("q.e", "c.ce")} AS d
-       |  FROM ${px}s0_prep q CROSS JOIN ${px}s0_cent2 c WHERE q.id < $qMax
-       |), ${px}qd1 AS (
-       |  SELECT q.id AS qid, c.cell, ${kmD2("q.e", "c.ce")} AS d
-       |  FROM ${px}s1_prep q CROSS JOIN ${px}s1_cent2 c WHERE q.id < $qMax
-       |), ${px}scored AS (
-       |  SELECT p.qid, k.id AS nid, q0.d + q1.d AS adist
+       |), $qds, ${px}scored AS (
+       |  SELECT p.qid, k.id AS nid, $dSum AS adist
        |  FROM ${px}probes p
        |  JOIN ${px}codes k ON k.ivf_cell = p.cell
-       |  JOIN ${px}qd0 q0 ON q0.qid = p.qid AND q0.cell = k.c0
-       |  JOIN ${px}qd1 q1 ON q1.qid = p.qid AND q1.cell = k.c1
+       |  $qdJoins
        |  WHERE p.qid <> k.id
        |), ${px}ranked AS (
        |  SELECT qid, nid, adist,
        |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS INT) AS rnk
        |  FROM ${px}scored
        |)""".stripMargin
+  }
 
   def annOpqOracle: String =
     s"""WITH $opqRotCtes, ${ivfPqChainOver("op_", "or_prep")}
@@ -1892,6 +1956,151 @@ object SketchOracleSql {
        |  h2.h AS hits_pca2,
        |  CAST(h2.h * 1000 // (3 * nqa.n) AS BIGINT) AS recall_pca2_milli
        |FROM h1, h2, nqa""".stripMargin
+
+  /** The three-component composition (q_ann_pca3): the THREE-oblique
+    * norm-spread fixture (+8·dim1 all-ones, +4·dim2 alternating ±,
+    * +2·dim3 period-4 ++−−), UNIT-NORMALIZED row-locally, then one
+    * power chain + reflection per component with the already-isolated
+    * PIVOT positions masked before each residual chain — the
+    * [[pca2Ctes]] deflation with variance-BALANCED pivots 1/17/33
+    * (SQL 1-indexed; one isolated component per 16-dim PQ subspace at
+    * m = 4). H₃∘H₂∘H₁ is applied as three sequential exact
+    * reflections, term-identical to the Scala side's single
+    * HouseholderChain pass over the normalized vectors.
+    */
+  private def pca3Ctes: String =
+    s"""p3_base AS MATERIALIZED (
+       |  SELECT vec_id AS id, list_transform(generate_series(1, 64), j ->
+       |    CAST(embedding AS DOUBLE[])[j::INT]
+       |      + 8.0 * CAST(embedding AS DOUBLE[])[1]
+       |      + (CASE WHEN (j - 1) % 2 = 0 THEN 4.0 ELSE -4.0 END)
+       |          * CAST(embedding AS DOUBLE[])[2]
+       |      + (CASE WHEN (j - 1) % 4 < 2 THEN 2.0 ELSE -2.0 END)
+       |          * CAST(embedding AS DOUBLE[])[3]) AS e
+       |  FROM embeddings
+       |),
+       |p3_unit AS MATERIALIZED (
+       |  SELECT id, list_transform(e, x ->
+       |    x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
+       |  FROM p3_base
+       |),
+       |${powerUCtes("ta_", "p3_unit", 4, 1)},
+       |${reflectCteOver("ta_prep", "p3_unit", "ta_")},
+       |p3_m1 AS MATERIALIZED (
+       |  SELECT id, list_transform(generate_series(1, 64), d ->
+       |    CASE WHEN d = 1 THEN 0.0 ELSE e[d::INT] END) AS e
+       |  FROM ta_prep
+       |),
+       |${powerUCtes("tb_", "p3_m1", 4, 17)},
+       |${reflectCteOver("tb_prep", "ta_prep", "tb_")},
+       |p3_m2 AS MATERIALIZED (
+       |  SELECT id, list_transform(generate_series(1, 64), d ->
+       |    CASE WHEN d = 1 OR d = 17 THEN 0.0 ELSE e[d::INT] END) AS e
+       |  FROM tb_prep
+       |),
+       |${powerUCtes("tc_", "p3_m2", 4, 33)},
+       |${reflectCteOver("p3_rot", "tb_prep", "tc_")}""".stripMargin
+
+  def annPca3Oracle: String =
+    s"""WITH $pca3Ctes, ${ivfPqChainOver("pg_", "p3_rot",
+          nCells = 4, nProbe = 4, pqCells = 16, cap = 64, qMax = 20, m = 4)}
+       |SELECT qid, nid, round(adist, 6) AS adist, rnk
+       |FROM pg_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
+  /** Exact cosine brute-force top-3 over `src` as CTE `name` (qid, nid)
+    * — the ground truth for the pca3/cosine audits.
+    */
+  private def cosineBruteCte(name: String, src: String, p: String): String =
+    s"""${p}n AS (
+       |  SELECT id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+       |  FROM $src
+       |), $name AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.id AS qid, a.id AS nid,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * a.e[i]))
+       |          / (q.nrm * a.nrm) DESC, a.id) AS rn
+       |    FROM (SELECT * FROM ${p}n WHERE id < 20) q
+       |    JOIN ${p}n a ON a.id <> q.id
+       |  ) WHERE rn <= 3
+       |)""".stripMargin
+
+  /** q_ann_pca3_audit: two- vs three-reflection chains at equal budget
+    * over the three-direction fixture (both normalized + balanced),
+    * both vs exact cosine brute force — recall_pca3 must exceed
+    * recall_pca2.
+    */
+  def annPca3AuditOracle: String =
+    s"""WITH $pca3Ctes,
+       |${ivfPqChainOver("pg_", "p3_rot", nCells = 4, nProbe = 4,
+          pqCells = 16, cap = 64, qMax = 20, m = 4)},
+       |${ivfPqChainOver("ph_", "tb_prep", nCells = 4, nProbe = 4,
+          pqCells = 16, cap = 64, qMax = 20, m = 4)},
+       |${cosineBruteCte("p3_br", "p3_base", "p3_")},
+       |h2 AS (SELECT count(*)::BIGINT AS h
+       |  FROM (SELECT qid, nid FROM ph_ranked WHERE rnk <= 3) JOIN p3_br USING (qid, nid)),
+       |h3 AS (SELECT count(*)::BIGINT AS h
+       |  FROM (SELECT qid, nid FROM pg_ranked WHERE rnk <= 3) JOIN p3_br USING (qid, nid)),
+       |nqb AS (SELECT count(DISTINCT qid)::BIGINT AS n FROM p3_br)
+       |SELECT nqb.n AS n_queries, CAST(3 AS INT) AS k,
+       |  h2.h AS hits_pca2,
+       |  CAST(h2.h * 1000 // (3 * nqb.n) AS BIGINT) AS recall_pca2_milli,
+       |  h3.h AS hits_pca3,
+       |  CAST(h3.h * 1000 // (3 * nqb.n) AS BIGINT) AS recall_pca3_milli
+       |FROM h2, h3, nqb""".stripMargin
+
+  /** q_ann_cosine_audit: the SAME plain IVF-PQ chain over raw vs
+    * unit-normalized vectors on the norm-spread fixture, both vs exact
+    * cosine brute force, plus the L2↔cosine mismatch ceiling itself
+    * (exact L2 top-k scored against the cosine top-k) — the raw
+    * chain's recall is capped near that ceiling no matter how good
+    * its quantizer is.
+    */
+  def annCosineAuditOracle: String =
+    s"""WITH p3_base AS MATERIALIZED (
+       |  SELECT vec_id AS id, list_transform(generate_series(1, 64), j ->
+       |    CAST(embedding AS DOUBLE[])[j::INT]
+       |      + 8.0 * CAST(embedding AS DOUBLE[])[1]
+       |      + (CASE WHEN (j - 1) % 2 = 0 THEN 4.0 ELSE -4.0 END)
+       |          * CAST(embedding AS DOUBLE[])[2]
+       |      + (CASE WHEN (j - 1) % 4 < 2 THEN 2.0 ELSE -2.0 END)
+       |          * CAST(embedding AS DOUBLE[])[3]) AS e
+       |  FROM embeddings
+       |),
+       |p3_unit AS MATERIALIZED (
+       |  SELECT id, list_transform(e, x ->
+       |    x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
+       |  FROM p3_base
+       |),
+       |${ivfPqChainOver("cr_", "p3_base", nCells = 4, nProbe = 4,
+          pqCells = 16, cap = 64, qMax = 20, m = 4)},
+       |${ivfPqChainOver("cn_", "p3_unit", nCells = 4, nProbe = 4,
+          pqCells = 16, cap = 64, qMax = 20, m = 4)},
+       |${cosineBruteCte("p3_br", "p3_base", "p3_")},
+       |l2_top AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.id AS qid, a.id AS nid,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(q.e)),
+       |          i -> (q.e[i] - a.e[i]) * (q.e[i] - a.e[i]))), a.id) AS rn
+       |    FROM (SELECT * FROM p3_base WHERE id < 20) q
+       |    JOIN p3_base a ON a.id <> q.id
+       |  ) WHERE rn <= 3
+       |),
+       |hl AS (SELECT count(*)::BIGINT AS h FROM l2_top JOIN p3_br USING (qid, nid)),
+       |hr AS (SELECT count(*)::BIGINT AS h
+       |  FROM (SELECT qid, nid FROM cr_ranked WHERE rnk <= 3) JOIN p3_br USING (qid, nid)),
+       |hn AS (SELECT count(*)::BIGINT AS h
+       |  FROM (SELECT qid, nid FROM cn_ranked WHERE rnk <= 3) JOIN p3_br USING (qid, nid)),
+       |nqc AS (SELECT count(DISTINCT qid)::BIGINT AS n FROM p3_br)
+       |SELECT nqc.n AS n_queries, CAST(3 AS INT) AS k,
+       |  hl.h AS hits_exact_l2,
+       |  CAST(hl.h * 1000 // (3 * nqc.n) AS BIGINT) AS recall_exact_l2_milli,
+       |  hr.h AS hits_raw,
+       |  CAST(hr.h * 1000 // (3 * nqc.n) AS BIGINT) AS recall_raw_milli,
+       |  hn.h AS hits_norm,
+       |  CAST(hn.h * 1000 // (3 * nqc.n) AS BIGINT) AS recall_norm_milli
+       |FROM hl, hr, hn, nqc""".stripMargin
 
   /** The FWHT execution of the same rotation (q_ann_opq_fwht): the
     * butterfly's stage/op order replayed literally — sign diagonal,
@@ -2345,7 +2554,19 @@ object SketchOracleSql {
     * edges over base ∪ drained in each node's cell plus the reverse
     * edges, then the standard walk with BUILD-time (base-only) seeds.
     */
-  def annGraphStreamIndexOracle: String = {
+  def annGraphStreamIndexOracle: String = annGraphStreamSql(hier = None)
+
+  /** q_ann_graph_stream_hier: the drained index searched through the
+    * PERSISTED hierarchical top layer — seeds and top_edges are
+    * build-time-fixed (base slice only), so the layer is append-stable
+    * under streaming maintenance; the entry walk routes from the
+    * min-id seed over the base-seed kNN graph, then the base walk runs
+    * over the final (base ∪ drained) edge table.
+    */
+  def annGraphStreamHierOracle: String =
+    annGraphStreamSql(hier = Some((4, 2, 4)))
+
+  private def annGraphStreamSql(hier: Option[(Int, Int, Int)]): String = {
     val (nCells, cap, degree, seedsPerCell) = (8, 32, 8, 4)
     val (nProbe, beamWidth, hops, qMax) = (3, 16, 3, 5)
     def cos(a: String, b: String) =
@@ -2414,18 +2635,7 @@ object SketchOracleSql {
        |        ORDER BY ${kmD2("a.e", "c.ce")}, a.id) AS rn
        |    FROM gs_basen a JOIN gs_cent2 c ON a.cell = c.cell
        |  ) WHERE rn <= $seedsPerCell
-       |), gs_probes AS (
-       |  SELECT qid, cell FROM (
-       |    SELECT q.id AS qid, c.cell,
-       |      row_number() OVER (PARTITION BY q.id
-       |        ORDER BY ${kmD2("q.e", "c.ce")}, c.cell) AS rn
-       |    FROM (SELECT id, e FROM gs_fullprep WHERE id < $qMax) q
-       |    CROSS JOIN gs_cent2 c
-       |  ) WHERE rn <= $nProbe
-       |), gs_cand0 AS (
-       |  SELECT DISTINCT p.qid, s.id AS nid
-       |  FROM gs_probes p JOIN gs_seeds s ON s.cell = p.cell
-       |), gs_beam0 AS (${beam("gs_cand0")}
+       |), ${annGraphStreamEntry(hier, nProbe, qMax, cos)}, gs_beam0 AS (${beam("gs_cand0")}
        |),
        |$hopCtes
        |SELECT qid, nid, round(sim, 6) AS sim, rnk FROM (
@@ -2434,6 +2644,69 @@ object SketchOracleSql {
        |  FROM gs_beam$hops WHERE qid <> nid
        |) WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
   }
+
+  /** gs_cand0 for the streamed-index walk: flat centroid probing, or —
+    * when `hier` is set — the persisted top layer's routed entry (a
+    * kNN graph over the BASE seed nodes, walked from the min-id seed).
+    */
+  private def annGraphStreamEntry(hier: Option[(Int, Int, Int)],
+      nProbe: Int, qMax: Int, cos: (String, String) => String): String =
+    hier match {
+      case None =>
+        s"""gs_probes AS (
+           |  SELECT qid, cell FROM (
+           |    SELECT q.id AS qid, c.cell,
+           |      row_number() OVER (PARTITION BY q.id
+           |        ORDER BY ${kmD2("q.e", "c.ce")}, c.cell) AS rn
+           |    FROM (SELECT id, e FROM gs_fullprep WHERE id < $qMax) q
+           |    CROSS JOIN gs_cent2 c
+           |  ) WHERE rn <= $nProbe
+           |), gs_cand0 AS (
+           |  SELECT DISTINCT p.qid, s.id AS nid
+           |  FROM gs_probes p JOIN gs_seeds s ON s.cell = p.cell
+           |)""".stripMargin
+      case Some((entryBeam, hopsTop, degreeTop)) =>
+        def beamT(cand: String): String =
+          s"""SELECT qid, nid, sim FROM (
+             |  SELECT qid, nid, sim,
+             |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+             |  FROM (
+             |    SELECT c.qid, c.nid, ${cos("q", "n")} AS sim
+             |    FROM $cand c JOIN gs_alln n ON n.id = c.nid
+             |    JOIN gs_fullprep q ON q.id = c.qid
+             |  )
+             |) WHERE rn <= $entryBeam""".stripMargin
+        val topHops = (1 to hopsTop).map { h =>
+          s"""gst_cand$h AS (
+             |  SELECT DISTINCT qid, nid FROM (
+             |    SELECT qid, nid FROM gst_beam${h - 1}
+             |    UNION ALL
+             |    SELECT b.qid, e.dst AS nid
+             |    FROM gst_beam${h - 1} b JOIN gs_tedges e ON e.src = b.nid
+             |  )
+             |), gst_beam$h AS (${beamT(s"gst_cand$h")}
+             |)""".stripMargin
+        }.mkString(",\n")
+        s"""gs_seedn AS MATERIALIZED (
+           |  SELECT n.id, n.e, n.nrm FROM gs_basen n
+           |  JOIN (SELECT DISTINCT id FROM gs_seeds) s ON s.id = n.id
+           |), gs_tedges AS MATERIALIZED (
+           |  SELECT src, dst FROM (
+           |    SELECT a.id AS src, b.id AS dst,
+           |      row_number() OVER (PARTITION BY a.id
+           |        ORDER BY ${cos("a", "b")} DESC, b.id) AS rn
+           |    FROM gs_seedn a JOIN gs_seedn b ON a.id <> b.id
+           |  ) WHERE rn <= $degreeTop
+           |), gst_cand0 AS (
+           |  SELECT q.id AS qid, e.nid
+           |  FROM (SELECT id FROM gs_fullprep WHERE id < $qMax) q
+           |  CROSS JOIN (SELECT min(id) AS nid FROM gs_seedn) e
+           |), gst_beam0 AS (${beamT("gst_cand0")}
+           |),
+           |$topHops, gs_cand0 AS (
+           |  SELECT DISTINCT qid, nid FROM gst_beam$hopsTop
+           |)""".stripMargin
+    }
 
   private def annGraphPruneSql(crossCells: Int, degreeCross: Int): String = {
     val (nCells, cap, degree, seedsPerCell) = (8, 32, 8, 4)
@@ -2582,6 +2855,12 @@ object SketchOracleSql {
     "q_ann_pca_audit" -> annPcaAuditOracle,
     "q_ann_pca2" -> annPca2Oracle,
     "q_ann_pca2_audit" -> annPca2AuditOracle,
+    "q_ann_pca3" -> annPca3Oracle,
+    // the persisted k-component chain applies the STORED (comp, slot, u)
+    // table — same basis, same chain, same oracle
+    "q_ann_pca3_indexed" -> annPca3Oracle,
+    "q_ann_pca3_audit" -> annPca3AuditOracle,
+    "q_ann_cosine_audit" -> annCosineAuditOracle,
     "q_ann_varperm" -> annVarPermOracle,
     // the persisted learned index applies the STORED permutation — same
     // basis, same chain, same oracle
@@ -2589,6 +2868,7 @@ object SketchOracleSql {
     "q_ann_varperm_audit" -> annVarPermAuditOracle,
     "q_ann_stream_index" -> annStreamIndexOracle,
     "q_ann_graph_stream_index" -> annGraphStreamIndexOracle,
+    "q_ann_graph_stream_hier" -> annGraphStreamHierOracle,
     "q_ann_lsh_multiprobe2" -> annLshMultiProbe2Oracle,
     "q_ann_lsh_multiprobe2_audit" -> annLshMultiProbe2AuditOracle,
     "q_ann_lsh_multiprobe_joint" -> annLshMultiProbeJointOracle,
@@ -2600,6 +2880,7 @@ object SketchOracleSql {
     "q_ann_graph_hier2_audit" -> annGraphHier2AuditOracle,
     "q_tokenizer_unigram" -> tokenizerUnigramOracle,
     "q_tokenizer_unigram_loss" -> tokenizerUnigramLossOracle,
+    "q_tokenizer_unigram_loss_em2" -> tokenizerUnigramLossEm2Oracle,
     "q_tokenizer_unigram_em2" -> tokenizerUnigramEm2Oracle,
     "q_doc_unigram_tokens" -> docUnigramTokensOracle,
     // the persisted-index search must answer identically to the

@@ -328,6 +328,51 @@ class AnnIndexMaintenanceSpec extends SparkSpec {
     assert(s(str) == s(one))
   }
 
+  test("streamed drain leaves the persisted hier layers search-valid") {
+    // seeds and top_edges are BUILD-time-fixed (base slice only), so
+    // streaming maintenance must leave them byte-identical and the
+    // hier-routed search over the drained index must equal the
+    // one-shot append's — the hier tier's batch/streaming parity
+    val base = corpus.filter(col("vec_id") < 30L)
+    def build(): String = {
+      val idx = java.nio.file.Files.createTempDirectory("annmx9").toString + "/i"
+      SimilaritySearch.buildGraphIndex(base, "embedding", "vec_id", idx,
+        nCells = 2, degree = 3, seedsPerCell = 3, maxTrainPerCell = 64,
+        crossCells = 1, degreeCross = 2, degreeTop = 3)
+      idx
+    }
+    def table(p: String, n: String): Seq[String] = spark.read.format("kv")
+      .option("path", s"$p/$n").load()
+      .collect().toSeq.map(_.toString).sorted
+    val one = build()
+    SimilaritySearch.graphIndexAppend(corpus.filter(col("vec_id") >= 30L),
+      "embedding", "vec_id", one)
+    val str = build()
+    SimilaritySearch.graphAppendNodes(
+      corpus.filter(col("vec_id") >= 30L && col("vec_id") < 35L),
+      "embedding", "vec_id", str)
+    SimilaritySearch.graphAppendNodes(
+      corpus.filter(col("vec_id") >= 35L), "embedding", "vec_id", str)
+    SimilaritySearch.graphFinalizeAppend(spark, str)
+    assert(table(str, "top_edges") == table(one, "top_edges"),
+      "the drain touched the append-stable top layer")
+    assert(table(str, "seeds") == table(one, "seeds"),
+      "the drain touched the build-time seed table")
+    val q = corpus.filter(col("vec_id") < 3L)
+    def s(p: String) = rows(SimilaritySearch.graphKnnHierIndexed(
+      q, "embedding", "vec_id", p, k = 3,
+      entryBeam = 4, hopsTop = 2, degreeTop = 3, beamWidth = 10, hops = 3))
+    assert(s(str) == s(one),
+      "hier search over the drained index differs from the one-shot append's")
+    // the drained nodes are reachable THROUGH the hier route: 0's
+    // planted twin (99, drained in wave 2) comes back at rank 1
+    val got = SimilaritySearch.graphKnnHierIndexed(
+      corpus.filter(col("vec_id") === 0L), "embedding", "vec_id", str,
+      k = 3, entryBeam = 4, hopsTop = 2, degreeTop = 3,
+      beamWidth = 10, hops = 3).orderBy("rnk").collect()
+    assert(got.head.getAs[Long]("nid") == 99L, got.mkString(","))
+  }
+
   test("persisted hier top layer: read-only search equals the rebuild fallback") {
     val idx = java.nio.file.Files.createTempDirectory("annmx8").toString + "/i"
     SimilaritySearch.buildGraphIndex(corpus, "embedding", "vec_id", idx,

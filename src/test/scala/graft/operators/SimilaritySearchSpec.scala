@@ -161,6 +161,94 @@ class SimilaritySearchSpec extends SparkSpec {
     }
   }
 
+  test("third deflated component: balanced pivots, normalization, persisted chain") {
+    import spark.implicits._
+    // THREE oblique sign diagonals with decreasing magnitudes and a
+    // real norm spread (dominant coordinates dominate ‖x‖)
+    def rv(seed: Int): Seq[Double] = {
+      val r = new scala.util.Random(seed)
+      (0 until 5).foreach(_ => r.nextDouble())
+      Seq.fill(16)(r.nextDouble() * 2 - 1)
+    }
+    val three = (0 until 200).map { s =>
+      val x = rv(s)
+      (s.toLong, x.zipWithIndex.map { case (xi, i) =>
+        xi + 8.0 * x.head + (if (i % 2 == 0) 4.0 else -4.0) * x(1) +
+          (if (i % 4 < 2) 2.0 else -2.0) * x(2) })
+    }.toDF("vec_id", "embedding")
+    val q = three.filter(col("vec_id") < 10)
+
+    // variance-balanced placement: component c → first free slot of
+    // subspace c % m
+    assert(SimilaritySearch.balancedPivots(3, 16, 4) == Seq(0, 4, 8))
+    assert(SimilaritySearch.balancedPivots(5, 16, 4) == Seq(0, 4, 8, 12, 1))
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.balancedPivots(2, 16, 3) // m must divide dim
+    }
+    // deflation at arbitrary pivots: each u is EXACTLY zero at every
+    // previously isolated pivot (so its reflection fixes those dims)
+    val us = SimilaritySearch.pcaDirectionsK(three, "embedding", 16, 3,
+      pivots = Seq(0, 4, 8))
+    assert(us(1)(0) == 0L, s"u2[0] must be exactly 0, got ${us(1)(0)}")
+    assert(us(2)(0) == 0L && us(2)(4) == 0L,
+      s"u3 must be exactly 0 at pivots 0 and 4, got ${us(2)(0)}, ${us(2)(4)}")
+    // delegation pin: the sequential-pivot K path IS pcaDirections2
+    val (u1, u2) = SimilaritySearch.pcaDirections2(three, "embedding", 16)
+    assert(SimilaritySearch.pcaDirectionsK(three, "embedding", 16, 2) ==
+      Seq(u1, u2))
+    // the composed 3-reflection chain is exactly orthogonal
+    val n = three.select(
+      sqrt(aggregate(transform(col("embedding"), x => x * x),
+        lit(0.0), (a, x) => a + x)).as("n0"),
+      sqrt(aggregate(transform(
+        graft.functions.VectorExpressions.householderChain(
+          col("embedding"), us.map(_.map(_.toDouble))),
+        x => x * x), lit(0.0), (a, x) => a + x)).as("n3"))
+      .select(max(abs(col("n0") - col("n3"))).as("d")).collect()(0)
+    assert(n.getAs[Double]("d") < 1e-9, s"norm drift ${n.getAs[Double]("d")}")
+    // unitNorm emits unit vectors
+    val un = three.select(abs(sqrt(aggregate(transform(
+        SimilaritySearch.unitNorm(col("embedding")), x => x * x),
+      lit(0.0), (a, x) => a + x)) - lit(1.0)).as("d"))
+      .agg(max(col("d"))).collect()(0).getDouble(0)
+    assert(un < 1e-12, s"unitNorm drift $un")
+    // components=1, raw, sequential == the single-reflection chain
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.orderBy("qid", "rnk").collect().map(_.toString).toSeq
+    assert(rows(SimilaritySearch.ivfPqPcaKKnn(three, q, "embedding",
+      "vec_id", 16, 3, 1, nCells = 4, nProbe = 2, m = 2, pqCells = 8,
+      maxTrainPerCell = 64)) ==
+      rows(SimilaritySearch.ivfPqPcaKnn(three, q, "embedding", "vec_id",
+        16, 3, nCells = 4, nProbe = 2, m = 2, pqCells = 8,
+        maxTrainPerCell = 64)))
+    // persisted 3-component normalized+balanced index answers
+    // bit-identically to the in-memory chain (pca_meta normalize flag
+    // round-trips; stored u chain applied to normalized queries)
+    val idx = java.nio.file.Files.createTempDirectory("pca3idx").toString
+    SimilaritySearch.buildPcaIndex(three, "embedding", "vec_id", idx,
+      dim = 16, nCells = 4, m = 4, pqCells = 8, maxTrainPerCell = 64,
+      components = 3, normalize = true, balancePivots = true)
+    val mem = rows(SimilaritySearch.ivfPqPcaKKnn(three, q, "embedding",
+      "vec_id", 16, 3, 3, nCells = 4, nProbe = 2, m = 4, pqCells = 8,
+      maxTrainPerCell = 64, normalize = true, balancePivots = true))
+    val viaIdx = rows(SimilaritySearch.pcaKnnIndexed(spark, idx, q,
+      "embedding", "vec_id", k = 3, nProbe = 2))
+    assert(mem == viaIdx)
+    // the normalization audit is non-vacuous on this fixture: the
+    // normalized chain at the same budget beats the raw one, and the
+    // raw one sits at or under the exact-L2 mismatch ceiling
+    val ca = SimilaritySearch.cosineRecallAudit(three, q, "embedding",
+      "vec_id", k = 3, nCells = 4, nProbe = 4, m = 4, pqCells = 8,
+      maxTrainPerCell = 64).collect()(0)
+    assert(ca.getAs[Long]("hits_norm") > ca.getAs[Long]("hits_raw"), ca.toString)
+    assert(ca.getAs[Long]("hits_raw") <= ca.getAs[Long]("hits_exact_l2"),
+      ca.toString)
+    // guard: a nonzero entry at an already-isolated pivot refuses
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.householderUAtFixed(Seq(1L, 2L, 3L), 2, Seq(0))
+    }
+  }
+
   test("pair probe sets extend the sequence past the single-bit ceiling") {
     val q = corpus.filter(col("vec_id") < 4L)
     // probes=1 at maxFlipBits=2 is still exactly lshKnn (no perturbation)

@@ -356,7 +356,7 @@ class TokenizerTrainingSpec extends SparkSpec {
     * Σ cnt·(alt − best), multis kept by (delta desc, tok asc).
     */
   private def referenceLossPrune(docs: Seq[String], seedMulti: Int,
-      vocabMulti: Int, maxTok: Int, maxWord: Int)
+      vocabMulti: Int, maxTok: Int, maxWord: Int, rounds: Int = 1)
       : Seq[(String, Long, Long, Long)] = {
     val wcnt = scala.collection.mutable.Map.empty[String, Long]
     docs.foreach(_.toLowerCase.split(' ').filter(_.nonEmpty).foreach { w =>
@@ -397,25 +397,37 @@ class TokenizerTrainingSpec extends SparkSpec {
       while (pos > 0) { val k = bk(pos); out.prepend(w.substring(pos - k, pos)); pos -= k }
       (out.toSeq, dp(w.length))
     }
-    val vocab = (chars ++ sub.keys.filter(_.length > 1).toSeq
-      .sortBy(t => (-sub(t), t)).take(seedMulti)).toSeq.sorted
-    val s = scoresOf(sub.toMap, vocab)
-    val segs = wcnt.keys.map(w => w -> viterbi(w, s, None)).toMap
-    val newcnt = scala.collection.mutable.Map.empty[String, Long]
-    wcnt.foreach { case (w, c) =>
-      segs(w)._1.foreach(t => newcnt(t) = newcnt.getOrElse(t, 0L) + c)
-    }
-    val delta = scala.collection.mutable.Map.empty[String, Long]
-    wcnt.foreach { case (w, c) =>
-      val (toks, base) = segs(w)
-      toks.filter(_.length > 1).distinct.foreach { t =>
-        val alt = viterbi(w, s, Some(t))._2
-        delta(t) = delta.getOrElse(t, 0L) + c * (alt - base)
+    val budgets =
+      TokenizerTraining.unigramBudgets(seedMulti, vocabMulti, rounds)
+    // round 1 scores come from the SEED substring freqs; later rounds
+    // from the prior round's pruned vocabulary with its Viterbi counts
+    var vocabFreq: Map[String, Long] =
+      (chars.toSeq.map(c => c -> sub(c)) ++
+        sub.keys.filter(_.length > 1).toSeq
+          .sortBy(t => (-sub(t), t)).take(seedMulti).map(t => t -> sub(t))).toMap
+    var out = Seq.empty[(String, Long, Long)]
+    for (r <- 1 to rounds) {
+      val vocab = vocabFreq.keys.toSeq.sorted
+      val s = scoresOf(vocabFreq, vocab)
+      val segs = wcnt.keys.map(w => w -> viterbi(w, s, None)).toMap
+      val newcnt = scala.collection.mutable.Map.empty[String, Long]
+      wcnt.foreach { case (w, c) =>
+        segs(w)._1.foreach(t => newcnt(t) = newcnt.getOrElse(t, 0L) + c)
       }
+      val delta = scala.collection.mutable.Map.empty[String, Long]
+      wcnt.foreach { case (w, c) =>
+        val (toks, base) = segs(w)
+        toks.filter(_.length > 1).distinct.foreach { t =>
+          val alt = viterbi(w, s, Some(t))._2
+          delta(t) = delta.getOrElse(t, 0L) + c * (alt - base)
+        }
+      }
+      val kept = delta.keys.toSeq.sortBy(t => (-delta(t), t))
+        .take(budgets(r - 1))
+      out = chars.toSeq.map(c => (c, newcnt.getOrElse(c, 0L), 0L)) ++
+        kept.map(t => (t, newcnt(t), delta(t)))
+      vocabFreq = out.map(x => x._1 -> x._2).toMap
     }
-    val kept = delta.keys.toSeq.sortBy(t => (-delta(t), t)).take(vocabMulti)
-    val out = chars.toSeq.map(c => (c, newcnt.getOrElse(c, 0L), 0L)) ++
-      kept.map(t => (t, newcnt(t), delta(t)))
     val sf = scoresOf(out.map(x => x._1 -> x._2).toMap, out.map(_._1))
     out.map { case (t, c, d) => (t, c, d, sf(t)) }
       .sortBy { case (t, c, _, _) => (-c, t) }
@@ -469,6 +481,48 @@ class TokenizerTrainingSpec extends SparkSpec {
       TokenizerTraining.trainUnigramLossPrune(docs.toDF("text"), "text",
         vocabMulti = 0)
     }
+  }
+
+  test("loss-delta pruning inside the EM loop matches the scalar replay per round") {
+    def run(docs: Seq[String], seedMulti: Int, vocabMulti: Int,
+        maxTok: Int, maxWord: Int, rounds: Int) =
+      TokenizerTraining.trainUnigramLossPrune(docs.toDF("text"), "text",
+        seedMulti = seedMulti, vocabMulti = vocabMulti,
+        maxTokenLen = maxTok, maxWordLen = maxWord, emIterations = rounds)
+        .orderBy(col("cnt").desc, col("tok"))
+        .as[(String, Long, Long, Long)].collect().toSeq
+    // one round is exactly the single-step trainer
+    val docs = Seq(
+      Seq.fill(20)("ab").mkString(" "),
+      Seq.fill(8)("zq").mkString(" "),
+      Seq.fill(12)("aaaa bbbb").mkString(" "))
+    assert(run(docs, 24, 2, 4, 12, 1) == referenceLossPrune(docs, 24, 2, 4, 12))
+    // rounds 2 and 3 match the scalar replay on randomized corpora
+    val rnd = new scala.util.Random(29)
+    def randDoc() = Seq.fill(5 + rnd.nextInt(8))(
+      Seq.fill(1 + rnd.nextInt(6))("abcz"(rnd.nextInt(4))).mkString).mkString(" ")
+    for (rounds <- Seq(2, 3); trial <- 0 until 2) {
+      val rdocs = Seq.fill(6)(randDoc())
+      val g = run(rdocs, 16, 4, 3, 10, rounds)
+      val w = referenceLossPrune(rdocs, 16, 4, 3, 10, rounds)
+      assert(g == w, s"rounds=$rounds trial=$trial: got=${g.take(6)} want=${w.take(6)}")
+    }
+    // the EM step is non-vacuous at tight budgets: round 2 re-judges
+    // irreplaceability under the post-prune scores, so the final
+    // vocabulary differs from the single-round prune on this corpus
+    val docs2 = Seq(
+      Seq.fill(16)("abz").mkString(" "),
+      Seq.fill(12)("cdq cd").mkString(" "),
+      Seq.fill(10)("aaab bbba").mkString(" "))
+    // no NEW leaked caches (the session is shared across suites, so
+    // assert the delta, not global emptiness)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val one = run(docs2, 20, 2, 3, 12, 1).map(_._1).filter(_.length > 1).toSet
+    val two = run(docs2, 20, 2, 3, 12, 2).map(_._1).filter(_.length > 1).toSet
+    assert(one != two,
+      s"EM round 2 changed nothing on the differentiating corpus: $one")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty, s"trainUnigramLossPrune leaked cached RDDs: $leaked")
   }
 
   test("encodeWithMerges applies the learned table in order") {
