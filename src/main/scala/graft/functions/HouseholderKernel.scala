@@ -41,6 +41,22 @@ class HouseholderKernel extends Serializable {
     * per-u uu values are precomputed (exact: integer squares summed in
     * doubles stay < 2^53).
     */
+  /** Unit-normalize in place — arithmetic identical to the HOF
+    * formulation it replaces (left-to-right fold of squares from 0.0,
+    * `Math.sqrt`, per-element divide), so results are bit-identical to
+    * the oracle's replay. A zero vector yields the same NaNs the HOF
+    * produced — never a silent alternative value.
+    */
+  def unit(x: Array[Double]): Array[Double] = {
+    var s = 0.0
+    var i = 0
+    while (i < x.length) { s += x(i) * x(i); i += 1 }
+    val n = math.sqrt(s)
+    i = 0
+    while (i < x.length) { x(i) = x(i) / n; i += 1 }
+    x
+  }
+
   def chain(x: Array[Double], us: Array[Array[Double]],
       uus: Array[Double]): Array[Double] = {
     var r = 0

@@ -222,4 +222,54 @@ object VectorExpressions {
 
   def householderChain(a: Column, us: Seq[Seq[Double]]): Column =
     toColumn(HouseholderChain(exprOf(a), us))
+
+  /** Row-local unit normalization in ONE kernel pass. The HOF
+    * formulation (`transform(e, x => x / sqrt(aggregate(e, …)))`)
+    * re-evaluates the norm subexpression — and EVERYTHING beneath it —
+    * once per element (dim × dim × child cost per row, measured 15×+
+    * on the pca3 chain); this expression computes the norm once and
+    * divides, through one static kernel shared by interpreted eval and
+    * generated code, arithmetic identical to the HOF term for term
+    * (left-to-right square fold from 0.0, Math.sqrt, per-element
+    * divide).
+    */
+  case class UnitNorm(child: Expression)
+      extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+    override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      child.dataType match {
+        case ArrayType(FloatType | DoubleType, _) =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"unit_norm expects array<float|double>, got $other")
+      }
+
+    private def isFloat: Boolean =
+      child.dataType.asInstanceOf[ArrayType].elementType == FloatType
+
+    override def nullSafeEval(input: Any): Any = {
+      val k = HouseholderKernel.instance
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        k.unit(k.toDoubles(input.asInstanceOf[ArrayData], isFloat)))
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val kernelRef = ctx.addReferenceObj("unKernel", HouseholderKernel.instance,
+        "graft.functions.HouseholderKernel")
+      nullSafeCodeGen(ctx, ev, a => {
+        s"""
+           |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+           |  $kernelRef.unit($kernelRef.toDoubles($a, $isFloat)));
+         """.stripMargin
+      })
+    }
+
+    override protected def withNewChildInternal(c: Expression): Expression =
+      copy(child = c)
+    override def prettyName: String = "unit_norm"
+  }
+
+  def unitNormalize(a: Column): Column = toColumn(UnitNorm(exprOf(a)))
 }

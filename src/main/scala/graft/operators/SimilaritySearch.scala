@@ -1579,18 +1579,24 @@ object SimilaritySearch {
     def base(df: DataFrame): DataFrame =
       if (normalize) df.select(col(idCol), unitNorm(col(vecCol)).as(vecCol))
       else df
+    // the derivation re-reads the corpus 4·k times (power chains) and
+    // the ADC chain several more — cache the (normalized) base once
     val bCorpus = base(corpus)
-    val us = pcaDirectionsK(bCorpus, vecCol, dim, components, powerIters,
-      pivots)
-    // ONE chained-kernel pass per row — nesting householderReflect here
-    // re-evaluated the inner reflection per outer HOF reference
-    def rot(df: DataFrame): DataFrame =
-      df.select(col(idCol),
-        graft.functions.VectorExpressions.householderChain(
-          col(vecCol), us.map(_.map(_.toDouble)))
-          .as(vecCol))
-    rankAdc(ivfPqAdcScores(rot(bCorpus), rot(base(queries)), vecCol, idCol,
-      nCells, nProbe, m, pqCells, iterations, maxTrainPerCell), k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val us = pcaDirectionsK(bCorpus, vecCol, dim, components, powerIters,
+        pivots)
+      // ONE chained-kernel pass per row — nesting householderReflect here
+      // re-evaluated the inner reflection per outer HOF reference
+      def rot(df: DataFrame): DataFrame =
+        df.select(col(idCol),
+          graft.functions.VectorExpressions.householderChain(
+            col(vecCol), us.map(_.map(_.toDouble)))
+            .as(vecCol))
+      rankAdc(ivfPqAdcScores(rot(bCorpus), rot(base(queries)), vecCol, idCol,
+        nCells, nProbe, m, pqCells, iterations, maxTrainPerCell), k)
+        .localCheckpoint()
+    } finally { bCorpus.unpersist(); () }
   }
 
   /** Row-local unit normalization — the cosine-consistency fix for the
@@ -1603,11 +1609,8 @@ object SimilaritySearch {
     * keeps that measured). Plain doubles, left-to-right fold — the
     * oracle replays it bit-exactly.
     */
-  private[operators] def unitNorm(vec: Column): Column = {
-    val e = transform(vec, x => x.cast("double"))
-    val nrm = sqrt(aggregate(e, lit(0.0), (a, x) => a + x * x))
-    transform(e, x => x / nrm)
-  }
+  private[operators] def unitNorm(vec: Column): Column =
+    graft.functions.VectorExpressions.unitNormalize(vec)
 
   /** Measured value of the second deflated component: one- vs
     * two-reflection PCA chains at equal budget on the same corpus, both
@@ -1798,29 +1801,33 @@ object SimilaritySearch {
     val spark = corpus.sparkSession
     val pivots =
       if (balancePivots) balancedPivots(components, dim, m) else Seq.empty[Int]
+    // derivation + index build re-read the (normalized) base many times
     val bCorpus =
-      if (normalize) corpus.select(col(idCol), unitNorm(col(vecCol)).as(vecCol))
-      else corpus
-    val us = pcaDirectionsK(bCorpus, vecCol, dim, components, powerIters,
-      pivots)
-    import spark.implicits._
-    // (comp, slot) → u_j: one reflection per component, in application
-    // order — dim·components rows, still a bounded driver read
-    us.zipWithIndex.flatMap { case (u, c) =>
-      u.zipWithIndex.map { case (uj, j) => (c.toLong, j.toLong, uj) }
-    }.toDF("comp", "slot", "u")
-      .write.format("kv").option("path", s"$path/householder")
-      .mode("overwrite").save()
-    // search-time preprocessing knobs (pivots are build-time-only: the
-    // stored u vectors already encode the placement)
-    Seq(Tuple1(if (normalize) 1L else 0L)).toDF("normalize")
-      .write.format("kv").option("path", s"$path/pca_meta")
-      .mode("overwrite").save()
-    val rot = graft.functions.VectorExpressions.householderChain(
-      col(vecCol), us.map(_.map(_.toDouble)))
-    buildIvfPqIndex(
-      bCorpus.select(col(idCol), rot.as(vecCol)),
-      vecCol, idCol, path, nCells, m, pqCells, iterations, maxTrainPerCell)
+      (if (normalize) corpus.select(col(idCol), unitNorm(col(vecCol)).as(vecCol))
+       else corpus)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val us = pcaDirectionsK(bCorpus, vecCol, dim, components, powerIters,
+        pivots)
+      import spark.implicits._
+      // (comp, slot) → u_j: one reflection per component, in application
+      // order — dim·components rows, still a bounded driver read
+      us.zipWithIndex.flatMap { case (u, c) =>
+        u.zipWithIndex.map { case (uj, j) => (c.toLong, j.toLong, uj) }
+      }.toDF("comp", "slot", "u")
+        .write.format("kv").option("path", s"$path/householder")
+        .mode("overwrite").save()
+      // search-time preprocessing knobs (pivots are build-time-only: the
+      // stored u vectors already encode the placement)
+      Seq(Tuple1(if (normalize) 1L else 0L)).toDF("normalize")
+        .write.format("kv").option("path", s"$path/pca_meta")
+        .mode("overwrite").save()
+      val rot = graft.functions.VectorExpressions.householderChain(
+        col(vecCol), us.map(_.map(_.toDouble)))
+      buildIvfPqIndex(
+        bCorpus.select(col(idCol), rot.as(vecCol)),
+        vecCol, idCol, path, nCells, m, pqCells, iterations, maxTrainPerCell)
+    } finally { bCorpus.unpersist(); () }
   }
 
   /** Search a [[buildPcaIndex]] index: apply the STORED Householder

@@ -71,6 +71,23 @@ object PipelineQueries {
             element_at(col("embedding"), 3).cast("double"))
         .as("embedding"))
 
+  /** The linear-probe gate's features/label frame: (doc_id, f, y) with
+    * f = [1, words/100, 'the'-count/10, avg-word-len/10] (all O(1),
+    * non-negative — the moment-guard contract) and y = 1.0 iff the doc
+    * mentions the token 'join'. Every term is split/replace/length
+    * arithmetic with proven engine parity.
+    */
+  private def ProbeFeatures(docs: DataFrame): DataFrame = {
+    val toks = filter(split(lower(col("text")), " "), t => length(t) > 0)
+    val nWords = size(toks).cast("double")
+    val nThe = size(filter(toks, t => t === lit("the"))).cast("double")
+    val avgw = length(regexp_replace(col("text"), " ", "")).cast("double") /
+      greatest(nWords, lit(1.0)) / lit(10.0)
+    docs.select(col("doc_id"),
+      array(lit(1.0), nWords / lit(100.0), nThe / lit(10.0), avgw).as("f"),
+      when(array_contains(toks, "join"), lit(1.0)).otherwise(lit(0.0)).as("y"))
+  }
+
   def defs: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Video modality through the REAL path: GFV container walk → real
     // per-frame ImageIO PNG decode → integer luma sums; every value
@@ -1350,6 +1367,34 @@ object PipelineQueries {
       Tables.load(s, dir, "documents")
         .select(col("doc_id"), TextFunctions.qualityScore(col("text")).as("quality"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Distributed linear-probe TRAINING (the "train a quality/topic
+    // classifier" step of curation pipelines): ridge least squares on
+    // cheap O(1)-scaled features (intercept, words/100, 'the'-count/10,
+    // avg-word-len/10) predicting a topic label (doc mentions 'join').
+    // One exact-integer moments pass + a BigInt Cramer solve — the
+    // quantized products, exact sums, truncating means, 24-term
+    // cofactor determinants and the final quantized division ALL
+    // replay in the oracle (HUGEINT).
+    "q_probe_linear" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val w = graft.operators.LinearProbe.trainRidge(
+        ProbeFeatures(docs), "f", "y", dim = 4, lambdaMicro = 10000L)
+      import s.implicits._
+      w.zipWithIndex.map { case (wj, j) => (j.toLong, wj) }
+        .toDF("slot", "w_micro").orderBy(col("slot"))
+    }),
+
+    // The trained probe applied: per-doc predicted label, top-10 by
+    // (score desc, doc_id) — training AND scoring replayed end to end.
+    "q_probe_linear_scores" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val feats = ProbeFeatures(docs)
+      val w = graft.operators.LinearProbe.trainRidge(feats, "f", "y", dim = 4, lambdaMicro = 10000L)
+      feats.select(col("doc_id"),
+        round(graft.operators.LinearProbe.score(col("f"), w), 6).as("score"))
+        .orderBy(col("score").desc, col("doc_id")).limit(10)
     }),
     "q_doc_langid" -> ((s, dir) => {
       Tables.load(s, dir, "documents")

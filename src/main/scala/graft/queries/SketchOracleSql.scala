@@ -1222,6 +1222,95 @@ object SketchOracleSql {
        |FROM ug_docw d JOIN ugf_walk wk USING (w)
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  /** The linear-probe replay (q_probe_linear / _scores): features and
+    * label per doc, ONE moments pass (quantized products, HUGEINT
+    * sums, truncating mean by n), ridge diagonal, the literal 24-term
+    * 4×4 cofactor determinants (Cramer), and the sign-aware quantized
+    * division — every stage exact integer arithmetic, matching
+    * [[graft.operators.LinearProbe]] bit for bit.
+    */
+  private def probeCtes: String = {
+    val dim = 4
+    // permutations of 0..3 with parity — the cofactor expansion terms
+    val perms = (0 until dim).permutations.toSeq.map { p =>
+      val inv = (for (i <- 0 until dim; j <- i + 1 until dim
+        if p(i) > p(j)) yield 1).sum
+      (p, if (inv % 2 == 0) 1 else -1)
+    }
+    def det4(a: (Int, Int) => String): String =
+      perms.map { case (p, s) =>
+        s"($s) * " + (0 until dim).map(r => a(r, p(r))).mkString(" * ")
+      }.mkString(" + ")
+    val upper = for (i <- 0 until dim; j <- i until dim) yield (i, j)
+    val sums = (upper.map { case (i, j) =>
+      s"sum(CAST(floor(f[${i + 1}] * f[${j + 1}] * 1000000.0 + 0.5) AS BIGINT)) AS s_${i}_$j"
+    } ++ (0 until dim).map(i =>
+      s"sum(CAST(floor(f[${i + 1}] * y * 1000000.0 + 0.5) AS BIGINT)) AS sb_$i")
+    ).mkString(",\n    ")
+    val means = (upper.map { case (i, j) => s"s_${i}_$j // n AS m_${i}_$j" } ++
+      (0 until dim).map(i => s"sb_$i // n AS b$i")).mkString(", ")
+    val amat = (for (i <- 0 until dim; j <- 0 until dim) yield {
+      val m = s"m_${math.min(i, j)}_${math.max(i, j)}"
+      if (i == j) s"$m + 10000 AS a$i$j" else s"$m AS a$i$j"
+    }).mkString(", ")
+    val dets = (s"${det4((r, c) => s"a$r$c")} AS dt" +:
+      (0 until dim).map(j =>
+        s"${det4((r, c) => if (c == j) s"b$r" else s"a$r$c")} AS d$j"))
+      .mkString(",\n    ")
+    def wExpr(j: Int): String =
+      s"""CASE WHEN d$j >= 0 THEN (1000000 * d$j) // dt
+         |      ELSE -((-(1000000 * d$j)) // dt) END""".stripMargin
+    val wRows = (0 until dim).map(j =>
+      s"SELECT CAST($j AS BIGINT) AS slot, ${wExpr(j)} AS w_micro FROM pb_d")
+      .mkString(" UNION ALL ")
+    s"""pb_f AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    [1.0,
+       |     len(toks) / 100.0,
+       |     len(list_filter(toks, t -> t = 'the')) / 10.0,
+       |     len(replace(text, ' ', '')) / greatest(CAST(len(toks) AS DOUBLE), 1.0) / 10.0] AS f,
+       |    CASE WHEN list_contains(toks, 'join') THEN 1.0 ELSE 0.0 END AS y
+       |  FROM (SELECT doc_id, text,
+       |      list_filter(string_split(lower(text), ' '), t -> len(t) > 0) AS toks
+       |    FROM documents)
+       |), pb_s AS (
+       |  SELECT
+       |    $sums,
+       |    count(*)::BIGINT AS n
+       |  FROM pb_f
+       |), pb_m AS (
+       |  SELECT $means FROM pb_s
+       |), pb_a AS (
+       |  SELECT $amat, b0, b1, b2, b3 FROM pb_m
+       |), pb_d AS (
+       |  SELECT
+       |    $dets
+       |  FROM pb_a
+       |), pb_w AS ($wRows)""".stripMargin
+  }
+
+  def probeLinearOracle: String =
+    s"""WITH $probeCtes
+       |SELECT slot, CAST(w_micro AS BIGINT) AS w_micro
+       |FROM pb_w ORDER BY slot""".stripMargin
+
+  def probeLinearScoresOracle: String = {
+    val score = (0 until 4)
+      .map(j => s"f[${j + 1}] * (CAST(w$j AS DOUBLE) / 1000000.0)")
+      .mkString(" + ")
+    s"""WITH $probeCtes, pb_wrow AS (
+       |  SELECT
+       |    max(CASE WHEN slot = 0 THEN w_micro END) AS w0,
+       |    max(CASE WHEN slot = 1 THEN w_micro END) AS w1,
+       |    max(CASE WHEN slot = 2 THEN w_micro END) AS w2,
+       |    max(CASE WHEN slot = 3 THEN w_micro END) AS w3
+       |  FROM pb_w
+       |)
+       |SELECT doc_id, round($score, 6) AS score
+       |FROM pb_f, pb_wrow
+       |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
+  }
+
   /** q_ann_stream_index: the streaming-maintained IVF index — centroids
     * trained on the base slice only (vec_id < 250, the build input),
     * EVERY vector assigned against those fixed centroids (streamed
@@ -2881,6 +2970,8 @@ object SketchOracleSql {
     "q_tokenizer_unigram" -> tokenizerUnigramOracle,
     "q_tokenizer_unigram_loss" -> tokenizerUnigramLossOracle,
     "q_tokenizer_unigram_loss_em2" -> tokenizerUnigramLossEm2Oracle,
+    "q_probe_linear" -> probeLinearOracle,
+    "q_probe_linear_scores" -> probeLinearScoresOracle,
     "q_tokenizer_unigram_em2" -> tokenizerUnigramEm2Oracle,
     "q_doc_unigram_tokens" -> docUnigramTokensOracle,
     // the persisted-index search must answer identically to the
