@@ -898,19 +898,57 @@ object SimilaritySearch {
     * tables under `path` (arrays ride the kv source's LIST columns). At
     * 100 TB you train once and amortize it over every search — the ANN
     * analog of the kv source's persisted search-index mode.
+    *
+    * `normalize=true` makes the index COSINE-consistent: vectors are
+    * unit-normalized before training and assignment, so the k-means
+    * cells partition by DIRECTION instead of by norm (on a norm-spread
+    * corpus raw L2 cells cluster by magnitude and a probe misses
+    * directional neighbors — the metric mismatch `q_ann_cosine_audit`
+    * pins for the ADC tiers applies to cell ROUTING here). The flag is
+    * recorded in the index's knobs table so search and append apply the
+    * identical preprocessing — the `buildPcaIndex` pca_meta discipline.
     */
   def buildIvfIndex(
       corpus: DataFrame, vecCol: String, idCol: String, path: String,
       nCells: Int = 16, iterations: Int = 2,
-      maxTrainPerCell: Int = 16384): Unit = {
-    val cents = trainCentroids(corpus, vecCol, idCol, nCells, iterations, maxTrainPerCell)
+      maxTrainPerCell: Int = 16384, normalize: Boolean = false): Unit = {
+    val base = if (normalize) unitNormed(corpus, vecCol, idCol) else corpus
+    val cents = trainCentroids(base, vecCol, idCol, nCells, iterations, maxTrainPerCell)
     cents.write.format("kv").option("path", s"$path/centroids")
       .mode("overwrite").save()
-    assignCells(prep(corpus, vecCol, idCol), cents)
+    assignCells(prep(base, vecCol, idCol), cents)
       .select(col("cell"), col("id").as("nid"), col("e").as("ne"), col("nrm").as("nn"))
       .write.format("kv").option("path", s"$path/cells")
       .mode("overwrite").save()
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq(Tuple1(if (normalize) 1L else 0L)).toDF("normalize")
+      .write.format("kv").option("path", s"$path/knobs")
+      .mode("overwrite").save()
   }
+
+  /** The search/append-time preprocessing recorded by a build's knobs
+    * table: `normalize=1` → unit-normalize inputs before prep. Pre-knob
+    * layouts (no table, or a knobs table without the column — graph
+    * indexes built before the flag existed) read as raw, so old indexes
+    * keep their exact behavior.
+    */
+  private def readNormalizeKnob(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean = {
+    if (graft.sources.ParquetIO.listFiles(s"$path/knobs").isEmpty) false
+    else {
+      val df = spark.read.format("kv").option("path", s"$path/knobs").load()
+      df.columns.contains("normalize") &&
+        df.select(col("normalize")).collect()
+          .headOption.exists(_.getLong(0) == 1L)
+    }
+  }
+
+  /** Row-local unit normalization of `vecCol` (id projected through) —
+    * the cosine-consistency transform shared by every `normalize` knob.
+    */
+  private def unitNormed(df: DataFrame, vecCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), unitNorm(col(vecCol)).as(vecCol))
 
   /** Incremental index maintenance: assign NEW vectors against the
     * persisted centroids (no retraining — centroids stay stable, which
@@ -922,8 +960,14 @@ object SimilaritySearch {
   def ivfIndexAppend(
       newVecs: DataFrame, vecCol: String, idCol: String, path: String): Unit = {
     val spark = newVecs.sparkSession
+    // the build's preprocessing, never the caller's guess: a normalized
+    // index normalizes its appends too (raw rows in a unit-norm cell
+    // layout would be routed by magnitude and searched by direction)
+    val base =
+      if (readNormalizeKnob(spark, path)) unitNormed(newVecs, vecCol, idCol)
+      else newVecs
     val cents = spark.read.format("kv").option("path", s"$path/centroids").load()
-    assignCells(prep(newVecs, vecCol, idCol), cents)
+    assignCells(prep(base, vecCol, idCol), cents)
       .select(col("cell"), col("id").as("nid"), col("e").as("ne"), col("nrm").as("nn"))
       .write.format("kv").option("path", s"$path/cells").mode("append").save()
   }
@@ -936,10 +980,15 @@ object SimilaritySearch {
       queries: DataFrame, vecCol: String, idCol: String, path: String,
       k: Int, nProbe: Int = 4): DataFrame = {
     val spark = queries.sparkSession
+    // stored preprocessing knob (one-row read): queries take the SAME
+    // transform the corpus was indexed under, or probe routing diverges
+    val qBase =
+      if (readNormalizeKnob(spark, path)) unitNormed(queries, vecCol, idCol)
+      else queries
     val cents = spark.read.format("kv").option("path", s"$path/centroids").load()
     val assigned = spark.read.format("kv").option("path", s"$path/cells").load()
       .select(col("cell"), col("nid"), col("ne"), col("nn"))
-    val qPrepped = prep(queries, vecCol, idCol)
+    val qPrepped = prep(qBase, vecCol, idCol)
     val probes = qPrepped.crossJoin(broadcast(cents))
       .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
         (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
@@ -2141,12 +2190,17 @@ object SimilaritySearch {
       iterations: Int = 2, maxTrainPerCell: Int = 16384,
       maxEdgeCandidatesPerCell: Int = 16384,
       crossCells: Int = 0, degreeCross: Int = 0,
-      degreeTop: Int = 0, degreeCells: Int = 0): Unit = {
+      degreeTop: Int = 0, degreeCells: Int = 0,
+      normalize: Boolean = false): Unit = {
     require(degreeTop >= 0,
       s"degreeTop must be >= 0 (0 = no persisted top layer), got $degreeTop")
     require(degreeCells >= 0,
       s"degreeCells must be >= 0 (0 = no persisted cell graph), got $degreeCells")
-    val (cents, nodes, edges, seeds, release) = graphPieces(corpus, vecCol,
+    // cosine-consistent layout (the buildIvfIndex normalize knob): cells
+    // AND edges form over unit vectors, so both the routing geometry and
+    // the walk's neighborhoods follow direction, not magnitude
+    val base = if (normalize) unitNormed(corpus, vecCol, idCol) else corpus
+    val (cents, nodes, edges, seeds, release) = graphPieces(base, vecCol,
       idCol, nCells, degree, seedsPerCell, iterations, maxTrainPerCell,
       maxEdgeCandidatesPerCell, crossCells, degreeCross)
     try {
@@ -2182,10 +2236,11 @@ object SimilaritySearch {
       import spark.implicits._
       Seq((degree.toLong, seedsPerCell.toLong, nCells.toLong,
         maxEdgeCandidatesPerCell.toLong, crossCells.toLong,
-        degreeCross.toLong, degreeTop.toLong, degreeCells.toLong))
+        degreeCross.toLong, degreeTop.toLong, degreeCells.toLong,
+        if (normalize) 1L else 0L))
         .toDF("degree", "seeds_per_cell", "n_cells",
           "max_edge_candidates", "cross_cells", "degree_cross",
-          "degree_top", "degree_cells")
+          "degree_top", "degree_cells", "normalize")
         .write.format("kv").option("path", s"$path/knobs")
         .mode("overwrite").save()
     } finally release()
@@ -2246,7 +2301,10 @@ object SimilaritySearch {
     val (deg, cap, crossCells, degreeCross) =
       appendKnobs(spark, path, degree, maxEdgeCandidatesPerCell)
     def t(n: String) = spark.read.format("kv").option("path", s"$path/$n").load()
-    val newNodes = assignCells(prep(newVecs, vecCol, idCol), t("centroids"))
+    val base =
+      if (readNormalizeKnob(spark, path)) unitNormed(newVecs, vecCol, idCol)
+      else newVecs
+    val newNodes = assignCells(prep(base, vecCol, idCol), t("centroids"))
       .select(col("cell"), col("id").as("nid"), col("e").as("ne"),
         col("nrm").as("nn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2375,7 +2433,10 @@ object SimilaritySearch {
       path: String): Unit = {
     val spark = newVecs.sparkSession
     def t(n: String) = spark.read.format("kv").option("path", s"$path/$n").load()
-    val newNodes = assignCells(prep(newVecs, vecCol, idCol), t("centroids"))
+    val base =
+      if (readNormalizeKnob(spark, path)) unitNormed(newVecs, vecCol, idCol)
+      else newVecs
+    val newNodes = assignCells(prep(base, vecCol, idCol), t("centroids"))
       .select(col("cell"), col("id").as("nid"), col("e").as("ne"),
         col("nrm").as("nn"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -2526,8 +2587,11 @@ object SimilaritySearch {
       k: Int, nProbe: Int = 4, beamWidth: Int = 8, hops: Int = 2): DataFrame = {
     val spark = queries.sparkSession
     def t(n: String) = spark.read.format("kv").option("path", s"$path/$n").load()
+    val qBase =
+      if (readNormalizeKnob(spark, path)) unitNormed(queries, vecCol, idCol)
+      else queries
     graphWalk(t("centroids"), t("cells"), t("edges"), t("seeds"),
-      queries, vecCol, idCol, k, nProbe, beamWidth, hops)
+      qBase, vecCol, idCol, k, nProbe, beamWidth, hops)
   }
 
   private def graphWalk(
@@ -2740,8 +2804,11 @@ object SimilaritySearch {
           graft.sources.ParquetIO.listFiles(s"$path/top_edges").nonEmpty)
         (seedNodes(t("cells"), t("seeds")), t("top_edges"))
       else topLayer(t("cells"), t("seeds"), degreeTop)
+    val qBase =
+      if (readNormalizeKnob(spark, path)) unitNormed(queries, vecCol, idCol)
+      else queries
     hierWalk(t("cells"), t("edges"), seedN, topEdges,
-      queries, vecCol, idCol, k, entryBeam, hopsTop, beamWidth, hops)
+      qBase, vecCol, idCol, k, entryBeam, hopsTop, beamWidth, hops)
   }
 
   /** The COARSE routing layer for very-large-nCells graph indexes: a
@@ -2916,8 +2983,11 @@ object SimilaritySearch {
           graft.sources.ParquetIO.listFiles(s"$path/cell_edges").nonEmpty)
         t("cell_edges")
       else cellLayer(t("centroids"), degreeCells)
+    val qBase =
+      if (readNormalizeKnob(spark, path)) unitNormed(queries, vecCol, idCol)
+      else queries
     hier2Walk(t("centroids"), t("cells"), t("edges"), t("seeds"),
-      topEdges, cellEdges, queries, vecCol, idCol, k,
+      topEdges, cellEdges, qBase, vecCol, idCol, k,
       entryBeam, hopsTop, entryCells, hopsCells, beamWidth, hops)
   }
 
@@ -3018,6 +3088,92 @@ object SimilaritySearch {
       spark.range(1).select(
         lit(nQueries).as("n_queries"), lit(k).as("k"),
         lit(nHits).as("n_hits"), lit(recallMilli).as("recall_milli"))
+    } finally { exact.unpersist(); () }
+  }
+
+  /** The metric-consistency audit for the IVF-Flat tier (the
+    * [[cosineRecallAudit]] discipline one tier down): the SAME probe
+    * budget over raw vs unit-normalized vectors, both vs exact cosine
+    * brute force. IVF rescoring is already cosine, so the gap this
+    * measures is pure cell ROUTING — raw k-means cells partition a
+    * norm-spread corpus by magnitude and the query's nProbe nearest
+    * cells miss its directional neighbors. The normalized chain is
+    * bit-identical to `buildIvfIndex(normalize=true)` + search (shared
+    * code path), so the measured gain is the knob's gain.
+    */
+  def ivfCosineRecallAudit(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384): DataFrame = {
+    val spark = corpus.sparkSession
+    val exact = bruteForceKnn(corpus, queries, vecCol, idCol, k)
+      .select(col("qid"), col("nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nQueries = exact.select(col("qid")).distinct().count()
+      def hits(ann: DataFrame): Long =
+        ann.select(col("qid"), col("nid"))
+          .join(exact, Seq("qid", "nid"), "left_semi").count()
+      val hitsRaw = hits(ivfKnn(corpus, queries, vecCol, idCol, k,
+        nCells, nProbe, iterations, maxTrainPerCell))
+      val hitsNorm = hits(ivfKnn(
+        unitNormed(corpus, vecCol, idCol), unitNormed(queries, vecCol, idCol),
+        vecCol, idCol, k, nCells, nProbe, iterations, maxTrainPerCell))
+      def milli(h: Long): Long =
+        if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
+      spark.range(1).select(
+        lit(nQueries).as("n_queries"), lit(k).as("k"),
+        lit(hitsRaw).as("hits_raw"),
+        lit(milli(hitsRaw)).as("recall_raw_milli"),
+        lit(hitsNorm).as("hits_norm"),
+        lit(milli(hitsNorm)).as("recall_norm_milli"))
+    } finally { exact.unpersist(); () }
+  }
+
+  /** The metric-consistency audit for the graph tier: [[graphKnn]] at
+    * the SAME walk budget over raw vs unit-normalized vectors, both vs
+    * exact cosine brute force. On a norm-spread corpus the raw layout
+    * loses twice — cells route by magnitude AND within-cell edges can
+    * only link the directional neighbors that magnitude-clustering
+    * happened to co-locate — so the walk's reachable set, not just its
+    * entry, is metric-inconsistent. Normalizing the BUILD (the
+    * `buildGraphIndex(normalize=true)` knob; this audit runs the same
+    * shared code path in memory) fixes both.
+    */
+  def graphCosineRecallAudit(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      degree: Int = 4, beamWidth: Int = 8, hops: Int = 2,
+      seedsPerCell: Int = 2, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384,
+      maxEdgeCandidatesPerCell: Int = 16384,
+      crossCells: Int = 0, degreeCross: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    val exact = bruteForceKnn(corpus, queries, vecCol, idCol, k)
+      .select(col("qid"), col("nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nQueries = exact.select(col("qid")).distinct().count()
+      def hits(ann: DataFrame): Long =
+        ann.select(col("qid"), col("nid"))
+          .join(exact, Seq("qid", "nid"), "left_semi").count()
+      def run(c: DataFrame, q: DataFrame): Long =
+        hits(graphKnn(c, q, vecCol, idCol, k, nCells, nProbe, degree,
+          beamWidth, hops, seedsPerCell, iterations, maxTrainPerCell,
+          maxEdgeCandidatesPerCell, crossCells, degreeCross))
+      val hitsRaw = run(corpus, queries)
+      val hitsNorm = run(
+        unitNormed(corpus, vecCol, idCol), unitNormed(queries, vecCol, idCol))
+      def milli(h: Long): Long =
+        if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
+      spark.range(1).select(
+        lit(nQueries).as("n_queries"), lit(k).as("k"),
+        lit(hitsRaw).as("hits_raw"),
+        lit(milli(hitsRaw)).as("recall_raw_milli"),
+        lit(hitsNorm).as("hits_norm"),
+        lit(milli(hitsNorm)).as("recall_norm_milli"))
     } finally { exact.unpersist(); () }
   }
 }

@@ -388,6 +388,34 @@ object TokenizerTraining {
       seedMulti: Int = 64, vocabMulti: Int = 32,
       maxTokenLen: Int = 4, maxWordLen: Int = 16,
       emIterations: Int = 1): DataFrame = {
+    require(emIterations >= 1 && emIterations <= 8,
+      s"emIterations must be in [1, 8], got $emIterations")
+    trainUnigramSchedule(df, textCol, seedMulti, vocabMulti,
+      maxTokenLen, maxWordLen, Seq.fill(emIterations)("loss"))
+  }
+
+  /** The EM loop with a PER-ROUND prune criterion — SentencePiece's
+    * practical schedule runs the cheap COUNT criterion early (while the
+    * candidate pool is large and a masked DP per (word, token) pair
+    * would dominate training cost) and the exact LOSS criterion late,
+    * where evicting an irreplaceable token can no longer be corrected.
+    * `criteria(r)` ∈ {"count", "loss"} picks round r+1's rule; budgets
+    * follow the shared [[unigramBudgets]] schedule either way, so
+    * `Seq.fill(n)("loss")` is exactly [[trainUnigramLossPrune]] and the
+    * mixed schedule is comparable round for round. Count rounds skip
+    * the masked DPs entirely — their cost is one Viterbi pass, the
+    * [[trainUnigram]] round shape.
+    *
+    * Returns (tok, cnt, delta, score); `delta` is 0 for every token
+    * whose LAST ranking round used the count criterion (no masked DP
+    * ran — the column reports the evidence that ranked the token, not
+    * a retroactive audit).
+    */
+  def trainUnigramSchedule(
+      df: DataFrame, textCol: String,
+      seedMulti: Int = 64, vocabMulti: Int = 32,
+      maxTokenLen: Int = 4, maxWordLen: Int = 16,
+      criteria: Seq[String] = Seq("loss")): DataFrame = {
     require(seedMulti >= 1 && seedMulti <= 4096,
       s"seedMulti must be in [1, 4096], got $seedMulti")
     require(vocabMulti >= 1 && vocabMulti <= seedMulti,
@@ -396,8 +424,11 @@ object TokenizerTraining {
       s"maxTokenLen must be in [1, 8], got $maxTokenLen")
     require(maxWordLen >= maxTokenLen && maxWordLen <= 64,
       s"maxWordLen must be in [$maxTokenLen, 64], got $maxWordLen")
-    require(emIterations >= 1 && emIterations <= 8,
-      s"emIterations must be in [1, 8], got $emIterations")
+    require(criteria.nonEmpty && criteria.size <= 8,
+      s"criteria must have 1..8 rounds, got ${criteria.size}")
+    require(criteria.forall(c => c == "count" || c == "loss"),
+      s"criteria entries must be 'count' or 'loss', got $criteria")
+    val emIterations = criteria.size
     val spark = df.sparkSession
 
     val w0 = df.select(explode(split(lower(col(textCol)), " ")).as("w0"))
@@ -437,42 +468,65 @@ object TokenizerTraining {
       val scores = collectScored(
         vocab.select(col("tok"), col("freq")), 8192, "seedMulti")
         .map { case (tok, _, s) => tok -> s }.toMap
-      val sMap = typedLit(scores)
 
-      // Viterbi per word TYPE; base cost = sum of the best tokens' scores
-      val seg = words.select(col("w"), col("cnt"),
-          viterbiSegment(col("w"), scores, maxTokenLen).as("toks"))
-        .withColumn("cost", aggregate(col("toks"), lit(0L),
-          (a, t) => a + element_at(sMap, t)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val cnts = seg.select(col("cnt"), explode(col("toks")).as("tok"))
-        .groupBy(col("tok")).agg(sum(col("cnt")).as("cnt2"))
+      val (next, release): (DataFrame, () => Unit) =
+        if (criteria(round - 1) == "loss") {
+          val sMap = typedLit(scores)
+          // Viterbi per word TYPE; base cost = sum of the best tokens'
+          // scores
+          val seg = words.select(col("w"), col("cnt"),
+              viterbiSegment(col("w"), scores, maxTokenLen).as("toks"))
+            .withColumn("cost", aggregate(col("toks"), lit(0L),
+              (a, t) => a + element_at(sMap, t)))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          val cnts = seg.select(col("cnt"), explode(col("toks")).as("tok"))
+            .groupBy(col("tok")).agg(sum(col("cnt")).as("cnt2"))
 
-      // masked alternative cost, one DP per (word type, distinct multi-
-      // char token of its best segmentation)
-      val deltas = seg.select(col("w"), col("cnt"), col("cost"),
-          explode(array_distinct(filter(col("toks"),
-            t => length(t) > 1))).as("mtok"))
-        .withColumn("mcost",
-          viterbiCostMasked(col("w"), scores, maxTokenLen, col("mtok")))
-        .groupBy(col("mtok"))
-        .agg(sum(col("cnt") * (col("mcost") - col("cost"))).as("delta"))
-        .select(col("mtok").as("tok"), col("delta"))
+          // masked alternative cost, one DP per (word type, distinct
+          // multi-char token of its best segmentation)
+          val deltas = seg.select(col("w"), col("cnt"), col("cost"),
+              explode(array_distinct(filter(col("toks"),
+                t => length(t) > 1))).as("mtok"))
+            .withColumn("mcost",
+              viterbiCostMasked(col("w"), scores, maxTokenLen, col("mtok")))
+            .groupBy(col("mtok"))
+            .agg(sum(col("cnt") * (col("mcost") - col("cost"))).as("delta"))
+            .select(col("mtok").as("tok"), col("delta"))
 
-      // prune: chars always survive; multis keep the round's budget by
-      // LARGEST loss increase (delta desc, tok asc — the bounded heap)
-      val keptMulti = deltas.join(cnts, Seq("tok"))
-        .agg(graft.functions.BoundedTopK.topK(
-          struct(col("delta").cast("double").as("s"), col("tok"),
-            col("cnt2"), col("delta")), budgets(round - 1)).as("t"))
-        .select(explode(col("t")).as("x"))
-        .select(col("x.tok").as("tok"), col("x.cnt2").as("freq"),
-          col("x.delta").as("delta"))
-      val next = chars.select(col("tok"))
-        .join(cnts, Seq("tok"), "left")
-        .select(col("tok"), coalesce(col("cnt2"), lit(0L)).as("freq"),
-          lit(0L).as("delta"))
-        .unionByName(keptMulti)
+          // prune: chars always survive; multis keep the round's budget
+          // by LARGEST loss increase (delta desc, tok asc — the heap)
+          val keptMulti = deltas.join(cnts, Seq("tok"))
+            .agg(graft.functions.BoundedTopK.topK(
+              struct(col("delta").cast("double").as("s"), col("tok"),
+                col("cnt2"), col("delta")), budgets(round - 1)).as("t"))
+            .select(explode(col("t")).as("x"))
+            .select(col("x.tok").as("tok"), col("x.cnt2").as("freq"),
+              col("x.delta").as("delta"))
+          (chars.select(col("tok"))
+            .join(cnts, Seq("tok"), "left")
+            .select(col("tok"), coalesce(col("cnt2"), lit(0L)).as("freq"),
+              lit(0L).as("delta"))
+            .unionByName(keptMulti), () => { seg.unpersist(); () })
+        } else {
+          // COUNT round — one Viterbi pass, no masked DPs (the
+          // trainUnigram round shape): multis keep the budget by
+          // (count desc, tok asc), delta 0 (no loss evidence ran)
+          val cnts = words.select(col("cnt"),
+              explode(viterbiSegment(col("w"), scores, maxTokenLen)).as("tok"))
+            .groupBy(col("tok")).agg(sum(col("cnt")).as("cnt2"))
+          val keptMulti = cnts.where(length(col("tok")) > 1)
+            .agg(graft.functions.BoundedTopK.topK(
+              struct(col("cnt2").cast("double").as("s"), col("tok"),
+                col("cnt2")), budgets(round - 1)).as("t"))
+            .select(explode(col("t")).as("x"))
+            .select(col("x.tok").as("tok"), col("x.cnt2").as("freq"),
+              lit(0L).as("delta"))
+          (chars.select(col("tok"))
+            .join(cnts, Seq("tok"), "left")
+            .select(col("tok"), coalesce(col("cnt2"), lit(0L)).as("freq"),
+              lit(0L).as("delta"))
+            .unionByName(keptMulti), () => ())
+        }
       // materialize the round's vocabulary BEFORE seg unpersists: the
       // next round's collectScored must not recompute through a
       // released cache (bounded rows — the same collect feeds either
@@ -481,7 +535,7 @@ object TokenizerTraining {
       require(matRows.length <= 8192,
         s"unigram vocabulary ${matRows.length} exceeds the bounded " +
           "driver budget (8192) — lower vocabMulti")
-      seg.unpersist()
+      release()
       vocab = spark.createDataFrame(
         spark.sparkContext.parallelize(matRows.toSeq, 1),
         StructType(Seq(

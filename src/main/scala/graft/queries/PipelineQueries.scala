@@ -779,6 +779,26 @@ object PipelineQueries {
         .orderBy(col("cnt").desc, col("tok")).limit(64)
     }),
 
+    // SentencePiece's PRACTICAL schedule: count-prune the big early
+    // pool (one Viterbi pass — no masked DP per (word, token) pair
+    // while the candidate set is at its largest), loss-prune the final
+    // round where an irreplaceable eviction can't be corrected.
+    // MEASURED answer to "do the cheap early rounds change the final
+    // vocabulary?": NO on this corpus — count→loss at 32→24→8 lands
+    // bit-identical (cnt, delta, score) to loss→loss at the same
+    // knobs, having skipped round 1's masked DPs entirely (the round
+    // where the candidate pool, and so the DP fan-out, is largest);
+    // count→count at the same knobs DIFFERS (drops 'join'/'hash' for
+    // generic fragments), so the final loss round is load-bearing.
+    // Both rounds replay in the oracle (count round = one Viterbi
+    // chain, no delta CTEs).
+    "q_tokenizer_unigram_mixed" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.TokenizerTraining.trainUnigramSchedule(docs, "text",
+        seedMulti = 32, vocabMulti = 8, criteria = Seq("count", "loss"))
+        .orderBy(col("cnt").desc, col("tok")).limit(64)
+    }),
+
     // The multi-round EM variant: two Viterbi-EM rounds at TIGHT
     // budgets (64→48→8) — the interim prune evicts multi-char tokens
     // round 2's re-segmentation must route around, so the final
@@ -1076,6 +1096,58 @@ object PipelineQueries {
         three.filter(col("vec_id") < 20), "embedding", "vec_id",
         k = 3, nCells = 4, nProbe = 4, m = 4, pqCells = 16,
         maxTrainPerCell = 64)
+    }),
+
+    // The cosine-consistency knob, persisted: buildIvfIndex
+    // (normalize=true) unit-normalizes the corpus before training and
+    // assignment AND records the flag in the index's knobs table, so
+    // ivfKnnIndexed applies the identical transform to raw queries at
+    // search time — cells partition by direction, not magnitude. The
+    // oracle replays the normalized chain end to end (unit norm,
+    // k-means, probes, cosine rescoring); queries enter RAW, proving
+    // the stored knob (not the caller) drives the preprocessing.
+    "q_ann_ivf_cosine" -> ((s, dir) => {
+      val idx = s"/tmp/graft_ivfcos${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(idx)
+      val emb = Tables.load(s, dir, "embeddings")
+      val three = Pca3Fixture(emb)
+      SimilaritySearch.buildIvfIndex(three, "embedding", "vec_id", idx,
+        nCells = 8, maxTrainPerCell = 32, normalize = true)
+      SimilaritySearch.ivfKnnIndexed(three.filter(col("vec_id") < 20),
+        "embedding", "vec_id", idx, k = 3, nProbe = 2)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // The knob's measured value on the IVF tier: the SAME probe budget
+    // over raw vs unit-normalized vectors, both vs exact cosine brute
+    // force, on the norm-spread fixture — IVF rescoring is already
+    // cosine, so the gap is pure cell ROUTING (raw cells cluster by
+    // magnitude; the query's nProbe nearest cells miss directional
+    // neighbors). Both chains and the brute reference replay in the
+    // oracle.
+    "q_ann_ivf_cosine_audit" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val three = Pca3Fixture(emb)
+      SimilaritySearch.ivfCosineRecallAudit(three,
+        three.filter(col("vec_id") < 20), "embedding", "vec_id",
+        k = 3, nCells = 8, nProbe = 2, maxTrainPerCell = 32)
+    }),
+
+    // The knob's measured value on the graph tier: graphKnn at the
+    // SAME walk budget over raw vs unit-normalized vectors, both vs
+    // exact cosine brute force. The raw layout loses twice on a
+    // norm-spread corpus — entry cells route by magnitude AND
+    // within-cell edges only link the directional neighbors that
+    // magnitude-clustering co-located — so normalize fixes the
+    // reachable set, not just the entry (buildGraphIndex's knob runs
+    // this exact shared code path).
+    "q_ann_graph_cosine_audit" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val three = Pca3Fixture(emb)
+      SimilaritySearch.graphCosineRecallAudit(three,
+        three.filter(col("vec_id") < 20), "embedding", "vec_id",
+        k = 3, nCells = 8, nProbe = 1, degree = 8, beamWidth = 16,
+        hops = 3, seedsPerCell = 4, maxTrainPerCell = 32)
     }),
 
     // The rotation's measured value: OPQ-rotated vs plain IVF-PQ recall

@@ -940,6 +940,36 @@ object SketchOracleSql {
        |SELECT qid, nid, round(sim, 6) AS sim, rnk
        |FROM iv_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
 
+  /** The IVF-Flat chain over an arbitrary (id, e DOUBLE[]) CTE `base` —
+    * [[annIvfCtes]] generalized the way [[ivfPqChainOver]] generalizes
+    * the PQ chain; defines `<px>prep/<px>cent2/<px>af/<px>ranked`.
+    */
+  private def annIvfChainOver(px: String, base: String, nCells: Int,
+      cap: Int, qMax: Int, nProbe: Int): String =
+    s"""${px}prep AS MATERIALIZED (
+       |  SELECT id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+       |  FROM $base
+       |), ${kmChain(px, nCells, cap)}, ${px}probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.id AS qid, c.cell,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY ${kmD2("q.e", "c.ce")}, c.cell) AS rn
+       |    FROM (SELECT id, e FROM ${px}prep WHERE id < $qMax) q CROSS JOIN ${px}cent2 c
+       |  ) WHERE rn <= $nProbe
+       |), ${px}scored AS (
+       |  SELECT p.qid, a.id AS nid,
+       |    list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * a.e[i]))
+       |      / (q.nrm * a.nrm) AS sim
+       |  FROM ${px}probes p
+       |  JOIN (SELECT af.id, af.e, af.cell, pr.nrm FROM ${px}af af JOIN ${px}prep pr ON af.id = pr.id) a
+       |    ON p.cell = a.cell
+       |  JOIN ${px}prep q ON p.qid = q.id
+       |  WHERE p.qid <> a.id
+       |), ${px}ranked AS (
+       |  SELECT qid, nid, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk
+       |  FROM ${px}scored
+       |)""".stripMargin
+
   /** q_tokenizer_unigram: the hard-EM unigram-LM trainer replay —
     * word-type counts (long words chunked), count-weighted substring
     * seed frequencies, Laplace-smoothed micro-nat scores, the Viterbi
@@ -1152,35 +1182,87 @@ object SketchOracleSql {
        |)""".stripMargin
   }
 
-  /** The loss-criterion trainer over `rounds` EM rounds at the shared
-    * [[graft.operators.TokenizerTraining.unigramBudgets]] schedule —
-    * every round's scores, Viterbi walk, masked DPs, deltas and budget
-    * replayed; round r's scores come from round r−1's PRUNED
-    * vocabulary (its Viterbi re-counts), exactly the Scala loop.
+  /** ONE count-criterion EM round in the `ul$r` chaining convention:
+    * scores from `src`, a full Viterbi walk + re-count, and the chars ∪
+    * top-`budget`-by-(count desc, tok) vocabulary — no masked DPs, so
+    * every kept multi carries delta 0 (exactly
+    * `TokenizerTraining.trainUnigramSchedule`'s count branch).
     */
-  private def ugLossEmCtes(seedMulti: Int, vocabMulti: Int,
-      maxTok: Int, maxWord: Int, rounds: Int): String = {
+  private def ugCountRound(r: Int, src: String, budget: Int,
+      maxTok: Int, maxWord: Int): String = {
+    val p = s"ul$r"
+    s"""${p}_tot AS (
+       |  SELECT sum(freq)::BIGINT AS t, count(*)::BIGINT AS v FROM ($src)
+       |), ${p}_sc AS MATERIALIZED (
+       |  SELECT tok, CAST(floor(1000000.0 * ln((t + v) / (freq + 1.0)) + 0.5) AS BIGINT) AS s
+       |  FROM ($src), ${p}_tot
+       |), ${ugViterbiCtes(s"${p}e_", s"${p}_sc", maxTok, maxWord)},
+       |${p}_newcnt AS MATERIALIZED (
+       |  SELECT tok, sum(wd.cnt)::BIGINT AS cnt
+       |  FROM ${p}e_walk JOIN ug_words wd USING (w),
+       |    LATERAL (SELECT unnest(${p}e_walk.toks) AS tok)
+       |  GROUP BY tok
+       |), ${p}_vocab AS MATERIALIZED (
+       |  SELECT c.tok, coalesce(n.cnt, 0)::BIGINT AS cnt, CAST(0 AS BIGINT) AS delta
+       |  FROM ug_chars c LEFT JOIN ${p}_newcnt n ON n.tok = c.tok
+       |  UNION ALL
+       |  SELECT tok, cnt, CAST(0 AS BIGINT) AS delta FROM (
+       |    SELECT tok, cnt, row_number() OVER (ORDER BY cnt DESC, tok) AS rn
+       |    FROM ${p}_newcnt WHERE len(tok) > 1
+       |  ) WHERE rn <= $budget
+       |)""".stripMargin
+  }
+
+  /** The schedule trainer over arbitrary per-round criteria at the
+    * shared [[graft.operators.TokenizerTraining.unigramBudgets]]
+    * schedule — every round's scores, Viterbi walk, (masked DPs +
+    * deltas on loss rounds) and budget replayed; round r's scores come
+    * from round r−1's PRUNED vocabulary (its Viterbi re-counts),
+    * exactly the Scala loop. An all-"loss" schedule is the
+    * loss-criterion trainer.
+    */
+  private def ugScheduleEmCtes(seedMulti: Int, vocabMulti: Int,
+      maxTok: Int, maxWord: Int, criteria: Seq[String]): String = {
     val budgets = graft.operators.TokenizerTraining
-      .unigramBudgets(seedMulti, vocabMulti, rounds)
-    val roundCtes = (1 to rounds).map { r =>
+      .unigramBudgets(seedMulti, vocabMulti, criteria.size)
+    val roundCtes = criteria.zipWithIndex.map { case (crit, idx) =>
+      val r = idx + 1
       val src = if (r == 1) "SELECT tok, freq FROM ug_seedv"
         else s"SELECT tok, cnt AS freq FROM ul${r - 1}_vocab"
-      ugLossRound(r, src, budgets(r - 1), maxTok, maxWord)
+      if (crit == "count") ugCountRound(r, src, budgets(idx), maxTok, maxWord)
+      else ugLossRound(r, src, budgets(idx), maxTok, maxWord)
     }.mkString(",\n")
     s"""${ugSeedCtes(seedMulti, maxTok, maxWord)},
        |$roundCtes, ul_ftot AS (
        |  SELECT sum(cnt)::BIGINT AS t, count(*)::BIGINT AS v
-       |  FROM ul${rounds}_vocab
+       |  FROM ul${criteria.size}_vocab
        |)""".stripMargin
   }
 
+  private def ugLossEmCtes(seedMulti: Int, vocabMulti: Int,
+      maxTok: Int, maxWord: Int, rounds: Int): String =
+    ugScheduleEmCtes(seedMulti, vocabMulti, maxTok, maxWord,
+      Seq.fill(rounds)("loss"))
+
   private def tokenizerUnigramLossSql(rounds: Int, seedMulti: Int = 64,
       vocabMulti: Int = 8): String =
-    s"""WITH ${ugLossEmCtes(seedMulti, vocabMulti, 4, 16, rounds)}
+    tokenizerUnigramScheduleSql(Seq.fill(rounds)("loss"), seedMulti,
+      vocabMulti)
+
+  def tokenizerUnigramScheduleSql(criteria: Seq[String],
+      seedMulti: Int = 64, vocabMulti: Int = 8): String =
+    s"""WITH ${ugScheduleEmCtes(seedMulti, vocabMulti, 4, 16, criteria)}
        |SELECT tok, cnt, delta,
        |  CAST(floor(1000000.0 * ln((t + v) / (cnt + 1.0)) + 0.5) AS BIGINT) AS score
-       |FROM ul${rounds}_vocab, ul_ftot
+       |FROM ul${criteria.size}_vocab, ul_ftot
        |ORDER BY cnt DESC, tok LIMIT 64""".stripMargin
+
+  /** q_tokenizer_unigram_mixed: SentencePiece's practical schedule —
+    * count criterion round 1 (budget 48, one Viterbi pass), loss
+    * criterion round 2 (budget 8, masked DPs under round 1's scores).
+    */
+  def tokenizerUnigramMixedOracle: String =
+    tokenizerUnigramScheduleSql(Seq("count", "loss"), seedMulti = 32)
 
   def tokenizerUnigramLossOracle: String = tokenizerUnigramLossSql(1)
 
@@ -2191,6 +2273,110 @@ object SketchOracleSql {
        |  CAST(hn.h * 1000 // (3 * nqc.n) AS BIGINT) AS recall_norm_milli
        |FROM hl, hr, hn, nqc""".stripMargin
 
+  /** The norm-spread fixture + its unit-normalized twin as WITH
+    * fragments — shared by the per-tier cosine-consistency oracles
+    * (`annCosineAuditOracle` pins the identical text for the ADC
+    * tier).
+    */
+  private def p3BaseUnitCtes: String =
+    s"""p3_base AS MATERIALIZED (
+       |  SELECT vec_id AS id, list_transform(generate_series(1, 64), j ->
+       |    CAST(embedding AS DOUBLE[])[j::INT]
+       |      + 8.0 * CAST(embedding AS DOUBLE[])[1]
+       |      + (CASE WHEN (j - 1) % 2 = 0 THEN 4.0 ELSE -4.0 END)
+       |          * CAST(embedding AS DOUBLE[])[2]
+       |      + (CASE WHEN (j - 1) % 4 < 2 THEN 2.0 ELSE -2.0 END)
+       |          * CAST(embedding AS DOUBLE[])[3]) AS e
+       |  FROM embeddings
+       |),
+       |p3_unit AS MATERIALIZED (
+       |  SELECT id, list_transform(e, x ->
+       |    x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
+       |  FROM p3_base
+       |)""".stripMargin
+
+  /** q_ann_ivf_cosine: the persisted normalize knob's exact gate — the
+    * full IVF-Flat chain over the UNIT-NORMALIZED fixture (the gate's
+    * queries enter raw; `buildIvfIndex(normalize=true)` records the
+    * flag and `ivfKnnIndexed` applies the identical transform), top-3
+    * cosine per query.
+    */
+  def annIvfCosineOracle: String =
+    s"""WITH $p3BaseUnitCtes,
+       |${annIvfChainOver("ic_", "p3_unit", nCells = 8, cap = 32,
+          qMax = 20, nProbe = 2)}
+       |SELECT qid, nid, round(sim, 6) AS sim, rnk
+       |FROM ic_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
+  /** q_ann_ivf_cosine_audit: raw vs unit-normalized IVF-Flat at the
+    * SAME probe budget, both vs exact cosine brute force — cell
+    * routing is the only difference (rescoring is cosine either way).
+    */
+  def annIvfCosineAuditOracle: String =
+    s"""WITH $p3BaseUnitCtes,
+       |${annIvfChainOver("ir_", "p3_base", nCells = 8, cap = 32,
+          qMax = 20, nProbe = 2)},
+       |${annIvfChainOver("iu_", "p3_unit", nCells = 8, cap = 32,
+          qMax = 20, nProbe = 2)},
+       |${cosineBruteCte("p3_br", "p3_base", "p3_")},
+       |hr AS (SELECT count(*)::BIGINT AS h
+       |  FROM (SELECT qid, nid FROM ir_ranked WHERE rnk <= 3) JOIN p3_br USING (qid, nid)),
+       |hn AS (SELECT count(*)::BIGINT AS h
+       |  FROM (SELECT qid, nid FROM iu_ranked WHERE rnk <= 3) JOIN p3_br USING (qid, nid)),
+       |nqi AS (SELECT count(DISTINCT qid)::BIGINT AS n FROM p3_br)
+       |SELECT nqi.n AS n_queries, CAST(3 AS INT) AS k,
+       |  hr.h AS hits_raw,
+       |  CAST(hr.h * 1000 // (3 * nqi.n) AS BIGINT) AS recall_raw_milli,
+       |  hn.h AS hits_norm,
+       |  CAST(hn.h * 1000 // (3 * nqi.n) AS BIGINT) AS recall_norm_milli
+       |FROM hr, hn, nqi""".stripMargin
+
+  /** q_ann_graph_cosine_audit: the graph walk at the same budget over
+    * raw vs unit-normalized vectors (cells, edges, seeds and the walk
+    * all re-derive per variant), both vs exact cosine brute force.
+    */
+  def annGraphCosineAuditOracle: String = {
+    def prepFrom(base: String) =
+      s"SELECT id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm FROM $base"
+    def chain(tag: String, base: String) = renameGraphPrefix(
+      annGraphCtes(nCells = 8, cap = 32, qMax = 20, nProbe = 1,
+        degree = 8, beamWidth = 16, hops = 3, seedsPerCell = 4,
+        prepBody = Some(prepFrom(base))), tag)
+    def walked(tag: String, src: String) =
+      s"""$tag AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+         |    FROM $src WHERE qid <> nid
+         |  ) WHERE rn <= 3
+         |)""".stripMargin
+    s"""WITH $p3BaseUnitCtes,
+       |${chain("a", "p3_base")},
+       |${chain("b", "p3_unit")},
+       |${cosineBruteCte("p3_br", "p3_base", "p3_")},
+       |${walked("ga", "gar_beam3")},
+       |${walked("gb", "gbr_beam3")},
+       |hr AS (SELECT count(*)::BIGINT AS h FROM ga JOIN p3_br USING (qid, nid)),
+       |hn AS (SELECT count(*)::BIGINT AS h FROM gb JOIN p3_br USING (qid, nid)),
+       |nqg AS (SELECT count(DISTINCT qid)::BIGINT AS n FROM p3_br)
+       |SELECT nqg.n AS n_queries, CAST(3 AS INT) AS k,
+       |  hr.h AS hits_raw,
+       |  CAST(hr.h * 1000 // (3 * nqg.n) AS BIGINT) AS recall_raw_milli,
+       |  hn.h AS hits_norm,
+       |  CAST(hn.h * 1000 // (3 * nqg.n) AS BIGINT) AS recall_norm_milli
+       |FROM hr, hn, nqg""".stripMargin
+  }
+
+  /** Rename the [[annGraphCtes]] fragment's three CTE-name families so
+    * two independent chains can share one WITH clause — the names are
+    * generated (gr_/gt_/gc_ prefixes only), so a literal replace is a
+    * faithful alpha-rename.
+    */
+  private def renameGraphPrefix(sql: String, tag: String): String =
+    sql.replace("gr_", s"g${tag}r_")
+      .replace("gt_", s"g${tag}t_")
+      .replace("gc_", s"g${tag}c_")
+
   /** The FWHT execution of the same rotation (q_ann_opq_fwht): the
     * butterfly's stage/op order replayed literally — sign diagonal,
     * then for h = 1, 2, …, 32 each output j takes e[j] + e[j+h] when
@@ -2257,7 +2443,8 @@ object SketchOracleSql {
       seedsPerCell: Int = 2, edgeCap: Option[Int] = None,
       crossCells: Int = 0, degreeCross: Int = 0,
       hier: Option[(Int, Int, Int)] = None,
-      hier2: Option[(Int, Int, Int)] = None): String = {
+      hier2: Option[(Int, Int, Int)] = None,
+      prepBody: Option[String] = None): String = {
     def cos(a: String, b: String) =
       s"list_sum(list_transform(generate_series(1, len($a.e)), i -> $a.e[i] * $b.e[i])) / ($a.nrm * $b.nrm)"
     def beam(cand: String): String =
@@ -2326,10 +2513,12 @@ object SketchOracleSql {
            |  UNION ALL
            |  SELECT src, dst FROM gr_xedges
            |)""".stripMargin
+    val prepSql = prepBody.getOrElse(
+      s"""SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e,
+         |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+         |  FROM embeddings""".stripMargin)
     s"""gr_prep AS MATERIALIZED (
-       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e,
-       |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
-       |  FROM embeddings
+       |  $prepSql
        |), ${kmChain("gr_", nCells, cap)},
        |gr_n AS MATERIALIZED (
        |  SELECT af.id, af.e, af.cell, pr.nrm
@@ -2970,6 +3159,7 @@ object SketchOracleSql {
     "q_tokenizer_unigram" -> tokenizerUnigramOracle,
     "q_tokenizer_unigram_loss" -> tokenizerUnigramLossOracle,
     "q_tokenizer_unigram_loss_em2" -> tokenizerUnigramLossEm2Oracle,
+    "q_tokenizer_unigram_mixed" -> tokenizerUnigramMixedOracle,
     "q_probe_linear" -> probeLinearOracle,
     "q_probe_linear_scores" -> probeLinearScoresOracle,
     "q_tokenizer_unigram_em2" -> tokenizerUnigramEm2Oracle,
@@ -2989,6 +3179,9 @@ object SketchOracleSql {
     "q_corpus_stats" -> corpusStatsOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_ivf_audit" -> annIvfAuditOracle,
+    "q_ann_ivf_cosine" -> annIvfCosineOracle,
+    "q_ann_ivf_cosine_audit" -> annIvfCosineAuditOracle,
+    "q_ann_graph_cosine_audit" -> annGraphCosineAuditOracle,
     "q_dedup_ngram_lsh" -> ngramViaLshOracle,
     "q_doc_winnow" -> winnowOracle,
     "q_doc_langid" -> langidOracle,

@@ -536,6 +536,89 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(top.getAs[Long]("nid") == 3L)
   }
 
+  test("normalize knob: normalized IVF index == in-memory chain over unit vectors; append takes the stored transform") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("ivfcos").toString
+    // norm-spread corpus: repeated DIRECTIONS at wildly different magnitudes
+    def v(s: Double, xs: Double*) = xs.map(x => (x * s).toFloat).toArray
+    val data = Seq(
+      (1L, v(1.0, 1, 0, 0, 0)), (2L, v(9.0, 0.99, 0.14, 0, 0)),
+      (3L, v(0.1, 0.97, 0.24, 0, 0)),
+      (10L, v(1.0, 0, 1, 0, 0)), (11L, v(8.0, 0.1, 0.99, 0, 0)),
+      (20L, v(5.0, 0, 0, 1, 0)), (21L, v(0.2, 0, 0.14, 0.99, 0))
+    ).toDF("vec_id", "embedding")
+    val q = data.filter(col("vec_id") < 3L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "sim", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    def un(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
+      graft.functions.VectorExpressions.unitNormalize(col("embedding")).as("embedding"))
+    SimilaritySearch.buildIvfIndex(data, "embedding", "vec_id", idx,
+      nCells = 2, normalize = true)
+    // queries enter RAW — the STORED knob applies the transform
+    val indexed = rows(SimilaritySearch.ivfKnnIndexed(q, "embedding", "vec_id",
+      idx, k = 2, nProbe = 1))
+    val direct = rows(SimilaritySearch.ivfKnn(un(data), un(q),
+      "embedding", "vec_id", k = 2, nCells = 2, nProbe = 1))
+    assert(indexed == direct, "stored normalize knob diverged from the in-memory unit chain")
+    // appends inherit the build's preprocessing: the appended row lands
+    // unit-normalized in the cells table (a raw 40x-magnitude row would
+    // carry nn ≈ 40 and be routed by magnitude)
+    val fresh = Seq((30L, v(40.0, 0, 1, 0.1, 0))).toDF("vec_id", "embedding")
+    SimilaritySearch.ivfIndexAppend(fresh, "embedding", "vec_id", idx)
+    val nn = spark.read.format("kv").option("path", s"$idx/cells").load()
+      .where(col("nid") === 30L).select(col("nn")).as[Double].head()
+    assert(math.abs(nn - 1.0) < 1e-9, s"appended row not normalized: nn=$nn")
+    // default build records normalize=0 and behaves exactly as before
+    val idxRaw = java.nio.file.Files.createTempDirectory("ivfraw").toString
+    SimilaritySearch.buildIvfIndex(data, "embedding", "vec_id", idxRaw, nCells = 2)
+    val rawIndexed = rows(SimilaritySearch.ivfKnnIndexed(q, "embedding", "vec_id",
+      idxRaw, k = 2, nProbe = 1))
+    val rawDirect = rows(SimilaritySearch.ivfKnn(data, q,
+      "embedding", "vec_id", k = 2, nCells = 2, nProbe = 1))
+    assert(rawIndexed == rawDirect)
+  }
+
+  test("normalize knob: normalized graph index == in-memory walk over unit vectors; pre-knob layouts stay raw") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("gridxcos").toString
+    val q = corpus.filter(col("vec_id") < 3L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "sim", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    def un(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
+      graft.functions.VectorExpressions.unitNormalize(col("embedding")).as("embedding"))
+    SimilaritySearch.buildGraphIndex(corpus, "embedding", "vec_id", idx,
+      nCells = 4, degree = 4, seedsPerCell = 2, normalize = true)
+    val indexed = rows(SimilaritySearch.graphKnnIndexed(q, "embedding", "vec_id",
+      idx, k = 2, nProbe = 2, beamWidth = 4, hops = 2))
+    val direct = rows(SimilaritySearch.graphKnn(un(corpus), un(q),
+      "embedding", "vec_id", k = 2, nCells = 4, nProbe = 2, degree = 4,
+      beamWidth = 4, hops = 2, seedsPerCell = 2))
+    assert(indexed == direct, "stored graph normalize knob diverged from the in-memory unit walk")
+    // a pre-knob knobs table (no normalize column) reads as raw — old
+    // indexes keep their exact behavior
+    val kr = spark.read.format("kv").option("path", s"$idx/knobs").load()
+      .collect().head
+    Seq((kr.getAs[Long]("degree"), kr.getAs[Long]("seeds_per_cell"),
+      kr.getAs[Long]("n_cells"), kr.getAs[Long]("max_edge_candidates"),
+      kr.getAs[Long]("cross_cells"), kr.getAs[Long]("degree_cross"),
+      kr.getAs[Long]("degree_top"), kr.getAs[Long]("degree_cells")))
+      .toDF("degree", "seeds_per_cell", "n_cells", "max_edge_candidates",
+        "cross_cells", "degree_cross", "degree_top", "degree_cells")
+      .write.format("kv").option("path", s"$idx/knobs").mode("overwrite").save()
+    val legacy = rows(SimilaritySearch.graphKnnIndexed(q, "embedding", "vec_id",
+      idx, k = 2, nProbe = 2, beamWidth = 4, hops = 2))
+    // the index DATA is normalized but the queries now walk in raw —
+    // equal to walking the same persisted tables with raw queries
+    val rawQ = rows(SimilaritySearch.graphKnn(un(corpus), q,
+      "embedding", "vec_id", k = 2, nCells = 4, nProbe = 2, degree = 4,
+      beamWidth = 4, hops = 2, seedsPerCell = 2))
+    assert(legacy == rawQ, "missing normalize column did not degrade to raw queries")
+  }
+
   test("persisted IVF-PQ index answers identically to the in-memory path and absorbs appends") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("ivfpqidx").toString

@@ -356,8 +356,10 @@ class TokenizerTrainingSpec extends SparkSpec {
     * Σ cnt·(alt − best), multis kept by (delta desc, tok asc).
     */
   private def referenceLossPrune(docs: Seq[String], seedMulti: Int,
-      vocabMulti: Int, maxTok: Int, maxWord: Int, rounds: Int = 1)
+      vocabMulti: Int, maxTok: Int, maxWord: Int, rounds: Int = 1,
+      criteria: Option[Seq[String]] = None)
       : Seq[(String, Long, Long, Long)] = {
+    val crits = criteria.getOrElse(Seq.fill(rounds)("loss"))
     val wcnt = scala.collection.mutable.Map.empty[String, Long]
     docs.foreach(_.toLowerCase.split(' ').filter(_.nonEmpty).foreach { w =>
       w.grouped(maxWord).foreach(c => wcnt(c) = wcnt.getOrElse(c, 0L) + 1L)
@@ -398,7 +400,7 @@ class TokenizerTrainingSpec extends SparkSpec {
       (out.toSeq, dp(w.length))
     }
     val budgets =
-      TokenizerTraining.unigramBudgets(seedMulti, vocabMulti, rounds)
+      TokenizerTraining.unigramBudgets(seedMulti, vocabMulti, crits.size)
     // round 1 scores come from the SEED substring freqs; later rounds
     // from the prior round's pruned vocabulary with its Viterbi counts
     var vocabFreq: Map[String, Long] =
@@ -406,7 +408,7 @@ class TokenizerTrainingSpec extends SparkSpec {
         sub.keys.filter(_.length > 1).toSeq
           .sortBy(t => (-sub(t), t)).take(seedMulti).map(t => t -> sub(t))).toMap
     var out = Seq.empty[(String, Long, Long)]
-    for (r <- 1 to rounds) {
+    for (r <- 1 to crits.size) {
       val vocab = vocabFreq.keys.toSeq.sorted
       val s = scoresOf(vocabFreq, vocab)
       val segs = wcnt.keys.map(w => w -> viterbi(w, s, None)).toMap
@@ -414,18 +416,24 @@ class TokenizerTrainingSpec extends SparkSpec {
       wcnt.foreach { case (w, c) =>
         segs(w)._1.foreach(t => newcnt(t) = newcnt.getOrElse(t, 0L) + c)
       }
-      val delta = scala.collection.mutable.Map.empty[String, Long]
-      wcnt.foreach { case (w, c) =>
-        val (toks, base) = segs(w)
-        toks.filter(_.length > 1).distinct.foreach { t =>
-          val alt = viterbi(w, s, Some(t))._2
-          delta(t) = delta.getOrElse(t, 0L) + c * (alt - base)
+      val kept =
+        if (crits(r - 1) == "count")
+          newcnt.keys.filter(_.length > 1).toSeq
+            .sortBy(t => (-newcnt(t), t)).take(budgets(r - 1))
+            .map(t => (t, newcnt(t), 0L))
+        else {
+          val delta = scala.collection.mutable.Map.empty[String, Long]
+          wcnt.foreach { case (w, c) =>
+            val (toks, base) = segs(w)
+            toks.filter(_.length > 1).distinct.foreach { t =>
+              val alt = viterbi(w, s, Some(t))._2
+              delta(t) = delta.getOrElse(t, 0L) + c * (alt - base)
+            }
+          }
+          delta.keys.toSeq.sortBy(t => (-delta(t), t))
+            .take(budgets(r - 1)).map(t => (t, newcnt(t), delta(t)))
         }
-      }
-      val kept = delta.keys.toSeq.sortBy(t => (-delta(t), t))
-        .take(budgets(r - 1))
-      out = chars.toSeq.map(c => (c, newcnt.getOrElse(c, 0L), 0L)) ++
-        kept.map(t => (t, newcnt(t), delta(t)))
+      out = chars.toSeq.map(c => (c, newcnt.getOrElse(c, 0L), 0L)) ++ kept
       vocabFreq = out.map(x => x._1 -> x._2).toMap
     }
     val sf = scoresOf(out.map(x => x._1 -> x._2).toMap, out.map(_._1))
@@ -523,6 +531,49 @@ class TokenizerTrainingSpec extends SparkSpec {
       s"EM round 2 changed nothing on the differentiating corpus: $one")
     val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
     assert(leaked.isEmpty, s"trainUnigramLossPrune leaked cached RDDs: $leaked")
+  }
+
+  test("mixed count-then-loss schedule matches the scalar replay and pure schedules stay reachable") {
+    def run(docs: Seq[String], seedMulti: Int, vocabMulti: Int,
+        maxTok: Int, maxWord: Int, crits: Seq[String]) =
+      TokenizerTraining.trainUnigramSchedule(docs.toDF("text"), "text",
+        seedMulti = seedMulti, vocabMulti = vocabMulti,
+        maxTokenLen = maxTok, maxWordLen = maxWord, criteria = crits)
+        .orderBy(col("cnt").desc, col("tok"))
+        .as[(String, Long, Long, Long)].collect().toSeq
+    val docs = Seq(
+      Seq.fill(20)("ab").mkString(" "),
+      Seq.fill(8)("zq").mkString(" "),
+      Seq.fill(12)("aaaa bbbb").mkString(" "))
+    // the mixed schedule matches the generalized scalar replay
+    val got = run(docs, 24, 2, 4, 12, Seq("count", "loss"))
+    val want = referenceLossPrune(docs, 24, 2, 4, 12,
+      criteria = Some(Seq("count", "loss")))
+    assert(got == want, s"got=$got want=$want")
+    // an all-loss schedule IS trainUnigramLossPrune, bit for bit
+    val viaSched = run(docs, 24, 2, 4, 12, Seq("loss", "loss"))
+    val viaLoss = TokenizerTraining.trainUnigramLossPrune(docs.toDF("text"),
+      "text", seedMulti = 24, vocabMulti = 2, maxTokenLen = 4,
+      maxWordLen = 12, emIterations = 2)
+      .orderBy(col("cnt").desc, col("tok"))
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(viaSched == viaLoss)
+    // randomized corpora: every 2-round schedule matches the replay
+    val rnd = new scala.util.Random(41)
+    def randDoc() = Seq.fill(5 + rnd.nextInt(8))(
+      Seq.fill(1 + rnd.nextInt(6))("abcz"(rnd.nextInt(4))).mkString).mkString(" ")
+    for (crits <- Seq(Seq("count", "loss"), Seq("loss", "count"));
+         trial <- 0 until 2) {
+      val rdocs = Seq.fill(6)(randDoc())
+      val g = run(rdocs, 16, 4, 3, 10, crits)
+      val w = referenceLossPrune(rdocs, 16, 4, 3, 10, criteria = Some(crits))
+      assert(g == w, s"crits=$crits trial=$trial: got=${g.take(6)} want=${w.take(6)}")
+    }
+    // guards
+    intercept[IllegalArgumentException] {
+      run(docs, 24, 2, 4, 12, Seq("count", "entropy"))
+    }
+    intercept[IllegalArgumentException] { run(docs, 24, 2, 4, 12, Seq.empty) }
   }
 
   test("encodeWithMerges applies the learned table in order") {
