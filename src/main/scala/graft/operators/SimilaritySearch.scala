@@ -3131,6 +3131,138 @@ object SimilaritySearch {
     } finally { exact.unpersist(); () }
   }
 
+  /** IVF-PQ with RESIDUAL encoding — the layout FAISS's IVFPQ actually
+    * ships (Jégou et al., TPAMI 2011 §IV.B, "IVFADC"): PQ codes
+    * quantize x − centroid(cell(x)) instead of x. The coarse quantizer
+    * absorbs each cluster's mean, so the product quantizer spends its
+    * codebook on the (much smaller) within-cell spread — on clustered
+    * data the same m×pqCells budget buys far finer resolution than
+    * coding absolute positions ([[ivfPqResidualRecallAudit]] measures
+    * the gain). The cost: query preprocessing is per PROBED CELL — the
+    * query's residual (and its m distance tables) differ per cell, so
+    * table work is nProbe× the plain chain's. Corpus-side shape is
+    * unchanged: codes never shuffle, tables broadcast, the scan
+    * touches only probed cells' codes.
+    *
+    * Deterministic end to end (the [[trainCentroids]] chain for both
+    * quantizer levels, id-ordered folds, fixed lookup-sum order), so
+    * the DuckDB oracle replays coarse training, residuals, per-subspace
+    * residual codebooks, per-(query, cell) tables and the ADC sum.
+    */
+  def ivfPqResidualKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384): DataFrame = {
+    val coarse = trainCentroids(corpus, vecCol, idCol, nCells, iterations,
+      maxTrainPerCell)
+    val cents = broadcast(coarse)
+    // residual rows (id, ivf_cell, rvec = e − centroid); read m times
+    // for training + m times for encoding — cache once
+    val resid = assignCells(prep(corpus, vecCol, idCol), coarse)
+      .join(cents, Seq("cell"))
+      .select(col("id"), col("cell").as("ivf_cell"),
+        zip_with(col("e"), col("ce"), (x, y) => x - y).as("rvec"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perSub = (0 until m).map { s =>
+      val sub = pqSubspace(resid, "rvec", "id", s, m)
+      val sc = trainCentroids(sub, "subv", "id", pqCells, iterations,
+        maxTrainPerCell)
+      val codes = assignCells(prep(sub, "subv", "id"), sc)
+        .select(col("id"), col("cell").as(s"code$s"))
+      (sc, codes)
+    }
+    val codes = perSub.map(_._2).reduce(_.join(_, "id"))
+      .join(resid.select(col("id"), col("ivf_cell")), "id")
+      .select(col("id").as("nid"), col("ivf_cell"),
+        array((0 until m).map(s => col(s"code$s")): _*).as("codes"))
+    // nProbe nearest coarse cells per query, then the PER-CELL query
+    // residual — IVFADC's asymmetric side
+    val probes = prep(queries, vecCol, idCol).crossJoin(cents)
+      .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("id"))
+      .agg(slice(sort_array(collect_list(struct(col("d2"), col("cell")))),
+        1, nProbe).as("cells"),
+        first(col("e")).as("e"))
+      .select(col("id").as("qid"), col("e"),
+        explode(col("cells.cell")).as("ivf_cell"))
+    val qres = probes
+      .join(cents.select(col("cell").as("ivf_cell"), col("ce")), Seq("ivf_cell"))
+      .select(col("qid"), col("ivf_cell"),
+        zip_with(col("e"), col("ce"), (x, y) => x - y).as("rq"))
+    // per-subspace distance tables, keyed (qid, ivf_cell): dt(s)(c) =
+    // d²(query residual subspace s, residual codebook s centroid c)
+    val dtabs = (0 until m).map { s =>
+      val sz = size(col("rq"))
+      val subDim = (sz / lit(m)).cast("int")
+      qres.select(col("qid"), col("ivf_cell"),
+          slice(col("rq"), lit(s) * subDim + lit(1), subDim).as("subv"))
+        .crossJoin(broadcast(perSub(s)._1))
+        .withColumn("d2", aggregate(zip_with(col("subv"), col("ce"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+        .groupBy(col("qid"), col("ivf_cell"))
+        .agg(transform(sort_array(collect_list(struct(col("cell"), col("d2")))),
+          x => x.getField("d2")).as(s"dt$s"))
+    }.reduce((a, b) => a.join(b, Seq("qid", "ivf_cell")))
+      .select(col("qid"), col("ivf_cell"),
+        array((0 until m).map(s => col(s"dt$s")): _*).as("dtabs"))
+    rankAdc(broadcast(dtabs)
+      .join(codes, Seq("ivf_cell"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
+          (acc, s) => acc + element_at(element_at(col("dtabs"), s + 1),
+            (element_at(col("codes"), s + 1) + 1).cast("int"))).as("adist")),
+      k)
+  }
+
+  /** Residual vs absolute PQ coding at the SAME budget, both vs exact
+    * L2 brute force (the metric both ADC chains approximate) — the
+    * IVFADC gain is a property of the corpus's cluster structure (it
+    * is the within-cell/global variance ratio), so it gets measured,
+    * never assumed from the parameter sheet.
+    */
+  def ivfPqResidualRecallAudit(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384): DataFrame = {
+    val spark = corpus.sparkSession
+    val pc = prep(corpus, vecCol, idCol).select(col("id"), col("e"))
+    val exact = broadcast(prep(queries, vecCol, idCol)
+        .select(col("id").as("qid"), col("e").as("qe")))
+      .join(pc, col("qid") =!= col("id"))
+      .withColumn("d2", aggregate(zip_with(col("qe"), col("e"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("qid"))
+      .agg(graft.functions.BoundedTopK.topK(
+        struct((lit(0.0) - col("d2")).as("negd"), col("id").as("nid")),
+        k).as("top"))
+      .select(col("qid"), explode(col("top.nid")).as("nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nQueries = exact.select(col("qid")).distinct().count()
+      def hits(ann: DataFrame): Long =
+        ann.select(col("qid"), col("nid"))
+          .join(exact, Seq("qid", "nid"), "left_semi").count()
+      val hitsPlain = hits(rankAdc(ivfPqAdcScores(corpus, queries, vecCol,
+        idCol, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell), k))
+      val hitsRes = hits(ivfPqResidualKnn(corpus, queries, vecCol, idCol,
+        k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell))
+      def milli(h: Long): Long =
+        if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
+      spark.range(1).select(
+        lit(nQueries).as("n_queries"), lit(k).as("k"),
+        lit(hitsPlain).as("hits_plain"),
+        lit(milli(hitsPlain)).as("recall_plain_milli"),
+        lit(hitsRes).as("hits_residual"),
+        lit(milli(hitsRes)).as("recall_residual_milli"))
+    } finally { exact.unpersist(); () }
+  }
+
   /** The metric-consistency audit for the graph tier: [[graphKnn]] at
     * the SAME walk budget over raw vs unit-normalized vectors, both vs
     * exact cosine brute force. On a norm-spread corpus the raw layout

@@ -1184,6 +1184,33 @@ object PipelineQueries {
     // IVF-PQ: coarse inverted lists + compact codes, probes scan only
     // their lists' codes — the production ANN layout, every stage
     // replayed by the oracle.
+    // IVFADC residual coding (the FAISS IVFPQ default): PQ quantizes
+    // x − centroid(cell) — the coarse quantizer absorbs cluster means,
+    // the codebook codes only within-cell spread; the query side pays
+    // a residual + m tables PER PROBED CELL. Whole chain (coarse
+    // k-means, residuals, residual codebooks, per-(query,cell) tables,
+    // ADC) replays in the oracle.
+    "q_ann_ivfpq_residual" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.ivfPqResidualKnn(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, nCells = 4, nProbe = 2,
+        m = 2, pqCells = 4, maxTrainPerCell = 32)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // Residual coding's measured value: residual vs absolute chains at
+    // the SAME budget on the clustered fixture, both vs exact L2 brute
+    // force — the gain IS the within-cell/global variance ratio, so it
+    // gets measured per corpus, never assumed.
+    "q_ann_ivfpq_residual_audit" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val three = Pca3Fixture(emb)
+      SimilaritySearch.ivfPqResidualRecallAudit(three,
+        three.filter(col("vec_id") < 20), "embedding", "vec_id",
+        k = 3, nCells = 8, nProbe = 8, m = 4, pqCells = 16,
+        maxTrainPerCell = 64)
+    }),
+
     "q_ann_ivfpq" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       SimilaritySearch.ivfPqKnn(emb, emb.filter(col("vec_id") < 5),

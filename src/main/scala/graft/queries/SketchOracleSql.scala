@@ -1814,6 +1814,115 @@ object SketchOracleSql {
        |SELECT qid, nid, round(adist, 6) AS adist, rnk
        |FROM op_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
 
+  /** The RESIDUAL IVF-PQ (IVFADC) replay over a `(id, e DOUBLE[64])`
+    * CTE `base`: the [[ivfPqChainOver]] shape with PQ trained on
+    * x − centroid(cell(x)) and the query side computing a residual —
+    * and so m distance tables — PER PROBED CELL. Ends in
+    * `<px>ranked (qid, nid, adist, rnk)`.
+    */
+  private def ivfPqResidualChainOver(px: String, base: String,
+      nCells: Int = 4, nProbe: Int = 2, pqCells: Int = 4, cap: Int = 32,
+      qMax: Int = 5, m: Int = 2): String = {
+    require(64 % m == 0, s"m $m must divide 64")
+    val w = 64 / m
+    val subs = (0 until m).map { s =>
+      s"""${px}s${s}_prep AS (SELECT id, e[${s * w + 1}:${(s + 1) * w}] AS e FROM ${px}res),
+         |${kmChain(s"${px}s${s}_", pqCells, cap)}""".stripMargin
+    }.mkString(",\n")
+    val codeCols = (0 until m).map(s => s"a$s.cell AS c$s").mkString(", ")
+    val codeJoins = (1 until m)
+      .map(s => s"JOIN ${px}s${s}_af a$s USING (id)").mkString(" ")
+    val qds = (0 until m).map { s =>
+      s"""${px}qd$s AS (
+         |  SELECT r.qid, r.ivf_cell, c.cell, ${kmD2("r.e", "c.ce")} AS d
+         |  FROM (SELECT qid, ivf_cell, e[${s * w + 1}:${(s + 1) * w}] AS e
+         |        FROM ${px}qres) r
+         |  CROSS JOIN ${px}s${s}_cent2 c
+         |)""".stripMargin
+    }.mkString(", ")
+    val dSum = (0 until m).map(s => s"q$s.d").mkString(" + ")
+    val qdJoins = (0 until m)
+      .map(s => s"JOIN ${px}qd$s q$s ON q$s.qid = p.qid AND " +
+        s"q$s.ivf_cell = p.cell AND q$s.cell = k.c$s")
+      .mkString("\n  ")
+    s"""${px}c_prep AS (SELECT id, e FROM $base),
+       |${kmChain(s"${px}c_", nCells, cap)},
+       |${px}res AS MATERIALIZED (
+       |  SELECT af.id, af.cell AS ivf_cell,
+       |    list_transform(generate_series(1, 64), i -> af.e[i::INT] - c.ce[i::INT]) AS e
+       |  FROM ${px}c_af af JOIN ${px}c_cent2 c USING (cell)
+       |),
+       |$subs,
+       |${px}codes AS (
+       |  SELECT a0.id, r.ivf_cell, $codeCols
+       |  FROM ${px}s0_af a0 $codeJoins
+       |  JOIN ${px}res r ON r.id = a0.id
+       |), ${px}probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.id AS qid, c.cell,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY ${kmD2("q.e", "c.ce")}, c.cell) AS rn
+       |    FROM (SELECT id, e FROM ${px}c_prep WHERE id < $qMax) q CROSS JOIN ${px}c_cent2 c
+       |  ) WHERE rn <= $nProbe
+       |), ${px}qres AS (
+       |  SELECT p.qid, p.cell AS ivf_cell,
+       |    list_transform(generate_series(1, 64), i -> q.e[i::INT] - c.ce[i::INT]) AS e
+       |  FROM ${px}probes p JOIN ${px}c_prep q ON q.id = p.qid
+       |  JOIN ${px}c_cent2 c ON c.cell = p.cell
+       |), $qds, ${px}scored AS (
+       |  SELECT p.qid, k.id AS nid, $dSum AS adist
+       |  FROM ${px}probes p
+       |  JOIN ${px}codes k ON k.ivf_cell = p.cell
+       |  $qdJoins
+       |  WHERE p.qid <> k.id
+       |), ${px}ranked AS (
+       |  SELECT qid, nid, adist,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS INT) AS rnk
+       |  FROM ${px}scored
+       |)""".stripMargin
+  }
+
+  /** q_ann_ivfpq_residual: the residual chain's exact top-3 on the raw
+    * embeddings at the q_ann_ivfpq budget.
+    */
+  def annIvfPqResidualOracle: String =
+    s"""WITH rp_base AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), ${ivfPqResidualChainOver("rp_", "rp_base")}
+       |SELECT qid, nid, round(adist, 6) AS adist, rnk
+       |FROM rp_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
+  /** q_ann_ivfpq_residual_audit: residual vs absolute coding at the
+    * SAME budget on the clustered norm-spread fixture, both vs exact
+    * L2 brute force (the metric both ADC chains approximate).
+    */
+  def annIvfPqResidualAuditOracle: String =
+    s"""WITH $p3BaseUnitCtes,
+       |${ivfPqChainOver("ra_", "p3_base", nCells = 8, nProbe = 8,
+          pqCells = 16, cap = 64, qMax = 20, m = 4)},
+       |${ivfPqResidualChainOver("rr_", "p3_base", nCells = 8, nProbe = 8,
+          pqCells = 16, cap = 64, qMax = 20, m = 4)},
+       |rb_top AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.id AS qid, a.id AS nid,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(q.e)),
+       |          i -> (q.e[i] - a.e[i]) * (q.e[i] - a.e[i]))), a.id) AS rn
+       |    FROM (SELECT * FROM p3_base WHERE id < 20) q
+       |    JOIN p3_base a ON a.id <> q.id
+       |  ) WHERE rn <= 3
+       |),
+       |hp AS (SELECT count(*)::BIGINT AS h
+       |  FROM (SELECT qid, nid FROM ra_ranked WHERE rnk <= 3) JOIN rb_top USING (qid, nid)),
+       |hs AS (SELECT count(*)::BIGINT AS h
+       |  FROM (SELECT qid, nid FROM rr_ranked WHERE rnk <= 3) JOIN rb_top USING (qid, nid)),
+       |nqr AS (SELECT count(DISTINCT qid)::BIGINT AS n FROM rb_top)
+       |SELECT nqr.n AS n_queries, CAST(3 AS INT) AS k,
+       |  hp.h AS hits_plain,
+       |  CAST(hp.h * 1000 // (3 * nqr.n) AS BIGINT) AS recall_plain_milli,
+       |  hs.h AS hits_residual,
+       |  CAST(hs.h * 1000 // (3 * nqr.n) AS BIGINT) AS recall_residual_milli
+       |FROM hp, hs, nqr""".stripMargin
+
   /** The variance-permutation (learned OPQ) replay: anisotropic fixture
     * (dims 0–31 ×4.0, 32–63 ×0.25 — exact powers of two, so the scaled
     * doubles are bit-identical on both engines), per-dim integer
@@ -3173,6 +3282,8 @@ object SketchOracleSql {
     // in-memory path — same replayed oracle
     "q_ann_ivfpq_indexed" -> annIvfPqOracle,
     "q_ann_ivfpq_refine" -> annIvfPqRefineOracle,
+    "q_ann_ivfpq_residual" -> annIvfPqResidualOracle,
+    "q_ann_ivfpq_residual_audit" -> annIvfPqResidualAuditOracle,
     "q_dedup_groups" -> componentsOracle,
     "q_dedup_cluster_sizes" -> clusterSizesOracle,
     "q_dedup_drop_best" -> dropBestOracle,

@@ -510,6 +510,44 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("residual IVF-PQ: duplicate ties the ADC minimum, clustered corpus resolves within-cell, deterministic") {
+    import spark.implicits._
+    // two tight clusters far apart: the coarse quantizer absorbs the
+    // cluster means, so 2 codewords per subspace suffice for the
+    // WITHIN-cluster detail residual coding preserves
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val data = Seq(
+      (1L, v(100.0, 0.5, 0, 0)), (2L, v(100.0, 0.6, 0, 0)),
+      (3L, v(100.0, -0.7, 0, 0)), (9L, v(100.0, 0.5, 0, 0)), // 9 = dup of 1
+      (10L, v(0.3, 100.0, 0, 0)), (11L, v(0.4, 100.0, 0, 0)),
+      (12L, v(-0.6, 100.0, 0, 0))
+    ).toDF("vec_id", "embedding")
+    val out = SimilaritySearch.ivfPqResidualKnn(data,
+      data.filter(col("vec_id") === 1L), "embedding", "vec_id",
+      k = 3, nCells = 2, nProbe = 1, m = 2, pqCells = 2, maxTrainPerCell = 16)
+      .orderBy("rnk").collect()
+    // the exact duplicate carries q's cell AND q's codes, so it ties
+    // the global ADC minimum (the pqKnn discipline through the
+    // residual chain)
+    val dup = out.find(_.getAs[Long]("nid") == 9L)
+    assert(dup.isDefined, s"duplicate missing: ${out.mkString(",")}")
+    assert(dup.get.getAs[Double]("adist") == out(0).getAs[Double]("adist"))
+    // deterministic
+    val again = SimilaritySearch.ivfPqResidualKnn(data,
+      data.filter(col("vec_id") === 1L), "embedding", "vec_id",
+      k = 3, nCells = 2, nProbe = 1, m = 2, pqCells = 2, maxTrainPerCell = 16)
+      .orderBy("rnk").collect()
+    assert(out.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // the audit runs end to end and reports the residual tier at least
+    // matching absolute coding on the clustered corpus
+    val audit = SimilaritySearch.ivfPqResidualRecallAudit(data,
+      data.filter(col("vec_id") < 4L), "embedding", "vec_id",
+      k = 2, nCells = 2, nProbe = 2, m = 2, pqCells = 2, maxTrainPerCell = 16)
+      .collect()(0)
+    assert(audit.getAs[Long]("hits_residual") >= audit.getAs[Long]("hits_plain"),
+      s"residual coding lost to absolute coding on the clustered corpus: $audit")
+  }
+
   test("ivfIndexAppend absorbs new vectors without retraining") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("ivfappend").toString
