@@ -3155,15 +3155,27 @@ object SimilaritySearch {
       nCells: Int = 16, nProbe: Int = 4,
       m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
       maxTrainPerCell: Int = 16384): DataFrame = {
+    val (coarse, subCents, codes) = residualModel(corpus, vecCol, idCol,
+      nCells, m, pqCells, iterations, maxTrainPerCell)
+    rankAdc(residualAdcScores(queries, vecCol, idCol, coarse, subCents,
+      codes, nProbe, m), k)
+  }
+
+  /** The residual tier's three model pieces — coarse centroids (cell,
+    * ce), per-subspace RESIDUAL codebooks, and the corpus as codes
+    * (nid, ivf_cell, codes) — shared by the in-memory chain and the
+    * persisted-index build so the two paths are identical by
+    * construction (the [[graphPieces]] discipline).
+    */
+  private def residualModel(
+      corpus: DataFrame, vecCol: String, idCol: String,
+      nCells: Int, m: Int, pqCells: Int, iterations: Int,
+      maxTrainPerCell: Int): (DataFrame, Seq[DataFrame], DataFrame) = {
     val coarse = trainCentroids(corpus, vecCol, idCol, nCells, iterations,
       maxTrainPerCell)
-    val cents = broadcast(coarse)
     // residual rows (id, ivf_cell, rvec = e − centroid); read m times
     // for training + m times for encoding — cache once
-    val resid = assignCells(prep(corpus, vecCol, idCol), coarse)
-      .join(cents, Seq("cell"))
-      .select(col("id"), col("cell").as("ivf_cell"),
-        zip_with(col("e"), col("ce"), (x, y) => x - y).as("rvec"))
+    val resid = residualRows(prep(corpus, vecCol, idCol), coarse)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val perSub = (0 until m).map { s =>
       val sub = pqSubspace(resid, "rvec", "id", s, m)
@@ -3177,6 +3189,28 @@ object SimilaritySearch {
       .join(resid.select(col("id"), col("ivf_cell")), "id")
       .select(col("id").as("nid"), col("ivf_cell"),
         array((0 until m).map(s => col(s"code$s")): _*).as("codes"))
+    (coarse, perSub.map(_._1), codes)
+  }
+
+  /** (id, ivf_cell, rvec): assign against `coarse` and subtract the
+    * assigned centroid — the encode step shared by build and append.
+    */
+  private def residualRows(prepped: DataFrame, coarse: DataFrame): DataFrame =
+    assignCells(prepped, coarse)
+      .join(broadcast(coarse), Seq("cell"))
+      .select(col("id"), col("cell").as("ivf_cell"),
+        zip_with(col("e"), col("ce"), (x, y) => x - y).as("rvec"))
+
+  /** IVFADC's asymmetric scoring against model frames: nProbe coarse
+    * probes, a query residual (and m distance tables) PER PROBED CELL,
+    * lookup-sum ADC over the probed cells' codes. Tables broadcast;
+    * the codes table never shuffles.
+    */
+  private def residualAdcScores(
+      queries: DataFrame, vecCol: String, idCol: String,
+      coarse: DataFrame, subCents: Seq[DataFrame], codes: DataFrame,
+      nProbe: Int, m: Int): DataFrame = {
+    val cents = broadcast(coarse)
     // nProbe nearest coarse cells per query, then the PER-CELL query
     // residual — IVFADC's asymmetric side
     val probes = prep(queries, vecCol, idCol).crossJoin(cents)
@@ -3199,7 +3233,7 @@ object SimilaritySearch {
       val subDim = (sz / lit(m)).cast("int")
       qres.select(col("qid"), col("ivf_cell"),
           slice(col("rq"), lit(s) * subDim + lit(1), subDim).as("subv"))
-        .crossJoin(broadcast(perSub(s)._1))
+        .crossJoin(broadcast(subCents(s)))
         .withColumn("d2", aggregate(zip_with(col("subv"), col("ce"),
           (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
         .groupBy(col("qid"), col("ivf_cell"))
@@ -3208,14 +3242,99 @@ object SimilaritySearch {
     }.reduce((a, b) => a.join(b, Seq("qid", "ivf_cell")))
       .select(col("qid"), col("ivf_cell"),
         array((0 until m).map(s => col(s"dt$s")): _*).as("dtabs"))
-    rankAdc(broadcast(dtabs)
+    broadcast(dtabs)
       .join(codes, Seq("ivf_cell"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         aggregate(sequence(lit(0), lit(m - 1)), lit(0.0),
           (acc, s) => acc + element_at(element_at(col("dtabs"), s + 1),
-            (element_at(col("codes"), s + 1) + 1).cast("int"))).as("adist")),
-      k)
+            (element_at(col("codes"), s + 1) + 1).cast("int"))).as("adist"))
+  }
+
+  /** Persist a residual IVF-PQ index — [[buildIvfPqIndex]]'s layout for
+    * the residual tier: coarse centroids at `<path>/coarse`,
+    * per-subspace RESIDUAL codebooks at `<path>/pq<s>`, corpus codes
+    * (nid, ivf_cell, codes) at `<path>/codes`, plus a one-row `meta`
+    * marker (`residual=1`) so a reader can tell the layouts apart —
+    * searching residual codes with absolute-coding tables would return
+    * silently wrong distances.
+    */
+  def buildIvfPqResidualIndex(
+      corpus: DataFrame, vecCol: String, idCol: String, path: String,
+      nCells: Int = 16, m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384): Unit = {
+    val (coarse, subCents, codes) = residualModel(corpus, vecCol, idCol,
+      nCells, m, pqCells, iterations, maxTrainPerCell)
+    coarse.write.format("kv").option("path", s"$path/coarse")
+      .mode("overwrite").save()
+    subCents.zipWithIndex.foreach { case (sc, s) =>
+      sc.write.format("kv").option("path", s"$path/pq$s")
+        .mode("overwrite").save()
+    }
+    codes.write.format("kv").option("path", s"$path/codes")
+      .mode("overwrite").save()
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq(Tuple1(1L)).toDF("residual")
+      .write.format("kv").option("path", s"$path/meta")
+      .mode("overwrite").save()
+  }
+
+  /** Search a persisted residual index — answers IDENTICALLY to the
+    * in-memory [[ivfPqResidualKnn]] at the same knobs (deterministic
+    * training, shared scoring path), so the gates share one oracle.
+    * Refuses an index without the residual meta marker.
+    */
+  def ivfPqResidualKnnIndexed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, vecCol: String, idCol: String,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    def table(sub: String) =
+      spark.read.format("kv").option("path", s"$path/$sub").load()
+    require(graft.sources.ParquetIO.listFiles(s"$path/meta").nonEmpty &&
+      table("meta").collect().headOption
+        .exists(_.getAs[Long]("residual") == 1L),
+      s"$path is not a residual IVF-PQ index (no residual meta marker) — " +
+        "use ivfPqKnnIndexed for absolute-coding layouts")
+    val subCents = Iterator.from(0)
+      .takeWhile(s => graft.sources.ParquetIO.listFiles(s"$path/pq$s").nonEmpty)
+      .map(s => table(s"pq$s")).toSeq
+    require(subCents.nonEmpty, s"no PQ codebooks under $path")
+    // per-(qid, nid) dedup: a crash-retried append leaves duplicate
+    // codes rows (the ivfPqKnnIndexed discipline)
+    rankAdc(residualAdcScores(queries, vecCol, idCol, table("coarse"),
+      subCents, table("codes").select(col("nid"), col("ivf_cell"), col("codes")),
+      nProbe, subCents.length).dropDuplicates("qid", "nid"), k)
+  }
+
+  /** Incremental residual-index maintenance: encode NEW vectors against
+    * the PERSISTED coarse centroids and residual codebooks (assign →
+    * subtract centroid → per-subspace code — no retraining) and append
+    * their code rows. Centroids and codebooks stay fixed, which is what
+    * keeps incremental encoding cheap; re-clustering is a rebuild.
+    */
+  def ivfPqResidualIndexAppend(
+      newVecs: DataFrame, vecCol: String, idCol: String, path: String): Unit = {
+    val spark = newVecs.sparkSession
+    def table(sub: String) =
+      spark.read.format("kv").option("path", s"$path/$sub").load()
+    val subCents = Iterator.from(0)
+      .takeWhile(s => graft.sources.ParquetIO.listFiles(s"$path/pq$s").nonEmpty)
+      .map(s => table(s"pq$s")).toSeq
+    require(subCents.nonEmpty, s"no PQ codebooks under $path")
+    val m = subCents.length
+    val resid = residualRows(prep(newVecs, vecCol, idCol), table("coarse"))
+    val perSub = (0 until m).map { s =>
+      assignCells(prep(pqSubspace(resid, "rvec", "id", s, m), "subv", "id"),
+        subCents(s))
+        .select(col("id"), col("cell").as(s"code$s"))
+    }
+    perSub.reduce(_.join(_, "id"))
+      .join(resid.select(col("id"), col("ivf_cell")), "id")
+      .select(col("id").as("nid"), col("ivf_cell"),
+        array((0 until m).map(s => col(s"code$s")): _*).as("codes"))
+      .write.format("kv").option("path", s"$path/codes")
+      .mode("append").save()
   }
 
   /** Residual vs absolute PQ coding at the SAME budget, both vs exact

@@ -1198,6 +1198,22 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // The persisted residual index (train once, search many): coarse +
+    // residual codebooks + codes as kv tables with a residual meta
+    // marker; answers bit-identically to the in-memory chain, so it
+    // shares the residual oracle.
+    "q_ann_ivfpq_residual_indexed" -> ((s, dir) => {
+      val idx = s"/tmp/graft_rpqidx${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(idx)
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.buildIvfPqResidualIndex(emb, "embedding", "vec_id",
+        idx, nCells = 4, m = 2, pqCells = 4, maxTrainPerCell = 32)
+      SimilaritySearch.ivfPqResidualKnnIndexed(s, idx,
+        emb.filter(col("vec_id") < 5), "embedding", "vec_id",
+        k = 3, nProbe = 2)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // Residual coding's measured value: residual vs absolute chains at
     // the SAME budget on the clustered fixture, both vs exact L2 brute
     // force — the gain IS the within-cell/global variance ratio, so it

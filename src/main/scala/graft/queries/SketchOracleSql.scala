@@ -3283,6 +3283,9 @@ object SketchOracleSql {
     "q_ann_ivfpq_indexed" -> annIvfPqOracle,
     "q_ann_ivfpq_refine" -> annIvfPqRefineOracle,
     "q_ann_ivfpq_residual" -> annIvfPqResidualOracle,
+    // the persisted residual index answers identically to the
+    // in-memory chain — same replayed oracle
+    "q_ann_ivfpq_residual_indexed" -> annIvfPqResidualOracle,
     "q_ann_ivfpq_residual_audit" -> annIvfPqResidualAuditOracle,
     "q_dedup_groups" -> componentsOracle,
     "q_dedup_cluster_sizes" -> clusterSizesOracle,

@@ -548,6 +548,59 @@ class SimilaritySearchSpec extends SparkSpec {
       s"residual coding lost to absolute coding on the clustered corpus: $audit")
   }
 
+  test("persisted residual IVF-PQ index: bit-equal to in-memory, appends encode against stored codebooks, layout marker enforced") {
+    import spark.implicits._
+    val idx = java.nio.file.Files.createTempDirectory("rpqidx").toString
+    val q = corpus.filter(col("vec_id") < 3L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "adist", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    val direct = rows(SimilaritySearch.ivfPqResidualKnn(corpus, q,
+      "embedding", "vec_id", k = 2, nCells = 4, nProbe = 2, m = 2,
+      pqCells = 4, maxTrainPerCell = 32))
+    SimilaritySearch.buildIvfPqResidualIndex(corpus, "embedding", "vec_id",
+      idx, nCells = 4, m = 2, pqCells = 4, maxTrainPerCell = 32)
+    val indexed = rows(SimilaritySearch.ivfPqResidualKnnIndexed(spark, idx,
+      q, "embedding", "vec_id", k = 2, nProbe = 2))
+    assert(indexed == direct, "persisted residual index diverged from the in-memory chain")
+    // append: on a small planted index, an exact duplicate of vector 1
+    // encodes (against the PERSISTED codebooks) to 1's cell and codes,
+    // so it ties the ADC minimum for query 1 (k covers the whole
+    // corpus — tie-order can't hide it)
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val planted = Seq(
+      (1L, v(100.0, 0.5, 0, 0)), (2L, v(100.0, 0.6, 0, 0)),
+      (3L, v(100.0, -0.7, 0, 0)),
+      (10L, v(0.3, 100.0, 0, 0)), (11L, v(0.4, 100.0, 0, 0))
+    ).toDF("vec_id", "embedding")
+    val pidx = java.nio.file.Files.createTempDirectory("rpqappend").toString
+    SimilaritySearch.buildIvfPqResidualIndex(planted, "embedding", "vec_id",
+      pidx, nCells = 2, m = 2, pqCells = 2, maxTrainPerCell = 16)
+    val fresh = Seq((90L, v(100.0, 0.5, 0, 0))).toDF("vec_id", "embedding")
+    SimilaritySearch.ivfPqResidualIndexAppend(fresh, "embedding", "vec_id", pidx)
+    val after = SimilaritySearch.ivfPqResidualKnnIndexed(spark, pidx,
+      planted.filter(col("vec_id") === 1L), "embedding", "vec_id",
+      k = 5, nProbe = 2).orderBy("rnk").collect()
+    val dup = after.find(_.getAs[Long]("nid") == 90L)
+    assert(dup.isDefined, s"appended duplicate missing: ${after.mkString(",")}")
+    assert(dup.get.getAs[Double]("adist") == after(0).getAs[Double]("adist"))
+    // a retried append must not change results (per-(qid,nid) dedup)
+    SimilaritySearch.ivfPqResidualIndexAppend(fresh, "embedding", "vec_id", pidx)
+    val retried = SimilaritySearch.ivfPqResidualKnnIndexed(spark, pidx,
+      planted.filter(col("vec_id") === 1L), "embedding", "vec_id",
+      k = 5, nProbe = 2).orderBy("rnk").collect()
+    assert(retried.map(_.toString).toSeq == after.map(_.toString).toSeq)
+    // an absolute-coding index refuses the residual reader
+    val idx2 = java.nio.file.Files.createTempDirectory("apqidx").toString
+    SimilaritySearch.buildIvfPqIndex(corpus, "embedding", "vec_id", idx2,
+      nCells = 4, m = 2, pqCells = 4, maxTrainPerCell = 32)
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfPqResidualKnnIndexed(spark, idx2, q,
+        "embedding", "vec_id", k = 2, nProbe = 2).collect()
+    }
+  }
+
   test("ivfIndexAppend absorbs new vectors without retraining") {
     import spark.implicits._
     val idx = java.nio.file.Files.createTempDirectory("ivfappend").toString
