@@ -1795,6 +1795,54 @@ object SimilaritySearch {
     } finally { exact.unpersist(); () }
   }
 
+  /** The SATURATION audit for the deflation loop: recall at components
+    * = m−1, m, and m+1 with balanced pivots at a FIXED codebook budget,
+    * all vs exact cosine brute force. At k = m every PQ subspace holds
+    * exactly one isolated component (all slots used — the balanced
+    * allocation's designed operating point); the (m+1)th has no free
+    * subspace and must double up in one. WHETHER that extra component
+    * still pays is a property of the residual's structure, so the
+    * k-progression is MEASURED per corpus, never assumed: on the
+    * four-direction fixture the sf0.01 decade shows the textbook peak
+    * at k = m (the fifth component isolates noise into a loaded
+    * subspace and recall falls), while the larger sf0.1 decade still
+    * gains at k = m+1 — exactly the corpus-dependence that makes this
+    * sweep, not a parameter-sheet rule, the k-selection procedure.
+    */
+  def pcaSaturationAudit(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, dim: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384, powerIters: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    val exact = bruteForceKnn(corpus, queries, vecCol, idCol, k)
+      .select(col("qid"), col("nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nQueries = exact.select(col("qid")).distinct().count()
+      def hits(components: Int): Long =
+        ivfPqPcaKKnn(corpus, queries, vecCol, idCol, dim, k, components,
+          nCells, nProbe, m, pqCells, iterations, maxTrainPerCell,
+          powerIters, normalize = true, balancePivots = true)
+          .select(col("qid"), col("nid"))
+          .join(exact, Seq("qid", "nid"), "left_semi").count()
+      val hitsUnder = hits(m - 1)
+      val hitsFull = hits(m)
+      val hitsOver = hits(m + 1)
+      def milli(h: Long): Long =
+        if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
+      spark.range(1).select(
+        lit(nQueries).as("n_queries"), lit(k).as("k"), lit(m).as("m"),
+        lit(hitsUnder).as("hits_under"),
+        lit(milli(hitsUnder)).as("recall_under_milli"),
+        lit(hitsFull).as("hits_full"),
+        lit(milli(hitsFull)).as("recall_full_milli"),
+        lit(hitsOver).as("hits_over"),
+        lit(milli(hitsOver)).as("recall_over_milli"))
+    } finally { exact.unpersist(); () }
+  }
+
   /** Apply the exact orthogonal reflection H = I − 2uuᵀ/(uᵀu) row-
     * locally: x − (2(u·x)/(uᵀu))·u with u a plan-time integer literal —
     * H is EXACTLY orthogonal for any u (distances preserved to float

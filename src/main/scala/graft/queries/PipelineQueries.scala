@@ -71,6 +71,26 @@ object PipelineQueries {
             element_at(col("embedding"), 3).cast("double"))
         .as("embedding"))
 
+  /** [[Pca3Fixture]] plus a FOURTH mutually-orthogonal sign diagonal
+    * (+1·dim4, period-8 ++++−−−−) — four oblique shared directions
+    * with strictly decreasing power-of-two magnitudes, one per PQ
+    * subspace at m = 4: the saturation audit's designed operating
+    * point (a fifth component has only residual noise left to
+    * isolate).
+    */
+  private def Pca4Fixture(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x.cast("double") +
+          lit(8.0) * element_at(col("embedding"), 1).cast("double") +
+          when(pmod(i, lit(2)) === 0, lit(4.0)).otherwise(lit(-4.0)) *
+            element_at(col("embedding"), 2).cast("double") +
+          when(pmod(i, lit(4)) < 2, lit(2.0)).otherwise(lit(-2.0)) *
+            element_at(col("embedding"), 3).cast("double") +
+          when(pmod(i, lit(8)) < 4, lit(1.0)).otherwise(lit(-1.0)) *
+            element_at(col("embedding"), 4).cast("double"))
+        .as("embedding"))
+
   /** The linear-probe gate's features/label frame: (doc_id, f, y) with
     * f = [1, words/100, 'the'-count/10, avg-word-len/10] (all O(1),
     * non-negative — the moment-guard contract) and y = 1.0 iff the doc
@@ -1078,6 +1098,25 @@ object PipelineQueries {
         three.filter(col("vec_id") < 20), "embedding", "vec_id",
         dim = 64, k = 3, nCells = 4, nProbe = 4, m = 4, pqCells = 16,
         maxTrainPerCell = 64, normalize = true, balancePivots = true)
+    }),
+
+    // WHERE components stop paying (the k-selection sweep): recall at
+    // k = m−1 / m / m+1 deflated components with balanced pivots at a
+    // fixed codebook budget on the FOUR-direction fixture — at k = m
+    // every subspace holds exactly one isolated component (all slots
+    // used); the (m+1)th must double up in one. Measured: 466→616→583
+    // at sf0.01 (the textbook peak at k = m) but 416→466→516 at sf0.1
+    // (the bigger corpus's residual still carries signal) — the
+    // corpus-dependence that makes the sweep, not a parameter-sheet
+    // rule, the k-selection procedure. All three chains + the cosine
+    // truth replay in the oracle.
+    "q_ann_pca_saturation" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val four = Pca4Fixture(emb)
+      SimilaritySearch.pcaSaturationAudit(four,
+        four.filter(col("vec_id") < 20), "embedding", "vec_id",
+        dim = 64, k = 3, nCells = 4, nProbe = 4, m = 4, pqCells = 16,
+        maxTrainPerCell = 64)
     }),
 
     // The metric-consistency audit: the SAME plain IVF-PQ chain at the

@@ -2287,6 +2287,89 @@ object SketchOracleSql {
        |SELECT qid, nid, round(adist, 6) AS adist, rnk
        |FROM pg_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
 
+  /** The k-generic deflation chain over a `(id, e DOUBLE[64])` CTE
+    * `unit`: per component — mask the already-isolated pivot
+    * positions, one [[powerUCtes]] power chain at the component's
+    * pivot (1-indexed), one exact reflection of the UNMASKED running
+    * rotation — producing `${px}rot1` … `${px}rot<k>` (the corpus
+    * after 1..k reflections; intermediate rotations are exactly the
+    * shorter chains' outputs, so one derivation serves every k
+    * prefix).
+    */
+  private def pcaChainKCtes(px: String, unit: String,
+      pivots: Seq[Int]): String = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    var cur = unit
+    for ((pv, i) <- pivots.zipWithIndex) {
+      val chainP = s"${px}c${i}_"
+      if (i == 0) parts += powerUCtes(chainP, cur, 4, pv)
+      else {
+        val maskName = s"${px}m$i"
+        val isolated = pivots.take(i).map(p => s"d = $p").mkString(" OR ")
+        parts += s"""$maskName AS MATERIALIZED (
+           |  SELECT id, list_transform(generate_series(1, 64), d ->
+           |    CASE WHEN $isolated THEN 0.0 ELSE e[d::INT] END) AS e
+           |  FROM $cur
+           |)""".stripMargin
+        parts += powerUCtes(chainP, maskName, 4, pv)
+      }
+      val rotName = s"${px}rot${i + 1}"
+      parts += reflectCteOver(rotName, cur, chainP)
+      cur = rotName
+    }
+    parts.mkString(",\n")
+  }
+
+  /** q_ann_pca_saturation: recall at k = m−1 / m / m+1 balanced-pivot
+    * components at a fixed codebook budget on the FOUR-oblique
+    * norm-spread fixture (+8/+4/+2/+1 orthogonal sign diagonals),
+    * unit-normalized; pivots 1/17/33/49/2 (SQL 1-indexed — one slot
+    * per 16-dim subspace, then the first subspace's second slot). One
+    * shared derivation serves all three chains (rot3/rot4/rot5 are
+    * its prefixes), exactly the Scala per-k calls.
+    */
+  def annPcaSaturationOracle: String =
+    s"""WITH p4_base AS MATERIALIZED (
+       |  SELECT vec_id AS id, list_transform(generate_series(1, 64), j ->
+       |    CAST(embedding AS DOUBLE[])[j::INT]
+       |      + 8.0 * CAST(embedding AS DOUBLE[])[1]
+       |      + (CASE WHEN (j - 1) % 2 = 0 THEN 4.0 ELSE -4.0 END)
+       |          * CAST(embedding AS DOUBLE[])[2]
+       |      + (CASE WHEN (j - 1) % 4 < 2 THEN 2.0 ELSE -2.0 END)
+       |          * CAST(embedding AS DOUBLE[])[3]
+       |      + (CASE WHEN (j - 1) % 8 < 4 THEN 1.0 ELSE -1.0 END)
+       |          * CAST(embedding AS DOUBLE[])[4]) AS e
+       |  FROM embeddings
+       |),
+       |p4_unit AS MATERIALIZED (
+       |  SELECT id, list_transform(e, x ->
+       |    x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
+       |  FROM p4_base
+       |),
+       |${pcaChainKCtes("ps_", "p4_unit", Seq(1, 17, 33, 49, 2))},
+       |${ivfPqChainOver("s3_", "ps_rot3", nCells = 4, nProbe = 4,
+          pqCells = 16, cap = 64, qMax = 20, m = 4)},
+       |${ivfPqChainOver("s4_", "ps_rot4", nCells = 4, nProbe = 4,
+          pqCells = 16, cap = 64, qMax = 20, m = 4)},
+       |${ivfPqChainOver("s5_", "ps_rot5", nCells = 4, nProbe = 4,
+          pqCells = 16, cap = 64, qMax = 20, m = 4)},
+       |${cosineBruteCte("p4_br", "p4_base", "p4_")},
+       |h3 AS (SELECT count(*)::BIGINT AS h
+       |  FROM (SELECT qid, nid FROM s3_ranked WHERE rnk <= 3) JOIN p4_br USING (qid, nid)),
+       |h4 AS (SELECT count(*)::BIGINT AS h
+       |  FROM (SELECT qid, nid FROM s4_ranked WHERE rnk <= 3) JOIN p4_br USING (qid, nid)),
+       |h5 AS (SELECT count(*)::BIGINT AS h
+       |  FROM (SELECT qid, nid FROM s5_ranked WHERE rnk <= 3) JOIN p4_br USING (qid, nid)),
+       |nqs AS (SELECT count(DISTINCT qid)::BIGINT AS n FROM p4_br)
+       |SELECT nqs.n AS n_queries, CAST(3 AS INT) AS k, CAST(4 AS INT) AS m,
+       |  h3.h AS hits_under,
+       |  CAST(h3.h * 1000 // (3 * nqs.n) AS BIGINT) AS recall_under_milli,
+       |  h4.h AS hits_full,
+       |  CAST(h4.h * 1000 // (3 * nqs.n) AS BIGINT) AS recall_full_milli,
+       |  h5.h AS hits_over,
+       |  CAST(h5.h * 1000 // (3 * nqs.n) AS BIGINT) AS recall_over_milli
+       |FROM h3, h4, h5, nqs""".stripMargin
+
   /** Exact cosine brute-force top-3 over `src` as CTE `name` (qid, nid)
     * — the ground truth for the pca3/cosine audits.
     */
@@ -3247,6 +3330,7 @@ object SketchOracleSql {
     // table — same basis, same chain, same oracle
     "q_ann_pca3_indexed" -> annPca3Oracle,
     "q_ann_pca3_audit" -> annPca3AuditOracle,
+    "q_ann_pca_saturation" -> annPcaSaturationOracle,
     "q_ann_cosine_audit" -> annCosineAuditOracle,
     "q_ann_varperm" -> annVarPermOracle,
     // the persisted learned index applies the STORED permutation — same
