@@ -781,14 +781,15 @@ object SimilaritySearch {
   def buildIvfPqIndex(
       corpus: DataFrame, vecCol: String, idCol: String, path: String,
       nCells: Int = 16, m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
-      maxTrainPerCell: Int = 16384): Unit = {
-    val coarse = trainCentroids(corpus, vecCol, idCol, nCells, iterations, maxTrainPerCell)
+      maxTrainPerCell: Int = 16384, normalize: Boolean = false): Unit = {
+    val base = if (normalize) unitNormed(corpus, vecCol, idCol) else corpus
+    val coarse = trainCentroids(base, vecCol, idCol, nCells, iterations, maxTrainPerCell)
     coarse.write.format("kv").option("path", s"$path/coarse")
       .mode("overwrite").save()
-    val lists = assignCells(prep(corpus, vecCol, idCol), coarse)
+    val lists = assignCells(prep(base, vecCol, idCol), coarse)
       .select(col("id"), col("cell").as("ivf_cell"))
     val perSub = (0 until m).map { s =>
-      val sub = pqSubspace(corpus, vecCol, idCol, s, m)
+      val sub = pqSubspace(base, vecCol, idCol, s, m)
       val cents = trainCentroids(sub, "subv", idCol, pqCells, iterations, maxTrainPerCell)
       cents.write.format("kv").option("path", s"$path/pq$s")
         .mode("overwrite").save()
@@ -801,6 +802,36 @@ object SimilaritySearch {
         array((0 until m).map(s => col(s"code$s")): _*).as("codes"))
       .write.format("kv").option("path", s"$path/codes")
       .mode("overwrite").save()
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq((0L, if (normalize) 1L else 0L)).toDF("residual", "normalize")
+      .write.format("kv").option("path", s"$path/meta")
+      .mode("overwrite").save()
+  }
+
+  /** The IVF-PQ family's stored preprocessing flag — the
+    * [[readNormalizeKnob]] contract on the `meta` table the PQ layouts
+    * carry (`normalize=1` → unit-normalize inputs before prep).
+    * Pre-meta layouts read as raw.
+    */
+  private def readPqMetaNormalize(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    readPqMetaFlag(spark, path, "normalize")
+
+  private def readPqMetaResidual(
+      spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    readPqMetaFlag(spark, path, "residual")
+
+  private def readPqMetaFlag(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      name: String): Boolean = {
+    if (graft.sources.ParquetIO.listFiles(s"$path/meta").isEmpty) false
+    else {
+      val df = spark.read.format("kv").option("path", s"$path/meta").load()
+      df.columns.contains(name) &&
+        df.select(col(name)).collect()
+          .headOption.exists(_.getLong(0) == 1L)
+    }
   }
 
   /** Search a persisted IVF-PQ index — must answer IDENTICALLY to the
@@ -818,13 +849,22 @@ object SimilaritySearch {
       .takeWhile(s => graft.sources.ParquetIO.listFiles(s"$path/pq$s").nonEmpty)
       .map(s => table(s"pq$s")).toSeq
     require(subCents.nonEmpty, s"no PQ codebooks under $path")
-    val dtabs = pqDistanceTables(queries, vecCol, idCol, subCents)
+    // the symmetric layout guard: absolute-coding tables over residual
+    // codes would be silently wrong distances
+    require(!readPqMetaResidual(spark, path),
+      s"$path is a residual IVF-PQ index — use ivfPqResidualKnnIndexed")
+    // stored preprocessing (meta.normalize): raw queries take the same
+    // transform the corpus was encoded under
+    val qBase =
+      if (readPqMetaNormalize(spark, path)) unitNormed(queries, vecCol, idCol)
+      else queries
+    val dtabs = pqDistanceTables(qBase, vecCol, idCol, subCents)
     // dedup by (qid, nid): an [[ivfPqIndexAppend]] retried after a crash
     // appends the same codes rows twice; without this, one nid's
     // identical (adist, nid) pair seats TWO of the k heap slots and
     // evicts a true neighbor (the graph walk's per-nid node dedup, at
     // the bounded candidate level — never a corpus-table shuffle)
-    rankAdc(ivfPqScoreModel(queries, vecCol, idCol, table("coarse"), dtabs,
+    rankAdc(ivfPqScoreModel(qBase, vecCol, idCol, table("coarse"), dtabs,
       table("codes").select(col("nid"), col("ivf_cell"), col("codes")),
       nProbe, subCents.length).dropDuplicates("qid", "nid"), k)
   }
@@ -844,10 +884,13 @@ object SimilaritySearch {
       .map(s => table(s"pq$s")).toSeq
     require(subCents.nonEmpty, s"no PQ codebooks under $path")
     val m = subCents.length
-    val lists = assignCells(prep(newVecs, vecCol, idCol), table("coarse"))
+    val base =
+      if (readPqMetaNormalize(spark, path)) unitNormed(newVecs, vecCol, idCol)
+      else newVecs
+    val lists = assignCells(prep(base, vecCol, idCol), table("coarse"))
       .select(col("id"), col("cell").as("ivf_cell"))
     val perSub = subCents.zipWithIndex.map { case (cents, s) =>
-      assignCells(prep(pqSubspace(newVecs, vecCol, idCol, s, m), "subv", idCol), cents)
+      assignCells(prep(pqSubspace(base, vecCol, idCol, s, m), "subv", idCol), cents)
         .select(col("id"), col("cell").as(s"code$s"))
     }
     perSub.reduce(_.join(_, "id"))
@@ -3310,8 +3353,9 @@ object SimilaritySearch {
   def buildIvfPqResidualIndex(
       corpus: DataFrame, vecCol: String, idCol: String, path: String,
       nCells: Int = 16, m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
-      maxTrainPerCell: Int = 16384): Unit = {
-    val (coarse, subCents, codes) = residualModel(corpus, vecCol, idCol,
+      maxTrainPerCell: Int = 16384, normalize: Boolean = false): Unit = {
+    val base = if (normalize) unitNormed(corpus, vecCol, idCol) else corpus
+    val (coarse, subCents, codes) = residualModel(base, vecCol, idCol,
       nCells, m, pqCells, iterations, maxTrainPerCell)
     coarse.write.format("kv").option("path", s"$path/coarse")
       .mode("overwrite").save()
@@ -3323,7 +3367,7 @@ object SimilaritySearch {
       .mode("overwrite").save()
     val spark = corpus.sparkSession
     import spark.implicits._
-    Seq(Tuple1(1L)).toDF("residual")
+    Seq((1L, if (normalize) 1L else 0L)).toDF("residual", "normalize")
       .write.format("kv").option("path", s"$path/meta")
       .mode("overwrite").save()
   }
@@ -3348,9 +3392,12 @@ object SimilaritySearch {
       .takeWhile(s => graft.sources.ParquetIO.listFiles(s"$path/pq$s").nonEmpty)
       .map(s => table(s"pq$s")).toSeq
     require(subCents.nonEmpty, s"no PQ codebooks under $path")
+    val qBase =
+      if (readPqMetaNormalize(spark, path)) unitNormed(queries, vecCol, idCol)
+      else queries
     // per-(qid, nid) dedup: a crash-retried append leaves duplicate
     // codes rows (the ivfPqKnnIndexed discipline)
-    rankAdc(residualAdcScores(queries, vecCol, idCol, table("coarse"),
+    rankAdc(residualAdcScores(qBase, vecCol, idCol, table("coarse"),
       subCents, table("codes").select(col("nid"), col("ivf_cell"), col("codes")),
       nProbe, subCents.length).dropDuplicates("qid", "nid"), k)
   }
@@ -3371,7 +3418,10 @@ object SimilaritySearch {
       .map(s => table(s"pq$s")).toSeq
     require(subCents.nonEmpty, s"no PQ codebooks under $path")
     val m = subCents.length
-    val resid = residualRows(prep(newVecs, vecCol, idCol), table("coarse"))
+    val base =
+      if (readPqMetaNormalize(spark, path)) unitNormed(newVecs, vecCol, idCol)
+      else newVecs
+    val resid = residualRows(prep(base, vecCol, idCol), table("coarse"))
     val perSub = (0 until m).map { s =>
       assignCells(prep(pqSubspace(resid, "rvec", "id", s, m), "subv", "id"),
         subCents(s))

@@ -1253,6 +1253,25 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // The cosine knob through the residual tier: the residual index
+    // built with normalize=true stores the flag in its meta table and
+    // applies the unit transform to raw queries at search — the full
+    // composition (unit norm → coarse cells → residual codebooks →
+    // per-cell tables → ADC) replays in the oracle.
+    "q_ann_ivfpq_residual_cosine" -> ((s, dir) => {
+      val idx = s"/tmp/graft_rpqcos${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(idx)
+      val emb = Tables.load(s, dir, "embeddings")
+      val three = Pca3Fixture(emb)
+      SimilaritySearch.buildIvfPqResidualIndex(three, "embedding", "vec_id",
+        idx, nCells = 4, m = 4, pqCells = 16, maxTrainPerCell = 64,
+        normalize = true)
+      SimilaritySearch.ivfPqResidualKnnIndexed(s, idx,
+        three.filter(col("vec_id") < 20), "embedding", "vec_id",
+        k = 3, nProbe = 4)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // Residual coding's measured value: residual vs absolute chains at
     // the SAME budget on the clustered fixture, both vs exact L2 brute
     // force — the gain IS the within-cell/global variance ratio, so it

@@ -1891,6 +1891,18 @@ object SketchOracleSql {
        |SELECT qid, nid, round(adist, 6) AS adist, rnk
        |FROM rp_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
 
+  /** q_ann_ivfpq_residual_cosine: the stored normalize knob through
+    * the residual tier — the full residual chain over the
+    * unit-normalized fixture (the gate's queries enter raw; the meta
+    * flag applies the transform), exact top-3 by ADC.
+    */
+  def annIvfPqResidualCosineOracle: String =
+    s"""WITH $p3BaseUnitCtes,
+       |${ivfPqResidualChainOver("rc_", "p3_unit", nCells = 4, nProbe = 4,
+          pqCells = 16, cap = 64, qMax = 20, m = 4)}
+       |SELECT qid, nid, round(adist, 6) AS adist, rnk
+       |FROM rc_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
   /** q_ann_ivfpq_residual_audit: residual vs absolute coding at the
     * SAME budget on the clustered norm-spread fixture, both vs exact
     * L2 brute force (the metric both ADC chains approximate).
@@ -3370,6 +3382,7 @@ object SketchOracleSql {
     // the persisted residual index answers identically to the
     // in-memory chain — same replayed oracle
     "q_ann_ivfpq_residual_indexed" -> annIvfPqResidualOracle,
+    "q_ann_ivfpq_residual_cosine" -> annIvfPqResidualCosineOracle,
     "q_ann_ivfpq_residual_audit" -> annIvfPqResidualAuditOracle,
     "q_dedup_groups" -> componentsOracle,
     "q_dedup_cluster_sizes" -> clusterSizesOracle,

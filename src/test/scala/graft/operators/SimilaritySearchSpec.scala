@@ -591,7 +591,9 @@ class SimilaritySearchSpec extends SparkSpec {
       planted.filter(col("vec_id") === 1L), "embedding", "vec_id",
       k = 5, nProbe = 2).orderBy("rnk").collect()
     assert(retried.map(_.toString).toSeq == after.map(_.toString).toSeq)
-    // an absolute-coding index refuses the residual reader
+    // an absolute-coding index refuses the residual reader, and a
+    // residual index refuses the absolute reader (both silently-wrong
+    // pairings are loud)
     val idx2 = java.nio.file.Files.createTempDirectory("apqidx").toString
     SimilaritySearch.buildIvfPqIndex(corpus, "embedding", "vec_id", idx2,
       nCells = 4, m = 2, pqCells = 4, maxTrainPerCell = 32)
@@ -599,6 +601,58 @@ class SimilaritySearchSpec extends SparkSpec {
       SimilaritySearch.ivfPqResidualKnnIndexed(spark, idx2, q,
         "embedding", "vec_id", k = 2, nProbe = 2).collect()
     }
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfPqKnnIndexed(spark, idx, q,
+        "embedding", "vec_id", k = 2, nProbe = 2).collect()
+    }
+  }
+
+  test("normalize knob through the PQ tiers: normalized persisted indexes == in-memory chains over unit vectors") {
+    val q = corpus.filter(col("vec_id") < 3L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "adist", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    def un(df: org.apache.spark.sql.DataFrame) = df.select(col("vec_id"),
+      graft.functions.VectorExpressions.unitNormalize(col("embedding")).as("embedding"))
+    // absolute-coding tier
+    val aidx = java.nio.file.Files.createTempDirectory("pqcos").toString
+    SimilaritySearch.buildIvfPqIndex(corpus, "embedding", "vec_id", aidx,
+      nCells = 4, m = 2, pqCells = 4, maxTrainPerCell = 32, normalize = true)
+    val aIndexed = rows(SimilaritySearch.ivfPqKnnIndexed(spark, aidx, q,
+      "embedding", "vec_id", k = 2, nProbe = 2))
+    val aDirect = rows(SimilaritySearch.ivfPqKnn(un(corpus), un(q),
+      "embedding", "vec_id", k = 2, nCells = 4, nProbe = 2, m = 2,
+      pqCells = 4, maxTrainPerCell = 32))
+    assert(aIndexed == aDirect, "absolute PQ normalize knob diverged from the unit chain")
+    // residual tier
+    val ridx = java.nio.file.Files.createTempDirectory("rpqcos").toString
+    SimilaritySearch.buildIvfPqResidualIndex(corpus, "embedding", "vec_id",
+      ridx, nCells = 4, m = 2, pqCells = 4, maxTrainPerCell = 32,
+      normalize = true)
+    val rIndexed = rows(SimilaritySearch.ivfPqResidualKnnIndexed(spark, ridx,
+      q, "embedding", "vec_id", k = 2, nProbe = 2))
+    val rDirect = rows(SimilaritySearch.ivfPqResidualKnn(un(corpus), un(q),
+      "embedding", "vec_id", k = 2, nCells = 4, nProbe = 2, m = 2,
+      pqCells = 4, maxTrainPerCell = 32))
+    assert(rIndexed == rDirect, "residual PQ normalize knob diverged from the unit chain")
+    // appends inherit the stored transform on both tiers: re-searching
+    // after appending a scaled copy of vector 0 still answers from the
+    // unit geometry (the appended row's codes come from the normalized
+    // vector, so a 7x-scaled twin ties its source's codes)
+    import spark.implicits._
+    val v0 = corpus.filter(col("vec_id") === 0L)
+      .select(col("embedding")).collect()(0).getSeq[Float](0).toArray
+    val scaled = Seq((9100L, v0.map(x => x * 7.0f))).toDF("vec_id", "embedding")
+    SimilaritySearch.ivfPqResidualIndexAppend(scaled, "embedding", "vec_id", ridx)
+    val codes = spark.read.format("kv").option("path", s"$ridx/codes").load()
+      .where(col("nid").isin(0L, 9100L))
+      .collect().map(r => r.getAs[Long]("nid") ->
+        (r.getAs[Long]("ivf_cell"), r.getSeq[Long](r.fieldIndex("codes")).toList))
+      .toMap
+    assert(codes(9100L) == codes(0L),
+      "a 7x-scaled twin did not encode to its source's cell/codes — " +
+        s"append ignored the stored normalize flag: $codes")
   }
 
   test("ivfIndexAppend absorbs new vectors without retraining") {
