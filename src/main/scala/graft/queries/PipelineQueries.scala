@@ -1253,6 +1253,40 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // Streaming maintenance for the PQ tier (residual layout — the
+    // production default): quantizers train on the base slice once;
+    // each micro-batch encodes its rows against the PERSISTED coarse
+    // centroids and residual codebooks (per-row, so the final index
+    // content is batching-independent) — the q_ann_stream_index oracle
+    // family: train-on-base / encode-all / search-replay.
+    "q_ann_ivfpq_stream_index" -> ((s, dir) => {
+      val u = java.util.UUID.randomUUID().toString.replace("-", "")
+      val idx = s"/tmp/graft_rpqstr_$u/i"
+      val ckpt = s"/tmp/graft_rpqstrck_$u"
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.buildIvfPqResidualIndex(emb.filter(col("vec_id") < 250),
+        "embedding", "vec_id", idx, nCells = 8, m = 2, pqCells = 4,
+        maxTrainPerCell = 32)
+      val q = s.readStream.format("log")
+        .option("path", s"$dir/embeddings.parquet")
+        .option("maxOffsetsPerTrigger", "500").load()
+        .filter(col("vec_id") >= 250)
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          if (!df.isEmpty)
+            SimilaritySearch.ivfPqResidualIndexAppend(df, "embedding", "vec_id", idx)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      SimilaritySearch.ivfPqResidualKnnIndexed(s, idx,
+        emb.filter(col("vec_id") < 5), "embedding", "vec_id",
+        k = 3, nProbe = 3)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // The cosine knob through the residual tier: the residual index
     // built with normalize=true stores the flag in its meta table and
     // applies the unit transform to raw queries at search — the full

@@ -1822,16 +1822,23 @@ object SketchOracleSql {
     */
   private def ivfPqResidualChainOver(px: String, base: String,
       nCells: Int = 4, nProbe: Int = 2, pqCells: Int = 4, cap: Int = 32,
-      qMax: Int = 5, m: Int = 2): String = {
+      qMax: Int = 5, m: Int = 2, encodeBase: Option[String] = None): String = {
     require(64 % m == 0, s"m $m must divide 64")
     val w = 64 / m
+    // encodeBase: the streamed-maintenance shape — quantizers train on
+    // `base` only, but EVERY row of `encodeBase` is encoded against
+    // them (per-row, so the final index is batching-independent);
+    // queries and probes come from the encode set too
+    val enc = encodeBase.getOrElse(base)
     val subs = (0 until m).map { s =>
-      s"""${px}s${s}_prep AS (SELECT id, e[${s * w + 1}:${(s + 1) * w}] AS e FROM ${px}res),
-         |${kmChain(s"${px}s${s}_", pqCells, cap)}""".stripMargin
+      s"""${px}s${s}_prep AS (SELECT id, e[${s * w + 1}:${(s + 1) * w}] AS e FROM ${px}tres),
+         |${kmChain(s"${px}s${s}_", pqCells, cap)},
+         |${px}s${s}_eprep AS (SELECT id, e[${s * w + 1}:${(s + 1) * w}] AS e FROM ${px}res),
+         |${px}s${s}_eaf AS (${kmAssign(s"${px}s${s}_eprep", s"${px}s${s}_cent2")})""".stripMargin
     }.mkString(",\n")
     val codeCols = (0 until m).map(s => s"a$s.cell AS c$s").mkString(", ")
     val codeJoins = (1 until m)
-      .map(s => s"JOIN ${px}s${s}_af a$s USING (id)").mkString(" ")
+      .map(s => s"JOIN ${px}s${s}_eaf a$s USING (id)").mkString(" ")
     val qds = (0 until m).map { s =>
       s"""${px}qd$s AS (
          |  SELECT r.qid, r.ivf_cell, c.cell, ${kmD2("r.e", "c.ce")} AS d
@@ -1847,26 +1854,33 @@ object SketchOracleSql {
       .mkString("\n  ")
     s"""${px}c_prep AS (SELECT id, e FROM $base),
        |${kmChain(s"${px}c_", nCells, cap)},
-       |${px}res AS MATERIALIZED (
+       |${px}e_prep AS (SELECT id, e FROM $enc),
+       |${px}eaf AS (${kmAssign(s"${px}e_prep", s"${px}c_cent2")}),
+       |${px}tres AS MATERIALIZED (
        |  SELECT af.id, af.cell AS ivf_cell,
        |    list_transform(generate_series(1, 64), i -> af.e[i::INT] - c.ce[i::INT]) AS e
        |  FROM ${px}c_af af JOIN ${px}c_cent2 c USING (cell)
        |),
+       |${px}res AS MATERIALIZED (
+       |  SELECT af.id, af.cell AS ivf_cell,
+       |    list_transform(generate_series(1, 64), i -> af.e[i::INT] - c.ce[i::INT]) AS e
+       |  FROM ${px}eaf af JOIN ${px}c_cent2 c USING (cell)
+       |),
        |$subs,
        |${px}codes AS (
        |  SELECT a0.id, r.ivf_cell, $codeCols
-       |  FROM ${px}s0_af a0 $codeJoins
+       |  FROM ${px}s0_eaf a0 $codeJoins
        |  JOIN ${px}res r ON r.id = a0.id
        |), ${px}probes AS (
        |  SELECT qid, cell FROM (
        |    SELECT q.id AS qid, c.cell,
        |      row_number() OVER (PARTITION BY q.id ORDER BY ${kmD2("q.e", "c.ce")}, c.cell) AS rn
-       |    FROM (SELECT id, e FROM ${px}c_prep WHERE id < $qMax) q CROSS JOIN ${px}c_cent2 c
+       |    FROM (SELECT id, e FROM ${px}e_prep WHERE id < $qMax) q CROSS JOIN ${px}c_cent2 c
        |  ) WHERE rn <= $nProbe
        |), ${px}qres AS (
        |  SELECT p.qid, p.cell AS ivf_cell,
        |    list_transform(generate_series(1, 64), i -> q.e[i::INT] - c.ce[i::INT]) AS e
-       |  FROM ${px}probes p JOIN ${px}c_prep q ON q.id = p.qid
+       |  FROM ${px}probes p JOIN ${px}e_prep q ON q.id = p.qid
        |  JOIN ${px}c_cent2 c ON c.cell = p.cell
        |), $qds, ${px}scored AS (
        |  SELECT p.qid, k.id AS nid, $dSum AS adist
@@ -1890,6 +1904,25 @@ object SketchOracleSql {
        |), ${ivfPqResidualChainOver("rp_", "rp_base")}
        |SELECT qid, nid, round(adist, 6) AS adist, rnk
        |FROM rp_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
+  /** q_ann_ivfpq_stream_index: the streaming-maintained residual
+    * index — coarse centroids AND residual codebooks trained on the
+    * base slice only (vec_id < 250, the build input), EVERY vector
+    * residual-encoded against those fixed quantizers (streamed appends
+    * are per-row encodes, so the final index content is
+    * batching-independent), ADC search replayed over the union.
+    */
+  def annResidualStreamIndexOracle: String =
+    s"""WITH rs_train AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e
+       |  FROM embeddings WHERE vec_id < 250
+       |), rs_all AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), ${ivfPqResidualChainOver("rs_", "rs_train", nCells = 8,
+          nProbe = 3, pqCells = 4, cap = 32, qMax = 5, m = 2,
+          encodeBase = Some("rs_all"))}
+       |SELECT qid, nid, round(adist, 6) AS adist, rnk
+       |FROM rs_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
 
   /** q_ann_ivfpq_residual_cosine: the stored normalize knob through
     * the residual tier — the full residual chain over the
@@ -3383,6 +3416,7 @@ object SketchOracleSql {
     // in-memory chain — same replayed oracle
     "q_ann_ivfpq_residual_indexed" -> annIvfPqResidualOracle,
     "q_ann_ivfpq_residual_cosine" -> annIvfPqResidualCosineOracle,
+    "q_ann_ivfpq_stream_index" -> annResidualStreamIndexOracle,
     "q_ann_ivfpq_residual_audit" -> annIvfPqResidualAuditOracle,
     "q_dedup_groups" -> componentsOracle,
     "q_dedup_cluster_sizes" -> clusterSizesOracle,

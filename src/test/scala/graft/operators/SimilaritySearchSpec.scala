@@ -607,6 +607,36 @@ class SimilaritySearchSpec extends SparkSpec {
     }
   }
 
+  test("residual index appends are batching-independent: chopped == one-shot, search bit-equal") {
+    def build(path: String): Unit =
+      SimilaritySearch.buildIvfPqResidualIndex(
+        corpus.filter(col("vec_id") < 20L), "embedding", "vec_id", path,
+        nCells = 2, m = 2, pqCells = 4, maxTrainPerCell = 16)
+    def search(path: String) =
+      SimilaritySearch.ivfPqResidualKnnIndexed(spark, path,
+        corpus.filter(col("vec_id") < 3L), "embedding", "vec_id",
+        k = 3, nProbe = 2)
+        .collect().map(_.toString).sorted.toSeq
+    val rest = corpus.filter(col("vec_id") >= 20L)
+    val oneShot = java.nio.file.Files.createTempDirectory("rpq1").toString
+    build(oneShot)
+    SimilaritySearch.ivfPqResidualIndexAppend(rest, "embedding", "vec_id", oneShot)
+    val chopped = java.nio.file.Files.createTempDirectory("rpqN").toString
+    build(chopped)
+    // arbitrary chop boundaries — per-row encoding against the fixed
+    // persisted quantizers makes the final index content identical
+    for ((lo, hi) <- Seq((20L, 31L), (31L, 44L), (44L, 1000L)))
+      SimilaritySearch.ivfPqResidualIndexAppend(
+        rest.filter(col("vec_id") >= lo && col("vec_id") < hi),
+        "embedding", "vec_id", chopped)
+    val codesOf = (p: String) => spark.read.format("kv")
+      .option("path", s"$p/codes").load()
+      .collect().map(_.toString).sorted.toSeq
+    assert(codesOf(chopped) == codesOf(oneShot),
+      "chopped appends produced different index content")
+    assert(search(chopped) == search(oneShot))
+  }
+
   test("normalize knob through the PQ tiers: normalized persisted indexes == in-memory chains over unit vectors") {
     val q = corpus.filter(col("vec_id") < 3L)
     def rows(df: org.apache.spark.sql.DataFrame) =
