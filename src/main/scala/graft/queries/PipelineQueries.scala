@@ -1603,6 +1603,30 @@ object PipelineQueries {
         round(graft.operators.LinearProbe.score(col("f"), w), 6).as("score"))
         .orderBy(col("score").desc, col("doc_id")).limit(10)
     }),
+    // The FineWeb-style "train a quality classifier, then filter the
+    // corpus with it" loop as ONE composed plan: ridge-train the probe
+    // on the labeled features (exact integer moments + BigInt Cramer),
+    // score every document, keep the predicted positives (score ≥ 0.5
+    // — scores are bit-identical across engines, so the cut is
+    // replayable), and account the surviving tokens. Training,
+    // scoring, threshold and token counts all replay in the oracle.
+    "q_pipeline_probe_filter" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val feats = ProbeFeatures(docs)
+      val w = graft.operators.LinearProbe.trainRidge(feats, "f", "y",
+        dim = 4, lambdaMicro = 10000L)
+      val toks = docs.select(col("doc_id"),
+        size(filter(split(lower(col("text")), " "), t => length(t) > 0))
+          .cast("long").as("n_tokens"))
+      feats.select(col("doc_id"),
+          graft.operators.LinearProbe.score(col("f"), w).as("score"))
+        .where(col("score") >= 0.5)
+        .join(toks, "doc_id")
+        .select(col("doc_id"), round(col("score"), 6).as("score"),
+          col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     "q_doc_langid" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
         .groupBy(LangId.langId(col("text")).as("detected_lang"))

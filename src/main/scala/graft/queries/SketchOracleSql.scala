@@ -1393,6 +1393,34 @@ object SketchOracleSql {
        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin
   }
 
+  /** q_pipeline_probe_filter: the train → score → threshold → account
+    * loop — the probe CTEs' trained weights, every document scored,
+    * the ≥ 0.5 cut (scores are the same doubles on both engines), and
+    * per-survivor whitespace token counts.
+    */
+  def probeFilterOracle: String = {
+    val score = (0 until 4)
+      .map(j => s"f[${j + 1}] * (CAST(w$j AS DOUBLE) / 1000000.0)")
+      .mkString(" + ")
+    s"""WITH $probeCtes, pb_wrow AS (
+       |  SELECT
+       |    max(CASE WHEN slot = 0 THEN w_micro END) AS w0,
+       |    max(CASE WHEN slot = 1 THEN w_micro END) AS w1,
+       |    max(CASE WHEN slot = 2 THEN w_micro END) AS w2,
+       |    max(CASE WHEN slot = 3 THEN w_micro END) AS w3
+       |  FROM pb_w
+       |), pf_t AS (
+       |  SELECT doc_id,
+       |    len(list_filter(string_split(lower(text), ' '), t -> len(t) > 0))::BIGINT AS n_tokens
+       |  FROM documents
+       |)
+       |SELECT s.doc_id, round(s.score, 6) AS score, t.n_tokens
+       |FROM (SELECT doc_id, $score AS score FROM pb_f, pb_wrow) s
+       |JOIN pf_t t ON t.doc_id = s.doc_id
+       |WHERE s.score >= 0.5
+       |ORDER BY s.doc_id""".stripMargin
+  }
+
   /** q_ann_stream_index: the streaming-maintained IVF index — centroids
     * trained on the base slice only (vec_id < 250, the build input),
     * EVERY vector assigned against those fixed centroids (streamed
@@ -3400,6 +3428,7 @@ object SketchOracleSql {
     "q_tokenizer_unigram_mixed" -> tokenizerUnigramMixedOracle,
     "q_probe_linear" -> probeLinearOracle,
     "q_probe_linear_scores" -> probeLinearScoresOracle,
+    "q_pipeline_probe_filter" -> probeFilterOracle,
     "q_tokenizer_unigram_em2" -> tokenizerUnigramEm2Oracle,
     "q_doc_unigram_tokens" -> docUnigramTokensOracle,
     // the persisted-index search must answer identically to the

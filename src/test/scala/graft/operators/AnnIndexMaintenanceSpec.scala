@@ -68,6 +68,45 @@ class AnnIndexMaintenanceSpec extends SparkSpec {
     assert(again.map(_.toString).toSeq == after.map(_.toString).toSeq)
   }
 
+  test("residual PQ index survives rewrite (compaction + clustering) across appends") {
+    val idx = java.nio.file.Files.createTempDirectory("annmxr").toString + "/i"
+    val base = corpus.filter(col("vec_id") < 30L)
+    SimilaritySearch.buildIvfPqResidualIndex(base, "embedding", "vec_id",
+      idx, nCells = 2, m = 2, pqCells = 4, maxTrainPerCell = 64)
+    val q = corpus.filter(col("vec_id") < 3L)
+    def search() = SimilaritySearch.ivfPqResidualKnnIndexed(
+      spark, idx, q, "embedding", "vec_id", k = 3, nProbe = 2)
+    val baseline = rows(search())
+
+    // compaction + cell-clustered rewrites of the codes table:
+    // search-invariant (codes are longs — exact through parquet)
+    KvMerge.rewrite(spark, s"$idx/codes", numFiles = 2)
+    assert(rows(search()) == baseline, "compaction changed residual results")
+    KvMerge.rewrite(spark, s"$idx/codes", numFiles = 2,
+      clusterBy = Seq("ivf_cell"))
+    assert(rows(search()) == baseline, "clustering changed residual results")
+
+    // append after the rewrites: the planted twin of vector 0 encodes
+    // to 0's cell and codes, so it ties the ADC minimum for query 0
+    // (k covers the whole corpus — tie order can't hide it)
+    SimilaritySearch.ivfPqResidualIndexAppend(
+      corpus.filter(col("vec_id") >= 30L), "embedding", "vec_id", idx)
+    val after = SimilaritySearch.ivfPqResidualKnnIndexed(spark, idx,
+      corpus.filter(col("vec_id") === 0L), "embedding", "vec_id",
+      k = 41, nProbe = 2).orderBy("rnk").collect()
+    assert(after.exists(r => r.getAs[Long]("nid") == 99L &&
+      r.getAs[Double]("adist") == after.head.getAs[Double]("adist")),
+      after.mkString(","))
+
+    // rewrite over the mixed table + vacuum: still consistent
+    KvMerge.rewrite(spark, s"$idx/codes", numFiles = 1)
+    KvMerge.vacuum(s"$idx/codes", olderThanMs = 0L)
+    val again = SimilaritySearch.ivfPqResidualKnnIndexed(spark, idx,
+      corpus.filter(col("vec_id") === 0L), "embedding", "vec_id",
+      k = 41, nProbe = 2).orderBy("rnk").collect()
+    assert(again.map(_.toString).toSeq == after.map(_.toString).toSeq)
+  }
+
   test("IVF cells table keeps Bloom pruning warm through rewrite(refreshIndexes)") {
     val idx = java.nio.file.Files.createTempDirectory("annmx2").toString + "/i"
     SimilaritySearch.buildIvfIndex(corpus, "embedding", "vec_id", idx,
