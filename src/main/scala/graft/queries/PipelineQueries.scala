@@ -819,6 +819,51 @@ object PipelineQueries {
         .orderBy(col("cnt").desc, col("tok")).limit(64)
     }),
 
+    // CCNet's perplexity bucketing with the REPO'S OWN tokenizer: train
+    // the unigram LM, Viterbi-encode every document under the final
+    // scores, take integer micro-nats per token (cost // n_tokens —
+    // the per-doc LM quality signal), and split the corpus into
+    // head/middle/tail TERTILES by exact rank (rn ordered by cost
+    // asc, doc_id; bucket = (rn−1)·3 // n_docs). At 100 TB the rank
+    // is one total-order sort of doc-level rows (not tokens); the
+    // training/encode stages are the bounded trainUnigram shapes.
+    // Training, encode, per-doc costs, ranks and bucket rollups all
+    // replay in the oracle.
+    "q_doc_unigram_ppl_buckets" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val trained = graft.operators.TokenizerTraining.trainUnigram(
+        docs, "text", seedMulti = 64, vocabMulti = 8)
+      val scores = trained.collect()
+        .map(r => r.getAs[String]("tok") -> r.getAs[Long]("score")).toMap
+      val sMap = typedLit(scores)
+      val perDoc = graft.operators.TokenizerTraining
+        .encodeUnigram(docs, "text", "doc_id", scores)
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          aggregate(col("tokens"), lit(0L),
+            (a, t) => a + element_at(sMap, t)).as("cost_micro"))
+        .where(col("n_tokens") > 0)
+        // exact integer floor(cost/n): subtract the remainder first so
+        // the double division is an exact integer (never a truncating
+        // cast of a rounded quotient)
+        .withColumn("mnpt", ((col("cost_micro") -
+          pmod(col("cost_micro"), col("n_tokens"))) / col("n_tokens"))
+          .cast("long"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("mnpt"), col("doc_id"))
+      perDoc
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("nd", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy()).cast("long"))
+        .withColumn("bucket",
+          when((col("rn") - 1L) * 3L < col("nd"), "head")
+            .when((col("rn") - 1L) * 3L < col("nd") * 2L, "middle")
+            .otherwise("tail"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          min(col("mnpt")).as("min_mnpt"), max(col("mnpt")).as("max_mnpt"))
+        .orderBy(col("bucket"))
+    }),
+
     // The multi-round EM variant: two Viterbi-EM rounds at TIGHT
     // budgets (64→48→8) — the interim prune evicts multi-char tokens
     // round 2's re-segmentation must route around, so the final

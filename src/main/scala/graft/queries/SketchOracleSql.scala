@@ -1304,6 +1304,49 @@ object SketchOracleSql {
        |FROM ug_docw d JOIN ugf_walk wk USING (w)
        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
 
+  /** q_doc_unigram_ppl_buckets: the CCNet-style perplexity tertiles
+    * under the repo's own unigram LM — the tight-budget trainer
+    * (64→8), final scores, a second Viterbi unroll, per-doc integer
+    * micro-nats (word-occurrence cost rollup), exact floor division by
+    * token count, exact rank tertiles, bucket rollups.
+    */
+  def docUnigramPplBucketsOracle: String =
+    s"""WITH ${ugTrainCtes(64, 8, 4, 16)},
+       |up_finsc AS MATERIALIZED (
+       |  SELECT tok, CAST(floor(1000000.0 * ln((t + v) / (cnt + 1.0)) + 0.5) AS BIGINT) AS s
+       |  FROM ug_vocab2, ug_tot2
+       |), ${ugViterbiCtes("upf_", "up_finsc", 4, 16)},
+       |up_wcost AS MATERIALIZED (
+       |  SELECT w, sum(sc.s)::BIGINT AS wc, count(*)::BIGINT AS wt
+       |  FROM (SELECT w, unnest(toks) AS tok FROM upf_walk)
+       |  JOIN up_finsc sc USING (tok)
+       |  GROUP BY w
+       |), up_docw AS (
+       |  SELECT doc_id, substr(w0, 1 + 16 * g, 16) AS w FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w0 FROM documents
+       |  ), LATERAL (SELECT unnest(range(CAST(ceil(len(w0) / 16.0) AS BIGINT))) AS g)
+       |  WHERE len(w0) > 0
+       |), up_doc AS (
+       |  SELECT d.doc_id, sum(c.wc)::BIGINT AS cost_micro,
+       |    sum(c.wt)::BIGINT AS n_tokens
+       |  FROM up_docw d JOIN up_wcost c USING (w)
+       |  GROUP BY d.doc_id
+       |), up_rn AS (
+       |  SELECT doc_id, n_tokens, cost_micro // n_tokens AS mnpt,
+       |    row_number() OVER (ORDER BY cost_micro // n_tokens, doc_id) AS rn,
+       |    count(*) OVER () AS nd
+       |  FROM up_doc WHERE n_tokens > 0
+       |)
+       |SELECT bucket, count(*)::BIGINT AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+       |  min(mnpt)::BIGINT AS min_mnpt, max(mnpt)::BIGINT AS max_mnpt
+       |FROM (
+       |  SELECT CASE WHEN (rn - 1) * 3 < nd THEN 'head'
+       |    WHEN (rn - 1) * 3 < nd * 2 THEN 'middle' ELSE 'tail' END AS bucket,
+       |    n_tokens, mnpt
+       |  FROM up_rn
+       |)
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+
   /** The linear-probe replay (q_probe_linear / _scores): features and
     * label per doc, ONE moments pass (quantized products, HUGEINT
     * sums, truncating mean by n), ridge diagonal, the literal 24-term
@@ -3431,6 +3474,7 @@ object SketchOracleSql {
     "q_pipeline_probe_filter" -> probeFilterOracle,
     "q_tokenizer_unigram_em2" -> tokenizerUnigramEm2Oracle,
     "q_doc_unigram_tokens" -> docUnigramTokensOracle,
+    "q_doc_unigram_ppl_buckets" -> docUnigramPplBucketsOracle,
     // the persisted-index search must answer identically to the
     // in-memory IVF path — same replayed-k-means oracle
     "q_ann_ivf_indexed" -> annIvfOracle,
