@@ -42,7 +42,7 @@ object ExplainCheck {
         "q_ann_graph_cross", "q_ann_graph_capped", "q_ann_varperm",
         "q_ann_graph_hier", "q_ann_graph_prune_cross",
         "q_ann_lsh_multiprobe", "q_ann_lsh_multiprobe2", "q_ann_pca2",
-        "q_ann_pca3")) {
+        "q_ann_pca3", "q_ann_ivfpq_residual", "q_ann_ivf_cosine")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
       val windows = plan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
@@ -170,6 +170,24 @@ object ExplainCheck {
       println("=== q_kv_time_travel === snapshot scan pushes filters: " +
         p.contains("PushedFilters") + ", footer-agg pushdown (want false under snapshot): " +
         p.contains("PushedAggregation"))
+    }
+
+    // round-13: the residual IVFADC SEARCH path (persisted index, the
+    // train-once/search-many shape) — distance tables broadcast onto
+    // the codes scan, zero corpus-side sort-merges, no cartesian. (The
+    // in-memory chain additionally pays per-subspace code-ASSEMBLY
+    // joins at BUILD time — corpus-sized columnar assembly, the same
+    // accepted shape as q_ann_ivfpq_refine's keyed-aggregate SMJs.)
+    {
+      val plan = SparkEntry.queries("q_ann_ivfpq_residual_indexed")(spark, dir)
+        .queryExecution.executedPlan
+      val p = plan.toString
+      println("=== q_ann_ivfpq_residual_indexed (search path) === sortmerge joins: " +
+        p.linesIterator.count(_.contains("SortMergeJoin")) +
+        " (want 0), cartesian: " +
+        p.linesIterator.count(_.contains("CartesianProduct")) +
+        " (want 0), broadcasts: " +
+        p.linesIterator.count(_.contains("BroadcastExchange")))
     }
 
     val idxDir = java.nio.file.Files.createTempDirectory("explainidx").toString + "/t"

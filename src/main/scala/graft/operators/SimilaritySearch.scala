@@ -3314,7 +3314,8 @@ object SimilaritySearch {
       .select(col("id").as("qid"), col("e"),
         explode(col("cells.cell")).as("ivf_cell"))
     val qres = probes
-      .join(cents.select(col("cell").as("ivf_cell"), col("ce")), Seq("ivf_cell"))
+      .join(broadcast(coarse.select(col("cell").as("ivf_cell"), col("ce"))),
+        Seq("ivf_cell"))
       .select(col("qid"), col("ivf_cell"),
         zip_with(col("e"), col("ce"), (x, y) => x - y).as("rq"))
     // per-subspace distance tables, keyed (qid, ivf_cell): dt(s)(c) =
@@ -3330,7 +3331,10 @@ object SimilaritySearch {
         .groupBy(col("qid"), col("ivf_cell"))
         .agg(transform(sort_array(collect_list(struct(col("cell"), col("d2")))),
           x => x.getField("d2")).as(s"dt$s"))
-    }.reduce((a, b) => a.join(b, Seq("qid", "ivf_cell")))
+    // joined broadcast between the (|Q|·nProbe)-sized per-subspace
+    // aggregates — a stats-blind SMJ otherwise (the ivfPqKnn dtab
+    // discipline, keyed by (query, probed cell) here)
+    }.reduce((a, b) => a.join(broadcast(b), Seq("qid", "ivf_cell")))
       .select(col("qid"), col("ivf_cell"),
         array((0 until m).map(s => col(s"dt$s")): _*).as("dtabs"))
     broadcast(dtabs)
