@@ -190,4 +190,87 @@ object CorpusStats {
       .select(col("t.term").as("term"), col("t.cnt_a").as("cnt_a"),
         col("t.cnt_b").as("cnt_b"), col("t.kl").as("kl_micro"))
   }
+
+  /** Truncated-Poisson(1) inverse-CDF thresholds on the 53-bit hash
+    * lattice: t_k = ⌊P(X ≤ k)·2⁵³⌋ for k = 0..7 (P(X > 7) < 1e-7 —
+    * the truncation is part of the deterministic contract). A draw's
+    * weight is the COUNT of thresholds ≤ its 53-bit uniform — pure
+    * integer comparisons, so both engines agree bit for bit (the
+    * literals are shared with the oracle the way `opqSigns` is).
+    */
+  def poissonThresholds: Seq[Long] = {
+    val eInv = math.exp(-1.0)
+    var fact = 1.0
+    var cdf = 0.0
+    (0 to 7).map { k =>
+      if (k > 0) fact *= k
+      cdf += eInv / fact
+      math.floor(cdf * 9007199254740992.0 /* 2^53 */).toLong
+    }
+  }
+
+  /** Deterministic POISSON BOOTSTRAP confidence interval for a corpus
+    * mean (Chamandy et al., "Estimating uncertainty for massive data
+    * streams", Google TR 2012 — the bootstrap that works in one
+    * distributed pass): replica r gives every row an independent-ish
+    * Poisson(1) weight derived from splitmix64(splitmix64(id ⊕ seed)
+    * ⊕ r) (integer threshold comparisons on the 53-bit lattice —
+    * exactly replayable), each replica's weighted mean is an exact
+    * integer micro-unit (BigInt floor division driver-side, the
+    * [[graft.operators.LinearProbe]] Cramer discipline), and the CI is
+    * the exact-rank [2.5%, 97.5%] band over the `replicas` means.
+    *
+    * Scale shape: the corpus explodes ×`replicas` BEFORE a map-side-
+    * combining groupBy(r) — the shuffle carries ≤ replicas rows per
+    * partition, the driver sees exactly `replicas`+1 bounded rows, and
+    * nothing is ever windowed or collected at corpus size. At 100 TB
+    * this is THE way to put an error bar on a corpus metric without
+    * recomputing it: one pass, R≤256 aggregate rows.
+    *
+    * Returns one row: (n_docs, replicas, mean_micro, ci_lo_micro,
+    * ci_hi_micro) — micro-units of the valueCol mean.
+    */
+  def bootstrapMeanCi(
+      df: DataFrame, valueCol: String, idCol: String,
+      replicas: Int = 64, seed: Long = 7L): DataFrame = {
+    require(replicas >= 4 && replicas <= 256,
+      s"replicas must be in [4, 256], got $replicas")
+    val spark = df.sparkSession
+    val thresholds = poissonThresholds
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(valueCol).cast("long").as("x"))
+    // full-sample mean (exact integers)
+    val full = base.agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
+      .collect()(0)
+    val (sx, n) = (full.getAs[Long]("sx"), full.getAs[Long]("n"))
+    require(n > 0, "bootstrapMeanCi needs a non-empty corpus")
+    // per-replica Poisson weights: hu = splitmix(splitmix(id ⊕ seed) ⊕ r) >>> 11
+    val hu = shiftrightunsigned(graft.functions.Sketches.splitmixLong(
+      graft.functions.Sketches.splitmixLong(
+        col("id").bitwiseXOR(lit(seed))).bitwiseXOR(col("r"))), 11)
+    val w = size(filter(typedLit(thresholds), t => hu >= t))
+    val rep = base
+      .select(col("id"), col("x"),
+        explode(sequence(lit(0L), lit(replicas - 1L))).as("r"))
+      .select(col("r"), w.cast("long").as("w"), col("x"))
+      .groupBy(col("r"))
+      .agg(sum(col("w")).as("sw"), sum(col("w") * col("x")).as("swx"))
+      .collect()
+    require(rep.length == replicas, s"expected $replicas replica rows")
+    // exact BigInt floor division — a replica with all-zero weights
+    // (probability ~e^-n) would divide by zero loudly, never silently
+    val means = rep.map { r =>
+      val sw = r.getAs[Long]("sw")
+      require(sw > 0, s"replica ${r.getAs[Long]("r")} drew zero total weight")
+      (BigInt(1000000) * BigInt(r.getAs[Long]("swx")) / BigInt(sw)).toLong
+    }.sorted
+    val loIdx = math.max(1, (replicas * 25 + 999) / 1000)
+    val hiIdx = replicas + 1 - loIdx
+    val meanMicro = (BigInt(1000000) * BigInt(sx) / BigInt(n)).toLong
+    spark.range(1).select(
+      lit(n).as("n_docs"), lit(replicas).as("replicas"),
+      lit(meanMicro).as("mean_micro"),
+      lit(means(loIdx - 1)).as("ci_lo_micro"),
+      lit(means(hiIdx - 1)).as("ci_hi_micro"))
+  }
 }

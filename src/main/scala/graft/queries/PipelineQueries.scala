@@ -1672,6 +1672,22 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // Error bars for corpus metrics in ONE pass (the Poisson bootstrap
+    // — the only bootstrap that works without resampling a 100 TB
+    // corpus): 64 deterministic replicas, each row weighted by a
+    // truncated-Poisson(1) draw from integer threshold comparisons on
+    // the splitmix 53-bit lattice, exact integer replica means (BigInt
+    // floor), exact-rank [2.5%, 97.5%] band. Thresholds, hashes,
+    // weights, replica sums, means and ranks all replay in the oracle.
+    "q_corpus_bootstrap_ci" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val vals = docs.select(col("doc_id"),
+        size(filter(split(lower(col("text")), " "), t => length(t) > 0))
+          .cast("long").as("n_tokens"))
+      graft.operators.CorpusStats.bootstrapMeanCi(vals, "n_tokens",
+        "doc_id", replicas = 64, seed = 7L)
+    }),
+
     "q_doc_langid" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
         .groupBy(LangId.langId(col("text")).as("detected_lang"))

@@ -1347,6 +1347,47 @@ object SketchOracleSql {
        |)
        |GROUP BY bucket ORDER BY bucket""".stripMargin
 
+  /** q_corpus_bootstrap_ci: the deterministic Poisson bootstrap —
+    * per-(doc, replica) truncated-Poisson(1) weights from integer
+    * threshold comparisons on the splitmix 53-bit lattice (thresholds
+    * shared with `CorpusStats.poissonThresholds` as literals), HUGEINT
+    * replica sums, exact floor-division means, exact-rank CI band.
+    */
+  def corpusBootstrapCiOracle: String = {
+    val replicas = 64
+    val thresholds = graft.operators.CorpusStats.poissonThresholds
+    val loIdx = math.max(1, (replicas * 25 + 999) / 1000)
+    val hiIdx = replicas + 1 - loIdx
+    val h1 = sx(splitmix(ux("xor(id, 7)")))
+    val h2 = sx(splitmix(ux(s"xor(($h1), r)")))
+    val wExpr = thresholds
+      .map(t => s"(CASE WHEN hu >= $t THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH bs_v AS MATERIALIZED (
+       |  SELECT doc_id AS id,
+       |    len(list_filter(string_split(lower(text), ' '), t -> len(t) > 0))::BIGINT AS x
+       |  FROM documents
+       |), bs_h AS (
+       |  SELECT r, x, (${ux(h2)} // 2048) AS hu
+       |  FROM bs_v, LATERAL (SELECT unnest(range($replicas)) AS r)
+       |), bs_rep AS (
+       |  SELECT r, sum($wExpr)::HUGEINT AS sw,
+       |    sum(($wExpr) * x)::HUGEINT AS swx
+       |  FROM bs_h GROUP BY r
+       |), bs_rank AS (
+       |  SELECT (1000000 * swx) // sw AS mm,
+       |    row_number() OVER (ORDER BY (1000000 * swx) // sw) AS rn
+       |  FROM bs_rep
+       |), bs_full AS (
+       |  SELECT count(*)::BIGINT AS n, sum(x)::HUGEINT AS sx FROM bs_v
+       |)
+       |SELECT n AS n_docs, CAST($replicas AS INT) AS replicas,
+       |  CAST((1000000 * sx) // n AS BIGINT) AS mean_micro,
+       |  (SELECT CAST(mm AS BIGINT) FROM bs_rank WHERE rn = $loIdx) AS ci_lo_micro,
+       |  (SELECT CAST(mm AS BIGINT) FROM bs_rank WHERE rn = $hiIdx) AS ci_hi_micro
+       |FROM bs_full""".stripMargin
+  }
+
   /** The linear-probe replay (q_probe_linear / _scores): features and
     * label per doc, ONE moments pass (quantized products, HUGEINT
     * sums, truncating mean by n), ridge diagonal, the literal 24-term
@@ -3472,6 +3513,7 @@ object SketchOracleSql {
     "q_probe_linear" -> probeLinearOracle,
     "q_probe_linear_scores" -> probeLinearScoresOracle,
     "q_pipeline_probe_filter" -> probeFilterOracle,
+    "q_corpus_bootstrap_ci" -> corpusBootstrapCiOracle,
     "q_tokenizer_unigram_em2" -> tokenizerUnigramEm2Oracle,
     "q_doc_unigram_tokens" -> docUnigramTokensOracle,
     "q_doc_unigram_ppl_buckets" -> docUnigramPplBucketsOracle,
