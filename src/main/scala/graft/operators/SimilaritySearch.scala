@@ -3439,6 +3439,110 @@ object SimilaritySearch {
       .mode("append").save()
   }
 
+  /** Residual ADC with an exact re-ranking tail — [[ivfPqRefineKnn]]'s
+    * FAISS `IndexRefineFlat` pattern on the residual chain (IVFADC +
+    * refine: the configuration FAISS deployments actually serve): the
+    * residual codes select a `refine`-sized shortlist per query, ONLY
+    * those ids fetch their raw vectors for exact cosine rescoring, and
+    * the top `k` by TRUE similarity come back.
+    */
+  def ivfPqResidualRefineKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int, refine: Int = 16,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384): DataFrame = {
+    require(refine >= k, s"refine shortlist ($refine) must be >= k ($k)")
+    val (coarse, subCents, codes) = residualModel(corpus, vecCol, idCol,
+      nCells, m, pqCells, iterations, maxTrainPerCell)
+    val scored = residualAdcScores(queries, vecCol, idCol, coarse, subCents,
+      codes, nProbe, m)
+    val shortlist = scored.groupBy(col("qid"))
+      .agg(BoundedTopK.topK(
+        struct((-col("adist")).as("negd"), col("nid").as("nid")), refine).as("top"))
+      .select(col("qid"), explode(col("top").getField("nid")).as("nid"))
+    val c = prep(corpus, vecCol, idCol)
+      .select(col("id").as("nid"), col("e").as("ne"), col("nrm").as("nn"))
+    val q = prep(queries, vecCol, idCol)
+      .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    topKPerQuery(
+      broadcast(shortlist.join(broadcast(q), "qid")).join(c, Seq("nid"))
+        .select(col("qid"), col("nid"),
+          (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim")),
+      k)
+  }
+
+  /** Matryoshka / adaptive retrieval (Kusupati et al., "Matryoshka
+    * Representation Learning", NeurIPS 2022 — the two-pass serving
+    * recipe): shortlist by exact cosine over only the FIRST
+    * `prefixDim` dimensions (MRL-trained embeddings concentrate
+    * information in the prefix, so the truncated scan is nearly as
+    * discriminative at prefixDim/dim the cost), then exact FULL-dim
+    * rescoring of the `refine`-sized shortlist. At 100 TB the prefix
+    * lives as its own narrow column (a dim/prefixDim-times smaller
+    * scan); only shortlist rows ever read their full vectors. Both
+    * passes are deterministic exact cosine — the oracle replays
+    * truncation, shortlist and rescore.
+    */
+  def matryoshkaKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      prefixDim: Int, refine: Int = 16): DataFrame = {
+    require(refine >= k, s"refine shortlist ($refine) must be >= k ($k)")
+    require(prefixDim >= 1, s"prefixDim must be >= 1, got $prefixDim")
+    def trunc(df: DataFrame) = df.select(col(idCol),
+      slice(col(vecCol), 1, prefixDim).as(vecCol))
+    val shortlist = bruteForceKnn(trunc(corpus), trunc(queries),
+      vecCol, idCol, refine)
+      .select(col("qid"), col("nid"))
+    val c = prep(corpus, vecCol, idCol)
+      .select(col("id").as("nid"), col("e").as("ne"), col("nrm").as("nn"))
+    val q = prep(queries, vecCol, idCol)
+      .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    topKPerQuery(
+      broadcast(shortlist.join(broadcast(q), "qid")).join(c, Seq("nid"))
+        .select(col("qid"), col("nid"),
+          (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim")),
+      k)
+  }
+
+  /** The matryoshka trade measured: prefix-only top-k vs
+    * prefix-shortlist + full rescore vs full brute force — the rescore
+    * must recover most of what truncation loses, at shortlist-sized
+    * full-vector cost (the recall row a deployment needs before
+    * picking prefixDim).
+    */
+  def matryoshkaRecallAudit(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      prefixDim: Int, refine: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    val exact = bruteForceKnn(corpus, queries, vecCol, idCol, k)
+      .select(col("qid"), col("nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nQueries = exact.select(col("qid")).distinct().count()
+      def hits(ann: DataFrame): Long =
+        ann.select(col("qid"), col("nid"))
+          .join(exact, Seq("qid", "nid"), "left_semi").count()
+      def trunc(df: DataFrame) = df.select(col(idCol),
+        slice(col(vecCol), 1, prefixDim).as(vecCol))
+      val hitsPrefix = hits(bruteForceKnn(trunc(corpus), trunc(queries),
+        vecCol, idCol, k))
+      val hitsRescored = hits(matryoshkaKnn(corpus, queries, vecCol, idCol,
+        k, prefixDim, refine))
+      def milli(h: Long): Long =
+        if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
+      spark.range(1).select(
+        lit(nQueries).as("n_queries"), lit(k).as("k"),
+        lit(prefixDim).as("prefix_dim"), lit(refine).as("refine"),
+        lit(hitsPrefix).as("hits_prefix"),
+        lit(milli(hitsPrefix)).as("recall_prefix_milli"),
+        lit(hitsRescored).as("hits_rescored"),
+        lit(milli(hitsRescored)).as("recall_rescored_milli"))
+    } finally { exact.unpersist(); () }
+  }
+
   /** Residual vs absolute PQ coding at the SAME budget, both vs exact
     * L2 brute force (the metric both ADC chains approximate) — the
     * IVFADC gain is a property of the corpus's cluster structure (it

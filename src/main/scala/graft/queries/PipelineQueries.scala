@@ -71,6 +71,17 @@ object PipelineQueries {
             element_at(col("embedding"), 3).cast("double"))
         .as("embedding"))
 
+  /** The variance-front-loaded (MRL-profile) fixture shared by the
+    * matryoshka gates: dims 0–31 scaled ×4.0, 32–63 ×0.25 (exact
+    * powers of two — bit-identical scaling on both engines; the
+    * q_ann_varperm anisotropy, reused as a prefix-capability profile).
+    */
+  private def MrlFixture(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        x.cast("double") * when(i < 32, lit(4.0)).otherwise(lit(0.25)))
+        .as("embedding"))
+
   /** [[Pca3Fixture]] plus a FOURTH mutually-orthogonal sign diagonal
     * (+1·dim4, period-8 ++++−−−−) — four oblique shared directions
     * with strictly decreasing power-of-two magnitudes, one per PQ
@@ -1349,6 +1360,49 @@ object PipelineQueries {
         three.filter(col("vec_id") < 20), "embedding", "vec_id",
         k = 3, nProbe = 4)
         .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // IVFADC + refine — the configuration FAISS deployments actually
+    // serve: residual codes pick a 10-wide shortlist, only those ids
+    // fetch raw vectors for exact cosine rescoring, top-3 by TRUE
+    // similarity. Whole cascade (residual chain, shortlist, rescore)
+    // replays in the oracle.
+    "q_ann_ivfpq_residual_refine" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.ivfPqResidualRefineKnn(emb,
+        emb.filter(col("vec_id") < 5), "embedding", "vec_id",
+        k = 3, refine = 10, nCells = 4, nProbe = 2, m = 2, pqCells = 4,
+        maxTrainPerCell = 32)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // Matryoshka / adaptive retrieval (MRL's two-pass serving recipe)
+    // on a variance-FRONT-LOADED embedding (dims 0-31 ×4.0, 32-63
+    // ×0.25 — the profile MRL training produces, and exactly what the
+    // varperm rotation manufactures from a raw embedding): exact
+    // cosine over the FIRST 16 of 64 dims picks a 12-wide shortlist
+    // (a 4x-narrower scan), full-dim exact rescore orders the final
+    // top-3. Truncation, shortlist and rescore all replay in the
+    // oracle.
+    "q_ann_matryoshka" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val mrl = MrlFixture(emb)
+      SimilaritySearch.matryoshkaKnn(mrl, mrl.filter(col("vec_id") < 5),
+        "embedding", "vec_id", k = 3, prefixDim = 16, refine = 12)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // The matryoshka trade measured: prefix-only top-k vs rescored vs
+    // full brute — the rescore must recover most of what truncation
+    // loses at shortlist-sized full-vector cost (and the same audit on
+    // a NON-front-loaded embedding is the check that tells you your
+    // embedding is not prefix-capable).
+    "q_ann_matryoshka_audit" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val mrl = MrlFixture(emb)
+      SimilaritySearch.matryoshkaRecallAudit(mrl,
+        mrl.filter(col("vec_id") < 20), "embedding", "vec_id",
+        k = 3, prefixDim = 16, refine = 12)
     }),
 
     // Residual coding's measured value: residual vs absolute chains at

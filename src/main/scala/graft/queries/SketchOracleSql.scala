@@ -2017,6 +2017,112 @@ object SketchOracleSql {
        |SELECT qid, nid, round(adist, 6) AS adist, rnk
        |FROM rp_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
 
+  /** q_ann_ivfpq_residual_refine: the IVFADC + refine cascade — the
+    * residual chain's 10-wide ADC shortlist, exact cosine rescore of
+    * shortlist ids only, top-3 by true similarity.
+    */
+  def annIvfPqResidualRefineOracle: String =
+    s"""WITH rf_base AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), ${ivfPqResidualChainOver("rf_", "rf_base")},
+       |rf_n AS (
+       |  SELECT id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+       |  FROM rf_base
+       |), rf_short AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY adist, nid) AS rn
+       |    FROM rf_scored
+       |  ) WHERE rn <= 10
+       |), rf_exact AS (
+       |  SELECT s.qid, s.nid,
+       |    list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * c.e[i]))
+       |      / (q.nrm * c.nrm) AS sim
+       |  FROM rf_short s
+       |  JOIN rf_n q ON q.id = s.qid
+       |  JOIN rf_n c ON c.id = s.nid
+       |)
+       |SELECT qid, nid, round(sim, 6) AS sim, rnk FROM (
+       |  SELECT qid, nid, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk
+       |  FROM rf_exact
+       |) WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
+  /** q_ann_matryoshka: prefix-cosine shortlist (first 16 of 64 dims,
+    * refine = 12) + full-dim exact rescore, top-3.
+    */
+  private def matryoshkaCtes(prefixDim: Int, refine: Int,
+      qMax: Int): String =
+    s"""mk_full AS MATERIALIZED (
+       |  SELECT id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+       |  FROM (
+       |    SELECT vec_id AS id, list_transform(generate_series(0, 63), i ->
+       |      CAST(embedding AS DOUBLE[])[(i + 1)::INT] *
+       |        (CASE WHEN i < 32 THEN 4.0 ELSE 0.25 END)) AS e
+       |    FROM embeddings)
+       |), mk_pre AS MATERIALIZED (
+       |  SELECT id, pe AS e, sqrt(list_sum(list_transform(pe, x -> x * x))) AS nrm
+       |  FROM (SELECT id, e[1:$prefixDim] AS pe FROM mk_full)
+       |), mk_short AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.id AS qid, a.id AS nid,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * a.e[i]))
+       |          / (q.nrm * a.nrm) DESC, a.id) AS rn
+       |    FROM (SELECT * FROM mk_pre WHERE id < $qMax) q
+       |    JOIN mk_pre a ON a.id <> q.id
+       |  ) WHERE rn <= $refine
+       |), mk_exact AS (
+       |  SELECT s.qid, s.nid,
+       |    list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * c.e[i]))
+       |      / (q.nrm * c.nrm) AS sim
+       |  FROM mk_short s
+       |  JOIN mk_full q ON q.id = s.qid
+       |  JOIN mk_full c ON c.id = s.nid
+       |), mk_ranked AS (
+       |  SELECT qid, nid, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk
+       |  FROM mk_exact
+       |)""".stripMargin
+
+  def annMatryoshkaOracle: String =
+    s"""WITH ${matryoshkaCtes(16, 12, 5)}
+       |SELECT qid, nid, round(sim, 6) AS sim, rnk
+       |FROM mk_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
+  /** q_ann_matryoshka_audit: prefix-only vs rescored vs full brute. */
+  def annMatryoshkaAuditOracle: String =
+    s"""WITH ${matryoshkaCtes(16, 12, 20)},
+       |mk_pretop AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.id AS qid, a.id AS nid,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * a.e[i]))
+       |          / (q.nrm * a.nrm) DESC, a.id) AS rn
+       |    FROM (SELECT * FROM mk_pre WHERE id < 20) q
+       |    JOIN mk_pre a ON a.id <> q.id
+       |  ) WHERE rn <= 3
+       |), mk_br AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.id AS qid, a.id AS nid,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * a.e[i]))
+       |          / (q.nrm * a.nrm) DESC, a.id) AS rn
+       |    FROM (SELECT * FROM mk_full WHERE id < 20) q
+       |    JOIN mk_full a ON a.id <> q.id
+       |  ) WHERE rn <= 3
+       |), hp AS (SELECT count(*)::BIGINT AS h FROM mk_pretop JOIN mk_br USING (qid, nid)),
+       |hr AS (SELECT count(*)::BIGINT AS h
+       |  FROM (SELECT qid, nid FROM mk_ranked WHERE rnk <= 3) JOIN mk_br USING (qid, nid)),
+       |nqm AS (SELECT count(DISTINCT qid)::BIGINT AS n FROM mk_br)
+       |SELECT nqm.n AS n_queries, CAST(3 AS INT) AS k,
+       |  CAST(16 AS INT) AS prefix_dim, CAST(12 AS INT) AS refine,
+       |  hp.h AS hits_prefix,
+       |  CAST(hp.h * 1000 // (3 * nqm.n) AS BIGINT) AS recall_prefix_milli,
+       |  hr.h AS hits_rescored,
+       |  CAST(hr.h * 1000 // (3 * nqm.n) AS BIGINT) AS recall_rescored_milli
+       |FROM hp, hr, nqm""".stripMargin
+
   /** q_ann_ivfpq_stream_index: the streaming-maintained residual
     * index — coarse centroids AND residual codebooks trained on the
     * base slice only (vec_id < 250, the build input), EVERY vector
@@ -3532,6 +3638,9 @@ object SketchOracleSql {
     "q_ann_ivfpq_residual_indexed" -> annIvfPqResidualOracle,
     "q_ann_ivfpq_residual_cosine" -> annIvfPqResidualCosineOracle,
     "q_ann_ivfpq_stream_index" -> annResidualStreamIndexOracle,
+    "q_ann_ivfpq_residual_refine" -> annIvfPqResidualRefineOracle,
+    "q_ann_matryoshka" -> annMatryoshkaOracle,
+    "q_ann_matryoshka_audit" -> annMatryoshkaAuditOracle,
     "q_ann_ivfpq_residual_audit" -> annIvfPqResidualAuditOracle,
     "q_dedup_groups" -> componentsOracle,
     "q_dedup_cluster_sizes" -> clusterSizesOracle,
