@@ -3439,6 +3439,84 @@ object SimilaritySearch {
       .mode("append").save()
   }
 
+  /** OPQ × IVFADC — FAISS's `OPQ,IVF,PQ` factory composition: the
+    * learned variance-balancing permutation ([[variancePermutation]])
+    * first, residual coding ([[ivfPqResidualKnn]]) after. The two
+    * fixes are INDEPENDENT: the permutation balances per-SUBSPACE
+    * variance (which axes share a codebook), residual coding removes
+    * per-CELL means (what each codebook must span) — on a corpus with
+    * both pathologies either alone is capped and the composition
+    * clears both ([[opqResidualRecallAudit]] measures all four
+    * quadrants). A permutation is orthogonal, so exact distances are
+    * unchanged and the whole derivation stays oracle-replayable.
+    */
+  def ivfPqOpqResidualKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, dim: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384): DataFrame = {
+    val perm = variancePermutation(corpus, vecCol, dim, m)
+    def rot(df: DataFrame): DataFrame =
+      df.select(col(idCol), permuteVec(col(vecCol), perm).as(vecCol))
+    ivfPqResidualKnn(rot(corpus), rot(queries), vecCol, idCol, k,
+      nCells, nProbe, m, pqCells, iterations, maxTrainPerCell)
+  }
+
+  /** The composition's four quadrants at one budget, all vs exact L2
+    * brute force: plain / permuted-only / residual-only / both — on a
+    * corpus with subspace-variance imbalance AND cluster structure,
+    * `both` must clear each single fix (the reason FAISS composes
+    * them rather than choosing).
+    */
+  def opqResidualRecallAudit(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, dim: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384): DataFrame = {
+    val spark = corpus.sparkSession
+    val pc = prep(corpus, vecCol, idCol).select(col("id"), col("e"))
+    val exact = broadcast(prep(queries, vecCol, idCol)
+        .select(col("id").as("qid"), col("e").as("qe")))
+      .join(pc, col("qid") =!= col("id"))
+      .withColumn("d2", aggregate(zip_with(col("qe"), col("e"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("qid"))
+      .agg(graft.functions.BoundedTopK.topK(
+        struct((lit(0.0) - col("d2")).as("negd"), col("id").as("nid")),
+        k).as("top"))
+      .select(col("qid"), explode(col("top.nid")).as("nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nQueries = exact.select(col("qid")).distinct().count()
+      def hits(ann: DataFrame): Long =
+        ann.select(col("qid"), col("nid"))
+          .join(exact, Seq("qid", "nid"), "left_semi").count()
+      val hitsPlain = hits(rankAdc(ivfPqAdcScores(corpus, queries, vecCol,
+        idCol, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell), k))
+      val hitsPerm = hits(ivfPqVarPermKnn(corpus, queries, vecCol, idCol,
+        dim, k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell))
+      val hitsRes = hits(ivfPqResidualKnn(corpus, queries, vecCol, idCol,
+        k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell))
+      val hitsBoth = hits(ivfPqOpqResidualKnn(corpus, queries, vecCol,
+        idCol, dim, k, nCells, nProbe, m, pqCells, iterations,
+        maxTrainPerCell))
+      def milli(h: Long): Long =
+        if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
+      spark.range(1).select(
+        lit(nQueries).as("n_queries"), lit(k).as("k"),
+        lit(hitsPlain).as("hits_plain"),
+        lit(milli(hitsPlain)).as("recall_plain_milli"),
+        lit(hitsPerm).as("hits_perm"),
+        lit(milli(hitsPerm)).as("recall_perm_milli"),
+        lit(hitsRes).as("hits_residual"),
+        lit(milli(hitsRes)).as("recall_residual_milli"),
+        lit(hitsBoth).as("hits_both"),
+        lit(milli(hitsBoth)).as("recall_both_milli"))
+    } finally { exact.unpersist(); () }
+  }
+
   /** Residual ADC with an exact re-ranking tail — [[ivfPqRefineKnn]]'s
     * FAISS `IndexRefineFlat` pattern on the residual chain (IVFADC +
     * refine: the configuration FAISS deployments actually serve): the

@@ -1362,6 +1362,34 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // OPQ × IVFADC (FAISS's OPQ,IVF,PQ factory): the learned
+    // serpentine permutation first, residual coding after — the two
+    // fixes repair INDEPENDENT pathologies (subspace-variance
+    // imbalance vs per-cell means). Exact top-3 in the permuted basis,
+    // permutation derivation + residual chain fully oracle-replayed.
+    "q_ann_opq_residual" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val mixed = MrlFixture(Pca3Fixture(emb))
+      SimilaritySearch.ivfPqOpqResidualKnn(mixed,
+        mixed.filter(col("vec_id") < 5), "embedding", "vec_id",
+        dim = 64, k = 3, nCells = 8, nProbe = 4, m = 4, pqCells = 16,
+        maxTrainPerCell = 64)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // The composition's four quadrants measured at one budget (probes
+    // cover every cell, isolating CODING quality): plain / permuted /
+    // residual / both vs exact L2 truth on a fixture with BOTH
+    // pathologies — both must clear each single fix.
+    "q_ann_opq_residual_audit" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val mixed = MrlFixture(Pca3Fixture(emb))
+      SimilaritySearch.opqResidualRecallAudit(mixed,
+        mixed.filter(col("vec_id") < 20), "embedding", "vec_id",
+        dim = 64, k = 3, nCells = 8, nProbe = 8, m = 4, pqCells = 16,
+        maxTrainPerCell = 64)
+    }),
+
     // IVFADC + refine — the configuration FAISS deployments actually
     // serve: residual codes pick a 10-wide shortlist, only those ids
     // fetch raw vectors for exact cosine rescoring, top-3 by TRUE

@@ -2217,6 +2217,110 @@ object SketchOracleSql {
        |  FROM vx_prep, vp_perm
        |)""".stripMargin
 
+  /** [[varPermCtes]] generalized: the serpentine variance permutation
+    * over an arbitrary `(id, e DOUBLE[64])` CTE at `m` subspaces —
+    * produces `${px}prep` (the permuted base). Matches
+    * `SimilaritySearch.variancePermutation`'s (q desc, pos) rank and
+    * s·dsub+t slot formula for any m.
+    */
+  private def varPermCtesOver(px: String, base: String, m: Int): String = {
+    val dsub = 64 / m
+    s"""${px}q AS (
+       |  SELECT pos, sum(CAST(floor(v * v * 1000000.0 + 0.5) AS BIGINT)) AS q
+       |  FROM (SELECT unnest(range(0, 64)) AS pos, unnest(e) AS v FROM $base)
+       |  GROUP BY pos
+       |), ${px}rank AS (
+       |  SELECT pos, row_number() OVER (ORDER BY q DESC, pos) - 1 AS r FROM ${px}q
+       |), ${px}map AS (
+       |  SELECT (CASE WHEN (r // $m) % 2 = 0 THEN r % $m ELSE ($m - 1) - (r % $m) END) * $dsub
+       |    + (r // $m) AS j, pos
+       |  FROM ${px}rank
+       |), ${px}permv AS (SELECT list(pos ORDER BY j) AS p FROM ${px}map),
+       |${px}prep AS MATERIALIZED (
+       |  SELECT id, list_transform(generate_series(1, 64), j ->
+       |    e[(p[j] + 1)::INT]) AS e
+       |  FROM $base, ${px}permv
+       |)""".stripMargin
+  }
+
+  /** The mixed-pathology fixture for the OPQ×IVFADC gates: the
+    * three-oblique cluster structure SCALED anisotropically (dims 0–31
+    * ×4.0, 32–63 ×0.25) — subspace-variance imbalance AND cluster
+    * means in one corpus, so each fix has something real and
+    * independent to repair.
+    */
+  private def opqResidualBaseCte: String =
+    s"""mx_base AS MATERIALIZED (
+       |  SELECT id, list_transform(generate_series(0, 63), i ->
+       |    e0[(i + 1)::INT] * (CASE WHEN i < 32 THEN 4.0 ELSE 0.25 END)) AS e
+       |  FROM (
+       |    SELECT vec_id AS id, list_transform(generate_series(1, 64), j ->
+       |      CAST(embedding AS DOUBLE[])[j::INT]
+       |        + 8.0 * CAST(embedding AS DOUBLE[])[1]
+       |        + (CASE WHEN (j - 1) % 2 = 0 THEN 4.0 ELSE -4.0 END)
+       |            * CAST(embedding AS DOUBLE[])[2]
+       |        + (CASE WHEN (j - 1) % 4 < 2 THEN 2.0 ELSE -2.0 END)
+       |            * CAST(embedding AS DOUBLE[])[3]) AS e0
+       |    FROM embeddings)
+       |)""".stripMargin
+
+  /** q_ann_opq_residual: rotate-then-residual-encode (FAISS's
+    * OPQ,IVF,PQ factory) — the serpentine permutation over the mixed
+    * fixture, then the full residual chain in the permuted basis.
+    */
+  def annOpqResidualOracle: String =
+    s"""WITH $opqResidualBaseCte,
+       |${varPermCtesOver("mo_", "mx_base", 4)},
+       |${ivfPqResidualChainOver("mr_", "mo_prep", nCells = 8, nProbe = 4,
+          pqCells = 16, cap = 64, qMax = 5, m = 4)}
+       |SELECT qid, nid, round(adist, 6) AS adist, rnk
+       |FROM mr_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
+  /** q_ann_opq_residual_audit: the composition's four quadrants —
+    * plain / permuted / residual / both at one budget, all vs exact
+    * L2 brute force on the mixed fixture.
+    */
+  def annOpqResidualAuditOracle: String =
+    s"""WITH $opqResidualBaseCte,
+       |${varPermCtesOver("mo_", "mx_base", 4)},
+       |${ivfPqChainOver("ma_", "mx_base", nCells = 8, nProbe = 8,
+          pqCells = 16, cap = 64, qMax = 20, m = 4)},
+       |${ivfPqChainOver("mb_", "mo_prep", nCells = 8, nProbe = 8,
+          pqCells = 16, cap = 64, qMax = 20, m = 4)},
+       |${ivfPqResidualChainOver("mc_", "mx_base", nCells = 8, nProbe = 8,
+          pqCells = 16, cap = 64, qMax = 20, m = 4)},
+       |${ivfPqResidualChainOver("md_", "mo_prep", nCells = 8, nProbe = 8,
+          pqCells = 16, cap = 64, qMax = 20, m = 4)},
+       |mx_l2 AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.id AS qid, a.id AS nid,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(q.e)),
+       |          i -> (q.e[i] - a.e[i]) * (q.e[i] - a.e[i]))), a.id) AS rn
+       |    FROM (SELECT * FROM mx_base WHERE id < 20) q
+       |    JOIN mx_base a ON a.id <> q.id
+       |  ) WHERE rn <= 3
+       |),
+       |ha AS (SELECT count(*)::BIGINT AS h
+       |  FROM (SELECT qid, nid FROM ma_ranked WHERE rnk <= 3) JOIN mx_l2 USING (qid, nid)),
+       |hb AS (SELECT count(*)::BIGINT AS h
+       |  FROM (SELECT qid, nid FROM mb_ranked WHERE rnk <= 3) JOIN mx_l2 USING (qid, nid)),
+       |hc AS (SELECT count(*)::BIGINT AS h
+       |  FROM (SELECT qid, nid FROM mc_ranked WHERE rnk <= 3) JOIN mx_l2 USING (qid, nid)),
+       |hd AS (SELECT count(*)::BIGINT AS h
+       |  FROM (SELECT qid, nid FROM md_ranked WHERE rnk <= 3) JOIN mx_l2 USING (qid, nid)),
+       |nqo AS (SELECT count(DISTINCT qid)::BIGINT AS n FROM mx_l2)
+       |SELECT nqo.n AS n_queries, CAST(3 AS INT) AS k,
+       |  ha.h AS hits_plain,
+       |  CAST(ha.h * 1000 // (3 * nqo.n) AS BIGINT) AS recall_plain_milli,
+       |  hb.h AS hits_perm,
+       |  CAST(hb.h * 1000 // (3 * nqo.n) AS BIGINT) AS recall_perm_milli,
+       |  hc.h AS hits_residual,
+       |  CAST(hc.h * 1000 // (3 * nqo.n) AS BIGINT) AS recall_residual_milli,
+       |  hd.h AS hits_both,
+       |  CAST(hd.h * 1000 // (3 * nqo.n) AS BIGINT) AS recall_both_milli
+       |FROM ha, hb, hc, hd, nqo""".stripMargin
+
   def annVarPermOracle: String =
     s"""WITH $varPermCtes, ${ivfPqChainOver("vpp_", "vp_prep", nCells = 4,
           nProbe = 4, pqCells = 16, cap = 64, qMax = 20)}
@@ -3639,6 +3743,8 @@ object SketchOracleSql {
     "q_ann_ivfpq_residual_cosine" -> annIvfPqResidualCosineOracle,
     "q_ann_ivfpq_stream_index" -> annResidualStreamIndexOracle,
     "q_ann_ivfpq_residual_refine" -> annIvfPqResidualRefineOracle,
+    "q_ann_opq_residual" -> annOpqResidualOracle,
+    "q_ann_opq_residual_audit" -> annOpqResidualAuditOracle,
     "q_ann_matryoshka" -> annMatryoshkaOracle,
     "q_ann_matryoshka_audit" -> annMatryoshkaAuditOracle,
     "q_ann_ivfpq_residual_audit" -> annIvfPqResidualAuditOracle,
