@@ -233,44 +233,76 @@ object CorpusStats {
   def bootstrapMeanCi(
       df: DataFrame, valueCol: String, idCol: String,
       replicas: Int = 64, seed: Long = 7L): DataFrame = {
+    // a mean IS a ratio with denominator 1: Σw·x / Σw·1
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(valueCol).cast("long").as("num"), lit(1L).as("den"))
+    val (n, full, lo, hi) = bootstrapCore(base, replicas, seed)
+    df.sparkSession.range(1).select(
+      lit(n).as("n_docs"), lit(replicas).as("replicas"),
+      lit(full).as("mean_micro"),
+      lit(lo).as("ci_lo_micro"), lit(hi).as("ci_hi_micro"))
+  }
+
+  /** [[bootstrapMeanCi]] for RATIO metrics (dedup rate, filter
+    * pass-rate, kept-token fraction): per replica the exact integer
+    * micro-ratio 10⁶·Σw·num // Σw·den under the SAME deterministic
+    * Poisson weights — numerator and denominator of one replica move
+    * together, which is the whole point (independent resampling of
+    * the two would fabricate variance a paired statistic doesn't
+    * have). Same one-pass shape, same exact-rank band.
+    */
+  def bootstrapRatioCi(
+      df: DataFrame, numCol: String, denCol: String, idCol: String,
+      replicas: Int = 64, seed: Long = 7L): DataFrame = {
+    val base = df.select(col(idCol).cast("long").as("id"),
+      col(numCol).cast("long").as("num"), col(denCol).cast("long").as("den"))
+    val (n, full, lo, hi) = bootstrapCore(base, replicas, seed)
+    df.sparkSession.range(1).select(
+      lit(n).as("n_docs"), lit(replicas).as("replicas"),
+      lit(full).as("ratio_micro"),
+      lit(lo).as("ci_lo_micro"), lit(hi).as("ci_hi_micro"))
+  }
+
+  /** The shared bootstrap machine over (id, num, den) rows: full-sample
+    * micro-ratio, plus the exact-rank CI band over the replica
+    * micro-ratios. All divisions are BigInt floors over bounded
+    * driver-side aggregates; a replica whose denominator draws zero
+    * weight fails loudly.
+    */
+  private def bootstrapCore(base: DataFrame, replicas: Int,
+      seed: Long): (Long, Long, Long, Long) = {
     require(replicas >= 4 && replicas <= 256,
       s"replicas must be in [4, 256], got $replicas")
-    val spark = df.sparkSession
     val thresholds = poissonThresholds
-    val base = df.select(col(idCol).cast("long").as("id"),
-      col(valueCol).cast("long").as("x"))
-    // full-sample mean (exact integers)
-    val full = base.agg(sum(col("x")).as("sx"), count(lit(1)).as("n"))
-      .collect()(0)
-    val (sx, n) = (full.getAs[Long]("sx"), full.getAs[Long]("n"))
-    require(n > 0, "bootstrapMeanCi needs a non-empty corpus")
+    val full = base.agg(sum(col("num")).as("sn"), sum(col("den")).as("sd"),
+      count(lit(1)).as("n")).collect()(0)
+    val (sn, sd, n) = (full.getAs[Long]("sn"), full.getAs[Long]("sd"),
+      full.getAs[Long]("n"))
+    require(n > 0, "bootstrap CI needs a non-empty corpus")
+    require(sd > 0, "bootstrap CI needs a positive total denominator")
     // per-replica Poisson weights: hu = splitmix(splitmix(id ⊕ seed) ⊕ r) >>> 11
     val hu = shiftrightunsigned(graft.functions.Sketches.splitmixLong(
       graft.functions.Sketches.splitmixLong(
         col("id").bitwiseXOR(lit(seed))).bitwiseXOR(col("r"))), 11)
     val w = size(filter(typedLit(thresholds), t => hu >= t))
     val rep = base
-      .select(col("id"), col("x"),
+      .select(col("id"), col("num"), col("den"),
         explode(sequence(lit(0L), lit(replicas - 1L))).as("r"))
-      .select(col("r"), w.cast("long").as("w"), col("x"))
+      .select(col("r"), w.cast("long").as("w"), col("num"), col("den"))
       .groupBy(col("r"))
-      .agg(sum(col("w")).as("sw"), sum(col("w") * col("x")).as("swx"))
+      .agg(sum(col("w") * col("num")).as("swn"),
+        sum(col("w") * col("den")).as("swd"))
       .collect()
     require(rep.length == replicas, s"expected $replicas replica rows")
-    // exact BigInt floor division — a replica with all-zero weights
-    // (probability ~e^-n) would divide by zero loudly, never silently
-    val means = rep.map { r =>
-      val sw = r.getAs[Long]("sw")
-      require(sw > 0, s"replica ${r.getAs[Long]("r")} drew zero total weight")
-      (BigInt(1000000) * BigInt(r.getAs[Long]("swx")) / BigInt(sw)).toLong
+    val ratios = rep.map { r =>
+      val swd = r.getAs[Long]("swd")
+      require(swd > 0,
+        s"replica ${r.getAs[Long]("r")} drew zero total denominator weight")
+      (BigInt(1000000) * BigInt(r.getAs[Long]("swn")) / BigInt(swd)).toLong
     }.sorted
     val loIdx = math.max(1, (replicas * 25 + 999) / 1000)
     val hiIdx = replicas + 1 - loIdx
-    val meanMicro = (BigInt(1000000) * BigInt(sx) / BigInt(n)).toLong
-    spark.range(1).select(
-      lit(n).as("n_docs"), lit(replicas).as("replicas"),
-      lit(meanMicro).as("mean_micro"),
-      lit(means(loIdx - 1)).as("ci_lo_micro"),
-      lit(means(hiIdx - 1)).as("ci_hi_micro"))
+    val fullMicro = (BigInt(1000000) * BigInt(sn) / BigInt(sd)).toLong
+    (n, fullMicro, ratios(loIdx - 1), ratios(hiIdx - 1))
   }
 }

@@ -1770,6 +1770,22 @@ object PipelineQueries {
         "doc_id", replicas = 64, seed = 7L)
     }),
 
+    // CI for a RATIO metric: the kept-token fraction under a ≥50-word
+    // length gate (numerator and denominator resampled TOGETHER under
+    // the same replica weights — independent resampling would
+    // fabricate variance a paired statistic doesn't have). Same
+    // one-pass Poisson machinery, exact-rank band, full oracle replay.
+    "q_corpus_bootstrap_ratio" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val nTok = size(filter(split(lower(col("text")), " "),
+        t => length(t) > 0)).cast("long")
+      val vals = docs.select(col("doc_id"),
+        when(nTok >= 50L, nTok).otherwise(lit(0L)).as("kept_tokens"),
+        nTok.as("n_tokens"))
+      graft.operators.CorpusStats.bootstrapRatioCi(vals, "kept_tokens",
+        "n_tokens", "doc_id", replicas = 64, seed = 7L)
+    }),
+
     "q_doc_langid" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
         .groupBy(LangId.langId(col("text")).as("detected_lang"))

@@ -1388,6 +1388,50 @@ object SketchOracleSql {
        |FROM bs_full""".stripMargin
   }
 
+  /** q_corpus_bootstrap_ratio: the paired-ratio bootstrap — same
+    * weights machinery, numerator Σw·kept_tokens and denominator
+    * Σw·n_tokens move together per replica.
+    */
+  def corpusBootstrapRatioOracle: String = {
+    val replicas = 64
+    val thresholds = graft.operators.CorpusStats.poissonThresholds
+    val loIdx = math.max(1, (replicas * 25 + 999) / 1000)
+    val hiIdx = replicas + 1 - loIdx
+    val h1 = sx(splitmix(ux("xor(id, 7)")))
+    val h2 = sx(splitmix(ux(s"xor(($h1), r)")))
+    val wExpr = thresholds
+      .map(t => s"(CASE WHEN hu >= $t THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH br_v AS MATERIALIZED (
+       |  SELECT doc_id AS id,
+       |    (CASE WHEN nt >= 50 THEN nt ELSE 0 END) AS num, nt AS den
+       |  FROM (
+       |    SELECT doc_id,
+       |      len(list_filter(string_split(lower(text), ' '), t -> len(t) > 0))::BIGINT AS nt
+       |    FROM documents)
+       |), br_h AS (
+       |  SELECT r, num, den, (${ux(h2)} // 2048) AS hu
+       |  FROM br_v, LATERAL (SELECT unnest(range($replicas)) AS r)
+       |), br_rep AS (
+       |  SELECT r, sum(($wExpr) * num)::HUGEINT AS swn,
+       |    sum(($wExpr) * den)::HUGEINT AS swd
+       |  FROM br_h GROUP BY r
+       |), br_rank AS (
+       |  SELECT (1000000 * swn) // swd AS mm,
+       |    row_number() OVER (ORDER BY (1000000 * swn) // swd) AS rn
+       |  FROM br_rep
+       |), br_full AS (
+       |  SELECT count(*)::BIGINT AS n, sum(num)::HUGEINT AS sn,
+       |    sum(den)::HUGEINT AS sd
+       |  FROM br_v
+       |)
+       |SELECT n AS n_docs, CAST($replicas AS INT) AS replicas,
+       |  CAST((1000000 * sn) // sd AS BIGINT) AS ratio_micro,
+       |  (SELECT CAST(mm AS BIGINT) FROM br_rank WHERE rn = $loIdx) AS ci_lo_micro,
+       |  (SELECT CAST(mm AS BIGINT) FROM br_rank WHERE rn = $hiIdx) AS ci_hi_micro
+       |FROM br_full""".stripMargin
+  }
+
   /** The linear-probe replay (q_probe_linear / _scores): features and
     * label per doc, ONE moments pass (quantized products, HUGEINT
     * sums, truncating mean by n), ridge diagonal, the literal 24-term
@@ -3724,6 +3768,7 @@ object SketchOracleSql {
     "q_probe_linear_scores" -> probeLinearScoresOracle,
     "q_pipeline_probe_filter" -> probeFilterOracle,
     "q_corpus_bootstrap_ci" -> corpusBootstrapCiOracle,
+    "q_corpus_bootstrap_ratio" -> corpusBootstrapRatioOracle,
     "q_tokenizer_unigram_em2" -> tokenizerUnigramEm2Oracle,
     "q_doc_unigram_tokens" -> docUnigramTokensOracle,
     "q_doc_unigram_ppl_buckets" -> docUnigramPplBucketsOracle,
