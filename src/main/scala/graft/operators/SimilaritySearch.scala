@@ -3463,6 +3463,51 @@ object SimilaritySearch {
       nCells, nProbe, m, pqCells, iterations, maxTrainPerCell)
   }
 
+  /** Persist an OPQ×IVFADC index ([[buildVarPermIndex]]'s stance for
+    * the composed tier): the learned permutation lands as the `perm`
+    * table and the residual layout (coarse + residual codebooks +
+    * codes + residual meta marker) builds over the PERMUTED corpus —
+    * train once, search many for the full FAISS factory composition.
+    */
+  def buildOpqResidualIndex(
+      corpus: DataFrame, vecCol: String, idCol: String, path: String,
+      dim: Int, nCells: Int = 16, m: Int = 2, pqCells: Int = 16,
+      iterations: Int = 2, maxTrainPerCell: Int = 16384): Unit = {
+    val spark = corpus.sparkSession
+    val perm = variancePermutation(corpus, vecCol, dim, m)
+    import spark.implicits._
+    perm.zipWithIndex.map { case (pos, j) => (j.toLong, pos.toLong) }
+      .toDF("slot", "pos")
+      .write.format("kv").option("path", s"$path/perm")
+      .mode("overwrite").save()
+    buildIvfPqResidualIndex(
+      corpus.select(col(idCol), permuteVec(col(vecCol), perm).as(vecCol)),
+      vecCol, idCol, path, nCells, m, pqCells, iterations, maxTrainPerCell)
+  }
+
+  /** Search a [[buildOpqResidualIndex]] index: apply the STORED
+    * permutation to raw queries, then the residual indexed chain —
+    * answers bit-identically to the in-memory [[ivfPqOpqResidualKnn]]
+    * at the same knobs (the [[varPermKnnIndexed]] discipline on the
+    * residual layout).
+    */
+  def opqResidualKnnIndexed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, vecCol: String, idCol: String,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val permRows = spark.read.format("kv").option("path", s"$path/perm")
+      .load().collect()
+    require(permRows.nonEmpty, s"no permutation table under $path")
+    val perm = permRows
+      .map(r => r.getAs[Long]("slot").toInt -> r.getAs[Long]("pos").toInt)
+      .sortBy(_._1).map(_._2).toSeq
+    require(perm.sorted == (0 until perm.length),
+      s"corrupt permutation table under $path")
+    ivfPqResidualKnnIndexed(spark, path,
+      queries.select(col(idCol), permuteVec(col(vecCol), perm).as(vecCol)),
+      vecCol, idCol, k, nProbe)
+  }
+
   /** The composition's four quadrants at one budget, all vs exact L2
     * brute force: plain / permuted-only / residual-only / both — on a
     * corpus with subspace-variance imbalance AND cluster structure,

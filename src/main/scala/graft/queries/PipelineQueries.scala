@@ -1377,6 +1377,24 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // The composed tier persisted: perm table + residual layout under
+    // one path (train once, search many); raw queries take the STORED
+    // permutation then the residual indexed chain — bit-identical to
+    // the in-memory composition, so the gate shares its oracle.
+    "q_ann_opq_residual_indexed" -> ((s, dir) => {
+      val idx = s"/tmp/graft_oridx${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(idx)
+      val emb = Tables.load(s, dir, "embeddings")
+      val mixed = MrlFixture(Pca3Fixture(emb))
+      SimilaritySearch.buildOpqResidualIndex(mixed, "embedding", "vec_id",
+        idx, dim = 64, nCells = 8, m = 4, pqCells = 16,
+        maxTrainPerCell = 64)
+      SimilaritySearch.opqResidualKnnIndexed(s, idx,
+        mixed.filter(col("vec_id") < 5), "embedding", "vec_id",
+        k = 3, nProbe = 4)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // The composition's four quadrants measured at one budget (probes
     // cover every cell, isolating CODING quality): plain / permuted /
     // residual / both vs exact L2 truth on a fixture with BOTH

@@ -3789,6 +3789,9 @@ object SketchOracleSql {
     "q_ann_ivfpq_stream_index" -> annResidualStreamIndexOracle,
     "q_ann_ivfpq_residual_refine" -> annIvfPqResidualRefineOracle,
     "q_ann_opq_residual" -> annOpqResidualOracle,
+    // the persisted composed tier applies the STORED permutation +
+    // residual tables — same chain, same oracle
+    "q_ann_opq_residual_indexed" -> annOpqResidualOracle,
     "q_ann_opq_residual_audit" -> annOpqResidualAuditOracle,
     "q_ann_matryoshka" -> annMatryoshkaOracle,
     "q_ann_matryoshka_audit" -> annMatryoshkaAuditOracle,

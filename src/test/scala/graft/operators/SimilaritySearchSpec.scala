@@ -637,6 +637,29 @@ class SimilaritySearchSpec extends SparkSpec {
     assert(search(chopped) == search(oneShot))
   }
 
+  test("persisted OPQxIVFADC index: stored permutation + residual layout == in-memory composition") {
+    val idx = java.nio.file.Files.createTempDirectory("oridx").toString
+    val q = corpus.filter(col("vec_id") < 3L)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "nid", "adist", "rnk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .sortBy(t => (t._1, t._4)).toSeq
+    val direct = rows(SimilaritySearch.ivfPqOpqResidualKnn(corpus, q,
+      "embedding", "vec_id", dim = 24, k = 2, nCells = 4, nProbe = 2,
+      m = 2, pqCells = 4, maxTrainPerCell = 32))
+    SimilaritySearch.buildOpqResidualIndex(corpus, "embedding", "vec_id",
+      idx, dim = 24, nCells = 4, m = 2, pqCells = 4, maxTrainPerCell = 32)
+    val indexed = rows(SimilaritySearch.opqResidualKnnIndexed(spark, idx,
+      q, "embedding", "vec_id", k = 2, nProbe = 2))
+    assert(indexed == direct,
+      "persisted OPQxIVFADC diverged from the in-memory composition")
+    // the layout carries the residual marker: the absolute reader refuses
+    intercept[IllegalArgumentException] {
+      SimilaritySearch.ivfPqKnnIndexed(spark, idx, q,
+        "embedding", "vec_id", k = 2, nProbe = 2).collect()
+    }
+  }
+
   test("normalize knob through the PQ tiers: normalized persisted indexes == in-memory chains over unit vectors") {
     val q = corpus.filter(col("vec_id") < 3L)
     def rows(df: org.apache.spark.sql.DataFrame) =
