@@ -263,6 +263,72 @@ object CorpusStats {
       lit(lo).as("ci_lo_micro"), lit(hi).as("ci_hi_micro"))
   }
 
+  /** Per-GROUP bootstrap means under ONE shared replica plan: every
+    * row's weight in replica r is the same function of (id, r)
+    * regardless of group, so per-group CIs are COMPARABLE (two groups'
+    * replica-r means saw the same resampling draw — the right design
+    * for "is language A's mean above language B's" questions). One
+    * map-side-combining groupBy(group, r); the driver sees
+    * groups×replicas bounded rows (require-guarded).
+    *
+    * Returns one row per group: (group, n_docs, mean_micro,
+    * ci_lo_micro, ci_hi_micro), ordered by group.
+    */
+  def bootstrapGroupMeanCi(
+      df: DataFrame, groupCol: String, valueCol: String, idCol: String,
+      replicas: Int = 64, seed: Long = 7L, maxGroups: Int = 64): DataFrame = {
+    require(replicas >= 4 && replicas <= 256,
+      s"replicas must be in [4, 256], got $replicas")
+    require(maxGroups >= 1 && maxGroups <= 1024,
+      s"maxGroups must be in [1, 1024], got $maxGroups")
+    val spark = df.sparkSession
+    val thresholds = poissonThresholds
+    val base = df.select(col(groupCol).cast("string").as("g"),
+      col(idCol).cast("long").as("id"), col(valueCol).cast("long").as("x"))
+    val full = base.groupBy(col("g"))
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("n")).collect()
+    require(full.length <= maxGroups,
+      s"${full.length} groups exceed the bounded driver budget " +
+        s"($maxGroups) — raise maxGroups or pre-aggregate")
+    val hu = shiftrightunsigned(graft.functions.Sketches.splitmixLong(
+      graft.functions.Sketches.splitmixLong(
+        col("id").bitwiseXOR(lit(seed))).bitwiseXOR(col("r"))), 11)
+    val w = size(filter(typedLit(thresholds), t => hu >= t))
+    val rep = base
+      .select(col("g"), col("id"), col("x"),
+        explode(sequence(lit(0L), lit(replicas - 1L))).as("r"))
+      .select(col("g"), col("r"), w.cast("long").as("w"), col("x"))
+      .groupBy(col("g"), col("r"))
+      .agg(sum(col("w")).as("sw"), sum(col("w") * col("x")).as("swx"))
+      .collect()
+    val byGroup = rep.groupBy(_.getAs[String]("g"))
+    val rows = full.sortBy(_.getAs[String]("g")).map { f =>
+      val g = f.getAs[String]("g")
+      val reps = byGroup.getOrElse(g, Array.empty)
+      require(reps.length == replicas,
+        s"group $g: expected $replicas replica rows, got ${reps.length}")
+      val means = reps.map { r =>
+        val sw = r.getAs[Long]("sw")
+        require(sw > 0, s"group $g replica ${r.getAs[Long]("r")} drew zero weight")
+        (BigInt(1000000) * BigInt(r.getAs[Long]("swx")) / BigInt(sw)).toLong
+      }.sorted
+      val loIdx = math.max(1, (replicas * 25 + 999) / 1000)
+      val hiIdx = replicas + 1 - loIdx
+      val meanMicro = (BigInt(1000000) * BigInt(f.getAs[Long]("sx")) /
+        BigInt(f.getAs[Long]("n"))).toLong
+      Row(g, f.getAs[Long]("n"), meanMicro,
+        means(loIdx - 1), means(hiIdx - 1))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.toSeq, 1),
+      StructType(Seq(
+        StructField("grp", StringType, nullable = true),
+        StructField("n_docs", LongType, nullable = false),
+        StructField("mean_micro", LongType, nullable = false),
+        StructField("ci_lo_micro", LongType, nullable = false),
+        StructField("ci_hi_micro", LongType, nullable = false))))
+  }
+
   /** The shared bootstrap machine over (id, num, den) rows: full-sample
     * micro-ratio, plus the exact-rank CI band over the replica
     * micro-ratios. All divisions are BigInt floors over bounded

@@ -229,6 +229,32 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The duplicate-token FRACTION (Lee et al. 2021's "Deduplicating
+    // Training Data" reporting metric): the share of corpus tokens
+    // that span dedup removes (n-gram windows duplicated across docs,
+    // keeper excluded) — the memorization-risk number a release
+    // report carries next to its dedup settings. Derived from the
+    // same span machinery as q_doc_dedup_spans (same fixture), exact
+    // integer micro-fraction.
+    "q_corpus_dup_token_fraction" -> ((s, dir) => {
+      val boiler = " subscribe to our newsletter today full terms of service apply"
+      val aug = Tables.load(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(boiler)))
+          .otherwise(col("text")).as("text"))
+      val out = Dedup.dedupSpans(aug, "text", "doc_id", n = 8)
+      val total = col("kept") + col("dropped")
+      out.agg(
+          sum(size(filter(
+            graft.functions.WhitespaceTokens.wsTokens(col("text")),
+            t => length(t) > 0))).cast("long").as("kept"),
+          sum(col("n_tokens_dropped")).cast("long").as("dropped"))
+        .select(total.as("n_tokens_total"),
+          col("dropped").as("n_tokens_dup"),
+          ((lit(1000000L) * col("dropped") -
+            pmod(lit(1000000L) * col("dropped"), total)) / total)
+            .cast("long").as("dup_fraction_micro"))
+    }),
+
     // Dedup grouping: connected components over the MinHash-LSH pair
     // graph (same parameters as q_dedup_minhash_lsh). The operator's
     // checkpointed pointer-jumping rounds are checked against a recursive
@@ -1804,6 +1830,19 @@ object PipelineQueries {
         "n_tokens", "doc_id", replicas = 64, seed = 7L)
     }),
 
+    // Per-GROUP CIs under ONE shared replica plan: per-language mean
+    // token counts with comparable bands (every group's replica-r mean
+    // saw the same resampling draw — the design for "is A above B"
+    // questions). groups×replicas bounded driver rows, full replay.
+    "q_corpus_bootstrap_groups" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+      val vals = docs.select(col("doc_id"), col("lang"),
+        size(filter(split(lower(col("text")), " "), t => length(t) > 0))
+          .cast("long").as("n_tokens"))
+      graft.operators.CorpusStats.bootstrapGroupMeanCi(vals, "lang",
+        "n_tokens", "doc_id", replicas = 64, seed = 7L)
+    }),
+
     "q_doc_langid" -> ((s, dir) => {
       Tables.load(s, dir, "documents")
         .groupBy(LangId.langId(col("text")).as("detected_lang"))
@@ -2168,6 +2207,34 @@ object PipelineQueries {
         |LEFT JOIN rebuilt r USING (doc_id)
         |LEFT JOIN (SELECT doc_id, count(*) AS n FROM cov GROUP BY doc_id) dr USING (doc_id)
         |ORDER BY t.doc_id""".stripMargin,
+
+    "q_corpus_dup_token_fraction" ->
+      """WITH aug AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 7 = 0
+        |    THEN text || ' subscribe to our newsletter today full terms of service apply'
+        |    ELSE text END AS text
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w FROM aug
+        |), wins AS (
+        |  SELECT doc_id, i AS pos,
+        |    lower(array_to_string(w[(i + 1)::INT : (i + 8)::INT], ' ')) AS key
+        |  FROM (SELECT doc_id, w, unnest(range(len(w) - 7)) AS i FROM t WHERE len(w) >= 8)
+        |), hot AS (
+        |  SELECT key, min(doc_id) AS keeper FROM wins
+        |  GROUP BY key HAVING count(DISTINCT doc_id) > 1
+        |), cov AS (
+        |  SELECT DISTINCT wi.doc_id, wi.pos + o.o AS cp
+        |  FROM wins wi JOIN hot h USING (key)
+        |  CROSS JOIN (SELECT unnest(range(8)) AS o) o
+        |  WHERE wi.doc_id <> h.keeper
+        |), tot AS (
+        |  SELECT sum(len(list_filter(w, t -> len(t) > 0)))::HUGEINT AS total FROM t
+        |), drp AS (SELECT count(*)::HUGEINT AS dropped FROM cov)
+        |SELECT CAST(total AS BIGINT) AS n_tokens_total,
+        |  CAST(dropped AS BIGINT) AS n_tokens_dup,
+        |  CAST((1000000 * dropped) // total AS BIGINT) AS dup_fraction_micro
+        |FROM tot, drp""".stripMargin,
 
     "q_doc_dedup_lines" ->
       """WITH w AS (

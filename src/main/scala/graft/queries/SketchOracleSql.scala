@@ -1432,6 +1432,49 @@ object SketchOracleSql {
        |FROM br_full""".stripMargin
   }
 
+  /** q_corpus_bootstrap_groups: the shared-replica-plan per-group
+    * bootstrap — same weights machinery, grouped by language, one
+    * rank band per group.
+    */
+  def corpusBootstrapGroupsOracle: String = {
+    val replicas = 64
+    val thresholds = graft.operators.CorpusStats.poissonThresholds
+    val loIdx = math.max(1, (replicas * 25 + 999) / 1000)
+    val hiIdx = replicas + 1 - loIdx
+    val h1 = sx(splitmix(ux("xor(id, 7)")))
+    val h2 = sx(splitmix(ux(s"xor(($h1), r)")))
+    val wExpr = thresholds
+      .map(t => s"(CASE WHEN hu >= $t THEN 1 ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH bg_v AS MATERIALIZED (
+       |  SELECT lang AS g, doc_id AS id,
+       |    len(list_filter(string_split(lower(text), ' '), t -> len(t) > 0))::BIGINT AS x
+       |  FROM documents
+       |), bg_h AS (
+       |  SELECT g, r, x, (${ux(h2)} // 2048) AS hu
+       |  FROM bg_v, LATERAL (SELECT unnest(range($replicas)) AS r)
+       |), bg_rep AS (
+       |  SELECT g, r, sum($wExpr)::HUGEINT AS sw,
+       |    sum(($wExpr) * x)::HUGEINT AS swx
+       |  FROM bg_h GROUP BY g, r
+       |), bg_rank AS (
+       |  SELECT g, (1000000 * swx) // sw AS mm,
+       |    row_number() OVER (PARTITION BY g ORDER BY (1000000 * swx) // sw) AS rn
+       |  FROM bg_rep
+       |), bg_full AS (
+       |  SELECT g, count(*)::BIGINT AS n, sum(x)::HUGEINT AS sx
+       |  FROM bg_v GROUP BY g
+       |)
+       |SELECT f.g AS grp, f.n AS n_docs,
+       |  CAST((1000000 * f.sx) // f.n AS BIGINT) AS mean_micro,
+       |  CAST(lo.mm AS BIGINT) AS ci_lo_micro,
+       |  CAST(hi.mm AS BIGINT) AS ci_hi_micro
+       |FROM bg_full f
+       |JOIN bg_rank lo ON lo.g = f.g AND lo.rn = $loIdx
+       |JOIN bg_rank hi ON hi.g = f.g AND hi.rn = $hiIdx
+       |ORDER BY f.g""".stripMargin
+  }
+
   /** The linear-probe replay (q_probe_linear / _scores): features and
     * label per doc, ONE moments pass (quantized products, HUGEINT
     * sums, truncating mean by n), ridge diagonal, the literal 24-term
@@ -3769,6 +3812,7 @@ object SketchOracleSql {
     "q_pipeline_probe_filter" -> probeFilterOracle,
     "q_corpus_bootstrap_ci" -> corpusBootstrapCiOracle,
     "q_corpus_bootstrap_ratio" -> corpusBootstrapRatioOracle,
+    "q_corpus_bootstrap_groups" -> corpusBootstrapGroupsOracle,
     "q_tokenizer_unigram_em2" -> tokenizerUnigramEm2Oracle,
     "q_doc_unigram_tokens" -> docUnigramTokensOracle,
     "q_doc_unigram_ppl_buckets" -> docUnigramPplBucketsOracle,
