@@ -1294,16 +1294,22 @@ object SimilaritySearch {
     * space; since the rotation preserves distances, results are
     * directly comparable to [[ivfPqKnn]] at equal probe budget — the
     * recall delta IS the rotation's value on the corpus at hand.
+    * `normalize=true` unit-normalizes BEFORE rotating (fixed original
+    * coordinate order — the [[unitNorm]] kernel the oracle replays),
+    * making the rotated chain cosine-consistent like every other
+    * normalize knob.
     */
   def ivfPqOpqKnn(
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, dim: Int, k: Int,
       nCells: Int = 16, nProbe: Int = 4,
       m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
-      maxTrainPerCell: Int = 16384): DataFrame = {
+      maxTrainPerCell: Int = 16384, normalize: Boolean = false): DataFrame = {
+    val base = if (normalize) unitNormed(corpus, vecCol, idCol) else corpus
+    val qs = if (normalize) unitNormed(queries, vecCol, idCol) else queries
     def rot(df: DataFrame): DataFrame =
       df.select(col(idCol), opqRotate(col(vecCol), dim).as(vecCol))
-    rankAdc(ivfPqAdcScores(rot(corpus), rot(queries), vecCol, idCol,
+    rankAdc(ivfPqAdcScores(rot(base), rot(qs), vecCol, idCol,
       nCells, nProbe, m, pqCells, iterations, maxTrainPerCell), k)
   }
 
@@ -1372,11 +1378,17 @@ object SimilaritySearch {
       vecCol: String, idCol: String, dim: Int, k: Int,
       nCells: Int = 16, nProbe: Int = 4,
       m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
-      maxTrainPerCell: Int = 16384): DataFrame = {
-    val perm = variancePermutation(corpus, vecCol, dim, m)
+      maxTrainPerCell: Int = 16384, normalize: Boolean = false): DataFrame = {
+    // cosine-consistent variant: unit-normalize FIRST (fixed original
+    // coordinate order), then derive the permutation from the unit
+    // vectors — a permutation computed on raw vectors would balance
+    // magnitude variance cosine ignores
+    val base = if (normalize) unitNormed(corpus, vecCol, idCol) else corpus
+    val qs = if (normalize) unitNormed(queries, vecCol, idCol) else queries
+    val perm = variancePermutation(base, vecCol, dim, m)
     def rot(df: DataFrame): DataFrame =
       df.select(col(idCol), permuteVec(col(vecCol), perm).as(vecCol))
-    rankAdc(ivfPqAdcScores(rot(corpus), rot(queries), vecCol, idCol,
+    rankAdc(ivfPqAdcScores(rot(base), rot(qs), vecCol, idCol,
       nCells, nProbe, m, pqCells, iterations, maxTrainPerCell), k)
   }
 
@@ -1392,27 +1404,43 @@ object SimilaritySearch {
   def buildVarPermIndex(
       corpus: DataFrame, vecCol: String, idCol: String, path: String,
       dim: Int, nCells: Int = 16, m: Int = 2, pqCells: Int = 16,
-      iterations: Int = 2, maxTrainPerCell: Int = 16384): Unit = {
+      iterations: Int = 2, maxTrainPerCell: Int = 16384,
+      normalize: Boolean = false): Unit = {
     val spark = corpus.sparkSession
-    val perm = variancePermutation(corpus, vecCol, dim, m)
+    val base = if (normalize) unitNormed(corpus, vecCol, idCol) else corpus
+    val perm = variancePermutation(base, vecCol, dim, m)
+    writeStoredPerm(spark, path, perm, normalize)
+    buildIvfPqIndex(
+      base.select(col(idCol), permuteVec(col(vecCol), perm).as(vecCol)),
+      vecCol, idCol, path, nCells, m, pqCells, iterations, maxTrainPerCell)
+  }
+
+  /** Persist the permuted tiers' shared preprocessing: the `perm`
+    * table (slot j → source dim) plus `perm_meta` recording whether
+    * inputs unit-normalize BEFORE the permutation — the
+    * [[readNormalizeKnob]] discipline for the learned-permutation
+    * family (pre-meta layouts read as raw).
+    */
+  private def writeStoredPerm(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      perm: Seq[Int], normalize: Boolean): Unit = {
     import spark.implicits._
     perm.zipWithIndex.map { case (pos, j) => (j.toLong, pos.toLong) }
       .toDF("slot", "pos")
       .write.format("kv").option("path", s"$path/perm")
       .mode("overwrite").save()
-    buildIvfPqIndex(
-      corpus.select(col(idCol), permuteVec(col(vecCol), perm).as(vecCol)),
-      vecCol, idCol, path, nCells, m, pqCells, iterations, maxTrainPerCell)
+    Seq(Tuple1(if (normalize) 1L else 0L)).toDF("normalize")
+      .write.format("kv").option("path", s"$path/perm_meta")
+      .mode("overwrite").save()
   }
 
-  /** Search a [[buildVarPermIndex]] index: apply the STORED permutation
-    * to the queries, then the standard indexed ADC chain. The perm table
-    * is `dim` rows — a bounded driver read, like the centroid tables.
+  /** Read a [[writeStoredPerm]] layout back: (permutation, normalize
+    * flag). Both reads are bounded (`dim` rows / 1 row); a missing
+    * `perm_meta` (pre-knob index) degrades to raw inputs.
     */
-  def varPermKnnIndexed(
-      spark: org.apache.spark.sql.SparkSession, path: String,
-      queries: DataFrame, vecCol: String, idCol: String,
-      k: Int, nProbe: Int = 4): DataFrame = {
+  private def readStoredPerm(
+      spark: org.apache.spark.sql.SparkSession,
+      path: String): (Seq[Int], Boolean) = {
     val permRows = spark.read.format("kv").option("path", s"$path/perm")
       .load().collect()
     require(permRows.nonEmpty, s"no permutation table under $path")
@@ -1421,8 +1449,32 @@ object SimilaritySearch {
       .sortBy(_._1).map(_._2).toSeq
     require(perm.sorted == (0 until perm.length),
       s"corrupt permutation table under $path")
+    val normalize =
+      if (graft.sources.ParquetIO.listFiles(s"$path/perm_meta").isEmpty) false
+      else {
+        val df = spark.read.format("kv")
+          .option("path", s"$path/perm_meta").load()
+        df.columns.contains("normalize") &&
+          df.select(col("normalize")).collect()
+            .headOption.exists(_.getLong(0) == 1L)
+      }
+    (perm, normalize)
+  }
+
+  /** Search a [[buildVarPermIndex]] index: apply the STORED
+    * preprocessing (unit-normalize iff the build recorded it, then the
+    * stored permutation) to raw queries, then the standard indexed ADC
+    * chain. The perm table is `dim` rows — a bounded driver read, like
+    * the centroid tables.
+    */
+  def varPermKnnIndexed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, vecCol: String, idCol: String,
+      k: Int, nProbe: Int = 4): DataFrame = {
+    val (perm, normalize) = readStoredPerm(spark, path)
+    val qs = if (normalize) unitNormed(queries, vecCol, idCol) else queries
     ivfPqKnnIndexed(spark, path,
-      queries.select(col(idCol), permuteVec(col(vecCol), perm).as(vecCol)),
+      qs.select(col(idCol), permuteVec(col(vecCol), perm).as(vecCol)),
       vecCol, idCol, k, nProbe)
   }
 
@@ -1460,6 +1512,45 @@ object SimilaritySearch {
         lit(milli(hitsPlain)).as("recall_plain_milli"),
         lit(hitsPerm).as("hits_perm"),
         lit(milli(hitsPerm)).as("recall_perm_milli"))
+    } finally { exact.unpersist(); () }
+  }
+
+  /** Measured value of the normalize knob on the LEARNED-permutation
+    * chain ([[ivfCosineRecallAudit]]'s discipline on the varperm
+    * tier): raw vs unit-normalized varperm IVF-PQ at the SAME budget,
+    * both vs exact cosine brute force. On a corpus with norm spread
+    * the raw chain loses twice — cells route by magnitude AND the
+    * permutation itself balances magnitude variance cosine ignores
+    * (the raw variance proxy is dominated by long vectors).
+    */
+  def varPermCosineRecallAudit(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, dim: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4,
+      m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384): DataFrame = {
+    val spark = corpus.sparkSession
+    val exact = bruteForceKnn(corpus, queries, vecCol, idCol, k)
+      .select(col("qid"), col("nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nQueries = exact.select(col("qid")).distinct().count()
+      def hits(ann: DataFrame): Long =
+        ann.select(col("qid"), col("nid"))
+          .join(exact, Seq("qid", "nid"), "left_semi").count()
+      val hitsRaw = hits(ivfPqVarPermKnn(corpus, queries, vecCol, idCol,
+        dim, k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell))
+      val hitsNorm = hits(ivfPqVarPermKnn(corpus, queries, vecCol, idCol,
+        dim, k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell,
+        normalize = true))
+      def milli(h: Long): Long =
+        if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
+      spark.range(1).select(
+        lit(nQueries).as("n_queries"), lit(k).as("k"),
+        lit(hitsRaw).as("hits_raw"),
+        lit(milli(hitsRaw)).as("recall_raw_milli"),
+        lit(hitsNorm).as("hits_norm"),
+        lit(milli(hitsNorm)).as("recall_norm_milli"))
     } finally { exact.unpersist(); () }
   }
 
@@ -3455,11 +3546,13 @@ object SimilaritySearch {
       vecCol: String, idCol: String, dim: Int, k: Int,
       nCells: Int = 16, nProbe: Int = 4,
       m: Int = 2, pqCells: Int = 16, iterations: Int = 2,
-      maxTrainPerCell: Int = 16384): DataFrame = {
-    val perm = variancePermutation(corpus, vecCol, dim, m)
+      maxTrainPerCell: Int = 16384, normalize: Boolean = false): DataFrame = {
+    val base = if (normalize) unitNormed(corpus, vecCol, idCol) else corpus
+    val qs = if (normalize) unitNormed(queries, vecCol, idCol) else queries
+    val perm = variancePermutation(base, vecCol, dim, m)
     def rot(df: DataFrame): DataFrame =
       df.select(col(idCol), permuteVec(col(vecCol), perm).as(vecCol))
-    ivfPqResidualKnn(rot(corpus), rot(queries), vecCol, idCol, k,
+    ivfPqResidualKnn(rot(base), rot(qs), vecCol, idCol, k,
       nCells, nProbe, m, pqCells, iterations, maxTrainPerCell)
   }
 
@@ -3472,21 +3565,20 @@ object SimilaritySearch {
   def buildOpqResidualIndex(
       corpus: DataFrame, vecCol: String, idCol: String, path: String,
       dim: Int, nCells: Int = 16, m: Int = 2, pqCells: Int = 16,
-      iterations: Int = 2, maxTrainPerCell: Int = 16384): Unit = {
+      iterations: Int = 2, maxTrainPerCell: Int = 16384,
+      normalize: Boolean = false): Unit = {
     val spark = corpus.sparkSession
-    val perm = variancePermutation(corpus, vecCol, dim, m)
-    import spark.implicits._
-    perm.zipWithIndex.map { case (pos, j) => (j.toLong, pos.toLong) }
-      .toDF("slot", "pos")
-      .write.format("kv").option("path", s"$path/perm")
-      .mode("overwrite").save()
+    val base = if (normalize) unitNormed(corpus, vecCol, idCol) else corpus
+    val perm = variancePermutation(base, vecCol, dim, m)
+    writeStoredPerm(spark, path, perm, normalize)
     buildIvfPqResidualIndex(
-      corpus.select(col(idCol), permuteVec(col(vecCol), perm).as(vecCol)),
+      base.select(col(idCol), permuteVec(col(vecCol), perm).as(vecCol)),
       vecCol, idCol, path, nCells, m, pqCells, iterations, maxTrainPerCell)
   }
 
   /** Search a [[buildOpqResidualIndex]] index: apply the STORED
-    * permutation to raw queries, then the residual indexed chain —
+    * preprocessing (unit-normalize iff recorded, then the stored
+    * permutation) to raw queries, then the residual indexed chain —
     * answers bit-identically to the in-memory [[ivfPqOpqResidualKnn]]
     * at the same knobs (the [[varPermKnnIndexed]] discipline on the
     * residual layout).
@@ -3495,16 +3587,10 @@ object SimilaritySearch {
       spark: org.apache.spark.sql.SparkSession, path: String,
       queries: DataFrame, vecCol: String, idCol: String,
       k: Int, nProbe: Int = 4): DataFrame = {
-    val permRows = spark.read.format("kv").option("path", s"$path/perm")
-      .load().collect()
-    require(permRows.nonEmpty, s"no permutation table under $path")
-    val perm = permRows
-      .map(r => r.getAs[Long]("slot").toInt -> r.getAs[Long]("pos").toInt)
-      .sortBy(_._1).map(_._2).toSeq
-    require(perm.sorted == (0 until perm.length),
-      s"corrupt permutation table under $path")
+    val (perm, normalize) = readStoredPerm(spark, path)
+    val qs = if (normalize) unitNormed(queries, vecCol, idCol) else queries
     ivfPqResidualKnnIndexed(spark, path,
-      queries.select(col(idCol), permuteVec(col(vecCol), perm).as(vecCol)),
+      qs.select(col(idCol), permuteVec(col(vecCol), perm).as(vecCol)),
       vecCol, idCol, k, nProbe)
   }
 

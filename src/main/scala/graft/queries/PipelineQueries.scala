@@ -1023,6 +1023,42 @@ object PipelineQueries {
         maxTrainPerCell = 64)
     }),
 
+    // The learned-permutation tier under the stored cosine knob:
+    // buildVarPermIndex(normalize=true) unit-normalizes FIRST, derives
+    // the permutation from the UNIT vectors (a raw-variance proxy is
+    // dominated by vector length, which cosine ignores) and records
+    // the flag in perm_meta — raw queries enter and varPermKnnIndexed
+    // applies the identical transform. Unit chain, proxy sums,
+    // permutation and the full IVF-PQ chain replay in the oracle.
+    "q_ann_varperm_cosine" -> ((s, dir) => {
+      val idx = s"/tmp/graft_vpcos${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(idx)
+      val emb = Tables.load(s, dir, "embeddings")
+      val mixed = MrlFixture(Pca3Fixture(emb))
+      SimilaritySearch.buildVarPermIndex(mixed, "embedding", "vec_id", idx,
+        dim = 64, nCells = 8, m = 4, pqCells = 16, maxTrainPerCell = 64,
+        normalize = true)
+      SimilaritySearch.varPermKnnIndexed(s, idx,
+        mixed.filter(col("vec_id") < 5), "embedding", "vec_id",
+        k = 3, nProbe = 4)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // The knob's measured value on the varperm tier: raw vs
+    // unit-normalized varperm chains at the SAME budget (each derives
+    // its own permutation from the vectors it codes), both vs exact
+    // cosine brute force, on the mixed fixture (norm spread AND
+    // subspace-variance imbalance — the raw chain loses on routing
+    // and on what its permutation balances).
+    "q_ann_varperm_cosine_audit" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      val mixed = MrlFixture(Pca3Fixture(emb))
+      SimilaritySearch.varPermCosineRecallAudit(mixed,
+        mixed.filter(col("vec_id") < 20), "embedding", "vec_id",
+        dim = 64, k = 3, nCells = 8, nProbe = 4, m = 4, pqCells = 16,
+        maxTrainPerCell = 64)
+    }),
+
     // LEARNED PCA rotation (integer power iteration + exact Householder
     // reflection) on an OBLIQUE-anisotropy fixture: every dim sheared
     // by +4·dim1, so the dominant variance direction is the all-ones
@@ -1432,6 +1468,25 @@ object PipelineQueries {
         mixed.filter(col("vec_id") < 20), "embedding", "vec_id",
         dim = 64, k = 3, nCells = 8, nProbe = 8, m = 4, pqCells = 16,
         maxTrainPerCell = 64)
+    }),
+
+    // The composed OPQ×IVFADC tier under the stored cosine knob — the
+    // LAST raw-vector ADC entry: unit vectors, permutation derived
+    // from them, residual coding in the permuted basis, perm_meta
+    // recording the preprocessing. Raw queries enter; the whole
+    // normalize→permute→residual chain replays in the oracle.
+    "q_ann_opq_residual_cosine" -> ((s, dir) => {
+      val idx = s"/tmp/graft_orcos${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(idx)
+      val emb = Tables.load(s, dir, "embeddings")
+      val mixed = MrlFixture(Pca3Fixture(emb))
+      SimilaritySearch.buildOpqResidualIndex(mixed, "embedding", "vec_id",
+        idx, dim = 64, nCells = 8, m = 4, pqCells = 16,
+        maxTrainPerCell = 64, normalize = true)
+      SimilaritySearch.opqResidualKnnIndexed(s, idx,
+        mixed.filter(col("vec_id") < 5), "embedding", "vec_id",
+        k = 3, nProbe = 4)
+        .orderBy(col("qid"), col("rnk"))
     }),
 
     // IVFADC + refine — the configuration FAISS deployments actually

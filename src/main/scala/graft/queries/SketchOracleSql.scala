@@ -2414,6 +2414,70 @@ object SketchOracleSql {
        |SELECT qid, nid, round(adist, 6) AS adist, rnk
        |FROM vpp_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
 
+  /** The mixed fixture's unit-normalized twin (`p3_unit` discipline
+    * over `mx_base`) — shared by the permuted tiers' cosine oracles.
+    */
+  private def mxUnitCte: String =
+    s"""mx_unit AS MATERIALIZED (
+       |  SELECT id, list_transform(e, x ->
+       |    x / sqrt(list_sum(list_transform(e, y -> y * y)))) AS e
+       |  FROM mx_base
+       |)""".stripMargin
+
+  /** q_ann_varperm_cosine: the perm_meta normalize knob's exact gate —
+    * unit-normalize FIRST (original coordinate order), derive the
+    * serpentine permutation from the UNIT vectors, then the standard
+    * IVF-PQ chain in the permuted basis. The gate's queries enter raw;
+    * `buildVarPermIndex(normalize=true)` records the flag and
+    * `varPermKnnIndexed` applies the identical transform.
+    */
+  def annVarPermCosineOracle: String =
+    s"""WITH $opqResidualBaseCte, $mxUnitCte,
+       |${varPermCtesOver("vc_", "mx_unit", 4)},
+       |${ivfPqChainOver("vcp_", "vc_prep", nCells = 8, nProbe = 4,
+          pqCells = 16, cap = 64, qMax = 5, m = 4)}
+       |SELECT qid, nid, round(adist, 6) AS adist, rnk
+       |FROM vcp_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
+  /** q_ann_varperm_cosine_audit: raw vs unit-normalized varperm chains
+    * at the SAME budget (each derives its own permutation from the
+    * vectors it codes), both vs exact cosine brute force on the mixed
+    * fixture.
+    */
+  def annVarPermCosineAuditOracle: String =
+    s"""WITH $opqResidualBaseCte, $mxUnitCte,
+       |${varPermCtesOver("wr_", "mx_base", 4)},
+       |${varPermCtesOver("wn_", "mx_unit", 4)},
+       |${ivfPqChainOver("wra_", "wr_prep", nCells = 8, nProbe = 4,
+          pqCells = 16, cap = 64, qMax = 20, m = 4)},
+       |${ivfPqChainOver("wna_", "wn_prep", nCells = 8, nProbe = 4,
+          pqCells = 16, cap = 64, qMax = 20, m = 4)},
+       |${cosineBruteCte("mx_br", "mx_base", "mxb_")},
+       |wh_r AS (SELECT count(*)::BIGINT AS h
+       |  FROM (SELECT qid, nid FROM wra_ranked WHERE rnk <= 3) JOIN mx_br USING (qid, nid)),
+       |wh_n AS (SELECT count(*)::BIGINT AS h
+       |  FROM (SELECT qid, nid FROM wna_ranked WHERE rnk <= 3) JOIN mx_br USING (qid, nid)),
+       |wnq AS (SELECT count(DISTINCT qid)::BIGINT AS n FROM mx_br)
+       |SELECT wnq.n AS n_queries, CAST(3 AS INT) AS k,
+       |  wh_r.h AS hits_raw,
+       |  CAST(wh_r.h * 1000 // (3 * wnq.n) AS BIGINT) AS recall_raw_milli,
+       |  wh_n.h AS hits_norm,
+       |  CAST(wh_n.h * 1000 // (3 * wnq.n) AS BIGINT) AS recall_norm_milli
+       |FROM wh_r, wh_n, wnq""".stripMargin
+
+  /** q_ann_opq_residual_cosine: the composed OPQ×IVFADC tier under the
+    * stored normalize knob — unit vectors, permutation derived from
+    * them, residual coding in the permuted basis; raw queries enter
+    * and the stored perm_meta drives the preprocessing.
+    */
+  def annOpqResidualCosineOracle: String =
+    s"""WITH $opqResidualBaseCte, $mxUnitCte,
+       |${varPermCtesOver("oc_", "mx_unit", 4)},
+       |${ivfPqResidualChainOver("ocr_", "oc_prep", nCells = 8, nProbe = 4,
+          pqCells = 16, cap = 64, qMax = 5, m = 4)}
+       |SELECT qid, nid, round(adist, 6) AS adist, rnk
+       |FROM ocr_ranked WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
   /** q_ann_varperm_audit: permuted and plain IVF-PQ chains at equal
     * budget over the anisotropic fixture, both scored against exact
     * brute-force top-3 in the same (scaled) space.
@@ -3791,6 +3855,8 @@ object SketchOracleSql {
     // basis, same chain, same oracle
     "q_ann_varperm_indexed" -> annVarPermOracle,
     "q_ann_varperm_audit" -> annVarPermAuditOracle,
+    "q_ann_varperm_cosine" -> annVarPermCosineOracle,
+    "q_ann_varperm_cosine_audit" -> annVarPermCosineAuditOracle,
     "q_ann_stream_index" -> annStreamIndexOracle,
     "q_ann_graph_stream_index" -> annGraphStreamIndexOracle,
     "q_ann_graph_stream_hier" -> annGraphStreamHierOracle,
@@ -3837,6 +3903,7 @@ object SketchOracleSql {
     // residual tables — same chain, same oracle
     "q_ann_opq_residual_indexed" -> annOpqResidualOracle,
     "q_ann_opq_residual_audit" -> annOpqResidualAuditOracle,
+    "q_ann_opq_residual_cosine" -> annOpqResidualCosineOracle,
     "q_ann_matryoshka" -> annMatryoshkaOracle,
     "q_ann_matryoshka_audit" -> annMatryoshkaAuditOracle,
     "q_ann_ivfpq_residual_audit" -> annIvfPqResidualAuditOracle,

@@ -1141,6 +1141,79 @@ class SimilaritySearchSpec extends SparkSpec {
     }
   }
 
+  test("normalize knob through the permuted tiers: stored perm_meta drives the unit transform; pre-meta layouts stay raw") {
+    // norm-spread + anisotropy: scale dims unevenly AND give rows
+    // wildly different magnitudes, so raw and unit chains genuinely
+    // differ
+    val mixed = corpus16.select(col("vec_id"),
+      transform(col("embedding"), (x, i) =>
+        (x.cast("double") + lit(3.0) *
+          element_at(col("embedding"), 1).cast("double")) *
+          when(i < 8, lit(4.0)).otherwise(lit(0.25)))
+        .as("embedding"))
+    val q = mixed.filter(col("vec_id") < 3L)
+    // varperm tier: indexed normalized == in-memory normalize=true
+    val idx = java.nio.file.Files.createTempDirectory("vpcos").toString + "/i"
+    SimilaritySearch.buildVarPermIndex(mixed, "embedding", "vec_id", idx,
+      dim = 16, nCells = 2, m = 2, pqCells = 8, maxTrainPerCell = 64,
+      normalize = true)
+    val indexed = SimilaritySearch.varPermKnnIndexed(spark, idx, q,
+      "embedding", "vec_id", k = 3, nProbe = 2)
+      .orderBy("qid", "rnk").collect().toSeq
+    val mem = SimilaritySearch.ivfPqVarPermKnn(mixed, q, "embedding",
+      "vec_id", dim = 16, k = 3, nCells = 2, nProbe = 2, m = 2,
+      pqCells = 8, maxTrainPerCell = 64, normalize = true)
+      .orderBy("qid", "rnk").collect().toSeq
+    assert(indexed == mem,
+      "stored perm_meta normalize knob diverged from the in-memory unit chain")
+    // pre-meta layout (no perm_meta table) degrades to raw queries —
+    // old indexes keep answering exactly as they did before the knob
+    val idxRaw = java.nio.file.Files.createTempDirectory("vpraw").toString + "/i"
+    SimilaritySearch.buildVarPermIndex(mixed, "embedding", "vec_id", idxRaw,
+      dim = 16, nCells = 2, m = 2, pqCells = 8, maxTrainPerCell = 64)
+    graft.sources.ParquetIO.deletePath(s"$idxRaw/perm_meta")
+    val legacy = SimilaritySearch.varPermKnnIndexed(spark, idxRaw, q,
+      "embedding", "vec_id", k = 3, nProbe = 2)
+      .orderBy("qid", "rnk").collect().toSeq
+    val rawMem = SimilaritySearch.ivfPqVarPermKnn(mixed, q, "embedding",
+      "vec_id", dim = 16, k = 3, nCells = 2, nProbe = 2, m = 2,
+      pqCells = 8, maxTrainPerCell = 64)
+      .orderBy("qid", "rnk").collect().toSeq
+    assert(legacy == rawMem, "missing perm_meta did not degrade to raw")
+    // composed OPQ x IVFADC tier: same knob, same parity
+    val idxOr = java.nio.file.Files.createTempDirectory("orcos").toString + "/i"
+    SimilaritySearch.buildOpqResidualIndex(mixed, "embedding", "vec_id",
+      idxOr, dim = 16, nCells = 2, m = 2, pqCells = 8,
+      maxTrainPerCell = 64, normalize = true)
+    val orIndexed = SimilaritySearch.opqResidualKnnIndexed(spark, idxOr, q,
+      "embedding", "vec_id", k = 3, nProbe = 2)
+      .orderBy("qid", "rnk").collect().toSeq
+    val orMem = SimilaritySearch.ivfPqOpqResidualKnn(mixed, q, "embedding",
+      "vec_id", dim = 16, k = 3, nCells = 2, nProbe = 2, m = 2,
+      pqCells = 8, maxTrainPerCell = 64, normalize = true)
+      .orderBy("qid", "rnk").collect().toSeq
+    assert(orIndexed == orMem,
+      "composed tier's stored normalize knob diverged from the in-memory chain")
+    // the rotated (FWHT) chain's knob: normalized == plain chain over
+    // pre-normalized inputs (unit transform commutes into the caller)
+    val unitQ = q.select(col("vec_id"),
+      graft.functions.VectorExpressions.unitNormalize(col("embedding"))
+        .as("embedding"))
+    val unitC = mixed.select(col("vec_id"),
+      graft.functions.VectorExpressions.unitNormalize(col("embedding"))
+        .as("embedding"))
+    val opqNorm = SimilaritySearch.ivfPqOpqKnn(mixed, q, "embedding",
+      "vec_id", dim = 16, k = 3, nCells = 2, nProbe = 2, m = 2,
+      pqCells = 8, maxTrainPerCell = 64, normalize = true)
+      .orderBy("qid", "rnk").collect().toSeq
+    val opqUnit = SimilaritySearch.ivfPqOpqKnn(unitC, unitQ, "embedding",
+      "vec_id", dim = 16, k = 3, nCells = 2, nProbe = 2, m = 2,
+      pqCells = 8, maxTrainPerCell = 64)
+      .orderBy("qid", "rnk").collect().toSeq
+    assert(opqNorm == opqUnit,
+      "FWHT chain normalize knob != plain chain over unit vectors")
+  }
+
   test("graphIndexAppend gives appended nodes the index's cross-cell edges") {
     val idx = java.nio.file.Files.createTempDirectory("gridxcross").toString + "/i"
     val base = corpus16.filter(col("vec_id") =!= 99L)
