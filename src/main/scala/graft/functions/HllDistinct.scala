@@ -1,0 +1,112 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.types._
+
+/** HyperLogLog distinct-count sketch as a `TypedImperativeAggregate`
+  * (Flajolet et al., AofA'07) — the register-array sibling of
+  * [[KmvDistinct]]: FIXED 2^p bytes of state per group at ANY
+  * cardinality (KMV's TreeSet grows to k entries), merge = element-wise
+  * register MAX (order-free, idempotent — safe under retries and
+  * arbitrary partial-aggregation trees, the 100 TB shuffle shape).
+  *
+  * Deterministic end to end: items hash through the engine's canonical
+  * [[Sketches.hashValue]] chain, register j keeps the max
+  * leading-zero rank of the hashes routed to it (both order-free), and
+  * the estimator is a fixed-op-order float expression over an EXACT
+  * integer register sum — the DuckDB oracle replays hash, registers,
+  * harmonic sum and the small-range correction bit for bit.
+  *
+  * Estimator: E = α_m·m²/Σ 2^(−M_j), with the Σ computed exactly as
+  * the integer Σ 2^(cap−M_j) (cap = 64−p+1) and divided once, and the
+  * linear-counting fallback E = m·ln(m/V) when E ≤ 2.5m with V empty
+  * registers (the standard small-range correction; the 64-bit hash
+  * makes the large-range correction unnecessary). α_m uses the closed
+  * form 0.7213/(1+1.079/m), so `p` ≥ 7 (the small-m special cases
+  * would fork the oracle's formula).
+  */
+case class HllDistinct(
+    child: Expression,
+    p: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  require(p >= 7 && p <= 16, s"precision p=$p out of range (7..16)")
+
+  private val m = 1 << p
+  private val cap = 64 - p + 1
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = Sketches.hashValue(v)
+      val bucket = (h >>> (64 - p)).toInt
+      val w = h << p
+      val rho = math.min(cap, java.lang.Long.numberOfLeadingZeros(w) + 1)
+      if (rho > (buf(bucket) & 0xff)) buf(bucket) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var j = 0
+    while (j < m) {
+      if ((other(j) & 0xff) > (buf(j) & 0xff)) buf(j) = other(j)
+      j += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any = {
+    // exact integer harmonic sum: Σ_j 2^(cap - M_j) — order-free, so
+    // the float division below sees ONE exactly-agreed operand
+    var sInt = BigInt(0)
+    var zeros = 0
+    var j = 0
+    while (j < m) {
+      val mj = buf(j) & 0xff
+      if (mj == 0) zeros += 1
+      sInt += BigInt(1) << (cap - mj)
+      j += 1
+    }
+    // fixed op order, mirrored literally by the oracle SQL:
+    // (0.7213 / (1 + 1.079/m)) * m * m * 2^cap / S
+    val md = m.toDouble
+    val eRaw = 0.7213 / (1.0 + 1.079 / md) * md * md *
+      math.pow(2.0, cap.toDouble) / sInt.doubleValue
+    val e =
+      if (eRaw <= 2.5 * md && zeros > 0) md * math.log(md / zeros.toDouble)
+      else eRaw
+    java.lang.Long.valueOf(math.round(e))
+  }
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "hll_distinct"
+}
+
+object HllDistinct {
+  /** Approximate COUNT(DISTINCT c) with 2^p bytes of state per group,
+    * mergeable by register max (typical error ≈ 1.04/√(2^p)).
+    */
+  def hllDistinct(c: Column, p: Int = 12): Column =
+    toColumn(HllDistinct(exprOf(c), p).toAggregateExpression())
+}

@@ -33,15 +33,7 @@ case class KmvDistinct(
   override def nullable: Boolean = false
   override def dataType: DataType = LongType
 
-  private def hashOf(v: Any): Long = v match {
-    case s: UTF8String => Sketches.hashBytes(s.getBytes, 0x9747b28cL)
-    case l: Long => Sketches.splitmix64(l)
-    case i: Int => Sketches.splitmix64(i.toLong)
-    case d: Double => Sketches.splitmix64(java.lang.Double.doubleToLongBits(d))
-    case f: Float => Sketches.splitmix64(java.lang.Float.floatToIntBits(f).toLong)
-    case b: Boolean => Sketches.splitmix64(if (b) 1L else 0L)
-    case other => Sketches.hashBytes(other.toString.getBytes("UTF-8"), 0x9747b28cL)
-  }
+  private def hashOf(v: Any): Long = Sketches.hashValue(v)
 
   override def createAggregationBuffer(): java.util.TreeSet[Long] =
     new java.util.TreeSet[Long](java.lang.Long.compareUnsigned(_, _))

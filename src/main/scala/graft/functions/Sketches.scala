@@ -50,6 +50,23 @@ object Sketches {
   private[graft] def hashString(s: String, seed: Long): Long =
     hashBytes(s.getBytes(java.nio.charset.StandardCharsets.UTF_8), seed)
 
+  /** Canonical 64-bit hash of an aggregate input value — the shared
+    * item hash of the distinct/frequency sketch family ([[KmvDistinct]],
+    * [[HllDistinct]], [[CmsSketch]]): longs through [[splitmix64]],
+    * strings/bytes through the seeded [[hashBytes]] chain the oracle
+    * replays via `SketchOracleSql.hashStrCols`.
+    */
+  private[functions] def hashValue(v: Any): Long = v match {
+    case s: org.apache.spark.unsafe.types.UTF8String =>
+      hashBytes(s.getBytes, 0x9747b28cL)
+    case l: Long => splitmix64(l)
+    case i: Int => splitmix64(i.toLong)
+    case d: Double => splitmix64(java.lang.Double.doubleToLongBits(d))
+    case f: Float => splitmix64(java.lang.Float.floatToIntBits(f).toLong)
+    case b: Boolean => splitmix64(if (b) 1L else 0L)
+    case other => hashBytes(other.toString.getBytes("UTF-8"), 0x9747b28cL)
+  }
+
   /** splitmix64 of a long column — the engine's canonical deterministic
     * hash for sampling/partitioning decisions that must be reproducible
     * across engines (unlike xxhash64, whose exact constants are Spark's).

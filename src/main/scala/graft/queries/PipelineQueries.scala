@@ -1788,6 +1788,28 @@ object PipelineQueries {
         .orderBy(col("column"))
     }),
 
+    // HyperLogLog distinct-count registers (Flajolet 2007) — KMV's
+    // fixed-size sibling: 2^p BYTES of state per group at any
+    // cardinality, merged by element-wise register max (order-free,
+    // idempotent — the shape an approximate COUNT DISTINCT must have
+    // at 100 TB, where the exact distinct's shuffle carries every
+    // key). Hash, registers, exact integer harmonic sum, the
+    // fixed-op-order estimator AND the small-range linear-counting
+    // branch all replay in the oracle; exact_ndv rides along so the
+    // gate also PINS the measured accuracy per group.
+    "q_corpus_hll" -> ((s, dir) => {
+      Tables.load(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          graft.functions.HllDistinct.hllDistinct(col("user_id"), p = 8)
+            .as("hll_ndv"),
+          countDistinct(col("user_id")).as("exact_ndv"),
+          graft.functions.HllDistinct.hllDistinct(col("event_id"), p = 8)
+            .as("hll_events"),
+          countDistinct(col("event_id")).as("exact_events"))
+        .orderBy(col("event_type"))
+    }),
+
     // --- text analysis (function-backed) ---
     "q_doc_bpe_tokens" -> ((s, dir) => {
       Tables.load(s, dir, "documents")

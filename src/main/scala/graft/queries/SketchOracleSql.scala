@@ -1662,6 +1662,58 @@ object SketchOracleSql {
     * k=1024 smallest distinct hashes in UNSIGNED order, exact below k,
     * else round(1023 / u(kth)).
     */
+  /** q_corpus_hll: the HyperLogLog registers replayed per group —
+    * splitmix64 item hashes, bucket = top-8 bits, rank = 57 − bit
+    * length of the low-56 field (= leading zeros + 1, capped), max per
+    * register, the EXACT integer harmonic sum Σ 2^(57−M_j) (absent
+    * registers contribute 2^57), then `HllDistinct.eval`'s literal
+    * float expression — raw estimator and the ≤2.5m linear-counting
+    * branch — alongside the exact distinct count.
+    */
+  def corpusHllOracle: String = {
+    // p = 8: m = 256 registers, cap = 57, bucket divisor 2^56
+    val d56 = (BigInt(1) << 56).toString
+    // one register→estimate replay per sketched column
+    def chain(px: String, valueCol: String, out: String): String =
+      s"""${px}hh AS (
+         |  ${smCols(s"SELECT event_type AS grp, $valueCol AS v FROM events WHERE $valueCol IS NOT NULL",
+              ux("v"), "h", s"${px}l")}
+         |), ${px}reg AS (
+         |  SELECT grp, (h // $d56::HUGEINT) AS bucket,
+         |    max(CASE WHEN (h % $d56::HUGEINT) = 0 THEN 57
+         |      ELSE 57 - length(bin((h % $d56::HUGEINT)::BIGINT)) END) AS mj
+         |  FROM ${px}hh GROUP BY grp, (h // $d56::HUGEINT)
+         |), ${px}est AS (
+         |  SELECT grp,
+         |    (sum(($pows)[(58 - mj)::INT]) + (256 - count(*)) * ($pows)[58])::HUGEINT AS s_int,
+         |    (256 - count(*))::BIGINT AS zeros
+         |  FROM ${px}reg GROUP BY grp
+         |), ${px}out AS (
+         |  SELECT grp,
+         |    CAST(CASE WHEN e_raw <= 2.5 * 256.0 AND zeros > 0
+         |      THEN floor(256.0 * ln(256.0 / zeros::DOUBLE) + 0.5)
+         |      ELSE floor(e_raw + 0.5) END AS BIGINT) AS $out
+         |  FROM (
+         |    SELECT grp, zeros,
+         |      0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+         |        * power(2.0, 57.0) / s_int::DOUBLE AS e_raw
+         |    FROM ${px}est
+         |  )
+         |)""".stripMargin
+    s"""WITH ${chain("hu", "user_id", "hll_ndv")},
+       |${chain("he", "event_id", "hll_events")},
+       |ex AS (
+       |  SELECT event_type AS grp,
+       |    count(DISTINCT user_id)::BIGINT AS exact_ndv,
+       |    count(DISTINCT event_id)::BIGINT AS exact_events
+       |  FROM events GROUP BY event_type
+       |)
+       |SELECT ex.grp AS event_type, hu.hll_ndv, ex.exact_ndv,
+       |  he.hll_events, ex.exact_events
+       |FROM ex JOIN huout hu USING (grp) JOIN heout he USING (grp)
+       |ORDER BY event_type""".stripMargin
+  }
+
   def corpusStatsOracle: String = {
     val kmvSeed = 0x9747b28cL
     // per column: a relation of DISTINCT hashes (u64) of non-null values
@@ -3911,6 +3963,7 @@ object SketchOracleSql {
     "q_dedup_cluster_sizes" -> clusterSizesOracle,
     "q_dedup_drop_best" -> dropBestOracle,
     "q_corpus_stats" -> corpusStatsOracle,
+    "q_corpus_hll" -> corpusHllOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_ivf_audit" -> annIvfAuditOracle,
     "q_ann_ivf_cosine" -> annIvfCosineOracle,

@@ -1,0 +1,73 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class HllDistinctSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Plain-Scala replay of the register chain + estimator — the
+    * independent reference the DuckDB oracle also follows.
+    */
+  private def reference(values: Seq[Long], p: Int): Long = {
+    val m = 1 << p
+    val cap = 64 - p + 1
+    val regs = new Array[Int](m)
+    values.foreach { v =>
+      val h = Sketches.splitmix64(v)
+      val b = (h >>> (64 - p)).toInt
+      val rho = math.min(cap, java.lang.Long.numberOfLeadingZeros(h << p) + 1)
+      if (rho > regs(b)) regs(b) = rho
+    }
+    var s = BigInt(0); var zeros = 0
+    regs.foreach { mj => if (mj == 0) zeros += 1; s += BigInt(1) << (cap - mj) }
+    val md = m.toDouble
+    val eRaw = 0.7213 / (1.0 + 1.079 / md) * md * md *
+      math.pow(2.0, cap.toDouble) / s.doubleValue
+    math.round(
+      if (eRaw <= 2.5 * md && zeros > 0) md * math.log(md / zeros.toDouble)
+      else eRaw)
+  }
+
+  private def hll(values: Seq[Long], p: Int, parts: Int): Long =
+    values.toDF("v").repartition(parts)
+      .agg(HllDistinct.hllDistinct(col("v"), p).as("ndv"))
+      .collect().head.getLong(0)
+
+  test("estimate matches the plain-Scala register replay bit for bit") {
+    val rnd = new scala.util.Random(7)
+    val small = Seq.fill(500)(rnd.nextLong() % 40)        // dense dups
+    val large = Seq.fill(4000)(rnd.nextLong())            // ~all distinct
+    for (vals <- Seq(small, large); p <- Seq(8, 12)) {
+      assert(hll(vals, p, 5) == reference(vals, p),
+        s"aggregate diverged from the reference at p=$p")
+    }
+  }
+
+  test("partition layout cannot change the answer (merge = register max)") {
+    val vals = (1L to 3000L).map(i => i % 700)
+    val answers = Seq(1, 3, 13, 32).map(hll(vals, 10, _)).distinct
+    assert(answers.size == 1, s"partitioning changed the estimate: $answers")
+  }
+
+  test("accuracy: within ~3 sigma of 1.04/sqrt(m) at p=12, near-exact in the linear-counting range") {
+    val n = 5000
+    val est = hll((1L to n.toLong).map(Sketches.splitmix64), 12, 8)
+    val sigma = 1.04 / math.sqrt(1 << 12)
+    assert(math.abs(est - n).toDouble / n < 3 * sigma,
+      s"estimate $est vs exact $n out of tolerance")
+    // 20 distinct at p=8 takes the m*ln(m/V) branch: tight at low card
+    val small = hll((1L to 20L), 8, 4)
+    assert(math.abs(small - 20L) <= 1, s"linear-counting estimate $small")
+  }
+
+  test("grouped aggregation and string inputs") {
+    val df = Seq(("a", "x1"), ("a", "x2"), ("a", "x1"), ("b", "y1"))
+      .toDF("g", "v")
+    val out = df.groupBy("g")
+      .agg(HllDistinct.hllDistinct(col("v"), 8).as("ndv"))
+      .orderBy("g").collect()
+    assert(out.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 2L), ("b", 1L)))
+  }
+}
