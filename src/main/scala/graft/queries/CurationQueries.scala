@@ -231,6 +231,36 @@ object CurationQueries {
         .orderBy(col("n_docs").desc, col("ngram"))
     }),
 
+    // Count-Min frequency sketch (Cormode & Muthukrishnan 2005) over
+    // the corpus vocabulary — the heavy-hitter audit at sketch cost:
+    // ONE depth×width counter table (map-side combined, fixed state —
+    // an exact GROUP BY term shuffles every distinct term at 100 TB),
+    // then the top-12 exact terms ride along so the gate PINS the
+    // measured over-count (CMS never under-counts). Item hashes, row
+    // scrambles, bucket masks, exact counter sums and the min-of-depth
+    // estimates all replay in the oracle.
+    "q_doc_cms_tokens" -> ((s, dir) => {
+      import graft.functions.{CmsSketch, Sketches}
+      val toks = Tables.load(s, dir, "documents")
+        .select(explode(
+          graft.functions.WhitespaceTokens.wsTokens(col("text"))).as("term"))
+      val sketch = toks.agg(
+        CmsSketch.cms(col("term"), depth = 4, width = 256).as("sk"))
+      val top = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .agg(graft.functions.BoundedTopK.topK(
+          struct(col("n").cast("double").as("s"), col("term"),
+            col("n").as("cnt")), 12).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t.term").as("term"), col("t.cnt").as("exact_n"))
+      top.crossJoin(broadcast(sketch))
+        .select(col("term"),
+          CmsSketch.cmsEstimate(col("sk"),
+            Sketches.stringHash64(col("term"), 0x9747b28cL),
+            depth = 4, width = 256).as("cms_n"),
+          col("exact_n"))
+        .orderBy(col("exact_n").desc, col("term"))
+    }),
+
     // Weighted per-source sampling without replacement (A-ES keys):
     // keep 5 docs per source at random but ∝-favoring length (weight
     // n_chars+1) — the quality-weighted downsampling primitive. The

@@ -1714,6 +1714,51 @@ object SketchOracleSql {
        |ORDER BY event_type""".stripMargin
   }
 
+  /** q_doc_cms_tokens: the Count-Min counter table replayed — distinct
+    * terms hash once (`hashStrCols`), each of the 4 rows re-scrambles
+    * with its literal seed and masks to 256 buckets, counters are
+    * exact integer sums of term counts (occurrence-increments grouped
+    * by term — same totals), estimates are the min over the 4 counters
+    * for the top-12 exact terms.
+    */
+  def docCmsTokensOracle: String = {
+    val depth = 4
+    val seeds = (0 until depth).map(graft.functions.CmsSketch.rowSeed)
+    val freq =
+      """SELECT term, count(*)::BIGINT AS n FROM (
+        |  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> x <> '')) AS term
+        |  FROM documents) GROUP BY term""".stripMargin
+    val rows = (0 until depth).map { r =>
+      s"""cr$r AS MATERIALIZED (
+         |  SELECT term, n, (rh % 256::HUGEINT) AS b
+         |  FROM (${smCols("SELECT term, n, h FROM cbh",
+              xor64("h", u(seeds(r))), "rh", s"c${r}x")})
+         |), cc$r AS (
+         |  SELECT b, sum(n)::BIGINT AS c FROM cr$r GROUP BY b
+         |)""".stripMargin
+    }.mkString(",\n")
+    val joins = (0 until depth).map { r =>
+      s"JOIN cr$r b$r ON b$r.term = t.term JOIN cc$r m$r ON m$r.b = b$r.b"
+    }.mkString("\n  ")
+    val mins = (0 until depth).map(r => s"m$r.c").mkString(", ")
+    s"""WITH cbh AS MATERIALIZED (
+       |  ${hashStrCols(freq, "term", 0x9747b28cL, 4, "h", "cbx",
+            Seq("term", "n"))}
+       |),
+       |$rows,
+       |ctop AS (
+       |  SELECT term, n FROM (
+       |    SELECT term, n, row_number() OVER (ORDER BY n DESC, term) AS rn
+       |    FROM cbh
+       |  ) WHERE rn <= 12
+       |)
+       |SELECT t.term, least($mins) AS cms_n, t.n AS exact_n
+       |FROM ctop t
+       |  $joins
+       |ORDER BY exact_n DESC, t.term""".stripMargin
+  }
+
   def corpusStatsOracle: String = {
     val kmvSeed = 0x9747b28cL
     // per column: a relation of DISTINCT hashes (u64) of non-null values
@@ -3964,6 +4009,7 @@ object SketchOracleSql {
     "q_dedup_drop_best" -> dropBestOracle,
     "q_corpus_stats" -> corpusStatsOracle,
     "q_corpus_hll" -> corpusHllOracle,
+    "q_doc_cms_tokens" -> docCmsTokensOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_ivf_audit" -> annIvfAuditOracle,
     "q_ann_ivf_cosine" -> annIvfCosineOracle,
