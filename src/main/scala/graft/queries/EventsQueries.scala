@@ -127,6 +127,40 @@ object EventsQueries {
         .orderBy(col("user_id"), col("s_start"))
     }),
 
+    // Approximate DISTINCT on a STREAM — the sketch family's streaming
+    // payoff: exact streaming COUNT DISTINCT state grows with the key
+    // set (unbounded over an unbounded stream), HllDistinct's state is
+    // 256 BYTES per window forever, and register max is order-free, so
+    // the drained result is micro-batching-independent by construction
+    // (the property that makes an exact oracle possible at all).
+    // Tumbling 6-hour windows in APPEND mode: only watermark-sealed
+    // windows emit (the q_sql_q102 emission rule, replayed); registers
+    // accumulate across micro-batches through the state store.
+    "q_stream_hll_window" -> ((s, dir) => {
+      val u = java.util.UUID.randomUUID().toString.replace("-", "")
+      val sink = s"/tmp/graft_hllstrm_$u/t"
+      val ckpt = s"/tmp/graft_hllstrmck_$u"
+      val q = s.readStream.format("log").option("path", s"$dir/events.parquet")
+        .option("maxOffsetsPerTrigger", "40000").load()
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "21600 seconds"))
+        .agg(
+          graft.functions.HllDistinct.hllDistinct(col("user_id"), p = 8)
+            .as("hll_users"),
+          count(lit(1)).as("n_events"))
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("hll_users"), col("n_events"))
+        .writeStream.format("kv").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.format("kv").option("path", sink).load()
+        .orderBy(col("w_start"))
+    }),
+
     // Bucketized interval join ([[graft.operators.IntervalJoin]]): each
     // signup opens a 10-minute attribution window; find every view of
     // the same user inside it. Spark would run the raw BETWEEN predicate
@@ -375,6 +409,28 @@ object EventsQueries {
         |FROM o
         |GROUP BY 1
         |ORDER BY 1""".stripMargin,
+
+    // HLL registers + tumbling windows + the append-mode emission rule
+    // (window_end <= ms-floored final watermark), all replayed — the
+    // register chain is SketchOracleSql's shared p=8 replay
+    "q_stream_hll_window" -> {
+      val chain = SketchOracleSql.hllChainSql("sw",
+        """SELECT (epoch_us(date_trunc('microseconds', ts)) // 21600000000) * 21600 AS grp,
+          |    user_id AS v FROM events""".stripMargin,
+        "hll_users")
+      s"""WITH $chain,
+         |swcnt AS (
+         |  SELECT (epoch_us(date_trunc('microseconds', ts)) // 21600000000) * 21600 AS grp,
+         |    count(*)::BIGINT AS n_events
+         |  FROM events GROUP BY 1
+         |), swwm AS (
+         |  SELECT (epoch_ms(max(ts)) - 600000) * 1000 AS wm_us FROM events
+         |)
+         |SELECT c.grp AS w_start, o.hll_users, c.n_events
+         |FROM swcnt c JOIN swout o USING (grp), swwm
+         |WHERE (c.grp + 21600) * 1000000 <= swwm.wm_us
+         |ORDER BY w_start""".stripMargin
+    },
 
     // the oracle runs the raw point-in-interval predicate — the
     // bucketized equi-join must reproduce it exactly

@@ -1670,36 +1670,45 @@ object SketchOracleSql {
     * float expression — raw estimator and the ≤2.5m linear-counting
     * branch — alongside the exact distinct count.
     */
-  def corpusHllOracle: String = {
-    // p = 8: m = 256 registers, cap = 57, bucket divisor 2^56
+  /** The p=8 HyperLogLog register→estimate replay over an arbitrary
+    * `(grp, v)` SELECT — ends in `${px}out (grp, $out)`. m = 256
+    * registers, cap = 57, bucket divisor 2^56; mirrors
+    * `HllDistinct.eval` term for term.
+    */
+  private[queries] def hllChainSql(px: String, inner: String,
+      out: String): String = {
     val d56 = (BigInt(1) << 56).toString
-    // one register→estimate replay per sketched column
+    s"""${px}hh AS (
+       |  ${smCols(inner, ux("v"), "h", s"${px}l")}
+       |), ${px}reg AS (
+       |  SELECT grp, (h // $d56::HUGEINT) AS bucket,
+       |    max(CASE WHEN (h % $d56::HUGEINT) = 0 THEN 57
+       |      ELSE 57 - length(bin((h % $d56::HUGEINT)::BIGINT)) END) AS mj
+       |  FROM ${px}hh GROUP BY grp, (h // $d56::HUGEINT)
+       |), ${px}est AS (
+       |  SELECT grp,
+       |    (sum(($pows)[(58 - mj)::INT]) + (256 - count(*)) * ($pows)[58])::HUGEINT AS s_int,
+       |    (256 - count(*))::BIGINT AS zeros
+       |  FROM ${px}reg GROUP BY grp
+       |), ${px}out AS (
+       |  SELECT grp,
+       |    CAST(CASE WHEN e_raw <= 2.5 * 256.0 AND zeros > 0
+       |      THEN floor(256.0 * ln(256.0 / zeros::DOUBLE) + 0.5)
+       |      ELSE floor(e_raw + 0.5) END AS BIGINT) AS $out
+       |  FROM (
+       |    SELECT grp, zeros,
+       |      0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
+       |        * power(2.0, 57.0) / s_int::DOUBLE AS e_raw
+       |    FROM ${px}est
+       |  )
+       |)""".stripMargin
+  }
+
+  def corpusHllOracle: String = {
     def chain(px: String, valueCol: String, out: String): String =
-      s"""${px}hh AS (
-         |  ${smCols(s"SELECT event_type AS grp, $valueCol AS v FROM events WHERE $valueCol IS NOT NULL",
-              ux("v"), "h", s"${px}l")}
-         |), ${px}reg AS (
-         |  SELECT grp, (h // $d56::HUGEINT) AS bucket,
-         |    max(CASE WHEN (h % $d56::HUGEINT) = 0 THEN 57
-         |      ELSE 57 - length(bin((h % $d56::HUGEINT)::BIGINT)) END) AS mj
-         |  FROM ${px}hh GROUP BY grp, (h // $d56::HUGEINT)
-         |), ${px}est AS (
-         |  SELECT grp,
-         |    (sum(($pows)[(58 - mj)::INT]) + (256 - count(*)) * ($pows)[58])::HUGEINT AS s_int,
-         |    (256 - count(*))::BIGINT AS zeros
-         |  FROM ${px}reg GROUP BY grp
-         |), ${px}out AS (
-         |  SELECT grp,
-         |    CAST(CASE WHEN e_raw <= 2.5 * 256.0 AND zeros > 0
-         |      THEN floor(256.0 * ln(256.0 / zeros::DOUBLE) + 0.5)
-         |      ELSE floor(e_raw + 0.5) END AS BIGINT) AS $out
-         |  FROM (
-         |    SELECT grp, zeros,
-         |      0.7213 / (1.0 + 1.079 / 256.0) * 256.0 * 256.0
-         |        * power(2.0, 57.0) / s_int::DOUBLE AS e_raw
-         |    FROM ${px}est
-         |  )
-         |)""".stripMargin
+      hllChainSql(px,
+        s"SELECT event_type AS grp, $valueCol AS v FROM events WHERE $valueCol IS NOT NULL",
+        out)
     s"""WITH ${chain("hu", "user_id", "hll_ndv")},
        |${chain("he", "event_id", "hll_events")},
        |ex AS (
