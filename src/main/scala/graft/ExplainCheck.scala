@@ -279,6 +279,27 @@ object ExplainCheck {
         p.linesIterator.count(_.contains("Exchange hashpartitioning")) +
         " (want <=2, rank-side only — the edge scan side has none)")
     }
+
+    // round-13 sketch family: the typed-imperative aggregates must
+    // PARTIAL-aggregate (map-side combine — the shuffle carries one
+    // fixed-size sketch per partition per group, the 100 TB shape),
+    // and the CMS estimate must reach the heavy-hitter rows as a
+    // one-row broadcast, never a shuffle.
+    {
+      val hplan = finalPlanString(
+        SparkEntry.queries("q_corpus_hll")(spark, dir))
+      println("=== q_corpus_hll === partial ObjectHashAggregates: " +
+        hplan.linesIterator.count(l =>
+          l.contains("ObjectHashAggregate") && l.contains("partial")) +
+        " (want >=1 — register merge happens map-side)")
+      val cplan = finalPlanString(
+        SparkEntry.queries("q_doc_cms_tokens")(spark, dir))
+      println("=== q_doc_cms_tokens === sketch broadcasts: " +
+        cplan.linesIterator.count(l => l.contains("BroadcastNestedLoopJoin")
+          || l.contains("BroadcastExchange")) +
+        " (want >=1, the 1-row sketch); sortmerge joins: " +
+        cplan.linesIterator.count(_.contains("SortMergeJoin")) + " (want 0)")
+    }
     spark.stop()
   }
 }

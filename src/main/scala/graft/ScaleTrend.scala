@@ -31,7 +31,8 @@ object ScaleTrend {
     "q_events_sessionize",  // session-window aggregation
     "q_tokenizer_unigram",  // Viterbi-EM trainer (word-TYPE table passes)
     "q_doc_bm25_indexed",   // persisted postings build + probe read
-    "q_kv_zorder")          // multi-dim clustering rewrite + pruned scan
+    "q_kv_zorder",          // multi-dim clustering rewrite + pruned scan
+    "q_corpus_hll")         // one-pass sketch aggregation (map-side combined)
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
