@@ -67,28 +67,8 @@ case class HllDistinct(
     buf
   }
 
-  override def eval(buf: Array[Byte]): Any = {
-    // exact integer harmonic sum: Σ_j 2^(cap - M_j) — order-free, so
-    // the float division below sees ONE exactly-agreed operand
-    var sInt = BigInt(0)
-    var zeros = 0
-    var j = 0
-    while (j < m) {
-      val mj = buf(j) & 0xff
-      if (mj == 0) zeros += 1
-      sInt += BigInt(1) << (cap - mj)
-      j += 1
-    }
-    // fixed op order, mirrored literally by the oracle SQL:
-    // (0.7213 / (1 + 1.079/m)) * m * m * 2^cap / S
-    val md = m.toDouble
-    val eRaw = 0.7213 / (1.0 + 1.079 / md) * md * md *
-      math.pow(2.0, cap.toDouble) / sInt.doubleValue
-    val e =
-      if (eRaw <= 2.5 * md && zeros > 0) md * math.log(md / zeros.toDouble)
-      else eRaw
-    java.lang.Long.valueOf(math.round(e))
-  }
+  override def eval(buf: Array[Byte]): Any =
+    java.lang.Long.valueOf(HllDistinct.estimate(buf, p))
 
   override def serialize(buf: Array[Byte]): Array[Byte] = buf
 
@@ -109,4 +89,163 @@ object HllDistinct {
     */
   def hllDistinct(c: Column, p: Int = 12): Column =
     toColumn(HllDistinct(exprOf(c), p).toAggregateExpression())
+
+  /** The register array itself (binary, 2^p bytes) — for PERSISTED
+    * sketch tables: store per-(group, window) registers once, then
+    * roll up any coarser grouping with [[HllMerge.hllMergeEstimate]]
+    * WITHOUT re-reading raw data. Register max is associative and
+    * commutative, so a merged rollup is bit-identical to the direct
+    * sketch over the union — the property the merge gate pins.
+    */
+  def hllRegisters(c: Column, p: Int = 12): Column =
+    toColumn(HllRegisters(exprOf(c), p).toAggregateExpression())
+
+  /** `HllDistinct.eval` over a raw register array — shared by the
+    * direct aggregate and the merge-of-stored-sketches path.
+    */
+  private[functions] def estimate(buf: Array[Byte], p: Int): Long = {
+    val m = 1 << p
+    val cap = 64 - p + 1
+    // exact integer harmonic sum: Σ_j 2^(cap - M_j) — order-free, so
+    // the float division below sees ONE exactly-agreed operand
+    var sInt = BigInt(0)
+    var zeros = 0
+    var j = 0
+    while (j < m) {
+      val mj = buf(j) & 0xff
+      if (mj == 0) zeros += 1
+      sInt += BigInt(1) << (cap - mj)
+      j += 1
+    }
+    // fixed op order, mirrored literally by the oracle SQL:
+    // (0.7213 / (1 + 1.079/m)) * m * m * 2^cap / S
+    val md = m.toDouble
+    val eRaw = 0.7213 / (1.0 + 1.079 / md) * md * md *
+      math.pow(2.0, cap.toDouble) / sInt.doubleValue
+    val e =
+      if (eRaw <= 2.5 * md && zeros > 0) md * math.log(md / zeros.toDouble)
+      else eRaw
+    math.round(e)
+  }
+}
+
+/** [[HllDistinct]]'s accumulation with the REGISTERS as the result
+  * (binary, 2^p bytes) — the persisted-sketch-table building block.
+  */
+case class HllRegisters(
+    child: Expression,
+    p: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  require(p >= 7 && p <= 16, s"precision p=$p out of range (7..16)")
+
+  private val m = 1 << p
+  private val cap = 64 - p + 1
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = BinaryType
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = Sketches.hashValue(v)
+      val bucket = (h >>> (64 - p)).toInt
+      val rho = math.min(cap, java.lang.Long.numberOfLeadingZeros(h << p) + 1)
+      if (rho > (buf(bucket) & 0xff)) buf(bucket) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var j = 0
+    while (j < m) {
+      if ((other(j) & 0xff) > (buf(j) & 0xff)) buf(j) = other(j)
+      j += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any = buf.clone()
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllRegisters =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllRegisters =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "hll_registers"
+}
+
+/** Merge STORED register arrays (element-wise max) and estimate — the
+  * rollup side of the persisted sketch table: per-fine-group sketches
+  * written once, any coarser distinct count answered from sketch rows
+  * alone. Bit-identical to running [[HllDistinct]] directly over the
+  * union of the fine groups' raw rows (max is associative/commutative
+  * and the estimator is a pure function of the merged registers).
+  */
+case class HllMerge(
+    child: Expression,
+    p: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  require(p >= 7 && p <= 16, s"precision p=$p out of range (7..16)")
+
+  private val m = 1 << p
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val regs = v.asInstanceOf[Array[Byte]]
+      require(regs.length == m,
+        s"register blob has ${regs.length} registers, sketch expects $m")
+      merge(buf, regs)
+    } else buf
+  }
+
+  override def merge(buf: Array[Byte], other: Array[Byte]): Array[Byte] = {
+    var j = 0
+    while (j < m) {
+      if ((other(j) & 0xff) > (buf(j) & 0xff)) buf(j) = other(j)
+      j += 1
+    }
+    buf
+  }
+
+  override def eval(buf: Array[Byte]): Any =
+    java.lang.Long.valueOf(HllDistinct.estimate(buf, p))
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): HllMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): HllMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "hll_merge"
+}
+
+object HllMerge {
+  /** Estimate a distinct count from stored [[HllDistinct.hllRegisters]]
+    * blobs — merge by register max, then the shared estimator.
+    */
+  def hllMergeEstimate(c: Column, p: Int = 12): Column =
+    toColumn(HllMerge(exprOf(c), p).toAggregateExpression())
 }

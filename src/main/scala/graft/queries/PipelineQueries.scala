@@ -1307,6 +1307,39 @@ object PipelineQueries {
         hops = 3, seedsPerCell = 4, maxTrainPerCell = 32)
     }),
 
+    // PERSISTED sketch table + rollup — the operational 100 TB pattern
+    // the register representation exists for: per-(event_type, 6h
+    // window) registers land ONCE as a kv table (binary blobs), and
+    // any coarser distinct count is answered from sketch rows alone —
+    // no raw-data re-read. Register max is associative/commutative, so
+    // the rollup is BIT-IDENTICAL to the direct sketch over the raw
+    // union — the oracle pins the merged estimate against the direct
+    // chain's replay (any merge divergence fails the compare), with
+    // the direct aggregate and exact count riding along.
+    "q_corpus_hll_merge" -> ((s, dir) => {
+      val sk = s"/tmp/graft_hllsk${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(sk)
+      val ev = Tables.load(s, dir, "events")
+      ev.groupBy(col("event_type"), window(col("ts"), "21600 seconds"))
+        .agg(graft.functions.HllDistinct.hllRegisters(col("user_id"), p = 8)
+          .as("regs"))
+        .select(col("event_type"),
+          unix_timestamp(col("window.start")).as("w_start"), col("regs"))
+        .write.format("kv").option("path", sk).mode("overwrite").save()
+      val merged = s.read.format("kv").option("path", sk).load()
+        .groupBy(col("event_type"))
+        .agg(graft.functions.HllMerge.hllMergeEstimate(col("regs"), p = 8)
+          .as("hll_ndv"))
+      val direct = ev.groupBy(col("event_type"))
+        .agg(graft.functions.HllDistinct.hllDistinct(col("user_id"), p = 8)
+          .as("hll_direct"),
+          countDistinct(col("user_id")).as("exact_ndv"))
+      merged.join(direct, "event_type")
+        .select(col("event_type"), col("hll_ndv"), col("hll_direct"),
+          col("exact_ndv"))
+        .orderBy(col("event_type"))
+    }),
+
     // The rotation's measured value: OPQ-rotated vs plain IVF-PQ recall
     // at EQUAL probe budget, both against exact brute force — one row.
     // On an isotropic corpus the delta is ≈0 by construction; the gate

@@ -1768,6 +1768,26 @@ object SketchOracleSql {
        |ORDER BY exact_n DESC, t.term""".stripMargin
   }
 
+  /** q_corpus_hll_merge: the persisted-sketch rollup must equal the
+    * DIRECT register chain over the raw union bit for bit (register
+    * max is associative/commutative, the estimator a pure function of
+    * the merged registers) — so the oracle replays ONE direct chain
+    * and pins BOTH the merged and the direct column to it; any merge
+    * divergence fails the compare.
+    */
+  def corpusHllMergeOracle: String =
+    s"""WITH ${hllChainSql("hm",
+          "SELECT event_type AS grp, user_id AS v FROM events WHERE user_id IS NOT NULL",
+          "hll_ndv")},
+       |hmex AS (
+       |  SELECT event_type AS grp, count(DISTINCT user_id)::BIGINT AS exact_ndv
+       |  FROM events GROUP BY event_type
+       |)
+       |SELECT o.grp AS event_type, o.hll_ndv, o.hll_ndv AS hll_direct,
+       |  hmex.exact_ndv
+       |FROM hmout o JOIN hmex USING (grp)
+       |ORDER BY event_type""".stripMargin
+
   def corpusStatsOracle: String = {
     val kmvSeed = 0x9747b28cL
     // per column: a relation of DISTINCT hashes (u64) of non-null values
@@ -4018,6 +4038,7 @@ object SketchOracleSql {
     "q_dedup_drop_best" -> dropBestOracle,
     "q_corpus_stats" -> corpusStatsOracle,
     "q_corpus_hll" -> corpusHllOracle,
+    "q_corpus_hll_merge" -> corpusHllMergeOracle,
     "q_doc_cms_tokens" -> docCmsTokensOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_ivf_audit" -> annIvfAuditOracle,

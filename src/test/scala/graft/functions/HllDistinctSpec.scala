@@ -61,6 +61,28 @@ class HllDistinctSpec extends SparkSpec {
     assert(math.abs(small - 20L) <= 1, s"linear-counting estimate $small")
   }
 
+  test("stored registers roll up bit-identically to the direct sketch") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 2000).map(_ => (rnd.nextInt(6), rnd.nextLong() % 500))
+    val df = rows.toDF("fine", "v")
+    // fine-grained sketch rows, then a rollup from the blobs alone
+    val rolled = df.groupBy("fine")
+      .agg(HllDistinct.hllRegisters(col("v"), 9).as("regs"))
+      .agg(HllMerge.hllMergeEstimate(col("regs"), 9).as("ndv"))
+      .collect().head.getLong(0)
+    val direct = df.agg(HllDistinct.hllDistinct(col("v"), 9).as("ndv"))
+      .collect().head.getLong(0)
+    assert(rolled == direct,
+      s"merged rollup $rolled != direct sketch $direct")
+    // a blob of the wrong precision fails loud, never silently mixes
+    val err = intercept[Exception] {
+      df.groupBy("fine").agg(HllDistinct.hllRegisters(col("v"), 8).as("regs"))
+        .agg(HllMerge.hllMergeEstimate(col("regs"), 9))
+        .collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("grouped aggregation and string inputs") {
     val df = Seq(("a", "x1"), ("a", "x2"), ("a", "x1"), ("b", "y1"))
       .toDF("g", "v")
