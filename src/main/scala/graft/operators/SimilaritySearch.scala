@@ -119,6 +119,116 @@ object SimilaritySearch {
       k)
   }
 
+  /** 1-bit sign quantization of a vector as packed 32-bit words — the
+    * binary-quantization code production vector stores ship as their
+    * cheapest tier (32× smaller than float32, 64× vs float64): bit b
+    * of word w is 1 iff coordinate w·32+b is strictly positive. Packing
+    * sums DISTINCT powers of two below 2³² as plain longs (no carries,
+    * no sign-bit wrap — both engines agree exactly), so the whole
+    * encoding replays in the oracle.
+    */
+  def binarySignWords(vec: Column, dim: Int): Column = {
+    require(dim >= 1 && dim <= 4096, s"dim $dim out of range (1..4096)")
+    val words = (dim + 31) / 32
+    array((0 until words).map { w =>
+      (0 until math.min(32, dim - w * 32)).map { b =>
+        when(element_at(vec, w * 32 + b + 1).cast("double") > 0.0,
+          lit(1L << b)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }: _*)
+  }
+
+  /** Hamming distance between two packed sign codes (bit_count of the
+    * per-word XOR, summed — codegen'd built-ins end to end).
+    */
+  private def hammingWords(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+      (x, y) => bit_count(x.bitwiseXOR(y)).cast("long")),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Binary (Hamming) top-k over sign codes — the 32×-compressed flat
+    * scan: queries broadcast, the corpus's packed words never shuffle,
+    * per-query top-k is the bounded-heap aggregate. Ranks by
+    * (hamming asc, nid asc); ties are exact integers, so the oracle
+    * replays the order bit for bit.
+    */
+  def binaryKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, dim: Int, k: Int): DataFrame = {
+    def enc(df: DataFrame, id: String, bw: String) =
+      df.select(col(idCol).as(id), binarySignWords(col(vecCol), dim).as(bw))
+    broadcast(enc(queries, "qid", "qbw"))
+      .join(enc(corpus, "nid", "nbw"), col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        hammingWords(col("qbw"), col("nbw")).as("ham"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.BoundedTopK.topK(
+        struct((lit(0.0) - col("ham").cast("double")).as("s"),
+          col("nid"), col("ham")), k).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), col("t.nid").as("nid"), col("t.ham").as("ham"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  /** Binary shortlist + exact rescore — the serving cascade the 1-bit
+    * tier exists for (the [[ivfPqRefineKnn]] pattern on Hamming codes):
+    * the packed-word scan picks `refine` candidates per query, ONLY
+    * those ids fetch raw vectors for exact cosine, and the top `k` by
+    * TRUE similarity come back. At 100 TB the first pass reads the
+    * 32×-smaller code column; the float column is touched for
+    * |Q|·refine rows.
+    */
+  def binaryRefineKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, dim: Int, k: Int,
+      refine: Int = 16): DataFrame = {
+    require(refine >= k, s"refine shortlist ($refine) must be >= k ($k)")
+    val shortlist = binaryKnn(corpus, queries, vecCol, idCol, dim, refine)
+      .select(col("qid"), col("nid"))
+    val c = prep(corpus, vecCol, idCol)
+      .select(col("id").as("nid"), col("e").as("ne"), col("nrm").as("nn"))
+    val q = prep(queries, vecCol, idCol)
+      .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    topKPerQuery(
+      shortlist
+        .join(broadcast(q), "qid")
+        .join(c, "nid")
+        .select(col("qid"), col("nid"),
+          (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim")),
+      k)
+  }
+
+  /** The 1-bit tier's measured value: Hamming-only vs Hamming+rescore
+    * at the SAME shortlist budget, both vs exact cosine brute force —
+    * what the 32× compression costs raw and what the rescore buys back.
+    */
+  def binaryRecallAudit(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, dim: Int, k: Int,
+      refine: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    val exact = bruteForceKnn(corpus, queries, vecCol, idCol, k)
+      .select(col("qid"), col("nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nQueries = exact.select(col("qid")).distinct().count()
+      def hits(ann: DataFrame): Long =
+        ann.select(col("qid"), col("nid"))
+          .join(exact, Seq("qid", "nid"), "left_semi").count()
+      val hitsBin = hits(binaryKnn(corpus, queries, vecCol, idCol, dim, k))
+      val hitsRef = hits(binaryRefineKnn(corpus, queries, vecCol, idCol,
+        dim, k, refine))
+      def milli(h: Long): Long =
+        if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
+      spark.range(1).select(
+        lit(nQueries).as("n_queries"), lit(k).as("k"),
+        lit(hitsBin).as("hits_binary"),
+        lit(milli(hitsBin)).as("recall_binary_milli"),
+        lit(hitsRef).as("hits_refined"),
+        lit(milli(hitsRef)).as("recall_refined_milli"))
+    } finally { exact.unpersist(); () }
+  }
+
   /** MMR (maximal marginal relevance, Carbonell & Goldstein 1998)
     * diversified re-ranking: from each query's `poolSize` most similar
     * candidates, greedily select `k` maximizing

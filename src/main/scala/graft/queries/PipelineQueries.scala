@@ -1361,6 +1361,39 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // Binary (1-bit sign) quantization — the 32×-compressed tier below
+    // SQ8: packed 32-bit sign words, Hamming top-k by bit_count(xor).
+    // Exact integer distances with nid-asc ties, so the packing, the
+    // per-word XOR pop-counts and the ranking all replay in the oracle.
+    "q_ann_binary" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.binaryKnn(emb, emb.filter(col("vec_id") < 20),
+        "embedding", "vec_id", dim = 64, k = 3)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // The 1-bit serving cascade (binary shortlist + exact rescore —
+    // the ivfPqRefineKnn pattern on Hamming codes): at 100 TB the
+    // first pass reads the 32×-smaller code column and the float
+    // column is touched for |Q|·refine rows only. Whole cascade
+    // (packing, Hamming shortlist, cosine rescore) oracle-replayed.
+    "q_ann_binary_refine" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.binaryRefineKnn(emb, emb.filter(col("vec_id") < 20),
+        "embedding", "vec_id", dim = 64, k = 3, refine = 10)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // What the 32× compression costs raw and what the rescore buys
+    // back: Hamming-only vs Hamming+rescore at the same budget, both
+    // vs exact cosine brute force (measured, oracle-replayed).
+    "q_ann_binary_audit" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.binaryRecallAudit(emb,
+        emb.filter(col("vec_id") < 20), "embedding", "vec_id",
+        dim = 64, k = 3, refine = 10)
+    }),
+
     // Product quantization: per-subspace deterministic k-means, corpus as
     // m×code bytes, ADC lookup-sum search — the memory-compressed ANN
     // tier (oracle replays train/encode/search end to end).
@@ -1993,6 +2026,21 @@ object PipelineQueries {
        |SELECT id, CAST(r AS BIGINT) AS rank_micro FROM r3 ORDER BY id""".stripMargin
   }
 
+  /** The binary tier's shared encode fragment: raw doubles + packed
+    * 32-bit sign words (bit b of word w set iff e[w·32+b+1] > 0 —
+    * distinct powers of two summed, exact on both engines).
+    */
+  private val binaryEncCtes: String =
+    """bq_base AS MATERIALIZED (
+      |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+      |), bq_enc AS MATERIALIZED (
+      |  SELECT id, list_transform(range(2), w ->
+      |    list_sum(list_transform(range(32), b ->
+      |      CASE WHEN e[(w * 32 + b + 1)::INT] > 0.0
+      |        THEN (1::BIGINT << b) ELSE 0::BIGINT END))) AS bw
+      |  FROM bq_base
+      |)""".stripMargin
+
   def oracles: Map[String, String] = SketchOracleSql.oracles ++ Map(
     "q_graph_pagerank" -> pagerankOracle,
     "q_graph_pagerank_bucketed" -> pagerankOracle,
@@ -2073,6 +2121,103 @@ object PipelineQueries {
         |SELECT qid, nid, round(sim, 6) AS sim, rnk
         |FROM r WHERE rnk <= 3
         |ORDER BY qid, rnk""".stripMargin,
+    // Binary ANN: sign packing into two 32-bit words (distinct powers
+    // of two summed — exact integers), Hamming = per-word
+    // bit_count(xor), (ham asc, nid asc) rank
+    "q_ann_binary" ->
+      s"""WITH $binaryEncCtes
+         |, sc AS (
+         |  SELECT q.id AS qid, a.id AS nid,
+         |    (bit_count(xor(q.bw[1], a.bw[1]))
+         |      + bit_count(xor(q.bw[2], a.bw[2])))::BIGINT AS ham
+         |  FROM (SELECT * FROM bq_enc WHERE id < 20) q
+         |  JOIN bq_enc a ON a.id <> q.id
+         |)
+         |SELECT qid, nid, ham, CAST(rn AS INT) AS rnk FROM (
+         |  SELECT qid, nid, ham,
+         |    row_number() OVER (PARTITION BY qid ORDER BY ham, nid) AS rn
+         |  FROM sc
+         |) WHERE rn <= 3 ORDER BY qid, rnk""".stripMargin,
+    // the cascade: 10-wide Hamming shortlist, exact cosine rescore of
+    // shortlist ids only, top-3 by true similarity
+    "q_ann_binary_refine" ->
+      s"""WITH $binaryEncCtes
+         |, sc AS (
+         |  SELECT q.id AS qid, a.id AS nid,
+         |    (bit_count(xor(q.bw[1], a.bw[1]))
+         |      + bit_count(xor(q.bw[2], a.bw[2])))::BIGINT AS ham
+         |  FROM (SELECT * FROM bq_enc WHERE id < 20) q
+         |  JOIN bq_enc a ON a.id <> q.id
+         |), sl AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY ham, nid) AS rn
+         |    FROM sc
+         |  ) WHERE rn <= 10
+         |), nn AS (
+         |  SELECT id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+         |  FROM bq_base
+         |), re AS (
+         |  SELECT s.qid, s.nid,
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> q.e[i] * a.e[i])) / (q.nrm * a.nrm) AS sim
+         |  FROM sl s JOIN nn q ON q.id = s.qid JOIN nn a ON a.id = s.nid
+         |)
+         |SELECT qid, nid, round(sim, 6) AS sim, CAST(rn AS INT) AS rnk FROM (
+         |  SELECT qid, nid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+         |  FROM re
+         |) WHERE rn <= 3 ORDER BY qid, rnk""".stripMargin,
+    // both tiers vs exact cosine truth at the same budget
+    "q_ann_binary_audit" ->
+      s"""WITH $binaryEncCtes
+         |, sc AS (
+         |  SELECT q.id AS qid, a.id AS nid,
+         |    (bit_count(xor(q.bw[1], a.bw[1]))
+         |      + bit_count(xor(q.bw[2], a.bw[2])))::BIGINT AS ham
+         |  FROM (SELECT * FROM bq_enc WHERE id < 20) q
+         |  JOIN bq_enc a ON a.id <> q.id
+         |), bk AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY ham, nid) AS rn
+         |    FROM sc
+         |  ) WHERE rn <= 3
+         |), sl AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY ham, nid) AS rn
+         |    FROM sc
+         |  ) WHERE rn <= 10
+         |), nn AS (
+         |  SELECT id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+         |  FROM bq_base
+         |), rk AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT s.qid, s.nid,
+         |      row_number() OVER (PARTITION BY s.qid ORDER BY
+         |        list_sum(list_transform(generate_series(1, 64),
+         |          i -> q.e[i] * a.e[i])) / (q.nrm * a.nrm) DESC, s.nid) AS rn
+         |    FROM sl s JOIN nn q ON q.id = s.qid JOIN nn a ON a.id = s.nid
+         |  ) WHERE rn <= 3
+         |), br AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT q.id AS qid, a.id AS nid,
+         |      row_number() OVER (PARTITION BY q.id ORDER BY
+         |        list_sum(list_transform(generate_series(1, 64),
+         |          i -> q.e[i] * a.e[i])) / (q.nrm * a.nrm) DESC, a.id) AS rn
+         |    FROM (SELECT * FROM nn WHERE id < 20) q
+         |    JOIN nn a ON a.id <> q.id
+         |  ) WHERE rn <= 3
+         |), hb AS (SELECT count(*)::BIGINT AS h FROM bk JOIN br USING (qid, nid)),
+         |hr AS (SELECT count(*)::BIGINT AS h FROM rk JOIN br USING (qid, nid)),
+         |nq AS (SELECT count(DISTINCT qid)::BIGINT AS n FROM br)
+         |SELECT nq.n AS n_queries, CAST(3 AS INT) AS k,
+         |  hb.h AS hits_binary,
+         |  CAST(hb.h * 1000 // (3 * nq.n) AS BIGINT) AS recall_binary_milli,
+         |  hr.h AS hits_refined,
+         |  CAST(hr.h * 1000 // (3 * nq.n) AS BIGINT) AS recall_refined_milli
+         |FROM hb, hr, nq""".stripMargin,
     // Containment is plain string algebra in DuckDB: space-padded
     // substring test over the same normalized + prefix-augmented corpus
     // (brute-force N² pairs — exact, oracle-sized only).
