@@ -155,10 +155,21 @@ object SimilaritySearch {
   def binaryKnn(
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, dim: Int, k: Int): DataFrame = {
-    def enc(df: DataFrame, id: String, bw: String) =
-      df.select(col(idCol).as(id), binarySignWords(col(vecCol), dim).as(bw))
-    broadcast(enc(queries, "qid", "qbw"))
-      .join(enc(corpus, "nid", "nbw"), col("qid") =!= col("nid"))
+    binaryHammingTopK(
+      queries.select(col(idCol).as("qid"),
+        binarySignWords(col(vecCol), dim).as("qbw")),
+      corpus.select(col(idCol).as("nid"),
+        binarySignWords(col(vecCol), dim).as("nbw")),
+      k)
+  }
+
+  /** The binary tier's shared scoring chain over encoded frames —
+    * `(qid, qbw)` × `(nid, nbw)` → (qid, nid, ham, rnk).
+    */
+  private def binaryHammingTopK(
+      qEnc: DataFrame, cEnc: DataFrame, k: Int): DataFrame =
+    broadcast(qEnc)
+      .join(cEnc, col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         hammingWords(col("qbw"), col("nbw")).as("ham"))
       .groupBy(col("qid"))
@@ -168,6 +179,46 @@ object SimilaritySearch {
       .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
       .select(col("qid"), col("t.nid").as("nid"), col("t.ham").as("ham"),
         (col("pos") + 1).cast("int").as("rnk"))
+
+  /** Persist the binary tier's code table — at 100 TB THIS is the
+    * point: the packed words land once as their own narrow kv table
+    * (32× smaller than the float column) and every search scans codes
+    * only. Encoding is data-independent (no training), so `bin_meta`
+    * records just the dim the queries must pack at.
+    */
+  def buildBinaryIndex(
+      corpus: DataFrame, vecCol: String, idCol: String, path: String,
+      dim: Int): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col(idCol).as("nid"),
+        binarySignWords(col(vecCol), dim).as("bw"))
+      .write.format("kv").option("path", s"$path/codes")
+      .mode("overwrite").save()
+    Seq(Tuple1(dim.toLong)).toDF("dim")
+      .write.format("kv").option("path", s"$path/bin_meta")
+      .mode("overwrite").save()
+  }
+
+  /** Search a [[buildBinaryIndex]] code table: pack raw queries at the
+    * STORED dim, Hamming top-k against the codes scan — bit-identical
+    * to the in-memory [[binaryKnn]] (encoding is deterministic and
+    * training-free), so the gates share one oracle.
+    */
+  def binaryKnnIndexed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      queries: DataFrame, vecCol: String, idCol: String,
+      k: Int): DataFrame = {
+    val metaRows = spark.read.format("kv")
+      .option("path", s"$path/bin_meta").load().collect()
+    require(metaRows.nonEmpty, s"no bin_meta under $path")
+    val dim = metaRows.head.getAs[Long]("dim").toInt
+    val codes = spark.read.format("kv").option("path", s"$path/codes")
+      .load().select(col("nid"), col("bw").as("nbw"))
+    binaryHammingTopK(
+      queries.select(col(idCol).as("qid"),
+        binarySignWords(col(vecCol), dim).as("qbw")),
+      codes, k)
   }
 
   /** Binary shortlist + exact rescore — the serving cascade the 1-bit

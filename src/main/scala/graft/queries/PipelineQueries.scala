@@ -1372,6 +1372,21 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // The code table persisted (train-free: encoding is deterministic,
+    // bin_meta records the packing dim) — searches scan the 32×-smaller
+    // codes table only; bit-identical to the in-memory scan, so the
+    // gate shares its oracle.
+    "q_ann_binary_indexed" -> ((s, dir) => {
+      val idx = s"/tmp/graft_binidx${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(idx)
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.buildBinaryIndex(emb, "embedding", "vec_id", idx,
+        dim = 64)
+      SimilaritySearch.binaryKnnIndexed(s, idx,
+        emb.filter(col("vec_id") < 20), "embedding", "vec_id", k = 3)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // The 1-bit serving cascade (binary shortlist + exact rescore —
     // the ivfPqRefineKnn pattern on Hamming codes): at 100 TB the
     // first pass reads the 32×-smaller code column and the float
@@ -2125,6 +2140,22 @@ object PipelineQueries {
     // of two summed — exact integers), Hamming = per-word
     // bit_count(xor), (ham asc, nid asc) rank
     "q_ann_binary" ->
+      s"""WITH $binaryEncCtes
+         |, sc AS (
+         |  SELECT q.id AS qid, a.id AS nid,
+         |    (bit_count(xor(q.bw[1], a.bw[1]))
+         |      + bit_count(xor(q.bw[2], a.bw[2])))::BIGINT AS ham
+         |  FROM (SELECT * FROM bq_enc WHERE id < 20) q
+         |  JOIN bq_enc a ON a.id <> q.id
+         |)
+         |SELECT qid, nid, ham, CAST(rn AS INT) AS rnk FROM (
+         |  SELECT qid, nid, ham,
+         |    row_number() OVER (PARTITION BY qid ORDER BY ham, nid) AS rn
+         |  FROM sc
+         |) WHERE rn <= 3 ORDER BY qid, rnk""".stripMargin,
+    // the persisted code table answers identically to the in-memory
+    // scan (training-free deterministic encode) — same oracle
+    "q_ann_binary_indexed" ->
       s"""WITH $binaryEncCtes
          |, sc AS (
          |  SELECT q.id AS qid, a.id AS nid,

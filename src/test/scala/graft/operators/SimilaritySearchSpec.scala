@@ -1141,6 +1141,53 @@ class SimilaritySearchSpec extends SparkSpec {
     }
   }
 
+  test("binary tier: packed sign words replay, indexed == in-memory, refine never worse than raw Hamming") {
+    val q = corpus16.filter(col("vec_id") < 3L)
+    // packing replay: plain-Scala sign words over a collected row
+    val row = corpus16.select(col("vec_id"),
+        col("embedding"),
+        SimilaritySearch.binarySignWords(col("embedding"), 16).as("bw"))
+      .orderBy("vec_id").collect().head
+    val vec = row.getSeq[Any](1).map {
+      case f: Float => f.toDouble
+      case d: Double => d
+    }
+    val expected = row.getSeq[Long](2)
+    val ref = (0 until 1).map { w =>
+      (0 until 16).map { b =>
+        if (vec(w * 32 + b) > 0.0) 1L << b else 0L
+      }.sum
+    }
+    assert(expected == ref, "sign packing diverged from the reference")
+    // persisted code table answers bit-identically to the in-memory scan
+    val idx = java.nio.file.Files.createTempDirectory("binidx").toString + "/i"
+    SimilaritySearch.buildBinaryIndex(corpus16, "embedding", "vec_id", idx,
+      dim = 16)
+    val indexed = SimilaritySearch.binaryKnnIndexed(spark, idx, q,
+      "embedding", "vec_id", k = 3)
+      .orderBy("qid", "rnk").collect().toSeq
+    val mem = SimilaritySearch.binaryKnn(corpus16, q, "embedding", "vec_id",
+      dim = 16, k = 3)
+      .orderBy("qid", "rnk").collect().toSeq
+    assert(indexed == mem, "stored codes diverged from the in-memory scan")
+    intercept[Exception] {
+      SimilaritySearch.binaryKnnIndexed(spark,
+        java.nio.file.Files.createTempDirectory("binnone").toString + "/x",
+        q, "embedding", "vec_id", k = 3)
+    }
+    // the rescore cascade can only improve on raw Hamming recall
+    val exact = SimilaritySearch.bruteForceKnn(corpus16, q, "embedding",
+      "vec_id", k = 3).select(col("qid"), col("nid"))
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(col("qid"), col("nid"))
+        .join(exact, Seq("qid", "nid"), "left_semi").count()
+    val hBin = hits(SimilaritySearch.binaryKnn(corpus16, q, "embedding",
+      "vec_id", dim = 16, k = 3))
+    val hRef = hits(SimilaritySearch.binaryRefineKnn(corpus16, q,
+      "embedding", "vec_id", dim = 16, k = 3, refine = 8))
+    assert(hRef >= hBin, s"rescore lost recall: $hRef < $hBin")
+  }
+
   test("normalize knob through the permuted tiers: stored perm_meta drives the unit transform; pre-meta layouts stay raw") {
     // norm-spread + anisotropy: scale dims unevenly AND give rows
     // wildly different magnitudes, so raw and unit chains genuinely
