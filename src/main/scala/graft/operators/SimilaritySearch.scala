@@ -249,6 +249,92 @@ object SimilaritySearch {
       k)
   }
 
+  /** Binary × IVF — sign codes under coarse cells: the query routes to
+    * `nProbe` cells as usual, but WITHIN the probed cells the first
+    * pass scans packed Hamming codes (32× smaller than the float
+    * column) for a `refine` shortlist, and only shortlist ids fetch
+    * raw vectors for exact cosine. At 100 TB this composes the two
+    * savings: the probe prunes which cells are read at all, the codes
+    * shrink what a probed cell costs to scan. Deterministic end to end
+    * (trainCentroids chain, integer Hamming, fixed-order rescore) —
+    * the oracle replays cells, probes, codes, shortlist and rescore.
+    */
+  def binaryIvfKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, dim: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, refine: Int = 16,
+      iterations: Int = 2, maxTrainPerCell: Int = 16384): DataFrame = {
+    require(refine >= k, s"refine shortlist ($refine) must be >= k ($k)")
+    val cents = trainCentroids(corpus, vecCol, idCol, nCells, iterations,
+      maxTrainPerCell)
+    val cPrep = prep(corpus, vecCol, idCol)
+    val assigned = assignCells(cPrep, cents)
+      .select(col("cell"), col("id").as("nid"),
+        binarySignWords(col("e"), dim).as("nbw"))
+    val qPrepped = prep(queries, vecCol, idCol)
+    val probes = qPrepped.crossJoin(broadcast(cents))
+      .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("id"))
+      .agg(slice(sort_array(collect_list(struct(col("d2"), col("cell")))),
+        1, nProbe).as("cells"),
+        first(col("e")).as("e"))
+      .select(col("id").as("qid"),
+        binarySignWords(col("e"), dim).as("qbw"),
+        explode(col("cells.cell")).as("cell"))
+    val shortlist = broadcast(probes).join(assigned, Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        hammingWords(col("qbw"), col("nbw")).as("ham"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.BoundedTopK.topK(
+        struct((lit(0.0) - col("ham").cast("double")).as("s"),
+          col("nid"), col("ham")), refine).as("top"))
+      .select(col("qid"), explode(col("top.nid")).as("nid"))
+    val c = cPrep.select(col("id").as("nid"), col("e").as("ne"),
+      col("nrm").as("nn"))
+    val q = qPrepped.select(col("id").as("qid"), col("e").as("qe"),
+      col("nrm").as("qn"))
+    topKPerQuery(
+      shortlist.join(broadcast(q), "qid").join(c, "nid")
+        .select(col("qid"), col("nid"),
+          (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim")),
+      k)
+  }
+
+  /** What scanning codes instead of floats inside probed cells costs:
+    * exact-within-cell IVF vs binary-within-cell (+rescore) at the SAME
+    * nProbe budget, both vs exact cosine brute force.
+    */
+  def binaryIvfRecallAudit(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, dim: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, refine: Int = 16,
+      iterations: Int = 2, maxTrainPerCell: Int = 16384): DataFrame = {
+    val spark = corpus.sparkSession
+    val exact = bruteForceKnn(corpus, queries, vecCol, idCol, k)
+      .select(col("qid"), col("nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nQueries = exact.select(col("qid")).distinct().count()
+      def hits(ann: DataFrame): Long =
+        ann.select(col("qid"), col("nid"))
+          .join(exact, Seq("qid", "nid"), "left_semi").count()
+      val hitsIvf = hits(ivfKnn(corpus, queries, vecCol, idCol, k,
+        nCells, nProbe, iterations, maxTrainPerCell))
+      val hitsBin = hits(binaryIvfKnn(corpus, queries, vecCol, idCol,
+        dim, k, nCells, nProbe, refine, iterations, maxTrainPerCell))
+      def milli(h: Long): Long =
+        if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
+      spark.range(1).select(
+        lit(nQueries).as("n_queries"), lit(k).as("k"),
+        lit(hitsIvf).as("hits_ivf_exact"),
+        lit(milli(hitsIvf)).as("recall_ivf_exact_milli"),
+        lit(hitsBin).as("hits_ivf_binary"),
+        lit(milli(hitsBin)).as("recall_ivf_binary_milli"))
+    } finally { exact.unpersist(); () }
+  }
+
   /** The 1-bit tier's measured value: Hamming-only vs Hamming+rescore
     * at the SAME shortlist budget, both vs exact cosine brute force —
     * what the 32× compression costs raw and what the rescore buys back.

@@ -1409,6 +1409,30 @@ object PipelineQueries {
         dim = 64, k = 3, refine = 10)
     }),
 
+    // Binary × IVF: the probe prunes which cells are read at all, the
+    // sign codes shrink what a probed cell costs to scan (32×), and
+    // the rescore touches floats for |Q|·refine rows only — the two
+    // savings composed. Cells, probes, codes, shortlist and rescore
+    // all replay in the oracle.
+    "q_ann_binary_ivf" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.binaryIvfKnn(emb, emb.filter(col("vec_id") < 20),
+        "embedding", "vec_id", dim = 64, k = 3, nCells = 8, nProbe = 2,
+        refine = 10, maxTrainPerCell = 32)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // What scanning codes instead of floats inside probed cells costs:
+    // exact-within-cell IVF vs binary-within-cell (+rescore) at the
+    // SAME nProbe budget, both vs exact cosine truth (measured).
+    "q_ann_binary_ivf_audit" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.binaryIvfRecallAudit(emb,
+        emb.filter(col("vec_id") < 20), "embedding", "vec_id",
+        dim = 64, k = 3, nCells = 8, nProbe = 2, refine = 10,
+        maxTrainPerCell = 32)
+    }),
+
     // Product quantization: per-subspace deterministic k-means, corpus as
     // m×code bytes, ADC lookup-sum search — the memory-compressed ANN
     // tier (oracle replays train/encode/search end to end).

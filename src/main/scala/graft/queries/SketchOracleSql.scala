@@ -970,6 +970,94 @@ object SketchOracleSql {
        |  FROM ${px}scored
        |)""".stripMargin
 
+  /** The 1-bit sign packing over a DOUBLE[] expression: two 32-bit
+    * words, distinct powers of two summed (exact integers).
+    */
+  private def signWordsSql(src: String): String =
+    s"""list_transform(range(2), w ->
+       |    list_sum(list_transform(range(32), b ->
+       |      CASE WHEN ($src)[(w * 32 + b + 1)::INT] > 0.0
+       |        THEN (1::BIGINT << b) ELSE 0::BIGINT END)))""".stripMargin
+
+  /** The binary×IVF replay: trained cells, query probes, sign codes
+    * within probed cells, Hamming shortlist, exact cosine rescore —
+    * ends in `vb_re (qid, nid, sim)`.
+    */
+  private def binaryIvfCtes(nProbe: Int, refine: Int, qMax: Int): String =
+    s"""vb_base AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), vb_prep AS MATERIALIZED (
+       |  SELECT id, e FROM vb_base
+       |), ${kmChain("vb_", 8, 32)},
+       |vb_enc AS (
+       |  SELECT id, cell, ${signWordsSql("e")} AS bw FROM vb_af
+       |), vb_probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.id AS qid, c.cell,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY ${kmD2("q.e", "c.ce")}, c.cell) AS rn
+       |    FROM (SELECT * FROM vb_prep WHERE id < $qMax) q CROSS JOIN vb_cent2 c
+       |  ) WHERE rn <= $nProbe
+       |), vb_qenc AS (
+       |  SELECT id AS qid, ${signWordsSql("e")} AS bw
+       |  FROM vb_prep WHERE id < $qMax
+       |), vb_ham AS (
+       |  SELECT p.qid, a.id AS nid,
+       |    (bit_count(xor(qe.bw[1], a.bw[1]))
+       |      + bit_count(xor(qe.bw[2], a.bw[2])))::BIGINT AS ham
+       |  FROM vb_probes p
+       |  JOIN vb_enc a ON a.cell = p.cell
+       |  JOIN vb_qenc qe ON qe.qid = p.qid
+       |  WHERE p.qid <> a.id
+       |), vb_sl AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY ham, nid) AS rn
+       |    FROM vb_ham
+       |  ) WHERE rn <= $refine
+       |), vb_n AS (
+       |  SELECT id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+       |  FROM vb_base
+       |), vb_re AS (
+       |  SELECT s.qid, s.nid,
+       |    list_sum(list_transform(generate_series(1, 64),
+       |      i -> q.e[i] * a.e[i])) / (q.nrm * a.nrm) AS sim
+       |  FROM vb_sl s JOIN vb_n q ON q.id = s.qid JOIN vb_n a ON a.id = s.nid
+       |)""".stripMargin
+
+  def annBinaryIvfOracle: String =
+    s"""WITH ${binaryIvfCtes(nProbe = 2, refine = 10, qMax = 20)}
+       |SELECT qid, nid, round(sim, 6) AS sim, CAST(rn AS INT) AS rnk FROM (
+       |  SELECT qid, nid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       |  FROM vb_re
+       |) WHERE rn <= 3 ORDER BY qid, rnk""".stripMargin
+
+  /** q_ann_binary_ivf_audit: exact-within-cell IVF vs binary-within-cell
+    * (+rescore) at the same probe budget, both vs exact cosine truth.
+    */
+  def annBinaryIvfAuditOracle: String =
+    s"""WITH ${binaryIvfCtes(nProbe = 2, refine = 10, qMax = 20)},
+       |${annIvfChainOver("ve_", "vb_base", nCells = 8, cap = 32,
+          qMax = 20, nProbe = 2)},
+       |vb_rk AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       |    FROM vb_re
+       |  ) WHERE rn <= 3
+       |),
+       |${cosineBruteCte("vb_br", "vb_base", "vbr_")},
+       |vhe AS (SELECT count(*)::BIGINT AS h
+       |  FROM (SELECT qid, nid FROM ve_ranked WHERE rnk <= 3) JOIN vb_br USING (qid, nid)),
+       |vhb AS (SELECT count(*)::BIGINT AS h FROM vb_rk JOIN vb_br USING (qid, nid)),
+       |vnq AS (SELECT count(DISTINCT qid)::BIGINT AS n FROM vb_br)
+       |SELECT vnq.n AS n_queries, CAST(3 AS INT) AS k,
+       |  vhe.h AS hits_ivf_exact,
+       |  CAST(vhe.h * 1000 // (3 * vnq.n) AS BIGINT) AS recall_ivf_exact_milli,
+       |  vhb.h AS hits_ivf_binary,
+       |  CAST(vhb.h * 1000 // (3 * vnq.n) AS BIGINT) AS recall_ivf_binary_milli
+       |FROM vhe, vhb, vnq""".stripMargin
+
   /** q_tokenizer_unigram: the hard-EM unigram-LM trainer replay —
     * word-type counts (long words chunked), count-weighted substring
     * seed frequencies, Laplace-smoothed micro-nat scores, the Viterbi
@@ -4039,6 +4127,8 @@ object SketchOracleSql {
     "q_corpus_stats" -> corpusStatsOracle,
     "q_corpus_hll" -> corpusHllOracle,
     "q_corpus_hll_merge" -> corpusHllMergeOracle,
+    "q_ann_binary_ivf" -> annBinaryIvfOracle,
+    "q_ann_binary_ivf_audit" -> annBinaryIvfAuditOracle,
     "q_doc_cms_tokens" -> docCmsTokensOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_ivf_audit" -> annIvfAuditOracle,
