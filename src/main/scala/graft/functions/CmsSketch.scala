@@ -93,9 +93,78 @@ case class CmsSketch(
   override def prettyName: String = "cms_sketch"
 }
 
+/** Merge STORED Count-Min counter tables (element-wise add — exact
+  * integer sums, associative and commutative) back into one sketch:
+  * the rollup side of a persisted frequency-sketch table, bit-identical
+  * to building one sketch over the union of the fine groups' raw rows.
+  */
+case class CmsMerge(
+    child: Expression,
+    depth: Int,
+    width: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]] {
+
+  require(depth >= 1 && depth <= 8, s"depth $depth out of range (1..8)")
+  require(width >= 8 && width <= 65536 && (width & (width - 1)) == 0,
+    s"width $width must be a power of two in 8..65536")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](depth * width)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray()
+      require(arr.length == buf.length,
+        s"counter table has ${arr.length} cells, sketch expects ${buf.length}")
+      merge(buf, arr)
+    } else buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(bytes.length / 8)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsMerge =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsMerge =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "cms_merge"
+}
+
 object CmsSketch {
   /** Row-hash seeds — plan-time literals both engines embed. */
   def rowSeed(r: Int): Long = Sketches.splitmix64(0x436d734c69746572L + r)
+
+  /** Merge stored counter tables back into one sketch (element-wise
+    * add) — estimate from the result with [[cmsEstimate]].
+    */
+  def cmsMerge(c: Column, depth: Int = 4, width: Int = 256): Column =
+    toColumn(CmsMerge(exprOf(c), depth, width).toAggregateExpression())
 
   /** Build the sketch: `depth·width` exact counters per group. */
   def cms(c: Column, depth: Int = 4, width: Int = 256): Column =

@@ -261,6 +261,39 @@ object CurationQueries {
         .orderBy(col("exact_n").desc, col("term"))
     }),
 
+    // PERSISTED frequency-sketch table + rollup (the q_corpus_hll_merge
+    // pattern on counters): per-source token sketches land once as a
+    // kv table (array<long> counter blobs); the corpus-wide sketch is
+    // their element-wise SUM — associative exact integers, so the
+    // rollup is BIT-IDENTICAL to the direct sketch and the gate shares
+    // the direct oracle (any merge divergence fails the compare).
+    "q_doc_cms_merge" -> ((s, dir) => {
+      import graft.functions.{CmsSketch, Sketches}
+      val sk = s"/tmp/graft_cmssk${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(sk)
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("source"), explode(
+          graft.functions.WhitespaceTokens.wsTokens(col("text"))).as("term"))
+      toks.groupBy(col("source"))
+        .agg(CmsSketch.cms(col("term"), depth = 4, width = 256).as("sk"))
+        .write.format("kv").option("path", sk).mode("overwrite").save()
+      val merged = s.read.format("kv").option("path", sk).load()
+        .agg(CmsSketch.cmsMerge(col("sk"), depth = 4, width = 256).as("sk"))
+      val top = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .agg(graft.functions.BoundedTopK.topK(
+          struct(col("n").cast("double").as("s"), col("term"),
+            col("n").as("cnt")), 12).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t.term").as("term"), col("t.cnt").as("exact_n"))
+      top.crossJoin(broadcast(merged))
+        .select(col("term"),
+          CmsSketch.cmsEstimate(col("sk"),
+            Sketches.stringHash64(col("term"), 0x9747b28cL),
+            depth = 4, width = 256).as("cms_n"),
+          col("exact_n"))
+        .orderBy(col("exact_n").desc, col("term"))
+    }),
+
     // Weighted per-source sampling without replacement (A-ES keys):
     // keep 5 docs per source at random but ∝-favoring length (weight
     // n_chars+1) — the quality-weighted downsampling primitive. The

@@ -4130,6 +4130,9 @@ object SketchOracleSql {
     "q_ann_binary_ivf" -> annBinaryIvfOracle,
     "q_ann_binary_ivf_audit" -> annBinaryIvfAuditOracle,
     "q_doc_cms_tokens" -> docCmsTokensOracle,
+    // the persisted per-source rollup is bit-identical to the direct
+    // sketch (counter add is associative) — same oracle
+    "q_doc_cms_merge" -> docCmsTokensOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_ivf_audit" -> annIvfAuditOracle,
     "q_ann_ivf_cosine" -> annIvfCosineOracle,

@@ -80,6 +80,23 @@ class CmsSketchSpec extends SparkSpec {
     }
   }
 
+  test("stored counter tables roll up bit-identically to the direct sketch") {
+    val df = corpus.zipWithIndex
+      .map { case (v, i) => (i % 5, v) }.toDF("fine", "v")
+    val rolled = df.groupBy("fine")
+      .agg(CmsSketch.cms(col("v"), depth, width).as("sk"))
+      .agg(CmsSketch.cmsMerge(col("sk"), depth, width).as("sk"))
+      .collect().head.getSeq[Long](0).toArray
+    assert(rolled.toSeq == reference(corpus).toSeq,
+      "merged rollup diverged from the direct counter table")
+    // a blob of the wrong geometry fails loud
+    intercept[Exception] {
+      df.groupBy("fine").agg(CmsSketch.cms(col("v"), 2, 32).as("sk"))
+        .agg(CmsSketch.cmsMerge(col("sk"), depth, width))
+        .collect()
+    }
+  }
+
   test("grouped sketches stay independent and knobs are guarded") {
     val df = Seq(("a", "x"), ("a", "x"), ("b", "x")).toDF("g", "v")
     val got = df.groupBy("g").agg(CmsSketch.cms(col("v"), 2, 8).as("sk"))
