@@ -42,7 +42,8 @@ object ExplainCheck {
         "q_ann_graph_cross", "q_ann_graph_capped", "q_ann_varperm",
         "q_ann_graph_hier", "q_ann_graph_prune_cross",
         "q_ann_lsh_multiprobe", "q_ann_lsh_multiprobe2", "q_ann_pca2",
-        "q_ann_pca3", "q_ann_ivfpq_residual", "q_ann_ivf_cosine")) {
+        "q_ann_pca3", "q_ann_ivfpq_residual", "q_ann_ivf_cosine",
+        "q_ann_binary", "q_ann_binary_ivf")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
       val windows = plan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window
