@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, BitwiseXor, Cast, ElementAt, Expression, Least, Literal}
 import org.apache.spark.sql.types.{IntegerType, LongType}
 
 /** SQL registration for the engine's native expressions — a SQL-only
@@ -58,6 +58,51 @@ object GraftFunctions {
     "gram_coverage" -> { exprs =>
       require(exprs.length == 2, "gram_coverage(words, n)")
       GramCoverage(exprs.head, intLit(exprs(1), "n"))
+    },
+    // the mergeable-sketch aggregates, SQL-addressable (the analyzer
+    // wraps a bare AggregateFunction in its AggregateExpression)
+    "kmv_distinct" -> { exprs =>
+      require(exprs.length == 2, "kmv_distinct(x, k)")
+      KmvDistinct(exprs.head, intLit(exprs(1), "k"))
+    },
+    "hll_distinct" -> { exprs =>
+      require(exprs.length == 2, "hll_distinct(x, p)")
+      HllDistinct(exprs.head, intLit(exprs(1), "p"))
+    },
+    "hll_registers" -> { exprs =>
+      require(exprs.length == 2, "hll_registers(x, p)")
+      HllRegisters(exprs.head, intLit(exprs(1), "p"))
+    },
+    "hll_merge" -> { exprs =>
+      require(exprs.length == 2, "hll_merge(regs, p)")
+      HllMerge(exprs.head, intLit(exprs(1), "p"))
+    },
+    "cms_sketch" -> { exprs =>
+      require(exprs.length == 3, "cms_sketch(x, depth, width)")
+      CmsSketch(exprs.head, intLit(exprs(1), "depth"), intLit(exprs(2), "width"))
+    },
+    "cms_merge" -> { exprs =>
+      require(exprs.length == 3, "cms_merge(sketch, depth, width)")
+      CmsMerge(exprs.head, intLit(exprs(1), "depth"), intLit(exprs(2), "width"))
+    },
+    "cms_estimate" -> { exprs =>
+      require(exprs.length == 4, "cms_estimate(sketch, itemHash, depth, width)")
+      // CmsSketch.cmsEstimate built from raw catalyst nodes (the
+      // Column bridge yields unresolved column nodes a SQL builder
+      // can't emit) — arithmetic identical term for term
+      val depth = intLit(exprs(2), "depth")
+      val width = intLit(exprs(3), "width")
+      val cells = (0 until depth).map { r =>
+        ElementAt(exprs.head, Cast(
+          Add(Add(Literal((r * width).toLong),
+            BitwiseAnd(
+              Sketches.SplitMix64Expr(
+                BitwiseXor(exprs(1), Literal(CmsSketch.rowSeed(r)))),
+              Literal((width - 1).toLong))),
+            Literal(1L)),
+          IntegerType))
+      }
+      Least(cells)
     })
 
   /** Register all native SQL functions into an existing session. */

@@ -83,6 +83,34 @@ class HllDistinctSpec extends SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("the sketch aggregates are SQL-addressable and match the Column API") {
+    GraftFunctions.registerAll(spark)
+    val rnd = new scala.util.Random(3)
+    Seq.fill(800)(rnd.nextLong() % 300).toDF("v")
+      .createOrReplaceTempView("hll_sql_t")
+    val sql = spark.sql(
+      "SELECT hll_distinct(v, 9) AS h, kmv_distinct(v, 64) AS k FROM hll_sql_t")
+      .collect().head
+    val api = spark.table("hll_sql_t")
+      .agg(HllDistinct.hllDistinct(col("v"), 9).as("h"),
+        KmvDistinct.kmvDistinct(col("v"), 64).as("k"))
+      .collect().head
+    assert(sql.getLong(0) == api.getLong(0) && sql.getLong(1) == api.getLong(1))
+    // registers → merge round-trip and the CMS family through SQL
+    val merged = spark.sql(
+      """SELECT hll_merge(r, 9) AS h FROM (
+        |  SELECT v % 4 AS g, hll_registers(v, 9) AS r
+        |  FROM hll_sql_t GROUP BY v % 4)""".stripMargin)
+      .collect().head.getLong(0)
+    assert(merged == api.getLong(0), "SQL hll_merge diverged from direct")
+    Seq("a", "a", "b").toDF("s").createOrReplaceTempView("cms_sql_t")
+    val est = spark.sql(
+      """SELECT cms_estimate(sk, string_hash64('a', 2538058380), 2, 8) AS e
+        |FROM (SELECT cms_sketch(s, 2, 8) AS sk FROM cms_sql_t)""".stripMargin)
+      .collect().head.getLong(0)
+    assert(est == 2L, s"SQL cms estimate $est != 2")
+  }
+
   test("grouped aggregation and string inputs") {
     val df = Seq(("a", "x1"), ("a", "x2"), ("a", "x1"), ("b", "y1"))
       .toDF("g", "v")
