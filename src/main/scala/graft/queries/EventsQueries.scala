@@ -161,6 +161,48 @@ object EventsQueries {
         .orderBy(col("w_start"))
     }),
 
+    // Streaming SKETCH-TABLE ingest for the frequency family (the
+    // q_stream_hll_window discipline on counters): per-window CMS
+    // counter blobs land in a kv table as the stream drains (append
+    // mode, watermark-sealed windows only), and the corpus-wide
+    // estimate rolls up from sketch rows alone via cmsMerge — counter
+    // adds are order-free, so the drained table is micro-batching-
+    // independent and the whole pipeline admits an exact oracle
+    // (emission rule + counter replay + min-of-depth estimates).
+    "q_stream_cms_ingest" -> ((s, dir) => {
+      import graft.functions.{CmsSketch, Sketches}
+      val u = java.util.UUID.randomUUID().toString.replace("-", "")
+      val sink = s"/tmp/graft_cmsstrm_$u/t"
+      val ckpt = s"/tmp/graft_cmsstrmck_$u"
+      val q = s.readStream.format("log").option("path", s"$dir/events.parquet")
+        .option("maxOffsetsPerTrigger", "40000").load()
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "21600 seconds"))
+        .agg(CmsSketch.cms(col("event_type"), depth = 4, width = 256)
+          .as("sk"))
+        .select(unix_timestamp(col("window.start")).as("w_start"), col("sk"))
+        .writeStream.format("kv").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // rollup from the drained sketch table alone; the probe set is
+      // the five event types (exact counts over the SAME sealed
+      // windows ride along as the accuracy pin)
+      val merged = s.read.format("kv").option("path", sink).load()
+        .agg(CmsSketch.cmsMerge(col("sk"), depth = 4, width = 256).as("sk"))
+      val types = Tables.load(s, dir, "events")
+        .select(col("event_type")).distinct()
+      types.crossJoin(broadcast(merged))
+        .select(col("event_type"),
+          CmsSketch.cmsEstimate(col("sk"),
+            Sketches.stringHash64(col("event_type"), 0x9747b28cL),
+            depth = 4, width = 256).as("cms_n"))
+        .orderBy(col("event_type"))
+    }),
+
     // Bucketized interval join ([[graft.operators.IntervalJoin]]): each
     // signup opens a 10-minute attribution window; find every view of
     // the same user inside it. Spark would run the raw BETWEEN predicate

@@ -1876,6 +1876,48 @@ object SketchOracleSql {
        |FROM hmout o JOIN hmex USING (grp)
        |ORDER BY event_type""".stripMargin
 
+  /** q_stream_cms_ingest: the drained per-window CMS table rolled up —
+    * counter adds are order-free, so the merged sketch equals one CMS
+    * over every event in a SEALED window (the q_sql_q102 emission
+    * rule); the oracle replays sealing, per-type counts, the 4 row
+    * scrambles, bucket sums, and the min-of-depth estimates for the
+    * five event types.
+    */
+  def streamCmsIngestOracle: String = {
+    val depth = 4
+    val seeds = (0 until depth).map(graft.functions.CmsSketch.rowSeed)
+    val freq =
+      """SELECT term, count(*)::BIGINT AS n FROM (
+        |  SELECT event_type AS term FROM events,
+        |    (SELECT (epoch_ms(max(ts)) - 600000) * 1000 AS wm_us FROM events) w
+        |  WHERE ((epoch_us(date_trunc('microseconds', ts)) // 21600000000)
+        |    * 21600 + 21600) * 1000000 <= w.wm_us
+        |) GROUP BY term""".stripMargin
+    val rows = (0 until depth).map { r =>
+      s"""sr$r AS MATERIALIZED (
+         |  SELECT term, n, (rh % 256::HUGEINT) AS b
+         |  FROM (${smCols("SELECT term, n, h FROM sbh",
+              xor64("h", u(seeds(r))), "rh", s"s${r}x")})
+         |), sc$r AS (
+         |  SELECT b, sum(n)::BIGINT AS c FROM sr$r GROUP BY b
+         |)""".stripMargin
+    }.mkString(",\n")
+    val joins = (0 until depth).map { r =>
+      s"JOIN sr$r b$r ON b$r.term = t.event_type JOIN sc$r m$r ON m$r.b = b$r.b"
+    }.mkString("\n  ")
+    val mins = (0 until depth).map(r => s"m$r.c").mkString(", ")
+    s"""WITH sbh AS MATERIALIZED (
+       |  ${hashStrCols(freq, "term", 0x9747b28cL, 4, "h", "sbx",
+            Seq("term", "n"))}
+       |),
+       |$rows,
+       |stypes AS (SELECT DISTINCT event_type FROM events)
+       |SELECT t.event_type, least($mins) AS cms_n
+       |FROM stypes t
+       |  $joins
+       |ORDER BY t.event_type""".stripMargin
+  }
+
   def corpusStatsOracle: String = {
     val kmvSeed = 0x9747b28cL
     // per column: a relation of DISTINCT hashes (u64) of non-null values
@@ -4133,6 +4175,7 @@ object SketchOracleSql {
     // the persisted per-source rollup is bit-identical to the direct
     // sketch (counter add is associative) — same oracle
     "q_doc_cms_merge" -> docCmsTokensOracle,
+    "q_stream_cms_ingest" -> streamCmsIngestOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_ivf_audit" -> annIvfAuditOracle,
     "q_ann_ivf_cosine" -> annIvfCosineOracle,
