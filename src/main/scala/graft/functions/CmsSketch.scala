@@ -30,6 +30,14 @@ import org.apache.spark.sql.types._
   * partition, where an exact `GROUP BY term` shuffles every distinct
   * term. Estimation is a broadcast of the one-row sketch plus a
   * row-local lookup.
+  *
+  * Emitted sketch arrays carry a two-cell `[depth, width]` geometry
+  * header before the counters: the total cell count alone does NOT
+  * determine the layout ((1,1024), (2,512), (4,256) and (8,128) all
+  * have 1024 cells), so a stored counter table built at one geometry
+  * must fail LOUD — not silently misalign rows — when merged under
+  * another. [[CmsMerge]] requires an exact header match;
+  * [[CmsSketch.cmsEstimate]] skips the header when indexing.
   */
 case class CmsSketch(
     child: Expression,
@@ -71,7 +79,8 @@ case class CmsSketch(
     buf
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(CmsSketch.withHeader(buf, depth, width))
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
@@ -122,9 +131,19 @@ case class CmsMerge(
     if (v != null) {
       val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
         .toLongArray()
-      require(arr.length == buf.length,
-        s"counter table has ${arr.length} cells, sketch expects ${buf.length}")
-      merge(buf, arr)
+      // exact geometry match on the header, NOT the cell count: all of
+      // (1,1024), (2,512), (4,256), (8,128) have 1024 cells but align
+      // rows differently — merging across geometries would silently
+      // break the never-under-count invariant
+      require(arr.length == buf.length + 2 &&
+        arr(0) == depth.toLong && arr(1) == width.toLong,
+        s"stored sketch geometry (depth=${arr.headOption.getOrElse(-1L)}, " +
+          s"width=${arr.drop(1).headOption.getOrElse(-1L)}, " +
+          s"${arr.length} cells incl. header) does not match " +
+          s"cms_merge(depth=$depth, width=$width)")
+      var i = 0
+      while (i < buf.length) { buf(i) += arr(i + 2); i += 1 }
+      buf
     } else buf
   }
 
@@ -134,7 +153,8 @@ case class CmsMerge(
     buf
   }
 
-  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+  override def eval(buf: Array[Long]): Any =
+    new GenericArrayData(CmsSketch.withHeader(buf, depth, width))
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
@@ -160,6 +180,16 @@ object CmsSketch {
   /** Row-hash seeds — plan-time literals both engines embed. */
   def rowSeed(r: Int): Long = Sketches.splitmix64(0x436d734c69746572L + r)
 
+  /** Counter cells preceded by the `[depth, width]` geometry header. */
+  private[functions] def withHeader(
+      counters: Array[Long], depth: Int, width: Int): Array[Long] = {
+    val out = new Array[Long](counters.length + 2)
+    out(0) = depth.toLong
+    out(1) = width.toLong
+    System.arraycopy(counters, 0, out, 2, counters.length)
+    out
+  }
+
   /** Merge stored counter tables back into one sketch (element-wise
     * add) — estimate from the result with [[cmsEstimate]].
     */
@@ -179,12 +209,14 @@ object CmsSketch {
     */
   def cmsEstimate(sketch: Column, itemHash: Column,
       depth: Int, width: Int): Column = {
+    // +2 skips the geometry header; least() needs >= 2 args, so a
+    // depth-1 sketch reads its single cell directly
     val cells = (0 until depth).map { r =>
       element_at(sketch,
-        (lit(r * width) +
+        (lit(r * width + 2) +
           Sketches.splitmixLong(itemHash.bitwiseXOR(lit(rowSeed(r))))
             .bitwiseAND(lit((width - 1).toLong)) + lit(1L)).cast("int"))
     }
-    least(cells: _*)
+    if (depth == 1) cells.head else least(cells: _*)
   }
 }

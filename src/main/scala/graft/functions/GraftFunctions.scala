@@ -92,9 +92,11 @@ object GraftFunctions {
       // can't emit) — arithmetic identical term for term
       val depth = intLit(exprs(2), "depth")
       val width = intLit(exprs(3), "width")
+      // +2 skips the [depth, width] geometry header; Least needs >= 2
+      // children, so depth-1 reads its single cell directly
       val cells = (0 until depth).map { r =>
         ElementAt(exprs.head, Cast(
-          Add(Add(Literal((r * width).toLong),
+          Add(Add(Literal((r * width + 2).toLong),
             BitwiseAnd(
               Sketches.SplitMix64Expr(
                 BitwiseXor(exprs(1), Literal(CmsSketch.rowSeed(r)))),
@@ -102,7 +104,7 @@ object GraftFunctions {
             Literal(1L)),
           IntegerType))
       }
-      Least(cells)
+      if (depth == 1) cells.head else Least(cells)
     })
 
   /** Register all native SQL functions into an existing session. */

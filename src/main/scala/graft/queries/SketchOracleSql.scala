@@ -1805,9 +1805,10 @@ object SketchOracleSql {
        |    count(DISTINCT event_id)::BIGINT AS exact_events
        |  FROM events GROUP BY event_type
        |)
-       |SELECT ex.grp AS event_type, hu.hll_ndv, ex.exact_ndv,
-       |  he.hll_events, ex.exact_events
-       |FROM ex JOIN huout hu USING (grp) JOIN heout he USING (grp)
+       |SELECT ex.grp AS event_type,
+       |  coalesce(hu.hll_ndv, 0)::BIGINT AS hll_ndv, ex.exact_ndv,
+       |  coalesce(he.hll_events, 0)::BIGINT AS hll_events, ex.exact_events
+       |FROM ex LEFT JOIN huout hu USING (grp) LEFT JOIN heout he USING (grp)
        |ORDER BY event_type""".stripMargin
   }
 
@@ -1902,15 +1903,34 @@ object SketchOracleSql {
          |  SELECT b, sum(n)::BIGINT AS c FROM sr$r GROUP BY b
          |)""".stripMargin
     }.mkString(",\n")
+    // probe keys hash INDEPENDENTLY of the sealed-window term table and
+    // LEFT JOIN the counter sums (coalesced to 0): the engine estimates
+    // every distinct event_type via the bucket lookup, including a type
+    // whose events all fall in the unsealed final window — an inner join
+    // through the sealed-term relation would drop that probe row and
+    // fail the compare on such fixtures
+    val probeBuckets = (0 until depth).map { r =>
+      s"""sp$r AS (
+         |  SELECT event_type, (rh % 256::HUGEINT) AS b
+         |  FROM (${smCols("SELECT event_type, h FROM sph",
+              xor64("h", u(seeds(r))), "rh", s"p${r}x")})
+         |)""".stripMargin
+    }.mkString(",\n")
     val joins = (0 until depth).map { r =>
-      s"JOIN sr$r b$r ON b$r.term = t.event_type JOIN sc$r m$r ON m$r.b = b$r.b"
+      s"""JOIN sp$r b$r ON b$r.event_type = t.event_type
+         |  LEFT JOIN sc$r m$r ON m$r.b = b$r.b""".stripMargin
     }.mkString("\n  ")
-    val mins = (0 until depth).map(r => s"m$r.c").mkString(", ")
+    val mins = (0 until depth).map(r => s"coalesce(m$r.c, 0)").mkString(", ")
     s"""WITH sbh AS MATERIALIZED (
        |  ${hashStrCols(freq, "term", 0x9747b28cL, 4, "h", "sbx",
             Seq("term", "n"))}
        |),
        |$rows,
+       |sph AS MATERIALIZED (
+       |  ${hashStrCols("SELECT DISTINCT event_type FROM events",
+            "event_type", 0x9747b28cL, 4, "h", "spx", Seq("event_type"))}
+       |),
+       |$probeBuckets,
        |stypes AS (SELECT DISTINCT event_type FROM events)
        |SELECT t.event_type, least($mins) AS cms_n
        |FROM stypes t

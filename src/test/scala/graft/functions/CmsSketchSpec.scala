@@ -35,10 +35,14 @@ class CmsSketchSpec extends SparkSpec {
     Seq.fill(300)("the") ++ Seq.fill(120)("quick") ++ Seq.fill(40)("fox") ++
       (1 to 500).map(i => s"tail$i")
 
-  private def sketchOf(parts: Int): Array[Long] =
-    corpus.toDF("v").repartition(parts)
+  private def sketchOf(parts: Int): Array[Long] = {
+    val arr = corpus.toDF("v").repartition(parts)
       .agg(CmsSketch.cms(col("v"), depth, width).as("sk"))
       .collect().head.getSeq[Long](0).toArray
+    assert(arr.take(2).toSeq == Seq(depth.toLong, width.toLong),
+      "emitted sketch must lead with its [depth, width] geometry header")
+    arr.drop(2)
+  }
 
   test("counter table matches the plain-Scala replay exactly, at any partitioning") {
     val expected = reference(corpus).toSeq
@@ -65,7 +69,9 @@ class CmsSketchSpec extends SparkSpec {
   }
 
   test("cmsEstimate column expression equals the replay over the built sketch") {
-    val sk = sketchOf(4).toSeq
+    val sk = corpus.toDF("v").repartition(4)
+      .agg(CmsSketch.cms(col("v"), depth, width).as("sk"))
+      .collect().head.getSeq[Long](0)
     val items = Seq("the", "quick", "fox", "tail1", "tail499")
     val out = items.toDF("term")
       .crossJoin(Seq(Tuple1(sk)).toDF("sk"))
@@ -87,7 +93,8 @@ class CmsSketchSpec extends SparkSpec {
       .agg(CmsSketch.cms(col("v"), depth, width).as("sk"))
       .agg(CmsSketch.cmsMerge(col("sk"), depth, width).as("sk"))
       .collect().head.getSeq[Long](0).toArray
-    assert(rolled.toSeq == reference(corpus).toSeq,
+    assert(rolled.take(2).toSeq == Seq(depth.toLong, width.toLong))
+    assert(rolled.drop(2).toSeq == reference(corpus).toSeq,
       "merged rollup diverged from the direct counter table")
     // a blob of the wrong geometry fails loud
     intercept[Exception] {
@@ -95,6 +102,32 @@ class CmsSketchSpec extends SparkSpec {
         .agg(CmsSketch.cmsMerge(col("sk"), depth, width))
         .collect()
     }
+    // ...including geometries that COLLIDE on total cell count: before
+    // the header, a (2,512) table merged under (4,256) silently
+    // misaligned rows and could UNDER-count
+    intercept[Exception] {
+      df.groupBy("fine").agg(CmsSketch.cms(col("v"), 2, 512).as("sk"))
+        .agg(CmsSketch.cmsMerge(col("sk"), 4, 256))
+        .collect()
+    }
+  }
+
+  test("depth-1 sketches estimate without least() and stay exact on the invariant") {
+    val got = Seq("a", "a", "b").toDF("v")
+      .agg(CmsSketch.cms(col("v"), 1, 8).as("sk"))
+      .select(CmsSketch.cmsEstimate(col("sk"),
+        Sketches.stringHash64(lit("a"), 0x9747b28cL), 1, 8).as("e"))
+      .collect().head.getLong(0)
+    assert(got >= 2L, "depth-1 estimate must never under-count")
+    val sqlGot = {
+      Seq("a", "a", "b").toDF("s").createOrReplaceTempView("cms_d1_t")
+      GraftFunctions.registerAll(spark)
+      spark.sql(
+        """SELECT cms_estimate(sk, string_hash64('a', 2538058380), 1, 8) AS e
+          |FROM (SELECT cms_sketch(s, 1, 8) AS sk FROM cms_d1_t)""".stripMargin)
+        .collect().head.getLong(0)
+    }
+    assert(sqlGot == got, "SQL-registered depth-1 estimate diverged")
   }
 
   test("grouped sketches stay independent and knobs are guarded") {
