@@ -301,6 +301,18 @@ object ExplainCheck {
         " (want >=1, the 1-row sketch); sortmerge joins: " +
         cplan.linesIterator.count(_.contains("SortMergeJoin")) + " (want 0)")
     }
+
+    // round-14: the quantile sketch joins the same discipline — the
+    // shuffle must carry <= k (value, count) pairs per partition per
+    // group (partial ObjectHashAggregate), never the raw values.
+    {
+      val kplan = finalPlanString(
+        SparkEntry.queries("q_events_kll_quantiles")(spark, dir))
+      println("=== q_events_kll_quantiles === partial ObjectHashAggregates: " +
+        kplan.linesIterator.count(l =>
+          l.contains("ObjectHashAggregate") && l.contains("partial")) +
+        " (want >=1 — the sketch combines map-side)")
+    }
     spark.stop()
   }
 }

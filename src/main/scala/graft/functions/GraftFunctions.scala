@@ -77,6 +77,22 @@ object GraftFunctions {
       require(exprs.length == 2, "hll_merge(regs, p)")
       HllMerge(exprs.head, intLit(exprs(1), "p"))
     },
+    "kll_sketch" -> { exprs =>
+      require(exprs.length == 2, "kll_sketch(x, k)")
+      KllSketch(exprs.head, intLit(exprs(1), "k"))
+    },
+    "kll_merge" -> { exprs =>
+      require(exprs.length == 2, "kll_merge(blob, k)")
+      KllMerge(exprs.head, intLit(exprs(1), "k"))
+    },
+    "kll_quantile" -> { exprs =>
+      require(exprs.length == 2, "kll_quantile(blob, pct)")
+      KllQuantileExpr(exprs.head, intLit(exprs(1), "pct"))
+    },
+    "kll_n" -> { exprs =>
+      require(exprs.length == 1, "kll_n(blob)")
+      KllNExpr(exprs.head)
+    },
     "cms_sketch" -> { exprs =>
       require(exprs.length == 3, "cms_sketch(x, depth, width)")
       CmsSketch(exprs.head, intLit(exprs(1), "depth"), intLit(exprs(2), "width"))

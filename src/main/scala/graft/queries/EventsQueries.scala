@@ -235,6 +235,130 @@ object EventsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Mergeable quantile sketch ([[graft.functions.KllSketch]]) — the
+    // sketch-matrix member exact quantiles can't scale to: per-group
+    // state is <= k (value, count) pairs at ANY corpus size and the
+    // merge is order-free, where the exact path shuffles every value.
+    // Values are integer cents, so the hash coins, level escalation,
+    // weighted rank rule AND the exact integer-rank quantiles that ride
+    // along all replay in DuckDB; the exact columns pin the accuracy
+    // the estimate columns claim.
+    "q_events_kll_quantiles" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.KllSketch
+      val ev = Tables.load(s, dir, "events")
+        .where(col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      val est = ev.groupBy(col("event_type"))
+        .agg(KllSketch.kll(col("cents"), k = 256).as("sk"))
+        .select(col("event_type"), KllSketch.kllN(col("sk")).as("n"),
+          KllSketch.kllQuantile(col("sk"), 25).as("kll_q25"),
+          KllSketch.kllQuantile(col("sk"), 50).as("kll_q50"),
+          KllSketch.kllQuantile(col("sk"), 90).as("kll_q90"),
+          KllSketch.kllQuantile(col("sk"), 99).as("kll_q99"))
+      // exact lower quantiles under the SAME integer rank rule (first
+      // value whose cumulative count reaches pct% of the group) — one
+      // distinct-value window + one aggregation, state bounded by the
+      // distinct cents per group, never a per-row shuffle
+      val byV = ev.groupBy(col("event_type"), col("cents"))
+        .agg(count(lit(1)).as("c"))
+      val win = Window.partitionBy(col("event_type")).orderBy(col("cents"))
+      val exact = byV
+        .withColumn("cum", sum(col("c")).over(win))
+        .withColumn("w",
+          sum(col("c")).over(Window.partitionBy(col("event_type"))))
+        .groupBy(col("event_type"))
+        .agg(
+          min(when(col("cum") * 100 >= col("w") * 25, col("cents")))
+            .as("exact_q25"),
+          min(when(col("cum") * 100 >= col("w") * 50, col("cents")))
+            .as("exact_q50"),
+          min(when(col("cum") * 100 >= col("w") * 90, col("cents")))
+            .as("exact_q90"),
+          min(when(col("cum") * 100 >= col("w") * 99, col("cents")))
+            .as("exact_q99"))
+      est.join(exact, "event_type")
+        .select(col("event_type"), col("n"),
+          col("kll_q25"), col("kll_q50"), col("kll_q90"), col("kll_q99"),
+          col("exact_q25"), col("exact_q50"), col("exact_q90"),
+          col("exact_q99"))
+        .orderBy(col("event_type"))
+    }),
+
+    // PERSISTED quantile-sketch table + rollup — the q_corpus_hll_merge
+    // discipline on quantiles: per-(type, 6h window) blobs land ONCE as
+    // a kv table and any coarser grouping's quantiles are answered from
+    // sketch rows alone. The rollup is BIT-IDENTICAL to the direct
+    // sketch (hash-coin levels are monotone under sub-multisets — see
+    // KllSketch's scaladoc), so the oracle replays ONE chain and pins
+    // both the merged and the direct column to it.
+    "q_events_kll_merge" -> ((s, dir) => {
+      import graft.functions.KllSketch
+      val sk = s"/tmp/graft_kllsk${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(sk)
+      val ev = Tables.load(s, dir, "events")
+        .where(col("value").isNotNull)
+        .select(col("event_type"), col("ts"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      ev.groupBy(col("event_type"), window(col("ts"), "21600 seconds"))
+        .agg(KllSketch.kll(col("cents"), k = 256).as("sk"))
+        .select(col("event_type"),
+          unix_timestamp(col("window.start")).as("w_start"), col("sk"))
+        .write.format("kv").option("path", sk).mode("overwrite").save()
+      val merged = s.read.format("kv").option("path", sk).load()
+        .groupBy(col("event_type"))
+        .agg(KllSketch.kllMerge(col("sk"), k = 256).as("sk"))
+        .select(col("event_type"),
+          KllSketch.kllQuantile(col("sk"), 50).as("kll_q50"),
+          KllSketch.kllN(col("sk")).as("n"))
+      val direct = ev.groupBy(col("event_type"))
+        .agg(KllSketch.kll(col("cents"), k = 256).as("sk"))
+        .select(col("event_type"),
+          KllSketch.kllQuantile(col("sk"), 50).as("direct_q50"))
+      merged.join(direct, "event_type")
+        .select(col("event_type"), col("kll_q50"), col("direct_q50"),
+          col("n"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Approximate quantiles on a STREAM — the q_stream_hll_window
+    // discipline on ranks: exact streaming quantiles would hold every
+    // value in state (unbounded), KllSketch holds <= k pairs per window
+    // forever, and the hash-coin state is a pure function of the
+    // window's multiset, so the drained result is micro-batching-
+    // independent by construction (what makes the exact oracle
+    // possible). Tumbling 6-hour windows in APPEND mode: only
+    // watermark-sealed windows emit.
+    "q_stream_kll_window" -> ((s, dir) => {
+      import graft.functions.KllSketch
+      val u = java.util.UUID.randomUUID().toString.replace("-", "")
+      val sink = s"/tmp/graft_kllstrm_$u/t"
+      val ckpt = s"/tmp/graft_kllstrmck_$u"
+      val q = s.readStream.format("log").option("path", s"$dir/events.parquet")
+        .option("maxOffsetsPerTrigger", "40000").load()
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .where(col("value").isNotNull)
+        .withColumn("cents",
+          floor(col("value") * 100 + lit(0.5)).cast("long"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "21600 seconds"))
+        .agg(KllSketch.kll(col("cents"), k = 256).as("sk"))
+        .select(unix_timestamp(col("window.start")).as("w_start"), col("sk"))
+        .writeStream.format("kv").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.format("kv").option("path", sink).load()
+        .select(col("w_start"),
+          KllSketch.kllQuantile(col("sk"), 50).as("kll_q50"),
+          KllSketch.kllQuantile(col("sk"), 99).as("kll_q99"),
+          KllSketch.kllN(col("sk")).as("n_vals"))
+        .orderBy(col("w_start"))
+    }),
+
     // Training examples from the raw event stream in ONE Catalyst plan —
     // the feature-engineering flagship: gap-sessionize (4-hour
     // inactivity — the fixture's median inter-event gap is ~7 h),
@@ -521,6 +645,18 @@ object EventsQueries {
         |  max(CASE WHEN p = 0.9 THEN q END) AS q_9,
         |  max(CASE WHEN p = 0.99 THEN q END) AS q_99
         |FROM q GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // hash-coin levels, escalation-minimal level selection, weighted
+    // integer rank rule and the exact ride-along quantiles — the whole
+    // sketch replayed (SketchOracleSql.kllChainSql)
+    "q_events_kll_quantiles" -> SketchOracleSql.kllQuantilesOracle,
+
+    // rollup ≡ direct bit-for-bit (sub-multiset level monotonicity) —
+    // one replayed chain pins both columns
+    "q_events_kll_merge" -> SketchOracleSql.kllMergeOracle,
+
+    // the append-mode emission rule + the per-window chain + rank rule
+    "q_stream_kll_window" -> SketchOracleSql.streamKllWindowOracle,
 
     // sessionization (lag/cumsum), integer features, EXISTS label over
     // the strictly-after 10-minute window — the full chain replayed

@@ -1938,6 +1938,131 @@ object SketchOracleSql {
        |ORDER BY t.event_type""".stripMargin
   }
 
+  /** The KLL-style quantile sketch replayed over an arbitrary
+    * `(grp, v BIGINT)` SELECT — mirrors `KllSketch`'s pure-function
+    * state: per-value splitmix64 hash coins, the escalation-minimal
+    * level `lvl = min {l : |{v : h % 2^l = 0}| <= k}` (survivor counts
+    * are monotone in `l`, so `min` over eligible levels IS the
+    * escalation fixpoint), survivors weighted `c·2^lvl`, and the
+    * value-ordered cumulative weights the integer rank rule reads.
+    * Ends in `{px}q (grp, v, cum, w)` + `{px}n (grp, n)`; callers
+    * select `min(CASE WHEN cum*100 >= pct*w THEN v END)` per pct.
+    * Levels are tabulated to 2^33 — far above any fixture's distinct
+    * count (the engine escalates unboundedly; the oracle's table just
+    * needs to cover the data it replays).
+    */
+  private[queries] def kllChainSql(px: String, inner: String,
+      k: Int): String = {
+    val p2vals = (0 to 33)
+      .map(l => s"($l, ${(BigInt(1) << l).toString}::HUGEINT)")
+      .mkString(", ")
+    s"""${px}cnt AS MATERIALIZED (
+       |  SELECT grp, v, count(*)::BIGINT AS c FROM ($inner) GROUP BY grp, v
+       |), ${px}hh AS MATERIALIZED (
+       |  ${smCols(s"SELECT grp, v, c FROM ${px}cnt", ux("v"), "h", s"${px}s")}
+       |), ${px}p2(l, p2) AS (VALUES $p2vals),
+       |${px}lvl AS (
+       |  SELECT grp, min(l) AS lvl FROM (
+       |    SELECT g.grp, p.l, count(t.v) AS sc
+       |    FROM (SELECT DISTINCT grp FROM ${px}cnt) g
+       |    CROSS JOIN ${px}p2 p
+       |    LEFT JOIN ${px}hh t ON t.grp = g.grp AND (t.h % p.p2) = 0::HUGEINT
+       |    GROUP BY g.grp, p.l
+       |  ) WHERE sc <= $k GROUP BY grp
+       |), ${px}srv AS (
+       |  SELECT t.grp, t.v, t.c, p.p2 AS wmul
+       |  FROM ${px}hh t
+       |  JOIN ${px}lvl lv ON lv.grp = t.grp
+       |  JOIN ${px}p2 p ON p.l = lv.lvl
+       |  WHERE (t.h % p.p2) = 0::HUGEINT
+       |), ${px}q AS (
+       |  SELECT grp, v,
+       |    sum(c::HUGEINT * wmul) OVER (PARTITION BY grp ORDER BY v) AS cum,
+       |    sum(c::HUGEINT * wmul) OVER (PARTITION BY grp) AS w
+       |  FROM ${px}srv
+       |), ${px}n AS (
+       |  SELECT grp, sum(c)::BIGINT AS n FROM ${px}cnt GROUP BY grp
+       |)""".stripMargin
+  }
+
+  /** Integer-cents projection of `events.value` shared by the KLL
+    * gates — the sketch domain is longs, the fixture column a double.
+    */
+  private def kllEventsBase: String =
+    """SELECT event_type AS grp,
+      |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |FROM events WHERE value IS NOT NULL""".stripMargin
+
+  private def kllPcts(col: String => String): String =
+    Seq(25, 50, 90, 99).map { p =>
+      s"min(CASE WHEN cum * 100 >= $p * w THEN v END) AS ${col(p.toString)}"
+    }.mkString(",\n    ")
+
+  /** q_events_kll_quantiles: the sketch estimates AND the exact
+    * integer-rank quantiles per event_type, both replayed — the
+    * estimate columns pin the sketch bit-for-bit, the exact columns
+    * pin the accuracy comparison the gate exists to show.
+    */
+  def kllQuantilesOracle: String =
+    s"""WITH ${kllChainSql("kq", kllEventsBase, 256)},
+       |kqest AS (
+       |  SELECT grp, ${kllPcts(p => s"kll_q$p")}
+       |  FROM kqq GROUP BY grp
+       |), kqex AS (
+       |  SELECT grp, v,
+       |    sum(c) OVER (PARTITION BY grp ORDER BY v) AS cum,
+       |    sum(c) OVER (PARTITION BY grp) AS w
+       |  FROM kqcnt
+       |), kqexq AS (
+       |  SELECT grp, ${kllPcts(p => s"exact_q$p")}
+       |  FROM kqex GROUP BY grp
+       |)
+       |SELECT n.grp AS event_type, n.n,
+       |  e.kll_q25, e.kll_q50, e.kll_q90, e.kll_q99,
+       |  x.exact_q25, x.exact_q50, x.exact_q90, x.exact_q99
+       |FROM kqn n JOIN kqest e USING (grp) JOIN kqexq x USING (grp)
+       |ORDER BY event_type""".stripMargin
+
+  /** q_events_kll_merge: the persisted per-(type, 6h window) sketch
+    * table rolled up per type must equal the direct sketch over the raw
+    * union bit for bit (the scaladoc'd sub-multiset level-monotonicity
+    * argument) — one replayed chain pins BOTH the merged and the direct
+    * column; any divergence fails the compare.
+    */
+  def kllMergeOracle: String =
+    s"""WITH ${kllChainSql("km", kllEventsBase, 256)}
+       |SELECT q.grp AS event_type,
+       |  min(CASE WHEN q.cum * 100 >= 50 * q.w THEN q.v END) AS kll_q50,
+       |  min(CASE WHEN q.cum * 100 >= 50 * q.w THEN q.v END) AS direct_q50,
+       |  max(n.n) AS n
+       |FROM kmq q JOIN kmn n USING (grp)
+       |GROUP BY q.grp
+       |ORDER BY event_type""".stripMargin
+
+  /** q_stream_kll_window: per-6h-window sketch blobs drained in APPEND
+    * mode (the q_sql_q102 emission rule — only watermark-sealed windows
+    * emit), quantiles read from the drained table alone; the oracle
+    * replays sealing, the per-window chain, and the rank rule.
+    */
+  def streamKllWindowOracle: String = {
+    val sealedBase =
+      """SELECT (epoch_us(date_trunc('microseconds', ts)) // 21600000000) * 21600 AS grp,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |FROM events,
+        |  (SELECT (epoch_ms(max(ts)) - 600000) * 1000 AS wm_us FROM events) wm
+        |WHERE value IS NOT NULL
+        |  AND ((epoch_us(date_trunc('microseconds', ts)) // 21600000000)
+        |    * 21600 + 21600) * 1000000 <= wm.wm_us""".stripMargin
+    s"""WITH ${kllChainSql("ks", sealedBase, 256)}
+       |SELECT q.grp AS w_start,
+       |  min(CASE WHEN q.cum * 100 >= 50 * q.w THEN q.v END) AS kll_q50,
+       |  min(CASE WHEN q.cum * 100 >= 99 * q.w THEN q.v END) AS kll_q99,
+       |  max(n.n) AS n_vals
+       |FROM ksq q JOIN ksn n USING (grp)
+       |GROUP BY q.grp
+       |ORDER BY w_start""".stripMargin
+  }
+
   def corpusStatsOracle: String = {
     val kmvSeed = 0x9747b28cL
     // per column: a relation of DISTINCT hashes (u64) of non-null values
