@@ -77,6 +77,14 @@ object GraftFunctions {
       require(exprs.length == 2, "hll_merge(regs, p)")
       HllMerge(exprs.head, intLit(exprs(1), "p"))
     },
+    "hll_union" -> { exprs =>
+      require(exprs.length == 2, "hll_union(regsA, regsB)")
+      HllUnionExpr(exprs.head, exprs(1))
+    },
+    "hll_estimate" -> { exprs =>
+      require(exprs.length == 2, "hll_estimate(regs, p)")
+      HllEstimateExpr(exprs.head, intLit(exprs(1), "p"))
+    },
     "kll_sketch" -> { exprs =>
       require(exprs.length == 2, "kll_sketch(x, k)")
       KllSketch(exprs.head, intLit(exprs(1), "k"))

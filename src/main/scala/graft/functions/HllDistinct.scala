@@ -248,4 +248,66 @@ object HllMerge {
     */
   def hllMergeEstimate(c: Column, p: Int = 12): Column =
     toColumn(HllMerge(exprOf(c), p).toAggregateExpression())
+
+  /** Row-local register union (element-wise max) of two stored blobs —
+    * the set-operation building block: `union(A, B)` IS the sketch of
+    * the multiset union, so `|A| + |B| − |A∪B|` (inclusion–exclusion
+    * over three [[hllEstimate]] readouts) estimates the OVERLAP of two
+    * corpora from sketch rows alone, no raw re-scan and no exact join.
+    */
+  def hllUnion(a: Column, b: Column): Column =
+    toColumn(HllUnionExpr(exprOf(a), exprOf(b)))
+
+  /** Row-local estimate readout of one stored register blob — the
+    * aggregate-free sibling of [[hllMergeEstimate]] for expressions
+    * over already-joined sketch rows (overlap matrices, pair frames).
+    */
+  def hllEstimate(c: Column, p: Int = 12): Column =
+    toColumn(HllEstimateExpr(exprOf(c), p))
+}
+
+/** Element-wise register max of two blobs — see [[HllMerge.hllUnion]]. */
+case class HllUnionExpr(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    require(x.length == y.length,
+      s"register blobs disagree on precision: ${x.length} vs ${y.length} registers")
+    val out = new Array[Byte](x.length)
+    var j = 0
+    while (j < x.length) {
+      out(j) = if ((y(j) & 0xff) > (x(j) & 0xff)) y(j) else x(j)
+      j += 1
+    }
+    out
+  }
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression): HllUnionExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "hll_union"
+}
+
+/** Row-local `HllDistinct.estimate` over one stored register blob. */
+case class HllEstimateExpr(
+    child: org.apache.spark.sql.catalyst.expressions.Expression, p: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(p >= 7 && p <= 16, s"precision p=$p out of range (7..16)")
+  override def dataType: DataType = LongType
+  override def nullSafeEval(input: Any): Any = {
+    val regs = input.asInstanceOf[Array[Byte]]
+    require(regs.length == (1 << p),
+      s"register blob has ${regs.length} registers, p=$p expects ${1 << p}")
+    java.lang.Long.valueOf(HllDistinct.estimate(regs, p))
+  }
+  override protected def withNewChildInternal(
+      c: org.apache.spark.sql.catalyst.expressions.Expression): HllEstimateExpr =
+    copy(child = c)
+  override def prettyName: String = "hll_estimate"
 }

@@ -1340,6 +1340,64 @@ object PipelineQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Cross-corpus OVERLAP from persisted sketches alone — the release
+    // question ("how much vocabulary does corpus A share with corpus
+    // B") answered WITHOUT the exact join: register union is
+    // element-wise max (A∪B's sketch exactly), so
+    // |A∩B| ≈ |A| + |B| − |A∪B| by inclusion–exclusion over three
+    // row-local estimate readouts. Corpora are the per-source BIGRAM
+    // vocabularies of the documents table (genuinely partial overlaps,
+    // unlike the fixture's saturated user sets); the raw corpus is
+    // touched ONLY for the exact-intersection accuracy pin that rides
+    // along — the estimate columns derive from the 6-row sketch table
+    // (broadcast pair frame, zero corpus-side join). At 100 TB the
+    // exact pairwise vocab join is exactly what this replaces: 15
+    // pair estimates read 6 persisted 256-byte rows. All three
+    // estimators and the pairing replay in the oracle.
+    "q_corpus_hll_overlap" -> ((s, dir) => {
+      import graft.functions.{HllDistinct, HllMerge}
+      val sk = s"/tmp/graft_hllov${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(sk)
+      val srcs = (0 to 5).map(i => s"src$i")
+      val grams = Tables.load(s, dir, "documents")
+        .where(col("source").isin(srcs: _*))
+        .select(col("source"),
+          filter(split(trim(col("text")), "\\s+"), t => t =!= "").as("ts"))
+        // sequence(1, 0) would run DESCENDING — guard the <2-token docs
+        .select(col("source"), explode(when(size(col("ts")) >= 2,
+          transform(sequence(lit(1), size(col("ts")) - 1),
+            i => concat(element_at(col("ts"), i), lit(" "),
+              element_at(col("ts"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      grams.groupBy(col("source"))
+        .agg(HllDistinct.hllRegisters(col("gram"), p = 8).as("regs"))
+        .write.format("kv").option("path", sk).mode("overwrite").save()
+      val skdf = s.read.format("kv").option("path", sk).load()
+      val est = skdf.select(col("source").as("source_a"),
+          col("regs").as("ra"))
+        .join(broadcast(skdf.select(col("source").as("source_b"),
+          col("regs").as("rb"))), col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          HllMerge.hllEstimate(col("ra"), 8).as("hll_a"),
+          HllMerge.hllEstimate(col("rb"), 8).as("hll_b"),
+          HllMerge.hllEstimate(HllMerge.hllUnion(col("ra"), col("rb")), 8)
+            .as("hll_union"))
+        .withColumn("hll_overlap",
+          col("hll_a") + col("hll_b") - col("hll_union"))
+      val dg = grams.distinct()
+      val exact = dg.select(col("source").as("source_a"), col("gram"))
+        .join(dg.select(col("source").as("source_b"), col("gram")), "gram")
+        .where(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("exact_overlap"))
+      est.join(exact, Seq("source_a", "source_b"), "left")
+        .na.fill(0L, Seq("exact_overlap"))
+        .select(col("source_a"), col("source_b"), col("hll_a"),
+          col("hll_b"), col("hll_union"), col("hll_overlap"),
+          col("exact_overlap"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
     // The rotation's measured value: OPQ-rotated vs plain IVF-PQ recall
     // at EQUAL probe budget, both against exact brute force — one row.
     // On an isotropic corpus the delta is ≈0 by construction; the gate

@@ -1764,11 +1764,25 @@ object SketchOracleSql {
     * `HllDistinct.eval` term for term.
     */
   private[queries] def hllChainSql(px: String, inner: String,
-      out: String): String = {
-    val d56 = (BigInt(1) << 56).toString
+      out: String): String =
     s"""${px}hh AS (
        |  ${smCols(inner, ux("v"), "h", s"${px}l")}
-       |), ${px}reg AS (
+       |), ${hllRegChain(px, out)}""".stripMargin
+
+  /** [[hllChainSql]] for PRE-HASHED items — `inner` yields `(grp, v)`
+    * with `v` already the canonical u64 item hash (string inputs go
+    * through `hashStrCols`, mirroring `Sketches.hashValue`'s byte
+    * chain; longs take the splitmix variant above).
+    */
+  private[queries] def hllChainSqlU(px: String, inner: String,
+      out: String): String =
+    s"""${px}hh AS (
+       |  SELECT grp, v AS h FROM ($inner)
+       |), ${hllRegChain(px, out)}""".stripMargin
+
+  private def hllRegChain(px: String, out: String): String = {
+    val d56 = (BigInt(1) << 56).toString
+    s"""${px}reg AS (
        |  SELECT grp, (h // $d56::HUGEINT) AS bucket,
        |    max(CASE WHEN (h % $d56::HUGEINT) = 0 THEN 57
        |      ELSE 57 - length(bin((h % $d56::HUGEINT)::BIGINT)) END) AS mj
@@ -1876,6 +1890,73 @@ object SketchOracleSql {
        |  hmex.exact_ndv
        |FROM hmout o JOIN hmex USING (grp)
        |ORDER BY event_type""".stripMargin
+
+  /** q_corpus_hll_overlap: inclusion–exclusion over replayed register
+    * chains — per-type estimates from the shared p=8 chain, pair-union
+    * estimates from the SAME chain over the pair's multiset union
+    * (register max of A and B IS the sketch of A∪B, so replaying the
+    * union chain replays `hll_union(ra, rb)` exactly), and the exact
+    * intersection as the accuracy pin. Every join from the pair frame
+    * is LEFT with a coalesced empty-sketch estimate (0), mirroring the
+    * engine's all-null-group behavior.
+    */
+  def corpusHllOverlapOracle: String = {
+    // per-(source, bigram) rows of the six-source slice: tokens are the
+    // empties-dropped whitespace split, bigrams the adjacent pairs —
+    // exactly the engine's transform/element_at chain
+    val gramRows =
+      s"""ovtk AS (
+         |  SELECT source, ${toks("text")} AS ts FROM documents
+         |  WHERE source IN ('src0','src1','src2','src3','src4','src5')
+         |), ovgr AS MATERIALIZED (
+         |  SELECT source, unnest(CASE WHEN len(ts) >= 2
+         |    THEN list_transform(generate_series(1, len(ts) - 1),
+         |      bi -> ts[bi] || ' ' || ts[bi + 1])
+         |    ELSE [] END) AS gram
+         |  FROM ovtk
+         |)""".stripMargin
+    // the bigram strings hash through the engine's canonical seeded
+    // byte chain; v lands as the u64 the register chain consumes
+    def hashedGrams(grpExpr: String, px: String) =
+      s"""SELECT grp, h AS v FROM (
+         |  ${hashStrCols(s"SELECT $grpExpr AS grp, gram FROM ovgr",
+              "gram", 0x9747b28cL, 5, "h", px, Seq("grp"))}
+         |)""".stripMargin
+    s"""WITH $gramRows,
+       |${hllChainSqlU("ho", hashedGrams("source", "ovha"), "hll_one")},
+       |${hllChainSqlU("hp",
+          "SELECT p.ta || '|' || p.tb AS grp, g.v AS v FROM " +
+            "(SELECT a.source AS ta, b.source AS tb FROM " +
+            "(SELECT DISTINCT source FROM ovgr) a JOIN " +
+            "(SELECT DISTINCT source FROM ovgr) b ON a.source < b.source) p " +
+            s"JOIN (${hashedGrams("source", "ovhb")}) g ON g.grp IN (p.ta, p.tb)",
+          "hll_u")},
+       |ovprs AS (
+       |  SELECT a.source AS ta, b.source AS tb
+       |  FROM (SELECT DISTINCT source FROM ovgr) a
+       |  JOIN (SELECT DISTINCT source FROM ovgr) b ON a.source < b.source
+       |),
+       |ovdu AS (SELECT DISTINCT source, gram FROM ovgr),
+       |ovex AS (
+       |  SELECT x.source AS ta, y.source AS tb, count(*)::BIGINT AS c
+       |  FROM ovdu x JOIN ovdu y
+       |    ON x.gram = y.gram AND x.source < y.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p.ta AS source_a, p.tb AS source_b,
+       |  coalesce(a.hll_one, 0)::BIGINT AS hll_a,
+       |  coalesce(b.hll_one, 0)::BIGINT AS hll_b,
+       |  coalesce(u.hll_u, 0)::BIGINT AS hll_union,
+       |  (coalesce(a.hll_one, 0) + coalesce(b.hll_one, 0)
+       |    - coalesce(u.hll_u, 0))::BIGINT AS hll_overlap,
+       |  coalesce(e.c, 0)::BIGINT AS exact_overlap
+       |FROM ovprs p
+       |LEFT JOIN hoout a ON a.grp = p.ta
+       |LEFT JOIN hoout b ON b.grp = p.tb
+       |LEFT JOIN hpout u ON u.grp = (p.ta || '|' || p.tb)
+       |LEFT JOIN ovex e ON e.ta = p.ta AND e.tb = p.tb
+       |ORDER BY source_a, source_b""".stripMargin
+  }
 
   /** q_stream_cms_ingest: the drained per-window CMS table rolled up —
     * counter adds are order-free, so the merged sketch equals one CMS
@@ -4314,6 +4395,7 @@ object SketchOracleSql {
     "q_corpus_stats" -> corpusStatsOracle,
     "q_corpus_hll" -> corpusHllOracle,
     "q_corpus_hll_merge" -> corpusHllMergeOracle,
+    "q_corpus_hll_overlap" -> corpusHllOverlapOracle,
     "q_ann_binary_ivf" -> annBinaryIvfOracle,
     "q_ann_binary_ivf_audit" -> annBinaryIvfAuditOracle,
     "q_doc_cms_tokens" -> docCmsTokensOracle,
