@@ -221,6 +221,29 @@ object SimilaritySearch {
       codes, k)
   }
 
+  /** Append new vectors to a [[buildBinaryIndex]] code table — the
+    * streaming-maintenance phase of the train-free tier: encoding is a
+    * deterministic pure function of each vector at the STORED dim
+    * (`bin_meta`), so per-batch encode-append is batching-independent
+    * BY CONSTRUCTION — chopped drains equal the one-shot append row for
+    * row with no finalize pass (the trained tiers need one; this is the
+    * degenerate base case of the maintenance matrix). O(batch) compute
+    * and file I/O per call.
+    */
+  def binaryIndexAppend(
+      newVecs: DataFrame, vecCol: String, idCol: String,
+      path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val metaRows = spark.read.format("kv")
+      .option("path", s"$path/bin_meta").load().collect()
+    require(metaRows.nonEmpty, s"no bin_meta under $path")
+    val dim = metaRows.head.getAs[Long]("dim").toInt
+    newVecs.select(col(idCol).as("nid"),
+        binarySignWords(col(vecCol), dim).as("bw"))
+      .write.format("kv").option("path", s"$path/codes")
+      .mode("append").save()
+  }
+
   /** Binary shortlist + exact rescore — the serving cascade the 1-bit
     * tier exists for (the [[ivfPqRefineKnn]] pattern on Hamming codes):
     * the packed-word scan picks `refine` candidates per query, ONLY

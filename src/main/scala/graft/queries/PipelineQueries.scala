@@ -1445,6 +1445,40 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // Streaming maintenance for the binary tier — the LAST
+    // batch/streaming asymmetry closed: build on a 250-vector base,
+    // drain the rest through foreachBatch binaryIndexAppend (500/
+    // trigger), search the drained table. Encoding is train-free and
+    // deterministic at the stored dim, so chopped ≡ one-shot BY
+    // CONSTRUCTION (no finalize pass — the degenerate base case of the
+    // maintenance matrix every trained tier implements); the final
+    // corpus is the full table, so the gate shares the indexed oracle.
+    "q_ann_binary_stream_index" -> ((s, dir) => {
+      val u = java.util.UUID.randomUUID().toString.replace("-", "")
+      val idx = s"/tmp/graft_binstr_$u/i"
+      val ckpt = s"/tmp/graft_binstrck_$u"
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.buildBinaryIndex(emb.filter(col("vec_id") < 250),
+        "embedding", "vec_id", idx, dim = 64)
+      val q = s.readStream.format("log")
+        .option("path", s"$dir/embeddings.parquet")
+        .option("maxOffsetsPerTrigger", "500").load()
+        .filter(col("vec_id") >= 250)
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          if (!df.isEmpty)
+            SimilaritySearch.binaryIndexAppend(df, "embedding", "vec_id", idx)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      SimilaritySearch.binaryKnnIndexed(s, idx,
+        emb.filter(col("vec_id") < 20), "embedding", "vec_id", k = 3)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // The 1-bit serving cascade (binary shortlist + exact rescore —
     // the ivfPqRefineKnn pattern on Hamming codes): at 100 TB the
     // first pass reads the 32×-smaller code column and the float
@@ -2222,6 +2256,22 @@ object PipelineQueries {
     // of two summed — exact integers), Hamming = per-word
     // bit_count(xor), (ham asc, nid asc) rank
     "q_ann_binary" ->
+      s"""WITH $binaryEncCtes
+         |, sc AS (
+         |  SELECT q.id AS qid, a.id AS nid,
+         |    (bit_count(xor(q.bw[1], a.bw[1]))
+         |      + bit_count(xor(q.bw[2], a.bw[2])))::BIGINT AS ham
+         |  FROM (SELECT * FROM bq_enc WHERE id < 20) q
+         |  JOIN bq_enc a ON a.id <> q.id
+         |)
+         |SELECT qid, nid, ham, CAST(rn AS INT) AS rnk FROM (
+         |  SELECT qid, nid, ham,
+         |    row_number() OVER (PARTITION BY qid ORDER BY ham, nid) AS rn
+         |  FROM sc
+         |) WHERE rn <= 3 ORDER BY qid, rnk""".stripMargin,
+    // the drained code table IS the full corpus's (train-free encode,
+    // append-only maintenance) — same oracle as the one-shot index
+    "q_ann_binary_stream_index" ->
       s"""WITH $binaryEncCtes
          |, sc AS (
          |  SELECT q.id AS qid, a.id AS nid,

@@ -412,6 +412,53 @@ class AnnIndexMaintenanceSpec extends SparkSpec {
     assert(got.head.getAs[Long]("nid") == 99L, got.mkString(","))
   }
 
+  test("binary tier: chopped encode-appends equal the one-shot append bit-for-bit") {
+    // the train-free base case of the maintenance matrix: encoding is a
+    // pure per-row function of the stored dim, so ANY batching of
+    // binaryIndexAppend yields the same code table — no finalize pass
+    val base = corpus.filter(col("vec_id") < 30L)
+    def build(): String = {
+      val idx = java.nio.file.Files.createTempDirectory("annmx10").toString + "/i"
+      SimilaritySearch.buildBinaryIndex(base, "embedding", "vec_id", idx,
+        dim = 16)
+      idx
+    }
+    def table(p: String): Seq[String] = spark.read.format("kv")
+      .option("path", s"$p/codes").load()
+      .collect().toSeq.map(_.toString).sorted
+    val one = build()
+    SimilaritySearch.binaryIndexAppend(corpus.filter(col("vec_id") >= 30L),
+      "embedding", "vec_id", one)
+    val str = build()
+    // three uneven waves, including a planted-twin row in the last
+    SimilaritySearch.binaryIndexAppend(
+      corpus.filter(col("vec_id") >= 30L && col("vec_id") < 33L),
+      "embedding", "vec_id", str)
+    SimilaritySearch.binaryIndexAppend(
+      corpus.filter(col("vec_id") >= 33L && col("vec_id") < 38L),
+      "embedding", "vec_id", str)
+    SimilaritySearch.binaryIndexAppend(
+      corpus.filter(col("vec_id") >= 38L), "embedding", "vec_id", str)
+    assert(table(str) == table(one),
+      "chopped encode-appends diverged from the one-shot append")
+    val q = corpus.filter(col("vec_id") < 3L)
+    def s(p: String) = rows(SimilaritySearch.binaryKnnIndexed(
+      spark, p, q, "embedding", "vec_id", k = 3))
+    assert(s(str) == s(one),
+      "search over the chopped drain differs from the one-shot append's")
+    // the appended rows are searchable: 0's planted twin (99) differs
+    // in exactly the sign of coord 0 (ham = 1); other corpus rows can
+    // COLLIDE with 0's full sign pattern (ham = 0) in a 16-bit space,
+    // so assert membership in a wide shortlist, not rank 1
+    val got = SimilaritySearch.binaryKnnIndexed(spark, str,
+      corpus.filter(col("vec_id") === 0L), "embedding", "vec_id", k = 8)
+      .collect()
+    val twin = got.find(_.getAs[Long]("nid") == 99L)
+    assert(twin.isDefined, s"drained twin unreachable: ${got.mkString(",")}")
+    assert(twin.get.getAs[Long]("ham") == 1L,
+      s"twin's Hamming distance should be the single flipped sign: ${twin.get}")
+  }
+
   test("persisted hier top layer: read-only search equals the rebuild fallback") {
     val idx = java.nio.file.Files.createTempDirectory("annmx8").toString + "/i"
     SimilaritySearch.buildGraphIndex(corpus, "embedding", "vec_id", idx,
