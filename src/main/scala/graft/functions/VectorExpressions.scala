@@ -223,6 +223,56 @@ object VectorExpressions {
   def householderChain(a: Column, us: Seq[Seq[Double]]): Column =
     toColumn(HouseholderChain(exprOf(a), us))
 
+  /** Asymmetric binary score (Jégou et al.'s asymmetric-distance idea
+    * applied to the 1-bit tier): the QUERY stays at full precision —
+    * quantized to the SQ8 integer grid so the arithmetic is exact —
+    * while the corpus side contributes only its packed sign words:
+    * `Σ_i qq_i · (bit_i ? +1 : −1)`. Same storage as symmetric Hamming,
+    * strictly more information used per comparison (Hamming collapses
+    * the query to its signs too). One kernel pass per candidate pair,
+    * shared by the interpreted eval and the generated code
+    * (HouseholderChain's discipline); exact integer output (|qq| ≤ 127,
+    * dim ≤ 4096 ⇒ |score| ≤ 520k), so ranking replays in the oracle
+    * with zero float ambiguity.
+    */
+  case class BinaryAsymScore(left: Expression, right: Expression, dim: Int)
+      extends BinaryExpression {
+    require(dim >= 1 && dim <= 4096, s"dim $dim out of range (1..4096)")
+    override def dataType: DataType = LongType
+
+    override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      def ok(e: Expression) = e.dataType match {
+        case ArrayType(LongType, _) => true
+        case _ => false
+      }
+      if (ok(left) && ok(right))
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"binary_asym_score expects (array<bigint> quantized query, " +
+          s"array<bigint> packed sign words), got ${left.dataType} / ${right.dataType}")
+    }
+
+    override def nullSafeEval(q: Any, w: Any): Any =
+      java.lang.Long.valueOf(BinaryAsymKernel.instance.score(
+        q.asInstanceOf[ArrayData], w.asInstanceOf[ArrayData], dim))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val kernelRef = ctx.addReferenceObj("asymKernel",
+        BinaryAsymKernel.instance, "graft.functions.BinaryAsymKernel")
+      nullSafeCodeGen(ctx, ev, (q, w) => {
+        s"${ev.value} = $kernelRef.score($q, $w, $dim);"
+      })
+    }
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): BinaryAsymScore =
+      copy(left = l, right = r)
+    override def prettyName: String = "binary_asym_score"
+  }
+
+  def binaryAsymScore(qq: Column, words: Column, dim: Int): Column =
+    toColumn(BinaryAsymScore(exprOf(qq), exprOf(words), dim))
+
   /** Row-local unit normalization in ONE kernel pass. The HOF
     * formulation (`transform(e, x => x / sqrt(aggregate(e, …)))`)
     * re-evaluates the norm subexpression — and EVERYTHING beneath it —

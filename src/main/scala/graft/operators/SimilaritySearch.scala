@@ -97,18 +97,9 @@ object SimilaritySearch {
   def sq8Knn(
       corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int): DataFrame = {
-    def quantize(df: DataFrame): DataFrame = {
-      val p = prep(df, vecCol, idCol)
-      p.select(col("id"), transform(col("e"), x => x / col("nrm")).as("u"))
-        .withColumn("mx", array_max(transform(col("u"), x => abs(x))))
-        .select(col("id"),
-          transform(col("u"),
-            x => floor(x * lit(127.0) / col("mx") + lit(0.5)).cast("long")).as("q"),
-          col("mx"))
-    }
-    val c = quantize(corpus)
+    val c = sq8Quantize(corpus, vecCol, idCol)
       .select(col("id").as("nid"), col("q").as("nq"), col("mx").as("nmx"))
-    val q = quantize(queries)
+    val q = sq8Quantize(queries, vecCol, idCol)
       .select(col("id").as("qid"), col("q").as("qq"), col("mx").as("qmx"))
     val idot = aggregate(
       zip_with(col("qq"), col("nq"), (a, b) => a * b), lit(0L), (acc, v) => acc + v)
@@ -270,6 +261,118 @@ object SimilaritySearch {
         .select(col("qid"), col("nid"),
           (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim")),
       k)
+  }
+
+  /** SQ8 integer-grid quantization of the unit-normalized vectors —
+    * `(id, q: array<long> in [−127,127], mx)`; shared by [[sq8Knn]]'s
+    * corpus plane and the asymmetric binary query side (the oracle
+    * replays the identical chain).
+    */
+  private def sq8Quantize(df: DataFrame, vecCol: String,
+      idCol: String): DataFrame = {
+    val p = prep(df, vecCol, idCol)
+    p.select(col("id"), transform(col("e"), x => x / col("nrm")).as("u"))
+      .withColumn("mx", array_max(transform(col("u"), x => abs(x))))
+      .select(col("id"),
+        transform(col("u"),
+          x => floor(x * lit(127.0) / col("mx") + lit(0.5)).cast("long"))
+          .as("q"),
+        col("mx"))
+  }
+
+  /** Asymmetric binary search (Jégou-style asymmetric distance on the
+    * 1-bit tier): the corpus contributes ONLY its packed sign words —
+    * identical storage to [[binaryKnn]] — but the query keeps its
+    * magnitudes (SQ8-quantized so the score is an exact integer):
+    * `score = Σ_i qq_i·sign(x_i)`. Hamming throws the query's
+    * magnitudes away too; asymmetric scoring recovers much of the
+    * refine gap BEFORE touching any float column
+    * ([[binaryAsymRecallAudit]] measures it). The shortlist then takes
+    * the usual exact-cosine rescore. Integer scores with nid-asc ties,
+    * SQ8 grid, packing, rescore — all oracle-replayed.
+    */
+  def binaryAsymKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, dim: Int, k: Int,
+      refine: Int = 16): DataFrame = {
+    require(refine >= k, s"refine shortlist ($refine) must be >= k ($k)")
+    val shortlist = binaryAsymShortlist(corpus, queries, vecCol, idCol,
+      dim, refine).select(col("qid"), col("nid"))
+    val c = prep(corpus, vecCol, idCol)
+      .select(col("id").as("nid"), col("e").as("ne"), col("nrm").as("nn"))
+    val q = prep(queries, vecCol, idCol)
+      .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    topKPerQuery(
+      shortlist
+        .join(broadcast(q), "qid")
+        .join(c, "nid")
+        .select(col("qid"), col("nid"),
+          (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim")),
+      k)
+  }
+
+  /** `(qid, nid, asym, rnk)` top-`width` by the exact integer
+    * asymmetric score (desc, nid asc) — the code-column-only first
+    * pass: queries broadcast with their quantized components, the
+    * corpus scan reads packed words only.
+    */
+  private def binaryAsymShortlist(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, dim: Int, width: Int): DataFrame = {
+    val cEnc = corpus.select(col(idCol).as("nid"),
+      binarySignWords(col(vecCol), dim).as("nbw"))
+    val qEnc = sq8Quantize(queries, vecCol, idCol)
+      .select(col("id").as("qid"), col("q").as("qq"))
+    broadcast(qEnc)
+      .join(cEnc, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        graft.functions.VectorExpressions.binaryAsymScore(
+          col("qq"), col("nbw"), dim).as("asym"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.BoundedTopK.topK(
+        struct(col("asym").cast("double").as("s"), col("nid"),
+          col("asym")), width).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), col("t.nid").as("nid"),
+        col("t.asym").as("asym"), (col("pos") + 1).cast("int").as("rnk"))
+  }
+
+  /** The asymmetric rung's measured value at IDENTICAL storage: Hamming
+    * shortlist + rescore vs asymmetric raw top-k vs asymmetric
+    * shortlist + rescore, all vs exact cosine brute force at the same
+    * budget — what using the query's magnitudes buys before touching
+    * floats, and what remains for the rescore.
+    */
+  def binaryAsymRecallAudit(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, dim: Int, k: Int,
+      refine: Int = 16): DataFrame = {
+    val spark = corpus.sparkSession
+    val exact = bruteForceKnn(corpus, queries, vecCol, idCol, k)
+      .select(col("qid"), col("nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nQueries = exact.select(col("qid")).distinct().count()
+      def hits(ann: DataFrame): Long =
+        ann.select(col("qid"), col("nid"))
+          .join(exact, Seq("qid", "nid"), "left_semi").count()
+      val hitsSym = hits(binaryRefineKnn(corpus, queries, vecCol, idCol,
+        dim, k, refine))
+      val hitsAsymRaw = hits(binaryAsymShortlist(corpus, queries, vecCol,
+        idCol, dim, k))
+      val hitsAsym = hits(binaryAsymKnn(corpus, queries, vecCol, idCol,
+        dim, k, refine))
+      def milli(h: Long): Long =
+        if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
+      spark.range(1).select(
+        lit(nQueries).as("n_queries"), lit(k).as("k"),
+        lit(hitsSym).as("hits_sym_refined"),
+        lit(milli(hitsSym)).as("recall_sym_refined_milli"),
+        lit(hitsAsymRaw).as("hits_asym_raw"),
+        lit(milli(hitsAsymRaw)).as("recall_asym_raw_milli"),
+        lit(hitsAsym).as("hits_asym_refined"),
+        lit(milli(hitsAsym)).as("recall_asym_refined_milli"))
+    } finally { exact.unpersist(); () }
   }
 
   /** Binary × IVF — sign codes under coarse cells: the query routes to

@@ -1501,6 +1501,30 @@ object PipelineQueries {
         dim = 64, k = 3, refine = 10)
     }),
 
+    // Asymmetric binary scoring (Jégou's asymmetric distance on the
+    // 1-bit tier): IDENTICAL corpus storage to q_ann_binary — packed
+    // sign words only — but the query keeps its magnitudes (SQ8
+    // integer grid), scoring Σ qq_i·sign(x_i). The standard next rung
+    // above symmetric Hamming at zero storage cost; shortlist +
+    // exact-cosine rescore as usual. Integer scores, nid-asc ties —
+    // quantization, packing, scoring and rescore all oracle-replayed.
+    "q_ann_binary_asym" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.binaryAsymKnn(emb, emb.filter(col("vec_id") < 20),
+        "embedding", "vec_id", dim = 64, k = 3, refine = 10)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // What the query's magnitudes buy at identical storage: symmetric
+    // Hamming+rescore vs asymmetric raw top-k vs asymmetric+rescore,
+    // all vs exact cosine brute force at the same refine budget.
+    "q_ann_binary_asym_audit" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.binaryAsymRecallAudit(emb,
+        emb.filter(col("vec_id") < 20), "embedding", "vec_id",
+        dim = 64, k = 3, refine = 10)
+    }),
+
     // Binary × IVF: the probe prunes which cells are read at all, the
     // sign codes shrink what a probed cell costs to scan (32×), and
     // the rescore touches floats for |Q|·refine rows only — the two
@@ -2172,6 +2196,31 @@ object PipelineQueries {
       |  FROM bq_base
       |)""".stripMargin
 
+  /** SQ8-quantized queries (id < 20) scored asymmetrically against the
+    * packed sign words: `Σ qq_i · (bit_i ? +1 : −1)`, exact integers —
+    * `BinaryAsymKernel.score`'s contract replayed. Requires
+    * [[binaryEncCtes]] in scope.
+    */
+  private val binaryAsymCtes: String =
+    """baq AS MATERIALIZED (
+      |  SELECT id, list_transform(u, x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT)) AS qq
+      |  FROM (
+      |    SELECT id, u, list_max(list_transform(u, x -> abs(x))) AS mx
+      |    FROM (
+      |      SELECT id, list_transform(e, x -> x / nrm) AS u
+      |      FROM (SELECT id, e,
+      |        sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      |        FROM bq_base WHERE id < 20)
+      |    )
+      |  )
+      |), basc AS MATERIALIZED (
+      |  SELECT q.id AS qid, a.id AS nid,
+      |    list_sum(list_transform(generate_series(0, 63),
+      |      i -> q.qq[i + 1] * (CASE WHEN ((a.bw[(i // 32) + 1] >> (i % 32)) & 1) = 1
+      |        THEN 1 ELSE -1 END)))::BIGINT AS asym
+      |  FROM baq q JOIN bq_enc a ON a.id <> q.id
+      |)""".stripMargin
+
   def oracles: Map[String, String] = SketchOracleSql.oracles ++ Map(
     "q_graph_pagerank" -> pagerankOracle,
     "q_graph_pagerank_bucketed" -> pagerankOracle,
@@ -2381,6 +2430,97 @@ object PipelineQueries {
          |  hr.h AS hits_refined,
          |  CAST(hr.h * 1000 // (3 * nq.n) AS BIGINT) AS recall_refined_milli
          |FROM hb, hr, nq""".stripMargin,
+    // asymmetric scoring: SQ8 query grid, Σ qq_i·(±1 by sign bit),
+    // integer shortlist, exact cosine rescore — every step replayed
+    "q_ann_binary_asym" ->
+      s"""WITH $binaryEncCtes, $binaryAsymCtes
+         |, sl AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY asym DESC, nid) AS rn
+         |    FROM basc
+         |  ) WHERE rn <= 10
+         |), nn AS (
+         |  SELECT id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+         |  FROM bq_base
+         |), re AS (
+         |  SELECT s.qid, s.nid,
+         |    list_sum(list_transform(generate_series(1, 64),
+         |      i -> q.e[i] * a.e[i])) / (q.nrm * a.nrm) AS sim
+         |  FROM sl s JOIN nn q ON q.id = s.qid JOIN nn a ON a.id = s.nid
+         |)
+         |SELECT qid, nid, round(sim, 6) AS sim, CAST(rn AS INT) AS rnk FROM (
+         |  SELECT qid, nid, sim,
+         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+         |  FROM re
+         |) WHERE rn <= 3 ORDER BY qid, rnk""".stripMargin,
+    // the three detectors vs exact cosine truth at one refine budget
+    "q_ann_binary_asym_audit" ->
+      s"""WITH $binaryEncCtes, $binaryAsymCtes
+         |, sc AS (
+         |  SELECT q.id AS qid, a.id AS nid,
+         |    (bit_count(xor(q.bw[1], a.bw[1]))
+         |      + bit_count(xor(q.bw[2], a.bw[2])))::BIGINT AS ham
+         |  FROM (SELECT * FROM bq_enc WHERE id < 20) q
+         |  JOIN bq_enc a ON a.id <> q.id
+         |), ssl AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY ham, nid) AS rn
+         |    FROM sc
+         |  ) WHERE rn <= 10
+         |), nn AS (
+         |  SELECT id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+         |  FROM bq_base
+         |), rk AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT s.qid, s.nid,
+         |      row_number() OVER (PARTITION BY s.qid ORDER BY
+         |        list_sum(list_transform(generate_series(1, 64),
+         |          i -> q.e[i] * a.e[i])) / (q.nrm * a.nrm) DESC, s.nid) AS rn
+         |    FROM ssl s JOIN nn q ON q.id = s.qid JOIN nn a ON a.id = s.nid
+         |  ) WHERE rn <= 3
+         |), ak AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY asym DESC, nid) AS rn
+         |    FROM basc
+         |  ) WHERE rn <= 3
+         |), asl AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT qid, nid,
+         |      row_number() OVER (PARTITION BY qid ORDER BY asym DESC, nid) AS rn
+         |    FROM basc
+         |  ) WHERE rn <= 10
+         |), ar AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT s.qid, s.nid,
+         |      row_number() OVER (PARTITION BY s.qid ORDER BY
+         |        list_sum(list_transform(generate_series(1, 64),
+         |          i -> q.e[i] * a.e[i])) / (q.nrm * a.nrm) DESC, s.nid) AS rn
+         |    FROM asl s JOIN nn q ON q.id = s.qid JOIN nn a ON a.id = s.nid
+         |  ) WHERE rn <= 3
+         |), br AS (
+         |  SELECT qid, nid FROM (
+         |    SELECT q.id AS qid, a.id AS nid,
+         |      row_number() OVER (PARTITION BY q.id ORDER BY
+         |        list_sum(list_transform(generate_series(1, 64),
+         |          i -> q.e[i] * a.e[i])) / (q.nrm * a.nrm) DESC, a.id) AS rn
+         |    FROM (SELECT * FROM nn WHERE id < 20) q
+         |    JOIN nn a ON a.id <> q.id
+         |  ) WHERE rn <= 3
+         |), hs AS (SELECT count(*)::BIGINT AS h FROM rk JOIN br USING (qid, nid)),
+         |ha AS (SELECT count(*)::BIGINT AS h FROM ak JOIN br USING (qid, nid)),
+         |hx AS (SELECT count(*)::BIGINT AS h FROM ar JOIN br USING (qid, nid)),
+         |nq AS (SELECT count(DISTINCT qid)::BIGINT AS n FROM br)
+         |SELECT nq.n AS n_queries, CAST(3 AS INT) AS k,
+         |  hs.h AS hits_sym_refined,
+         |  CAST(hs.h * 1000 // (3 * nq.n) AS BIGINT) AS recall_sym_refined_milli,
+         |  ha.h AS hits_asym_raw,
+         |  CAST(ha.h * 1000 // (3 * nq.n) AS BIGINT) AS recall_asym_raw_milli,
+         |  hx.h AS hits_asym_refined,
+         |  CAST(hx.h * 1000 // (3 * nq.n) AS BIGINT) AS recall_asym_refined_milli
+         |FROM hs, ha, hx, nq""".stripMargin,
     // Containment is plain string algebra in DuckDB: space-padded
     // substring test over the same normalized + prefix-augmented corpus
     // (brute-force N² pairs — exact, oracle-sized only).

@@ -38,4 +38,48 @@ class VectorExpressionsSpec extends SparkSpec {
     assert("""\*\(\d+\) Project \[array_dot""".r.findFirstIn(plan).isDefined, plan)
     assert(df.agg(sum("d")).as[Double].head() > 0)
   }
+
+  test("binary_asym_score: exact integer contract, codegen participates") {
+    import graft.functions.VectorExpressions.binaryAsymScore
+    // dim=40 exercises the partial second word
+    val dim = 40
+    def signs(seed: Int): Seq[Double] =
+      Seq.tabulate(dim)(i => math.sin(seed * 37 + i + 1))
+    def packed(v: Seq[Double]): Seq[Long] =
+      Seq.tabulate((dim + 31) / 32) { w =>
+        (0 until math.min(32, dim - w * 32)).map { b =>
+          if (v(w * 32 + b) > 0.0) 1L << b else 0L
+        }.sum
+      }
+    val qq = Seq.tabulate(dim)(i => ((i * 13) % 255 - 127).toLong)
+    val rows = (1 to 20).map(s => (qq, packed(signs(s)), signs(s)))
+    val df = rows.toDF("qq", "bw", "v")
+    val got = df.select(binaryAsymScore(col("qq"), col("bw"), dim).as("s"))
+      .as[Long].collect()
+    val ref = rows.map { case (q, _, v) =>
+      q.zip(v).map { case (qi, vi) => if (vi > 0.0) qi else -qi }.sum
+    }
+    got.zip(ref).foreach { case (g, r) => assert(g == r, s"$g != $r") }
+    // inside whole-stage codegen (non-foldable input)
+    // double-reference the HOF outputs so CollapseProject keeps them in
+    // their own projection (lambda HOFs are CodegenFallback and would
+    // drag the whole collapsed Project out of WSCG — the array_dot
+    // test's trick)
+    val cg = spark.range(50).select(
+      transform(sequence(lit(0), lit(dim - 1)),
+        i => (col("id") % 7 - 3).cast("long")).as("qq"),
+      transform(sequence(lit(0), lit((dim + 31) / 32 - 1)),
+        w => (col("id") * 2654435761L).bitwiseAND(lit(0xffffffffL))).as("bw"))
+      .select(binaryAsymScore(col("qq"), col("bw"), dim).as("s"),
+        size(col("qq")).as("nq"), size(col("bw")).as("nw"))
+    val plan = cg.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[binary_asym_score""".r.findFirstIn(plan).isDefined,
+      plan)
+    assert(cg.count() == 50)
+    // too-short inputs fail loud, not silently truncate
+    intercept[Exception] {
+      Seq((Seq(1L, 2L), Seq(1L))).toDF("qq", "bw")
+        .select(binaryAsymScore(col("qq"), col("bw"), 40)).collect()
+    }
+  }
 }
