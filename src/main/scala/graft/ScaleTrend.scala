@@ -32,7 +32,9 @@ object ScaleTrend {
     "q_tokenizer_unigram",  // Viterbi-EM trainer (word-TYPE table passes)
     "q_doc_bm25_indexed",   // persisted postings build + probe read
     "q_kv_zorder",          // multi-dim clustering rewrite + pruned scan
-    "q_corpus_hll")         // one-pass sketch aggregation (map-side combined)
+    "q_corpus_hll",         // one-pass sketch aggregation (map-side combined)
+    "q_ann_binary_indexed", // 1-bit tier: 32×-smaller code-column scan
+    "q_ann_ivfpq_residual_indexed") // residual IVFADC: per-probed-cell tables
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -65,6 +65,14 @@ object GraftFunctions {
       require(exprs.length == 2, "kmv_distinct(x, k)")
       KmvDistinct(exprs.head, intLit(exprs(1), "k"))
     },
+    "kmv_minima" -> { exprs =>
+      require(exprs.length == 2, "kmv_minima(x, k)")
+      KmvMinima(exprs.head, intLit(exprs(1), "k"))
+    },
+    "kmv_intersect" -> { exprs =>
+      require(exprs.length == 3, "kmv_intersect(minA, minB, k)")
+      KmvIntersectExpr(exprs.head, exprs(1), intLit(exprs(2), "k"))
+    },
     "hll_distinct" -> { exprs =>
       require(exprs.length == 2, "hll_distinct(x, p)")
       HllDistinct(exprs.head, intLit(exprs(1), "p"))
@@ -100,6 +108,10 @@ object GraftFunctions {
     "kll_n" -> { exprs =>
       require(exprs.length == 1, "kll_n(blob)")
       KllNExpr(exprs.head)
+    },
+    "kll_rank_milli" -> { exprs =>
+      require(exprs.length == 2, "kll_rank_milli(blob, probe)")
+      KllRankExpr(exprs.head, exprs(1))
     },
     "cms_sketch" -> { exprs =>
       require(exprs.length == 3, "cms_sketch(x, depth, width)")

@@ -222,6 +222,12 @@ object KllSketch {
     * estimated mass is the calibration diagnostic.
     */
   def kllN(blob: Column): Column = toColumn(KllNExpr(exprOf(blob)))
+
+  /** Estimated permille rank of `probe` in the sketched distribution —
+    * see [[KllRankExpr]].
+    */
+  def kllRankMilli(blob: Column, probe: Column): Column =
+    toColumn(KllRankExpr(exprOf(blob), exprOf(probe)))
 }
 
 /** Merge stored [[KllSketch]] blobs (the rollup aggregate). Confluent
@@ -321,6 +327,49 @@ case class KllQuantileExpr(child: Expression, pct: Int)
   override protected def withNewChildInternal(c: Expression): Expression =
     copy(child = c)
   override def prettyName: String = "kll_quantile"
+}
+
+/** Rank readout over a sketch blob: the estimated permille position of
+  * a probe value in the sketched distribution —
+  * `floor(1000 · Σ_{v <= probe} c·2^level / W)`, exact BigInt
+  * arithmetic. The drift primitive: a window median's rank in the
+  * CORPUS sketch says how far the window's distribution has shifted,
+  * answered from two sketch rows. NULL on an empty sketch.
+  */
+case class KllRankExpr(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(blob: Any, probe: Any): Any = {
+    val bb = java.nio.ByteBuffer.wrap(blob.asInstanceOf[Array[Byte]])
+    bb.getLong // k
+    val level = bb.getLong.toInt
+    bb.getLong // n_total
+    val n = bb.getLong.toInt
+    if (n == 0) null
+    else {
+      val p = probe.asInstanceOf[Long]
+      var w = BigInt(0)
+      var cum = BigInt(0)
+      var i = 0
+      while (i < n) {
+        val v = bb.getLong
+        val c = BigInt(bb.getLong) << level
+        w += c
+        if (v <= p) cum += c
+        i += 1
+      }
+      java.lang.Long.valueOf(((cum * 1000) / w).toLong)
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): KllRankExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "kll_rank_milli"
 }
 
 /** Exact input count carried in a sketch blob's header. */

@@ -91,4 +91,147 @@ object KmvDistinct {
   /** Approximate COUNT(DISTINCT c) with k·8 bytes of state per group. */
   def kmvDistinct(c: Column, k: Int = 1024): Column =
     toColumn(KmvDistinct(exprOf(c), k).toAggregateExpression())
+
+  /** The k smallest hashes themselves (unsigned-ascending array) — the
+    * persisted-sketch-table form. Unlike HLL registers, a KMV synopsis
+    * supports INTERSECTION estimation directly
+    * ([[kmvIntersectEstimate]]), so a stored per-corpus minima table
+    * answers overlap questions with better variance than HLL
+    * inclusion–exclusion when the overlap is small relative to the
+    * union (the differenced-estimates problem).
+    */
+  def kmvMinima(c: Column, k: Int = 1024): Column =
+    toColumn(KmvMinima(exprOf(c), k).toAggregateExpression())
+
+  /** |A∩B| from two stored [[kmvMinima]] arrays (Beyer et al., "On
+    * synopses for distinct-value estimation under multiset operations",
+    * SIGMOD'07): L = the k smallest of minA ∪ minB is exactly A∪B's
+    * KMV synopsis, and for any h ∈ L, `h ∈ A ⟺ h ∈ minA` (h is below
+    * L's k-th smallest, which is below minA's), so
+    * `K∩ = |L ∩ minA ∩ minB|` is computable from the sketches alone.
+    * Estimate: exact `K∩` when the union synopsis is under capacity
+    * (both sketches then hold their COMPLETE hash sets); otherwise
+    * `floor(K∩ · ((k−1)/u(kth of L)) / k + 0.5)` with
+    * [[KmvDistinct]]'s exact normalization — fixed op order, replayed
+    * by the oracle term for term.
+    */
+  def kmvIntersectEstimate(a: Column, b: Column, k: Int = 1024): Column =
+    toColumn(KmvIntersectExpr(exprOf(a), exprOf(b), k))
+}
+
+/** [[KmvDistinct]]'s accumulation with the MINIMA as the result
+  * (array<long>, unsigned-ascending) — the persisted-sketch building
+  * block for distinct counts AND set operations.
+  */
+case class KmvMinima(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[Long]] {
+
+  require(k >= 2, "k must be >= 2")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): java.util.TreeSet[Long] =
+    new java.util.TreeSet[Long](java.lang.Long.compareUnsigned(_, _))
+
+  override def update(buf: java.util.TreeSet[Long], input: InternalRow): java.util.TreeSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      buf.add(Sketches.hashValue(v))
+      if (buf.size > k) buf.pollLast()
+    }
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[Long], other: java.util.TreeSet[Long]): java.util.TreeSet[Long] = {
+    buf.addAll(other)
+    while (buf.size > k) buf.pollLast()
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[Long]): Any = {
+    val out = new Array[Long](buf.size)
+    var i = 0
+    val it = buf.iterator()
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    buf.forEach(h => bb.putLong(h))
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => buf.add(bb.getLong))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMinima =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMinima =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "kmv_minima"
+}
+
+/** Row-local intersection estimate over two stored minima arrays — see
+  * [[KmvDistinct.kmvIntersectEstimate]].
+  */
+case class KmvIntersectExpr(
+    left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(k >= 2, "k must be >= 2")
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val xs = a.asInstanceOf[ArrayData].toLongArray()
+    val ys = b.asInstanceOf[ArrayData].toLongArray()
+    require(xs.length <= k && ys.length <= k,
+      s"minima arrays (${xs.length}, ${ys.length}) exceed k=$k — " +
+        "sketches built at a larger capacity do not mix down")
+    // L = k smallest (unsigned) of the union of the two minima sets
+    val union = new java.util.TreeSet[Long](
+      java.lang.Long.compareUnsigned(_, _))
+    xs.foreach(union.add)
+    ys.foreach(union.add)
+    while (union.size > k) union.pollLast()
+    val xset = xs.toSet
+    val yset = ys.toSet
+    var kBoth = 0L
+    val it = union.iterator()
+    while (it.hasNext) {
+      val h = it.next()
+      if (xset.contains(h) && yset.contains(h)) kBoth += 1
+    }
+    val est =
+      if (union.size < k) kBoth // complete synopses: exact intersection
+      else {
+        val kth = union.last()
+        val u = (kth >>> 11).toDouble / (1L << 53).toDouble
+        math.floor(
+          kBoth.toDouble * ((k - 1) / math.max(u, Double.MinPositiveValue))
+            / k + 0.5).toLong
+      }
+    java.lang.Long.valueOf(est)
+  }
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): KmvIntersectExpr =
+    copy(left = l, right = r)
+  override def prettyName: String = "kmv_intersect"
 }

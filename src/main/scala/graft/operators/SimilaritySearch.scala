@@ -428,6 +428,96 @@ object SimilaritySearch {
       k)
   }
 
+  /** Asymmetric binary × IVF — [[binaryIvfKnn]] with the better first
+    * pass: the probe prunes which cells are read, the cells are scanned
+    * as packed sign words (32× smaller), but the within-cell score is
+    * the asymmetric `Σ qq_i·sign(x_i)` instead of symmetric Hamming —
+    * the query's magnitudes ride the broadcast for free
+    * ([[binaryAsymRecallAudit]] measures what they buy flat;
+    * [[binaryAsymIvfRecallAudit]] measures it composed). Same storage,
+    * same probe budget, same rescore — only the shortlist quality
+    * changes. Exact integer scores; cells, probes, codes, asym
+    * shortlist and rescore all replay in the oracle.
+    */
+  def binaryAsymIvfKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, dim: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, refine: Int = 16,
+      iterations: Int = 2, maxTrainPerCell: Int = 16384): DataFrame = {
+    require(refine >= k, s"refine shortlist ($refine) must be >= k ($k)")
+    val cents = trainCentroids(corpus, vecCol, idCol, nCells, iterations,
+      maxTrainPerCell)
+    val cPrep = prep(corpus, vecCol, idCol)
+    val assigned = assignCells(cPrep, cents)
+      .select(col("cell"), col("id").as("nid"),
+        binarySignWords(col("e"), dim).as("nbw"))
+    val qPrepped = prep(queries, vecCol, idCol)
+    val qQuant = sq8Quantize(queries, vecCol, idCol)
+      .select(col("id"), col("q").as("qq"))
+    val probes = qPrepped.join(qQuant, "id")
+      .crossJoin(broadcast(cents))
+      .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("id"))
+      .agg(slice(sort_array(collect_list(struct(col("d2"), col("cell")))),
+        1, nProbe).as("cells"),
+        first(col("qq")).as("qq"))
+      .select(col("id").as("qid"), col("qq"),
+        explode(col("cells.cell")).as("cell"))
+    val shortlist = broadcast(probes).join(assigned, Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        graft.functions.VectorExpressions.binaryAsymScore(
+          col("qq"), col("nbw"), dim).as("asym"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.BoundedTopK.topK(
+        struct(col("asym").cast("double").as("s"), col("nid")), refine)
+        .as("top"))
+      .select(col("qid"), explode(col("top.nid")).as("nid"))
+    val c = cPrep.select(col("id").as("nid"), col("e").as("ne"),
+      col("nrm").as("nn"))
+    val q = qPrepped.select(col("id").as("qid"), col("e").as("qe"),
+      col("nrm").as("qn"))
+    topKPerQuery(
+      shortlist.join(broadcast(q), "qid").join(c, "nid")
+        .select(col("qid"), col("nid"),
+          (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim")),
+      k)
+  }
+
+  /** The composition price sheet: symmetric vs asymmetric within-cell
+    * scoring at the SAME probe/refine budget, both vs exact cosine
+    * brute force.
+    */
+  def binaryAsymIvfRecallAudit(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, dim: Int, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, refine: Int = 16,
+      iterations: Int = 2, maxTrainPerCell: Int = 16384): DataFrame = {
+    val spark = corpus.sparkSession
+    val exact = bruteForceKnn(corpus, queries, vecCol, idCol, k)
+      .select(col("qid"), col("nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nQueries = exact.select(col("qid")).distinct().count()
+      def hits(ann: DataFrame): Long =
+        ann.select(col("qid"), col("nid"))
+          .join(exact, Seq("qid", "nid"), "left_semi").count()
+      val hitsSym = hits(binaryIvfKnn(corpus, queries, vecCol, idCol,
+        dim, k, nCells, nProbe, refine, iterations, maxTrainPerCell))
+      val hitsAsym = hits(binaryAsymIvfKnn(corpus, queries, vecCol, idCol,
+        dim, k, nCells, nProbe, refine, iterations, maxTrainPerCell))
+      def milli(h: Long): Long =
+        if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
+      spark.range(1).select(
+        lit(nQueries).as("n_queries"), lit(k).as("k"),
+        lit(hitsSym).as("hits_ivf_sym"),
+        lit(milli(hitsSym)).as("recall_ivf_sym_milli"),
+        lit(hitsAsym).as("hits_ivf_asym"),
+        lit(milli(hitsAsym)).as("recall_ivf_asym_milli"))
+    } finally { exact.unpersist(); () }
+  }
+
   /** What scanning codes instead of floats inside probed cells costs:
     * exact-within-cell IVF vs binary-within-cell (+rescore) at the SAME
     * nProbe budget, both vs exact cosine brute force.

@@ -322,6 +322,33 @@ object EventsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Distribution DRIFT from sketch rows alone — the dashboard the
+    // quantile sketch exists for: each 6h window's median, located in
+    // the CORPUS distribution by its estimated permille rank
+    // (kll_rank_milli over the corpus blob). A stationary stream sits
+    // near 500; a shifted window shows up as a rank excursion — and
+    // the whole readout touches one corpus sketch row per window, not
+    // the raw data. Exact BigInt rank arithmetic; both chains and the
+    // rank rule replay in the oracle.
+    "q_events_kll_drift" -> ((s, dir) => {
+      import graft.functions.KllSketch
+      val ev = Tables.load(s, dir, "events")
+        .where(col("value").isNotNull)
+        .select(col("ts"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      val win = ev.groupBy(window(col("ts"), "21600 seconds"))
+        .agg(KllSketch.kll(col("cents"), k = 256).as("sk"))
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          KllSketch.kllQuantile(col("sk"), 50).as("win_q50"),
+          KllSketch.kllN(col("sk")).as("n_vals"))
+      val corp = ev.agg(KllSketch.kll(col("cents"), k = 256).as("csk"))
+      win.crossJoin(broadcast(corp))
+        .select(col("w_start"), col("win_q50"), col("n_vals"),
+          KllSketch.kllRankMilli(col("csk"), col("win_q50"))
+            .as("corp_rank_milli"))
+        .orderBy(col("w_start"))
+    }),
+
     // Approximate quantiles on a STREAM — the q_stream_hll_window
     // discipline on ranks: exact streaming quantiles would hold every
     // value in state (unbounded), KllSketch holds <= k pairs per window
@@ -654,6 +681,10 @@ object EventsQueries {
     // rollup ≡ direct bit-for-bit (sub-multiset level monotonicity) —
     // one replayed chain pins both columns
     "q_events_kll_merge" -> SketchOracleSql.kllMergeOracle,
+
+    // window medians located in the corpus sketch by the exact rank
+    // rule — both chains replayed
+    "q_events_kll_drift" -> SketchOracleSql.kllDriftOracle,
 
     // the append-mode emission rule + the per-window chain + rank rule
     "q_stream_kll_window" -> SketchOracleSql.streamKllWindowOracle,

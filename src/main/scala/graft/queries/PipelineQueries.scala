@@ -52,6 +52,25 @@ object PipelineQueries {
     s.read.format("kv").option("path", wavDir).load()
   }
 
+  /** Per-source BIGRAM rows `(source, gram)` of the six-source
+    * documents slice — the overlap gates' shared corpus (genuinely
+    * partial pairwise vocabularies, unlike the fixture's saturated user
+    * sets). Tokens are the empties-dropped whitespace split; the <2-
+    * token guard matters because `sequence(1, 0)` runs DESCENDING.
+    */
+  private def SourceBigrams(s: SparkSession, dir: String): DataFrame = {
+    val srcs = (0 to 5).map(i => s"src$i")
+    Tables.load(s, dir, "documents")
+      .where(col("source").isin(srcs: _*))
+      .select(col("source"),
+        filter(split(trim(col("text")), "\\s+"), t => t =!= "").as("ts"))
+      .select(col("source"), explode(when(size(col("ts")) >= 2,
+        transform(sequence(lit(1), size(col("ts")) - 1),
+          i => concat(element_at(col("ts"), i), lit(" "),
+            element_at(col("ts"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("gram"))
+  }
+
   /** The THREE-oblique-directions fixture shared by the q_ann_pca3 and
     * q_ann_cosine_audit gates: +8·dim1 (all-ones), +4·dim2
     * (alternating ±), +2·dim3 (period-4 ++−−) — three mutually
@@ -1358,17 +1377,7 @@ object PipelineQueries {
       import graft.functions.{HllDistinct, HllMerge}
       val sk = s"/tmp/graft_hllov${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
       graft.sources.ParquetIO.deletePath(sk)
-      val srcs = (0 to 5).map(i => s"src$i")
-      val grams = Tables.load(s, dir, "documents")
-        .where(col("source").isin(srcs: _*))
-        .select(col("source"),
-          filter(split(trim(col("text")), "\\s+"), t => t =!= "").as("ts"))
-        // sequence(1, 0) would run DESCENDING — guard the <2-token docs
-        .select(col("source"), explode(when(size(col("ts")) >= 2,
-          transform(sequence(lit(1), size(col("ts")) - 1),
-            i => concat(element_at(col("ts"), i), lit(" "),
-              element_at(col("ts"), i + 1))))
-          .otherwise(array().cast("array<string>"))).as("gram"))
+      val grams = SourceBigrams(s, dir)
       grams.groupBy(col("source"))
         .agg(HllDistinct.hllRegisters(col("gram"), p = 8).as("regs"))
         .write.format("kv").option("path", sk).mode("overwrite").save()
@@ -1394,6 +1403,44 @@ object PipelineQueries {
         .na.fill(0L, Seq("exact_overlap"))
         .select(col("source_a"), col("source_b"), col("hll_a"),
           col("hll_b"), col("hll_union"), col("hll_overlap"),
+          col("exact_overlap"))
+        .orderBy(col("source_a"), col("source_b"))
+    }),
+
+    // The KMV route to the same overlap question — DIRECT intersection
+    // estimation instead of HLL's differenced inclusion–exclusion: the
+    // k smallest hashes of minA ∪ minB are exactly A∪B's synopsis, and
+    // membership of those hashes in each side is testable from the
+    // stored arrays alone (Beyer et al., SIGMOD'07), so K∩/k scales the
+    // union estimate with variance that does NOT blow up when the
+    // overlap is small relative to the union. Same persisted-sketch
+    // discipline: the estimate columns read the 6-row minima table; the
+    // raw corpus only feeds the exact ride-along pin.
+    "q_corpus_kmv_overlap" -> ((s, dir) => {
+      import graft.functions.KmvDistinct
+      val sk = s"/tmp/graft_kmvov${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(sk)
+      val grams = SourceBigrams(s, dir)
+      grams.groupBy(col("source"))
+        .agg(KmvDistinct.kmvMinima(col("gram"), k = 256).as("mins"))
+        .write.format("kv").option("path", sk).mode("overwrite").save()
+      val skdf = s.read.format("kv").option("path", sk).load()
+      val est = skdf.select(col("source").as("source_a"),
+          col("mins").as("ma"))
+        .join(broadcast(skdf.select(col("source").as("source_b"),
+          col("mins").as("mb"))), col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          KmvDistinct.kmvIntersectEstimate(col("ma"), col("mb"), 256)
+            .as("kmv_overlap"))
+      val dg = grams.distinct()
+      val exact = dg.select(col("source").as("source_a"), col("gram"))
+        .join(dg.select(col("source").as("source_b"), col("gram")), "gram")
+        .where(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("exact_overlap"))
+      est.join(exact, Seq("source_a", "source_b"), "left")
+        .na.fill(0L, Seq("exact_overlap"))
+        .select(col("source_a"), col("source_b"), col("kmv_overlap"),
           col("exact_overlap"))
         .orderBy(col("source_a"), col("source_b"))
     }),
@@ -1544,6 +1591,31 @@ object PipelineQueries {
     "q_ann_binary_ivf_audit" -> ((s, dir) => {
       val emb = Tables.load(s, dir, "embeddings")
       SimilaritySearch.binaryIvfRecallAudit(emb,
+        emb.filter(col("vec_id") < 20), "embedding", "vec_id",
+        dim = 64, k = 3, nCells = 8, nProbe = 2, refine = 10,
+        maxTrainPerCell = 32)
+    }),
+
+    // Asymmetric × IVF: the composed serving configuration — cell
+    // pruning (read nProbe cells), 32× code-column scan, and the
+    // asymmetric within-cell score that uses the broadcast query's
+    // magnitudes for free. Same storage, same budget as
+    // q_ann_binary_ivf; only the shortlist quality differs. Whole
+    // chain (k-means cells, probes, SQ8 grid, integer asym scores,
+    // rescore) replays in the oracle.
+    "q_ann_binary_asym_ivf" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.binaryAsymIvfKnn(emb, emb.filter(col("vec_id") < 20),
+        "embedding", "vec_id", dim = 64, k = 3, nCells = 8, nProbe = 2,
+        refine = 10, maxTrainPerCell = 32)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // The composition's price sheet at one budget: symmetric vs
+    // asymmetric within-cell scoring, both vs exact cosine truth.
+    "q_ann_binary_asym_ivf_audit" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.binaryAsymIvfRecallAudit(emb,
         emb.filter(col("vec_id") < 20), "embedding", "vec_id",
         dim = 64, k = 3, nCells = 8, nProbe = 2, refine = 10,
         maxTrainPerCell = 32)

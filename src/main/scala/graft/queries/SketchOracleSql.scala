@@ -1024,6 +1024,122 @@ object SketchOracleSql {
        |  FROM vb_sl s JOIN vb_n q ON q.id = s.qid JOIN vb_n a ON a.id = s.nid
        |)""".stripMargin
 
+  /** [[binaryIvfCtes]] with the asymmetric within-cell score: queries
+    * take the SQ8 grid (unit norm → ±127 integers), candidates stay
+    * packed sign words, `asym = Σ qq_i·(bit_i ? +1 : −1)` exact — ends
+    * in `va_re (qid, nid, sim)` plus the symmetric `va_ham` ladder for
+    * the audit.
+    */
+  private def binaryAsymIvfCtes(nProbe: Int, refine: Int, qMax: Int): String =
+    s"""va_base AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+       |), va_prep AS MATERIALIZED (
+       |  SELECT id, e FROM va_base
+       |), ${kmChain("va_", 8, 32)},
+       |va_enc AS (
+       |  SELECT id, cell, ${signWordsSql("e")} AS bw FROM va_af
+       |), va_probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.id AS qid, c.cell,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY ${kmD2("q.e", "c.ce")}, c.cell) AS rn
+       |    FROM (SELECT * FROM va_prep WHERE id < $qMax) q CROSS JOIN va_cent2 c
+       |  ) WHERE rn <= $nProbe
+       |), va_qq AS (
+       |  SELECT id AS qid, list_transform(u, x -> CAST(floor(x * 127.0 / mx + 0.5) AS BIGINT)) AS qq
+       |  FROM (
+       |    SELECT id, u, list_max(list_transform(u, x -> abs(x))) AS mx
+       |    FROM (
+       |      SELECT id, list_transform(e, x -> x / nrm) AS u
+       |      FROM (SELECT id, e,
+       |        sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+       |        FROM va_prep WHERE id < $qMax)
+       |    )
+       |  )
+       |), va_asc AS (
+       |  SELECT p.qid, a.id AS nid,
+       |    list_sum(list_transform(generate_series(0, 63),
+       |      i -> qe.qq[i + 1] * (CASE WHEN ((a.bw[(i // 32) + 1] >> (i % 32)) & 1) = 1
+       |        THEN 1 ELSE -1 END)))::BIGINT AS asym
+       |  FROM va_probes p
+       |  JOIN va_enc a ON a.cell = p.cell
+       |  JOIN va_qq qe ON qe.qid = p.qid
+       |  WHERE p.qid <> a.id
+       |), va_sl AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY asym DESC, nid) AS rn
+       |    FROM va_asc
+       |  ) WHERE rn <= $refine
+       |), va_n AS (
+       |  SELECT id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+       |  FROM va_base
+       |), va_re AS (
+       |  SELECT s.qid, s.nid,
+       |    list_sum(list_transform(generate_series(1, 64),
+       |      i -> q.e[i] * a.e[i])) / (q.nrm * a.nrm) AS sim
+       |  FROM va_sl s JOIN va_n q ON q.id = s.qid JOIN va_n a ON a.id = s.nid
+       |)""".stripMargin
+
+  def annBinaryAsymIvfOracle: String =
+    s"""WITH ${binaryAsymIvfCtes(nProbe = 2, refine = 10, qMax = 20)}
+       |SELECT qid, nid, round(sim, 6) AS sim, CAST(rn AS INT) AS rnk FROM (
+       |  SELECT qid, nid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       |  FROM va_re
+       |) WHERE rn <= 3 ORDER BY qid, rnk""".stripMargin
+
+  def annBinaryAsymIvfAuditOracle: String =
+    s"""WITH ${binaryAsymIvfCtes(nProbe = 2, refine = 10, qMax = 20)},
+       |vaq_enc AS (
+       |  SELECT id AS qid, ${signWordsSql("e")} AS bw
+       |  FROM va_prep WHERE id < 20
+       |), va_ham AS (
+       |  SELECT p.qid, a.id AS nid,
+       |    (bit_count(xor(qe.bw[1], a.bw[1]))
+       |      + bit_count(xor(qe.bw[2], a.bw[2])))::BIGINT AS ham
+       |  FROM va_probes p
+       |  JOIN va_enc a ON a.cell = p.cell
+       |  JOIN vaq_enc qe ON qe.qid = p.qid
+       |  WHERE p.qid <> a.id
+       |), va_ssl AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY ham, nid) AS rn
+       |    FROM va_ham
+       |  ) WHERE rn <= 10
+       |), va_sk AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT s.qid, s.nid,
+       |      row_number() OVER (PARTITION BY s.qid ORDER BY
+       |        list_sum(list_transform(generate_series(1, 64),
+       |          i -> q.e[i] * a.e[i])) / (q.nrm * a.nrm) DESC, s.nid) AS rn
+       |    FROM va_ssl s JOIN va_n q ON q.id = s.qid JOIN va_n a ON a.id = s.nid
+       |  ) WHERE rn <= 3
+       |), va_ak AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       |    FROM va_re
+       |  ) WHERE rn <= 3
+       |), va_br AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.id AS qid, a.id AS nid,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY
+       |        list_sum(list_transform(generate_series(1, 64),
+       |          i -> q.e[i] * a.e[i])) / (q.nrm * a.nrm) DESC, a.id) AS rn
+       |    FROM (SELECT * FROM va_n WHERE id < 20) q
+       |    JOIN va_n a ON a.id <> q.id
+       |  ) WHERE rn <= 3
+       |), vhs AS (SELECT count(*)::BIGINT AS h FROM va_sk JOIN va_br USING (qid, nid)),
+       |vha AS (SELECT count(*)::BIGINT AS h FROM va_ak JOIN va_br USING (qid, nid)),
+       |vnq AS (SELECT count(DISTINCT qid)::BIGINT AS n FROM va_br)
+       |SELECT vnq.n AS n_queries, CAST(3 AS INT) AS k,
+       |  vhs.h AS hits_ivf_sym,
+       |  CAST(vhs.h * 1000 // (3 * vnq.n) AS BIGINT) AS recall_ivf_sym_milli,
+       |  vha.h AS hits_ivf_asym,
+       |  CAST(vha.h * 1000 // (3 * vnq.n) AS BIGINT) AS recall_ivf_asym_milli
+       |FROM vhs, vha, vnq""".stripMargin
+
   def annBinaryIvfOracle: String =
     s"""WITH ${binaryIvfCtes(nProbe = 2, refine = 10, qMax = 20)}
        |SELECT qid, nid, round(sim, 6) AS sim, CAST(rn AS INT) AS rnk FROM (
@@ -1900,29 +2016,37 @@ object SketchOracleSql {
     * is LEFT with a coalesced empty-sketch estimate (0), mirroring the
     * engine's all-null-group behavior.
     */
+  /** Per-(source, bigram) rows of the six-source slice — the overlap
+    * oracles' shared corpus: tokens are the empties-dropped whitespace
+    * split, bigrams the adjacent pairs — exactly the engine's
+    * `SourceBigrams` transform/element_at chain. Ends in
+    * `ovgr (source, gram)`.
+    */
+  private def overlapGramCtes: String =
+    s"""ovtk AS (
+       |  SELECT source, ${toks("text")} AS ts FROM documents
+       |  WHERE source IN ('src0','src1','src2','src3','src4','src5')
+       |), ovgr AS MATERIALIZED (
+       |  SELECT source, unnest(CASE WHEN len(ts) >= 2
+       |    THEN list_transform(generate_series(1, len(ts) - 1),
+       |      bi -> ts[bi] || ' ' || ts[bi + 1])
+       |    ELSE [] END) AS gram
+       |  FROM ovtk
+       |)""".stripMargin
+
+  /** The bigram strings hashed through the engine's canonical seeded
+    * byte chain — `(grp, v)` with `v` the u64 item hash.
+    */
+  private def overlapHashedGrams(grpExpr: String, px: String): String =
+    s"""SELECT grp, h AS v FROM (
+       |  ${hashStrCols(s"SELECT $grpExpr AS grp, gram FROM ovgr",
+            "gram", 0x9747b28cL, 5, "h", px, Seq("grp"))}
+       |)""".stripMargin
+
   def corpusHllOverlapOracle: String = {
-    // per-(source, bigram) rows of the six-source slice: tokens are the
-    // empties-dropped whitespace split, bigrams the adjacent pairs —
-    // exactly the engine's transform/element_at chain
-    val gramRows =
-      s"""ovtk AS (
-         |  SELECT source, ${toks("text")} AS ts FROM documents
-         |  WHERE source IN ('src0','src1','src2','src3','src4','src5')
-         |), ovgr AS MATERIALIZED (
-         |  SELECT source, unnest(CASE WHEN len(ts) >= 2
-         |    THEN list_transform(generate_series(1, len(ts) - 1),
-         |      bi -> ts[bi] || ' ' || ts[bi + 1])
-         |    ELSE [] END) AS gram
-         |  FROM ovtk
-         |)""".stripMargin
-    // the bigram strings hash through the engine's canonical seeded
-    // byte chain; v lands as the u64 the register chain consumes
     def hashedGrams(grpExpr: String, px: String) =
-      s"""SELECT grp, h AS v FROM (
-         |  ${hashStrCols(s"SELECT $grpExpr AS grp, gram FROM ovgr",
-              "gram", 0x9747b28cL, 5, "h", px, Seq("grp"))}
-         |)""".stripMargin
-    s"""WITH $gramRows,
+      overlapHashedGrams(grpExpr, px)
+    s"""WITH $overlapGramCtes,
        |${hllChainSqlU("ho", hashedGrams("source", "ovha"), "hll_one")},
        |${hllChainSqlU("hp",
           "SELECT p.ta || '|' || p.tb AS grp, g.v AS v FROM " +
@@ -1957,6 +2081,71 @@ object SketchOracleSql {
        |LEFT JOIN ovex e ON e.ta = p.ta AND e.tb = p.tb
        |ORDER BY source_a, source_b""".stripMargin
   }
+
+  /** q_corpus_kmv_overlap: the Beyer et al. estimator replayed — per
+    * source the 256 smallest distinct gram hashes (unsigned order),
+    * per pair L = the 256 smallest of the two minima sets, K∩ = hashes
+    * of L present in BOTH sides, then the engine's exact arithmetic:
+    * K∩ itself when L is under capacity (complete synopses), else
+    * `floor(K∩·(255/u(kth))/256 + 0.5)` with the `>>>11 / 2^53`
+    * normalization KmvDistinct uses.
+    */
+  def corpusKmvOverlapOracle: String =
+    s"""WITH $overlapGramCtes,
+       |kvh AS MATERIALIZED (
+       |  SELECT DISTINCT grp, v AS h
+       |  FROM (${overlapHashedGrams("source", "kvhx")})
+       |),
+       |kvmin AS MATERIALIZED (
+       |  SELECT grp, h FROM (
+       |    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+       |    FROM kvh
+       |  ) WHERE rn <= 256
+       |),
+       |kvprs AS (
+       |  SELECT a.source AS ta, b.source AS tb
+       |  FROM (SELECT DISTINCT source FROM ovgr) a
+       |  JOIN (SELECT DISTINCT source FROM ovgr) b ON a.source < b.source
+       |),
+       |kvu AS (
+       |  SELECT DISTINCT p.ta, p.tb, m.h
+       |  FROM kvprs p JOIN kvmin m ON m.grp IN (p.ta, p.tb)
+       |),
+       |kvl AS (
+       |  SELECT ta, tb, h, rn FROM (
+       |    SELECT ta, tb, h,
+       |      row_number() OVER (PARTITION BY ta, tb ORDER BY h) AS rn
+       |    FROM kvu
+       |  ) WHERE rn <= 256
+       |),
+       |kvagg AS (
+       |  SELECT l.ta, l.tb, count(*)::BIGINT AS lsz,
+       |    max(CASE WHEN l.rn = 256 THEN l.h END) AS kth,
+       |    sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+       |      THEN 1 ELSE 0 END)::BIGINT AS kboth
+       |  FROM kvl l
+       |  LEFT JOIN kvmin a ON a.grp = l.ta AND a.h = l.h
+       |  LEFT JOIN kvmin b ON b.grp = l.tb AND b.h = l.h
+       |  GROUP BY l.ta, l.tb
+       |),
+       |kvdu AS (SELECT DISTINCT source, gram FROM ovgr),
+       |kvex AS (
+       |  SELECT x.source AS ta, y.source AS tb, count(*)::BIGINT AS c
+       |  FROM kvdu x JOIN kvdu y
+       |    ON x.gram = y.gram AND x.source < y.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT p.ta AS source_a, p.tb AS source_b,
+       |  coalesce(CASE WHEN g.lsz < 256 THEN g.kboth
+       |    ELSE CAST(floor(g.kboth::DOUBLE
+       |      * (255.0 / greatest((g.kth // 2048)::DOUBLE / 9007199254740992.0,
+       |          4.9e-324)) / 256.0 + 0.5) AS BIGINT)
+       |    END, 0)::BIGINT AS kmv_overlap,
+       |  coalesce(e.c, 0)::BIGINT AS exact_overlap
+       |FROM kvprs p
+       |LEFT JOIN kvagg g ON g.ta = p.ta AND g.tb = p.tb
+       |LEFT JOIN kvex e ON e.ta = p.ta AND e.tb = p.tb
+       |ORDER BY source_a, source_b""".stripMargin
 
   /** q_stream_cms_ingest: the drained per-window CMS table rolled up —
     * counter adds are order-free, so the merged sketch equals one CMS
@@ -2119,6 +2308,39 @@ object SketchOracleSql {
        |FROM kmq q JOIN kmn n USING (grp)
        |GROUP BY q.grp
        |ORDER BY event_type""".stripMargin
+
+  /** q_events_kll_drift: the per-window chain's medians located in the
+    * corpus chain by the exact integer rank rule
+    * `floor(1000·cum(<= q50)/W)` — both sketches and the readout
+    * replayed.
+    */
+  def kllDriftOracle: String = {
+    val windowBase =
+      """SELECT (epoch_us(date_trunc('microseconds', ts)) // 21600000000) * 21600 AS grp,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |FROM events WHERE value IS NOT NULL""".stripMargin
+    val corpusBase =
+      """SELECT 0 AS grp, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |FROM events WHERE value IS NOT NULL""".stripMargin
+    s"""WITH ${kllChainSql("kw", windowBase, 256)},
+       |${kllChainSql("kc", corpusBase, 256)},
+       |kwq50 AS (
+       |  SELECT grp AS w_start,
+       |    min(CASE WHEN cum * 100 >= 50 * w THEN v END) AS win_q50
+       |  FROM kwq GROUP BY grp
+       |), kwr AS (
+       |  SELECT q.w_start, q.win_q50,
+       |    coalesce(max(CASE WHEN c.v <= q.win_q50 THEN c.cum END),
+       |      0::HUGEINT) AS cumv,
+       |    max(c.w) AS wtot
+       |  FROM kwq50 q, kcq c
+       |  GROUP BY q.w_start, q.win_q50
+       |)
+       |SELECT r.w_start, r.win_q50, n.n AS n_vals,
+       |  (r.cumv * 1000 // r.wtot)::BIGINT AS corp_rank_milli
+       |FROM kwr r JOIN kwn n ON n.grp = r.w_start
+       |ORDER BY w_start""".stripMargin
+  }
 
   /** q_stream_kll_window: per-6h-window sketch blobs drained in APPEND
     * mode (the q_sql_q102 emission rule — only watermark-sealed windows
@@ -4396,8 +4618,11 @@ object SketchOracleSql {
     "q_corpus_hll" -> corpusHllOracle,
     "q_corpus_hll_merge" -> corpusHllMergeOracle,
     "q_corpus_hll_overlap" -> corpusHllOverlapOracle,
+    "q_corpus_kmv_overlap" -> corpusKmvOverlapOracle,
     "q_ann_binary_ivf" -> annBinaryIvfOracle,
     "q_ann_binary_ivf_audit" -> annBinaryIvfAuditOracle,
+    "q_ann_binary_asym_ivf" -> annBinaryAsymIvfOracle,
+    "q_ann_binary_asym_ivf_audit" -> annBinaryAsymIvfAuditOracle,
     "q_doc_cms_tokens" -> docCmsTokensOracle,
     // the persisted per-source rollup is bit-identical to the direct
     // sketch (counter add is associative) — same oracle

@@ -122,6 +122,28 @@ class KllSketchSpec extends SparkSpec {
       }
   }
 
+  test("kll_rank_milli locates probes by the exact integer rank rule") {
+    val (level, m) = reference(corpus, k)
+    val vs = m.keys.toArray.sorted
+    val w = vs.map(v => BigInt(m(v)) << level).sum
+    def refRank(p: Long): Long =
+      ((vs.filter(_ <= p).map(v => BigInt(m(v)) << level).sum * 1000) / w)
+        .toLong
+    val sk = corpus.toDF("v").agg(KllSketch.kll(col("v"), k).as("sk"))
+    val probes = Seq(0L, 42L, 5000L, 999999L)
+    val got = probes.toDF("p").crossJoin(sk)
+      .select(col("p"), KllSketch.kllRankMilli(col("sk"), col("p")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    probes.foreach { p =>
+      assert(got(p) == refRank(p), s"rank diverged at probe $p")
+    }
+    assert(got(999999L) == 1000L, "a probe above every value ranks 1000")
+    // the median's own rank sits near 500 by construction
+    val q50 = corpus.toDF("v").agg(KllSketch.kll(col("v"), k).as("sk"))
+      .select(KllSketch.kllQuantile(col("sk"), 50)).collect().head.getLong(0)
+    assert(math.abs(refRank(q50) - 500L) <= 60L)
+  }
+
   test("empty and null-only inputs yield an empty sketch and NULL quantiles") {
     val got = Seq[Option[Long]](None, None).toDF("v")
       .agg(KllSketch.kll(col("v"), k).as("sk"))
