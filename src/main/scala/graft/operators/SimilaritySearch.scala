@@ -311,6 +311,49 @@ object SimilaritySearch {
       k)
   }
 
+  /** [[binaryAsymKnn]] over a [[buildBinaryIndex]] code table — the
+    * persisted-variant parity every searcher keeps: the asymmetric
+    * first pass scans the STORED 32×-smaller words at the bin_meta dim,
+    * the rescore fetches floats for |Q|·refine rows from the caller's
+    * corpus frame. Bit-identical to the in-memory path (encoding is
+    * train-free; scores are exact integers), so the gates share one
+    * oracle.
+    */
+  def binaryAsymKnnIndexed(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, k: Int,
+      refine: Int = 16): DataFrame = {
+    require(refine >= k, s"refine shortlist ($refine) must be >= k ($k)")
+    val metaRows = spark.read.format("kv")
+      .option("path", s"$path/bin_meta").load().collect()
+    require(metaRows.nonEmpty, s"no bin_meta under $path")
+    val dim = metaRows.head.getAs[Long]("dim").toInt
+    val codes = spark.read.format("kv").option("path", s"$path/codes")
+      .load().select(col("nid"), col("bw").as("nbw"))
+    val qEnc = sq8Quantize(queries, vecCol, idCol)
+      .select(col("id").as("qid"), col("q").as("qq"))
+    val shortlist = broadcast(qEnc)
+      .join(codes, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        graft.functions.VectorExpressions.binaryAsymScore(
+          col("qq"), col("nbw"), dim).as("asym"))
+      .groupBy(col("qid"))
+      .agg(graft.functions.BoundedTopK.topK(
+        struct(col("asym").cast("double").as("s"), col("nid")), refine)
+        .as("top"))
+      .select(col("qid"), explode(col("top.nid")).as("nid"))
+    val c = prep(corpus, vecCol, idCol)
+      .select(col("id").as("nid"), col("e").as("ne"), col("nrm").as("nn"))
+    val q = prep(queries, vecCol, idCol)
+      .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"))
+    topKPerQuery(
+      shortlist.join(broadcast(q), "qid").join(c, "nid")
+        .select(col("qid"), col("nid"),
+          (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim")),
+      k)
+  }
+
   /** `(qid, nid, asym, rnk)` top-`width` by the exact integer
     * asymmetric score (desc, nid asc) — the code-column-only first
     * pass: queries broadcast with their quantized components, the

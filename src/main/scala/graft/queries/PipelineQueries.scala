@@ -1562,6 +1562,23 @@ object PipelineQueries {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // The asym cascade over the PERSISTED code table: the stored words
+    // feed the asymmetric first pass, floats are fetched for
+    // |Q|·refine rows only — bit-identical to the in-memory path
+    // (train-free encode, integer scores), so the gate shares its
+    // oracle.
+    "q_ann_binary_asym_indexed" -> ((s, dir) => {
+      val idx = s"/tmp/graft_binasx${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(idx)
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.buildBinaryIndex(emb, "embedding", "vec_id", idx,
+        dim = 64)
+      SimilaritySearch.binaryAsymKnnIndexed(s, idx, emb,
+        emb.filter(col("vec_id") < 20), "embedding", "vec_id", k = 3,
+        refine = 10)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
     // What the query's magnitudes buy at identical storage: symmetric
     // Hamming+rescore vs asymmetric raw top-k vs asymmetric+rescore,
     // all vs exact cosine brute force at the same refine budget.
@@ -2293,6 +2310,32 @@ object PipelineQueries {
       |  FROM baq q JOIN bq_enc a ON a.id <> q.id
       |)""".stripMargin
 
+  /** Shared by q_ann_binary_asym and its persisted-index twin: the
+    * asym shortlist at refine=10, exact cosine rescore, top-3.
+    */
+  private val annBinaryAsymOracle: String =
+    s"""WITH $binaryEncCtes, $binaryAsymCtes
+       |, sl AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY asym DESC, nid) AS rn
+       |    FROM basc
+       |  ) WHERE rn <= 10
+       |), nn AS (
+       |  SELECT id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+       |  FROM bq_base
+       |), re AS (
+       |  SELECT s.qid, s.nid,
+       |    list_sum(list_transform(generate_series(1, 64),
+       |      i -> q.e[i] * a.e[i])) / (q.nrm * a.nrm) AS sim
+       |  FROM sl s JOIN nn q ON q.id = s.qid JOIN nn a ON a.id = s.nid
+       |)
+       |SELECT qid, nid, round(sim, 6) AS sim, CAST(rn AS INT) AS rnk FROM (
+       |  SELECT qid, nid, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       |  FROM re
+       |) WHERE rn <= 3 ORDER BY qid, rnk""".stripMargin
+
   def oracles: Map[String, String] = SketchOracleSql.oracles ++ Map(
     "q_graph_pagerank" -> pagerankOracle,
     "q_graph_pagerank_bucketed" -> pagerankOracle,
@@ -2504,28 +2547,10 @@ object PipelineQueries {
          |FROM hb, hr, nq""".stripMargin,
     // asymmetric scoring: SQ8 query grid, Σ qq_i·(±1 by sign bit),
     // integer shortlist, exact cosine rescore — every step replayed
-    "q_ann_binary_asym" ->
-      s"""WITH $binaryEncCtes, $binaryAsymCtes
-         |, sl AS (
-         |  SELECT qid, nid FROM (
-         |    SELECT qid, nid,
-         |      row_number() OVER (PARTITION BY qid ORDER BY asym DESC, nid) AS rn
-         |    FROM basc
-         |  ) WHERE rn <= 10
-         |), nn AS (
-         |  SELECT id, e, sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
-         |  FROM bq_base
-         |), re AS (
-         |  SELECT s.qid, s.nid,
-         |    list_sum(list_transform(generate_series(1, 64),
-         |      i -> q.e[i] * a.e[i])) / (q.nrm * a.nrm) AS sim
-         |  FROM sl s JOIN nn q ON q.id = s.qid JOIN nn a ON a.id = s.nid
-         |)
-         |SELECT qid, nid, round(sim, 6) AS sim, CAST(rn AS INT) AS rnk FROM (
-         |  SELECT qid, nid, sim,
-         |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
-         |  FROM re
-         |) WHERE rn <= 3 ORDER BY qid, rnk""".stripMargin,
+    "q_ann_binary_asym" -> annBinaryAsymOracle,
+    // the persisted code table answers identically (train-free encode,
+    // exact integer scores) — same oracle
+    "q_ann_binary_asym_indexed" -> annBinaryAsymOracle,
     // the three detectors vs exact cosine truth at one refine budget
     "q_ann_binary_asym_audit" ->
       s"""WITH $binaryEncCtes, $binaryAsymCtes
