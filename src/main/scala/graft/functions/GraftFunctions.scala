@@ -73,6 +73,14 @@ object GraftFunctions {
       require(exprs.length == 3, "kmv_intersect(minA, minB, k)")
       KmvIntersectExpr(exprs.head, exprs(1), intLit(exprs(2), "k"))
     },
+    "kmv_merge" -> { exprs =>
+      require(exprs.length == 2, "kmv_merge(mins, k)")
+      KmvMergeMinima(exprs.head, intLit(exprs(1), "k"))
+    },
+    "kmv_estimate" -> { exprs =>
+      require(exprs.length == 2, "kmv_estimate(mins, k)")
+      KmvEstimateExpr(exprs.head, intLit(exprs(1), "k"))
+    },
     "hll_distinct" -> { exprs =>
       require(exprs.length == 2, "hll_distinct(x, p)")
       HllDistinct(exprs.head, intLit(exprs(1), "p"))

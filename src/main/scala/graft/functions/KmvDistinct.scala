@@ -117,6 +117,16 @@ object KmvDistinct {
     */
   def kmvIntersectEstimate(a: Column, b: Column, k: Int = 1024): Column =
     toColumn(KmvIntersectExpr(exprOf(a), exprOf(b), k))
+
+  /** Merge stored minima arrays (set-union + trim — bit-identical to
+    * the direct build over the raw union).
+    */
+  def kmvMergeMinima(c: Column, k: Int = 1024): Column =
+    toColumn(KmvMergeMinima(exprOf(c), k).toAggregateExpression())
+
+  /** Distinct-count readout of one stored minima array. */
+  def kmvEstimate(c: Column, k: Int = 1024): Column =
+    toColumn(KmvEstimateExpr(exprOf(c), k))
 }
 
 /** [[KmvDistinct]]'s accumulation with the MINIMA as the result
@@ -184,6 +194,114 @@ case class KmvMinima(
   override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
     copy(child = newChildren.head)
   override def prettyName: String = "kmv_minima"
+}
+
+/** Merge STORED [[KmvMinima]] arrays back into one synopsis — the
+  * rollup aggregate: set-union the hashes, trim to the k smallest.
+  * The k smallest of a union of k-min sets IS the k-min of the union
+  * multiset, so the rollup is BIT-IDENTICAL to the direct build over
+  * the raw union (pure function of the input multiset — the same
+  * confluence discipline as [[HllMerge]]/`KllMerge`).
+  */
+case class KmvMergeMinima(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[Long]] {
+
+  require(k >= 2, "k must be >= 2")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def createAggregationBuffer(): java.util.TreeSet[Long] =
+    new java.util.TreeSet[Long](java.lang.Long.compareUnsigned(_, _))
+
+  override def update(buf: java.util.TreeSet[Long], input: InternalRow): java.util.TreeSet[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        .toLongArray()
+      require(arr.length <= k,
+        s"stored minima array has ${arr.length} hashes, merge expects k<=$k " +
+          "(synopses built at a larger capacity do not mix down)")
+      arr.foreach(buf.add)
+      while (buf.size > k) buf.pollLast()
+    }
+    buf
+  }
+
+  override def merge(buf: java.util.TreeSet[Long], other: java.util.TreeSet[Long]): java.util.TreeSet[Long] = {
+    buf.addAll(other)
+    while (buf.size > k) buf.pollLast()
+    buf
+  }
+
+  override def eval(buf: java.util.TreeSet[Long]): Any = {
+    val out = new Array[Long](buf.size)
+    var i = 0
+    val it = buf.iterator()
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  override def serialize(buf: java.util.TreeSet[Long]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 8)
+    bb.putInt(buf.size)
+    buf.forEach(h => bb.putLong(h))
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[Long] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    (0 until n).foreach(_ => buf.add(bb.getLong))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvMergeMinima =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvMergeMinima =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): Expression =
+    copy(child = newChildren.head)
+  override def prettyName: String = "kmv_merge_minima"
+}
+
+/** Row-local distinct-count readout of one stored minima array —
+  * `KmvDistinct.eval`'s exact arithmetic (size when under capacity,
+  * else `round((k−1)/u(kth))`).
+  */
+case class KmvEstimateExpr(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(k >= 2, "k must be >= 2")
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toLongArray()
+    require(arr.length <= k,
+      s"minima array has ${arr.length} hashes, estimator expects k<=$k")
+    val est =
+      if (arr.length < k) arr.length.toLong
+      else {
+        // the canonical layout is unsigned-ascending; last = kth
+        val kth = arr(arr.length - 1)
+        val u = (kth >>> 11).toDouble / (1L << 53).toDouble
+        math.round((k - 1) / math.max(u, Double.MinPositiveValue))
+      }
+    java.lang.Long.valueOf(est)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+  override def prettyName: String = "kmv_estimate"
 }
 
 /** Row-local intersection estimate over two stored minima arrays — see

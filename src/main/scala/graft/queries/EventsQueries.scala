@@ -161,6 +161,40 @@ object EventsQueries {
         .orderBy(col("w_start"))
     }),
 
+    // The KMV synopsis on a STREAM — the fourth sketch family's
+    // windowed-ingest gate (HLL/CMS/KLL each have one): per-window
+    // minima arrays drain in APPEND mode (watermark-sealed windows
+    // only), estimates read from the drained table alone. Union+trim
+    // state is a pure function of the window's multiset, so the drain
+    // is micro-batching-independent by construction.
+    "q_stream_kmv_window" -> ((s, dir) => {
+      import graft.functions.KmvDistinct
+      val u = java.util.UUID.randomUUID().toString.replace("-", "")
+      val sink = s"/tmp/graft_kmvstrm_$u/t"
+      val ckpt = s"/tmp/graft_kmvstrmck_$u"
+      val q = s.readStream.format("log").option("path", s"$dir/events.parquet")
+        .option("maxOffsetsPerTrigger", "40000").load()
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "21600 seconds"))
+        .agg(KmvDistinct.kmvMinima(col("user_id"), k = 128).as("mins"),
+          count(lit(1)).as("n_events"))
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("mins"), col("n_events"))
+        .writeStream.format("kv").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.format("kv").option("path", sink).load()
+        .select(col("w_start"),
+          graft.functions.KmvDistinct.kmvEstimate(col("mins"), k = 128)
+            .as("kmv_users"),
+          col("n_events"))
+        .orderBy(col("w_start"))
+    }),
+
     // Streaming SKETCH-TABLE ingest for the frequency family (the
     // q_stream_hll_window discipline on counters): per-window CMS
     // counter blobs land in a kv table as the stream drains (append
@@ -688,6 +722,9 @@ object EventsQueries {
 
     // the append-mode emission rule + the per-window chain + rank rule
     "q_stream_kll_window" -> SketchOracleSql.streamKllWindowOracle,
+
+    // sealed windows + the per-window k-min chain + counts
+    "q_stream_kmv_window" -> SketchOracleSql.streamKmvWindowOracle,
 
     // sessionization (lag/cumsum), integer features, EXISTS label over
     // the strictly-after 10-minute window — the full chain replayed

@@ -1407,6 +1407,38 @@ object PipelineQueries {
         .orderBy(col("source_a"), col("source_b"))
     }),
 
+    // PERSISTED KMV minima table + rollup — the q_corpus_hll_merge
+    // discipline on the KMV synopsis: per-(type, 6h window) minima
+    // land ONCE as a kv table; any coarser distinct count is answered
+    // from sketch rows alone via kmv_merge (set-union + trim — the k
+    // smallest of a union of k-min sets IS the union's k-min, so the
+    // rollup is BIT-IDENTICAL to the direct build). The oracle replays
+    // ONE chain and pins both the merged and the direct column.
+    "q_corpus_kmv_merge" -> ((s, dir) => {
+      import graft.functions.KmvDistinct
+      val sk = s"/tmp/graft_kmvmg${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(sk)
+      val ev = Tables.load(s, dir, "events")
+      ev.groupBy(col("event_type"), window(col("ts"), "21600 seconds"))
+        .agg(KmvDistinct.kmvMinima(col("user_id"), k = 128).as("mins"))
+        .select(col("event_type"),
+          unix_timestamp(col("window.start")).as("w_start"), col("mins"))
+        .write.format("kv").option("path", sk).mode("overwrite").save()
+      val merged = s.read.format("kv").option("path", sk).load()
+        .groupBy(col("event_type"))
+        .agg(KmvDistinct.kmvMergeMinima(col("mins"), k = 128).as("mins"))
+        .select(col("event_type"),
+          KmvDistinct.kmvEstimate(col("mins"), k = 128).as("kmv_ndv"))
+      val direct = ev.groupBy(col("event_type"))
+        .agg(KmvDistinct.kmvDistinct(col("user_id"), k = 128)
+          .as("kmv_direct"),
+          countDistinct(col("user_id")).as("exact_ndv"))
+      merged.join(direct, "event_type")
+        .select(col("event_type"), col("kmv_ndv"), col("kmv_direct"),
+          col("exact_ndv"))
+        .orderBy(col("event_type"))
+    }),
+
     // The KMV route to the same overlap question — DIRECT intersection
     // estimation instead of HLL's differenced inclusion–exclusion: the
     // k smallest hashes of minA ∪ minB are exactly A∪B's synopsis, and

@@ -2007,6 +2007,76 @@ object SketchOracleSql {
        |FROM hmout o JOIN hmex USING (grp)
        |ORDER BY event_type""".stripMargin
 
+  /** The KMV estimate replayed over an arbitrary `(grp, v BIGINT)`
+    * SELECT — distinct splitmix hashes in unsigned order, the k
+    * smallest, then `KmvDistinct.eval`'s exact arithmetic: the size
+    * when under capacity, else `floor((k−1)/u(kth) + 0.5)` with the
+    * `>>>11 / 2^53` normalization. Ends in `{px}out (grp, kmv_ndv)`.
+    */
+  private[queries] def kmvChainSql(px: String, inner: String,
+      k: Int): String =
+    s"""${px}hh AS MATERIALIZED (
+       |  SELECT DISTINCT grp, h FROM (${smCols(inner, ux("v"), "h", s"${px}l")})
+       |), ${px}rk AS (
+       |  SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h) AS rn
+       |  FROM ${px}hh
+       |), ${px}out AS (
+       |  SELECT grp,
+       |    CASE WHEN count(*) < $k THEN count(*)::BIGINT
+       |    ELSE CAST(floor(${k - 1}.0 / greatest(
+       |      (max(CASE WHEN rn = $k THEN h END) // 2048)::DOUBLE
+       |        / 9007199254740992.0,
+       |      4.9e-324) + 0.5) AS BIGINT) END AS kmv_ndv
+       |  FROM ${px}rk WHERE rn <= $k GROUP BY grp
+       |)""".stripMargin
+
+  /** q_corpus_kmv_merge: the persisted minima rollup equals the direct
+    * chain bit for bit (k-min of a union of k-min sets = k-min of the
+    * union), so one replayed chain pins both columns.
+    */
+  def corpusKmvMergeOracle: String =
+    s"""WITH ${kmvChainSql("km2",
+          "SELECT event_type AS grp, user_id AS v FROM events WHERE user_id IS NOT NULL",
+          128)},
+       |km2ex AS (
+       |  SELECT event_type AS grp, count(DISTINCT user_id)::BIGINT AS exact_ndv
+       |  FROM events GROUP BY event_type
+       |)
+       |SELECT e.grp AS event_type,
+       |  coalesce(o.kmv_ndv, 0)::BIGINT AS kmv_ndv,
+       |  coalesce(o.kmv_ndv, 0)::BIGINT AS kmv_direct,
+       |  e.exact_ndv
+       |FROM km2ex e LEFT JOIN km2out o USING (grp)
+       |ORDER BY event_type""".stripMargin
+
+  /** q_stream_kmv_window: the sealed-window emission rule + the
+    * per-window KMV chain + per-window counts.
+    */
+  def streamKmvWindowOracle: String = {
+    val sealedBase =
+      """SELECT (epoch_us(date_trunc('microseconds', ts)) // 21600000000) * 21600 AS grp,
+        |  user_id AS v
+        |FROM events,
+        |  (SELECT (epoch_ms(max(ts)) - 600000) * 1000 AS wm_us FROM events) wm
+        |WHERE user_id IS NOT NULL
+        |  AND ((epoch_us(date_trunc('microseconds', ts)) // 21600000000)
+        |    * 21600 + 21600) * 1000000 <= wm.wm_us""".stripMargin
+    s"""WITH ${kmvChainSql("ks2", sealedBase, 128)},
+       |ks2cnt AS (
+       |  SELECT (epoch_us(date_trunc('microseconds', ts)) // 21600000000) * 21600 AS grp,
+       |    count(*)::BIGINT AS n_events
+       |  FROM events,
+       |    (SELECT (epoch_ms(max(ts)) - 600000) * 1000 AS wm_us FROM events) wm
+       |  WHERE ((epoch_us(date_trunc('microseconds', ts)) // 21600000000)
+       |    * 21600 + 21600) * 1000000 <= wm.wm_us
+       |  GROUP BY 1
+       |)
+       |SELECT c.grp AS w_start,
+       |  coalesce(o.kmv_ndv, 0)::BIGINT AS kmv_users, c.n_events
+       |FROM ks2cnt c LEFT JOIN ks2out o USING (grp)
+       |ORDER BY w_start""".stripMargin
+  }
+
   /** q_corpus_hll_overlap: inclusion–exclusion over replayed register
     * chains — per-type estimates from the shared p=8 chain, pair-union
     * estimates from the SAME chain over the pair's multiset union
@@ -4619,6 +4689,7 @@ object SketchOracleSql {
     "q_corpus_hll_merge" -> corpusHllMergeOracle,
     "q_corpus_hll_overlap" -> corpusHllOverlapOracle,
     "q_corpus_kmv_overlap" -> corpusKmvOverlapOracle,
+    "q_corpus_kmv_merge" -> corpusKmvMergeOracle,
     "q_ann_binary_ivf" -> annBinaryIvfOracle,
     "q_ann_binary_ivf_audit" -> annBinaryIvfAuditOracle,
     "q_ann_binary_asym_ivf" -> annBinaryAsymIvfOracle,

@@ -62,6 +62,30 @@ class KmvIntersectSpec extends SparkSpec {
     }
   }
 
+  test("stored minima roll up bit-identically to the direct build; estimate matches") {
+    val vals = (1L to 2000L)
+    val direct = vals.toDF("v")
+      .agg(KmvDistinct.kmvMinima(col("v"), k).as("m"))
+      .collect().head.getSeq[Long](0)
+    val rolled = vals.zipWithIndex.map { case (v, i) => (i % 7, v) }
+      .toDF("fine", "v")
+      .groupBy("fine").agg(KmvDistinct.kmvMinima(col("v"), k).as("m"))
+      .agg(KmvDistinct.kmvMergeMinima(col("m"), k).as("m"))
+      .collect().head.getSeq[Long](0)
+    assert(rolled == direct, "merged rollup diverged from the direct minima")
+    // the row-local estimate readout equals the aggregate estimator
+    val est = Seq(Tuple1(direct)).toDF("m")
+      .select(KmvDistinct.kmvEstimate(col("m"), k)).collect().head.getLong(0)
+    val agg = vals.toDF("v")
+      .agg(KmvDistinct.kmvDistinct(col("v"), k)).collect().head.getLong(0)
+    assert(est == agg, "kmv_estimate readout diverged from kmv_distinct")
+    // under capacity both are exact
+    val small = (1L to 50L).toDF("v")
+      .agg(KmvDistinct.kmvMinima(col("v"), k).as("m"))
+      .select(KmvDistinct.kmvEstimate(col("m"), k)).collect().head.getLong(0)
+    assert(small == 50L)
+  }
+
   test("kmv_minima/kmv_intersect are SQL-addressable and match the Column API") {
     (1L to 300L).toDF("v").createOrReplaceTempView("kmv_sql_a")
     (151L to 450L).toDF("v").createOrReplaceTempView("kmv_sql_b")
