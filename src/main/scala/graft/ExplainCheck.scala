@@ -313,6 +313,43 @@ object ExplainCheck {
           l.contains("ObjectHashAggregate") && l.contains("partial")) +
         " (want >=1 — the sketch combines map-side)")
     }
+
+    // round-14: the overlap ESTIMATE path must derive from the
+    // persisted sketch table alone — zero raw-corpus (documents
+    // parquet) scans; the raw corpus is touched only by the gate's
+    // exact ride-along pin. The pair frame is a broadcast of the tiny
+    // stored-sketch table.
+    {
+      import graft.functions.{HllDistinct, HllMerge}
+      val sk = java.nio.file.Files.createTempDirectory("explainov")
+        .toString + "/sk"
+      val grams = spark.read.parquet(s"$dir/documents.parquet")
+        .where(col("source").isin((0 to 5).map(i => s"src$i"): _*))
+        .select(col("source"),
+          filter(split(trim(col("text")), "\\s+"), t => t =!= "").as("ts"))
+        .select(col("source"), explode(when(size(col("ts")) >= 2,
+          transform(sequence(lit(1), size(col("ts")) - 1),
+            i => concat(element_at(col("ts"), i), lit(" "),
+              element_at(col("ts"), i + 1))))
+          .otherwise(array().cast("array<string>"))).as("gram"))
+      grams.groupBy(col("source"))
+        .agg(HllDistinct.hllRegisters(col("gram"), p = 8).as("regs"))
+        .write.format("kv").option("path", sk).mode("overwrite").save()
+      val skdf = spark.read.format("kv").option("path", sk).load()
+      val est = skdf.select(col("source").as("source_a"),
+          col("regs").as("ra"))
+        .join(broadcast(skdf.select(col("source").as("source_b"),
+          col("regs").as("rb"))), col("source_a") < col("source_b"))
+        .select(col("source_a"), col("source_b"),
+          HllMerge.hllEstimate(HllMerge.hllUnion(col("ra"), col("rb")), 8)
+            .as("hll_union"))
+      val oplan = finalPlanString(est)
+      println("=== hll overlap estimate path === raw-corpus parquet scans: " +
+        oplan.linesIterator.count(l => l.contains("documents.parquet")) +
+        " (want 0 — sketch rows only); broadcasts: " +
+        oplan.linesIterator.count(_.contains("BroadcastExchange")) +
+        " (want >=1, the stored-sketch pair frame)")
+    }
     spark.stop()
   }
 }
