@@ -43,7 +43,8 @@ object ExplainCheck {
         "q_ann_graph_hier", "q_ann_graph_prune_cross",
         "q_ann_lsh_multiprobe", "q_ann_lsh_multiprobe2", "q_ann_pca2",
         "q_ann_pca3", "q_ann_ivfpq_residual", "q_ann_ivf_cosine",
-        "q_ann_binary", "q_ann_binary_ivf")) {
+        "q_ann_binary", "q_ann_binary_ivf",
+        "q_ann_filtered", "q_ann_filtered_ivf", "q_ann_filtered_post")) {
       val plan = SparkEntry.queries(q)(spark, dir).queryExecution.optimizedPlan
       val windows = plan.collect {
         case w: org.apache.spark.sql.catalyst.plans.logical.Window

@@ -1710,6 +1710,282 @@ object SimilaritySearch {
       k)
   }
 
+  /** (id, e, nrm, attr) — [[prep]] with the filter attribute projected
+    * through, for the attribute-constrained search family.
+    */
+  private def prepAttr(df: DataFrame, vecCol: String, idCol: String,
+      attrCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      transform(col(vecCol), x => x.cast("double")).as("e"),
+      col(attrCol).cast("long").as("attr"))
+      .withColumn("nrm", norm(col("e")))
+
+  /** Attribute-filtered exact k-NN — the PRE-FILTER strategy of filtered
+    * vector search: each query retrieves the k most cosine-similar
+    * corpus vectors whose `attrCol` EQUALS the query's own `attrCol`
+    * (the per-query metadata constraint every production vector store
+    * exposes: tenant id, language, license class, source shard).
+    *
+    * Pre-filter is the exact-recall strategy: the predicate restricts
+    * the candidate set BEFORE any scoring, so the result is the true
+    * constrained top-k by construction. Scale shape: the attribute is a
+    * JOIN KEY — the broadcast hash join on `attr` means a corpus row is
+    * dot-producted only against queries that share its attribute; the
+    * corpus never shuffles, and with a literal (single-tenant)
+    * constraint the same plan degenerates to a pushed scan filter. Cost
+    * is selectivity·|corpus| dot products per query — exactness paid
+    * for with a scan of the matching stratum, which is why the IVF
+    * variants below exist.
+    */
+  def filteredKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, attrCol: String, k: Int): DataFrame = {
+    val c = prepAttr(corpus, vecCol, idCol, attrCol)
+      .select(col("id").as("nid"), col("e").as("ne"), col("nrm").as("nn"),
+        col("attr"))
+    val q = prepAttr(queries, vecCol, idCol, attrCol)
+      .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+        col("attr"))
+    topKPerQuery(
+      broadcast(q).join(c, Seq("attr"))
+        .where(col("qid") =!= col("nid"))
+        .select(col("qid"), col("nid"),
+          (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim")),
+      k)
+  }
+
+  /** Attribute-filtered IVF search, predicate pushed INSIDE the probed
+    * cells — the single-index filtered-serving layout: ONE coarse
+    * quantizer is trained on the full corpus (filters arrive at query
+    * time; re-indexing per predicate is not an option at 100 TB), each
+    * query probes its `nProbe` nearest cells, and the attribute
+    * constraint is applied to the probed cells' rows BEFORE exact
+    * scoring. Recall loss vs [[filteredKnn]] is cell routing only —
+    * identical to unfiltered IVF's loss — while cost drops to
+    * selectivity·(nProbe/nCells)·|corpus| dot products per query. The
+    * alternative post-filter strategy ([[ivfPostFilterKnn]]) is kept
+    * for the audit to price: under a selective predicate it starves.
+    */
+  def ivfFilteredKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, attrCol: String, k: Int,
+      nCells: Int = 16, nProbe: Int = 4, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384): DataFrame =
+    topKPerQuery(
+      ivfFilteredCandidates(corpus, queries, vecCol, idCol, attrCol,
+        nCells, nProbe, iterations, maxTrainPerCell)
+        .where(col("attr") === col("qattr"))
+        .select(col("qid"), col("nid"),
+          (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim")),
+      k)
+
+  /** Attribute-filtered IVF search, POST-FILTER with oversampling — the
+    * strategy a store whose index stores no attributes is forced into:
+    * retrieve the k·`oversample` nearest candidates IGNORING the
+    * predicate, then keep the matching ones and re-rank to k. Bounded
+    * cost (the shortlist is k·oversample rows per query) but recall
+    * starves as predicate selectivity drops below 1/oversample — the
+    * failure mode [[filteredRecallAudit]] measures. The shortlist heap
+    * is the same bounded aggregate as every other tier; the re-rank
+    * after the filter touches k·oversample rows per query only.
+    */
+  def ivfPostFilterKnn(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, attrCol: String, k: Int,
+      oversample: Int,
+      nCells: Int = 16, nProbe: Int = 4, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384): DataFrame = {
+    val shortlist = topKPerQuery(
+      ivfFilteredCandidates(corpus, queries, vecCol, idCol, attrCol,
+        nCells, nProbe, iterations, maxTrainPerCell)
+        .select(col("qid"), col("nid"),
+          (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim")),
+      k * oversample)
+    // the post-filter index stores NO attributes — the predicate is
+    // resolved against the metadata table AFTER retrieval, which is the
+    // whole strategy: the |Q|·k·oversample shortlist broadcasts against
+    // the corpus attribute column (corpus never shuffles). Re-ranking
+    // the survivors on (rounded sim desc, nid asc) preserves the
+    // shortlist order exactly (6dp rounding is monotone and the heap's
+    // own tiebreak is nid asc), so rnk 1..k is the shortlist order,
+    // filtered and renumbered.
+    val cAttr = corpus.select(col(idCol).as("nid"),
+      col(attrCol).cast("long").as("attr"))
+    val qAttr = queries.select(col(idCol).as("qid"),
+      col(attrCol).cast("long").as("qattr"))
+    topKPerQuery(
+      broadcast(shortlist).join(cAttr, Seq("nid"))
+        .join(broadcast(qAttr), Seq("qid"))
+        .where(col("attr") === col("qattr"))
+        .select(col("qid"), col("nid"), col("sim")),
+      k)
+  }
+
+  /** Shared candidate stage of the filtered-IVF strategies: full-corpus
+    * coarse training ([[trainCentroids]], deterministic), per-query
+    * `nProbe` nearest cells, probed cells' rows joined back with BOTH
+    * attributes projected through — (qid, qe, qn, qattr, nid, ne, nn,
+    * attr). Post-filter scores all of it; in-cell filter prunes on
+    * `attr === qattr` first.
+    */
+  private def ivfFilteredCandidates(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, attrCol: String,
+      nCells: Int, nProbe: Int, iterations: Int,
+      maxTrainPerCell: Int): DataFrame = {
+    val cents = trainCentroids(corpus, vecCol, idCol, nCells, iterations,
+      maxTrainPerCell)
+    val assigned = assignCells(prep(corpus, vecCol, idCol), cents)
+      .join(corpus.select(col(idCol).as("id"),
+        col(attrCol).cast("long").as("attr")), "id")
+      .select(col("cell"), col("id").as("nid"), col("e").as("ne"),
+        col("nrm").as("nn"), col("attr"))
+    val qPrepped = prepAttr(queries, vecCol, idCol, attrCol)
+    val probes = qPrepped.crossJoin(broadcast(cents))
+      .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("id"))
+      .agg(slice(sort_array(collect_list(struct(col("d2"), col("cell")))), 1, nProbe).as("cells"),
+        first(col("e")).as("e"), first(col("nrm")).as("nrm"),
+        first(col("attr")).as("qattr"))
+      .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+        col("qattr"), explode(col("cells.cell")).as("cell"))
+    broadcast(probes).join(assigned, Seq("cell"))
+      .where(col("qid") =!= col("nid"))
+  }
+
+  /** Persisted filtered-IVF index: [[buildIvfIndex]] with the filter
+    * attribute stored IN the cells table — the "attributes belong in the
+    * index" layout the audit argues for. Centroids, knobs (normalize
+    * flag, same contract as every trained tier) and an attr-carrying
+    * cells table; search never touches the source corpus.
+    */
+  def buildFilteredIvfIndex(
+      corpus: DataFrame, vecCol: String, idCol: String, attrCol: String,
+      path: String, nCells: Int = 16, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384, normalize: Boolean = false): Unit = {
+    val base = if (normalize) unitNormed(corpus, vecCol, idCol) else corpus
+    val cents = trainCentroids(base, vecCol, idCol, nCells, iterations, maxTrainPerCell)
+    cents.write.format("kv").option("path", s"$path/centroids")
+      .mode("overwrite").save()
+    assignCells(prep(base, vecCol, idCol), cents)
+      .join(corpus.select(col(idCol).as("id"),
+        col(attrCol).cast("long").as("attr")), "id")
+      .select(col("cell"), col("id").as("nid"), col("e").as("ne"),
+        col("nrm").as("nn"), col("attr"))
+      .write.format("kv").option("path", s"$path/cells")
+      .mode("overwrite").save()
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    Seq(Tuple1(if (normalize) 1L else 0L)).toDF("normalize")
+      .write.format("kv").option("path", s"$path/knobs")
+      .mode("overwrite").save()
+  }
+
+  /** Incremental maintenance of a filtered index: new vectors assign
+    * against the STORED centroids (no retraining — the [[ivfIndexAppend]]
+    * contract) with their attribute riding the appended rows, so a
+    * filtered search sees them immediately. Batching-independent by
+    * construction: assignment and the attr join are row-local given the
+    * fixed centroids.
+    */
+  def filteredIndexAppend(
+      newVecs: DataFrame, vecCol: String, idCol: String, attrCol: String,
+      path: String): Unit = {
+    val spark = newVecs.sparkSession
+    val base =
+      if (readNormalizeKnob(spark, path)) unitNormed(newVecs, vecCol, idCol)
+      else newVecs
+    val cents = spark.read.format("kv").option("path", s"$path/centroids").load()
+    assignCells(prep(base, vecCol, idCol), cents)
+      .join(newVecs.select(col(idCol).as("id"),
+        col(attrCol).cast("long").as("attr")), "id")
+      .select(col("cell"), col("id").as("nid"), col("e").as("ne"),
+        col("nrm").as("nn"), col("attr"))
+      .write.format("kv").option("path", s"$path/cells").mode("append").save()
+  }
+
+  /** Filtered search against a persisted attr-carrying index — the
+    * in-cell predicate pushdown of [[ivfFilteredKnn]], reading only the
+    * centroid table and the probed cells' rows; the attribute comparison
+    * happens on the stored `attr` column BEFORE any dot product, so a
+    * probed cell costs selectivity·|cell| similarity evaluations.
+    */
+  def ivfFilteredKnnIndexed(
+      queries: DataFrame, vecCol: String, idCol: String, attrCol: String,
+      path: String, k: Int, nProbe: Int = 4): DataFrame = {
+    val spark = queries.sparkSession
+    val qBase =
+      if (readNormalizeKnob(spark, path))
+        queries.select(col(idCol), unitNorm(col(vecCol)).as(vecCol), col(attrCol))
+      else queries
+    val cents = spark.read.format("kv").option("path", s"$path/centroids").load()
+    val assigned = spark.read.format("kv").option("path", s"$path/cells").load()
+      .select(col("cell"), col("nid"), col("ne"), col("nn"), col("attr"))
+    val qPrepped = prepAttr(qBase, vecCol, idCol, attrCol)
+    val probes = qPrepped.crossJoin(broadcast(cents))
+      .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
+        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+      .groupBy(col("id"))
+      .agg(slice(sort_array(collect_list(struct(col("d2"), col("cell")))), 1, nProbe).as("cells"),
+        first(col("e")).as("e"), first(col("nrm")).as("nrm"),
+        first(col("attr")).as("qattr"))
+      .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
+        col("qattr"), explode(col("cells.cell")).as("cell"))
+    // (qid, nid) dedup for the same retried-append reason as
+    // [[ivfKnnIndexed]]: a crash-replayed filteredIndexAppend must not
+    // seat one neighbor in two heap slots
+    topKPerQuery(
+      broadcast(probes).join(assigned, Seq("cell"))
+        .where(col("qid") =!= col("nid") && col("attr") === col("qattr"))
+        .select(col("qid"), col("nid"),
+          (dot(col("qe"), col("ne")) / (col("qn") * col("nn"))).as("sim"))
+        .dropDuplicates("qid", "nid"),
+      k)
+  }
+
+  /** The filtered-search price sheet, measured: recall of each strategy
+    * against the exact pre-filter truth ([[filteredKnn]]) on the same
+    * corpus/queries — one row per strategy: the in-cell predicate
+    * pushdown, then post-filter at each requested oversample. The
+    * standard result this audit exists to pin: in-cell filtering holds
+    * unfiltered-IVF recall at any selectivity, while post-filter decays
+    * once selectivity < 1/oversample — the reason attributes belong IN
+    * the index at 100 TB, not on a shortlist afterthought.
+    */
+  def filteredRecallAudit(
+      corpus: DataFrame, queries: DataFrame,
+      vecCol: String, idCol: String, attrCol: String, k: Int,
+      oversamples: Seq[Int],
+      nCells: Int = 16, nProbe: Int = 4, iterations: Int = 2,
+      maxTrainPerCell: Int = 16384): DataFrame = {
+    val spark = corpus.sparkSession
+    val exact = filteredKnn(corpus, queries, vecCol, idCol, attrCol, k)
+      .select(col("qid"), col("nid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val nQueries = exact.select(col("qid")).distinct().count()
+      def milli(h: Long): Long =
+        if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
+      def row(strategy: String, ann: DataFrame): DataFrame = {
+        val h = ann.select(col("qid"), col("nid"))
+          .join(exact, Seq("qid", "nid"), "left_semi").count()
+        spark.range(1).select(
+          lit(strategy).as("strategy"), lit(nQueries).as("n_queries"),
+          lit(k).as("k"), lit(h).as("n_hits"), lit(milli(h)).as("recall_milli"))
+      }
+      val incell = row("incell",
+        ivfFilteredKnn(corpus, queries, vecCol, idCol, attrCol, k,
+          nCells, nProbe, iterations, maxTrainPerCell))
+      val posts = oversamples.map { ov =>
+        row(f"post_ov$ov%02d",
+          ivfPostFilterKnn(corpus, queries, vecCol, idCol, attrCol, k, ov,
+            nCells, nProbe, iterations, maxTrainPerCell))
+      }
+      posts.foldLeft(incell)(_.unionAll(_)).orderBy(col("strategy"))
+    } finally { exact.unpersist(); () }
+  }
+
   /** Measured recall audit of the IVF tier vs exact brute force — the
     * `q_dedup_lsh_audit` discipline applied to ANN: run BOTH detectors
     * end to end over the same corpus/queries and report one row

@@ -460,6 +460,65 @@ object PipelineQueries {
         "embedding", "vec_id", k = 3, nCells = 8, nProbe = 3, maxTrainPerCell = 32)
     }),
 
+    // Filtered search, exact pre-filter baseline: each query retrieves
+    // within its own label stratum (~10% selectivity on this corpus) —
+    // the metadata-constrained serving query every vector store fields.
+    "q_ann_filtered" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.filteredKnn(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", "label", k = 3)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // Filtered IVF, predicate pushed inside the probed cells: ONE index
+    // trained on the full corpus (filters arrive at query time), the
+    // label constraint applied to probed rows before exact scoring.
+    "q_ann_filtered_ivf" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.ivfFilteredKnn(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", "label", k = 3,
+        nCells = 8, nProbe = 3, maxTrainPerCell = 32)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // Filtered IVF, post-filter with 4× oversampling: the attribute-less
+    // index strategy — shortlist k·4 ignoring the predicate, filter via
+    // the metadata table, re-rank. Starves at 10% selectivity; the
+    // audit below prices exactly how much.
+    "q_ann_filtered_post" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.ivfPostFilterKnn(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", "label", k = 3, oversample = 4,
+        nCells = 8, nProbe = 3, maxTrainPerCell = 32)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // Persisted filtered index: the label column stored IN the cells
+    // table (buildFilteredIvfIndex), search reads centroids + probed
+    // cells only — bit-identical to the in-memory in-cell strategy
+    // (shared oracle), the persisted-parity discipline of every tier.
+    "q_ann_filtered_indexed" -> ((s, dir) => {
+      val idx = s"/tmp/graft_fvidx${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(idx)
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.buildFilteredIvfIndex(emb, "embedding", "vec_id",
+        "label", idx, nCells = 8, maxTrainPerCell = 32)
+      SimilaritySearch.ivfFilteredKnnIndexed(emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", "label", idx, k = 3, nProbe = 3)
+        .orderBy(col("qid"), col("rnk"))
+    }),
+
+    // The filtered-search price sheet, measured against the exact
+    // pre-filter truth: in-cell pushdown holds IVF routing recall at any
+    // selectivity; post-filter decays once selectivity < 1/oversample —
+    // the reason attributes belong IN the index at 100 TB.
+    "q_ann_filtered_audit" -> ((s, dir) => {
+      val emb = Tables.load(s, dir, "embeddings")
+      SimilaritySearch.filteredRecallAudit(emb, emb.filter(col("vec_id") < 5),
+        "embedding", "vec_id", "label", k = 3, oversamples = Seq(2, 8, 16),
+        nCells = 8, nProbe = 3, maxTrainPerCell = 32)
+    }),
+
     // OPQ tier: IVF-PQ over the deterministic Hadamard·sign rotation
     // (FAISS OPQ's rotation stage, data-free structured construction so
     // the whole chain — rotation, coarse k-means, per-subspace PQ, ADC

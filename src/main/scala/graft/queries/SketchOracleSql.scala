@@ -1860,6 +1860,135 @@ object SketchOracleSql {
        |  CAST(hits.h * 1000 // (3 * nq.n) AS BIGINT) AS recall_milli
        |FROM hits, nq""".stripMargin
 
+  /** Shared replay chain of the filtered-ANN family: ONE full-corpus IVF
+    * training pass (kmChain — filters arrive at query time, so the index
+    * is predicate-agnostic), 3 probed cells per query (vec_id < 5), and
+    * the probed cells' candidates with BOTH attributes (query's and
+    * candidate's label) joined through. Ends in
+    * `fv_cand (qid, qattr, nid, attr, sim)` — the in-cell strategy
+    * prunes it on attr = qattr before ranking; post-filter ranks first.
+    */
+  private def annFilteredCtes: String =
+    s"""fv_prep AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e,
+       |    CAST(label AS BIGINT) AS attr,
+       |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+       |  FROM embeddings
+       |), ${kmChain("fv_", 8, 32)}, fv_probes AS (
+       |  SELECT qid, cell FROM (
+       |    SELECT q.id AS qid, c.cell,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY ${kmD2("q.e", "c.ce")}, c.cell) AS rn
+       |    FROM (SELECT id, e FROM fv_prep WHERE id < 5) q CROSS JOIN fv_cent2 c
+       |  ) WHERE rn <= 3
+       |), fv_cand AS MATERIALIZED (
+       |  SELECT p.qid, q.attr AS qattr, a.id AS nid, a.attr,
+       |    list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * a.e[i]))
+       |      / (q.nrm * a.nrm) AS sim
+       |  FROM fv_probes p
+       |  JOIN (SELECT af.id, af.e, af.cell, pr.nrm, pr.attr
+       |        FROM fv_af af JOIN fv_prep pr ON af.id = pr.id) a
+       |    ON p.cell = a.cell
+       |  JOIN fv_prep q ON p.qid = q.id
+       |  WHERE p.qid <> a.id
+       |)""".stripMargin
+
+  /** q_ann_filtered: exact pre-filter top-3 within the query's own label
+    * stratum — sim desc, nid asc, rounded at output like every ANN gate.
+    */
+  def annFilteredOracle: String =
+    s"""WITH n AS MATERIALIZED (
+       |  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS e,
+       |    CAST(label AS BIGINT) AS attr,
+       |    sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+       |  FROM embeddings
+       |), scored AS (
+       |  SELECT q.id AS qid, a.id AS nid,
+       |    list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * a.e[i]))
+       |      / (q.nrm * a.nrm) AS sim
+       |  FROM (SELECT * FROM n WHERE id < 5) q
+       |  JOIN n a ON a.attr = q.attr AND a.id <> q.id
+       |)
+       |SELECT qid, nid, round(sim, 6) AS sim, rnk FROM (
+       |  SELECT qid, nid, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk
+       |  FROM scored
+       |) WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
+  /** q_ann_filtered_ivf: the in-cell predicate pushdown — probed-cell
+    * candidates pruned on attr = qattr BEFORE ranking.
+    */
+  def annFilteredIvfOracle: String =
+    s"""WITH $annFilteredCtes
+       |SELECT qid, nid, round(sim, 6) AS sim, rnk FROM (
+       |  SELECT qid, nid, sim,
+       |    CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS INT) AS rnk
+       |  FROM fv_cand WHERE attr = qattr
+       |) WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
+  /** q_ann_filtered_post: post-filter with 4× oversampling — top-12
+    * shortlist by RAW sim (the engine's bounded heap ranks unrounded),
+    * label filter via the metadata join, then re-rank survivors on the
+    * 6dp-ROUNDED sim (the engine re-ranks the heap's rounded output;
+    * rounding is monotone so the order is the shortlist's, renumbered).
+    */
+  def annFilteredPostOracle: String =
+    s"""WITH $annFilteredCtes, fv_short AS (
+       |  SELECT qid, qattr, nid, attr, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       |  FROM fv_cand
+       |)
+       |SELECT qid, nid, sim, rnk FROM (
+       |  SELECT qid, nid, round(sim, 6) AS sim,
+       |    CAST(row_number() OVER (PARTITION BY qid
+       |      ORDER BY round(sim, 6) DESC, nid) AS INT) AS rnk
+       |  FROM fv_short WHERE rn <= 12 AND attr = qattr
+       |) WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin
+
+  /** q_ann_filtered_audit: recall of each filtered-search strategy vs
+    * the exact pre-filter truth — 'incell' plus post-filter at
+    * oversample 2/8/16, one row each.
+    */
+  def annFilteredAuditOracle: String = {
+    def postHits(ov: Int): String =
+      s"""SELECT count(*)::BIGINT AS h FROM (
+         |    SELECT qid, nid FROM (
+         |      SELECT qid, nid, row_number() OVER (PARTITION BY qid
+         |        ORDER BY round(sim, 6) DESC, nid) AS rn2
+         |      FROM fv_short WHERE rn <= ${3 * ov} AND attr = qattr
+         |    ) WHERE rn2 <= 3) p JOIN fv_truth USING (qid, nid)""".stripMargin
+    def row(label: String, hits: String): String =
+      s"""SELECT '$label' AS strategy, nq.n AS n_queries, CAST(3 AS INT) AS k,
+         |  h.h AS n_hits, CAST(h.h * 1000 // (3 * nq.n) AS BIGINT) AS recall_milli
+         |FROM ($hits) h, nq""".stripMargin
+    s"""WITH $annFilteredCtes, fv_truth AS MATERIALIZED (
+       |  SELECT qid, nid FROM (
+       |    SELECT q.id AS qid, a.id AS nid,
+       |      row_number() OVER (PARTITION BY q.id ORDER BY
+       |        list_sum(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * a.e[i]))
+       |          / (q.nrm * a.nrm) DESC, a.id) AS rn
+       |    FROM (SELECT * FROM fv_prep WHERE id < 5) q
+       |    JOIN fv_prep a ON a.attr = q.attr AND a.id <> q.id
+       |  ) WHERE rn <= 3
+       |), fv_in AS (
+       |  SELECT qid, nid FROM (
+       |    SELECT qid, nid,
+       |      row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       |    FROM fv_cand WHERE attr = qattr
+       |  ) WHERE rn <= 3
+       |), fv_short AS MATERIALIZED (
+       |  SELECT qid, qattr, nid, attr, sim,
+       |    row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rn
+       |  FROM fv_cand
+       |), nq AS (SELECT count(DISTINCT qid)::BIGINT AS n FROM fv_truth)
+       |SELECT * FROM (
+       |  ${row("incell",
+             "SELECT count(*)::BIGINT AS h FROM fv_in JOIN fv_truth USING (qid, nid)")}
+       |  UNION ALL ${row("post_ov02", postHits(2))}
+       |  UNION ALL ${row("post_ov08", postHits(8))}
+       |  UNION ALL ${row("post_ov16", postHits(16))}
+       |) ORDER BY strategy""".stripMargin
+  }
+
   /** q_corpus_stats: per-column (column, n_rows, n_nulls, approx_ndv,
     * min_str, max_str) over orders (o_totalprice projected to
     * DECIMAL(18,2) by the gate query). approx_ndv mirrors KmvDistinct:
@@ -4701,6 +4830,13 @@ object SketchOracleSql {
     "q_stream_cms_ingest" -> streamCmsIngestOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_ivf_audit" -> annIvfAuditOracle,
+    "q_ann_filtered" -> annFilteredOracle,
+    "q_ann_filtered_ivf" -> annFilteredIvfOracle,
+    // persisted attr-carrying index answers bit-identically to the
+    // in-memory in-cell strategy — same oracle
+    "q_ann_filtered_indexed" -> annFilteredIvfOracle,
+    "q_ann_filtered_post" -> annFilteredPostOracle,
+    "q_ann_filtered_audit" -> annFilteredAuditOracle,
     "q_ann_ivf_cosine" -> annIvfCosineOracle,
     "q_ann_ivf_cosine_audit" -> annIvfCosineAuditOracle,
     "q_ann_graph_cosine_audit" -> annGraphCosineAuditOracle,
