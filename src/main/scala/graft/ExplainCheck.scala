@@ -351,6 +351,27 @@ object ExplainCheck {
         oplan.linesIterator.count(_.contains("BroadcastExchange")) +
         " (want >=1, the stored-sketch pair frame)")
     }
+
+    // round-14: the heavy-hitter ENUMERATION must read the persisted
+    // synopsis (candidates + sketches) alone — zero raw-corpus scans;
+    // the rolled-up sketch reaches the candidate union as a 1-row
+    // broadcast.
+    {
+      val syn = java.nio.file.Files.createTempDirectory("explainhh")
+        .toString + "/syn"
+      val toks = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("source"), explode(
+          graft.functions.WhitespaceTokens.wsTokens(col("text"))).as("term"))
+      graft.operators.CorpusStats.buildTermSynopsis(
+        toks, "source", "term", syn, nCandidates = 24)
+      val hplan = finalPlanString(
+        graft.operators.CorpusStats.heavyHitters(spark, syn, k = 15))
+      println("=== cms heavy-hitter enumeration path === raw-corpus parquet scans: " +
+        hplan.linesIterator.count(l => l.contains("documents.parquet")) +
+        " (want 0 — synopsis rows only); broadcasts: " +
+        hplan.linesIterator.count(_.contains("BroadcastExchange")) +
+        " (want >=1, the rolled-up 1-row sketch)")
+    }
     spark.stop()
   }
 }

@@ -191,6 +191,68 @@ object CorpusStats {
         col("t.cnt_b").as("cnt_b"), col("t.kl").as("kl_micro"))
   }
 
+  /** Persisted heavy-hitter synopsis: per-group CANDIDATE tables (the
+    * exact per-group top-`nCandidates` terms — bounded-heap, so state is
+    * nCandidates rows per group per partition) alongside the per-group
+    * CMS counter sketches, in ONE corpus pass each. This is the missing
+    * half of frequency sketching: CMS alone answers point queries but
+    * cannot ENUMERATE the heavy hitters; a bounded candidate table per
+    * group restores enumeration with the SpaceSaving-union guarantee —
+    * any term whose corpus count exceeds the sum of the groups' n-th
+    * candidate counts appears in some group's top-n, hence in the union
+    * ([[heavyHitters]] reads sketch+candidate rows alone, never the
+    * corpus).
+    */
+  def buildTermSynopsis(
+      terms: DataFrame, groupCol: String, termCol: String, path: String,
+      nCandidates: Int = 64, depth: Int = 4, width: Int = 256): Unit = {
+    val t = terms.select(col(groupCol).as("grp"), col(termCol).as("term"))
+    t.groupBy(col("grp"))
+      .agg(graft.functions.CmsSketch.cms(col("term"), depth, width).as("sk"))
+      .write.format("kv").option("path", s"$path/sketches")
+      .mode("overwrite").save()
+    t.groupBy(col("grp"), col("term")).agg(count(lit(1)).as("n"))
+      .groupBy(col("grp"))
+      .agg(graft.functions.BoundedTopK.topK(
+        struct(col("n").cast("double").as("s"), col("term"), col("n")),
+        nCandidates).as("top"))
+      .select(col("grp"), explode(col("top")).as("t"))
+      .select(col("grp"), col("t.term").as("term"), col("t.n").as("n"))
+      .write.format("kv").option("path", s"$path/cands")
+      .mode("overwrite").save()
+  }
+
+  /** Corpus-wide top-`k` heavy hitters from a [[buildTermSynopsis]]
+    * synopsis ALONE — candidates union (≤ groups·nCandidates rows),
+    * per-group sketches rolled up with the exact counter add, each
+    * candidate scored by the min-of-depth estimate, top-k by
+    * (estimate desc, term asc). CMS never under-counts, so a true heavy
+    * hitter can only rank HIGHER than its exact count warrants — the
+    * readout misses one only if it fell outside every group's candidate
+    * table (the bound documented on the builder). At 100 TB the corpus
+    * is touched zero times: the dashboards re-rank from kv rows.
+    */
+  def heavyHitters(
+      spark: org.apache.spark.sql.SparkSession, path: String, k: Int,
+      depth: Int = 4, width: Int = 256): DataFrame = {
+    import graft.functions.{CmsSketch, Sketches}
+    val cands = spark.read.format("kv").option("path", s"$path/cands").load()
+      .select(col("term")).distinct()
+    val merged = spark.read.format("kv").option("path", s"$path/sketches").load()
+      .agg(CmsSketch.cmsMerge(col("sk"), depth, width).as("sk"))
+    cands.crossJoin(broadcast(merged))
+      .select(col("term"),
+        CmsSketch.cmsEstimate(col("sk"),
+          Sketches.stringHash64(col("term"), 0x9747b28cL),
+          depth, width).as("cms_n"))
+      .agg(graft.functions.BoundedTopK.topK(
+        struct(col("cms_n").cast("double").as("s"), col("term"),
+          col("cms_n")), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("t.term").as("term"), col("t.cms_n").as("cms_n"),
+        (col("pos") + 1).cast("int").as("rnk"))
+  }
+
   /** Truncated-Poisson(1) inverse-CDF thresholds on the 53-bit hash
     * lattice: t_k = ⌊P(X ≤ k)·2⁵³⌋ for k = 0..7 (P(X > 7) < 1e-7 —
     * the truncation is part of the deterministic contract). A draw's

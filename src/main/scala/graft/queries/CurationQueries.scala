@@ -267,6 +267,26 @@ object CurationQueries {
     // their element-wise SUM — associative exact integers, so the
     // rollup is BIT-IDENTICAL to the direct sketch and the gate shares
     // the direct oracle (any merge divergence fails the compare).
+    // Heavy-hitter ENUMERATION from persisted synopsis rows alone:
+    // per-source candidate tables + CMS sketches built in one pass each,
+    // then the corpus-wide top-15 re-ranked from kv rows only (candidate
+    // union → rolled-up sketch → min-of-depth estimates). Exact counts
+    // ride along to pin never-undercount: cms_n >= exact_n, every row.
+    "q_doc_cms_heavy" -> ((s, dir) => {
+      val syn = s"/tmp/graft_cmshh${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(syn)
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("source"), explode(
+          graft.functions.WhitespaceTokens.wsTokens(col("text"))).as("term"))
+      graft.operators.CorpusStats.buildTermSynopsis(
+        toks, "source", "term", syn, nCandidates = 24)
+      val hh = graft.operators.CorpusStats.heavyHitters(s, syn, k = 15)
+      val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("exact_n"))
+      exact.join(broadcast(hh), Seq("term"))
+        .select(col("term"), col("cms_n"), col("exact_n"), col("rnk"))
+        .orderBy(col("rnk"))
+    }),
+
     "q_doc_cms_merge" -> ((s, dir) => {
       import graft.functions.{CmsSketch, Sketches}
       val sk = s"/tmp/graft_cmssk${dir.replaceAll("[^a-zA-Z0-9]", "_")}"

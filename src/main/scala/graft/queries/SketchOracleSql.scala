@@ -2116,6 +2116,63 @@ object SketchOracleSql {
        |ORDER BY exact_n DESC, t.term""".stripMargin
   }
 
+  /** q_doc_cms_heavy: heavy-hitter enumeration from the persisted
+    * synopsis replayed end to end — per-source top-24 candidate tables
+    * (n desc, term asc), candidate union, corpus-wide counters (the
+    * rolled-up per-source sketches: counter add is associative, the
+    * same basis q_doc_cms_merge shares its oracle on), min-of-depth
+    * estimates, top-15 by (estimate desc, term asc), exact counts
+    * joined for the never-undercount pin.
+    */
+  def docCmsHeavyOracle: String = {
+    val depth = 4
+    val seeds = (0 until depth).map(graft.functions.CmsSketch.rowSeed)
+    val srcFreq =
+      """SELECT source, term, count(*)::BIGINT AS n FROM (
+        |  SELECT source, unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> x <> '')) AS term
+        |  FROM documents) GROUP BY source, term""".stripMargin
+    val freq = "SELECT term, sum(n)::BIGINT AS n FROM hsfreq GROUP BY term"
+    val rows = (0 until depth).map { r =>
+      s"""hcr$r AS MATERIALIZED (
+         |  SELECT term, n, (rh % 256::HUGEINT) AS b
+         |  FROM (${smCols("SELECT term, n, h FROM hcbh",
+              xor64("h", u(seeds(r))), "rh", s"h${r}x")})
+         |), hcc$r AS (
+         |  SELECT b, sum(n)::BIGINT AS c FROM hcr$r GROUP BY b
+         |)""".stripMargin
+    }.mkString(",\n")
+    val joins = (0 until depth).map { r =>
+      s"JOIN hcr$r b$r ON b$r.term = t.term JOIN hcc$r m$r ON m$r.b = b$r.b"
+    }.mkString("\n  ")
+    val mins = (0 until depth).map(r => s"m$r.c").mkString(", ")
+    s"""WITH hsfreq AS MATERIALIZED ($srcFreq),
+       |hcbh AS MATERIALIZED (
+       |  ${hashStrCols(freq, "term", 0x9747b28cL, 4, "h", "hcbx",
+            Seq("term", "n"))}
+       |),
+       |$rows,
+       |hcands AS (
+       |  SELECT DISTINCT term FROM (
+       |    SELECT term, row_number() OVER (PARTITION BY source
+       |      ORDER BY n DESC, term) AS rn
+       |    FROM hsfreq
+       |  ) WHERE rn <= 24
+       |), hest AS (
+       |  SELECT t.term, least($mins) AS cms_n
+       |  FROM hcands t
+       |  $joins
+       |), htop AS (
+       |  SELECT term, cms_n,
+       |    CAST(row_number() OVER (ORDER BY cms_n DESC, term) AS INT) AS rnk
+       |  FROM hest
+       |)
+       |SELECT h.term, h.cms_n, f.n AS exact_n, h.rnk
+       |FROM htop h JOIN hcbh f ON f.term = h.term
+       |WHERE h.rnk <= 15
+       |ORDER BY rnk""".stripMargin
+  }
+
   /** q_corpus_hll_merge: the persisted-sketch rollup must equal the
     * DIRECT register chain over the raw union bit for bit (register
     * max is associative/commutative, the estimator a pure function of
@@ -4824,6 +4881,7 @@ object SketchOracleSql {
     "q_ann_binary_asym_ivf" -> annBinaryAsymIvfOracle,
     "q_ann_binary_asym_ivf_audit" -> annBinaryAsymIvfAuditOracle,
     "q_doc_cms_tokens" -> docCmsTokensOracle,
+    "q_doc_cms_heavy" -> docCmsHeavyOracle,
     // the persisted per-source rollup is bit-identical to the direct
     // sketch (counter add is associative) — same oracle
     "q_doc_cms_merge" -> docCmsTokensOracle,
