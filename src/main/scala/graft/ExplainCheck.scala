@@ -372,6 +372,34 @@ object ExplainCheck {
         hplan.linesIterator.count(_.contains("BroadcastExchange")) +
         " (want >=1, the rolled-up 1-row sketch)")
     }
+
+    // round-14: the SAMPLE rollup joins the persisted-synopsis
+    // discipline — re-aggregating the corpus sample from stored
+    // per-source sample rows must read zero raw-corpus parquet, and
+    // the bottom-k re-aggregation must combine map-side (partial
+    // ObjectHashAggregate carries <= k rows per partition).
+    {
+      import graft.operators.SampleSynopsis
+      val sk = java.nio.file.Files.createTempDirectory("explainsmp")
+        .toString + "/sk"
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      docs.groupBy(col("source"))
+        .agg(SampleSynopsis.uniformAgg(col("doc_id"), 64,
+          "doc_id" -> col("doc_id"), "n_chars" -> col("n_chars")).as("smp"))
+        .select(col("source"), posexplode(col("smp")).as(Seq("pos", "t")))
+        .select(col("source"), col("t.h").as("h"),
+          col("t.doc_id").as("doc_id"), col("t.n_chars").as("n_chars"))
+        .write.format("kv").option("path", sk).mode("overwrite").save()
+      val rplan = finalPlanString(SampleSynopsis.rollup(
+        spark.read.format("kv").option("path", sk).load(), "h", 64,
+        Seq("doc_id", "n_chars")))
+      println("=== sample rollup path === raw-corpus parquet scans: " +
+        rplan.linesIterator.count(l => l.contains("documents.parquet")) +
+        " (want 0 — stored sample rows only); partial ObjectHashAggregates: " +
+        rplan.linesIterator.count(l =>
+          l.contains("ObjectHashAggregate") && l.contains("partial")) +
+        " (want >=1 — bottom-k combines map-side)")
+    }
     spark.stop()
   }
 }

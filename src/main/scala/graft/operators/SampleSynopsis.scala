@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{BoundedTopK, PrioritySample, Sketches}
+
+/** Mergeable bottom-k row samples — the sketch-matrix discipline
+  * (build / persisted rollup / streaming ingest) applied to SAMPLING.
+  *
+  * A uniform sample of a 100 TB corpus cannot be `ORDER BY rand()`:
+  * rand() is not reproducible across retries, a global sort shuffles
+  * everything, and the sample cannot be maintained incrementally. The
+  * synopsis here is the k rows whose splitmix64(id) hashes are smallest
+  * in UNSIGNED order ("bottom-k" / hash-priority sampling — the sample
+  * half of the KMV synopsis, Bar-Yossef et al. RANDOM'02): a pure
+  * function of the row SET, so
+  *
+  *   - it is a uniform-without-replacement sample (splitmix64 is a
+  *     fixed bijection, so ranking by hash is a fixed random permutation
+  *     of ids);
+  *   - map-side partial aggregation keeps k rows per partition and
+  *     shuffles only those ([[BoundedTopK]] state);
+  *   - the bottom-k of a UNION of per-source bottom-k sets is the
+  *     bottom-k of the union multiset (any row in the global bottom-k
+  *     is in its own source's bottom-k), so persisted per-source sample
+  *     tables roll up to the corpus sample BIT-IDENTICALLY;
+  *   - per-window samples drain from a stream order-free (the same
+  *     confluence as the HLL/CMS/KMV/KLL windowed-ingest gates).
+  *
+  * The weighted variant is Duffield–Lund–Thorup priority sampling
+  * ([[PrioritySample]]): priorities q = w/u on an exact 2^53 integer
+  * lattice, top-k by q, and the τ-threshold estimator reads the TOTAL
+  * weight of the corpus off the k-row sample — replayed term-for-term
+  * by the DuckDB oracle in HUGEINT.
+  */
+object SampleSynopsis {
+
+  /** Signed column whose ascending order equals the UNSIGNED ascending
+    * order of the 64-bit hash `h` (flip the sign bit).
+    */
+  private def flipped(h: Column): Column = h.bitwiseXOR(lit(Long.MinValue))
+
+  /** Bottom-k-by-stored-hash aggregate: keeps the k rows whose `h` is
+    * smallest unsigned, with `payload` fields carried along. Result is
+    * an array<struct> sorted ascending by unsigned hash; the struct
+    * holds (s: score for the heap, pf: flipped hash, h: the raw hash —
+    * persisted so rollups never re-derive it — then the payload).
+    */
+  def aggFromHash(h: Column, k: Int, payload: (String, Column)*): Column = {
+    val pf = flipped(h)
+    // BoundedTopK keeps score DESC then remaining fields ASC: score
+    // -pf(double) makes "best" = smallest unsigned hash at 53-bit
+    // granularity, and pf itself is the exact ascending tiebreak.
+    val fields = (-pf.cast("double")).as("s") +: pf.as("pf") +: h.as("h") +:
+      payload.map { case (n, c) => c.as(n) }
+    BoundedTopK.topK(struct(fields: _*), k)
+  }
+
+  /** Uniform bottom-k sample aggregate over a unique long id column. */
+  def uniformAgg(idCol: Column, k: Int, payload: (String, Column)*): Column =
+    aggFromHash(Sketches.splitmixLong(idCol), k, payload: _*)
+
+  /** Explode a sample array into ranked rows: `rnk` (1-based, ascending
+    * unsigned hash), `h`, then the payload fields.
+    */
+  def explodeSample(df: DataFrame, sampleCol: String,
+      keep: Seq[String], payload: Seq[String]): DataFrame = {
+    val keepCols = keep.map(col)
+    df.select(keepCols :+ posexplode(col(sampleCol)).as(Seq("pos", "t")): _*)
+      .select(keepCols ++ Seq((col("pos") + 1).cast("int").as("rnk"),
+        col("t.h").as("h")) ++ payload.map(p => col(s"t.$p").as(p)): _*)
+  }
+
+  /** Direct corpus-wide uniform sample: k rows, ranked. */
+  def uniform(df: DataFrame, idCol: String, k: Int,
+      payload: Seq[String]): DataFrame =
+    explodeSample(
+      df.agg(uniformAgg(col(idCol), k,
+        payload.map(p => p -> col(p)): _*).as("smp")),
+      "smp", Seq.empty, payload)
+
+  /** Roll persisted sample rows (carrying their stored `h`) back up
+    * into the bottom-k of the union — bit-identical to the direct
+    * build over the raw union (the k smallest of a union of k-smallest
+    * sets IS the union's k smallest).
+    */
+  def rollup(stored: DataFrame, hCol: String, k: Int,
+      payload: Seq[String]): DataFrame =
+    explodeSample(
+      stored.agg(aggFromHash(col(hCol), k,
+        payload.map(p => p -> col(p)): _*).as("smp")),
+      "smp", Seq.empty, payload)
+
+  /** DLT priority sample + total-weight estimate: the k highest
+    * priorities q = ⌊w/u⌋ (exact decimal ordering, id ascending
+    * tiebreak), τ = the (k+1)-th priority (0 when the corpus has ≤ k
+    * rows — the sample is then complete and the estimate EXACT), and
+    * Ŵ = Σ max(w_i, τ) as `est_total` (the DLT estimator; every term
+    * is already an integer, so the sum replays exactly).
+    *
+    * Returns the k sampled rows (rnk, id, weight) with the constant
+    * `est_total` column. `orderBy(q desc).limit(k+1)` compiles to
+    * TakeOrderedAndProject — per-partition top-(k+1) heaps, never a
+    * global sort.
+    */
+  def weighted(df: DataFrame, idCol: String, weightCol: String,
+      k: Int): DataFrame = {
+    val q = PrioritySample.weightedPriority(
+      Sketches.splitmixLong(col(idCol)), col(weightCol))
+    val top = df.select(col(idCol).as("id"),
+        col(weightCol).cast("long").as("w"), q.as("q"))
+      .orderBy(col("q").desc, col("id"))
+      .limit(k + 1)
+    val ranked = top.withColumn("rnk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("q").desc, col("id"))))
+    val tau = ranked.agg(coalesce(max(when(col("rnk") === k + 1, col("q"))),
+      lit(0).cast("decimal(38,0)")).as("tau"))
+    val sampled = ranked.filter(col("rnk") <= k)
+    val est = sampled.crossJoin(broadcast(tau))
+      .agg(sum(greatest(col("w").cast("decimal(38,0)"), col("tau")))
+        .cast("long").as("est_total"))
+    sampled.crossJoin(broadcast(est))
+      .select(col("rnk"), col("id"), col("w"), col("est_total"))
+  }
+
+  private val Two64 = new java.math.BigDecimal("18446744073709551616")
+
+  /** Unsigned 64-bit value of a signed hash column, as DECIMAL(38,0). */
+  private def huDec(h: Column): Column =
+    when(h < 0, h.cast("decimal(38,0)") + lit(Two64))
+      .otherwise(h.cast("decimal(38,0)"))
+
+  /** Coordinated join-key synopsis: ONE pass groups the table by its
+    * join key into (key, cnt) and keeps the k keys with the smallest
+    * unsigned splitmix64(key). Because every table hashes keys with the
+    * SAME fixed hash, two synopses are COORDINATED samples (correlated
+    * sampling, Vengerov et al. VLDB'15): below the coverage threshold
+    * τ = min(τ_A, τ_B) BOTH synopses retain every key of their table,
+    * so the sampled join is exact under τ and scales by 1/p = 2^64/τ.
+    */
+  def buildJoinKeySynopsis(df: DataFrame, keyCol: String, path: String,
+      k: Int): Unit = {
+    val per = df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    explodeSample(
+      per.agg(uniformAgg(col("key"), k,
+        "key" -> col("key"), "cnt" -> col("cnt")).as("smp")),
+      "smp", Seq.empty, Seq("key", "cnt"))
+      .select(col("h"), col("key"), col("cnt"))
+      .write.format("kv").option("path", path).mode("overwrite").save()
+  }
+
+  /** |A ⋈ B| (equi-join pair count) estimated from two stored
+    * [[buildJoinKeySynopsis]] tables ALONE — zero raw-table scans:
+    * τ_side = 2^64 when the synopsis is under capacity (it then holds
+    * EVERY key of its table) else the k-th smallest stored hash;
+    * τ = min; J = Σ cntA·cntB over keys with h < τ (both sides
+    * complete below τ, so J is an exact subsample of the join);
+    * estimate = ⌊J·2^64/τ⌋ — EXACT when both synopses are complete.
+    * One row: (est_pairs). Every step replays in HUGEINT.
+    */
+  def joinSizeEstimate(spark: org.apache.spark.sql.SparkSession,
+      pathA: String, pathB: String, k: Int): DataFrame = {
+    import graft.functions.PrioritySample
+    def side(p: String, suf: String) =
+      spark.read.format("kv").option("path", p).load()
+        .select(col("h").as(s"h$suf"), col("key"),
+          col("cnt").as(s"cnt$suf"))
+    val sa = side(pathA, "a")
+    val sb = side(pathB, "b")
+    def tauOf(s: DataFrame, h: String) = s.agg(
+      when(count(lit(1)) < k, lit(Two64))
+        .otherwise(max(huDec(col(h)))).cast("decimal(38,0)").as("tau"))
+    val tau = tauOf(sa, "ha").crossJoin(tauOf(sb, "hb").
+        withColumnRenamed("tau", "tau_b"))
+      .select(least(col("tau"), col("tau_b")).as("tau"))
+    val j = sa.join(sb, "key").crossJoin(broadcast(tau))
+      .filter(huDec(col("ha")) < col("tau"))
+      .agg(coalesce(sum(col("cnta") * col("cntb")), lit(0L))
+        .cast("decimal(38,0)").as("j"))
+    j.crossJoin(broadcast(tau))
+      .select(PrioritySample.floorDiv(col("j") * lit(Two64), col("tau"))
+        .cast("long").as("est_pairs"))
+  }
+}

@@ -327,6 +327,128 @@ object CurationQueries {
         .orderBy(col("source"), col("doc_id"))
     }),
 
+    // Mergeable bottom-k sample — the sketch-matrix discipline applied
+    // to SAMPLING ([[graft.operators.SampleSynopsis]]): the k docs with
+    // the smallest unsigned splitmix64(doc_id) are a uniform-without-
+    // replacement sample that is a pure function of the row SET —
+    // reproducible on retry, map-side-partial (k rows per partition
+    // shuffle, never the corpus), and rank-replayed by the oracle.
+    "q_sample_bottomk" -> ((s, dir) => {
+      graft.operators.SampleSynopsis.uniform(
+        Tables.load(s, dir, "documents"), "doc_id", 64,
+        Seq("doc_id", "source", "n_chars"))
+        .select(col("rnk"), col("doc_id"), col("source"), col("n_chars"))
+        .orderBy(col("rnk"))
+    }),
+
+    // PERSISTED per-source sample tables + rollup — the
+    // q_corpus_kmv_merge discipline on SAMPLES: per-source bottom-64
+    // rows (with their stored hash) land ONCE as a kv table; the
+    // corpus-wide sample is re-aggregated from sample rows alone, and
+    // is BIT-IDENTICAL to the direct build (any row of the global
+    // bottom-k is in its own source's bottom-k). The direct sample
+    // rides along; the oracle replays one chain and pins both columns.
+    "q_sample_bottomk_merge" -> ((s, dir) => {
+      import graft.operators.SampleSynopsis
+      val sk = s"/tmp/graft_smpmg${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(sk)
+      val docs = Tables.load(s, dir, "documents")
+      docs.groupBy(col("source"))
+        .agg(SampleSynopsis.uniformAgg(col("doc_id"), 64,
+          "doc_id" -> col("doc_id"), "n_chars" -> col("n_chars")).as("smp"))
+        .select(col("source"), posexplode(col("smp")).as(Seq("pos", "t")))
+        .select(col("source"), col("t.h").as("h"),
+          col("t.doc_id").as("doc_id"), col("t.n_chars").as("n_chars"))
+        .write.format("kv").option("path", sk).mode("overwrite").save()
+      val merged = SampleSynopsis.rollup(
+        s.read.format("kv").option("path", sk).load(), "h", 64,
+        Seq("doc_id", "n_chars"))
+      val direct = SampleSynopsis.uniform(docs, "doc_id", 64, Seq("doc_id"))
+        .select(col("rnk"), col("doc_id").as("doc_id_direct"))
+      merged.join(direct, "rnk")
+        .select(col("rnk"), col("doc_id"), col("doc_id_direct"),
+          col("n_chars"))
+        .orderBy(col("rnk"))
+    }),
+
+    // Sample MAINTENANCE under append — the streaming-index discipline
+    // on the sample synopsis: day-1's sample rows persist, day-2's
+    // batch appends ITS OWN bottom-64 rows to the same table (no
+    // rebuild, no day-1 re-scan), and the read-side rollup still equals
+    // the direct sample of the full corpus BIT-FOR-BIT (union+trim
+    // confluence — same lemma, applied incrementally). Shares the
+    // merge gate's oracle: one replayed chain pins both columns.
+    "q_sample_incremental" -> ((s, dir) => {
+      import graft.operators.SampleSynopsis
+      val sk = s"/tmp/graft_smpinc${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(sk)
+      val docs = Tables.load(s, dir, "documents")
+      def sampleRows(batch: org.apache.spark.sql.DataFrame) =
+        SampleSynopsis.uniform(batch, "doc_id", 64,
+          Seq("doc_id", "n_chars"))
+          .select(col("h"), col("doc_id"), col("n_chars"))
+      sampleRows(docs.filter(col("doc_id") % 2 === 0))
+        .write.format("kv").option("path", sk).mode("overwrite").save()
+      sampleRows(docs.filter(col("doc_id") % 2 === 1))
+        .write.format("kv").option("path", sk).mode("append").save()
+      val merged = SampleSynopsis.rollup(
+        s.read.format("kv").option("path", sk).load(), "h", 64,
+        Seq("doc_id", "n_chars"))
+      val direct = SampleSynopsis.uniform(docs, "doc_id", 64, Seq("doc_id"))
+        .select(col("rnk"), col("doc_id").as("doc_id_direct"))
+      merged.join(direct, "rnk")
+        .select(col("rnk"), col("doc_id"), col("doc_id_direct"),
+          col("n_chars"))
+        .orderBy(col("rnk"))
+    }),
+
+    // DLT priority sampling (Duffield–Lund–Thorup JACM'07): weights =
+    // n_chars, priorities q = w/u on the exact 2^53 integer lattice,
+    // top-32 by priority, and the τ-threshold estimator reads the
+    // corpus's TOTAL character count off the 32-row sample — the
+    // "estimate the release size from a tiny weighted sample" query.
+    // Exact total rides along; every term replays in HUGEINT.
+    "q_sample_priority_weighted" -> ((s, dir) => {
+      val docs = Tables.load(s, dir, "documents")
+        .filter(col("n_chars") > 0)
+      val exact = docs.agg(sum(col("n_chars")).cast("long")
+        .as("exact_total"))
+      graft.operators.SampleSynopsis.weighted(docs, "doc_id", "n_chars", 32)
+        .crossJoin(broadcast(exact))
+        .select(col("rnk"), col("id").as("doc_id"),
+          col("w").as("n_chars"), col("est_total"), col("exact_total"))
+        .orderBy(col("rnk"))
+    }),
+
+    // Sketch-PLANNED sampling: per-source keep-rates derive from the
+    // PERSISTED HLL register table (n̂ per source — no exact count pass
+    // anywhere), execution is a deterministic hash gate in ONE corpus
+    // pass: keep a doc iff its unsigned splitmix64(doc_id⊕11) is below
+    // ⌊quota·2^64/n̂⌋. At 100 TB the synopsis is already maintained
+    // incrementally, so planning reads sketch rows alone; the sample
+    // itself never shuffles (a filter, not a sort). Thresholds live on
+    // the exact u64 lattice — every kept doc_id replays in HUGEINT.
+    "q_sample_sketch_budget" -> ((s, dir) => {
+      import graft.functions.{HllDistinct, HllMerge, PrioritySample, Sketches}
+      val sk = s"/tmp/graft_skbud${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(sk)
+      val docs = Tables.load(s, dir, "documents")
+      docs.groupBy(col("source"))
+        .agg(HllDistinct.hllRegisters(col("doc_id"), p = 8).as("regs"))
+        .write.format("kv").option("path", sk).mode("overwrite").save()
+      val plan = s.read.format("kv").option("path", sk).load()
+        .select(col("source"), HllMerge.hllEstimate(col("regs"), 8).as("n_hat"))
+        .withColumn("thr", PrioritySample.shl64Div(lit(6L), col("n_hat")))
+      val h = Sketches.splitmixLong(col("doc_id").bitwiseXOR(lit(11L)))
+      val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
+      docs.join(broadcast(plan), "source")
+        .withColumn("hu", when(h < 0, h.cast("decimal(38,0)") + two64)
+          .otherwise(h.cast("decimal(38,0)")))
+        .where(col("hu") < col("thr"))
+        .select(col("source"), col("doc_id"), col("n_hat"))
+        .orderBy(col("source"), col("doc_id"))
+    }),
+
     // Release export + integrity manifest: 8 hash-assigned parquet
     // shards written in one pass; per shard (n_rows, n_tokens,
     // content_sig) where the signature is the order-free BIT_XOR of
@@ -745,6 +867,15 @@ object CurationQueries {
          |SELECT source, doc_id, samp_key FROM r WHERE rn <= 5
          |ORDER BY source, doc_id""".stripMargin
     },
+
+    "q_sample_bottomk" -> SketchOracleSql.sampleBottomKOracle(64),
+    "q_sample_bottomk_merge" -> SketchOracleSql.sampleBottomKMergeOracle(64),
+    // incremental append maintenance is rollup ≡ direct by the same
+    // union+trim lemma — shares the merge oracle
+    "q_sample_incremental" -> SketchOracleSql.sampleBottomKMergeOracle(64),
+    "q_sample_priority_weighted" ->
+      SketchOracleSql.samplePriorityWeightedOracle(32),
+    "q_sample_sketch_budget" -> SketchOracleSql.sampleSketchBudgetOracle(6),
 
     // shard = pmod(splitmix64(id ^ 5), 8); content_sig = bit_xor of the
     // full per-row string hash over id || chr(1) || text

@@ -195,6 +195,44 @@ object EventsQueries {
         .orderBy(col("w_start"))
     }),
 
+    // A SAMPLE on a stream — the sketch-matrix's fifth family
+    // ([[graft.operators.SampleSynopsis]]) gets its windowed-ingest
+    // gate like HLL/CMS/KMV/KLL before it: per-6h-window bottom-16
+    // event samples drain in APPEND mode (watermark-sealed windows
+    // only), 16 rows of state per window forever. Bottom-k-by-hash is
+    // a pure function of the window's row set (union+trim merge), so
+    // the drained table is micro-batching-independent by construction
+    // and the ranked sample replays hash-for-hash in the oracle.
+    "q_stream_sample_ingest" -> ((s, dir) => {
+      import graft.operators.SampleSynopsis
+      val u = java.util.UUID.randomUUID().toString.replace("-", "")
+      val sink = s"/tmp/graft_smpstrm_$u/t"
+      val ckpt = s"/tmp/graft_smpstrmck_$u"
+      val q = s.readStream.format("log").option("path", s"$dir/events.parquet")
+        .option("maxOffsetsPerTrigger", "40000").load()
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "21600 seconds"))
+        .agg(SampleSynopsis.uniformAgg(col("event_id"), 16,
+          "event_id" -> col("event_id"), "user_id" -> col("user_id"))
+          .as("smp"),
+          count(lit(1)).as("n_events"))
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("smp"), col("n_events"))
+        .writeStream.format("kv").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      SampleSynopsis.explodeSample(
+        s.read.format("kv").option("path", sink).load(),
+        "smp", Seq("w_start", "n_events"), Seq("event_id", "user_id"))
+        .select(col("w_start"), col("rnk"), col("event_id"),
+          col("user_id"), col("n_events"))
+        .orderBy(col("w_start"), col("rnk"))
+    }),
+
     // Streaming SKETCH-TABLE ingest for the frequency family (the
     // q_stream_hll_window discipline on counters): per-window CMS
     // counter blobs land in a kv table as the stream drains (append
@@ -485,6 +523,38 @@ object EventsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Sketch-PLANNED winsorize: clip bounds come from the persisted KLL
+    // quantile table (p5/p95 read off stored blobs — zero exact
+    // percentile shuffle), then ONE exact pass clips and aggregates.
+    // At 100 TB the exact-percentile plan shuffles every value per
+    // group; this plan broadcasts a 5-row bounds table. Sums stay on
+    // the integer cents lattice, so the whole pipeline (sketch levels,
+    // quantile readout, clip, sums) replays exactly.
+    "q_events_winsorize_sketch" -> ((s, dir) => {
+      import graft.functions.KllSketch
+      val sk = s"/tmp/graft_wsk${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(sk)
+      val ev = Tables.load(s, dir, "events").where(col("value").isNotNull)
+        .select(col("event_type"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      ev.groupBy(col("event_type"))
+        .agg(KllSketch.kll(col("cents"), k = 256).as("sk"))
+        .write.format("kv").option("path", sk).mode("overwrite").save()
+      val bounds = s.read.format("kv").option("path", sk).load()
+        .select(col("event_type"),
+          KllSketch.kllQuantile(col("sk"), 5).as("lo_cents"),
+          KllSketch.kllQuantile(col("sk"), 95).as("hi_cents"))
+      ev.join(broadcast(bounds), "event_type")
+        .groupBy(col("event_type"), col("lo_cents"), col("hi_cents"))
+        .agg(count(lit(1)).as("n"),
+          sum(least(greatest(col("cents"), col("lo_cents")),
+            col("hi_cents"))).cast("long").as("sum_clipped"),
+          sum(col("cents")).cast("long").as("sum_raw"))
+        .select(col("event_type"), col("lo_cents"), col("hi_cents"),
+          col("n"), col("sum_clipped"), col("sum_raw"))
+        .orderBy(col("event_type"))
+    }),
+
     // Point-in-time (as-of) join: attach to each view the user's most
     // recent purchase at or before it — the time-series lookup Spark has
     // no native operator for ([[graft.operators.AsOfJoin]]: tagged union
@@ -725,6 +795,8 @@ object EventsQueries {
 
     // sealed windows + the per-window k-min chain + counts
     "q_stream_kmv_window" -> SketchOracleSql.streamKmvWindowOracle,
+    "q_stream_sample_ingest" -> SketchOracleSql.streamSampleIngestOracle(16),
+    "q_events_winsorize_sketch" -> SketchOracleSql.eventsWinsorizeSketchOracle,
 
     // sessionization (lag/cumsum), integer features, EXISTS label over
     // the strictly-after 10-minute window — the full chain replayed

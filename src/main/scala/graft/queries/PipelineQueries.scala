@@ -2242,6 +2242,39 @@ object PipelineQueries {
         .toDF("slot", "w_micro").orderBy(col("slot"))
     }),
 
+    // Coordinated join-size probe ([[graft.operators.SampleSynopsis]]):
+    // |views ⋈ purchases on user_id| estimated from two persisted
+    // bottom-64 join-key synopses ALONE (correlated sampling — both
+    // tables hash keys with the SAME splitmix64, so below the shared
+    // coverage threshold τ the sampled join is exact and scales by
+    // 2^64/τ). The query optimizer's "how big is this join" question
+    // answered without scanning either table; exact pair count rides
+    // along. At sf0.001 both synopses are complete → the estimate is
+    // EXACT (the estimator's documented branch); at sf0.01 the
+    // 150-keys-vs-k=64 sampling regime is exercised. HUGEINT-replayed.
+    "q_probe_join_size" -> ((s, dir) => {
+      import graft.operators.SampleSynopsis
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val pa = s"/tmp/graft_jsyna$safe"
+      val pb = s"/tmp/graft_jsynb$safe"
+      graft.sources.ParquetIO.deletePath(pa)
+      graft.sources.ParquetIO.deletePath(pb)
+      val ev = Tables.load(s, dir, "events")
+      SampleSynopsis.buildJoinKeySynopsis(
+        ev.filter(col("event_type") === "view"), "user_id", pa, 64)
+      SampleSynopsis.buildJoinKeySynopsis(
+        ev.filter(col("event_type") === "purchase"), "user_id", pb, 64)
+      val exact = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("ca"))
+        .join(ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("cb")), "user_id")
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).cast("long")
+          .as("exact_pairs"))
+      SampleSynopsis.joinSizeEstimate(s, pa, pb, 64)
+        .crossJoin(broadcast(exact))
+        .select(lit(64).as("k_cap"), col("est_pairs"), col("exact_pairs"))
+    }),
+
     // The trained probe applied: per-doc predicted label, top-10 by
     // (score desc, doc_id) — training AND scoring replayed end to end.
     "q_probe_linear_scores" -> ((s, dir) => {

@@ -2831,6 +2831,191 @@ object SketchOracleSql {
     */
   def splitmixBigintSql(expr: String): String = sx(splitmix(ux(expr)))
 
+  // ---------------------------------------------------------------
+  // Mergeable bottom-k samples (SampleSynopsis) — hash-priority
+  // sampling replayed: rank documents by the unsigned splitmix64 of
+  // doc_id (the vectorized smCols chain), keep the k smallest.
+  // ---------------------------------------------------------------
+
+  /** Ranked bottom-k chain over documents: ends in `{px}rk` holding
+    * (doc_id, source, n_chars, rnk) with rnk = unsigned-hash order.
+    */
+  private def docBottomKChain(px: String): String =
+    s"""${px}hh AS MATERIALIZED (
+       |  SELECT doc_id, source, n_chars, h
+       |  FROM (${smCols("SELECT doc_id, source, n_chars FROM documents",
+            ux("doc_id"), "h", s"${px}s")})
+       |), ${px}rk AS (
+       |  SELECT doc_id, source, n_chars,
+       |    row_number() OVER (ORDER BY h) AS rnk
+       |  FROM ${px}hh
+       |)""".stripMargin
+
+  /** q_sample_bottomk: the direct corpus sample — k docs of smallest
+    * unsigned splitmix64(doc_id), ranked.
+    */
+  def sampleBottomKOracle(k: Int): String =
+    s"""WITH ${docBottomKChain("sbk")}
+       |SELECT rnk::INT AS rnk, doc_id, source, n_chars
+       |FROM sbkrk WHERE rnk <= $k ORDER BY rnk""".stripMargin
+
+  /** q_sample_bottomk_merge: the per-source persisted sample rows roll
+    * up to the corpus sample BIT-IDENTICALLY (the bottom-k of a union
+    * of per-source bottom-k sets is the union's bottom-k), so one
+    * replayed chain pins both the merged and the direct column.
+    */
+  def sampleBottomKMergeOracle(k: Int): String =
+    s"""WITH ${docBottomKChain("sbm")}
+       |SELECT rnk::INT AS rnk, doc_id, doc_id AS doc_id_direct, n_chars
+       |FROM sbmrk WHERE rnk <= $k ORDER BY rnk""".stripMargin
+
+  /** q_sample_priority_weighted: DLT priority sampling replayed — the
+    * priority q = ⌊w/u⌋ computed exactly as ⌊w·2^53/((h≫11)+1)⌋ in
+    * HUGEINT (u lives on the 2^53 lattice), top-k by (q desc, doc_id),
+    * τ = the (k+1)-th q (0 under capacity), Ŵ = Σ max(w, τ) — every
+    * term an integer; the exact total rides along.
+    */
+  def samplePriorityWeightedOracle(k: Int): String = {
+    val S = "9007199254740992::HUGEINT" // 2^53
+    s"""WITH spwh AS MATERIALIZED (
+       |  SELECT doc_id, n_chars, h
+       |  FROM (${smCols("SELECT doc_id, n_chars FROM documents WHERE n_chars > 0",
+            ux("doc_id"), "h", "spws")})
+       |), spwq AS (
+       |  SELECT doc_id, n_chars::BIGINT AS w,
+       |    (n_chars::HUGEINT * $S) // ((h // 2048::HUGEINT) + 1::HUGEINT) AS q
+       |  FROM spwh
+       |), spwr AS (
+       |  SELECT *, row_number() OVER (ORDER BY q DESC, doc_id) AS rnk FROM spwq
+       |), spwt AS (
+       |  SELECT coalesce(max(CASE WHEN rnk = ${k + 1} THEN q END),
+       |    0::HUGEINT) AS tau
+       |  FROM spwr
+       |), spwe AS (
+       |  SELECT sum(greatest(w::HUGEINT, tau))::BIGINT AS est_total
+       |  FROM spwr, spwt WHERE rnk <= $k
+       |), spwx AS (
+       |  SELECT sum(n_chars)::BIGINT AS exact_total FROM documents
+       |  WHERE n_chars > 0
+       |)
+       |SELECT rnk::INT AS rnk, doc_id, w AS n_chars, est_total, exact_total
+       |FROM spwr, spwe, spwx WHERE rnk <= $k ORDER BY rnk""".stripMargin
+  }
+
+  /** q_sample_sketch_budget: the HLL-planned hash-gate sample replayed
+    * — per-source n̂ from the register chain, threshold
+    * ⌊quota·2^64/max(n̂,1)⌋ in HUGEINT, keep iff the unsigned
+    * splitmix64(doc_id⊕11) is below the source's threshold.
+    */
+  def sampleSketchBudgetOracle(quota: Int): String =
+    s"""WITH ${hllChainSql("skb",
+          "SELECT source AS grp, doc_id AS v FROM documents", "n_hat")},
+       |skbp AS (
+       |  SELECT grp AS source, n_hat,
+       |    (${quota}::HUGEINT * 18446744073709551616::HUGEINT)
+       |      // greatest(n_hat, 1)::HUGEINT AS thr
+       |  FROM skbout
+       |), skbh AS (
+       |  SELECT doc_id, source, hu
+       |  FROM (${smCols("SELECT doc_id, source FROM documents",
+            ux("xor(doc_id, 11::BIGINT)"), "hu", "skbs")})
+       |)
+       |SELECT d.source, d.doc_id, p.n_hat
+       |FROM skbh d JOIN skbp p USING (source)
+       |WHERE d.hu < p.thr
+       |ORDER BY source, doc_id""".stripMargin
+
+  /** q_events_winsorize_sketch: KLL-planned clip bounds (the p5/p95
+    * integer-rank readout of the replayed sketch chain) + the exact
+    * one-pass clipped sums on the cents lattice.
+    */
+  def eventsWinsorizeSketchOracle: String =
+    s"""WITH ${kllChainSql("ws", kllEventsBase, 256)},
+       |wsb AS (
+       |  SELECT grp,
+       |    min(CASE WHEN cum * 100 >= 5 * w THEN v END) AS lo_cents,
+       |    min(CASE WHEN cum * 100 >= 95 * w THEN v END) AS hi_cents
+       |  FROM wsq GROUP BY grp
+       |)
+       |SELECT e.grp AS event_type, b.lo_cents, b.hi_cents,
+       |  count(*)::BIGINT AS n,
+       |  sum(least(greatest(e.v, b.lo_cents), b.hi_cents))::BIGINT
+       |    AS sum_clipped,
+       |  sum(e.v)::BIGINT AS sum_raw
+       |FROM ($kllEventsBase) e JOIN wsb b ON b.grp = e.grp
+       |GROUP BY e.grp, b.lo_cents, b.hi_cents
+       |ORDER BY event_type""".stripMargin
+
+  /** q_probe_join_size: the coordinated-sampling join-size estimator
+    * replayed — per-side (key, cnt) groups, bottom-k by unsigned
+    * splitmix64(key), τ_side = 2^64 under capacity else the k-th
+    * smallest stored hash, τ = min of the sides, J = Σ cntA·cntB over
+    * joined synopsis keys under τ, est = ⌊J·2^64/τ⌋ in HUGEINT.
+    */
+  def probeJoinSizeOracle(k: Int): String = {
+    def sideChain(px: String, typ: String): String =
+      s"""${px}g AS MATERIALIZED (
+         |  SELECT user_id AS key, count(*)::BIGINT AS cnt FROM events
+         |  WHERE event_type = '$typ' GROUP BY 1
+         |), ${px}h AS (
+         |  SELECT key, cnt, hu
+         |  FROM (${smCols(s"SELECT key, cnt FROM ${px}g", ux("key"), "hu",
+              s"${px}x")})
+         |), ${px}s AS (
+         |  SELECT key, cnt, hu FROM (
+         |    SELECT *, row_number() OVER (ORDER BY hu) AS rn FROM ${px}h
+         |  ) WHERE rn <= $k
+         |), ${px}t AS (
+         |  SELECT CASE WHEN count(*) < $k THEN 18446744073709551616::HUGEINT
+         |    ELSE max(hu) END AS tau FROM ${px}s
+         |)""".stripMargin
+    s"""WITH ${sideChain("ja", "view")},
+       |${sideChain("jb", "purchase")},
+       |jtau AS (SELECT least(a.tau, b.tau) AS tau FROM jat a, jbt b),
+       |jj AS (
+       |  SELECT coalesce(sum(a.cnt::HUGEINT * b.cnt::HUGEINT),
+       |    0::HUGEINT) AS j
+       |  FROM jas a JOIN jbs b ON a.key = b.key CROSS JOIN jtau t
+       |  WHERE a.hu < t.tau
+       |), jx AS (
+       |  SELECT coalesce(sum(a.cnt * b.cnt), 0)::BIGINT AS exact_pairs
+       |  FROM jag a JOIN jbg b ON a.key = b.key
+       |)
+       |SELECT $k AS k_cap,
+       |  ((j.j * 18446744073709551616::HUGEINT) // t.tau)::BIGINT
+       |    AS est_pairs,
+       |  x.exact_pairs
+       |FROM jj j, jtau t, jx x""".stripMargin
+  }
+
+  /** q_stream_sample_ingest: the sealed-window emission rule + the
+    * per-window bottom-k event sample (rank by unsigned
+    * splitmix64(event_id) within each 6h window) + per-window counts.
+    */
+  def streamSampleIngestOracle(k: Int): String = {
+    val grp = "(epoch_us(date_trunc('microseconds', ts)) // 21600000000) * 21600"
+    val sealedBase =
+      s"""SELECT $grp AS grp, event_id, user_id
+         |FROM events,
+         |  (SELECT (epoch_ms(max(ts)) - 600000) * 1000 AS wm_us FROM events) wm
+         |WHERE ($grp + 21600) * 1000000 <= wm.wm_us""".stripMargin
+    s"""WITH ssih AS MATERIALIZED (
+       |  SELECT grp, event_id, user_id, h
+       |  FROM (${smCols(sealedBase, ux("event_id"), "h", "ssis")})
+       |), ssir AS (
+       |  SELECT grp, event_id, user_id,
+       |    row_number() OVER (PARTITION BY grp ORDER BY h) AS rnk
+       |  FROM ssih
+       |), ssic AS (
+       |  SELECT grp, count(*)::BIGINT AS n_events FROM ssih GROUP BY grp
+       |)
+       |SELECT c.grp AS w_start, r.rnk::INT AS rnk, r.event_id, r.user_id,
+       |  c.n_events
+       |FROM ssir r JOIN ssic c USING (grp)
+       |WHERE r.rnk <= $k
+       |ORDER BY w_start, rnk""".stripMargin
+  }
+
   /** Signed-BIGINT DuckDB replay of `Sketches.stringHash64` — for gates
     * that hash STRING keys (group-keyed splits/sampling) outside this
     * file.
@@ -4906,5 +5091,6 @@ object SketchOracleSql {
     "q_dedup_embedding" -> embeddingDedupOracle,
     "q_ann_lsh" -> annLshOracle,
     "q_ann_lsh_multiprobe" -> annLshMultiProbeOracle,
-    "q_ann_lsh_multiprobe_audit" -> annLshMultiProbeAuditOracle)
+    "q_ann_lsh_multiprobe_audit" -> annLshMultiProbeAuditOracle,
+    "q_probe_join_size" -> probeJoinSizeOracle(64))
 }
