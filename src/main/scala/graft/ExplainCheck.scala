@@ -400,6 +400,69 @@ object ExplainCheck {
           l.contains("ObjectHashAggregate") && l.contains("partial")) +
         " (want >=1 — bottom-k combines map-side)")
     }
+
+    // round-14: the sketch-budget PLANNING subplan (per-source n̂ and
+    // keep-threshold from the persisted HLL table) must read sketch
+    // rows alone — zero raw-corpus scans; in the full gate the 5-row
+    // plan then reaches the corpus pass as a broadcast, never a
+    // shuffle of the corpus side.
+    {
+      import graft.functions.{HllDistinct, HllMerge, PrioritySample}
+      val sk = java.nio.file.Files.createTempDirectory("explainbud")
+        .toString + "/sk"
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      docs.groupBy(col("source"))
+        .agg(HllDistinct.hllRegisters(col("doc_id"), p = 8).as("regs"))
+        .write.format("kv").option("path", sk).mode("overwrite").save()
+      val plan = spark.read.format("kv").option("path", sk).load()
+        .select(col("source"),
+          HllMerge.hllEstimate(col("regs"), 8).as("n_hat"))
+        .withColumn("thr", PrioritySample.shl64Div(lit(6L), col("n_hat")))
+      val pplan = finalPlanString(plan)
+      println("=== sketch-budget planning subplan === raw-corpus parquet scans: " +
+        pplan.linesIterator.count(l => l.contains("documents.parquet")) +
+        " (want 0 — keep-rates derive from stored HLL rows alone)")
+      val gplan = finalPlanString(
+        SparkEntry.queries("q_sample_sketch_budget")(spark, dir))
+      println("=== q_sample_sketch_budget === plan-side broadcasts: " +
+        gplan.linesIterator.count(_.contains("BroadcastExchange")) +
+        " (want >=1 — the 5-row threshold table); sortmerge joins: " +
+        gplan.linesIterator.count(_.contains("SortMergeJoin")) +
+        " (want 0 — the corpus pass is a hash-gate filter, not a sort)")
+    }
+
+    // round-14: the sample-MATRIX marginalizations (per-window /
+    // per-type / global) must each read the persisted cell table
+    // alone — zero raw-corpus (events parquet) scans on the rolled-up
+    // read path.
+    {
+      import graft.operators.SampleSynopsis
+      val sk = java.nio.file.Files.createTempDirectory("explainmx")
+        .toString + "/sk"
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+        .select(col("event_type"),
+          unix_timestamp(window(col("ts"), "21600 seconds")("start"))
+            .as("w_start"),
+          col("event_id"), col("user_id"))
+      ev.groupBy(col("event_type"), col("w_start"))
+        .agg(SampleSynopsis.uniformAgg(col("event_id"), 8,
+          "event_id" -> col("event_id"), "user_id" -> col("user_id"))
+          .as("smp"))
+        .select(col("event_type"), col("w_start"),
+          posexplode(col("smp")).as(Seq("pos", "t")))
+        .select(col("event_type"), col("w_start"), col("t.h").as("h"),
+          col("t.event_id").as("event_id"), col("t.user_id").as("user_id"))
+        .write.format("kv").option("path", sk).mode("overwrite").save()
+      val stored = spark.read.format("kv").option("path", sk).load()
+      val mplan = finalPlanString(SampleSynopsis.rollupBy(
+        stored, "h", 8, Seq("w_start"), Seq("event_id", "user_id")))
+      println("=== sample matrix marginalization path === raw-corpus parquet scans: " +
+        mplan.linesIterator.count(l => l.contains("events.parquet")) +
+        " (want 0 — cell rows only); partial ObjectHashAggregates: " +
+        mplan.linesIterator.count(l =>
+          l.contains("ObjectHashAggregate") && l.contains("partial")) +
+        " (want >=1 — per-group bottom-k combines map-side)")
+    }
     spark.stop()
   }
 }

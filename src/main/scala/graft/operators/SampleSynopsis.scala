@@ -91,6 +91,23 @@ object SampleSynopsis {
         payload.map(p => p -> col(p)): _*).as("smp")),
       "smp", Seq.empty, payload)
 
+  /** Grouped rollup: collapse persisted sample rows over the dimensions
+    * NOT in `keep`, yielding one bottom-k sample per surviving group —
+    * the matrix read path. A per-(source × window) cell table rolls up
+    * to per-window samples (keep = window), per-source samples (keep =
+    * source), or the corpus sample (keep = ∅ — [[rollup]]), each
+    * BIT-IDENTICAL to the direct build over that slice: every row of a
+    * slice's bottom-k is in its own cell's bottom-k, so the union+trim
+    * lemma applies per group. One synopsis table serves every
+    * marginalization — nothing is rebuilt, no raw data is re-scanned.
+    */
+  def rollupBy(stored: DataFrame, hCol: String, k: Int,
+      keep: Seq[String], payload: Seq[String]): DataFrame =
+    explodeSample(
+      stored.groupBy(keep.map(col): _*).agg(aggFromHash(col(hCol), k,
+        payload.map(p => p -> col(p)): _*).as("smp")),
+      "smp", keep, payload)
+
   /** DLT priority sample + total-weight estimate: the k highest
     * priorities q = ⌊w/u⌋ (exact decimal ordering, id ascending
     * tiebreak), τ = the (k+1)-th priority (0 when the corpus has ≤ k
@@ -140,14 +157,31 @@ object SampleSynopsis {
     * so the sampled join is exact under τ and scales by 1/p = 2^64/τ.
     */
   def buildJoinKeySynopsis(df: DataFrame, keyCol: String, path: String,
-      k: Int): Unit = {
+      k: Int): Unit =
+    buildJoinKeySynopsis(df, keyCol, path, k, Seq.empty)
+
+  /** As above, but each synopsis row additionally carries per-key
+    * PREDICATE-conditioned counts (`preds` = name → boolean column,
+    * counted in the same single grouping pass). A probe can then price
+    * |σ_p(A) ⋈ B| for any predicate recorded at build time from the
+    * stored rows alone: below τ both synopses are complete, and the
+    * per-key filtered count is exact there, so the correlated-sampling
+    * estimator applies unchanged with cntA swapped for the predicate
+    * column. Costs k extra longs per predicate — the synopsis stays a
+    * few KB however large the table.
+    */
+  def buildJoinKeySynopsis(df: DataFrame, keyCol: String, path: String,
+      k: Int, preds: Seq[(String, Column)]): Unit = {
+    val predAggs = preds.map { case (n, c) =>
+      count(when(c, lit(1))).as(n) }
     val per = df.groupBy(col(keyCol).as("key"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(count(lit(1)).as("cnt"), predAggs: _*)
+    val names = "cnt" +: preds.map(_._1)
     explodeSample(
       per.agg(uniformAgg(col("key"), k,
-        "key" -> col("key"), "cnt" -> col("cnt")).as("smp")),
-      "smp", Seq.empty, Seq("key", "cnt"))
-      .select(col("h"), col("key"), col("cnt"))
+        ("key" -> col("key")) +: names.map(n => n -> col(n)): _*).as("smp")),
+      "smp", Seq.empty, "key" +: names)
+      .select(col("h") +: col("key") +: names.map(col): _*)
       .write.format("kv").option("path", path).mode("overwrite").save()
   }
 
@@ -161,12 +195,24 @@ object SampleSynopsis {
     * One row: (est_pairs). Every step replays in HUGEINT.
     */
   def joinSizeEstimate(spark: org.apache.spark.sql.SparkSession,
-      pathA: String, pathB: String, k: Int): DataFrame = {
+      pathA: String, pathB: String, k: Int): DataFrame =
+    joinSizeEstimate(spark, pathA, pathB, k, "cnt", "cnt")
+
+  /** As above with selectable per-side count columns — pass a
+    * predicate-count column recorded by [[buildJoinKeySynopsis]] to
+    * price the FILTERED join |σ_p(A) ⋈ σ_q(B)| from the same stored
+    * synopses (the unfiltered `cnt` stays the default).
+    */
+  def joinSizeEstimate(spark: org.apache.spark.sql.SparkSession,
+      pathA: String, pathB: String, k: Int,
+      cntColA: String, cntColB: String): DataFrame = {
     import graft.functions.PrioritySample
-    def side(p: String, suf: String) =
+    def side(p: String, suf: String) = {
+      val cn = if (suf == "a") cntColA else cntColB
       spark.read.format("kv").option("path", p).load()
         .select(col("h").as(s"h$suf"), col("key"),
-          col("cnt").as(s"cnt$suf"))
+          col(cn).as(s"cnt$suf"))
+    }
     val sa = side(pathA, "a")
     val sb = side(pathB, "b")
     def tauOf(s: DataFrame, h: String) = s.agg(

@@ -233,6 +233,61 @@ object EventsQueries {
         .orderBy(col("w_start"), col("rnk"))
     }),
 
+    // Per-(event_type × 6h-window) SAMPLE MATRIX: ONE persisted cell
+    // table answers every marginalization — rolled up over type it
+    // yields each window's bottom-8 sample, over window each type's,
+    // over both the corpus sample, each BIT-IDENTICAL to the direct
+    // build of that slice (the union+trim lemma applies per surviving
+    // group: any row of a slice's bottom-k is in its own cell's
+    // bottom-k). At 100 TB the cell table is maintained incrementally
+    // (q_sample_incremental's append path) and every "sample this
+    // slice" dashboard question reads synopsis rows alone. Direct
+    // builds ride along; the oracle pins both columns with one
+    // replayed chain per axis.
+    "q_sample_matrix" -> ((s, dir) => {
+      import graft.operators.SampleSynopsis
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val sk = s"/tmp/graft_smpmx$safe"
+      graft.sources.ParquetIO.deletePath(sk)
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          unix_timestamp(window(col("ts"), "21600 seconds")("start"))
+            .as("w_start"),
+          col("event_id"), col("user_id"))
+      ev.groupBy(col("event_type"), col("w_start"))
+        .agg(SampleSynopsis.uniformAgg(col("event_id"), 8,
+          "event_id" -> col("event_id"), "user_id" -> col("user_id"))
+          .as("smp"))
+        .select(col("event_type"), col("w_start"),
+          posexplode(col("smp")).as(Seq("pos", "t")))
+        .select(col("event_type"), col("w_start"), col("t.h").as("h"),
+          col("t.event_id").as("event_id"), col("t.user_id").as("user_id"))
+        .write.format("kv").option("path", sk).mode("overwrite").save()
+      val stored = s.read.format("kv").option("path", sk).load()
+      def directBy(keep: Seq[String]) =
+        SampleSynopsis.explodeSample(
+          ev.groupBy(keep.map(col): _*).agg(
+            SampleSynopsis.uniformAgg(col("event_id"), 8,
+              "event_id" -> col("event_id")).as("smp")),
+          "smp", keep, Seq("event_id"))
+      def axisDf(axisName: String, keep: Seq[String]) = {
+        val rolled = SampleSynopsis.rollupBy(stored, "h", 8, keep,
+          Seq("event_id", "user_id"))
+        val direct = directBy(keep).select(
+          keep.map(col) :+ col("rnk") :+
+            col("event_id").as("event_id_direct"): _*)
+        val grp = if (keep.isEmpty) lit("*")
+          else concat_ws("/", keep.map(c => col(c).cast("string")): _*)
+        rolled.join(direct, keep :+ "rnk")
+          .select(lit(axisName).as("axis"), grp.as("grp"), col("rnk"),
+            col("event_id"), col("event_id_direct"), col("user_id"))
+      }
+      axisDf("window", Seq("w_start"))
+        .unionAll(axisDf("type", Seq("event_type")))
+        .unionAll(axisDf("global", Seq.empty))
+        .orderBy(col("axis"), col("grp"), col("rnk"))
+    }),
+
     // Streaming SKETCH-TABLE ingest for the frequency family (the
     // q_stream_hll_window discipline on counters): per-window CMS
     // counter blobs land in a kv table as the stream drains (append
@@ -796,6 +851,7 @@ object EventsQueries {
     // sealed windows + the per-window k-min chain + counts
     "q_stream_kmv_window" -> SketchOracleSql.streamKmvWindowOracle,
     "q_stream_sample_ingest" -> SketchOracleSql.streamSampleIngestOracle(16),
+    "q_sample_matrix" -> SketchOracleSql.sampleMatrixOracle(8),
     "q_events_winsorize_sketch" -> SketchOracleSql.eventsWinsorizeSketchOracle,
 
     // sessionization (lag/cumsum), integer features, EXISTS label over

@@ -2275,6 +2275,46 @@ object PipelineQueries {
         .select(lit(64).as("k_cap"), col("est_pairs"), col("exact_pairs"))
     }),
 
+    // FILTERED join-size probe: the view-side synopsis additionally
+    // records, per sampled key, how many of that key's rows pass
+    // `value >= 50` (counted in the SAME grouping pass — k extra longs,
+    // no second scan). The optimizer's "how big is this join under my
+    // predicate" question then prices from stored rows alone: below τ
+    // both synopses hold every key and the per-key filtered count is
+    // exact there, so the correlated-sampling estimator applies with
+    // cntA swapped for the predicate column. One synopsis pair serves
+    // BOTH the filtered and unfiltered estimates (est_pairs_all rides
+    // along); exact filtered pairs pin the answer. HUGEINT-replayed.
+    "q_probe_join_size_filtered" -> ((s, dir) => {
+      import graft.operators.SampleSynopsis
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val pa = s"/tmp/graft_jsynfa$safe"
+      val pb = s"/tmp/graft_jsynfb$safe"
+      graft.sources.ParquetIO.deletePath(pa)
+      graft.sources.ParquetIO.deletePath(pb)
+      val ev = Tables.load(s, dir, "events")
+      SampleSynopsis.buildJoinKeySynopsis(
+        ev.filter(col("event_type") === "view"), "user_id", pa, 64,
+        Seq("cnt_hi" -> (col("value") >= 50.0)))
+      SampleSynopsis.buildJoinKeySynopsis(
+        ev.filter(col("event_type") === "purchase"), "user_id", pb, 64)
+      val exact = ev
+        .filter(col("event_type") === "view" && col("value") >= 50.0)
+        .groupBy(col("user_id")).agg(count(lit(1)).as("ca"))
+        .join(ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("cb")), "user_id")
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).cast("long")
+          .as("exact_pairs_hi"))
+      val estAll = SampleSynopsis.joinSizeEstimate(s, pa, pb, 64)
+        .select(col("est_pairs").as("est_pairs_all"))
+      SampleSynopsis.joinSizeEstimate(s, pa, pb, 64, "cnt_hi", "cnt")
+        .select(col("est_pairs").as("est_pairs_hi"))
+        .crossJoin(broadcast(estAll))
+        .crossJoin(broadcast(exact))
+        .select(lit(64).as("k_cap"), col("est_pairs_hi"),
+          col("est_pairs_all"), col("exact_pairs_hi"))
+    }),
+
     // The trained probe applied: per-doc predicted label, top-10 by
     // (score desc, doc_id) — training AND scoring replayed end to end.
     "q_probe_linear_scores" -> ((s, dir) => {

@@ -2988,6 +2988,102 @@ object SketchOracleSql {
        |FROM jj j, jtau t, jx x""".stripMargin
   }
 
+  /** q_probe_join_size_filtered: the correlated-sampling estimator with
+    * a predicate-conditioned count on the view side — the synopsis A
+    * chain carries cnt_hi = per-key count of rows with value >= 50,
+    * and the filtered estimate is ⌊(Σ cnt_hi_a·cnt_b under τ)·2^64/τ⌋;
+    * the unfiltered estimate reads the SAME stored rows. Exact
+    * filtered pairs ride along.
+    */
+  def probeJoinSizeFilteredOracle(k: Int): String = {
+    val aBase = "SELECT user_id AS key, count(*)::BIGINT AS cnt, " +
+      "count(CASE WHEN value >= 50 THEN 1 END)::BIGINT AS cnt_hi " +
+      "FROM events WHERE event_type = 'view' GROUP BY 1"
+    val bBase = "SELECT user_id AS key, count(*)::BIGINT AS cnt " +
+      "FROM events WHERE event_type = 'purchase' GROUP BY 1"
+    s"""WITH fag AS MATERIALIZED ($aBase),
+       |fah AS (
+       |  SELECT key, cnt, cnt_hi, hu
+       |  FROM (${smCols("SELECT key, cnt, cnt_hi FROM fag", ux("key"),
+            "hu", "fax")})
+       |), fas AS (
+       |  SELECT key, cnt, cnt_hi, hu FROM (
+       |    SELECT *, row_number() OVER (ORDER BY hu) AS rn FROM fah
+       |  ) WHERE rn <= $k
+       |), fat AS (
+       |  SELECT CASE WHEN count(*) < $k THEN 18446744073709551616::HUGEINT
+       |    ELSE max(hu) END AS tau FROM fas
+       |), fbg AS MATERIALIZED ($bBase),
+       |fbh AS (
+       |  SELECT key, cnt, hu
+       |  FROM (${smCols("SELECT key, cnt FROM fbg", ux("key"), "hu",
+            "fbx")})
+       |), fbs AS (
+       |  SELECT key, cnt, hu FROM (
+       |    SELECT *, row_number() OVER (ORDER BY hu) AS rn FROM fbh
+       |  ) WHERE rn <= $k
+       |), fbt AS (
+       |  SELECT CASE WHEN count(*) < $k THEN 18446744073709551616::HUGEINT
+       |    ELSE max(hu) END AS tau FROM fbs
+       |), ftau AS (SELECT least(a.tau, b.tau) AS tau FROM fat a, fbt b),
+       |fjj AS (
+       |  SELECT coalesce(sum(a.cnt_hi::HUGEINT * b.cnt::HUGEINT),
+       |      0::HUGEINT) AS j_hi,
+       |    coalesce(sum(a.cnt::HUGEINT * b.cnt::HUGEINT),
+       |      0::HUGEINT) AS j_all
+       |  FROM fas a JOIN fbs b ON a.key = b.key CROSS JOIN ftau t
+       |  WHERE a.hu < t.tau
+       |), fjx AS (
+       |  SELECT coalesce(sum(a.cnt_hi * b.cnt), 0)::BIGINT
+       |    AS exact_pairs_hi
+       |  FROM fag a JOIN fbg b ON a.key = b.key
+       |)
+       |SELECT $k AS k_cap,
+       |  ((j.j_hi * 18446744073709551616::HUGEINT) // t.tau)::BIGINT
+       |    AS est_pairs_hi,
+       |  ((j.j_all * 18446744073709551616::HUGEINT) // t.tau)::BIGINT
+       |    AS est_pairs_all,
+       |  x.exact_pairs_hi
+       |FROM fjj j, ftau t, fjx x""".stripMargin
+  }
+
+  /** q_sample_matrix: every axis of the (event_type × 6h-window) cell
+    * table replayed from the raw events — per-window, per-type and
+    * global bottom-k chains ranked by unsigned splitmix64(event_id);
+    * bit-identity of the rolled-up sample means one chain per axis
+    * pins both the rolled and the direct column.
+    */
+  def sampleMatrixOracle(k: Int): String = {
+    val base = "SELECT event_type, " +
+      "(epoch_us(date_trunc('microseconds', ts)) // 21600000000) * 21600" +
+      " AS w_start, event_id, user_id FROM events"
+    s"""WITH smxb AS MATERIALIZED (
+       |  SELECT event_type, w_start, event_id, user_id, h
+       |  FROM (${smCols(base, ux("event_id"), "h", "smxs")})
+       |), smxw AS (
+       |  SELECT 'window' AS axis, w_start::VARCHAR AS grp,
+       |    row_number() OVER (PARTITION BY w_start ORDER BY h) AS rnk,
+       |    event_id, user_id
+       |  FROM smxb
+       |), smxt AS (
+       |  SELECT 'type' AS axis, event_type AS grp,
+       |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rnk,
+       |    event_id, user_id
+       |  FROM smxb
+       |), smxg AS (
+       |  SELECT 'global' AS axis, '*' AS grp,
+       |    row_number() OVER (ORDER BY h) AS rnk, event_id, user_id
+       |  FROM smxb
+       |), smxu AS (
+       |  SELECT * FROM smxw UNION ALL SELECT * FROM smxt
+       |  UNION ALL SELECT * FROM smxg
+       |)
+       |SELECT axis, grp, rnk::INT AS rnk, event_id,
+       |  event_id AS event_id_direct, user_id
+       |FROM smxu WHERE rnk <= $k
+       |ORDER BY axis, grp, rnk""".stripMargin
+  }
+
   /** q_stream_sample_ingest: the sealed-window emission rule + the
     * per-window bottom-k event sample (rank by unsigned
     * splitmix64(event_id) within each 6h window) + per-window counts.
@@ -5092,5 +5188,6 @@ object SketchOracleSql {
     "q_ann_lsh" -> annLshOracle,
     "q_ann_lsh_multiprobe" -> annLshMultiProbeOracle,
     "q_ann_lsh_multiprobe_audit" -> annLshMultiProbeAuditOracle,
-    "q_probe_join_size" -> probeJoinSizeOracle(64))
+    "q_probe_join_size" -> probeJoinSizeOracle(64),
+    "q_probe_join_size_filtered" -> probeJoinSizeFilteredOracle(64))
 }

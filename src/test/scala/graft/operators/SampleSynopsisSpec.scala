@@ -97,6 +97,51 @@ class SampleSynopsisSpec extends SparkSpec {
       s"estimate $est too far from $exact")
   }
 
+  test("matrix: grouped rollup of cell samples equals each slice's direct build") {
+    // two dimensions: source (5 values) × band (3 values); cell table
+    // holds per-(source, band) bottom-8 rows, then every
+    // marginalization must match the direct sample of that slice.
+    val df = fixture(600).withColumn("band", (col("id") % 3).cast("string"))
+    val cells = df.groupBy(col("source"), col("band"))
+      .agg(SampleSynopsis.uniformAgg(col("id"), 8,
+        "id" -> col("id"), "w" -> col("w")).as("smp"))
+      .select(col("source"), col("band"),
+        posexplode(col("smp")).as(Seq("pos", "t")))
+      .select(col("source"), col("band"), col("t.h").as("h"),
+        col("t.id").as("id"), col("t.w").as("w"))
+    def direct(keep: Seq[String]) =
+      SampleSynopsis.explodeSample(
+        df.groupBy(keep.map(col): _*).agg(
+          SampleSynopsis.uniformAgg(col("id"), 8, "id" -> col("id")).as("smp")),
+        "smp", keep, Seq("id"))
+        .select((keep :+ "rnk" :+ "id").map(col): _*)
+        .collect().toSeq
+    for (keep <- Seq(Seq("source"), Seq("band"), Seq.empty[String])) {
+      val rolled = SampleSynopsis.rollupBy(cells, "h", 8, keep, Seq("id"))
+        .select((keep :+ "rnk" :+ "id").map(col): _*)
+        .collect().toSeq
+      assert(rolled.toSet == direct(keep).toSet,
+        s"marginalization over keep=$keep not bit-identical")
+    }
+  }
+
+  test("filtered join-size probe: complete synopses give the EXACT filtered count") {
+    val base = java.nio.file.Files.createTempDirectory("jsynf").toString
+    val a = (1 to 30).map(i => (i.toLong % 10 + 1, i)).toDF("key", "x")
+    val b = (1 to 20).map(i => (i.toLong % 10 + 6, i)).toDF("key", "x")
+    SampleSynopsis.buildJoinKeySynopsis(a, "key", s"$base/a", 64,
+      Seq("cnt_even" -> (col("x") % 2 === 0)))
+    SampleSynopsis.buildJoinKeySynopsis(b, "key", s"$base/b", 64)
+    val est = SampleSynopsis.joinSizeEstimate(
+      spark, s"$base/a", s"$base/b", 64, "cnt_even", "cnt")
+      .as[Long].collect().head
+    val exact = a.filter(col("x") % 2 === 0)
+      .groupBy("key").count().withColumnRenamed("count", "ca")
+      .join(b.groupBy("key").count().withColumnRenamed("count", "cb"), "key")
+      .agg(sum(col("ca") * col("cb"))).as[Long].collect().head
+    assert(est == exact, s"complete synopses must be exact: $est vs $exact")
+  }
+
   test("weighted: higher weight wins at equal hash count (inclusion bias)") {
     // two strata, same size; heavy rows weight 1000, light rows weight 1
     val df = ((1 to 500).map(i => (i.toLong, 1000L)) ++
