@@ -102,6 +102,71 @@ object KvMerge {
     stale.length + inert.length
   }
 
+  /** RESTORE the table to its state as of streaming epoch `epoch` —
+    * the time-travel snapshot made CURRENT (Delta's RESTORE, on the
+    * epoch-marker log this sink already keeps). Nothing is rewritten:
+    * visibility of an epoch is its `_commits/<E>` marker, so restore is
+    * marker deletion plus garbage collection, crash-safe in order:
+    *
+    *  1. refusals — delegated to the SAME gate time travel uses (a
+    *     committed row-level rewrite watermarked above `epoch`, or a
+    *     compacted floor above it, means the replaced bytes are gone);
+    *     additionally the target epoch must itself be committed, and
+    *     any non-epoch data file written at-or-after the target marker
+    *     (a bulk append/rewrite outside epoch history) refuses — its
+    *     rows carry no epoch to roll back by. `rlo-`/`part-rlo-` parts
+    *     are exempt: their own watermark refusal already proves they
+    *     fold only state from epochs ≤ `epoch`.
+    *  2. delete `_commits/<E>` markers with E > `epoch`, NEWEST first —
+    *     a crash mid-sweep leaves a consistent "as of K" table for some
+    *     K ≥ `epoch` (never a gap in visible history).
+    *  3. delete the now-invisible `epoch-E-*` data files — the same
+    *     garbage a torn write leaves; a crash here is healed by
+    *     [[vacuum]].
+    *
+    * Columns added to the schema sidecar by rolled-back epochs are NOT
+    * reverted — they read as all-null, the sparse-attribute contract.
+    * Returns the number of epochs rolled back.
+    */
+  def restoreToEpoch(path: String, epoch: Long): Int = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(ParquetIO.hadoopConf)
+    val commits = new Path(p, "_commits")
+    require(fs.exists(commits), s"kv restore: no commit history under $path")
+    // throws when an rlo watermark or the compaction floor is above the
+    // target — identical reconstructibility rules as snapshot reads
+    ParquetIO.listFilesStatus(path, Some(epoch))
+    val epochMarkers = fs.listStatus(commits)
+      .filter(st => st.getPath.getName.forall(_.isDigit) &&
+        st.getPath.getName.nonEmpty)
+    val target = epochMarkers.find(_.getPath.getName.toLong == epoch)
+      .getOrElse(throw new IllegalStateException(
+        s"kv restore: epoch $epoch never committed on $path"))
+    val bulkAfter = fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && n.endsWith(".parquet") && !n.startsWith("epoch-") &&
+        !n.startsWith("rlo-") && !n.startsWith("part-rlo-") &&
+        !n.startsWith("_") && !n.startsWith(".") &&
+        st.getModificationTime >= target.getModificationTime
+    }
+    require(bulkAfter.isEmpty,
+      s"kv restore: ${bulkAfter.length} non-epoch data file(s) written " +
+        s"after epoch $epoch committed on $path (e.g. " +
+        s"${bulkAfter.head.getPath.getName}) — bulk writes carry no " +
+        "epoch to roll back by; restore applies to epoch-addressed " +
+        "history only")
+    val toDrop = epochMarkers.map(_.getPath)
+      .filter(_.getName.toLong > epoch).sortBy(-_.getName.toLong)
+    toDrop.foreach(m => fs.delete(m, false))
+    fs.listStatus(p).filter { st =>
+      val n = st.getPath.getName
+      st.isFile && n.startsWith("epoch-") && n.endsWith(".parquet") &&
+        n.stripPrefix("epoch-").takeWhile(_ != '-').toLongOption
+          .exists(_ > epoch)
+    }.foreach(st => fs.delete(st.getPath, false))
+    toDrop.length
+  }
+
   /** Fold committed rlo transactions into base state WITHOUT a data
     * rewrite — the listing-cost maintenance op for rewrite-heavy tables
     * (every UPDATE/MERGE leaves a `_commits/rlo-<txid>` marker that

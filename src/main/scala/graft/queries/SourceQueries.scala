@@ -516,6 +516,101 @@ object SourceQueries {
         .orderBy(col("s_suppkey"))
     }),
 
+    // Schema evolution, step 3: DROP COLUMN and RENAME COLUMN,
+    // metadata-only (KvEvolution — Iceberg column-mapping "name mode"
+    // without field IDs). The rename keeps its bytes on pre-rename
+    // files (the ledger maps the new logical name to the on-disk
+    // physical name and the row reader resolves it per file); the drop
+    // hides bytes that stay in the files forever. Name-based stores
+    // cannot safely re-use evolved-away names, so the resurrection
+    // refusals — ADD COLUMN of a dropped name, ADD COLUMN of a
+    // renamed column's physical name — are asserted in-gate, and an
+    // append that writes the dropped name anyway must not resurface it
+    // (its other columns land; the orphan bytes stay invisible). The
+    // final read filters through the renamed column — mixed physical
+    // layouts, so the predicate stays residual and Spark re-applies.
+    "q_kv_drop_rename_column" -> ((s, dir) => {
+      graft.Tables.tuneForGates(s) // kvcat catalog
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val staged = s"/tmp/graft_evolve$safe"
+      ParquetIO.deletePath(staged)
+      val nation = graft.Tables.load(s, dir, "nation")
+      nation.select(col("n_nationkey").cast("long").as("n_nationkey"),
+          col("n_name"), col("n_regionkey").cast("long").as("n_regionkey"))
+        .write.format("kv").option("path", staged).mode("overwrite").save()
+      s.sql(s"ALTER TABLE kvcat.`$staged` RENAME COLUMN n_name TO nation_name")
+      s.sql(s"ALTER TABLE kvcat.`$staged` DROP COLUMN n_regionkey")
+      // post-evolution append carries the NEW name natively
+      nation.select((col("n_nationkey") + 1000L).as("n_nationkey"),
+          upper(col("n_name")).as("nation_name"))
+        .write.format("kv").option("path", staged).mode("append").save()
+      def refused(ddl: String): Boolean =
+        try { s.sql(ddl); false } catch { case _: Throwable => true }
+      require(refused(s"ALTER TABLE kvcat.`$staged` ADD COLUMN n_regionkey BIGINT"),
+        "ADD COLUMN of a dropped name must refuse — old bytes would resurface")
+      require(refused(s"ALTER TABLE kvcat.`$staged` ADD COLUMN n_name STRING"),
+        "ADD COLUMN of a renamed column's physical name must refuse")
+      // an append that still writes the dropped name: other columns
+      // land, the orphan bytes stay invisible
+      nation.select((col("n_nationkey") + 2000L).as("n_nationkey"),
+          lower(col("n_name")).as("nation_name"),
+          col("n_regionkey").cast("long").as("n_regionkey"))
+        .write.format("kv").option("path", staged).mode("append").save()
+      val t = s.read.table(s"kvcat.`$staged`")
+      require(!t.columns.contains("n_regionkey"),
+        "dropped column must not resurface through a later append")
+      t.filter(col("nation_name") =!= "zzz")
+        .select(col("n_nationkey"), col("nation_name"))
+        .orderBy(col("n_nationkey"))
+    }),
+
+    // RESTORE TABLE TO epoch — the time-travel snapshot made CURRENT
+    // (Delta's RESTORE on the sink's epoch-marker log): epoch history
+    // 0..2, restore to 1 deletes epoch 2's commit marker (visibility
+    // flips off) and garbage-collects its file; nothing is rewritten.
+    // Refusals asserted in-gate: restoring to a never-committed epoch,
+    // and restoring below bulk-appended rows that carry no epoch to
+    // roll back by. Restore is idempotent (second call rolls back 0).
+    "q_kv_restore_epoch" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+      import org.apache.spark.unsafe.types.UTF8String
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val root = s"/tmp/graft_restore$safe"
+      ParquetIO.deletePath(root)
+      val sink = s"$root/t"
+      val sinkSchema = StructType(Seq(
+        StructField("n_nationkey", LongType), StructField("n_name", StringType)))
+      val rows = graft.Tables.load(s, dir, "nation")
+        .select(col("n_nationkey").cast("long"), col("n_name")).collect()
+      val factory = graft.sources.kv.KvStreamingWriterFactory(sink, sinkSchema)
+      val write = new graft.sources.kv.KvStreamingWrite(sink, sinkSchema)
+      (0L to 2L).foreach { e =>
+        val w = factory.createWriter(0, 0L, e)
+        rows.filter(_.getLong(0) % 3 == e).foreach { r =>
+          w.write(new GenericInternalRow(Array[Any](
+            r.getLong(0), UTF8String.fromString(r.getString(1)))))
+        }
+        write.commit(e, Array(w.commit()))
+      }
+      def refuses(f: => Any): Boolean =
+        try { f; false } catch { case _: Throwable => true }
+      require(refuses(graft.operators.KvMerge.restoreToEpoch(sink, 5)),
+        "restore to a never-committed epoch must refuse")
+      require(graft.operators.KvMerge.restoreToEpoch(sink, 1) == 1,
+        "exactly epoch 2 rolls back")
+      require(graft.operators.KvMerge.restoreToEpoch(sink, 1) == 0,
+        "restore is idempotent")
+      graft.Tables.load(s, dir, "nation")
+        .select((col("n_nationkey") + 1000L).cast("long").as("n_nationkey"),
+          col("n_name"))
+        .write.format("kv").option("path", sink).mode("append").save()
+      require(refuses(graft.operators.KvMerge.restoreToEpoch(sink, 0)),
+        "restore below bulk-appended (epoch-less) rows must refuse")
+      s.read.format("kv").option("path", sink).load()
+        .orderBy(col("n_nationkey"))
+    }),
+
     // Table maintenance end-to-end: a 8-file kv table is compacted to 2
     // range-clustered files (crash-safe swap), then queried — contents
     // must be untouched by the rewrite.
@@ -1331,6 +1426,35 @@ object SourceQueries {
         |  FROM supplier
         |)
         |WHERE s_suppkey > 10 ORDER BY s_suppkey""".stripMargin,
+
+    // drop/rename evolution: base rows read the renamed column through
+    // its physical alias, the +1000 append wrote the new name natively,
+    // the +2000 append's dropped-name bytes are invisible (refusals
+    // asserted in-gate — a refusal that failed to fire throws there)
+    "q_kv_drop_rename_column" ->
+      """SELECT n_nationkey, nation_name FROM (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey,
+        |    n_name AS nation_name FROM nation
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey + 1000 AS BIGINT), upper(n_name)
+        |  FROM nation
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey + 2000 AS BIGINT), lower(n_name)
+        |  FROM nation
+        |)
+        |WHERE nation_name <> 'zzz'
+        |ORDER BY n_nationkey""".stripMargin,
+
+    // restore to epoch 1: epochs 0..1 survive, epoch 2 is rolled back,
+    // the bulk +1000 append lands after the restore
+    "q_kv_restore_epoch" ->
+      """SELECT n_nationkey, n_name FROM (
+        |  SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name
+        |  FROM nation WHERE n_nationkey % 3 <= 1
+        |  UNION ALL
+        |  SELECT CAST(n_nationkey + 1000 AS BIGINT), n_name FROM nation
+        |)
+        |ORDER BY n_nationkey""".stripMargin,
 
     "q_kv_compact" ->
       """SELECT o_orderpriority, count(*) AS n, min(o_orderkey) AS min_key,

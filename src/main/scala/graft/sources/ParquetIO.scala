@@ -673,14 +673,26 @@ object ParquetIO {
       schema: StructType,
       range: Option[(Long, Long)] = None,
       filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None,
-      skipRowGroups: Int = 0)
+      skipRowGroups: Int = 0,
+      aliases: Map[String, String] = Map.empty)
       : Iterator[InternalRow] with AutoCloseable = {
     val optsB = ParquetReadOptions.builder()
     range.foreach { case (s, e) => optsB.withRange(s, e) }
     filter.foreach(f => optsB.withRecordFilter(FilterCompat.get(f)))
     val reader = ParquetFileReader.open(HadoopInputFile.fromPath(file, hadoopConf), optsB.build())
     val fileType = reader.getFooter.getFileMetaData.getSchema
-    val projection = projectSchema(fileType, schema.fieldNames.toSeq)
+    // Column-mapping resolution (KvEvolution "name mode"): a requested
+    // column absent from THIS file but recorded under a physical alias
+    // that IS present reads through the alias — renamed columns keep
+    // their bytes on pre-rename files. Positional: the effective schema
+    // only swaps field names, so rows come out in the logical order.
+    val effSchema = if (aliases.isEmpty) schema else StructType(
+      schema.fields.map { f =>
+        if (fileType.containsField(f.name)) f
+        else aliases.get(f.name).filter(fileType.containsField)
+          .map(p => f.copy(name = p)).getOrElse(f)
+      })
+    val projection = projectSchema(fileType, effSchema.fieldNames.toSeq)
     reader.setRequestedSchema(projection)
     var toSkip = skipRowGroups
     while (toSkip > 0) { reader.skipNextRowGroup(); toSkip -= 1 }
@@ -710,7 +722,7 @@ object ParquetIO {
             remaining -= 1
             // filtered-out records materialize as null
             if (g != null && !recordReader.shouldSkipCurrentRecord)
-              nextRow = groupToRow(g, projection, schema)
+              nextRow = groupToRow(g, projection, effSchema)
           }
         }
       }

@@ -31,6 +31,13 @@ object KvAggregates {
 
   def compile(path: String, tableSchema: StructType, agg: Aggregation): Option[Compiled] = {
     if (agg.groupByExpressions.nonEmpty || agg.aggregateExpressions.isEmpty) return None
+    // A RENAMED column breaks the sparse-column premise this folder
+    // rests on: pre-rename files store its values under the PHYSICAL
+    // name, so the logical name's "absent → all null" fold would
+    // silently drop them from MIN/MAX/COUNT. Refuse whenever any
+    // rename mapping exists — correctness over coverage (the same
+    // posture as the snapshot refusal).
+    if (KvEvolution.read(path).renames.nonEmpty) return None
     val files = ParquetIO.listFilesStatus(path)
     val perFile = files.map { case (f, len, mt) =>
       val rows = ParquetIO.footerInfoCached(f, len, mt).map(_.rowCount).sum

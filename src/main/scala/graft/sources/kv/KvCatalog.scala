@@ -99,6 +99,7 @@ class KvCatalog extends TableCatalog with FunctionCatalog {
       case _ => false
     }
 
+    var ledger = KvEvolution.read(path)
     val evolved = changes.foldLeft(current) {
       case (schema, add: TableChange.AddColumn) =>
         require(add.fieldNames().length == 1,
@@ -107,10 +108,57 @@ class KvCatalog extends TableCatalog with FunctionCatalog {
         val name = add.fieldNames()(0)
         require(!schema.fieldNames.exists(_.equalsIgnoreCase(name)),
           s"column '$name' already exists in kv table $path")
+        require(!ledger.reserved.contains(name.toLowerCase),
+          s"kv ADD COLUMN refuses '$name' on $path: the name belongs to a " +
+            "dropped or renamed-away column whose bytes persist in old " +
+            "files — a name-based store would resurrect them into the new " +
+            "column; use a fresh name")
         require(add.position() == null,
           "kv ADD COLUMN appends at the end; FIRST/AFTER positions are not supported")
         // always nullable: pre-evolution files have no values for it
         StructType(schema.fields :+ StructField(name, add.dataType(), nullable = true))
+      case (schema, del: TableChange.DeleteColumn) =>
+        require(del.fieldNames().length == 1,
+          s"kv DROP COLUMN supports top-level columns only, got " +
+            del.fieldNames().mkString("."))
+        val name = del.fieldNames()(0)
+        val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(name))
+        require(idx >= 0, s"column '$name' does not exist in kv table $path")
+        require(schema.length > 1,
+          s"kv DROP COLUMN would leave table $path without columns")
+        // metadata-only: bytes stay in old files, hidden by the schema
+        // sidecar. The name — and, for a previously renamed column, its
+        // on-disk physical name — joins the tombstone set so no later
+        // ADD COLUMN can resurrect the orphaned values.
+        val canonical = schema.fieldNames(idx)
+        ledger = ledger.copy(
+          dropped = ledger.dropped + canonical.toLowerCase ++
+            ledger.renames.get(canonical).map(_.toLowerCase),
+          renames = ledger.renames - canonical)
+        withdrawLayouts(path, canonical)
+        StructType(schema.fields.patch(idx, Nil, 1))
+      case (schema, ren: TableChange.RenameColumn) =>
+        require(ren.fieldNames().length == 1,
+          s"kv RENAME COLUMN supports top-level columns only, got " +
+            ren.fieldNames().mkString("."))
+        val from = ren.fieldNames()(0)
+        val to = ren.newName()
+        val idx = schema.fieldNames.indexWhere(_.equalsIgnoreCase(from))
+        require(idx >= 0, s"column '$from' does not exist in kv table $path")
+        require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+          s"column '$to' already exists in kv table $path")
+        require(!ledger.reserved.contains(to.toLowerCase),
+          s"kv RENAME COLUMN refuses '$to' on $path: the name belongs to a " +
+            "dropped or renamed-away column whose bytes persist in old files")
+        // metadata-only (Iceberg column-mapping name mode): the ledger
+        // maps the new logical name to the ORIGINAL physical name —
+        // chains collapse, so the reader resolves one hop per file.
+        val canonical = schema.fieldNames(idx)
+        val physical = ledger.renames.getOrElse(canonical, canonical)
+        ledger = ledger.copy(
+          renames = ledger.renames - canonical + (to -> physical))
+        withdrawLayouts(path, canonical)
+        StructType(schema.fields.updated(idx, schema(idx).copy(name = to)))
       case (schema, upd: TableChange.UpdateColumnType) =>
         require(upd.fieldNames().length == 1,
           s"kv ALTER COLUMN supports top-level columns only, got " +
@@ -147,10 +195,32 @@ class KvCatalog extends TableCatalog with FunctionCatalog {
         StructType(schema.fields.updated(idx,
           schema(idx).copy(dataType = upd.newDataType())))
       case (_, other) => throw new UnsupportedOperationException(
-        s"kv catalog supports ALTER TABLE ADD COLUMN / ALTER COLUMN TYPE only, got $other")
+        "kv catalog supports ALTER TABLE ADD COLUMN / ALTER COLUMN TYPE / " +
+          s"DROP COLUMN / RENAME COLUMN only, got $other")
     }
+    KvEvolution.write(path, ledger)
     KvSchemaMeta.replace(path, evolved)
     loadTable(ident)
+  }
+
+  /** Drop the name-keyed physical layouts that a column's evolution
+    * invalidates: a Bloom sidecar built on the old name would prune by
+    * stats the reader no longer consults, and a bucket layout's
+    * murmur3 placement is meaningless once the column is gone or
+    * answers to a different name — a kept KeyGroupedPartitioning claim
+    * would silently mis-route a storage-partitioned join.
+    */
+  private def withdrawLayouts(path: String, column: String): Unit = {
+    if (KvSidecar.readMeta(path, KvBloom.SidecarName).exists { m =>
+      (m \ "columns") match {
+        case org.json4s.JArray(cs) =>
+          cs.exists { case org.json4s.JString(c) => c.equalsIgnoreCase(column)
+                      case _ => false }
+        case _ => false
+      }
+    }) KvSidecar.tombstone(path, KvBloom.SidecarName)
+    if (KvBuckets.bucketsFor(path).exists(_.cols.exists(_.equalsIgnoreCase(column))))
+      KvBuckets.record(path, Nil, Nil, 0, Map.empty)
   }
   override def dropTable(ident: Identifier): Boolean =
     throw new UnsupportedOperationException("kv catalog does not support DROP TABLE")

@@ -36,9 +36,16 @@ object KvSchemaMeta {
   def record(tablePath: String, schema: StructType): Unit =
     scala.util.Try(recordUnsafe(tablePath, schema)).getOrElse(())
 
-  private def recordUnsafe(tablePath: String, schema: StructType): Unit =
+  private def recordUnsafe(tablePath: String, schema: StructType): Unit = {
+    // names dropped or renamed away stay out of the recorded schema even
+    // if a later append writes them: the evolution ledger owns those
+    // names (old-file bytes would otherwise resurface through the union)
+    val reserved = KvEvolution.read(tablePath).reserved
+    val incoming = StructType(allNullable(schema).fields
+      .filterNot(f => reserved.contains(f.name.toLowerCase)))
     writeSchema(tablePath, read(tablePath)
-      .map(union(_, allNullable(schema))).getOrElse(allNullable(schema)))
+      .map(union(_, incoming)).getOrElse(incoming))
+  }
 
   /** Replace the persisted schema WHOLESALE — the schema-evolution DDL
     * path (`ALTER COLUMN … TYPE`), where the new field type must WIN

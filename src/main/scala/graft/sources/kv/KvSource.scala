@@ -72,9 +72,19 @@ class KvSource extends TableProvider with DataSourceRegister {
       .getOrElse {
         val files = ParquetIO.listFilesStatus(path(options), snapshot)
         require(files.nonEmpty, s"no parquet files under ${path(options)} and no catalog option")
-        files.map { case (f, len, mt) =>
+        val union = files.map { case (f, len, mt) =>
           KvSource.toStructType(ParquetIO.fileSchemaCached(f, len, mt))
         }.reduce(KvSchemaMeta.union)
+        // The footer union sees every name ever written — including
+        // bytes the evolution ledger dropped or renamed away. A CURRENT
+        // read filters those out; a snapshot read keeps them (the table
+        // as of epoch N carried its then-current names).
+        if (snapshot.isDefined) union
+        else {
+          val reserved = KvEvolution.read(path(options)).reserved
+          org.apache.spark.sql.types.StructType(
+            union.fields.filterNot(f => reserved.contains(f.name.toLowerCase)))
+        }
       }
   }
 
@@ -716,18 +726,26 @@ class KvScan(path: String, requiredSchema: StructType, tableSchema: StructType,
         Some(org.apache.parquet.filter2.predicate.FilterApi.and(a, b))
       case (a, b) => a.orElse(b)
     }
+    // Column-mapping (KvEvolution): renamed columns read through their
+    // physical alias on pre-rename files — only the row reader resolves
+    // aliases, so the columnar plane is off for scans touching them
+    // (its absent-column constant-null vectors would null the history).
+    val aliases = KvEvolution.read(path).renames
+      .filter { case (l, _) => wide.fieldNames.contains(l) }
     // Columnar data plane when every requested column is stored natively
     // (KvVectorized Scaladoc); the widening/nanos coercion cases and
     // filter-column widening stay on the row reader.
     val columnar = vectorized && missing.isEmpty && !withFilePath &&
-      KvVectorized.scanEligible(path, requiredSchema)
-    new KvReaderFactory(wide, keep, fullPredicate, columnar, withFilePath)
+      aliases.isEmpty && KvVectorized.scanEligible(path, requiredSchema)
+    new KvReaderFactory(wide, keep, fullPredicate, columnar, withFilePath,
+      aliases)
   }
 }
 
 class KvReaderFactory(schema: StructType, keepIdx: Option[Array[Int]],
     predicate: Option[FilterPredicate],
-    columnar: Boolean = false, appendFilePath: Boolean = false)
+    columnar: Boolean = false, appendFilePath: Boolean = false,
+    aliases: Map[String, String] = Map.empty)
     extends PartitionReaderFactory {
   override def supportColumnarReads(partition: InputPartition): Boolean = columnar
   override def createColumnarReader(partition: InputPartition)
@@ -756,7 +774,8 @@ class KvReaderFactory(schema: StructType, keepIdx: Option[Array[Int]],
               Array[Any](org.apache.spark.unsafe.types.UTF8String.fromString(c.file))))
           }
           it = ParquetIO.readFile(new Path(c.file), schema,
-            range = Some((c.startByte, c.endByte)), filter = predicate)
+            range = Some((c.startByte, c.endByte)), filter = predicate,
+            aliases = aliases)
         }
         it != null && it.hasNext
       }
