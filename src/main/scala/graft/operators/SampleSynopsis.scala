@@ -171,18 +171,52 @@ object SampleSynopsis {
     * few KB however large the table.
     */
   def buildJoinKeySynopsis(df: DataFrame, keyCol: String, path: String,
-      k: Int, preds: Seq[(String, Column)]): Unit = {
+      k: Int, preds: Seq[(String, Column)]): Unit =
+    joinKeySynopsisRows(df, keyCol, k, preds)
+      .write.format("kv").option("path", path).mode("overwrite").save()
+
+  /** The synopsis as a frame — (h, key, cnt, preds…) rows — for callers
+    * that append (incremental/streaming maintenance) or partition the
+    * rows by an extra dimension before persisting. `keep` columns are
+    * carried as grouping dimensions: one independent bottom-k synopsis
+    * per keep-group (the per-window drift matrix).
+    */
+  def joinKeySynopsisRows(df: DataFrame, keyCol: String, k: Int,
+      preds: Seq[(String, Column)] = Seq.empty,
+      keep: Seq[String] = Seq.empty): DataFrame = {
     val predAggs = preds.map { case (n, c) =>
       count(when(c, lit(1))).as(n) }
-    val per = df.groupBy(col(keyCol).as("key"))
+    val per = df.groupBy(keep.map(col) :+ col(keyCol).as("key"): _*)
       .agg(count(lit(1)).as("cnt"), predAggs: _*)
     val names = "cnt" +: preds.map(_._1)
     explodeSample(
-      per.agg(uniformAgg(col("key"), k,
+      per.groupBy(keep.map(col): _*).agg(uniformAgg(col("key"), k,
         ("key" -> col("key")) +: names.map(n => n -> col(n)): _*).as("smp")),
-      "smp", Seq.empty, "key" +: names)
-      .select(col("h") +: col("key") +: names.map(col): _*)
-      .write.format("kv").option("path", path).mode("overwrite").save()
+      "smp", keep, "key" +: names)
+      .select(keep.map(col) ++ (col("h") +: col("key") +: names.map(col)): _*)
+  }
+
+  /** Merge appended per-batch synopsis rows back into the table's
+    * synopsis — BIT-IDENTICAL to a direct rebuild over the union. Two
+    * facts carry the lemma from plain samples to (key, cnt) synopses:
+    * ranks only shrink on subsets (any key of the union's bottom-k is
+    * in every contributing batch's bottom-k — each batch's key set is
+    * a subset of the union's), so for such a key EVERY batch that saw
+    * it kept it, and summing its per-batch counts reconstructs the
+    * exact union count. Grouping by `keep` runs one merge per group.
+    */
+  def rollupJoinSynopsis(stored: DataFrame, k: Int,
+      cntCols: Seq[String] = Seq("cnt"),
+      keep: Seq[String] = Seq.empty): DataFrame = {
+    val summed = stored.groupBy(keep.map(col) :+ col("key"): _*)
+      .agg(min(col("h")).as("h"),
+        cntCols.map(c => sum(col(c)).cast("long").as(c)): _*)
+    explodeSample(
+      summed.groupBy(keep.map(col): _*).agg(aggFromHash(col("h"), k,
+        ("key" -> col("key")) +: cntCols.map(c => c -> col(c)): _*).as("smp")),
+      "smp", keep, "key" +: cntCols)
+      .select(keep.map(col) ++
+        (col("h") +: col("key") +: cntCols.map(col)): _*)
   }
 
   /** |A ⋈ B| (equi-join pair count) estimated from two stored
@@ -206,27 +240,49 @@ object SampleSynopsis {
   def joinSizeEstimate(spark: org.apache.spark.sql.SparkSession,
       pathA: String, pathB: String, k: Int,
       cntColA: String, cntColB: String): DataFrame = {
-    import graft.functions.PrioritySample
-    def side(p: String, suf: String) = {
-      val cn = if (suf == "a") cntColA else cntColB
+    def side(p: String) =
       spark.read.format("kv").option("path", p).load()
-        .select(col("h").as(s"h$suf"), col("key"),
-          col(cn).as(s"cnt$suf"))
+    joinSizeEstimateFrames(side(pathA), side(pathB), k, cntColA, cntColB)
+  }
+
+  /** The correlated-sampling estimator over synopsis FRAMES, one
+    * estimate per `keep`-group (none → one global row): τ per group per
+    * side (2^64 when that group's synopsis is under capacity — it then
+    * holds every key, and a group exact on both sides estimates
+    * EXACTLY), J = Σ cntA·cntB over joined keys under τ,
+    * est = ⌊J·2^64/τ⌋. Groups are those present in BOTH synopses (an
+    * equi-join needs both sides). The whole pipeline touches only
+    * synopsis rows — at 100 TB the τ/J frames are KBs and broadcast.
+    */
+  def joinSizeEstimateFrames(sa0: DataFrame, sb0: DataFrame, k: Int,
+      cntColA: String = "cnt", cntColB: String = "cnt",
+      keep: Seq[String] = Seq.empty): DataFrame = {
+    import graft.functions.PrioritySample
+    // uniform grouped code path: a constant group when keep is empty
+    val g = if (keep.isEmpty) Seq("__g") else keep
+    def prep(s: DataFrame, suf: String, cn: String) = {
+      val base = if (keep.isEmpty) s.withColumn("__g", lit(0)) else s
+      base.select(g.map(col) ++ Seq(col("h").as(s"h$suf"), col("key"),
+        col(cn).as(s"cnt$suf")): _*)
     }
-    val sa = side(pathA, "a")
-    val sb = side(pathB, "b")
-    def tauOf(s: DataFrame, h: String) = s.agg(
-      when(count(lit(1)) < k, lit(Two64))
-        .otherwise(max(huDec(col(h)))).cast("decimal(38,0)").as("tau"))
-    val tau = tauOf(sa, "ha").crossJoin(tauOf(sb, "hb").
-        withColumnRenamed("tau", "tau_b"))
-      .select(least(col("tau"), col("tau_b")).as("tau"))
-    val j = sa.join(sb, "key").crossJoin(broadcast(tau))
+    val sa = prep(sa0, "a", cntColA)
+    val sb = prep(sb0, "b", cntColB)
+    def tauOf(s: DataFrame, h: String, out: String) =
+      s.groupBy(g.map(col): _*).agg(
+        when(count(lit(1)) < k, lit(Two64))
+          .otherwise(max(huDec(col(h)))).cast("decimal(38,0)").as(out))
+    val tau = tauOf(sa, "ha", "tau_a")
+      .join(broadcast(tauOf(sb, "hb", "tau_b")), g)
+      .select(g.map(col) :+ least(col("tau_a"), col("tau_b")).as("tau"): _*)
+    val joined = sa.join(sb, g :+ "key")
+      .join(broadcast(tau), g)
       .filter(huDec(col("ha")) < col("tau"))
-      .agg(coalesce(sum(col("cnta") * col("cntb")), lit(0L))
-        .cast("decimal(38,0)").as("j"))
-    j.crossJoin(broadcast(tau))
-      .select(PrioritySample.floorDiv(col("j") * lit(Two64), col("tau"))
-        .cast("long").as("est_pairs"))
+      .groupBy(g.map(col): _*)
+      .agg(sum(col("cnta") * col("cntb")).cast("decimal(38,0)").as("j"))
+    tau.join(joined, g, "left")
+      .select(keep.map(col) :+
+        PrioritySample.floorDiv(
+          coalesce(col("j"), lit(0).cast("decimal(38,0)")) * lit(Two64),
+          col("tau")).cast("long").as("est_pairs"): _*)
   }
 }

@@ -2315,6 +2315,151 @@ object PipelineQueries {
           col("est_pairs_all"), col("exact_pairs_hi"))
     }),
 
+    // Join-key synopsis MAINTENANCE under append (the
+    // q_sample_incremental discipline on (key, cnt) synopses): each
+    // half-batch appends its OWN per-key bottom-64 rows — no rebuild,
+    // no cross-batch re-scan — and the read-side rollup (sum counts
+    // per key, then trim to the bottom-k) estimates IDENTICALLY to a
+    // direct build over the whole table. The lemma gains a count leg:
+    // ranks only shrink on subsets, so every key of the union's
+    // bottom-k was kept by EVERY batch that saw it — summing its
+    // per-batch counts reconstructs the exact union count. The direct
+    // estimate rides along; one replayed chain pins both columns.
+    "q_probe_join_size_incremental" -> ((s, dir) => {
+      import graft.operators.SampleSynopsis
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val pa = s"/tmp/graft_jsynia$safe"
+      val pb = s"/tmp/graft_jsynib$safe"
+      graft.sources.ParquetIO.deletePath(pa)
+      graft.sources.ParquetIO.deletePath(pb)
+      val ev = Tables.load(s, dir, "events")
+      def ingest(side: org.apache.spark.sql.DataFrame, p: String): Unit =
+        Seq(0, 1).foreach { par =>
+          SampleSynopsis.joinKeySynopsisRows(
+            side.filter(col("event_id") % 2 === par), "user_id", 64)
+            .write.format("kv").option("path", p)
+            .mode(if (par == 0) "overwrite" else "append").save()
+        }
+      ingest(ev.filter(col("event_type") === "view"), pa)
+      ingest(ev.filter(col("event_type") === "purchase"), pb)
+      def rolled(p: String) = SampleSynopsis.rollupJoinSynopsis(
+        s.read.format("kv").option("path", p).load(), 64)
+      val est = SampleSynopsis.joinSizeEstimateFrames(
+        rolled(pa), rolled(pb), 64)
+      val direct = SampleSynopsis.joinSizeEstimateFrames(
+        SampleSynopsis.joinKeySynopsisRows(
+          ev.filter(col("event_type") === "view"), "user_id", 64),
+        SampleSynopsis.joinKeySynopsisRows(
+          ev.filter(col("event_type") === "purchase"), "user_id", 64), 64)
+        .select(col("est_pairs").as("est_pairs_direct"))
+      val exact = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("ca"))
+        .join(ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("cb")), "user_id")
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).cast("long")
+          .as("exact_pairs"))
+      est.crossJoin(broadcast(direct)).crossJoin(broadcast(exact))
+        .select(lit(64).as("k_cap"), col("est_pairs"),
+          col("est_pairs_direct"), col("exact_pairs"))
+    }),
+
+    // The join-size probe MATRIX: per-6h-window view/purchase synopses
+    // (k = 8 — windows genuinely sample) persisted once, then the
+    // view⋈purchase rate of every window priced from stored rows
+    // alone — the "is conversion drifting" dashboard without a raw
+    // scan. τ is per (window, side); a window under capacity on both
+    // sides estimates EXACTLY. Windows are those with committed
+    // synopses on BOTH sides (an equi-join needs both). Exact
+    // per-window pairs ride along; HUGEINT-replayed per window.
+    "q_probe_join_size_windows" -> ((s, dir) => {
+      import graft.operators.SampleSynopsis
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val pa = s"/tmp/graft_jsynwa$safe"
+      val pb = s"/tmp/graft_jsynwb$safe"
+      graft.sources.ParquetIO.deletePath(pa)
+      graft.sources.ParquetIO.deletePath(pb)
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("w_start",
+          unix_timestamp(window(col("ts"), "21600 seconds")("start")))
+      def build(typ: String, p: String): Unit =
+        SampleSynopsis.joinKeySynopsisRows(
+          ev.filter(col("event_type") === typ), "user_id", 8,
+          keep = Seq("w_start"))
+          .write.format("kv").option("path", p).mode("overwrite").save()
+      build("view", pa)
+      build("purchase", pb)
+      val est = SampleSynopsis.joinSizeEstimateFrames(
+        s.read.format("kv").option("path", pa).load(),
+        s.read.format("kv").option("path", pb).load(), 8,
+        keep = Seq("w_start"))
+      val exact = ev.filter(col("event_type") === "view")
+        .groupBy(col("w_start"), col("user_id"))
+        .agg(count(lit(1)).as("ca"))
+        .join(ev.filter(col("event_type") === "purchase")
+          .groupBy(col("w_start"), col("user_id"))
+          .agg(count(lit(1)).as("cb")), Seq("w_start", "user_id"))
+        .groupBy(col("w_start"))
+        .agg(sum(col("ca") * col("cb")).cast("long").as("exact_pairs"))
+      est.join(exact, Seq("w_start"), "left")
+        .select(col("w_start"), col("est_pairs"),
+          coalesce(col("exact_pairs"), lit(0L)).as("exact_pairs"))
+        .orderBy(col("w_start"))
+    }),
+
+    // Streaming join-key synopsis ingest (the foreachBatch maintenance
+    // discipline): the event stream drains in micro-batches, each batch
+    // appending its own per-key synopsis rows for both sides; the
+    // read-side rollup then estimates IDENTICALLY to the direct build —
+    // micro-batching-independent by the same count-summing lemma as
+    // the incremental gate (whose oracle it shares: chopped ≡ one-shot
+    // ≡ direct).
+    "q_stream_probe_ingest" -> ((s, dir) => {
+      import graft.operators.SampleSynopsis
+      val u = java.util.UUID.randomUUID().toString.replace("-", "")
+      val pa = s"/tmp/graft_jsynsa_$u/t"
+      val pb = s"/tmp/graft_jsynsb_$u/t"
+      val ckpt = s"/tmp/graft_jsynsck_$u"
+      val q = s.readStream.format("log")
+        .option("path", s"$dir/events.parquet")
+        .option("maxOffsetsPerTrigger", "2500").load()
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          if (!df.isEmpty) {
+            SampleSynopsis.joinKeySynopsisRows(
+              df.filter(col("event_type") === "view"), "user_id", 64)
+              .write.format("kv").option("path", pa).mode("append").save()
+            SampleSynopsis.joinKeySynopsisRows(
+              df.filter(col("event_type") === "purchase"), "user_id", 64)
+              .write.format("kv").option("path", pb).mode("append").save()
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      def rolled(p: String) = SampleSynopsis.rollupJoinSynopsis(
+        s.read.format("kv").option("path", p).load(), 64)
+      val est = SampleSynopsis.joinSizeEstimateFrames(
+        rolled(pa), rolled(pb), 64)
+      val ev = Tables.load(s, dir, "events")
+      val direct = SampleSynopsis.joinSizeEstimateFrames(
+        SampleSynopsis.joinKeySynopsisRows(
+          ev.filter(col("event_type") === "view"), "user_id", 64),
+        SampleSynopsis.joinKeySynopsisRows(
+          ev.filter(col("event_type") === "purchase"), "user_id", 64), 64)
+        .select(col("est_pairs").as("est_pairs_direct"))
+      val exact = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("ca"))
+        .join(ev.filter(col("event_type") === "purchase")
+          .groupBy(col("user_id")).agg(count(lit(1)).as("cb")), "user_id")
+        .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).cast("long")
+          .as("exact_pairs"))
+      est.crossJoin(broadcast(direct)).crossJoin(broadcast(exact))
+        .select(lit(64).as("k_cap"), col("est_pairs"),
+          col("est_pairs_direct"), col("exact_pairs"))
+    }),
+
     // The trained probe applied: per-doc predicted label, top-10 by
     // (score desc, doc_id) — training AND scoring replayed end to end.
     "q_probe_linear_scores" -> ((s, dir) => {

@@ -3047,6 +3047,102 @@ object SketchOracleSql {
        |FROM fjj j, ftau t, fjx x""".stripMargin
   }
 
+  /** q_probe_join_size_incremental / q_stream_probe_ingest: the
+    * maintenance gates' rolled-up estimate is BIT-IDENTICAL to the
+    * direct build (ranks shrink on subsets, per-batch counts sum back
+    * to the union count), so one replayed chain pins the rolled and
+    * direct columns alike.
+    */
+  def probeJoinSizeMaintOracle(k: Int): String = {
+    def sideChain(px: String, typ: String): String =
+      s"""${px}g AS MATERIALIZED (
+         |  SELECT user_id AS key, count(*)::BIGINT AS cnt FROM events
+         |  WHERE event_type = '$typ' GROUP BY 1
+         |), ${px}h AS (
+         |  SELECT key, cnt, hu
+         |  FROM (${smCols(s"SELECT key, cnt FROM ${px}g", ux("key"), "hu",
+              s"${px}x")})
+         |), ${px}s AS (
+         |  SELECT key, cnt, hu FROM (
+         |    SELECT *, row_number() OVER (ORDER BY hu) AS rn FROM ${px}h
+         |  ) WHERE rn <= $k
+         |), ${px}t AS (
+         |  SELECT CASE WHEN count(*) < $k THEN 18446744073709551616::HUGEINT
+         |    ELSE max(hu) END AS tau FROM ${px}s
+         |)""".stripMargin
+    s"""WITH ${sideChain("ma", "view")},
+       |${sideChain("mb", "purchase")},
+       |mtau AS (SELECT least(a.tau, b.tau) AS tau FROM mat a, mbt b),
+       |mjj AS (
+       |  SELECT coalesce(sum(a.cnt::HUGEINT * b.cnt::HUGEINT),
+       |    0::HUGEINT) AS j
+       |  FROM mas a JOIN mbs b ON a.key = b.key CROSS JOIN mtau t
+       |  WHERE a.hu < t.tau
+       |), mjx AS (
+       |  SELECT coalesce(sum(a.cnt * b.cnt), 0)::BIGINT AS exact_pairs
+       |  FROM mag a JOIN mbg b ON a.key = b.key
+       |)
+       |SELECT $k AS k_cap,
+       |  ((j.j * 18446744073709551616::HUGEINT) // t.tau)::BIGINT
+       |    AS est_pairs,
+       |  ((j.j * 18446744073709551616::HUGEINT) // t.tau)::BIGINT
+       |    AS est_pairs_direct,
+       |  x.exact_pairs
+       |FROM mjj j, mtau t, mjx x""".stripMargin
+  }
+
+  /** q_probe_join_size_windows: the per-window drift sheet replayed —
+    * per (window, side) bottom-k key chains, per-window τ (2^64 under
+    * capacity), per-window J and est; windows present in both sides;
+    * exact per-window pairs ride along.
+    */
+  def probeJoinSizeWindowsOracle(k: Int): String = {
+    val w = "(epoch_us(date_trunc('microseconds', ts)) // 21600000000) * 21600"
+    def sideChain(px: String, typ: String): String =
+      s"""${px}g AS MATERIALIZED (
+         |  SELECT $w AS w_start, user_id AS key, count(*)::BIGINT AS cnt
+         |  FROM events WHERE event_type = '$typ' GROUP BY 1, 2
+         |), ${px}h AS (
+         |  SELECT w_start, key, cnt, hu
+         |  FROM (${smCols(s"SELECT w_start, key, cnt FROM ${px}g",
+              ux("key"), "hu", s"${px}x")})
+         |), ${px}s AS (
+         |  SELECT w_start, key, cnt, hu FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY w_start
+         |      ORDER BY hu) AS rn FROM ${px}h
+         |  ) WHERE rn <= $k
+         |), ${px}t AS (
+         |  SELECT w_start,
+         |    CASE WHEN count(*) < $k THEN 18446744073709551616::HUGEINT
+         |      ELSE max(hu) END AS tau
+         |  FROM ${px}s GROUP BY w_start
+         |)""".stripMargin
+    s"""WITH ${sideChain("wa", "view")},
+       |${sideChain("wb", "purchase")},
+       |wtau AS (
+       |  SELECT a.w_start, least(a.tau, b.tau) AS tau
+       |  FROM wat a JOIN wbt b USING (w_start)
+       |), wjj AS (
+       |  SELECT t.w_start,
+       |    sum(a.cnt::HUGEINT * b.cnt::HUGEINT) AS j
+       |  FROM was a JOIN wbs b USING (w_start, key)
+       |  JOIN wtau t ON t.w_start = a.w_start AND a.hu < t.tau
+       |  GROUP BY t.w_start
+       |), wjx AS (
+       |  SELECT a.w_start, sum(a.cnt * b.cnt)::BIGINT AS exact_pairs
+       |  FROM wag a JOIN wbg b USING (w_start, key)
+       |  GROUP BY a.w_start
+       |)
+       |SELECT t.w_start,
+       |  ((coalesce(j.j, 0::HUGEINT) * 18446744073709551616::HUGEINT)
+       |    // t.tau)::BIGINT AS est_pairs,
+       |  coalesce(x.exact_pairs, 0::BIGINT) AS exact_pairs
+       |FROM wtau t
+       |LEFT JOIN wjj j ON j.w_start = t.w_start
+       |LEFT JOIN wjx x ON x.w_start = t.w_start
+       |ORDER BY t.w_start""".stripMargin
+  }
+
   /** q_sample_matrix: every axis of the (event_type × 6h-window) cell
     * table replayed from the raw events — per-window, per-type and
     * global bottom-k chains ranked by unsigned splitmix64(event_id);
@@ -5189,5 +5285,8 @@ object SketchOracleSql {
     "q_ann_lsh_multiprobe" -> annLshMultiProbeOracle,
     "q_ann_lsh_multiprobe_audit" -> annLshMultiProbeAuditOracle,
     "q_probe_join_size" -> probeJoinSizeOracle(64),
-    "q_probe_join_size_filtered" -> probeJoinSizeFilteredOracle(64))
+    "q_probe_join_size_filtered" -> probeJoinSizeFilteredOracle(64),
+    "q_probe_join_size_incremental" -> probeJoinSizeMaintOracle(64),
+    "q_stream_probe_ingest" -> probeJoinSizeMaintOracle(64),
+    "q_probe_join_size_windows" -> probeJoinSizeWindowsOracle(8))
 }

@@ -142,6 +142,39 @@ class SampleSynopsisSpec extends SparkSpec {
     assert(est == exact, s"complete synopses must be exact: $est vs $exact")
   }
 
+  test("join synopsis rollup of per-batch rows equals the direct build (any chop)") {
+    val df = (1 to 3000).map(i => (i.toLong % 700 + 1, i)).toDF("key", "x")
+    val direct = SampleSynopsis.joinKeySynopsisRows(df, "key", 64)
+      .select("h", "key", "cnt").collect().toSet
+    for (nChops <- Seq(2, 3, 5)) {
+      val perBatch = (0 until nChops).map(c =>
+        SampleSynopsis.joinKeySynopsisRows(
+          df.filter(col("x") % nChops === c), "key", 64))
+        .reduce(_ unionAll _)
+      val rolled = SampleSynopsis.rollupJoinSynopsis(perBatch, 64)
+        .select("h", "key", "cnt").collect().toSet
+      assert(rolled == direct, s"chop into $nChops batches drifted")
+    }
+  }
+
+  test("grouped join-size estimate: under-capacity groups are EXACT per group") {
+    val a = (1 to 200).map(i => (i % 4, i.toLong % 10 + 1, i)).toDF("g", "key", "x")
+    // +5 keeps key-parity compatible with side a per (g, key) — every
+    // group genuinely overlaps
+    val b = (1 to 100).map(i => (i % 4, i.toLong % 10 + 5, i)).toDF("g", "key", "x")
+    val est = SampleSynopsis.joinSizeEstimateFrames(
+      SampleSynopsis.joinKeySynopsisRows(a, "key", 64, keep = Seq("g")),
+      SampleSynopsis.joinKeySynopsisRows(b, "key", 64, keep = Seq("g")), 64,
+      keep = Seq("g"))
+      .orderBy("g").select("g", "est_pairs").as[(Int, Long)].collect().toSeq
+    val exact = a.groupBy("g", "key").count().withColumnRenamed("count", "ca")
+      .join(b.groupBy("g", "key").count().withColumnRenamed("count", "cb"),
+        Seq("g", "key"))
+      .groupBy("g").agg(sum(col("ca") * col("cb")).as("e"))
+      .orderBy("g").select("g", "e").as[(Int, Long)].collect().toSeq
+    assert(est == exact, s"complete per-group synopses must be exact: $est vs $exact")
+  }
+
   test("weighted: higher weight wins at equal hash count (inclusion bias)") {
     // two strata, same size; heavy rows weight 1000, light rows weight 1
     val df = ((1 to 500).map(i => (i.toLong, 1000L)) ++
