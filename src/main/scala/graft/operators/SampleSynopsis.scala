@@ -141,6 +141,60 @@ object SampleSynopsis {
       .select(col("rnk"), col("id"), col("w"), col("est_total"))
   }
 
+  /** DLT priority sampling as a MERGEABLE aggregate — the weighted
+    * sample joins the maintenance matrix the uniform sample already
+    * has. Priorities q = ⌊w·2^53/u⌋ ([[PrioritySample]], exact integer
+    * lattice) are a pure function of (id, w), so the subset-rank lemma
+    * holds in priority order exactly as it does in hash order: the
+    * top-k of a union of per-batch top-k sets IS the union's top-k.
+    * Struct layout: (s ≈ q as double — the heap score, monotone in q;
+    * nq = −q — the exact DESC tiebreak under ASC ordering; id; w).
+    * Persist k+1 ranks so the estimator's τ (the (k+1)-th priority)
+    * survives rollup exactly.
+    */
+  def priorityAgg(idCol: Column, weightCol: Column, k: Int): Column = {
+    val q = PrioritySample.weightedPriority(
+      Sketches.splitmixLong(idCol), weightCol)
+    BoundedTopK.topK(struct(q.cast("double").as("s"), (-q).as("nq"),
+      idCol.as("id"), weightCol.cast("long").as("w")), k)
+  }
+
+  /** Explode a [[priorityAgg]] array into ranked rows (rnk 1-based =
+    * priority descending) carrying the exact negated priority `nq`.
+    */
+  def explodePriority(df: DataFrame, sampleCol: String,
+      keep: Seq[String]): DataFrame = {
+    val keepCols = keep.map(col)
+    df.select(keepCols :+ posexplode(col(sampleCol)).as(Seq("pos", "t")): _*)
+      .select(keepCols ++ Seq((col("pos") + 1).cast("int").as("rnk"),
+        col("t.nq").as("nq"), col("t.id").as("id"), col("t.w").as("w")): _*)
+  }
+
+  /** Re-aggregate stored priority rows into the union's top-k —
+    * bit-identical to the direct build (the lemma above). `keep`
+    * groups run one merge per surviving dimension.
+    */
+  def rollupPriority(stored: DataFrame, k: Int,
+      keep: Seq[String] = Seq.empty): DataFrame =
+    explodePriority(
+      stored.groupBy(keep.map(col): _*)
+        .agg(BoundedTopK.topK(struct((-col("nq")).cast("double").as("s"),
+          col("nq"), col("id"), col("w")), k).as("smp")),
+      "smp", keep)
+
+  /** The DLT τ-threshold total-weight estimate from ranked priority
+    * rows (which must hold k+1 ranks when over capacity): τ = the
+    * (k+1)-th priority (0 under capacity — the estimate is then
+    * EXACT), Ŵ = Σ_{rnk≤k} max(w, τ). One row: est_total.
+    */
+  def priorityEstimate(rows: DataFrame, k: Int): DataFrame = {
+    val tau = rows.agg(coalesce(max(when(col("rnk") === k + 1,
+      -col("nq"))), lit(0).cast("decimal(38,0)")).as("tau"))
+    rows.filter(col("rnk") <= k).crossJoin(broadcast(tau))
+      .agg(sum(greatest(col("w").cast("decimal(38,0)"), col("tau")))
+        .cast("long").as("est_total"))
+  }
+
   private val Two64 = new java.math.BigDecimal("18446744073709551616")
 
   /** Unsigned 64-bit value of a signed hash column, as DECIMAL(38,0). */

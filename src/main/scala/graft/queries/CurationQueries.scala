@@ -420,6 +420,47 @@ object CurationQueries {
         .orderBy(col("rnk"))
     }),
 
+    // The WEIGHTED sample joins the maintenance matrix
+    // (q_sample_bottomk_merge's discipline on DLT priority samples):
+    // per-source top-33 priority rows persist ONCE — 33 = k+1 ranks so
+    // the estimator's τ survives rollup exactly — and the corpus-wide
+    // weighted sample re-aggregates from sample rows alone,
+    // BIT-IDENTICAL to the direct build (priorities are a pure
+    // function of (id, w), so the subset-rank lemma holds in priority
+    // order). The τ-threshold total-character estimate computed from
+    // the ROLLED-UP rows equals the direct estimate to the integer;
+    // exact total rides along. One replayed chain pins every column.
+    "q_sample_priority_merge" -> ((s, dir) => {
+      import graft.operators.SampleSynopsis
+      val sk = s"/tmp/graft_priomg${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(sk)
+      val docs = Tables.load(s, dir, "documents").filter(col("n_chars") > 0)
+      SampleSynopsis.explodePriority(
+        docs.groupBy(col("source"))
+          .agg(SampleSynopsis.priorityAgg(col("doc_id"), col("n_chars"), 33)
+            .as("smp")),
+        "smp", Seq("source"))
+        .select(col("source"), col("nq"), col("id"), col("w"))
+        .write.format("kv").option("path", sk).mode("overwrite").save()
+      val rolled = SampleSynopsis.rollupPriority(
+        s.read.format("kv").option("path", sk).load(), 33)
+      val est = SampleSynopsis.priorityEstimate(rolled, 32)
+      val direct = SampleSynopsis.explodePriority(
+        docs.agg(SampleSynopsis.priorityAgg(col("doc_id"), col("n_chars"), 33)
+          .as("smp")), "smp", Seq.empty)
+      val estDirect = SampleSynopsis.priorityEstimate(direct, 32)
+        .select(col("est_total").as("est_total_direct"))
+      val exact = docs.agg(sum(col("n_chars")).cast("long").as("exact_total"))
+      rolled.filter(col("rnk") <= 32)
+        .join(direct.select(col("rnk"), col("id").as("doc_id_direct")), "rnk")
+        .crossJoin(broadcast(est)).crossJoin(broadcast(estDirect))
+        .crossJoin(broadcast(exact))
+        .select(col("rnk"), col("id").as("doc_id"),
+          col("doc_id_direct"), col("w").as("n_chars"),
+          col("est_total"), col("est_total_direct"), col("exact_total"))
+        .orderBy(col("rnk"))
+    }),
+
     // Sketch-PLANNED sampling: per-source keep-rates derive from the
     // PERSISTED HLL register table (n̂ per source — no exact count pass
     // anywhere), execution is a deterministic hash gate in ONE corpus
@@ -875,6 +916,8 @@ object CurationQueries {
     "q_sample_incremental" -> SketchOracleSql.sampleBottomKMergeOracle(64),
     "q_sample_priority_weighted" ->
       SketchOracleSql.samplePriorityWeightedOracle(32),
+    "q_sample_priority_merge" ->
+      SketchOracleSql.samplePriorityMergeOracle(32),
     "q_sample_sketch_budget" -> SketchOracleSql.sampleSketchBudgetOracle(6),
 
     // shard = pmod(splitmix64(id ^ 5), 8); content_sig = bit_xor of the

@@ -233,6 +233,54 @@ object EventsQueries {
         .orderBy(col("w_start"), col("rnk"))
     }),
 
+    // Streaming WEIGHTED-sample ingest (the q_stream_sample_ingest
+    // discipline on DLT priority samples): per-6h-window top-17
+    // priority rows (weights = cents of value, the exact lattice the
+    // KLL gates use; 17 = k+1 so each window's τ lands in the table)
+    // drain in append mode — sealed windows only — and the per-window
+    // τ-threshold estimate reads each window's total event value off
+    // 16 stored rows. Emission rule, priority chain and estimator all
+    // replay in the oracle.
+    "q_stream_priority_ingest" -> ((s, dir) => {
+      import graft.operators.SampleSynopsis
+      val u = java.util.UUID.randomUUID().toString.replace("-", "")
+      val sink = s"/tmp/graft_priostrm_$u/t"
+      val ckpt = s"/tmp/graft_priostrmck_$u"
+      val q = s.readStream.format("log").option("path", s"$dir/events.parquet")
+        .option("maxOffsetsPerTrigger", "40000").load()
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .filter(col("value") > 0)
+        .withColumn("cents",
+          floor(col("value") * 100 + lit(0.5)).cast("long"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "21600 seconds"))
+        .agg(SampleSynopsis.priorityAgg(col("event_id"), col("cents"), 17)
+          .as("smp"))
+        .select(unix_timestamp(col("window.start")).as("w_start"), col("smp"))
+        .writeStream.format("kv").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val rows = SampleSynopsis.explodePriority(
+        s.read.format("kv").option("path", sink).load(), "smp",
+        Seq("w_start"))
+      val tau = rows.groupBy(col("w_start"))
+        .agg(coalesce(max(when(col("rnk") === 17, -col("nq"))),
+          lit(0).cast("decimal(38,0)")).as("tau"))
+      val estW = rows.filter(col("rnk") <= 16)
+        .join(broadcast(tau), "w_start")
+        .groupBy(col("w_start"))
+        .agg(sum(greatest(col("w").cast("decimal(38,0)"), col("tau")))
+          .cast("long").as("est_cents"))
+      rows.filter(col("rnk") <= 16)
+        .join(broadcast(estW), "w_start")
+        .select(col("w_start"), col("rnk"), col("id").as("event_id"),
+          col("w").as("cents"), col("est_cents"))
+        .orderBy(col("w_start"), col("rnk"))
+    }),
+
     // Per-(event_type × 6h-window) SAMPLE MATRIX: ONE persisted cell
     // table answers every marginalization — rolled up over type it
     // yields each window's bottom-8 sample, over window each type's,
@@ -851,6 +899,7 @@ object EventsQueries {
     // sealed windows + the per-window k-min chain + counts
     "q_stream_kmv_window" -> SketchOracleSql.streamKmvWindowOracle,
     "q_stream_sample_ingest" -> SketchOracleSql.streamSampleIngestOracle(16),
+    "q_stream_priority_ingest" -> SketchOracleSql.streamPriorityIngestOracle(16),
     "q_sample_matrix" -> SketchOracleSql.sampleMatrixOracle(8),
     "q_events_winsorize_sketch" -> SketchOracleSql.eventsWinsorizeSketchOracle,
 

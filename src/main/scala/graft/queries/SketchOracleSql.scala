@@ -2902,6 +2902,83 @@ object SketchOracleSql {
        |FROM spwr, spwe, spwx WHERE rnk <= $k ORDER BY rnk""".stripMargin
   }
 
+  /** q_sample_priority_merge: the persisted per-source DLT rows roll up
+    * to the corpus-wide weighted sample BIT-IDENTICALLY (priorities are
+    * a pure function of (id, w) — the subset-rank lemma in priority
+    * order), and the τ-threshold estimate from rolled rows equals the
+    * direct one, so one replayed chain pins every column twice over.
+    */
+  def samplePriorityMergeOracle(k: Int): String = {
+    val S = "9007199254740992::HUGEINT" // 2^53
+    s"""WITH spmh AS MATERIALIZED (
+       |  SELECT doc_id, n_chars, h
+       |  FROM (${smCols("SELECT doc_id, n_chars FROM documents WHERE n_chars > 0",
+            ux("doc_id"), "h", "spms")})
+       |), spmq AS (
+       |  SELECT doc_id, n_chars::BIGINT AS w,
+       |    (n_chars::HUGEINT * $S) // ((h // 2048::HUGEINT) + 1::HUGEINT) AS q
+       |  FROM spmh
+       |), spmr AS (
+       |  SELECT *, row_number() OVER (ORDER BY q DESC, doc_id) AS rnk FROM spmq
+       |), spmt AS (
+       |  SELECT coalesce(max(CASE WHEN rnk = ${k + 1} THEN q END),
+       |    0::HUGEINT) AS tau
+       |  FROM spmr
+       |), spme AS (
+       |  SELECT sum(greatest(w::HUGEINT, tau))::BIGINT AS est_total
+       |  FROM spmr, spmt WHERE rnk <= $k
+       |), spmx AS (
+       |  SELECT sum(n_chars)::BIGINT AS exact_total FROM documents
+       |  WHERE n_chars > 0
+       |)
+       |SELECT rnk::INT AS rnk, doc_id, doc_id AS doc_id_direct,
+       |  w AS n_chars, est_total, est_total AS est_total_direct,
+       |  exact_total
+       |FROM spmr, spme, spmx WHERE rnk <= $k ORDER BY rnk""".stripMargin
+  }
+
+  /** q_stream_priority_ingest: the sealed-window emission rule + the
+    * per-window DLT priority chain (weights = the cents lattice) + the
+    * per-window τ-threshold total-value estimate.
+    */
+  def streamPriorityIngestOracle(k: Int): String = {
+    val S = "9007199254740992::HUGEINT" // 2^53
+    val grp = "(epoch_us(date_trunc('microseconds', ts)) // 21600000000) * 21600"
+    val sealedBase =
+      s"""SELECT $grp AS grp, event_id,
+         |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+         |FROM events,
+         |  (SELECT (epoch_ms(max(ts)) - 600000) * 1000 AS wm_us
+         |   FROM events WHERE value > 0) wm
+         |WHERE value > 0 AND ($grp + 21600) * 1000000 <= wm.wm_us""".stripMargin
+    s"""WITH spih AS MATERIALIZED (
+       |  SELECT grp, event_id, cents, h
+       |  FROM (${smCols(sealedBase, ux("event_id"), "h", "spis")})
+       |), spiq AS (
+       |  SELECT grp, event_id, cents,
+       |    (cents::HUGEINT * $S) // ((h // 2048::HUGEINT) + 1::HUGEINT) AS q
+       |  FROM spih
+       |), spir AS (
+       |  SELECT *, row_number() OVER (PARTITION BY grp
+       |    ORDER BY q DESC, event_id) AS rnk
+       |  FROM spiq
+       |), spit AS (
+       |  SELECT grp, coalesce(max(CASE WHEN rnk = ${k + 1} THEN q END),
+       |    0::HUGEINT) AS tau
+       |  FROM spir GROUP BY grp
+       |), spie AS (
+       |  SELECT r.grp,
+       |    sum(greatest(r.cents::HUGEINT, t.tau))::BIGINT AS est_cents
+       |  FROM spir r JOIN spit t USING (grp)
+       |  WHERE r.rnk <= $k GROUP BY r.grp
+       |)
+       |SELECT r.grp AS w_start, r.rnk::INT AS rnk, r.event_id, r.cents,
+       |  e.est_cents
+       |FROM spir r JOIN spie e USING (grp)
+       |WHERE r.rnk <= $k
+       |ORDER BY w_start, rnk""".stripMargin
+  }
+
   /** q_sample_sketch_budget: the HLL-planned hash-gate sample replayed
     * — per-source n̂ from the register chain, threshold
     * ⌊quota·2^64/max(n̂,1)⌋ in HUGEINT, keep iff the unsigned

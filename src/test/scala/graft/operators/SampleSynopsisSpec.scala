@@ -175,6 +175,30 @@ class SampleSynopsisSpec extends SparkSpec {
     assert(est == exact, s"complete per-group synopses must be exact: $est vs $exact")
   }
 
+  test("priority rollup of per-batch top-(k+1) rows is BIT-IDENTICAL; tau survives") {
+    val df = fixture(800)
+    val perSource = SampleSynopsis.explodePriority(
+      df.groupBy(col("source"))
+        .agg(SampleSynopsis.priorityAgg(col("id"), col("w"), 17).as("smp")),
+      "smp", Seq("source"))
+      .select("nq", "id", "w")
+    val rolled = SampleSynopsis.rollupPriority(perSource, 17)
+      .select("rnk", "nq", "id", "w").collect().toSeq
+    val direct = SampleSynopsis.explodePriority(
+      df.agg(SampleSynopsis.priorityAgg(col("id"), col("w"), 17).as("smp")),
+      "smp", Seq.empty)
+      .select("rnk", "nq", "id", "w").collect().toSeq
+    assert(rolled == direct)
+    // estimator agreement to the integer, including tau (rank 17)
+    val ra = SampleSynopsis.priorityEstimate(
+      SampleSynopsis.rollupPriority(perSource, 17), 16).as[Long].collect().head
+    val da = SampleSynopsis.priorityEstimate(
+      SampleSynopsis.explodePriority(
+        df.agg(SampleSynopsis.priorityAgg(col("id"), col("w"), 17).as("smp")),
+        "smp", Seq.empty), 16).as[Long].collect().head
+    assert(ra == da)
+  }
+
   test("weighted: higher weight wins at equal hash count (inclusion bias)") {
     // two strata, same size; heavy rows weight 1000, light rows weight 1
     val df = ((1 to 500).map(i => (i.toLong, 1000L)) ++
