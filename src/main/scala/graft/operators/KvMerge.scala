@@ -164,6 +164,25 @@ object KvMerge {
         n.stripPrefix("epoch-").takeWhile(_ != '-').toLongOption
           .exists(_ > epoch)
     }.foreach(st => fs.delete(st.getPath, false))
+    // Fold the schema sidecar to the restored file set BY NAME: a
+    // column no surviving footer carries (under its own name or, for a
+    // renamed column, its physical alias) was introduced by a
+    // rolled-back epoch and vanishes with its bytes. Name-based — not
+    // a footer-type fold — so ALTER COLUMN widenings and the rename
+    // ledger survive the restore.
+    graft.sources.kv.KvSchemaMeta.read(path).foreach { recorded =>
+      val live = ParquetIO.listFilesStatus(path).flatMap {
+        case (f, len, mt) => graft.sources.kv.KvSource.toStructType(
+          ParquetIO.fileSchemaCached(f, len, mt)).fieldNames
+      }.map(_.toLowerCase).toSet
+      val renames = graft.sources.kv.KvEvolution.read(path).renames
+      val kept = recorded.fields.filter(f =>
+        live.contains(f.name.toLowerCase) ||
+          renames.get(f.name).exists(ph => live.contains(ph.toLowerCase)))
+      if (kept.length != recorded.length && kept.nonEmpty)
+        graft.sources.kv.KvSchemaMeta.replace(path,
+          org.apache.spark.sql.types.StructType(kept))
+    }
     toDrop.length
   }
 

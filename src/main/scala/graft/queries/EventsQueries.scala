@@ -281,6 +281,57 @@ object EventsQueries {
         .orderBy(col("w_start"), col("rnk"))
     }),
 
+    // Streaming ingest of the sample-matrix CELL table: the stream
+    // groups by (6h-window × event_type) — one watermark-sealed
+    // bottom-8 sample per CELL drains in append mode — and the
+    // per-window marginalization then rolls up from the drained cell
+    // rows alone, BIT-IDENTICAL to the direct per-window sample over
+    // the same sealed windows (union+trim over the type dimension).
+    // The direct build rides along, restricted to windows the drain
+    // sealed; one replayed chain per window pins both columns.
+    "q_stream_sample_matrix" -> ((s, dir) => {
+      import graft.operators.SampleSynopsis
+      val u = java.util.UUID.randomUUID().toString.replace("-", "")
+      val sink = s"/tmp/graft_smxstrm_$u/t"
+      val ckpt = s"/tmp/graft_smxstrmck_$u"
+      val q = s.readStream.format("log").option("path", s"$dir/events.parquet")
+        .option("maxOffsetsPerTrigger", "40000").load()
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(window(col("ts"), "21600 seconds"), col("event_type"))
+        .agg(SampleSynopsis.uniformAgg(col("event_id"), 8,
+          "event_id" -> col("event_id")).as("smp"))
+        .select(unix_timestamp(col("window.start")).as("w_start"),
+          col("event_type"), col("smp"))
+        .writeStream.format("kv").option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val stored = SampleSynopsis.explodeSample(
+        s.read.format("kv").option("path", sink).load(),
+        "smp", Seq("w_start", "event_type"), Seq("event_id"))
+      val rolled = SampleSynopsis.rollupBy(stored, "h", 8,
+        Seq("w_start"), Seq("event_id"))
+      val sealedW = stored.select(col("w_start")).distinct()
+      val ev = Tables.load(s, dir, "events")
+        .select(unix_timestamp(window(col("ts"), "21600 seconds")("start"))
+          .as("w_start"), col("event_id"))
+        .join(broadcast(sealedW), "w_start")
+      val direct = SampleSynopsis.explodeSample(
+        ev.groupBy(col("w_start")).agg(
+          SampleSynopsis.uniformAgg(col("event_id"), 8,
+            "event_id" -> col("event_id")).as("smp")),
+        "smp", Seq("w_start"), Seq("event_id"))
+        .select(col("w_start"), col("rnk"),
+          col("event_id").as("event_id_direct"))
+      rolled.join(direct, Seq("w_start", "rnk"))
+        .select(col("w_start"), col("rnk"), col("event_id"),
+          col("event_id_direct"))
+        .orderBy(col("w_start"), col("rnk"))
+    }),
+
     // Per-(event_type × 6h-window) SAMPLE MATRIX: ONE persisted cell
     // table answers every marginalization — rolled up over type it
     // yields each window's bottom-8 sample, over window each type's,
@@ -900,6 +951,7 @@ object EventsQueries {
     "q_stream_kmv_window" -> SketchOracleSql.streamKmvWindowOracle,
     "q_stream_sample_ingest" -> SketchOracleSql.streamSampleIngestOracle(16),
     "q_stream_priority_ingest" -> SketchOracleSql.streamPriorityIngestOracle(16),
+    "q_stream_sample_matrix" -> SketchOracleSql.streamSampleMatrixOracle(8),
     "q_sample_matrix" -> SketchOracleSql.sampleMatrixOracle(8),
     "q_events_winsorize_sketch" -> SketchOracleSql.eventsWinsorizeSketchOracle,
 

@@ -2406,6 +2406,55 @@ object PipelineQueries {
         .orderBy(col("w_start"))
     }),
 
+    // Filtered DRIFT sheet: the per-window view synopses additionally
+    // carry cnt_hi (rows with value ≥ 50, counted in the same build
+    // pass), so the high-value conversion rate of every window prices
+    // from the SAME stored rows as the unfiltered one — one synopsis
+    // build, two drift curves. Exact filtered pairs ride along
+    // per window; HUGEINT-replayed.
+    "q_probe_join_size_windows_filtered" -> ((s, dir) => {
+      import graft.operators.SampleSynopsis
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val pa = s"/tmp/graft_jsynwfa$safe"
+      val pb = s"/tmp/graft_jsynwfb$safe"
+      graft.sources.ParquetIO.deletePath(pa)
+      graft.sources.ParquetIO.deletePath(pb)
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("w_start",
+          unix_timestamp(window(col("ts"), "21600 seconds")("start")))
+      SampleSynopsis.joinKeySynopsisRows(
+        ev.filter(col("event_type") === "view"), "user_id", 8,
+        preds = Seq("cnt_hi" -> (col("value") >= 50.0)),
+        keep = Seq("w_start"))
+        .write.format("kv").option("path", pa).mode("overwrite").save()
+      SampleSynopsis.joinKeySynopsisRows(
+        ev.filter(col("event_type") === "purchase"), "user_id", 8,
+        keep = Seq("w_start"))
+        .write.format("kv").option("path", pb).mode("overwrite").save()
+      val sa = s.read.format("kv").option("path", pa).load()
+      val sb = s.read.format("kv").option("path", pb).load()
+      val estHi = SampleSynopsis.joinSizeEstimateFrames(sa, sb, 8,
+        "cnt_hi", "cnt", keep = Seq("w_start"))
+        .withColumnRenamed("est_pairs", "est_pairs_hi")
+      val estAll = SampleSynopsis.joinSizeEstimateFrames(sa, sb, 8,
+        keep = Seq("w_start"))
+        .withColumnRenamed("est_pairs", "est_pairs_all")
+      val exact = ev
+        .filter(col("event_type") === "view" && col("value") >= 50.0)
+        .groupBy(col("w_start"), col("user_id"))
+        .agg(count(lit(1)).as("ca"))
+        .join(ev.filter(col("event_type") === "purchase")
+          .groupBy(col("w_start"), col("user_id"))
+          .agg(count(lit(1)).as("cb")), Seq("w_start", "user_id"))
+        .groupBy(col("w_start"))
+        .agg(sum(col("ca") * col("cb")).cast("long").as("exact_pairs_hi"))
+      estHi.join(estAll, "w_start")
+        .join(exact, Seq("w_start"), "left")
+        .select(col("w_start"), col("est_pairs_hi"), col("est_pairs_all"),
+          coalesce(col("exact_pairs_hi"), lit(0L)).as("exact_pairs_hi"))
+        .orderBy(col("w_start"))
+    }),
+
     // Streaming join-key synopsis ingest (the foreachBatch maintenance
     // discipline): the event stream drains in micro-batches, each batch
     // appending its own per-key synopsis rows for both sides; the

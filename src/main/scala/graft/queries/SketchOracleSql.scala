@@ -3220,6 +3220,102 @@ object SketchOracleSql {
        |ORDER BY t.w_start""".stripMargin
   }
 
+  /** q_stream_sample_matrix: the sealed-window emission rule + the
+    * per-window bottom-k chain — cell-table bit-identity means the
+    * rolled and direct columns pin to one replayed chain.
+    */
+  def streamSampleMatrixOracle(k: Int): String = {
+    val grp = "(epoch_us(date_trunc('microseconds', ts)) // 21600000000) * 21600"
+    val sealedBase =
+      s"""SELECT $grp AS grp, event_id
+         |FROM events,
+         |  (SELECT (epoch_ms(max(ts)) - 600000) * 1000 AS wm_us FROM events) wm
+         |WHERE ($grp + 21600) * 1000000 <= wm.wm_us""".stripMargin
+    s"""WITH ssmh AS MATERIALIZED (
+       |  SELECT grp, event_id, h
+       |  FROM (${smCols(sealedBase, ux("event_id"), "h", "ssms")})
+       |), ssmr AS (
+       |  SELECT grp, event_id,
+       |    row_number() OVER (PARTITION BY grp ORDER BY h) AS rnk
+       |  FROM ssmh
+       |)
+       |SELECT grp AS w_start, rnk::INT AS rnk, event_id,
+       |  event_id AS event_id_direct
+       |FROM ssmr WHERE rnk <= $k
+       |ORDER BY w_start, rnk""".stripMargin
+  }
+
+  /** q_probe_join_size_windows_filtered: the per-window drift sheet
+    * with a predicate-count leg — side A's chain carries cnt_hi, and
+    * both the filtered and unfiltered estimates replay from the same
+    * sampled key sets under the same per-window τ.
+    */
+  def probeJoinSizeWindowsFilteredOracle(k: Int): String = {
+    val w = "(epoch_us(date_trunc('microseconds', ts)) // 21600000000) * 21600"
+    val aBase =
+      s"""SELECT $w AS w_start, user_id AS key, count(*)::BIGINT AS cnt,
+         |  count(CASE WHEN value >= 50 THEN 1 END)::BIGINT AS cnt_hi
+         |FROM events WHERE event_type = 'view' GROUP BY 1, 2""".stripMargin
+    val bBase =
+      s"""SELECT $w AS w_start, user_id AS key, count(*)::BIGINT AS cnt
+         |FROM events WHERE event_type = 'purchase' GROUP BY 1, 2""".stripMargin
+    s"""WITH fwag AS MATERIALIZED ($aBase),
+       |fwah AS (
+       |  SELECT w_start, key, cnt, cnt_hi, hu
+       |  FROM (${smCols("SELECT w_start, key, cnt, cnt_hi FROM fwag",
+            ux("key"), "hu", "fwax")})
+       |), fwas AS (
+       |  SELECT w_start, key, cnt, cnt_hi, hu FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY w_start
+       |      ORDER BY hu) AS rn FROM fwah
+       |  ) WHERE rn <= $k
+       |), fwat AS (
+       |  SELECT w_start,
+       |    CASE WHEN count(*) < $k THEN 18446744073709551616::HUGEINT
+       |      ELSE max(hu) END AS tau
+       |  FROM fwas GROUP BY w_start
+       |), fwbg AS MATERIALIZED ($bBase),
+       |fwbh AS (
+       |  SELECT w_start, key, cnt, hu
+       |  FROM (${smCols("SELECT w_start, key, cnt FROM fwbg",
+            ux("key"), "hu", "fwbx")})
+       |), fwbs AS (
+       |  SELECT w_start, key, cnt, hu FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY w_start
+       |      ORDER BY hu) AS rn FROM fwbh
+       |  ) WHERE rn <= $k
+       |), fwbt AS (
+       |  SELECT w_start,
+       |    CASE WHEN count(*) < $k THEN 18446744073709551616::HUGEINT
+       |      ELSE max(hu) END AS tau
+       |  FROM fwbs GROUP BY w_start
+       |), fwtau AS (
+       |  SELECT a.w_start, least(a.tau, b.tau) AS tau
+       |  FROM fwat a JOIN fwbt b USING (w_start)
+       |), fwjj AS (
+       |  SELECT t.w_start,
+       |    sum(a.cnt_hi::HUGEINT * b.cnt::HUGEINT) AS j_hi,
+       |    sum(a.cnt::HUGEINT * b.cnt::HUGEINT) AS j_all
+       |  FROM fwas a JOIN fwbs b USING (w_start, key)
+       |  JOIN fwtau t ON t.w_start = a.w_start AND a.hu < t.tau
+       |  GROUP BY t.w_start
+       |), fwjx AS (
+       |  SELECT a.w_start, sum(a.cnt_hi * b.cnt)::BIGINT AS exact_pairs_hi
+       |  FROM fwag a JOIN fwbg b USING (w_start, key)
+       |  GROUP BY a.w_start
+       |)
+       |SELECT t.w_start,
+       |  ((coalesce(j.j_hi, 0::HUGEINT) * 18446744073709551616::HUGEINT)
+       |    // t.tau)::BIGINT AS est_pairs_hi,
+       |  ((coalesce(j.j_all, 0::HUGEINT) * 18446744073709551616::HUGEINT)
+       |    // t.tau)::BIGINT AS est_pairs_all,
+       |  coalesce(x.exact_pairs_hi, 0::BIGINT) AS exact_pairs_hi
+       |FROM fwtau t
+       |LEFT JOIN fwjj j ON j.w_start = t.w_start
+       |LEFT JOIN fwjx x ON x.w_start = t.w_start
+       |ORDER BY t.w_start""".stripMargin
+  }
+
   /** q_sample_matrix: every axis of the (event_type × 6h-window) cell
     * table replayed from the raw events — per-window, per-type and
     * global bottom-k chains ranked by unsigned splitmix64(event_id);
@@ -5365,5 +5461,7 @@ object SketchOracleSql {
     "q_probe_join_size_filtered" -> probeJoinSizeFilteredOracle(64),
     "q_probe_join_size_incremental" -> probeJoinSizeMaintOracle(64),
     "q_stream_probe_ingest" -> probeJoinSizeMaintOracle(64),
-    "q_probe_join_size_windows" -> probeJoinSizeWindowsOracle(8))
+    "q_probe_join_size_windows" -> probeJoinSizeWindowsOracle(8),
+    "q_probe_join_size_windows_filtered" ->
+      probeJoinSizeWindowsFilteredOracle(8))
 }

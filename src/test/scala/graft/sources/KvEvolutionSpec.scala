@@ -86,6 +86,36 @@ class KvEvolutionSpec extends SparkSpec {
         Array.empty)).isEmpty)
   }
 
+  test("restore folds columns introduced by rolled-back epochs out of the sidecar") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    val dir = java.nio.file.Files.createTempDirectory("kvresfold").toString + "/t"
+    val s1 = StructType(Seq(StructField("k", LongType)))
+    val s2 = StructType(Seq(StructField("k", LongType),
+      StructField("extra", LongType)))
+    val w1 = new graft.sources.kv.KvStreamingWrite(dir, s1)
+    (0L to 1L).foreach { e =>
+      val w = graft.sources.kv.KvStreamingWriterFactory(dir, s1)
+        .createWriter(0, 0L, e)
+      w.write(new GenericInternalRow(Array[Any](e)))
+      w1.commit(e, Array(w.commit()))
+    }
+    val w2 = new graft.sources.kv.KvStreamingWrite(dir, s2)
+    locally {
+      val w = graft.sources.kv.KvStreamingWriterFactory(dir, s2)
+        .createWriter(0, 0L, 2L)
+      w.write(new GenericInternalRow(Array[Any](2L, 22L)))
+      w2.commit(2L, Array(w.commit()))
+    }
+    assert(spark.read.format("kv").option("path", dir).load()
+      .columns.toSeq == Seq("k", "extra"))
+    graft.operators.KvMerge.restoreToEpoch(dir, 1)
+    // the column's only bytes rolled back with epoch 2 — the sidecar
+    // folds it away; pre-existing columns keep their recorded types
+    assert(spark.read.format("kv").option("path", dir).load()
+      .columns.toSeq == Seq("k"))
+  }
+
   test("restore rolls back epochs newest-first and refuses what it cannot undo") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
