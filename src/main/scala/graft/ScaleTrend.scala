@@ -35,7 +35,8 @@ object ScaleTrend {
     "q_corpus_hll",         // one-pass sketch aggregation (map-side combined)
     "q_ann_binary_indexed", // 1-bit tier: 32×-smaller code-column scan
     "q_ann_ivfpq_residual_indexed", // residual IVFADC: per-probed-cell tables
-    "q_sample_bottomk_merge") // persisted sample tables + bottom-k rollup
+    "q_sample_bottomk_merge", // persisted sample tables + bottom-k rollup
+    "q_probe_join_size_incremental") // join-key synopsis append + rollup estimate
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")

@@ -2455,6 +2455,58 @@ object PipelineQueries {
         .orderBy(col("w_start"))
     }),
 
+    // Join-PLAN advisor: the optimizer's "which join first" question
+    // answered from persisted synopses alone. Four bottom-64 join-key
+    // synopses (customer/orders on custkey, orders/lineitem on
+    // orderkey) land once; each candidate join's size is priced from
+    // stored rows, and rank_by_est orders the plan — no raw table is
+    // touched by the pricing path. Exact pair counts ride along so the
+    // sheet shows what the advice was worth. HUGEINT-replayed.
+    "q_probe_join_plan" -> ((s, dir) => {
+      import graft.operators.SampleSynopsis
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val base = s"/tmp/graft_jplan$safe"
+      graft.sources.ParquetIO.deletePath(base)
+      val orders = Tables.load(s, dir, "orders")
+      val cust = Tables.load(s, dir, "customer")
+      val li = Tables.load(s, dir, "lineitem")
+      def build(df: org.apache.spark.sql.DataFrame, keyCol: String,
+          name: String): Unit =
+        SampleSynopsis.joinKeySynopsisRows(df, keyCol, 64)
+          .write.format("kv").option("path", s"$base/$name")
+          .mode("overwrite").save()
+      build(cust, "c_custkey", "cust")
+      build(orders, "o_custkey", "ordc")
+      build(orders, "o_orderkey", "ordk")
+      build(li, "l_orderkey", "lik")
+      def est(a: String, b: String, jn: String) =
+        SampleSynopsis.joinSizeEstimateFrames(
+          s.read.format("kv").option("path", s"$base/$a").load(),
+          s.read.format("kv").option("path", s"$base/$b").load(), 64)
+          .select(lit(jn).as("join_name"), col("est_pairs"))
+      def exactOf(a: org.apache.spark.sql.DataFrame, ka: String,
+          b: org.apache.spark.sql.DataFrame, kb: String, jn: String) =
+        a.groupBy(col(ka).as("key")).agg(count(lit(1)).as("ca"))
+          .join(b.groupBy(col(kb).as("key")).agg(count(lit(1)).as("cb")),
+            "key")
+          .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).cast("long")
+            .as("exact_pairs"))
+          .select(lit(jn).as("join_name"), col("exact_pairs"))
+      val ests = est("cust", "ordc", "customer_orders")
+        .unionAll(est("ordk", "lik", "orders_lineitem"))
+      val exacts = exactOf(cust, "c_custkey", orders, "o_custkey",
+          "customer_orders")
+        .unionAll(exactOf(orders, "o_orderkey", li, "l_orderkey",
+          "orders_lineitem"))
+      ests.join(exacts, "join_name")
+        .withColumn("rank_by_est",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("est_pairs"), col("join_name"))))
+        .select(col("join_name"), col("est_pairs"), col("exact_pairs"),
+          col("rank_by_est"))
+        .orderBy(col("join_name"))
+    }),
+
     // Streaming join-key synopsis ingest (the foreachBatch maintenance
     // discipline): the event stream drains in micro-batches, each batch
     // appending its own per-key synopsis rows for both sides; the

@@ -3220,6 +3220,60 @@ object SketchOracleSql {
        |ORDER BY t.w_start""".stripMargin
   }
 
+  /** q_probe_join_plan: both candidate joins' correlated-sampling
+    * estimates replayed from per-table (key, cnt) chains, plus the
+    * exact pair counts and the est-ordered plan rank.
+    */
+  def probeJoinPlanOracle(k: Int): String = {
+    def sideChain(px: String, table: String, key: String): String =
+      s"""${px}g AS MATERIALIZED (
+         |  SELECT $key AS key, count(*)::BIGINT AS cnt FROM $table
+         |  GROUP BY 1
+         |), ${px}h AS (
+         |  SELECT key, cnt, hu
+         |  FROM (${smCols(s"SELECT key, cnt FROM ${px}g", ux("key"), "hu",
+              s"${px}x")})
+         |), ${px}s AS (
+         |  SELECT key, cnt, hu FROM (
+         |    SELECT *, row_number() OVER (ORDER BY hu) AS rn FROM ${px}h
+         |  ) WHERE rn <= $k
+         |), ${px}t AS (
+         |  SELECT CASE WHEN count(*) < $k THEN 18446744073709551616::HUGEINT
+         |    ELSE max(hu) END AS tau FROM ${px}s
+         |)""".stripMargin
+    def pairChain(px: String, a: String, b: String, jn: String): String =
+      s"""${px}tau AS (
+         |  SELECT least(a.tau, b.tau) AS tau FROM ${a}t a, ${b}t b
+         |), ${px}jj AS (
+         |  SELECT coalesce(sum(x.cnt::HUGEINT * y.cnt::HUGEINT),
+         |    0::HUGEINT) AS j
+         |  FROM ${a}s x JOIN ${b}s y ON x.key = y.key
+         |  CROSS JOIN ${px}tau t WHERE x.hu < t.tau
+         |), ${px}x AS (
+         |  SELECT coalesce(sum(x.cnt * y.cnt), 0)::BIGINT AS exact_pairs
+         |  FROM ${a}g x JOIN ${b}g y ON x.key = y.key
+         |), ${px}row AS (
+         |  SELECT '$jn' AS join_name,
+         |    ((j.j * 18446744073709551616::HUGEINT) // t.tau)::BIGINT
+         |      AS est_pairs,
+         |    x.exact_pairs
+         |  FROM ${px}jj j, ${px}tau t, ${px}x x
+         |)""".stripMargin
+    s"""WITH ${sideChain("pca", "customer", "c_custkey")},
+       |${sideChain("pcb", "orders", "o_custkey")},
+       |${sideChain("pla", "orders", "o_orderkey")},
+       |${sideChain("plb", "lineitem", "l_orderkey")},
+       |${pairChain("p1", "pca", "pcb", "customer_orders")},
+       |${pairChain("p2", "pla", "plb", "orders_lineitem")},
+       |pall AS (
+       |  SELECT * FROM p1row UNION ALL SELECT * FROM p2row
+       |)
+       |SELECT join_name, est_pairs, exact_pairs,
+       |  row_number() OVER (ORDER BY est_pairs, join_name)::INT
+       |    AS rank_by_est
+       |FROM pall ORDER BY join_name""".stripMargin
+  }
+
   /** q_stream_sample_matrix: the sealed-window emission rule + the
     * per-window bottom-k chain — cell-table bit-identity means the
     * rolled and direct columns pin to one replayed chain.
@@ -5463,5 +5517,6 @@ object SketchOracleSql {
     "q_stream_probe_ingest" -> probeJoinSizeMaintOracle(64),
     "q_probe_join_size_windows" -> probeJoinSizeWindowsOracle(8),
     "q_probe_join_size_windows_filtered" ->
-      probeJoinSizeWindowsFilteredOracle(8))
+      probeJoinSizeWindowsFilteredOracle(8),
+    "q_probe_join_plan" -> probeJoinPlanOracle(64))
 }
