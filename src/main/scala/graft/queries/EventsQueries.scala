@@ -548,6 +548,92 @@ object EventsQueries {
         .orderBy(col("event_type"))
     }),
 
+    // The HLL cell grid under the same 2-D marginalization: per-(type ×
+    // 6h-window) register cells answer distinct-user counts for every
+    // slice — per window, per type AND corpus-wide — by register-max
+    // rollup from stored rows alone (order-free, so any
+    // marginalization of the grid is canonical). Direct sketches and
+    // exact counts ride along per axis.
+    "q_events_hll_matrix" -> ((s, dir) => {
+      import graft.functions.{HllDistinct, HllMerge}
+      val sk = s"/tmp/graft_hllmx${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(sk)
+      val ev = Tables.load(s, dir, "events")
+        .select(col("event_type"),
+          unix_timestamp(window(col("ts"), "21600 seconds")("start"))
+            .as("w_start"),
+          col("user_id"))
+      ev.groupBy(col("event_type"), col("w_start"))
+        .agg(HllDistinct.hllRegisters(col("user_id"), p = 8).as("regs"))
+        .write.format("kv").option("path", sk).mode("overwrite").save()
+      val stored = s.read.format("kv").option("path", sk).load()
+      def axisDf(axisName: String, keep: Seq[String]) = {
+        val rolled = stored.groupBy(keep.map(col): _*)
+          .agg(HllMerge.hllMergeEstimate(col("regs"), p = 8).as("hll_ndv"))
+        val direct = ev.groupBy(keep.map(col): _*)
+          .agg(HllDistinct.hllDistinct(col("user_id"), p = 8)
+            .as("hll_direct"),
+            countDistinct(col("user_id")).as("exact_ndv"))
+        val grp = if (keep.isEmpty) lit("*")
+          else concat_ws("/", keep.map(c => col(c).cast("string")): _*)
+        (if (keep.isEmpty) rolled.crossJoin(broadcast(direct))
+         else rolled.join(direct, keep))
+          .select(lit(axisName).as("axis"), grp.as("grp"), col("hll_ndv"),
+            col("hll_direct"), col("exact_ndv"))
+      }
+      axisDf("window", Seq("w_start"))
+        .unionAll(axisDf("type", Seq("event_type")))
+        .unionAll(axisDf("global", Seq.empty))
+        .orderBy(col("axis"), col("grp"))
+    }),
+
+    // The sketch matrix goes TWO-dimensional: the same per-(type ×
+    // 6h-window) KLL cell table that q_events_kll_merge marginalizes
+    // per type also answers per-WINDOW and corpus-wide quantiles —
+    // kllMerge over the surviving dimension(s), each rollup
+    // BIT-IDENTICAL to the direct sketch over that slice (the
+    // sub-multiset level-monotonicity argument is partition-shape-free,
+    // so ANY marginalization of the cell grid is canonical). "Any
+    // slice's distribution" answered from stored blobs alone; direct
+    // builds ride along, one replayed chain per axis pins both.
+    "q_events_kll_matrix" -> ((s, dir) => {
+      import graft.functions.KllSketch
+      val sk = s"/tmp/graft_kllmx${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(sk)
+      val ev = Tables.load(s, dir, "events")
+        .where(col("value").isNotNull)
+        .select(col("event_type"),
+          unix_timestamp(window(col("ts"), "21600 seconds")("start"))
+            .as("w_start"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("cents"))
+      ev.groupBy(col("event_type"), col("w_start"))
+        .agg(KllSketch.kll(col("cents"), k = 256).as("sk"))
+        .write.format("kv").option("path", sk).mode("overwrite").save()
+      val stored = s.read.format("kv").option("path", sk).load()
+      def axisDf(axisName: String, keep: Seq[String]) = {
+        val rolled = stored.groupBy(keep.map(col): _*)
+          .agg(KllSketch.kllMerge(col("sk"), k = 256).as("sk"))
+          .select(keep.map(col) ++ Seq(
+            KllSketch.kllQuantile(col("sk"), 50).as("q50"),
+            KllSketch.kllQuantile(col("sk"), 90).as("q90"),
+            KllSketch.kllN(col("sk")).as("n")): _*)
+        val direct = ev.groupBy(keep.map(col): _*)
+          .agg(KllSketch.kll(col("cents"), k = 256).as("sk"))
+          .select(keep.map(col) :+
+            KllSketch.kllQuantile(col("sk"), 50).as("direct_q50"): _*)
+        val grp = if (keep.isEmpty) lit("*")
+          else concat_ws("/", keep.map(c => col(c).cast("string")): _*)
+        (if (keep.isEmpty) rolled.crossJoin(broadcast(direct))
+         else rolled.join(direct, keep))
+          .select(lit(axisName).as("axis"), grp.as("grp"), col("q50"),
+            col("direct_q50"), col("q90"), col("n"))
+      }
+      axisDf("window", Seq("w_start"))
+        .unionAll(axisDf("type", Seq("event_type")))
+        .unionAll(axisDf("global", Seq.empty))
+        .orderBy(col("axis"), col("grp"))
+    }),
+
     // Distribution DRIFT from sketch rows alone — the dashboard the
     // quantile sketch exists for: each 6h window's median, located in
     // the CORPUS distribution by its estimated permille rank
@@ -939,6 +1025,8 @@ object EventsQueries {
     // rollup ≡ direct bit-for-bit (sub-multiset level monotonicity) —
     // one replayed chain pins both columns
     "q_events_kll_merge" -> SketchOracleSql.kllMergeOracle,
+    "q_events_kll_matrix" -> SketchOracleSql.kllMatrixOracle,
+    "q_events_hll_matrix" -> SketchOracleSql.hllMatrixOracle,
 
     // window medians located in the corpus sketch by the exact rank
     // rule — both chains replayed

@@ -2455,6 +2455,66 @@ object PipelineQueries {
         .orderBy(col("w_start"))
     }),
 
+    // GROUP-COUNT probe — the third leg of sketch-driven planning
+    // (join size, join order, now output cardinality): how many rows
+    // will `GROUP BY event_type, user_id` produce, answered from a
+    // persisted HLL sketch over the canonical composite key — the
+    // shuffle-partition sizing question without a pre-pass. The
+    // pricing path reads one stored register row; exact distinct
+    // rides along; the register chain replays in the oracle.
+    "q_probe_groupby_size" -> ((s, dir) => {
+      import graft.functions.{HllDistinct, HllMerge}
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val sk = s"/tmp/graft_gbsz$safe"
+      graft.sources.ParquetIO.deletePath(sk)
+      val ev = Tables.load(s, dir, "events")
+      val gk = concat(col("event_type"), lit("|"),
+        col("user_id").cast("string"))
+      ev.select(gk.as("gk"))
+        .agg(HllDistinct.hllRegisters(col("gk"), p = 8).as("regs"))
+        .select(lit("*").as("grp"), col("regs"))
+        .write.format("kv").option("path", sk).mode("overwrite").save()
+      val plan = s.read.format("kv").option("path", sk).load()
+        .select(HllMerge.hllEstimate(col("regs"), 8).as("n_groups_hat"))
+      val exact = ev.agg(countDistinct(gk).as("exact_groups"))
+      plan.crossJoin(broadcast(exact))
+        .select(col("n_groups_hat"), col("exact_groups"))
+    }),
+
+    // SEMI-join probe — the advisor's fourth leg: how many DISTINCT
+    // view users also purchase (semi-join selectivity / "matched keys"
+    // rather than pair counts), answered by the Beyer et al. KMV
+    // direct-intersection estimator over two persisted bottom-64
+    // minima rows alone. k = 64 < the 150-user key space, so the
+    // sampled branch genuinely exercises; exact shared-user count
+    // rides along; the union+membership+normalization chain replays
+    // term for term.
+    "q_probe_semijoin" -> ((s, dir) => {
+      import graft.functions.KmvDistinct
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val sk = s"/tmp/graft_sjsyn$safe"
+      graft.sources.ParquetIO.deletePath(sk)
+      val ev = Tables.load(s, dir, "events")
+      ev.filter(col("event_type").isin("view", "purchase"))
+        .groupBy(col("event_type"))
+        .agg(KmvDistinct.kmvMinima(col("user_id"), k = 64).as("mins"))
+        .write.format("kv").option("path", sk).mode("overwrite").save()
+      val skdf = s.read.format("kv").option("path", sk).load()
+      val est = skdf.filter(col("event_type") === "view")
+        .select(col("mins").as("ma"))
+        .crossJoin(broadcast(skdf.filter(col("event_type") === "purchase")
+          .select(col("mins").as("mb"))))
+        .select(KmvDistinct.kmvIntersectEstimate(col("ma"), col("mb"), 64)
+          .as("shared_users_hat"))
+      val exact = ev.filter(col("event_type") === "view")
+        .select(col("user_id")).distinct()
+        .join(ev.filter(col("event_type") === "purchase")
+          .select(col("user_id")).distinct(), "user_id")
+        .agg(count(lit(1)).as("exact_shared"))
+      est.crossJoin(broadcast(exact))
+        .select(col("shared_users_hat"), col("exact_shared"))
+    }),
+
     // Join-PLAN advisor: the optimizer's "which join first" question
     // answered from persisted synopses alone. Four bottom-64 join-key
     // synopses (customer/orders on custkey, orders/lineitem on

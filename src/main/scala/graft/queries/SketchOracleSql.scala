@@ -2565,6 +2565,79 @@ object SketchOracleSql {
        |GROUP BY q.grp
        |ORDER BY event_type""".stripMargin
 
+  /** q_events_hll_matrix: every axis of the (type × window) HLL cell
+    * grid replayed — one register chain per marginalization
+    * (register-max rollup is canonical, so rolled ≡ direct and one
+    * chain pins both estimate columns), plus exact NDV per axis.
+    */
+  def hllMatrixOracle: String = {
+    val wgrp = "((epoch_us(date_trunc('microseconds', ts)) // 21600000000)" +
+      " * 21600)::VARCHAR"
+    def base(grpExpr: String) =
+      s"SELECT $grpExpr AS grp, user_id AS v FROM events"
+    def axisSel(px: String, axis: String, exGrp: String): String =
+      s"""SELECT '$axis' AS axis, o.grp,
+         |  coalesce(o.ndv, 0)::BIGINT AS hll_ndv,
+         |  coalesce(o.ndv, 0)::BIGINT AS hll_direct,
+         |  x.exact_ndv
+         |FROM ${px}out o JOIN (
+         |  SELECT $exGrp AS grp, count(DISTINCT user_id)::BIGINT
+         |    AS exact_ndv
+         |  FROM events GROUP BY 1
+         |) x USING (grp)""".stripMargin
+    s"""WITH ${hllChainSql("hxw", base(wgrp), "ndv")},
+       |${hllChainSql("hxt", base("event_type"), "ndv")},
+       |${hllChainSql("hxg", base("'*'"), "ndv")}
+       |SELECT * FROM (
+       |  ${axisSel("hxw", "window", wgrp)}
+       |  UNION ALL
+       |  ${axisSel("hxt", "type", "event_type")}
+       |  UNION ALL
+       |  ${axisSel("hxg", "global", "'*'")}
+       |)
+       |ORDER BY axis, grp""".stripMargin
+  }
+
+  /** q_events_kll_matrix: every axis of the (type × window) KLL cell
+    * grid replayed — one direct chain per marginalization (bit-identity
+    * of the rollup pins the rolled and direct columns together).
+    */
+  def kllMatrixOracle: String = {
+    val winBase =
+      """SELECT ((epoch_us(date_trunc('microseconds', ts)) // 21600000000)
+        |  * 21600)::VARCHAR AS grp,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |FROM events WHERE value IS NOT NULL""".stripMargin
+    val typBase =
+      """SELECT event_type AS grp,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |FROM events WHERE value IS NOT NULL""".stripMargin
+    val gloBase =
+      """SELECT '*' AS grp,
+        |  CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |FROM events WHERE value IS NOT NULL""".stripMargin
+    def axisSel(px: String, axis: String): String =
+      s"""SELECT '$axis' AS axis, q.grp,
+         |  min(CASE WHEN q.cum * 100 >= 50 * q.w THEN q.v END) AS q50,
+         |  min(CASE WHEN q.cum * 100 >= 50 * q.w THEN q.v END)
+         |    AS direct_q50,
+         |  min(CASE WHEN q.cum * 100 >= 90 * q.w THEN q.v END) AS q90,
+         |  max(n.n) AS n
+         |FROM ${px}q q JOIN ${px}n n USING (grp)
+         |GROUP BY q.grp""".stripMargin
+    s"""WITH ${kllChainSql("kxw", winBase, 256)},
+       |${kllChainSql("kxt", typBase, 256)},
+       |${kllChainSql("kxg", gloBase, 256)}
+       |SELECT * FROM (
+       |  ${axisSel("kxw", "window")}
+       |  UNION ALL
+       |  ${axisSel("kxt", "type")}
+       |  UNION ALL
+       |  ${axisSel("kxg", "global")}
+       |)
+       |ORDER BY axis, grp""".stripMargin
+  }
+
   /** q_events_kll_drift: the per-window chain's medians located in the
     * corpus chain by the exact integer rank rule
     * `floor(1000·cum(<= q50)/W)` — both sketches and the readout
@@ -3218,6 +3291,72 @@ object SketchOracleSql {
        |LEFT JOIN wjj j ON j.w_start = t.w_start
        |LEFT JOIN wjx x ON x.w_start = t.w_start
        |ORDER BY t.w_start""".stripMargin
+  }
+
+  /** q_probe_semijoin: the KMV direct-intersection estimator over the
+    * view/purchase user-id minima — union, k-trim, two-sided
+    * membership count, and the (k−1)/u normalization replayed exactly.
+    */
+  def probeSemijoinOracle(k: Int): String =
+    s"""WITH sjh AS MATERIALIZED (
+       |  SELECT DISTINCT grp, h
+       |  FROM (${smCols("SELECT event_type AS grp, user_id AS v FROM events" +
+            " WHERE event_type IN ('view', 'purchase')", ux("v"), "h",
+            "sjx")})
+       |), sjmin AS MATERIALIZED (
+       |  SELECT grp, h FROM (
+       |    SELECT grp, h, row_number() OVER (PARTITION BY grp ORDER BY h)
+       |      AS rn
+       |    FROM sjh
+       |  ) WHERE rn <= $k
+       |), sjl AS (
+       |  SELECT h, rn FROM (
+       |    SELECT h, row_number() OVER (ORDER BY h) AS rn
+       |    FROM (SELECT DISTINCT h FROM sjmin)
+       |  ) WHERE rn <= $k
+       |), sjagg AS (
+       |  SELECT count(*)::BIGINT AS lsz,
+       |    max(CASE WHEN l.rn = $k THEN l.h END) AS kth,
+       |    sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL
+       |      THEN 1 ELSE 0 END)::BIGINT AS kboth
+       |  FROM sjl l
+       |  LEFT JOIN sjmin a ON a.grp = 'view' AND a.h = l.h
+       |  LEFT JOIN sjmin b ON b.grp = 'purchase' AND b.h = l.h
+       |), sjex AS (
+       |  SELECT count(*)::BIGINT AS exact_shared FROM
+       |    (SELECT DISTINCT user_id FROM events
+       |     WHERE event_type = 'view') x
+       |  JOIN (SELECT DISTINCT user_id FROM events
+       |     WHERE event_type = 'purchase') y USING (user_id)
+       |)
+       |SELECT CASE WHEN g.lsz < $k THEN g.kboth
+       |  ELSE CAST(floor(g.kboth::DOUBLE
+       |    * (${k - 1}.0 / greatest((g.kth // 2048)::DOUBLE
+       |        / 9007199254740992.0, 4.9e-324)) / $k.0 + 0.5) AS BIGINT)
+       |  END AS shared_users_hat,
+       |  x.exact_shared
+       |FROM sjagg g, sjex x""".stripMargin
+
+  /** q_probe_groupby_size: the composite-key HLL register chain
+    * replayed (string items through the seeded byte-hash chain) plus
+    * the exact distinct count.
+    */
+  def probeGroupbySizeOracle: String = {
+    val keyed = "SELECT '*' AS grp, " +
+      "event_type || '|' || user_id::VARCHAR AS keystr FROM events"
+    s"""WITH ${hllChainSqlU("gb",
+          s"""SELECT grp, h AS v FROM (
+             |  ${hashStrCols(keyed, "keystr", 0x9747b28cL, 3, "h", "gbx",
+                  Seq("grp"))}
+             |)""".stripMargin, "n_groups_hat")},
+       |gx AS (
+       |  SELECT count(DISTINCT event_type || '|' || user_id::VARCHAR)::BIGINT
+       |    AS exact_groups
+       |  FROM events
+       |)
+       |SELECT coalesce(g.n_groups_hat, 0)::BIGINT AS n_groups_hat,
+       |  x.exact_groups
+       |FROM gbout g, gx x""".stripMargin
   }
 
   /** q_probe_join_plan: both candidate joins' correlated-sampling
@@ -5518,5 +5657,7 @@ object SketchOracleSql {
     "q_probe_join_size_windows" -> probeJoinSizeWindowsOracle(8),
     "q_probe_join_size_windows_filtered" ->
       probeJoinSizeWindowsFilteredOracle(8),
-    "q_probe_join_plan" -> probeJoinPlanOracle(64))
+    "q_probe_join_plan" -> probeJoinPlanOracle(64),
+    "q_probe_groupby_size" -> probeGroupbySizeOracle,
+    "q_probe_semijoin" -> probeSemijoinOracle(64))
 }

@@ -42,17 +42,20 @@ class KvAlterSpec extends SparkSpec {
       .columns.toSeq == Seq("k", "v", "w", "x", "y"))
   }
 
-  test("duplicate adds and non-ADD changes fail fast") {
+  test("duplicate adds and unknown-column changes fail fast") {
     val dir = stage()
     val dup = intercept[Exception] {
       spark.sql(s"ALTER TABLE kvcat.`$dir` ADD COLUMN v BIGINT")
     }
     assert(dup.getMessage.toLowerCase.contains("already exists"), dup.getMessage)
+    // DROP COLUMN of a column that does not exist fails fast (DROP of
+    // real columns is supported since KvEvolution — see KvEvolutionSpec)
     val drop = intercept[Exception] {
-      spark.sql(s"ALTER TABLE kvcat.`$dir` DROP COLUMN v")
+      spark.sql(s"ALTER TABLE kvcat.`$dir` DROP COLUMN nope")
     }
-    assert(drop.getMessage.contains("ALTER COLUMN TYPE only") ||
-      drop.getMessage.toLowerCase.contains("unsupported"), drop.getMessage)
+    assert(drop.getMessage.toLowerCase.contains("does not exist") ||
+      drop.getMessage.toLowerCase.contains("cannot be resolved"),
+      drop.getMessage)
   }
 
   test("ALTER COLUMN widening is metadata-only; narrow storage upcasts on read") {
