@@ -463,6 +463,46 @@ object ExplainCheck {
           l.contains("ObjectHashAggregate") && l.contains("partial")) +
         " (want >=1 — per-group bottom-k combines map-side)")
     }
+
+    // round-14: the sketch-PLANNING probes' pricing paths (join size /
+    // plan rank / semi-join selectivity) must read persisted synopsis
+    // tables alone — zero raw-table parquet scans in the estimate
+    // subplan; raw tables feed only each gate's exact ride-along pin.
+    {
+      import graft.operators.SampleSynopsis
+      val base = java.nio.file.Files.createTempDirectory("explainpp")
+        .toString
+      val ev = spark.read.parquet(s"$dir/events.parquet")
+      SampleSynopsis.buildJoinKeySynopsis(
+        ev.filter(col("event_type") === "view"), "user_id", s"$base/a", 64)
+      SampleSynopsis.buildJoinKeySynopsis(
+        ev.filter(col("event_type") === "purchase"), "user_id",
+        s"$base/b", 64)
+      val jplan = finalPlanString(
+        SampleSynopsis.joinSizeEstimate(spark, s"$base/a", s"$base/b", 64))
+      println("=== join-size pricing path === raw-table parquet scans: " +
+        jplan.linesIterator.count(_.contains("events.parquet")) +
+        " (want 0 — synopsis rows alone); broadcasts: " +
+        jplan.linesIterator.count(_.contains("BroadcastExchange")) +
+        " (want >=1 — the tau frame)")
+      import graft.functions.KmvDistinct
+      ev.filter(col("event_type").isin("view", "purchase"))
+        .groupBy(col("event_type"))
+        .agg(KmvDistinct.kmvMinima(col("user_id"), k = 64).as("mins"))
+        .write.format("kv").option("path", s"$base/m").mode("overwrite")
+        .save()
+      val skdf = spark.read.format("kv").option("path", s"$base/m").load()
+      val splan = finalPlanString(
+        skdf.filter(col("event_type") === "view")
+          .select(col("mins").as("ma"))
+          .crossJoin(broadcast(skdf.filter(col("event_type") === "purchase")
+            .select(col("mins").as("mb"))))
+          .select(KmvDistinct.kmvIntersectEstimate(col("ma"), col("mb"), 64)
+            .as("shared_users_hat")))
+      println("=== semi-join pricing path === raw-table parquet scans: " +
+        splan.linesIterator.count(_.contains("events.parquet")) +
+        " (want 0 — two stored minima rows alone)")
+    }
     spark.stop()
   }
 }

@@ -314,6 +314,57 @@ object CurationQueries {
         .orderBy(col("exact_n").desc, col("term"))
     }),
 
+    // The CMS cell grid under the 2-D marginalization discipline
+    // (completing the matrix story across all four sketch families:
+    // samples, KLL, HLL, now counters): per-(source × lang) term-count
+    // sketches marginalize by counter ADDITION over either dimension —
+    // per-lang term frequencies, per-source, and corpus-wide, all from
+    // stored counter rows alone. Probes are the 8 globally-heaviest
+    // terms; per-slice exact counts ride along (LEFT-joined so a probe
+    // term absent from a slice pins at 0 — the never-under-count
+    // invariant holds per slice).
+    "q_doc_cms_matrix" -> ((s, dir) => {
+      import graft.functions.{CmsSketch, Sketches}
+      val sk = s"/tmp/graft_cmsmx${dir.replaceAll("[^a-zA-Z0-9]", "_")}"
+      graft.sources.ParquetIO.deletePath(sk)
+      val toks = Tables.load(s, dir, "documents")
+        .select(col("source"), col("lang"), explode(
+          graft.functions.WhitespaceTokens.wsTokens(col("text"))).as("term"))
+      toks.groupBy(col("source"), col("lang"))
+        .agg(CmsSketch.cms(col("term"), depth = 4, width = 256).as("sk"))
+        .write.format("kv").option("path", sk).mode("overwrite").save()
+      val stored = s.read.format("kv").option("path", sk).load()
+      val probes = toks.groupBy(col("term")).agg(count(lit(1)).as("n"))
+        .agg(graft.functions.BoundedTopK.topK(
+          struct(col("n").cast("double").as("s"), col("term"),
+            col("n").as("cnt")), 8).as("top"))
+        .select(explode(col("top")).as("t"))
+        .select(col("t.term").as("term"))
+      def axisDf(axisName: String, keep: Seq[String]) = {
+        val merged = stored.groupBy(keep.map(col): _*)
+          .agg(CmsSketch.cmsMerge(col("sk"), depth = 4, width = 256)
+            .as("sk"))
+        val grp = if (keep.isEmpty) lit("*")
+          else concat_ws("/", keep.map(c => col(c).cast("string")): _*)
+        val est = merged.crossJoin(broadcast(probes))
+          .select(keep.map(col) ++ Seq(grp.as("grp"), col("term"),
+            CmsSketch.cmsEstimate(col("sk"),
+              Sketches.stringHash64(col("term"), 0x9747b28cL),
+              depth = 4, width = 256).as("cms_n")): _*)
+        val exact = toks.join(broadcast(probes), "term")
+          .groupBy(keep.map(col) :+ col("term"): _*)
+          .agg(count(lit(1)).as("exact_n"))
+        est.join(exact, keep :+ "term", "left")
+          .na.fill(0L, Seq("exact_n"))
+          .select(lit(axisName).as("axis"), col("grp"), col("term"),
+            col("cms_n"), col("exact_n"))
+      }
+      axisDf("lang", Seq("lang"))
+        .unionAll(axisDf("source", Seq("source")))
+        .unionAll(axisDf("global", Seq.empty))
+        .orderBy(col("axis"), col("grp"), col("term"))
+    }),
+
     // Weighted per-source sampling without replacement (A-ES keys):
     // keep 5 docs per source at random but ∝-favoring length (weight
     // n_chars+1) — the quality-weighted downsampling primitive. The

@@ -2116,6 +2116,88 @@ object SketchOracleSql {
        |ORDER BY exact_n DESC, t.term""".stripMargin
   }
 
+  /** q_doc_cms_matrix: the (source × lang) counter cell grid replayed
+    * per axis — grouped term counts, the four per-depth bucket-sum
+    * chains per marginalization, probe buckets hashed once globally,
+    * estimates as the min over depths (empty cells read 0), exact
+    * per-slice counts LEFT-joined (absent probe term pins at 0).
+    */
+  def docCmsMatrixOracle: String = {
+    val depth = 4
+    val seeds = (0 until depth).map(graft.functions.CmsSketch.rowSeed)
+    val tokBase =
+      """SELECT source, lang,
+        |  unnest(list_filter(string_split_regex(trim(text), '\s+'),
+        |    x -> x <> '')) AS term
+        |FROM documents""".stripMargin
+    val probeBuckets = (0 until depth).map { r =>
+      s"""pb$r AS (
+         |  SELECT term, (rh % 256::HUGEINT) AS b
+         |  FROM (${smCols(
+              "SELECT c.term, c.h FROM cmterm c JOIN cmtop USING (term)",
+              xor64("h", u(seeds(r))), "rh", s"pbx$r")})
+         |)""".stripMargin
+    }.mkString(",\n")
+    def axisCtes(px: String, grpExpr: String): String = {
+      val rows = (0 until depth).map { r =>
+        s"""${px}r$r AS (
+           |  SELECT grp, n, (rh % 256::HUGEINT) AS b
+           |  FROM (${smCols(s"SELECT grp, term, n, h FROM ${px}h",
+                xor64("h", u(seeds(r))), "rh", s"${px}x$r")})
+           |), ${px}c$r AS (
+           |  SELECT grp, b, sum(n)::BIGINT AS c FROM ${px}r$r
+           |  GROUP BY grp, b
+           |)""".stripMargin
+      }.mkString(",\n")
+      s"""${px}f AS MATERIALIZED (
+         |  SELECT $grpExpr AS grp, term, count(*)::BIGINT AS n
+         |  FROM cmtok GROUP BY 1, 2
+         |), ${px}h AS MATERIALIZED (
+         |  SELECT f.grp, f.term, f.n, c.h
+         |  FROM ${px}f f JOIN cmterm c USING (term)
+         |),
+         |$rows,
+         |${px}s AS (SELECT DISTINCT grp FROM ${px}f)""".stripMargin
+    }
+    def axisSel(px: String, axis: String): String = {
+      val joins = (0 until depth).map { r =>
+        s"JOIN pb$r q$r ON q$r.term = p.term " +
+          s"LEFT JOIN ${px}c$r m$r ON m$r.grp = s.grp AND m$r.b = q$r.b"
+      }.mkString("\n  ")
+      val mins = (0 until depth).map(r => s"coalesce(m$r.c, 0)").mkString(", ")
+      s"""SELECT '$axis' AS axis, s.grp, p.term,
+         |  least($mins)::BIGINT AS cms_n,
+         |  coalesce(e.n, 0)::BIGINT AS exact_n
+         |FROM ${px}s s CROSS JOIN cmtop p
+         |  $joins
+         |  LEFT JOIN ${px}f e ON e.grp = s.grp AND e.term = p.term""".stripMargin
+    }
+    s"""WITH cmtok AS MATERIALIZED ($tokBase),
+       |cmterm AS MATERIALIZED (
+       |  ${hashStrCols("SELECT DISTINCT term FROM cmtok", "term",
+            0x9747b28cL, 4, "h", "cmtx", Seq("term"))}
+       |),
+       |cmtop AS (
+       |  SELECT term FROM (
+       |    SELECT term, count(*)::BIGINT AS n,
+       |      row_number() OVER (ORDER BY count(*) DESC, term) AS rn
+       |    FROM cmtok GROUP BY term
+       |  ) WHERE rn <= 8
+       |),
+       |$probeBuckets,
+       |${axisCtes("cml", "lang")},
+       |${axisCtes("cms", "source")},
+       |${axisCtes("cmg", "'*'")}
+       |SELECT * FROM (
+       |  ${axisSel("cml", "lang")}
+       |  UNION ALL
+       |  ${axisSel("cms", "source")}
+       |  UNION ALL
+       |  ${axisSel("cmg", "global")}
+       |)
+       |ORDER BY axis, grp, term""".stripMargin
+  }
+
   /** q_doc_cms_heavy: heavy-hitter enumeration from the persisted
     * synopsis replayed end to end — per-source top-24 candidate tables
     * (n desc, term asc), candidate union, corpus-wide counters (the
@@ -5628,6 +5710,7 @@ object SketchOracleSql {
     // the persisted per-source rollup is bit-identical to the direct
     // sketch (counter add is associative) — same oracle
     "q_doc_cms_merge" -> docCmsTokensOracle,
+    "q_doc_cms_matrix" -> docCmsMatrixOracle,
     "q_stream_cms_ingest" -> streamCmsIngestOracle,
     "q_ann_ivf" -> annIvfOracle,
     "q_ann_ivf_audit" -> annIvfAuditOracle,
