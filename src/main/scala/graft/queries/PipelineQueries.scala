@@ -1009,6 +1009,29 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // The tokenizer as a PERSISTED ARTIFACT (the production shape:
+    // train once, ship the vocab, encode anywhere): the trained
+    // (tok, score) table lands in kv, and the serving plan reads the
+    // stored rows alone — no re-training — with encode output
+    // BIT-IDENTICAL to the train-in-plan gate (same vocab ⇒ same
+    // Viterbi segmentation; shares its oracle). The vocab read is the
+    // documented driver-bounded collect (≤ 8192 rows by the training
+    // require), the same artifact shape every ANN tier persists.
+    "q_doc_unigram_tokens_indexed" -> ((s, dir) => {
+      val safe = dir.replaceAll("[^a-zA-Z0-9]", "_")
+      val vk = s"/tmp/graft_uvocab$safe"
+      graft.sources.ParquetIO.deletePath(vk)
+      val docs = Tables.load(s, dir, "documents")
+      graft.operators.TokenizerTraining.trainUnigram(docs, "text")
+        .write.format("kv").option("path", vk).mode("overwrite").save()
+      val vocab = s.read.format("kv").option("path", vk).load()
+        .collect()
+        .map(r => r.getAs[String]("tok") -> r.getAs[Long]("score")).toMap
+      graft.operators.TokenizerTraining.encodeUnigram(docs, "text", "doc_id", vocab)
+        .select(col("doc_id"), col("n_tokens"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Streaming ingest × ANN index maintenance (the q_kv_stream_index
     // composition applied to the vector tier): build the IVF index on a
     // base slice, then stream the remaining vectors in rate-limited
@@ -2479,6 +2502,65 @@ object PipelineQueries {
       val exact = ev.agg(countDistinct(gk).as("exact_groups"))
       plan.crossJoin(broadcast(exact))
         .select(col("n_groups_hat"), col("exact_groups"))
+    }),
+
+    // The drift matrix drains FROM THE STREAM: each micro-batch
+    // appends its own per-(window, key) synopsis rows for both sides,
+    // and the read-side grouped rollup (sum counts per (window, key),
+    // trim per window) reproduces the batch-built drift sheet
+    // BIT-IDENTICALLY — the count-summing lemma applies per window, so
+    // the result is micro-batching-independent and shares the windows
+    // gate's oracle (chopped ≡ one-shot ≡ direct).
+    "q_stream_probe_windows" -> ((s, dir) => {
+      import graft.operators.SampleSynopsis
+      val u = java.util.UUID.randomUUID().toString.replace("-", "")
+      val pa = s"/tmp/graft_jsynswa_$u/t"
+      val pb = s"/tmp/graft_jsynswb_$u/t"
+      val ckpt = s"/tmp/graft_jsynswck_$u"
+      val q = s.readStream.format("log")
+        .option("path", s"$dir/events.parquet")
+        .option("maxOffsetsPerTrigger", "2500").load()
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withColumn("w_start",
+          unix_timestamp(window(col("ts"), "21600 seconds")("start")))
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          if (!df.isEmpty) {
+            SampleSynopsis.joinKeySynopsisRows(
+              df.filter(col("event_type") === "view"), "user_id", 8,
+              keep = Seq("w_start"))
+              .write.format("kv").option("path", pa).mode("append").save()
+            SampleSynopsis.joinKeySynopsisRows(
+              df.filter(col("event_type") === "purchase"), "user_id", 8,
+              keep = Seq("w_start"))
+              .write.format("kv").option("path", pb).mode("append").save()
+          }
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      def rolled(p: String) = SampleSynopsis.rollupJoinSynopsis(
+        s.read.format("kv").option("path", p).load(), 8,
+        keep = Seq("w_start"))
+      val est = SampleSynopsis.joinSizeEstimateFrames(
+        rolled(pa), rolled(pb), 8, keep = Seq("w_start"))
+      val ev = Tables.load(s, dir, "events")
+        .withColumn("w_start",
+          unix_timestamp(window(col("ts"), "21600 seconds")("start")))
+      val exact = ev.filter(col("event_type") === "view")
+        .groupBy(col("w_start"), col("user_id"))
+        .agg(count(lit(1)).as("ca"))
+        .join(ev.filter(col("event_type") === "purchase")
+          .groupBy(col("w_start"), col("user_id"))
+          .agg(count(lit(1)).as("cb")), Seq("w_start", "user_id"))
+        .groupBy(col("w_start"))
+        .agg(sum(col("ca") * col("cb")).cast("long").as("exact_pairs"))
+      est.join(exact, Seq("w_start"), "left")
+        .select(col("w_start"), col("est_pairs"),
+          coalesce(col("exact_pairs"), lit(0L)).as("exact_pairs"))
+        .orderBy(col("w_start"))
     }),
 
     // SEMI-join probe — the advisor's fourth leg: how many DISTINCT

@@ -5666,6 +5666,7 @@ object SketchOracleSql {
     "q_corpus_bootstrap_groups" -> corpusBootstrapGroupsOracle,
     "q_tokenizer_unigram_em2" -> tokenizerUnigramEm2Oracle,
     "q_doc_unigram_tokens" -> docUnigramTokensOracle,
+    "q_doc_unigram_tokens_indexed" -> docUnigramTokensOracle,
     "q_doc_unigram_ppl_buckets" -> docUnigramPplBucketsOracle,
     // the persisted-index search must answer identically to the
     // in-memory IVF path — same replayed-k-means oracle
@@ -5738,6 +5739,7 @@ object SketchOracleSql {
     "q_probe_join_size_incremental" -> probeJoinSizeMaintOracle(64),
     "q_stream_probe_ingest" -> probeJoinSizeMaintOracle(64),
     "q_probe_join_size_windows" -> probeJoinSizeWindowsOracle(8),
+    "q_stream_probe_windows" -> probeJoinSizeWindowsOracle(8),
     "q_probe_join_size_windows_filtered" ->
       probeJoinSizeWindowsFilteredOracle(8),
     "q_probe_join_plan" -> probeJoinPlanOracle(64),
