@@ -22,6 +22,23 @@ object SimilaritySearch {
 
   private val dot: (Column, Column) => Column = (a, b) => arrayDot(a, b)
 
+  /** Run independent audit chains' actions concurrently (guide §2.6:
+    * actions are only sequential because the driver calls them
+    * sequentially — submitting the independent recall chains from a
+    * thread pool lets the next chain's tasks back-fill the cores the
+    * current chain's straggler tail leaves idle). Results are exact
+    * counts over deterministic chains, so concurrency cannot change any
+    * value; callers must materialize any frame the thunks SHARE (the
+    * persisted brute-force truth) before calling.
+    */
+  private def inParallel[T](thunks: Seq[() => T]): Seq[T] = {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fs = thunks.map(t => Future(t()))
+    fs.map(f => Await.result(f, Duration.Inf))
+  }
+
   /** Subspace `s` of each vector for PQ, sliced per-row from
     * size(vec)/m — no driver-side dimension probe, so plan construction
     * runs zero Spark jobs. Fail-fast contract: a vector whose dimension
@@ -399,12 +416,13 @@ object SimilaritySearch {
       def hits(ann: DataFrame): Long =
         ann.select(col("qid"), col("nid"))
           .join(exact, Seq("qid", "nid"), "left_semi").count()
-      val hitsSym = hits(binaryRefineKnn(corpus, queries, vecCol, idCol,
-        dim, k, refine))
-      val hitsAsymRaw = hits(binaryAsymShortlist(corpus, queries, vecCol,
-        idCol, dim, k))
-      val hitsAsym = hits(binaryAsymKnn(corpus, queries, vecCol, idCol,
-        dim, k, refine))
+      val Seq(hitsSym, hitsAsymRaw, hitsAsym) = inParallel(Seq(
+        () => hits(binaryRefineKnn(corpus, queries, vecCol, idCol,
+          dim, k, refine)),
+        () => hits(binaryAsymShortlist(corpus, queries, vecCol,
+          idCol, dim, k)),
+        () => hits(binaryAsymKnn(corpus, queries, vecCol, idCol,
+          dim, k, refine))))
       def milli(h: Long): Long =
         if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
       spark.range(1).select(
@@ -441,16 +459,11 @@ object SimilaritySearch {
       .select(col("cell"), col("id").as("nid"),
         binarySignWords(col("e"), dim).as("nbw"))
     val qPrepped = prep(queries, vecCol, idCol)
-    val probes = qPrepped.crossJoin(broadcast(cents))
-      .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
-      .groupBy(col("id"))
-      .agg(slice(sort_array(collect_list(struct(col("d2"), col("cell")))),
-        1, nProbe).as("cells"),
-        first(col("e")).as("e"))
+    val probes = qPrepped.crossJoin(broadcast(centroidArray(cents)))
       .select(col("id").as("qid"),
         binarySignWords(col("e"), dim).as("qbw"),
-        explode(col("cells.cell")).as("cell"))
+        explode(nearestCellsExpr(col("e"), nProbe).getField("cell"))
+          .as("cell"))
     val shortlist = broadcast(probes).join(assigned, Seq("cell"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
@@ -498,15 +511,10 @@ object SimilaritySearch {
     val qQuant = sq8Quantize(queries, vecCol, idCol)
       .select(col("id"), col("q").as("qq"))
     val probes = qPrepped.join(qQuant, "id")
-      .crossJoin(broadcast(cents))
-      .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
-      .groupBy(col("id"))
-      .agg(slice(sort_array(collect_list(struct(col("d2"), col("cell")))),
-        1, nProbe).as("cells"),
-        first(col("qq")).as("qq"))
+      .crossJoin(broadcast(centroidArray(cents)))
       .select(col("id").as("qid"), col("qq"),
-        explode(col("cells.cell")).as("cell"))
+        explode(nearestCellsExpr(col("e"), nProbe).getField("cell"))
+          .as("cell"))
     val shortlist = broadcast(probes).join(assigned, Seq("cell"))
       .where(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
@@ -546,10 +554,11 @@ object SimilaritySearch {
       def hits(ann: DataFrame): Long =
         ann.select(col("qid"), col("nid"))
           .join(exact, Seq("qid", "nid"), "left_semi").count()
-      val hitsSym = hits(binaryIvfKnn(corpus, queries, vecCol, idCol,
-        dim, k, nCells, nProbe, refine, iterations, maxTrainPerCell))
-      val hitsAsym = hits(binaryAsymIvfKnn(corpus, queries, vecCol, idCol,
-        dim, k, nCells, nProbe, refine, iterations, maxTrainPerCell))
+      val Seq(hitsSym, hitsAsym) = inParallel(Seq(
+        () => hits(binaryIvfKnn(corpus, queries, vecCol, idCol,
+          dim, k, nCells, nProbe, refine, iterations, maxTrainPerCell)),
+        () => hits(binaryAsymIvfKnn(corpus, queries, vecCol, idCol,
+          dim, k, nCells, nProbe, refine, iterations, maxTrainPerCell))))
       def milli(h: Long): Long =
         if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
       spark.range(1).select(
@@ -579,10 +588,11 @@ object SimilaritySearch {
       def hits(ann: DataFrame): Long =
         ann.select(col("qid"), col("nid"))
           .join(exact, Seq("qid", "nid"), "left_semi").count()
-      val hitsIvf = hits(ivfKnn(corpus, queries, vecCol, idCol, k,
-        nCells, nProbe, iterations, maxTrainPerCell))
-      val hitsBin = hits(binaryIvfKnn(corpus, queries, vecCol, idCol,
-        dim, k, nCells, nProbe, refine, iterations, maxTrainPerCell))
+      val Seq(hitsIvf, hitsBin) = inParallel(Seq(
+        () => hits(ivfKnn(corpus, queries, vecCol, idCol, k,
+          nCells, nProbe, iterations, maxTrainPerCell)),
+        () => hits(binaryIvfKnn(corpus, queries, vecCol, idCol,
+          dim, k, nCells, nProbe, refine, iterations, maxTrainPerCell))))
       def milli(h: Long): Long =
         if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
       spark.range(1).select(
@@ -611,9 +621,10 @@ object SimilaritySearch {
       def hits(ann: DataFrame): Long =
         ann.select(col("qid"), col("nid"))
           .join(exact, Seq("qid", "nid"), "left_semi").count()
-      val hitsBin = hits(binaryKnn(corpus, queries, vecCol, idCol, dim, k))
-      val hitsRef = hits(binaryRefineKnn(corpus, queries, vecCol, idCol,
-        dim, k, refine))
+      val Seq(hitsBin, hitsRef) = inParallel(Seq(
+        () => hits(binaryKnn(corpus, queries, vecCol, idCol, dim, k)),
+        () => hits(binaryRefineKnn(corpus, queries, vecCol, idCol,
+          dim, k, refine))))
       def milli(h: Long): Long =
         if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
       spark.range(1).select(
@@ -909,10 +920,11 @@ object SimilaritySearch {
       def hits(ann: DataFrame): Long =
         ann.select(col("qid"), col("nid"))
           .join(exact, Seq("qid", "nid"), "left_semi").count()
-      val hitsSingle = hits(lshKnn(corpus, queries, vecCol, idCol, k,
-        numPlanes, bands))
-      val hitsMulti = hits(lshMultiProbeKnn(corpus, queries, vecCol, idCol,
-        k, numPlanes, bands, probes))
+      val Seq(hitsSingle, hitsMulti) = inParallel(Seq(
+        () => hits(lshKnn(corpus, queries, vecCol, idCol, k,
+          numPlanes, bands)),
+        () => hits(lshMultiProbeKnn(corpus, queries, vecCol, idCol,
+          k, numPlanes, bands, probes))))
       def milli(h: Long): Long =
         if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
       spark.range(1).select(
@@ -1016,10 +1028,11 @@ object SimilaritySearch {
       def hits(ann: DataFrame): Long =
         ann.select(col("qid"), col("nid"))
           .join(exact, Seq("qid", "nid"), "left_semi").count()
-      val hitsBand = hits(lshMultiProbeKnn(corpus, queries, vecCol, idCol,
-        k, numPlanes, bands, probes, maxFlipBits))
-      val hitsJoint = hits(lshMultiProbeJointKnn(corpus, queries, vecCol,
-        idCol, k, numPlanes, bands, bands * (probes - 1), maxFlipBits))
+      val Seq(hitsBand, hitsJoint) = inParallel(Seq(
+        () => hits(lshMultiProbeKnn(corpus, queries, vecCol, idCol,
+          k, numPlanes, bands, probes, maxFlipBits)),
+        () => hits(lshMultiProbeJointKnn(corpus, queries, vecCol,
+          idCol, k, numPlanes, bands, bands * (probes - 1), maxFlipBits))))
       def milli(h: Long): Long =
         if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
       spark.range(1).select(
@@ -1052,10 +1065,11 @@ object SimilaritySearch {
       def hits(ann: DataFrame): Long =
         ann.select(col("qid"), col("nid"))
           .join(exact, Seq("qid", "nid"), "left_semi").count()
-      val hits1 = hits(lshMultiProbeKnn(corpus, queries, vecCol, idCol, k,
-        numPlanes, bands, probes1, maxFlipBits = 1))
-      val hits2 = hits(lshMultiProbeKnn(corpus, queries, vecCol, idCol, k,
-        numPlanes, bands, probes2, maxFlipBits = 2))
+      val Seq(hits1, hits2) = inParallel(Seq(
+        () => hits(lshMultiProbeKnn(corpus, queries, vecCol, idCol, k,
+          numPlanes, bands, probes1, maxFlipBits = 1)),
+        () => hits(lshMultiProbeKnn(corpus, queries, vecCol, idCol, k,
+          numPlanes, bands, probes2, maxFlipBits = 2))))
       def milli(h: Long): Long =
         if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
       spark.range(1).select(
@@ -1137,19 +1151,91 @@ object SimilaritySearch {
     centroids.persist()
   }
 
-  /** Assign each corpus vector to its nearest centroid (broadcast
-    * centroids; corpus stays in place). Nearest-cell selection is a hash
-    * aggregation over min(struct(d2, cell)) — no window sort; ties break
-    * deterministically on cell id via struct ordering.
+  /** The centroid frame folded to ONE cell-ascending array row —
+    * `(cents: array<struct<cell,ce>>)` — broadcast to every row-local
+    * consumer (assignment, probe selection, PQ distance tables) so the
+    * vector side NEVER shuffles for model lookups (guide §2.4: the model
+    * is bounded, the corpus is not; the old crossJoin+groupBy shape
+    * re-shuffled |corpus|·nCells rows per call).
+    */
+  private def centroidArray(centroids: DataFrame): DataFrame =
+    centroids.agg(
+      sort_array(collect_list(struct(col("cell"), col("ce")))).as("cents"))
+
+  /** d² between the row vector `e` and one (cell, ce) struct — the exact
+    * fold every former crossJoin site used (zip_with square diffs,
+    * left-to-right sum), so scores are bit-identical.
+    */
+  private def cd2(e: Column, c: Column): Column =
+    aggregate(zip_with(e, c.getField("ce"), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** The query's `nProbe` nearest cells as a (d2 asc, cell asc) sorted
+    * struct array — row-local over the broadcast centroid array;
+    * replaces the collect_list/groupBy probe shuffle.
+    */
+  private def nearestCellsExpr(e: Column, nProbe: Int,
+      excludeCell: Option[Column] = None): Column = {
+    val cands = excludeCell
+      .map(x => filter(col("cents"), c => c.getField("cell") =!= x))
+      .getOrElse(col("cents"))
+    slice(sort_array(transform(cands,
+      c => struct(cd2(e, c).as("d2"), c.getField("cell").as("cell")))),
+      1, nProbe)
+  }
+
+  /** Assign each corpus vector to its nearest centroid — row-local
+    * argmin over the broadcast centroid array: `array_min` over
+    * struct(d2, cell) is EXACTLY the former groupBy `min(struct(d2,
+    * cell))` (d2 asc, cell-asc ties), with zero exchanges — the corpus
+    * stays in place, nothing |corpus|·nCells-sized is ever materialized
+    * or shuffled.
     */
   def assignCells(prepped: DataFrame, centroids: DataFrame): DataFrame =
-    prepped.crossJoin(broadcast(centroids))
-      .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
-      .groupBy(col("id"))
-      .agg(min(struct(col("d2"), col("cell"))).as("m"),
-        first(col("e")).as("e"), first(col("nrm")).as("nrm"))
+    prepped.crossJoin(broadcast(centroidArray(centroids)))
+      .withColumn("m", array_min(transform(col("cents"),
+        c => struct(cd2(col("e"), c).as("d2"), c.getField("cell").as("cell")))))
       .select(col("id"), col("m.cell").as("cell"), col("e"), col("nrm"))
+
+  /** The nearest cell of `e` over a given centroid-array column — the
+    * [[assignCells]] argmin as a bare expression, for the one-pass
+    * encoders below.
+    */
+  private def argminCell(cents: Column, e: Column): Column =
+    array_min(transform(cents,
+      c => struct(cd2(e, c).as("d2"), c.getField("cell").as("cell"))))
+      .getField("cell")
+
+  /** Encode a frame carrying a vector column `vc` as PQ codes in ONE
+    * row-local pass: every subspace's code is the [[assignCells]] argmin
+    * over that subspace's broadcast codebook array applied to the same
+    * per-row slice the per-subspace assign used — no per-subspace
+    * passes, no m-way join of corpus-sized code frames (formerly m
+    * joins, each an exchange of |corpus| rows). `keep` columns ride
+    * through. Slice arithmetic and the dim-divisibility fail-fast match
+    * [[pqSubspace]] exactly (cast-then-slice ≡ slice-then-cast on
+    * doubles), so codes are bit-identical to the joined formulation.
+    */
+  private def encodeCodes(
+      df: DataFrame, vc: Column, subCents: Seq[DataFrame],
+      keep: Seq[Column]): DataFrame = {
+    val m = subCents.length
+    val withArrs = (0 until m).foldLeft(df) { (d, s) =>
+      d.crossJoin(broadcast(
+        centroidArray(subCents(s)).select(col("cents").as(s"__cents$s"))))
+    }
+    val sz = size(vc)
+    val subDim = when(sz % lit(m) === 0, (sz / lit(m)).cast("int"))
+      .otherwise(raise_error(concat(
+        lit("vector dim "), sz.cast("string"),
+        lit(s" must divide into $m subspaces"))))
+    withArrs.select(keep :+
+      array((0 until m).map { s =>
+        argminCell(col(s"__cents$s"),
+          transform(slice(vc, lit(s) * subDim + lit(1), subDim),
+            x => x.cast("double")))
+      }: _*).as("codes"): _*)
+  }
 
   /** IVF-PQ: the production ANN layout (coarse inverted lists + compact
     * codes, FAISS's IVFPQ shape). The coarse quantizer assigns every
@@ -1197,34 +1283,21 @@ object SimilaritySearch {
 
     // coarse inverted lists over the full vectors
     val coarse = trainCentroids(corpus, vecCol, idCol, nCells, iterations, maxTrainPerCell)
-    val lists = assignCells(prep(corpus, vecCol, idCol), coarse)
-      .select(col("id"), col("cell").as("ivf_cell"))
-
-    // PQ codes + per-query distance tables (same machinery as pqKnn)
-    val perSub = (0 until m).map { s =>
-      val cents = trainCentroids(sub(corpus, s), "subv", idCol,
+    val perSubCents = (0 until m).map { s =>
+      trainCentroids(sub(corpus, s), "subv", idCol,
         pqCells, iterations, maxTrainPerCell)
-      val codes = assignCells(prep(sub(corpus, s), "subv", idCol), cents)
-        .select(col("id"), col("cell").as(s"code$s"))
-      val dt = prep(sub(queries, s), "subv", idCol)
-        .crossJoin(broadcast(cents))
-        .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
-          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
-        .groupBy(col("id"))
-        .agg(transform(sort_array(collect_list(struct(col("cell"), col("d2")))),
-          x => x.getField("d2")).as(s"dt$s"))
-      (codes, dt)
     }
-    val codes = perSub.map(_._1).reduce(_.join(_, "id"))
-      .join(lists, "id")
-      .select(col("id").as("nid"), col("ivf_cell"),
-        array((0 until m).map(s => col(s"code$s")): _*).as("codes"))
+    // ONE row-local encode pass: coarse cell + all m codes per corpus
+    // row over the broadcast model arrays (formerly a per-subspace
+    // assign + m-way join + lists join — each an exchange)
+    val prepped = prep(corpus, vecCol, idCol)
+      .crossJoin(broadcast(
+        centroidArray(coarse).select(col("cents").as("__cents_coarse"))))
+    val codes = encodeCodes(prepped, col("e"), perSubCents,
+      keep = Seq(col("id").as("nid"),
+        argminCell(col("__cents_coarse"), col("e")).as("ivf_cell")))
 
-    // per-query frames: joined broadcast (a stats-blind SMJ between
-    // |Q|-sized aggregates otherwise)
-    val dtabs = perSub.map(_._2).reduce((a, b) => a.join(broadcast(b), "id"))
-      .select(col("id").as("qid"),
-        array((0 until m).map(s => col(s"dt$s")): _*).as("dtabs"))
+    val dtabs = pqDistanceTables(queries, vecCol, idCol, perSubCents)
     ivfPqScoreModel(queries, vecCol, idCol, coarse, dtabs, codes, nProbe, m)
   }
 
@@ -1238,14 +1311,14 @@ object SimilaritySearch {
       queries: DataFrame, vecCol: String, idCol: String,
       coarse: DataFrame, dtabs: DataFrame, codes: DataFrame,
       nProbe: Int, m: Int): DataFrame = {
-    // nProbe nearest coarse cells per query (broadcast-sized sort)
-    val probes = prep(queries, vecCol, idCol).crossJoin(broadcast(coarse))
-      .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
-      .groupBy(col("id"))
-      .agg(slice(sort_array(collect_list(struct(col("d2"), col("cell")))), 1, nProbe)
-        .as("cells"))
-      .select(col("id").as("qid"), explode(col("cells.cell")).as("ivf_cell"))
+    // nProbe nearest coarse cells per query — row-local over the
+    // broadcast centroid array (same (d2 asc, cell asc) order the former
+    // collect_list/sort/slice produced, zero exchanges)
+    val probes = prep(queries, vecCol, idCol)
+      .crossJoin(broadcast(centroidArray(coarse)))
+      .select(col("id").as("qid"),
+        explode(nearestCellsExpr(col("e"), nProbe).getField("cell"))
+          .as("ivf_cell"))
     broadcast(probes.join(broadcast(dtabs), "qid"))
       .join(codes, Seq("ivf_cell"))
       .where(col("qid") =!= col("nid"))
@@ -1263,17 +1336,27 @@ object SimilaritySearch {
       queries: DataFrame, vecCol: String, idCol: String,
       subCents: Seq[DataFrame]): DataFrame = {
     val m = subCents.length
-    subCents.zipWithIndex.map { case (cents, s) =>
-      prep(pqSubspace(queries, vecCol, idCol, s, m), "subv", idCol)
-        .crossJoin(broadcast(cents))
-        .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
-          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
-        .groupBy(col("id"))
-        .agg(transform(sort_array(collect_list(struct(col("cell"), col("d2")))),
-          x => x.getField("d2")).as(s"dt$s"))
-    }.reduce((a, b) => a.join(broadcast(b), "id"))
-      .select(col("id").as("qid"),
-        array((0 until m).map(s => col(s"dt$s")): _*).as("dtabs"))
+    // ONE row-local pass: every subspace's cell-ascending d² table is an
+    // expression over the broadcast codebook arrays — no per-subspace
+    // shuffle, no m-way join of |Q|-sized aggregates. dt ordering and
+    // arithmetic match the former sort_array(collect_list) fold exactly
+    // (cell ids are unique, arrays are cell-ascending).
+    val sz = size(col(vecCol))
+    val subDim = when(sz % lit(m) === 0, (sz / lit(m)).cast("int"))
+      .otherwise(raise_error(concat(
+        lit("vector dim "), sz.cast("string"), lit(s" must divide into $m subspaces"))))
+    val q = queries.select(col(idCol).as("qid") +:
+      (0 until m).map(s => transform(
+        slice(col(vecCol), lit(s) * subDim + lit(1), subDim),
+        x => x.cast("double")).as(s"sube$s")): _*)
+    (0 until m).foldLeft(q) { (df, s) =>
+      df.crossJoin(broadcast(
+        centroidArray(subCents(s)).select(col("cents").as(s"cents$s"))))
+    }.select(col("qid"),
+      array((0 until m).map(s => transform(col(s"cents$s"),
+        c => aggregate(zip_with(col(s"sube$s"), c.getField("ce"),
+          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))): _*)
+        .as("dtabs"))
   }
 
   /** Persist an IVF-PQ index — the production "train once, search many"
@@ -1292,20 +1375,20 @@ object SimilaritySearch {
     val coarse = trainCentroids(base, vecCol, idCol, nCells, iterations, maxTrainPerCell)
     coarse.write.format("kv").option("path", s"$path/coarse")
       .mode("overwrite").save()
-    val lists = assignCells(prep(base, vecCol, idCol), coarse)
-      .select(col("id"), col("cell").as("ivf_cell"))
-    val perSub = (0 until m).map { s =>
+    val perSubCents = (0 until m).map { s =>
       val sub = pqSubspace(base, vecCol, idCol, s, m)
       val cents = trainCentroids(sub, "subv", idCol, pqCells, iterations, maxTrainPerCell)
       cents.write.format("kv").option("path", s"$path/pq$s")
         .mode("overwrite").save()
-      assignCells(prep(sub, "subv", idCol), cents)
-        .select(col("id"), col("cell").as(s"code$s"))
+      cents
     }
-    perSub.reduce(_.join(_, "id"))
-      .join(lists, "id")
-      .select(col("id").as("nid"), col("ivf_cell"),
-        array((0 until m).map(s => col(s"code$s")): _*).as("codes"))
+    // ONE row-local encode pass (coarse cell + all m codes per row)
+    val prepped = prep(base, vecCol, idCol)
+      .crossJoin(broadcast(
+        centroidArray(coarse).select(col("cents").as("__cents_coarse"))))
+    encodeCodes(prepped, col("e"), perSubCents,
+      keep = Seq(col("id").as("nid"),
+        argminCell(col("__cents_coarse"), col("e")).as("ivf_cell")))
       .write.format("kv").option("path", s"$path/codes")
       .mode("overwrite").save()
     val spark = corpus.sparkSession
@@ -1393,16 +1476,13 @@ object SimilaritySearch {
     val base =
       if (readPqMetaNormalize(spark, path)) unitNormed(newVecs, vecCol, idCol)
       else newVecs
-    val lists = assignCells(prep(base, vecCol, idCol), table("coarse"))
-      .select(col("id"), col("cell").as("ivf_cell"))
-    val perSub = subCents.zipWithIndex.map { case (cents, s) =>
-      assignCells(prep(pqSubspace(base, vecCol, idCol, s, m), "subv", idCol), cents)
-        .select(col("id"), col("cell").as(s"code$s"))
-    }
-    perSub.reduce(_.join(_, "id"))
-      .join(lists, "id")
-      .select(col("id").as("nid"), col("ivf_cell"),
-        array((0 until m).map(s => col(s"code$s")): _*).as("codes"))
+    // ONE row-local encode pass against the persisted model tables
+    val prepped = prep(base, vecCol, idCol)
+      .crossJoin(broadcast(
+        centroidArray(table("coarse")).select(col("cents").as("__cents_coarse"))))
+    encodeCodes(prepped, col("e"), subCents,
+      keep = Seq(col("id").as("nid"),
+        argminCell(col("__cents_coarse"), col("e")).as("ivf_cell")))
       .write.format("kv").option("path", s"$path/codes").mode("append").save()
   }
 
@@ -1538,14 +1618,10 @@ object SimilaritySearch {
     val assigned = spark.read.format("kv").option("path", s"$path/cells").load()
       .select(col("cell"), col("nid"), col("ne"), col("nn"))
     val qPrepped = prep(qBase, vecCol, idCol)
-    val probes = qPrepped.crossJoin(broadcast(cents))
-      .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
-      .groupBy(col("id"))
-      .agg(slice(sort_array(collect_list(struct(col("d2"), col("cell")))), 1, nProbe).as("cells"),
-        first(col("e")).as("e"), first(col("nrm")).as("nrm"))
+    val probes = qPrepped.crossJoin(broadcast(centroidArray(cents)))
       .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
-        explode(col("cells.cell")).as("cell"))
+        explode(nearestCellsExpr(col("e"), nProbe).getField("cell"))
+          .as("cell"))
     // dedup by (qid, nid): an [[ivfIndexAppend]] retried after a crash
     // appends the same cells rows twice; without this, one nid's
     // identical (sim, nid) pair seats TWO of the k heap slots and
@@ -1585,28 +1661,16 @@ object SimilaritySearch {
       maxTrainPerCell: Int = 16384): DataFrame = {
     def sub(df: DataFrame, s: Int): DataFrame = pqSubspace(df, vecCol, idCol, s, m)
 
-    val perSub = (0 until m).map { s =>
-      val cents = trainCentroids(sub(corpus, s), "subv", idCol,
+    val perSubCents = (0 until m).map { s =>
+      trainCentroids(sub(corpus, s), "subv", idCol,
         nCells, iterations, maxTrainPerCell)
-      val codes = assignCells(prep(sub(corpus, s), "subv", idCol), cents)
-        .select(col("id"), col("cell").as(s"code$s"))
-      // exact query→centroid squared distances, as a cell-ordered array
-      val dt = prep(sub(queries, s), "subv", idCol)
-        .crossJoin(broadcast(cents))
-        .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
-          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
-        .groupBy(col("id"))
-        .agg(transform(sort_array(collect_list(struct(col("cell"), col("d2")))),
-          x => x.getField("d2")).as(s"dt$s"))
-      (codes, dt)
     }
-
-    val codes = perSub.map(_._1).reduce(_.join(_, "id"))
-      .select(col("id").as("nid"),
-        array((0 until m).map(s => col(s"code$s")): _*).as("codes"))
-    val dtabs = perSub.map(_._2).reduce(_.join(_, "id"))
-      .select(col("id").as("qid"),
-        array((0 until m).map(s => col(s"dt$s")): _*).as("dtabs"))
+    // ONE row-local encode pass over the broadcast codebook arrays
+    val codes = encodeCodes(prep(corpus, vecCol, idCol), col("e"),
+      perSubCents, keep = Seq(col("id").as("nid")))
+    // exact query→centroid squared distances, cell-ordered, one
+    // row-local pass (shared builder)
+    val dtabs = pqDistanceTables(queries, vecCol, idCol, perSubCents)
 
     // ADC: m-term lookup sum, folded in subspace order
     val scored = broadcast(dtabs).join(codes, col("qid") =!= col("nid"))
@@ -1692,16 +1756,12 @@ object SimilaritySearch {
     val assigned = assignCells(prep(corpus, vecCol, idCol), cents)
       .select(col("cell"), col("id").as("nid"), col("e").as("ne"), col("nrm").as("nn"))
     val qPrepped = prep(queries, vecCol, idCol)
-    // nProbe nearest cells per query: slice of the sorted (d2, cell)
-    // struct list — queries are few, the sort is per-row local
-    val probes = qPrepped.crossJoin(broadcast(cents))
-      .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
-      .groupBy(col("id"))
-      .agg(slice(sort_array(collect_list(struct(col("d2"), col("cell")))), 1, nProbe).as("cells"),
-        first(col("e")).as("e"), first(col("nrm")).as("nrm"))
+    // nProbe nearest cells per query — row-local over the broadcast
+    // centroid array
+    val probes = qPrepped.crossJoin(broadcast(centroidArray(cents)))
       .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
-        explode(col("cells.cell")).as("cell"))
+        explode(nearestCellsExpr(col("e"), nProbe).getField("cell"))
+          .as("cell"))
     topKPerQuery(
       broadcast(probes).join(assigned, Seq("cell"))
         .where(col("qid") =!= col("nid"))
@@ -1841,15 +1901,11 @@ object SimilaritySearch {
       .select(col("cell"), col("id").as("nid"), col("e").as("ne"),
         col("nrm").as("nn"), col("attr"))
     val qPrepped = prepAttr(queries, vecCol, idCol, attrCol)
-    val probes = qPrepped.crossJoin(broadcast(cents))
-      .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
-      .groupBy(col("id"))
-      .agg(slice(sort_array(collect_list(struct(col("d2"), col("cell")))), 1, nProbe).as("cells"),
-        first(col("e")).as("e"), first(col("nrm")).as("nrm"),
-        first(col("attr")).as("qattr"))
+    val probes = qPrepped.crossJoin(broadcast(centroidArray(cents)))
       .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
-        col("qattr"), explode(col("cells.cell")).as("cell"))
+        col("attr").as("qattr"),
+        explode(nearestCellsExpr(col("e"), nProbe).getField("cell"))
+          .as("cell"))
     broadcast(probes).join(assigned, Seq("cell"))
       .where(col("qid") =!= col("nid"))
   }
@@ -1923,15 +1979,11 @@ object SimilaritySearch {
     val assigned = spark.read.format("kv").option("path", s"$path/cells").load()
       .select(col("cell"), col("nid"), col("ne"), col("nn"), col("attr"))
     val qPrepped = prepAttr(qBase, vecCol, idCol, attrCol)
-    val probes = qPrepped.crossJoin(broadcast(cents))
-      .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
-      .groupBy(col("id"))
-      .agg(slice(sort_array(collect_list(struct(col("d2"), col("cell")))), 1, nProbe).as("cells"),
-        first(col("e")).as("e"), first(col("nrm")).as("nrm"),
-        first(col("attr")).as("qattr"))
+    val probes = qPrepped.crossJoin(broadcast(centroidArray(cents)))
       .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
-        col("qattr"), explode(col("cells.cell")).as("cell"))
+        col("attr").as("qattr"),
+        explode(nearestCellsExpr(col("e"), nProbe).getField("cell"))
+          .as("cell"))
     // (qid, nid) dedup for the same retried-append reason as
     // [[ivfKnnIndexed]]: a crash-replayed filteredIndexAppend must not
     // seat one neighbor in two heap slots
@@ -1974,15 +2026,16 @@ object SimilaritySearch {
           lit(strategy).as("strategy"), lit(nQueries).as("n_queries"),
           lit(k).as("k"), lit(h).as("n_hits"), lit(milli(h)).as("recall_milli"))
       }
-      val incell = row("incell",
-        ivfFilteredKnn(corpus, queries, vecCol, idCol, attrCol, k,
-          nCells, nProbe, iterations, maxTrainPerCell))
-      val posts = oversamples.map { ov =>
-        row(f"post_ov$ov%02d",
-          ivfPostFilterKnn(corpus, queries, vecCol, idCol, attrCol, k, ov,
-            nCells, nProbe, iterations, maxTrainPerCell))
-      }
-      posts.foldLeft(incell)(_.unionAll(_)).orderBy(col("strategy"))
+      val rows = inParallel(
+        (() => row("incell",
+          ivfFilteredKnn(corpus, queries, vecCol, idCol, attrCol, k,
+            nCells, nProbe, iterations, maxTrainPerCell))) +:
+        oversamples.map { ov => () =>
+          row(f"post_ov$ov%02d",
+            ivfPostFilterKnn(corpus, queries, vecCol, idCol, attrCol, k, ov,
+              nCells, nProbe, iterations, maxTrainPerCell))
+        })
+      rows.tail.foldLeft(rows.head)(_.unionAll(_)).orderBy(col("strategy"))
     } finally { exact.unpersist(); () }
   }
 
@@ -2282,10 +2335,11 @@ object SimilaritySearch {
       def hits(ann: DataFrame): Long =
         ann.select(col("qid"), col("nid"))
           .join(exact, Seq("qid", "nid"), "left_semi").count()
-      val hitsPlain = hits(ivfPqKnn(corpus, queries, vecCol, idCol, k,
-        nCells, nProbe, m, pqCells, iterations, maxTrainPerCell))
-      val hitsPerm = hits(ivfPqVarPermKnn(corpus, queries, vecCol, idCol,
-        dim, k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell))
+      val Seq(hitsPlain, hitsPerm) = inParallel(Seq(
+        () => hits(ivfPqKnn(corpus, queries, vecCol, idCol, k,
+          nCells, nProbe, m, pqCells, iterations, maxTrainPerCell)),
+        () => hits(ivfPqVarPermKnn(corpus, queries, vecCol, idCol,
+          dim, k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell))))
       def milli(h: Long): Long =
         if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
       spark.range(1).select(
@@ -2320,11 +2374,12 @@ object SimilaritySearch {
       def hits(ann: DataFrame): Long =
         ann.select(col("qid"), col("nid"))
           .join(exact, Seq("qid", "nid"), "left_semi").count()
-      val hitsRaw = hits(ivfPqVarPermKnn(corpus, queries, vecCol, idCol,
-        dim, k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell))
-      val hitsNorm = hits(ivfPqVarPermKnn(corpus, queries, vecCol, idCol,
-        dim, k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell,
-        normalize = true))
+      val Seq(hitsRaw, hitsNorm) = inParallel(Seq(
+        () => hits(ivfPqVarPermKnn(corpus, queries, vecCol, idCol,
+          dim, k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell)),
+        () => hits(ivfPqVarPermKnn(corpus, queries, vecCol, idCol,
+          dim, k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell,
+          normalize = true))))
       def milli(h: Long): Long =
         if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
       spark.range(1).select(
@@ -2545,23 +2600,27 @@ object SimilaritySearch {
       if (normalize) df.select(col(idCol), unitNorm(col(vecCol)).as(vecCol))
       else df
     // the derivation re-reads the corpus 4·k times (power chains) and
-    // the ADC chain several more — cache the (normalized) base once
+    // the ADC chain several more — cache the (normalized) base once.
+    // NO finally-unpersist: CacheManager dedupes plan-equal persists to
+    // ONE entry, so when an audit runs several of these chains
+    // concurrently (inParallel), the first finisher's unpersist would
+    // evict blocks mid-read under its siblings ("Block rdd_N does not
+    // exist"). The entry is bounded and session-scoped — the
+    // trainCentroids cache discipline.
     val bCorpus = base(corpus)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val us = pcaDirectionsK(bCorpus, vecCol, dim, components, powerIters,
-        pivots)
-      // ONE chained-kernel pass per row — nesting householderReflect here
-      // re-evaluated the inner reflection per outer HOF reference
-      def rot(df: DataFrame): DataFrame =
-        df.select(col(idCol),
-          graft.functions.VectorExpressions.householderChain(
-            col(vecCol), us.map(_.map(_.toDouble)))
-            .as(vecCol))
-      rankAdc(ivfPqAdcScores(rot(bCorpus), rot(base(queries)), vecCol, idCol,
-        nCells, nProbe, m, pqCells, iterations, maxTrainPerCell), k)
-        .localCheckpoint()
-    } finally { bCorpus.unpersist(); () }
+    val us = pcaDirectionsK(bCorpus, vecCol, dim, components, powerIters,
+      pivots)
+    // ONE chained-kernel pass per row — nesting householderReflect here
+    // re-evaluated the inner reflection per outer HOF reference
+    def rot(df: DataFrame): DataFrame =
+      df.select(col(idCol),
+        graft.functions.VectorExpressions.householderChain(
+          col(vecCol), us.map(_.map(_.toDouble)))
+          .as(vecCol))
+    rankAdc(ivfPqAdcScores(rot(bCorpus), rot(base(queries)), vecCol, idCol,
+      nCells, nProbe, m, pqCells, iterations, maxTrainPerCell), k)
+      .localCheckpoint()
   }
 
   /** Row-local unit normalization — the cosine-consistency fix for the
@@ -2596,12 +2655,13 @@ object SimilaritySearch {
       def hits(ann: DataFrame): Long =
         ann.select(col("qid"), col("nid"))
           .join(exact, Seq("qid", "nid"), "left_semi").count()
-      val hits1 = hits(ivfPqPcaKnn(corpus, queries, vecCol, idCol,
-        dim, k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell,
-        powerIters))
-      val hits2 = hits(ivfPqPca2Knn(corpus, queries, vecCol, idCol,
-        dim, k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell,
-        powerIters))
+      val Seq(hits1, hits2) = inParallel(Seq(
+        () => hits(ivfPqPcaKnn(corpus, queries, vecCol, idCol,
+          dim, k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell,
+          powerIters)),
+        () => hits(ivfPqPca2Knn(corpus, queries, vecCol, idCol,
+          dim, k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell,
+          powerIters))))
       def milli(h: Long): Long =
         if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
       spark.range(1).select(
@@ -2636,12 +2696,13 @@ object SimilaritySearch {
       def hits(ann: DataFrame): Long =
         ann.select(col("qid"), col("nid"))
           .join(exact, Seq("qid", "nid"), "left_semi").count()
-      val hits2 = hits(ivfPqPcaKKnn(corpus, queries, vecCol, idCol,
-        dim, k, 2, nCells, nProbe, m, pqCells, iterations,
-        maxTrainPerCell, powerIters, normalize, balancePivots))
-      val hits3 = hits(ivfPqPcaKKnn(corpus, queries, vecCol, idCol,
-        dim, k, 3, nCells, nProbe, m, pqCells, iterations,
-        maxTrainPerCell, powerIters, normalize, balancePivots))
+      val Seq(hits2, hits3) = inParallel(Seq(
+        () => hits(ivfPqPcaKKnn(corpus, queries, vecCol, idCol,
+          dim, k, 2, nCells, nProbe, m, pqCells, iterations,
+          maxTrainPerCell, powerIters, normalize, balancePivots)),
+        () => hits(ivfPqPcaKKnn(corpus, queries, vecCol, idCol,
+          dim, k, 3, nCells, nProbe, m, pqCells, iterations,
+          maxTrainPerCell, powerIters, normalize, balancePivots))))
       def milli(h: Long): Long =
         if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
       spark.range(1).select(
@@ -2679,25 +2740,26 @@ object SimilaritySearch {
           .join(exact, Seq("qid", "nid"), "left_semi").count()
       def norm(df: DataFrame): DataFrame =
         df.select(col(idCol), unitNorm(col(vecCol)).as(vecCol))
-      val hitsRaw = hits(rankAdc(ivfPqAdcScores(corpus, queries, vecCol,
-        idCol, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell), k))
-      val hitsNorm = hits(rankAdc(ivfPqAdcScores(norm(corpus), norm(queries),
-        vecCol, idCol, nCells, nProbe, m, pqCells, iterations,
-        maxTrainPerCell), k))
       // the mismatch ceiling itself: EXACT L2 top-k vs cosine top-k
       val pc = prep(corpus, vecCol, idCol)
         .select(col("id"), col("e"))
       val pq = prep(queries, vecCol, idCol)
         .select(col("id").as("qid"), col("e").as("qe"))
-      val hitsL2 = hits(pq.crossJoin(pc)
-        .where(col("qid") =!= col("id"))
-        .withColumn("d2", aggregate(zip_with(col("qe"), col("e"),
-          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
-        .groupBy(col("qid"))
-        .agg(graft.functions.BoundedTopK.topK(
-          struct((lit(0.0) - col("d2")).as("negd"), col("id").as("nid")),
-          k).as("top"))
-        .select(col("qid"), explode(col("top.nid")).as("nid")))
+      val Seq(hitsRaw, hitsNorm, hitsL2) = inParallel(Seq(
+        () => hits(rankAdc(ivfPqAdcScores(corpus, queries, vecCol,
+          idCol, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell), k)),
+        () => hits(rankAdc(ivfPqAdcScores(norm(corpus), norm(queries),
+          vecCol, idCol, nCells, nProbe, m, pqCells, iterations,
+          maxTrainPerCell), k)),
+        () => hits(pq.crossJoin(pc)
+          .where(col("qid") =!= col("id"))
+          .withColumn("d2", aggregate(zip_with(col("qe"), col("e"),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
+          .groupBy(col("qid"))
+          .agg(graft.functions.BoundedTopK.topK(
+            struct((lit(0.0) - col("d2")).as("negd"), col("id").as("nid")),
+            k).as("top"))
+          .select(col("qid"), explode(col("top.nid")).as("nid")))))
       def milli(h: Long): Long =
         if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
       spark.range(1).select(
@@ -2743,9 +2805,8 @@ object SimilaritySearch {
           powerIters, normalize = true, balancePivots = true)
           .select(col("qid"), col("nid"))
           .join(exact, Seq("qid", "nid"), "left_semi").count()
-      val hitsUnder = hits(m - 1)
-      val hitsFull = hits(m)
-      val hitsOver = hits(m + 1)
+      val Seq(hitsUnder, hitsFull, hitsOver) = inParallel(Seq(
+        () => hits(m - 1), () => hits(m), () => hits(m + 1)))
       def milli(h: Long): Long =
         if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
       spark.range(1).select(
@@ -2900,11 +2961,12 @@ object SimilaritySearch {
       def hits(ann: DataFrame): Long =
         ann.select(col("qid"), col("nid"))
           .join(exact, Seq("qid", "nid"), "left_semi").count()
-      val hitsPerm = hits(ivfPqVarPermKnn(corpus, queries, vecCol, idCol,
-        dim, k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell))
-      val hitsPca = hits(ivfPqPcaKnn(corpus, queries, vecCol, idCol,
-        dim, k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell,
-        powerIters))
+      val Seq(hitsPerm, hitsPca) = inParallel(Seq(
+        () => hits(ivfPqVarPermKnn(corpus, queries, vecCol, idCol,
+          dim, k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell)),
+        () => hits(ivfPqPcaKnn(corpus, queries, vecCol, idCol,
+          dim, k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell,
+          powerIters))))
       def milli(h: Long): Long =
         if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
       spark.range(1).select(
@@ -2938,10 +3000,11 @@ object SimilaritySearch {
       def hits(ann: DataFrame): Long =
         ann.select(col("qid"), col("nid"))
           .join(exact, Seq("qid", "nid"), "left_semi").count()
-      val hitsPlain = hits(ivfPqKnn(corpus, queries, vecCol, idCol, k,
-        nCells, nProbe, m, pqCells, iterations, maxTrainPerCell))
-      val hitsOpq = hits(ivfPqOpqKnn(corpus, queries, vecCol, idCol, dim, k,
-        nCells, nProbe, m, pqCells, iterations, maxTrainPerCell))
+      val Seq(hitsPlain, hitsOpq) = inParallel(Seq(
+        () => hits(ivfPqKnn(corpus, queries, vecCol, idCol, k,
+          nCells, nProbe, m, pqCells, iterations, maxTrainPerCell)),
+        () => hits(ivfPqOpqKnn(corpus, queries, vecCol, idCol, dim, k,
+          nCells, nProbe, m, pqCells, iterations, maxTrainPerCell))))
       def milli(h: Long): Long =
         if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
       spark.range(1).select(
@@ -3103,18 +3166,15 @@ object SimilaritySearch {
     val edgesAll =
       if (degreeCross == 0) within
       else {
+        // row-local: each node's crossCells nearest OTHER cells come
+        // from the broadcast centroid array ((d2 asc, cell asc) — the
+        // exact BoundedTopK(-d2, xcell) order), no per-node shuffle
         val xsel = assigned
-          .crossJoin(broadcast(cents.select(col("cell").as("xcell"), col("ce"))))
-          .where(col("xcell") =!= col("cell"))
-          .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
-            (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
-          .groupBy(col("id"))
-          .agg(graft.functions.BoundedTopK.topK(
-            struct((lit(0.0) - col("d2")).as("nd2"), col("xcell")),
-            crossCells).as("top"),
-            first(col("e")).as("se"), first(col("nrm")).as("sn"))
-          .select(col("id").as("src"), col("se"), col("sn"),
-            explode(col("top.xcell")).as("cell"))
+          .crossJoin(broadcast(centroidArray(cents)))
+          .select(col("id").as("src"), col("e").as("se"),
+            col("nrm").as("sn"),
+            explode(nearestCellsExpr(col("e"), crossCells,
+              excludeCell = Some(col("cell"))).getField("cell")).as("cell"))
         val cross = xsel.join(pool, Seq("cell"))
           .select(col("src"),
             (dot(col("se"), col("de")) / (col("sn") * col("dn"))).as("sim"),
@@ -3325,17 +3385,11 @@ object SimilaritySearch {
     val xselOpt =
       if (degreeCross == 0) None
       else Some(newNodes
-        .crossJoin(broadcast(cents.select(col("cell").as("xcell"), col("ce"))))
-        .where(col("xcell") =!= col("cell"))
-        .withColumn("d2", aggregate(zip_with(col("ne"), col("ce"),
-          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
-        .groupBy(col("nid"))
-        .agg(graft.functions.BoundedTopK.topK(
-          struct((lit(0.0) - col("d2")).as("nd2"), col("xcell")),
-          crossCells).as("top"),
-          first(col("ne")).as("se"), first(col("nn")).as("sn"))
-        .select(col("nid").as("src"), col("se"), col("sn"),
-          explode(col("top.xcell")).as("cell"))
+        .crossJoin(broadcast(centroidArray(cents)))
+        .select(col("nid").as("src"), col("ne").as("se"),
+          col("nn").as("sn"),
+          explode(nearestCellsExpr(col("ne"), crossCells,
+            excludeCell = Some(col("cell"))).getField("cell")).as("cell"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
     val touched = xselOpt
       .map(x => newNodes.select(col("cell"))
@@ -3569,15 +3623,11 @@ object SimilaritySearch {
     // nid occupy two beam/top-k slots
     val nodes = nodesWithCell.select(col("nid"), col("ne"), col("nn"))
       .dropDuplicates("nid")
-    val probes = prep(queries, vecCol, idCol).crossJoin(broadcast(cents))
-      .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
-      .groupBy(col("id"))
-      .agg(slice(sort_array(collect_list(struct(col("d2"), col("cell")))),
-        1, nProbe).as("cells"),
-        first(col("e")).as("e"), first(col("nrm")).as("nrm"))
+    val probes = prep(queries, vecCol, idCol)
+      .crossJoin(broadcast(centroidArray(cents)))
       .select(col("id").as("qid"), col("e").as("qe"), col("nrm").as("qn"),
-        explode(col("cells.cell")).as("cell"))
+        explode(nearestCellsExpr(col("e"), nProbe).getField("cell"))
+          .as("cell"))
     val seeded = broadcast(probes).join(seeds, Seq("cell"))
       .select(col("qid"), col("qe"), col("qn"), col("nid"))
       .dropDuplicates("qid", "nid")
@@ -4079,11 +4129,12 @@ object SimilaritySearch {
       def hits(ann: DataFrame): Long =
         ann.select(col("qid"), col("nid"))
           .join(exact, Seq("qid", "nid"), "left_semi").count()
-      val hitsRaw = hits(ivfKnn(corpus, queries, vecCol, idCol, k,
-        nCells, nProbe, iterations, maxTrainPerCell))
-      val hitsNorm = hits(ivfKnn(
-        unitNormed(corpus, vecCol, idCol), unitNormed(queries, vecCol, idCol),
-        vecCol, idCol, k, nCells, nProbe, iterations, maxTrainPerCell))
+      val Seq(hitsRaw, hitsNorm) = inParallel(Seq(
+        () => hits(ivfKnn(corpus, queries, vecCol, idCol, k,
+          nCells, nProbe, iterations, maxTrainPerCell)),
+        () => hits(ivfKnn(
+          unitNormed(corpus, vecCol, idCol), unitNormed(queries, vecCol, idCol),
+          vecCol, idCol, k, nCells, nProbe, iterations, maxTrainPerCell))))
       def milli(h: Long): Long =
         if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
       spark.range(1).select(
@@ -4141,29 +4192,29 @@ object SimilaritySearch {
     // for training + m times for encoding — cache once
     val resid = residualRows(prep(corpus, vecCol, idCol), coarse)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val perSub = (0 until m).map { s =>
-      val sub = pqSubspace(resid, "rvec", "id", s, m)
-      val sc = trainCentroids(sub, "subv", "id", pqCells, iterations,
-        maxTrainPerCell)
-      val codes = assignCells(prep(sub, "subv", "id"), sc)
-        .select(col("id"), col("cell").as(s"code$s"))
-      (sc, codes)
+    val perSubCents = (0 until m).map { s =>
+      trainCentroids(pqSubspace(resid, "rvec", "id", s, m), "subv", "id",
+        pqCells, iterations, maxTrainPerCell)
     }
-    val codes = perSub.map(_._2).reduce(_.join(_, "id"))
-      .join(resid.select(col("id"), col("ivf_cell")), "id")
-      .select(col("id").as("nid"), col("ivf_cell"),
-        array((0 until m).map(s => col(s"code$s")): _*).as("codes"))
-    (coarse, perSub.map(_._1), codes)
+    // ONE row-local encode pass over the cached residual rows
+    val codes = encodeCodes(resid, col("rvec"), perSubCents,
+      keep = Seq(col("id").as("nid"), col("ivf_cell")))
+    (coarse, perSubCents, codes)
   }
 
   /** (id, ivf_cell, rvec): assign against `coarse` and subtract the
     * assigned centroid — the encode step shared by build and append.
     */
   private def residualRows(prepped: DataFrame, coarse: DataFrame): DataFrame =
-    assignCells(prepped, coarse)
-      .join(broadcast(coarse), Seq("cell"))
-      .select(col("id"), col("cell").as("ivf_cell"),
-        zip_with(col("e"), col("ce"), (x, y) => x - y).as("rvec"))
+    // row-local: the argmin struct carries the winning centroid's ce, so
+    // the subtraction needs no join back to the coarse table ((d2, cell)
+    // pairs are unique — the ce field never enters the comparison)
+    prepped.crossJoin(broadcast(centroidArray(coarse)))
+      .withColumn("m", array_min(transform(col("cents"),
+        c => struct(cd2(col("e"), c).as("d2"), c.getField("cell").as("cell"),
+          c.getField("ce").as("ce")))))
+      .select(col("id"), col("m.cell").as("ivf_cell"),
+        zip_with(col("e"), col("m.ce"), (x, y) => x - y).as("rvec"))
 
   /** IVFADC's asymmetric scoring against model frames: nProbe coarse
     * probes, a query residual (and m distance tables) PER PROBED CELL,
@@ -4174,42 +4225,37 @@ object SimilaritySearch {
       queries: DataFrame, vecCol: String, idCol: String,
       coarse: DataFrame, subCents: Seq[DataFrame], codes: DataFrame,
       nProbe: Int, m: Int): DataFrame = {
-    val cents = broadcast(coarse)
-    // nProbe nearest coarse cells per query, then the PER-CELL query
-    // residual — IVFADC's asymmetric side
-    val probes = prep(queries, vecCol, idCol).crossJoin(cents)
-      .withColumn("d2", aggregate(zip_with(col("e"), col("ce"),
-        (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
-      .groupBy(col("id"))
-      .agg(slice(sort_array(collect_list(struct(col("d2"), col("cell")))),
-        1, nProbe).as("cells"),
-        first(col("e")).as("e"))
-      .select(col("id").as("qid"), col("e"),
-        explode(col("cells.cell")).as("ivf_cell"))
-    val qres = probes
-      .join(broadcast(coarse.select(col("cell").as("ivf_cell"), col("ce"))),
-        Seq("ivf_cell"))
-      .select(col("qid"), col("ivf_cell"),
-        zip_with(col("e"), col("ce"), (x, y) => x - y).as("rq"))
-    // per-subspace distance tables, keyed (qid, ivf_cell): dt(s)(c) =
-    // d²(query residual subspace s, residual codebook s centroid c)
-    val dtabs = (0 until m).map { s =>
-      val sz = size(col("rq"))
-      val subDim = (sz / lit(m)).cast("int")
-      qres.select(col("qid"), col("ivf_cell"),
-          slice(col("rq"), lit(s) * subDim + lit(1), subDim).as("subv"))
-        .crossJoin(broadcast(subCents(s)))
-        .withColumn("d2", aggregate(zip_with(col("subv"), col("ce"),
-          (x, y) => (x - y) * (x - y)), lit(0.0), (acc, x) => acc + x))
-        .groupBy(col("qid"), col("ivf_cell"))
-        .agg(transform(sort_array(collect_list(struct(col("cell"), col("d2")))),
-          x => x.getField("d2")).as(s"dt$s"))
-    // joined broadcast between the (|Q|·nProbe)-sized per-subspace
-    // aggregates — a stats-blind SMJ otherwise (the ivfPqKnn dtab
-    // discipline, keyed by (query, probed cell) here)
-    }.reduce((a, b) => a.join(broadcast(b), Seq("qid", "ivf_cell")))
-      .select(col("qid"), col("ivf_cell"),
-        array((0 until m).map(s => col(s"dt$s")): _*).as("dtabs"))
+    // nProbe nearest coarse cells per query WITH the per-cell query
+    // residual (IVFADC's asymmetric side) — one row-local pass over the
+    // broadcast coarse array: probe order is (d2 asc, cell asc) as
+    // before (cell ids are unique, so the residual field never enters
+    // the sort), and rq is the same zip_with(e, ce, x−y) the old
+    // join-back computed
+    val qres = prep(queries, vecCol, idCol)
+      .crossJoin(broadcast(centroidArray(coarse)))
+      .select(col("id").as("qid"),
+        explode(slice(sort_array(transform(col("cents"),
+          c => struct(cd2(col("e"), c).as("d2"),
+            c.getField("cell").as("cell"),
+            zip_with(col("e"), c.getField("ce"), (x, y) => x - y)
+              .as("rq")))),
+          1, nProbe)).as("p"))
+      .select(col("qid"), col("p.cell").as("ivf_cell"), col("p.rq").as("rq"))
+    // per-(qid, ivf_cell) distance tables: dt(s)(c) = d²(residual
+    // subspace s, residual codebook s centroid c) — row-local over the
+    // broadcast codebook arrays (formerly a groupBy shuffle + m-way
+    // join per subspace)
+    val sz = size(col("rq"))
+    val subDim = (sz / lit(m)).cast("int")
+    val dtabs = (0 until m).foldLeft(qres) { (df, s) =>
+      df.crossJoin(broadcast(
+        centroidArray(subCents(s)).select(col("cents").as(s"cents$s"))))
+    }.select(col("qid"), col("ivf_cell"),
+      array((0 until m).map(s => transform(col(s"cents$s"),
+        c => aggregate(zip_with(
+          slice(col("rq"), lit(s) * subDim + lit(1), subDim),
+          c.getField("ce"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x))): _*).as("dtabs"))
     broadcast(dtabs)
       .join(codes, Seq("ivf_cell"))
       .where(col("qid") =!= col("nid"))
@@ -4299,15 +4345,9 @@ object SimilaritySearch {
       if (readPqMetaNormalize(spark, path)) unitNormed(newVecs, vecCol, idCol)
       else newVecs
     val resid = residualRows(prep(base, vecCol, idCol), table("coarse"))
-    val perSub = (0 until m).map { s =>
-      assignCells(prep(pqSubspace(resid, "rvec", "id", s, m), "subv", "id"),
-        subCents(s))
-        .select(col("id"), col("cell").as(s"code$s"))
-    }
-    perSub.reduce(_.join(_, "id"))
-      .join(resid.select(col("id"), col("ivf_cell")), "id")
-      .select(col("id").as("nid"), col("ivf_cell"),
-        array((0 until m).map(s => col(s"code$s")): _*).as("codes"))
+    // ONE row-local encode pass against the persisted codebooks
+    encodeCodes(resid, col("rvec"), subCents,
+      keep = Seq(col("id").as("nid"), col("ivf_cell")))
       .write.format("kv").option("path", s"$path/codes")
       .mode("append").save()
   }
@@ -4406,15 +4446,16 @@ object SimilaritySearch {
       def hits(ann: DataFrame): Long =
         ann.select(col("qid"), col("nid"))
           .join(exact, Seq("qid", "nid"), "left_semi").count()
-      val hitsPlain = hits(rankAdc(ivfPqAdcScores(corpus, queries, vecCol,
-        idCol, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell), k))
-      val hitsPerm = hits(ivfPqVarPermKnn(corpus, queries, vecCol, idCol,
-        dim, k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell))
-      val hitsRes = hits(ivfPqResidualKnn(corpus, queries, vecCol, idCol,
-        k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell))
-      val hitsBoth = hits(ivfPqOpqResidualKnn(corpus, queries, vecCol,
-        idCol, dim, k, nCells, nProbe, m, pqCells, iterations,
-        maxTrainPerCell))
+      val Seq(hitsPlain, hitsPerm, hitsRes, hitsBoth) = inParallel(Seq(
+        () => hits(rankAdc(ivfPqAdcScores(corpus, queries, vecCol,
+          idCol, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell), k)),
+        () => hits(ivfPqVarPermKnn(corpus, queries, vecCol, idCol,
+          dim, k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell)),
+        () => hits(ivfPqResidualKnn(corpus, queries, vecCol, idCol,
+          k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell)),
+        () => hits(ivfPqOpqResidualKnn(corpus, queries, vecCol,
+          idCol, dim, k, nCells, nProbe, m, pqCells, iterations,
+          maxTrainPerCell))))
       def milli(h: Long): Long =
         if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
       spark.range(1).select(
@@ -4518,10 +4559,11 @@ object SimilaritySearch {
           .join(exact, Seq("qid", "nid"), "left_semi").count()
       def trunc(df: DataFrame) = df.select(col(idCol),
         slice(col(vecCol), 1, prefixDim).as(vecCol))
-      val hitsPrefix = hits(bruteForceKnn(trunc(corpus), trunc(queries),
-        vecCol, idCol, k))
-      val hitsRescored = hits(matryoshkaKnn(corpus, queries, vecCol, idCol,
-        k, prefixDim, refine))
+      val Seq(hitsPrefix, hitsRescored) = inParallel(Seq(
+        () => hits(bruteForceKnn(trunc(corpus), trunc(queries),
+          vecCol, idCol, k)),
+        () => hits(matryoshkaKnn(corpus, queries, vecCol, idCol,
+          k, prefixDim, refine))))
       def milli(h: Long): Long =
         if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
       spark.range(1).select(
@@ -4564,10 +4606,11 @@ object SimilaritySearch {
       def hits(ann: DataFrame): Long =
         ann.select(col("qid"), col("nid"))
           .join(exact, Seq("qid", "nid"), "left_semi").count()
-      val hitsPlain = hits(rankAdc(ivfPqAdcScores(corpus, queries, vecCol,
-        idCol, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell), k))
-      val hitsRes = hits(ivfPqResidualKnn(corpus, queries, vecCol, idCol,
-        k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell))
+      val Seq(hitsPlain, hitsRes) = inParallel(Seq(
+        () => hits(rankAdc(ivfPqAdcScores(corpus, queries, vecCol,
+          idCol, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell), k)),
+        () => hits(ivfPqResidualKnn(corpus, queries, vecCol, idCol,
+          k, nCells, nProbe, m, pqCells, iterations, maxTrainPerCell))))
       def milli(h: Long): Long =
         if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
       spark.range(1).select(
@@ -4611,9 +4654,10 @@ object SimilaritySearch {
         hits(graphKnn(c, q, vecCol, idCol, k, nCells, nProbe, degree,
           beamWidth, hops, seedsPerCell, iterations, maxTrainPerCell,
           maxEdgeCandidatesPerCell, crossCells, degreeCross))
-      val hitsRaw = run(corpus, queries)
-      val hitsNorm = run(
-        unitNormed(corpus, vecCol, idCol), unitNormed(queries, vecCol, idCol))
+      val Seq(hitsRaw, hitsNorm) = inParallel(Seq(
+        () => run(corpus, queries),
+        () => run(unitNormed(corpus, vecCol, idCol),
+          unitNormed(queries, vecCol, idCol))))
       def milli(h: Long): Long =
         if (nQueries == 0) 1000L else h * 1000L / (k.toLong * nQueries)
       spark.range(1).select(
