@@ -1162,6 +1162,83 @@ object SimilaritySearch {
     centroids.agg(
       sort_array(collect_list(struct(col("cell"), col("ce")))).as("cents"))
 
+  /** Train ALL m per-subspace PQ codebooks in ONE Lloyd chain over the
+    * exploded (s, id, subvector) frame: group keys are (s, cell), so
+    * every per-(s, cell) state — the hash-sampled init rows, the
+    * bounded training sample, the id-ordered per-dim mean fold — is
+    * EXACTLY the per-subspace [[trainCentroids]] state (splitmix64(id)
+    * is subspace-blind, so each subspace's init and sample pick the
+    * SAME ids), but m sequential training chains collapse into one:
+    * one init pass and ONE bounded-heap exchange per Lloyd iteration
+    * instead of m. Returns the per-s codebooks as filters of one
+    * persisted (s, cell, ce) frame — bit-identical inputs to
+    * [[encodeCodes]]/[[pqDistanceTables]] by construction.
+    */
+  private def trainSubCentroids(
+      corpus: DataFrame, vecCol: String, idCol: String, m: Int,
+      nCells: Int, iterations: Int,
+      maxTrainPerCell: Int): Seq[DataFrame] = {
+    val c = prep(corpus, vecCol, idCol)
+    val sz = size(col("e"))
+    val subDim = when(sz % lit(m) === 0, (sz / lit(m)).cast("int"))
+      .otherwise(raise_error(concat(
+        lit("vector dim "), sz.cast("string"),
+        lit(s" must divide into $m subspaces"))))
+    def slices(e: Column): Column =
+      array((0 until m).map(s =>
+        slice(e, lit(s) * subDim + lit(1), subDim)): _*)
+    // (s, id, e=subvector): m rows per vector, one corpus pass
+    val sub = c.select(col("id") +:
+      Seq(posexplode(slices(col("e"))).as(Seq("__s", "se"))): _*)
+      .select(col("__s"), col("id"), col("se").as("e"))
+    // deterministic init, computed ONCE: the nCells smallest-splitmix64
+    // ids (identical in every subspace), cell ids in hash order — the
+    // per-s slices of those rows are the per-subspace init centroids
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("hk"))
+    var centroids = c.withColumn("hk", Sketches.splitmixLong(col("id")))
+      .orderBy(col("hk")).limit(nCells)
+      .withColumn("cell", row_number().over(w).cast("long") - 1L)
+      .select(col("cell"),
+        posexplode(slices(col("e"))).as(Seq("__s", "ce")))
+      .select(col("__s"), col("cell"), col("ce"))
+    var iter = 0
+    while (iter < iterations) {
+      // all m codebooks in ONE broadcast row, indexed by s (model-sized
+      // aggregation — never the corpus)
+      val byS = centroids.groupBy(col("__s"))
+        .agg(sort_array(collect_list(struct(col("cell"), col("ce"))))
+          .as("cents"))
+        .agg(transform(
+          sort_array(collect_list(struct(col("__s"), col("cents")))),
+          x => x.getField("cents")).as("centsBys"))
+      val assigned = sub.crossJoin(broadcast(byS))
+        .withColumn("cents", element_at(col("centsBys"), col("__s") + 1))
+        .withColumn("m", array_min(transform(col("cents"),
+          c2 => struct(cd2(col("e"), c2).as("d2"),
+            c2.getField("cell").as("cell")))))
+        .select(col("__s"), col("id"), col("e"), col("m.cell").as("cell"))
+      val picked = assigned
+        .withColumn("hk", Sketches.splitmixLong(col("id")).cast("double"))
+        .groupBy(col("__s"), col("cell"))
+        .agg(BoundedTopK.topK(
+          struct(col("hk"), col("id"), col("e")), maxTrainPerCell).as("top"))
+      centroids = picked
+        .select(col("__s"), col("cell"),
+          sort_array(transform(col("top"), mm =>
+            struct(mm.getField("id").as("id"), mm.getField("e").as("e"))))
+            .as("mem"))
+        .select(col("__s"), col("cell"),
+          transform(sequence(lit(1), size(element_at(col("mem"), 1).getField("e"))),
+            d => aggregate(col("mem"), lit(0.0),
+              (acc, mm) => acc + element_at(mm.getField("e"), d)) /
+              size(col("mem")).cast("double")).as("ce"))
+      iter += 1
+    }
+    val merged = centroids.persist()
+    (0 until m).map(s =>
+      merged.filter(col("__s") === s).select(col("cell"), col("ce")))
+  }
+
   /** d² between the row vector `e` and one (cell, ce) struct — the exact
     * fold every former crossJoin site used (zip_with square diffs,
     * left-to-right sum), so scores are bit-identical.
@@ -1281,12 +1358,11 @@ object SimilaritySearch {
       maxTrainPerCell: Int): DataFrame = {
     def sub(df: DataFrame, s: Int): DataFrame = pqSubspace(df, vecCol, idCol, s, m)
 
-    // coarse inverted lists over the full vectors
+    // coarse inverted lists over the full vectors; all m subspace
+    // codebooks trained in ONE merged Lloyd chain
     val coarse = trainCentroids(corpus, vecCol, idCol, nCells, iterations, maxTrainPerCell)
-    val perSubCents = (0 until m).map { s =>
-      trainCentroids(sub(corpus, s), "subv", idCol,
-        pqCells, iterations, maxTrainPerCell)
-    }
+    val perSubCents = trainSubCentroids(corpus, vecCol, idCol, m,
+      pqCells, iterations, maxTrainPerCell)
     // ONE row-local encode pass: coarse cell + all m codes per corpus
     // row over the broadcast model arrays (formerly a per-subspace
     // assign + m-way join + lists join — each an exchange)
@@ -1375,12 +1451,11 @@ object SimilaritySearch {
     val coarse = trainCentroids(base, vecCol, idCol, nCells, iterations, maxTrainPerCell)
     coarse.write.format("kv").option("path", s"$path/coarse")
       .mode("overwrite").save()
-    val perSubCents = (0 until m).map { s =>
-      val sub = pqSubspace(base, vecCol, idCol, s, m)
-      val cents = trainCentroids(sub, "subv", idCol, pqCells, iterations, maxTrainPerCell)
+    val perSubCents = trainSubCentroids(base, vecCol, idCol, m,
+      pqCells, iterations, maxTrainPerCell)
+    perSubCents.zipWithIndex.foreach { case (cents, s) =>
       cents.write.format("kv").option("path", s"$path/pq$s")
         .mode("overwrite").save()
-      cents
     }
     // ONE row-local encode pass (coarse cell + all m codes per row)
     val prepped = prep(base, vecCol, idCol)
@@ -1661,10 +1736,8 @@ object SimilaritySearch {
       maxTrainPerCell: Int = 16384): DataFrame = {
     def sub(df: DataFrame, s: Int): DataFrame = pqSubspace(df, vecCol, idCol, s, m)
 
-    val perSubCents = (0 until m).map { s =>
-      trainCentroids(sub(corpus, s), "subv", idCol,
-        nCells, iterations, maxTrainPerCell)
-    }
+    val perSubCents = trainSubCentroids(corpus, vecCol, idCol, m,
+      nCells, iterations, maxTrainPerCell)
     // ONE row-local encode pass over the broadcast codebook arrays
     val codes = encodeCodes(prep(corpus, vecCol, idCol), col("e"),
       perSubCents, keep = Seq(col("id").as("nid")))
@@ -4192,10 +4265,8 @@ object SimilaritySearch {
     // for training + m times for encoding — cache once
     val resid = residualRows(prep(corpus, vecCol, idCol), coarse)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val perSubCents = (0 until m).map { s =>
-      trainCentroids(pqSubspace(resid, "rvec", "id", s, m), "subv", "id",
-        pqCells, iterations, maxTrainPerCell)
-    }
+    val perSubCents = trainSubCentroids(resid, "rvec", "id", m,
+      pqCells, iterations, maxTrainPerCell)
     // ONE row-local encode pass over the cached residual rows
     val codes = encodeCodes(resid, col("rvec"), perSubCents,
       keep = Seq(col("id").as("nid"), col("ivf_cell")))
