@@ -156,10 +156,27 @@ object Bench {
       "q5_region_revenue", "q6_revenue_forecast")
       .flatMap(n => results.toMap.get(n).map(v => "\"" + n + "\":" + r3(v)))
       .mkString("{", ",", "}")
+    // Round-14 verdict #2: 4 headline numbers starve the driver's
+    // round-over-round/scaling analysis. Add (a) per-family summed
+    // medians (family = first two name tokens; the relational q1/q3/...
+    // gates group as "rel") and (b) the 15 slowest gates — ~1 KB, still
+    // inside the ~2 KB stdout-tail budget the compact line exists for.
+    def familyOf(n: String): String = {
+      val parts = n.split("_")
+      if (parts.head == "q") parts.take(2).mkString("_") else "rel"
+    }
+    val families = results.filter(_._2 >= 0).groupBy(p => familyOf(p._1))
+      .toSeq.sortBy(_._1)
+      .map { case (f, qs) => "\"" + f + "\":" + r3(qs.map(_._2).sum) }
+      .mkString("{", ",", "}")
+    val top15 = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
+      .map { case (n, v) => "\"" + n + "\":" + r3(v) }
+      .mkString("{", ",", "}")
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (only.isDefined) "/tmp/graft_bench_subset.json" else "/tmp/graft_bench.json")
     val compact = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n":$runs,""" +
       s""""n_queries":${results.length},"queries":$headline,""" +
+      s""""families":$families,"top15":$top15,""" +
       s""""queries_file":"$spreadFile","full_line":"$outFile","sf":"$sfDir"}"""
     // stdout can be interleaved with sbt/Spark noise — always also write
     // the full line to a file the driver can read verbatim

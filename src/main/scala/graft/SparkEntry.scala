@@ -20,10 +20,20 @@ object SparkEntry {
     Relational.defs("q5_region_revenue")(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.defs ++ EventsQueries.defs ++ TextQueries.defs ++
+    (Relational.defs ++ EventsQueries.defs ++ TextQueries.defs ++
       VectorQueries.defs ++ PipelineQueries.defs ++ SourceQueries.defs ++
       CurationQueries.defs ++
-      SqlCorpus.defs ++ SqlCorpusB.defs ++ SqlCorpusC.defs ++ SqlCorpusD.defs
+      SqlCorpus.defs ++ SqlCorpusB.defs ++ SqlCorpusC.defs ++ SqlCorpusD.defs)
+      .view.mapValues { fn =>
+        (s: SparkSession, d: String) => {
+          // Gate boundary: gates build + execute strictly sequentially, so
+          // the previous gate's registered model/corpus caches have no
+          // readers left — release them here (r14 verdict #1: persisted
+          // entries must not outlive their gate or warm a rerun's median).
+          graft.operators.SessionCaches.releaseAll()
+          fn(s, d)
+        }
+      }.toMap
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ EventsQueries.oracles ++ TextQueries.oracles ++

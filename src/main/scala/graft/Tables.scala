@@ -29,6 +29,44 @@ object Tables {
     spark.conf.set("spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
   }
 
+  /** Start + drain a micro-batch stream whose per-trigger work is bounded
+    * by the source's admission control (`maxOffsetsPerTrigger` /
+    * `maxFilesPerTrigger`) under per-batch-sized execution conf, then
+    * restore the session values for the unbounded post-stream phase.
+    *
+    * Two knobs, both justified by the trigger cap (a gate contract, not a
+    * local-mode constant — at any corpus scale a trigger admits the same
+    * few thousand rows):
+    *  - AQE off: adaptive re-optimization costs ~80 ms of driver work per
+    *    job (measured: a bare per-batch `count()` drain, 40 triggers,
+    *    9.5 s → 6.2 s) and can improve nothing on a KB-sized plan whose
+    *    output partitioning the gate pins anyway;
+    *  - shuffle partitions from `spark.graft.microbatch.partitions`
+    *    (default 1): per-trigger aggregation state is admission-bounded
+    *    (KBs), so ONE partition is the right §2.2 partition size at any
+    *    scale — 32 near-empty reducers per trigger is pure scheduling
+    *    overhead.
+    *
+    * The streaming query clones the session at `start()`, so the conf
+    * must be set BEFORE the stream starts — run the whole
+    * start/awaitTermination block inside `body`. Results are unaffected:
+    * neither knob changes any operator's semantics.
+    */
+  def withMicroBatchConf[T](spark: SparkSession)(body: => T): T = {
+    val conf = spark.conf
+    val aqe0 = conf.get("spark.sql.adaptive.enabled", "true")
+    val sp0 = conf.get("spark.sql.shuffle.partitions", "200")
+    conf.set("spark.sql.adaptive.enabled",
+      conf.get("spark.graft.microbatch.aqe", "false"))
+    conf.set("spark.sql.shuffle.partitions",
+      conf.get("spark.graft.microbatch.partitions", "1"))
+    try body
+    finally {
+      conf.set("spark.sql.adaptive.enabled", aqe0)
+      conf.set("spark.sql.shuffle.partitions", sp0)
+    }
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
       // The events fixture has stored ts as parquet TIMESTAMP(NANOS) in

@@ -688,8 +688,8 @@ object Curation {
       .select(id, col("p.prev").as("prev"), col("p.cur").as("cur"))
       .groupBy(id, col("prev"), col("cur")).agg(count(lit(1)).as("m"))
 
-    val bc = docPairs.groupBy(col("prev"), col("cur")).agg(sum(col("m")).as("bc"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bc = SessionCaches.register(
+      docPairs.groupBy(col("prev"), col("cur")).agg(sum(col("m")).as("bc")))
     // context mass + follower diversity per prev; predecessor diversity
     // per cur; bigram type total as a one-row broadcast
     val ctx = bc.groupBy(col("prev"))
@@ -875,11 +875,10 @@ object Curation {
     // consumer re-runs the full-corpus groupBy scan (the DSIR
     // histogram-frame precedent; CacheManager reuses one entry across
     // re-invocations of the same plan)
-    val counts = df.groupBy(col(classCol))
+    val counts = SessionCaches.register(df.groupBy(col(classCol))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__qp",
-        floor(pow(col("__n").cast("double"), alpha) * 1e6 + 0.5).cast("long"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        floor(pow(col("__n").cast("double"), alpha) * 1e6 + 0.5).cast("long")))
     val totals = counts.agg(
       sum(col("__n")).as("__tot_n"), sum(col("__qp")).as("__tot_qp"))
     val rates = counts.crossJoin(broadcast(totals))
@@ -998,7 +997,7 @@ object Curation {
     // without the cache Spark re-executes the corpus histogram per
     // consumer (shared subplans are not reused unless canonically-equal
     // Exchanges align; confirmed on the ANN family)
-    per.persist()
+    SessionCaches.register(per)
     // corpus feature totals as a broadcast scalar (every feature lands in
     // exactly one bucket, so the bucket sums ARE the totals) — one lazy
     // plan, no job during construction

@@ -361,18 +361,18 @@ object Dedup {
     require(maxTermDf >= 1, s"maxTermDf must be >= 1, got $maxTermDf")
     val d = df.select(col(idCol).as("id"),
       explode(split(lower(col(textCol)), " ")).as("term"))
-    val tf = d.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf = SessionCaches.register(
+      d.groupBy(col("id"), col("term")).agg(count(lit(1)).as("tf")))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("dfq"))
       .where(col("dfq") <= maxTermDf) // prune ubiquitous terms
     val nd = df.select(col(idCol)).agg(count(lit(1)).cast("double").as("nd"))
-    val w = tf.join(broadcast(dfreq), Seq("term"))
+    val w0 = tf.join(broadcast(dfreq), Seq("term"))
       .crossJoin(broadcast(nd))
       .select(col("id"), col("term"),
         floor(col("tf").cast("double") *
           (log((col("nd") + 1.0) / (col("dfq").cast("double") + 1.0)) + 1.0) *
           1000.0 + 0.5).cast("long").as("wq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val w = SessionCaches.register(w0)
     val norms = w.groupBy(col("id")).agg(sum(col("wq") * col("wq")).as("n2"))
     val dots = w.as("a").join(w.as("b"),
         col("a.term") === col("b.term") && col("a.id") < col("b.id"))
@@ -503,9 +503,8 @@ object Dedup {
     // on the canonicalized plan (re-invocations over the same inputs
     // REUSE one entry, they don't accumulate) — a session cycling many
     // distinct corpora should `spark.catalog.clearCache()` between them.
-    val matched = sh(corpus)
-      .join(broadcast(benchSh.select(col("shingle")).distinct()), Seq("shingle"), "left_semi")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val matched = SessionCaches.register(sh(corpus)
+      .join(broadcast(benchSh.select(col("shingle")).distinct()), Seq("shingle"), "left_semi"))
     val corpusSh = capBuckets(matched, Seq("shingle"), maxShingleDf)
     corpusSh.join(broadcast(benchSh), "shingle")
       .groupBy(col("id"))
@@ -546,13 +545,13 @@ object Dedup {
         Sketches.stringHash64(col("shingle"), seed), numBits, numHashes).as("bloom"))
     // array-level probe BEFORE the explode: one imperative eval per doc
     // filters its whole shingle array against the broadcast bitset
-    val matched = corpus
+    // persisted for the same two-consumer reason as [[decontaminate]];
+    // gate-scoped (SessionCaches) so the entry doesn't outlive the gate
+    val matched = SessionCaches.register(corpus
       .select(col(idCol).as("id"), TextFunctions.shingles(col(textCol), n).as("ss"))
       .crossJoin(broadcast(bloomRow))
       .select(col("id"), explode(BloomFilterSketch.keepStrings(
-        col("bloom"), col("ss"), numBits, numHashes, seed)).as("shingle"))
-      // persisted for the same two-consumer reason as [[decontaminate]]
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        col("bloom"), col("ss"), numBits, numHashes, seed)).as("shingle")))
     val corpusSh = capBuckets(matched, Seq("shingle"), maxShingleDf)
     corpusSh.join(broadcast(benchSh), "shingle")
       .groupBy(col("id"))
@@ -595,10 +594,10 @@ object Dedup {
     val corpusSh = withSets(corpus)
       .select(col("id"), size(col("ss")).as("na"),
         explode(col("ss")).as("shingle"))
-    val matched = corpusSh
-      .join(broadcast(benchSh.select(col("shingle")).distinct()), Seq("shingle"), "left_semi")
-      // persisted for the same two-consumer reason as [[decontaminate]]
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted for the same two-consumer reason as [[decontaminate]];
+    // gate-scoped (SessionCaches) so the entry doesn't outlive the gate
+    val matched = SessionCaches.register(corpusSh
+      .join(broadcast(benchSh.select(col("shingle")).distinct()), Seq("shingle"), "left_semi"))
     val capped = capBuckets(matched, Seq("shingle"), maxShingleDf)
     val pairs = capped.join(broadcast(benchSh), "shingle")
       .groupBy(col("id"), col("bid"))

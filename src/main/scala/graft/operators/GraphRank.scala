@@ -78,9 +78,10 @@ object GraphRank {
     }
     // the final ranks are materialized in cache; the inputs can go (a
     // cache-evicted final frame recomputes through the unpersisted
-    // lineage — correctness never depends on the cache)
+    // lineage — correctness never depends on the cache). The final
+    // iterate is released at the next gate boundary (SessionCaches).
     e.unpersist(); nodes.unpersist(); outdeg.unpersist()
-    ranks
+    SessionCaches.track(ranks)
   }
 
   /** Materialize the iteration-invariant edge layout ONCE: (src, dst,
@@ -137,6 +138,6 @@ object GraphRank {
       ranks = next
     }
     nodes.unpersist()
-    ranks
+    SessionCaches.track(ranks)
   }
 }

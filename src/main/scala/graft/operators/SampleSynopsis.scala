@@ -242,13 +242,24 @@ object SampleSynopsis {
       count(when(c, lit(1))).as(n) }
     val per = df.groupBy(keep.map(col) :+ col(keyCol).as("key"): _*)
       .agg(count(lit(1)).as("cnt"), predAggs: _*)
-    val names = "cnt" +: preds.map(_._1)
+    joinKeySynopsisFromCounts(per, k, "cnt" +: preds.map(_._1), keep)
+  }
+
+  /** The bottom-k trim of [[joinKeySynopsisRows]] over an ALREADY
+    * per-key-counted frame (`key`, count columns, `keep` dims) — for
+    * callers that derive several synopses from ONE shared grouping pass
+    * (filter-then-count ≡ count-per-group-then-filter, so a synopsis
+    * built from a filtered slice of a shared (dim, key, cnt) frame is
+    * bit-identical to the direct filtered build).
+    */
+  def joinKeySynopsisFromCounts(per: DataFrame, k: Int,
+      cntCols: Seq[String] = Seq("cnt"),
+      keep: Seq[String] = Seq.empty): DataFrame =
     explodeSample(
       per.groupBy(keep.map(col): _*).agg(uniformAgg(col("key"), k,
-        ("key" -> col("key")) +: names.map(n => n -> col(n)): _*).as("smp")),
-      "smp", keep, "key" +: names)
-      .select(keep.map(col) ++ (col("h") +: col("key") +: names.map(col)): _*)
-  }
+        ("key" -> col("key")) +: cntCols.map(n => n -> col(n)): _*).as("smp")),
+      "smp", keep, "key" +: cntCols)
+      .select(keep.map(col) ++ (col("h") +: col("key") +: cntCols.map(col)): _*)
 
   /** Merge appended per-batch synopsis rows back into the table's
     * synopsis — BIT-IDENTICAL to a direct rebuild over the union. Two

@@ -1148,7 +1148,8 @@ object SimilaritySearch {
     // (probe-verified: 24 corpus scans, 0 ReusedExchange in ivfPqKnn
     // before this). First evaluation populates the cache; reruns read
     // nCells rows instead of rescanning the corpus per iteration.
-    centroids.persist()
+    // Registered for release at the next gate boundary (SessionCaches).
+    SessionCaches.register(centroids)
   }
 
   /** The centroid frame folded to ONE cell-ascending array row —
@@ -1234,7 +1235,9 @@ object SimilaritySearch {
               size(col("mem")).cast("double")).as("ce"))
       iter += 1
     }
-    val merged = centroids.persist()
+    // gate-scoped persist (SessionCaches): the m per-s consumers read one
+    // cached m·nCells-row frame; released at the next gate boundary
+    val merged = SessionCaches.register(centroids)
     (0 until m).map(s =>
       merged.filter(col("__s") === s).select(col("cell"), col("ce")))
   }
@@ -2674,14 +2677,12 @@ object SimilaritySearch {
       else df
     // the derivation re-reads the corpus 4·k times (power chains) and
     // the ADC chain several more — cache the (normalized) base once.
-    // NO finally-unpersist: CacheManager dedupes plan-equal persists to
-    // ONE entry, so when an audit runs several of these chains
-    // concurrently (inParallel), the first finisher's unpersist would
-    // evict blocks mid-read under its siblings ("Block rdd_N does not
-    // exist"). The entry is bounded and session-scoped — the
-    // trainCentroids cache discipline.
-    val bCorpus = base(corpus)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // No per-chain finally-unpersist (CacheManager dedupes plan-equal
+    // persists to ONE entry; a sibling chain under inParallel may still
+    // be reading it) — released at the next gate boundary instead
+    // (SessionCaches), so the corpus-sized entry no longer outlives the
+    // gate (r14 verdict #1).
+    val bCorpus = SessionCaches.register(base(corpus))
     val us = pcaDirectionsK(bCorpus, vecCol, dim, components, powerIters,
       pivots)
     // ONE chained-kernel pass per row — nesting householderReflect here

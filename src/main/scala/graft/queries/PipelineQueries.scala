@@ -2515,46 +2515,52 @@ object PipelineQueries {
       import graft.operators.SampleSynopsis
       val u = java.util.UUID.randomUUID().toString.replace("-", "")
       val pa = s"/tmp/graft_jsynswa_$u/t"
-      val pb = s"/tmp/graft_jsynswb_$u/t"
       val ckpt = s"/tmp/graft_jsynswck_$u"
-      val q = s.readStream.format("log")
-        .option("path", s"$dir/events.parquet")
-        .option("maxOffsetsPerTrigger", "2500").load()
-        .withColumn("ts", col("ts").cast("timestamp"))
-        .withColumn("w_start",
-          unix_timestamp(window(col("ts"), "21600 seconds")("start")))
-        .writeStream
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          if (!df.isEmpty) {
+      Tables.withMicroBatchConf(s) {
+        val q = s.readStream.format("log")
+          .option("path", s"$dir/events.parquet")
+          .option("maxOffsetsPerTrigger", "2500").load()
+          .withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("w_start",
+            unix_timestamp(window(col("ts"), "21600 seconds")("start")))
+          .writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            // ONE action per micro-batch: both sides' per-(window, key)
+            // synopsis rows built in a single grouped pass (event_type is
+            // a keep dimension — a grouped bottom-k over the
+            // type-partitioned rows IS the filtered build, row for row),
+            // replacing the isEmpty probe + two filtered writes (3 jobs →
+            // 1). coalesce(1) keeps the per-batch append at one part file.
             SampleSynopsis.joinKeySynopsisRows(
-              df.filter(col("event_type") === "view"), "user_id", 8,
-              keep = Seq("w_start"))
+              df.filter(col("event_type").isin("view", "purchase")),
+              "user_id", 8, keep = Seq("w_start", "event_type"))
+              .coalesce(1)
               .write.format("kv").option("path", pa).mode("append").save()
-            SampleSynopsis.joinKeySynopsisRows(
-              df.filter(col("event_type") === "purchase"), "user_id", 8,
-              keep = Seq("w_start"))
-              .write.format("kv").option("path", pb).mode("append").save()
+            ()
           }
-          ()
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      def rolled(p: String) = SampleSynopsis.rollupJoinSynopsis(
-        s.read.format("kv").option("path", p).load(), 8,
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      def rolled(t: String) = SampleSynopsis.rollupJoinSynopsis(
+        s.read.format("kv").option("path", pa).load()
+          .filter(col("event_type") === t)
+          .select("w_start", "h", "key", "cnt"), 8,
         keep = Seq("w_start"))
       val est = SampleSynopsis.joinSizeEstimateFrames(
-        rolled(pa), rolled(pb), 8, keep = Seq("w_start"))
+        rolled("view"), rolled("purchase"), 8, keep = Seq("w_start"))
+      // exact reference from ONE grouped pass (was 2 events scans + a
+      // per-window join): the per-(window, user) inner join across the
+      // two types ≡ the pivoted both-sides-present product sum.
       val ev = Tables.load(s, dir, "events")
         .withColumn("w_start",
           unix_timestamp(window(col("ts"), "21600 seconds")("start")))
-      val exact = ev.filter(col("event_type") === "view")
+      val exact = ev.filter(col("event_type").isin("view", "purchase"))
         .groupBy(col("w_start"), col("user_id"))
-        .agg(count(lit(1)).as("ca"))
-        .join(ev.filter(col("event_type") === "purchase")
-          .groupBy(col("w_start"), col("user_id"))
-          .agg(count(lit(1)).as("cb")), Seq("w_start", "user_id"))
+        .agg(sum(when(col("event_type") === "view", 1L)).as("ca"),
+          sum(when(col("event_type") === "purchase", 1L)).as("cb"))
+        .filter(col("ca").isNotNull && col("cb").isNotNull)
         .groupBy(col("w_start"))
         .agg(sum(col("ca") * col("cb")).cast("long").as("exact_pairs"))
       est.join(exact, Seq("w_start"), "left")
@@ -2660,42 +2666,52 @@ object PipelineQueries {
       import graft.operators.SampleSynopsis
       val u = java.util.UUID.randomUUID().toString.replace("-", "")
       val pa = s"/tmp/graft_jsynsa_$u/t"
-      val pb = s"/tmp/graft_jsynsb_$u/t"
       val ckpt = s"/tmp/graft_jsynsck_$u"
-      val q = s.readStream.format("log")
-        .option("path", s"$dir/events.parquet")
-        .option("maxOffsetsPerTrigger", "2500").load()
-        .writeStream
-        .foreachBatch { (df: DataFrame, _: Long) =>
-          if (!df.isEmpty) {
+      Tables.withMicroBatchConf(s) {
+        val q = s.readStream.format("log")
+          .option("path", s"$dir/events.parquet")
+          .option("maxOffsetsPerTrigger", "2500").load()
+          .writeStream
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            // ONE action per micro-batch (was 3: isEmpty + two filtered
+            // writes): both sides' synopsis rows in a single grouped pass
+            // with event_type as a keep dimension — the grouped bottom-k
+            // over type-partitioned rows IS the per-type filtered build,
+            // row for row. coalesce(1) = one part file per batch.
             SampleSynopsis.joinKeySynopsisRows(
-              df.filter(col("event_type") === "view"), "user_id", 64)
+              df.filter(col("event_type").isin("view", "purchase")),
+              "user_id", 64, keep = Seq("event_type"))
+              .coalesce(1)
               .write.format("kv").option("path", pa).mode("append").save()
-            SampleSynopsis.joinKeySynopsisRows(
-              df.filter(col("event_type") === "purchase"), "user_id", 64)
-              .write.format("kv").option("path", pb).mode("append").save()
+            ()
           }
-          ()
-        }
-        .option("checkpointLocation", ckpt)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      def rolled(p: String) = SampleSynopsis.rollupJoinSynopsis(
-        s.read.format("kv").option("path", p).load(), 64)
+          .option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      def rolled(t: String) = SampleSynopsis.rollupJoinSynopsis(
+        s.read.format("kv").option("path", pa).load()
+          .filter(col("event_type") === t).select("h", "key", "cnt"), 64)
       val est = SampleSynopsis.joinSizeEstimateFrames(
-        rolled(pa), rolled(pb), 64)
+        rolled("view"), rolled("purchase"), 64)
+      // direct-build + exact reference from ONE shared (type, key, cnt)
+      // grouping pass (was 4 events scans + 4 per-side aggregations):
+      // filter-then-count ≡ count-per-(type,key)-then-filter, and the
+      // exact inner-join pair count ≡ the pivoted both-sides-present sum.
       val ev = Tables.load(s, dir, "events")
+      val perKey = ev.filter(col("event_type").isin("view", "purchase"))
+        .groupBy(col("event_type"), col("user_id").as("key"))
+        .agg(count(lit(1)).as("cnt"))
+      def synOf(t: String) = SampleSynopsis.joinKeySynopsisFromCounts(
+        perKey.filter(col("event_type") === t).select("key", "cnt"), 64)
       val direct = SampleSynopsis.joinSizeEstimateFrames(
-        SampleSynopsis.joinKeySynopsisRows(
-          ev.filter(col("event_type") === "view"), "user_id", 64),
-        SampleSynopsis.joinKeySynopsisRows(
-          ev.filter(col("event_type") === "purchase"), "user_id", 64), 64)
+        synOf("view"), synOf("purchase"), 64)
         .select(col("est_pairs").as("est_pairs_direct"))
-      val exact = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(count(lit(1)).as("ca"))
-        .join(ev.filter(col("event_type") === "purchase")
-          .groupBy(col("user_id")).agg(count(lit(1)).as("cb")), "user_id")
+      val exact = perKey.groupBy(col("key"))
+        .agg(sum(when(col("event_type") === "view", col("cnt"))).as("ca"),
+          sum(when(col("event_type") === "purchase", col("cnt"))).as("cb"))
+        .filter(col("ca").isNotNull && col("cb").isNotNull)
         .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).cast("long")
           .as("exact_pairs"))
       est.crossJoin(broadcast(direct)).crossJoin(broadcast(exact))

@@ -140,7 +140,9 @@ object LogSource {
       from: Long, to: Long, targetBytes: Long): Seq[LogInputPartition] = {
     if (from >= to) return Nil
     val groups = ParquetIO.footerInfoCached(file, len, mtime)
-    if (groups.isEmpty) return Seq(LogInputPartition(file.toString, shard, from, to))
+    if (groups.isEmpty)
+      return Seq(LogInputPartition(file.toString, shard, from, to,
+        fileLen = len, fileMtime = mtime))
     val cum = groups.scanLeft(0L)(_ + _.rowCount) // cum(i) = rows before group i
     val idx = groups.indices.filter(i => cum(i + 1) > from && cum(i) < to)
     if (idx.isEmpty) return Nil
@@ -160,7 +162,8 @@ object LogSource {
       val aligned = sRow == cum(a) && eRow == cum(b + 1)
       LogInputPartition(file.toString, shard, sRow, eRow, a, cum(a),
         if (aligned) groups(a).startByte else -1L,
-        if (aligned) groups(b).endByte else -1L)
+        if (aligned) groups(b).endByte else -1L,
+        fileLen = len, fileMtime = mtime)
     }
   }
 
@@ -389,7 +392,8 @@ class LogScan(path: String, schema: StructType, tableSchema: StructType,
   */
 case class LogInputPartition(file: String, shard: String, startRow: Long, endRow: Long,
     skipGroups: Int = 0, groupBaseRow: Long = 0L,
-    startByte: Long = -1L, endByte: Long = -1L)
+    startByte: Long = -1L, endByte: Long = -1L,
+    fileLen: Long = -1L, fileMtime: Long = -1L)
     extends InputPartition
 
 class LogMicroBatchStream(path: String, schema: StructType, raw: Boolean,
@@ -502,6 +506,65 @@ class LogMicroBatchStream(path: String, schema: StructType, raw: Boolean,
   override def stop(): Unit = ()
 }
 
+/** Executor-local cache of POSITIONED shard readers — the local
+  * re-expression of the reference's server-side seek
+  * (`LoghubSourceRDD.scala:140-249`: Loghub cursors resume where the last
+  * trigger stopped; a local parquet shard has no server, so the open,
+  * already-positioned reader IS the cursor).
+  *
+  * Why it exists: a rate-limited micro-batch drain slices one shard into
+  * consecutive `[start, end)` row ranges. Row-group skipping
+  * ([[LogSource.planShardPartitions]]) makes the seek free only at group
+  * granularity — inside a row group the reader must DECODE-STEP from the
+  * group base to `startRow`, which is O(offset) per trigger and quadratic
+  * over a drain (a 40-trigger drain of a single-row-group shard decodes
+  * ~20× the shard's rows). Parking the reader at `endRow` when a batch
+  * finishes and checking it out at `startRow == endRow` for the next
+  * batch makes each row decode exactly ONCE per drain.
+  *
+  * Strictly an I/O-cursor reuse (the footer/listing-cache discipline of
+  * [[graft.sources.ParquetIO]]), never a result cache: a checkout is keyed
+  * on (path, len, mtime, projected schema, exact row position) — any
+  * mismatch (changed bytes, different projection, non-consecutive range,
+  * task retry/speculation racing a sibling) misses and falls back to a
+  * fresh open + step, which is always correct. Entries are checked OUT
+  * (removed) while in use, so two concurrent readers can never share a
+  * handle; the bound closes the least-recently-parked handle.
+  */
+object LogTailCache {
+  private case class Key(file: String, len: Long, mtime: Long,
+      schema: String, pos: Long)
+  private val MaxParked = 16
+  private val parked = new java.util.LinkedHashMap[Key, AutoCloseable](
+    MaxParked, 0.75f, true) {
+    override def removeEldestEntry(
+        e: java.util.Map.Entry[Key, AutoCloseable]): Boolean = {
+      val evict = size() > MaxParked
+      if (evict) scala.util.Try(e.getValue.close())
+      evict
+    }
+  }
+
+  def checkout(file: String, len: Long, mtime: Long, schema: String,
+      pos: Long): Option[Iterator[InternalRow] with AutoCloseable] = {
+    if (len < 0 || pos <= 0) return None // unsigned-off partitions never hit
+    parked.synchronized {
+      Option(parked.remove(Key(file, len, mtime, schema, pos)))
+        .map(_.asInstanceOf[Iterator[InternalRow] with AutoCloseable])
+    }
+  }
+
+  def park(file: String, len: Long, mtime: Long, schema: String, pos: Long,
+      it: Iterator[InternalRow] with AutoCloseable): Unit = {
+    if (len < 0) { it.close(); return }
+    val prev = parked.synchronized {
+      parked.put(Key(file, len, mtime, schema, pos), it)
+    }
+    if (prev != null) scala.util.Try(prev.close()) // replaced duplicate
+    ()
+  }
+}
+
 class LogReaderFactory(schema: StructType, raw: Boolean,
     columnar: Boolean = false,
     predicate: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None,
@@ -541,10 +604,18 @@ class LogReaderFactory(schema: StructType, raw: Boolean,
           graft.functions.AvroFunctions.decodeRecord(reader.read(null, dec), avroSchema)
         }
     }
-    val it = ParquetIO.readFile(resolved, dataSchema, skipRowGroups = p.skipGroups)
+    // Consecutive-batch seek: a reader parked at exactly `startRow` by the
+    // previous trigger resumes without the in-group decode-step (see
+    // [[LogTailCache]]); any miss falls back to open + step.
+    val schemaKey = dataSchema.catalogString
+    val resumed = LogTailCache.checkout(p.file, p.fileLen, p.fileMtime,
+      schemaKey, p.startRow)
+    val it = resumed.getOrElse(
+      ParquetIO.readFile(resolved, dataSchema, skipRowGroups = p.skipGroups))
     new PartitionReader[InternalRow] {
-      private var pos = p.groupBaseRow
+      private var pos = if (resumed.isDefined) p.startRow else p.groupBaseRow
       private var current: InternalRow = _
+      private var parkedAway = false
       // seek: whole row groups below groupBaseRow were skipped footer-side;
       // step the remainder within the first group (bounded by one group)
       while (pos < p.startRow && it.hasNext) { it.next(); pos += 1 }
@@ -563,7 +634,14 @@ class LogReaderFactory(schema: StructType, raw: Boolean,
         }
       }
       override def get(): InternalRow = current
-      override def close(): Unit = it.close()
+      override def close(): Unit = {
+        // fully drained to the range end with rows left behind it → park
+        // for the NEXT trigger's [endRow, …) slice; otherwise close.
+        if (!parkedAway && pos == p.endRow && it.hasNext) {
+          parkedAway = true
+          LogTailCache.park(p.file, p.fileLen, p.fileMtime, schemaKey, pos, it)
+        } else if (!parkedAway) it.close()
+      }
     }
   }
 }

@@ -76,6 +76,37 @@ class LogSourceSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("rate-limited drain with parked-reader resume is bit-identical") {
+    val dir = Files.createTempDirectory("logtail").toString
+    val ckpt = Files.createTempDirectory("logtailck").toString
+    writeShard(dir, "shard-a.parquet", 0, 1000)
+    // a mid-file batch slice parks a reader at an arbitrary position —
+    // subsequent non-consecutive reads must MISS it and stay correct
+    val slice = spark.read.format("log").option("path", dir)
+      .option("starting.offsets", """{"shard-a.parquet": 100}""")
+      .option("ending.offsets", """{"shard-a.parquet": 200}""").load()
+    assert(slice.select("id").as[Long].collect().sorted.toSeq ==
+      (100L until 200L))
+    // the rate-limited drain slices [0,37), [37,74), … — every batch
+    // after the first checks out the reader the previous batch parked
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("log").option("path", dir)
+      .option("maxOffsetsPerTrigger", "37").load()
+      .writeStream.foreachBatch {
+        (df: org.apache.spark.sql.DataFrame, _: Long) =>
+          got.synchronized { got ++= df.select("id").as[Long].collect() }
+          ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(got.sorted.toSeq == (0L until 1000L), s"drained ${got.length} rows")
+    // a fresh full read after the drain opens from row 0 (the handle
+    // parked at EOF must not be consulted) and sees every row
+    assert(spark.read.format("log").option("path", dir).load()
+      .count() == 1000)
+  }
+
   test("streaming kv sink: epoch-deterministic files + commit markers (idempotent)") {
     val dir = Files.createTempDirectory("logsrc2").toString
     val ckpt = Files.createTempDirectory("ckpt2").toString
